@@ -1,13 +1,135 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every key in [[queries]] is one operator from SURVEY.md §2; keys with a
+  * [[oracleSql]] entry are hash-checked against DuckDB on the same parquet.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A. relational core
+    "q1_pricing_summary" -> (Relational.q1PricingSummary _),
+    "q2_filter_topn" -> (Relational.q2FilterTopN _),
+    "q3_join_revenue" -> (Relational.q3JoinRevenue _),
+    "q4_semi_join" -> (Relational.q4SemiJoin _),
+    "q5_multi_join_region" -> (Relational.q5MultiJoinRegion _),
+    "q6_selective_agg" -> (Relational.q6SelectiveAgg _),
+    "q7_indicators_pivot" -> (Relational.q7IndicatorsPivot _),
+    "q8_window_rank" -> (Relational.q8WindowRank _),
+    "q9_rollup" -> (Relational.q9Rollup _),
+    "q10_running_window" -> (Relational.q10RunningWindow _),
+    "q11_anti_join" -> (Relational.q11AntiJoin _),
+    "q12_conditional_agg" -> (Relational.q12ConditionalAgg _)
+  )
+
+  /** DuckDB-equivalent ANSI SQL per query key (column names aliased to
+    * match the Spark output exactly — the driver sorts columns by name
+    * before hashing). */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_quantity), 2) AS avg_qty,
+         round(avg(l_extendedprice), 2) AS avg_price,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q2_filter_topn" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+         FROM supplier
+         WHERE s_acctbal > 0 AND s_nationkey IN (1, 5, 9, 12, 17, 21)
+         ORDER BY s_acctbal DESC, s_suppkey LIMIT 10""",
+    "q3_join_revenue" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM customer, orders, lineitem
+         WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+           AND o_orderkey = l_orderkey
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > TIMESTAMP '1998-01-01'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey LIMIT 20""",
+    "q4_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q5_multi_join_region" ->
+      """SELECT n_name,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM customer, orders, lineitem, supplier, nation, region
+         WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         GROUP BY n_name ORDER BY n_name""",
+    "q6_selective_agg" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount >= 0.05 AND l_discount <= 0.07
+           AND l_quantity < 24""",
+    "q7_indicators_pivot" ->
+      """SELECT user_id,
+         round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0.0 END), 2) AS click_value,
+         round(sum(CASE WHEN event_type = 'view' THEN value ELSE 0.0 END), 2) AS view_value,
+         round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS purchase_value,
+         round(sum(CASE WHEN event_type = 'signup' THEN value ELSE 0.0 END), 2) AS signup_value,
+         round(sum(CASE WHEN event_type = 'error' THEN value ELSE 0.0 END), 2) AS error_value,
+         count(*) AS n_events
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q8_window_rank" ->
+      """SELECT c_nationkey, rk, c_custkey, c_acctbal FROM (
+           SELECT c_nationkey, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey
+               ORDER BY c_acctbal DESC, c_custkey) AS rk
+           FROM customer) t
+         WHERE rk <= 3 ORDER BY c_nationkey, rk""",
+    "q9_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+         round(sum(c_acctbal), 2) AS total_bal
+         FROM customer, nation, region
+         WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         GROUP BY ROLLUP(r_name, n_name)
+         ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
+    "q10_running_window" ->
+      """SELECT o_custkey, rn, o_orderkey, running_total FROM (
+           SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS rn,
+             round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS running_total
+           FROM orders WHERE o_custkey <= 100) t
+         ORDER BY o_custkey, rn""",
+    "q11_anti_join" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+           AND o_orderpriority = '1-URGENT' AND o_orderstatus = 'O')
+         ORDER BY c_custkey""",
+    "q12_conditional_agg" ->
+      """SELECT o_orderstatus,
+         sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+         sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS n_high,
+         sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS n_medium,
+         sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS n_notspec,
+         sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS n_low,
+         round(sum(o_totalprice), 2) AS total_value
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+  )
 }

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loaders for the driver-generated TPC-H-ish testdata.
+  *
+  * Mirrors the reference's data-fetch layer
+  * (ram-analysis/app/index.js:200-339) which pulls origins, POIs, admin
+  * areas and file metadata from Postgres; here every entity is a parquet
+  * table and Catalyst handles projection/filter pushdown into the scan.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+
+  /** events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+    * reader rejects; with `spark.sql.legacy.parquet.nanosAsLong=true`
+    * (set by [[graft.GraftSession]]) it arrives as LongType nanos.
+    * Normalize to a proper TimestampType (microsecond) column so every
+    * downstream operator sees a real timestamp. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+    else raw
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational core: the reference's DB-layer query shapes re-expressed as
+  * declarative Spark plans (ram-analysis/app/index.js:200-339 — select /
+  * filter / whereIn / first, inner joins, key-value→column pivots — plus
+  * the result-assembly aggregations of app/index.js:99-135).
+  *
+  * Scale posture: every aggregate is partial-agg friendly; dimension
+  * tables (region/nation/supplier) are broadcast; floats are rounded only
+  * at the output edge so Catalyst can reorder freely.
+  */
+object Relational {
+
+  /** TPC-H Q1 shape: the per-admin-area result rollup analog. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** select/filter/whereIn/order/limit — fetchFilesInfo (index.js:200). */
+  def q2FilterTopN(spark: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") > 0 && col("s_nationkey").isin(1, 5, 9, 12, 17, 21))
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+      .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      .limit(10)
+  }
+
+  /** 3-way join + agg + top-N (TPC-H Q3 shape). */
+  def q3JoinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(20)
+  }
+
+  /** EXISTS via left-semi join (scenario-file lookups, index.js:282). */
+  def q4SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val big = Tables.lineitem(spark, dir).filter(col("l_quantity") > 45)
+    o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Star join across 6 tables (TPC-H Q5 shape); dims broadcast. */
+  def q5MultiJoinRegion(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey") &&
+        c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Scalar aggregate under tight range predicates (TPC-H Q6 shape). */
+  def q6SelectiveAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(
+        round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Key/value→columns pivot — fetchOrigins indicator grouping
+    * (index.js:233-246). Conditional aggregation keeps it partial-agg
+    * friendly (no two-pass distinct-pivot at scale). */
+  def q7IndicatorsPivot(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    def pv(t: String) =
+      round(sum(when(col("event_type") === t, col("value")).otherwise(0.0)), 2).as(s"${t}_value")
+    e.groupBy(col("user_id"))
+      .agg(pv("click"), pv("view"), pv("purchase"), pv("signup"), pv("error"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Ranked window per group: top-3 origins per admin area. */
+  def q8WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("c_nationkey"), col("rk"), col("c_custkey"), col("c_acctbal"))
+      .orderBy(col("c_nationkey"), col("rk"))
+  }
+
+  /** Hierarchical rollup region→nation (admin-area hierarchy rollup). */
+  def q9Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("total_bal"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** Cumulative window per key (running totals per origin). */
+  def q10RunningWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") <= 100)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_total",
+        round(sum(col("o_totalprice")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("running_total"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** NOT EXISTS via left-anti join: origins with no urgent open orders. */
+  def q11AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "O")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** CASE-based tally — operation-codes style status counts
+    * (app/utils/operation-codes.js). */
+  def q12ConditionalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def tally(p: String, as: String) =
+      sum(when(col("o_orderpriority") === p, 1L).otherwise(0L)).as(as)
+    o.groupBy(col("o_orderstatus"))
+      .agg(tally("1-URGENT", "n_urgent"), tally("2-HIGH", "n_high"),
+        tally("3-MEDIUM", "n_medium"), tally("4-NOT SPECIFIED", "n_notspec"),
+        tally("5-LOW", "n_low"),
+        round(sum(col("o_totalprice")), 2).as("total_value"))
+      .orderBy(col("o_orderstatus"))
+  }
+}
