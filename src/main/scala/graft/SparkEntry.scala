@@ -28,7 +28,15 @@ object SparkEntry {
     "q9_rollup" -> (Relational.q9Rollup _),
     "q10_running_window" -> (Relational.q10RunningWindow _),
     "q11_anti_join" -> (Relational.q11AntiJoin _),
-    "q12_conditional_agg" -> (Relational.q12ConditionalAgg _)
+    "q12_conditional_agg" -> (Relational.q12ConditionalAgg _),
+    // B. spatial / accessibility
+    "geo_grid_assign" -> (Accessibility.gridAssign _),
+    "geo_bbox_filter" -> (Accessibility.bboxFilter _),
+    "geo_buffer_count" -> (Accessibility.bufferCount _),
+    "geo_nearest_poi" -> (Accessibility.nearestPoi _),
+    "geo_centroid" -> (Accessibility.centroid _),
+    "geo_accessibility" -> ((s, d) => Accessibility.accessibility(s, d)),
+    "geo_tile_assign" -> ((s, d) => Accessibility.tileAssign(s, d))
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (column names aliased to
@@ -130,6 +138,87 @@ object SparkEntry {
          sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS n_notspec,
          sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS n_low,
          round(sum(o_totalprice), 2) AS total_value
-         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // B. spatial — coordinate derivation mirrors GeoFunctions.latOf/lonOf
+    // op-for-op (integer modular arithmetic then /10.0) so Spark and DuckDB
+    // agree bitwise; distances use only +,-,*,/,sqrt (SURVEY.md §6).
+    "geo_grid_assign" ->
+      """WITH o AS (SELECT c_custkey, c_acctbal,
+           (c_custkey * 37 % 1700) / 10.0 - 85.0 AS lat,
+           (c_custkey * 91 % 3600) / 10.0 - 180.0 AS lon FROM customer)
+         SELECT CAST(floor((lon + 180.0) / 10.0) AS BIGINT) AS cell_x,
+           CAST(floor((lat + 90.0) / 10.0) AS BIGINT) AS cell_y,
+           count(*) AS n_origins, round(sum(c_acctbal), 2) AS pop
+         FROM o GROUP BY 1, 2 ORDER BY 1, 2""",
+    "geo_bbox_filter" ->
+      """WITH o AS (SELECT c_custkey,
+           (c_custkey * 37 % 1700) / 10.0 - 85.0 AS lat,
+           (c_custkey * 91 % 3600) / 10.0 - 180.0 AS lon FROM customer)
+         SELECT c_custkey, lat, lon FROM o
+         WHERE lat >= 0.0 AND lat < 40.0 AND lon >= -20.0 AND lon < 60.0
+         ORDER BY c_custkey""",
+    "geo_buffer_count" ->
+      """WITH o AS (SELECT c_custkey,
+           (c_custkey * 37 % 1700) / 10.0 - 85.0 AS lat,
+           (c_custkey * 91 % 3600) / 10.0 - 180.0 AS lon FROM customer),
+         p AS (SELECT s_suppkey,
+           (s_suppkey * 37 % 1700) / 10.0 - 85.0 AS plat,
+           (s_suppkey * 91 % 3600) / 10.0 - 180.0 AS plon FROM supplier)
+         SELECT c_custkey, count(s_suppkey) AS n_poi
+         FROM o LEFT JOIN p
+           ON sqrt((lat - plat) * (lat - plat) + (lon - plon) * (lon - plon)) <= 25.0
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "geo_nearest_poi" ->
+      """WITH o AS (SELECT c_custkey,
+           (c_custkey * 37 % 1700) / 10.0 - 85.0 AS lat,
+           (c_custkey * 91 % 3600) / 10.0 - 180.0 AS lon FROM customer),
+         p AS (SELECT s_suppkey % 4 AS poi_type,
+           (s_suppkey * 37 % 1700) / 10.0 - 85.0 AS plat,
+           (s_suppkey * 91 % 3600) / 10.0 - 180.0 AS plon FROM supplier)
+         SELECT c_custkey, poi_type,
+           round(min(CASE WHEN
+               sqrt((lat - plat) * (lat - plat) + (lon - plon) * (lon - plon)) <= 60.0
+             THEN sqrt((lat - plat) * (lat - plat) + (lon - plon) * (lon - plon))
+               * 111.0 / 120.0 * 3600.0 END)
+             + (c_custkey % 97) / 10.0 * 900.0, 2) AS eta_s
+         FROM o CROSS JOIN p
+         GROUP BY c_custkey, poi_type ORDER BY c_custkey, poi_type""",
+    "geo_centroid" ->
+      """WITH o AS (SELECT c_nationkey,
+           (c_custkey * 37 % 1700) / 10.0 - 85.0 AS lat,
+           (c_custkey * 91 % 3600) / 10.0 - 180.0 AS lon FROM customer)
+         SELECT c_nationkey, round(avg(lat), 4) AS ctr_lat,
+           round(avg(lon), 4) AS ctr_lon, count(*) AS n_origins
+         FROM o GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "geo_accessibility" ->
+      """WITH o AS (SELECT c_custkey, c_nationkey, c_acctbal,
+           (c_custkey * 37 % 1700) / 10.0 - 85.0 AS lat,
+           (c_custkey * 91 % 3600) / 10.0 - 180.0 AS lon FROM customer),
+         p0 AS (SELECT
+           (s_suppkey * 37 % 1700) / 10.0 - 85.0 AS plat,
+           (s_suppkey * 91 % 3600) / 10.0 - 180.0 AS plon
+           FROM supplier WHERE s_suppkey % 4 = 0),
+         per AS (SELECT c_custkey, c_nationkey, c_acctbal,
+           min(CASE WHEN
+               sqrt((lat - plat) * (lat - plat) + (lon - plon) * (lon - plon)) <= 60.0
+             THEN sqrt((lat - plat) * (lat - plat) + (lon - plon) * (lon - plon))
+               * 111.0 / 120.0 * 3600.0 END)
+             + (c_custkey % 97) / 10.0 * 900.0 AS eta_s
+           FROM o CROSS JOIN p0 GROUP BY c_custkey, c_nationkey, c_acctbal)
+         SELECT n_name, count(*) AS n_origins,
+           sum(CASE WHEN eta_s <= 50000.0 THEN 1 ELSE 0 END) AS n_covered,
+           round(sum(CASE WHEN eta_s <= 50000.0 THEN c_acctbal ELSE 0.0 END), 2)
+             AS covered_pop,
+           round(sum(c_acctbal), 2) AS total_pop
+         FROM per JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+    "geo_tile_assign" ->
+      """WITH o AS (SELECT c_acctbal,
+           (c_custkey * 37 % 1700) / 10.0 - 85.0 AS lat,
+           (c_custkey * 91 % 3600) / 10.0 - 180.0 AS lon FROM customer)
+         SELECT CAST(floor((lon + 180.0) / 360.0 * 16) AS BIGINT) AS tile_x,
+           CAST(floor((90.0 - lat) / 180.0 * 16) AS BIGINT) AS tile_y,
+           count(*) AS n_points, round(sum(c_acctbal), 2) AS pop
+         FROM o GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

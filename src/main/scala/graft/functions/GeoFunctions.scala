@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.SparkBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Static geo math callable from both interpreted eval and generated code. */
+object GeoMath {
+  final val EarthRadiusKm = 6371.0088
+  /** Great-circle distance in km (spherical haversine). */
+  def haversineKm(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+    val dLat = math.toRadians(lat2 - lat1)
+    val dLon = math.toRadians(lon2 - lon1)
+    val a = math.pow(math.sin(dLat / 2), 2) +
+      math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+        math.pow(math.sin(dLon / 2), 2)
+    2 * EarthRadiusKm * math.asin(math.min(1.0, math.sqrt(a)))
+  }
+}
+
+/** Native Catalyst expression for haversine distance — stays inside
+  * whole-stage codegen (single static call, no UDF serialization).
+  *
+  * Used by the real-coordinate API; oracle-checked queries use planar
+  * [[GeoFunctions.euclidDeg]] instead because libm (sin/cos/asin) is not
+  * bit-reproducible across engines (SURVEY.md §6).
+  */
+case class HaversineKm(first: Expression, second: Expression,
+                       third: Expression, fourth: Expression)
+  extends QuaternaryExpression {
+  // children are cast to double by the Column wrapper (AbstractDataType is
+  // private[sql] in Spark 4, so ExpectsInputTypes isn't implementable here)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "haversine_km"
+
+  override def nullSafeEval(lat1: Any, lon1: Any, lat2: Any, lon2: Any): Any =
+    GeoMath.haversineKm(lat1.asInstanceOf[Double], lon1.asInstanceOf[Double],
+      lat2.asInstanceOf[Double], lon2.asInstanceOf[Double])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.functions.GeoMath.haversineKm($a, $b, $c, $d)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
+/** Geo column functions. The RAM reference works on WGS84 points
+  * (villages/POIs) and 30 km square grids (ram-analysis/app/
+  * calculate-eta/index.js:62); here the grid/tile/distance algebra is
+  * expressed with codegen'd built-ins so Catalyst can push and prune
+  * around it.
+  */
+object GeoFunctions {
+  def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
+    SparkBridge.column(HaversineKm(
+      SparkBridge.expression(lat1.cast("double")),
+      SparkBridge.expression(lon1.cast("double")),
+      SparkBridge.expression(lat2.cast("double")),
+      SparkBridge.expression(lon2.cast("double"))))
+
+  /** Deterministic synthetic coordinates derived from an integer key
+    * (SURVEY.md §3) — integer-exact modular arithmetic so Spark and the
+    * DuckDB oracle agree bitwise. */
+  def latOf(key: Column): Column = (key * 37L % 1700L) / 10.0 - 85.0
+  def lonOf(key: Column): Column = (key * 91L % 3600L) / 10.0 - 180.0
+
+  /** Planar distance in degrees — +,-,*,sqrt only (IEEE-exact). */
+  def euclidDeg(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
+    sqrt((lat1 - lat2) * (lat1 - lat2) + (lon1 - lon2) * (lon1 - lon2))
+
+  /** Square-grid cell assignment (squareGrid analog): cell indices for a
+    * given cell edge in degrees. */
+  def cellX(lon: Column, cellDeg: Double): Column =
+    floor((lon + 180.0) / cellDeg).cast("long")
+  def cellY(lat: Column, cellDeg: Double): Column =
+    floor((lat + 90.0) / cellDeg).cast("long")
+
+  /** Slippy-tile assignment at zoom z (ram-vt tiling analog;
+    * equirectangular y so the math stays IEEE-exact). */
+  def tileX(lon: Column, z: Int): Column =
+    floor((lon + 180.0) / 360.0 * (1 << z)).cast("long")
+  def tileY(lat: Column, z: Int): Column =
+    floor((lit(90.0) - lat) / 180.0 * (1 << z)).cast("long")
+
+  /** Travel seconds to cover `distDeg` planar degrees at `speedKmh`,
+    * 111 km per degree (reference uses km/h speeds + seconds budgets,
+    * ram-analysis/app/calculate-eta/utils.js:48). */
+  def travelSeconds(distDeg: Column, speedKmh: Double): Column =
+    distDeg * 111.0 / speedKmh * 3600.0
+}

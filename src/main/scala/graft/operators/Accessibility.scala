@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GeoFunctions._
+
+/** The RAM accessibility analytics re-expressed Spark-first.
+  *
+  * The reference computes, per origin village, the travel time to the
+  * nearest POI of each type (OSRM table row-min, ram-analysis/app/
+  * calculate-eta/tasks.js:260-283), adds walk time to the nearest road
+  * (tasks.js:141-151), buckets work into 30 km grid squares
+  * (index.js:62), and rolls results up per admin area. Here origins :=
+  * customer, POIs := supplier (poi type = s_suppkey % 4), admin areas :=
+  * nation/region, with key-derived coordinates (SURVEY.md §3).
+  *
+  * Scale posture: POIs are dimension-sized (as in the reference, which
+  * ships the whole POI set to every worker) so every join below is a
+  * broadcast — the origins side is never shuffled before its partial
+  * aggregation; grid/tile assignment is pure map-side arithmetic.
+  */
+object Accessibility {
+  val MaxSpeedKmh = 120.0  // reference maxSpeed (app/index.js:79)
+  val MaxReachDeg = 60.0   // maxTime analog: search cap (tasks.js:59)
+  val RadiusDeg = 25.0     // poisInBuffer radius analog
+  val WalkSecPerKm = 900.0 // 4 km/h WALKSPEED (tasks.js:141)
+
+  private def origins(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .withColumn("lat", latOf(col("c_custkey")))
+      .withColumn("lon", lonOf(col("c_custkey")))
+
+  private def pois(spark: SparkSession, dir: String): DataFrame =
+    Tables.supplier(spark, dir)
+      .withColumn("lat", latOf(col("s_suppkey")))
+      .withColumn("lon", lonOf(col("s_suppkey")))
+      .withColumn("poi_type", col("s_suppkey") % 4)
+
+  /** Square-grid cell assignment + per-cell stats (squareGrid analog). */
+  def gridAssign(spark: SparkSession, dir: String): DataFrame =
+    origins(spark, dir)
+      .withColumn("cell_x", cellX(col("lon"), 10.0))
+      .withColumn("cell_y", cellY(col("lat"), 10.0))
+      .groupBy(col("cell_x"), col("cell_y"))
+      .agg(count(lit(1)).as("n_origins"),
+        round(sum(col("c_acctbal")), 2).as("pop"))
+      .orderBy(col("cell_x"), col("cell_y"))
+
+  /** Point-in-bbox selection (turf `within` analog). */
+  def bboxFilter(spark: SparkSession, dir: String): DataFrame =
+    origins(spark, dir)
+      .filter(col("lat") >= 0.0 && col("lat") < 40.0 &&
+        col("lon") >= -20.0 && col("lon") < 60.0)
+      .select(col("c_custkey"), col("lat"), col("lon"))
+      .orderBy(col("c_custkey"))
+
+  /** POIs within radius R of each origin (poisInBuffer analog) via the
+    * grid-bucketed radius join — exactly `dist <= R` without a cartesian
+    * product. */
+  def bufferCount(spark: SparkSession, dir: String): DataFrame = {
+    val o = origins(spark, dir).select(col("c_custkey"), col("lat"), col("lon"))
+    val p = pois(spark, dir).select(col("s_suppkey"), col("lat"), col("lon"))
+    GeoJoins.radiusJoin(o, p, RadiusDeg, broadcastRight = true, joinType = "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("s_suppkey")).as("n_poi"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Flagship ETA: per origin x POI type, travel time to the nearest
+    * reachable POI plus walk time to the road network; null when nothing
+    * is within the search cap (OSRM row-min + walk adjust + Infinity
+    * semantics, tasks.js:133-151,279). Conditional min over a broadcast
+    * POI cross keeps every (origin, type) pair present, mirroring the
+    * reference's per-type output. */
+  def nearestPoi(spark: SparkSession, dir: String): DataFrame = {
+    val o = origins(spark, dir).select(col("c_custkey"), col("lat"), col("lon"))
+    val p = pois(spark, dir)
+      .select(col("s_suppkey"), col("poi_type"),
+        col("lat").as("plat"), col("lon").as("plon"))
+    val dist = euclidDeg(col("lat"), col("lon"), col("plat"), col("plon"))
+    val walkSec = (col("c_custkey") % 97) / 10.0 * WalkSecPerKm
+    o.join(broadcast(p))
+      .groupBy(col("c_custkey"), col("poi_type"))
+      .agg(min(when(dist <= MaxReachDeg, travelSeconds(dist, MaxSpeedKmh)))
+        .as("_min_t"))
+      .select(col("c_custkey"), col("poi_type"),
+        round(col("_min_t") + walkSec, 2).as("eta_s"))
+      .orderBy(col("c_custkey"), col("poi_type"))
+  }
+
+  /** Per-group centroid (turf centerOfMass analog). */
+  def centroid(spark: SparkSession, dir: String): DataFrame =
+    origins(spark, dir)
+      .groupBy(col("c_nationkey"))
+      .agg(round(avg(col("lat")), 4).as("ctr_lat"),
+        round(avg(col("lon")), 4).as("ctr_lon"),
+        count(lit(1)).as("n_origins"))
+      .orderBy(col("c_nationkey"))
+
+  /** Headline RAM stat: per admin area, how much population can reach a
+    * type-0 POI within the time budget (app/index.js results rollup). */
+  def accessibility(spark: SparkSession, dir: String,
+                    budgetSec: Double = 50000.0): DataFrame = {
+    val o = origins(spark, dir)
+    val p0 = pois(spark, dir).filter(col("poi_type") === 0)
+      .select(col("lat").as("plat"), col("lon").as("plon"))
+    val dist = euclidDeg(col("lat"), col("lon"), col("plat"), col("plon"))
+    val walkSec = (col("c_custkey") % 97) / 10.0 * WalkSecPerKm
+    val perOrigin = o.join(broadcast(p0))
+      .groupBy(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .agg(min(when(dist <= MaxReachDeg, travelSeconds(dist, MaxSpeedKmh)))
+        .as("_min_t"))
+      .withColumn("eta_s", col("_min_t") + walkSec)
+    val n = Tables.nation(spark, dir)
+    perOrigin.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_origins"),
+        sum(when(col("eta_s") <= budgetSec, 1L).otherwise(0L)).as("n_covered"),
+        round(sum(when(col("eta_s") <= budgetSec, col("c_acctbal"))
+          .otherwise(0.0)), 2).as("covered_pop"),
+        round(sum(col("c_acctbal")), 2).as("total_pop"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Slippy-tile assignment + per-tile stats (ram-vt tiling analog). */
+  def tileAssign(spark: SparkSession, dir: String, zoom: Int = 4): DataFrame =
+    origins(spark, dir)
+      .withColumn("tile_x", tileX(col("lon"), zoom))
+      .withColumn("tile_y", tileY(col("lat"), zoom))
+      .groupBy(col("tile_x"), col("tile_y"))
+      .agg(count(lit(1)).as("n_points"),
+        round(sum(col("c_acctbal")), 2).as("pop"))
+      .orderBy(col("tile_x"), col("tile_y"))
+}

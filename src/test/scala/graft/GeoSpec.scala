@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{GeoFunctions, GeoMath}
+import graft.operators.{Accessibility, GeoJoins}
+
+class GeoSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("haversine expression matches known distance (Paris-London)") {
+    // 48.8566,2.3522 -> 51.5074,-0.1278 is ~343.6 km
+    val d = spark.range(1)
+      .select(GeoFunctions.haversine_km(
+        lit(48.8566), lit(2.3522), lit(51.5074), lit(-0.1278)).as("d"))
+      .head().getDouble(0)
+    assert(math.abs(d - 343.6) < 1.0, s"got $d")
+    assert(GeoMath.haversineKm(0, 0, 0, 0) == 0.0)
+  }
+
+  test("haversine survives codegen over a column path") {
+    val df = spark.range(100).select(
+      GeoFunctions.haversine_km(
+        GeoFunctions.latOf(col("id")), GeoFunctions.lonOf(col("id")),
+        lit(0.0), lit(0.0)).as("d"))
+    val rows = df.collect()
+    assert(rows.length == 100 && rows.forall(r => !r.isNullAt(0) && r.getDouble(0) >= 0))
+  }
+
+  test("derived coordinates stay in WGS84 bounds") {
+    val r = Accessibility // touch to load
+    val df = spark.range(10000).select(
+      GeoFunctions.latOf(col("id")).as("lat"), GeoFunctions.lonOf(col("id")).as("lon"))
+      .agg(min("lat"), max("lat"), min("lon"), max("lon")).head()
+    assert(df.getDouble(0) >= -90 && df.getDouble(1) < 90)
+    assert(df.getDouble(2) >= -180 && df.getDouble(3) < 180)
+  }
+
+  test("radiusJoin equals brute-force distance filter") {
+    val left = spark.range(300).select(col("id"),
+      GeoFunctions.latOf(col("id")).as("lat"), GeoFunctions.lonOf(col("id")).as("lon"))
+    val right = spark.range(50).select((col("id") * 7).as("rid"),
+      GeoFunctions.latOf(col("id") * 7).as("lat"), GeoFunctions.lonOf(col("id") * 7).as("lon"))
+    val r = 15.0
+    val viaGrid = GeoJoins.radiusJoin(left, right, r)
+      .select(col("id"), col("rid")).collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val brute = left.crossJoin(right.select(col("rid"),
+        col("lat").as("rlat"), col("lon").as("rlon")))
+      .filter(GeoFunctions.euclidDeg(col("lat"), col("lon"), col("rlat"), col("rlon")) <= r)
+      .select(col("id"), col("rid")).collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(viaGrid == brute, s"grid=${viaGrid.size} brute=${brute.size}")
+  }
+
+  test("radiusJoin left_outer keeps unmatched lefts with null right") {
+    val left = spark.range(20).select(col("id"),
+      lit(0.0).as("lat"), (col("id") * 50.0).as("lon")) // most far from right
+    val right = spark.range(1).select(col("id").as("rid"),
+      lit(0.0).as("lat"), lit(0.0).as("lon"))
+    val out = GeoJoins.radiusJoin(left, right, 5.0, joinType = "left_outer")
+    assert(out.count() == 20)
+    assert(out.filter(col("rid").isNull).count() == 19)
+  }
+
+  test("nearest POI eta is null only when nothing within reach, never negative") {
+    val rows = Accessibility.nearestPoi(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.filter(!_.isNullAt(2)).foreach(r => assert(r.getDouble(2) >= 0))
+    // every origin appears with all 4 poi types (cross semantics)
+    val perOrigin = rows.groupBy(_.getLong(0)).values
+    assert(perOrigin.forall(_.length == 4))
+  }
+
+  test("accessibility covered <= total") {
+    Accessibility.accessibility(spark, sf).collect().foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1)) // n_covered <= n_origins
+      assert(r.getDouble(3) <= r.getDouble(4) + 0.01) // covered_pop <= total_pop
+    }
+  }
+
+  test("tile assignment is within zoom bounds") {
+    Accessibility.tileAssign(spark, sf, zoom = 4).collect().foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) < 16)
+      assert(r.getLong(1) >= 0 && r.getLong(1) < 16)
+    }
+  }
+}
