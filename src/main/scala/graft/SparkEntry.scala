@@ -36,7 +36,18 @@ object SparkEntry {
     "geo_nearest_poi" -> (Accessibility.nearestPoi _),
     "geo_centroid" -> (Accessibility.centroid _),
     "geo_accessibility" -> ((s, d) => Accessibility.accessibility(s, d)),
-    "geo_tile_assign" -> ((s, d) => Accessibility.tileAssign(s, d))
+    "geo_tile_assign" -> ((s, d) => Accessibility.tileAssign(s, d)),
+    // C. deduplication
+    "dedup_exact" -> (Dedup.exact _),
+    "dedup_exact_survivors" -> (Dedup.exactSurvivors _),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashCandidates(s, d)),
+    "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    // E. text analysis
+    "text_quality" -> (TextAnalysis.quality _),
+    "text_langid" -> (TextAnalysis.langid _),
+    "text_tokens" -> (TextAnalysis.tokens _),
+    "text_fingerprint" -> (TextAnalysis.fingerprint _)
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (column names aliased to
@@ -219,6 +230,67 @@ object SparkEntry {
          SELECT CAST(floor((lon + 180.0) / 360.0 * 16) AS BIGINT) AS tile_x,
            CAST(floor((90.0 - lat) / 180.0 * 16) AS BIGINT) AS tile_y,
            count(*) AS n_points, round(sum(c_acctbal), 2) AS pop
-         FROM o GROUP BY 1, 2 ORDER BY 1, 2"""
+         FROM o GROUP BY 1, 2 ORDER BY 1, 2""",
+    // C. dedup (md5 is the one hash Spark and DuckDB share; LSH/simhash
+    // variants are rows-only by design)
+    "dedup_exact" ->
+      """SELECT md5(text) AS h, count(*) AS n_dups, min(doc_id) AS survivor
+         FROM documents GROUP BY md5(text) ORDER BY survivor""",
+    "dedup_exact_survivors" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+           SELECT doc_id, lang, source, n_chars,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           FROM documents) t
+         WHERE rn = 1 ORDER BY doc_id""",
+    // E. text analysis — expressions mirror the Spark plans op-for-op
+    // (int/int division is double in both engines)
+    "text_quality" ->
+      """SELECT doc_id, length(text) AS n_len,
+           len(string_split(text, ' ')) AS n_words,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct,
+           round(len(list_distinct(string_split(text, ' ')))
+             / len(string_split(text, ' ')), 4) AS ttr,
+           round(len(list_filter(string_split(text, ' '),
+               x -> x IN ('the', 'a')))
+             / len(string_split(text, ' ')), 4) AS stop_ratio,
+           round(len(list_distinct(string_split(text, ' ')))
+               / len(string_split(text, ' ')) * 0.3
+             + (1.0 - len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the', 'a'))) / len(string_split(text, ' '))) * 0.3
+             + least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.4, 4)
+             AS score
+         FROM documents ORDER BY doc_id""",
+    "text_langid" ->
+      """WITH h AS (SELECT doc_id,
+           len(list_filter(string_split(text, ' '),
+             x -> x IN ('the', 'a', 'value', 'row', 'key'))) AS en_hits,
+           len(list_filter(string_split(text, ' '),
+             x -> x IN ('data', 'table', 'fast', 'line'))) AS es_hits,
+           len(list_filter(string_split(text, ' '),
+             x -> x IN ('query', 'order', 'merge', 'group'))) AS fr_hits,
+           len(list_filter(string_split(text, ' '),
+             x -> x IN ('window', 'batch', 'stream', 'sort'))) AS de_hits,
+           len(list_filter(string_split(text, ' '),
+             x -> x IN ('spark', 'hash', 'join', 'scan'))) AS zh_hits
+           FROM documents)
+         SELECT doc_id, en_hits, es_hits, fr_hits, de_hits, zh_hits,
+           CASE
+             WHEN en_hits >= es_hits AND en_hits >= fr_hits
+               AND en_hits >= de_hits AND en_hits >= zh_hits THEN 'en'
+             WHEN es_hits >= fr_hits AND es_hits >= de_hits
+               AND es_hits >= zh_hits THEN 'es'
+             WHEN fr_hits >= de_hits AND fr_hits >= zh_hits THEN 'fr'
+             WHEN de_hits >= zh_hits THEN 'de'
+             ELSE 'zh' END AS pred_lang
+         FROM h ORDER BY doc_id""",
+    "text_tokens" ->
+      """SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+             AS re_tokens,
+           list_max(list_transform(string_split(text, ' '), x -> length(x)))
+             AS max_token_len,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct
+         FROM documents ORDER BY doc_id"""
   )
 }

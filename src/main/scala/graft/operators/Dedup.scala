@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Document deduplication, exact and near-dup, over the `documents` table.
+  *
+  * Scale posture: every variant shuffles only compact keys — md5 strings
+  * (exact), (band, bucket-hash) pairs (MinHash LSH), (block, 16-bit value)
+  * pairs (SimHash) — never document text. Signatures are computed map-side
+  * in one pass by native codegen expressions
+  * ([[graft.functions.MinHashSignature]], [[graft.functions.SimHash64]]);
+  * the LSH pair join is an equi-join Catalyst can plan as a shuffled hash
+  * join, with a bucket-size cap so one degenerate bucket (e.g. the empty
+  * document) cannot produce a quadratic pair blow-up.
+  */
+object Dedup {
+  val ShingleSize = 3
+
+  /** documents + whitespace tokens + word n-gram shingles. */
+  def docsWithShingles(spark: SparkSession, dir: String,
+                       n: Int = ShingleSize): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .withColumn("tokens", split(col("text"), " "))
+      .filter(size(col("tokens")) >= n)
+    toks.withColumn("shingles",
+      transform(sequence(lit(0), size(col("tokens")) - n),
+        i => concat_ws(" ",
+          element_at(col("tokens"), i + 1),
+          element_at(col("tokens"), i + 2),
+          element_at(col("tokens"), i + 3))))
+  }
+
+  /** Exact-dup clusters: md5(text) -> count + keep-min survivor. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("survivor"))
+      .orderBy(col("survivor"))
+
+  /** The deduplicated table: lowest doc_id per exact-hash cluster. */
+  def exactSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** MinHash-LSH candidate pairs: k-hash signature, banded into
+    * (k/bands)-row buckets; docs sharing any band bucket become a pair.
+    * maxBucket caps pathological buckets before the self-join. */
+  def minhashCandidates(spark: SparkSession, dir: String, k: Int = 64,
+                        bands: Int = 16, maxBucket: Long = 100): DataFrame = {
+    require(k % bands == 0)
+    val r = k / bands
+    val sigs = docsWithShingles(spark, dir)
+      .select(col("doc_id"), TextFunctions.minhash_signature(col("shingles"), k).as("sig"))
+    val banded = sigs.select(col("doc_id"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(lit(b), slice(col("sig"), b * r + 1, r))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val ok = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1 && col("_n") <= maxBucket)
+      .select(col("band"), col("bucket"))
+    val pruned = banded.join(ok, Seq("band", "bucket"))
+    val a = pruned.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val b = pruned.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Exact n-gram Jaccard similarity, evaluated only on LSH candidates
+    * (the verify step of the classic LSH pipeline). */
+  def ngramJaccard(spark: SparkSession, dir: String,
+                   tau: Double = 0.8): DataFrame = {
+    val sets = docsWithShingles(spark, dir)
+      .select(col("doc_id"), array_distinct(col("shingles")).as("sh"))
+    val cands = minhashCandidates(spark, dir)
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))) /
+          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxHamming. The
+    * 64-bit simhash is split into maxHamming+1 blocks; by pigeonhole any
+    * pair within the distance shares at least one block, so the candidate
+    * generation is an equi-join on (block, value). */
+  def simhashPairs(spark: SparkSession, dir: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val nBlocks = maxHamming + 1
+    val bits = 64 / nBlocks
+    val mask = (1L << bits) - 1
+    val d = docsWithShingles(spark, dir)
+      .select(col("doc_id"), TextFunctions.simhash64(col("shingles")).as("sim"))
+    val blocks = d.select(col("doc_id"), col("sim"),
+        posexplode(array((0 until nBlocks).map(j =>
+          shiftrightunsigned(col("sim"), j * bits).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "blk").withColumnRenamed("col", "blkval")
+    val a = blocks.select(col("blk"), col("blkval"),
+      col("doc_id").as("doc_a"), col("sim").as("sim_a"))
+    val b = blocks.select(col("blk"), col("blkval"),
+      col("doc_id").as("doc_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("blk", "blkval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming")).distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

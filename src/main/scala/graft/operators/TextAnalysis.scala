@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Text-analysis features over the `documents` table: quality scoring,
+  * language-ID, token counting, fingerprinting — the standard pre-training
+  * corpus filters, expressed entirely with codegen'd built-ins (split /
+  * higher-order filter / regexp) so they fuse into one WholeStageCodegen
+  * pass over the scan; no UDFs, no shuffle (all per-row until the final
+  * ORDER BY for oracle determinism).
+  */
+object TextAnalysis {
+
+  /** Per-language marker-token lists for the langid heuristic. The corpus
+    * is a synthetic 31-word vocabulary, so these are disjoint marker sets
+    * in that vocabulary standing in for real stopword tables. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "value", "row", "key"),
+    "es" -> Seq("data", "table", "fast", "line"),
+    "fr" -> Seq("query", "order", "merge", "group"),
+    "de" -> Seq("window", "batch", "stream", "sort"),
+    "zh" -> Seq("spark", "hash", "join", "scan"))
+
+  private def toks: Column = split(col("text"), " ")
+
+  private def hits(markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers: _*)))
+
+  /** Length / vocabulary-richness / stopword-density quality features and
+    * a composite score (the reference-free quality filters of a training
+    * data pipeline). */
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_len", length(col("text")))
+      .withColumn("n_words", size(toks))
+      .withColumn("n_distinct", size(array_distinct(toks)))
+      .withColumn("ttr", round(col("n_distinct") / col("n_words"), 4))
+      .withColumn("stop_ratio",
+        round(hits(Seq("the", "a")) / col("n_words"), 4))
+      .withColumn("score", round(
+        col("n_distinct") / col("n_words") * 0.3
+          + (lit(1.0) - hits(Seq("the", "a")) / col("n_words")) * 0.3
+          + least(col("n_words") / 100.0, lit(1.0)) * 0.4, 4))
+      .select(col("doc_id"), col("n_len"), col("n_words"), col("n_distinct"),
+        col("ttr"), col("stop_ratio"), col("score"))
+      .orderBy(col("doc_id"))
+
+  /** Marker-hit language ID: argmax of per-language marker counts with a
+    * fixed priority order on ties. */
+  def langid(spark: SparkSession, dir: String): DataFrame = {
+    val withHits = LangMarkers.foldLeft(Tables.documents(spark, dir)) {
+      case (df, (lang, markers)) => df.withColumn(s"${lang}_hits", hits(markers))
+    }
+    val langs = LangMarkers.map(_._1)
+    // tie-break: earlier language wins (en > es > fr > de > zh)
+    val pred = langs.zipWithIndex.foldRight(lit(langs.last): Column) {
+      case ((lang, i), elseCol) =>
+        if (i == langs.length - 1) elseCol
+        else when(langs.drop(i + 1).map(l =>
+          col(s"${lang}_hits") >= col(s"${l}_hits")).reduce(_ && _), lang)
+          .otherwise(elseCol)
+    }
+    withHits
+      .select(col("doc_id") +: langs.map(l => col(s"${l}_hits")) :+
+        pred.as("pred_lang"): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Whitespace vs BPE-ish regex tokenization counts. */
+  def tokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("ws_tokens", size(toks))
+      .withColumn("re_tokens",
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))))
+      .withColumn("max_token_len", array_max(transform(toks, t => length(t))))
+      .withColumn("n_distinct", size(array_distinct(toks)))
+      .select(col("doc_id"), col("ws_tokens"), col("re_tokens"),
+        col("max_token_len"), col("n_distinct"))
+      .orderBy(col("doc_id"))
+
+  /** Winnowing fingerprint per document (rows-only: hash sets have no
+    * portable SQL equivalent). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextFunctions.winnow_fingerprint(col("text")).as("fp"))
+      .select(col("doc_id"), size(col("fp")).as("n_fp"), col("fp"))
+      .orderBy(col("doc_id"))
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{TextFunctions, TextHash}
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.unsafe.types.UTF8String
+
+class TextDedupSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("hash64 is deterministic and spread") {
+    val a = TextHash.hash64(UTF8String.fromString("spark"))
+    val b = TextHash.hash64(UTF8String.fromString("spark"))
+    val c = TextHash.hash64(UTF8String.fromString("sparl"))
+    assert(a == b && a != c)
+  }
+
+  test("minhash signature approximates jaccard on crafted docs") {
+    import spark.implicits._
+    val d1 = (1 to 100).map(i => s"tok$i")
+    val d2 = (1 to 80).map(i => s"tok$i") ++ (101 to 120).map(i => s"tok$i") // J = 0.8/1.2 = 0.667
+    val df = Seq((1, d1), (2, d2)).toDF("id", "sh")
+      .select(col("id"), TextFunctions.minhash_signature(col("sh"), 256).as("sig"))
+    val Array(s1, s2) = df.orderBy("id").collect().map(_.getSeq[Long](1))
+    val agree = s1.zip(s2).count { case (x, y) => x == y } / 256.0
+    assert(math.abs(agree - 0.667) < 0.12, s"minhash agreement $agree vs jaccard 0.667")
+  }
+
+  test("simhash of identical docs is identical; near docs are close") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i")
+    val near = (1 to 58).map(i => s"w$i") ++ Seq("x1", "x2")
+    val far = (1 to 60).map(i => s"z$i")
+    val df = Seq((1, base), (2, base), (3, near), (4, far)).toDF("id", "sh")
+      .select(col("id"), TextFunctions.simhash64(col("sh")).as("s"))
+    val m = df.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(m(1) == m(2))
+    assert(java.lang.Long.bitCount(m(1) ^ m(3)) < 16)
+    assert(java.lang.Long.bitCount(m(1) ^ m(4)) > 16)
+  }
+
+  test("minhash LSH finds the planted near-duplicate pairs") {
+    // sf0.01 has pairs with shingle-jaccard >= 0.97 (e.g. 70-447, 98-290)
+    val pairs = Dedup.minhashCandidates(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((70L, 447L)) && pairs.contains((98L, 290L)),
+      s"expected planted near-dups among ${pairs.size} candidates")
+  }
+
+  test("ngram jaccard verifies candidates with high similarity") {
+    val rows = Dedup.ngramJaccard(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(2) >= 0.8 && r.getDouble(2) <= 1.0))
+  }
+
+  test("simhash blocked join equals brute-force hamming filter") {
+    val got = Dedup.simhashPairs(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sims = Dedup.docsWithShingles(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), TextFunctions.simhash64(col("shingles")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (i, si) <- sims; (j, sj) <- sims if i < j
+      if java.lang.Long.bitCount(si ^ sj) <= 3
+    } yield (i, j)).toSet
+    assert(got == brute, s"got ${got.size} brute ${brute.size}")
+  }
+
+  test("exact survivors has no duplicate texts and keeps min doc_id") {
+    val surv = Dedup.exactSurvivors(spark, sf)
+    val n = surv.count()
+    assert(n > 0 && n <= operators.Dedup.docsWithShingles(spark, sf).count() +
+      100) // survivors <= total docs
+    assert(surv.select("doc_id").distinct().count() == n)
+  }
+
+  test("winnow fingerprint overlaps heavily for near-identical text") {
+    import spark.implicits._
+    val t1 = ("abcdefgh" * 20)
+    val t2 = t1.substring(0, 150) + "XYZDIFF"
+    val df = Seq((1, t1), (2, t2), (3, "completely different content here"))
+      .toDF("id", "text")
+      .select(col("id"), TextFunctions.winnow_fingerprint(col("text")).as("fp"))
+    val m = df.collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toSet).toMap
+    val overlap12 = m(1).intersect(m(2)).size.toDouble / m(1).union(m(2)).size
+    val overlap13 = m(1).intersect(m(3)).size.toDouble / m(1).union(m(3)).size
+    assert(overlap12 > 0.4 && overlap13 == 0.0, s"$overlap12 $overlap13")
+  }
+
+  test("langid prediction is consistent with hit counts") {
+    val rows = TextAnalysis.langid(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val hits = (1 to 5).map(r.getInt)
+      val pred = r.getString(6)
+      val langs = Seq("en", "es", "fr", "de", "zh")
+      assert(hits(langs.indexOf(pred)) == hits.max)
+    }
+  }
+
+  test("quality score is bounded") {
+    TextAnalysis.quality(spark, sf).collect().foreach { r =>
+      val score = r.getDouble(6)
+      assert(score >= 0.0 && score <= 1.0, s"score $score out of range")
+    }
+  }
+}
