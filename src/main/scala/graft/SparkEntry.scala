@@ -43,6 +43,10 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashCandidates(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    // D. similarity search
+    "ann_brute_topk" -> ((s, d) => Similarity.bruteTopK(s, d)),
+    "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "emb_neardup" -> ((s, d) => Similarity.nearDup(s, d)),
     // E. text analysis
     "text_quality" -> (TextAnalysis.quality _),
     "text_langid" -> (TextAnalysis.langid _),
@@ -242,6 +246,28 @@ object SparkEntry {
              row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
            FROM documents) t
          WHERE rn = 1 ORDER BY doc_id""",
+    // D. similarity — DuckDB list_cosine_similarity on DOUBLE[] is
+    // bit-identical to graft's CosineSimilarity kernel (same op sequence)
+    "ann_brute_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+           FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings)
+         SELECT qid, rk, cid, cos_sim FROM (
+           SELECT qid, cid,
+             round(list_cosine_similarity(qe, ce), 4) AS cos_sim,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY list_cosine_similarity(qe, ce) DESC, cid) AS rk
+           FROM q, c WHERE cid <> qid) t
+         WHERE rk <= 5 ORDER BY qid, rk""",
+    "emb_neardup" ->
+      """SELECT a.vec_id AS va, b.vec_id AS vb,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+             b.embedding::DOUBLE[]), 4) AS cos_sim
+         FROM embeddings a JOIN embeddings b
+           ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+           b.embedding::DOUBLE[]) >= 0.35
+         ORDER BY va, vb""",
     // E. text analysis — expressions mirror the Spark plans op-for-op
     // (int/int division is double in both engines)
     "text_quality" ->

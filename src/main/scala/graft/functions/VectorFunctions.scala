@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.SparkBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Static vector kernels. Accumulation is sequential in index order and
+  * entirely in double, with cosine = dot / (sqrt(na) * sqrt(nb)) — the
+  * exact op sequence DuckDB's list_cosine_similarity uses on DOUBLE[],
+  * so oracle comparisons are bit-identical (verified empirically).
+  */
+object VectorMath {
+  def cosF(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toFloatArray(); val y = b.toFloatArray()
+    val n = math.min(x.length, y.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x(i).toDouble; val yi = y(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def cosD(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toDoubleArray(); val y = b.toDoubleArray()
+    val n = math.min(x.length, y.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) { dot += x(i) * y(i); na += x(i) * x(i); nb += y(i) * y(i); i += 1 }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toFloatArray(); val y = b.toFloatArray()
+    val n = math.min(x.length, y.length)
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += x(i).toDouble * y(i).toDouble; i += 1 }
+    dot
+  }
+}
+
+/** `cosine_sim(a, b)` -> double; a/b are array<float> or array<double>.
+  * Native codegen expression: one tight loop per row, no per-element
+  * boxing (vs functions.aggregate/zip_with which allocate intermediate
+  * arrays and box every element).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+  extends BinaryExpression {
+  private def isFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private def kernel: String = if (isFloat) "cosF" else "cosD"
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_sim"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    if (isFloat) VectorMath.cosF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else VectorMath.cosD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorMath.$kernel($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object VectorFunctions {
+  def cosine_sim(a: Column, b: Column): Column =
+    SparkBridge.column(CosineSimilarity(
+      SparkBridge.expression(a), SparkBridge.expression(b)))
+}

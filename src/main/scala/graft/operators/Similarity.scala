@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions.cosine_sim
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Scale posture: the query set is always the small side and is broadcast;
+  * cosine is a native codegen expression. Brute force is the exact
+  * baseline (candidates never shuffled before scoring — only the scored
+  * (qid, cid, cos) triples move, and only for the window top-k). The IVF
+  * variant is the 100 TB path: vectors are assigned to coarse cells
+  * map-side against broadcast centroids, and each query probes only
+  * nProbe cells, so the scored set shrinks by ~nCells/nProbe.
+  */
+object Similarity {
+  val K = 5
+  val NQueries = 10
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+
+  /** Exact cosine top-k per query vector (queries := vec_id < nQueries). */
+  def bruteTopK(spark: SparkSession, dir: String, k: Int = K,
+                nQueries: Int = NQueries): DataFrame = {
+    val q = emb(spark, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = emb(spark, dir)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val scored = c.join(broadcast(q)).filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), cosine_sim(col("qe"), col("ce")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("cid"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** IVF approximate top-k: deterministic seed centroids (the first
+    * nCells vectors), map-side nearest-cell assignment, probe the nProbe
+    * closest cells per query. With nProbe == nCells this is exact and
+    * equals [[bruteTopK]] (spec-checked). */
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = K,
+              nQueries: Int = NQueries, nCells: Int = 16,
+              nProbe: Int = 4): DataFrame = {
+    val e = emb(spark, dir)
+    val seeds = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("se"))
+    // map-side cell assignment: argmax cos against broadcast seeds
+    val aw = Window.partitionBy(col("vec_id")).orderBy(col("_c").desc, col("cell"))
+    val assigned = e.join(broadcast(seeds))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        cosine_sim(col("embedding"), col("se")).as("_c"))
+      .withColumn("_rn", row_number().over(aw)).filter(col("_rn") === 1)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("cell"))
+    // probe set: nProbe nearest cells per query
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val pw = Window.partitionBy(col("qid")).orderBy(col("_c").desc, col("cell"))
+    val probes = q.join(broadcast(seeds))
+      .select(col("qid"), col("qe"), col("cell"),
+        cosine_sim(col("qe"), col("se")).as("_c"))
+      .withColumn("_rn", row_number().over(pw)).filter(col("_rn") <= nProbe)
+      .select(col("qid"), col("qe"), col("cell"))
+    // score only candidates in probed cells
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), cosine_sim(col("qe"), col("ce")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("cid"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** Cosine near-duplicate pairs, blocked on the `label` metadata column
+    * (an equi-join key, so the pair generation shuffles by label instead
+    * of going quadratic over the corpus). */
+  def nearDup(spark: SparkSession, dir: String, tau: Double = 0.35): DataFrame = {
+    val a = emb(spark, dir)
+      .select(col("label"), col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = emb(spark, dir)
+      .select(col("label"), col("vec_id").as("vb"), col("embedding").as("eb"))
+    a.join(b, Seq("label")).filter(col("va") < col("vb"))
+      .withColumn("cos", cosine_sim(col("ea"), col("eb")))
+      .filter(col("cos") >= tau)
+      .select(col("va"), col("vb"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("va"), col("vb"))
+  }
+}

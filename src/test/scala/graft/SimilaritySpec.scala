@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorFunctions.cosine_sim
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  import TestSession._
+
+  test("cosine_sim matches hand computation on floats") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f)))
+      .toDF("a", "b").select(cosine_sim(col("a"), col("b")).as("c"))
+    val got = df.head().getDouble(0)
+    val expect = 10.0 / (math.sqrt(14.0) * math.sqrt(14.0))
+    assert(math.abs(got - expect) < 1e-12, s"$got vs $expect")
+  }
+
+  test("cosine_sim of a vector with itself is 1") {
+    val one = Similarity.bruteTopK(spark, sf, k = 1, nQueries = 3)
+    one.collect().foreach(r => assert(r.getDouble(3) < 1.0)) // self excluded
+  }
+
+  test("brute topk returns k rows per query with descending scores") {
+    val rows = Similarity.bruteTopK(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    byQ.values.foreach { rs =>
+      assert(rs.length == 5)
+      val scores = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("IVF probing all cells equals brute force exactly") {
+    val brute = Similarity.bruteTopK(spark, sf).collect().map(_.toSeq)
+    val ivfAll = Similarity.ivfTopK(spark, sf, nCells = 16, nProbe = 16)
+      .collect().map(_.toSeq)
+    assert(brute.sameElements(ivfAll))
+  }
+
+  test("IVF with partial probing returns subset-quality results") {
+    val rows = Similarity.ivfTopK(spark, sf, nProbe = 4).collect()
+    assert(rows.nonEmpty)
+    // every query still gets results, ranked correctly
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      val rks = rs.map(_.getInt(1)).sorted
+      assert(rks.sameElements(1 to rks.length))
+    }
+  }
+
+  test("near-dup pairs are above threshold and ordered") {
+    val rows = Similarity.nearDup(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.35)
+    }
+  }
+}
