@@ -51,7 +51,14 @@ object SparkEntry {
     "text_quality" -> (TextAnalysis.quality _),
     "text_langid" -> (TextAnalysis.langid _),
     "text_tokens" -> (TextAnalysis.tokens _),
-    "text_fingerprint" -> (TextAnalysis.fingerprint _)
+    "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    // F. multimodal plumbing
+    "mm_features" -> (Multimodal.features _),
+    // G. streaming (batch-equivalent plans; streaming entry points share
+    // the same transform functions, spec-checked via MemoryStream)
+    "stream_window_agg" -> (graft.streaming.EventStreams.windowAggBatch _),
+    "stream_sessionize" -> (graft.streaming.EventStreams.sessionizeBatch _),
+    "stream_dedup" -> (graft.streaming.EventStreams.dedupBatch _)
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (column names aliased to
@@ -317,6 +324,33 @@ object SparkEntry {
            list_max(list_transform(string_split(text, ' '), x -> length(x)))
              AS max_token_len,
            len(list_distinct(string_split(text, ' '))) AS n_distinct
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    // G. streaming batch-equivalents. Session semantics: a gap of exactly
+    // the window closes the session (Spark session ranges are [start,
+    // last+gap) exclusive), hence >= in the lag comparison.
+    "stream_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "stream_sessionize" ->
+      """WITH x AS (SELECT user_id, ts, event_id, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+             OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+             THEN 1 ELSE 0 END AS ns
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         y AS (SELECT user_id, ts, value,
+           sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+         SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM y GROUP BY user_id, sid ORDER BY user_id, first_ts""",
+    "stream_dedup" ->
+      """SELECT user_id, event_type, hr, event_id, value FROM (
+           SELECT user_id, event_type, date_trunc('hour', ts) AS hr,
+             event_id, value,
+             row_number() OVER (PARTITION BY user_id, event_type,
+               date_trunc('hour', ts) ORDER BY ts, event_id) AS rn
+           FROM events) t
+         WHERE rn = 1 ORDER BY user_id, event_type, hr"""
   )
 }

@@ -34,8 +34,10 @@ object Tables {
     val raw = load(s, d, "events")
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.LongType
+    // integer `div`, not `/`: Column./ is double division and ns-epoch
+    // values exceed 2^53, which silently loses the low microsecond
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

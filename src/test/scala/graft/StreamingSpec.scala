@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+
+  private val sample = Seq(
+    Ev(1, t(0), 1, "click", 1.0), Ev(2, t(5), 1, "click", 2.0),
+    Ev(3, t(50), 1, "click", 3.0), // > 30 min gap -> new session
+    Ev(4, t(0), 2, "view", 4.0), Ev(5, t(65), 2, "view", 5.0),
+    Ev(6, t(2), 1, "click", 6.0)) // same user/type/hour as 1 -> dedup drop
+
+  private def runStream(transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                        mode: String): Array[org.apache.spark.sql.Row] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(sample: _*)
+    val q = transform(mem.toDF())
+      .writeStream.format("memory").queryName("out_" + mode.replace(" ", ""))
+      .outputMode(mode).start()
+    q.processAllAvailable(); q.stop()
+    spark.table("out_" + mode.replace(" ", "")).collect()
+  }
+
+  test("windowed agg: batch and streaming agree on MemoryStream input") {
+    import spark.implicits._
+    val batch = EventStreams.windowAgg(sample.toDF())
+      .orderBy("window_start", "event_type").collect().map(_.toSeq).toSeq
+    val stream = runStream(EventStreams.windowAggStream, "complete")
+    val streamSorted = stream.map(_.toSeq).sortBy(r =>
+      (r(0).asInstanceOf[Timestamp].getTime, r(1).asInstanceOf[String]))
+    assert(batch == streamSorted.toSeq)
+  }
+
+  test("sessionize splits on gap >= 30 minutes") {
+    import spark.implicits._
+    val rows = EventStreams.sessionize(sample.toDF())
+      .orderBy("user_id", "first_ts").collect()
+    // user 1: events at 0,2,5 then 50 -> two sessions; user 2: 0 and 65 -> two
+    val u1 = rows.filter(_.getLong(0) == 1)
+    assert(u1.length == 2 && u1(0).getLong(3) == 3 && u1(1).getLong(3) == 1)
+    assert(rows.count(_.getLong(0) == 2) == 2)
+  }
+
+  test("sessionize runs as a real stream") {
+    val rows = runStream(EventStreams.sessionizeStream, "complete")
+    assert(rows.length == 4)
+  }
+
+  test("streaming dedup keeps one row per user/type/hour") {
+    import spark.implicits._
+    val stream = runStream(EventStreams.dedupStream, "append")
+    // sample has 5 distinct (user, type, hour) keys (events 1,2,6 share one)
+    assert(stream.length == 4)
+    val batch = EventStreams.dedupKeyed(sample.toDF()).collect()
+    assert(batch.length == 4)
+    // batch keeps the earliest deterministically
+    val kept = batch.map(_.getLong(3)).toSet
+    assert(kept.contains(1L) && !kept.contains(2L) && !kept.contains(6L))
+  }
+
+  test("batch session count on real events is sane") {
+    val df = EventStreams.sessionizeBatch(spark, sf)
+    val n = df.count()
+    val users = df.select("user_id").distinct().count()
+    assert(n >= users, "at least one session per active user")
+  }
+}
