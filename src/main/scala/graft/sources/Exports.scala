@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** CSV / JSON result exports mirroring the reference's generateCSV /
+  * generateJSON (ram-analysis/app/index.js:560-604): CSV flattens nested
+  * `poi.*` fields into dotted columns; JSON groups result rows per admin
+  * area. Both stay distributed — flattening is a projection, grouping is
+  * an aggregation — only the file layout differs from a plain write.
+  */
+object Exports {
+
+  /** Recursively flatten struct columns into dotted top-level columns
+    * (e.g. poi.school -> "poi.school"), the generateCSV shape. */
+  def flatten(df: DataFrame): DataFrame = {
+    def cols(schema: StructType, prefix: String): Seq[Column] =
+      schema.fields.flatMap { f =>
+        val name = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        f.dataType match {
+          case st: StructType => cols(st, name)
+          case _ => Seq(col(s"`${name.split('.').mkString("`.`")}`").as(name))
+        }
+      }.toSeq
+    df.select(cols(df.schema, ""): _*)
+  }
+
+  /** Write a (possibly nested) frame as headered CSV with dotted columns. */
+  def writeFlatCsv(df: DataFrame, path: String): Unit =
+    flatten(df).write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Group rows into a JSON array per key: one output row per key with a
+    * deterministic (sorted) JSON array of the member objects — the
+    * generateJSON "results by admin area" shape. */
+  def groupedJson(df: DataFrame, keyCol: String): DataFrame = {
+    val payload = df.columns.filterNot(_ == keyCol).map(c => df(c).as(c))
+    df.select(col(keyCol), to_json(struct(payload: _*)).as("_j"))
+      .groupBy(col(keyCol))
+      .agg(concat(lit("["),
+        concat_ws(",", sort_array(collect_list(col("_j")))),
+        lit("]")).as("json"))
+  }
+
+  /** Write the grouped-JSON frame as one JSON object file shape:
+    * {"key": [...], ...} per partition line-oriented — each line is
+    * `"<key>": [...]` so a downstream cat/wrap produces the reference's
+    * single-object export. */
+  def writeGroupedJson(df: DataFrame, keyCol: String, path: String): Unit =
+    groupedJson(df, keyCol)
+      .select(concat(to_json(col(keyCol)), lit(": "), col("json")).as("value"))
+      .write.mode("overwrite").text(path)
+}

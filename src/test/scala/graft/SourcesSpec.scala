@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Accessibility
+import graft.sources.{Exports, GeoJson}
+
+class SourcesSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def tmpDir(name: String): String = {
+    val d = new java.io.File(s"target/tmp-sources/$name")
+    org.apache.commons.io.FileUtils.deleteQuietly(d)
+    d.getParentFile.mkdirs()
+    d.getAbsolutePath
+  }
+
+  test("GeoJSONL write -> read round-trips point features") {
+    import spark.implicits._
+    val df = Seq((1L, 10.5, -3.25, "alpha"), (2L, -120.0, 45.5, "beta"))
+      .toDF("id", "lon", "lat", "name")
+    val path = tmpDir("points_jsonl")
+    GeoJson.writePointsJsonl(df, "lon", "lat", path)
+    val back = GeoJson.readPoints(spark, path, featureCollection = false)
+    val rows = back.orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Double]("lon") == 10.5)
+    assert(rows(0).getAs[Double]("lat") == -3.25)
+    assert(rows(0).getAs[String]("name") == "alpha")
+  }
+
+  test("FeatureCollection export is valid GeoJSON and read back") {
+    import spark.implicits._
+    val df = Seq((1L, 2.0, 3.0), (2L, 4.0, 5.0)).toDF("id", "lon", "lat")
+    val dir = tmpDir("fc")
+    new java.io.File(dir).mkdirs()
+    val file = s"$dir/out.geojson"
+    GeoJson.writeFeatureCollection(df, "lon", "lat", file)
+    val txt = new String(Files.readAllBytes(java.nio.file.Paths.get(file)))
+    assert(txt.startsWith("""{"type":"FeatureCollection""""))
+    val back = GeoJson.readPoints(spark, file, featureCollection = true)
+    assert(back.count() == 2)
+  }
+
+  test("accessibility results export as GeoJSON with eta properties") {
+    val eta = Accessibility.nearestPoi(spark, sf)
+      .groupBy("c_custkey").pivot("poi_type", Seq(0, 1, 2, 3)).sum("eta_s")
+      .withColumnRenamed("0", "eta-0").withColumnRenamed("1", "eta-1")
+      .withColumnRenamed("2", "eta-2").withColumnRenamed("3", "eta-3")
+      .join(Tables.customer(spark, sf), "c_custkey")
+      .withColumn("lon", graft.functions.GeoFunctions.lonOf(col("c_custkey")))
+      .withColumn("lat", graft.functions.GeoFunctions.latOf(col("c_custkey")))
+      .select("c_custkey", "lon", "lat", "eta-0", "eta-1", "eta-2", "eta-3")
+    val path = tmpDir("eta_geojsonl")
+    GeoJson.writePointsJsonl(eta, "lon", "lat", path)
+    val back = spark.read.json(path)
+    assert(back.count() == eta.count())
+    assert(back.select("properties.*").columns.contains("eta-0"))
+  }
+
+  test("flatten turns nested structs into dotted columns") {
+    import spark.implicits._
+    val df = Seq((1, ("school", 120.5), "x")).toDF("id", "poi", "tag")
+      .select(col("id"), struct(col("poi._1").as("type"),
+        col("poi._2").as("eta")).as("poi"), col("tag"))
+    val flat = Exports.flatten(df)
+    assert(flat.columns.toSeq == Seq("id", "poi.type", "poi.eta", "tag"))
+    assert(flat.head().getDouble(2) == 120.5)
+  }
+
+  test("flat CSV export writes dotted headers") {
+    import spark.implicits._
+    val df = Seq((1, ("a", 2.0))).toDF("id", "poi")
+      .select(col("id"), struct(col("poi._1").as("t"), col("poi._2").as("v")).as("poi"))
+    val path = tmpDir("csv")
+    Exports.writeFlatCsv(df, path)
+    val header = spark.read.option("header", "false").csv(path).head().toSeq
+    // read raw first line
+    val firstLine = spark.read.text(path).filter(col("value").contains("poi.")).count()
+    assert(firstLine >= 1)
+  }
+
+  test("grouped JSON groups rows per key with parseable arrays") {
+    import spark.implicits._
+    val df = Seq(("areaA", 1, 10.0), ("areaA", 2, 20.0), ("areaB", 3, 30.0))
+      .toDF("area", "origin", "eta")
+    val out = Exports.groupedJson(df, "area").orderBy("area").collect()
+    assert(out.length == 2)
+    val arr = out(0).getString(1)
+    assert(arr.startsWith("[") && arr.contains("\"origin\":1") && arr.contains("\"origin\":2"))
+  }
+}
