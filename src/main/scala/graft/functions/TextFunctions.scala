@@ -31,6 +31,27 @@ object TextHash {
     z ^ (z >>> 31)
   }
 
+  /** Word n-gram shingles in one pass. Composing this from built-ins
+    * (transform + element_at over split) looks declarative but Catalyst's
+    * CollapseProject inlines the split() alias into every element_at,
+    * re-tokenizing the document O(shingles x n) times — measured ~0.9 ms
+    * per document vs microseconds here. */
+  def wordShingles(s: UTF8String, n: Int): ArrayData = {
+    val parts = s.split(UTF8String.fromString(" "), -1)
+    if (parts.length < n) return new GenericArrayData(Array.empty[Any])
+    val sep = UTF8String.fromString(" ")
+    val out = new Array[Any](parts.length - n + 1)
+    var i = 0
+    while (i <= parts.length - n) {
+      val slice = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { slice(j) = parts(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(sep, slice: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** k-permutation MinHash signature in ONE pass over the shingle array
     * (Kirsch–Mitzenmacher: h_i = h1 + i*h2), vs the naive k scans. */
   def minhash(arr: ArrayData, k: Int): ArrayData = {
@@ -101,6 +122,20 @@ object TextHash {
   }
 }
 
+/** `word_shingles(text, n)` -> array<string> of word n-grams. */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_shingles"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHash.wordShingles(input.asInstanceOf[UTF8String], n)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.wordShingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `minhash_signature(shingles, k)` -> array<long> of length k. */
 case class MinHashSignature(child: Expression, numHashes: Int)
   extends UnaryExpression {
@@ -146,6 +181,8 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
 
 /** Column wrappers for the native text-hash expressions. */
 object TextFunctions {
+  def word_shingles(text: Column, n: Int): Column =
+    SparkBridge.column(WordShingles(SparkBridge.expression(text), n))
   def minhash_signature(shingles: Column, k: Int): Column =
     SparkBridge.column(MinHashSignature(SparkBridge.expression(shingles), k))
   def simhash64(tokens: Column): Column =
