@@ -17,9 +17,15 @@ object GraftSession {
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.ui.enabled", "false")
 
+  /** Default parallelism = all available cores (the driver's bench box is
+    * local[32]); SPARK_GRAFT_CPUS overrides for tests. */
+  def defaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+    Runtime.getRuntime.availableProcessors().toString)
+
   def local(appName: String = "graft",
-            cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+            cpus: String = defaultCpus): SparkSession = {
     val s = configure(SparkSession.builder().master(s"local[$cpus]").appName(appName), cpus)
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -58,7 +58,8 @@ object SparkEntry {
     // the same transform functions, spec-checked via MemoryStream)
     "stream_window_agg" -> (graft.streaming.EventStreams.windowAggBatch _),
     "stream_sessionize" -> (graft.streaming.EventStreams.sessionizeBatch _),
-    "stream_dedup" -> (graft.streaming.EventStreams.dedupBatch _)
+    "stream_dedup" -> (graft.streaming.EventStreams.dedupBatch _),
+    "stream_anomaly" -> (graft.streaming.EventStreams.anomaliesBatch _)
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (column names aliased to

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.TopK.top_k_by_score
 import graft.functions.VectorFunctions.cosine_sim
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
@@ -32,12 +33,20 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
     val scored = c.join(broadcast(q)).filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"), cosine_sim(col("qe"), col("ce")).as("cos"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("qid"), col("rk"), col("cid"), round(col("cos"), 4).as("cos_sim"))
-      .orderBy(col("qid"), col("rk"))
+    finishTopK(scored, k)
   }
+
+  /** Exact top-k per qid via the k-bounded heap aggregate
+    * ([[graft.functions.TopKByScore]]): partial top-k per partition,
+    * merge of k-sized heaps — only numPartitions x k rows shuffle,
+    * vs a window row_number sorting every scored row. */
+  private def finishTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("qid"))
+      .agg(top_k_by_score(col("cos"), col("cid"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rk"),
+        col("col.id").as("cid"), round(col("col.score"), 4).as("cos_sim"))
+      .orderBy(col("qid"), col("rk"))
 
   /** IVF approximate top-k: deterministic seed centroids (the first
     * nCells vectors), map-side nearest-cell assignment, probe the nProbe
@@ -49,13 +58,15 @@ object Similarity {
     val e = emb(spark, dir)
     val seeds = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("embedding").as("se"))
-    // map-side cell assignment: argmax cos against broadcast seeds
-    val aw = Window.partitionBy(col("vec_id")).orderBy(col("_c").desc, col("cell"))
+    // cell assignment: argmax cos via max_by (partial-agg friendly — no
+    // window sort; ties broken toward the lower cell id)
     val assigned = e.join(broadcast(seeds))
       .select(col("vec_id"), col("embedding"), col("cell"),
         cosine_sim(col("embedding"), col("se")).as("_c"))
-      .withColumn("_rn", row_number().over(aw)).filter(col("_rn") === 1)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("cell"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell"), struct(col("_c"), (-col("cell")).as("_t"))).as("cell"),
+        first(col("embedding")).as("ce"))
+      .select(col("vec_id").as("cid"), col("ce"), col("cell"))
     // probe set: nProbe nearest cells per query
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
@@ -69,11 +80,7 @@ object Similarity {
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"), cosine_sim(col("qe"), col("ce")).as("cos"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("qid"), col("rk"), col("cid"), round(col("cos"), 4).as("cos_sim"))
-      .orderBy(col("qid"), col("rk"))
+    finishTopK(scored, k)
   }
 
   /** Cosine near-duplicate pairs, blocked on the `label` metadata column

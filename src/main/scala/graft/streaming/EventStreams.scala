@@ -1,9 +1,23 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.Tables
+
+/** Typed event row for the stateful operators. */
+case class EventRow(event_id: Long, ts: Timestamp, user_id: Long,
+                    event_type: String, value: Double)
+
+/** Per-user running statistics (Welford) carried as stream state. */
+case class UserStats(n: Long, mean: Double, m2: Double)
+
+/** An emitted anomaly: a value whose z-score against the user's history
+  * (events strictly before it) exceeds the threshold. */
+case class AnomalyHit(user_id: Long, event_id: Long, ts: Timestamp,
+                      value: Double, zscore: Double, n_prev: Long)
 
 /** Event-stream analytics in Structured Streaming form, with
   * batch-equivalent definitions of the same transforms.
@@ -71,6 +85,51 @@ object EventStreams {
 
   def sessionizeStream(events: DataFrame): DataFrame =
     sessionize(events.withWatermark("ts", Watermark))
+
+  // ---- custom state: flatMapGroupsWithState anomaly detection ----
+
+  val ZThreshold = 3.0
+  val MinHistory = 10
+
+  /** One group step: fold this batch's events (sorted by ts for
+    * determinism) into the user's running Welford state, emitting events
+    * whose z-score against history-so-far crosses the threshold. */
+  private def detect(userId: Long, it: Iterator[EventRow],
+                     state: GroupState[UserStats]): Iterator[AnomalyHit] = {
+    var st = state.getOption.getOrElse(UserStats(0L, 0.0, 0.0))
+    val hits = scala.collection.mutable.ArrayBuffer.empty[AnomalyHit]
+    it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      if (st.n >= MinHistory) {
+        val variance = st.m2 / (st.n - 1)
+        if (variance > 0.0) {
+          val z = (e.value - st.mean) / math.sqrt(variance)
+          if (math.abs(z) > ZThreshold)
+            hits += AnomalyHit(userId, e.event_id, e.ts, e.value, z, st.n)
+        }
+      }
+      val n1 = st.n + 1
+      val d = e.value - st.mean
+      val mean1 = st.mean + d / n1
+      st = UserStats(n1, mean1, st.m2 + d * (e.value - mean1))
+    }
+    state.update(st)
+    hits.iterator
+  }
+
+  /** Stateful anomaly stream: per-user running mean/variance kept in
+    * GroupState; works on a streaming Dataset (incremental state across
+    * micro-batches) and on a batch Dataset (single pass) alike. */
+  def anomalies(events: Dataset[EventRow]): Dataset[AnomalyHit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(detect)
+  }
+
+  def anomaliesBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    anomalies(Tables.events(spark, dir).as[EventRow])
+      .toDF().orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
 
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", Watermark)

@@ -28,7 +28,7 @@ class RelationalSpec extends AnyFunSuite {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val rowsOnly = Set(
       "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
-      "ann_ivf_topk", "mm_features", "text_fingerprint")
+      "ann_ivf_topk", "mm_features", "text_fingerprint", "stream_anomaly")
     assert(noOracle.subsetOf(rowsOnly),
       s"queries missing oracle and not declared rows-only: ${noOracle -- rowsOnly}")
   }

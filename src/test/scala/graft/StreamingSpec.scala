@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.streaming.EventStreams
+import graft.streaming.{EventRow, EventStreams}
 
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
               event_type: String, value: Double)
@@ -68,6 +68,30 @@ class StreamingSpec extends AnyFunSuite {
     // batch keeps the earliest deterministically
     val kept = batch.map(_.getLong(3)).toSet
     assert(kept.contains(1L) && !kept.contains(2L) && !kept.contains(6L))
+  }
+
+  test("stateful anomaly detector: streaming equals batch, z-scores verified") {
+    import spark.implicits._
+    // deterministic series: stable history then a spike
+    val evs = (1 to 20).map(i =>
+      EventRow(i, t(i), 1, "m", 10.0 + (i % 3))) :+
+      EventRow(21, t(21), 1, "m", 500.0)
+    val batch = EventStreams.anomalies(evs.toDS()).collect()
+    assert(batch.length == 1 && batch.head.event_id == 21)
+    assert(batch.head.zscore > EventStreams.ZThreshold)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventRow]
+    // two micro-batches: state must carry history across them
+    mem.addData(evs.take(12): _*)
+    val q = EventStreams.anomalies(mem.toDS()).toDF()
+      .writeStream.format("memory").queryName("anom").outputMode("append").start()
+    q.processAllAvailable()
+    mem.addData(evs.drop(12): _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("anom").collect()
+    assert(streamed.length == 1 && streamed.head.getLong(1) == 21)
+    assert(math.abs(streamed.head.getDouble(4) - batch.head.zscore) < 1e-9)
   }
 
   test("batch session count on real events is sane") {
