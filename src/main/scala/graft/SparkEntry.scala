@@ -29,6 +29,7 @@ object SparkEntry {
     "q10_running_window" -> (Relational.q10RunningWindow _),
     "q11_anti_join" -> (Relational.q11AntiJoin _),
     "q12_conditional_agg" -> (Relational.q12ConditionalAgg _),
+    "q13_asof_join" -> (AsofJoin.purchaseLastClick _),
     // B. spatial / accessibility
     "geo_grid_assign" -> (Accessibility.gridAssign _),
     "geo_bbox_filter" -> (Accessibility.bboxFilter _),
@@ -162,6 +163,16 @@ object SparkEntry {
          sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS n_low,
          round(sum(o_totalprice), 2) AS total_value
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q13_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, max(value) AS click_value FROM events
+           WHERE event_type = 'click' GROUP BY 1, 2)
+         SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.click_value AS last_click_value
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.user_id AND p.ts >= c.ts
+         ORDER BY p.event_id""",
     // B. spatial — coordinate derivation mirrors GeoFunctions.latOf/lonOf
     // op-for-op (integer modular arithmetic then /10.0) so Spark and DuckDB
     // agree bitwise; distances use only +,-,*,/,sqrt (SURVEY.md §6).

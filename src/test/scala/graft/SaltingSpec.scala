@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Salting
+
+class SaltingSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("salted join equals plain join on skewed data") {
+    import spark.implicits._
+    // one hot key (90% of rows) + long tail
+    val left = spark.range(2000)
+      .select(when(col("id") < 1800, 7L).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+    val right = Seq((7L, "hot"), (1900L, "cold"), (5L, "unmatched-left")).toDF("k", "name")
+    val plain = left.join(right, Seq("k")).select("k", "payload", "name")
+      .collect().map(_.toSeq).toSet
+    val salted = Salting.saltedJoin(left, right, Seq("k")).select("k", "payload", "name")
+      .collect().map(_.toSeq).toSet
+    assert(salted == plain && plain.size == 1801)
+  }
+
+  test("salted two-phase aggregation equals direct aggregation") {
+    val df = Tables.orders(spark, TestSession.sf)
+    val direct = df.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("sum"))
+      .collect().map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2)))).toSet
+    val salted = Salting.saltedCountSum(df, Seq("o_orderstatus"), "o_totalprice")
+      .collect().map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2)))).toSet
+    assert(salted == direct)
+  }
+}
