@@ -10,9 +10,11 @@ import graft.operators._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The RAM headline stat: per admin area, population within the travel
+    * budget of a POI (grid-bucketed ETA pipeline end-to-end). */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+    Accessibility.accessibility(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -298,12 +300,15 @@ object SparkEntry {
            round(len(list_filter(string_split(text, ' '),
                x -> x IN ('the', 'a')))
              / len(string_split(text, ' ')), 4) AS stop_ratio,
-           round(len(list_distinct(string_split(text, ' ')))
-               / len(string_split(text, ' ')) * 0.3
-             + (1.0 - len(list_filter(string_split(text, ' '),
-                 x -> x IN ('the', 'a'))) / len(string_split(text, ' '))) * 0.3
-             + least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.4, 4)
-             AS score
+           floor((len(list_distinct(string_split(text, ' ')))
+               / len(string_split(text, ' ')) * CAST(0.3 AS DOUBLE)
+             + (CAST(1.0 AS DOUBLE) - len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the', 'a'))) / len(string_split(text, ' ')))
+               * CAST(0.3 AS DOUBLE)
+             + least(len(string_split(text, ' ')) / CAST(100.0 AS DOUBLE),
+                 CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE))
+             * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             / CAST(10000.0 AS DOUBLE) AS score
          FROM documents ORDER BY doc_id""",
     "text_langid" ->
       """WITH h AS (SELECT doc_id,

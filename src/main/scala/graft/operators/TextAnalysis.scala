@@ -40,10 +40,15 @@ object TextAnalysis {
       .withColumn("ttr", round(col("n_distinct") / col("n_words"), 4))
       .withColumn("stop_ratio",
         round(hits(Seq("the", "a")) / col("n_words"), 4))
-      .withColumn("score", round(
+      // floor(x*1e4+0.5)/1e4 instead of round(x, 4): Spark's round goes
+      // through BigDecimal of Double.toString (decimal HALF_UP) while
+      // DuckDB rounds the binary value — they disagree when the true
+      // value sits exactly on a half at the 4th decimal. floor on
+      // identical doubles is identical everywhere.
+      .withColumn("score", floor((
         col("n_distinct") / col("n_words") * 0.3
           + (lit(1.0) - hits(Seq("the", "a")) / col("n_words")) * 0.3
-          + least(col("n_words") / 100.0, lit(1.0)) * 0.4, 4))
+          + least(col("n_words") / 100.0, lit(1.0)) * 0.4) * 10000.0 + 0.5) / 10000.0)
       .select(col("doc_id"), col("n_len"), col("n_words"), col("n_distinct"),
         col("ttr"), col("stop_ratio"), col("score"))
       .orderBy(col("doc_id"))
