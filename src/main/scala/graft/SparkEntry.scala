@@ -35,6 +35,7 @@ object SparkEntry {
     // B. spatial / accessibility
     "geo_grid_assign" -> (Accessibility.gridAssign _),
     "geo_bbox_filter" -> (Accessibility.bboxFilter _),
+    "geo_poly_filter" -> (Accessibility.polyFilter _),
     "geo_buffer_count" -> (Accessibility.bufferCount _),
     "geo_nearest_poi" -> (Accessibility.nearestPoi _),
     "geo_centroid" -> (Accessibility.centroid _),
@@ -192,6 +193,13 @@ object SparkEntry {
            (c_custkey * 91 % 3600) / 10.0 - 180.0 AS lon FROM customer)
          SELECT c_custkey, lat, lon FROM o
          WHERE lat >= 0.0 AND lat < 40.0 AND lon >= -20.0 AND lon < 60.0
+         ORDER BY c_custkey""",
+    "geo_poly_filter" ->
+      """WITH o AS (SELECT c_custkey,
+           (c_custkey * 37 % 1700) / 10.0 - 85.0 AS lat,
+           (c_custkey * 91 % 3600) / 10.0 - 180.0 AS lon FROM customer)
+         SELECT c_custkey, lat, lon FROM o
+         WHERE lat > 0.05 AND lat < 39.95 AND lon > -19.95 AND lon < 59.95
          ORDER BY c_custkey""",
     "geo_buffer_count" ->
       """WITH o AS (SELECT c_custkey,

@@ -4,8 +4,9 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftbridge.SparkBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType}
 
 /** Static geo math callable from both interpreted eval and generated code. */
 object GeoMath {
@@ -19,6 +20,51 @@ object GeoMath {
         math.pow(math.sin(dLon / 2), 2)
     2 * EarthRadiusKm * math.asin(math.min(1.0, math.sqrt(a)))
   }
+
+  /** Even-odd ray-cast point-in-polygon (the PNPOLY algorithm, W. R.
+    * Franklin — public domain). Vertices as parallel lat/lon arrays,
+    * open or closed ring both accepted. Points exactly on an edge are
+    * undefined (callers pick polygon bounds off the data lattice). */
+  def pointInPolygon(lat: Double, lon: Double,
+                     latArr: ArrayData, lonArr: ArrayData): Boolean = {
+    val n = math.min(latArr.numElements(), lonArr.numElements())
+    var inside = false
+    var i = 0
+    var j = n - 1
+    while (i < n) {
+      val yi = latArr.getDouble(i); val xi = lonArr.getDouble(i)
+      val yj = latArr.getDouble(j); val xj = lonArr.getDouble(j)
+      if ((yi > lat) != (yj > lat) &&
+          lon < (xj - xi) * (lat - yi) / (yj - yi) + xi)
+        inside = !inside
+      j = i; i += 1
+    }
+    inside
+  }
+}
+
+/** `point_in_poly(lat, lon, poly_lats, poly_lons)` -> boolean; arbitrary
+  * (including non-convex) polygons, codegen'd — the turf `within` analog
+  * (ram-analysis/app/calculate-eta/utils.js:28) for real admin-area
+  * polygons rather than bbox approximations. */
+case class PointInPolygon(first: Expression, second: Expression,
+                          third: Expression, fourth: Expression)
+  extends QuaternaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "point_in_poly"
+
+  override def nullSafeEval(lat: Any, lon: Any, lats: Any, lons: Any): Any =
+    GeoMath.pointInPolygon(lat.asInstanceOf[Double], lon.asInstanceOf[Double],
+      lats.asInstanceOf[ArrayData], lons.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.functions.GeoMath.pointInPolygon($a, $b, $c, $d)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
 }
 
 /** Native Catalyst expression for haversine distance — stays inside
@@ -63,6 +109,13 @@ object GeoFunctions {
       SparkBridge.expression(lon1.cast("double")),
       SparkBridge.expression(lat2.cast("double")),
       SparkBridge.expression(lon2.cast("double"))))
+
+  def point_in_poly(lat: Column, lon: Column,
+                    polyLats: Column, polyLons: Column): Column =
+    SparkBridge.column(PointInPolygon(
+      SparkBridge.expression(lat.cast("double")),
+      SparkBridge.expression(lon.cast("double")),
+      SparkBridge.expression(polyLats), SparkBridge.expression(polyLons)))
 
   /** Deterministic synthetic coordinates derived from an integer key
     * (SURVEY.md §3) — integer-exact modular arithmetic so Spark and the

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.GeoFunctions._
+import graft.functions.GeoFunctions.{point_in_poly, _}
 
 /** The RAM accessibility analytics re-expressed Spark-first.
   *
@@ -87,6 +87,20 @@ object Accessibility {
       .select(col("c_custkey"), col("poi_type"),
         round(col("_min_t") + walkSec, 2).as("eta_s"))
       .orderBy(col("c_custkey"), col("poi_type"))
+  }
+
+  /** Origins inside a polygon study area via the ray-cast expression
+    * (turf `within` over real polygons). The query's polygon is a
+    * rectangle with bounds off the 0.1-degree coordinate lattice, so the
+    * DuckDB oracle can state it as a bbox predicate while the Spark side
+    * exercises the full PNPOLY path; non-convex behavior is spec-tested. */
+  def polyFilter(spark: SparkSession, dir: String): DataFrame = {
+    val lats = array(lit(0.05), lit(0.05), lit(39.95), lit(39.95))
+    val lons = array(lit(-19.95), lit(59.95), lit(59.95), lit(-19.95))
+    origins(spark, dir)
+      .filter(point_in_poly(col("lat"), col("lon"), lats, lons))
+      .select(col("c_custkey"), col("lat"), col("lon"))
+      .orderBy(col("c_custkey"))
   }
 
   /** Per-group centroid (turf centerOfMass analog). */

@@ -61,6 +61,27 @@ class GeoSpec extends AnyFunSuite {
     assert(out.filter(col("rid").isNull).count() == 19)
   }
 
+  test("point_in_poly handles non-convex polygons") {
+    import spark.implicits._
+    // a "U" shape: (0,0)-(10,0)-(10,10)-(6,10)-(6,4)-(4,4)-(4,10)-(0,10)
+    val lats = array(Seq(0, 0, 10, 10, 4, 4, 10, 10).map(v => lit(v.toDouble)): _*)
+    val lons = array(Seq(0, 10, 10, 6, 6, 4, 4, 0).map(v => lit(v.toDouble)): _*)
+    val pts = Seq(
+      (1, 2.0, 2.0, true),   // bottom bar
+      (2, 2.0, 5.0, true),   // bottom bar, under the notch
+      (3, 7.0, 2.0, true),   // left arm
+      (4, 7.0, 8.0, true),   // right arm
+      (5, 7.0, 4.5, false),  // inside the notch
+      (6, 11.0, 5.0, false), // above the shape
+      (7, -1.0, -1.0, false))
+      .toDF("id", "lat", "lon", "expect")
+    val got = pts.withColumn("in",
+      GeoFunctions.point_in_poly(col("lat"), col("lon"), lats, lons))
+      .collect()
+    got.foreach(r => assert(r.getBoolean(4) == r.getBoolean(3),
+      s"point ${r.getInt(0)} expected ${r.getBoolean(3)}"))
+  }
+
   test("nearest POI eta is null only when nothing within reach, never negative") {
     val rows = Accessibility.nearestPoi(spark, sf).collect()
     assert(rows.nonEmpty)
