@@ -15,6 +15,13 @@ case class MediaFeatures(doc_id: Long, kind: String, byte_len: Int,
                          checksum: Long, width: Int, height: Int,
                          n_frames: Int, histogram: Array[Long])
 
+/** A resized media item (decode->resample->re-encode stubbed). */
+case class ResizedMedia(doc_id: Long, kind: String, width: Int, height: Int,
+                        src_w: Int, src_h: Int, checksum: Long)
+
+/** One sampled frame of a video item. */
+case class SampledFrame(doc_id: Long, frame_idx: Int, frame_checksum: Long)
+
 /** Multimodal column plumbing: binary payloads with typed metadata,
   * processed per-partition in typed Datasets.
   *
@@ -60,6 +67,38 @@ object Multimodal {
       width = item.declared_w, height = item.declared_h,
       n_frames = if (item.kind == "video/mp4") (math.abs(mixed) % 240 + 1).toInt else 1,
       histogram = hist)
+  }
+
+  /** STUB resize to (w, h): a real implementation decodes, resamples and
+    * re-encodes here; the stub keeps the plan shape (typed mapPartitions,
+    * per-partition codec init point) and emits a checksum that is a
+    * deterministic function of payload AND target dims, as a real
+    * re-encode would be. */
+  def resize(items: Dataset[MediaItem], w: Int, h: Int): Dataset[ResizedMedia] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.map { m =>
+        val f = stubDecode(m)
+        ResizedMedia(m.doc_id, m.kind, w, h, m.declared_w, m.declared_h,
+          TextHash.mix64(f.checksum ^ (w.toLong << 32) ^ h.toLong))
+      }
+    }
+  }
+
+  /** STUB frame sampling: every `everyK`-th frame of each video item
+    * (images/audio yield no rows). One flatMap pass; a real codec would
+    * seek/decode the sampled frames only. */
+  def frameSample(items: Dataset[MediaItem], everyK: Int): Dataset[SampledFrame] = {
+    import items.sparkSession.implicits._
+    require(everyK > 0)
+    items.flatMap { m =>
+      if (m.kind != "video/mp4") Iterator.empty
+      else {
+        val f = stubDecode(m)
+        (0 until f.n_frames by everyK).iterator.map(i =>
+          SampledFrame(m.doc_id, i, TextHash.mix64(f.checksum + i)))
+      }
+    }
   }
 
   /** Feature extraction over the media table: one mapPartitions pass with

@@ -28,6 +28,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(n == graft.Tables.documents(spark, sf).count())
   }
 
+  test("resize stub keeps identity and varies checksum with target dims") {
+    val items = Multimodal.mediaTable(spark, sf)
+    val a = Multimodal.resize(items, 224, 224).collect()
+    val b = Multimodal.resize(items, 64, 64).collect()
+    assert(a.length == b.length && a.nonEmpty)
+    assert(a.forall(r => r.width == 224 && r.height == 224))
+    val ca = a.map(r => r.doc_id -> r.checksum).toMap
+    b.foreach(r => assert(ca(r.doc_id) != r.checksum))
+  }
+
+  test("frame sampling yields every k-th frame for videos only") {
+    val items = Multimodal.mediaTable(spark, sf)
+    val frames = Multimodal.frameSample(items, 10).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_idx % 10 == 0))
+    val videoIds = Multimodal.features(spark, sf).collect()
+      .filter(_.getString(1) == "video/mp4").map(_.getLong(0)).toSet
+    assert(frames.map(_.doc_id).toSet == videoIds)
+  }
+
   test("video items get frame counts, others single frame") {
     val rows = Multimodal.features(spark, sf).collect()
     rows.foreach { r =>
