@@ -1,0 +1,103 @@
+package graft
+
+import org.scalacheck.{Gen, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.{GeoMath, TextHash}
+
+/** Property tests for the pure kernels behind the native expressions —
+  * no SparkSession needed, so these run the generators hard.
+  */
+class KernelPropertySpec extends AnyFunSuite {
+
+  private def check(prop: Prop): Unit = {
+    val params = org.scalacheck.Test.Parameters.default
+      .withMinSuccessfulTests(200)
+    val res = org.scalacheck.Test.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def arr(tokens: Seq[String]): GenericArrayData =
+    new GenericArrayData(tokens.map(t => UTF8String.fromString(t)).toArray[Any])
+
+  test("minhash agreement tracks jaccard within sampling error") {
+    val gen = for {
+      n <- Gen.choose(30, 120)
+      overlap <- Gen.choose(0, n)
+    } yield (n, overlap)
+    check(Prop.forAll(gen) { case (n, overlap) =>
+      val a = (0 until n).map(i => s"tok$i")
+      val b = (0 until overlap).map(i => s"tok$i") ++
+        (0 until (n - overlap)).map(i => s"other$i")
+      val jac = overlap.toDouble / (2 * n - overlap)
+      val k = 256
+      val sa = TextHash.minhash(arr(a), k)
+      val sb = TextHash.minhash(arr(b), k)
+      val agree = (0 until k).count(i => sa.getLong(i) == sb.getLong(i)) / k.toDouble
+      // k=256 => stderr ~ sqrt(j(1-j)/256) <= 0.031; allow 5 sigma
+      math.abs(agree - jac) < 0.16
+    })
+  }
+
+  test("simhash hamming distance is monotone in document difference") {
+    check(Prop.forAll(Gen.choose(0, 50)) { changed =>
+      val base = (0 until 100).map(i => s"w$i")
+      val mod = (0 until 100).map(i => if (i < changed) s"x$i" else s"w$i")
+      val d = java.lang.Long.bitCount(
+        TextHash.simhash(arr(base)) ^ TextHash.simhash(arr(mod)))
+      // identical docs -> 0; fully different halves stay below full flip
+      if (changed == 0) d == 0 else d <= 64
+    })
+  }
+
+  test("pnpoly agrees with half-plane test on random convex polygons") {
+    val gen = for {
+      cx <- Gen.choose(-50.0, 50.0)
+      cy <- Gen.choose(-50.0, 50.0)
+      r <- Gen.choose(1.0, 20.0)
+      sides <- Gen.choose(3, 9)
+      px <- Gen.choose(-80.0, 80.0)
+      py <- Gen.choose(-80.0, 80.0)
+    } yield (cx, cy, r, sides, px, py)
+    check(Prop.forAll(gen) { case (cx, cy, r, sides, px, py) =>
+      // regular convex polygon around (cx, cy)
+      val verts = (0 until sides).map { i =>
+        val a = 2 * math.Pi * i / sides
+        (cy + r * math.sin(a), cx + r * math.cos(a)) // (lat, lon)
+      }
+      val lats = new GenericArrayData(verts.map(_._1).toArray[Any])
+      val lons = new GenericArrayData(verts.map(_._2).toArray[Any])
+      val got = GeoMath.pointInPolygon(py, px, lats, lons)
+      // convex: inside iff on the inner side of every edge (CCW order)
+      val expect = verts.indices.forall { i =>
+        val (y1, x1) = verts(i)
+        val (y2, x2) = verts((i + 1) % sides)
+        (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1) >= 0
+      }
+      // skip points within epsilon of an edge (both methods are
+      // legitimately undefined there)
+      val nearEdge = verts.indices.exists { i =>
+        val (y1, x1) = verts(i)
+        val (y2, x2) = verts((i + 1) % sides)
+        math.abs((x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)) /
+          math.hypot(x2 - x1, y2 - y1) < 1e-9
+      }
+      nearEdge || got == expect
+    })
+  }
+
+  test("winnow fingerprints are stable and shift-tolerant") {
+    check(Prop.forAll(Gen.choose(50, 300), Gen.choose(0, 20)) { (len, shift) =>
+      val text = (0 until len).map(i => ('a' + (i * 7 % 26)).toChar).mkString
+      val shifted = ("z" * shift) + text
+      val f1 = TextHash.winnow(UTF8String.fromString(text), 8, 16)
+      val f2 = TextHash.winnow(UTF8String.fromString(shifted), 8, 16)
+      val s1 = (0 until f1.numElements()).map(f1.getLong).toSet
+      val s2 = (0 until f2.numElements()).map(f2.getLong).toSet
+      // winnowing guarantee: shared fingerprints for shared substrings
+      val overlap = s1.intersect(s2).size.toDouble / s1.size
+      overlap > 0.5
+    })
+  }
+}
