@@ -8,6 +8,12 @@ object Bench {
       SparkSession.builder().master(s"local[$cpus]"), cpus)
       .withExtensions(new GraftExtensions).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JIT, codegen compiler, parquet footers — otherwise
+    // the first timed query absorbs ~4 s of one-time JVM cost
+    try {
+      SparkEntry.entry(spark).count()
+      Tables.lineitem(spark, sfDir).count()
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

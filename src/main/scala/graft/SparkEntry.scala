@@ -32,6 +32,8 @@ object SparkEntry {
     "q11_anti_join" -> (Relational.q11AntiJoin _),
     "q12_conditional_agg" -> (Relational.q12ConditionalAgg _),
     "q13_asof_join" -> (AsofJoin.purchaseLastClick _),
+    "q14_distinct_agg" -> (Relational.q14DistinctAgg _),
+    "q15_set_ops" -> (Relational.q15SetOps _),
     // B. spatial / accessibility
     "geo_grid_assign" -> (Accessibility.gridAssign _),
     "geo_bbox_filter" -> (Accessibility.bboxFilter _),
@@ -176,6 +178,16 @@ object SparkEntry {
          FROM p ASOF LEFT JOIN c
            ON p.user_id = c.user_id AND p.ts >= c.ts
          ORDER BY p.event_id""",
+    "q14_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q15_set_ops" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+         INTERSECT SELECT o_custkey FROM orders
+         EXCEPT SELECT o_custkey FROM orders
+           WHERE o_orderpriority = '1-URGENT'
+         ORDER BY c_custkey""",
     // B. spatial — coordinate derivation mirrors GeoFunctions.latOf/lonOf
     // op-for-op (integer modular arithmetic then /10.0) so Spark and DuckDB
     // agree bitwise; distances use only +,-,*,/,sqrt (SURVEY.md §6).

@@ -170,4 +170,28 @@ object Relational {
         round(sum(col("o_totalprice")), 2).as("total_value"))
       .orderBy(col("o_orderstatus"))
   }
+
+  /** Multi-column DISTINCT aggregation (the Expand-based two-phase plan:
+    * partial distinct per grouping-id map-side, then merge). */
+  def q14DistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** Set algebra over key sets: customers that both hold a high balance
+    * and have ordered, minus those with any urgent order (INTERSECT /
+    * EXCEPT plan shapes; both are distinct-set semantics). */
+  def q15SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val rich = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+    val ordering = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("c_custkey"))
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey"))
+    rich.intersect(ordering).except(urgent).orderBy(col("c_custkey"))
+  }
 }
