@@ -59,16 +59,20 @@ object Dedup {
         posexplode(array((0 until bands).map(b =>
           xxhash64(lit(b), slice(col("sig"), b * r + 1, r))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val ok = banded.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("_n"))
-      .filter(col("_n") > 1 && col("_n") <= maxBucket)
-      .select(col("band"), col("bucket"))
-    val pruned = banded.join(ok, Seq("band", "bucket"))
-    val a = pruned.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
-    val b = pruned.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+    // one shuffle, no self-join: gather each bucket's (sorted) doc list,
+    // gate on bucket size, expand the i<j pairs map-side with
+    // higher-order functions. The signature subtree is evaluated exactly
+    // once (a self-join re-evaluates it per side — AQE does not reuse
+    // the exchange across join branches), and pair expansion is bounded
+    // by maxBucket^2 per bucket.
+    val buckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+    buckets
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
+          struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b")).distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
