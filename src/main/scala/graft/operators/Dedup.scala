@@ -121,13 +121,20 @@ object Dedup {
       explode(array(subsets.zipWithIndex.map { case (ss, i) =>
         xxhash64(lit(i) +: ss.map(block): _*)
       }: _*)).as("key"))
-    val a = keyed.select(col("key"), col("doc_id").as("doc_a"), col("sim").as("sim_a"))
-    val b = keyed.select(col("key"), col("doc_id").as("doc_b"), col("sim").as("sim_b"))
-    a.join(b, Seq("key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+    // one shuffle, no self-join (same pattern as minhashCandidates):
+    // bucket by key, expand i<j pairs map-side, hamming-filter inline
+    keyed.groupBy(col("key"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sim")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
+          struct(x.getField("doc_id").as("doc_a"),
+            y.getField("doc_id").as("doc_b"),
+            bit_count(x.getField("sim").bitwiseXOR(y.getField("sim")))
+              .as("hamming")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming")).distinct()
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 }
