@@ -159,13 +159,16 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
            AND o_orderpriority = '1-URGENT' AND o_orderstatus = 'O')
          ORDER BY c_custkey""",
+    // CAST(sum(int) AS BIGINT): DuckDB types integer SUM as HUGEINT, which
+    // pandas widens to float64 — the driver then hashes 123.0 vs Spark's
+    // int64 123 and mismatches. count(*) (BIGINT) never hits this.
     "q12_conditional_agg" ->
       """SELECT o_orderstatus,
-         sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
-         sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS n_high,
-         sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS n_medium,
-         sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS n_notspec,
-         sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS n_low,
+         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+         CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+         CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+         CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS n_notspec,
+         CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
          round(sum(o_totalprice), 2) AS total_value
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q13_asof_join" ->
@@ -262,7 +265,7 @@ object SparkEntry {
              + (c_custkey % 97) / 10.0 * 900.0 AS eta_s
            FROM o CROSS JOIN p0 GROUP BY c_custkey, c_nationkey, c_acctbal)
          SELECT n_name, count(*) AS n_origins,
-           sum(CASE WHEN eta_s <= 50000.0 THEN 1 ELSE 0 END) AS n_covered,
+           CAST(sum(CASE WHEN eta_s <= 50000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
            round(sum(CASE WHEN eta_s <= 50000.0 THEN c_acctbal ELSE 0.0 END), 2)
              AS covered_pop,
            round(sum(c_acctbal), 2) AS total_pop

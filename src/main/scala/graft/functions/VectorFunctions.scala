@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -58,6 +59,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "cosine_sim"
+  // The kernel is picked from the LEFT child's type and reads raw array
+  // slots — without this check, int arrays or mixed float/double inputs
+  // (reachable via the SQL registry) would read wrong-width data and
+  // return garbage instead of failing analysis.
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (lt, rt) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires both arguments to be array<float> or both " +
+          s"array<double>, got ${lt.simpleString} and ${rt.simpleString}")
+    }
   protected override def nullSafeEval(a: Any, b: Any): Any =
     if (isFloat) VectorMath.cosF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     else VectorMath.cosD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

@@ -23,9 +23,15 @@ object AsofJoin {
     * @param valueCols  right-side columns to carry; emitted as `asof_<c>` */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, valueCols: Seq[String]): DataFrame = {
+    // Carry ONE struct of all right value columns, not one carried column
+    // per value: per-column last(_, ignoreNulls) would substitute an older
+    // non-null for a null in the latest row and could mix values from
+    // different right rows. A struct is non-null whenever the row exists,
+    // so the emitted values always come from the same (latest) right row,
+    // nulls included.
     val r = right
-      .select((keys :+ tsCol).map(col) ++
-        valueCols.map(c => col(c).as(s"_r_$c")): _*)
+      .select((keys :+ tsCol).map(col) :+
+        struct(valueCols.map(col): _*).as("_r"): _*)
       .withColumn("_side", lit(0))
     val l = left.withColumn("_side", lit(1))
     val unioned = l.unionByName(r, allowMissingColumns = true)
@@ -33,10 +39,11 @@ object AsofJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(unioned)((df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w)))
+    val carried = unioned
+      .withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))
     carried.filter(col("_side") === 1)
-      .select(left.columns.map(col) ++ valueCols.map(c => col(s"asof_$c")): _*)
+      .select(left.columns.map(col) ++
+        valueCols.map(c => col(s"_asof.$c").as(s"asof_$c")): _*)
   }
 
   /** Query surface: for each purchase event, the user's most recent click

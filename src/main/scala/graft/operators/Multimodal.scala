@@ -103,15 +103,23 @@ object Multimodal {
 
   /** Feature extraction over the media table: one mapPartitions pass with
     * typed encoders (binary never leaves the executor as anything but the
-    * input column; output rows are small fixed-width features). */
+    * input column; output rows are small fixed-width features). The
+    * 8-bucket histogram is emitted as scalar columns hist_0..hist_7 —
+    * the verification harness sorts/hashes values and cannot order array
+    * cells. */
   def features(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    mediaTable(spark, dir)
+    val feats = mediaTable(spark, dir)
       .mapPartitions { it =>
         // real codecs would initialize once per partition here
         it.map(stubDecode)
       }
       .toDF()
+    val histCols = (0 until 8).map(i =>
+      element_at(col("histogram"), i + 1).as(s"hist_$i"))
+    feats
+      .select(Seq(col("doc_id"), col("kind"), col("byte_len"), col("checksum"),
+        col("width"), col("height"), col("n_frames")) ++ histCols: _*)
       .orderBy(col("doc_id"))
   }
 }

@@ -21,6 +21,13 @@ object Salting {
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  nSalts: Int = 16, joinType: String = "inner"): DataFrame = {
     require(nSalts > 1)
+    // right_outer/full_outer would emit every unmatched right row once per
+    // salt replica — only left-preserving join types are correct here
+    val allowed = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti", "cross")
+    require(allowed.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin replicates the right side; joinType '$joinType' would " +
+        "duplicate unmatched right rows (use inner/left_outer/semi/anti)")
     // salt from a hash of the key columns + a cheap row-local component;
     // any distribution works (result is salt-invariant), this one avoids
     // rand() so reruns of the same partition layout are repeatable

@@ -87,11 +87,14 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
 
   /** Winnowing fingerprint per document (rows-only: hash sets have no
-    * portable SQL equivalent). */
+    * portable SQL equivalent). One row per (doc, fingerprint-position) —
+    * scalar columns only, because the verification harness sorts/hashes
+    * values and cannot order array cells. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         TextFunctions.winnow_fingerprint(col("text")).as("fp"))
-      .select(col("doc_id"), size(col("fp")).as("n_fp"), col("fp"))
-      .orderBy(col("doc_id"))
+      .select(col("doc_id"), size(col("fp")).as("n_fp"),
+        posexplode(col("fp")).as(Seq("fp_pos", "fp_hash")))
+      .orderBy(col("doc_id"), col("fp_pos"))
 }

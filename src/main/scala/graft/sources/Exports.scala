@@ -42,12 +42,21 @@ object Exports {
         lit("]")).as("json"))
   }
 
+  /** JSON-encode one scalar (or nested) column: to_json only accepts
+    * struct/array/map, so wrap the value in a single-field struct and strip
+    * the canonical `{"k":` / `}` wrapper (to_json emits no whitespace).
+    * Handles quoting/escaping of string keys for free. */
+  private[sources] def jsonEncoded(c: Column): Column = {
+    val wrapped = to_json(struct(c.as("k")))
+    wrapped.substr(lit(6), length(wrapped) - 6)
+  }
+
   /** Write the grouped-JSON frame as one JSON object file shape:
     * {"key": [...], ...} per partition line-oriented — each line is
     * `"<key>": [...]` so a downstream cat/wrap produces the reference's
     * single-object export. */
   def writeGroupedJson(df: DataFrame, keyCol: String, path: String): Unit =
     groupedJson(df, keyCol)
-      .select(concat(to_json(col(keyCol)), lit(": "), col("json")).as("value"))
+      .select(concat(jsonEncoded(col(keyCol)), lit(": "), col("json")).as("value"))
       .write.mode("overwrite").text(path)
 }

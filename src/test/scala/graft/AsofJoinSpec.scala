@@ -23,6 +23,18 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out(2).isNullAt(3))           // k=2 has no right rows
   }
 
+  test("null in the latest right row is emitted, not replaced by older values") {
+    import spark.implicits._
+    val left = Seq((1L, t(30), "p1")).toDF("k", "ts", "tag")
+    // latest right row (t=20) has v=null, w=7; older row (t=10) has v=5, w=1.
+    // Correct output: (null, 7) — the latest ROW's values, not a per-column mix.
+    val right = Seq((1L, t(10), Some(5.0), 1L), (1L, t(20), None, 7L))
+      .toDF("k", "ts", "v", "w")
+    val out = AsofJoin.asofJoin(left, right, Seq("k"), "ts", Seq("v", "w")).head()
+    assert(out.isNullAt(3), "asof_v must keep the latest row's null")
+    assert(out.getLong(4) == 7L)
+  }
+
   test("asof equals naive inequality-join formulation on real events") {
     val viaMerge = AsofJoin.purchaseLastClick(spark, sf)
       .collect().map(r => (r.getLong(0), Option(r.get(4)))).toMap

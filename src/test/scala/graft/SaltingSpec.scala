@@ -21,6 +21,24 @@ class SaltingSpec extends AnyFunSuite {
     assert(salted == plain && plain.size == 1801)
   }
 
+  test("salted join equals plain left_outer join, rejects right-preserving types") {
+    import spark.implicits._
+    val left = spark.range(100).select(pmod(col("id"), lit(5)).as("k"), col("id").as("p"))
+    val right = Seq((0L, "a"), (1L, "b"), (99L, "nomatch")).toDF("k", "name")
+    val plain = left.join(right, Seq("k"), "left_outer")
+      .select("k", "p", "name").collect().map(_.toSeq).toSet
+    val salted = Salting.saltedJoin(left, right, Seq("k"), joinType = "left_outer")
+      .select("k", "p", "name").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    // right-side replication would emit unmatched right rows nSalts times
+    intercept[IllegalArgumentException] {
+      Salting.saltedJoin(left, right, Seq("k"), joinType = "right_outer")
+    }
+    intercept[IllegalArgumentException] {
+      Salting.saltedJoin(left, right, Seq("k"), joinType = "full_outer")
+    }
+  }
+
   test("salted two-phase aggregation equals direct aggregation") {
     val df = Tables.orders(spark, TestSession.sf)
     val direct = df.groupBy(col("o_orderstatus"))

@@ -17,6 +17,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(got - expect) < 1e-12, s"$got vs $expect")
   }
 
+  test("cosine_sim rejects int arrays and mixed float/double at analysis time") {
+    import spark.implicits._
+    val ints = Seq((Array(1, 2), Array(3, 4))).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(cosine_sim(col("a"), col("b"))).collect()
+    }
+    val mixed = Seq((Array(1.0f, 2.0f), Array(3.0, 4.0))).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      mixed.select(cosine_sim(col("a"), col("b"))).collect()
+    }
+    // and via the SQL registry (the path ADVICE flagged)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cosine_sim(array(1, 2), array(3, 4))").collect()
+    }
+  }
+
   test("cosine_sim of a vector with itself is 1") {
     val one = Similarity.bruteTopK(spark, sf, k = 1, nQueries = 3)
     one.collect().foreach(r => assert(r.getDouble(3) < 1.0)) // self excluded

@@ -81,6 +81,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(firstLine >= 1)
   }
 
+  test("writeGroupedJson emits one `\"key\": [...]` JSON line per key, quoting scalars") {
+    import spark.implicits._
+    val df = Seq(("area \"A\"", 1, 10.0), ("area \"A\"", 2, 20.0), (null: String, 3, 30.0))
+      .toDF("area", "origin", "eta")
+    val path = tmpDir("grouped_json")
+    Exports.writeGroupedJson(df.filter(col("area").isNotNull), "area", path)
+    val lines = spark.read.text(path).as[String].collect().sorted
+    assert(lines.length == 1)
+    // the key must be a JSON-escaped string and the payload a JSON array
+    assert(lines(0).startsWith("\"area \\\"A\\\"\": ["), lines(0))
+    // numeric key variant stays unquoted
+    val num = Seq((7L, "x")).toDF("area_id", "v")
+    val path2 = tmpDir("grouped_json_num")
+    Exports.writeGroupedJson(num, "area_id", path2)
+    val l2 = spark.read.text(path2).as[String].head()
+    assert(l2.startsWith("7: ["), l2)
+  }
+
   test("grouped JSON groups rows per key with parseable arrays") {
     import spark.implicits._
     val df = Seq(("areaA", 1, 10.0), ("areaA", 2, 20.0), ("areaB", 3, 30.0))
