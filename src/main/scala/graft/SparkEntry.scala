@@ -34,6 +34,12 @@ object SparkEntry {
     "q13_asof_join" -> (AsofJoin.purchaseLastClick _),
     "q14_distinct_agg" -> (Relational.q14DistinctAgg _),
     "q15_set_ops" -> (Relational.q15SetOps _),
+    "q16_correlated_avg" -> (Relational.q16CorrelatedAvg _),
+    "q17_grouping_sets" -> (Relational.q17GroupingSets _),
+    "q18_group_having" -> (Relational.q18GroupHaving _),
+    "q19_json_extract" -> (Relational.q19JsonExtract _),
+    "q20_monthly_volume" -> (Relational.q20MonthlyVolume _),
+    "q21_stats" -> (Relational.q21Stats _),
     // B. spatial / accessibility
     "geo_grid_assign" -> (Accessibility.gridAssign _),
     "geo_bbox_filter" -> (Accessibility.bboxFilter _),
@@ -43,6 +49,7 @@ object SparkEntry {
     "geo_centroid" -> (Accessibility.centroid _),
     "geo_accessibility" -> ((s, d) => Accessibility.accessibility(s, d)),
     "geo_tile_assign" -> ((s, d) => Accessibility.tileAssign(s, d)),
+    "geo_knn" -> ((s, d) => Accessibility.knnPoi(s, d)),
     // C. deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_exact_survivors" -> (Dedup.exactSurvivors _),
@@ -58,6 +65,12 @@ object SparkEntry {
     "text_langid" -> (TextAnalysis.langid _),
     "text_tokens" -> (TextAnalysis.tokens _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    "text_normalize_dedup" -> (TextAnalysis.normalizeDedup _),
+    "text_bigrams" -> ((s, d) => TextAnalysis.bigrams(s, d)),
+    // sketch-based approximate aggregation (rows-only: sketch internals
+    // are engine-specific)
+    "sketch_distinct" -> ((s, d) => Sketches.distinctUsers(s, d)),
+    "sketch_quantiles" -> ((s, d) => Sketches.valueQuantiles(s, d)),
     // F. multimodal plumbing
     "mm_features" -> (Multimodal.features _),
     // G. streaming (batch-equivalent plans; streaming entry points share
@@ -65,7 +78,8 @@ object SparkEntry {
     "stream_window_agg" -> (graft.streaming.EventStreams.windowAggBatch _),
     "stream_sessionize" -> (graft.streaming.EventStreams.sessionizeBatch _),
     "stream_dedup" -> (graft.streaming.EventStreams.dedupBatch _),
-    "stream_anomaly" -> (graft.streaming.EventStreams.anomaliesBatch _)
+    "stream_anomaly" -> (graft.streaming.EventStreams.anomaliesBatch _),
+    "stream_interval_join" -> (graft.streaming.EventStreams.intervalJoinBatch _)
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (column names aliased to
@@ -171,6 +185,50 @@ object SparkEntry {
          CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
          round(sum(o_totalprice), 2) AS total_value
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q16_correlated_avg" ->
+      """WITH a AS (SELECT l_partkey AS ap, avg(l_quantity) AS avg_qty
+           FROM lineitem GROUP BY 1),
+         bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#3')
+         SELECT round(sum(l_extendedprice) / CAST(7.0 AS DOUBLE), 2) AS avg_yearly,
+           count(*) AS n_items
+         FROM lineitem, a, bp
+         WHERE l_partkey = p_partkey AND l_partkey = ap
+           AND l_quantity < avg_qty * CAST(0.5 AS DOUBLE)""",
+    "q17_grouping_sets" ->
+      """SELECT r_name, o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_value
+         FROM orders, customer, nation, region
+         WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+           AND n_regionkey = r_regionkey
+         GROUP BY GROUPING SETS ((r_name, o_orderstatus), (o_orderstatus), ())
+         ORDER BY r_name NULLS FIRST, o_orderstatus NULLS FIRST""",
+    "q18_group_having" ->
+      """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS total_qty
+           FROM lineitem GROUP BY 1
+           HAVING sum(l_quantity) > CAST(180.0 AS DOUBLE))
+         SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           round(o_totalprice, 2) AS o_total, total_qty
+         FROM orders, big, customer
+         WHERE o_orderkey = l_orderkey AND o_custkey = c_custkey
+         ORDER BY total_qty DESC, o_orderkey""",
+    "q19_json_extract" ->
+      """SELECT CAST(props->>'$.k' AS BIGINT) // 10 AS k_decile,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value,
+           count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q20_monthly_volume" ->
+      """SELECT date_trunc('month', o_orderdate) AS month,
+           count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_value
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    // stddev via explicit integer-exact sums — identical op sequence to
+    // the Spark plan so the doubles agree bitwise (SURVEY.md §6)
+    "q21_stats" ->
+      """WITH s AS (SELECT l_returnflag, count(*) AS n,
+           sum(l_quantity) AS s1, sum(l_quantity * l_quantity) AS s2
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, n, round(s1 / n, 4) AS mean_qty,
+           round(sqrt((s2 * n - s1 * s1) / (n * (n - 1))), 4) AS stddev_qty
+         FROM s ORDER BY l_returnflag""",
     "q13_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events
            WHERE event_type = 'purchase'),
@@ -271,6 +329,23 @@ object SparkEntry {
            round(sum(c_acctbal), 2) AS total_pop
          FROM per JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
+    "geo_knn" ->
+      """WITH o AS (SELECT c_custkey,
+           (c_custkey * 37 % 1700) / 10.0 - 85.0 AS lat,
+           (c_custkey * 91 % 3600) / 10.0 - 180.0 AS lon FROM customer),
+         p AS (SELECT s_suppkey,
+           (s_suppkey * 37 % 1700) / 10.0 - 85.0 AS plat,
+           (s_suppkey * 91 % 3600) / 10.0 - 180.0 AS plon FROM supplier),
+         pairs AS (SELECT c_custkey, s_suppkey,
+           sqrt((lat - plat) * (lat - plat) + (lon - plon) * (lon - plon)) AS d
+           FROM o CROSS JOIN p
+           WHERE sqrt((lat - plat) * (lat - plat) + (lon - plon) * (lon - plon)) <= 60.0)
+         SELECT c_custkey, rk, s_suppkey, round(d, 4) AS dist_deg FROM (
+           SELECT c_custkey, s_suppkey, d,
+             row_number() OVER (PARTITION BY c_custkey
+               ORDER BY d, s_suppkey) AS rk
+           FROM pairs) t
+         WHERE rk <= 3 ORDER BY c_custkey, rk""",
     "geo_tile_assign" ->
       """WITH o AS (SELECT c_acctbal,
            (c_custkey * 37 % 1700) / 10.0 - 85.0 AS lat,
@@ -333,6 +408,17 @@ object SparkEntry {
              * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
              / CAST(10000.0 AS DOUBLE) AS score
          FROM documents ORDER BY doc_id""",
+    "text_normalize_dedup" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS h,
+           count(*) AS n_dups, min(doc_id) AS survivor
+         FROM documents GROUP BY 1 ORDER BY survivor""",
+    "text_bigrams" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
+         b AS (SELECT unnest(list_transform(range(1, len(l)),
+           i -> l[i] || ' ' || l[i + 1])) AS bigram FROM t)
+         SELECT bigram, count(*) AS n FROM b
+         GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""",
     "text_langid" ->
       """WITH h AS (SELECT doc_id,
            len(list_filter(string_split(text, ' '),
@@ -391,6 +477,17 @@ object SparkEntry {
              row_number() OVER (PARTITION BY user_id, event_type,
                date_trunc('hour', ts) ORDER BY ts, event_id) AS rn
            FROM events) t
-         WHERE rn = 1 ORDER BY user_id, event_type, hr"""
+         WHERE rn = 1 ORDER BY user_id, event_type, hr""",
+    "stream_interval_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'purchase'),
+         c AS (SELECT user_id AS cu, ts AS cts, value AS cv FROM events
+           WHERE event_type = 'click')
+         SELECT event_id, user_id, ts, value,
+           count(cv) AS n_clicks_10m, round(max(cv), 2) AS max_click_10m
+         FROM p LEFT JOIN c ON user_id = cu
+           AND cts >= ts - INTERVAL '10 minutes' AND cts <= ts
+         GROUP BY event_id, user_id, ts, value
+         ORDER BY event_id"""
   )
 }

@@ -137,6 +137,28 @@ object Accessibility {
       .orderBy(col("n_name"))
   }
 
+  /** k nearest POIs per origin within the search cap (the reference's
+    * expanding-buffer "find at least 4 POIs" step, tasks.js:73-87, as a
+    * bounded kNN). Grid-bucketed radius join bounds the candidate set;
+    * the k-bounded-heap aggregate ([[graft.functions.TopKByScore]])
+    * keeps only k candidates per origin per partition, so the shuffle is
+    * k rows per origin — never the full candidate fan-out. Score is
+    * -distance: the heap keeps the highest scores, ties break by POI id
+    * ascending, matching a (dist asc, id asc) ranking exactly. */
+  def knnPoi(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val o = origins(spark, dir).select(col("c_custkey"), col("lat"), col("lon"))
+    val p = pois(spark, dir).select(col("s_suppkey"), col("lat"), col("lon"))
+    GeoJoins.radiusJoin(o, p, MaxReachDeg, broadcastRight = true)
+      .groupBy(col("c_custkey"))
+      .agg(graft.functions.TopK.top_k_by_score(
+        -col("dist_deg"), col("s_suppkey"), k).as("top"))
+      .select(col("c_custkey"), posexplode(col("top")))
+      .select(col("c_custkey"), (col("pos") + 1).cast("int").as("rk"),
+        col("col.id").as("s_suppkey"),
+        round(-col("col.score"), 4).as("dist_deg"))
+      .orderBy(col("c_custkey"), col("rk"))
+  }
+
   /** Slippy-tile assignment + per-tile stats (ram-vt tiling analog). */
   def tileAssign(spark: SparkSession, dir: String, zoom: Int = 4): DataFrame =
     origins(spark, dir)

@@ -194,4 +194,107 @@ object Relational {
       .select(col("o_custkey").as("c_custkey"))
     rich.intersect(ordering).except(urgent).orderBy(col("c_custkey"))
   }
+
+  /** Correlated-scalar-subquery shape (TPC-H Q17): lineitems below half
+    * their part's average quantity. Decorrelated by hand into a per-part
+    * aggregate + equi-join — the plan Catalyst's subquery decorrelation
+    * would produce, but explicit so the two-scan shape is visible. The
+    * per-part avg side is small (one row per part) => broadcast. */
+  def q16CorrelatedAvg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir).filter(col("p_brand") === "Brand#3")
+      .select(col("p_partkey"))
+    // avg(l_quantity) is exact across partitionings: quantities are
+    // integer-valued doubles, so the sums have no fp rounding to reorder
+    val avgs = li.groupBy(col("l_partkey"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    // joining the (part-filtered) avg side both applies the brand filter
+    // and attaches the correlated average — one broadcast join
+    val brandAvgs = avgs.join(broadcast(p), avgs("l_partkey") === p("p_partkey"))
+      .select(col("l_partkey").as("_ap"), col("avg_qty"))
+    li.join(broadcast(brandAvgs), li("l_partkey") === col("_ap"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.5)
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** GROUPING SETS over a shape rollup can't express: per (region,
+    * status), per status alone, and the grand total — one Expand pass,
+    * partial-agg friendly (Spark 4 Dataset.groupingSets). */
+  def q17GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupingSets(
+        Seq(Seq(col("r_name"), col("o_orderstatus")),
+          Seq(col("o_orderstatus")), Seq.empty),
+        col("r_name"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_value"))
+      .orderBy(col("r_name").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+  }
+
+  /** Group-HAVING feeding a join (TPC-H Q18): big orders (total quantity
+    * > threshold) with their customer. The HAVING side aggregates the
+    * fact table first (partial agg), then only qualifying keys join. */
+  def q18GroupHaving(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 180.0)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    o.join(big, o("o_orderkey") === big("l_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), round(col("o_totalprice"), 2).as("o_total"),
+        col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+  }
+
+  /** Semi-structured extraction: pull a typed field out of the events
+    * JSON `props` column and aggregate by it — the get_json_object path
+    * stays codegen'd, no UDF. */
+  def q19JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("k_decile", (col("k") / 10).cast("long"))
+      .groupBy(col("k_decile"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("k_decile"))
+
+  /** Calendar bucketing: monthly order volume (date_trunc survives into
+    * partition pruning when the table is date-partitioned). */
+  def q20MonthlyVolume(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_value"))
+      .orderBy(col("month"))
+
+  /** Variance/stddev via explicit algebraic sums (sum, sum of squares):
+    * the form that stays exact AND order-independent here because
+    * l_quantity is integer-valued (all sums are exact integers < 2^53),
+    * unlike stddev_samp whose float accumulation is partition-order
+    * dependent and can't be oracle-hashed. Partial-agg friendly by
+    * construction. */
+  def q21Stats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("s1"),
+        sum(col("l_quantity") * col("l_quantity")).as("s2"))
+      .select(col("l_returnflag"),
+        col("n"),
+        round(col("s1") / col("n"), 4).as("mean_qty"),
+        round(sqrt((col("s2") * col("n") - col("s1") * col("s1")) /
+          (col("n") * (col("n") - lit(1)))), 4).as("stddev_qty"))
+      .orderBy(col("l_returnflag"))
 }

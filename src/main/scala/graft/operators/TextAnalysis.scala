@@ -86,6 +86,32 @@ object TextAnalysis {
         col("max_token_len"), col("n_distinct"))
       .orderBy(col("doc_id"))
 
+  /** Normalization-aware exact dedup: lower-case, strip punctuation,
+    * collapse whitespace, then cluster on md5 of the canonical text —
+    * catches trivially-reformatted duplicates exact dedup misses. All
+    * per-row codegen'd string ops until the final hash-groupBy. */
+  def normalizeDedup(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(norm).as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("survivor"))
+      .orderBy(col("survivor"))
+  }
+
+  /** Corpus-wide top bigrams (the n-gram frequency table of a corpus
+    * profile). Shingling is the single-pass WordShingles expression;
+    * the count is partial-agg friendly, and only (bigram, count) pairs
+    * shuffle — never the documents. */
+  def bigrams(spark: SparkSession, dir: String, topN: Int = 20): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(TextFunctions.word_shingles(col("text"), 2)).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(topN)
+
   /** Winnowing fingerprint per document (rows-only: hash sets have no
     * portable SQL equivalent). One row per (doc, fingerprint-position) —
     * scalar columns only, because the verification harness sorts/hashes

@@ -137,4 +137,58 @@ object EventStreams {
       .dropDuplicates("user_id", "event_type", "hr")
       .select(col("user_id"), col("event_type"), col("hr"),
         col("event_id"), col("value"))
+
+  // ---- stream-stream interval join ----
+
+  val JoinLookback = "10 minutes"
+
+  /** Per purchase: the same user's clicks in the trailing lookback window
+    * (click.ts in [purchase.ts - 10 min, purchase.ts]). The join is equi
+    * on user_id plus a bounded time-range predicate — the shape Spark's
+    * stream-stream join can execute with bounded state, and a per-user
+    * hash join in batch. Left outer keeps purchases with no recent
+    * clicks (n_clicks_10m = 0). */
+  def recentClicksJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.select(col("event_id"), col("user_id").as("p_user"),
+      col("ts").as("p_ts"), col("value"))
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+      col("value").as("c_value"))
+    p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $JoinLookback") &&
+          col("c_ts") <= col("p_ts"),
+        "left_outer")
+      .groupBy(col("event_id"), col("p_user"), col("p_ts"), col("value"))
+      .agg(count(col("c_value")).as("n_clicks_10m"),
+        round(max(col("c_value")), 2).as("max_click_10m"))
+      .select(col("event_id"), col("p_user").as("user_id"),
+        col("p_ts").as("ts"), col("value"), col("n_clicks_10m"),
+        col("max_click_10m"))
+  }
+
+  def intervalJoinBatch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    recentClicksJoin(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "click"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Streaming form: both sides watermarked; the range condition bounds
+    * the click-side state Spark must retain to the lookback + watermark.
+    * (Streaming stream-stream joins cannot be left-outer-aggregated in
+    * one step, so the streaming surface emits the raw joined pairs;
+    * downstream windowed aggregation completes the rollup.) */
+  def recentClicksJoinStream(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", Watermark)
+      .select(col("event_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value"))
+    val c = clicks.withWatermark("ts", Watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("c_value"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $JoinLookback") &&
+        col("c_ts") <= col("p_ts"))
+  }
 }

@@ -91,6 +91,29 @@ class GeoSpec extends AnyFunSuite {
     assert(perOrigin.forall(_.length == 4))
   }
 
+  test("knn equals brute-force window ranking") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.GeoFunctions._
+    val o = Tables.customer(spark, sf)
+      .select(col("c_custkey"), latOf(col("c_custkey")).as("lat"),
+        lonOf(col("c_custkey")).as("lon"))
+    val p = Tables.supplier(spark, sf)
+      .select(col("s_suppkey"), latOf(col("s_suppkey")).as("plat"),
+        lonOf(col("s_suppkey")).as("plon"))
+    val d = euclidDeg(col("lat"), col("lon"), col("plat"), col("plon"))
+    val w = Window.partitionBy(col("c_custkey")).orderBy(col("d"), col("s_suppkey"))
+    val brute = o.crossJoin(p).withColumn("d", d)
+      .filter(col("d") <= operators.Accessibility.MaxReachDeg)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("c_custkey"), col("rk"), col("s_suppkey"), round(col("d"), 4))
+      .collect().map(_.toSeq).toSet
+    val got = operators.Accessibility.knnPoi(spark, sf)
+      .select(col("c_custkey"), col("rk").cast("int"), col("s_suppkey"),
+        col("dist_deg"))
+      .collect().map(_.toSeq).toSet
+    assert(got == brute && got.nonEmpty)
+  }
+
   test("accessibility covered <= total") {
     Accessibility.accessibility(spark, sf).collect().foreach { r =>
       assert(r.getLong(2) <= r.getLong(1)) // n_covered <= n_origins

@@ -28,7 +28,8 @@ class RelationalSpec extends AnyFunSuite {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val rowsOnly = Set(
       "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
-      "ann_ivf_topk", "mm_features", "text_fingerprint", "stream_anomaly")
+      "ann_ivf_topk", "mm_features", "text_fingerprint", "stream_anomaly",
+      "sketch_distinct", "sketch_quantiles")
     assert(noOracle.subsetOf(rowsOnly),
       s"queries missing oracle and not declared rows-only: ${noOracle -- rowsOnly}")
   }
@@ -45,5 +46,47 @@ class RelationalSpec extends AnyFunSuite {
     rows.groupBy(_.getInt(0)).foreach { case (_, rs) =>
       assert(rs.map(_.getInt(1)).sorted.sameElements(1 to rs.length))
     }
+  }
+
+  test("q16 equals Catalyst's own correlated-subquery decorrelation") {
+    Seq(Tables.lineitem(spark, sf), Tables.part(spark, sf))
+      .zip(Seq("lineitem", "part")).foreach { case (df, n) =>
+        df.createOrReplaceTempView(n) }
+    val viaSql = spark.sql(
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+        count(*) AS n_items
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey AND p_brand = 'Brand#3'
+        AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = p_partkey)""").head()
+    val got = operators.Relational.q16CorrelatedAvg(spark, sf).head()
+    assert(got.getDouble(0) == viaSql.getDouble(0) &&
+      got.getLong(1) == viaSql.getLong(1))
+  }
+
+  test("q17 grouping sets equals union of the individual group-bys") {
+    val rows = operators.Relational.q17GroupingSets(spark, sf).collect()
+    val perPair = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    val perStatus = rows.filter(r => r.isNullAt(0) && !r.isNullAt(1))
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    assert(grand.head.getLong(2) == perPair.map(_.getLong(2)).sum)
+    assert(perStatus.map(_.getLong(2)).sum == grand.head.getLong(2))
+  }
+
+  test("q21 explicit-sum stddev matches stddev_samp") {
+    import org.apache.spark.sql.functions._
+    val built = Tables.lineitem(spark, sf).groupBy(col("l_returnflag"))
+      .agg(stddev_samp(col("l_quantity")).as("sd"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    operators.Relational.q21Stats(spark, sf).collect().foreach { r =>
+      assert(math.abs(r.getDouble(3) - built(r.getString(0))) < 1e-4)
+    }
+  }
+
+  test("q19 json extraction buckets cover the k domain") {
+    val rows = operators.Relational.q19JsonExtract(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 9))
   }
 }

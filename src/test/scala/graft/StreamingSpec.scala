@@ -94,6 +94,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(streamed.head.getDouble(4) - batch.head.zscore) < 1e-9)
   }
 
+  test("interval join: streaming pairs equal the batch join's pairs") {
+    import spark.implicits._
+    val purchases = Seq(Ev(10, t(20), 1, "purchase", 9.0),
+      Ev(11, t(40), 1, "purchase", 8.0), Ev(12, t(5), 2, "purchase", 7.0))
+    val clicks = Seq(Ev(1, t(11), 1, "click", 1.0),  // in window of p10 only
+      Ev(2, t(20), 1, "click", 2.0),                  // boundary: equal ts joins
+      Ev(3, t(29), 1, "click", 3.0),                  // 11 min before p11: out
+      Ev(4, t(31), 1, "click", 4.0),                  // in window of p11
+      Ev(5, t(6), 2, "click", 5.0))                   // after p12: out
+    val batchPairs = EventStreams
+      .recentClicksJoin(purchases.toDF(), clicks.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toMap
+    assert(batchPairs == Map(10L -> 2L, 11L -> 1L, 12L -> 0L))
+
+    implicit val sqlCtx = spark.sqlContext
+    val pm = MemoryStream[Ev]; val cm = MemoryStream[Ev]
+    pm.addData(purchases: _*); cm.addData(clicks: _*)
+    val q = EventStreams.recentClicksJoinStream(pm.toDF(), cm.toDF())
+      .writeStream.format("memory").queryName("ij").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ij").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length.toLong).toMap
+    // inner streaming join emits only matched pairs
+    assert(streamed == Map(10L -> 2L, 11L -> 1L))
+  }
+
   test("batch session count on real events is sane") {
     val df = EventStreams.sessionizeBatch(spark, sf)
     val n = df.count()

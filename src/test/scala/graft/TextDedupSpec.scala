@@ -9,6 +9,32 @@ import org.apache.spark.unsafe.types.UTF8String
 class TextDedupSpec extends AnyFunSuite {
   import TestSession._
 
+  test("bigram counts equal the naive transform formulation") {
+    val naive = Tables.documents(spark, sf)
+      .select(explode(expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1)," +
+          " i -> concat(element_at(split(text, ' '), i), ' '," +
+          " element_at(split(text, ' '), i + 1)))")).as("bigram"))
+      .groupBy("bigram").count()
+      .orderBy(col("count").desc, col("bigram")).limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val got = TextAnalysis.bigrams(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == naive && got.length == 20)
+  }
+
+  test("normalized dedup clusters at least as coarsely as exact dedup") {
+    val exact = Dedup.exact(spark, sf).count()
+    val norm = TextAnalysis.normalizeDedup(spark, sf).count()
+    assert(norm <= exact, "normalization can only merge clusters")
+    // same universe of docs survives in both
+    import spark.implicits._
+    val nDocs = Tables.documents(spark, sf).count()
+    val sums = TextAnalysis.normalizeDedup(spark, sf)
+      .agg(sum(col("n_dups"))).head().getLong(0)
+    assert(sums == nDocs)
+  }
+
   test("hash64 is deterministic and spread") {
     val a = TextHash.hash64(UTF8String.fromString("spark"))
     val b = TextHash.hash64(UTF8String.fromString("spark"))
