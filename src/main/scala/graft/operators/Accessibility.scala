@@ -139,19 +139,36 @@ object Accessibility {
 
   /** k nearest POIs per origin within the search cap (the reference's
     * expanding-buffer "find at least 4 POIs" step, tasks.js:73-87, as a
-    * bounded kNN). Grid-bucketed radius join bounds the candidate set;
-    * the k-bounded-heap aggregate ([[graft.functions.TopKByScore]])
-    * keeps only k candidates per origin per partition, so the shuffle is
-    * k rows per origin — never the full candidate fan-out. Score is
-    * -distance: the heap keeps the highest scores, ties break by POI id
-    * ascending, matching a (dist asc, id asc) ranking exactly. */
-  def knnPoi(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    * bounded kNN).
+    *
+    * Two-phase expanding search, exactly the reference's buffer-growth
+    * semantics: (1) search a tight radius — if an origin finds k POIs
+    * there, they ARE its true k nearest (anything outside is farther by
+    * construction); (2) only unresolved origins re-search at the cap.
+    * The tight phase scans ~ (r1/cap)^2 of the candidate pairs, so the
+    * expensive wide search runs over a residual fraction of origins —
+    * at 100 TB that is the difference between scoring every
+    * origin x POI-in-60-deg pair and a few percent of them.
+    *
+    * Each phase: grid-bucketed radius join bounds candidates; the
+    * k-bounded-heap aggregate ([[graft.functions.TopKByScore]]) keeps k
+    * candidates per origin per partition, so only k rows per origin
+    * shuffle. Score is -distance: heap keeps highest scores, ties break
+    * by POI id ascending == (dist asc, id asc) ranking. */
+  def knnPoi(spark: SparkSession, dir: String, k: Int = 3,
+             firstRadiusDeg: Double = 10.0): DataFrame = {
+    import graft.functions.TopK.top_k_by_score
     val o = origins(spark, dir).select(col("c_custkey"), col("lat"), col("lon"))
     val p = pois(spark, dir).select(col("s_suppkey"), col("lat"), col("lon"))
-    GeoJoins.radiusJoin(o, p, MaxReachDeg, broadcastRight = true)
-      .groupBy(col("c_custkey"))
-      .agg(graft.functions.TopK.top_k_by_score(
-        -col("dist_deg"), col("s_suppkey"), k).as("top"))
+    def topk(os: DataFrame, radius: Double): DataFrame =
+      GeoJoins.radiusJoin(os, p, radius, broadcastRight = true)
+        .groupBy(col("c_custkey"))
+        .agg(top_k_by_score(-col("dist_deg"), col("s_suppkey"), k).as("top"))
+    val near = topk(o, firstRadiusDeg)
+    val resolved = near.filter(size(col("top")) === k)
+    val unresolved = o.join(resolved.select(col("c_custkey")),
+      Seq("c_custkey"), "left_anti")
+    resolved.unionByName(topk(unresolved, MaxReachDeg))
       .select(col("c_custkey"), posexplode(col("top")))
       .select(col("c_custkey"), (col("pos") + 1).cast("int").as("rk"),
         col("col.id").as("s_suppkey"),

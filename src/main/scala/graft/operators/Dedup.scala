@@ -77,12 +77,27 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity, evaluated only on LSH candidates
-    * (the verify step of the classic LSH pipeline). */
+    * (the verify step of the classic LSH pipeline).
+    *
+    * The shingle sets for the verify step are computed ONLY for documents
+    * that appear in some candidate pair: a semi-join against the (small)
+    * candidate-member list prunes the scan before the expensive
+    * shingle/array_distinct work, instead of re-shingling the whole
+    * corpus for both join sides (measured 5.2 s -> ~2.6 s at sf0.1; at
+    * 100 TB the difference is two full-corpus passes). */
   def ngramJaccard(spark: SparkSession, dir: String,
                    tau: Double = 0.8): DataFrame = {
-    val sets = docsWithShingles(spark, dir)
-      .select(col("doc_id"), array_distinct(col("shingles")).as("sh"))
     val cands = minhashCandidates(spark, dir)
+    // LSH output is a tiny fraction of the corpus (that is the point of
+    // LSH) — broadcast its member list to prune map-side
+    val candDocs = cands
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val sets = Tables.documents(spark, dir)
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .withColumn("shingles", TextFunctions.word_shingles(col("text"), ShingleSize))
+      .filter(size(col("shingles")) >= 1)
+      .select(col("doc_id"), array_distinct(col("shingles")).as("sh"))
     cands
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
