@@ -20,6 +20,24 @@ class PruningSpec extends AnyFunSuite {
     assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), scan)
   }
 
+  test("no query plans a cartesian product or sort-merge join, except the declared broadcast-NL cases") {
+    // broadcast nested-loop is the intended plan where a dimension-sized
+    // side is crossed against the big side on purpose: brute/IVF ANN
+    // scoring (queries/seeds x candidates) and the conditional-min ETA
+    // pattern (all POIs of a type must be visible to every origin so
+    // unreachable origins still emit a null row)
+    val nlAllowed = Set("ann_brute_topk", "ann_ivf_topk",
+      "geo_accessibility", "geo_nearest_poi")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
+      assert(!plan.contains("SortMergeJoin"), s"$name plans a sort-merge join at test scale")
+      if (!nlAllowed.contains(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unexpected broadcast nested-loop join")
+    }
+  }
+
   test("partitioned write prunes partitions at read time") {
     val path = "target/tmp-sources/events_by_type"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
