@@ -40,6 +40,7 @@ object SparkEntry {
     "q19_json_extract" -> (Relational.q19JsonExtract _),
     "q20_monthly_volume" -> (Relational.q20MonthlyVolume _),
     "q21_stats" -> (Relational.q21Stats _),
+    "q22_last_per_key" -> (Relational.q22LastPerKey _),
     // B. spatial / accessibility
     "geo_grid_assign" -> (Accessibility.gridAssign _),
     "geo_bbox_filter" -> (Accessibility.bboxFilter _),
@@ -60,6 +61,7 @@ object SparkEntry {
     "ann_brute_topk" -> ((s, d) => Similarity.bruteTopK(s, d)),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "emb_neardup" -> ((s, d) => Similarity.nearDup(s, d)),
+    "emb_neardup_lsh" -> ((s, d) => Similarity.nearDupLsh(s, d)),
     // E. text analysis
     "text_quality" -> (TextAnalysis.quality _),
     "text_langid" -> (TextAnalysis.langid _),
@@ -67,6 +69,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_normalize_dedup" -> (TextAnalysis.normalizeDedup _),
     "text_bigrams" -> ((s, d) => TextAnalysis.bigrams(s, d)),
+    "text_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     // sketch-based approximate aggregation (rows-only: sketch internals
     // are engine-specific)
     "sketch_distinct" -> ((s, d) => Sketches.distinctUsers(s, d)),
@@ -229,6 +232,13 @@ object SparkEntry {
          SELECT l_returnflag, n, round(s1 / n, 4) AS mean_qty,
            round(sqrt((s2 * n - s1 * s1) / (n * (n - 1))), 4) AS stddev_qty
          FROM s ORDER BY l_returnflag""",
+    "q22_last_per_key" ->
+      """SELECT user_id, event_id, ts, event_type, value FROM (
+           SELECT user_id, event_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) t
+         WHERE rn = 1 ORDER BY user_id""",
     "q13_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events
            WHERE event_type = 'purchase'),
@@ -413,6 +423,21 @@ object SparkEntry {
              '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS h,
            count(*) AS n_dups, min(doc_id) AS survivor
          FROM documents GROUP BY 1 ORDER BY survivor""",
+    // 3-gram shingles stated as explicit l[i]||' '||l[i+1]||' '||l[i+2]
+    // so the shingle set matches WordShingles exactly (len-2 shingles)
+    "text_decontaminate" ->
+      """WITH sh AS (SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, len(l) - 1),
+             i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) t),
+         keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 20),
+         shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+         tr AS (SELECT doc_id AS train_doc, s FROM shf WHERE doc_id % 10 <> 0),
+         ev AS (SELECT doc_id AS eval_doc, s FROM shf WHERE doc_id % 10 = 0)
+         SELECT train_doc, eval_doc, count(*) AS n_shared
+         FROM tr JOIN ev USING (s)
+         GROUP BY train_doc, eval_doc HAVING count(*) >= 3
+         ORDER BY train_doc, eval_doc""",
     "text_bigrams" ->
       """WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
          b AS (SELECT unnest(list_transform(range(1, len(l)),

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.SparkBridge
@@ -41,6 +41,32 @@ object VectorMath {
     var dot = 0.0; var i = 0
     while (i < n) { dot += x(i).toDouble * y(i).toDouble; i += 1 }
     dot
+  }
+
+  /** nBits-bit random-hyperplane signature of a float vector: bit j is
+    * the sign of the dot product with a pseudo-random ±1 hyperplane whose
+    * entries come from the shared mix64 hash of (dim, bit) — every
+    * executor derives identical planes with zero coordination or
+    * broadcast state. P(bit agrees) = 1 - angle/pi (Charikar), so
+    * banding the signature gives an ANN candidate filter for cosine. */
+  def simhashVec(a: ArrayData, nBits: Int): Long = {
+    val x = a.toFloatArray()
+    val acc = new Array[Double](nBits)
+    var i = 0
+    while (i < x.length) {
+      val xi = x(i).toDouble
+      var j = 0
+      while (j < nBits) {
+        val h = TextHash.mix64((i.toLong << 32) | j.toLong)
+        if ((h & 1L) == 0L) acc(j) += xi else acc(j) -= xi
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < nBits) { if (acc(j) >= 0.0) sig |= (1L << j); j += 1 }
+    sig
   }
 }
 
@@ -82,8 +108,31 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `vec_simhash(v, nBits)` -> long: random-hyperplane LSH signature of an
+  * array<float> embedding (see [[VectorMath.simhashVec]]). */
+case class VecSimHash(child: Expression, nBits: Int) extends UnaryExpression {
+  require(nBits > 0 && nBits <= 64)
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_simhash"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${t.simpleString}")
+  }
+  protected override def nullSafeEval(input: Any): Any =
+    VectorMath.simhashVec(input.asInstanceOf[ArrayData], nBits)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorMath.simhashVec($a, $nBits)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   def cosine_sim(a: Column, b: Column): Column =
     SparkBridge.column(CosineSimilarity(
       SparkBridge.expression(a), SparkBridge.expression(b)))
+
+  def vec_simhash(v: Column, nBits: Int): Column =
+    SparkBridge.column(VecSimHash(SparkBridge.expression(v), nBits))
 }

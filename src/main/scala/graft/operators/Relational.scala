@@ -280,6 +280,21 @@ object Relational {
         round(sum(col("o_totalprice")), 2).as("total_value"))
       .orderBy(col("month"))
 
+  /** Latest row per key — the reference's "last operation log" fetch
+    * (app/utils/operation.js:245: select ... orderBy created_at desc,
+    * first). Window row_number keeps it one shuffle; at scale prefer
+    * this over a self-join on max(ts) (one pass, no join). */
+  def q22LastPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
   /** Variance/stddev via explicit algebraic sums (sum, sum of squares):
     * the form that stays exact AND order-independent here because
     * l_quantity is integer-valued (all sums are exact integers < 2^53),

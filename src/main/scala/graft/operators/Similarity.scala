@@ -97,4 +97,46 @@ object Similarity {
       .select(col("va"), col("vb"), round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("va"), col("vb"))
   }
+
+  /** Label-free near-duplicate pairs via random-hyperplane LSH
+    * ([[graft.functions.VecSimHash]]): band the nBits signature, bucket
+    * vectors by (band, band-bits), generate pairs inside buckets only,
+    * then verify with exact cosine. Unlike [[nearDup]] this needs no
+    * blocking metadata — the signature IS the blocking key — which is
+    * the 100 TB path: only (bucket-key, id) pairs shuffle, pair fan-out
+    * is bounded per bucket, and recall/cost is tuned by (nBits, bands)
+    * via the Charikar collision probability (1 - angle/pi per bit).
+    * Approximate by construction => rows-only for the oracle; recall vs
+    * brute force is spec-checked. */
+  def nearDupLsh(spark: SparkSession, dir: String, tau: Double = 0.35,
+                 nBits: Int = 32, bands: Int = 8,
+                 maxBucket: Long = 2000): DataFrame = {
+    require(nBits % bands == 0 && nBits <= 64)
+    val r = nBits / bands
+    val mask = (1L << r) - 1
+    val sigs = emb(spark, dir).select(col("vec_id"),
+      graft.functions.VectorFunctions.vec_simhash(col("embedding"), nBits).as("sig"))
+    val banded = sigs.select(col("vec_id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(lit(b), shiftrightunsigned(col("sig"), b * r)
+          .bitwiseAND(lit(mask)))): _*)))
+      .select(col("vec_id"), col("col").as("bucket"))
+    // same single-shuffle pair pattern as the text LSH: bucket members
+    // are gathered once, pairs expand map-side, bucket size is capped
+    val cands = banded.groupBy(col("bucket"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
+          struct(x.as("va"), y.as("vb")))))).as("p"))
+      .select(col("p.va"), col("p.vb")).distinct()
+    val e = emb(spark, dir)
+    cands
+      .join(e.select(col("vec_id").as("va"), col("embedding").as("ea")), Seq("va"))
+      .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb")), Seq("vb"))
+      .withColumn("cos", cosine_sim(col("ea"), col("eb")))
+      .filter(col("cos") >= tau)
+      .select(col("va"), col("vb"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("va"), col("vb"))
+  }
 }

@@ -112,6 +112,33 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("bigram"))
       .limit(topN)
 
+  /** Train/eval decontamination: flag training documents sharing >=
+    * minShared distinct word n-grams with any eval document (doc_id % 10
+    * == 0 stands in for the benchmark set). The join is an inverted
+    * index on shingles — only (shingle, doc_id) pairs shuffle, never
+    * text — and shingles appearing in more than maxDF documents are
+    * dropped first, which both bounds the worst-case join fan-out to
+    * maxDF^2 per shingle (the skew guard) and removes boilerplate
+    * n-grams that are not contamination evidence. */
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 3,
+                    maxDF: Int = 20, minShared: Int = 3): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(TextFunctions.word_shingles(col("text"), n))).as("s"))
+    val keep = sh.groupBy(col("s"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDF).select(col("s"))
+    val shf = sh.join(keep, Seq("s"), "left_semi")
+    val tr = shf.filter(col("doc_id") % 10 =!= 0)
+      .select(col("s"), col("doc_id").as("train_doc"))
+    val ev = shf.filter(col("doc_id") % 10 === 0)
+      .select(col("s"), col("doc_id").as("eval_doc"))
+    tr.join(ev, Seq("s"))
+      .groupBy(col("train_doc"), col("eval_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("train_doc"), col("eval_doc"))
+  }
+
   /** Winnowing fingerprint per document (rows-only: hash sets have no
     * portable SQL equivalent). One row per (doc, fingerprint-position) —
     * scalar columns only, because the verification harness sorts/hashes

@@ -66,6 +66,24 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("LSH near-dup: perfect precision, bounded recall vs brute force") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    val brute = a.crossJoin(b).filter(col("va") < col("vb"))
+      .withColumn("cos", cosine_sim(col("ea"), col("eb")))
+      .filter(col("cos") >= 0.35)
+      .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.nearDupLsh(spark, sf)
+      .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute), "cosine-verified candidates can never be false positives")
+    assert(brute.nonEmpty)
+    val recall = lsh.size.toDouble / brute.size
+    assert(recall >= 0.4, s"recall $recall (${lsh.size}/${brute.size})")
+  }
+
   test("near-dup pairs are above threshold and ordered") {
     val rows = Similarity.nearDup(spark, sf).collect()
     rows.foreach { r =>

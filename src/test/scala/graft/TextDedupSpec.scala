@@ -9,6 +9,32 @@ import org.apache.spark.unsafe.types.UTF8String
 class TextDedupSpec extends AnyFunSuite {
   import TestSession._
 
+  test("decontamination flags only cross-split pairs with enough shared shingles") {
+    val rows = TextAnalysis.decontaminate(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) % 10 != 0, "train side must be off the eval split")
+      assert(r.getLong(1) % 10 == 0, "eval side must be on the eval split")
+      assert(r.getLong(2) >= 3)
+    }
+    // a doc trivially shares all its shingles with itself: planting an
+    // eval copy of a train doc must surface that pair
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val (trainId, text) = docs.find(d => d._1 % 10 != 0 && d._2.split(" ").length >= 5).get
+    val planted = docs.toSeq :+ (1000000L, text)
+    val df = planted.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("x"))
+      .withColumn("n_chars", length(col("text")))
+    val tmp = "target/tmp-sources/decon"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    df.write.parquet(s"$tmp/documents.parquet")
+    val hits = TextAnalysis.decontaminate(spark, tmp)
+      .filter(col("eval_doc") === 1000000L).collect()
+    assert(hits.exists(_.getLong(0) == trainId),
+      s"planted contamination (train $trainId) not found")
+  }
+
   test("bigram counts equal the naive transform formulation") {
     val naive = Tables.documents(spark, sf)
       .select(explode(expr(
