@@ -51,6 +51,26 @@ object Exports {
     wrapped.substr(lit(6), length(wrapped) - 6)
   }
 
+  /** The reference's results/results_poi two-table batch insert
+    * (ram-analysis/app/index.js:122-134): parent rows get ids, child rows
+    * reference them. The Spark-scale equivalent writes both tables in one
+    * pass using the NATURAL key as the foreign key — database-generated
+    * surrogate ids (or monotonically_increasing_id) are non-deterministic
+    * across retries/re-runs, which breaks idempotent re-writes at scale.
+    *
+    * @param df        denormalized rows (one per parent x child)
+    * @param parentKey columns identifying a parent row
+    * @param childCols columns belonging to the child table
+    */
+  def writeNormalized(df: DataFrame, parentKey: Seq[String],
+                      childCols: Seq[String], dir: String): Unit = {
+    val parentCols = df.columns.filterNot(childCols.contains).toSeq
+    val parent = df.select(parentCols.map(col): _*).distinct()
+    val child = df.select((parentKey ++ childCols).map(col): _*)
+    parent.write.mode("overwrite").parquet(s"$dir/results.parquet")
+    child.write.mode("overwrite").parquet(s"$dir/results_child.parquet")
+  }
+
   /** Write the grouped-JSON frame as one JSON object file shape:
     * {"key": [...], ...} per partition line-oriented — each line is
     * `"<key>": [...]` so a downstream cat/wrap produces the reference's

@@ -52,6 +52,49 @@ object GeoJson {
       .write.mode("overwrite").text(path)
   }
 
+  import org.apache.spark.sql.types._
+
+  /** MultiPolygon coordinates: polygons -> rings -> points -> [lon, lat]. */
+  private val MultiPolyType: DataType =
+    ArrayType(ArrayType(ArrayType(ArrayType(DoubleType))))
+  private val PolyType: DataType = ArrayType(ArrayType(ArrayType(DoubleType)))
+
+  /** Read polygon features (admin areas), normalizing Polygon and
+    * MultiPolygon to one MultiPolygon-shaped `rings` column — the
+    * reference's array-depth geometry-type inference
+    * (ram-analysis/app/index.js:296-306) expressed as a from_json parse
+    * cascade: try MultiPolygon depth, fall back to Polygon depth and
+    * wrap. Reads GeoJSONL (one feature per line); parse failures of one
+    * line never poison the read. */
+  def readPolygonsJsonl(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.text(path).select(col("value").as("j"))
+    val coords = get_json_object(col("j"), "$.geometry.coordinates")
+    val asMulti = from_json(coords, MultiPolyType)
+    val asPoly = from_json(coords, PolyType)
+    raw.select(
+        get_json_object(col("j"), "$.properties.name").as("name"),
+        get_json_object(col("j"), "$.geometry.type").as("declared_type"),
+        when(asMulti.isNotNull, asMulti)
+          .otherwise(array(asPoly)).as("rings"),
+        when(asMulti.isNotNull, lit("MultiPolygon"))
+          .otherwise(when(asPoly.isNotNull, lit("Polygon"))).as("inferred_type"))
+      .filter(col("rings").isNotNull && col("inferred_type").isNotNull)
+  }
+
+  /** Distributed polygon sink (GeoJSONL): `rings` must be
+    * MultiPolygon-shaped; single-polygon rows pass `multi = false` shape
+    * through [[readPolygonsJsonl]] unchanged. */
+  def writePolygonsJsonl(df: DataFrame, nameCol: String, ringsCol: String,
+                         path: String, multi: Boolean = true): Unit = {
+    val geom =
+      if (multi) struct(lit("MultiPolygon").as("type"), col(ringsCol).as("coordinates"))
+      else struct(lit("Polygon").as("type"), col(ringsCol).as("coordinates"))
+    df.select(to_json(struct(
+        lit("Feature").as("type"), geom.as("geometry"),
+        struct(col(nameCol).as("name")).as("properties"))).as("value"))
+      .write.mode("overwrite").text(path)
+  }
+
   /** Compatibility sink: a single FeatureCollection document, streamed
     * feature-by-feature through the driver (no full collect; use only for
     * final, human-sized exports — the scale path is [[writePointsJsonl]]). */

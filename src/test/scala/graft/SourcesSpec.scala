@@ -81,6 +81,59 @@ class SourcesSpec extends AnyFunSuite {
     assert(firstLine >= 1)
   }
 
+  test("polygon read infers Polygon vs MultiPolygon from coordinate depth") {
+    import spark.implicits._
+    // one Polygon (triangle), one MultiPolygon (two squares), hand-written
+    // JSON so the read path exercises real GeoJSON, not our own writer
+    val lines = Seq(
+      """{"type":"Feature","geometry":{"type":"Polygon","coordinates":[[[0.0,0.0],[4.0,0.0],[0.0,4.0],[0.0,0.0]]]},"properties":{"name":"tri"}}""",
+      """{"type":"Feature","geometry":{"type":"MultiPolygon","coordinates":[[[[10.0,10.0],[12.0,10.0],[12.0,12.0],[10.0,12.0],[10.0,10.0]]],[[[20.0,20.0],[22.0,20.0],[22.0,22.0],[20.0,22.0],[20.0,20.0]]]]},"properties":{"name":"two-sq"}}""")
+    val path = tmpDir("polys")
+    lines.toDF("value").coalesce(1).write.text(path)
+    val got = GeoJson.readPolygonsJsonl(spark, path).orderBy("name").collect()
+    assert(got.length == 2)
+    val tri = got.find(_.getString(0) == "tri").get
+    assert(tri.getString(3) == "Polygon" && tri.getString(1) == "Polygon")
+    val sq = got.find(_.getString(0) == "two-sq").get
+    assert(sq.getString(3) == "MultiPolygon")
+    // normalized rings: tri has 1 polygon, two-sq has 2
+    assert(tri.getSeq[Any](2).length == 1 && sq.getSeq[Any](2).length == 2)
+  }
+
+  test("polygon write -> read round-trips and supports point-in-poly") {
+    import spark.implicits._
+    val rings = Seq(Seq(Seq(Seq(0.0, 0.0), Seq(4.0, 0.0), Seq(0.0, 4.0), Seq(0.0, 0.0))))
+    val df = Seq(("area1", rings)).toDF("name", "rings")
+    val path = tmpDir("polys_rt")
+    GeoJson.writePolygonsJsonl(df, "name", "rings", path)
+    val back = GeoJson.readPolygonsJsonl(spark, path).head()
+    assert(back.getString(0) == "area1" && back.getString(3) == "MultiPolygon")
+    // outer ring of the first polygon drives the ray-cast expression
+    val outer = df.select(element_at(col("rings"), 1).as("poly"))
+      .select(element_at(col("poly"), 1).as("ring"))
+      .select(transform(col("ring"), p => element_at(p, 2)).as("lats"),
+        transform(col("ring"), p => element_at(p, 1)).as("lons"))
+    val hit = outer.select(graft.functions.GeoFunctions.point_in_poly(
+      lit(1.0), lit(1.0), col("lats"), col("lons")).as("in"),
+      graft.functions.GeoFunctions.point_in_poly(
+        lit(3.9), lit(3.9), col("lats"), col("lons")).as("out")).head()
+    assert(hit.getBoolean(0) && !hit.getBoolean(1))
+  }
+
+  test("normalized two-table write joins back to the denormalized rows") {
+    val eta = Accessibility.nearestPoi(spark, sf)
+    val dir = tmpDir("normalized")
+    Exports.writeNormalized(eta, Seq("c_custkey"), Seq("poi_type", "eta_s"), dir)
+    val parent = spark.read.parquet(s"$dir/results.parquet")
+    val child = spark.read.parquet(s"$dir/results_child.parquet")
+    assert(parent.columns.toSeq == Seq("c_custkey"))
+    assert(child.columns.toSeq == Seq("c_custkey", "poi_type", "eta_s"))
+    assert(parent.count() == eta.select("c_custkey").distinct().count())
+    assert(child.count() == eta.count())
+    // FK integrity: every child row joins to exactly one parent
+    assert(child.join(parent, Seq("c_custkey")).count() == child.count())
+  }
+
   test("writeGroupedJson emits one `\"key\": [...]` JSON line per key, quoting scalars") {
     import spark.implicits._
     val df = Seq(("area \"A\"", 1, 10.0), ("area \"A\"", 2, 20.0), (null: String, 3, 30.0))
