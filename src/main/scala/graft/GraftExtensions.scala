@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // plan a bare distance-radius join as a grid-bucketed equi-join
+    // instead of a cartesian product (see RadiusJoinRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.RadiusJoinRewrite)
+
     def reg(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name, usage), builder))
