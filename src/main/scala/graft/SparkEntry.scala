@@ -82,7 +82,18 @@ object SparkEntry {
     "stream_sessionize" -> (graft.streaming.EventStreams.sessionizeBatch _),
     "stream_dedup" -> (graft.streaming.EventStreams.dedupBatch _),
     "stream_anomaly" -> (graft.streaming.EventStreams.anomaliesBatch _),
-    "stream_interval_join" -> (graft.streaming.EventStreams.intervalJoinBatch _)
+    "stream_interval_join" -> (graft.streaming.EventStreams.intervalJoinBatch _),
+    "stream_topk_window" -> (graft.streaming.EventStreams.topkPerWindowBatch _),
+    // F. multimodal frame sampling (rows-only)
+    "mm_frames" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Multimodal.frameSample(Multimodal.mediaTable(s, d), everyK = 30).toDF()
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sampled"),
+          min(col("frame_idx")).as("first_frame"),
+          max(col("frame_idx")).as("last_frame"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (column names aliased to
@@ -503,6 +514,13 @@ object SparkEntry {
                date_trunc('hour', ts) ORDER BY ts, event_id) AS rn
            FROM events) t
          WHERE rn = 1 ORDER BY user_id, event_type, hr""",
+    "stream_topk_window" ->
+      """SELECT window_start, rk, event_id, value FROM (
+           SELECT date_trunc('hour', ts) AS window_start, event_id, value,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts)
+               ORDER BY value DESC, event_id) AS rk
+           FROM events) t
+         WHERE rk <= 3 ORDER BY window_start, rk""",
     "stream_interval_join" ->
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events
            WHERE event_type = 'purchase'),

@@ -138,6 +138,26 @@ object EventStreams {
       .select(col("user_id"), col("event_type"), col("hr"),
         col("event_id"), col("value"))
 
+  /** Top-k events by value per tumbling window — the k-bounded-heap
+    * aggregate ([[graft.functions.TopKByScore]]) running INSIDE the
+    * streaming state store: per-window state is k rows, not the window's
+    * full event list, so unbounded streams keep bounded state per key.
+    * Works identically on batch input (the oracle form). */
+  def topkPerWindow(events: DataFrame, k: Int = 3): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.TopK.top_k_by_score(
+        col("value"), col("event_id"), k).as("top"))
+      .select(col("window.start").as("window_start"), posexplode(col("top")))
+      .select(col("window_start"), (col("pos") + 1).cast("int").as("rk"),
+        col("col.id").as("event_id"), col("col.score").as("value"))
+
+  def topkPerWindowBatch(spark: SparkSession, dir: String): DataFrame =
+    topkPerWindow(Tables.events(spark, dir))
+      .orderBy(col("window_start"), col("rk"))
+
+  def topkPerWindowStream(events: DataFrame, k: Int = 3): DataFrame =
+    topkPerWindow(events.withWatermark("ts", Watermark), k)
+
   // ---- stream-stream interval join ----
 
   val JoinLookback = "10 minutes"

@@ -94,6 +94,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(streamed.head.getDouble(4) - batch.head.zscore) < 1e-9)
   }
 
+  test("windowed top-k runs as a real stream with heap state, equals batch") {
+    import spark.implicits._
+    val evs = Seq(Ev(1, t(1), 1, "m", 5.0), Ev(2, t(2), 1, "m", 9.0),
+      Ev(3, t(3), 2, "m", 7.0), Ev(4, t(4), 2, "m", 1.0),
+      Ev(5, t(65), 1, "m", 4.0))
+    val batch = EventStreams.topkPerWindow(evs.toDF())
+      .orderBy("window_start", "rk").collect().map(_.toSeq).toSeq
+    // first hour keeps top-3 of 4 events (9,7,5), second hour has one
+    assert(batch.map(_(2)) == Seq(2L, 3L, 1L, 5L))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // two micro-batches: the heap state must merge across them
+    mem.addData(evs.take(2): _*)
+    val q = EventStreams.topkPerWindowStream(mem.toDF())
+      .writeStream.format("memory").queryName("topkw")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    mem.addData(evs.drop(2): _*)
+    q.processAllAvailable(); q.stop()
+    val sorted = spark.table("topkw").collect().map(_.toSeq).sortBy(r =>
+      (r(0).asInstanceOf[java.sql.Timestamp].getTime, r(1).asInstanceOf[Int]))
+    assert(sorted.toSeq == batch)
+  }
+
   test("interval join: streaming pairs equal the batch join's pairs") {
     import spark.implicits._
     val purchases = Seq(Ev(10, t(20), 1, "purchase", 9.0),
