@@ -109,6 +109,54 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Near-duplicate CLUSTERS from the verified pair list: connected
+    * components via iterative min-label propagation — the final step of
+    * a production dedup pipeline (pairs alone over-count; keep-one-per-
+    * component is the actual delete set).
+    *
+    * Each iteration is one shuffle (edge join + min aggregate) and
+    * converges in O(component diameter) rounds — near-dup components are
+    * shallow in practice, and maxIter bounds the pathological chain.
+    * `localCheckpoint` truncates the growing lineage each round so the
+    * plan stays O(1) instead of O(iterations) — without it the driver
+    * re-optimizes an exponentially nested plan and executors recompute
+    * every prior round. Driver-side loop control with a scalar count per
+    * round; no per-row driver work.
+    *
+    * Output: (doc_id, cluster, cluster_size), cluster = min doc_id of
+    * the component (deterministic), singletons excluded (docs in no
+    * pair are their own survivor by definition). */
+  def nearDupClusters(spark: SparkSession, dir: String,
+                      maxIter: Int = 10): DataFrame = {
+    val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val next = labels.join(prop, labels("id") === prop("src"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") =!= col("prev")).isEmpty
+      labels = next
+      i += 1
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster"),
+        col("cluster_size"))
+      .orderBy(col("cluster"), col("doc_id"))
+  }
+
   /** SimHash near-dup pairs with hamming distance <= maxHamming, exactly.
     *
     * Pigeonhole over m=6 blocks: a pair within hamming k=3 differs in at

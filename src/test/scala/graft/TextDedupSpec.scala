@@ -9,6 +9,29 @@ import org.apache.spark.unsafe.types.UTF8String
 class TextDedupSpec extends AnyFunSuite {
   import TestSession._
 
+  test("near-dup clusters equal the transitive closure of the pair list") {
+    val pairs = Dedup.ngramJaccard(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "testdata must contain near-dup pairs")
+    // naive union-find on the collected pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expect = members.map(m => m -> find(m)).toMap
+    val got = Dedup.nearDupClusters(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    // cluster label is the component minimum
+    expect.groupBy(_._2).foreach { case (c, ms) => assert(ms.keys.min == c) }
+  }
+
   test("decontamination flags only cross-split pairs with enough shared shingles") {
     val rows = TextAnalysis.decontaminate(spark, sf).collect()
     rows.foreach { r =>
