@@ -150,8 +150,12 @@ object Dedup {
       labels = next
       i += 1
     }
-    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "label")
+    // cluster size via a window over the label partition — one shuffle,
+    // no join (a labels x sizes join would be large-large at scale, and
+    // the checkpointed side has no stats for a broadcast decision)
+    labels
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("label"))))
       .select(col("id").as("doc_id"), col("label").as("cluster"),
         col("cluster_size"))
       .orderBy(col("cluster"), col("doc_id"))
