@@ -51,6 +51,7 @@ object SparkEntry {
     "geo_accessibility" -> ((s, d) => Accessibility.accessibility(s, d)),
     "geo_tile_assign" -> ((s, d) => Accessibility.tileAssign(s, d)),
     "geo_knn" -> ((s, d) => Accessibility.knnPoi(s, d)),
+    "geo_area_assign" -> (Accessibility.areaAssign _),
     // C. deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_exact_survivors" -> (Dedup.exactSurvivors _),
@@ -350,6 +351,21 @@ object SparkEntry {
              AS covered_pop,
            round(sum(c_acctbal), 2) AS total_pop
          FROM per JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+    // rectangles stated as bbox predicates; the Spark side runs the full
+    // ray-cast point_in_poly over the same (off-lattice) bounds
+    "geo_area_assign" ->
+      """WITH a AS (SELECT n_name,
+           n_nationkey * 13 % 150 - 80 + CAST(0.05 AS DOUBLE) AS lat0,
+           n_nationkey * 29 % 330 - 175 + CAST(0.05 AS DOUBLE) AS lon0
+           FROM nation),
+         o AS (SELECT c_acctbal,
+           (c_custkey * 37 % 1700) / 10.0 - 85.0 AS lat,
+           (c_custkey * 91 % 3600) / 10.0 - 180.0 AS lon FROM customer)
+         SELECT n_name, count(*) AS n_origins,
+           round(sum(c_acctbal), 2) AS pop
+         FROM o JOIN a ON lat > lat0 AND lat < lat0 + 20.0
+           AND lon > lon0 AND lon < lon0 + 30.0
          GROUP BY n_name ORDER BY n_name""",
     "geo_knn" ->
       """WITH o AS (SELECT c_custkey,

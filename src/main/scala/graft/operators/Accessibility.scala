@@ -176,6 +176,33 @@ object Accessibility {
       .orderBy(col("c_custkey"), col("rk"))
   }
 
+  /** Origins per admin area via true polygon containment — the
+    * reference's per-area work loop (originsInRegion, utils.js:28) as a
+    * broadcast polygon join + ray-cast filter. Admin-area polygons are
+    * deterministic rectangles derived from the nation key (bounds offset
+    * 0.05 off the coordinate lattice so no point sits on an edge, where
+    * ray-cast behavior is undefined); the Spark side runs the full
+    * PNPOLY expression while the oracle states the same areas as bbox
+    * predicates. Areas are dimension-sized => broadcast; origins are
+    * never shuffled before the partial aggregation. */
+  def areaAssign(spark: SparkSession, dir: String): DataFrame = {
+    val areas = Tables.nation(spark, dir).select(col("n_name"),
+      (col("n_nationkey") * 13 % 150 - 80 + lit(0.05)).as("lat0"),
+      (col("n_nationkey") * 29 % 330 - 175 + lit(0.05)).as("lon0"))
+      .withColumn("lat1", col("lat0") + 20.0)
+      .withColumn("lon1", col("lon0") + 30.0)
+      .select(col("n_name"),
+        array(col("lat0"), col("lat0"), col("lat1"), col("lat1")).as("plats"),
+        array(col("lon0"), col("lon1"), col("lon1"), col("lon0")).as("plons"))
+    origins(spark, dir)
+      .crossJoin(broadcast(areas))
+      .filter(point_in_poly(col("lat"), col("lon"), col("plats"), col("plons")))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_origins"),
+        round(sum(col("c_acctbal")), 2).as("pop"))
+      .orderBy(col("n_name"))
+  }
+
   /** Slippy-tile assignment + per-tile stats (ram-vt tiling analog). */
   def tileAssign(spark: SparkSession, dir: String, zoom: Int = 4): DataFrame =
     origins(spark, dir)

@@ -26,8 +26,10 @@ class PruningSpec extends AnyFunSuite {
     // scoring (queries/seeds x candidates) and the conditional-min ETA
     // pattern (all POIs of a type must be visible to every origin so
     // unreachable origins still emit a null row)
+    // geo_area_assign: polygon containment has no equi key; the area
+    // table is dimension-sized and broadcast
     val nlAllowed = Set("ann_brute_topk", "ann_ivf_topk",
-      "geo_accessibility", "geo_nearest_poi")
+      "geo_accessibility", "geo_nearest_poi", "geo_area_assign")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
