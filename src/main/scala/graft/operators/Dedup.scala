@@ -36,15 +36,20 @@ object Dedup {
       .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("survivor"))
       .orderBy(col("survivor"))
 
-  /** The deduplicated table: lowest doc_id per exact-hash cluster. */
-  def exactSurvivors(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
+  /** The deduplicated table: lowest doc_id per exact-hash cluster.
+    * min_by, not a window row_number: the window form shuffles AND sorts
+    * every row; min_by partial-aggregates map-side, so only one
+    * candidate row per (hash, partition) reaches the shuffle — at 100 TB
+    * that is the difference between sorting the corpus and a streaming
+    * agg. doc_id is unique, so the pick is deterministic. */
+  def exactSurvivors(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min_by(struct(col("doc_id"), col("lang"), col("source"),
+        col("n_chars")), col("doc_id")).as("row"))
+      .select(col("row.doc_id"), col("row.lang"), col("row.source"),
+        col("row.n_chars"))
       .orderBy(col("doc_id"))
-  }
 
   /** MinHash-LSH candidate pairs: k-hash signature, banded into
     * (k/bands)-row buckets; docs sharing any band bucket become a pair.

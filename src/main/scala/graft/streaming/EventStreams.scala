@@ -53,16 +53,18 @@ object EventStreams {
         col("n_events"), col("sum_value"))
 
   /** At-most-once per (user, event_type, hour): keep the earliest event
-    * per key. Batch form uses a deterministic row_number; the streaming
-    * form is dropDuplicates within the watermark. */
-  def dedupKeyed(events: DataFrame): DataFrame = {
-    val keyed = events.withColumn("hr", date_trunc("hour", col("ts")))
-    val w = Window.partitionBy(col("user_id"), col("event_type"), col("hr"))
-      .orderBy(col("ts"), col("event_id"))
-    keyed.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    * per key. Batch form is a min_by aggregate — partial-agg friendly
+    * (one candidate per key per partition crosses the shuffle), vs a
+    * window row_number that sorts every event; the (ts, event_id) struct
+    * key makes the pick deterministic. The streaming form is
+    * dropDuplicates within the watermark. */
+  def dedupKeyed(events: DataFrame): DataFrame =
+    events.withColumn("hr", date_trunc("hour", col("ts")))
+      .groupBy(col("user_id"), col("event_type"), col("hr"))
+      .agg(min_by(struct(col("event_id"), col("value")),
+        struct(col("ts"), col("event_id"))).as("row"))
       .select(col("user_id"), col("event_type"), col("hr"),
-        col("event_id"), col("value"))
-  }
+        col("row.event_id"), col("row.value"))
 
   // ---- batch query surface (driver contract) ----
 
