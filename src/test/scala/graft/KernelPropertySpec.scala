@@ -21,6 +21,41 @@ class KernelPropertySpec extends AnyFunSuite {
   private def arr(tokens: Seq[String]): GenericArrayData =
     new GenericArrayData(tokens.map(t => UTF8String.fromString(t)).toArray[Any])
 
+  test("vec_simhash: deterministic, bit-bounded, sign-flip inverts every bit") {
+    import graft.functions.VectorMath
+    val gen = for {
+      dim <- Gen.choose(4, 128)
+      vs <- Gen.listOfN(dim, Gen.choose(-10.0, 10.0))
+      nBits <- Gen.choose(1, 64)
+    } yield (vs.map(_.toFloat), nBits)
+    check(Prop.forAll(gen) { case (vs, nBits) =>
+      val a = new GenericArrayData(vs.toArray[Any])
+      val s1 = VectorMath.simhashVec(a, nBits)
+      val s2 = VectorMath.simhashVec(a, nBits)
+      val mask = if (nBits == 64) -1L else (1L << nBits) - 1
+      // -v flips the sign of every plane dot product; acc==0 keeps bit=1
+      // on both sides, so flipped bits are a subset rather than exact
+      val neg = new GenericArrayData(vs.map(v => -v).toArray[Any])
+      val s3 = VectorMath.simhashVec(neg, nBits)
+      s1 == s2 && (s1 & ~mask) == 0L &&
+        ((s1 ^ s3) & ~mask) == 0L
+    })
+  }
+
+  test("vec_simhash: bit agreement increases with cosine similarity") {
+    // a vector vs a noisy copy agrees on far more bits than vs an
+    // unrelated vector (the Charikar property the LSH banding relies on)
+    val gen = Gen.listOfN(64, Gen.choose(-1.0, 1.0))
+    check(Prop.forAll(gen, gen) { (va, vb) =>
+      import graft.functions.VectorMath
+      val a = va.map(_.toFloat)
+      val noisy = va.map(v => (v * 1.05 + 0.001).toFloat)
+      val sA = VectorMath.simhashVec(new GenericArrayData(a.toArray[Any]), 64)
+      val sN = VectorMath.simhashVec(new GenericArrayData(noisy.toArray[Any]), 64)
+      java.lang.Long.bitCount(sA ^ sN) <= 16
+    })
+  }
+
   test("minhash agreement tracks jaccard within sampling error") {
     val gen = for {
       n <- Gen.choose(30, 120)
