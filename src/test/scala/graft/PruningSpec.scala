@@ -40,6 +40,25 @@ class PruningSpec extends AnyFunSuite {
     }
   }
 
+  test("text operators read only the columns they use from documents") {
+    // the documents scan must prune to (doc_id, text) — reading lang/
+    // source/n_chars for a shingle pipeline is wasted IO at 100 TB
+    Seq(
+      "decontaminate" -> operators.TextAnalysis.decontaminate(spark, sf),
+      "bigrams" -> operators.TextAnalysis.bigrams(spark, sf),
+      "minhash" -> operators.Dedup.minhashCandidates(spark, sf)
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      val readSchemas = "ReadSchema: struct<([^>]*)>".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(readSchemas.nonEmpty, s"$name: no parquet scan found")
+      readSchemas.foreach { s =>
+        assert(!s.contains("lang") && !s.contains("source"),
+          s"$name reads unused columns: $s")
+      }
+    }
+  }
+
   test("partitioned write prunes partitions at read time") {
     val path = "target/tmp-sources/events_by_type"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
