@@ -41,6 +41,8 @@ object SparkEntry {
     "q20_monthly_volume" -> (Relational.q20MonthlyVolume _),
     "q21_stats" -> (Relational.q21Stats _),
     "q22_last_per_key" -> (Relational.q22LastPerKey _),
+    "q23_median" -> (Relational.q23Median _),
+    "q24_unpivot" -> (Relational.q24Unpivot _),
     // B. spatial / accessibility
     "geo_grid_assign" -> (Accessibility.gridAssign _),
     "geo_bbox_filter" -> (Accessibility.bboxFilter _),
@@ -252,6 +254,20 @@ object SparkEntry {
                ORDER BY ts DESC, event_id DESC) AS rn
            FROM events) t
          WHERE rn = 1 ORDER BY user_id""",
+    "q24_unpivot" ->
+      """SELECT p_partkey, attr, val FROM (
+           SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val
+             FROM part
+           UNION ALL
+           SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val
+             FROM part) t
+         WHERE p_partkey <= 200 ORDER BY p_partkey, attr""",
+    "q23_median" ->
+      """SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           count(*) AS n_events
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q13_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events
            WHERE event_type = 'purchase'),

@@ -295,6 +295,32 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** Columns -> key/value rows (the inverse of q7's pivot) via stack —
+    * one Expand pass, no join/shuffle before the final sort. */
+  def q24Unpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_partkey") <= 200)
+      .select(col("p_partkey"),
+        expr("stack(2, 'retailprice', p_retailprice," +
+          " 'size', cast(p_size AS double)) AS (attr, val)"))
+      .orderBy(col("p_partkey"), col("attr"))
+
+  /** Exact grouped quantiles (percentile with linear interpolation —
+    * the sort-based exact form; the sketch-based scale path is
+    * [[Sketches.valueQuantiles]]). Input values have 2 decimals, so the
+    * interpolated result has <= 3 and round(4) is rounding-safe for the
+    * oracle (SURVEY.md §6). */
+  def q23Median(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, array(0.5, 0.9))").as("_q"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"),
+        round(element_at(col("_q"), 1), 4).as("p50"),
+        round(element_at(col("_q"), 2), 4).as("p90"),
+        col("n_events"))
+      .orderBy(col("event_type"))
+
   /** Variance/stddev via explicit algebraic sums (sum, sum of squares):
     * the form that stays exact AND order-independent here because
     * l_quantity is integer-valued (all sums are exact integers < 2^53),

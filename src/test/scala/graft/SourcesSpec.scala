@@ -100,6 +100,18 @@ class SourcesSpec extends AnyFunSuite {
     assert(tri.getSeq[Any](2).length == 1 && sq.getSeq[Any](2).length == 2)
   }
 
+  test("polygon read survives corrupt and non-polygon lines") {
+    import spark.implicits._
+    val lines = Seq(
+      """{"type":"Feature","geometry":{"type":"Polygon","coordinates":[[[0.0,0.0],[1.0,0.0],[0.0,1.0],[0.0,0.0]]]},"properties":{"name":"ok"}}""",
+      """not json at all""",
+      """{"type":"Feature","geometry":{"type":"Point","coordinates":[1.0,2.0]},"properties":{"name":"a point"}}""")
+    val path = tmpDir("polys_dirty")
+    lines.toDF("value").coalesce(1).write.text(path)
+    val got = GeoJson.readPolygonsJsonl(spark, path).collect()
+    assert(got.length == 1 && got.head.getString(0) == "ok")
+  }
+
   test("polygon write -> read round-trips and supports point-in-poly") {
     import spark.implicits._
     val rings = Seq(Seq(Seq(Seq(0.0, 0.0), Seq(4.0, 0.0), Seq(0.0, 4.0), Seq(0.0, 0.0))))
