@@ -160,6 +160,19 @@ object EventStreams {
   def topkPerWindowStream(events: DataFrame, k: Int = 3): DataFrame =
     topkPerWindow(events.withWatermark("ts", Watermark), k)
 
+  /** Exactly-once parquet sink for a stream: each micro-batch writes to
+    * a batch-id-scoped partition directory with overwrite, so a REPLAYED
+    * batch (task retry, query restart from checkpoint) overwrites its
+    * own previous output instead of appending duplicates — the standard
+    * foreachBatch idempotence recipe. Readers see `batch_id` as a normal
+    * partition column. */
+  def idempotentParquetSink(df: DataFrame, path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$path/batch_id=$id")
+    }
+
   // ---- stream-stream interval join ----
 
   val JoinLookback = "10 minutes"

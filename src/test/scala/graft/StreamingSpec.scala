@@ -145,6 +145,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == Map(10L -> 2L, 11L -> 1L))
   }
 
+  test("idempotent parquet sink: batch replay overwrites, never duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = new java.io.File("target/tmp-e2e/idempotent-sink")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    val path = dir.getAbsolutePath
+    val mem = MemoryStream[Ev]
+    mem.addData(sample.take(3): _*)
+    val q = EventStreams.idempotentParquetSink(mem.toDF(), path).start()
+    q.processAllAvailable()
+    mem.addData(sample.drop(3): _*)
+    q.processAllAvailable(); q.stop()
+    val out = spark.read.parquet(path)
+    assert(out.count() == sample.length)
+    // replaying a batch id must overwrite, not append
+    sample.take(3).toDF().write.mode("overwrite").parquet(s"$path/batch_id=0")
+    assert(spark.read.parquet(path).count() == sample.length)
+  }
+
   test("batch session count on real events is sane") {
     val df = EventStreams.sessionizeBatch(spark, sf)
     val n = df.count()

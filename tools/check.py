@@ -25,6 +25,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
+def dtype_kinds(df: pd.DataFrame):
+    # the driver hashes VALUES, so an int64 vs float64 column (e.g. DuckDB
+    # HUGEINT sums widening to float in pandas) mismatches even when every
+    # value is equal under ==. Surface that as a failure here too.
+    return {c: df[c].dtype.kind for c in df.columns}
+
 fails = 0
 for qdir in sorted(glob.glob(f"{outdir}/*/")):
     name = os.path.basename(qdir.rstrip("/"))
@@ -44,6 +50,11 @@ for qdir in sorted(glob.glob(f"{outdir}/*/")):
     g, e = canon(got), canon(exp)
     if list(g.columns) != list(e.columns):
         print(f"[SCHEMA] {name}: got {list(g.columns)} vs oracle {list(e.columns)}")
+        fails += 1; continue
+    gk, ek = dtype_kinds(g), dtype_kinds(e)
+    kind_mismatch = {c: (gk[c], ek[c]) for c in g.columns if gk[c] != ek[c]}
+    if kind_mismatch:
+        print(f"[DTYPE] {name}: value-kind mismatch (driver hash would differ): {kind_mismatch}")
         fails += 1; continue
     if len(g) != len(e):
         print(f"[NROWS] {name}: got {len(g)} vs oracle {len(e)}"); fails += 1; continue
