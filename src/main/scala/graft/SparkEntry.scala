@@ -43,6 +43,7 @@ object SparkEntry {
     "q22_last_per_key" -> (Relational.q22LastPerKey _),
     "q23_median" -> (Relational.q23Median _),
     "q24_unpivot" -> (Relational.q24Unpivot _),
+    "q25_moving_range" -> (Relational.q25MovingRange _),
     // B. spatial / accessibility
     "geo_grid_assign" -> (Accessibility.gridAssign _),
     "geo_bbox_filter" -> (Accessibility.bboxFilter _),
@@ -54,6 +55,7 @@ object SparkEntry {
     "geo_tile_assign" -> ((s, d) => Accessibility.tileAssign(s, d)),
     "geo_knn" -> ((s, d) => Accessibility.knnPoi(s, d)),
     "geo_area_assign" -> (Accessibility.areaAssign _),
+    "geo_eta_matrix" -> ((s, d) => Accessibility.etaMatrix(s, d)),
     // C. deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_exact_survivors" -> (Dedup.exactSurvivors _),
@@ -254,6 +256,15 @@ object SparkEntry {
                ORDER BY ts DESC, event_id DESC) AS rn
            FROM events) t
          WHERE rn = 1 ORDER BY user_id""",
+    "q25_moving_range" ->
+      """SELECT user_id, event_id, epoch,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2)
+             AS trailing_1h
+         FROM (SELECT user_id, event_id, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS epoch
+           FROM events WHERE user_id <= 20) t
+         ORDER BY user_id, epoch, event_id""",
     "q24_unpivot" ->
       """SELECT p_partkey, attr, val FROM (
            SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val
@@ -383,6 +394,20 @@ object SparkEntry {
          FROM o JOIN a ON lat > lat0 AND lat < lat0 + 20.0
            AND lon > lon0 AND lon < lon0 + 30.0
          GROUP BY n_name ORDER BY n_name""",
+    "geo_eta_matrix" ->
+      """WITH o AS (SELECT c_custkey,
+           (c_custkey * 37 % 1700) / 10.0 - 85.0 AS lat,
+           (c_custkey * 91 % 3600) / 10.0 - 180.0 AS lon
+           FROM customer WHERE c_nationkey = 7),
+         p AS (SELECT s_suppkey, s_suppkey % 4 AS poi_type,
+           (s_suppkey * 37 % 1700) / 10.0 - 85.0 AS plat,
+           (s_suppkey * 91 % 3600) / 10.0 - 180.0 AS plon FROM supplier)
+         SELECT c_custkey, s_suppkey, poi_type,
+           round(sqrt((lat - plat) * (lat - plat) + (lon - plon) * (lon - plon))
+             * 111.0 / 120.0 * 3600.0, 2) AS eta_s
+         FROM o CROSS JOIN p
+         WHERE sqrt((lat - plat) * (lat - plat) + (lon - plon) * (lon - plon)) <= 60.0
+         ORDER BY c_custkey, s_suppkey""",
     "geo_knn" ->
       """WITH o AS (SELECT c_custkey,
            (c_custkey * 37 % 1700) / 10.0 - 85.0 AS lat,

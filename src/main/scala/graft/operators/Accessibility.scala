@@ -176,6 +176,25 @@ object Accessibility {
       .orderBy(col("c_custkey"), col("rk"))
   }
 
+  /** The many-to-many travel-time matrix itself (OSRM `table`,
+    * tasks.js:260) for one admin area: every (origin-in-area, reachable
+    * POI) pair with its ETA — the intermediate the row-min consumes,
+    * exposed because downstream consumers (isochrone rendering, matrix
+    * exports) need the full matrix, not just the min. Bounded by the
+    * area filter x radius join, so the matrix is per-work-square sized
+    * as in the reference, never global. */
+  def etaMatrix(spark: SparkSession, dir: String,
+                nationKey: Int = 7): DataFrame = {
+    val o = origins(spark, dir).filter(col("c_nationkey") === nationKey)
+      .select(col("c_custkey"), col("lat"), col("lon"))
+    val p = pois(spark, dir)
+      .select(col("s_suppkey"), col("poi_type"), col("lat"), col("lon"))
+    GeoJoins.radiusJoin(o, p, MaxReachDeg, broadcastRight = true)
+      .select(col("c_custkey"), col("s_suppkey"), col("poi_type"),
+        round(travelSeconds(col("dist_deg"), MaxSpeedKmh), 2).as("eta_s"))
+      .orderBy(col("c_custkey"), col("s_suppkey"))
+  }
+
   /** Origins per admin area via true polygon containment — the
     * reference's per-area work loop (originsInRegion, utils.js:28) as a
     * broadcast polygon join + ray-cast filter. Admin-area polygons are

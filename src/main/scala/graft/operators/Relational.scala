@@ -295,6 +295,23 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** Time-RANGE window frame: trailing 1-hour sum per user, ordered by
+    * event time — the frame kind rows-frames can't express (rows vary
+    * per timestamp). Epoch seconds make the range bound engine-portable. */
+  def q25MovingRange(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("epoch"))
+      .rangeBetween(-3600L, 0L)
+    Tables.events(spark, dir)
+      .filter(col("user_id") <= 20)
+      .withColumn("epoch", unix_timestamp(col("ts")))
+      .withColumn("trailing_1h",
+        round(sum(col("value")).over(w), 2))
+      .select(col("user_id"), col("event_id"), col("epoch"),
+        col("trailing_1h"))
+      .orderBy(col("user_id"), col("epoch"), col("event_id"))
+  }
+
   /** Columns -> key/value rows (the inverse of q7's pivot) via stack —
     * one Expand pass, no join/shuffle before the final sort. */
   def q24Unpivot(spark: SparkSession, dir: String): DataFrame =
