@@ -58,6 +58,27 @@ class RadiusRewriteSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("rewrite equals cartesian on random point clouds across radii") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def cloud(n: Int, prefix: String) =
+      (0 until n).map(i => (i.toLong, rnd.nextDouble() * 170 - 85,
+        rnd.nextDouble() * 360 - 180))
+        .toDF(s"${prefix}id", s"${prefix}y", s"${prefix}x")
+    val a = cloud(200, "a")
+    val b = cloud(150, "b")
+    Seq(0.5, 3.0, 17.0).foreach { r =>
+      val fast = a.join(b,
+        euclidDeg(col("ay"), col("ax"), col("by"), col("bx")) <= lit(r))
+      assert(!fast.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+      val slow = a.join(b,
+        sqrt(pow(col("ay") - col("by"), 2) + pow(col("ax") - col("bx"), 2)) <= lit(r))
+      val k = (row: org.apache.spark.sql.Row) => (row.getLong(0), row.getLong(3))
+      assert(fast.collect().map(k).toSet == slow.collect().map(k).toSet,
+        s"radius $r mismatch")
+    }
+  }
+
   test("equi-join with an additional radius predicate is left alone") {
     val o = origins.withColumn("k", col("c_custkey") % 4)
     val p = pois.withColumn("k", col("s_suppkey") % 4)
