@@ -42,7 +42,7 @@ object AsofJoin {
     val carried = unioned
       .withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))
     carried.filter(col("_side") === 1)
-      .select(left.columns.map(col) ++
+      .select(left.columns.toSeq.map(col) ++
         valueCols.map(c => col(s"_asof.$c").as(s"asof_$c")): _*)
   }
 

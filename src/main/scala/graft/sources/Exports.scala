@@ -34,7 +34,7 @@ object Exports {
     * deterministic (sorted) JSON array of the member objects — the
     * generateJSON "results by admin area" shape. */
   def groupedJson(df: DataFrame, keyCol: String): DataFrame = {
-    val payload = df.columns.filterNot(_ == keyCol).map(c => df(c).as(c))
+    val payload = df.columns.filterNot(_ == keyCol).toSeq.map(c => df(c).as(c))
     df.select(col(keyCol), to_json(struct(payload: _*)).as("_j"))
       .groupBy(col(keyCol))
       .agg(concat(lit("["),
