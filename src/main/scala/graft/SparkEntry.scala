@@ -63,6 +63,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
+    "dedup_final" -> (Dedup.finalSurvivors _),
     // D. similarity search
     "ann_brute_topk" -> ((s, d) => Similarity.bruteTopK(s, d)),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),

@@ -166,6 +166,19 @@ object Dedup {
       .orderBy(col("cluster"), col("doc_id"))
   }
 
+  /** The corpus after the FULL dedup pipeline: exact survivors minus
+    * near-duplicate cluster non-survivors — the table a training run
+    * would actually read. Anti-join on the (small) delete set; the
+    * corpus side is never shuffled beyond the exact-survivor hash agg. */
+  def finalSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val deletes = nearDupClusters(spark, dir)
+      .filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id"))
+    exactSurvivors(spark, dir)
+      .join(deletes, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash near-dup pairs with hamming distance <= maxHamming, exactly.
     *
     * Pigeonhole over m=6 blocks: a pair within hamming k=3 differs in at

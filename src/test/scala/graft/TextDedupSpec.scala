@@ -32,6 +32,17 @@ class TextDedupSpec extends AnyFunSuite {
     expect.groupBy(_._2).foreach { case (c, ms) => assert(ms.keys.min == c) }
   }
 
+  test("final survivors = exact survivors minus near-dup cluster non-minima") {
+    val exact = Dedup.exactSurvivors(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val clusters = Dedup.nearDupClusters(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deletes = clusters.filter { case (d, c) => d != c }.map(_._1).toSet
+    val got = Dedup.finalSurvivors(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (exact -- deletes) && got.nonEmpty)
+  }
+
   test("decontamination flags only cross-split pairs with enough shared shingles") {
     val rows = TextAnalysis.decontaminate(spark, sf).collect()
     rows.foreach { r =>
