@@ -67,4 +67,42 @@ class EndToEndSpec extends AnyFunSuite {
       .join(Tables.customer(spark, sf),
         col("n_nationkey") === col("c_nationkey"), "left_semi").count())
   }
+
+  test("admin areas flow from GeoJSON polygons to per-area origin counts") {
+    import spark.implicits._
+    // export the same deterministic area rectangles the oracle uses as
+    // real polygon features, read them back, and assign origins by
+    // ray-cast against the PARSED geometry — source-to-query round trip
+    val areas = Tables.nation(spark, sf).select(col("n_name"),
+      (col("n_nationkey") * 13 % 150 - 80 + lit(0.05)).as("lat0"),
+      (col("n_nationkey") * 29 % 330 - 175 + lit(0.05)).as("lon0"))
+      .withColumn("lat1", col("lat0") + 20.0)
+      .withColumn("lon1", col("lon0") + 30.0)
+      .select(col("n_name").as("name"),
+        array(array(
+          array(col("lon0"), col("lat0")), array(col("lon1"), col("lat0")),
+          array(col("lon1"), col("lat1")), array(col("lon0"), col("lat1")),
+          array(col("lon0"), col("lat0")))).as("rings"))
+    val path = outDir("areas_geojsonl")
+    GeoJson.writePolygonsJsonl(areas, "name", "rings", path, multi = false)
+    val loaded = GeoJson.readPolygonsJsonl(spark, path)
+      .select(col("name").as("n_name"),
+        // outer ring of the (normalized-to-multi) first polygon
+        element_at(element_at(col("rings"), 1), 1).as("ring"))
+      .select(col("n_name"),
+        expr("transform(ring, p -> p[1])").as("plats"),
+        expr("transform(ring, p -> p[0])").as("plons"))
+    val counts = Tables.customer(spark, sf)
+      .withColumn("lat", graft.functions.GeoFunctions.latOf(col("c_custkey")))
+      .withColumn("lon", graft.functions.GeoFunctions.lonOf(col("c_custkey")))
+      .crossJoin(broadcast(loaded))
+      .filter(graft.functions.GeoFunctions.point_in_poly(
+        col("lat"), col("lon"), col("plats"), col("plons")))
+      .groupBy(col("n_name")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // must equal the oracle-checked areaAssign (same areas, direct arrays)
+    val direct = Accessibility.areaAssign(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == direct && counts.nonEmpty)
+  }
 }
