@@ -51,5 +51,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("point_in_poly", "point_in_poly(lat, lon, poly_lats, poly_lons) - ray-cast point in polygon") {
       args => PointInPolygon(args(0), args(1), args(2), args(3))
     }
+    reg("vec_simhash", "vec_simhash(vec, nBits) - random-hyperplane LSH signature of a float vector") {
+      args => VecSimHash(args(0), intArg(args(1), "vec_simhash"))
+    }
   }
 }

@@ -24,6 +24,10 @@ class ExtensionsSpec extends AnyFunSuite {
     val cs = spark.sql(
       "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c").head().getDouble(0)
     assert(math.abs(cs - 1.0) < 1e-12)
+    val vs = spark.sql(
+      "SELECT vec_simhash(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)), 16) AS z")
+      .head().getLong(0)
+    assert(vs >= 0L && vs <= 0xFFFFL)
   }
 
   test("top_k_by_score keeps exactly k best with deterministic ties") {
