@@ -174,8 +174,12 @@ object Dedup {
     val deletes = nearDupClusters(spark, dir)
       .filter(col("doc_id") =!= col("cluster"))
       .select(col("doc_id"))
+    // the delete set is a small fraction of the corpus by construction
+    // (near-dup non-survivors); broadcast it — the checkpointed cluster
+    // output has no stats, so without the hint this anti-join would
+    // plan as a sort-merge join shuffling the whole corpus
     exactSurvivors(spark, dir)
-      .join(deletes, Seq("doc_id"), "left_anti")
+      .join(broadcast(deletes), Seq("doc_id"), "left_anti")
       .orderBy(col("doc_id"))
   }
 
