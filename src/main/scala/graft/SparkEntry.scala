@@ -44,6 +44,7 @@ object SparkEntry {
     "q23_median" -> (Relational.q23Median _),
     "q24_unpivot" -> (Relational.q24Unpivot _),
     "q25_moving_range" -> (Relational.q25MovingRange _),
+    "q26_full_outer" -> (Relational.q26FullOuter _),
     // B. spatial / accessibility
     "geo_grid_assign" -> (Accessibility.gridAssign _),
     "geo_bbox_filter" -> (Accessibility.bboxFilter _),
@@ -257,6 +258,15 @@ object SparkEntry {
                ORDER BY ts DESC, event_id DESC) AS rn
            FROM events) t
          WHERE rn = 1 ORDER BY user_id""",
+    "q26_full_outer" ->
+      """WITH spend AS (SELECT o_custkey AS k,
+           round(sum(o_totalprice), 2) AS spend
+           FROM orders GROUP BY 1 HAVING round(sum(o_totalprice), 2) > 400000.0),
+         rich AS (SELECT c_custkey AS k2, round(c_acctbal, 2) AS bal
+           FROM customer WHERE c_acctbal > 7000.0)
+         SELECT coalesce(k, k2) AS custkey, spend, bal
+         FROM spend FULL OUTER JOIN rich ON k = k2
+         ORDER BY custkey""",
     "q25_moving_range" ->
       """SELECT user_id, event_id, epoch,
            round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch

@@ -312,6 +312,23 @@ object Relational {
       .orderBy(col("user_id"), col("epoch"), col("event_id"))
   }
 
+  /** FULL OUTER join of two per-customer aggregates (order spend vs
+    * account balance tiers) with coalesced keys — the reconcile-two-
+    * ledgers shape; either side may miss a customer. */
+  def q26FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("k"))
+      .agg(round(sum(col("o_totalprice")), 2).as("spend"))
+      .filter(col("spend") > 400000.0)
+    val rich = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 7000.0)
+      .select(col("c_custkey").as("k2"), round(col("c_acctbal"), 2).as("bal"))
+    spend.join(rich, col("k") === col("k2"), "full_outer")
+      .select(coalesce(col("k"), col("k2")).as("custkey"),
+        col("spend"), col("bal"))
+      .orderBy(col("custkey"))
+  }
+
   /** Columns -> key/value rows (the inverse of q7's pivot) via stack —
     * one Expand pass, no join/shuffle before the final sort. */
   def q24Unpivot(spark: SparkSession, dir: String): DataFrame =
