@@ -98,10 +98,11 @@ object Dedup {
     val candDocs = cands
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
-    val sets = Tables.documents(spark, dir)
+    // reuse the canonical shingle prep; PushDownLeftSemiAntiJoin moves
+    // the doc_id semi-join below the projection, so shingles are still
+    // computed only for candidate docs
+    val sets = docsWithShingles(spark, dir)
       .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-      .withColumn("shingles", TextFunctions.word_shingles(col("text"), ShingleSize))
-      .filter(size(col("shingles")) >= 1)
       .select(col("doc_id"), array_distinct(col("shingles")).as("sh"))
     cands
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))

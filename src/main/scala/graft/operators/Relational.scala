@@ -264,7 +264,9 @@ object Relational {
   def q19JsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
-      .withColumn("k_decile", (col("k") / 10).cast("long"))
+      // floor, not cast: cast truncates toward zero and would diverge
+      // from the oracle's floor-division (//) for negative k
+      .withColumn("k_decile", floor(col("k") / 10).cast("long"))
       .groupBy(col("k_decile"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("sum_value"),

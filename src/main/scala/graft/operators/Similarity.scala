@@ -111,8 +111,11 @@ object Similarity {
   def nearDupLsh(spark: SparkSession, dir: String, tau: Double = 0.35,
                  nBits: Int = 32, bands: Int = 8,
                  maxBucket: Long = 2000): DataFrame = {
-    require(nBits % bands == 0 && nBits <= 64)
+    require(bands > 0 && nBits % bands == 0 && nBits <= 64)
     val r = nBits / bands
+    // r == 64 would overflow the band mask ((1L << 64) - 1 == 0) and
+    // silently hash every vector into one capped-away bucket
+    require(r <= 63, s"band width $r bits exceeds the 63-bit mask limit")
     val mask = (1L << r) - 1
     val sigs = emb(spark, dir).select(col("vec_id"),
       graft.functions.VectorFunctions.vec_simhash(col("embedding"), nBits).as("sig"))

@@ -68,9 +68,10 @@ object RadiusJoinRewrite extends Rule[LogicalPlan] {
         legs(0) != legs(1) && legs(2) != legs(3)
       if (!splitOk) j
       else {
-        def leftLeg(x: Expression, y: Expression) = if (legs(0).contains(true)) x else y
-        val (l1, r1) = (leftLeg(a1, b1), leftLeg(b1, a1))
-        val (l2, r2) = (leftLeg(a2, b2), leftLeg(b2, a2))
+        // each dimension orients independently — (a-b) and (b-a) legs may
+        // list sides in opposite order between the two dimensions
+        val (l1, r1) = if (legs(0).contains(true)) (a1, b1) else (b1, a1)
+        val (l2, r2) = if (legs(2).contains(true)) (a2, b2) else (b2, a2)
         val lc1 = Alias(cell(l1, r), "_g_lc1")()
         val lc2 = Alias(cell(l2, r), "_g_lc2")()
         val newLeft = Project(left.output :+ lc1 :+ lc2, left)

@@ -48,7 +48,10 @@ object Exports {
     * Handles quoting/escaping of string keys for free. */
   private[sources] def jsonEncoded(c: Column): Column = {
     val wrapped = to_json(struct(c.as("k")))
-    wrapped.substr(lit(6), length(wrapped) - 6)
+    // to_json omits null fields (wrapped == "{}"), which would strip to
+    // an empty string and emit a malformed line — encode null explicitly
+    when(c.isNull, lit("null"))
+      .otherwise(wrapped.substr(lit(6), length(wrapped) - 6))
   }
 
   /** The reference's results/results_poi two-table batch insert

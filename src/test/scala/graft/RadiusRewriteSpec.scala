@@ -58,6 +58,24 @@ class RadiusRewriteSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("rewrite handles mixed per-dimension operand order") {
+    // dim 1 is left-first, dim 2 is right-first — the legs must orient
+    // independently or the rewrite projects a right attribute over left
+    val mixed = origins.join(pois,
+      sqrt((col("lat") - col("plat")) * (col("lat") - col("plat")) +
+        (col("plon") - col("lon")) * (col("plon") - col("lon"))) <= lit(25.0))
+    val plan = mixed.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    val got = mixed.select("c_custkey", "s_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = origins.join(pois,
+      euclidDeg(col("lat"), col("lon"), col("plat"), col("plon")) <= lit(25.0))
+      .select("c_custkey", "s_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("rewrite equals cartesian on random point clouds across radii") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)

@@ -162,6 +162,11 @@ class SourcesSpec extends AnyFunSuite {
     Exports.writeGroupedJson(num, "area_id", path2)
     val l2 = spark.read.text(path2).as[String].head()
     assert(l2.startsWith("7: ["), l2)
+    // a null key encodes as the JSON literal, not a malformed empty key
+    val path3 = tmpDir("grouped_json_null")
+    Exports.writeGroupedJson(df.filter(col("area").isNull), "area", path3)
+    val l3 = spark.read.text(path3).as[String].head()
+    assert(l3.startsWith("null: ["), l3)
   }
 
   test("grouped JSON groups rows per key with parseable arrays") {
