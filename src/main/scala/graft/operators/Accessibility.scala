@@ -164,10 +164,14 @@ object Accessibility {
       GeoJoins.radiusJoin(os, p, radius, broadcastRight = true)
         .groupBy(col("c_custkey"))
         .agg(top_k_by_score(-col("dist_deg"), col("s_suppkey"), k).as("top"))
-    // materialize the tight phase once: it feeds BOTH the resolved
-    // branch and the anti-join deriving unresolved origins, and Spark
-    // would otherwise execute the radius join + top-k aggregate twice
-    val near = topk(o, firstRadiusDeg).localCheckpoint()
+    // persist the tight phase: it feeds BOTH the resolved branch and
+    // the anti-join deriving unresolved origins, and Spark would
+    // otherwise execute the radius join + top-k aggregate twice.
+    // persist (lazy, lineage-recoverable) rather than localCheckpoint
+    // (eager job at DataFrame-construction time; executor loss loses
+    // the pinned partitions unrecoverably)
+    val near = topk(o, firstRadiusDeg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val resolved = near.filter(size(col("top")) === k)
     val unresolved = o.join(resolved.select(col("c_custkey")),
       Seq("c_custkey"), "left_anti")

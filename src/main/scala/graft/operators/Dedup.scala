@@ -20,14 +20,21 @@ import graft.functions.TextFunctions
 object Dedup {
   val ShingleSize = 3
 
-  /** documents + word n-gram shingles (native one-pass expression —
-    * see [[graft.functions.TextHash.wordShingles]] for why not
-    * transform/element_at built-ins). */
+  /** Attach word n-gram shingles to an already-scoped docs frame (native
+    * one-pass expression — see [[graft.functions.TextHash.wordShingles]]
+    * for why not transform/element_at built-ins). Callers that prune the
+    * corpus first (e.g. to LSH candidates) MUST filter before calling
+    * this: Catalyst does not push a broadcast-hinted semi-join below the
+    * shingle projection, so join-after-shingle re-shingles everything. */
+  private[operators] def withShingles(docs: DataFrame,
+                                      n: Int = ShingleSize): DataFrame =
+    docs.withColumn("shingles", TextFunctions.word_shingles(col("text"), n))
+      .filter(size(col("shingles")) >= 1)
+
+  /** documents + shingles over the full table. */
   def docsWithShingles(spark: SparkSession, dir: String,
                        n: Int = ShingleSize): DataFrame =
-    Tables.documents(spark, dir)
-      .withColumn("shingles", TextFunctions.word_shingles(col("text"), n))
-      .filter(size(col("shingles")) >= 1)
+    withShingles(Tables.documents(spark, dir), n)
 
   /** Exact-dup clusters: md5(text) -> count + keep-min survivor. */
   def exact(spark: SparkSession, dir: String): DataFrame =
@@ -56,7 +63,7 @@ object Dedup {
     * maxBucket caps pathological buckets before the self-join. */
   def minhashCandidates(spark: SparkSession, dir: String, k: Int = 64,
                         bands: Int = 16, maxBucket: Long = 100): DataFrame = {
-    require(k % bands == 0)
+    require(bands > 0 && k % bands == 0)
     val r = k / bands
     val sigs = docsWithShingles(spark, dir)
       .select(col("doc_id"), TextFunctions.minhash_signature(col("shingles"), k).as("sig"))
@@ -98,11 +105,12 @@ object Dedup {
     val candDocs = cands
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
-    // reuse the canonical shingle prep; PushDownLeftSemiAntiJoin moves
-    // the doc_id semi-join below the projection, so shingles are still
-    // computed only for candidate docs
-    val sets = docsWithShingles(spark, dir)
-      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    // semi-join FIRST, then shingle: the broadcast-hinted semi-join does
+    // not push below a projection, so the reverse order would re-shingle
+    // the whole corpus (verified on the optimized plan)
+    val sets = withShingles(
+      Tables.documents(spark, dir)
+        .join(broadcast(candDocs), Seq("doc_id"), "left_semi"))
       .select(col("doc_id"), array_distinct(col("shingles")).as("sh"))
     cands
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))

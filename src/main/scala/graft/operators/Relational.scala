@@ -264,9 +264,10 @@ object Relational {
   def q19JsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
-      // floor, not cast: cast truncates toward zero and would diverge
-      // from the oracle's floor-division (//) for negative k
-      .withColumn("k_decile", floor(col("k") / 10).cast("long"))
+      // exact integer floor-division (matches the oracle's //): strip
+      // the non-negative pmod remainder, then integral div — no double
+      // quotient, so no 2^53 precision hazard and correct for negative k
+      .withColumn("k_decile", expr("(k - pmod(k, 10)) div 10"))
       .groupBy(col("k_decile"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("sum_value"),

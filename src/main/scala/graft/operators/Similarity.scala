@@ -113,10 +113,9 @@ object Similarity {
                  maxBucket: Long = 2000): DataFrame = {
     require(bands > 0 && nBits % bands == 0 && nBits <= 64)
     val r = nBits / bands
-    // r == 64 would overflow the band mask ((1L << 64) - 1 == 0) and
-    // silently hash every vector into one capped-away bucket
-    require(r <= 63, s"band width $r bits exceeds the 63-bit mask limit")
-    val mask = (1L << r) - 1
+    // r == 64 needs the all-bits mask: (1L << 64) wraps to 1, which
+    // would silently hash every vector into one capped-away bucket
+    val mask = if (r == 64) -1L else (1L << r) - 1
     val sigs = emb(spark, dir).select(col("vec_id"),
       graft.functions.VectorFunctions.vec_simhash(col("embedding"), nBits).as("sig"))
     val banded = sigs.select(col("vec_id"),

@@ -47,11 +47,10 @@ object Exports {
     * the canonical `{"k":` / `}` wrapper (to_json emits no whitespace).
     * Handles quoting/escaping of string keys for free. */
   private[sources] def jsonEncoded(c: Column): Column = {
-    val wrapped = to_json(struct(c.as("k")))
-    // to_json omits null fields (wrapped == "{}"), which would strip to
-    // an empty string and emit a malformed line — encode null explicitly
-    when(c.isNull, lit("null"))
-      .otherwise(wrapped.substr(lit(6), length(wrapped) - 6))
+    // ignoreNullFields=false keeps a null key as {"k":null}, so the
+    // wrapper strip below yields the JSON literal with no special case
+    val wrapped = to_json(struct(c.as("k")), Map("ignoreNullFields" -> "false"))
+    wrapped.substr(lit(6), length(wrapped) - 6)
   }
 
   /** The reference's results/results_poi two-table batch insert
