@@ -117,6 +117,19 @@ object GeoFunctions {
       SparkBridge.expression(lon.cast("double")),
       SparkBridge.expression(polyLats), SparkBridge.expression(polyLons)))
 
+  /** Point-in-MultiPolygon with hole support over the normalized
+    * GeoJSON rings structure ([[graft.sources.GeoJson.readPolygonsJsonl]]
+    * shape: polygons -> rings -> points -> [lon, lat]). Even-odd rule
+    * across ALL rings: a point inside an outer ring AND inside a hole
+    * ring flips twice and lands outside — exactly GeoJSON winding-free
+    * containment. Composes the codegen'd ray-cast per ring via
+    * higher-order aggregate, so it stays expression-only (no UDF). */
+  def point_in_multipoly(lat: Column, lon: Column, rings: Column): Column =
+    aggregate(flatten(rings), lit(false), (acc, ring) =>
+      acc =!= point_in_poly(lat, lon,
+        transform(ring, p => element_at(p, 2)),
+        transform(ring, p => element_at(p, 1))))
+
   /** Deterministic synthetic coordinates derived from an integer key
     * (SURVEY.md §3) — integer-exact modular arithmetic so Spark and the
     * DuckDB oracle agree bitwise. */

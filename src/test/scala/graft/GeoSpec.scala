@@ -91,6 +91,27 @@ class GeoSpec extends AnyFunSuite {
     assert(perOrigin.forall(_.length == 4))
   }
 
+  test("point_in_multipoly honors holes and disjoint parts") {
+    import spark.implicits._
+    // part 1: square [0,10]^2 with hole [4,6]^2; part 2: square [20,30]^2
+    val outer = Seq(Seq(0.0, 0.0), Seq(10.0, 0.0), Seq(10.0, 10.0), Seq(0.0, 10.0))
+    val hole = Seq(Seq(4.0, 4.0), Seq(6.0, 4.0), Seq(6.0, 6.0), Seq(4.0, 6.0))
+    val part2 = Seq(Seq(20.0, 20.0), Seq(30.0, 20.0), Seq(30.0, 30.0), Seq(20.0, 30.0))
+    val rings = Seq(Seq(outer, hole), Seq(part2)) // [lon, lat] points
+    val pts = Seq(
+      (2.0, 2.0, true),   // in part 1, outside hole
+      (5.0, 5.0, false),  // inside the hole
+      (25.0, 25.0, true), // in part 2
+      (15.0, 15.0, false) // between parts
+    ).toDF("lat", "lon", "expect")
+    val got = pts.withColumn("rings", typedLit(rings))
+      .withColumn("in", graft.functions.GeoFunctions.point_in_multipoly(
+        col("lat"), col("lon"), col("rings")))
+      .collect()
+    got.foreach(r => assert(r.getBoolean(4) == r.getBoolean(2),
+      s"(${r.getDouble(0)}, ${r.getDouble(1)})"))
+  }
+
   test("knn equals brute-force window ranking") {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.GeoFunctions._
