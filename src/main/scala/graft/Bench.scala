@@ -16,29 +16,42 @@ object Bench {
       Tables.names.filterNot(_ == "events")
         .foreach(t => Tables.load(spark, sfDir, t).count())
       Tables.events(spark, sfDir).count() // special-cased ts normalization
-    } catch { case _: Throwable => }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed: ${e.getMessage}")
+    }
     // profiling hooks: SPARK_GRAFT_ONLY=q1,q2 runs a subset;
     // SPARK_GRAFT_REPS=N times each query N times and keeps the minimum.
-    // Default 2 reps: 52 queries share one JVM, so a single pass leaves
-    // individual timings at the mercy of GC pauses triggered by earlier
-    // queries (observed 1.2 s -> 8 s swings); min-of-2 removes most of it.
+    // Default 3 reps + an explicit GC before each query: the queries share
+    // one JVM, so a single pass leaves individual timings at the mercy of
+    // GC pauses triggered by earlier queries (observed 1.2 s -> 8 s
+    // swings); min-of-3 after a collection attributes time to the query.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = selected.map { case (name, fn) =>
+      System.gc()
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          // a broken query must read as broken, not as a fast time:
+          // record the -1 sentinel and keep benchmarking the rest
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          -1.0
+        }
       }
-      name -> times.min
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
+    val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(", ")}")
     spark.stop()
   }
 }

@@ -1,8 +1,9 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.execution.LogicalRDD
 
 /** Column <-> catalyst Expression bridge. `ExpressionUtils` is
   * `private[sql]` in Spark 4, so graft's native expressions reach it from
@@ -12,4 +13,21 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object SparkBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Release the block-manager storage behind a `localCheckpoint()`ed
+    * frame (or any frame derived from one): find the pinned RDDs under
+    * the plan's [[LogicalRDD]] leaves and unpersist them.
+    *
+    * `Dataset.unpersist` only covers CacheManager entries, so superseded
+    * checkpoints of an iterative algorithm (label propagation, shortest
+    * path) otherwise accumulate one pinned copy per round until context
+    * GC gets around to them — on a shared cluster that is real executor
+    * storage pressure. Callers unpersist round N-1 right after round N is
+    * materialized. Non-blocking: in-flight tasks reading the old blocks
+    * finish from recompute if racing.
+    */
+  def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
 }

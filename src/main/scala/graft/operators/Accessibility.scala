@@ -168,19 +168,25 @@ object Accessibility {
     // the anti-join deriving unresolved origins, and Spark would
     // otherwise execute the radius join + top-k aggregate twice.
     // persist (lazy, lineage-recoverable) rather than localCheckpoint
-    // (eager job at DataFrame-construction time; executor loss loses
-    // the pinned partitions unrecoverably)
+    // (executor loss during the search would lose pinned partitions
+    // unrecoverably). The cache's lifecycle is owned HERE: the result is
+    // materialized eagerly below, then the phase-1 cache is released —
+    // otherwise every invocation leaks cached blocks for the session
+    // lifetime.
     val near = topk(o, firstRadiusDeg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val resolved = near.filter(size(col("top")) === k)
     val unresolved = o.join(resolved.select(col("c_custkey")),
       Seq("c_custkey"), "left_anti")
-    resolved.unionByName(topk(unresolved, MaxReachDeg))
+    val out = resolved.unionByName(topk(unresolved, MaxReachDeg))
       .select(col("c_custkey"), posexplode(col("top")))
       .select(col("c_custkey"), (col("pos") + 1).cast("int").as("rk"),
         col("col.id").as("s_suppkey"),
         round(-col("col.score"), 4).as("dist_deg"))
       .orderBy(col("c_custkey"), col("rk"))
+      .localCheckpoint() // eager: k rows per origin, output-sized
+    near.unpersist(blocking = false)
+    out
   }
 
   /** The many-to-many travel-time matrix itself (OSRM `table`,

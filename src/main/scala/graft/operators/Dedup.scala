@@ -128,20 +128,30 @@ object Dedup {
     * a production dedup pipeline (pairs alone over-count; keep-one-per-
     * component is the actual delete set).
     *
-    * Each iteration is one shuffle (edge join + min aggregate) and
-    * converges in O(component diameter) rounds — near-dup components are
-    * shallow in practice, and maxIter bounds the pathological chain.
+    * Each iteration is ONE job: the changed-label count rides inside the
+    * same aggregation that materializes the next label frame (a lazy
+    * `localCheckpoint` whose first action is that count), instead of a
+    * separate join + isEmpty convergence probe. Converges in O(component
+    * diameter) rounds — near-dup components are shallow in practice.
     * `localCheckpoint` truncates the growing lineage each round so the
-    * plan stays O(1) instead of O(iterations) — without it the driver
-    * re-optimizes an exponentially nested plan and executors recompute
-    * every prior round. Driver-side loop control with a scalar count per
-    * round; no per-row driver work.
+    * plan stays O(1) instead of O(iterations); the superseded round's
+    * pinned blocks are explicitly unpersisted (they'd otherwise
+    * accumulate one labels-copy per round until context GC). Driver-side
+    * loop control with a scalar count per round; no per-row driver work.
+    *
+    * If maxIter is hit before convergence the labels are UNDER-MERGED
+    * (a component of diameter > maxIter keeps several labels), so this
+    * throws rather than silently returning a wrong delete set; the
+    * default bounds any real corpus (diameter-20 near-dup chains do not
+    * survive a 0.8-Jaccard verify step).
     *
     * Output: (doc_id, cluster, cluster_size), cluster = min doc_id of
     * the component (deterministic), singletons excluded (docs in no
     * pair are their own survivor by definition). */
   def nearDupClusters(spark: SparkSession, dir: String,
-                      maxIter: Int = 10): DataFrame = {
+                      maxIter: Int = 20): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.SparkBridge
     val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
@@ -157,22 +167,38 @@ object Dedup {
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
       val next = labels.join(prop, labels("id") === prop("src"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") =!= col("prev")).isEmpty
-      labels = next
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          (coalesce(col("nlabel"), col("label")) < col("label"))
+            .cast("long").as("_chg"))
+        .localCheckpoint(eager = false)
+      // the one job per round: materializes `next` into the checkpoint
+      // AND returns the changed-label count (sum of the _chg flags)
+      val nChanged = next.agg(coalesce(sum(col("_chg")), lit(0L)))
+        .as[Long].head()
+      converged = nChanged == 0L
+      SparkBridge.unpersistCheckpoint(labels)
+      labels = next.drop("_chg")
       i += 1
     }
+    require(converged,
+      s"label propagation did not converge in $maxIter iterations — " +
+        "a component has diameter > maxIter and its labels are under-" +
+        "merged; raise maxIter")
     // cluster size via a window over the label partition — one shuffle,
     // no join (a labels x sizes join would be large-large at scale, and
-    // the checkpointed side has no stats for a broadcast decision)
-    labels
+    // the checkpointed side has no stats for a broadcast decision).
+    // The result is pinned (output-sized) so the working label frame and
+    // edge list can be released immediately rather than at context GC.
+    val out = labels
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("label"))))
       .select(col("id").as("doc_id"), col("label").as("cluster"),
         col("cluster_size"))
       .orderBy(col("cluster"), col("doc_id"))
+      .localCheckpoint()
+    SparkBridge.unpersistCheckpoint(labels)
+    SparkBridge.unpersistCheckpoint(edges)
+    out
   }
 
   /** The corpus after the FULL dedup pipeline: exact survivors minus

@@ -22,9 +22,12 @@ object Salting {
                  nSalts: Int = 16, joinType: String = "inner"): DataFrame = {
     require(nSalts > 1)
     // right_outer/full_outer would emit every unmatched right row once per
-    // salt replica — only left-preserving join types are correct here
+    // salt replica — only left-preserving join types are correct here.
+    // "cross" is rejected too: with salted using-columns Spark degrades it
+    // to an equi-join, silently behaving as inner — a keyed salted join
+    // has no meaningful cross form.
     val allowed = Set("inner", "left", "left_outer", "leftouter",
-      "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti", "cross")
+      "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti")
     require(allowed.contains(joinType.toLowerCase.replace(" ", "_")),
       s"saltedJoin replicates the right side; joinType '$joinType' would " +
         "duplicate unmatched right rows (use inner/left_outer/semi/anti)")

@@ -67,7 +67,19 @@ object Exports {
   def writeNormalized(df: DataFrame, parentKey: Seq[String],
                       childCols: Seq[String], dir: String): Unit = {
     val parentCols = df.columns.filterNot(childCols.contains).toSeq
-    val parent = df.select(parentCols.map(col): _*).distinct()
+    val nonKey = parentCols.filterNot(parentKey.contains)
+    // one row per parentKey, GUARANTEED: distinct() over the non-child
+    // columns would silently emit multiple parent rows (and fan out the
+    // child join) if some column is not functionally dependent on the
+    // key; picking the lexicographic-min attribute tuple per key is
+    // deterministic for well-behaved and degenerate inputs alike
+    val parent =
+      if (nonKey.isEmpty) df.select(parentCols.map(col): _*).distinct()
+      else df.groupBy(parentKey.map(col): _*)
+        .agg(min(struct(nonKey.map(col): _*)).as("_p"))
+        .select(parentKey.map(col) ++
+          nonKey.map(c => col(s"_p.$c").as(c)): _*)
+        .select(parentCols.map(col): _*)
     val child = df.select((parentKey ++ childCols).map(col): _*)
     parent.write.mode("overwrite").parquet(s"$dir/results.parquet")
     child.write.mode("overwrite").parquet(s"$dir/results_child.parquet")
