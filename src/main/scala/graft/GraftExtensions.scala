@@ -54,5 +54,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("vec_simhash", "vec_simhash(vec, nBits) - random-hyperplane LSH signature of a float vector") {
       args => VecSimHash(args(0), intArg(args(1), "vec_simhash"))
     }
+    reg("poly_center_of_mass", "poly_center_of_mass(rings) - shoelace centroid with hole support") {
+      args => PolyCenterOfMass(args(0))
+    }
   }
 }

@@ -57,6 +57,8 @@ object SparkEntry {
     "geo_knn" -> ((s, d) => Accessibility.knnPoi(s, d)),
     "geo_area_assign" -> (Accessibility.areaAssign _),
     "geo_eta_matrix" -> ((s, d) => Accessibility.etaMatrix(s, d)),
+    "geo_center_of_mass" -> (Accessibility.centerOfMass _),
+    "geo_tile_features" -> ((s, d) => graft.sources.VectorTiles.tileFeaturesQuery(s, d)),
     // C. deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_exact_survivors" -> (Dedup.exactSurvivors _),
@@ -436,6 +438,31 @@ object SparkEntry {
                ORDER BY d, s_suppkey) AS rk
            FROM pairs) t
          WHERE rk <= 3 ORDER BY c_custkey, rk""",
+    // rect-with-hole centroid: closed form (A1*c1 - A2*c2)/(A1 - A2);
+    // integer vertices keep every term FP-exact, so this matches the
+    // Spark side's full shoelace accumulation bitwise
+    "geo_center_of_mass" ->
+      """WITH a AS (SELECT n_nationkey, n_name,
+           n_nationkey * 13 % 150 - 80 AS lat0,
+           n_nationkey * 29 % 330 - 175 AS lon0 FROM nation)
+         SELECT n_nationkey, n_name,
+           round((CAST(600.0 AS DOUBLE) * (lat0 + 10) - CAST(96.0 AS DOUBLE) * (lat0 + 8))
+             / CAST(504.0 AS DOUBLE), 6) AS com_lat,
+           round((CAST(600.0 AS DOUBLE) * (lon0 + 15) - CAST(96.0 AS DOUBLE) * (lon0 + 12))
+             / CAST(504.0 AS DOUBLE), 6) AS com_lon
+         FROM a ORDER BY n_nationkey""",
+    "geo_tile_features" ->
+      """WITH o AS (SELECT c_custkey,
+           (c_custkey * 37 % 1700) / 10.0 - 85.0 AS lat,
+           (c_custkey * 91 % 3600) / 10.0 - 180.0 AS lon FROM customer),
+         s AS (SELECT c_custkey,
+           (lon + 180.0) / 360.0 * 64 AS sx,
+           (90.0 - lat) / 180.0 * 64 AS sy FROM o)
+         SELECT CAST(floor(sx) AS BIGINT) AS tile_x,
+           CAST(floor(sy) AS BIGINT) AS tile_y, c_custkey,
+           CAST(floor((sx - floor(sx)) * 4096) AS BIGINT) AS qx,
+           CAST(floor((sy - floor(sy)) * 4096) AS BIGINT) AS qy
+         FROM s ORDER BY tile_x, tile_y, c_custkey""",
     "geo_tile_assign" ->
       """WITH o AS (SELECT c_acctbal,
            (c_custkey * 37 % 1700) / 10.0 - 85.0 AS lat,

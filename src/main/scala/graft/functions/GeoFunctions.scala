@@ -2,11 +2,12 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftbridge.SparkBridge
-import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType}
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, StructField, StructType}
 
 /** Static geo math callable from both interpreted eval and generated code. */
 object GeoMath {
@@ -40,6 +41,45 @@ object GeoMath {
       j = i; i += 1
     }
     inside
+  }
+
+  /** Shoelace-weighted polygon center of mass over the normalized rings
+    * shape (rings -> points -> [lon, lat]; ring 0 = outer, rest holes —
+    * the GeoJSON Polygon convention). The turf `centerOfMass` analog:
+    * the reference replaces non-point POIs by this point before routing
+    * (ram-analysis/app/calculate-eta/tasks.js:64-69).
+    *
+    * Winding-agnostic: each ring's contribution is normalized to
+    * positive orientation, then the outer ring adds and holes subtract.
+    * Rings may be open or closed (a duplicated closing point contributes
+    * a zero cross term). Returns null for degenerate (zero-area) input.
+    * Returns (lat, lon) as an InternalRow for the struct-typed
+    * expression. */
+  def polyCenterOfMass(rings: ArrayData): InternalRow = {
+    var sumA = 0.0; var sumX = 0.0; var sumY = 0.0
+    var r = 0
+    while (r < rings.numElements()) {
+      val ring = rings.getArray(r)
+      val n = ring.numElements()
+      var a = 0.0; var cx = 0.0; var cy = 0.0
+      var i = 0
+      while (i < n) {
+        val j = if (i + 1 == n) 0 else i + 1
+        val p1 = ring.getArray(i); val p2 = ring.getArray(j)
+        val x1 = p1.getDouble(0); val y1 = p1.getDouble(1)
+        val x2 = p2.getDouble(0); val y2 = p2.getDouble(1)
+        val cross = x1 * y2 - x2 * y1
+        a += cross; cx += (x1 + x2) * cross; cy += (y1 + y2) * cross
+        i += 1
+      }
+      // a = 2 * signed ring area; sign-normalize, outer adds, holes subtract
+      val s = (if (a >= 0.0) 1.0 else -1.0) * (if (r == 0) 1.0 else -1.0)
+      sumA += s * a; sumX += s * cx; sumY += s * cy
+      r += 1
+    }
+    if (sumA == 0.0) null
+    else new GenericInternalRow(
+      Array[Any](sumY / (3.0 * sumA), sumX / (3.0 * sumA)))
   }
 }
 
@@ -96,6 +136,29 @@ case class HaversineKm(first: Expression, second: Expression,
     copy(first = f, second = s, third = t, fourth = q)
 }
 
+/** `poly_center_of_mass(rings)` -> struct<com_lat, com_lon> | null.
+  * Shoelace-weighted centroid with hole support over the normalized
+  * GeoJSON rings structure ([[graft.sources.GeoJson.readPolygonsJsonl]]
+  * shape). Codegen'd: one static call per row, no UDF serialization. */
+case class PolyCenterOfMass(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("com_lat", DoubleType), StructField("com_lon", DoubleType)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "poly_center_of_mass"
+
+  override def nullSafeEval(rings: Any): Any =
+    GeoMath.polyCenterOfMass(rings.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.GeoMath.polyCenterOfMass($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Geo column functions. The RAM reference works on WGS84 points
   * (villages/POIs) and 30 km square grids (ram-analysis/app/
   * calculate-eta/index.js:62); here the grid/tile/distance algebra is
@@ -129,6 +192,10 @@ object GeoFunctions {
       acc =!= point_in_poly(lat, lon,
         transform(ring, p => element_at(p, 2)),
         transform(ring, p => element_at(p, 1))))
+
+  /** Polygon (with holes) center of mass — see [[GeoMath.polyCenterOfMass]]. */
+  def poly_center_of_mass(rings: Column): Column =
+    SparkBridge.column(PolyCenterOfMass(SparkBridge.expression(rings)))
 
   /** Deterministic synthetic coordinates derived from an integer key
     * (SURVEY.md §3) — integer-exact modular arithmetic so Spark and the

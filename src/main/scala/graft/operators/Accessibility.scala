@@ -70,20 +70,28 @@ object Accessibility {
   /** Flagship ETA: per origin x POI type, travel time to the nearest
     * reachable POI plus walk time to the road network; null when nothing
     * is within the search cap (OSRM row-min + walk adjust + Infinity
-    * semantics, tasks.js:133-151,279). Conditional min over a broadcast
-    * POI cross keeps every (origin, type) pair present, mirroring the
-    * reference's per-type output. */
+    * semantics, tasks.js:133-151,279).
+    *
+    * Bounded search, not a dim-cross: each origin is compared only
+    * against POIs sharing its 3x3 cell neighborhood at the search cap
+    * (the grid-bucketed radius join keyed additionally on poi_type), so
+    * per-origin work is the local POI density, not |POI| — at 100x POI
+    * cardinality the plan cost grows with the neighborhood, not the
+    * dimension table. The (origin x type) density the reference's
+    * per-type output requires survives via a map-side cross with the
+    * tiny distinct-type dim + left_outer join: unreachable pairs keep a
+    * null dist, min() of nothing stays null, eta_s stays null. */
   def nearestPoi(spark: SparkSession, dir: String): DataFrame = {
     val o = origins(spark, dir).select(col("c_custkey"), col("lat"), col("lon"))
     val p = pois(spark, dir)
-      .select(col("s_suppkey"), col("poi_type"),
-        col("lat").as("plat"), col("lon").as("plon"))
-    val dist = euclidDeg(col("lat"), col("lon"), col("plat"), col("plon"))
+      .select(col("s_suppkey"), col("poi_type"), col("lat"), col("lon"))
+    val types = p.select(col("poi_type")).distinct()
     val walkSec = (col("c_custkey") % 97) / 10.0 * WalkSecPerKm
-    o.join(broadcast(p))
+    GeoJoins.radiusJoin(o.crossJoin(broadcast(types)), p, MaxReachDeg,
+        broadcastRight = true, joinType = "left_outer",
+        extraKeys = Seq("poi_type"))
       .groupBy(col("c_custkey"), col("poi_type"))
-      .agg(min(when(dist <= MaxReachDeg, travelSeconds(dist, MaxSpeedKmh)))
-        .as("_min_t"))
+      .agg(min(travelSeconds(col("dist_deg"), MaxSpeedKmh)).as("_min_t"))
       .select(col("c_custkey"), col("poi_type"),
         round(col("_min_t") + walkSec, 2).as("eta_s"))
       .orderBy(col("c_custkey"), col("poi_type"))
@@ -113,18 +121,24 @@ object Accessibility {
       .orderBy(col("c_nationkey"))
 
   /** Headline RAM stat: per admin area, how much population can reach a
-    * type-0 POI within the time budget (app/index.js results rollup). */
+    * type-0 POI within the time budget (app/index.js results rollup).
+    *
+    * Same bounded-search shape as [[nearestPoi]]: the per-origin min is
+    * fed by the cell-bucketed radius join at the search cap (left_outer
+    * keeps origins with no reachable POI; their eta stays null and they
+    * count as uncovered), never an all-POIs cross. */
   def accessibility(spark: SparkSession, dir: String,
                     budgetSec: Double = 50000.0): DataFrame = {
     val o = origins(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        col("lat"), col("lon"))
     val p0 = pois(spark, dir).filter(col("poi_type") === 0)
-      .select(col("lat").as("plat"), col("lon").as("plon"))
-    val dist = euclidDeg(col("lat"), col("lon"), col("plat"), col("plon"))
+      .select(col("lat"), col("lon"))
     val walkSec = (col("c_custkey") % 97) / 10.0 * WalkSecPerKm
-    val perOrigin = o.join(broadcast(p0))
+    val perOrigin = GeoJoins.radiusJoin(o, p0, MaxReachDeg,
+        broadcastRight = true, joinType = "left_outer")
       .groupBy(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
-      .agg(min(when(dist <= MaxReachDeg, travelSeconds(dist, MaxSpeedKmh)))
-        .as("_min_t"))
+      .agg(min(travelSeconds(col("dist_deg"), MaxSpeedKmh)).as("_min_t"))
       .withColumn("eta_s", col("_min_t") + walkSec)
     val n = Tables.nation(spark, dir)
     perOrigin.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
@@ -233,6 +247,35 @@ object Accessibility {
       .agg(count(lit(1)).as("n_origins"),
         round(sum(col("c_acctbal")), 2).as("pop"))
       .orderBy(col("n_name"))
+  }
+
+  /** Polygon center of mass per admin area (turf centerOfMass over the
+    * area polygon — the reference replaces non-point POIs by this point
+    * before routing, tasks.js:64-69). Areas are deterministic
+    * rectangles-with-a-hole derived from the nation key with INTEGER
+    * vertices: every shoelace cross term, sum, and the final division
+    * are FP-exact, so the DuckDB oracle can state the same centroid in
+    * closed form ((A1*c1 - A2*c2)/(A1 - A2)) and still hash-match the
+    * full shoelace expression. Pure map-side projection — no shuffle. */
+  def centerOfMass(spark: SparkSession, dir: String): DataFrame = {
+    val lat0 = (col("n_nationkey") * 13 % 150 - 80).cast("double")
+    val lon0 = (col("n_nationkey") * 29 % 330 - 175).cast("double")
+    def pt(lon: org.apache.spark.sql.Column, lat: org.apache.spark.sql.Column) =
+      array(lon, lat)
+    // outer 30 x 20 ring (CCW), hole 12 x 8 (CCW; sign-normalized anyway)
+    val outer = array(
+      pt(lon0, lat0), pt(lon0 + 30.0, lat0),
+      pt(lon0 + 30.0, lat0 + 20.0), pt(lon0, lat0 + 20.0))
+    val hole = array(
+      pt(lon0 + 6.0, lat0 + 4.0), pt(lon0 + 18.0, lat0 + 4.0),
+      pt(lon0 + 18.0, lat0 + 12.0), pt(lon0 + 6.0, lat0 + 12.0))
+    Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"),
+        poly_center_of_mass(array(outer, hole)).as("c"))
+      .select(col("n_nationkey"), col("n_name"),
+        round(col("c.com_lat"), 6).as("com_lat"),
+        round(col("c.com_lon"), 6).as("com_lon"))
+      .orderBy(col("n_nationkey"))
   }
 
   /** Slippy-tile assignment + per-tile stats (ram-vt tiling analog). */

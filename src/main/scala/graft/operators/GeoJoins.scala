@@ -28,15 +28,22 @@ object GeoJoins {
     * @param right small side with columns `lat`, `lon` (replicated x9)
     * @param joinType "inner" or "left_outer" (left_outer keeps lefts with
     *                 no neighbor; right columns null)
+    * @param extraKeys columns present under the same name on BOTH sides
+    *                  that must also match (they join the equi-key set,
+    *                  e.g. the POI type for a per-type nearest search);
+    *                  the right-side copy is dropped from the output
     */
   def radiusJoin(left: DataFrame, right: DataFrame, radiusDeg: Double,
                  broadcastRight: Boolean = true,
-                 joinType: String = "inner"): DataFrame = {
+                 joinType: String = "inner",
+                 extraKeys: Seq[String] = Nil): DataFrame = {
     val l = left
       .withColumn("_lcx", cellX(col("lon"), radiusDeg))
       .withColumn("_lcy", cellY(col("lat"), radiusDeg))
-    val rBase = right
-      .withColumnRenamed("lat", "_rlat").withColumnRenamed("lon", "_rlon")
+    val rBase = extraKeys.foldLeft(
+      right.withColumnRenamed("lat", "_rlat").withColumnRenamed("lon", "_rlon")) {
+      (df, k) => df.withColumnRenamed(k, s"_rk_$k")
+    }
     // replicate each right row to its 9-cell neighborhood
     val r0 = rBase
       .withColumn("_dx", explode(array(lit(-1), lit(0), lit(1))))
@@ -46,12 +53,13 @@ object GeoJoins {
       .drop("_dx", "_dy")
     val r = if (broadcastRight) broadcast(r0) else r0
     val dist = euclidDeg(col("lat"), col("lon"), col("_rlat"), col("_rlon"))
-    l.join(r,
-        col("_lcx") === col("_rcx") && col("_lcy") === col("_rcy") &&
-          dist <= radiusDeg,
-        joinType)
+    val keyCond = extraKeys
+      .map(k => col(k) === col(s"_rk_$k"))
+      .foldLeft(col("_lcx") === col("_rcx") && col("_lcy") === col("_rcy"))(_ && _)
+    l.join(r, keyCond && dist <= radiusDeg, joinType)
       .withColumn("dist_deg",
         when(col("_rlat").isNotNull, dist))
-      .drop("_lcx", "_lcy", "_rcx", "_rcy")
+      .drop(Seq("_lcx", "_lcy", "_rcx", "_rcy") ++
+        extraKeys.map(k => s"_rk_$k"): _*)
   }
 }

@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GeoFunctions.{latOf, lonOf}
+
+/** Vector-tile CONTENT generation — the distributed analog of ram-vt's
+  * tippecanoe feed (ram-vt/index.js:31-38 pipes the result GeoJSON into
+  * tippecanoe; ram-vt/app/index.js uploads the per-tile output tree).
+  * Where [[graft.operators.Accessibility.tileAssign]] stops at tile
+  * x/y statistics, this produces what a tile server actually consumes:
+  * per (z, x, y), the tile's feature list with tile-local QUANTIZED
+  * integer coordinates on the MVT 4096-extent grid, written as one
+  * GeoJSONL shard per tile directory.
+  *
+  * Scale posture: quantization is pure map-side arithmetic; the only
+  * shuffle is the repartition by tile key that the one-shard-per-tile
+  * layout requires, and the optional per-tile feature cap (tippecanoe's
+  * drop-features analog) rides that same hash partitioning — the window
+  * rank adds a sort within the already-shuffled partitions, never a
+  * second exchange.
+  */
+object VectorTiles {
+  val Extent = 4096
+
+  /** Tile assignment + tile-local quantized coordinates at zoom z for a
+    * frame with `lat`/`lon` columns. qx/qy in [0, extent) — floor-exact
+    * arithmetic only, so the quantization is oracle-checkable. */
+  def tileFeatures(points: DataFrame, z: Int, extent: Int = Extent): DataFrame = {
+    require(z >= 0 && z <= 30)
+    val n = 1 << z
+    val sx = (col("lon") + 180.0) / 360.0 * n
+    val sy = (lit(90.0) - col("lat")) / 180.0 * n
+    points
+      .withColumn("tile_x", floor(sx).cast("long"))
+      .withColumn("tile_y", floor(sy).cast("long"))
+      .withColumn("qx", floor((sx - floor(sx)) * extent).cast("long"))
+      .withColumn("qy", floor((sy - floor(sy)) * extent).cast("long"))
+  }
+
+  /** Write one GeoJSONL shard per (z, x, y) tile directory: each line is
+    * a feature `{"id":…,"qx":…,"qy":…,"props":{…}}` with tile-local
+    * coordinates, lines ordered by feature id within the tile.
+    *
+    * @param maxPerTile tippecanoe's drop-features analog: keep at most N
+    *   features per tile, chosen by a deterministic hash order (so the
+    *   kept subset is stable across runs and spatially unbiased), 0 = no
+    *   cap. The rank reuses the tile-key hash partitioning the write
+    *   needs anyway — capping adds no extra shuffle. */
+  def writeTiles(points: DataFrame, z: Int, path: String, idCol: String,
+                 propCols: Seq[String], maxPerTile: Int = 0): Unit = {
+    val tf = tileFeatures(points, z)
+      .repartition(col("tile_x"), col("tile_y"))
+    val capped =
+      if (maxPerTile <= 0) tf
+      else tf.withColumn("_rk", row_number().over(
+          Window.partitionBy(col("tile_x"), col("tile_y"))
+            .orderBy(xxhash64(col(idCol), col("tile_x"), col("tile_y")),
+              col(idCol))))
+        .filter(col("_rk") <= maxPerTile).drop("_rk")
+    capped
+      .sortWithinPartitions(col("tile_x"), col("tile_y"), col(idCol))
+      .select(lit(z).as("z"), col("tile_x"), col("tile_y"),
+        to_json(struct(col(idCol).as("id"), col("qx"), col("qy"),
+          struct(propCols.map(col): _*).as("props"))).as("value"))
+      .write.mode("overwrite").partitionBy("z", "tile_x", "tile_y").text(path)
+  }
+
+  /** Read a tile tree back: one row per feature with its (z, x, y). */
+  def readTiles(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .withColumn("f", from_json(col("value"), org.apache.spark.sql.types.StructType
+        .fromDDL("id LONG, qx LONG, qy LONG, props MAP<STRING,STRING>")))
+      .select(col("z"), col("tile_x"), col("tile_y"),
+        col("f.id").as("id"), col("f.qx").as("qx"), col("f.qy").as("qy"),
+        col("f.props").as("props"))
+
+  /** Query surface: origins quantized onto their z=6 tiles — the content
+    * rows [[writeTiles]] serializes, exposed relationally (and oracle-
+    * checked: floor arithmetic only). */
+  def tileFeaturesQuery(spark: SparkSession, dir: String, z: Int = 6): DataFrame = {
+    val o = Tables.customer(spark, dir).select(col("c_custkey"),
+      latOf(col("c_custkey")).as("lat"), lonOf(col("c_custkey")).as("lon"))
+    tileFeatures(o, z)
+      .select(col("tile_x"), col("tile_y"), col("c_custkey"),
+        col("qx"), col("qy"))
+      .orderBy(col("tile_x"), col("tile_y"), col("c_custkey"))
+  }
+}

@@ -148,4 +148,49 @@ class GeoSpec extends AnyFunSuite {
       assert(r.getLong(1) >= 0 && r.getLong(1) < 16)
     }
   }
+
+  private def comOf(rings: Seq[Seq[(Double, Double)]]): Option[(Double, Double)] = {
+    import graft.functions.GeoFunctions.poly_center_of_mass
+    val ringCols = rings.map(r => array(r.map { case (lon, lat) =>
+      array(lit(lon), lit(lat)) }: _*))
+    val row = spark.range(1)
+      .select(poly_center_of_mass(array(ringCols: _*)).as("c"))
+      .select(col("c.com_lat"), col("c.com_lon")).collect().head
+    if (row.isNullAt(0)) None else Some((row.getDouble(0), row.getDouble(1)))
+  }
+
+  test("centerOfMass: triangle, open and closed rings agree") {
+    // triangle (0,0)(6,0)(0,6) -> centroid (2, 2)
+    val open = comOf(Seq(Seq((0.0, 0.0), (6.0, 0.0), (0.0, 6.0))))
+    val closed = comOf(Seq(Seq((0.0, 0.0), (6.0, 0.0), (0.0, 6.0), (0.0, 0.0))))
+    assert(open.contains((2.0, 2.0)) && closed == open)
+  }
+
+  test("centerOfMass: hole shifts the centroid away, winding-invariant") {
+    val outer = Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0))
+    // off-center 2x2 hole at [6,8]x[6,8]: A1=100 c1=(5,5), A2=4 c2=(7,7)
+    val hole = Seq((6.0, 6.0), (8.0, 6.0), (8.0, 8.0), (6.0, 8.0))
+    val expected = (100.0 * 5 - 4.0 * 7) / 96.0 // = 4.9166..
+    val got = comOf(Seq(outer, hole)).get
+    assert(math.abs(got._1 - expected) < 1e-12 &&
+      math.abs(got._2 - expected) < 1e-12)
+    // reversed windings (outer CW, hole CW) give the identical point
+    assert(comOf(Seq(outer.reverse, hole.reverse)).get == got)
+  }
+
+  test("centerOfMass: degenerate zero-area polygon yields null") {
+    assert(comOf(Seq(Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0)))).isEmpty)
+  }
+
+  test("geo_center_of_mass query: centroid sits inside the outer ring, off the hole") {
+    Accessibility.centerOfMass(spark, sf).collect().foreach { r =>
+      val key = r.getInt(0)
+      val lat0 = (key * 13 % 150 - 80).toDouble
+      val lon0 = (key * 29 % 330 - 175).toDouble
+      val (lat, lon) = (r.getDouble(2), r.getDouble(3))
+      assert(lat > lat0 && lat < lat0 + 20 && lon > lon0 && lon < lon0 + 30)
+      // the hole sits below/left of center, so the centroid shifts up-right
+      assert(lat > lat0 + 10.0 && lon > lon0 + 15.0)
+    }
+  }
 }

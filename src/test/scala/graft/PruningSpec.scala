@@ -23,13 +23,14 @@ class PruningSpec extends AnyFunSuite {
   test("no query plans a cartesian product or sort-merge join, except the declared broadcast-NL cases") {
     // broadcast nested-loop is the intended plan where a dimension-sized
     // side is crossed against the big side on purpose: brute/IVF ANN
-    // scoring (queries/seeds x candidates) and the conditional-min ETA
-    // pattern (all POIs of a type must be visible to every origin so
-    // unreachable origins still emit a null row)
-    // geo_area_assign: polygon containment has no equi key; the area
-    // table is dimension-sized and broadcast
+    // scoring (queries/seeds x candidates); geo_area_assign (polygon
+    // containment has no equi key; the area table is broadcast);
+    // geo_nearest_poi's only remaining cross is the <=4-row poi-type dim
+    // that keeps unreachable (origin, type) pairs present — the POI
+    // candidate search itself is the cell-bucketed hash join (asserted
+    // below)
     val nlAllowed = Set("ann_brute_topk", "ann_ivf_topk",
-      "geo_accessibility", "geo_nearest_poi", "geo_area_assign")
+      "geo_nearest_poi", "geo_area_assign")
     // full-outer equi-joins cannot broadcast (both sides must preserve
     // unmatched rows), so a shuffle join IS the correct plan there
     val smjAllowed = Set("q26_full_outer")
@@ -42,6 +43,24 @@ class PruningSpec extends AnyFunSuite {
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"$name plans an unexpected broadcast nested-loop join")
     }
+  }
+
+  test("ETA queries search cell-bucketed candidates, not an all-POIs cross") {
+    // the POI side must reach the origins through a broadcast HASH join
+    // on the grid cell keys (plus poi_type for the per-type search) —
+    // per-origin work is then local density, not |POI|
+    Seq("geo_nearest_poi" -> operators.Accessibility.nearestPoi(spark, sf),
+      "geo_accessibility" -> operators.Accessibility.accessibility(spark, sf))
+      .foreach { case (name, df) =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("BroadcastHashJoin"),
+          s"$name lost its cell-bucketed candidate join:\n$plan")
+      }
+    // accessibility has a single POI type: no density cross remains at all
+    val acc = operators.Accessibility.accessibility(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!acc.contains("BroadcastNestedLoopJoin"),
+      "geo_accessibility should not cross origins with anything")
   }
 
   test("text operators read only the columns they use from documents") {
