@@ -59,6 +59,8 @@ object SparkEntry {
     "geo_eta_matrix" -> ((s, d) => Accessibility.etaMatrix(s, d)),
     "geo_center_of_mass" -> (Accessibility.centerOfMass _),
     "geo_tile_features" -> ((s, d) => graft.sources.VectorTiles.tileFeaturesQuery(s, d)),
+    "geo_route_eta" -> ((s, d) => Routing.routeEta(s, d)),
+    "geo_route_nearest" -> ((s, d) => Routing.routeNearestPoi(s, d)),
     // C. deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_exact_survivors" -> (Dedup.exactSurvivors _),
@@ -438,6 +440,74 @@ object SparkEntry {
                ORDER BY d, s_suppkey) AS rk
            FROM pairs) t
          WHERE rk <= 3 ORDER BY c_custkey, rk""",
+    // road-network shortest path: the recursive CTE enumerates every
+    // <=6-edge path and mins the path sums; Spark's Bellman-Ford mins
+    // per hop — identical doubles because IEEE addition is monotone
+    // (min(a,b)+w == min(a+w,b+w)) and both accumulate each path
+    // left-to-right
+    "geo_route_eta" ->
+      """WITH RECURSIVE
+         v AS (SELECT max(s_suppkey) + 1 AS nv FROM supplier),
+         raw AS (
+           SELECT DISTINCT src, dst FROM (
+             SELECT s_suppkey AS src, (s_suppkey + 1) % nv AS dst FROM supplier, v
+             UNION ALL
+             SELECT s_suppkey, (s_suppkey * 7 + 3) % nv FROM supplier, v
+             UNION ALL
+             SELECT s_suppkey, (s_suppkey * 13 + 5) % nv FROM supplier, v) u
+           WHERE src <> dst),
+         nodes AS (SELECT s_suppkey AS id,
+           (s_suppkey * 37 % 1700) / 10.0 - 85.0 AS lat,
+           (s_suppkey * 91 % 3600) / 10.0 - 180.0 AS lon FROM supplier),
+         edges AS (SELECT src, dst,
+           sqrt((a.lat - b.lat) * (a.lat - b.lat)
+              + (a.lon - b.lon) * (a.lon - b.lon))
+             * 111.0 / 60.0 * 3600.0 AS w
+           FROM raw JOIN nodes a ON a.id = src JOIN nodes b ON b.id = dst),
+         reach AS (
+           SELECT s_suppkey AS src, s_suppkey AS node,
+             CAST(0.0 AS DOUBLE) AS d, 0 AS hops
+           FROM supplier WHERE s_suppkey % 41 = 1
+           UNION ALL
+           SELECT r.src, e.dst, r.d + e.w, r.hops + 1
+           FROM reach r JOIN edges e ON e.src = r.node WHERE r.hops < 6)
+         SELECT src, node, round(min(d), 4) AS eta_s
+         FROM reach GROUP BY src, node ORDER BY src, node""",
+    "geo_route_nearest" ->
+      """WITH RECURSIVE
+         v AS (SELECT max(s_suppkey) + 1 AS nv FROM supplier),
+         raw AS (
+           SELECT DISTINCT src, dst FROM (
+             SELECT s_suppkey AS src, (s_suppkey + 1) % nv AS dst FROM supplier, v
+             UNION ALL
+             SELECT s_suppkey, (s_suppkey * 7 + 3) % nv FROM supplier, v
+             UNION ALL
+             SELECT s_suppkey, (s_suppkey * 13 + 5) % nv FROM supplier, v) u
+           WHERE src <> dst),
+         nodes AS (SELECT s_suppkey AS id,
+           (s_suppkey * 37 % 1700) / 10.0 - 85.0 AS lat,
+           (s_suppkey * 91 % 3600) / 10.0 - 180.0 AS lon FROM supplier),
+         edges AS (SELECT src, dst,
+           sqrt((a.lat - b.lat) * (a.lat - b.lat)
+              + (a.lon - b.lon) * (a.lon - b.lon))
+             * 111.0 / 60.0 * 3600.0 AS w
+           FROM raw JOIN nodes a ON a.id = src JOIN nodes b ON b.id = dst),
+         reach AS (
+           SELECT s_suppkey AS src, s_suppkey AS node,
+             CAST(0.0 AS DOUBLE) AS d, 0 AS hops
+           FROM supplier WHERE s_suppkey % 41 = 1
+           UNION ALL
+           SELECT r.src, e.dst, r.d + e.w, r.hops + 1
+           FROM reach r JOIN edges e ON e.src = r.node WHERE r.hops < 6),
+         m AS (SELECT src, node, round(min(d), 4) AS eta_s
+           FROM reach GROUP BY src, node),
+         t AS (SELECT DISTINCT node % 4 AS poi_type FROM m),
+         s AS (SELECT DISTINCT src FROM m)
+         SELECT s.src, t.poi_type, min(e.eta_s) AS eta_s
+         FROM s CROSS JOIN t
+         LEFT JOIN (SELECT src, node % 4 AS poi_type, eta_s FROM m) e
+           ON e.src = s.src AND e.poi_type = t.poi_type
+         GROUP BY s.src, t.poi_type ORDER BY s.src, t.poi_type""",
     // rect-with-hole centroid: closed form (A1*c1 - A2*c2)/(A1 - A2);
     // integer vertices keep every term FP-exact, so this matches the
     // Spark side's full shoelace accumulation bitwise

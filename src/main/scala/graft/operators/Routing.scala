@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.SparkBridge
+import graft.Tables
+import graft.functions.GeoFunctions._
+
+/** Road-network travel times — the true OSRM `table` semantics.
+  *
+  * The reference never uses straight-line distance: every ETA routes
+  * over an actual road graph (ram-analysis/app/calculate-eta/
+  * tasks.js:253-283 `osrm.table`; scripts/osm2osrm.sh builds the graph
+  * from OSM). This module re-expresses that on Spark: a deterministic
+  * road-edge table synthesized from supplier keys (ring + two chords —
+  * connected, degree ~3, weights = road-speed travel seconds over the
+  * key-derived coordinates) and a bounded-hop shortest-path computed by
+  * iterative DataFrame edge relaxation (distributed Bellman-Ford).
+  *
+  * Scale posture: per round, the frontier `dist` frame joins the edge
+  * table on the edge's source node — one equi-join + one (src, node)
+  * min-aggregation, both partial-agg friendly; `localCheckpoint`
+  * truncates lineage each round and the superseded round's blocks are
+  * unpersisted immediately. Hop count is part of the QUERY SEMANTICS
+  * (OSRM's table is distance-bounded the same way the reference caps
+  * its POI buffer search), so the loop is a fixed `hops` rounds — no
+  * convergence probe jobs. At 100 TB the dist frame shards by
+  * (src, node) across executors; nothing ever collects to the driver.
+  *
+  * FP determinism (why the DuckDB recursive-CTE oracle hash-matches):
+  * Bellman-Ford computes min-then-add per hop, the CTE add-then-min
+  * over whole paths; IEEE addition is monotone, so min(a,b)+w ==
+  * min(a+w, b+w) exactly, and both engines accumulate each path's
+  * weights left-to-right in the same order.
+  */
+object Routing {
+  val RoadSpeedKmh = 60.0
+  val DefaultHops = 6
+
+  /** Deterministic synthetic road network over the (0-based) supplier
+    * key space 0..V-1: ring successor + two multiplicative chords per
+    * node (self loops removed, duplicate edges collapsed) — strongly
+    * connected via the ring, degree ~3. Weight = travel seconds at road
+    * speed between the endpoints' derived coordinates. */
+  def roadEdges(spark: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(spark, dir).select(col("s_suppkey"))
+    val nv = sup.agg((max(col("s_suppkey")) + 1L).as("nv"))
+    sup.crossJoin(broadcast(nv))
+      .select(col("s_suppkey").as("src"), explode(array(
+        (col("s_suppkey") + 1L) % col("nv"),
+        (col("s_suppkey") * 7L + 3L) % col("nv"),
+        (col("s_suppkey") * 13L + 5L) % col("nv"))).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .withColumn("w", travelSeconds(euclidDeg(
+        latOf(col("src")), lonOf(col("src")),
+        latOf(col("dst")), lonOf(col("dst"))), RoadSpeedKmh))
+  }
+
+  /** Many-to-many bounded-hop shortest-path travel seconds from every
+    * source node (s_suppkey % 41 == 1) to every node reachable within
+    * `hops` edges — the OSRM `table` matrix the reference row-mins
+    * (tasks.js:279). Output: (src, node, eta_s), src==node at 0. */
+  def routeEta(spark: SparkSession, dir: String,
+               hops: Int = DefaultHops): DataFrame = {
+    require(hops >= 1)
+    val edges = roadEdges(spark, dir)
+      .withColumnRenamed("src", "esrc")
+      .localCheckpoint()
+    var dist = Tables.supplier(spark, dir)
+      .filter(col("s_suppkey") % 41 === 1)
+      .select(col("s_suppkey").as("src"), col("s_suppkey").as("node"),
+        lit(0.0).as("d"))
+      .localCheckpoint()
+    for (_ <- 1 to hops) {
+      val relaxed = dist.join(edges, dist("node") === edges("esrc"))
+        .select(dist("src"), edges("dst").as("node"),
+          (col("d") + col("w")).as("d"))
+      val next = dist.unionByName(relaxed)
+        .groupBy(col("src"), col("node")).agg(min(col("d")).as("d"))
+        .localCheckpoint()
+      SparkBridge.unpersistCheckpoint(dist)
+      dist = next
+    }
+    // result is the final frontier itself (output-sized, already
+    // pinned); release the edge table now that the rounds are done
+    val out = dist
+      .select(col("src"), col("node"), round(col("d"), 4).as("eta_s"))
+      .orderBy(col("src"), col("node"))
+    SparkBridge.unpersistCheckpoint(edges)
+    out
+  }
+
+  /** Routed nearest-POI ETA: the row-min the reference takes over the
+    * OSRM table (tasks.js:279) — per source node, the minimum routed
+    * travel time to any POI node of each type (POI type = node % 4,
+    * matching [[Accessibility]]'s mapping), null semantics preserved by
+    * the left join against the type dim. Composes [[routeEta]], so the
+    * whole pipeline (graph -> matrix -> row-min) stays distributed. */
+  def routeNearestPoi(spark: SparkSession, dir: String,
+                      hops: Int = DefaultHops): DataFrame = {
+    val eta = routeEta(spark, dir, hops)
+      .withColumn("poi_type", col("node") % 4)
+    val srcTypes = eta.select(col("src")).distinct()
+      .crossJoin(broadcast(eta.select(col("poi_type")).distinct()))
+    srcTypes.join(eta, Seq("src", "poi_type"), "left_outer")
+      .groupBy(col("src"), col("poi_type"))
+      .agg(min(col("eta_s")).as("eta_s"))
+      .orderBy(col("src"), col("poi_type"))
+  }
+}

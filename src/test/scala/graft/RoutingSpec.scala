@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Routing
+
+class RoutingSpec extends AnyFunSuite {
+  import TestSession._
+
+  private lazy val edges = Routing.roadEdges(spark, sf)
+    .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+  private lazy val sources = Tables.supplier(spark, sf)
+    .filter(col("s_suppkey") % 41 === 1)
+    .collect().map(_.getLong(0)).toSeq
+
+  /** Reference Bellman-Ford, same relaxation order as the operator:
+    * round h reads only round h-1's distances. */
+  private def bellmanFord(hops: Int): Map[(Long, Long), Double] = {
+    val out = scala.collection.mutable.Map.empty[(Long, Long), Double]
+    for (s <- sources) {
+      var dist = Map(s -> 0.0)
+      for (_ <- 1 to hops) {
+        val next = scala.collection.mutable.Map.empty[Long, Double] ++ dist
+        for ((u, v, w) <- edges; du <- dist.get(u)) {
+          val cand = du + w
+          if (next.get(v).forall(cand < _)) next(v) = cand
+        }
+        dist = next.toMap
+      }
+      dist.foreach { case (n, d) => out((s, n)) = d }
+    }
+    out.toMap
+  }
+
+  test("road graph is simple, self-loop free and degree-bounded") {
+    assert(edges.nonEmpty)
+    assert(edges.forall { case (s, d, w) => s != d && w > 0.0 })
+    assert(edges.map(e => (e._1, e._2)).distinct.length == edges.length)
+    // 0-based node space: every supplier key is a node, the ring covers
+    // all of them, and no edge escapes the key range
+    val keys = Tables.supplier(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(edges.forall { case (s, d, _) => keys.contains(s) && keys.contains(d) })
+    val ring = edges.collect { case (s, d, _) if d == (s + 1) % keys.size => s }
+    assert(ring.toSet == keys, "ring successor missing for some node")
+  }
+
+  test("routeEta equals in-memory Bellman-Ford bitwise (after the same rounding)") {
+    val expected = bellmanFord(Routing.DefaultHops).map { case (k, d) =>
+      k -> BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = Routing.routeEta(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.keySet == expected.keySet && got.nonEmpty)
+    val diffs = got.collect { case (k, v) if v != expected(k) =>
+      s"$k: got $v expected ${expected(k)}" }
+    assert(diffs.isEmpty, diffs.take(5).mkString("; "))
+    // sources reach themselves at zero
+    sources.foreach(s => assert(got((s, s)) == 0.0))
+  }
+
+  test("more hops never lengthens a route, and strictly extends reach on the ring") {
+    val h2 = bellmanFord(2)
+    val h6 = bellmanFord(Routing.DefaultHops)
+    assert(h2.keySet.subsetOf(h6.keySet))
+    h2.foreach { case (k, d) => assert(h6(k) <= d) }
+  }
+
+  test("routeNearestPoi keeps every (src, type) with the per-type routed min") {
+    val eta = Routing.routeEta(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val types = eta.map(_._2 % 4).distinct.sorted
+    val got = Routing.routeNearestPoi(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got.size == sources.size * types.length)
+    got.foreach { case ((s, t), v) =>
+      val mins = eta.filter(e => e._1 == s && e._2 % 4 == t).map(_._3)
+      assert(v == (if (mins.isEmpty) None else Some(mins.min)))
+    }
+  }
+}
