@@ -96,6 +96,8 @@ object SparkEntry {
     "stream_anomaly" -> (graft.streaming.EventStreams.anomaliesBatch _),
     "stream_interval_join" -> (graft.streaming.EventStreams.intervalJoinBatch _),
     "stream_topk_window" -> (graft.streaming.EventStreams.topkPerWindowBatch _),
+    // rows-only: sketch internals are engine-specific
+    "stream_sketch_window" -> (graft.streaming.EventStreams.sketchWindowBatch _),
     // F. multimodal frame sampling (rows-only)
     "mm_frames" -> ((s, d) => {
       import org.apache.spark.sql.functions._

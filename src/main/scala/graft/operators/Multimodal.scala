@@ -1,5 +1,6 @@
 package graft.operators
 
+import java.nio.{ByteBuffer, ByteOrder}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -10,7 +11,10 @@ import graft.functions.TextHash
 case class MediaItem(doc_id: Long, kind: String, payload: Array[Byte],
                      declared_w: Int, declared_h: Int)
 
-/** Extracted per-item features. */
+/** Extracted per-item features. For images width/height come from the
+  * PNG IHDR; for audio (width, height) carry (sample_rate,
+  * bits_per_sample) from the WAV fmt chunk; for video n_frames derives
+  * from the MP4 mvhd timescale/duration at 30 fps. */
 case class MediaFeatures(doc_id: Long, kind: String, byte_len: Int,
                          checksum: Long, width: Int, height: Int,
                          n_frames: Int, histogram: Array[Long])
@@ -25,76 +29,227 @@ case class SampledFrame(doc_id: Long, frame_idx: Int, frame_checksum: Long)
 /** Multimodal column plumbing: binary payloads with typed metadata,
   * processed per-partition in typed Datasets.
   *
-  * The decode step is a STUB — image/audio codecs are not available in
-  * this environment — but everything Spark-cares-about is real: the
-  * binary column schema, the case-class encoders, the mapPartitions batch
-  * shape (one iterator pass, no per-row task setup), and the deterministic
-  * feature contract. Swap [[stubDecode]] for a real codec (e.g. javacpp
-  * ffmpeg/opencv) without touching the plan.
+  * The payloads are REAL container formats, parsed for real: synthesized
+  * PNG (signature + IHDR with a verified CRC32), WAV (RIFF/WAVE chunk
+  * walk to `fmt `), and MP4 (ISO-BMFF box walk to moov/mvhd). The
+  * sample decode (pixels / PCM / frame rasters) stays out of scope —
+  * no image/audio codecs exist in this environment, and the payload
+  * bodies are synthetic bytes, not valid deflate/PCM — but the header
+  * fields every pipeline filters and routes on (dimensions, sample
+  * rate, duration) are parsed from the actual byte layout, validated,
+  * and wrong bytes fail loudly. Everything Spark-cares-about is real:
+  * the binary column schema, the case-class encoders, the mapPartitions
+  * batch shape (one iterator pass, per-partition codec-init point), and
+  * the deterministic feature contract.
   */
 object Multimodal {
+  val VideoFps = 30
+  val Mp4Timescale = 1000
+
+  // ---- container synthesis (deterministic from doc_id + text) ----
+
+  private def be32(v: Int): Array[Byte] =
+    ByteBuffer.allocate(4).putInt(v).array()
+
+  /** Valid PNG prefix: 8-byte signature, IHDR (8-bit truecolor, real
+    * CRC32), an IDAT carrying the synthetic body, IEND. */
+  def pngPayload(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(body.length + 64)
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(be32(data.length), 0, 4)
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb, 0, 4); out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(be32(crc.getValue.toInt), 0, 4)
+    }
+    chunk("IHDR", ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .array())
+    chunk("IDAT", body)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Valid WAV header: RIFF/WAVE with a 16-byte PCM `fmt ` chunk and a
+    * `data` chunk carrying the synthetic body. */
+  def wavPayload(sampleRate: Int, body: Array[Byte]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(44 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + body.length)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1) // PCM, mono
+    bb.putInt(sampleRate); bb.putInt(sampleRate * 2)
+    bb.putShort(2); bb.putShort(16) // block align, bits/sample
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(body.length); bb.put(body)
+    bb.array()
+  }
+
+  /** Valid ISO-BMFF prefix: ftyp + moov(mvhd v0 with timescale and
+    * duration) + mdat carrying the synthetic body. */
+  def mp4Payload(durationMs: Int, body: Array[Byte]): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length); bb.put(typ.getBytes("US-ASCII"))
+      bb.put(payload); bb.array()
+    }
+    val mvhd = ByteBuffer.allocate(100) // version 0 layout, trailing zeros
+      .putInt(0)              // version + flags
+      .putInt(0).putInt(0)    // ctime, mtime
+      .putInt(Mp4Timescale).putInt(durationMs)
+      .array()
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be32(512) ++ "isomiso2".getBytes("US-ASCII"))
+    ftyp ++ box("moov", box("mvhd", mvhd)) ++ box("mdat", body)
+  }
 
   /** Payloads synthesized from the documents table (the container has no
-    * media files): utf-8 bytes standing in for an encoded frame. */
+    * media files): real PNG/WAV/MP4 container bytes around the doc text
+    * standing in for the encoded samples. */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaItem] = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
           (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-        col("text").cast("binary").as("payload"),
+        col("text"),
         (col("doc_id") % 640 + 1).cast("int").as("declared_w"),
         (col("doc_id") % 480 + 1).cast("int").as("declared_h"))
-      .as[MediaItem]
+      .as[(Long, String, String, Int, Int)]
+      .map { case (id, kind, text, w, h) =>
+        val body = text.getBytes("UTF-8")
+        val payload = kind match {
+          case "image/png" => pngPayload(w, h, body)
+          case "audio/wav" => wavPayload(8000 + (id % 8000).toInt, body)
+          case _           => mp4Payload(1000 + (id % 8000).toInt, body)
+        }
+        MediaItem(id, kind, payload, w, h)
+      }
   }
 
-  /** STUB decode: deterministic pseudo-features derived from the payload
-    * bytes. A real implementation would parse the container format here.
-    * Kept per-partition so a real codec would amortize init cost
-    * (context/library load) across the whole batch. */
-  def stubDecode(item: MediaItem): MediaFeatures = {
-    var h = 0xcbf29ce484222325L
+  // ---- container parsing ----
+
+  private def u16le(p: Array[Byte], i: Int): Int =
+    (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+  private def i32le(p: Array[Byte], i: Int): Int =
+    ByteBuffer.wrap(p, i, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+  private def i32be(p: Array[Byte], i: Int): Int =
+    ByteBuffer.wrap(p, i, 4).getInt
+  private def tag(p: Array[Byte], i: Int): String =
+    new String(p, i, 4, "US-ASCII")
+
+  private def isPng(p: Array[Byte]): Boolean =
+    p.length >= 33 && (p(0) & 0xff) == 0x89 && tag(p, 1).startsWith("PNG")
+  private def isWav(p: Array[Byte]): Boolean =
+    p.length >= 44 && tag(p, 0) == "RIFF" && tag(p, 8) == "WAVE"
+  private def isMp4(p: Array[Byte]): Boolean =
+    p.length >= 12 && tag(p, 4) == "ftyp"
+
+  /** PNG IHDR parse with CRC32 verification -> (width, height). */
+  def parsePng(p: Array[Byte]): (Int, Int) = {
+    require(i32be(p, 8) == 13 && tag(p, 12) == "IHDR",
+      "PNG: first chunk is not a 13-byte IHDR")
+    val crc = new java.util.zip.CRC32()
+    crc.update(p, 12, 4 + 13)
+    require(crc.getValue.toInt == i32be(p, 29), "PNG: IHDR CRC mismatch")
+    (i32be(p, 16), i32be(p, 20))
+  }
+
+  /** RIFF chunk walk to `fmt ` -> (sample_rate, bits_per_sample). */
+  def parseWav(p: Array[Byte]): (Int, Int) = {
+    var i = 12
+    while (i + 8 <= p.length) {
+      val id = tag(p, i); val size = i32le(p, i + 4)
+      if (id == "fmt ") {
+        require(size >= 16, "WAV: fmt chunk too small")
+        return (i32le(p, i + 12), u16le(p, i + 22))
+      }
+      i += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    throw new IllegalArgumentException("WAV: no fmt chunk")
+  }
+
+  /** ISO-BMFF box walk to moov/mvhd -> (timescale, duration). */
+  def parseMp4(p: Array[Byte]): (Int, Int) = {
+    var i = 0
+    while (i + 8 <= p.length) {
+      val size = i32be(p, i); val typ = tag(p, i + 4)
+      require(size >= 8, s"MP4: degenerate box size $size")
+      if (typ == "moov") {
+        var j = i + 8
+        while (j + 8 <= i + size) {
+          val bs = i32be(p, j)
+          require(bs >= 8, s"MP4: degenerate inner box size $bs")
+          if (tag(p, j + 4) == "mvhd") {
+            require(p(j + 8) == 0, "MP4: only mvhd version 0 supported")
+            return (i32be(p, j + 20), i32be(p, j + 24))
+          }
+          j += bs
+        }
+        throw new IllegalArgumentException("MP4: moov has no mvhd")
+      }
+      i += size
+    }
+    throw new IllegalArgumentException("MP4: no moov box")
+  }
+
+  /** Decode: sniff the container by magic (never trust the declared
+    * kind), parse the real header fields, and derive the payload-level
+    * checksum/histogram features. Malformed containers throw — a
+    * training pipeline must quarantine them, not ingest garbage. */
+  def decode(item: MediaItem): MediaFeatures = {
+    val p = item.payload
+    val (w, h, frames) =
+      if (isPng(p)) { val (pw, ph) = parsePng(p); (pw, ph, 1) }
+      else if (isWav(p)) { val (rate, bits) = parseWav(p); (rate, bits, 1) }
+      else if (isMp4(p)) {
+        val (ts, dur) = parseMp4(p)
+        require(ts > 0, "MP4: zero timescale")
+        (item.declared_w, item.declared_h,
+          math.max(1, (dur.toLong * VideoFps / ts).toInt))
+      }
+      else throw new IllegalArgumentException(
+        s"doc ${item.doc_id}: unrecognized container magic")
+    var hsh = 0xcbf29ce484222325L
     val hist = new Array[Long](8)
     var i = 0
-    while (i < item.payload.length) {
-      val b = item.payload(i) & 0xff
-      h ^= b; h *= 0x100000001b3L
+    while (i < p.length) {
+      val b = p(i) & 0xff
+      hsh ^= b; hsh *= 0x100000001b3L
       hist(b & 7) += 1
       i += 1
     }
-    val mixed = TextHash.mix64(h)
-    MediaFeatures(item.doc_id, item.kind, item.payload.length, mixed,
-      width = item.declared_w, height = item.declared_h,
-      n_frames = if (item.kind == "video/mp4") (math.abs(mixed) % 240 + 1).toInt else 1,
-      histogram = hist)
+    MediaFeatures(item.doc_id, item.kind, p.length, TextHash.mix64(hsh),
+      width = w, height = h, n_frames = frames, histogram = hist)
   }
 
-  /** STUB resize to (w, h): a real implementation decodes, resamples and
-    * re-encodes here; the stub keeps the plan shape (typed mapPartitions,
-    * per-partition codec init point) and emits a checksum that is a
-    * deterministic function of payload AND target dims, as a real
-    * re-encode would be. */
+  /** Resize to (w, h): the raster resample/re-encode would slot between
+    * decode and the checksum; the emitted checksum is a deterministic
+    * function of payload AND target dims, as a real re-encode would be.
+    * Typed mapPartitions keeps the per-partition codec-init point. */
   def resize(items: Dataset[MediaItem], w: Int, h: Int): Dataset[ResizedMedia] = {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
       it.map { m =>
-        val f = stubDecode(m)
-        ResizedMedia(m.doc_id, m.kind, w, h, m.declared_w, m.declared_h,
+        val f = decode(m)
+        ResizedMedia(m.doc_id, m.kind, w, h, f.width, f.height,
           TextHash.mix64(f.checksum ^ (w.toLong << 32) ^ h.toLong))
       }
     }
   }
 
-  /** STUB frame sampling: every `everyK`-th frame of each video item
-    * (images/audio yield no rows). One flatMap pass; a real codec would
-    * seek/decode the sampled frames only. */
+  /** Frame sampling: every `everyK`-th frame of each video item
+    * (images/audio yield no rows), frame count from the parsed mvhd
+    * duration. One flatMap pass; a real codec would seek/decode the
+    * sampled frames only. */
   def frameSample(items: Dataset[MediaItem], everyK: Int): Dataset[SampledFrame] = {
     import items.sparkSession.implicits._
     require(everyK > 0)
     items.flatMap { m =>
       if (m.kind != "video/mp4") Iterator.empty
       else {
-        val f = stubDecode(m)
+        val f = decode(m)
         (0 until f.n_frames by everyK).iterator.map(i =>
           SampledFrame(m.doc_id, i, TextHash.mix64(f.checksum + i)))
       }
@@ -112,7 +267,7 @@ object Multimodal {
     val feats = mediaTable(spark, dir)
       .mapPartitions { it =>
         // real codecs would initialize once per partition here
-        it.map(stubDecode)
+        it.map(decode)
       }
       .toDF()
     val histCols = (0 until 8).map(i =>

@@ -160,6 +160,33 @@ object EventStreams {
   def topkPerWindowStream(events: DataFrame, k: Int = 3): DataFrame =
     topkPerWindow(events.withWatermark("ts", Watermark), k)
 
+  /** Sketches INSIDE streaming state: per tumbling window and event
+    * type, HLL++ distinct users and mergeable approximate value
+    * quantiles. Both aggregates keep fixed-size buffers in the state
+    * store (registers / percentile buffer, not the value list), so
+    * unbounded streams hold bounded state per window — the streaming
+    * variant of [[graft.operators.Sketches]], and the 100 TB answer to
+    * "distinct users per hour" where exact distinct state is unpayable.
+    * Works identically on batch input (the rows-only query surface). */
+  def sketchWindow(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        percentile_approx(col("value"), array(lit(0.5), lit(0.9)), lit(2500))
+          .as("_q"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("approx_users"),
+        round(element_at(col("_q"), 1), 2).as("p50"),
+        round(element_at(col("_q"), 2), 2).as("p90"),
+        col("n_events"))
+
+  def sketchWindowBatch(spark: SparkSession, dir: String): DataFrame =
+    sketchWindow(Tables.events(spark, dir))
+      .orderBy(col("window_start"), col("event_type"))
+
+  def sketchWindowStream(events: DataFrame): DataFrame =
+    sketchWindow(events.withWatermark("ts", Watermark))
+
   /** Exactly-once parquet sink for a stream: each micro-batch writes to
     * a batch-id-scoped partition directory with overwrite, so a REPLAYED
     * batch (task retry, query restart from checkpoint) overwrites its

@@ -14,11 +14,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(row.declared_w >= 1 && row.declared_h >= 1)
   }
 
-  test("stub decode is deterministic and histogram sums to byte length") {
-    val item = MediaItem(7, "image/png", "hello world".getBytes("UTF-8"), 10, 10)
-    val f1 = Multimodal.stubDecode(item)
-    val f2 = Multimodal.stubDecode(item)
-    assert(f1 == f2 || (f1.checksum == f2.checksum && f1.byte_len == f2.byte_len))
+  test("PNG IHDR parse returns the encoded dimensions and verifies the CRC") {
+    val p = Multimodal.pngPayload(321, 87, "pixels".getBytes("UTF-8"))
+    val f = Multimodal.decode(MediaItem(1, "image/png", p, 10, 10))
+    // parsed from the container, NOT the declared metadata
+    assert(f.width == 321 && f.height == 87 && f.n_frames == 1)
+    // corrupt one IHDR byte -> the CRC check must reject it
+    val bad = p.clone(); bad(17) = (bad(17) ^ 0x1).toByte
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.decode(MediaItem(1, "image/png", bad, 10, 10))
+    }
+    assert(e.getMessage.contains("CRC"))
+  }
+
+  test("WAV fmt parse returns sample rate and bit depth via the chunk walk") {
+    val p = Multimodal.wavPayload(44100, "pcm".getBytes("UTF-8"))
+    val f = Multimodal.decode(MediaItem(2, "audio/wav", p, 10, 10))
+    assert(f.width == 44100 && f.height == 16 && f.n_frames == 1)
+  }
+
+  test("MP4 mvhd parse derives the frame count from timescale and duration") {
+    val p = Multimodal.mp4Payload(4000, "samples".getBytes("UTF-8"))
+    val f = Multimodal.decode(MediaItem(3, "video/mp4", p, 10, 10))
+    assert(f.n_frames == 4000 * Multimodal.VideoFps / Multimodal.Mp4Timescale)
+    assert(Multimodal.parseMp4(p) == (Multimodal.Mp4Timescale, 4000))
+  }
+
+  test("decode sniffs magic and rejects unrecognized containers") {
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.decode(MediaItem(4, "image/png",
+        "not a container at all........................................"
+          .getBytes("UTF-8"), 10, 10))
+    }
+    assert(e.getMessage.contains("unrecognized"))
+  }
+
+  test("decode is deterministic and histogram sums to byte length") {
+    val item = MediaItem(7, "image/png",
+      Multimodal.pngPayload(10, 10, "hello world".getBytes("UTF-8")), 10, 10)
+    val f1 = Multimodal.decode(item)
+    val f2 = Multimodal.decode(item)
+    assert(f1.checksum == f2.checksum && f1.byte_len == f2.byte_len)
     assert(f1.histogram.sum == f1.byte_len)
     assert(f1.n_frames == 1) // not video
   }
@@ -28,7 +64,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(n == graft.Tables.documents(spark, sf).count())
   }
 
-  test("resize stub keeps identity and varies checksum with target dims") {
+  test("features carry container-parsed fields for every kind") {
+    Multimodal.features(spark, sf).collect().foreach { r =>
+      val (id, kind) = (r.getLong(0), r.getString(1))
+      kind match {
+        case "image/png" => // IHDR dims == the synthesized declared dims
+          assert(r.getInt(4) == (id % 640 + 1).toInt &&
+            r.getInt(5) == (id % 480 + 1).toInt)
+        case "audio/wav" => // fmt sample rate, 16-bit PCM
+          assert(r.getInt(4) == 8000 + (id % 8000).toInt && r.getInt(5) == 16)
+        case _ => // mvhd duration 1000..8999 ms at 30 fps
+          assert(r.getInt(6) == (1000 + id % 8000) * 30 / 1000)
+      }
+    }
+  }
+
+  test("resize keeps identity and varies checksum with target dims") {
     val items = Multimodal.mediaTable(spark, sf)
     val a = Multimodal.resize(items, 224, 224).collect()
     val b = Multimodal.resize(items, 64, 64).collect()
@@ -52,7 +103,7 @@ class MultimodalSpec extends AnyFunSuite {
     val rows = Multimodal.features(spark, sf).collect()
     rows.foreach { r =>
       val kind = r.getString(1); val frames = r.getInt(6)
-      if (kind == "video/mp4") assert(frames >= 1 && frames <= 240)
+      if (kind == "video/mp4") assert(frames >= 30 && frames <= 270)
       else assert(frames == 1)
     }
   }

@@ -58,6 +58,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.length == 4)
   }
 
+  test("sketch window runs inside streaming state and agrees with batch") {
+    import spark.implicits._
+    // enough cardinality that the sketches actually summarize something:
+    // 3 hours x 2 types, many users per window
+    val evs = (0 until 300).map(i =>
+      Ev(100 + i, t(i), i % 40, if (i % 2 == 0) "click" else "view",
+        (i % 17).toDouble))
+    val batch = EventStreams.sketchWindow(evs.toDF())
+      .orderBy("window_start", "event_type").collect().map(_.toSeq).toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // two micro-batches: the sketch buffers must merge across batches
+    // in the state store, not just within one
+    mem.addData(evs.take(150): _*)
+    val q = EventStreams.sketchWindowStream(mem.toDF())
+      .writeStream.format("memory").queryName("out_sketch")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    mem.addData(evs.drop(150): _*)
+    q.processAllAvailable(); q.stop()
+    val stream = spark.table("out_sketch").collect().map(_.toSeq)
+      .sortBy(r => (r(0).asInstanceOf[Timestamp].getTime,
+        r(1).asInstanceOf[String])).toSeq
+    assert(batch == stream && batch.nonEmpty)
+    // sanity: approx distinct lands near the true per-window cardinality
+    EventStreams.sketchWindow(evs.toDF()).collect().foreach { r =>
+      assert(r.getLong(2) > 0 && r.getLong(2) <= 40)
+      assert(r.getDouble(3) <= r.getDouble(4)) // p50 <= p90
+    }
+  }
+
   test("streaming dedup keeps one row per user/type/hour") {
     import spark.implicits._
     val stream = runStream(EventStreams.dedupStream, "append")
