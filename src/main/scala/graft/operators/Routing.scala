@@ -101,11 +101,15 @@ object Routing {
                       hops: Int = DefaultHops): DataFrame = {
     val eta = routeEta(spark, dir, hops)
       .withColumn("poi_type", col("node") % 4)
+    // aggregate FIRST: the row-min shrinks the matrix to output size
+    // before any outer join, so the density join below is small x small
+    // (a matrix-vs-density outer join would shuffle the whole matrix)
+    val mins = eta.groupBy(col("src"), col("poi_type"))
+      .agg(min(col("eta_s")).as("eta_s"))
     val srcTypes = eta.select(col("src")).distinct()
       .crossJoin(broadcast(eta.select(col("poi_type")).distinct()))
-    srcTypes.join(eta, Seq("src", "poi_type"), "left_outer")
-      .groupBy(col("src"), col("poi_type"))
-      .agg(min(col("eta_s")).as("eta_s"))
+    srcTypes.join(broadcast(mins), Seq("src", "poi_type"), "left_outer")
+      .select(col("src"), col("poi_type"), col("eta_s"))
       .orderBy(col("src"), col("poi_type"))
   }
 }

@@ -25,12 +25,12 @@ class PruningSpec extends AnyFunSuite {
     // side is crossed against the big side on purpose: brute/IVF ANN
     // scoring (queries/seeds x candidates); geo_area_assign (polygon
     // containment has no equi key; the area table is broadcast);
-    // geo_nearest_poi's only remaining cross is the <=4-row poi-type dim
-    // that keeps unreachable (origin, type) pairs present — the POI
-    // candidate search itself is the cell-bucketed hash join (asserted
-    // below)
+    // geo_nearest_poi / geo_route_nearest: only remaining cross is the
+    // <=4-row poi-type dim that keeps unreachable (origin|src, type)
+    // pairs present — the candidate search itself is the cell-bucketed
+    // hash join (asserted below) / the aggregated route matrix
     val nlAllowed = Set("ann_brute_topk", "ann_ivf_topk",
-      "geo_nearest_poi", "geo_area_assign")
+      "geo_nearest_poi", "geo_area_assign", "geo_route_nearest")
     // full-outer equi-joins cannot broadcast (both sides must preserve
     // unmatched rows), so a shuffle join IS the correct plan there
     val smjAllowed = Set("q26_full_outer")
