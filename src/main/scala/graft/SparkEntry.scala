@@ -61,6 +61,7 @@ object SparkEntry {
     "geo_tile_features" -> ((s, d) => graft.sources.VectorTiles.tileFeaturesQuery(s, d)),
     "geo_route_eta" -> ((s, d) => Routing.routeEta(s, d)),
     "geo_route_nearest" -> ((s, d) => Routing.routeNearestPoi(s, d)),
+    "geo_route_door" -> ((s, d) => Routing.routeDoorToDoor(s, d)),
     // C. deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_exact_survivors" -> (Dedup.exactSurvivors _),
@@ -82,6 +83,7 @@ object SparkEntry {
     "text_normalize_dedup" -> (TextAnalysis.normalizeDedup _),
     "text_bigrams" -> ((s, d) => TextAnalysis.bigrams(s, d)),
     "text_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
+    "text_hash_split" -> ((s, d) => TextAnalysis.hashSplit(s, d)),
     // sketch-based approximate aggregation (rows-only: sketch internals
     // are engine-specific)
     "sketch_distinct" -> ((s, d) => Sketches.distinctUsers(s, d)),
@@ -510,6 +512,58 @@ object SparkEntry {
          LEFT JOIN (SELECT src, node % 4 AS poi_type, eta_s FROM m) e
            ON e.src = s.src AND e.poi_type = t.poi_type
          GROUP BY s.src, t.poi_type ORDER BY s.src, t.poi_type""",
+    "geo_route_door" ->
+      """WITH RECURSIVE
+         v AS (SELECT max(s_suppkey) + 1 AS nv FROM supplier),
+         raw AS (
+           SELECT DISTINCT src, dst FROM (
+             SELECT s_suppkey AS src, (s_suppkey + 1) % nv AS dst FROM supplier, v
+             UNION ALL
+             SELECT s_suppkey, (s_suppkey * 7 + 3) % nv FROM supplier, v
+             UNION ALL
+             SELECT s_suppkey, (s_suppkey * 13 + 5) % nv FROM supplier, v) u
+           WHERE src <> dst),
+         nodes AS (SELECT s_suppkey AS id,
+           (s_suppkey * 37 % 1700) / 10.0 - 85.0 AS lat,
+           (s_suppkey * 91 % 3600) / 10.0 - 180.0 AS lon FROM supplier),
+         edges AS (SELECT src, dst,
+           sqrt((a.lat - b.lat) * (a.lat - b.lat)
+              + (a.lon - b.lon) * (a.lon - b.lon))
+             * 111.0 / 60.0 * 3600.0 AS w
+           FROM raw JOIN nodes a ON a.id = src JOIN nodes b ON b.id = dst),
+         reach AS (
+           SELECT s_suppkey AS src, s_suppkey AS node,
+             CAST(0.0 AS DOUBLE) AS d, 0 AS hops
+           FROM supplier WHERE s_suppkey % 41 = 1
+           UNION ALL
+           SELECT r.src, e.dst, r.d + e.w, r.hops + 1
+           FROM reach r JOIN edges e ON e.src = r.node WHERE r.hops < 6),
+         m AS (SELECT src, node, round(min(d), 4) AS eta_s
+           FROM reach GROUP BY src, node),
+         minz AS (SELECT src, min(eta_s) AS route_s FROM m
+           WHERE node % 4 = 0 GROUP BY src),
+         srcs AS (SELECT s_suppkey AS src,
+           (s_suppkey * 37 % 1700) / 10.0 - 85.0 AS slat,
+           (s_suppkey * 91 % 3600) / 10.0 - 180.0 AS slon
+           FROM supplier WHERE s_suppkey % 41 = 1),
+         o AS (SELECT c_custkey,
+           (c_custkey * 37 % 1700) / 10.0 - 85.0 AS lat,
+           (c_custkey * 91 % 3600) / 10.0 - 180.0 AS lon FROM customer),
+         near AS (SELECT c_custkey, src, d FROM (
+           SELECT c_custkey, src,
+             sqrt((lat - slat) * (lat - slat) + (lon - slon) * (lon - slon)) AS d,
+             row_number() OVER (PARTITION BY c_custkey ORDER BY
+               sqrt((lat - slat) * (lat - slat) + (lon - slon) * (lon - slon)),
+               src) AS rn
+           FROM o CROSS JOIN srcs
+           WHERE sqrt((lat - slat) * (lat - slat) + (lon - slon) * (lon - slon))
+             <= 60.0) t
+           WHERE rn = 1)
+         SELECT o.c_custkey, near.src,
+           round(near.d * 111.0 / 4.0 * 3600.0 + minz.route_s, 2) AS eta_s
+         FROM o LEFT JOIN near ON o.c_custkey = near.c_custkey
+         LEFT JOIN minz ON near.src = minz.src
+         ORDER BY o.c_custkey""",
     // rect-with-hole centroid: closed form (A1*c1 - A2*c2)/(A1 - A2);
     // integer vertices keep every term FP-exact, so this matches the
     // Spark side's full shoelace accumulation bitwise
@@ -617,6 +671,14 @@ object SparkEntry {
          FROM tr JOIN ev USING (s)
          GROUP BY train_doc, eval_doc HAVING count(*) >= 3
          ORDER BY train_doc, eval_doc""",
+    // md5 is the one Spark/DuckDB-shared hash; two-hex-digit prefix
+    // ranges give a content-addressed (dup-safe) split
+    "text_hash_split" ->
+      """SELECT doc_id, substring(md5(text), 1, 2) AS bucket,
+           CASE WHEN substring(md5(text), 1, 2) < 'd0' THEN 'train'
+                WHEN substring(md5(text), 1, 2) < 'e8' THEN 'valid'
+                ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
     "text_bigrams" ->
       """WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
          b AS (SELECT unnest(list_transform(range(1, len(l)),

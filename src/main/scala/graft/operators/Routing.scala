@@ -35,6 +35,7 @@ import graft.functions.GeoFunctions._
   */
 object Routing {
   val RoadSpeedKmh = 60.0
+  val WalkSpeedKmh = 4.0 // reference WALKSPEED (tasks.js:141)
   val DefaultHops = 6
 
   /** Deterministic synthetic road network over the (0-based) supplier
@@ -111,5 +112,46 @@ object Routing {
     srcTypes.join(broadcast(mins), Seq("src", "poi_type"), "left_outer")
       .select(col("src"), col("poi_type"), col("eta_s"))
       .orderBy(col("src"), col("poi_type"))
+  }
+
+  /** The COMPLETE reference ETA pipeline, door to door: each origin
+    * walks (4 km/h, tasks.js:141-151) to its nearest road access point
+    * (the route-matrix source nodes), then rides the routed network to
+    * the nearest type-0 POI node — walk-adjust + osrm.table + row-min
+    * in one distributed plan. Null eta when no access point is within
+    * the search cap or no POI node is routable within the hop bound —
+    * the reference's Infinity semantics.
+    *
+    * Scale: the walk leg is the cell-bucketed radius join (per-origin
+    * work = local access-point density); the routed leg joins the
+    * origin side against the ALREADY row-minned matrix (output-sized,
+    * broadcast). Origins are never shuffled except by their own
+    * per-origin min aggregation. */
+  def routeDoorToDoor(spark: SparkSession, dir: String,
+                      hops: Int = DefaultHops): DataFrame = {
+    val o = Tables.customer(spark, dir).select(col("c_custkey"),
+      latOf(col("c_custkey")).as("lat"), lonOf(col("c_custkey")).as("lon"))
+    val srcs = Tables.supplier(spark, dir)
+      .filter(col("s_suppkey") % 41 === 1)
+      .select(col("s_suppkey").as("asrc"),
+        latOf(col("s_suppkey")).as("lat"), lonOf(col("s_suppkey")).as("lon"))
+    // nearest access point within the cap: lexicographic (dist, id) min;
+    // the struct is nulled for unmatched left-outer rows so min() skips
+    // them and a cut-off origin keeps a null access point
+    val near = GeoJoins.radiusJoin(o, srcs, Accessibility.MaxReachDeg,
+        broadcastRight = true, joinType = "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(min(when(col("asrc").isNotNull,
+        struct(col("dist_deg"), col("asrc")))).as("m"))
+      .select(col("c_custkey"), col("m.asrc").as("src"),
+        col("m.dist_deg").as("walk_deg"))
+    val minz = routeEta(spark, dir, hops)
+      .filter(col("node") % 4 === 0)
+      .groupBy(col("src")).agg(min(col("eta_s")).as("route_s"))
+    near.join(broadcast(minz), Seq("src"), "left_outer")
+      .select(col("c_custkey"), col("src"),
+        round(travelSeconds(col("walk_deg"), WalkSpeedKmh) + col("route_s"), 2)
+          .as("eta_s"))
+      .orderBy(col("c_custkey"))
   }
 }

@@ -139,6 +139,28 @@ object TextAnalysis {
       .orderBy(col("train_doc"), col("eval_doc"))
   }
 
+  /** Content-hash train/valid/test split: the split is a pure function
+    * of the TEXT (md5 prefix ranges over the 256 two-hex-digit buckets:
+    * [00,d0) train ~81%, [d0,e8) valid ~9.4%, [e8,ff] test), so exact
+    * duplicates always land in the same split — the property that stops
+    * train/test contamination through duplicated documents, which a
+    * random or id-based split silently violates. Pure map-side, no
+    * shuffle, deterministic across runs/retries/backfills — the only
+    * split discipline that survives an incremental 100 TB corpus. */
+  def hashSplitOf(docs: DataFrame,
+                  trainTo: String = "d0", validTo: String = "e8"): DataFrame =
+    docs
+      .select(col("doc_id"),
+        substring(md5(col("text").cast("binary")), 1, 2).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainTo, "train")
+          .when(col("bucket") < validTo, "valid")
+          .otherwise("test"))
+      .orderBy(col("doc_id"))
+
+  def hashSplit(spark: SparkSession, dir: String): DataFrame =
+    hashSplitOf(Tables.documents(spark, dir))
+
   /** Winnowing fingerprint per document (rows-only: hash sets have no
     * portable SQL equivalent). One row per (doc, fingerprint-position) —
     * scalar columns only, because the verification harness sorts/hashes

@@ -66,6 +66,41 @@ class RoutingSpec extends AnyFunSuite {
     h2.foreach { case (k, d) => assert(h6(k) <= d) }
   }
 
+  test("door-to-door: walk leg + routed leg with null propagation, vs in-memory") {
+    def latOf(k: Long) = (k * 37 % 1700) / 10.0 - 85.0
+    def lonOf(k: Long) = (k * 91 % 3600) / 10.0 - 180.0
+    def sq(x: Double) = x * x
+    val matrix = bellmanFord(Routing.DefaultHops).map { case (k, d) =>
+      k -> BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val routeMin = matrix.toSeq.collect {
+      case ((s, n), d) if n % 4 == 0 => s -> d
+    }.groupBy(_._1).map { case (s, ds) => s -> ds.map(_._2).min }
+    val origins = Tables.customer(spark, sf).select("c_custkey").collect()
+      .map(_.getLong(0))
+    val expected = origins.map { c =>
+      val cands = sources.map(s => (math.sqrt(
+        sq(latOf(c) - latOf(s)) + sq(lonOf(c) - lonOf(s))), s))
+        .filter(_._1 <= 60.0)
+      if (cands.isEmpty) c -> None
+      else {
+        val (d, s) = cands.min
+        c -> routeMin.get(s).map(r => BigDecimal(d * 111.0 / 4.0 * 3600.0 + r)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          .orElse(Some(Double.NaN)).filterNot(_.isNaN)
+      }
+    }.toMap
+    val got = Routing.routeDoorToDoor(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got.keySet == origins.toSet)
+    val diffs = got.collect { case (k, v) if v != expected(k) =>
+      s"$k: got $v expected ${expected(k)}" }
+    assert(diffs.isEmpty, diffs.take(5).mkString("; "))
+    // both populated and cut-off origins must exist at this sf
+    assert(got.values.exists(_.isDefined) && got.values.exists(_.isEmpty))
+  }
+
   test("routeNearestPoi keeps every (src, type) with the per-type routed min") {
     val eta = Routing.routeEta(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

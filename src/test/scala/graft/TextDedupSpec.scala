@@ -9,6 +9,27 @@ import org.apache.spark.unsafe.types.UTF8String
 class TextDedupSpec extends AnyFunSuite {
   import TestSession._
 
+  test("hash split is a pure function of text: duplicates share a split, ratios sane") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // dup-safety on a corpus WITH planted exact duplicates: same text ->
+    // same split, regardless of doc_id (a random or id-based split
+    // would leak the duplicate across train/test)
+    val planted = (1L to 200L).map(i => (i, s"document body ${i % 50}"))
+      .toDF("doc_id", "text")
+    val ps = graft.operators.TextAnalysis.hashSplitOf(planted)
+      .join(planted, "doc_id")
+    assert(ps.groupBy(col("text"))
+      .agg(countDistinct(col("split")).as("n")).filter(col("n") > 1).isEmpty)
+    // the real table: every doc assigned, three-way partition, train bulk
+    val counts = graft.operators.TextAnalysis.hashSplit(spark, sf)
+      .groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == Tables.documents(spark, sf).count())
+    assert(counts.getOrElse("train", 0L) > counts.getOrElse("valid", 0L))
+    assert(counts.getOrElse("train", 0L) > counts.getOrElse("test", 0L))
+  }
+
   test("near-dup clusters equal the transitive closure of the pair list") {
     val pairs = Dedup.ngramJaccard(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
