@@ -45,6 +45,8 @@ object SparkEntry {
     "q24_unpivot" -> (Relational.q24Unpivot _),
     "q25_moving_range" -> (Relational.q25MovingRange _),
     "q26_full_outer" -> (Relational.q26FullOuter _),
+    "q27_lead_lag" -> (Relational.q27LeadLag _),
+    "q28_stratified_sample" -> ((s, d) => Relational.q28StratifiedSample(s, d)),
     // B. spatial / accessibility
     "geo_grid_assign" -> (Accessibility.gridAssign _),
     "geo_bbox_filter" -> (Accessibility.bboxFilter _),
@@ -298,6 +300,24 @@ object SparkEntry {
            round(quantile_cont(value, 0.9), 4) AS p90,
            count(*) AS n_events
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q27_lead_lag" ->
+      """SELECT user_id, event_id, epoch,
+           epoch - lag(epoch, 1) OVER (PARTITION BY user_id
+             ORDER BY epoch, event_id) AS gap_s,
+           CAST(CASE WHEN epoch - lag(epoch, 1) OVER (PARTITION BY user_id
+             ORDER BY epoch, event_id) > 1800 THEN 1 ELSE 0 END AS BIGINT)
+             AS long_gap
+         FROM (SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS epoch
+           FROM events WHERE user_id <= 30) t
+         ORDER BY user_id, epoch, event_id""",
+    "q28_stratified_sample" ->
+      """SELECT lang, rk, doc_id FROM (
+           SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(text), doc_id) AS rk
+           FROM documents) t
+         WHERE rk <= 30 ORDER BY lang, rk""",
     "q13_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events
            WHERE event_type = 'purchase'),

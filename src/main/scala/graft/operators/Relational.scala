@@ -376,4 +376,40 @@ object Relational {
         round(sqrt((col("s2") * col("n") - col("s1") * col("s1")) /
           (col("n") * (col("n") - lit(1)))), 4).as("stddev_qty"))
       .orderBy(col("l_returnflag"))
+
+  /** lag() gap detection: per user, seconds since the previous event and
+    * a long-gap flag — the session-boundary / liveness probe shape
+    * (operation last-log staleness check, operation.js:245). One window
+    * pass per user partition; integer epoch arithmetic so the oracle
+    * hashes exactly. */
+  def q27LeadLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("epoch"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("user_id") <= 30)
+      .withColumn("epoch", unix_timestamp(col("ts")))
+      .withColumn("gap_s", col("epoch") - lag(col("epoch"), 1).over(w))
+      .withColumn("long_gap",
+        when(col("gap_s") > 1800L, 1L).otherwise(0L))
+      .select(col("user_id"), col("event_id"), col("epoch"),
+        col("gap_s"), col("long_gap"))
+      .orderBy(col("user_id"), col("epoch"), col("event_id"))
+  }
+
+  /** Per-group deterministic sample: keep the first `perGroup` docs per
+    * language in content-hash order — corpus balancing that is stable
+    * across runs and re-shards (a rand() sample is neither). The window
+    * rank is bounded by the per-language partition; for a skewed 100 TB
+    * language mix the same plan runs after salting the hot language or
+    * swapping in the k-bounded heap aggregate. */
+  def q28StratifiedSample(spark: SparkSession, dir: String,
+                          perGroup: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("text").cast("binary")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= perGroup)
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .orderBy(col("lang"), col("rk"))
+  }
 }

@@ -28,6 +28,11 @@ class ExtensionsSpec extends AnyFunSuite {
       "SELECT vec_simhash(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)), 16) AS z")
       .head().getLong(0)
     assert(vs >= 0L && vs <= 0xFFFFL)
+    val com = spark.sql(
+      """SELECT poly_center_of_mass(array(array(
+           array(0.0d, 0.0d), array(6.0d, 0.0d), array(0.0d, 6.0d)))) AS c""")
+      .select(col("c.com_lat"), col("c.com_lon")).head()
+    assert(com.getDouble(0) == 2.0 && com.getDouble(1) == 2.0)
   }
 
   test("top_k_by_score keeps exactly k best with deterministic ties") {
