@@ -114,6 +114,45 @@ object SparkEntry {
     })
   )
 
+  /** Shared WITH-RECURSIVE prelude of the three geo_route_* oracles: the
+    * synthetic road graph (same key-derived scheme as
+    * [[graft.operators.Routing]]) and its 6-hop relaxation frontier.
+    * Defined once so the graph shape, hop bound, and source predicate
+    * cannot silently drift apart between the three oracle queries. */
+  private val RoadGraphSql: String =
+    """WITH RECURSIVE
+       v AS (SELECT max(s_suppkey) + 1 AS nv FROM supplier),
+       raw AS (
+         SELECT DISTINCT src, dst FROM (
+           SELECT s_suppkey AS src, (s_suppkey + 1) % nv AS dst FROM supplier, v
+           UNION ALL
+           SELECT s_suppkey, (s_suppkey * 7 + 3) % nv FROM supplier, v
+           UNION ALL
+           SELECT s_suppkey, (s_suppkey * 13 + 5) % nv FROM supplier, v) u
+         WHERE src <> dst),
+       nodes AS (SELECT s_suppkey AS id,
+         (s_suppkey * 37 % 1700) / 10.0 - 85.0 AS lat,
+         (s_suppkey * 91 % 3600) / 10.0 - 180.0 AS lon FROM supplier),
+       edges AS (SELECT src, dst,
+         sqrt((a.lat - b.lat) * (a.lat - b.lat)
+            + (a.lon - b.lon) * (a.lon - b.lon))
+           * 111.0 / 60.0 * 3600.0 AS w
+         FROM raw JOIN nodes a ON a.id = src JOIN nodes b ON b.id = dst),
+       reach AS (
+         SELECT s_suppkey AS src, s_suppkey AS node,
+           CAST(0.0 AS DOUBLE) AS d, 0 AS hops
+         FROM supplier WHERE s_suppkey % 41 = 1
+         UNION ALL
+         SELECT r.src, e.dst, r.d + e.w, r.hops + 1
+         FROM reach r JOIN edges e ON e.src = r.node WHERE r.hops < 6)"""
+
+  /** [[RoadGraphSql]] plus the per-(src, node) min-ETA route matrix `m`
+    * that geo_route_nearest / geo_route_door both consume. */
+  private val RouteMatrixSql: String = RoadGraphSql +
+    """,
+       m AS (SELECT src, node, round(min(d), 4) AS eta_s
+         FROM reach GROUP BY src, node)"""
+
   /** DuckDB-equivalent ANSI SQL per query key (column names aliased to
     * match the Spark output exactly — the driver sorts columns by name
     * before hashing). */
@@ -469,97 +508,21 @@ object SparkEntry {
     // per hop — identical doubles because IEEE addition is monotone
     // (min(a,b)+w == min(a+w,b+w)) and both accumulate each path
     // left-to-right
-    "geo_route_eta" ->
-      """WITH RECURSIVE
-         v AS (SELECT max(s_suppkey) + 1 AS nv FROM supplier),
-         raw AS (
-           SELECT DISTINCT src, dst FROM (
-             SELECT s_suppkey AS src, (s_suppkey + 1) % nv AS dst FROM supplier, v
-             UNION ALL
-             SELECT s_suppkey, (s_suppkey * 7 + 3) % nv FROM supplier, v
-             UNION ALL
-             SELECT s_suppkey, (s_suppkey * 13 + 5) % nv FROM supplier, v) u
-           WHERE src <> dst),
-         nodes AS (SELECT s_suppkey AS id,
-           (s_suppkey * 37 % 1700) / 10.0 - 85.0 AS lat,
-           (s_suppkey * 91 % 3600) / 10.0 - 180.0 AS lon FROM supplier),
-         edges AS (SELECT src, dst,
-           sqrt((a.lat - b.lat) * (a.lat - b.lat)
-              + (a.lon - b.lon) * (a.lon - b.lon))
-             * 111.0 / 60.0 * 3600.0 AS w
-           FROM raw JOIN nodes a ON a.id = src JOIN nodes b ON b.id = dst),
-         reach AS (
-           SELECT s_suppkey AS src, s_suppkey AS node,
-             CAST(0.0 AS DOUBLE) AS d, 0 AS hops
-           FROM supplier WHERE s_suppkey % 41 = 1
-           UNION ALL
-           SELECT r.src, e.dst, r.d + e.w, r.hops + 1
-           FROM reach r JOIN edges e ON e.src = r.node WHERE r.hops < 6)
+    "geo_route_eta" -> (RoadGraphSql +
+      """
          SELECT src, node, round(min(d), 4) AS eta_s
-         FROM reach GROUP BY src, node ORDER BY src, node""",
-    "geo_route_nearest" ->
-      """WITH RECURSIVE
-         v AS (SELECT max(s_suppkey) + 1 AS nv FROM supplier),
-         raw AS (
-           SELECT DISTINCT src, dst FROM (
-             SELECT s_suppkey AS src, (s_suppkey + 1) % nv AS dst FROM supplier, v
-             UNION ALL
-             SELECT s_suppkey, (s_suppkey * 7 + 3) % nv FROM supplier, v
-             UNION ALL
-             SELECT s_suppkey, (s_suppkey * 13 + 5) % nv FROM supplier, v) u
-           WHERE src <> dst),
-         nodes AS (SELECT s_suppkey AS id,
-           (s_suppkey * 37 % 1700) / 10.0 - 85.0 AS lat,
-           (s_suppkey * 91 % 3600) / 10.0 - 180.0 AS lon FROM supplier),
-         edges AS (SELECT src, dst,
-           sqrt((a.lat - b.lat) * (a.lat - b.lat)
-              + (a.lon - b.lon) * (a.lon - b.lon))
-             * 111.0 / 60.0 * 3600.0 AS w
-           FROM raw JOIN nodes a ON a.id = src JOIN nodes b ON b.id = dst),
-         reach AS (
-           SELECT s_suppkey AS src, s_suppkey AS node,
-             CAST(0.0 AS DOUBLE) AS d, 0 AS hops
-           FROM supplier WHERE s_suppkey % 41 = 1
-           UNION ALL
-           SELECT r.src, e.dst, r.d + e.w, r.hops + 1
-           FROM reach r JOIN edges e ON e.src = r.node WHERE r.hops < 6),
-         m AS (SELECT src, node, round(min(d), 4) AS eta_s
-           FROM reach GROUP BY src, node),
+         FROM reach GROUP BY src, node ORDER BY src, node"""),
+    "geo_route_nearest" -> (RouteMatrixSql +
+      """,
          t AS (SELECT DISTINCT node % 4 AS poi_type FROM m),
          s AS (SELECT DISTINCT src FROM m)
          SELECT s.src, t.poi_type, min(e.eta_s) AS eta_s
          FROM s CROSS JOIN t
          LEFT JOIN (SELECT src, node % 4 AS poi_type, eta_s FROM m) e
            ON e.src = s.src AND e.poi_type = t.poi_type
-         GROUP BY s.src, t.poi_type ORDER BY s.src, t.poi_type""",
-    "geo_route_door" ->
-      """WITH RECURSIVE
-         v AS (SELECT max(s_suppkey) + 1 AS nv FROM supplier),
-         raw AS (
-           SELECT DISTINCT src, dst FROM (
-             SELECT s_suppkey AS src, (s_suppkey + 1) % nv AS dst FROM supplier, v
-             UNION ALL
-             SELECT s_suppkey, (s_suppkey * 7 + 3) % nv FROM supplier, v
-             UNION ALL
-             SELECT s_suppkey, (s_suppkey * 13 + 5) % nv FROM supplier, v) u
-           WHERE src <> dst),
-         nodes AS (SELECT s_suppkey AS id,
-           (s_suppkey * 37 % 1700) / 10.0 - 85.0 AS lat,
-           (s_suppkey * 91 % 3600) / 10.0 - 180.0 AS lon FROM supplier),
-         edges AS (SELECT src, dst,
-           sqrt((a.lat - b.lat) * (a.lat - b.lat)
-              + (a.lon - b.lon) * (a.lon - b.lon))
-             * 111.0 / 60.0 * 3600.0 AS w
-           FROM raw JOIN nodes a ON a.id = src JOIN nodes b ON b.id = dst),
-         reach AS (
-           SELECT s_suppkey AS src, s_suppkey AS node,
-             CAST(0.0 AS DOUBLE) AS d, 0 AS hops
-           FROM supplier WHERE s_suppkey % 41 = 1
-           UNION ALL
-           SELECT r.src, e.dst, r.d + e.w, r.hops + 1
-           FROM reach r JOIN edges e ON e.src = r.node WHERE r.hops < 6),
-         m AS (SELECT src, node, round(min(d), 4) AS eta_s
-           FROM reach GROUP BY src, node),
+         GROUP BY s.src, t.poi_type ORDER BY s.src, t.poi_type"""),
+    "geo_route_door" -> (RouteMatrixSql +
+      """,
          minz AS (SELECT src, min(eta_s) AS route_s FROM m
            WHERE node % 4 = 0 GROUP BY src),
          srcs AS (SELECT s_suppkey AS src,
@@ -583,7 +546,7 @@ object SparkEntry {
            round(near.d * 111.0 / 4.0 * 3600.0 + minz.route_s, 2) AS eta_s
          FROM o LEFT JOIN near ON o.c_custkey = near.c_custkey
          LEFT JOIN minz ON near.src = minz.src
-         ORDER BY o.c_custkey""",
+         ORDER BY o.c_custkey"""),
     // rect-with-hole centroid: closed form (A1*c1 - A2*c2)/(A1 - A2);
     // integer vertices keep every term FP-exact, so this matches the
     // Spark side's full shoelace accumulation bitwise
@@ -603,12 +566,14 @@ object SparkEntry {
            (c_custkey * 91 % 3600) / 10.0 - 180.0 AS lon FROM customer),
          s AS (SELECT c_custkey,
            (lon + 180.0) / 360.0 * 64 AS sx,
-           (90.0 - lat) / 180.0 * 64 AS sy FROM o)
-         SELECT CAST(floor(sx) AS BIGINT) AS tile_x,
-           CAST(floor(sy) AS BIGINT) AS tile_y, c_custkey,
-           CAST(floor((sx - floor(sx)) * 4096) AS BIGINT) AS qx,
-           CAST(floor((sy - floor(sy)) * 4096) AS BIGINT) AS qy
-         FROM s ORDER BY tile_x, tile_y, c_custkey""",
+           (90.0 - lat) / 180.0 * 64 AS sy FROM o),
+         t AS (SELECT c_custkey, sx, sy,
+           greatest(0, least(CAST(floor(sx) AS BIGINT), 63)) AS tile_x,
+           greatest(0, least(CAST(floor(sy) AS BIGINT), 63)) AS tile_y FROM s)
+         SELECT tile_x, tile_y, c_custkey,
+           greatest(0, least(CAST(floor((sx - tile_x) * 4096) AS BIGINT), 4095)) AS qx,
+           greatest(0, least(CAST(floor((sy - tile_y) * 4096) AS BIGINT), 4095)) AS qy
+         FROM t ORDER BY tile_x, tile_y, c_custkey""",
     "geo_tile_assign" ->
       """WITH o AS (SELECT c_acctbal,
            (c_custkey * 37 % 1700) / 10.0 - 85.0 AS lat,

@@ -22,9 +22,13 @@ object SparkBridge {
     * checkpoints of an iterative algorithm (label propagation, shortest
     * path) otherwise accumulate one pinned copy per round until context
     * GC gets around to them — on a shared cluster that is real executor
-    * storage pressure. Callers unpersist round N-1 right after round N is
-    * materialized. Non-blocking: in-flight tasks reading the old blocks
-    * finish from recompute if racing.
+    * storage pressure. Non-blocking removal — but note a
+    * `localCheckpoint()`ed RDD has its lineage truncated and CANNOT be
+    * recomputed: a task that races the removal fails hard with a
+    * missing-checkpoint-block error. Callers must therefore unpersist
+    * round N-1 only after round N is synchronously materialized and no
+    * concurrent action still reads the old frame (the discipline every
+    * iterative loop here follows).
     */
   def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collect {

@@ -198,7 +198,14 @@ object Accessibility {
         col("col.id").as("s_suppkey"),
         round(-col("col.score"), 4).as("dist_deg"))
       .orderBy(col("c_custkey"), col("rk"))
-      .localCheckpoint() // eager: k rows per origin, output-sized
+      // persist + eager count, NOT localCheckpoint: the result keeps its
+      // lineage, so losing a cached block after phase-1's cache is gone
+      // recomputes through the full plan instead of failing on a missing
+      // checkpoint block. Eager so phase-1's (input-sized) cache can be
+      // released deterministically below; what stays cached is only the
+      // output-sized k-rows-per-origin frame.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
     near.unpersist(blocking = false)
     out
   }

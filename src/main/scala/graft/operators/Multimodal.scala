@@ -156,34 +156,40 @@ object Multimodal {
     (i32be(p, 16), i32be(p, 20))
   }
 
-  /** RIFF chunk walk to `fmt ` -> (sample_rate, bits_per_sample). */
+  /** RIFF chunk walk to `fmt ` -> (sample_rate, bits_per_sample).
+    * Sizes are unsigned 32-bit: cursor math runs in Long so a crafted
+    * size near 2^31 throws the typed error instead of wrapping the Int
+    * cursor backwards (non-termination) or out of bounds. */
   def parseWav(p: Array[Byte]): (Int, Int) = {
-    var i = 12
+    var i = 12L
     while (i + 8 <= p.length) {
-      val id = tag(p, i); val size = i32le(p, i + 4)
+      val id = tag(p, i.toInt); val size = i32le(p, i.toInt + 4).toLong & 0xffffffffL
+      require(i + 8 + size <= p.length, s"WAV: chunk size $size overruns payload")
       if (id == "fmt ") {
         require(size >= 16, "WAV: fmt chunk too small")
-        return (i32le(p, i + 12), u16le(p, i + 22))
+        return (i32le(p, i.toInt + 12), u16le(p, i.toInt + 22))
       }
       i += 8 + size + (size & 1) // chunks are word-aligned
     }
     throw new IllegalArgumentException("WAV: no fmt chunk")
   }
 
-  /** ISO-BMFF box walk to moov/mvhd -> (timescale, duration). */
+  /** ISO-BMFF box walk to moov/mvhd -> (timescale, duration). Same
+    * Long-cursor discipline as [[parseWav]]: box sizes are unsigned and
+    * attacker-controlled, so every advance is bounds-checked before use. */
   def parseMp4(p: Array[Byte]): (Int, Int) = {
-    var i = 0
+    var i = 0L
     while (i + 8 <= p.length) {
-      val size = i32be(p, i); val typ = tag(p, i + 4)
-      require(size >= 8, s"MP4: degenerate box size $size")
+      val size = i32be(p, i.toInt).toLong & 0xffffffffL; val typ = tag(p, i.toInt + 4)
+      require(size >= 8 && i + size <= p.length, s"MP4: bad box size $size")
       if (typ == "moov") {
         var j = i + 8
         while (j + 8 <= i + size) {
-          val bs = i32be(p, j)
-          require(bs >= 8, s"MP4: degenerate inner box size $bs")
-          if (tag(p, j + 4) == "mvhd") {
-            require(p(j + 8) == 0, "MP4: only mvhd version 0 supported")
-            return (i32be(p, j + 20), i32be(p, j + 24))
+          val bs = i32be(p, j.toInt).toLong & 0xffffffffL
+          require(bs >= 8 && j + bs <= i + size, s"MP4: bad inner box size $bs")
+          if (tag(p, j.toInt + 4) == "mvhd") {
+            require(p(j.toInt + 8) == 0, "MP4: only mvhd version 0 supported")
+            return (i32be(p, j.toInt + 20), i32be(p, j.toInt + 24))
           }
           j += bs
         }

@@ -156,10 +156,11 @@ object TextAnalysis {
         when(col("bucket") < trainTo, "train")
           .when(col("bucket") < validTo, "valid")
           .otherwise("test"))
-      .orderBy(col("doc_id"))
 
   def hashSplit(spark: SparkSession, dir: String): DataFrame =
-    hashSplitOf(Tables.documents(spark, dir))
+    // the sort is oracle-determinism plumbing, not part of the operator:
+    // hashSplitOf itself must stay a narrow map-only stage
+    hashSplitOf(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
   /** Winnowing fingerprint per document (rows-only: hash sets have no
     * portable SQL equivalent). One row per (doc, fingerprint-position) —

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -27,17 +27,27 @@ object VectorTiles {
 
   /** Tile assignment + tile-local quantized coordinates at zoom z for a
     * frame with `lat`/`lon` columns. qx/qy in [0, extent) — floor-exact
-    * arithmetic only, so the quantization is oracle-checkable. */
+    * arithmetic only, so the quantization is oracle-checkable.
+    *
+    * Tile indices are clamped into [0, n): the valid boundary inputs
+    * lon = 180.0 and lat = -90.0 scale to exactly n and would otherwise
+    * floor into a phantom tile no server ever requests; they belong on
+    * the far edge of the last tile (qx/qy clamped to extent-1). */
   def tileFeatures(points: DataFrame, z: Int, extent: Int = Extent): DataFrame = {
     require(z >= 0 && z <= 30)
     val n = 1 << z
     val sx = (col("lon") + 180.0) / 360.0 * n
     val sy = (lit(90.0) - col("lat")) / 180.0 * n
+    def tileIdx(s: Column): Column =
+      greatest(lit(0L), least(floor(s).cast("long"), lit((n - 1).toLong)))
+    def quant(s: Column, t: Column): Column =
+      greatest(lit(0L),
+        least(floor((s - t) * extent).cast("long"), lit((extent - 1).toLong)))
     points
-      .withColumn("tile_x", floor(sx).cast("long"))
-      .withColumn("tile_y", floor(sy).cast("long"))
-      .withColumn("qx", floor((sx - floor(sx)) * extent).cast("long"))
-      .withColumn("qy", floor((sy - floor(sy)) * extent).cast("long"))
+      .withColumn("tile_x", tileIdx(sx))
+      .withColumn("tile_y", tileIdx(sy))
+      .withColumn("qx", quant(sx, col("tile_x")))
+      .withColumn("qy", quant(sy, col("tile_y")))
   }
 
   /** Write one GeoJSONL shard per (z, x, y) tile directory: each line is
