@@ -86,6 +86,10 @@ object SparkEntry {
     "text_bigrams" -> ((s, d) => TextAnalysis.bigrams(s, d)),
     "text_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     "text_hash_split" -> ((s, d) => TextAnalysis.hashSplit(s, d)),
+    "text_pack" -> ((s, d) => TextAnalysis.pack(s, d)),
+    "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
+    "text_domain_mix" -> ((s, d) => TextAnalysis.domainMix(s, d)),
+    "emb_cluster_assign" -> ((s, d) => Similarity.clusterAssign(s, d)),
     // sketch-based approximate aggregation (rows-only: sketch internals
     // are engine-specific)
     "sketch_distinct" -> ((s, d) => Sketches.distinctUsers(s, d)),
@@ -656,6 +660,66 @@ object SparkEntry {
          FROM tr JOIN ev USING (s)
          GROUP BY train_doc, eval_doc HAVING count(*) >= 3
          ORDER BY train_doc, eval_doc""",
+    // concat-and-chunk packing: integer-exact running sum per source
+    "text_pack" ->
+      """WITH d AS (SELECT source, doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT source, doc_id, n_tokens,
+           CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end FROM d)
+         SELECT source, doc_id, n_tokens,
+           CAST((tok_end - n_tokens) % 128 AS BIGINT) AS bin_offset,
+           CAST(floor((tok_end - n_tokens) / 128.0) AS BIGINT) AS bin_first,
+           CAST(floor((tok_end - 1) / 128.0) AS BIGINT) AS bin_last
+         FROM c ORDER BY source, doc_id""",
+    // floor(x*1e4+0.5)/1e4 on both sides: small-integer ratios land on
+    // exact decimal halves where the engines' round()s disagree
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         w AS (SELECT doc_id, unnest(l) AS word FROM t),
+         wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word),
+         wa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+           count(*) AS n_distinct, max(c) AS top_word_n FROM wc GROUP BY doc_id),
+         b AS (SELECT doc_id, unnest(list_transform(range(1, len(l)),
+           i -> l[i] || ' ' || l[i + 1])) AS bg FROM t),
+         bc AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY doc_id, bg),
+         ba AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+           max(c) AS top_bigram_n FROM bc GROUP BY doc_id)
+         SELECT wa.doc_id, n_words, top_word_n, top_bigram_n,
+           floor((n_words - n_distinct) / n_words * 10000.0 + 0.5) / 10000.0
+             AS dup_word_frac,
+           floor(top_word_n / n_words * 10000.0 + 0.5) / 10000.0
+             AS top_word_frac,
+           floor(top_bigram_n / n_bigrams * 10000.0 + 0.5) / 10000.0
+             AS top_bigram_frac
+         FROM wa JOIN ba USING (doc_id) ORDER BY doc_id""",
+    // proportional per-source quota by content-hash rank (vs q28's fixed
+    // count per group)
+    "text_domain_mix" ->
+      """WITH d AS (SELECT source, doc_id, text,
+           CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) AS sid
+           FROM documents),
+         r AS (SELECT source, doc_id,
+           row_number() OVER (PARTITION BY source
+             ORDER BY md5(text), doc_id) AS rk,
+           count(*) OVER (PARTITION BY source) AS cnt,
+           CASE WHEN sid % 3 = 0 THEN CAST(0.25 AS DOUBLE)
+                WHEN sid % 3 = 1 THEN CAST(0.5 AS DOUBLE)
+                ELSE CAST(0.75 AS DOUBLE) END AS wf
+           FROM d)
+         SELECT source, rk, doc_id FROM r
+         WHERE rk <= floor(cnt * wf) ORDER BY source, rk""",
+    "emb_cluster_assign" ->
+      """WITH s AS (SELECT vec_id AS cluster_id, embedding::DOUBLE[] AS se
+           FROM embeddings WHERE vec_id % 29 = 0),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings),
+         sc AS (SELECT e.vec_id, s.cluster_id,
+           list_cosine_similarity(ee, se) AS c FROM e, s),
+         r AS (SELECT vec_id, cluster_id, c, row_number() OVER
+           (PARTITION BY vec_id ORDER BY c DESC, cluster_id) AS rn FROM sc)
+         SELECT vec_id, cluster_id, round(c, 4) AS cos_sim FROM r
+         WHERE rn = 1 ORDER BY vec_id""",
     // md5 is the one Spark/DuckDB-shared hash; two-hex-digit prefix
     // ranges give a content-addressed (dup-safe) split
     "text_hash_split" ->

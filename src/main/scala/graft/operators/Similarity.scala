@@ -141,4 +141,29 @@ object Similarity {
       .select(col("va"), col("vb"), round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("va"), col("vb"))
   }
+
+  /** One k-means assignment step over deterministic seed centroids
+    * (vec_id % modulus == 0) — the semantic-clustering pass a
+    * data-curation pipeline runs over document embeddings (cluster-level
+    * dedup, diversity sampling, topic balancing all start here). Seeds
+    * are the broadcast small side; assignment is an argmax via max_by, so
+    * it partial-aggregates map-side with no window sort, and at 100 TB
+    * the per-vector cost is k broadcast comparisons with only the
+    * (vec_id, cluster, cos) triple ever moving. Ties break toward the
+    * lower cluster id. */
+  def clusterAssign(spark: SparkSession, dir: String,
+                    modulus: Int = 29): DataFrame = {
+    val e = emb(spark, dir)
+    val seeds = e.filter(col("vec_id") % modulus === 0)
+      .select(col("vec_id").as("cluster_id"), col("embedding").as("se"))
+    e.join(broadcast(seeds))
+      .select(col("vec_id"), col("cluster_id"),
+        cosine_sim(col("embedding"), col("se")).as("_c"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cluster_id"), col("_c")),
+        struct(col("_c"), (-col("cluster_id")).as("_t"))).as("m"))
+      .select(col("vec_id"), col("m.cluster_id").as("cluster_id"),
+        round(col("m._c"), 4).as("cos_sim"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions
@@ -161,6 +162,86 @@ object TextAnalysis {
     // the sort is oracle-determinism plumbing, not part of the operator:
     // hashSplitOf itself must stay a narrow map-only stage
     hashSplitOf(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** Concat-and-chunk sequence packing (GPT-style): per source, documents
+    * are laid head-to-tail in doc_id order and cut into fixed
+    * `budget`-token training sequences; each document reports the bin
+    * range it spans and its offset in the first bin. Packing per source
+    * (not globally) keeps the running-sum window parallel across sources
+    * — the per-shard discipline a 100 TB tokenization run needs anyway,
+    * since a single global ordered cumsum would serialize on one
+    * partition. Integer-exact arithmetic, so fully oracle-checkable. */
+  def packOf(docs: DataFrame, budget: Int = 128): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("tok_end", sum(col("n_tokens")).over(w))
+      .withColumn("tok_start", col("tok_end") - col("n_tokens"))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        (col("tok_start") % budget).as("bin_offset"),
+        floor(col("tok_start") / budget).cast("long").as("bin_first"),
+        floor((col("tok_end") - 1) / budget).cast("long").as("bin_last"))
+  }
+
+  def pack(spark: SparkSession, dir: String): DataFrame =
+    packOf(Tables.documents(spark, dir)).orderBy(col("source"), col("doc_id"))
+
+  /** Gopher-style repetition signals: fraction of words that are repeats
+    * and the share of the most-frequent word / bigram — the filters that
+    * catch boilerplate and degenerate (looping) text which length or
+    * stopword ratios miss. Per-row array arithmetic over the split
+    * (distinct terms x occurrences, bounded by the doc's own length), so
+    * the whole thing stays map-side: no shuffle, no UDF. */
+  def repetitionOf(docs: DataFrame): DataFrame = {
+    def topCount(arr: Column): Column =
+      array_max(transform(array_distinct(arr),
+        x => size(filter(arr, y => y === x))))
+    // floor(x*1e4+0.5)/1e4, not round(_, 4): ratios of small integers DO
+    // land on exact decimal halves (25/32 = .78125), where Spark's
+    // string-HALF_UP round and DuckDB's binary round disagree
+    def frac4(num: Column, den: Column): Column =
+      floor(num / den * 10000.0 + 0.5) / 10000.0
+    val words = toks
+    val bgs = TextFunctions.word_shingles(col("text"), 2)
+    docs
+      .withColumn("n_words", size(words))
+      .withColumn("top_word_n", topCount(words))
+      .withColumn("top_bigram_n", topCount(bgs))
+      .withColumn("dup_word_frac",
+        frac4(col("n_words") - size(array_distinct(words)), col("n_words")))
+      .withColumn("top_word_frac", frac4(col("top_word_n"), col("n_words")))
+      .withColumn("top_bigram_frac", frac4(col("top_bigram_n"), size(bgs)))
+      .select(col("doc_id"), col("n_words"), col("top_word_n"),
+        col("top_bigram_n"), col("dup_word_frac"), col("top_word_frac"),
+        col("top_bigram_frac"))
+  }
+
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionOf(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** Domain-mixture resampling: keep a per-source quota of floor(weight x
+    * count) documents, chosen by content-hash rank — the deterministic
+    * way to hit a target source mixture (upweight curated domains,
+    * downsample crawl) that is stable across runs, retries and backfills.
+    * Weights are a pure function of the source id so the oracle can
+    * recompute them; the only data movement is the per-source window
+    * (contrast [[graft.operators.Relational.q28StratifiedSample]], which
+    * takes a FIXED count per group rather than a proportional quota). */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    val srcId = regexp_extract(col("source"), "([0-9]+)", 1).cast("int")
+    val wfrac = when(srcId % 3 === 0, 0.25)
+      .when(srcId % 3 === 1, 0.5).otherwise(0.75)
+    val rw = Window.partitionBy(col("source"))
+      .orderBy(md5(col("text").cast("binary")), col("doc_id"))
+    val cw = Window.partitionBy(col("source"))
+    Tables.documents(spark, dir)
+      .withColumn("rk", row_number().over(rw))
+      .withColumn("quota", floor(count(lit(1)).over(cw) * wfrac))
+      .filter(col("rk") <= col("quota"))
+      .select(col("source"), col("rk"), col("doc_id"))
+      .orderBy(col("source"), col("rk"))
+  }
 
   /** Winnowing fingerprint per document (rows-only: hash sets have no
     * portable SQL equivalent). One row per (doc, fingerprint-position) —
