@@ -90,6 +90,8 @@ object SparkEntry {
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
     "text_domain_mix" -> ((s, d) => TextAnalysis.domainMix(s, d)),
     "emb_cluster_assign" -> ((s, d) => Similarity.clusterAssign(s, d)),
+    // rows-only: float mean accumulation order is engine-specific
+    "emb_kmeans" -> ((s, d) => Similarity.kmeans(s, d)),
     // sketch-based approximate aggregation (rows-only: sketch internals
     // are engine-specific)
     "sketch_distinct" -> ((s, d) => Sketches.distinctUsers(s, d)),
@@ -106,6 +108,16 @@ object SparkEntry {
     "stream_topk_window" -> (graft.streaming.EventStreams.topkPerWindowBatch _),
     // rows-only: sketch internals are engine-specific
     "stream_sketch_window" -> (graft.streaming.EventStreams.sketchWindowBatch _),
+    // F. malformed-media quarantine: per (kind, verdict, reason) triage
+    // counts over a deterministically damaged corpus (rows-only: the
+    // container byte layouts have no SQL equivalent)
+    "mm_quarantine" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Multimodal.quarantine(Multimodal.corruptedMediaTable(s, d)).toDF()
+        .groupBy(col("kind"), col("ok"), col("error"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("kind"), col("ok"), col("error"))
+    }),
     // F. multimodal frame sampling (rows-only)
     "mm_frames" -> ((s, d) => {
       import org.apache.spark.sql.functions._

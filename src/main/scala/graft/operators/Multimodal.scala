@@ -26,6 +26,11 @@ case class ResizedMedia(doc_id: Long, kind: String, width: Int, height: Int,
 /** One sampled frame of a video item. */
 case class SampledFrame(doc_id: Long, frame_idx: Int, frame_checksum: Long)
 
+/** Decode verdict for the quarantine path: parse success or the typed
+  * rejection reason (doc-id prefix stripped so reasons group). */
+case class MediaVerdict(doc_id: Long, kind: String, ok: Boolean,
+                        error: String)
+
 /** Multimodal column plumbing: binary payloads with typed metadata,
   * processed per-partition in typed Datasets.
   *
@@ -228,6 +233,47 @@ object Multimodal {
     }
     MediaFeatures(item.doc_id, item.kind, p.length, TextHash.mix64(hsh),
       width = w, height = h, n_frames = frames, histogram = hist)
+  }
+
+  /** The quarantine pass [[decode]]'s contract demands: try-parse every
+    * item, route failures to a typed reject row instead of failing the
+    * job — one malformed file among billions must cost one row, not a
+    * task retry storm. Same one-iterator mapPartitions shape as
+    * [[features]]; the error string is the parser's own typed message
+    * (stable classes like "PNG: IHDR CRC mismatch"), so rejects group by
+    * cause for triage. */
+  def quarantine(items: Dataset[MediaItem]): Dataset[MediaVerdict] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.map { m =>
+        try { decode(m); MediaVerdict(m.doc_id, m.kind, ok = true, "") }
+        catch {
+          case e: IllegalArgumentException =>
+            MediaVerdict(m.doc_id, m.kind, ok = false,
+              Option(e.getMessage).getOrElse("unknown")
+                .replaceAll("^(requirement failed: )?(doc \\d+: )?", ""))
+        }
+      }
+    }
+  }
+
+  /** The media table with deterministic corruption planted (doc_id % 17
+    * == 0 truncated to 10 bytes, % 17 == 5 with bytes 8-11 stomped) —
+    * the fixture for exercising [[quarantine]] on realistic damage:
+    * truncation kills every container's magic; the stomp breaks PNG's
+    * IHDR length and WAV's WAVE tag but leaves MP4 readable (it only
+    * hits the ftyp brand), so some damage is rightly survivable. */
+  def corruptedMediaTable(spark: SparkSession, dir: String): Dataset[MediaItem] = {
+    import spark.implicits._
+    mediaTable(spark, dir).map { m =>
+      if (m.doc_id % 17 == 0) m.copy(payload = m.payload.take(10))
+      else if (m.doc_id % 17 == 5) {
+        val p = m.payload.clone()
+        var i = 8
+        while (i < 12 && i < p.length) { p(i) = 'X'.toByte; i += 1 }
+        m.copy(payload = p)
+      } else m
+    }
   }
 
   /** Resize to (w, h): the raster resample/re-encode would slot between

@@ -166,4 +166,48 @@ object Similarity {
         round(col("m._c"), 4).as("cos_sim"))
       .orderBy(col("vec_id"))
   }
+
+  /** Full Lloyd k-means over the embeddings (seeds as in
+    * [[clusterAssign]]), `iters` assignment+update rounds, reporting
+    * final cluster sizes and mean similarity-to-centroid (rows-only:
+    * float mean accumulation order is engine-specific).
+    *
+    * The update step is the scale-sensitive part: element-wise array
+    * means have no builtin aggregate, and collect_list-per-cluster would
+    * pull whole clusters onto single rows — unbounded at 100 TB.
+    * Instead each vector posexplodes to (cluster, dim, value) and avg
+    * partial-aggregates map-side, so the shuffle per round is bounded by
+    * k x dims x partitions partial rows regardless of corpus size; the
+    * k x dims result folds back into centroid arrays and broadcasts into
+    * the next assignment join. Centroids carry their seed's id, so every
+    * round's assignment stays joinable against the original seeding. */
+  def kmeans(spark: SparkSession, dir: String, modulus: Int = 29,
+             iters: Int = 3): DataFrame = {
+    require(iters >= 1, "kmeans needs at least one assignment round")
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    var centroids = e.filter(col("vec_id") % modulus === 0)
+      .select(col("vec_id").as("cluster_id"), col("embedding").as("ce"))
+    var assigned: DataFrame = e
+    for (_ <- 0 until iters) {
+      assigned = e.join(broadcast(centroids))
+        .select(col("vec_id"), col("embedding"), col("cluster_id"),
+          cosine_sim(col("embedding"), col("ce")).as("_c"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cluster_id"),
+            struct(col("_c"), (-col("cluster_id")).as("_t"))).as("cluster_id"),
+          first(col("embedding")).as("embedding"),
+          max(col("_c")).as("cos"))
+      centroids = assigned
+        .select(col("cluster_id"), posexplode(col("embedding")))
+        .groupBy(col("cluster_id"), col("pos"))
+        .agg(avg(col("col")).as("v"))
+        .groupBy(col("cluster_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+        .select(col("cluster_id"),
+          transform(col("pv"), x => x.getField("v").cast("float")).as("ce"))
+    }
+    assigned.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n"), avg(col("cos")).as("avg_cos"))
+      .orderBy(col("cluster_id"))
+  }
 }

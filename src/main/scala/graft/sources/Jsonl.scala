@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Schema-enforced JSONL (one JSON object per line) ingest/egress — the
+  * interchange format LLM corpus pipelines actually move documents in.
+  * Spark's json source IS line-delimited by default, so both directions
+  * stay fully distributed (one file per partition, no driver collect);
+  * what this adds over a bare read is the ingest discipline:
+  *
+  *  - an EXPLICIT target schema (never inferred: inference needs an
+  *    extra full pass over 100 TB and silently widens types on dirty
+  *    data),
+  *  - PERMISSIVE corrupt-record capture into a `_corrupt` column, so a
+  *    bad line costs one quarantined row, not a failed job (same triage
+  *    contract as [[graft.operators.Multimodal.quarantine]]),
+  *  - a split into (valid, quarantined) frames the caller writes to
+  *    separate sinks.
+  */
+object Jsonl {
+
+  /** Quarantine column name — kept out of the valid-side schema. */
+  val CorruptCol = "_corrupt"
+
+  /** Write a frame as JSONL, one shard per partition. */
+  def write(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Read JSONL under `path` against `schema`: returns (valid rows in
+    * the target schema, quarantined raw lines). A line is quarantined if
+    * it is not a JSON object or any field fails to convert to its
+    * declared type — Spark nulls the row's other fields and stores the
+    * raw line in [[CorruptCol]].
+    *
+    * The read is cached before splitting: Spark refuses a query that
+    * selects only the corrupt column from an uncached json scan (the
+    * raw line is only retained while the row is being parsed), and the
+    * two branches would otherwise each re-read and re-parse the input.
+    * Caller unpersists via the returned handle when both sides are
+    * consumed. */
+  def readSplit(spark: SparkSession, path: String, schema: StructType)
+      : (DataFrame, DataFrame) = {
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"target schema must not contain $CorruptCol")
+    val withCorrupt = StructType(
+      schema.fields :+ StructField(CorruptCol, StringType, nullable = true))
+    val raw = spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+      .cache()
+    val valid = raw.filter(col(CorruptCol).isNull)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+    val quarantined = raw.filter(col(CorruptCol).isNotNull)
+      .select(col(CorruptCol).as("raw_line"))
+    (valid, quarantined)
+  }
+}

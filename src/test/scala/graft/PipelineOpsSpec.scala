@@ -81,6 +81,70 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("kmeans: assignments cover all vectors and improve on round one") {
+    import spark.implicits._
+    val one = Similarity.kmeans(spark, sf, iters = 1).cache()
+    val three = Similarity.kmeans(spark, sf, iters = 3).cache()
+    try {
+      val total = Tables.embeddings(spark, sf).count()
+      assert(one.agg(sum(col("n"))).as[Long].head == total)
+      assert(three.agg(sum(col("n"))).as[Long].head == total)
+      assert(three.filter(col("cluster_id") % 29 =!= 0).isEmpty)
+      assert(three.filter(col("avg_cos") < -1.0 || col("avg_cos") > 1.0001).isEmpty)
+      // Lloyd updates should tighten clusters: corpus-wide mean
+      // similarity to centroid does not get worse after two more rounds
+      def meanCos(df: org.apache.spark.sql.DataFrame): Double =
+        df.agg(sum(col("avg_cos") * col("n")) / sum(col("n"))).as[Double].head
+      assert(meanCos(three) >= meanCos(one) - 1e-9)
+    } finally { one.unpersist(); three.unpersist() }
+  }
+
+  test("media quarantine: planted damage rejected with typed reasons, rest pass") {
+    import spark.implicits._
+    val clean = operators.Multimodal.quarantine(
+      operators.Multimodal.mediaTable(spark, sf)).cache()
+    val dirty = operators.Multimodal.quarantine(
+      operators.Multimodal.corruptedMediaTable(spark, sf)).cache()
+    try {
+      assert(clean.filter(!col("ok")).isEmpty, "clean corpus fully parses")
+      val total = Tables.documents(spark, sf).count()
+      assert(dirty.count() == total, "one verdict per item, job never fails")
+      // truncation (doc_id % 17 == 0) must always reject; the header
+      // stomp (% 17 == 5) must reject PNG/WAV but survive on MP4 (it
+      // only hits the ftyp brand)
+      assert(dirty.filter(col("doc_id") % 17 === 0 && col("ok")).isEmpty)
+      assert(dirty.filter(col("doc_id") % 17 === 5 && col("ok") &&
+        col("kind") =!= "video/mp4").isEmpty)
+      assert(dirty.filter(col("doc_id") % 17 === 5 && !col("ok") &&
+        col("kind") === "video/mp4").isEmpty)
+      // undamaged rows still parse, and every reject carries a reason
+      assert(dirty.filter(col("doc_id") % 17 =!= 0 &&
+        col("doc_id") % 17 =!= 5 && !col("ok")).isEmpty)
+      assert(dirty.filter(!col("ok") && length(col("error")) === 0).isEmpty)
+      // reasons are typed classes, not per-doc strings: few distinct
+      assert(dirty.filter(!col("ok")).select(col("error")).distinct().count() <= 4)
+    } finally { clean.unpersist(); dirty.unpersist() }
+  }
+
+  test("jsonl: round trip preserves rows, bad lines quarantine not fail") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toString
+    val docs = Tables.documents(spark, sf)
+    graft.sources.Jsonl.write(docs, s"$dir/docs")
+    // plant a non-JSON line and a type-violating line in an extra shard
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/docs/part-99999.json"),
+      java.util.Arrays.asList(
+        "this is not json at all",
+        """{"doc_id":"not_a_number","text":"x","lang":"en","source":"s","n_chars":1}"""))
+    val (valid, bad) = graft.sources.Jsonl.readSplit(spark, s"$dir/docs",
+      docs.schema)
+    assert(valid.count() == docs.count())
+    assert(valid.exceptAll(docs).isEmpty && docs.exceptAll(valid).isEmpty)
+    assert(bad.count() == 2)
+    assert(bad.filter(col("raw_line").contains("not json")).count() == 1)
+  }
+
   test("cluster assign: total coverage, valid seeds, self-assignment") {
     val ca = Similarity.clusterAssign(spark, sf).cache()
     try {

@@ -29,11 +29,11 @@ class PruningSpec extends AnyFunSuite {
     // <=4-row poi-type dim that keeps unreachable (origin|src, type)
     // pairs present — the candidate search itself is the cell-bucketed
     // hash join (asserted below) / the aggregated route matrix
-    // emb_cluster_assign: every vector scores against the broadcast seed
-    // set by design (k-means assignment step)
+    // emb_cluster_assign / emb_kmeans: every vector scores against the
+    // broadcast seed/centroid set by design (k-means assignment step)
     val nlAllowed = Set("ann_brute_topk", "ann_ivf_topk",
       "geo_nearest_poi", "geo_area_assign", "geo_route_nearest",
-      "emb_cluster_assign")
+      "emb_cluster_assign", "emb_kmeans")
     // full-outer equi-joins cannot broadcast (both sides must preserve
     // unmatched rows), so a shuffle join IS the correct plan there
     val smjAllowed = Set("q26_full_outer")

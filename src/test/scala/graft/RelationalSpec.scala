@@ -30,7 +30,8 @@ class RelationalSpec extends AnyFunSuite {
       "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
       "ann_ivf_topk", "mm_features", "text_fingerprint", "stream_anomaly",
       "sketch_distinct", "sketch_quantiles", "emb_neardup_lsh", "mm_frames",
-      "dedup_clusters", "dedup_final", "stream_sketch_window")
+      "dedup_clusters", "dedup_final", "stream_sketch_window",
+      "mm_quarantine", "emb_kmeans")
     assert(noOracle.subsetOf(rowsOnly),
       s"queries missing oracle and not declared rows-only: ${noOracle -- rowsOnly}")
   }
