@@ -61,6 +61,7 @@ object SparkEntry {
     "geo_eta_matrix" -> ((s, d) => Accessibility.etaMatrix(s, d)),
     "geo_center_of_mass" -> (Accessibility.centerOfMass _),
     "geo_tile_features" -> ((s, d) => graft.sources.VectorTiles.tileFeaturesQuery(s, d)),
+    "geo_tile_pyramid" -> ((s, d) => graft.sources.VectorTiles.tilePyramidQuery(s, d)),
     "geo_route_eta" -> ((s, d) => Routing.routeEta(s, d)),
     "geo_route_nearest" -> ((s, d) => Routing.routeNearestPoi(s, d)),
     "geo_route_door" -> ((s, d) => Routing.routeDoorToDoor(s, d)),
@@ -590,6 +591,25 @@ object SparkEntry {
            greatest(0, least(CAST(floor((sx - tile_x) * 4096) AS BIGINT), 4095)) AS qx,
            greatest(0, least(CAST(floor((sy - tile_y) * 4096) AS BIGINT), 4095)) AS qy
          FROM t ORDER BY tile_x, tile_y, c_custkey""",
+    "geo_tile_pyramid" ->
+      """WITH o AS (SELECT c_custkey,
+           (c_custkey * 37 % 1700) / 10.0 - 85.0 AS lat,
+           (c_custkey * 91 % 3600) / 10.0 - 180.0 AS lon FROM customer),
+         zs AS (SELECT unnest(range(2, 7)) AS z),
+         s AS (SELECT z, c_custkey,
+           (lon + 180.0) / 360.0 * pow(CAST(2.0 AS DOUBLE), z) AS sx,
+           (90.0 - lat) / 180.0 * pow(CAST(2.0 AS DOUBLE), z) AS sy
+           FROM o CROSS JOIN zs),
+         t AS (SELECT z, c_custkey,
+           CAST(greatest(CAST(0 AS DOUBLE), least(floor(sx),
+             pow(CAST(2.0 AS DOUBLE), z) - 1)) AS BIGINT) AS tile_x,
+           CAST(greatest(CAST(0 AS DOUBLE), least(floor(sy),
+             pow(CAST(2.0 AS DOUBLE), z) - 1)) AS BIGINT) AS tile_y FROM s)
+         SELECT z, count(DISTINCT tile_x
+             * CAST(pow(CAST(2.0 AS DOUBLE), z) AS BIGINT) + tile_y) AS n_tiles,
+           count(*) AS n_features,
+           max(tile_x) AS max_tile_x, max(tile_y) AS max_tile_y
+         FROM t GROUP BY z ORDER BY z""",
     "geo_tile_assign" ->
       """WITH o AS (SELECT c_acctbal,
            (c_custkey * 37 % 1700) / 10.0 - 85.0 AS lat,

@@ -78,6 +78,57 @@ object VectorTiles {
       .write.mode("overwrite").partitionBy("z", "tile_x", "tile_y").text(path)
   }
 
+  /** The whole zoom pyramid in one pass: every feature fans out to its
+    * tile at each zoom in [minZ, maxZ] via a map-side explode — the
+    * distributed analog of tippecanoe emitting all zoom levels from one
+    * input scan. Cost is linear in the zoom count and rides the single
+    * write shuffle; at the low zooms where everything piles into a few
+    * tiles, [[writePyramid]]'s per-tile cap is the tippecanoe
+    * drop-features analog that keeps those tiles bounded. Same clamped
+    * floor-exact arithmetic as [[tileFeatures]], with the tile count n
+    * derived per row as pow(2, z) (exact in a double for z <= 30). */
+  def tilePyramid(points: DataFrame, minZ: Int, maxZ: Int,
+                  extent: Int = Extent): DataFrame = {
+    require(minZ >= 0 && maxZ <= 30 && minZ <= maxZ)
+    val n = pow(lit(2.0), col("z"))
+    val sx = (col("lon") + 180.0) / 360.0 * n
+    val sy = (lit(90.0) - col("lat")) / 180.0 * n
+    def tileIdx(s: Column): Column =
+      greatest(lit(0.0), least(floor(s), n - 1)).cast("long")
+    def quant(s: Column, t: Column): Column =
+      greatest(lit(0.0),
+        least(floor((s - t) * extent), lit((extent - 1).toDouble))).cast("long")
+    points
+      .withColumn("z", explode(sequence(lit(minZ), lit(maxZ))))
+      .withColumn("tile_x", tileIdx(sx))
+      .withColumn("tile_y", tileIdx(sy))
+      .withColumn("qx", quant(sx, col("tile_x")))
+      .withColumn("qy", quant(sy, col("tile_y")))
+  }
+
+  /** [[writeTiles]] across a zoom range: one GeoJSONL shard per
+    * (z, x, y) directory for the whole pyramid, one input scan, one
+    * shuffle, with the per-tile feature cap applied per zoom level. */
+  def writePyramid(points: DataFrame, minZ: Int, maxZ: Int, path: String,
+                   idCol: String, propCols: Seq[String],
+                   maxPerTile: Int = 0): Unit = {
+    val tf = tilePyramid(points, minZ, maxZ)
+      .repartition(col("z"), col("tile_x"), col("tile_y"))
+    val capped =
+      if (maxPerTile <= 0) tf
+      else tf.withColumn("_rk", row_number().over(
+          Window.partitionBy(col("z"), col("tile_x"), col("tile_y"))
+            .orderBy(xxhash64(col(idCol), col("z"), col("tile_x"), col("tile_y")),
+              col(idCol))))
+        .filter(col("_rk") <= maxPerTile).drop("_rk")
+    capped
+      .sortWithinPartitions(col("z"), col("tile_x"), col("tile_y"), col(idCol))
+      .select(col("z"), col("tile_x"), col("tile_y"),
+        to_json(struct(col(idCol).as("id"), col("qx"), col("qy"),
+          struct(propCols.map(col): _*).as("props"))).as("value"))
+      .write.mode("overwrite").partitionBy("z", "tile_x", "tile_y").text(path)
+  }
+
   /** Read a tile tree back: one row per feature with its (z, x, y). */
   def readTiles(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
@@ -97,5 +148,23 @@ object VectorTiles {
       .select(col("tile_x"), col("tile_y"), col("c_custkey"),
         col("qx"), col("qy"))
       .orderBy(col("tile_x"), col("tile_y"), col("c_custkey"))
+  }
+
+  /** Pyramid rollup query surface: per zoom level, how many tiles are
+    * occupied and how far the tile indices reach (oracle-checked —
+    * integer-exact clamped floors, tile identity packed into one BIGINT
+    * for the distinct count). */
+  def tilePyramidQuery(spark: SparkSession, dir: String,
+                       minZ: Int = 2, maxZ: Int = 6): DataFrame = {
+    val o = Tables.customer(spark, dir).select(col("c_custkey"),
+      latOf(col("c_custkey")).as("lat"), lonOf(col("c_custkey")).as("lon"))
+    tilePyramid(o, minZ, maxZ)
+      .groupBy(col("z"))
+      .agg(countDistinct(col("tile_x") * pow(lit(2.0), col("z")).cast("long")
+          + col("tile_y")).as("n_tiles"),
+        count(lit(1)).as("n_features"),
+        max(col("tile_x")).as("max_tile_x"),
+        max(col("tile_y")).as("max_tile_y"))
+      .orderBy(col("z"))
   }
 }

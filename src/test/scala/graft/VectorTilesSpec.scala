@@ -64,4 +64,49 @@ class VectorTilesSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(idsA == idsB && idsA.size < points.count())
   }
+
+  test("pyramid: every feature at every zoom, children nest under parents") {
+    val minZ = 2; val maxZ = 5
+    val py = VectorTiles.tilePyramid(points, minZ, maxZ).cache()
+    try {
+      // each point appears exactly once per zoom level
+      assert(py.count() == points.count() * (maxZ - minZ + 1))
+      assert(py.groupBy(col("z")).count()
+        .filter(col("count") =!= points.count()).isEmpty)
+      // a feature's tile at z+1 must lie inside its tile at z (x/2, y/2)
+      val parent = py.filter(col("z") < maxZ)
+        .select(col("c_custkey"), (col("z") + 1).as("z"),
+          col("tile_x").as("px"), col("tile_y").as("py_"))
+      val mismatch = py.join(parent, Seq("c_custkey", "z"))
+        .filter(floor(col("tile_x") / 2) =!= col("px") ||
+          floor(col("tile_y") / 2) =!= col("py_"))
+      assert(mismatch.isEmpty)
+      // single zoom level of the pyramid equals the direct assignment
+      val solo = VectorTiles.tileFeatures(points, 4)
+        .select(col("c_custkey"), col("tile_x"), col("tile_y"),
+          col("qx"), col("qy"))
+      val lvl = py.filter(col("z") === 4)
+        .select(col("c_custkey"), col("tile_x"), col("tile_y"),
+          col("qx"), col("qy"))
+      assert(lvl.exceptAll(solo).isEmpty && solo.exceptAll(lvl).isEmpty)
+    } finally { py.unpersist() }
+  }
+
+  test("pyramid write: all zoom dirs present, capped per zoom, round-trips") {
+    val dir = outDir("pyr")
+    VectorTiles.writePyramid(points, 1, 3, dir, "c_custkey",
+      Seq("c_nationkey"), maxPerTile = 10)
+    val back = VectorTiles.readTiles(spark, dir).cache()
+    try {
+      assert((1 to 3).forall(z => new java.io.File(dir, s"z=$z").isDirectory))
+      val over = back.groupBy(col("z"), col("tile_x"), col("tile_y"))
+        .count().filter(col("count") > 10)
+      assert(over.isEmpty)
+      // the cap binds at z=1 (<=8 tiles for 150 points) but the higher
+      // zoom keeps strictly more features — drop-features, not drop-zoom
+      val perZ = back.groupBy(col("z")).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(perZ(1) < perZ(3))
+    } finally { back.unpersist() }
+  }
 }
