@@ -58,4 +58,40 @@ object Jsonl {
       .select(col(CorruptCol).as("raw_line"))
     (valid, quarantined)
   }
+
+  /** Streaming ingest of a watched JSONL directory: new shards are
+    * picked up per micro-batch, split valid/quarantined, and landed as
+    * parquet under `validOut` / `quarOut` with batch-id-scoped overwrite
+    * (the same idempotence recipe as
+    * [[graft.streaming.EventStreams.idempotentParquetSink]]: a replayed
+    * batch overwrites its own output, never appends duplicates). The
+    * split happens once per batch on a cached frame — one parse per
+    * line, both sinks, and the corrupt-column-only projection is legal
+    * because the batch is cached. */
+  def ingestStream(spark: SparkSession, path: String, schema: StructType,
+                   validOut: String, quarOut: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"target schema must not contain $CorruptCol")
+    val withCorrupt = StructType(
+      schema.fields :+ StructField(CorruptCol, StringType, nullable = true))
+    val raw = spark.readStream
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+    raw.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.persist()
+        try {
+          batch.filter(col(CorruptCol).isNull)
+            .select(schema.fieldNames.map(col).toSeq: _*)
+            .write.mode("overwrite").parquet(s"$validOut/batch_id=$id")
+          batch.filter(col(CorruptCol).isNotNull)
+            .select(col(CorruptCol).as("raw_line"))
+            .write.mode("overwrite").parquet(s"$quarOut/batch_id=$id")
+        } finally { batch.unpersist() }
+        ()
+    }
+  }
 }

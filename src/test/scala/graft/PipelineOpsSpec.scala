@@ -145,6 +145,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(bad.filter(col("raw_line").contains("not json")).count() == 1)
   }
 
+  test("jsonl stream ingest: shards land valid/quarantined incrementally") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("jsonl-stream").toString
+    val in = s"$base/in"; val vOut = s"$base/valid"; val qOut = s"$base/quar"
+    new java.io.File(in).mkdirs()
+    def shard(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/$name"),
+        scala.jdk.CollectionConverters.SeqHasAsJava(lines).asJava)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, text STRING")
+    shard("a.json", Seq("""{"doc_id":1,"text":"one"}""",
+      """{"doc_id":2,"text":"two"}""", "garbage line"))
+    val q = graft.sources.Jsonl.ingestStream(spark, in, schema, vOut, qOut)
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      q.processAllAvailable()
+      // a second shard arrives mid-stream
+      shard("b.json", Seq("""{"doc_id":3,"text":"three"}""",
+        """{"doc_id":"NaN","text":"bad type"}"""))
+      q.processAllAvailable()
+      val valid = spark.read.parquet(vOut)
+      val quar = spark.read.parquet(qOut)
+      assert(valid.select(col("doc_id")).as[Long].collect().sorted
+        .sameElements(Array(1L, 2L, 3L)))
+      assert(quar.count() == 2)
+    } finally { q.stop() }
+  }
+
   test("cluster assign: total coverage, valid seeds, self-assignment") {
     val ca = Similarity.clusterAssign(spark, sf).cache()
     try {

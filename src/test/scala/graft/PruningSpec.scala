@@ -72,6 +72,7 @@ class PruningSpec extends AnyFunSuite {
     Seq(
       "decontaminate" -> operators.TextAnalysis.decontaminate(spark, sf),
       "bigrams" -> operators.TextAnalysis.bigrams(spark, sf),
+      "repetition" -> operators.TextAnalysis.repetition(spark, sf),
       "minhash" -> operators.Dedup.minhashCandidates(spark, sf)
     ).foreach { case (name, df) =>
       val plan = df.queryExecution.executedPlan.toString
@@ -82,6 +83,17 @@ class PruningSpec extends AnyFunSuite {
         assert(!s.contains("lang") && !s.contains("source"),
           s"$name reads unused columns: $s")
       }
+    }
+    // the embeddings scans must not read the label column they ignore
+    Seq(
+      "cluster_assign" -> operators.Similarity.clusterAssign(spark, sf),
+      "kmeans" -> operators.Similarity.kmeans(spark, sf, iters = 1)
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan)
+        .map(_.group(1)).foreach { s =>
+          assert(!s.contains("label"), s"$name reads unused columns: $s")
+        }
     }
   }
 
