@@ -694,13 +694,15 @@ object SparkEntry {
          ORDER BY train_doc, eval_doc""",
     // concat-and-chunk packing: integer-exact running sum per source
     "text_pack" ->
-      """WITH d AS (SELECT source, doc_id,
+      """WITH d AS (SELECT source,
+           CAST(floor(doc_id / 256.0) AS BIGINT) AS shard, doc_id,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
            FROM documents),
-         c AS (SELECT source, doc_id, n_tokens,
-           CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end FROM d)
-         SELECT source, doc_id, n_tokens,
+         c AS (SELECT source, shard, doc_id, n_tokens,
+           CAST(sum(n_tokens) OVER (PARTITION BY source, shard
+             ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS tok_end FROM d)
+         SELECT source, shard, doc_id, n_tokens,
            CAST((tok_end - n_tokens) % 128 AS BIGINT) AS bin_offset,
            CAST(floor((tok_end - n_tokens) / 128.0) AS BIGINT) AS bin_first,
            CAST(floor((tok_end - 1) / 128.0) AS BIGINT) AS bin_last

@@ -163,22 +163,29 @@ object TextAnalysis {
     // hashSplitOf itself must stay a narrow map-only stage
     hashSplitOf(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
-  /** Concat-and-chunk sequence packing (GPT-style): per source, documents
-    * are laid head-to-tail in doc_id order and cut into fixed
-    * `budget`-token training sequences; each document reports the bin
-    * range it spans and its offset in the first bin. Packing per source
-    * (not globally) keeps the running-sum window parallel across sources
-    * — the per-shard discipline a 100 TB tokenization run needs anyway,
-    * since a single global ordered cumsum would serialize on one
-    * partition. Integer-exact arithmetic, so fully oracle-checkable. */
-  def packOf(docs: DataFrame, budget: Int = 128): DataFrame = {
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+  /** Concat-and-chunk sequence packing (GPT-style): within each
+    * (source, shard) cell, documents are laid head-to-tail in doc_id
+    * order and cut into fixed `budget`-token training sequences; each
+    * document reports the bin range it spans and its offset in the
+    * first bin. Sharding (contiguous doc_id ranges of `shardSize`) is
+    * what makes the running sum scale: a window partitioned by source
+    * alone would pull a WHOLE source — terabytes of one crawl — into a
+    * single partition's sort, while (source, shard) bounds every
+    * partition at shardSize documents no matter how skewed the source
+    * mix is. Bins are scoped per cell (a real tokenization run packs
+    * per input shard for exactly this reason), so cells never
+    * coordinate. Integer-exact arithmetic, fully oracle-checkable. */
+  def packOf(docs: DataFrame, budget: Int = 128,
+             shardSize: Long = 256L): DataFrame = {
+    val w = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
+      .withColumn("shard", floor(col("doc_id") / shardSize))
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("tok_end", sum(col("n_tokens")).over(w))
       .withColumn("tok_start", col("tok_end") - col("n_tokens"))
-      .select(col("source"), col("doc_id"), col("n_tokens"),
+      .select(col("source"), col("shard"), col("doc_id"), col("n_tokens"),
         (col("tok_start") % budget).as("bin_offset"),
         floor(col("tok_start") / budget).cast("long").as("bin_first"),
         floor((col("tok_end") - 1) / budget).cast("long").as("bin_last"))

@@ -16,12 +16,14 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(p.count() == Tables.documents(spark, sf).count())
       assert(p.filter(col("bin_offset") < 0 || col("bin_offset") >= budget).isEmpty)
       assert(p.filter(col("bin_last") < col("bin_first")).isEmpty)
-      // reconstruct each doc's global start from (bin_first, bin_offset)
-      // and check the per-source layout is exactly head-to-tail
-      val rows = p.select(col("source"), col("doc_id"), col("n_tokens"),
+      // reconstruct each doc's start from (bin_first, bin_offset) and
+      // check each (source, shard) cell's layout is exactly head-to-tail
+      val rows = p.select(col("source"), col("shard"), col("doc_id"),
+          col("n_tokens"),
           (col("bin_first") * budget + col("bin_offset")).as("start"))
         .collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
         .groupBy(_._1)
       rows.foreach { case (_, ds) =>
         var expectStart = 0L
