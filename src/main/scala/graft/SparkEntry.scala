@@ -720,14 +720,15 @@ object SparkEntry {
          bc AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY doc_id, bg),
          ba AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
            max(c) AS top_bigram_n FROM bc GROUP BY doc_id)
-         SELECT wa.doc_id, n_words, top_word_n, top_bigram_n,
+         SELECT wa.doc_id, n_words, top_word_n,
+           coalesce(top_bigram_n, 0) AS top_bigram_n,
            floor((n_words - n_distinct) / n_words * 10000.0 + 0.5) / 10000.0
              AS dup_word_frac,
            floor(top_word_n / n_words * 10000.0 + 0.5) / 10000.0
              AS top_word_frac,
-           floor(top_bigram_n / n_bigrams * 10000.0 + 0.5) / 10000.0
-             AS top_bigram_frac
-         FROM wa JOIN ba USING (doc_id) ORDER BY doc_id""",
+           coalesce(floor(top_bigram_n / n_bigrams * 10000.0 + 0.5) / 10000.0,
+             CAST(0.0 AS DOUBLE)) AS top_bigram_frac
+         FROM wa LEFT JOIN ba USING (doc_id) ORDER BY doc_id""",
     // proportional per-source quota by content-hash rank (vs q28's fixed
     // count per group)
     "text_domain_mix" ->

@@ -193,6 +193,10 @@ object Multimodal {
           val bs = i32be(p, j.toInt).toLong & 0xffffffffL
           require(bs >= 8 && j + bs <= i + size, s"MP4: bad inner box size $bs")
           if (tag(p, j.toInt + 4) == "mvhd") {
+            // version(1)+flags(3)+ctime(4)+mtime(4)+timescale(4)+duration(4)
+            // = 20 body bytes: anything shorter would read the next box's
+            // bytes as timescale/duration (or run off the payload)
+            require(bs >= 28, s"MP4: mvhd box too small ($bs)")
             require(p(j.toInt + 8) == 0, "MP4: only mvhd version 0 supported")
             return (i32be(p, j.toInt + 20), i32be(p, j.toInt + 24))
           }
@@ -248,9 +252,14 @@ object Multimodal {
       it.map { m =>
         try { decode(m); MediaVerdict(m.doc_id, m.kind, ok = true, "") }
         catch {
-          case e: IllegalArgumentException =>
+          // NonFatal, not just IllegalArgumentException: the contract is
+          // "a bad file costs one row", and a parser bug surfacing as an
+          // index error on some adversarial payload must not become a
+          // task-retry storm either
+          case scala.util.control.NonFatal(e) =>
             MediaVerdict(m.doc_id, m.kind, ok = false,
-              Option(e.getMessage).getOrElse("unknown")
+              Option(e.getMessage)
+                .getOrElse(e.getClass.getSimpleName)
                 .replaceAll("^(requirement failed: )?(doc \\d+: )?", ""))
         }
       }

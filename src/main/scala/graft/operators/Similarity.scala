@@ -40,6 +40,22 @@ object Similarity {
     * ([[graft.functions.TopKByScore]]): partial top-k per partition,
     * merge of k-sized heaps — only numPartitions x k rows shuffle,
     * vs a window row_number sorting every scored row. */
+  /** Nearest-seed assignment, the shared kernel of IVF cell routing and
+    * k-means ([[ivfTopK]], [[clusterAssign]], [[kmeans]]): every vector
+    * scores against the broadcast `seeds` (cluster_id, se) and keeps the
+    * argmax-cosine seed via max_by — partial-agg friendly, no window
+    * sort, ties broken toward the lower seed id. Returns one row per
+    * vector: (vec_id, cluster_id, embedding, cos). */
+  private def assignToSeeds(vecs: DataFrame, seeds: DataFrame): DataFrame =
+    vecs.join(broadcast(seeds))
+      .select(col("vec_id"), col("cluster_id"), col("embedding"),
+        cosine_sim(col("embedding"), col("se")).as("_c"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cluster_id"),
+          struct(col("_c"), (-col("cluster_id")).as("_t"))).as("cluster_id"),
+        first(col("embedding")).as("embedding"),
+        max(col("_c")).as("cos"))
+
   private def finishTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("qid"))
       .agg(top_k_by_score(col("cos"), col("cid"), k).as("top"))
@@ -57,21 +73,15 @@ object Similarity {
               nProbe: Int = 4): DataFrame = {
     val e = emb(spark, dir)
     val seeds = e.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell"), col("embedding").as("se"))
-    // cell assignment: argmax cos via max_by (partial-agg friendly — no
-    // window sort; ties broken toward the lower cell id)
-    val assigned = e.join(broadcast(seeds))
-      .select(col("vec_id"), col("embedding"), col("cell"),
-        cosine_sim(col("embedding"), col("se")).as("_c"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cell"), struct(col("_c"), (-col("cell")).as("_t"))).as("cell"),
-        first(col("embedding")).as("ce"))
-      .select(col("vec_id").as("cid"), col("ce"), col("cell"))
+      .select(col("vec_id").as("cluster_id"), col("embedding").as("se"))
+    val assigned = assignToSeeds(e, seeds)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("cluster_id").as("cell"))
     // probe set: nProbe nearest cells per query
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val pw = Window.partitionBy(col("qid")).orderBy(col("_c").desc, col("cell"))
-    val probes = q.join(broadcast(seeds))
+    val probes = q.join(broadcast(seeds.withColumnRenamed("cluster_id", "cell")))
       .select(col("qid"), col("qe"), col("cell"),
         cosine_sim(col("qe"), col("se")).as("_c"))
       .withColumn("_rn", row_number().over(pw)).filter(col("_rn") <= nProbe)
@@ -153,17 +163,12 @@ object Similarity {
     * lower cluster id. */
   def clusterAssign(spark: SparkSession, dir: String,
                     modulus: Int = 29): DataFrame = {
-    val e = emb(spark, dir)
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
     val seeds = e.filter(col("vec_id") % modulus === 0)
       .select(col("vec_id").as("cluster_id"), col("embedding").as("se"))
-    e.join(broadcast(seeds))
+    assignToSeeds(e, seeds)
       .select(col("vec_id"), col("cluster_id"),
-        cosine_sim(col("embedding"), col("se")).as("_c"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("cluster_id"), col("_c")),
-        struct(col("_c"), (-col("cluster_id")).as("_t"))).as("m"))
-      .select(col("vec_id"), col("m.cluster_id").as("cluster_id"),
-        round(col("m._c"), 4).as("cos_sim"))
+        round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("vec_id"))
   }
 
@@ -186,25 +191,31 @@ object Similarity {
     require(iters >= 1, "kmeans needs at least one assignment round")
     val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
     var centroids = e.filter(col("vec_id") % modulus === 0)
-      .select(col("vec_id").as("cluster_id"), col("embedding").as("ce"))
+      .select(col("vec_id").as("cluster_id"), col("embedding").as("se"))
     var assigned: DataFrame = e
-    for (_ <- 0 until iters) {
-      assigned = e.join(broadcast(centroids))
-        .select(col("vec_id"), col("embedding"), col("cluster_id"),
-          cosine_sim(col("embedding"), col("ce")).as("_c"))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("cluster_id"),
-            struct(col("_c"), (-col("cluster_id")).as("_t"))).as("cluster_id"),
-          first(col("embedding")).as("embedding"),
-          max(col("_c")).as("cos"))
-      centroids = assigned
-        .select(col("cluster_id"), posexplode(col("embedding")))
-        .groupBy(col("cluster_id"), col("pos"))
-        .agg(avg(col("col")).as("v"))
-        .groupBy(col("cluster_id"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
-        .select(col("cluster_id"),
-          transform(col("pv"), x => x.getField("v").cast("float")).as("ce"))
+    var prev: DataFrame = null
+    for (round <- 1 to iters) {
+      assigned = assignToSeeds(e, centroids)
+      if (round < iters) {
+        // checkpoint each round's k x dims centroid frame (tiny), so the
+        // lineage the caller's action executes is one assignment round
+        // deep — not iters nested join+agg rounds whose analysis cost
+        // grows with the loop and whose recompute after block loss
+        // replays the whole history. Superseded checkpoints release
+        // immediately (the SparkBridge.unpersistCheckpoint discipline).
+        centroids = assigned
+          .select(col("cluster_id"), posexplode(col("embedding")))
+          .groupBy(col("cluster_id"), col("pos"))
+          .agg(avg(col("col")).as("v"))
+          .groupBy(col("cluster_id"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+          .select(col("cluster_id"),
+            transform(col("pv"), x => x.getField("v").cast("float")).as("se"))
+          .localCheckpoint()
+        if (prev != null)
+          org.apache.spark.sql.graftbridge.SparkBridge.unpersistCheckpoint(prev)
+        prev = centroids
+      }
     }
     assigned.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n"), avg(col("cos")).as("avg_cos"))

@@ -214,11 +214,17 @@ object TextAnalysis {
     docs
       .withColumn("n_words", size(words))
       .withColumn("top_word_n", topCount(words))
-      .withColumn("top_bigram_n", topCount(bgs))
+      // a one-word doc has no bigrams: count 0 / share 0.0, never null
+      // or a divide-by-zero (ANSI mode makes x/0 an error, and the
+      // oracle's bigram aggregate produces no row at all — the guarded
+      // branch keeps short documents in the result with equal values)
+      .withColumn("top_bigram_n", coalesce(topCount(bgs), lit(0)))
       .withColumn("dup_word_frac",
         frac4(col("n_words") - size(array_distinct(words)), col("n_words")))
       .withColumn("top_word_frac", frac4(col("top_word_n"), col("n_words")))
-      .withColumn("top_bigram_frac", frac4(col("top_bigram_n"), size(bgs)))
+      .withColumn("top_bigram_frac",
+        when(size(bgs) > 0, frac4(col("top_bigram_n"), size(bgs)))
+          .otherwise(lit(0.0)))
       .select(col("doc_id"), col("n_words"), col("top_word_n"),
         col("top_bigram_n"), col("dup_word_frac"), col("top_word_frac"),
         col("top_bigram_frac"))

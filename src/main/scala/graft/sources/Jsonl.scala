@@ -28,9 +28,19 @@ object Jsonl {
   def write(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
-  /** Read JSONL under `path` against `schema`: returns (valid rows in
-    * the target schema, quarantined raw lines). A line is quarantined if
-    * it is not a JSON object or any field fails to convert to its
+  /** The two sides of a quarantine-split read plus the lifecycle handle
+    * for the shared parse cache both sides are computed from. `release()`
+    * drops the cache; call it once both sides are consumed (unpersisting
+    * `valid`/`quarantined` themselves would be a no-op — only the
+    * internal parsed frame is registered with the cache manager). */
+  final case class SplitRead(valid: DataFrame, quarantined: DataFrame,
+                             private val raw: DataFrame) {
+    def release(): Unit = { raw.unpersist(blocking = false); () }
+  }
+
+  /** Read JSONL under `path` against `schema`: returns valid rows in
+    * the target schema and quarantined raw lines. A line is quarantined
+    * if it is not a JSON object or any field fails to convert to its
     * declared type — Spark nulls the row's other fields and stores the
     * raw line in [[CorruptCol]].
     *
@@ -38,10 +48,9 @@ object Jsonl {
     * selects only the corrupt column from an uncached json scan (the
     * raw line is only retained while the row is being parsed), and the
     * two branches would otherwise each re-read and re-parse the input.
-    * Caller unpersists via the returned handle when both sides are
-    * consumed. */
+    * The caller owns the cache lifecycle via [[SplitRead.release]]. */
   def readSplit(spark: SparkSession, path: String, schema: StructType)
-      : (DataFrame, DataFrame) = {
+      : SplitRead = {
     require(!schema.fieldNames.contains(CorruptCol),
       s"target schema must not contain $CorruptCol")
     val withCorrupt = StructType(
@@ -56,7 +65,7 @@ object Jsonl {
       .select(schema.fieldNames.map(col).toSeq: _*)
     val quarantined = raw.filter(col(CorruptCol).isNotNull)
       .select(col(CorruptCol).as("raw_line"))
-    (valid, quarantined)
+    SplitRead(valid, quarantined, raw)
   }
 
   /** Streaming ingest of a watched JSONL directory: new shards are

@@ -60,19 +60,27 @@ object VectorTiles {
     *   cap. The rank reuses the tile-key hash partitioning the write
     *   needs anyway — capping adds no extra shuffle. */
   def writeTiles(points: DataFrame, z: Int, path: String, idCol: String,
-                 propCols: Seq[String], maxPerTile: Int = 0): Unit = {
-    val tf = tileFeatures(points, z)
-      .repartition(col("tile_x"), col("tile_y"))
+                 propCols: Seq[String], maxPerTile: Int = 0): Unit =
+    writePyramid(points, z, z, path, idCol, propCols, maxPerTile)
+
+  /** Shared cap+serialize+write tail of the tile sinks: hash-rank cap
+    * per (z, x, y), in-partition sort for ordered shards, one GeoJSONL
+    * feature line per row, partitioned text write. One implementation —
+    * the tile format cannot fork between the single-zoom and pyramid
+    * paths. */
+  private def writeTileTree(tf: DataFrame, path: String, idCol: String,
+                            propCols: Seq[String], maxPerTile: Int): Unit = {
+    val keyed = tf.repartition(col("z"), col("tile_x"), col("tile_y"))
     val capped =
-      if (maxPerTile <= 0) tf
-      else tf.withColumn("_rk", row_number().over(
-          Window.partitionBy(col("tile_x"), col("tile_y"))
-            .orderBy(xxhash64(col(idCol), col("tile_x"), col("tile_y")),
-              col(idCol))))
+      if (maxPerTile <= 0) keyed
+      else keyed.withColumn("_rk", row_number().over(
+          Window.partitionBy(col("z"), col("tile_x"), col("tile_y"))
+            .orderBy(xxhash64(col(idCol), col("z"), col("tile_x"),
+              col("tile_y")), col(idCol))))
         .filter(col("_rk") <= maxPerTile).drop("_rk")
     capped
-      .sortWithinPartitions(col("tile_x"), col("tile_y"), col(idCol))
-      .select(lit(z).as("z"), col("tile_x"), col("tile_y"),
+      .sortWithinPartitions(col("z"), col("tile_x"), col("tile_y"), col(idCol))
+      .select(col("z"), col("tile_x"), col("tile_y"),
         to_json(struct(col(idCol).as("id"), col("qx"), col("qy"),
           struct(propCols.map(col): _*).as("props"))).as("value"))
       .write.mode("overwrite").partitionBy("z", "tile_x", "tile_y").text(path)
@@ -111,23 +119,9 @@ object VectorTiles {
     * shuffle, with the per-tile feature cap applied per zoom level. */
   def writePyramid(points: DataFrame, minZ: Int, maxZ: Int, path: String,
                    idCol: String, propCols: Seq[String],
-                   maxPerTile: Int = 0): Unit = {
-    val tf = tilePyramid(points, minZ, maxZ)
-      .repartition(col("z"), col("tile_x"), col("tile_y"))
-    val capped =
-      if (maxPerTile <= 0) tf
-      else tf.withColumn("_rk", row_number().over(
-          Window.partitionBy(col("z"), col("tile_x"), col("tile_y"))
-            .orderBy(xxhash64(col(idCol), col("z"), col("tile_x"), col("tile_y")),
-              col(idCol))))
-        .filter(col("_rk") <= maxPerTile).drop("_rk")
-    capped
-      .sortWithinPartitions(col("z"), col("tile_x"), col("tile_y"), col(idCol))
-      .select(col("z"), col("tile_x"), col("tile_y"),
-        to_json(struct(col(idCol).as("id"), col("qx"), col("qy"),
-          struct(propCols.map(col): _*).as("props"))).as("value"))
-      .write.mode("overwrite").partitionBy("z", "tile_x", "tile_y").text(path)
-  }
+                   maxPerTile: Int = 0): Unit =
+    writeTileTree(tilePyramid(points, minZ, maxZ), path, idCol, propCols,
+      maxPerTile)
 
   /** Read a tile tree back: one row per feature with its (z, x, y). */
   def readTiles(spark: SparkSession, path: String): DataFrame =

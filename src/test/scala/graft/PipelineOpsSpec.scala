@@ -43,14 +43,20 @@ class PipelineOpsSpec extends AnyFunSuite {
   test("repetition: exact values on a planted degenerate doc") {
     import spark.implicits._
     // "a a a b": top word a x3, bigrams [a a, a a, a b] -> top bigram 2/3
-    val d = Seq((1L, "a a a b")).toDF("doc_id", "text")
-    val r = TextAnalysis.repetitionOf(d).collect().head
+    val d = Seq((1L, "a a a b"), (2L, "solo")).toDF("doc_id", "text")
+    val rows = TextAnalysis.repetitionOf(d).orderBy(col("doc_id")).collect()
+    val r = rows(0)
     assert(r.getAs[Int]("n_words") == 4)
     assert(r.getAs[Int]("top_word_n") == 3)
     assert(r.getAs[Int]("top_bigram_n") == 2)
     assert(r.getAs[Double]("dup_word_frac") == 0.5)
     assert(r.getAs[Double]("top_word_frac") == 0.75)
     assert(r.getAs[Double]("top_bigram_frac") == 0.6667)
+    // a one-word doc stays in the result with zero bigram stats, no nulls
+    val s = rows(1)
+    assert(s.getAs[Int]("n_words") == 1 && s.getAs[Int]("top_bigram_n") == 0)
+    assert(s.getAs[Double]("top_bigram_frac") == 0.0 &&
+      s.getAs[Double]("dup_word_frac") == 0.0)
   }
 
   test("repetition: bounds hold corpus-wide and all-distinct docs score 0") {
@@ -139,12 +145,15 @@ class PipelineOpsSpec extends AnyFunSuite {
       java.util.Arrays.asList(
         "this is not json at all",
         """{"doc_id":"not_a_number","text":"x","lang":"en","source":"s","n_chars":1}"""))
-    val (valid, bad) = graft.sources.Jsonl.readSplit(spark, s"$dir/docs",
+    val split = graft.sources.Jsonl.readSplit(spark, s"$dir/docs",
       docs.schema)
-    assert(valid.count() == docs.count())
-    assert(valid.exceptAll(docs).isEmpty && docs.exceptAll(valid).isEmpty)
-    assert(bad.count() == 2)
-    assert(bad.filter(col("raw_line").contains("not json")).count() == 1)
+    try {
+      val (valid, bad) = (split.valid, split.quarantined)
+      assert(valid.count() == docs.count())
+      assert(valid.exceptAll(docs).isEmpty && docs.exceptAll(valid).isEmpty)
+      assert(bad.count() == 2)
+      assert(bad.filter(col("raw_line").contains("not json")).count() == 1)
+    } finally { split.release() }
   }
 
   test("jsonl stream ingest: shards land valid/quarantined incrementally") {

@@ -69,31 +69,31 @@ class PruningSpec extends AnyFunSuite {
   test("text operators read only the columns they use from documents") {
     // the documents scan must prune to (doc_id, text) — reading lang/
     // source/n_chars for a shingle pipeline is wasted IO at 100 TB
+    // (name, query, columns that must never reach its scans: unused
+    // document metadata for the text ops, the label column for the
+    // embeddings ops)
     Seq(
-      "decontaminate" -> operators.TextAnalysis.decontaminate(spark, sf),
-      "bigrams" -> operators.TextAnalysis.bigrams(spark, sf),
-      "repetition" -> operators.TextAnalysis.repetition(spark, sf),
-      "minhash" -> operators.Dedup.minhashCandidates(spark, sf)
-    ).foreach { case (name, df) =>
+      ("decontaminate", operators.TextAnalysis.decontaminate(spark, sf),
+        Seq("lang", "source")),
+      ("bigrams", operators.TextAnalysis.bigrams(spark, sf),
+        Seq("lang", "source")),
+      ("repetition", operators.TextAnalysis.repetition(spark, sf),
+        Seq("lang", "source")),
+      ("minhash", operators.Dedup.minhashCandidates(spark, sf),
+        Seq("lang", "source")),
+      ("cluster_assign", operators.Similarity.clusterAssign(spark, sf),
+        Seq("label")),
+      ("kmeans", operators.Similarity.kmeans(spark, sf, iters = 1),
+        Seq("label"))
+    ).foreach { case (name, df, forbidden) =>
       val plan = df.queryExecution.executedPlan.toString
       val readSchemas = "ReadSchema: struct<([^>]*)>".r
         .findAllMatchIn(plan).map(_.group(1)).toSeq
       assert(readSchemas.nonEmpty, s"$name: no parquet scan found")
       readSchemas.foreach { s =>
-        assert(!s.contains("lang") && !s.contains("source"),
-          s"$name reads unused columns: $s")
+        forbidden.foreach(c => assert(!s.contains(c),
+          s"$name reads unused column $c: $s"))
       }
-    }
-    // the embeddings scans must not read the label column they ignore
-    Seq(
-      "cluster_assign" -> operators.Similarity.clusterAssign(spark, sf),
-      "kmeans" -> operators.Similarity.kmeans(spark, sf, iters = 1)
-    ).foreach { case (name, df) =>
-      val plan = df.queryExecution.executedPlan.toString
-      "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan)
-        .map(_.group(1)).foreach { s =>
-          assert(!s.contains("label"), s"$name reads unused columns: $s")
-        }
     }
   }
 
