@@ -88,6 +88,7 @@ object SparkEntry {
     "text_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     "text_hash_split" -> ((s, d) => TextAnalysis.hashSplit(s, d)),
     "text_pack" -> ((s, d) => TextAnalysis.pack(s, d)),
+    "dedup_incremental" -> (Dedup.incremental _),
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
     "text_domain_mix" -> ((s, d) => TextAnalysis.domainMix(s, d)),
     "emb_cluster_assign" -> ((s, d) => Similarity.clusterAssign(s, d)),
@@ -692,6 +693,24 @@ object SparkEntry {
          FROM tr JOIN ev USING (s)
          GROUP BY train_doc, eval_doc HAVING count(*) >= 3
          ORDER BY train_doc, eval_doc""",
+    // arriving batch (doc_id % 5 == 4) classified against the existing
+    // corpus; same normalization expression as text_normalize_dedup
+    "dedup_incremental" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h_exact,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS h_norm
+           FROM documents),
+         ex AS (SELECT h_exact, min(doc_id) AS exact_match FROM d
+           WHERE doc_id % 5 <> 4 GROUP BY h_exact),
+         nm AS (SELECT h_norm, min(doc_id) AS norm_match FROM d
+           WHERE doc_id % 5 <> 4 GROUP BY h_norm)
+         SELECT doc_id,
+           CASE WHEN exact_match IS NOT NULL THEN 'exact_dup'
+                WHEN norm_match IS NOT NULL THEN 'norm_dup'
+                ELSE 'unique' END AS verdict,
+           coalesce(exact_match, norm_match) AS match_doc
+         FROM d LEFT JOIN ex USING (h_exact) LEFT JOIN nm USING (h_norm)
+         WHERE doc_id % 5 = 4 ORDER BY doc_id""",
     // concat-and-chunk packing: integer-exact running sum per source
     "text_pack" ->
       """WITH d AS (SELECT source,

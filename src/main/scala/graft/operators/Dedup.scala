@@ -58,6 +58,40 @@ object Dedup {
         col("row.n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Incremental-ingest dedup: classify an arriving batch (doc_id % 5 ==
+    * 4 stands in for the new shard) against the EXISTING corpus — the
+    * operation an append-only 100 TB pipeline runs on every delivery,
+    * where re-deduplicating the whole corpus per shard is unpayable.
+    * Verdicts: exact_dup (same bytes as a corpus doc), norm_dup (same
+    * after lower/strip/collapse canonicalization — trivially reformatted
+    * copy), else unique; match_doc is the lowest matching corpus id.
+    *
+    * Scale shape: the corpus side reduces to one (hash, min-id) row per
+    * distinct hash BEFORE the join (partial-agg map-side), so the joins
+    * move corpus-distinct-hash rows and new-batch rows only — never
+    * corpus text — and both joins share the new batch's partitioning. */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    val withH = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(col("text").cast("binary")).as("h_exact"),
+        md5(TextAnalysis.normalizedText(col("text"))).as("h_norm"))
+    val corpus = withH.filter(col("doc_id") % 5 =!= 4)
+    val arriving = withH.filter(col("doc_id") % 5 === 4)
+    val ex = corpus.groupBy(col("h_exact"))
+      .agg(min(col("doc_id")).as("exact_match"))
+    val nm = corpus.groupBy(col("h_norm"))
+      .agg(min(col("doc_id")).as("norm_match"))
+    arriving
+      .join(ex, Seq("h_exact"), "left_outer")
+      .join(nm, Seq("h_norm"), "left_outer")
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, "exact_dup")
+          .when(col("norm_match").isNotNull, "norm_dup")
+          .otherwise("unique").as("verdict"),
+        coalesce(col("exact_match"), col("norm_match")).as("match_doc"))
+      .orderBy(col("doc_id"))
+  }
+
   /** MinHash-LSH candidate pairs: k-hash signature, banded into
     * (k/bands)-row buckets; docs sharing any band bucket become a pair.
     * maxBucket caps pathological buckets before the self-join. */

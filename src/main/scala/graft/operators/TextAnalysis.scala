@@ -91,11 +91,17 @@ object TextAnalysis {
     * collapse whitespace, then cluster on md5 of the canonical text —
     * catches trivially-reformatted duplicates exact dedup misses. All
     * per-row codegen'd string ops until the final hash-groupBy. */
+  /** The canonical text form shared by [[normalizeDedup]] and
+    * [[graft.operators.Dedup.incremental]]: lower-case, strip
+    * punctuation, collapse whitespace. One definition so the two dedup
+    * surfaces can never disagree on what counts as "the same text". */
+  private[operators] def normalizedText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
   def normalizeDedup(spark: SparkSession, dir: String): DataFrame = {
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
     Tables.documents(spark, dir)
-      .select(col("doc_id"), md5(norm).as("h"))
+      .select(col("doc_id"), md5(normalizedText(col("text"))).as("h"))
       .groupBy(col("h"))
       .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("survivor"))
       .orderBy(col("survivor"))

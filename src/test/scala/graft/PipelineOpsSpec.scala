@@ -184,6 +184,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally { q.stop() }
   }
 
+  test("incremental dedup: planted duplicates classified, corpus never matched against itself") {
+    import spark.implicits._
+    val inc = operators.Dedup.incremental(spark, sf).cache()
+    try {
+      val arriving = Tables.documents(spark, sf)
+        .filter(col("doc_id") % 5 === 4)
+      assert(inc.count() == arriving.count(), "one verdict per arriving doc")
+      // every match points into the corpus, never at an arriving doc
+      assert(inc.filter(col("match_doc") % 5 === 4).isEmpty)
+      assert(inc.filter(col("verdict") === "unique" &&
+        col("match_doc").isNotNull).isEmpty)
+      assert(inc.filter(col("verdict") =!= "unique" &&
+        col("match_doc").isNull).isEmpty)
+      // cross-check the exact verdicts against a direct text equi-join
+      val direct = arriving.select(col("doc_id"), col("text"))
+        .join(Tables.documents(spark, sf)
+          .filter(col("doc_id") % 5 =!= 4).select(col("text")).distinct(),
+          Seq("text"), "left_semi")
+        .select(col("doc_id")).as[Long].collect().toSet
+      val flagged = inc.filter(col("verdict") === "exact_dup")
+        .select(col("doc_id")).as[Long].collect().toSet
+      assert(flagged == direct)
+    } finally { inc.unpersist() }
+  }
+
   test("cluster assign: total coverage, valid seeds, self-assignment") {
     val ca = Similarity.clusterAssign(spark, sf).cache()
     try {
