@@ -91,6 +91,7 @@ object SparkEntry {
     "dedup_incremental" -> (Dedup.incremental _),
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
     "text_domain_mix" -> ((s, d) => TextAnalysis.domainMix(s, d)),
+    "pipeline_curate" -> ((s, d) => TextAnalysis.curate(s, d)),
     "emb_cluster_assign" -> ((s, d) => Similarity.clusterAssign(s, d)),
     // rows-only: float mean accumulation order is engine-specific
     "emb_kmeans" -> ((s, d) => Similarity.kmeans(s, d)),
@@ -748,6 +749,60 @@ object SparkEntry {
            coalesce(floor(top_bigram_n / n_bigrams * 10000.0 + 0.5) / 10000.0,
              CAST(0.0 AS DOUBLE)) AS top_bigram_frac
          FROM wa LEFT JOIN ba USING (doc_id) ORDER BY doc_id""",
+    // the full curation funnel, assembled verbatim from the fragments the
+    // individual oracles already hash-match (score from text_quality,
+    // pred_lang from text_langid, top-word share from text_repetition,
+    // dedup from dedup_exact, split from text_hash_split)
+    "pipeline_curate" ->
+      """WITH wc AS (SELECT doc_id, word, count(*) AS c FROM (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents) u GROUP BY doc_id, word),
+         tw AS (SELECT doc_id, max(c) AS top_word_n,
+           CAST(sum(c) AS BIGINT) AS n_words FROM wc GROUP BY doc_id),
+         q AS (SELECT d.doc_id, d.text, d.lang,
+           floor((len(list_distinct(string_split(text, ' ')))
+               / len(string_split(text, ' ')) * CAST(0.3 AS DOUBLE)
+             + (CAST(1.0 AS DOUBLE) - len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the', 'a'))) / len(string_split(text, ' ')))
+               * CAST(0.3 AS DOUBLE)
+             + least(len(string_split(text, ' ')) / CAST(100.0 AS DOUBLE),
+                 CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE))
+             * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             / CAST(10000.0 AS DOUBLE) AS score,
+           len(list_filter(string_split(text, ' '),
+             x -> x IN ('the', 'a', 'value', 'row', 'key'))) AS en_hits,
+           len(list_filter(string_split(text, ' '),
+             x -> x IN ('data', 'table', 'fast', 'line'))) AS es_hits,
+           len(list_filter(string_split(text, ' '),
+             x -> x IN ('query', 'order', 'merge', 'group'))) AS fr_hits,
+           len(list_filter(string_split(text, ' '),
+             x -> x IN ('window', 'batch', 'stream', 'sort'))) AS de_hits,
+           len(list_filter(string_split(text, ' '),
+             x -> x IN ('spark', 'hash', 'join', 'scan'))) AS zh_hits
+           FROM documents d),
+         f AS (SELECT q.doc_id, q.text, q.lang, q.score,
+           floor(top_word_n / n_words * 10000.0 + 0.5) / 10000.0
+             AS top_word_frac,
+           CASE
+             WHEN en_hits >= es_hits AND en_hits >= fr_hits
+               AND en_hits >= de_hits AND en_hits >= zh_hits THEN 'en'
+             WHEN es_hits >= fr_hits AND es_hits >= de_hits
+               AND es_hits >= zh_hits THEN 'es'
+             WHEN fr_hits >= de_hits AND fr_hits >= zh_hits THEN 'fr'
+             WHEN de_hits >= zh_hits THEN 'de'
+             ELSE 'zh' END AS pred_lang
+           FROM q JOIN tw USING (doc_id)),
+         kept AS (SELECT * FROM f
+           WHERE score >= CAST(0.55 AS DOUBLE) AND pred_lang = lang
+             AND top_word_frac <= CAST(0.15 AS DOUBLE)),
+         ded AS (SELECT md5(text) AS h, min(doc_id) AS doc_id
+           FROM kept GROUP BY md5(text))
+         SELECT k.doc_id, k.lang, k.score, k.top_word_frac,
+           CASE WHEN substring(md5(k.text), 1, 2) < 'd0' THEN 'train'
+                WHEN substring(md5(k.text), 1, 2) < 'e8' THEN 'valid'
+                ELSE 'test' END AS split
+         FROM ded JOIN kept k ON k.doc_id = ded.doc_id
+         ORDER BY k.doc_id""",
     // proportional per-source quota by content-hash rank (vs q28's fixed
     // count per group)
     "text_domain_mix" ->

@@ -33,8 +33,10 @@ object TextAnalysis {
   /** Length / vocabulary-richness / stopword-density quality features and
     * a composite score (the reference-free quality filters of a training
     * data pipeline). */
-  def quality(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  /** Adds the quality feature columns (shared by [[quality]] and the
+    * [[curate]] funnel — one definition of "the score"). */
+  private[operators] def withQuality(docs: DataFrame): DataFrame =
+    docs
       .withColumn("n_len", length(col("text")))
       .withColumn("n_words", size(toks))
       .withColumn("n_distinct", size(array_distinct(toks)))
@@ -50,18 +52,23 @@ object TextAnalysis {
         col("n_distinct") / col("n_words") * 0.3
           + (lit(1.0) - hits(Seq("the", "a")) / col("n_words")) * 0.3
           + least(col("n_words") / 100.0, lit(1.0)) * 0.4) * 10000.0 + 0.5) / 10000.0)
+
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    withQuality(Tables.documents(spark, dir))
       .select(col("doc_id"), col("n_len"), col("n_words"), col("n_distinct"),
         col("ttr"), col("stop_ratio"), col("score"))
       .orderBy(col("doc_id"))
 
   /** Marker-hit language ID: argmax of per-language marker counts with a
     * fixed priority order on ties. */
-  def langid(spark: SparkSession, dir: String): DataFrame = {
-    val withHits = LangMarkers.foldLeft(Tables.documents(spark, dir)) {
+  /** Adds the per-language `<lang>_hits` columns and the argmax
+    * `pred_lang` (tie-break: earlier language wins, en > es > fr > de >
+    * zh). Shared by [[langid]] and the [[curate]] funnel. */
+  private[operators] def withLangPrediction(docs: DataFrame): DataFrame = {
+    val withHits = LangMarkers.foldLeft(docs) {
       case (df, (lang, markers)) => df.withColumn(s"${lang}_hits", hits(markers))
     }
     val langs = LangMarkers.map(_._1)
-    // tie-break: earlier language wins (en > es > fr > de > zh)
     val pred = langs.zipWithIndex.foldRight(lit(langs.last): Column) {
       case ((lang, i), elseCol) =>
         if (i == langs.length - 1) elseCol
@@ -69,11 +76,14 @@ object TextAnalysis {
           col(s"${lang}_hits") >= col(s"${l}_hits")).reduce(_ && _), lang)
           .otherwise(elseCol)
     }
-    withHits
-      .select(col("doc_id") +: langs.map(l => col(s"${l}_hits")) :+
-        pred.as("pred_lang"): _*)
-      .orderBy(col("doc_id"))
+    withHits.withColumn("pred_lang", pred)
   }
+
+  def langid(spark: SparkSession, dir: String): DataFrame =
+    withLangPrediction(Tables.documents(spark, dir))
+      .select(col("doc_id") +: LangMarkers.map { case (l, _) =>
+        col(s"${l}_hits") } :+ col("pred_lang"): _*)
+      .orderBy(col("doc_id"))
 
   /** Whitespace vs BPE-ish regex tokenization counts. */
   def tokens(spark: SparkSession, dir: String): DataFrame =
@@ -158,11 +168,8 @@ object TextAnalysis {
                   trainTo: String = "d0", validTo: String = "e8"): DataFrame =
     docs
       .select(col("doc_id"),
-        substring(md5(col("text").cast("binary")), 1, 2).as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < trainTo, "train")
-          .when(col("bucket") < validTo, "valid")
-          .otherwise("test"))
+        substring(md5(col("text").cast("binary")), 1, 2).as("bucket"),
+        splitCol(col("text"), trainTo, validTo).as("split"))
 
   def hashSplit(spark: SparkSession, dir: String): DataFrame =
     // the sort is oracle-determinism plumbing, not part of the operator:
@@ -206,15 +213,19 @@ object TextAnalysis {
     * stopword ratios miss. Per-row array arithmetic over the split
     * (distinct terms x occurrences, bounded by the doc's own length), so
     * the whole thing stays map-side: no shuffle, no UDF. */
+  /** Highest per-element frequency in an array (distinct terms x
+    * occurrences — bounded by the doc's own length, pure map-side). */
+  private[operators] def topCount(arr: Column): Column =
+    array_max(transform(array_distinct(arr),
+      x => size(filter(arr, y => y === x))))
+
+  /** floor(x*1e4+0.5)/1e4, not round(_, 4): ratios of small integers DO
+    * land on exact decimal halves (25/32 = .78125), where Spark's
+    * string-HALF_UP round and DuckDB's binary round disagree. */
+  private[operators] def frac4(num: Column, den: Column): Column =
+    floor(num / den * 10000.0 + 0.5) / 10000.0
+
   def repetitionOf(docs: DataFrame): DataFrame = {
-    def topCount(arr: Column): Column =
-      array_max(transform(array_distinct(arr),
-        x => size(filter(arr, y => y === x))))
-    // floor(x*1e4+0.5)/1e4, not round(_, 4): ratios of small integers DO
-    // land on exact decimal halves (25/32 = .78125), where Spark's
-    // string-HALF_UP round and DuckDB's binary round disagree
-    def frac4(num: Column, den: Column): Column =
-      floor(num / den * 10000.0 + 0.5) / 10000.0
     val words = toks
     val bgs = TextFunctions.word_shingles(col("text"), 2)
     docs
@@ -260,6 +271,44 @@ object TextAnalysis {
       .filter(col("rk") <= col("quota"))
       .select(col("source"), col("rk"), col("doc_id"))
       .orderBy(col("source"), col("rk"))
+  }
+
+  /** The end-to-end curation funnel — the canonical pre-training corpus
+    * pass, composed from the SAME column definitions the individual
+    * operators use (one definition of score / pred_lang / repetition /
+    * split, so the funnel can never drift from its parts): quality-score
+    * floor, language-agreement filter (predicted == declared), repetition
+    * cap, exact dedup keeping the lowest id per hash, then the dup-safe
+    * content-hash split. Every filter is a column over one scan — the
+    * whole funnel is a single map-side pass plus the one dedup
+    * hash-aggregate; nothing joins, nothing sorts until the output. */
+  def curate(spark: SparkSession, dir: String, minScore: Double = 0.55,
+             maxTopWordFrac: Double = 0.15): DataFrame = {
+    val words = toks
+    val kept = withLangPrediction(withQuality(Tables.documents(spark, dir)))
+      .withColumn("top_word_frac", frac4(topCount(words), size(words)))
+      .filter(col("score") >= minScore &&
+        col("pred_lang") === col("lang") &&
+        col("top_word_frac") <= maxTopWordFrac)
+    kept
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min_by(struct(col("doc_id"), col("text"), col("lang"),
+        col("score"), col("top_word_frac")), col("doc_id")).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
+        col("r.score").as("score"),
+        col("r.top_word_frac").as("top_word_frac"),
+        splitCol(col("r.text")).as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The three-way split as a single column expression (shared by
+    * [[hashSplitOf]] and [[curate]]). */
+  private[operators] def splitCol(text: Column, trainTo: String = "d0",
+                                  validTo: String = "e8"): Column = {
+    val bucket = substring(md5(text.cast("binary")), 1, 2)
+    when(bucket < trainTo, "train")
+      .when(bucket < validTo, "valid")
+      .otherwise("test")
   }
 
   /** Winnowing fingerprint per document (rows-only: hash sets have no

@@ -209,6 +209,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally { inc.unpersist() }
   }
 
+  test("curate funnel agrees with its component operators") {
+    import spark.implicits._
+    val out = TextAnalysis.curate(spark, sf).cache()
+    try {
+      assert(out.count() > 0, "funnel keeps something at sf0.001+")
+      // every surviving doc individually passes each component filter,
+      // recomputed via the standalone operators
+      val q = TextAnalysis.quality(spark, sf).select(col("doc_id"), col("score"))
+      val l = TextAnalysis.langid(spark, sf).select(col("doc_id"), col("pred_lang"))
+      val r = TextAnalysis.repetition(spark, sf)
+        .select(col("doc_id"), col("top_word_frac"))
+      val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"))
+      val joined = out.select(col("doc_id"))
+        .join(q, "doc_id").join(l, "doc_id").join(r, "doc_id").join(docs, "doc_id")
+      assert(joined.filter(col("score") < 0.55 ||
+        col("pred_lang") =!= col("lang") || col("top_word_frac") > 0.15).isEmpty)
+      // survivors are exact-dup free
+      val dupCheck = out.select(col("doc_id"))
+        .join(Tables.documents(spark, sf), "doc_id")
+        .groupBy(col("text")).count().filter(col("count") > 1)
+      assert(dupCheck.isEmpty)
+      // split values well-formed
+      assert(out.filter(!col("split").isin("train", "valid", "test")).isEmpty)
+    } finally { out.unpersist() }
+  }
+
   test("cluster assign: total coverage, valid seeds, self-assignment") {
     val ca = Similarity.clusterAssign(spark, sf).cache()
     try {
