@@ -47,6 +47,7 @@ object SparkEntry {
     "q26_full_outer" -> (Relational.q26FullOuter _),
     "q27_lead_lag" -> (Relational.q27LeadLag _),
     "q28_stratified_sample" -> ((s, d) => Relational.q28StratifiedSample(s, d)),
+    "q29_event_funnel" -> (Relational.q29EventFunnel _),
     // B. spatial / accessibility
     "geo_grid_assign" -> (Accessibility.gridAssign _),
     "geo_bbox_filter" -> (Accessibility.bboxFilter _),
@@ -369,6 +370,26 @@ object SparkEntry {
              CAST(floor(epoch(ts)) AS BIGINT) AS epoch
            FROM events WHERE user_id <= 30) t
          ORDER BY user_id, epoch, event_id""",
+    // strict event-time gating: a click only counts after the user's
+    // first view, a purchase only after the first qualifying click
+    "q29_event_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+           JOIN v USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > v.t_view
+           GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+           JOIN c USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+           GROUP BY e.user_id)
+         SELECT v.user_id,
+           CASE WHEN p.t_purchase IS NOT NULL THEN 3
+                WHEN c.t_click IS NOT NULL THEN 2
+                ELSE 1 END AS stage,
+           v.t_view, c.t_click, p.t_purchase
+         FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+         ORDER BY v.user_id""",
     "q28_stratified_sample" ->
       """SELECT lang, rk, doc_id FROM (
            SELECT lang, doc_id,

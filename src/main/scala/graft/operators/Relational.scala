@@ -412,4 +412,37 @@ object Relational {
       .select(col("lang"), col("rk"), col("doc_id"))
       .orderBy(col("lang"), col("rk"))
   }
+
+  /** Ordered conversion funnel (view -> click-after-view ->
+    * purchase-after-click), the canonical product-analytics query: per
+    * user, the furthest stage reached with the timestamp of each step's
+    * FIRST qualifying event. Stage gating is strict event-time order,
+    * not mere presence — a click before the first view does not count.
+    *
+    * Scale shape: each stage is filter -> per-user min (partial-agg,
+    * map-side combine), and the stage joins all share the user_id
+    * partitioning, so one shuffle establishes co-location for the whole
+    * cascade; nothing sorts, nothing windows over the raw stream. */
+  def q29EventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left_outer")
+      .join(p, Seq("user_id"), "left_outer")
+      .select(col("user_id"),
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .otherwise(1).as("stage"),
+        col("t_view"), col("t_click"), col("t_purchase"))
+      .orderBy(col("user_id"))
+  }
 }
