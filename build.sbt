@@ -15,6 +15,10 @@ run / fork := true
 // with an "[info] " prefix — graft.Bench prints one machine-parsed JSON
 // line and the prefix breaks the consumer's json.loads.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and drop sbt's own trailing "[success] Total time: ..." line so the
+// JSON line is the LAST thing on stdout (the consumer keeps only a tail
+// of stdout and tries to parse it).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

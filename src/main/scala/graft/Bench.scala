@@ -45,11 +45,17 @@ object Bench {
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The harness keeps only the LAST ~2000 chars of stdout. Keep the line
+    // small (3 dp — ms resolution is all GC noise allows anyway) and put
+    // the headline total/failed/sf AFTER the per-query map so they survive
+    // even if the map's head is truncated out of the tail window.
+    def r3(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","queries":$qs,"failed":$failedJson,"sf":"$sfDir","n":${results.size},"unit":"sec","value":${r3(total)}}""")
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(", ")}")
     spark.stop()
