@@ -48,6 +48,13 @@ object SparkEntry {
     "q27_lead_lag" -> (Relational.q27LeadLag _),
     "q28_stratified_sample" -> ((s, d) => Relational.q28StratifiedSample(s, d)),
     "q29_event_funnel" -> (Relational.q29EventFunnel _),
+    // A'. warehouse shapes: runtime bloom filter, band lookup, SCD2
+    "q30_bloom_semi" -> (Warehouse.q30BloomSemi _),
+    "q31_range_lookup" -> (Warehouse.q31RangeLookup _),
+    "q32_scd2" -> (Warehouse.q32Scd2 _),
+    // B'. graph centrality over the road-network key space (dyadic-exact
+    // PageRank — see operators.Graph for why the oracle matches bitwise)
+    "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
     // B. spatial / accessibility
     "geo_grid_assign" -> (Accessibility.gridAssign _),
     "geo_bbox_filter" -> (Accessibility.bboxFilter _),
@@ -92,6 +99,7 @@ object SparkEntry {
     "dedup_incremental" -> (Dedup.incremental _),
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
     "text_domain_mix" -> ((s, d) => TextAnalysis.domainMix(s, d)),
+    "text_pii" -> (TextAnalysis.pii _),
     "pipeline_curate" -> ((s, d) => TextAnalysis.curate(s, d)),
     "emb_cluster_assign" -> ((s, d) => Similarity.clusterAssign(s, d)),
     // rows-only: float mean accumulation order is engine-specific
@@ -112,6 +120,7 @@ object SparkEntry {
     "stream_topk_window" -> (graft.streaming.EventStreams.topkPerWindowBatch _),
     // rows-only: sketch internals are engine-specific
     "stream_sketch_window" -> (graft.streaming.EventStreams.sketchWindowBatch _),
+    "stream_enrich" -> (graft.streaming.EventStreams.enrichBatch _),
     // F. malformed-media quarantine: per (kind, verdict, reason) triage
     // counts over a deterministically damaged corpus (rows-only: the
     // container byte layouts have no SQL equivalent)
@@ -397,6 +406,67 @@ object SparkEntry {
                ORDER BY md5(text), doc_id) AS rk
            FROM documents) t
          WHERE rk <= 30 ORDER BY lang, rk""",
+    // exact semi-join semantics: the bloom pre-filter is transparent
+    // (false positives are re-verified), so the oracle is the plain semi
+    "q30_bloom_semi" ->
+      """SELECT date_trunc('month', l_shipdate) AS month,
+           count(*) AS n_items, round(sum(l_extendedprice), 2) AS volume
+         FROM lineitem
+         WHERE EXISTS (SELECT 1 FROM supplier
+                       WHERE s_suppkey = l_suppkey AND s_nationkey = 7)
+         GROUP BY 1 ORDER BY 1""",
+    "q31_range_lookup" ->
+      """WITH tiers AS (SELECT * FROM (VALUES
+           (CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(1000.0 AS DOUBLE)),
+           (1, 1000.0, 5000.0), (2, 5000.0, 20000.0),
+           (3, 20000.0, 50000.0), (4, 50000.0, 100000.0),
+           (5, 100000.0, 200000.0), (6, 200000.0, 400000.0),
+           (7, 400000.0, 1e12)) t(tier, lo, hi))
+         SELECT tier, lo, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_value
+         FROM orders JOIN tiers
+           ON o_totalprice >= lo AND o_totalprice < hi
+         GROUP BY tier, lo ORDER BY tier""",
+    "q32_scd2" ->
+      """WITH ch AS (SELECT user_id, ts, max(event_id) AS event_id,
+           round(arg_max(value, event_id), 2) AS value
+         FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+         SELECT user_id, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             AS is_current,
+           event_id, value
+         FROM ch ORDER BY user_id, valid_from""",
+    "graph_pagerank" -> operators.Graph.pagerankOracle(),
+    "text_pii" ->
+      """WITH planted AS (SELECT doc_id,
+           concat(text, ' reach user', CAST(doc_id AS VARCHAR), '@example.com',
+             CASE WHEN doc_id % 3 = 0
+               THEN concat(' +1-555-',
+                 lpad(CAST(doc_id * 7919 % 10000 AS VARCHAR), 4, '0'))
+               ELSE '' END) AS aug
+         FROM documents),
+         red AS (SELECT doc_id, aug,
+           regexp_replace(regexp_replace(aug,
+             '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+', '<EMAIL>', 'g'),
+             '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+         FROM planted)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(aug,
+             '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(aug,
+             '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+           CAST(len(redacted) AS BIGINT) AS len_redacted,
+           md5(redacted) AS redacted_md5
+         FROM red ORDER BY doc_id""",
+    "stream_enrich" ->
+      """SELECT event_id, user_id, event_type, round(value, 2) AS value,
+           u.segment, u.nation
+         FROM events LEFT JOIN (
+           SELECT c_custkey, c_mktsegment AS segment, n_name AS nation
+           FROM customer JOIN nation ON c_nationkey = n_nationkey) u
+           ON user_id = u.c_custkey
+         ORDER BY event_id""",
     "q13_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events
            WHERE event_type = 'purchase'),

@@ -1,7 +1,8 @@
 package org.apache.spark.sql.graftbridge
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ScalarSubquery}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.execution.LogicalRDD
 
@@ -34,4 +35,26 @@ object SparkBridge {
     df.queryExecution.analyzed.collect {
       case lr: LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))
+
+  /** The aggregate half of Spark's runtime bloom filter (the machinery
+    * behind `InjectRuntimeFilter`, which Spark only triggers for shuffle
+    * joins): folds `xxhash64` values into one BloomFilter binary blob.
+    * Not SQL-registered upstream, hence reached through the bridge. */
+  def bloomFilterAgg(hashCol: Column, expectedItems: Long): Column =
+    column(new BloomFilterAggregate(expression(hashCol), expectedItems)
+      .toAggregateExpression())
+
+  /** Wrap a one-row one-column frame as a scalar subquery expression.
+    * `BloomFilterMightContain` only accepts a constant or scalar-subquery
+    * bloom argument — a join-produced attribute is rejected — so this is
+    * the supported way to hand a distributed-computed sketch to the
+    * probe side: the subquery plan runs once and its result is inlined
+    * into every task (broadcast-literal semantics, no driver round-trip
+    * in user code). */
+  def scalarSubquery(df: DataFrame): Column =
+    column(ScalarSubquery(df.queryExecution.analyzed))
+
+  /** Probe half of the runtime bloom filter pair. */
+  def mightContain(bloom: Column, hashCol: Column): Column =
+    column(BloomFilterMightContain(expression(bloom), expression(hashCol)))
 }

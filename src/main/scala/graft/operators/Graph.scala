@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.SparkBridge
+import graft.Tables
+
+/** Iterative graph analytics over a deterministic synthetic graph — the
+  * same distributed fixed-point shape as [[Routing]]'s Bellman-Ford, but
+  * with a value that FLOWS (rank mass) instead of one that MINIMIZES
+  * (distance), which exercises the other half of the iterate-join-agg
+  * design space: per-round aggregation is a SUM, so floating-point
+  * accumulation order matters and must be engineered away (below).
+  *
+  * The reference's road network is the one true graph in the system
+  * (ram-analysis/scripts/osm2osrm.sh builds it; tasks.js:253-283 routes
+  * over it); centrality over that network — which intersections carry
+  * the traffic — is the canonical downstream analysis.
+  *
+  * Scale posture: per round, ONE equi-join (ranks.node == edges.src) and
+  * ONE (dst) sum aggregation, both partial-agg friendly. The edge table
+  * is pre-partitioned on its join key and `localCheckpoint`ed ONCE, so
+  * rounds reuse the materialized partitioning instead of re-shuffling
+  * the (at 100 TB, dominant) edge side every iteration; the rank frame is
+  * output-sized (one row per node). Superseded rank checkpoints are
+  * released each round (see [[SparkBridge.unpersistCheckpoint]]).
+  *
+  * FP determinism (why the DuckDB oracle hash-matches bitwise): every
+  * number in the computation is a dyadic rational with a short mantissa.
+  * Out-degree is EXACTLY 4 by construction (parallel edges and self
+  * loops are deliberately kept), so a contribution is rank/4 — an exact
+  * power-of-two scaling; damping is 3/4 and teleport 1/4, so the update
+  * 0.25 + 0.75·sum costs two more mantissa bits per round. With 6
+  * rounds every add is exact, which makes the per-node sum independent
+  * of aggregation order — Spark's partial aggregation and DuckDB's
+  * single-threaded sum produce the same bits. (A 0.85 damping factor
+  * would round on the very first multiply and diverge between engines.)
+  */
+object Graph {
+  val Damping = 0.75 // dyadic: 3/4 (deliberately NOT the textbook 0.85)
+  val OutDegree = 4
+  val DefaultIters = 6
+
+  /** Deterministic directed graph over the supplier key space 0..V-1:
+    * exactly [[OutDegree]] out-edges per node via four affine maps.
+    * Unlike [[Routing.roadEdges]] this keeps self loops and parallel
+    * edges — constant out-degree is what makes rank/4 exact. */
+  def pageEdges(spark: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(spark, dir).select(col("s_suppkey"))
+    val nv = sup.agg((max(col("s_suppkey")) + 1L).as("nv"))
+    sup.crossJoin(broadcast(nv))
+      .select(col("s_suppkey").as("src"), explode(array(
+        (col("s_suppkey") * 7L + 1L) % col("nv"),
+        (col("s_suppkey") * 13L + 3L) % col("nv"),
+        (col("s_suppkey") * 29L + 5L) % col("nv"),
+        (col("s_suppkey") * 31L + 11L) % col("nv"))).as("dst"))
+  }
+
+  /** PageRank with teleport 1−d = 1/4: rank'(n) = 1/4 + 3/4 · Σ_{src→n}
+    * rank(src)/4, iterated a fixed `iters` rounds from rank = 1.
+    * Output: (node, rank), one row per node — nodes nobody links to
+    * keep the teleport mass via the left join from the node list. */
+  def pagerank(spark: SparkSession, dir: String,
+               iters: Int = DefaultIters): DataFrame = {
+    require(iters >= 1)
+    val nodes = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").as("node"))
+    // partition the edge side by its join key ONCE; localCheckpoint
+    // materializes that layout so the per-round join reuses it
+    val edges = pageEdges(spark, dir)
+      .withColumnRenamed("src", "esrc")
+      .repartition(col("esrc"))
+      .localCheckpoint()
+    var ranks = nodes.withColumn("r", lit(1.0)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val inbound = ranks.join(edges, ranks("node") === edges("esrc"))
+        .select(edges("dst").as("node"),
+          (col("r") / OutDegree).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("m"))
+      val next = nodes.join(inbound, Seq("node"), "left_outer")
+        .select(col("node"),
+          (lit(1 - Damping) + lit(Damping) * coalesce(col("m"), lit(0.0))).as("r"))
+        .localCheckpoint()
+      SparkBridge.unpersistCheckpoint(ranks)
+      ranks = next
+    }
+    // "pr", not "rank": rank is a window-function keyword in the oracle
+    val out = ranks.select(col("node"), col("r").as("pr"))
+      .orderBy(col("node"))
+    SparkBridge.unpersistCheckpoint(edges)
+    out
+  }
+
+  /** Unrolled DuckDB oracle for [[pagerank]] — fixed-iteration dataflow,
+    * so the recursion is spelled as one CTE per round (recursive CTEs
+    * cannot aggregate in the recursive term). Kept next to the operator
+    * so graph shape and update rule cannot drift apart. */
+  def pagerankOracle(iters: Int = DefaultIters): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""p$i AS (SELECT n.node,
+         CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+           * coalesce(s.m, CAST(0.0 AS DOUBLE)) AS r
+         FROM n LEFT JOIN (
+           SELECT e.dst AS node, sum(p.r / CAST(4.0 AS DOUBLE)) AS m
+           FROM e JOIN p${i - 1} p ON p.node = e.src GROUP BY e.dst) s
+         USING (node))"""
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT max(s_suppkey) + 1 AS nv FROM supplier),
+       e AS (
+         SELECT s_suppkey AS src, (s_suppkey * 7 + 1) % nv AS dst FROM supplier, v
+         UNION ALL
+         SELECT s_suppkey, (s_suppkey * 13 + 3) % nv FROM supplier, v
+         UNION ALL
+         SELECT s_suppkey, (s_suppkey * 29 + 5) % nv FROM supplier, v
+         UNION ALL
+         SELECT s_suppkey, (s_suppkey * 31 + 11) % nv FROM supplier, v),
+       n AS (SELECT s_suppkey AS node FROM supplier),
+       p0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS r FROM n),
+       $rounds
+       SELECT node, r AS pr FROM p$iters ORDER BY node"""
+  }
+}

@@ -322,4 +322,37 @@ object TextAnalysis {
       .select(col("doc_id"), size(col("fp")).as("n_fp"),
         posexplode(col("fp")).as(Seq("fp_pos", "fp_hash")))
       .orderBy(col("doc_id"), col("fp_pos"))
+
+  // PII patterns kept to the regex subset Java (Spark) and RE2 (DuckDB)
+  // agree on: literal classes, bounded repeats — no backrefs, no
+  // lookaround. Redaction parity is proven by hashing the redacted text.
+  val EmailRe = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]+"
+  val PhoneRe = "\\+1-555-[0-9]{4}"
+
+  /** PII scrub pass: count and redact email / phone-shaped spans in one
+    * map-side codegen pass — the compliance filter every corpus runs
+    * before training. The synthetic corpus contains no PII, so the
+    * query surface plants deterministic spans first (doc_id-derived)
+    * and the scrub must find ALL of them; the planted count is part of
+    * the oracle-checked output, so a pattern that under-matches fails
+    * the hash check rather than silently leaking. */
+  def pii(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(spark, dir)
+      .withColumn("aug", concat(col("text"),
+        // one email always; a phone only on every third doc
+        lit(" reach user"), col("doc_id").cast("string"), lit("@example.com"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" +1-555-"), lpad((col("doc_id") * 7919 % 10000)
+            .cast("string"), 4, "0"))).otherwise(lit(""))))
+    planted
+      .withColumn("n_emails", regexp_count(col("aug"), lit(EmailRe)).cast("bigint"))
+      .withColumn("n_phones", regexp_count(col("aug"), lit(PhoneRe)).cast("bigint"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("aug"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        length(col("redacted")).cast("bigint").as("len_redacted"),
+        md5(col("redacted").cast("binary")).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.SparkBridge
+import graft.Tables
+
+/** Warehouse-shaped operators the reference's DB layer implies but never
+  * spells out: runtime-filtered fact scans, band (range) lookups, and
+  * effective-dated (SCD2) dimension builds. The reference keeps its
+  * operational state in Postgres (ram-analysis/app/index.js:200-339,
+  * app/utils/operation.js) where these are a WHERE IN, a BETWEEN and an
+  * updated_at trail; at 100 TB each needs a deliberately different shape.
+  */
+object Warehouse {
+
+  /** Semi join where the big probe side is pre-filtered MAP-SIDE by a
+    * bloom filter built from the small side — Spark's own runtime-filter
+    * machinery ([[SparkBridge.bloomFilterAgg]]), driven explicitly
+    * because `InjectRuntimeFilter` only fires for shuffle joins and the
+    * verifying join here is a broadcast.
+    *
+    * Scale: the bloom blob is a scalar subquery — computed once
+    * (partial-agg mergeable), shipped to every scan task; rows that fail
+    * `might_contain` die inside the scan stage and never reach the join,
+    * so the join's build-probe work tracks the MATCHING row count, not
+    * the fact cardinality. False positives are removed by the exact
+    * broadcast semi join that follows — the result is bit-identical to
+    * the plain semi join the oracle runs. */
+  def bloomSemiJoin(large: DataFrame, largeKey: String,
+                    small: DataFrame, smallKey: String,
+                    expectedItems: Long = 10000L): DataFrame = {
+    val bloom = small.agg(
+      SparkBridge.bloomFilterAgg(xxhash64(col(smallKey)), expectedItems)
+        .as("bf"))
+    val prefiltered = large.filter(
+      SparkBridge.mightContain(SparkBridge.scalarSubquery(bloom),
+        xxhash64(col(largeKey))))
+    prefiltered.join(broadcast(small.select(col(smallKey)).distinct()),
+      prefiltered(largeKey) === col(smallKey), "left_semi")
+  }
+
+  /** Query surface: lineitems supplied by suppliers of one nation — a
+    * selective dim (≈1/25 of suppliers) against the biggest fact table,
+    * the textbook runtime-filter win. Monthly volume rollup keeps the
+    * output small and the aggregate partial. */
+  def q30BloomSemi(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_shipdate"), col("l_extendedprice"))
+    val sup = Tables.supplier(spark, dir)
+      .filter(col("s_nationkey") === 7)
+      .select(col("s_suppkey"))
+    bloomSemiJoin(li, "l_suppkey", sup, "s_suppkey")
+      .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("volume"))
+      .orderBy(col("month"))
+  }
+
+  /** Non-uniform price bands. A banded lookup against a dim this size is
+    * the one place a broadcast nested-loop join IS the scale-correct
+    * plan: per fact row it scans 8 broadcast tiers map-side — O(|fact|),
+    * zero shuffle of the fact side. (A banded dim too big to broadcast
+    * would instead go through the [[AsofJoin]] merge pattern on the
+    * lower bound.) Upper bound of the last band is open. */
+  val PriceTiers: Seq[(Int, Double, Double)] = Seq(
+    (0, 0.0, 1000.0), (1, 1000.0, 5000.0), (2, 5000.0, 20000.0),
+    (3, 20000.0, 50000.0), (4, 50000.0, 100000.0),
+    (5, 100000.0, 200000.0), (6, 200000.0, 400000.0),
+    (7, 400000.0, 1.0e12))
+
+  def rangeLookup(facts: DataFrame, valueCol: Column,
+                  spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val tiers = PriceTiers.toDF("tier", "lo", "hi")
+      .select(col("tier").cast("bigint").as("tier"), col("lo"), col("hi"))
+    facts.join(broadcast(tiers), valueCol >= col("lo") && valueCol < col("hi"))
+  }
+
+  /** Query surface: order-value distribution across the price bands. */
+  def q31RangeLookup(spark: SparkSession, dir: String): DataFrame =
+    rangeLookup(Tables.orders(spark, dir).select(col("o_totalprice")),
+      col("o_totalprice"), spark)
+      .groupBy(col("tier"), col("lo"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_value"))
+      .orderBy(col("tier"))
+
+  /** Build an SCD-type-2 dimension from a change stream: one row per
+    * (key, state) episode with [valid_from, valid_to) effective range,
+    * open-ended for the current row. One window pass per key — each
+    * change row is shuffled exactly once on its key; no self-join.
+    * The reference models this as a mutable Postgres row + an
+    * operation_logs trail (operation.js:245); replaying the trail into
+    * effective ranges is how that state moves to an immutable lake. */
+  def scd2(changes: DataFrame, key: String, tsCol: String,
+           stateCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(tsCol))
+    changes
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col(key) +: col(tsCol).as("valid_from") +:
+        col("valid_to") +: col("is_current") +: stateCols.map(col): _*)
+  }
+
+  /** Query surface: each user's purchase history as an effective-dated
+    * "last purchase value" dimension (deterministic: one change row per
+    * (user, ts) via max(event_id) tie-break before the window). */
+  def q32Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val changes = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max_by(struct(col("event_id"), col("value")),
+        col("event_id")).as("row"))
+      .select(col("user_id"), col("ts"),
+        col("row.event_id").as("event_id"),
+        round(col("row.value"), 2).as("value"))
+    scd2(changes, "user_id", "ts", Seq("event_id", "value"))
+      .orderBy(col("user_id"), col("valid_from"))
+  }
+}

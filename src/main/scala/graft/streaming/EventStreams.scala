@@ -253,4 +253,35 @@ object EventStreams {
         col("c_ts") >= col("p_ts") - expr(s"INTERVAL $JoinLookback") &&
         col("c_ts") <= col("p_ts"))
   }
+
+  // ---- stream-static enrichment join ----
+
+  /** Enrich each event with its user's dimension attributes (market
+    * segment + nation) — the reference's fetchOrigins join
+    * (app/index.js:233-246) as a continuous pipeline. The dim side is
+    * broadcast, so in streaming this is a stateless per-batch map-side
+    * join: no state store, no watermark needed, and a dim update is
+    * picked up by re-planning (batch) or restart (stream). Left outer:
+    * an event from an unknown user enriches to nulls, it doesn't drop. */
+  def enrich(events: DataFrame, users: DataFrame): DataFrame =
+    events.join(broadcast(users), col("user_id") === col("c_custkey"),
+        "left_outer")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 2).as("value"),
+        col("c_mktsegment").as("segment"), col("n_name").as("nation"))
+
+  /** The user dimension: customer joined to nation, both broadcast-sized
+    * by definition (dims). */
+  def userDim(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("n_name"))
+
+  def enrichBatch(spark: SparkSession, dir: String): DataFrame =
+    enrich(Tables.events(spark, dir), userDim(spark, dir))
+      .orderBy(col("event_id"))
+
+  def enrichStream(events: DataFrame, users: DataFrame): DataFrame =
+    enrich(events, users)
 }

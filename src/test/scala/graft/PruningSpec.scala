@@ -31,9 +31,11 @@ class PruningSpec extends AnyFunSuite {
     // hash join (asserted below) / the aggregated route matrix
     // emb_cluster_assign / emb_kmeans: every vector scores against the
     // broadcast seed/centroid set by design (k-means assignment step)
+    // q31_range_lookup: banded lookup against an 8-row broadcast tier dim
+    // (per-row map-side scan of 8 tiers — the correct plan; see Warehouse)
     val nlAllowed = Set("ann_brute_topk", "ann_ivf_topk",
       "geo_nearest_poi", "geo_area_assign", "geo_route_nearest",
-      "emb_cluster_assign", "emb_kmeans")
+      "emb_cluster_assign", "emb_kmeans", "q31_range_lookup")
     // full-outer equi-joins cannot broadcast (both sides must preserve
     // unmatched rows), so a shuffle join IS the correct plan there
     val smjAllowed = Set("q26_full_outer")
