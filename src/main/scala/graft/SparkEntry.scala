@@ -440,22 +440,31 @@ object SparkEntry {
     "graph_pagerank" -> operators.Graph.pagerankOracle(),
     "text_pii" ->
       """WITH planted AS (SELECT doc_id,
-           concat(text, ' reach user', CAST(doc_id AS VARCHAR), '@example.com',
+           concat(text,
+             CASE WHEN doc_id % 2 = 0 THEN ' Reach User'
+               ELSE ' reach user' END,
+             CAST(doc_id AS VARCHAR),
+             CASE WHEN doc_id % 2 = 0 THEN '@Example.COM'
+               ELSE '@example.com' END,
              CASE WHEN doc_id % 3 = 0
                THEN concat(' +1-555-',
                  lpad(CAST(doc_id * 7919 % 10000 AS VARCHAR), 4, '0'))
+               ELSE '' END,
+             CASE WHEN doc_id % 5 = 0
+               THEN concat(' +44-7700-',
+                 lpad(CAST(doc_id * 31 % 1000000 AS VARCHAR), 6, '0'))
                ELSE '' END) AS aug
          FROM documents),
          red AS (SELECT doc_id, aug,
            regexp_replace(regexp_replace(aug,
-             '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+', '<EMAIL>', 'g'),
-             '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+             '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]+', '<EMAIL>', 'g'),
+             '\+[0-9]{1,3}-[0-9]{3,4}-[0-9]{4,6}', '<PHONE>', 'g') AS redacted
          FROM planted)
          SELECT doc_id,
            CAST(len(regexp_extract_all(aug,
-             '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+')) AS BIGINT) AS n_emails,
+             '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]+')) AS BIGINT) AS n_emails,
            CAST(len(regexp_extract_all(aug,
-             '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+             '\+[0-9]{1,3}-[0-9]{3,4}-[0-9]{4,6}')) AS BIGINT) AS n_phones,
            CAST(len(redacted) AS BIGINT) AS len_redacted,
            md5(redacted) AS redacted_md5
          FROM red ORDER BY doc_id""",

@@ -3,11 +3,11 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftbridge.SparkBridge
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, QuaternaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, StructField, StructType}
 
 /** Static geo math callable from both interpreted eval and generated code. */
 object GeoMath {
@@ -80,6 +80,81 @@ object GeoMath {
     if (sumA == 0.0) null
     else new GenericInternalRow(
       Array[Any](sumY / (3.0 * sumA), sumX / (3.0 * sumA)))
+  }
+
+  /** Clip one ring against a half-plane (one Sutherland–Hodgman stage).
+    * `axis` 0 = x, 1 = y; keepGE keeps coords >= c, else <= c. Intersection
+    * points pin the clipped coordinate to EXACTLY the boundary value `c`
+    * (not an interpolation that lands near it), so axis-aligned subject
+    * edges against axis-aligned windows stay FP-exact — the property the
+    * integer-scaled oracle scheme relies on. Axis-parallel edges never
+    * cross their own axis boundary (both endpoints share the coord), so
+    * the interpolation below cannot divide by zero there. */
+  private def clipHalf(pts: Array[Array[Double]], axis: Int, c: Double,
+                       keepGE: Boolean): Array[Array[Double]] = {
+    val n = pts.length
+    if (n == 0) return pts
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    def in(v: Double): Boolean = if (keepGE) v >= c else v <= c
+    def cross(s: Array[Double], e: Array[Double]): Array[Double] = {
+      val t = (c - s(axis)) / (e(axis) - s(axis))
+      val o = 1 - axis
+      val ov = s(o) + t * (e(o) - s(o))
+      if (axis == 0) Array(c, ov) else Array(ov, c)
+    }
+    var i = 0
+    while (i < n) {
+      val s = pts(i); val e = pts(if (i + 1 == n) 0 else i + 1)
+      val eIn = in(e(axis))
+      if (eIn) {
+        if (!in(s(axis))) out += cross(s, e)
+        out += e
+      } else if (in(s(axis))) out += cross(s, e)
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Sutherland–Hodgman clip of a ring (points as [x, y]) against the
+    * axis-aligned rectangle [x0, x1] x [y0, y1] — the reference's
+    * per-grid-square work-area step (`intersect(adminArea, square)`,
+    * ram-analysis/app/calculate-eta/index.js:69): the clip window there
+    * is always a squareGrid cell, i.e. convex and axis-aligned, which is
+    * exactly the window class S-H clips exactly. Arbitrary (including
+    * non-convex) subject rings are supported; the empty result (ring
+    * entirely outside) is the reference's no-intersection skip
+    * (tasks.js:36). Output ring is open, same convention as the input. */
+  def clipRingToRect(ring: ArrayData, bounds: ArrayData): ArrayData = {
+    val x0 = bounds.getDouble(0); val y0 = bounds.getDouble(1)
+    val x1 = bounds.getDouble(2); val y1 = bounds.getDouble(3)
+    var cur = Array.tabulate(ring.numElements()) { i =>
+      val p = ring.getArray(i)
+      Array(p.getDouble(0), p.getDouble(1))
+    }
+    cur = clipHalf(cur, 0, x0, keepGE = true)
+    cur = clipHalf(cur, 0, x1, keepGE = false)
+    cur = clipHalf(cur, 1, y0, keepGE = true)
+    cur = clipHalf(cur, 1, y1, keepGE = false)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      cur.map(p => new org.apache.spark.sql.catalyst.util.GenericArrayData(p)
+        : Any))
+  }
+
+  /** Twice the unsigned shoelace area of a ring (points as [x, y], open
+    * or closed). Returned un-halved so integer-coordinate rings stay
+    * integer-exact (a rectangle's 2A is always even; a general lattice
+    * polygon's 2A is an odd or even integer, never a fraction). */
+  def ringArea2(ring: ArrayData): Double = {
+    val n = ring.numElements()
+    var a = 0.0
+    var i = 0
+    while (i < n) {
+      val j = if (i + 1 == n) 0 else i + 1
+      val p1 = ring.getArray(i); val p2 = ring.getArray(j)
+      a += p1.getDouble(0) * p2.getDouble(1) - p2.getDouble(0) * p1.getDouble(1)
+      i += 1
+    }
+    math.abs(a)
   }
 }
 
@@ -154,6 +229,48 @@ case class PolyCenterOfMass(child: Expression) extends UnaryExpression {
       ${ev.value} = graft.functions.GeoMath.polyCenterOfMass($c);
       ${ev.isNull} = ${ev.value} == null;
     """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `clip_ring_rect(ring, bounds)` -> the Sutherland–Hodgman clip of the
+  * ring against the axis-aligned rectangle bounds = [x0, y0, x1, y1] —
+  * the turf `intersect(adminArea, square)` work-area step
+  * (ram-analysis/app/calculate-eta/index.js:69) as a codegen'd
+  * expression: one static call per (area, cell) row, no UDF
+  * serialization, runs map-side wherever the candidate cells were
+  * derived. Empty array = no intersection (tasks.js:36 skip case). */
+case class ClipRingToRect(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = ArrayType(ArrayType(DoubleType))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "clip_ring_rect"
+
+  override def nullSafeEval(ring: Any, bounds: Any): Any =
+    GeoMath.clipRingToRect(ring.asInstanceOf[ArrayData],
+      bounds.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (r, b) =>
+      s"graft.functions.GeoMath.clipRingToRect($r, $b)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+/** `ring_area2(ring)` -> twice the unsigned shoelace area (see
+  * [[GeoMath.ringArea2]] for why un-halved). */
+case class RingArea2(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ring_area2"
+
+  override def nullSafeEval(ring: Any): Any =
+    GeoMath.ringArea2(ring.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, r => s"graft.functions.GeoMath.ringArea2($r)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -325,31 +325,48 @@ object TextAnalysis {
 
   // PII patterns kept to the regex subset Java (Spark) and RE2 (DuckDB)
   // agree on: literal classes, bounded repeats — no backrefs, no
-  // lookaround. Redaction parity is proven by hashing the redacted text.
-  val EmailRe = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]+"
-  val PhoneRe = "\\+1-555-[0-9]{4}"
+  // lookaround. Case handling is explicit A-Z in every class: an
+  // all-lowercase pattern silently leaks `User@Example.COM`, the worst
+  // failure mode a compliance scrub can have. Redaction parity is
+  // proven by hashing the redacted text.
+  val EmailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+\\.[A-Za-z]+"
+  // one shape for both domestic (+1-555-0042) and international
+  // (+44-7700-900123) numbers: +CC-prefix-subscriber with bounded runs
+  val PhoneRe = "\\+[0-9]{1,3}-[0-9]{3,4}-[0-9]{4,6}"
+
+  /** Attach the scrub columns (n_emails, n_phones, redacted) for
+    * `textCol` — one map-side codegen pass, shared by [[pii]] and the
+    * spec's adversarial-case probes. */
+  private[graft] def withPiiScrub(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(EmailRe)).cast("bigint"))
+      .withColumn("n_phones", regexp_count(col(textCol), lit(PhoneRe)).cast("bigint"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"))
 
   /** PII scrub pass: count and redact email / phone-shaped spans in one
     * map-side codegen pass — the compliance filter every corpus runs
     * before training. The synthetic corpus contains no PII, so the
-    * query surface plants deterministic spans first (doc_id-derived)
-    * and the scrub must find ALL of them; the planted count is part of
-    * the oracle-checked output, so a pattern that under-matches fails
-    * the hash check rather than silently leaking. */
+    * query surface plants deterministic spans first (doc_id-derived:
+    * a MIXED-CASE email on even ids so the oracle hash exercises case
+    * handling, a domestic phone on every third doc, an international
+    * one on every fifth) and the scrub must find ALL of them; the
+    * planted count is part of the oracle-checked output, so a pattern
+    * that under-matches fails the hash check rather than silently
+    * leaking. */
   def pii(spark: SparkSession, dir: String): DataFrame = {
     val planted = Tables.documents(spark, dir)
       .withColumn("aug", concat(col("text"),
-        // one email always; a phone only on every third doc
-        lit(" reach user"), col("doc_id").cast("string"), lit("@example.com"),
+        when(col("doc_id") % 2 === 0, " Reach User").otherwise(" reach user"),
+        col("doc_id").cast("string"),
+        when(col("doc_id") % 2 === 0, "@Example.COM").otherwise("@example.com"),
         when(col("doc_id") % 3 === 0,
           concat(lit(" +1-555-"), lpad((col("doc_id") * 7919 % 10000)
-            .cast("string"), 4, "0"))).otherwise(lit(""))))
-    planted
-      .withColumn("n_emails", regexp_count(col("aug"), lit(EmailRe)).cast("bigint"))
-      .withColumn("n_phones", regexp_count(col("aug"), lit(PhoneRe)).cast("bigint"))
-      .withColumn("redacted",
-        regexp_replace(regexp_replace(col("aug"), EmailRe, "<EMAIL>"),
-          PhoneRe, "<PHONE>"))
+            .cast("string"), 4, "0"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" +44-7700-"), lpad((col("doc_id") * 31 % 1000000)
+            .cast("string"), 6, "0"))).otherwise(lit(""))))
+    withPiiScrub(planted, "aug")
       .select(col("doc_id"), col("n_emails"), col("n_phones"),
         length(col("redacted")).cast("bigint").as("len_redacted"),
         md5(col("redacted").cast("binary")).as("redacted_md5"))

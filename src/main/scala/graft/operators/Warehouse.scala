@@ -27,12 +27,20 @@ object Warehouse {
     * so the join's build-probe work tracks the MATCHING row count, not
     * the fact cardinality. False positives are removed by the exact
     * broadcast semi join that follows — the result is bit-identical to
-    * the plain semi join the oracle runs. */
+    * the plain semi join the oracle runs.
+    *
+    * `expectedItems` sizes the bloom's bit array; when the caller has no
+    * estimate it is derived from the build side's actual count (one
+    * cheap job over the dim — the same frame the aggregate scans next).
+    * A hardcoded estimate the build side outgrows degrades the FPP
+    * toward 1 silently: still correct (the verify join removes false
+    * positives) but the map-side scan savings quietly vanish. */
   def bloomSemiJoin(large: DataFrame, largeKey: String,
                     small: DataFrame, smallKey: String,
-                    expectedItems: Long = 10000L): DataFrame = {
+                    expectedItems: Option[Long] = None): DataFrame = {
+    val nItems = expectedItems.getOrElse(math.max(1L, small.count()))
     val bloom = small.agg(
-      SparkBridge.bloomFilterAgg(xxhash64(col(smallKey)), expectedItems)
+      SparkBridge.bloomFilterAgg(xxhash64(col(smallKey)), nItems)
         .as("bf"))
     val prefiltered = large.filter(
       SparkBridge.mightContain(SparkBridge.scalarSubquery(bloom),

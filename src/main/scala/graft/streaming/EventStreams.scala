@@ -258,20 +258,36 @@ object EventStreams {
 
   /** Enrich each event with its user's dimension attributes (market
     * segment + nation) — the reference's fetchOrigins join
-    * (app/index.js:233-246) as a continuous pipeline. The dim side is
-    * broadcast, so in streaming this is a stateless per-batch map-side
-    * join: no state store, no watermark needed, and a dim update is
-    * picked up by re-planning (batch) or restart (stream). Left outer:
-    * an event from an unknown user enriches to nulls, it doesn't drop. */
-  def enrich(events: DataFrame, users: DataFrame): DataFrame =
-    events.join(broadcast(users), col("user_id") === col("c_custkey"),
-        "left_outer")
+    * (app/index.js:233-246) as a continuous pipeline. Left outer: an
+    * event from an unknown user enriches to nulls, it doesn't drop.
+    *
+    * The dim-side strategy is THRESHOLDED, not unconditionally
+    * broadcast: customer is the fact-keyed user dimension, and at 100x
+    * scale tens of millions of users would blow the broadcast threshold
+    * (or the driver heap). Below `maxBroadcastRows` the dim broadcasts
+    * — a stateless map-side join per micro-batch, no state store or
+    * watermark, dim updates picked up by re-planning (batch) or restart
+    * (stream). Above it the join degrades gracefully to SHUFFLE_HASH on
+    * the dim side: stream-static joins stay stateless under any join
+    * strategy, and hashing the dim avoids sort-merge's per-batch sort of
+    * the unsorted stream side. (A pre-bucketed dim via
+    * [[graft.sources.Bucketed]] removes even that exchange.) The sizing
+    * probe is one count() over the STATIC dim at plan time — never over
+    * the stream. */
+  def enrich(events: DataFrame, users: DataFrame,
+             maxBroadcastRows: Long = 1000000L): DataFrame = {
+    val dim =
+      if (users.count() <= maxBroadcastRows) broadcast(users)
+      else users.hint("SHUFFLE_HASH")
+    events.join(dim, col("user_id") === col("c_custkey"), "left_outer")
       .select(col("event_id"), col("user_id"), col("event_type"),
         round(col("value"), 2).as("value"),
         col("c_mktsegment").as("segment"), col("n_name").as("nation"))
+  }
 
-  /** The user dimension: customer joined to nation, both broadcast-sized
-    * by definition (dims). */
+  /** The user dimension: customer joined to nation. nation is
+    * dim-sized by definition; customer is only broadcast-sized until it
+    * isn't — [[enrich]] thresholds it. */
   def userDim(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
       .join(Tables.nation(spark, dir),
@@ -282,6 +298,7 @@ object EventStreams {
     enrich(Tables.events(spark, dir), userDim(spark, dir))
       .orderBy(col("event_id"))
 
-  def enrichStream(events: DataFrame, users: DataFrame): DataFrame =
-    enrich(events, users)
+  def enrichStream(events: DataFrame, users: DataFrame,
+                   maxBroadcastRows: Long = 1000000L): DataFrame =
+    enrich(events, users, maxBroadcastRows)
 }

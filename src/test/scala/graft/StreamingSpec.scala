@@ -201,4 +201,48 @@ class StreamingSpec extends AnyFunSuite {
     val users = df.select("user_id").distinct().count()
     assert(n >= users, "at least one session per active user")
   }
+
+  test("enrich thresholds the dim: broadcast below, shuffle-hash above, " +
+    "identical rows either way") {
+    val users = EventStreams.userDim(spark, sf)
+    val ev = Tables.events(spark, sf)
+    // assert on the stream-dim join (keyed on user_id) specifically —
+    // the dim's inner customer-nation join broadcasts nation either way
+    val bPlan = EventStreams.enrich(ev, users)
+      .queryExecution.executedPlan.toString
+    assert(bPlan.contains("BroadcastHashJoin [user_id"), bPlan)
+    val sPlan = EventStreams.enrich(ev, users, maxBroadcastRows = 0L)
+      .queryExecution.executedPlan.toString
+    assert(sPlan.contains("ShuffledHashJoin [user_id"), sPlan)
+    assert(!sPlan.contains("BroadcastHashJoin [user_id"), sPlan)
+    val a = EventStreams.enrich(ev, users)
+    val b = EventStreams.enrich(ev, users, maxBroadcastRows = 0L)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("enrichStream joins stream to static dim across micro-batches " +
+    "in both regimes; unknown users keep nulls") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // dim covers user 1 only: user 2's events must survive with null
+    // segment/nation (left outer), not drop
+    val users = Seq((1L, "SEG_A", "ALPHA"))
+      .toDF("c_custkey", "c_mktsegment", "n_name")
+    for ((maxRows, name) <- Seq((1000000L, "enr_bcast"), (0L, "enr_shuf"))) {
+      val mem = MemoryStream[Ev]
+      mem.addData(sample.take(3): _*)
+      val q = EventStreams.enrichStream(mem.toDF(), users, maxRows)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      mem.addData(sample.drop(3): _*)
+      q.processAllAvailable(); q.stop()
+      val out = spark.table(name).collect()
+      assert(out.length == sample.length, s"$name row count")
+      val seg = out.map(r => r.getLong(0) -> Option(r.getString(4))).toMap
+      assert(seg(1L).contains("SEG_A") && seg(6L).contains("SEG_A"), name)
+      assert(seg(4L).isEmpty && seg(5L).isEmpty,
+        s"$name: unknown user must enrich to null, not drop")
+    }
+  }
 }

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.SparkBridge
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{TextAnalysis, Warehouse}
+
+/** Warehouse operators: runtime bloom filter sizing + the PII scrub's
+  * adversarial-case behavior. */
+class WarehouseSpec extends AnyFunSuite {
+  import TestSession._
+
+  /** False-positive fraction of a bloom built over [0, n) probed with
+    * [n, 2n) — every hit is a false positive by construction. */
+  private def fpRate(nBuild: Long, expectedItems: Long): Double = {
+    val bloom = spark.range(0L, nBuild)
+      .agg(SparkBridge.bloomFilterAgg(xxhash64(col("id")), expectedItems)
+        .as("bf"))
+    val hits = spark.range(nBuild, 2 * nBuild)
+      .filter(SparkBridge.mightContain(SparkBridge.scalarSubquery(bloom),
+        xxhash64(col("id"))))
+      .count()
+    hits.toDouble / nBuild
+  }
+
+  test("bloom sized from the build side keeps FPP bounded; a stale " +
+    "hardcoded estimate does not") {
+    val n = 50000L
+    // derived sizing (what bloomSemiJoin now does by default): FPP stays
+    // near Spark's 3% default
+    assert(fpRate(n, n) <= 0.05, "derived expectedItems: FPP should be ~3%")
+    // the failure mode the hardcoded 10000 had: build side 5x the
+    // estimate degrades the filter badly — the regression this spec pins
+    assert(fpRate(n, n / 50) >= 0.20,
+      "an outgrown estimate should visibly degrade FPP (else this spec " +
+        "is not testing anything)")
+  }
+
+  test("bloomSemiJoin is bit-identical to the plain semi join") {
+    val li = Tables.lineitem(spark, sf).select(col("l_suppkey"))
+    val sup = Tables.supplier(spark, sf)
+      .filter(col("s_nationkey") === 7).select(col("s_suppkey"))
+    val viaBloom = Warehouse.bloomSemiJoin(li, "l_suppkey", sup, "s_suppkey")
+      .groupBy(col("l_suppkey")).count()
+    val plain = li.join(sup, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_suppkey")).count()
+    assert(viaBloom.exceptAll(plain).isEmpty && plain.exceptAll(viaBloom).isEmpty)
+  }
+
+  test("pii scrub catches mixed-case and international spans") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Contact JOHN.DOE@Mail.Example.ORG today"),
+      (2L, "call +44-7700-900123 or +1-555-0042"),
+      (3L, "no pii here at all"),
+      (4L, "Shout USER@EXAMPLE.COM and +49-3012-345678 loudly")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.withPiiScrub(docs, "text")
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("redacted"))
+      .orderBy(col("doc_id")).collect()
+    assert(out(0).getLong(1) == 1 &&
+      out(0).getString(3) == "Contact <EMAIL> today")
+    assert(out(1).getLong(2) == 2 &&
+      out(1).getString(3) == "call <PHONE> or <PHONE>")
+    assert(out(2).getLong(1) == 0 && out(2).getLong(2) == 0 &&
+      out(2).getString(3) == "no pii here at all")
+    assert(out(3).getLong(1) == 1 && out(3).getLong(2) == 1 &&
+      out(3).getString(3) == "Shout <EMAIL> and <PHONE> loudly")
+  }
+}
