@@ -68,6 +68,7 @@ object SparkEntry {
     "geo_area_assign" -> (Accessibility.areaAssign _),
     "geo_eta_matrix" -> ((s, d) => Accessibility.etaMatrix(s, d)),
     "geo_center_of_mass" -> (Accessibility.centerOfMass _),
+    "geo_clip_area" -> ((s, d) => Accessibility.clipArea(s, d)),
     "geo_tile_features" -> ((s, d) => graft.sources.VectorTiles.tileFeaturesQuery(s, d)),
     "geo_tile_pyramid" -> ((s, d) => graft.sources.VectorTiles.tilePyramidQuery(s, d)),
     "geo_route_eta" -> ((s, d) => Routing.routeEta(s, d)),
@@ -679,6 +680,45 @@ object SparkEntry {
            round((CAST(600.0 AS DOUBLE) * (lon0 + 15) - CAST(96.0 AS DOUBLE) * (lon0 + 12))
              / CAST(504.0 AS DOUBLE), 6) AS com_lon
          FROM a ORDER BY n_nationkey""",
+    // clip of rect-with-hole against each 10-deg grid square it touches:
+    // closed form rect-intersection per ring (the Spark side runs real
+    // Sutherland-Hodgman); integer vertices => every bbox coord / vertex
+    // count / shoelace area is integer-exact. The w>0 guards mirror the
+    // positive-area filters (a grazing clip is the no-intersection skip).
+    "geo_clip_area" ->
+      """WITH a AS (SELECT n_nationkey,
+           n_nationkey * 13 % 150 - 80 AS lat0,
+           n_nationkey * 29 % 330 - 175 AS lon0 FROM nation),
+         cells AS (SELECT n_nationkey, lat0, lon0, cx.cell_x, cy.cell_y
+           FROM a,
+           LATERAL (SELECT unnest(generate_series(
+             CAST(floor(lon0 / 10.0) AS BIGINT),
+             CAST(floor((lon0 + 30) / 10.0) AS BIGINT))) AS cell_x) cx,
+           LATERAL (SELECT unnest(generate_series(
+             CAST(floor(lat0 / 10.0) AS BIGINT),
+             CAST(floor((lat0 + 20) / 10.0) AS BIGINT))) AS cell_y) cy),
+         dims AS (SELECT n_nationkey, cell_x, cell_y,
+           GREATEST(lon0, cell_x * 10) AS ox0,
+           LEAST(lon0 + 30, cell_x * 10 + 10) AS ox1,
+           GREATEST(lat0, cell_y * 10) AS oy0,
+           LEAST(lat0 + 20, cell_y * 10 + 10) AS oy1,
+           GREATEST(lon0 + 6, cell_x * 10) AS hx0,
+           LEAST(lon0 + 18, cell_x * 10 + 10) AS hx1,
+           GREATEST(lat0 + 4, cell_y * 10) AS hy0,
+           LEAST(lat0 + 12, cell_y * 10 + 10) AS hy1
+           FROM cells)
+         SELECT n_nationkey, cell_x, cell_y,
+           CAST(4 AS BIGINT) AS n_v_outer,
+           CAST(CASE WHEN hx1 > hx0 AND hy1 > hy0 THEN 4 ELSE 0 END
+             AS BIGINT) AS n_v_hole,
+           CAST(ox0 AS BIGINT) AS ox0, CAST(oy0 AS BIGINT) AS oy0,
+           CAST(ox1 AS BIGINT) AS ox1, CAST(oy1 AS BIGINT) AS oy1,
+           CAST((ox1 - ox0) * (oy1 - oy0)
+             - CASE WHEN hx1 > hx0 AND hy1 > hy0
+                 THEN (hx1 - hx0) * (hy1 - hy0) ELSE 0 END
+             AS BIGINT) AS clip_area
+         FROM dims WHERE ox1 > ox0 AND oy1 > oy0
+         ORDER BY n_nationkey, cell_x, cell_y""",
     "geo_tile_features" ->
       """WITH o AS (SELECT c_custkey,
            (c_custkey * 37 % 1700) / 10.0 - 85.0 AS lat,

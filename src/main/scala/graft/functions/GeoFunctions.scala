@@ -314,6 +314,16 @@ object GeoFunctions {
   def poly_center_of_mass(rings: Column): Column =
     SparkBridge.column(PolyCenterOfMass(SparkBridge.expression(rings)))
 
+  /** Sutherland–Hodgman ring clip against an axis-aligned rectangle —
+    * see [[GeoMath.clipRingToRect]]. `bounds` = [x0, y0, x1, y1]. */
+  def clip_ring_rect(ring: Column, bounds: Column): Column =
+    SparkBridge.column(ClipRingToRect(
+      SparkBridge.expression(ring), SparkBridge.expression(bounds)))
+
+  /** Twice the unsigned shoelace area — see [[GeoMath.ringArea2]]. */
+  def ring_area2(ring: Column): Column =
+    SparkBridge.column(RingArea2(SparkBridge.expression(ring)))
+
   /** Deterministic synthetic coordinates derived from an integer key
     * (SURVEY.md §3) — integer-exact modular arithmetic so Spark and the
     * DuckDB oracle agree bitwise. */

@@ -285,6 +285,75 @@ object Accessibility {
       .orderBy(col("n_nationkey"))
   }
 
+  /** The reference's work-area step: clip the admin-area polygon against
+    * each grid square it touches (`intersect(adminArea, square)`,
+    * ram-analysis/app/calculate-eta/index.js:62-76) — the per-square
+    * work area the ETA loop routes within, with the empty-clip skip of
+    * tasks.js:36.
+    *
+    * Admin areas are the same integer-vertex rectangles-with-a-hole as
+    * [[centerOfMass]]; the clip window is always an axis-aligned grid
+    * square, so Sutherland–Hodgman ([[graft.functions.GeoMath
+    * .clipRingToRect]]) is exact and every output quantity is
+    * integer-valued — vertex counts, the clipped ring's bbox, and the
+    * shoelace area all hash-match a closed-form DuckDB oracle. Outer
+    * ring and hole ring clip independently; a zero-area hole sliver
+    * (cell boundary grazing the hole edge) removes nothing and reports
+    * zero vertices, and a zero-area outer clip is the reference's
+    * no-intersection skip (exercised live: areas whose edge lands on a
+    * cell boundary enumerate one degenerate candidate column).
+    *
+    * Scale posture: candidate cells are derived per area by arithmetic
+    * (explode over the area's own bbox range), never a cross with a
+    * global cell dimension; the clip itself is one codegen'd static
+    * call per (area, cell) row, fully map-side — at 100 TB this
+    * pipelines with whatever derived the areas, no shuffle before the
+    * final (display-only) sort. */
+  def clipArea(spark: SparkSession, dir: String, cellDeg: Double = 10.0): DataFrame = {
+    val lat0 = (col("n_nationkey") * 13 % 150 - 80).cast("double")
+    val lon0 = (col("n_nationkey") * 29 % 330 - 175).cast("double")
+    def pt(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      array(x, y)
+    // same rings as centerOfMass: points are [x=lon, y=lat], open rings
+    val outerRing = array(
+      pt(lon0, lat0), pt(lon0 + 30.0, lat0),
+      pt(lon0 + 30.0, lat0 + 20.0), pt(lon0, lat0 + 20.0))
+    val holeRing = array(
+      pt(lon0 + 6.0, lat0 + 4.0), pt(lon0 + 18.0, lat0 + 4.0),
+      pt(lon0 + 18.0, lat0 + 12.0), pt(lon0 + 6.0, lat0 + 12.0))
+    Tables.nation(spark, dir)
+      .select(col("n_nationkey"), outerRing.as("oring"), holeRing.as("hring"),
+        floor(lon0 / cellDeg).cast("long").as("cx_min"),
+        floor((lon0 + 30.0) / cellDeg).cast("long").as("cx_max"),
+        floor(lat0 / cellDeg).cast("long").as("cy_min"),
+        floor((lat0 + 20.0) / cellDeg).cast("long").as("cy_max"))
+      .withColumn("cell_x", explode(sequence(col("cx_min"), col("cx_max"))))
+      .withColumn("cell_y", explode(sequence(col("cy_min"), col("cy_max"))))
+      .withColumn("bounds", array(
+        col("cell_x") * cellDeg, col("cell_y") * cellDeg,
+        (col("cell_x") + 1) * cellDeg, (col("cell_y") + 1) * cellDeg))
+      .withColumn("oc", clip_ring_rect(col("oring"), col("bounds")))
+      .withColumn("hc", clip_ring_rect(col("hring"), col("bounds")))
+      .withColumn("oa2", ring_area2(col("oc")))
+      .withColumn("ha2", when(ring_area2(col("hc")) > 0.0,
+        ring_area2(col("hc"))).otherwise(0.0))
+      .filter(col("oa2") > 0.0)
+      .select(col("n_nationkey"), col("cell_x"), col("cell_y"),
+        size(col("oc")).cast("bigint").as("n_v_outer"),
+        when(col("ha2") > 0.0, size(col("hc"))).otherwise(0)
+          .cast("bigint").as("n_v_hole"),
+        array_min(transform(col("oc"), p => element_at(p, 1)))
+          .cast("bigint").as("ox0"),
+        array_min(transform(col("oc"), p => element_at(p, 2)))
+          .cast("bigint").as("oy0"),
+        array_max(transform(col("oc"), p => element_at(p, 1)))
+          .cast("bigint").as("ox1"),
+        array_max(transform(col("oc"), p => element_at(p, 2)))
+          .cast("bigint").as("oy1"),
+        ((col("oa2") - col("ha2")) / 2.0).cast("bigint").as("clip_area"))
+      .orderBy(col("n_nationkey"), col("cell_x"), col("cell_y"))
+  }
+
   /** Slippy-tile assignment + per-tile stats (ram-vt tiling analog). */
   def tileAssign(spark: SparkSession, dir: String, zoom: Int = 4): DataFrame =
     origins(spark, dir)

@@ -193,4 +193,81 @@ class GeoSpec extends AnyFunSuite {
       assert(lat > lat0 + 10.0 && lon > lon0 + 15.0)
     }
   }
+
+  /** Run clip_ring_rect on one literal ring + window, return the clipped
+    * vertex list as (x, y) pairs. */
+  private def clip(ring: Seq[(Double, Double)],
+                   bounds: (Double, Double, Double, Double)): Seq[(Double, Double)] = {
+    val ringCol = array(ring.map { case (x, y) => array(lit(x), lit(y)) }: _*)
+    val bCol = array(lit(bounds._1), lit(bounds._2), lit(bounds._3), lit(bounds._4))
+    val row = spark.range(1)
+      .select(GeoFunctions.clip_ring_rect(ringCol, bCol).as("c"),
+        GeoFunctions.ring_area2(GeoFunctions.clip_ring_rect(ringCol, bCol)).as("a2"))
+      .head()
+    row.getSeq[scala.collection.Seq[Double]](0).map(p => (p(0), p(1))).toSeq
+  }
+
+  private def area2(ring: Seq[(Double, Double)],
+                    bounds: (Double, Double, Double, Double)): Double = {
+    val ringCol = array(ring.map { case (x, y) => array(lit(x), lit(y)) }: _*)
+    val bCol = array(lit(bounds._1), lit(bounds._2), lit(bounds._3), lit(bounds._4))
+    spark.range(1)
+      .select(GeoFunctions.ring_area2(
+        GeoFunctions.clip_ring_rect(ringCol, bCol)).as("a2"))
+      .head().getDouble(0)
+  }
+
+  test("clip_ring_rect: rect subject cases — inside, straddle, outside, grazing") {
+    val rect = Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0))
+    // window contains subject: unchanged
+    assert(clip(rect, (-1.0, -1.0, 5.0, 5.0)).toSet == rect.toSet)
+    // subject contains window: clip == window
+    assert(clip(rect, (1.0, 1.0, 3.0, 3.0)).toSet ==
+      Set((1.0, 1.0), (3.0, 1.0), (3.0, 3.0), (1.0, 3.0)))
+    // straddle one corner
+    assert(clip(rect, (2.0, 2.0, 6.0, 6.0)).toSet ==
+      Set((2.0, 2.0), (4.0, 2.0), (4.0, 4.0), (2.0, 4.0)))
+    // fully outside: empty
+    assert(clip(rect, (5.0, 5.0, 9.0, 9.0)).isEmpty)
+    // grazing contact along an edge: degenerate zero-area ring
+    assert(area2(rect, (4.0, 0.0, 8.0, 4.0)) == 0.0)
+  }
+
+  test("clip_ring_rect: non-convex L-shape clips to an L (6 vertices, exact area)") {
+    // L covers [0,4]x[0,2] union [0,2]x[2,4]; window [1,3]^2 ->
+    // clip is [1,3]x[1,2] union [1,2]x[2,3]: area 3, 6 vertices
+    val ell = Seq((0.0, 0.0), (4.0, 0.0), (4.0, 2.0),
+      (2.0, 2.0), (2.0, 4.0), (0.0, 4.0))
+    val out = clip(ell, (1.0, 1.0, 3.0, 3.0))
+    assert(out.toSet == Set((1.0, 1.0), (3.0, 1.0), (3.0, 2.0),
+      (2.0, 2.0), (2.0, 3.0), (1.0, 3.0)), out)
+    assert(area2(ell, (1.0, 1.0, 3.0, 3.0)) == 6.0)
+  }
+
+  test("clipArea query: square straddling the hole subtracts exactly the overlap") {
+    // per (area, cell): clip_area == outer-cell overlap minus hole-cell
+    // overlap, and total over cells reassembles the full area (504 =
+    // 30*20 - 12*8) — so hole-straddling cells are exercised and consistent
+    val rows = Accessibility.clipArea(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byArea = rows.groupBy(_.getInt(0))
+    byArea.foreach { case (key, rs) =>
+      assert(rs.map(_.getLong(9)).sum == 504L, s"area $key total")
+      // every row: 4 outer vertices; hole rows subtract a positive overlap
+      assert(rs.forall(_.getLong(3) == 4L))
+      assert(rs.forall(r => r.getLong(4) == 0L || r.getLong(4) == 4L))
+      // at least one cell in each area straddles the hole (hole 12x8 vs
+      // 10-deg cells: it can never sit inside a single cell column band)
+      assert(rs.count(_.getLong(4) == 4L) >= 2, s"area $key hole straddle")
+    }
+    // the bbox columns really are the clip geometry: ox/oy spans bound
+    // the cell and the area consistently
+    rows.foreach { r =>
+      val (cx, cy) = (r.getLong(1), r.getLong(2))
+      assert(r.getLong(5) >= cx * 10 && r.getLong(7) <= cx * 10 + 10)
+      assert(r.getLong(6) >= cy * 10 && r.getLong(8) <= cy * 10 + 10)
+      assert(r.getLong(9) > 0 &&
+        r.getLong(9) <= (r.getLong(7) - r.getLong(5)) * (r.getLong(8) - r.getLong(6)))
+    }
+  }
 }
