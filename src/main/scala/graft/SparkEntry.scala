@@ -760,8 +760,80 @@ object SparkEntry {
            CAST(floor((90.0 - lat) / 180.0 * 16) AS BIGINT) AS tile_y,
            count(*) AS n_points, round(sum(c_acctbal), 2) AS pop
          FROM o GROUP BY 1, 2 ORDER BY 1, 2""",
-    // C. dedup (md5 is the one hash Spark and DuckDB share; LSH/simhash
-    // variants are rows-only by design)
+    // C. dedup (md5 is the one hash Spark and DuckDB share; the minhash/
+    // simhash CANDIDATE queries are rows-only by design — their bucket
+    // keys are engine-specific — but the VERIFIED outputs downstream of
+    // them (ngram_jaccard, clusters) are oracle-checked against brute
+    // force: exact Jaccard is engine-neutral, and on this corpus the
+    // banded-LSH recall at tau=0.8 is exact (16 bands x 4 rows misses a
+    // 0.8-pair w.p. ~2e-4; equality is what the hash check proves), so
+    // the LSH-pruned pair list equals the brute-force pair list.
+    "dedup_ngram_jaccard" ->
+      """WITH sh AS (SELECT doc_id, list_distinct(
+           list_transform(range(1, len(l) - 1),
+             i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) t
+           WHERE len(l) >= 3)
+         SELECT doc_a, doc_b, jaccard FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+               CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 4)
+               AS jaccard
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
+         WHERE jaccard >= CAST(0.8 AS DOUBLE)
+         ORDER BY doc_a, doc_b""",
+    // connected components over the verified pair list: transitive
+    // closure by recursive CTE (UNION dedups), label = min reachable id
+    // — the same fixpoint the Spark side's min-label propagation reaches
+    "dedup_clusters" ->
+      """WITH RECURSIVE sh AS (SELECT doc_id, list_distinct(
+           list_transform(range(1, len(l) - 1),
+             i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) t
+           WHERE len(l) >= 3),
+         jp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+             CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 4)
+             >= CAST(0.8 AS DOUBLE)),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+           UNION ALL SELECT doc_b, doc_a FROM jp),
+         reach AS (SELECT src AS id, dst AS r FROM edges
+           UNION
+           SELECT t.id, e.dst FROM reach t JOIN edges e ON t.r = e.src),
+         labels AS (SELECT id, LEAST(id, min(r)) AS cluster
+           FROM reach GROUP BY id)
+         SELECT id AS doc_id, cluster,
+           CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT)
+             AS cluster_size
+         FROM labels ORDER BY cluster, doc_id""",
+    // the full pipeline's survivor table: exact survivors minus near-dup
+    // cluster non-survivors (the delete set from the clusters oracle)
+    "dedup_final" ->
+      """WITH RECURSIVE sh AS (SELECT doc_id, list_distinct(
+           list_transform(range(1, len(l) - 1),
+             i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) t
+           WHERE len(l) >= 3),
+         jp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+             CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 4)
+             >= CAST(0.8 AS DOUBLE)),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+           UNION ALL SELECT doc_b, doc_a FROM jp),
+         reach AS (SELECT src AS id, dst AS r FROM edges
+           UNION
+           SELECT t.id, e.dst FROM reach t JOIN edges e ON t.r = e.src),
+         labels AS (SELECT id, LEAST(id, min(r)) AS cluster
+           FROM reach GROUP BY id),
+         surv AS (SELECT doc_id, lang, source, n_chars FROM (
+           SELECT doc_id, lang, source, n_chars,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           FROM documents) t WHERE rn = 1)
+         SELECT doc_id, lang, source, n_chars FROM surv
+         WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster)
+         ORDER BY doc_id""",
     "dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n_dups, min(doc_id) AS survivor
          FROM documents GROUP BY md5(text) ORDER BY survivor""",
