@@ -111,6 +111,10 @@ object SparkEntry {
     "sketch_quantiles" -> ((s, d) => Sketches.valueQuantiles(s, d)),
     // F. multimodal plumbing
     "mm_features" -> (Multimodal.features _),
+    // F. real PNG sample decode (zlib inflate + unfilter) — the oracle
+    // restates the closed-form pixel function, so the hash check proves
+    // the decode round-trip, not just plumbing
+    "mm_pixel_stats" -> (Multimodal.pixelStats _),
     // G. streaming (batch-equivalent plans; streaming entry points share
     // the same transform functions, spec-checked via MemoryStream)
     "stream_window_agg" -> (graft.streaming.EventStreams.windowAggBatch _),
@@ -1131,6 +1135,31 @@ object SparkEntry {
          FROM p LEFT JOIN c ON user_id = cu
            AND cts >= ts - INTERVAL '10 minutes' AND cts <= ts
          GROUP BY event_id, user_id, ts, value
-         ORDER BY event_id"""
+         ORDER BY event_id""",
+    // F. PNG pixel decode: dimensions and pixel bytes are closed-form in
+    // doc_id (v(i) = (doc_id*31 + i*7919) % 256 over RGB triplets), so
+    // the oracle aggregates the formula directly while the Spark side
+    // must recover the same bytes through zlib inflate + PNG unfilter —
+    // the hash check proves the full sample-decode round-trip
+    "mm_pixel_stats" ->
+      """WITH img AS (SELECT doc_id,
+           CAST(4 + doc_id % 13 AS BIGINT) AS width,
+           CAST(4 + doc_id % 11 AS BIGINT) AS height
+           FROM documents WHERE doc_id % 3 = 0),
+         px AS (SELECT doc_id, width, height, i % 3 AS c,
+           (doc_id * 31 + i * 7919) % 256 AS v
+           FROM img, LATERAL (SELECT unnest(generate_series(
+             0, width * height * 3 - 1)) AS i) t)
+         SELECT doc_id, width, height,
+           CAST(min(CASE WHEN c = 0 THEN v END) AS BIGINT) AS r_min,
+           CAST(max(CASE WHEN c = 0 THEN v END) AS BIGINT) AS r_max,
+           CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS r_sum,
+           CAST(min(CASE WHEN c = 1 THEN v END) AS BIGINT) AS g_min,
+           CAST(max(CASE WHEN c = 1 THEN v END) AS BIGINT) AS g_max,
+           CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS g_sum,
+           CAST(min(CASE WHEN c = 2 THEN v END) AS BIGINT) AS b_min,
+           CAST(max(CASE WHEN c = 2 THEN v END) AS BIGINT) AS b_max,
+           CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS b_sum
+         FROM px GROUP BY doc_id, width, height ORDER BY doc_id"""
   )
 }

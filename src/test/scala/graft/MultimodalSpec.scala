@@ -107,4 +107,70 @@ class MultimodalSpec extends AnyFunSuite {
       else assert(frames == 1)
     }
   }
+
+  test("PNG pixel decode round-trips every filter type bit-exactly") {
+    // h = 7 cycles all five filters (None/Sub/Up/Average/Paeth + wrap);
+    // adversarial pixel pattern: ramps, constants, and alternating bytes
+    val w = 5; val h = 7
+    val px = Array.tabulate(w * h * 3) { i =>
+      (i % 3 match {
+        case 0 => i % 256            // ramp (exercises Sub/Paeth deltas)
+        case 1 => 0xAB               // constant (exercises Up)
+        case 2 => if ((i / 3) % 2 == 0) 0 else 255 // alternating extremes
+      }).toByte
+    }
+    val encoded = Multimodal.pngPixelPayload(w, h, px)
+    val (dw, dh, out) = Multimodal.decodePngPixels(encoded)
+    assert(dw == w && dh == h)
+    assert(out.sameElements(px), "decoded pixels differ from source")
+  }
+
+  test("PNG pixel decode concatenates split IDAT chunks and checks CRCs") {
+    // large enough that pngPixelPayload splits the zlib stream in two
+    val w = 16; val h = 11
+    val px = Array.tabulate(w * h * 3)(i => ((i * 37 + 11) % 256).toByte)
+    val encoded = Multimodal.pngPixelPayload(w, h, px)
+    val nIdat = {
+      var n = 0; var i = 8
+      while (i + 8 <= encoded.length) {
+        val len = java.nio.ByteBuffer.wrap(encoded, i, 4).getInt
+        if (new String(encoded, i + 4, 4, "US-ASCII") == "IDAT") n += 1
+        i += 12 + len
+      }
+      n
+    }
+    assert(nIdat == 2, s"expected a split IDAT stream, got $nIdat chunk(s)")
+    val (_, _, out) = Multimodal.decodePngPixels(encoded)
+    assert(out.sameElements(px))
+    // flip one IDAT byte: CRC check must reject, not decode garbage
+    val damaged = encoded.clone()
+    damaged(8 + 12 + 13 + 8 + 5) = (damaged(8 + 12 + 13 + 8 + 5) ^ 0x40).toByte
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.decodePngPixels(damaged)
+    }
+    assert(e.getMessage.contains("CRC"), e.getMessage)
+  }
+
+  test("pixelStats equals the closed-form pixel function") {
+    val rows = Multimodal.pixelStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val w = (4 + id % 13).toInt; val h = (4 + id % 11).toInt
+      assert(r.getLong(1) == w && r.getLong(2) == h)
+      val n = w * h * 3
+      val expected = Array.fill(3)((255L, 0L, 0L)).toBuffer
+      for (i <- 0 until n) {
+        val c = i % 3; val v = (id * 31 + i.toLong * 7919) % 256
+        val (mn, mx, s) = expected(c)
+        expected(c) = (math.min(mn, v), math.max(mx, v), s + v)
+      }
+      for (c <- 0 until 3) {
+        val (mn, mx, s) = expected(c)
+        assert(r.getLong(3 + c * 3) == mn, s"doc $id ch $c min")
+        assert(r.getLong(4 + c * 3) == mx, s"doc $id ch $c max")
+        assert(r.getLong(5 + c * 3) == s, s"doc $id ch $c sum")
+      }
+    }
+  }
 }
