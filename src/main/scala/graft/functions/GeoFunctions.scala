@@ -353,4 +353,29 @@ object GeoFunctions {
     * ram-analysis/app/calculate-eta/utils.js:48). */
   def travelSeconds(distDeg: Column, speedKmh: Double): Column =
     distDeg * 111.0 / speedKmh * 3600.0
+
+  /** The reference's poisInBuffer pre-filter bbox (ram-analysis/app/
+    * calculate-eta/utils.js:47-56): the area bbox grown by `km`
+    * travel distance (111 km/deg), clamped to the world box the
+    * reference tests against (lat +/-85, lon +/-180), with its
+    * RangeError('World buffer overflow') surfaced as a typed `overflow`
+    * flag — raised exactly when ALL four buffered sides exceed the
+    * world box, as in the reference — so a caller treats an overflowed
+    * buffer as "no pre-filter" instead of an exception storm. Returns
+    * struct(lat0, lon0, lat1, lon1, overflow). NOTE the clamp bound is
+    * the reference's mercator-ish +/-85: callers whose data can carry
+    * |lat| > 85 must widen or skip the clamp. */
+  def buffered_bbox(lat0: Column, lon0: Column, lat1: Column, lon1: Column,
+                    km: Column): Column = {
+    val d = km / 111.0
+    val bLat0 = lat0 - d; val bLat1 = lat1 + d
+    val bLon0 = lon0 - d; val bLon1 = lon1 + d
+    struct(
+      greatest(bLat0, lit(-85.0)).as("lat0"),
+      greatest(bLon0, lit(-180.0)).as("lon0"),
+      least(bLat1, lit(85.0)).as("lat1"),
+      least(bLon1, lit(180.0)).as("lon1"),
+      (bLat0 < -85.0 && bLat1 > 85.0 && bLon0 < -180.0 && bLon1 > 180.0)
+        .as("overflow"))
+  }
 }

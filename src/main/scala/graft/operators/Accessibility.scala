@@ -223,7 +223,25 @@ object Accessibility {
       .select(col("c_custkey"), col("lat"), col("lon"))
     val p = pois(spark, dir)
       .select(col("s_suppkey"), col("poi_type"), col("lat"), col("lon"))
-    GeoJoins.radiusJoin(o, p, MaxReachDeg, broadcastRight = true)
+    // poisInBuffer pre-filter (utils.js:47-56): a POI outside the
+    // origins' bbox buffered by the search radius cannot be within the
+    // radius of any origin (|dlat|,|dlon| <= euclid dist), so this
+    // shrinks the broadcast POI side without changing the result. The
+    // bbox is ONE scalar row (an agg over the already-filtered origins)
+    // cross-broadcast into the POI scan — the whitelisted scalar-frame
+    // pattern; an overflowed buffer degrades to no pre-filter, the
+    // typed-flag analog of the reference's RangeError.
+    val bb = o
+      .agg(min(col("lat")).as("a0"), min(col("lon")).as("o0"),
+        max(col("lat")).as("a1"), max(col("lon")).as("o1"))
+      .select(buffered_bbox(col("a0"), col("o0"), col("a1"), col("o1"),
+        lit(MaxReachDeg * 111.0)).as("bb"))
+    val pInBuffer = p.crossJoin(broadcast(bb))
+      .filter(col("bb.overflow") ||
+        (col("lat") >= col("bb.lat0") && col("lat") <= col("bb.lat1") &&
+          col("lon") >= col("bb.lon0") && col("lon") <= col("bb.lon1")))
+      .drop("bb")
+    GeoJoins.radiusJoin(o, pInBuffer, MaxReachDeg, broadcastRight = true)
       .select(col("c_custkey"), col("s_suppkey"), col("poi_type"),
         round(travelSeconds(col("dist_deg"), MaxSpeedKmh), 2).as("eta_s"))
       .orderBy(col("c_custkey"), col("s_suppkey"))

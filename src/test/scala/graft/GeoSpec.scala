@@ -244,6 +244,46 @@ class GeoSpec extends AnyFunSuite {
     assert(area2(ell, (1.0, 1.0, 3.0, 3.0)) == 6.0)
   }
 
+  test("buffered_bbox grows, clamps, and flags overflow only when ALL sides exceed") {
+    def bb(lat0: Double, lon0: Double, lat1: Double, lon1: Double, km: Double) =
+      spark.range(1).select(GeoFunctions.buffered_bbox(
+        lit(lat0), lit(lon0), lit(lat1), lit(lon1), lit(km)).as("b"))
+        .select(col("b.lat0"), col("b.lon0"), col("b.lat1"), col("b.lon1"),
+          col("b.overflow")).head()
+    // 111 km = 1 degree: plain growth, no clamp, no overflow
+    val g = bb(0.0, 0.0, 10.0, 10.0, 111.0)
+    assert(g.getDouble(0) == -1.0 && g.getDouble(1) == -1.0 &&
+      g.getDouble(2) == 11.0 && g.getDouble(3) == 11.0 && !g.getBoolean(4))
+    // one side exceeding the world box clamps WITHOUT overflow
+    val c = bb(80.0, 0.0, 84.0, 10.0, 555.0) // +5 deg: lat1 89 -> clamp 85
+    assert(c.getDouble(2) == 85.0 && !c.getBoolean(4))
+    // all four sides exceeded: clamped to the world box + overflow flag
+    // (the reference's RangeError('World buffer overflow'), utils.js:52)
+    val o = bb(-10.0, -10.0, 10.0, 10.0, 111.0 * 200)
+    assert(o.getDouble(0) == -85.0 && o.getDouble(1) == -180.0 &&
+      o.getDouble(2) == 85.0 && o.getDouble(3) == 180.0 && o.getBoolean(4))
+  }
+
+  test("etaMatrix's buffered-bbox pre-filter is result-preserving") {
+    // the unfiltered equivalent, built from the same public frames
+    val o = Tables.customer(spark, sf).filter(col("c_nationkey") === 7)
+      .select(col("c_custkey"),
+        GeoFunctions.latOf(col("c_custkey")).as("lat"),
+        GeoFunctions.lonOf(col("c_custkey")).as("lon"))
+    val p = Tables.supplier(spark, sf)
+      .select(col("s_suppkey"), (col("s_suppkey") % 4).as("poi_type"),
+        GeoFunctions.latOf(col("s_suppkey")).as("lat"),
+        GeoFunctions.lonOf(col("s_suppkey")).as("lon"))
+    val unfiltered = GeoJoins.radiusJoin(o, p, Accessibility.MaxReachDeg,
+        broadcastRight = true)
+      .select(col("c_custkey"), col("s_suppkey"), col("poi_type"),
+        round(GeoFunctions.travelSeconds(col("dist_deg"),
+          Accessibility.MaxSpeedKmh), 2).as("eta_s"))
+    val wired = Accessibility.etaMatrix(spark, sf)
+    assert(wired.exceptAll(unfiltered).isEmpty &&
+      unfiltered.exceptAll(wired).isEmpty)
+  }
+
   test("clipArea query: square straddling the hole subtracts exactly the overlap") {
     // per (area, cell): clip_area == outer-cell overlap minus hole-cell
     // overlap, and total over cells reassembles the full area (504 =

@@ -33,9 +33,13 @@ class PruningSpec extends AnyFunSuite {
     // broadcast seed/centroid set by design (k-means assignment step)
     // q31_range_lookup: banded lookup against an 8-row broadcast tier dim
     // (per-row map-side scan of 8 tiers — the correct plan; see Warehouse)
+    // geo_eta_matrix: the poisInBuffer bbox pre-filter crosses the POI
+    // scan with a ONE-row scalar bbox frame (agg over origins) — the
+    // search itself stays the cell-bucketed hash join
     val nlAllowed = Set("ann_brute_topk", "ann_ivf_topk",
       "geo_nearest_poi", "geo_area_assign", "geo_route_nearest",
-      "emb_cluster_assign", "emb_kmeans", "q31_range_lookup")
+      "emb_cluster_assign", "emb_kmeans", "q31_range_lookup",
+      "geo_eta_matrix")
     // full-outer equi-joins cannot broadcast (both sides must preserve
     // unmatched rows), so a shuffle join IS the correct plan there
     val smjAllowed = Set("q26_full_outer")
