@@ -860,6 +860,32 @@ object SparkEntry {
                ORDER BY list_cosine_similarity(qe, ce) DESC, cid) AS rk
            FROM q, c WHERE cid <> qid) t
          WHERE rk <= 5 ORDER BY qid, rk""",
+    // IVF is deterministic end-to-end (seeds = first 16 vectors, argmax
+    // assignment with low-cell tie-break, top-4 probed cells), so the
+    // approximate result itself is oracle-checkable, not just rows-only
+    "ann_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         seeds AS (SELECT vec_id AS cell, v AS sv FROM e WHERE vec_id < 16),
+         asg AS (SELECT cid, cv, cell FROM (
+           SELECT a.vec_id AS cid, a.v AS cv, s.cell,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(a.v, s.sv) DESC, s.cell) AS rn
+           FROM e a, seeds s) t WHERE rn = 1),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         probes AS (SELECT qid, qv, cell FROM (
+           SELECT q.qid, q.qv, s.cell,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(q.qv, s.sv) DESC, s.cell) AS rn
+           FROM q, seeds s) t WHERE rn <= 4),
+         scored AS (SELECT p.qid, a.cid,
+             list_cosine_similarity(p.qv, a.cv) AS cos
+           FROM probes p JOIN asg a USING (cell) WHERE a.cid <> p.qid)
+         SELECT qid, rk, cid, cos_sim FROM (
+           SELECT qid, cid, round(cos, 4) AS cos_sim,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY cos DESC, cid) AS rk
+           FROM scored) t
+         WHERE rk <= 5 ORDER BY qid, rk""",
     "emb_neardup" ->
       """SELECT a.vec_id AS va, b.vec_id AS vb,
            round(list_cosine_similarity(a.embedding::DOUBLE[],
@@ -1110,6 +1136,25 @@ object SparkEntry {
          SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
            count(*) AS n_events, round(sum(value), 2) AS sum_value
          FROM y GROUP BY user_id, sid ORDER BY user_id, first_ts""",
+    // Welford state restated as two-pass window stats over the
+    // prior-event frame: the accumulations differ in ~1e-12 ulps, so
+    // value/zscore are rounded on both sides; the |z| > 3 membership cut
+    // is identical (z never lands within ulps of the threshold)
+    "stream_anomaly" ->
+      """WITH x AS (SELECT user_id, event_id, ts, value,
+           count(*) OVER w AS n_prev,
+           avg(value) OVER w AS mean_prev,
+           var_samp(value) OVER w AS var_prev
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         SELECT user_id, event_id, ts, round(value, 2) AS value,
+           round((value - mean_prev) / sqrt(var_prev), 4) AS zscore,
+           CAST(n_prev AS BIGINT) AS n_prev
+         FROM x
+         WHERE n_prev >= 10 AND var_prev > 0
+           AND abs((value - mean_prev) / sqrt(var_prev)) > CAST(3.0 AS DOUBLE)
+         ORDER BY user_id, ts, event_id""",
     "stream_dedup" ->
       """SELECT user_id, event_type, hr, event_id, value FROM (
            SELECT user_id, event_type, date_trunc('hour', ts) AS hr,

@@ -127,10 +127,20 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(detect)
   }
 
+  /** Query surface for [[anomalies]]: value/zscore rounded so the
+    * DuckDB oracle (two-pass window avg/var_samp over the prior-event
+    * frame) hash-matches the Welford accumulation — the two differ only
+    * in ~1e-12 ulps, far inside 2/4-dp rounding, while the anomaly SET
+    * itself (the unrounded |z| > 3 cut) is decided identically by both
+    * since z never lands within ulps of the threshold. */
   def anomaliesBatch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     anomalies(Tables.events(spark, dir).as[EventRow])
-      .toDF().orderBy(col("user_id"), col("ts"), col("event_id"))
+      .toDF()
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("value"), 2).as("value"),
+        round(col("zscore"), 4).as("zscore"), col("n_prev"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
   def dedupStream(events: DataFrame): DataFrame =
