@@ -103,7 +103,9 @@ object SparkEntry {
     "text_pii" -> (TextAnalysis.pii _),
     "pipeline_curate" -> ((s, d) => TextAnalysis.curate(s, d)),
     "emb_cluster_assign" -> ((s, d) => Similarity.clusterAssign(s, d)),
-    // rows-only: float mean accumulation order is engine-specific
+    // oracle-checked since r5: the float cast in each centroid update
+    // absorbs accumulation-order drift, so the unrolled-CTE oracle's
+    // assignments match exactly
     "emb_kmeans" -> ((s, d) => Similarity.kmeans(s, d)),
     // sketch-based approximate aggregation (rows-only: sketch internals
     // are engine-specific)
@@ -886,6 +888,47 @@ object SparkEntry {
                ORDER BY cos DESC, cid) AS rk
            FROM scored) t
          WHERE rk <= 5 ORDER BY qid, rk""",
+    // full Lloyd unrolled to the fixed 3 iterations: the float cast in
+    // each centroid update swallows double-sum accumulation-order drift
+    // between engines, so every round's argmax assignment is identical;
+    // only the final avg_cos needs rounding
+    "emb_kmeans" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cent0 AS (SELECT vec_id AS cluster_id, v AS sv FROM e
+           WHERE vec_id % 29 = 0),
+         asg1 AS (SELECT cid, cv, cluster_id FROM (
+           SELECT a.vec_id AS cid, a.v AS cv, s.cluster_id,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(a.v, s.sv) DESC,
+                 s.cluster_id) AS rn
+           FROM e a, cent0 s) t WHERE rn = 1),
+         cent1 AS (SELECT cluster_id,
+             list(CAST(CAST(va AS REAL) AS DOUBLE) ORDER BY pos) AS sv
+           FROM (SELECT cluster_id, i AS pos, avg(cv[i]) AS va
+             FROM asg1, LATERAL (SELECT unnest(generate_series(
+               1, len(cv))) AS i) t
+             GROUP BY cluster_id, i) u GROUP BY cluster_id),
+         asg2 AS (SELECT cid, cv, cluster_id FROM (
+           SELECT a.vec_id AS cid, a.v AS cv, s.cluster_id,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(a.v, s.sv) DESC,
+                 s.cluster_id) AS rn
+           FROM e a, cent1 s) t WHERE rn = 1),
+         cent2 AS (SELECT cluster_id,
+             list(CAST(CAST(va AS REAL) AS DOUBLE) ORDER BY pos) AS sv
+           FROM (SELECT cluster_id, i AS pos, avg(cv[i]) AS va
+             FROM asg2, LATERAL (SELECT unnest(generate_series(
+               1, len(cv))) AS i) t
+             GROUP BY cluster_id, i) u GROUP BY cluster_id),
+         asg3 AS (SELECT cid, cluster_id, cos FROM (
+           SELECT a.vec_id AS cid, s.cluster_id,
+             list_cosine_similarity(a.v, s.sv) AS cos,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(a.v, s.sv) DESC,
+                 s.cluster_id) AS rn
+           FROM e a, cent2 s) t WHERE rn = 1)
+         SELECT cluster_id, count(*) AS n, round(avg(cos), 4) AS avg_cos
+         FROM asg3 GROUP BY cluster_id ORDER BY cluster_id""",
     "emb_neardup" ->
       """SELECT a.vec_id AS va, b.vec_id AS vb,
            round(list_cosine_similarity(a.embedding::DOUBLE[],

@@ -217,8 +217,11 @@ object Similarity {
         prev = centroids
       }
     }
+    // avg_cos rounded: the float cast in the centroid update swallows
+    // the engines' double-sum order drift, so assignments agree exactly;
+    // only this final double mean needs rounding for the oracle hash
     assigned.groupBy(col("cluster_id"))
-      .agg(count(lit(1)).as("n"), avg(col("cos")).as("avg_cos"))
+      .agg(count(lit(1)).as("n"), round(avg(col("cos")), 4).as("avg_cos"))
       .orderBy(col("cluster_id"))
   }
 }
