@@ -129,8 +129,10 @@ object SparkEntry {
     "stream_sketch_window" -> (graft.streaming.EventStreams.sketchWindowBatch _),
     "stream_enrich" -> (graft.streaming.EventStreams.enrichBatch _),
     // F. malformed-media quarantine: per (kind, verdict, reason) triage
-    // counts over a deterministically damaged corpus (rows-only: the
-    // container byte layouts have no SQL equivalent)
+    // counts over a deterministically damaged corpus. Oracle-checked:
+    // the damage schedule (doc_id % 17) and each parser's typed verdict
+    // are closed-form in doc_id, so the oracle restates the expected
+    // triage table — a parser that mis-routes damage breaks the hash
     "mm_quarantine" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       Multimodal.quarantine(Multimodal.corruptedMediaTable(s, d)).toDF()
@@ -138,14 +140,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("kind"), col("ok"), col("error"))
     }),
-    // F. multimodal frame sampling (rows-only)
+    // F. multimodal frame sampling — oracle-checked: frame counts are
+    // closed-form in the mvhd duration the payload carries
     "mm_frames" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       Multimodal.frameSample(Multimodal.mediaTable(s, d), everyK = 30).toDF()
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_sampled"),
-          min(col("frame_idx")).as("first_frame"),
-          max(col("frame_idx")).as("last_frame"))
+          min(col("frame_idx")).cast("bigint").as("first_frame"),
+          max(col("frame_idx")).cast("bigint").as("last_frame"))
         .orderBy(col("doc_id"))
     })
   )
@@ -1248,6 +1251,43 @@ object SparkEntry {
            CAST(min(CASE WHEN c = 2 THEN v END) AS BIGINT) AS b_min,
            CAST(max(CASE WHEN c = 2 THEN v END) AS BIGINT) AS b_max,
            CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS b_sum
-         FROM px GROUP BY doc_id, width, height ORDER BY doc_id"""
+         FROM px GROUP BY doc_id, width, height ORDER BY doc_id""",
+    // F. frame sampling: n_frames = max(1, floor(dur * 30fps / 1000ts))
+    // with dur = 1000 + doc_id % 8000 (the mvhd the payload carries);
+    // every-30th sampling => count/first/last are closed-form
+    "mm_frames" ->
+      """WITH v AS (SELECT doc_id,
+           GREATEST(1, CAST(floor((1000 + doc_id % 8000) * 30 / 1000.0)
+             AS BIGINT)) AS nf
+           FROM documents WHERE doc_id % 3 = 2)
+         SELECT doc_id,
+           CAST(floor((nf - 1) / 30.0) + 1 AS BIGINT) AS n_sampled,
+           CAST(0 AS BIGINT) AS first_frame,
+           CAST(floor((nf - 1) / 30.0) * 30 AS BIGINT) AS last_frame
+         FROM v ORDER BY doc_id""",
+    // F. quarantine triage: the damage schedule (doc_id % 17: 0 =
+    // truncate-to-10-bytes, 5 = stomp bytes 8-11) and the parsers'
+    // typed verdicts are closed-form per kind — truncation kills every
+    // magic; the stomp breaks PNG's IHDR length (typed PNG error) and
+    // WAV's WAVE tag (magic), but MP4 stays parseable (only the ftyp
+    // brand is hit)
+    "mm_quarantine" ->
+      """WITH m AS (SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image/png'
+             WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS kind
+           FROM documents),
+         v AS (SELECT kind,
+           CASE WHEN doc_id % 17 = 0 THEN false
+                WHEN doc_id % 17 = 5 AND kind <> 'video/mp4' THEN false
+                ELSE true END AS ok,
+           CASE WHEN doc_id % 17 = 0 THEN 'unrecognized container magic'
+                WHEN doc_id % 17 = 5 AND kind = 'image/png'
+                  THEN 'PNG: first chunk is not a 13-byte IHDR'
+                WHEN doc_id % 17 = 5 AND kind = 'audio/wav'
+                  THEN 'unrecognized container magic'
+                ELSE '' END AS error
+           FROM m)
+         SELECT kind, ok, error, count(*) AS n
+         FROM v GROUP BY kind, ok, error ORDER BY kind, ok, error"""
   )
 }
