@@ -135,4 +135,67 @@ class KernelPropertySpec extends AnyFunSuite {
       overlap > 0.5
     })
   }
+
+  private def ringData(pts: Seq[(Double, Double)]): GenericArrayData =
+    new GenericArrayData(pts.map { case (x, y) =>
+      new GenericArrayData(Array[Any](x, y)): Any
+    }.toArray)
+
+  private def ringPts(a: org.apache.spark.sql.catalyst.util.ArrayData) =
+    (0 until a.numElements()).map { i =>
+      val p = a.getArray(i); (p.getDouble(0), p.getDouble(1))
+    }
+
+  // star-shaped polygons (random radii at sorted angles): always simple,
+  // frequently concave — the subject class the clip supports
+  private val starRingGen = for {
+    n <- Gen.choose(3, 9)
+    angles <- Gen.listOfN(n, Gen.choose(0.0, 2 * math.Pi)).map(_.distinct)
+      .suchThat(_.size >= 3)
+    radii <- Gen.listOfN(angles.size, Gen.choose(1.0, 40.0))
+  } yield angles.sorted.zip(radii).map { case (t, r) =>
+    (r * math.cos(t), r * math.sin(t))
+  }
+
+  private val rectGen = for {
+    x0 <- Gen.choose(-45.0, 35.0); y0 <- Gen.choose(-45.0, 35.0)
+    w <- Gen.choose(1.0, 40.0); h <- Gen.choose(1.0, 40.0)
+  } yield (x0, y0, x0 + w, y0 + h)
+
+  test("clip_ring_rect: output inside window, area bounded, idempotent") {
+    val eps = 1e-9
+    // forAllNoShrink: scalacheck shrinking does not respect the
+    // generators' invariants (it offers 2-point rings and inverted
+    // rects, which the clip legitimately rejects or degenerates on)
+    check(Prop.forAllNoShrink(starRingGen, rectGen) { case (ring, (x0, y0, x1, y1)) =>
+      val bounds = new GenericArrayData(Array[Any](x0, y0, x1, y1))
+      val clipped = GeoMath.clipRingToRect(ringData(ring), bounds)
+      val pts = ringPts(clipped)
+      val inside = pts.forall { case (x, y) =>
+        x >= x0 - eps && x <= x1 + eps && y >= y0 - eps && y <= y1 + eps
+      }
+      val a2 = GeoMath.ringArea2(clipped)
+      val boundOk = a2 >= 0.0 &&
+        a2 <= GeoMath.ringArea2(ringData(ring)) + eps &&
+        a2 <= 2 * (x1 - x0) * (y1 - y0) + eps
+      // re-clipping the already-clipped ring rewrites no point (each
+      // stage keeps every >= / <= inside vertex), but each stage starts
+      // its output at the ring's second vertex — identity holds up to
+      // rotation, hence the set comparison
+      val again = GeoMath.clipRingToRect(clipped, bounds)
+      inside && boundOk && ringPts(again).toSet == pts.toSet
+    })
+  }
+
+  test("clip_ring_rect: window containing the ring is the identity up to rotation") {
+    check(Prop.forAllNoShrink(starRingGen) { ring =>
+      val bounds = new GenericArrayData(Array[Any](-41.0, -41.0, 41.0, 41.0))
+      val out = ringPts(GeoMath.clipRingToRect(ringData(ring), bounds))
+      // area compared with ulp tolerance: the rotation reorders the
+      // shoelace summation, so the identical term set can differ in ulps
+      out.size == ring.size && out.toSet == ring.toSet &&
+        math.abs(GeoMath.ringArea2(ringData(out)) -
+          GeoMath.ringArea2(ringData(ring))) <= 1e-9
+    })
+  }
 }
