@@ -91,7 +91,10 @@ object SparkEntry {
     "text_quality" -> (TextAnalysis.quality _),
     "text_langid" -> (TextAnalysis.langid _),
     "text_tokens" -> (TextAnalysis.tokens _),
-    "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    // oracle-checked since r5 via the structural restatement: exact
+    // k-gram counts + closed-form bound/order verdicts (hash values
+    // stay engine-internal, spec-checked)
+    "text_fingerprint" -> (TextAnalysis.fingerprintChecked _),
     "text_normalize_dedup" -> (TextAnalysis.normalizeDedup _),
     "text_bigrams" -> ((s, d) => TextAnalysis.bigrams(s, d)),
     "text_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
@@ -107,12 +110,21 @@ object SparkEntry {
     // absorbs accumulation-order drift, so the unrolled-CTE oracle's
     // assignments match exactly
     "emb_kmeans" -> ((s, d) => Similarity.kmeans(s, d)),
-    // sketch-based approximate aggregation (rows-only: sketch internals
-    // are engine-specific)
-    "sketch_distinct" -> ((s, d) => Sketches.distinctUsers(s, d)),
-    "sketch_quantiles" -> ((s, d) => Sketches.valueQuantiles(s, d)),
-    // F. multimodal plumbing
-    "mm_features" -> (Multimodal.features _),
+    // sketch-based approximate aggregation — oracle-checked since r5:
+    // the estimates collapse to within-error-contract verdicts against
+    // exact counts/ranks, which DuckDB states closed-form as TRUE
+    "sketch_distinct" -> ((s, d) => Sketches.distinctUsersChecked(s, d)),
+    "sketch_quantiles" -> ((s, d) => Sketches.valueQuantilesChecked(s, d)),
+    // F. multimodal feature extraction — oracle-checked since r5 on the
+    // closed-form columns: byte_len is container overhead + UTF-8 text
+    // bytes, width/height/n_frames are the planted header fields the
+    // byte-walking parsers must recover (checksum/histogram stay
+    // engine-internal, spec-checked)
+    "mm_features" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Multimodal.features(s, d).select(col("doc_id"), col("kind"),
+        col("byte_len"), col("width"), col("height"), col("n_frames"))
+    }),
     // F. real PNG sample decode (zlib inflate + unfilter) — the oracle
     // restates the closed-form pixel function, so the hash check proves
     // the decode round-trip, not just plumbing
@@ -125,8 +137,8 @@ object SparkEntry {
     "stream_anomaly" -> (graft.streaming.EventStreams.anomaliesBatch _),
     "stream_interval_join" -> (graft.streaming.EventStreams.intervalJoinBatch _),
     "stream_topk_window" -> (graft.streaming.EventStreams.topkPerWindowBatch _),
-    // rows-only: sketch internals are engine-specific
-    "stream_sketch_window" -> (graft.streaming.EventStreams.sketchWindowBatch _),
+    // oracle-checked since r5: per-window within-error-contract verdicts
+    "stream_sketch_window" -> (graft.streaming.EventStreams.sketchWindowChecked _),
     "stream_enrich" -> (graft.streaming.EventStreams.enrichBatch _),
     // F. malformed-media quarantine: per (kind, verdict, reason) triage
     // counts over a deterministically damaged corpus. Oracle-checked:
@@ -941,6 +953,17 @@ object SparkEntry {
          WHERE list_cosine_similarity(a.embedding::DOUBLE[],
            b.embedding::DOUBLE[]) >= 0.35
          ORDER BY va, vb""",
+    // E. winnowing fingerprint, structural restatement: n_kgrams is
+    // closed-form in the char length (all-ASCII corpus), the set bounds
+    // and sort order are guaranteed by construction — a winnow that
+    // mis-counts k-grams, over-selects per window, or emits unsorted
+    // hashes breaks the hash match (the hash VALUES stay engine-internal)
+    "text_fingerprint" ->
+      """SELECT doc_id,
+           CAST(CASE WHEN length(text) < 8 THEN 1
+             ELSE length(text) - 7 END AS BIGINT) AS n_kgrams,
+           TRUE AS ok_bounds, TRUE AS ok_sorted
+         FROM documents ORDER BY doc_id""",
     // E. text analysis — expressions mirror the Spark plans op-for-op
     // (int/int division is double in both engines)
     "text_quality" ->
@@ -1166,6 +1189,24 @@ object SparkEntry {
     // G. streaming batch-equivalents. Session semantics: a gap of exactly
     // the window closes the session (Spark session ranges are [start,
     // last+gap) exclusive), hence >= in the lag comparison.
+    // sketches, within-error-contract restatement: the exact counts are
+    // SQL; the estimate columns collapse to verdicts the oracle states
+    // closed-form as TRUE — an estimate outside its advertised bound
+    // (3x rsd for HLL, rank tolerance for the percentile buffer) breaks
+    // the hash match
+    "sketch_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+           count(*) AS n_events, TRUE AS within_bound
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "sketch_quantiles" ->
+      """SELECT event_type, count(*) AS n_events,
+           TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "stream_sketch_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events, TRUE AS ok_users,
+           TRUE AS ok_p50, TRUE AS ok_p90
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "stream_window_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
            count(*) AS n_events, round(sum(value), 2) AS sum_value
@@ -1227,6 +1268,26 @@ object SparkEntry {
            AND cts >= ts - INTERVAL '10 minutes' AND cts <= ts
          GROUP BY event_id, user_id, ts, value
          ORDER BY event_id""",
+    // F. feature extraction, closed-form restatement: byte_len is the
+    // container framing constant (PNG sig+IHDR+IDAT+IEND = 57, WAV
+    // header = 44, MP4 ftyp+moov(mvhd)+mdat = 148) plus the UTF-8 body;
+    // width/height/n_frames are the planted header fields the parsers
+    // must walk the real bytes to recover (checksum/histogram stay
+    // engine-internal, spec-checked)
+    "mm_features" ->
+      """SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image/png'
+             WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS kind,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 57 WHEN 1 THEN 44
+             ELSE 148 END + strlen(text) AS INTEGER) AS byte_len,
+           CAST(CASE doc_id % 3 WHEN 1 THEN 8000 + doc_id % 8000
+             ELSE doc_id % 640 + 1 END AS INTEGER) AS width,
+           CAST(CASE doc_id % 3 WHEN 1 THEN 16
+             ELSE doc_id % 480 + 1 END AS INTEGER) AS height,
+           CAST(CASE doc_id % 3 WHEN 2 THEN GREATEST(1,
+             CAST(floor((1000 + doc_id % 8000) * 30 / 1000.0) AS INTEGER))
+             ELSE 1 END AS INTEGER) AS n_frames
+         FROM documents ORDER BY doc_id""",
     // F. PNG pixel decode: dimensions and pixel bytes are closed-form in
     // doc_id (v(i) = (doc_id*31 + i*7919) % 256 over RGB triplets), so
     // the oracle aggregates the formula directly while the Spark side

@@ -31,6 +31,18 @@ object Sketches {
           col("exact_users"), 4))
       .orderBy(col("event_type"))
 
+  /** [[distinctUsers]] restated for the oracle: the engine-specific HLL
+    * estimate collapses to a within-bound verdict against the exact
+    * count (3x the requested rsd — the standard-error contract), which
+    * DuckDB states closed-form as TRUE. A sketch whose error escapes
+    * its advertised bound now breaks a hash match instead of hiding
+    * behind a rows-only row. */
+  def distinctUsersChecked(spark: SparkSession, dir: String,
+                           rsd: Double = 0.02): DataFrame =
+    distinctUsers(spark, dir, rsd)
+      .select(col("event_type"), col("exact_users"), col("n_events"),
+        (col("rel_err") <= 3 * rsd).as("within_bound"))
+
   /** Value quantiles per event type via the approximate percentile
     * sketch (mergeable, bounded state), emitted as scalar columns. */
   def valueQuantiles(spark: SparkSession, dir: String,
@@ -46,4 +58,28 @@ object Sketches {
         round(element_at(col("_q"), 3), 2).as("p99"),
         col("n_events"))
       .orderBy(col("event_type"))
+
+  /** [[valueQuantiles]] restated for the oracle: each estimate's TRUE
+    * rank is recomputed against the raw values (one extra pass — a
+    * verification query, not the production path) and must sit within
+    * the sketch's rank-error contract of the target quantile. The
+    * tolerance is 0.01 (100x the 1/accuracy guarantee, absorbing the
+    * 2-dp display rounding) plus 1/n for discrete-rank granularity.
+    * DuckDB states the verdicts closed-form as TRUE. */
+  def valueQuantilesChecked(spark: SparkSession, dir: String,
+                            accuracy: Int = 10000): DataFrame = {
+    val q = valueQuantiles(spark, dir, accuracy)
+      .select(col("event_type"), col("p50"), col("p90"), col("p99"))
+    def rankOk(target: Double, c: String) = {
+      val n = count(lit(1))
+      val frac = sum(when(col("value") <= col(c), 1L).otherwise(0L)) / n
+      (abs(frac - target) <= lit(0.01) + lit(1.0) / n).as(s"ok_$c")
+    }
+    Tables.events(spark, dir)
+      .join(broadcast(q), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        rankOk(0.5, "p50"), rankOk(0.9, "p90"), rankOk(0.99, "p99"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -323,6 +323,31 @@ object TextAnalysis {
         posexplode(col("fp")).as(Seq("fp_pos", "fp_hash")))
       .orderBy(col("doc_id"), col("fp_pos"))
 
+  /** [[fingerprint]] restated for the oracle: the winnowing hash values
+    * are engine-internal, but the k-gram count is closed-form in the
+    * char length (all-ASCII corpus, so UTF-16 units == code points ==
+    * DuckDB's length()), and the selected set obeys hard structural
+    * bounds — one selection per window, distinct positions, sorted
+    * ascending. n_kgrams is the exact-checked column; the bound and
+    * order verdicts are TRUE closed-form in DuckDB, so a winnow that
+    * mis-counts k-grams, over-selects, or emits unsorted output breaks
+    * the hash match. k=8, w=16 mirror [[TextFunctions.winnow_fingerprint]]
+    * defaults. */
+  def fingerprintChecked(spark: SparkSession, dir: String): DataFrame = {
+    val kgrams = when(length(col("text")) < 8, 1)
+      .otherwise(length(col("text")) - 7)
+    val nWin = when(col("n_kgrams") < 16, 1)
+      .otherwise(col("n_kgrams") - 15)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), kgrams.cast("bigint").as("n_kgrams"),
+        TextFunctions.winnow_fingerprint(col("text")).as("fp"))
+      .select(col("doc_id"), col("n_kgrams"),
+        (size(col("fp")) >= 1 &&
+          size(col("fp")) <= least(col("n_kgrams"), nWin)).as("ok_bounds"),
+        (col("fp") === array_sort(array_distinct(col("fp")))).as("ok_sorted"))
+      .orderBy(col("doc_id"))
+  }
+
   // PII patterns kept to the regex subset Java (Spark) and RE2 (DuckDB)
   // agree on: literal classes, bounded repeats — no backrefs, no
   // lookaround. Case handling is explicit A-Z in every class: an

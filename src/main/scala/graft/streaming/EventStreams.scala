@@ -197,6 +197,38 @@ object EventStreams {
   def sketchWindowStream(events: DataFrame): DataFrame =
     sketchWindow(events.withWatermark("ts", Watermark))
 
+  /** [[sketchWindowBatch]] restated for the oracle: per (window, type)
+    * the HLL estimate must land within max(3 x rsd x exact, 1) of the
+    * exact distinct count — the +-1 absolute floor is HLL's register
+    * quantization at tiny cardinalities (Spark's dense HLL++ has no
+    * sparse-exact mode; measured max deviation on this corpus is
+    * exactly 1 at counts of 4-8) — and each percentile estimate's true
+    * rank within 0.02 + 1/n of its target (window groups are small, so
+    * the 1/n discrete-rank term dominates). The tiny sketch table
+    * broadcasts back onto the events scan; DuckDB states every verdict
+    * closed-form as TRUE, so a sketch drifting outside its contract
+    * breaks the hash match. */
+  def sketchWindowChecked(spark: SparkSession, dir: String): DataFrame = {
+    val sk = sketchWindowBatch(spark, dir)
+      .select(col("window_start"), col("event_type"),
+        col("approx_users"), col("p50"), col("p90"))
+    def rankOk(target: Double, c: String) = {
+      val n = count(lit(1))
+      val frac = sum(when(col("value") <= col(c), 1L).otherwise(0L)) / n
+      (abs(frac - target) <= lit(0.02) + lit(1.0) / n).as(s"ok_$c")
+    }
+    Tables.events(spark, dir)
+      .withColumn("window_start", date_trunc("hour", col("ts")))
+      .join(broadcast(sk), Seq("window_start", "event_type"))
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (abs(first(col("approx_users")) - countDistinct(col("user_id"))) <=
+          greatest(lit(0.06) * countDistinct(col("user_id")), lit(1.0)))
+          .as("ok_users"),
+        rankOk(0.5, "p50"), rankOk(0.9, "p90"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   /** Exactly-once parquet sink for a stream: each micro-batch writes to
     * a batch-id-scoped partition directory with overwrite, so a REPLAYED
     * batch (task retry, query restart from checkpoint) overwrites its

@@ -33,4 +33,14 @@ class SketchesSpec extends AnyFunSuite {
     // at 10k accuracy on test-scale data the sketch is near-exact
     assert(math.abs(approx - exact) <= math.max(1.0, math.abs(exact) * 0.05))
   }
+
+  test("checked restatements: every within-contract verdict is true") {
+    val d = Sketches.distinctUsersChecked(spark, sf).collect()
+    assert(d.nonEmpty && d.forall(_.getBoolean(3)),
+      "HLL estimate escaped its 3x-rsd bound")
+    val q = Sketches.valueQuantilesChecked(spark, sf).collect()
+    assert(q.nonEmpty &&
+      q.forall(r => r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4)),
+      "a percentile estimate's true rank escaped its tolerance")
+  }
 }

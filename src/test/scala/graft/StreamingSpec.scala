@@ -202,6 +202,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(n >= users, "at least one session per active user")
   }
 
+  test("sketchWindowChecked: every per-window sketch verdict is true") {
+    val rows = EventStreams.sketchWindowChecked(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(3) && r.getBoolean(4) && r.getBoolean(5),
+        s"window ${r.get(0)}/${r.getString(1)}: a sketch escaped its contract")
+    }
+  }
+
   test("enrich thresholds the dim: broadcast below, shuffle-hash above, " +
     "identical rows either way") {
     val users = EventStreams.userDim(spark, sf)

@@ -195,6 +195,15 @@ class TextDedupSpec extends AnyFunSuite {
     assert(overlap12 > 0.4 && overlap13 == 0.0, s"$overlap12 $overlap13")
   }
 
+  test("fingerprintChecked: winnow structure verdicts all true on the corpus") {
+    val rows = TextAnalysis.fingerprintChecked(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(2), s"doc ${r.getLong(0)}: selection bounds violated")
+      assert(r.getBoolean(3), s"doc ${r.getLong(0)}: fp not sorted-distinct")
+    }
+  }
+
   test("langid prediction is consistent with hit counts") {
     val rows = TextAnalysis.langid(spark, sf).collect()
     assert(rows.nonEmpty)
