@@ -55,6 +55,7 @@ object SparkEntry {
     // B'. graph centrality over the road-network key space (dyadic-exact
     // PageRank — see operators.Graph for why the oracle matches bitwise)
     "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
+    "graph_components" -> ((s, d) => Graph.components(s, d)),
     // B. spatial / accessibility
     "geo_grid_assign" -> (Accessibility.gridAssign _),
     "geo_bbox_filter" -> (Accessibility.bboxFilter _),
@@ -460,6 +461,7 @@ object SparkEntry {
            event_id, value
          FROM ch ORDER BY user_id, valid_from""",
     "graph_pagerank" -> operators.Graph.pagerankOracle(),
+    "graph_components" -> operators.Graph.componentsOracle,
     "text_pii" ->
       """WITH planted AS (SELECT doc_id,
            concat(text,

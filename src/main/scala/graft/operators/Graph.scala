@@ -119,4 +119,138 @@ object Graph {
        $rounds
        SELECT node, r AS pr FROM p$iters ORDER BY node"""
   }
+
+  /** Block size of the deterministic component graph: nodes connect only
+    * within their 64-key block, so components are non-trivial (up to 64
+    * members, the tail block smaller) and the expected answer is fully
+    * determined by the edge scheme — which the recursive-CTE oracle
+    * restates from the same closed forms. */
+  val CcBlock = 64
+
+  /** Deterministic block-local digraph over the supplier key space: a
+    * chain edge x -> x+1 inside the block plus a permutation edge
+    * x -> blockBase + (7x+3 mod 64). Both are closed-form integer maps
+    * (blockBase = x - x%64 — no integer-division parity trap between
+    * engines), so DuckDB rebuilds the identical edge set. */
+  def ccEdges(spark: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(spark, dir).select(col("s_suppkey"))
+    val nv = sup.agg((max(col("s_suppkey")) + 1L).as("nv"))
+    val base = sup.crossJoin(broadcast(nv))
+    val chain = base
+      .select(col("s_suppkey").as("src"), (col("s_suppkey") + 1L).as("dst"),
+        col("nv"))
+      .filter(col("dst") % CcBlock =!= 0 && col("dst") < col("nv"))
+    val skip = base
+      .select(col("s_suppkey").as("src"),
+        (col("s_suppkey") - col("s_suppkey") % CcBlock +
+          (col("s_suppkey") * 7L + 3L) % CcBlock).as("dst"),
+        col("nv"))
+      .filter(col("dst") =!= col("src") && col("dst") < col("nv"))
+    chain.union(skip).select(col("src"), col("dst"))
+  }
+
+  /** Connected components via min-label propagation WITH pointer jumping:
+    * each round takes the neighbor minimum (information moves one hop)
+    * and then hops through the label itself (l'(x) = min(m(x), m(m(x))),
+    * valid because labels are always node ids), which doubles the
+    * effective reach — O(log diameter) rounds instead of the O(diameter)
+    * a plain hash-min loop needs. Same per-round engineering as
+    * [[pagerank]] / [[graft.operators.Dedup.nearDupClusters]]: the
+    * symmetrized edge list is partitioned on its join key and
+    * checkpointed ONCE; each round is one materializing job whose
+    * changed-label count rides in the same action; superseded label
+    * checkpoints are released; non-convergence THROWS (an under-merged
+    * component table is wrong, not slow).
+    *
+    * Scale posture: per round, two equi-joins — edges x labels (the big
+    * one, partial-agg'd min by src) and the label-sized self-join for
+    * the jump. Nothing driver-side but a scalar count. At 100 TB the
+    * edge join dominates and reuses the checkpointed layout; the jump
+    * join is output-sized.
+    *
+    * Output: (node, component, component_size), component = min node id
+    * reachable in the undirected graph. */
+  def components(spark: SparkSession, dir: String,
+                 maxIter: Int = 16): DataFrame = {
+    import spark.implicits._
+    val e0 = ccEdges(spark, dir)
+    val edges = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .withColumnRenamed("src", "esrc")
+      .repartition(col("esrc"))
+      .localCheckpoint()
+    var labels = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").as("id"), col("s_suppkey").as("label"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nb = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("esrc")).agg(min(col("label")).as("nl"))
+      // m feeds BOTH sides of the jump join; the lazy checkpoint makes
+      // the edge join compute once per round, not once per branch
+      val m = labels.join(nb, labels("id") === nb("esrc"), "left")
+        .select(col("id"), col("label").as("plabel"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("mlabel"))
+        .localCheckpoint(eager = false)
+      val jump = m.select(col("id").as("jid"), col("mlabel").as("jlabel"))
+      val next = m.join(jump, m("mlabel") === jump("jid"), "left")
+        .select(col("id"),
+          least(col("mlabel"), coalesce(col("jlabel"), col("mlabel")))
+            .as("label"),
+          col("plabel"))
+        .withColumn("_chg", (col("label") < col("plabel")).cast("long"))
+        .drop("plabel")
+        .localCheckpoint(eager = false)
+      val nChanged = next.agg(coalesce(sum(col("_chg")), lit(0L)))
+        .as[Long].head()
+      converged = nChanged == 0L
+      SparkBridge.unpersistCheckpoint(labels)
+      SparkBridge.unpersistCheckpoint(m)
+      labels = next.drop("_chg")
+      i += 1
+    }
+    require(converged,
+      s"component propagation did not converge in $maxIter rounds — " +
+        "labels are under-merged; raise maxIter")
+    val out = labels
+      .withColumn("component_size", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("label"))))
+      .select(col("id").as("node"), col("label").as("component"),
+        col("component_size"))
+      .orderBy(col("node"))
+      .localCheckpoint()
+    SparkBridge.unpersistCheckpoint(labels)
+    SparkBridge.unpersistCheckpoint(edges)
+    out
+  }
+
+  /** Recursive-CTE oracle for [[components]]: rebuild the closed-form
+    * edge set, symmetrize, enumerate reachability (UNION dedups, so the
+    * walk terminates), take the min reachable id per node. Restates the
+    * SEMANTICS (undirected reachability), not the propagation schedule. */
+  val componentsOracle: String =
+    """WITH RECURSIVE
+       v AS (SELECT max(s_suppkey) + 1 AS nv FROM supplier),
+       e0 AS (
+         SELECT s_suppkey AS src, s_suppkey + 1 AS dst FROM supplier, v
+         WHERE (s_suppkey + 1) % 64 <> 0 AND s_suppkey + 1 < nv
+         UNION
+         SELECT s_suppkey,
+           s_suppkey - s_suppkey % 64 + (s_suppkey * 7 + 3) % 64
+         FROM supplier, v
+         WHERE s_suppkey - s_suppkey % 64 + (s_suppkey * 7 + 3) % 64
+             <> s_suppkey
+           AND s_suppkey - s_suppkey % 64 + (s_suppkey * 7 + 3) % 64 < nv),
+       e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       reach AS (
+         SELECT s_suppkey AS node, s_suppkey AS m FROM supplier
+         UNION
+         SELECT r.node, e.dst FROM reach r JOIN e ON e.src = r.m),
+       comp AS (SELECT node, min(m) AS component FROM reach GROUP BY node)
+       SELECT node, component,
+         count(*) OVER (PARTITION BY component) AS component_size
+       FROM comp ORDER BY node"""
 }
