@@ -48,6 +48,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("cosine_sim", "cosine_sim(a, b) - cosine similarity of float/double vectors") {
       args => CosineSimilarity(args(0), args(1))
     }
+    reg("l2_dist", "l2_dist(a, b) - Euclidean distance of float/double vectors") {
+      args => L2Distance(args(0), args(1))
+    }
     reg("point_in_poly", "point_in_poly(lat, lon, poly_lats, poly_lons) - ray-cast point in polygon") {
       args => PointInPolygon(args(0), args(1), args(2), args(3))
     }

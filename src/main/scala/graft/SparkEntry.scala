@@ -98,6 +98,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.fingerprintChecked _),
     "text_normalize_dedup" -> (TextAnalysis.normalizeDedup _),
     "text_bigrams" -> ((s, d) => TextAnalysis.bigrams(s, d)),
+    "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
     "text_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     "text_hash_split" -> ((s, d) => TextAnalysis.hashSplit(s, d)),
     "text_pack" -> ((s, d) => TextAnalysis.pack(s, d)),
@@ -111,6 +112,7 @@ object SparkEntry {
     // absorbs accumulation-order drift, so the unrolled-CTE oracle's
     // assignments match exactly
     "emb_kmeans" -> ((s, d) => Similarity.kmeans(s, d)),
+    "emb_pq_codes" -> ((s, d) => Similarity.pqCodes(s, d)),
     // sketch-based approximate aggregation — oracle-checked since r5:
     // the estimates collapse to within-error-contract verdicts against
     // exact counts/ranks, which DuckDB states closed-form as TRUE
@@ -905,6 +907,31 @@ object SparkEntry {
                ORDER BY cos DESC, cid) AS rk
            FROM scored) t
          WHERE rk <= 5 ORDER BY qid, rk""",
+    // product quantization: 4 subspaces x 16 dims, codebook = vec_id %
+    // 31 seeds; DuckDB's list_distance is the same sqrt-of-ordered-sum
+    // op sequence as graft's l2_dist kernel, so argmin assignments and
+    // distances agree bit-for-bit; ties break to the lower seed id
+    "emb_pq_codes" ->
+      """WITH sub AS (
+           SELECT vec_id, m,
+             list_slice(embedding::DOUBLE[], m * 16 + 1, m * 16 + 16) AS sub
+           FROM embeddings, unnest([0, 1, 2, 3]) t(m)),
+         seeds AS (SELECT vec_id AS sid, m, sub AS ssub FROM sub
+           WHERE vec_id % 31 = 0),
+         d AS (SELECT v.vec_id, v.m, sid,
+             list_distance(v.sub, seeds.ssub) AS dist
+           FROM sub v JOIN seeds ON v.m = seeds.m),
+         best AS (SELECT vec_id, m, sid AS code, dist,
+             row_number() OVER (PARTITION BY vec_id, m
+               ORDER BY dist, sid) AS rn
+           FROM d)
+         SELECT vec_id,
+           min(CASE WHEN m = 0 THEN code END) AS code_0,
+           min(CASE WHEN m = 1 THEN code END) AS code_1,
+           min(CASE WHEN m = 2 THEN code END) AS code_2,
+           min(CASE WHEN m = 3 THEN code END) AS code_3,
+           round(sum(dist * dist), 4) AS recon_err2
+         FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""",
     // full Lloyd unrolled to the fixed 3 iterations: the float cast in
     // each centroid update swallows double-sum accumulation-order drift
     // between engines, so every round's argmax assignment is identical;
@@ -1150,6 +1177,25 @@ object SparkEntry {
                 WHEN substring(md5(text), 1, 2) < 'e8' THEN 'valid'
                 ELSE 'test' END AS split
          FROM documents ORDER BY doc_id""",
+    // TF-IDF: ln is bit-identical between Math.log and DuckDB on this
+    // platform (verified over every N/df ratio), ties break by term, so
+    // the per-doc top-3 ranking agrees exactly
+    "text_tfidf" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+           GROUP BY doc_id, term),
+         d AS (SELECT doc_id, term, tf,
+           count(*) OVER (PARTITION BY term) AS df FROM tf),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         s AS (SELECT doc_id, term,
+           tf * ln(n_docs::DOUBLE / df) AS raw FROM d, n),
+         r AS (SELECT doc_id, term, raw,
+           row_number() OVER (PARTITION BY doc_id
+             ORDER BY raw DESC, term) AS rk FROM s)
+         SELECT doc_id, CAST(rk AS INTEGER) AS rk, term,
+           round(raw, 4) AS score
+         FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
     "text_bigrams" ->
       """WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
          b AS (SELECT unnest(list_transform(range(1, len(l)),

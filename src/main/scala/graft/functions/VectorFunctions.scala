@@ -35,6 +35,25 @@ object VectorMath {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  def l2F(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toFloatArray(); val y = b.toFloatArray()
+    val n = math.min(x.length, y.length)
+    var s = 0.0; var i = 0
+    while (i < n) {
+      val d = x(i).toDouble - y(i).toDouble
+      s += d * d; i += 1
+    }
+    math.sqrt(s)
+  }
+
+  def l2D(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toDoubleArray(); val y = b.toDoubleArray()
+    val n = math.min(x.length, y.length)
+    var s = 0.0; var i = 0
+    while (i < n) { val d = x(i) - y(i); s += d * d; i += 1 }
+    math.sqrt(s)
+  }
+
   def dotF(a: ArrayData, b: ArrayData): Double = {
     val x = a.toFloatArray(); val y = b.toFloatArray()
     val n = math.min(x.length, y.length)
@@ -108,6 +127,39 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `l2_dist(a, b)` -> double: Euclidean distance, sqrt of the sequential
+  * in-order sum of squared diffs in double — the op sequence DuckDB's
+  * list_distance uses on DOUBLE[], so oracle comparisons stay
+  * bit-identical (same discipline as [[CosineSimilarity]]). */
+case class L2Distance(left: Expression, right: Expression)
+  extends BinaryExpression {
+  private def isFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private def kernel: String = if (isFloat) "l2F" else "l2D"
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "l2_dist"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (lt, rt) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires both arguments to be array<float> or both " +
+          s"array<double>, got ${lt.simpleString} and ${rt.simpleString}")
+    }
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    if (isFloat) VectorMath.l2F(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else VectorMath.l2D(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorMath.$kernel($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** `vec_simhash(v, nBits)` -> long: random-hyperplane LSH signature of an
   * array<float> embedding (see [[VectorMath.simhashVec]]). */
 case class VecSimHash(child: Expression, nBits: Int) extends UnaryExpression {
@@ -135,4 +187,8 @@ object VectorFunctions {
 
   def vec_simhash(v: Column, nBits: Int): Column =
     SparkBridge.column(VecSimHash(SparkBridge.expression(v), nBits))
+
+  def l2_dist(a: Column, b: Column): Column =
+    SparkBridge.column(L2Distance(
+      SparkBridge.expression(a), SparkBridge.expression(b)))
 }

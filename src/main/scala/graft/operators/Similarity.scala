@@ -224,4 +224,49 @@ object Similarity {
       .agg(count(lit(1)).as("n"), round(avg(col("cos")), 4).as("avg_cos"))
       .orderBy(col("cluster_id"))
   }
+
+  /** Product-quantization codes: split each vector into `subspaces`
+    * contiguous sub-vectors and assign each to its nearest seed
+    * codeword (seeds := vec_id % seedMod == 0, the same deterministic
+    * seeding scheme as [[clusterAssign]]) — the memory-compression
+    * layout an ANN index stores instead of raw floats (64 dims x 4
+    * bytes -> 4 one-byte codes here), with the summed squared
+    * sub-distance as the reconstruction-error metric.
+    *
+    * Scale posture: the codebook is k x dims (tiny, broadcast); each
+    * vector meets it map-side, so the only shuffle is the (vec_id, m,
+    * best) triples into the per-vector pivot — codes-sized, never
+    * embedding-sized. Distances use the [[graft.functions.VectorMath]]
+    * l2 kernel (codegen, same op sequence as DuckDB's list_distance, so
+    * the oracle hash-matches bit-for-bit); argmin ties break to the
+    * lower seed id via the struct ordering. */
+  def pqCodes(spark: SparkSession, dir: String, subspaces: Int = 4,
+              subDim: Int = 16, seedMod: Int = 31): DataFrame = {
+    import graft.functions.VectorFunctions.l2_dist
+    def subbed(df: DataFrame, idCol: String) = df
+      .select(col(idCol), posexplode(array((0 until subspaces).map(m =>
+        slice(col("embedding"), m * subDim + 1, subDim)): _*)))
+      .select(col(idCol), col("pos").as("m"), col("col").as("sub"))
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    val vsub = subbed(e, "vec_id")
+    val ssub = subbed(
+      e.filter(col("vec_id") % seedMod === 0)
+        .withColumnRenamed("vec_id", "sid"), "sid")
+      .withColumnRenamed("sub", "ssub")
+    val best = vsub.join(broadcast(ssub), Seq("m"))
+      .select(col("vec_id"), col("m"), col("sid"),
+        l2_dist(col("sub"), col("ssub")).as("dist"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(struct(col("sid"), col("dist")),
+        struct(col("dist"), col("sid"))).as("b"))
+      .select(col("vec_id"), col("m"),
+        col("b.sid").as("code"), col("b.dist").as("dist"))
+    val codeCols = (0 until subspaces).map(i =>
+      min(when(col("m") === i, col("code"))).as(s"code_$i"))
+    best.groupBy(col("vec_id"))
+      .agg(codeCols.head,
+        codeCols.tail :+
+          round(sum(col("dist") * col("dist")), 4).as("recon_err2"): _*)
+      .orderBy(col("vec_id"))
+  }
 }

@@ -129,6 +129,40 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("bigram"))
       .limit(topN)
 
+  /** TF-IDF top-k terms per document — the keyword/topic signal a
+    * curation pipeline computes for tagging and diversity balancing.
+    * idf = ln(N/df), no smoothing (df >= 1 for every term actually in a
+    * document). Math.log and DuckDB's ln are bit-identical on this
+    * platform (verified over every N/df ratio the corpus produces), and
+    * ties — equal raw scores — break by term, so the ranking is fully
+    * deterministic cross-engine.
+    *
+    * Scale posture: df is DERIVED from the tf frame as a window count
+    * over the term partition — no vocab-sized broadcast, which a
+    * heavy-tailed 100 TB vocabulary would blow; N is the one scalar
+    * broadcast. Three key-partitioned shuffles total ((doc,term) agg,
+    * term window, doc window), each partial-agg or a partition-local
+    * sort bounded by doc length / term df. */
+  def tfidf(spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("raw", col("tf") * log(col("n_docs") / col("df")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("raw").desc, col("term"))))
+      .filter(col("rk") <= topK)
+      .select(col("doc_id"), col("rk"), col("term"),
+        round(col("raw"), 4).as("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   /** Train/eval decontamination: flag training documents sharing >=
     * minShared distinct word n-grams with any eval document (doc_id % 10
     * == 0 stands in for the benchmark set). The join is an inverted

@@ -91,4 +91,35 @@ class SimilaritySpec extends AnyFunSuite {
       assert(r.getDouble(2) >= 0.35)
     }
   }
+
+  test("l2_dist matches hand computation and rejects mixed types") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.l2_dist
+    val d = Seq((Array(1.0f, 2.0f, 2.0f), Array(0.0f, 0.0f, 0.0f)))
+      .toDF("a", "b").select(l2_dist(col("a"), col("b"))).head().getDouble(0)
+    assert(d == 3.0)
+    // analysis is eager in select(), so the throw happens there
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      Seq((Array(1.0f), Array(1.0)))
+        .toDF("a", "b").select(l2_dist(col("a"), col("b"))).collect()
+    }
+  }
+
+  test("PQ codes reference real seeds; a seed reconstructs itself exactly") {
+    val rows = Similarity.pqCodes(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val seeds = rows.map(_.getLong(0)).filter(_ % 31 == 0).toSet
+    assert(seeds.nonEmpty)
+    rows.foreach { r =>
+      (1 to 4).foreach(i => assert(seeds.contains(r.getLong(i)),
+        s"vec ${r.getLong(0)}: code ${r.getLong(i)} is not a seed id"))
+      assert(r.getDouble(5) >= 0.0)
+      // a codeword is its own nearest codeword in every subspace
+      if (seeds.contains(r.getLong(0))) {
+        (1 to 4).foreach(i => assert(r.getLong(i) == r.getLong(0),
+          s"seed ${r.getLong(0)} quantized to ${r.getLong(i)}"))
+        assert(r.getDouble(5) == 0.0)
+      }
+    }
+  }
 }

@@ -195,6 +195,21 @@ class TextDedupSpec extends AnyFunSuite {
     assert(overlap12 > 0.4 && overlap13 == 0.0, s"$overlap12 $overlap13")
   }
 
+  test("tfidf: dense ranks per doc, scores non-increasing, idf sane") {
+    val rows = TextAnalysis.tfidf(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (doc, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length),
+        s"doc $doc: ranks not dense")
+      val scores = sorted.map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"doc $doc: scores increase down the ranking")
+      // idf >= 0 always (df <= N) => tf * idf >= 0
+      assert(scores.forall(_ >= 0.0), s"doc $doc: negative tf-idf")
+    }
+  }
+
   test("fingerprintChecked: winnow structure verdicts all true on the corpus") {
     val rows = TextAnalysis.fingerprintChecked(spark, sf).collect()
     assert(rows.nonEmpty)
