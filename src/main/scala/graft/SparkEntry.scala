@@ -48,6 +48,7 @@ object SparkEntry {
     "q27_lead_lag" -> (Relational.q27LeadLag _),
     "q28_stratified_sample" -> ((s, d) => Relational.q28StratifiedSample(s, d)),
     "q29_event_funnel" -> (Relational.q29EventFunnel _),
+    "q33_retention" -> (Relational.q33Retention _),
     // A'. warehouse shapes: runtime bloom filter, band lookup, SCD2
     "q30_bloom_semi" -> (Warehouse.q30BloomSemi _),
     "q31_range_lookup" -> (Warehouse.q31RangeLookup _),
@@ -99,6 +100,7 @@ object SparkEntry {
     "text_normalize_dedup" -> (TextAnalysis.normalizeDedup _),
     "text_bigrams" -> ((s, d) => TextAnalysis.bigrams(s, d)),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
+    "text_weighted_sample" -> ((s, d) => TextAnalysis.weightedSample(s, d)),
     "text_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     "text_hash_split" -> ((s, d) => TextAnalysis.hashSplit(s, d)),
     "text_pack" -> ((s, d) => TextAnalysis.pack(s, d)),
@@ -143,6 +145,7 @@ object SparkEntry {
     // oracle-checked since r5: per-window within-error-contract verdicts
     "stream_sketch_window" -> (graft.streaming.EventStreams.sketchWindowChecked _),
     "stream_enrich" -> (graft.streaming.EventStreams.enrichBatch _),
+    "stream_cdc_merge" -> (graft.streaming.EventStreams.cdcMergeBatch _),
     // F. malformed-media quarantine: per (kind, verdict, reason) triage
     // counts over a deterministically damaged corpus. Oracle-checked:
     // the damage schedule (doc_id % 17) and each parser's typed verdict
@@ -424,6 +427,17 @@ object SparkEntry {
            v.t_view, c.t_click, p.t_purchase
          FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
          ORDER BY v.user_id""",
+    // cohort retention: both engines truncate weeks to Monday, and the
+    // day gap between week-truncated stamps is an exact multiple of 7
+    "q33_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+           FROM events),
+         c AS (SELECT user_id, min(wk) AS cohort_wk FROM a GROUP BY user_id)
+         SELECT cohort_wk,
+           CAST(date_diff('day', cohort_wk, wk) / 7 AS INTEGER) AS weeks_since,
+           count(DISTINCT user_id) AS n_active
+         FROM a JOIN c USING (user_id)
+         GROUP BY cohort_wk, weeks_since ORDER BY cohort_wk, weeks_since""",
     "q28_stratified_sample" ->
       """SELECT lang, rk, doc_id FROM (
            SELECT lang, doc_id,
@@ -1177,6 +1191,21 @@ object SparkEntry {
                 WHEN substring(md5(text), 1, 2) < 'e8' THEN 'valid'
                 ELSE 'test' END AS split
          FROM documents ORDER BY doc_id""",
+    // Efraimidis-Spirakis weighted sample: priority = ln(u)/w with u a
+    // dyadic-exact uniform from the md5 prefix (+0.5 so never 0) and
+    // w = char length; ln bit-parity makes the ranking oracle-exact
+    "text_weighted_sample" ->
+      """WITH d AS (SELECT doc_id,
+           ln((CAST(concat('0x', substring(md5(text), 1, 8)) AS BIGINT)
+             + CAST(0.5 AS DOUBLE)) / CAST(4294967296.0 AS DOUBLE))
+           / CAST(length(text) AS DOUBLE) AS priority
+           FROM documents),
+         r AS (SELECT doc_id, priority,
+           row_number() OVER (ORDER BY priority DESC, doc_id) AS rk
+           FROM d)
+         SELECT CAST(rk AS INTEGER) AS rk, doc_id,
+           round(priority, 6) AS priority
+         FROM r WHERE rk <= 100 ORDER BY rk""",
     // TF-IDF: ln is bit-identical between Math.log and DuckDB on this
     // platform (verified over every N/df ratio), ties break by term, so
     // the per-doc top-3 ranking agrees exactly
@@ -1259,6 +1288,18 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
            count(*) AS n_events, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // CDC merge: last (ts, event_id) op per key wins; keys whose last
+    // op is a delete ('error' events) are absent from the state table
+    "stream_cdc_merge" ->
+      """WITH x AS (SELECT user_id, ts, event_id, value,
+           CASE WHEN event_type = 'error' THEN 'delete'
+             ELSE 'upsert' END AS op FROM events),
+         r AS (SELECT user_id, op, value, ts,
+           count(*) OVER (PARTITION BY user_id) AS n_ops,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY ts DESC, event_id DESC) AS rn FROM x)
+         SELECT user_id, value, ts, n_ops FROM r
+         WHERE rn = 1 AND op <> 'delete' ORDER BY user_id""",
     "stream_sessionize" ->
       """WITH x AS (SELECT user_id, ts, event_id, value,
            CASE WHEN lag(ts) OVER w IS NULL

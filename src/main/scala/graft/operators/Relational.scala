@@ -445,4 +445,27 @@ object Relational {
         col("t_view"), col("t_click"), col("t_purchase"))
       .orderBy(col("user_id"))
   }
+
+  /** Cohort retention: users grouped by first-active week, counted per
+    * week-offset since that cohort week — the standard product-analytics
+    * triangle. Both engines truncate weeks to Monday, and the day gap
+    * between two week-truncated stamps is an exact multiple of 7, so
+    * weeks_since is integer-exact.
+    *
+    * Scale shape: one distinct over (user, week) — the raw event volume
+    * collapses immediately — then a per-user min (partial-agg) joined
+    * back on the user partitioning, then a cohort-sized agg. Nothing
+    * windows over raw events. */
+  def q33Retention(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val cohort = a.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    a.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_wk"),
+        (datediff(col("wk"), col("cohort_wk")) / lit(7)).cast("int")
+          .as("weeks_since"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_wk"), col("weeks_since"))
+  }
 }

@@ -129,6 +129,33 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("bigram"))
       .limit(topN)
 
+  /** Deterministic weighted sample (Efraimidis-Spirakis A-ES): each doc
+    * gets priority ln(u)/w — the monotone-log form of the classic
+    * u^(1/w) key, chosen because ln is bit-identical across engines
+    * while pow is not proven — with u a dyadic-exact uniform derived
+    * from the doc's md5 (first 8 hex digits + 0.5, over 2^32: never 0,
+    * no ln(-inf)) and w = char length (longer docs proportionally more
+    * likely). Top-k by priority IS a weighted sample without
+    * replacement, reproducible run-to-run and engine-to-engine — the
+    * property a curation pipeline needs for auditable subsampling.
+    *
+    * Scale shape: priorities are one map-side codegen pass; the global
+    * top-k is the k-bounded-heap aggregate, so numPartitions x k rows
+    * shuffle — never a global sort. */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (log((conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+          .cast("long") + lit(0.5)) / lit(4294967296.0))
+          / length(col("text")).cast("double")).as("priority"))
+      .agg(graft.functions.TopK.top_k_by_score(
+        col("priority"), col("doc_id"), k).as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).cast("int").as("rk"),
+        col("col.id").as("doc_id"),
+        round(col("col.score"), 6).as("priority"))
+      .orderBy(col("rk"))
+
   /** TF-IDF top-k terms per document — the keyword/topic signal a
     * curation pipeline computes for tagging and diversity balancing.
     * idf = ln(N/df), no smoothing (df >= 1 for every term actually in a

@@ -14,6 +14,10 @@ case class EventRow(event_id: Long, ts: Timestamp, user_id: Long,
 /** Per-user running statistics (Welford) carried as stream state. */
 case class UserStats(n: Long, mean: Double, m2: Double)
 
+/** Per-key CDC state: last op seen (with its ordering key) + op count. */
+case class CdcState(ts: Timestamp, eventId: Long, op: String,
+                    value: Double, nOps: Long)
+
 /** An emitted anomaly: a value whose z-score against the user's history
   * (events strictly before it) exceeds the threshold. */
 case class AnomalyHit(user_id: Long, event_id: Long, ts: Timestamp,
@@ -343,4 +347,62 @@ object EventStreams {
   def enrichStream(events: DataFrame, users: DataFrame,
                    maxBroadcastRows: Long = 1000000L): DataFrame =
     enrich(events, users, maxBroadcastRows)
+
+  // ---- CDC merge: materialize a keyed changelog into current state ----
+
+  /** Changelog view of the event stream: 'error' events act as DELETE
+    * ops for their user key, everything else as an UPSERT carrying the
+    * event's value — the shape a CDC feed (Debezium-style) delivers. */
+  private def asChangelog(events: DataFrame): DataFrame =
+    events.withColumn("op",
+      when(col("event_type") === "error", lit("delete"))
+        .otherwise(lit("upsert")))
+
+  /** Batch semantics of the merge: per key, the LAST op in (ts,
+    * event_id) order wins; keys whose last op is a delete are absent
+    * from the materialized state. One max_by aggregation — partial-agg
+    * friendly, no window sort over the changelog — plus the per-key op
+    * count for audit. The streaming twin ([[cdcMergeStream]]) keeps the
+    * same (last-op, count) pair in GroupState and must converge to this
+    * exact table — spec-pinned, and the oracle restates it as a plain
+    * last-row-per-key SQL. */
+  def cdcMerge(events: DataFrame): DataFrame =
+    asChangelog(events)
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("op"), col("value"), col("ts")),
+        struct(col("ts"), col("event_id"))).as("last"),
+        count(lit(1)).as("n_ops"))
+      .filter(col("last.op") =!= "delete")
+      .select(col("user_id"), col("last.value").as("value"),
+        col("last.ts").as("ts"), col("n_ops"))
+
+  def cdcMergeBatch(spark: SparkSession, dir: String): DataFrame =
+    cdcMerge(Tables.events(spark, dir)).orderBy(col("user_id"))
+
+  /** Streaming merge: GroupState holds one (last-op, count) record per
+    * key — fixed-size state however long the changelog runs. Emits the
+    * key's CURRENT materialized row after each batch (value row, or a
+    * tombstone marker via the deleted flag so a sink can retract).
+    * Folding is (ts, event_id)-ordered inside a batch and monotone
+    * across batches, so replays/out-of-order batches cannot regress the
+    * state — the idempotence a MERGE sink needs. */
+  def cdcMergeStream(events: Dataset[EventRow]): Dataset[(Long, Double, Timestamp, Long, Boolean)] = {
+    import events.sparkSession.implicits._
+    def step(userId: Long, it: Iterator[EventRow],
+             state: GroupState[CdcState]): Iterator[(Long, Double, Timestamp, Long, Boolean)] = {
+      var st = state.getOption.orNull
+      it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val op = if (e.event_type == "error") "delete" else "upsert"
+        val newer = st == null || e.ts.getTime > st.ts.getTime ||
+          (e.ts.getTime == st.ts.getTime && e.event_id > st.eventId)
+        val n = if (st == null) 1L else st.nOps + 1L
+        st = if (newer) CdcState(e.ts, e.event_id, op, e.value, n)
+        else st.copy(nOps = n)
+      }
+      state.update(st)
+      Iterator.single((userId, st.value, st.ts, st.nOps, st.op == "delete"))
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(step)
+  }
 }

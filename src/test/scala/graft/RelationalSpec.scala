@@ -91,4 +91,15 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 9))
   }
+
+  test("q33 retention: every user lands in their own cohort's week 0") {
+    val rows = operators.Relational.q33Retention(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(1) >= 0), "negative week offset")
+    val week0 = rows.filter(_.getInt(1) == 0).map(_.getLong(2)).sum
+    val users = Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(week0 == users,
+      s"week-0 actives $week0 != $users distinct users")
+  }
 }

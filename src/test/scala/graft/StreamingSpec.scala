@@ -202,6 +202,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(n >= users, "at least one session per active user")
   }
 
+  test("cdcMerge: last op wins, deleted keys are absent, batch == stream state") {
+    import spark.implicits._
+    // user 1: upserts then a trailing delete -> absent from state
+    // user 2: delete in the middle, upsert after -> present with last value
+    // user 3: single upsert
+    val log = Seq(
+      Ev(1, t(0), 1, "click", 1.0), Ev(2, t(5), 1, "view", 2.0),
+      Ev(3, t(9), 1, "error", 0.0),
+      Ev(4, t(1), 2, "click", 4.0), Ev(5, t(3), 2, "error", 0.0),
+      Ev(6, t(7), 2, "purchase", 6.0),
+      Ev(7, t(2), 3, "view", 7.0))
+    val batch = EventStreams.cdcMerge(log.toDF()).orderBy("user_id").collect()
+    assert(batch.map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    assert(batch(0).getDouble(1) == 6.0 && batch(0).getLong(3) == 3)
+    assert(batch(1).getDouble(1) == 7.0 && batch(1).getLong(3) == 1)
+
+    // stream in TWO batches split mid-key; final emitted state per key
+    // must equal the batch merge (including the tombstone for user 1)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.cdcMergeStream(mem.toDF().as[EventRow])
+      .toDF("user_id", "value", "ts", "n_ops", "deleted")
+      .writeStream.format("memory").queryName("cdc_out")
+      .outputMode("update").start()
+    mem.addData(log.take(4): _*); q.processAllAvailable()
+    mem.addData(log.drop(4): _*); q.processAllAvailable(); q.stop()
+    val last = spark.table("cdc_out").collect()
+      .groupBy(_.getLong(0)).map { case (u, rs) =>
+        u -> rs.maxBy(_.getLong(3)) } // highest n_ops = latest emission
+    assert(last(1L).getBoolean(4), "user 1's final state must be a tombstone")
+    assert(!last(2L).getBoolean(4) && last(2L).getDouble(1) == 6.0
+      && last(2L).getLong(3) == 3)
+    assert(!last(3L).getBoolean(4) && last(3L).getDouble(1) == 7.0)
+  }
+
   test("sketchWindowChecked: every per-window sketch verdict is true") {
     val rows = EventStreams.sketchWindowChecked(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -195,6 +195,18 @@ class TextDedupSpec extends AnyFunSuite {
     assert(overlap12 > 0.4 && overlap13 == 0.0, s"$overlap12 $overlap13")
   }
 
+  test("weightedSample: k rows, priorities non-increasing and negative") {
+    val rows = TextAnalysis.weightedSample(spark, sf, k = 50).collect()
+    assert(rows.length == 50)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 50))
+    val ps = rows.map(_.getDouble(2))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a >= b })
+    assert(ps.forall(_ < 0.0), "ln(u)/w must be negative for u in (0,1)")
+    // determinism: a second run returns the identical sample
+    val again = TextAnalysis.weightedSample(spark, sf, k = 50).collect()
+    assert(rows.map(_.getLong(1)).toSeq == again.map(_.getLong(1)).toSeq)
+  }
+
   test("tfidf: dense ranks per doc, scores non-increasing, idf sane") {
     val rows = TextAnalysis.tfidf(spark, sf).collect()
     assert(rows.nonEmpty)
