@@ -49,6 +49,7 @@ object SparkEntry {
     "q28_stratified_sample" -> ((s, d) => Relational.q28StratifiedSample(s, d)),
     "q29_event_funnel" -> (Relational.q29EventFunnel _),
     "q33_retention" -> (Relational.q33Retention _),
+    "q34_market_basket" -> (Relational.q34MarketBasket(_, _)),
     // A'. warehouse shapes: runtime bloom filter, band lookup, SCD2
     "q30_bloom_semi" -> (Warehouse.q30BloomSemi _),
     "q31_range_lookup" -> (Warehouse.q31RangeLookup _),
@@ -101,6 +102,7 @@ object SparkEntry {
     "text_bigrams" -> ((s, d) => TextAnalysis.bigrams(s, d)),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
     "text_weighted_sample" -> ((s, d) => TextAnalysis.weightedSample(s, d)),
+    "text_xentropy" -> (TextAnalysis.xentropy _),
     "text_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     "text_hash_split" -> ((s, d) => TextAnalysis.hashSplit(s, d)),
     "text_pack" -> ((s, d) => TextAnalysis.pack(s, d)),
@@ -134,6 +136,16 @@ object SparkEntry {
     // restates the closed-form pixel function, so the hash check proves
     // the decode round-trip, not just plumbing
     "mm_pixel_stats" -> (Multimodal.pixelStats _),
+    // F. resize plumbing — oracle-checked on the closed-form columns
+    // (target dims + parsed source dims); the re-encode checksum stays
+    // engine-internal
+    "mm_resize" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Multimodal.resize(Multimodal.mediaTable(s, d), 256, 192).toDF()
+        .select(col("doc_id"), col("kind"), col("width"), col("height"),
+          col("src_w"), col("src_h"))
+        .orderBy(col("doc_id"))
+    }),
     // G. streaming (batch-equivalent plans; streaming entry points share
     // the same transform functions, spec-checked via MemoryStream)
     "stream_window_agg" -> (graft.streaming.EventStreams.windowAggBatch _),
@@ -427,6 +439,19 @@ object SparkEntry {
            v.t_view, c.t_click, p.t_purchase
          FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
          ORDER BY v.user_id""",
+    // market basket: pair expansion replicated as a keyed self-join;
+    // identical basket cap and full tie-break make the LIMIT cut exact
+    "q34_market_basket" ->
+      """WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+           FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+         ok AS (SELECT c FROM cp GROUP BY c
+           HAVING count(*) BETWEEN 2 AND 200),
+         pairs AS (SELECT a.p AS part_a, b.p AS part_b
+           FROM cp a JOIN cp b ON a.c = b.c AND a.p < b.p
+           JOIN ok ON ok.c = a.c)
+         SELECT part_a, part_b, count(*) AS n_customers FROM pairs
+         GROUP BY part_a, part_b
+         ORDER BY n_customers DESC, part_a, part_b LIMIT 20""",
     // cohort retention: both engines truncate weeks to Monday, and the
     // day gap between week-truncated stamps is an exact multiple of 7
     "q33_retention" ->
@@ -1191,6 +1216,18 @@ object SparkEntry {
                 WHEN substring(md5(text), 1, 2) < 'e8' THEN 'valid'
                 ELSE 'test' END AS split
          FROM documents ORDER BY doc_id""",
+    // unigram cross-entropy: p(t) = corpus count / total tokens; the
+    // per-doc mean of -ln p is the only float agg and is rounded
+    "text_xentropy" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         c AS (SELECT doc_id, term,
+           count(*) OVER (PARTITION BY term) AS c FROM t),
+         n AS (SELECT count(*) AS t_total FROM (
+           SELECT unnest(string_split(text, ' ')) FROM documents) u)
+         SELECT doc_id, count(*) AS n_tokens,
+           round(avg(-ln(c::DOUBLE / t_total)), 4) AS xent
+         FROM c, n GROUP BY doc_id ORDER BY doc_id""",
     // Efraimidis-Spirakis weighted sample: priority = ln(u)/w with u a
     // dyadic-exact uniform from the md5 prefix (+0.5 so never 0) and
     // w = char length; ln bit-parity makes the ranking oracle-exact
@@ -1376,6 +1413,18 @@ object SparkEntry {
            CAST(CASE doc_id % 3 WHEN 2 THEN GREATEST(1,
              CAST(floor((1000 + doc_id % 8000) * 30 / 1000.0) AS INTEGER))
              ELSE 1 END AS INTEGER) AS n_frames
+         FROM documents ORDER BY doc_id""",
+    // F. resize: target dims are the call-site constants, source dims
+    // the same planted header fields as mm_features
+    "mm_resize" ->
+      """SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image/png'
+             WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS kind,
+           CAST(256 AS INTEGER) AS width, CAST(192 AS INTEGER) AS height,
+           CAST(CASE doc_id % 3 WHEN 1 THEN 8000 + doc_id % 8000
+             ELSE doc_id % 640 + 1 END AS INTEGER) AS src_w,
+           CAST(CASE doc_id % 3 WHEN 1 THEN 16
+             ELSE doc_id % 480 + 1 END AS INTEGER) AS src_h
          FROM documents ORDER BY doc_id""",
     // F. PNG pixel decode: dimensions and pixel bytes are closed-form in
     // doc_id (v(i) = (doc_id*31 + i*7919) % 256 over RGB triplets), so

@@ -446,6 +446,36 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** Market-basket co-occurrence: part pairs purchased by the same
+    * customer, counted across customers — the association-rule support
+    * table. Same bucket-expansion idiom as the LSH pair generators: one
+    * sorted list per customer, i<j pairs expanded map-side with
+    * higher-order functions (never a basket x basket self-join), basket
+    * size capped BETWEEN 2 AND [[BasketCap]] as the skew guard — a
+    * single whale customer would otherwise contribute O(cap^2) pairs.
+    * Top-N fully tie-broken (count desc, part_a, part_b) so the cut is
+    * deterministic in both engines. */
+  val BasketCap = 200
+  def q34MarketBasket(spark: SparkSession, dir: String,
+                      topN: Int = 20): DataFrame = {
+    val cp = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+    cp.groupBy(col("c"))
+      .agg(sort_array(collect_list(col("p"))).as("parts"))
+      .filter(size(col("parts")) >= 2 && size(col("parts")) <= BasketCap)
+      .select(explode(flatten(transform(col("parts"), (x, i) =>
+        transform(slice(col("parts"), i + 2, size(col("parts"))), y =>
+          struct(x.as("part_a"), y.as("part_b")))))).as("pr"))
+      .groupBy(col("pr.part_a").as("part_a"), col("pr.part_b").as("part_b"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_customers").desc, col("part_a"), col("part_b"))
+      .limit(topN)
+  }
+
   /** Cohort retention: users grouped by first-active week, counted per
     * week-offset since that cohort week — the standard product-analytics
     * triangle. Both engines truncate weeks to Monday, and the day gap

@@ -129,6 +129,31 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("bigram"))
       .limit(topN)
 
+  /** Unigram cross-entropy per document against the corpus's own
+    * unigram LM — the perplexity-proxy quality filter: documents whose
+    * tokens are corpus-atypical (high -ln p) read as noise/outliers,
+    * the cheap stand-in for an LM-based filter when no model fits in
+    * the pipeline. p(t) = count(t)/T with no smoothing (every scored
+    * token is in the vocabulary by construction).
+    *
+    * Scale shape: token counts come from a window over the term
+    * partition of the (doc, term)-level frame (same no-vocab-broadcast
+    * discipline as [[tfidf]]); T is the one scalar crossed on; the
+    * per-doc mean is a partial-agg. ln bit-parity holds (verified), the
+    * final double mean is rounded for the oracle. */
+  def xentropy(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val total = toks.agg(count(lit(1)).as("t_total"))
+    toks
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("c") / col("t_total"))), 4).as("xent"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic weighted sample (Efraimidis-Spirakis A-ES): each doc
     * gets priority ln(u)/w — the monotone-log form of the classic
     * u^(1/w) key, chosen because ln is bit-identical across engines

@@ -36,12 +36,13 @@ class PruningSpec extends AnyFunSuite {
     // geo_eta_matrix: the poisInBuffer bbox pre-filter crosses the POI
     // scan with a ONE-row scalar bbox frame (agg over origins) — the
     // search itself stays the cell-bucketed hash join
-    // text_tfidf: the one-row scalar n_docs frame crossed onto the tf
-    // frame (df itself is a window count, NOT a vocab-sized broadcast)
+    // text_tfidf / text_xentropy: the one-row scalar N/total frame
+    // crossed onto the token frame (term counts are window counts, NOT
+    // a vocab-sized broadcast)
     val nlAllowed = Set("ann_brute_topk", "ann_ivf_topk",
       "geo_nearest_poi", "geo_area_assign", "geo_route_nearest",
       "emb_cluster_assign", "emb_kmeans", "q31_range_lookup",
-      "geo_eta_matrix", "text_tfidf")
+      "geo_eta_matrix", "text_tfidf", "text_xentropy")
     // full-outer equi-joins cannot broadcast (both sides must preserve
     // unmatched rows), so a shuffle join IS the correct plan there
     val smjAllowed = Set("q26_full_outer")

@@ -92,6 +92,15 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 9))
   }
 
+  test("q34 market basket: ordered pairs, descending support") {
+    val rows = operators.Relational.q34MarketBasket(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach(r => assert(r.getLong(0) < r.getLong(1)))
+    val ns = rows.map(_.getLong(2))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    assert(ns.forall(_ >= 1))
+  }
+
   test("q33 retention: every user lands in their own cohort's week 0") {
     val rows = operators.Relational.q33Retention(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -195,6 +195,20 @@ class TextDedupSpec extends AnyFunSuite {
     assert(overlap12 > 0.4 && overlap13 == 0.0, s"$overlap12 $overlap13")
   }
 
+  test("xentropy: positive scores, token counts match the tokenizer") {
+    val rows = TextAnalysis.xentropy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 0.0, s"doc ${r.getLong(0)}: xent not positive")
+    }
+    // n_tokens agrees with a direct split count on one doc
+    val doc = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .head()
+    val row = rows.find(_.getLong(0) == doc.getLong(0)).get
+    assert(row.getLong(1) == doc.getInt(1).toLong)
+  }
+
   test("weightedSample: k rows, priorities non-increasing and negative") {
     val rows = TextAnalysis.weightedSample(spark, sf, k = 50).collect()
     assert(rows.length == 50)
