@@ -440,10 +440,14 @@ object SparkEntry {
          FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
          ORDER BY v.user_id""",
     // market basket: pair expansion replicated as a keyed self-join;
-    // identical basket cap and full tie-break make the LIMIT cut exact
+    // identical popular-part cut (tie-broken), basket cap, and top-N
+    // tie-break make every LIMIT exact
     "q34_market_basket" ->
-      """WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      """WITH cp0 AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+         pop AS (SELECT p FROM cp0 GROUP BY p
+           ORDER BY count(*) DESC, p LIMIT 200),
+         cp AS (SELECT c, p FROM cp0 JOIN pop USING (p)),
          ok AS (SELECT c FROM cp GROUP BY c
            HAVING count(*) BETWEEN 2 AND 200),
          pairs AS (SELECT a.p AS part_a, b.p AS part_b
