@@ -318,12 +318,21 @@ object EventStreams {
     * strategy, and hashing the dim avoids sort-merge's per-batch sort of
     * the unsorted stream side. (A pre-bucketed dim via
     * [[graft.sources.Bucketed]] removes even that exchange.) The sizing
-    * probe is one count() over the STATIC dim at plan time — never over
-    * the stream. */
+    * probe is Catalyst's own optimized-plan size estimate against the
+    * session's autoBroadcastJoinThreshold — the statistic Spark's join
+    * planner itself consults — so no action runs and the dim plan is
+    * never executed just to be measured (a count() probe was measured
+    * doubling the query at sf0.1). `maxBroadcastBytes >= 0` overrides
+    * the threshold (0 forces the shuffle-hash regime, as the specs do);
+    * a disabled threshold (-1) correctly lands every dim in it. */
   def enrich(events: DataFrame, users: DataFrame,
-             maxBroadcastRows: Long = 1000000L): DataFrame = {
+             maxBroadcastBytes: Long = -1L): DataFrame = {
+    val limit =
+      if (maxBroadcastBytes >= 0L) BigInt(maxBroadcastBytes)
+      else BigInt(users.sparkSession.sessionState.conf.autoBroadcastJoinThreshold)
     val dim =
-      if (users.count() <= maxBroadcastRows) broadcast(users)
+      if (users.queryExecution.optimizedPlan.stats.sizeInBytes <= limit)
+        broadcast(users)
       else users.hint("SHUFFLE_HASH")
     events.join(dim, col("user_id") === col("c_custkey"), "left_outer")
       .select(col("event_id"), col("user_id"), col("event_type"),
@@ -345,8 +354,8 @@ object EventStreams {
       .orderBy(col("event_id"))
 
   def enrichStream(events: DataFrame, users: DataFrame,
-                   maxBroadcastRows: Long = 1000000L): DataFrame =
-    enrich(events, users, maxBroadcastRows)
+                   maxBroadcastBytes: Long = -1L): DataFrame =
+    enrich(events, users, maxBroadcastBytes)
 
   // ---- CDC merge: materialize a keyed changelog into current state ----
 

@@ -255,12 +255,12 @@ class StreamingSpec extends AnyFunSuite {
     val bPlan = EventStreams.enrich(ev, users)
       .queryExecution.executedPlan.toString
     assert(bPlan.contains("BroadcastHashJoin [user_id"), bPlan)
-    val sPlan = EventStreams.enrich(ev, users, maxBroadcastRows = 0L)
+    val sPlan = EventStreams.enrich(ev, users, maxBroadcastBytes = 0L)
       .queryExecution.executedPlan.toString
     assert(sPlan.contains("ShuffledHashJoin [user_id"), sPlan)
     assert(!sPlan.contains("BroadcastHashJoin [user_id"), sPlan)
     val a = EventStreams.enrich(ev, users)
-    val b = EventStreams.enrich(ev, users, maxBroadcastRows = 0L)
+    val b = EventStreams.enrich(ev, users, maxBroadcastBytes = 0L)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
@@ -272,10 +272,10 @@ class StreamingSpec extends AnyFunSuite {
     // segment/nation (left outer), not drop
     val users = Seq((1L, "SEG_A", "ALPHA"))
       .toDF("c_custkey", "c_mktsegment", "n_name")
-    for ((maxRows, name) <- Seq((1000000L, "enr_bcast"), (0L, "enr_shuf"))) {
+    for ((maxBytes, name) <- Seq((-1L, "enr_bcast"), (0L, "enr_shuf"))) {
       val mem = MemoryStream[Ev]
       mem.addData(sample.take(3): _*)
-      val q = EventStreams.enrichStream(mem.toDF(), users, maxRows)
+      val q = EventStreams.enrichStream(mem.toDF(), users, maxBytes)
         .writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       q.processAllAvailable()
