@@ -136,6 +136,10 @@ object SparkEntry {
     // restates the closed-form pixel function, so the hash check proves
     // the decode round-trip, not just plumbing
     "mm_pixel_stats" -> (Multimodal.pixelStats _),
+    // F. real 16-bit PCM decode (RIFF walk + int16 LE) — the oracle
+    // restates the closed-form sample function, so the hash proves the
+    // audio decode round-trip
+    "mm_pcm_stats" -> (Multimodal.pcmStats _),
     // F. resize plumbing — oracle-checked on the closed-form columns
     // (target dims + parsed source dims); the re-encode checksum stays
     // engine-internal
@@ -1430,6 +1434,24 @@ object SparkEntry {
            CAST(CASE doc_id % 3 WHEN 1 THEN 16
              ELSE doc_id % 480 + 1 END AS INTEGER) AS src_h
          FROM documents ORDER BY doc_id""",
+    // F. PCM sample decode: samples are closed-form in (doc_id, i), so
+    // the oracle aggregates the formula while Spark must recover the
+    // same int16s through the real RIFF framing
+    "mm_pcm_stats" ->
+      """WITH a AS (SELECT doc_id, 200 + doc_id % 800 AS n FROM documents
+           WHERE doc_id % 3 = 1),
+         s AS (SELECT doc_id, i,
+             (doc_id * 31 + i * 7919) % 65536 - 32768 AS v
+           FROM a, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) t),
+         x AS (SELECT doc_id, v,
+             CASE WHEN lag(v) OVER w IS NOT NULL
+               AND ((v < 0) <> (lag(v) OVER w < 0)) THEN 1 ELSE 0 END AS chg
+           FROM s WINDOW w AS (PARTITION BY doc_id ORDER BY i))
+         SELECT doc_id, count(*) AS n_samples,
+           min(v) AS s_min, max(v) AS s_max,
+           CAST(sum(v) AS BIGINT) AS s_sum,
+           CAST(sum(chg) AS BIGINT) AS n_sign_change
+         FROM x GROUP BY doc_id ORDER BY doc_id""",
     // F. PNG pixel decode: dimensions and pixel bytes are closed-form in
     // doc_id (v(i) = (doc_id*31 + i*7919) % 256 over RGB triplets), so
     // the oracle aggregates the formula directly while the Spark side

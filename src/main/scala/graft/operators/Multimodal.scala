@@ -38,6 +38,11 @@ case class PixelStats(doc_id: Long, width: Long, height: Long,
                       g_min: Long, g_max: Long, g_sum: Long,
                       b_min: Long, b_max: Long, b_sum: Long)
 
+/** Sample statistics of one decoded 16-bit PCM clip (integer sums and
+  * a sign-change count — nothing floating-point to disagree about). */
+case class PcmStats(doc_id: Long, n_samples: Long, s_min: Long,
+                    s_max: Long, s_sum: Long, n_sign_change: Long)
+
 /** Multimodal column plumbing: binary payloads with typed metadata,
   * processed per-partition in typed Datasets.
   *
@@ -478,6 +483,90 @@ object Multimodal {
     feats
       .select(Seq(col("doc_id"), col("kind"), col("byte_len"), col("checksum"),
         col("width"), col("height"), col("n_frames")) ++ histCols: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Real 16-bit PCM decode, pure JVM: validate the RIFF/WAVE framing,
+    * require 16-bit PCM from the fmt chunk, walk to `data`, and read
+    * the little-endian int16 samples. Same Long-cursor discipline as
+    * [[parseWav]]; malformed framing throws typed errors for the
+    * quarantine path. */
+  def decodeWavPcm(p: Array[Byte]): Array[Short] = {
+    require(isWav(p), "not a WAV")
+    val (_, bits) = parseWav(p)
+    require(bits == 16, s"WAV: only 16-bit PCM supported, got $bits")
+    var i = 12L
+    while (i + 8 <= p.length) {
+      val id = tag(p, i.toInt)
+      val size = i32le(p, i.toInt + 4).toLong & 0xffffffffL
+      require(i + 8 + size <= p.length, s"WAV: chunk size $size overruns payload")
+      if (id == "data") {
+        require(size % 2 == 0, "WAV: odd data size for 16-bit samples")
+        val out = new Array[Short]((size / 2).toInt)
+        var j = 0
+        while (j < out.length) {
+          out(j) = u16le(p, i.toInt + 8 + j * 2).toShort
+          j += 1
+        }
+        return out
+      }
+      i += 8 + size + (size & 1)
+    }
+    throw new IllegalArgumentException("WAV: no data chunk")
+  }
+
+  /** The audio subset (same doc_id % 3 kind split as [[mediaTable]])
+    * carrying FULLY DECODABLE 16-bit PCM: every sample is closed-form
+    * in (doc_id, i) — s_i = ((doc_id*31 + i*7919) mod 65536) - 32768 —
+    * so an engine with no audio stack states the expected sample
+    * statistics exactly, while the Spark side must round-trip the real
+    * RIFF framing and int16 byte order to recover them. */
+  def pcmMediaTable(spark: SparkSession, dir: String): Dataset[MediaItem] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id")).filter(col("doc_id") % 3 === 1)
+      .as[Long]
+      .map { id =>
+        val n = (200 + id % 800).toInt
+        val bb = ByteBuffer.allocate(n * 2).order(ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < n) {
+          bb.putShort((((id * 31 + i.toLong * 7919) % 65536) - 32768).toShort)
+          i += 1
+        }
+        MediaItem(id, "audio/wav", wavPayload(8000, bb.array()), 0, 0)
+      }
+  }
+
+  /** Sample statistics over the decoded PCM clips — the amplitude
+    * range/DC-offset/sign-activity summary an audio-data pipeline
+    * computes per clip for normalization and silence/clipping triage.
+    * The decode is the real thing ([[decodeWavPcm]]: RIFF walk + int16
+    * LE), and the DuckDB oracle restates the closed-form sample
+    * function, so a byte-order or chunk-walk defect breaks the hash.
+    * Integer stats only; sign changes count adjacent pairs whose
+    * (s < 0) flags differ. Same scale shape as [[pixelStats]]. */
+  def pcmStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pcmMediaTable(spark, dir)
+      .mapPartitions { it =>
+        it.map { m =>
+          val s = decodeWavPcm(m.payload)
+          var mn = Long.MaxValue; var mx = Long.MinValue
+          var sum = 0L; var chg = 0L
+          var i = 0
+          while (i < s.length) {
+            val v = s(i).toLong
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            sum += v
+            if (i > 0 && (s(i) < 0) != (s(i - 1) < 0)) chg += 1
+            i += 1
+          }
+          PcmStats(m.doc_id, s.length.toLong, mn, mx, sum, chg)
+        }
+      }
+      .toDF()
       .orderBy(col("doc_id"))
   }
 

@@ -173,4 +173,31 @@ class MultimodalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("PCM decode round-trips int16 byte order and chunk framing") {
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 12345, -12345)
+    val bb = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(bb.putShort)
+    val wav = Multimodal.wavPayload(8000, bb.array())
+    assert(Multimodal.decodeWavPcm(wav).toSeq == samples.toSeq)
+    // framing defects throw typed errors, not garbage samples
+    val truncated = wav.take(wav.length - 3)
+    assertThrows[IllegalArgumentException](Multimodal.decodeWavPcm(truncated))
+  }
+
+  test("pcmStats equals the closed-form sample function") {
+    val rows = Multimodal.pcmStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val n = (200 + id % 800).toInt
+      val vs = (0 until n).map(i => (id * 31 + i.toLong * 7919) % 65536 - 32768)
+      assert(r.getLong(1) == n.toLong, s"doc $id n_samples")
+      assert(r.getLong(2) == vs.min && r.getLong(3) == vs.max, s"doc $id extrema")
+      assert(r.getLong(4) == vs.sum, s"doc $id sum")
+      val chg = vs.sliding(2).count(p => (p(0) < 0) != (p(1) < 0))
+      assert(r.getLong(5) == chg.toLong, s"doc $id sign changes")
+    }
+  }
 }
