@@ -120,10 +120,14 @@ object GeoMath {
     * per-grid-square work-area step (`intersect(adminArea, square)`,
     * ram-analysis/app/calculate-eta/index.js:69): the clip window there
     * is always a squareGrid cell, i.e. convex and axis-aligned, which is
-    * exactly the window class S-H clips exactly. Arbitrary (including
-    * non-convex) subject rings are supported; the empty result (ring
-    * entirely outside) is the reference's no-intersection skip
-    * (tasks.js:36). Output ring is open, same convention as the input. */
+    * exactly the window class S-H clips exactly. Arbitrary SIMPLE
+    * (including non-convex) subject rings are supported — S-H's
+    * standard precondition; a self-intersecting subject yields
+    * undefined area (the property suite demonstrated one whose clip
+    * exceeded its own shoelace area). Admin-area rings are simple by
+    * construction. The empty result (ring entirely outside) is the
+    * reference's no-intersection skip (tasks.js:36). Output ring is
+    * open, same convention as the input. */
   def clipRingToRect(ring: ArrayData, bounds: ArrayData): ArrayData = {
     val x0 = bounds.getDouble(0); val y0 = bounds.getDouble(1)
     val x1 = bounds.getDouble(2); val y1 = bounds.getDouble(3)

@@ -146,14 +146,27 @@ class KernelPropertySpec extends AnyFunSuite {
       val p = a.getArray(i); (p.getDouble(0), p.getDouble(1))
     }
 
-  // star-shaped polygons (random radii at sorted angles): always simple,
-  // frequently concave — the subject class the clip supports
+  // star-shaped polygons (random radii at sorted angles): simple and
+  // frequently concave — the subject class the clip supports. Sorted
+  // angles alone do NOT guarantee simplicity: if one circular gap
+  // exceeds pi, the origin falls outside the polygon and the
+  // wrap-around edge can cross the far side (found by this very test:
+  // angles {59, 203, 205, 209} degrees self-intersect). Requiring every
+  // gap < pi keeps the origin in the star's kernel, which does
+  // guarantee a simple ring.
   private val starRingGen = for {
     n <- Gen.choose(3, 9)
     angles <- Gen.listOfN(n, Gen.choose(0.0, 2 * math.Pi)).map(_.distinct)
-      .suchThat(_.size >= 3)
+      .map(_.sorted)
+      .suchThat { a =>
+        a.size >= 3 && {
+          val gaps = a.zip(a.tail).map { case (p, q) => q - p } :+
+            (a.head + 2 * math.Pi - a.last)
+          gaps.max < math.Pi
+        }
+      }
     radii <- Gen.listOfN(angles.size, Gen.choose(1.0, 40.0))
-  } yield angles.sorted.zip(radii).map { case (t, r) =>
+  } yield angles.zip(radii).map { case (t, r) =>
     (r * math.cos(t), r * math.sin(t))
   }
 
@@ -196,6 +209,49 @@ class KernelPropertySpec extends AnyFunSuite {
       out.size == ring.size && out.toSet == ring.toSet &&
         math.abs(GeoMath.ringArea2(ringData(out)) -
           GeoMath.ringArea2(ringData(ring))) <= 1e-9
+    })
+  }
+
+  test("l2 kernel: metric axioms and float/double path agreement") {
+    import graft.functions.VectorMath
+    val gen = for {
+      dim <- Gen.choose(1, 64)
+      xs <- Gen.listOfN(dim, Gen.choose(-100.0, 100.0))
+      ys <- Gen.listOfN(dim, Gen.choose(-100.0, 100.0))
+      zs <- Gen.listOfN(dim, Gen.choose(-100.0, 100.0))
+    } yield (xs.map(_.toFloat), ys.map(_.toFloat), zs.map(_.toFloat))
+    check(Prop.forAll(gen) { case (xs, ys, zs) =>
+      def f(v: Seq[Float]) = new GenericArrayData(v.toArray[Any])
+      def d(v: Seq[Float]) = new GenericArrayData(v.map(_.toDouble).toArray[Any])
+      val dxy = VectorMath.l2F(f(xs), f(ys))
+      val dyx = VectorMath.l2F(f(ys), f(xs))
+      val dxx = VectorMath.l2F(f(xs), f(xs))
+      val dxz = VectorMath.l2F(f(xs), f(zs))
+      val dzy = VectorMath.l2F(f(zs), f(ys))
+      dxy >= 0.0 && dxy == dyx && dxx == 0.0 &&
+        dxy <= dxz + dzy + 1e-9 &&
+        // the double kernel on exactly-widened inputs is the same fold
+        VectorMath.l2D(d(xs), d(ys)) == dxy
+    })
+  }
+
+  test("cosine kernel: bounded, scale-invariant, self-similarity 1") {
+    import graft.functions.VectorMath
+    val gen = for {
+      dim <- Gen.choose(1, 64)
+      xs <- Gen.listOfN(dim, Gen.choose(-100.0, 100.0))
+      ys <- Gen.listOfN(dim, Gen.choose(-100.0, 100.0))
+      k <- Gen.choose(0.25, 8.0)
+    } yield (xs.map(_.toFloat), ys.map(_.toFloat), k.toFloat)
+    check(Prop.forAll(gen) { case (xs, ys, k) =>
+      def f(v: Seq[Float]) = new GenericArrayData(v.toArray[Any])
+      val c = VectorMath.cosF(f(xs), f(ys))
+      val self = VectorMath.cosF(f(xs), f(xs))
+      val scaled = VectorMath.cosF(f(xs.map(_ * k)), f(ys))
+      val nonZero = xs.exists(_ != 0.0f) && ys.exists(_ != 0.0f)
+      c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12 &&
+        (!nonZero || math.abs(self - 1.0) <= 1e-12) &&
+        (!nonZero || math.abs(scaled - c) <= 1e-6)
     })
   }
 }
