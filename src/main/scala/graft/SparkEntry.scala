@@ -117,6 +117,7 @@ object SparkEntry {
     // assignments match exactly
     "emb_kmeans" -> ((s, d) => Similarity.kmeans(s, d)),
     "emb_pq_codes" -> ((s, d) => Similarity.pqCodes(s, d)),
+    "emb_dedup_final" -> ((s, d) => Similarity.semanticDedup(s, d)),
     // sketch-based approximate aggregation — oracle-checked since r5:
     // the estimates collapse to within-error-contract verdicts against
     // exact counts/ranks, which DuckDB states closed-form as TRUE
@@ -954,6 +955,26 @@ object SparkEntry {
                ORDER BY cos DESC, cid) AS rk
            FROM scored) t
          WHERE rk <= 5 ORDER BY qid, rk""",
+    // semantic dedup end-to-end: the pair predicate, the undirected
+    // closure, and the survivor cut all restate in SQL, so one hash
+    // pins the whole composition
+    "emb_dedup_final" ->
+      """WITH RECURSIVE
+         p AS (SELECT a.vec_id AS va, b.vec_id AS vb
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+             b.embedding::DOUBLE[]) >= 0.35),
+         e AS (SELECT va AS src, vb AS dst FROM p
+           UNION SELECT vb, va FROM p),
+         reach AS (
+           SELECT vec_id AS node, vec_id AS m FROM embeddings
+           UNION
+           SELECT r.node, e.dst FROM reach r JOIN e ON e.src = r.m),
+         comp AS (SELECT node AS vec_id, min(m) AS cluster
+           FROM reach GROUP BY node)
+         SELECT vec_id, cluster, vec_id = cluster AS survivor
+         FROM comp ORDER BY vec_id""",
     // product quantization: 4 subspaces x 16 dims, codebook = vec_id %
     // 31 seeds; DuckDB's list_distance is the same sqrt-of-ordered-sum
     // op sequence as graft's l2_dist kernel, so argmin assignments and

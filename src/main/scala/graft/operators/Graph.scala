@@ -170,18 +170,25 @@ object Graph {
     *
     * Output: (node, component, component_size), component = min node id
     * reachable in the undirected graph. */
-  def components(spark: SparkSession, dir: String,
-                 maxIter: Int = 16): DataFrame = {
+  /** The pointer-jumping min-label loop behind [[components]] (and any
+    * other component problem — e.g. semantic-dedup clusters over
+    * near-duplicate pairs): directed `edges0` (src, dst) is symmetrized
+    * internally; every id in `nodes` gets a label even if it appears in
+    * no edge (its own singleton component). Returns (id, label), label
+    * = min id reachable in the undirected graph. Engineering as
+    * documented on [[components]]. */
+  def minLabelComponents(edges0: DataFrame, nodes: DataFrame,
+                         maxIter: Int = 16): DataFrame = {
+    val spark = edges0.sparkSession
     import spark.implicits._
-    val e0 = ccEdges(spark, dir)
-    val edges = e0
-      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val edges = edges0.toDF("src", "dst")
+      .union(edges0.toDF("dst", "src").select(col("src"), col("dst")))
       .distinct()
       .withColumnRenamed("src", "esrc")
       .repartition(col("esrc"))
       .localCheckpoint()
-    var labels = Tables.supplier(spark, dir)
-      .select(col("s_suppkey").as("id"), col("s_suppkey").as("label"))
+    var labels = nodes.toDF("id")
+      .select(col("id"), col("id").as("label"))
       .localCheckpoint()
     var converged = false
     var i = 0
@@ -214,6 +221,16 @@ object Graph {
     require(converged,
       s"component propagation did not converge in $maxIter rounds — " +
         "labels are under-merged; raise maxIter")
+    SparkBridge.unpersistCheckpoint(edges)
+    labels
+  }
+
+  def components(spark: SparkSession, dir: String,
+                 maxIter: Int = 16): DataFrame = {
+    val labels = minLabelComponents(
+      ccEdges(spark, dir),
+      Tables.supplier(spark, dir).select(col("s_suppkey")),
+      maxIter)
     val out = labels
       .withColumn("component_size", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window
@@ -223,7 +240,6 @@ object Graph {
       .orderBy(col("node"))
       .localCheckpoint()
     SparkBridge.unpersistCheckpoint(labels)
-    SparkBridge.unpersistCheckpoint(edges)
     out
   }
 

@@ -225,6 +225,34 @@ object Similarity {
       .orderBy(col("cluster_id"))
   }
 
+  /** End-to-end SEMANTIC dedup: exact near-duplicate pairs
+    * ([[nearDup]], cosine >= tau inside label blocks) -> connected
+    * components via the shared pointer-jumping min-label loop
+    * ([[Graph.minLabelComponents]]) -> per-vector survivor verdict
+    * (component representative = min vec_id; unpaired vectors are their
+    * own singleton component). This is the embedding-space counterpart
+    * of [[Dedup.finalSurvivors]], and — unlike the text pipeline's
+    * LSH-candidate stage — every step here is SQL-expressible, so the
+    * WHOLE composition is oracle-checked: pair predicate, closure, and
+    * survivor cut in one hash.
+    *
+    * Scale posture: pairs come from the blocked join (never all-pairs);
+    * the component loop shuffles label-sized frames for O(log diameter)
+    * rounds; the final verdict is one window-free projection. */
+  def semanticDedup(spark: SparkSession, dir: String,
+                    tau: Double = 0.35): DataFrame = {
+    val pairs = nearDup(spark, dir, tau).select(col("va"), col("vb"))
+    val labels = Graph.minLabelComponents(
+      pairs, emb(spark, dir).select(col("vec_id")))
+    val out = labels
+      .select(col("id").as("vec_id"), col("label").as("cluster"),
+        (col("id") === col("label")).as("survivor"))
+      .orderBy(col("vec_id"))
+      .localCheckpoint()
+    org.apache.spark.sql.graftbridge.SparkBridge.unpersistCheckpoint(labels)
+    out
+  }
+
   /** Product-quantization codes: split each vector into `subspaces`
     * contiguous sub-vectors and assign each to its nearest seed
     * codeword (seeds := vec_id % seedMod == 0, the same deterministic

@@ -105,6 +105,23 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDedup: clusters consistent with the exact pair list") {
+    val rows = Similarity.semanticDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val cluster = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getBoolean(2) == (r.getLong(0) == r.getLong(1)),
+        "survivor iff representative")
+      assert(cluster(r.getLong(1)) == r.getLong(1),
+        "a cluster id must be its own representative")
+    }
+    // every exact near-dup pair landed in one cluster
+    Similarity.nearDup(spark, sf).collect().foreach { p =>
+      assert(cluster(p.getLong(0)) == cluster(p.getLong(1)),
+        s"pair ${p.getLong(0)},${p.getLong(1)} split across clusters")
+    }
+  }
+
   test("PQ codes reference real seeds; a seed reconstructs itself exactly") {
     val rows = Similarity.pqCodes(spark, sf).collect()
     assert(rows.nonEmpty)
