@@ -394,7 +394,11 @@ object EventStreams {
     * tombstone marker via the deleted flag so a sink can retract).
     * Folding is (ts, event_id)-ordered inside a batch and monotone
     * across batches, so replays/out-of-order batches cannot regress the
-    * state — the idempotence a MERGE sink needs. */
+    * VALUE state — the idempotence a MERGE sink needs. (Engine-level
+    * replays are already exactly-once via the state store rollback;
+    * n_ops counts delivered records, so source-level duplicate
+    * DELIVERY — at-least-once upstream — inflates the audit count but
+    * never the materialized value.) */
   def cdcMergeStream(events: Dataset[EventRow]): Dataset[(Long, Double, Timestamp, Long, Boolean)] = {
     import events.sparkSession.implicits._
     def step(userId: Long, it: Iterator[EventRow],

@@ -93,6 +93,14 @@ class PruningSpec extends AnyFunSuite {
       ("cluster_assign", operators.Similarity.clusterAssign(spark, sf),
         Seq("label")),
       ("kmeans", operators.Similarity.kmeans(spark, sf, iters = 1),
+        Seq("label")),
+      ("tfidf", operators.TextAnalysis.tfidf(spark, sf),
+        Seq("lang", "source")),
+      ("xentropy", operators.TextAnalysis.xentropy(spark, sf),
+        Seq("lang", "source")),
+      ("weighted_sample", operators.TextAnalysis.weightedSample(spark, sf),
+        Seq("lang", "source")),
+      ("pq_codes", operators.Similarity.pqCodes(spark, sf),
         Seq("label"))
     ).foreach { case (name, df, forbidden) =>
       val plan = df.queryExecution.executedPlan.toString
