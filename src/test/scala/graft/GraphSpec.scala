@@ -32,4 +32,17 @@ class GraphSpec extends AnyFunSuite {
     val rows = Graph.components(spark, sf, maxIter = 10).collect()
     assert(rows.nonEmpty)
   }
+
+  test("minLabelComponents: self-loops, duplicate edges, isolated nodes") {
+    import spark.implicits._
+    // components {1,2,3} (with a self-loop and a duplicated edge),
+    // {5,6}, and isolated 9 — which appears in NO edge
+    val edges = Seq((2L, 1L), (2L, 3L), (2L, 3L), (1L, 1L), (6L, 5L))
+      .toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("id")
+    val got = Graph.minLabelComponents(edges, nodes).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      9L -> 9L))
+  }
 }
