@@ -957,12 +957,16 @@ object SparkEntry {
          WHERE rk <= 5 ORDER BY qid, rk""",
     // semantic dedup end-to-end: the pair predicate, the undirected
     // closure, and the survivor cut all restate in SQL, so one hash
-    // pins the whole composition
+    // pins the whole composition. The oracle predicate is the label-FREE
+    // all-pairs cosine — the engine side produces the same set from
+    // capped LSH buckets + exact verify (recall 1.0 by construction at
+    // this tau, spec-pinned), so a recall miss OR a precision slip in
+    // the LSH stage breaks this hash.
     "emb_dedup_final" ->
       """WITH RECURSIVE
          p AS (SELECT a.vec_id AS va, b.vec_id AS vb
            FROM embeddings a JOIN embeddings b
-             ON a.label = b.label AND a.vec_id < b.vec_id
+             ON a.vec_id < b.vec_id
            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
              b.embedding::DOUBLE[]) >= 0.35),
          e AS (SELECT va AS src, vb AS dst FROM p

@@ -95,18 +95,36 @@ object Similarity {
 
   /** Cosine near-duplicate pairs, blocked on the `label` metadata column
     * (an equi-join key, so the pair generation shuffles by label instead
-    * of going quadratic over the corpus). */
-  def nearDup(spark: SparkSession, dir: String, tau: Double = 0.35): DataFrame = {
+    * of going quadratic over the corpus).
+    *
+    * This is the declared EXACT variant: work is inherently
+    * group-quadratic, so a hot label is a skew hazard — the join is
+    * salted ([[Salting.saltedJoin]]) so a label with n vectors spreads
+    * its n^2 pair fan-out over nSalts reducer partitions instead of one
+    * straggler. The corpus-scale path (no blocking metadata, bounded
+    * buckets) is [[nearDupLsh]]; the end-to-end composition
+    * ([[semanticDedup]]) uses that, not this. */
+  def nearDup(spark: SparkSession, dir: String, tau: Double = 0.35,
+              nSalts: Int = 8): DataFrame = {
     val a = emb(spark, dir)
       .select(col("label"), col("vec_id").as("va"), col("embedding").as("ea"))
     val b = emb(spark, dir)
       .select(col("label"), col("vec_id").as("vb"), col("embedding").as("eb"))
-    a.join(b, Seq("label")).filter(col("va") < col("vb"))
+    nearDupPairs(a, b, tau, nSalts)
+  }
+
+  /** Join kernel of [[nearDup]], parameterized for specs: the salted
+    * (big, per-row-salted) side is `b`, the replicated side is `a` —
+    * each (va, vb) pair meets on exactly one salt, so the result is
+    * identical to the unsalted label join for any nSalts. */
+  private[graft] def nearDupPairs(a: DataFrame, b: DataFrame, tau: Double,
+                                  nSalts: Int): DataFrame =
+    Salting.saltedJoin(b, a, Seq("label"), nSalts)
+      .filter(col("va") < col("vb"))
       .withColumn("cos", cosine_sim(col("ea"), col("eb")))
       .filter(col("cos") >= tau)
       .select(col("va"), col("vb"), round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("va"), col("vb"))
-  }
 
   /** Label-free near-duplicate pairs via random-hyperplane LSH
     * ([[graft.functions.VecSimHash]]): band the nBits signature, bucket
@@ -225,23 +243,24 @@ object Similarity {
       .orderBy(col("cluster_id"))
   }
 
-  /** End-to-end SEMANTIC dedup: exact near-duplicate pairs
-    * ([[nearDup]], cosine >= tau inside label blocks) -> connected
-    * components via the shared pointer-jumping min-label loop
-    * ([[Graph.minLabelComponents]]) -> per-vector survivor verdict
-    * (component representative = min vec_id; unpaired vectors are their
-    * own singleton component). This is the embedding-space counterpart
-    * of [[Dedup.finalSurvivors]], and — unlike the text pipeline's
-    * LSH-candidate stage — every step here is SQL-expressible, so the
-    * WHOLE composition is oracle-checked: pair predicate, closure, and
-    * survivor cut in one hash.
+  /** End-to-end SEMANTIC dedup: LSH-verified near-duplicate pairs
+    * ([[semanticPairs]]) -> connected components via the shared
+    * pointer-jumping min-label loop ([[Graph.minLabelComponents]]) ->
+    * per-vector survivor verdict (component representative = min
+    * vec_id; unpaired vectors are their own singleton component). This
+    * is the embedding-space counterpart of [[Dedup.finalSurvivors]],
+    * and every step restates in SQL, so the WHOLE composition is
+    * oracle-checked against the label-FREE all-pairs predicate: pair
+    * predicate, closure, and survivor cut in one hash.
     *
-    * Scale posture: pairs come from the blocked join (never all-pairs);
-    * the component loop shuffles label-sized frames for O(log diameter)
-    * rounds; the final verdict is one window-free projection. */
+    * Scale posture: pairs come from capped LSH buckets — no blocking
+    * metadata, no label-blocked all-pairs join anywhere in the plan
+    * (spec-pinned); the component loop shuffles edge-sized frames for
+    * O(log diameter) rounds; the final verdict is one window-free
+    * projection. */
   def semanticDedup(spark: SparkSession, dir: String,
                     tau: Double = 0.35): DataFrame = {
-    val pairs = nearDup(spark, dir, tau).select(col("va"), col("vb"))
+    val pairs = semanticPairs(spark, dir, tau)
     val labels = Graph.minLabelComponents(
       pairs, emb(spark, dir).select(col("vec_id")))
     val out = labels
@@ -252,6 +271,21 @@ object Similarity {
     org.apache.spark.sql.graftbridge.SparkBridge.unpersistCheckpoint(labels)
     out
   }
+
+  /** Pair source for [[semanticDedup]]: hyperplane-LSH candidates at
+    * (nBits = 64, bands = 32) verified by exact cosine. r = 2 bits/band
+    * puts the per-pair miss probability AT the tau boundary below 3e-7
+    * ((1 - p^2)^32 with p = 1 - acos(0.35)/pi ~ 0.614; pairs further
+    * above tau miss even less), so on this corpus LSH recall is exactly
+    * 1.0 (spec-pinned at both test scales) and the verified pair set
+    * EQUALS the exact all-pairs predicate — the same recall-exactness
+    * argument the text pipeline proved for [[Dedup.ngramJaccard]].
+    * That equality is what lets the downstream closure hash-match a
+    * recursive-CTE oracle while the plan stays bucket-bounded. */
+  private[graft] def semanticPairs(spark: SparkSession, dir: String,
+                                   tau: Double): DataFrame =
+    nearDupLsh(spark, dir, tau, nBits = 64, bands = 32)
+      .select(col("va"), col("vb"))
 
   /** Product-quantization codes: split each vector into `subspaces`
     * contiguous sub-vectors and assign each to its nearest seed

@@ -84,6 +84,75 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall $recall (${lsh.size}/${brute.size})")
   }
 
+  test("semanticPairs config has recall exactly 1.0 at both test scales") {
+    // the recall-exactness argument: at (nBits=64, bands=32) the
+    // LSH-verified pair set must EQUAL the exact all-pairs predicate,
+    // or the emb_dedup_final oracle hash (label-free recursive CTE)
+    // would break. Pin it at spec scale AND the correctness-gate scale.
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val e = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+      val brute = a.crossJoin(b).filter(col("va") < col("vb"))
+        .withColumn("cos", cosine_sim(col("ea"), col("eb")))
+        .filter(col("cos") >= 0.35)
+        .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = Similarity.semanticPairs(spark, dir, tau = 0.35)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute,
+        s"$dir: missed=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    }
+  }
+
+  test("semanticDedup pair plan is label-free and LSH-sourced") {
+    // traverse the tree rather than matching the (truncation-prone)
+    // plan string
+    val plan = Similarity.semanticPairs(spark, sf, tau = 0.35)
+      .queryExecution.optimizedPlan
+    // leaf scans list every parquet column in their output; what must
+    // hold is that nothing ABOVE a scan consumes label (pruned, never
+    // a join key)
+    val labelRefs = plan.collect { case p if p.children.nonEmpty =>
+      p.expressions.flatMap(_.collect {
+        case a: org.apache.spark.sql.catalyst.expressions.Attribute
+          if a.name == "label" => a
+      })
+    }.flatten
+    assert(labelRefs.isEmpty,
+      "composition must not reference the label blocking column")
+    val lsh = plan.collect { case p =>
+      p.expressions.flatMap(_.collect {
+        case e: graft.functions.VecSimHash => e
+      })
+    }.flatten
+    assert(lsh.nonEmpty, "pair source must be the LSH path")
+  }
+
+  test("salted nearDup equals the unsalted label join; hot label spreads") {
+    import spark.implicits._
+    // planted hot label: 60 vectors, all one label -> 60*59/2 raw pairs
+    // in a single block if unsalted
+    val hot = (0L until 60L)
+      .map(i => (i, "hot", Array.fill(4)(if (i % 2 == 0) 1.0f else 0.9f)))
+      .toDF("vec_id", "label", "embedding")
+    val a = hot.select(col("label"), col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = hot.select(col("label"), col("vec_id").as("vb"), col("embedding").as("eb"))
+    val unsalted = a.join(b, Seq("label")).filter(col("va") < col("vb"))
+      .withColumn("cos", cosine_sim(col("ea"), col("eb")))
+      .filter(col("cos") >= 0.35)
+      .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = Similarity.nearDupPairs(a, b, tau = 0.35, nSalts = 8)
+      .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted == unsalted, "salting must not change the pair set")
+    assert(unsalted.size == 60 * 59 / 2, "planted label is all-pairs similar")
+    // the join key carries the salt, so the hot label's fan-out is
+    // spread over nSalts reducer partitions instead of one
+    val plan = Similarity.nearDupPairs(a, b, 0.35, 8)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("_salt"), "join must be salted")
+  }
+
   test("near-dup pairs are above threshold and ordered") {
     val rows = Similarity.nearDup(spark, sf).collect()
     rows.foreach { r =>
