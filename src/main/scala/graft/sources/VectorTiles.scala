@@ -71,20 +71,29 @@ object VectorTiles {
   private def writeTileTree(tf: DataFrame, path: String, idCol: String,
                             propCols: Seq[String], maxPerTile: Int): Unit = {
     val keyed = tf.repartition(col("z"), col("tile_x"), col("tile_y"))
-    val capped =
-      if (maxPerTile <= 0) keyed
-      else keyed.withColumn("_rk", row_number().over(
-          Window.partitionBy(col("z"), col("tile_x"), col("tile_y"))
-            .orderBy(xxhash64(col(idCol), col("z"), col("tile_x"),
-              col("tile_y")), col(idCol))))
-        .filter(col("_rk") <= maxPerTile).drop("_rk")
-    capped
+    capPerTile(keyed, idCol, maxPerTile)
       .sortWithinPartitions(col("z"), col("tile_x"), col("tile_y"), col(idCol))
       .select(col("z"), col("tile_x"), col("tile_y"),
         to_json(struct(col(idCol).as("id"), col("qx"), col("qy"),
           struct(propCols.map(col): _*).as("props"))).as("value"))
       .write.mode("overwrite").partitionBy("z", "tile_x", "tile_y").text(path)
   }
+
+  /** The per-tile feature cap shared by the GeoJSONL and MVT sinks
+    * (tippecanoe's drop-features analog): keep at most maxPerTile
+    * features per (z, x, y), chosen by a deterministic hash order so
+    * the kept subset is stable across runs and spatially unbiased;
+    * <= 0 = no cap. Expects `keyed` already partitioned by the tile
+    * key — the window rank reuses that partitioning, adding a sort but
+    * never a second exchange. */
+  private[sources] def capPerTile(keyed: DataFrame, idCol: String,
+                                  maxPerTile: Int): DataFrame =
+    if (maxPerTile <= 0) keyed
+    else keyed.withColumn("_rk", row_number().over(
+        Window.partitionBy(col("z"), col("tile_x"), col("tile_y"))
+          .orderBy(xxhash64(col(idCol), col("z"), col("tile_x"),
+            col("tile_y")), col(idCol))))
+      .filter(col("_rk") <= maxPerTile).drop("_rk")
 
   /** The whole zoom pyramid in one pass: every feature fans out to its
     * tile at each zoom in [minZ, maxZ] via a map-side explode — the

@@ -109,4 +109,99 @@ class VectorTilesSpec extends AnyFunSuite {
       assert(perZ(1) < perZ(3))
     } finally { back.unpersist() }
   }
+
+  test("MVT wire format matches a hand-assembled protobuf fixture") {
+    import graft.sources.Mvt
+    val got = Mvt.encodeTile("test", 4096,
+      Seq(Mvt.PointFeature(7, 25, 17, Seq("name" -> "a"))))
+    // assembled by hand from the MVT 2.1 spec: Tile.layer(3) >
+    // {name(1)="test", feature(2)={id(1)=7, tags(2)=[0,0],
+    // type(3)=POINT, geom(4)=[MoveTo|1, zz(25), zz(17)]},
+    // keys(3)=["name"], values(4)=[string "a"], extent(5)=4096,
+    // version(15)=2}
+    val expect = Array(
+      0x1a, 0x25, // Tile.layers, len 37
+      0x0a, 0x04, 't', 'e', 's', 't', // name
+      0x12, 0x0d, // feature, len 13
+      0x08, 0x07, // id = 7
+      0x12, 0x02, 0x00, 0x00, // tags [0, 0]
+      0x18, 0x01, // type POINT
+      0x22, 0x03, 0x09, 0x32, 0x22, // geom [9, zz(25)=50, zz(17)=34]
+      0x1a, 0x04, 'n', 'a', 'm', 'e', // keys[0]
+      0x22, 0x03, 0x0a, 0x01, 'a', // values[0] = string_value "a"
+      0x28, 0x80, 0x20, // extent 4096
+      0x78, 0x02 // version 2
+    ).map(_.toByte)
+    assert(got.sameElements(expect),
+      s"got ${got.map(b => f"${b & 0xff}%02x").mkString(" ")}")
+    // and the conforming decoder reads it back
+    val Seq(layer) = Mvt.decodeTile(got)
+    assert(layer.name == "test" && layer.version == 2 && layer.extent == 4096)
+    assert(layer.keys == Seq("name") && layer.values == Seq("a"))
+    val Seq(f) = layer.features
+    assert(f.id == 7 && f.geomType == 1 && f.tags == Seq(0, 0))
+    assert(f.geometry == Seq(9L, 50L, 34L))
+  }
+
+  test("MVT keys/values tables deduplicate; zigzag round-trips") {
+    import graft.sources.Mvt
+    val fs = Seq(
+      Mvt.PointFeature(1, 0, 4095, Seq("a" -> "x", "b" -> "x")),
+      Mvt.PointFeature(2, 4095, 0, Seq("a" -> "y", "b" -> "x")))
+    val Seq(layer) = Mvt.decodeTile(Mvt.encodeTile("l", 4096, fs))
+    assert(layer.keys == Seq("a", "b"), "keys dedup in first-appearance order")
+    assert(layer.values == Seq("x", "y"), "values dedup across features")
+    // feature 2's tags point at the shared entries
+    assert(layer.features(1).tags == Seq(0, 1, 1, 0))
+    // extreme grid corners survive zigzag
+    assert(Mvt.unzigzag(layer.features.head.geometry(2)) == 4095L)
+    assert(Mvt.unzigzag(layer.features(1).geometry(1)) == 4095L)
+    (Seq(0L, 1L, 17L, 4095L)).foreach(n =>
+      assert(Mvt.unzigzag(Mvt.zigzag(n)) == n))
+  }
+
+  test("MVT tile tree: binary write/read round-trips the exact quantization") {
+    import graft.sources.Mvt
+    val dir = outDir("mvt")
+    Mvt.writeTiles(points, 4, 4, dir, "c_custkey", Seq("c_nationkey"))
+    val back = Mvt.readTiles(spark, dir).cache()
+    try {
+      assert(back.count() == points.count())
+      // byte-level geometry equals a fresh floor-exact assignment
+      val fresh = VectorTiles.tileFeatures(points, 4)
+        .select(col("c_custkey").as("id"), col("tile_x").as("fx"),
+          col("tile_y").as("fy"), col("qx").as("fqx"), col("qy").as("fqy"),
+          col("c_nationkey").cast("string").as("fprop"))
+      val joined = back.join(fresh, "id")
+      assert(joined.count() == points.count())
+      assert(joined.filter(col("z") =!= 4 ||
+        col("tile_x") =!= col("fx") || col("tile_y") =!= col("fy") ||
+        col("qx") =!= col("fqx") || col("qy") =!= col("fqy") ||
+        col("props").getItem("c_nationkey") =!= col("fprop")).isEmpty)
+      // the tree layout is path/z/x/y.mvt
+      val zDir = new java.io.File(dir, "4")
+      assert(zDir.isDirectory)
+      val tiles = zDir.listFiles().flatMap(_.listFiles())
+      assert(tiles.nonEmpty && tiles.forall(_.getName.endsWith(".mvt")))
+    } finally { back.unpersist() }
+  }
+
+  test("MVT pyramid write respects the per-tile cap") {
+    import graft.sources.Mvt
+    val dir = outDir("mvtcap")
+    Mvt.writeTiles(points, 1, 3, dir, "c_custkey", Seq("c_nationkey"),
+      maxPerTile = 5)
+    val back = Mvt.readTiles(spark, dir)
+    val over = back.groupBy(col("z"), col("tile_x"), col("tile_y"))
+      .count().filter(col("count") > 5)
+    assert(over.isEmpty)
+    // capped GeoJSONL and capped MVT keep the SAME deterministic subset
+    val dirG = outDir("mvtcapG")
+    VectorTiles.writePyramid(points, 1, 3, dirG, "c_custkey",
+      Seq("c_nationkey"), maxPerTile = 5)
+    val g = VectorTiles.readTiles(spark, dirG)
+      .select(col("z"), col("tile_x"), col("tile_y"), col("id"))
+    val m = back.select(col("z"), col("tile_x"), col("tile_y"), col("id"))
+    assert(m.exceptAll(g).isEmpty && g.exceptAll(m).isEmpty)
+  }
 }
