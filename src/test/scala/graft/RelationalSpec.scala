@@ -26,10 +26,12 @@ class RelationalSpec extends AnyFunSuite {
 
   test("every query has either an oracle or is documented rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // r6: dedup_minhash_lsh / dedup_simhash / emb_neardup_lsh moved to
+    // contract-verdict oracles — nothing is rows-only by design anymore
     val rowsOnly = Set(
-      "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+      "dedup_ngram_jaccard",
       "ann_ivf_topk", "mm_features", "text_fingerprint", "stream_anomaly",
-      "sketch_distinct", "sketch_quantiles", "emb_neardup_lsh", "mm_frames",
+      "sketch_distinct", "sketch_quantiles", "mm_frames",
       "dedup_clusters", "dedup_final", "stream_sketch_window",
       "mm_quarantine", "emb_kmeans")
     assert(noOracle.subsetOf(rowsOnly),

@@ -262,4 +262,33 @@ class TextDedupSpec extends AnyFunSuite {
       assert(score >= 0.0 && score <= 1.0, s"score $score out of range")
     }
   }
+
+  test("minhashCoverageChecked equals brute-force pairs at the 0.9 threshold") {
+    import org.apache.spark.sql.functions._
+    val sets = Dedup.docsWithShingles(spark, sf)
+      .select(col("doc_id"), array_distinct(col("shingles")).as("sh"))
+    val a = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val brute = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("j", round(size(array_intersect(col("sh_a"), col("sh_b"))) /
+        size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .filter(col("j") >= 0.9)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.minhashCoverageChecked(spark, sf).collect()
+    assert(got.nonEmpty && got.forall(_.getBoolean(3)))
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == brute,
+      "verified candidates at 0.9 must equal brute force (recall contract)")
+  }
+
+  test("simhashChecked: one all-true verdict row per document, non-vacuous") {
+    val rows = Dedup.simhashChecked(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getBoolean(1), s"doc ${r.getLong(0)} has an unverified partner")
+      assert(r.getBoolean(2), s"doc ${r.getLong(0)} exceeds maxHamming")
+    }
+    // the verdicts must actually exercise reported pairs
+    assert(Dedup.simhashPairs(spark, sf).count() > 0)
+  }
 }
