@@ -1,6 +1,19 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+  /** Verification-free twins of the *Checked queries. A checked query's
+    * plan runs operator + oracle-restatement verification in one job, so
+    * its wall time conflates the two; timing the twin separates them —
+    * the query key reports OPERATOR time (comparable round over round)
+    * and `<name>__check` reports the verification surplus. */
+  val rawTwins: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_distinct" -> ((s, d) => operators.Sketches.distinctUsers(s, d)),
+    "sketch_quantiles" -> ((s, d) => operators.Sketches.valueQuantiles(s, d)),
+    "stream_sketch_window" -> (streaming.EventStreams.sketchWindowBatch _),
+    "text_fingerprint" -> (operators.TextAnalysis.fingerprint _),
+    "dedup_minhash_lsh" -> ((s, d) => operators.Dedup.minhashCandidates(s, d)),
+    "dedup_simhash" -> ((s, d) => operators.Dedup.simhashPairs(s, d)))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = GraftSession.defaultCpus
@@ -28,9 +41,7 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    val selected = SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-    val results = selected.map { case (name, fn) =>
+    def timeOne(name: String, fn: (SparkSession, String) => DataFrame): Double = {
       System.gc()
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -42,20 +53,49 @@ object Bench {
           -1.0
         }
       }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      if (times.exists(_ < 0)) -1.0 else times.min
     }
-    val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    // per query: (operator time, verification surplus, full gate time)
+    val results: Map[String, (Double, Option[Double], Double)] =
+      selected.map { case (name, fn) =>
+        rawTwins.get(name) match {
+          case Some(raw) =>
+            val tRaw = timeOne(name, raw)
+            val tFull = timeOne(name, fn)
+            if (tRaw < 0 || tFull < 0) name -> (-1.0, Some(-1.0), -1.0)
+            // noise clamp: the operator can't cost more than op+check,
+            // so a raw sample above the full sample reads as full
+            else name -> (math.min(tRaw, tFull),
+              Some(math.max(0.0, tFull - tRaw)), tFull)
+          case None =>
+            val t = timeOne(name, fn)
+            name -> (t, None, t)
+        }
+      }
+    val failed = results.collect { case (k, (_, _, f)) if f < 0 => k }.toSeq.sorted
     // The harness keeps only the LAST ~2000 chars of stdout. Keep the line
     // small (3 dp — ms resolution is all GC noise allows anyway) and put
     // the headline total/failed/sf AFTER the per-query map so they survive
     // even if the map's head is truncated out of the tail window.
     def r3(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val qs = results.flatMap { case (k, (op, check, _)) =>
+      Seq(s"\"" + k + "\":" + r3(op)) ++
+        check.map(c => s"\"" + k + "__check\":" + r3(c))
+    }.mkString("{", ",", "}")
+    // `value` totals the FULL gate time (operator + verification), the
+    // same quantity previous rounds reported, so totals stay comparable
+    val total = results.values.collect { case (_, _, f) if f >= 0 => f }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","queries":$qs,"failed":$failedJson,"sf":"$sfDir","n":${results.size},"unit":"sec","value":${r3(total)}}""")
+    // compact summary LAST: totals + slowest-10, small enough that the
+    // driver's stdout-tail capture can never truncate it mid-object
+    val slow = results.toSeq.filter(_._2._3 >= 0).sortBy(-_._2._3).take(10)
+      .map { case (k, (_, _, f)) => s"\"" + k + "\":" + r3(f) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"summary","slowest":$slow,"n_failed":${failed.size},"sf":"$sfDir","n":${results.size},"unit":"sec","value":${r3(total)}}""")
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(", ")}")
     spark.stop()
