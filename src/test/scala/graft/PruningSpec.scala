@@ -39,10 +39,12 @@ class PruningSpec extends AnyFunSuite {
     // text_tfidf / text_xentropy: the one-row scalar N/total frame
     // crossed onto the token frame (term counts are window counts, NOT
     // a vocab-sized broadcast)
+    // emb_neardup_lsh: the contract verdict crosses the ONE-row exact
+    // pair-count aggregate onto the one-row LSH aggregate
     val nlAllowed = Set("ann_brute_topk", "ann_ivf_topk",
       "geo_nearest_poi", "geo_area_assign", "geo_route_nearest",
       "emb_cluster_assign", "emb_kmeans", "q31_range_lookup",
-      "geo_eta_matrix", "text_tfidf", "text_xentropy")
+      "geo_eta_matrix", "text_tfidf", "text_xentropy", "emb_neardup_lsh")
     // full-outer equi-joins cannot broadcast (both sides must preserve
     // unmatched rows), so a shuffle join IS the correct plan there
     val smjAllowed = Set("q26_full_outer")

@@ -84,11 +84,11 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall $recall (${lsh.size}/${brute.size})")
   }
 
-  test("semanticPairs config has recall exactly 1.0 at both test scales") {
-    // the recall-exactness argument: at (nBits=64, bands=32) the
-    // LSH-verified pair set must EQUAL the exact all-pairs predicate,
-    // or the emb_dedup_final oracle hash (label-free recursive CTE)
-    // would break. Pin it at spec scale AND the correctness-gate scale.
+  test("nearDupBlocked equals brute force at both test scales") {
+    // semanticPairs' exact generator must EQUAL the all-pairs
+    // predicate (every pair meets exactly once across block tiles), or
+    // the emb_dedup_final oracle hash (label-free recursive CTE) would
+    // break. Pin it at spec scale AND the correctness-gate scale.
     for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
       val e = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"))
@@ -98,21 +98,26 @@ class SimilaritySpec extends AnyFunSuite {
         .withColumn("cos", cosine_sim(col("ea"), col("eb")))
         .filter(col("cos") >= 0.35)
         .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val got = Similarity.semanticPairs(spark, dir, tau = 0.35)
+      val got = Similarity.nearDupBlocked(spark, dir)
+        .select("va", "vb")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == brute,
         s"$dir: missed=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
     }
+    // and with a different block count (pair coverage is partition-
+    // count invariant)
+    val n5 = Similarity.nearDupBlocked(spark, sf, nBlocks = 5).count()
+    assert(n5 == Similarity.nearDupBlocked(spark, sf).count())
   }
 
-  test("semanticDedup pair plan is label-free and LSH-sourced") {
+  test("semanticDedup pair plan is label-free and block-balanced") {
     // traverse the tree rather than matching the (truncation-prone)
     // plan string
     val plan = Similarity.semanticPairs(spark, sf, tau = 0.35)
       .queryExecution.optimizedPlan
     // leaf scans list every parquet column in their output; what must
     // hold is that nothing ABOVE a scan consumes label (pruned, never
-    // a join key)
+    // a join key) — the hot-label skew hazard is structurally absent
     val labelRefs = plan.collect { case p if p.children.nonEmpty =>
       p.expressions.flatMap(_.collect {
         case a: org.apache.spark.sql.catalyst.expressions.Attribute
@@ -121,12 +126,26 @@ class SimilaritySpec extends AnyFunSuite {
     }.flatten
     assert(labelRefs.isEmpty,
       "composition must not reference the label blocking column")
-    val lsh = plan.collect { case p =>
-      p.expressions.flatMap(_.collect {
-        case e: graft.functions.VecSimHash => e
-      })
-    }.flatten
-    assert(lsh.nonEmpty, "pair source must be the LSH path")
+    // the join key is the uniform composite hash-block key, so per-key
+    // volume is ~2n/nBlocks regardless of any data value
+    val e = Tables.embeddings(spark, sf).count()
+    val blockSizes = Tables.embeddings(spark, sf)
+      .select(pmod(xxhash64(col("vec_id")), lit(16)).cast("int").as("blk"))
+      .groupBy(col("blk")).count().collect().map(_.getLong(1))
+    assert(blockSizes.max <= 2 * e / 16 + 16, "hash blocks are near-uniform")
+  }
+
+  test("lshContractChecked: one row, verdicts true, n_true matches brute") {
+    val r = Similarity.lshContractChecked(spark, sf).collect()
+    assert(r.length == 1)
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    val brute = a.crossJoin(b).filter(col("va") < col("vb"))
+      .withColumn("cos", cosine_sim(col("ea"), col("eb")))
+      .filter(col("cos") >= 0.35).count()
+    assert(r.head.getLong(0) == brute, "n_true must equal brute force")
+    assert(r.head.getBoolean(1) && r.head.getBoolean(2) && r.head.getBoolean(3))
   }
 
   test("salted nearDup equals the unsalted label join; hot label spreads") {
