@@ -30,15 +30,27 @@ object Warehouse {
     * the plain semi join the oracle runs.
     *
     * `expectedItems` sizes the bloom's bit array; when the caller has no
-    * estimate it is derived from the build side's actual count (one
-    * cheap job over the dim — the same frame the aggregate scans next).
-    * A hardcoded estimate the build side outgrows degrades the FPP
-    * toward 1 silently: still correct (the verify join removes false
-    * positives) but the map-side scan savings quietly vanish. */
+    * estimate it is derived from Catalyst's own plan statistic
+    * (sizeInBytes / schema row width — the [[graft.streaming.EventStreams.enrich]]
+    * pattern), so sizing adds NO extra job before the real query; the
+    * explicit override remains for callers that know better. The
+    * statistic over-counts rows (parquet size per row beats the schema's
+    * default widths), which errs toward a larger, lower-FPP bloom — the
+    * safe direction. A hardcoded estimate the build side outgrows
+    * degrades the FPP toward 1 silently: still correct (the verify join
+    * removes false positives) but the map-side scan savings quietly
+    * vanish. */
   def bloomSemiJoin(large: DataFrame, largeKey: String,
                     small: DataFrame, smallKey: String,
                     expectedItems: Option[Long] = None): DataFrame = {
-    val nItems = expectedItems.getOrElse(math.max(1L, small.count()))
+    val nItems = expectedItems.getOrElse {
+      val stats = small.queryExecution.optimizedPlan.stats
+      stats.rowCount.map(_.toLong).getOrElse {
+        val width = small.queryExecution.optimizedPlan.output
+          .map(_.dataType.defaultSize).sum + 8
+        math.max(64L, (stats.sizeInBytes / BigInt(width)).toLong)
+      }
+    }
     val bloom = small.agg(
       SparkBridge.bloomFilterAgg(xxhash64(col(smallKey)), nItems)
         .as("bf"))

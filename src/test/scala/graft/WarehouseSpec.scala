@@ -36,6 +36,47 @@ class WarehouseSpec extends AnyFunSuite {
         "is not testing anything)")
   }
 
+  test("default bloom sizing derives from plan statistics, not a count job") {
+    import java.util.concurrent.atomic.AtomicInteger
+    def jobsDuring(f: => Unit): Int = {
+      val counter = new AtomicInteger()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          counter.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        f
+        // listener delivery is async: poll until the count stabilizes
+        var last = -1
+        var same = 0
+        while (same < 3) {
+          Thread.sleep(100)
+          val c = counter.get
+          if (c == last) same += 1 else { same = 0; last = c }
+        }
+        last
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    val li = Tables.lineitem(spark, sf).select(col("l_suppkey"))
+    val sup = Tables.supplier(spark, sf)
+      .filter(col("s_nationkey") === 7).select(col("s_suppkey"))
+    // warm both paths once (footer reads, codegen) so job counts compare
+    Warehouse.bloomSemiJoin(li, "l_suppkey", sup, "s_suppkey").count()
+    Warehouse.bloomSemiJoin(li, "l_suppkey", sup, "s_suppkey",
+      expectedItems = Some(64)).count()
+    val derived = jobsDuring(
+      Warehouse.bloomSemiJoin(li, "l_suppkey", sup, "s_suppkey").count())
+    val explicit = jobsDuring(
+      Warehouse.bloomSemiJoin(li, "l_suppkey", sup, "s_suppkey",
+        expectedItems = Some(64)).count())
+    assert(derived == explicit,
+      s"derived sizing ran $derived jobs vs $explicit with an explicit " +
+        "size — the statistic-based default must not add a job")
+  }
+
   test("bloomSemiJoin is bit-identical to the plain semi join") {
     val li = Tables.lineitem(spark, sf).select(col("l_suppkey"))
     val sup = Tables.supplier(spark, sf)
