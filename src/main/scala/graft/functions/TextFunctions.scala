@@ -91,6 +91,17 @@ object TextHash {
     out
   }
 
+  /** Number of char k-grams the winnow walks: the SAME arithmetic
+    * [[winnow]] sizes its hash array with (a short doc degenerates to
+    * one whole-doc hash, hence the floor of 1). Exposed as its own
+    * expression so the fingerprint verdict's n_kgrams column is
+    * KERNEL-derived — a winnow that miscounts k-grams disagrees with
+    * the oracle's closed form and breaks the hash. */
+  def kgramCount(s: UTF8String, k: Int): Long = {
+    val n = s.toString.length
+    if (n < k) 1L else (n - k + 1).toLong
+  }
+
   /** Winnowing fingerprint (Schleimer et al., SIGMOD'03): rolling hashes of
     * char k-grams, rightmost minimum per window of w, distinct + sorted.
     * Two documents sharing a run of >= k+w-1 chars share a fingerprint. */
@@ -98,7 +109,7 @@ object TextHash {
     val str = s.toString
     val n = str.length
     if (n < k) return new GenericArrayData(Array(mix64(str.hashCode.toLong)))
-    val m = n - k + 1
+    val m = kgramCount(s, k).toInt
     val hs = new Array[Long](m)
     var i = 0
     while (i < m) {
@@ -179,6 +190,20 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** `kgram_count(text, k)` -> long: the winnow kernel's own k-gram count. */
+case class KgramCount(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "kgram_count"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHash.kgramCount(input.asInstanceOf[UTF8String], k)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.kgramCount($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column wrappers for the native text-hash expressions. */
 object TextFunctions {
   def word_shingles(text: Column, n: Int): Column =
@@ -189,4 +214,6 @@ object TextFunctions {
     SparkBridge.column(SimHash64(SparkBridge.expression(tokens)))
   def winnow_fingerprint(text: Column, k: Int = 8, w: Int = 16): Column =
     SparkBridge.column(WinnowFingerprint(SparkBridge.expression(text), k, w))
+  def kgram_count(text: Column, k: Int = 8): Column =
+    SparkBridge.column(KgramCount(SparkBridge.expression(text), k))
 }

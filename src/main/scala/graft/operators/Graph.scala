@@ -176,9 +176,18 @@ object Graph {
     * internally; every id in `nodes` gets a label even if it appears in
     * no edge (its own singleton component). Returns (id, label), label
     * = min id reachable in the undirected graph. Engineering as
-    * documented on [[components]]. */
+    * documented on [[components]].
+    *
+    * Iteration budget: convergence is observed by a round whose
+    * changed-label count is zero, so the budget must cover
+    * ROUNDS-TO-FIXPOINT + 1 — the last productive round cannot know it
+    * was last; the observation round is part of the contract, not
+    * overhead. Pointer jumping reaches fixpoint in O(log2 diameter)
+    * rounds, so the default of 24 covers any component diameter up to
+    * ~2^22 with the +1 included; callers with a known diameter bound
+    * should derive their own (see [[CcMaxIter]]). */
   def minLabelComponents(edges0: DataFrame, nodes: DataFrame,
-                         maxIter: Int = 16): DataFrame = {
+                         maxIter: Int = 24): DataFrame = {
     val spark = edges0.sparkSession
     import spark.implicits._
     val edges = edges0.toDF("src", "dst")
@@ -225,8 +234,18 @@ object Graph {
     labels
   }
 
+  /** Iteration budget for [[components]], DERIVED from the edge scheme
+    * instead of hard-coded: ccEdges components live inside one CcBlock
+    * key block, so diameter < CcBlock, fixpoint arrives within
+    * ceil(log2(CcBlock)) + 1 jump rounds, and the zero-change
+    * observation round adds one more; +2 slack absorbs min-label tie
+    * patterns. A larger/higher-diameter future edge scheme changes this
+    * with CcBlock rather than failing the verify run at a stale 16. */
+  val CcMaxIter: Int =
+    (32 - Integer.numberOfLeadingZeros(CcBlock - 1)) + 1 + 1 + 2
+
   def components(spark: SparkSession, dir: String,
-                 maxIter: Int = 16): DataFrame = {
+                 maxIter: Int = CcMaxIter): DataFrame = {
     val labels = minLabelComponents(
       ccEdges(spark, dir),
       Tables.supplier(spark, dir).select(col("s_suppkey")),

@@ -410,22 +410,22 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("fp_pos"))
 
   /** [[fingerprint]] restated for the oracle: the winnowing hash values
-    * are engine-internal, but the k-gram count is closed-form in the
-    * char length (all-ASCII corpus, so UTF-16 units == code points ==
-    * DuckDB's length()), and the selected set obeys hard structural
-    * bounds — one selection per window, distinct positions, sorted
-    * ascending. n_kgrams is the exact-checked column; the bound and
-    * order verdicts are TRUE closed-form in DuckDB, so a winnow that
-    * mis-counts k-grams, over-selects, or emits unsorted output breaks
-    * the hash match. k=8, w=16 mirror [[TextFunctions.winnow_fingerprint]]
-    * defaults. */
+    * are engine-internal, but the k-gram count and the structural bounds
+    * are not. n_kgrams comes from the WINNOW KERNEL's own counting
+    * arithmetic ([[TextFunctions.kgram_count]] — the same method that
+    * sizes the hash walk), while the oracle recomputes it closed-form
+    * from DuckDB's length() (all-ASCII corpus, so UTF-16 units == code
+    * points), so a kernel that miscounts k-grams genuinely breaks the
+    * hash. The selected set obeys hard structural bounds — one
+    * selection per window, distinct, sorted ascending — stated TRUE
+    * closed-form by the oracle. k=8, w=16 mirror
+    * [[TextFunctions.winnow_fingerprint]] defaults. */
   def fingerprintChecked(spark: SparkSession, dir: String): DataFrame = {
-    val kgrams = when(length(col("text")) < 8, 1)
-      .otherwise(length(col("text")) - 7)
     val nWin = when(col("n_kgrams") < 16, 1)
       .otherwise(col("n_kgrams") - 15)
     Tables.documents(spark, dir)
-      .select(col("doc_id"), kgrams.cast("bigint").as("n_kgrams"),
+      .select(col("doc_id"),
+        TextFunctions.kgram_count(col("text")).as("n_kgrams"),
         TextFunctions.winnow_fingerprint(col("text")).as("fp"))
       .select(col("doc_id"), col("n_kgrams"),
         (size(col("fp")) >= 1 &&

@@ -182,11 +182,18 @@ object EventStreams {
     * variant of [[graft.operators.Sketches]], and the 100 TB answer to
     * "distinct users per hour" where exact distinct state is unpayable.
     * Works identically on batch input (the rows-only query surface). */
+  /** Sketch parameters shared by [[sketchWindow]] and its contract
+    * check: the verification bounds DERIVE from these (3 x rsd for the
+    * HLL estimate, 50/accuracy rank tolerance), so retuning a sketch
+    * retunes its contract instead of silently invalidating the check. */
+  val SketchRsd = 0.02
+  val SketchAccuracy = 2500
+
   def sketchWindow(events: DataFrame): DataFrame =
     events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-        percentile_approx(col("value"), array(lit(0.5), lit(0.9)), lit(2500))
-          .as("_q"),
+      .agg(approx_count_distinct(col("user_id"), SketchRsd).as("approx_users"),
+        percentile_approx(col("value"), array(lit(0.5), lit(0.9)),
+          lit(SketchAccuracy)).as("_q"),
         count(lit(1)).as("n_events"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("approx_users"),
@@ -213,13 +220,26 @@ object EventStreams {
     * closed-form as TRUE, so a sketch drifting outside its contract
     * breaks the hash match. */
   def sketchWindowChecked(spark: SparkSession, dir: String): DataFrame = {
-    val sk = sketchWindowBatch(spark, dir)
-      .select(col("window_start"), col("event_type"),
-        col("approx_users"), col("p50"), col("p90"))
+    // UNROUNDED percentile estimates: ranks probed against the rounded
+    // display columns could shift by more than the tolerance where
+    // values cluster within half a rounding step of a quantile — a
+    // data-dependent false-failure mode. Bounds derive from the shared
+    // sketch constants (3 x rsd; 50/accuracy = the hardened rank
+    // tolerance), so they track any retuning of sketchWindow.
+    val sk = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"),
+        col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), SketchRsd).as("approx_users"),
+        percentile_approx(col("value"), array(lit(0.5), lit(0.9)),
+          lit(SketchAccuracy)).as("_q"))
+      .select(col("window_start"), col("event_type"), col("approx_users"),
+        element_at(col("_q"), 1).as("p50"),
+        element_at(col("_q"), 2).as("p90"))
     def rankOk(target: Double, c: String) = {
       val n = count(lit(1))
       val frac = sum(when(col("value") <= col(c), 1L).otherwise(0L)) / n
-      (abs(frac - target) <= lit(0.02) + lit(1.0) / n).as(s"ok_$c")
+      (abs(frac - target) <= lit(50.0 / SketchAccuracy) + lit(1.0) / n)
+        .as(s"ok_$c")
     }
     Tables.events(spark, dir)
       .withColumn("window_start", date_trunc("hour", col("ts")))
@@ -227,8 +247,8 @@ object EventStreams {
       .groupBy(col("window_start"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         (abs(first(col("approx_users")) - countDistinct(col("user_id"))) <=
-          greatest(lit(0.06) * countDistinct(col("user_id")), lit(1.0)))
-          .as("ok_users"),
+          greatest(lit(3 * SketchRsd) * countDistinct(col("user_id")),
+            lit(1.0))).as("ok_users"),
         rankOk(0.5, "p50"), rankOk(0.9, "p90"))
       .orderBy(col("window_start"), col("event_type"))
   }
