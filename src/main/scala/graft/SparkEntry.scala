@@ -58,6 +58,7 @@ object SparkEntry {
     // PageRank — see operators.Graph for why the oracle matches bitwise)
     "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
     "graph_components" -> ((s, d) => Graph.components(s, d)),
+    "graph_triangles" -> ((s, d) => Graph.triangles(s, d)),
     // B. spatial / accessibility
     "geo_grid_assign" -> (Accessibility.gridAssign _),
     "geo_bbox_filter" -> (Accessibility.bboxFilter _),
@@ -130,6 +131,7 @@ object SparkEntry {
     // exact counts/ranks, which DuckDB states closed-form as TRUE
     "sketch_distinct" -> ((s, d) => Sketches.distinctUsersChecked(s, d)),
     "sketch_quantiles" -> ((s, d) => Sketches.valueQuantilesChecked(s, d)),
+    "sketch_heavy_hitters" -> ((s, d) => Sketches.heavyHitters(s, d)),
     // F. multimodal feature extraction — oracle-checked since r5 on the
     // closed-form columns: byte_len is container overhead + UTF-8 text
     // bytes, width/height/n_frames are the planted header fields the
@@ -519,6 +521,7 @@ object SparkEntry {
          FROM ch ORDER BY user_id, valid_from""",
     "graph_pagerank" -> operators.Graph.pagerankOracle(),
     "graph_components" -> operators.Graph.componentsOracle,
+    "graph_triangles" -> operators.Graph.trianglesOracle,
     "text_pii" ->
       """WITH planted AS (SELECT doc_id,
            concat(text,
@@ -1391,6 +1394,20 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
            TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // heavy hitters: the Misra-Gries guarantee is deterministic (every
+    // token with freq > n/k survives pass 1), so the engine's two-pass
+    // candidate pipeline must EQUAL brute force — a sketch that drops a
+    // heavy token deletes a row here
+    "sketch_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         tt AS (SELECT token FROM t WHERE len(token) > 0),
+         tot AS (SELECT count(*) AS n_total FROM tt),
+         c AS (SELECT token, count(*) AS n_tok FROM tt GROUP BY token)
+         SELECT token, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(n_total AS BIGINT) AS n_total
+         FROM c, tot WHERE n_tok > n_total / 50.0
+         ORDER BY n_tok DESC, token""",
     "stream_sketch_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
            count(*) AS n_events, TRUE AS ok_users,

@@ -288,4 +288,113 @@ object Graph {
        SELECT node, component,
          count(*) OVER (PARTITION BY component) AS component_size
        FROM comp ORDER BY node"""
+
+  /** Per-node triangle count over the undirected [[ccEdges]] graph via
+    * the DEGREE-ORDERED orientation — the standard skew bound for
+    * distributed triangle enumeration: each undirected edge is kept
+    * once, oriented from its lower-(degree, id) endpoint, so every
+    * triangle has exactly one pivot with two out-edges and per-node
+    * out-degree is O(sqrt m) on ANY graph (a celebrity node's wedges
+    * land on its neighbors' out-lists, never its own). The wedge
+    * self-join therefore has bounded fan-out per key; the closing-edge
+    * probe is an equi-join on the canonically-oriented endpoint pair;
+    * nothing in the plan depends on a degree distribution staying
+    * benign. Counting at all three corners attributes each triangle
+    * once per member node; nodes in no triangle report 0.
+    *
+    * The oracle restates SEMANTICS, not the orientation: id-canonical
+    * x < y < z enumeration over the same closed-form edge set counts
+    * the identical triangles. */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    // the chain+permutation scheme is triangle-free (6x = -1 mod 64 has
+    // no solution), so the triangle graph adds a block-local CHORD
+    // x -> x+2: every in-block (x, x+1, x+2) run closes a triangle and
+    // the permutation edges add irregular ones — still closed-form, so
+    // the oracle rebuilds the identical edge set
+    val sup = Tables.supplier(spark, dir).select(col("s_suppkey"))
+    val nv = sup.agg((max(col("s_suppkey")) + 1L).as("nv"))
+    val chord = sup.crossJoin(broadcast(nv))
+      .select(col("s_suppkey").as("src"), (col("s_suppkey") + 2L).as("dst"),
+        col("nv"))
+      .filter(col("dst") % CcBlock =!= 0 && col("dst") % CcBlock =!= 1 &&
+        col("dst") < col("nv"))
+      .select(col("src"), col("dst"))
+    val e0 = ccEdges(spark, dir).union(chord)
+    // canonical undirected edge set: one row per unordered pair
+    val und = e0.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("w"))
+      .filter(col("u") =!= col("w")).distinct()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("w").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // edge-x-degree and the wedge/closing joins below are large-large
+    // equi-joins at scale; SHUFFLE_HASH skips the sort a default
+    // sort-merge plan would pay on every shuffled row
+    val withDeg = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du"))
+        .hint("SHUFFLE_HASH"), Seq("u"))
+      .join(deg.select(col("node").as("w"), col("deg").as("dw"))
+        .hint("SHUFFLE_HASH"), Seq("w"))
+    // orient low-(deg, id) -> high-(deg, id); carry the head's rank so
+    // wedge endpoints can be canonically re-ordered without a re-join
+    val lowIsU = (col("du") < col("dw")) ||
+      (col("du") === col("dw") && col("u") < col("w"))
+    val oriented = withDeg.select(
+      when(lowIsU, col("u")).otherwise(col("w")).as("osrc"),
+      when(lowIsU, col("w")).otherwise(col("u")).as("odst"),
+      when(lowIsU, col("dw")).otherwise(col("du")).as("ddst"))
+    val o1 = oriented.select(col("osrc"), col("odst").as("d1"), col("ddst").as("g1"))
+    val o2 = oriented.select(col("osrc"), col("odst").as("d2"), col("ddst").as("g2"))
+    val wedges = o1.join(o2.hint("SHUFFLE_HASH"), Seq("osrc"))
+      .filter(col("d1") < col("d2"))
+      .select(col("osrc").as("pivot"),
+        when(col("g1") < col("g2") ||
+          (col("g1") === col("g2") && col("d1") < col("d2")), col("d1"))
+          .otherwise(col("d2")).as("clo"),
+        when(col("g1") < col("g2") ||
+          (col("g1") === col("g2") && col("d1") < col("d2")), col("d2"))
+          .otherwise(col("d1")).as("chi"))
+    val tri = wedges.join(
+      oriented.select(col("osrc").as("clo"), col("odst").as("chi"))
+        .hint("SHUFFLE_HASH"),
+      Seq("clo", "chi"))
+    val corners = tri.select(col("pivot").as("node"))
+      .union(tri.select(col("clo").as("node")))
+      .union(tri.select(col("chi").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("n"))
+    Tables.supplier(spark, dir).select(col("s_suppkey").as("node"))
+      .join(corners.hint("SHUFFLE_HASH"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("n"), lit(0L)).as("n_tri"))
+      .orderBy(col("node"))
+  }
+
+  /** Recursive-free oracle for [[triangles]]: canonical x < y < z
+    * enumeration over the closed-form edge scheme. */
+  val trianglesOracle: String =
+    """WITH v AS (SELECT max(s_suppkey) + 1 AS nv FROM supplier),
+       e0 AS (
+         SELECT s_suppkey AS src, s_suppkey + 1 AS dst FROM supplier, v
+         WHERE (s_suppkey + 1) % 64 <> 0 AND s_suppkey + 1 < nv
+         UNION
+         SELECT s_suppkey, s_suppkey + 2 FROM supplier, v
+         WHERE (s_suppkey + 2) % 64 <> 0 AND (s_suppkey + 2) % 64 <> 1
+           AND s_suppkey + 2 < nv
+         UNION
+         SELECT s_suppkey,
+           s_suppkey - s_suppkey % 64 + (s_suppkey * 7 + 3) % 64
+         FROM supplier, v
+         WHERE s_suppkey - s_suppkey % 64 + (s_suppkey * 7 + 3) % 64
+             <> s_suppkey
+           AND s_suppkey - s_suppkey % 64 + (s_suppkey * 7 + 3) % 64 < nv),
+       eu AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS w
+         FROM e0 WHERE src <> dst),
+       t AS (SELECT a.u AS x, a.w AS y, b.w AS z
+         FROM eu a JOIN eu b ON b.u = a.w
+           JOIN eu c ON c.u = a.u AND c.w = b.w),
+       corners AS (SELECT x AS node FROM t
+         UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t),
+       pc AS (SELECT node, count(*) AS n FROM corners GROUP BY node)
+       SELECT s_suppkey AS node, CAST(coalesce(pc.n, 0) AS BIGINT) AS n_tri
+       FROM supplier LEFT JOIN pc ON pc.node = s_suppkey
+       ORDER BY node"""
 }

@@ -94,4 +94,38 @@ object Sketches {
         rankOk(0.5, "p50"), rankOk(0.9, "p90"), rankOk(0.99, "p99"))
       .orderBy(col("event_type"))
   }
+
+  /** Heavy hitters over the document token stream — the canonical
+    * two-pass distributed frequent-items pipeline:
+    *
+    * Pass 1 runs the [[graft.functions.MisraGriesSketch]] aggregate
+    * (bounded k-counter state per partition, merged summaries — only
+    * numPartitions x k counters shuffle, never the vocabulary), whose
+    * DETERMINISTIC guarantee is that every token with true frequency
+    * > n/k survives as a candidate. Pass 2 counts ONLY the <= k
+    * candidates exactly (broadcast semi-join prunes the scan) and keeps
+    * those above the n/k threshold.
+    *
+    * Because the guarantee is deterministic — not probabilistic — the
+    * final output EQUALS the exact "tokens with frequency > n/k" set, so
+    * the whole approximate pipeline hash-checks against a brute-force
+    * DuckDB oracle while the engine plan never shuffles a vocab-sized
+    * key space. The total token count rides the same broadcast-scalar
+    * pattern as the tf-idf N frame (no extra action). */
+  def heavyHitters(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    import graft.functions.MisraGries.mg_sketch
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val cands = toks.agg(mg_sketch(col("token"), k).as("mg"))
+      .select(explode(col("mg")).as("c"))
+      .select(col("c.item").as("token"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(broadcast(cands), Seq("token"), "left_semi")
+      .groupBy(col("token")).agg(count(lit(1)).as("n_tok"))
+      .crossJoin(broadcast(total))
+      .filter(col("n_tok") > col("n_total") / k)
+      .select(col("token"), col("n_tok"), col("n_total"))
+      .orderBy(col("n_tok").desc, col("token"))
+  }
 }

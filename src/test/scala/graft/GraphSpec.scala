@@ -45,4 +45,34 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
       9L -> 9L))
   }
+
+  test("triangles: degree-oriented count equals direct x<y<z enumeration") {
+    import org.apache.spark.sql.functions._
+    val got = Graph.triangles(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.sum > 0, "the chorded graph must contain triangles")
+    assert(got.values.sum % 3 == 0, "each triangle has exactly 3 corners")
+    // brute force over the same edge set, id-canonical enumeration
+    val sup = Tables.supplier(spark, sf).select(col("s_suppkey"))
+    val nv = sup.agg((max(col("s_suppkey")) + 1L).as("nv"))
+    val base = sup.crossJoin(broadcast(nv))
+    val chord = base.select(col("s_suppkey").as("src"),
+        (col("s_suppkey") + 2L).as("dst"), col("nv"))
+      .filter(col("dst") % Graph.CcBlock =!= 0 &&
+        col("dst") % Graph.CcBlock =!= 1 && col("dst") < col("nv"))
+      .select(col("src"), col("dst"))
+    val eu = Graph.ccEdges(spark, sf).union(chord)
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("w"))
+      .filter(col("u") =!= col("w")).distinct()
+    val t = eu.select(col("u").as("x"), col("w").as("y"))
+      .join(eu.select(col("u").as("y"), col("w").as("z")), Seq("y"))
+      .join(eu.select(col("u").as("x"), col("w").as("z")), Seq("x", "z"))
+    val brute = t.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (n, c) =>
+      assert(c == brute.getOrElse(n, 0L), s"node $n: $c vs ${brute.get(n)}")
+    }
+  }
 }

@@ -41,10 +41,13 @@ class PruningSpec extends AnyFunSuite {
     // a vocab-sized broadcast)
     // emb_neardup_lsh: the contract verdict crosses the ONE-row exact
     // pair-count aggregate onto the one-row LSH aggregate
+    // graph_triangles / sketch_heavy_hitters: the one-row max-key /
+    // total-count scalar frame crossed onto the edge / candidate frame
     val nlAllowed = Set("ann_brute_topk", "ann_ivf_topk",
       "geo_nearest_poi", "geo_area_assign", "geo_route_nearest",
       "emb_cluster_assign", "emb_kmeans", "q31_range_lookup",
-      "geo_eta_matrix", "text_tfidf", "text_xentropy", "emb_neardup_lsh")
+      "geo_eta_matrix", "text_tfidf", "text_xentropy", "emb_neardup_lsh",
+      "graph_triangles", "sketch_heavy_hitters")
     // full-outer equi-joins cannot broadcast (both sides must preserve
     // unmatched rows), so a shuffle join IS the correct plan there
     val smjAllowed = Set("q26_full_outer")

@@ -43,4 +43,42 @@ class SketchesSpec extends AnyFunSuite {
       q.forall(r => r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4)),
       "a percentile estimate's true rank escaped its tolerance")
   }
+
+  test("Misra-Gries with k < vocab: heavy survivors, lower-bound counts") {
+    import spark.implicits._
+    import graft.functions.MisraGries.mg_sketch
+    import org.apache.spark.sql.functions.{col, explode}
+    // skewed stream: "hot" = 400 of 1000 items (40% >> n/k with k=5);
+    // "warm" = 200; the rest is a 40-item uniform tail forcing
+    // constant evictions in every partition
+    val items = Seq.fill(400)("hot") ++ Seq.fill(200)("warm") ++
+      (0 until 400).map(i => s"cold_${i % 40}")
+    val df = scala.util.Random.shuffle(items).toDF("item")
+      .repartition(8) // exercise partial summaries + merges
+    val mg = df.agg(mg_sketch(col("item"), 5).as("mg"))
+      .select(explode(col("mg")).as("c"))
+      .select(col("c.item"), col("c.est")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mg.size <= 5, "summary must keep at most k counters")
+    assert(mg.contains("hot"),
+      "an item with freq > n/k must survive (deterministic guarantee)")
+    assert(mg("hot") <= 400 && mg("hot") >= 400 - 1000 / 5,
+      s"estimate ${mg("hot")} must be a lower bound within n/k of truth")
+    mg.get("warm").foreach(e => assert(e <= 200))
+  }
+
+  test("heavyHitters two-pass pipeline equals exact frequencies above n/k") {
+    import org.apache.spark.sql.functions.{col, explode, length, split, count, lit}
+    val rows = Sketches.heavyHitters(spark, sf).collect()
+    assert(rows.nonEmpty, "test corpus must surface heavy tokens")
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val n = toks.count()
+    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > n / 50.0).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r.getString(0) -> r.getLong(1)).toMap == exact)
+    rows.foreach(r => assert(r.getLong(2) == n))
+  }
 }
