@@ -146,6 +146,9 @@ object SparkEntry {
     // restates the closed-form pixel function, so the hash check proves
     // the decode round-trip, not just plumbing
     "mm_pixel_stats" -> (Multimodal.pixelStats _),
+    // F. perceptual dedup over REAL decoded pixels: dHash clusters must
+    // equal the planted scene structure the oracle states closed-form
+    "mm_dhash_dedup" -> (Multimodal.dhashDedup _),
     // F. real 16-bit PCM decode (RIFF walk + int16 LE) — the oracle
     // restates the closed-form sample function, so the hash proves the
     // audio decode round-trip
@@ -1541,6 +1544,18 @@ object SparkEntry {
     // the oracle aggregates the formula directly while the Spark side
     // must recover the same bytes through zlib inflate + PNG unfilter —
     // the hash check proves the full sample-decode round-trip
+    // perceptual dedup ground truth: dHash is invariant to the planted
+    // brightness offsets and separates the 7 gradient scenes, so the
+    // hash clusters ARE the scene groups — closed-form in doc_id
+    "mm_dhash_dedup" ->
+      """WITH img AS (SELECT doc_id, doc_id % 7 AS scene
+           FROM documents WHERE doc_id % 3 = 0),
+         g AS (SELECT scene, min(doc_id) AS cluster_rep,
+             count(*) AS n_dups
+           FROM img GROUP BY scene)
+         SELECT i.doc_id, g.cluster_rep, CAST(g.n_dups AS BIGINT) AS n_dups,
+           i.doc_id = g.cluster_rep AS survivor
+         FROM img i JOIN g USING (scene) ORDER BY i.doc_id""",
     "mm_pixel_stats" ->
       """WITH img AS (SELECT doc_id,
            CAST(4 + doc_id % 13 AS BIGINT) AS width,

@@ -625,4 +625,90 @@ object Multimodal {
       .toDF()
       .orderBy(col("doc_id"))
   }
+
+  /** Image table with PLANTED DUPLICATE STRUCTURE for perceptual
+    * dedup: each image renders one of 7 deterministic two-tone scenes
+    * (scene = doc_id % 7; per dHash cell, a scene-keyed multiplicative
+    * hash picks dark 60 or light 180 — smooth gradients would leave
+    * most adjacent-cell comparisons identical across scenes) at a
+    * per-image brightness offset (doc_id % 5 * 10, bounded so no
+    * channel wraps). dHash is invariant to a uniform brightness
+    * shift — cell sums all move by offset x cell-size, so every
+    * adjacent-cell comparison is unchanged — which makes "same scene"
+    * the closed-form ground truth for the hash clusters. Fixed 18 x 16
+    * dims so the 9 x 8 grid has equal 2 x 2 cells (unequal cells would
+    * break the shift invariance of integer cell sums). */
+  def dhashMediaTable(spark: SparkSession, dir: String): Dataset[MediaItem] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id")).filter(col("doc_id") % 3 === 0)
+      .as[Long]
+      .map { id =>
+        val w = 18; val h = 16
+        val scene = (id % 7) + 1; val off = (id % 5).toInt * 10
+        val px = Array.tabulate(w * h * 3) { i =>
+          val p = i / 3; val cellIdx = (p / w / 2) * 9 + (p % w) / 2
+          val light = ((scene * 0x9E3779B97F4A7C15L) >>> (cellIdx % 47) & 1L) == 1L
+          ((if (light) 180 else 60) + off).toByte
+        }
+        MediaItem(id, "image/png", pngPixelPayload(w, h, px), w, h)
+      }
+  }
+
+  /** 64-bit difference hash of a decoded RGB image: 9 x 8 grid of
+    * equal cells, each cell's integer RGB sum compared against its
+    * right neighbor — the classic perceptual fingerprint (robust to
+    * uniform brightness change, cheap enough to compute inline). */
+  private[graft] def dhash64(w: Int, h: Int, px: Array[Byte]): Long = {
+    val cw = w / 9; val ch = h / 8
+    require(cw * 9 == w && ch * 8 == h, s"dims $w x $h must tile the 9x8 grid")
+    val cells = Array.ofDim[Long](8, 9)
+    var i = 0
+    while (i < px.length) {
+      val p = i / 3; val x = p % w; val y = p / w
+      cells(y / ch)(x / cw) += (px(i) & 0xff).toLong
+      i += 1
+    }
+    var bits = 0L; var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (cells(r)(c) > cells(r)(c + 1)) bits |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
+  /** Perceptual image dedup: REAL PNG decode -> [[dhash64]] -> exact
+    * hash clusters with keep-min survivors — the image-side counterpart
+    * of [[graft.operators.Dedup.exact]], except the key is a perceptual
+    * fingerprint of DECODED PIXELS, so brightness-shifted re-exports of
+    * the same scene collapse into one cluster while distinct scenes
+    * stay apart. The oracle states ground truth closed-form (clusters
+    * == scenes): a broken filter inverse, a dropped IDAT byte, or a
+    * dHash that loses its shift invariance all scatter the clusters and
+    * break the hash match.
+    *
+    * Scale shape: one typed mapPartitions decode pass (binary never
+    * leaves the executor), then a hash-group join — the cluster frame
+    * is one row per DISTINCT perceptual hash (corpus / dup-factor),
+    * broadcast back like the exact-dedup survivor frame. */
+  def dhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashed = dhashMediaTable(spark, dir)
+      .mapPartitions(_.map { m =>
+        val (w, h, px) = decodePngPixels(m.payload)
+        (m.doc_id, dhash64(w, h, px))
+      })
+      .toDF("doc_id", "dhash")
+    val clusters = hashed.groupBy(col("dhash"))
+      .agg(min(col("doc_id")).as("cluster_rep"),
+        count(lit(1)).as("n_dups"))
+    hashed.join(broadcast(clusters), Seq("dhash"))
+      .select(col("doc_id"), col("cluster_rep"), col("n_dups"),
+        (col("doc_id") === col("cluster_rep")).as("survivor"))
+      .orderBy(col("doc_id"))
+  }
 }

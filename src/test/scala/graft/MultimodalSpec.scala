@@ -200,4 +200,36 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getLong(5) == chg.toLong, s"doc $id sign changes")
     }
   }
+
+  test("dhash64: brightness-shift invariant, scene-separating") {
+    def scenePx(scene: Long, off: Int): Array[Byte] =
+      Array.tabulate(18 * 16 * 3) { i =>
+        val p = i / 3; val cellIdx = (p / 18 / 2) * 9 + (p % 18) / 2
+        val light = ((scene * 0x9E3779B97F4A7C15L) >>> (cellIdx % 47) & 1L) == 1L
+        ((if (light) 180 else 60) + off).toByte
+      }
+    val hashes = (1L to 7L).map(s =>
+      s -> Multimodal.dhash64(18, 16, scenePx(s, 0))).toMap
+    assert(hashes.values.toSet.size == 7, "all 7 scenes must hash apart")
+    (1L to 7L).foreach { s =>
+      Seq(10, 20, 30, 40).foreach { off =>
+        assert(Multimodal.dhash64(18, 16, scenePx(s, off)) == hashes(s),
+          s"scene $s not invariant under +$off brightness")
+      }
+    }
+  }
+
+  test("dhashDedup: clusters equal the planted scene structure through " +
+    "the real decode") {
+    val rows = Multimodal.dhashDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ids = rows.map(_.getLong(0))
+    val byScene = ids.groupBy(_ % 7)
+    rows.foreach { r =>
+      val scene = r.getLong(0) % 7
+      assert(r.getLong(1) == byScene(scene).min, "rep = min id of the scene")
+      assert(r.getLong(2) == byScene(scene).length.toLong, "cluster size")
+      assert(r.getBoolean(3) == (r.getLong(0) == byScene(scene).min))
+    }
+  }
 }
