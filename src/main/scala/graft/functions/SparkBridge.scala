@@ -36,6 +36,43 @@ object SparkBridge {
       case lr: LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))
 
+  /** Rebuild a checkpoint-backed frame with its propagated plan
+    * statistics DROPPED (reset to the conf default).
+    *
+    * [[LogicalRDD]] forwards its origin plan's `Statistics` so that
+    * broadcast decisions survive a checkpoint — the right call for a
+    * one-shot checkpoint, but poison for an ITERATIVE loop: the
+    * estimate compounds multiplicatively through every round's joins,
+    * `sizeInBytes` roughly squares per round, the BigInt's DIGIT COUNT
+    * doubles, and Catalyst's stats arithmetic itself turns exponential —
+    * measured 505 s of pure driver-side `BigInteger.multiply` for one
+    * round's planning by round 12 of the component loop. Dropping
+    * originStats at each round boundary keeps every round's stats O(1)
+    * while the checkpoint still truncates lineage. The frame must
+    * already be materialized (its LogicalRDD leaves re-used as-is). */
+  def dropOriginStats(df: DataFrame): DataFrame = {
+    val spark =
+      df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    def fresh(lr: LogicalRDD): LogicalRDD =
+      LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
+        lr.outputOrdering, lr.isStreaming)(spark, None, None)
+    // NOT a transform: LogicalRDD's case equality spans only its first
+    // parameter list, so the stats-less twin compares EQUAL to the
+    // original and every equality-gated rewrite (transform,
+    // withNewChildren) silently keeps the old node, origin stats and
+    // all. Rebuild the known root shapes by direct construction.
+    val plan = df.queryExecution.analyzed match {
+      case lr: LogicalRDD => fresh(lr)
+      case p @ org.apache.spark.sql.catalyst.plans.logical.Project(
+          list, lr: LogicalRDD) =>
+        org.apache.spark.sql.catalyst.plans.logical.Project(list, fresh(lr))
+      case other => throw new IllegalArgumentException(
+        "dropOriginStats expects a checkpoint-backed frame " +
+          s"(LogicalRDD or Project over one); got ${other.nodeName}")
+    }
+    org.apache.spark.sql.classic.Dataset.ofRows(spark, plan)
+  }
+
   /** The aggregate half of Spark's runtime bloom filter (the machinery
     * behind `InjectRuntimeFilter`, which Spark only triggers for shuffle
     * joins): folds `xxhash64` values into one BloomFilter binary blob.

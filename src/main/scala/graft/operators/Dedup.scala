@@ -211,7 +211,9 @@ object Dedup {
         .as[Long].head()
       converged = nChanged == 0L
       SparkBridge.unpersistCheckpoint(labels)
-      labels = next.drop("_chg")
+      // reset propagated stats at the round boundary (the iterative-loop
+      // stats-compounding hazard — see SparkBridge.dropOriginStats)
+      labels = SparkBridge.dropOriginStats(next.drop("_chg"))
       i += 1
     }
     require(converged,

@@ -82,7 +82,9 @@ object Graph {
           (lit(1 - Damping) + lit(Damping) * coalesce(col("m"), lit(0.0))).as("r"))
         .localCheckpoint()
       SparkBridge.unpersistCheckpoint(ranks)
-      ranks = next
+      // see minLabelComponents: reset propagated stats per round so the
+      // size estimate cannot compound across iterations
+      ranks = SparkBridge.dropOriginStats(next)
     }
     // "pr", not "rank": rank is a window-function keyword in the oracle
     val out = ranks.select(col("node"), col("r").as("pr"))
@@ -202,6 +204,7 @@ object Graph {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      val tB0 = System.nanoTime()
       val nb = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("esrc")).agg(min(col("label")).as("nl"))
       // m feeds BOTH sides of the jump join; the lazy checkpoint makes
@@ -211,20 +214,41 @@ object Graph {
           least(col("label"), coalesce(col("nl"), col("label"))).as("mlabel"))
         .localCheckpoint(eager = false)
       val jump = m.select(col("id").as("jid"), col("mlabel").as("jlabel"))
-      val next = m.join(jump, m("mlabel") === jump("jid"), "left")
-        .select(col("id"),
+      val j1 = m.join(jump, m("mlabel") === jump("jid"), "left")
+        .select(col("id"), col("plabel"),
           least(col("mlabel"), coalesce(col("jlabel"), col("mlabel")))
-            .as("label"),
+            .as("l1"))
+        .localCheckpoint(eager = false)
+      // SECOND pointer jump in the same round: each jump squares the
+      // effective reach, so doubling up cuts the round count to
+      // ~log4(diameter) — and the round count, not per-round work, is
+      // what dominates wall-clock here (each round is a full job with
+      // its own scheduling/codegen floor; the extra label-sized
+      // self-join is marginal against that floor)
+      val jump2 = j1.select(col("id").as("jid2"), col("l1").as("jlabel2"))
+      val next = j1.join(jump2, j1("l1") === jump2("jid2"), "left")
+        .select(col("id"),
+          least(col("l1"), coalesce(col("jlabel2"), col("l1"))).as("label"),
           col("plabel"))
         .withColumn("_chg", (col("label") < col("plabel")).cast("long"))
         .drop("plabel")
         .localCheckpoint(eager = false)
+      val tR0 = System.nanoTime()
       val nChanged = next.agg(coalesce(sum(col("_chg")), lit(0L)))
         .as[Long].head()
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"[cc] round $i chg=$nChanged build=${(tR0 - tB0) / 1e9}%.2f s act=${(System.nanoTime() - tR0) / 1e9}%.2f s")
       converged = nChanged == 0L
       SparkBridge.unpersistCheckpoint(labels)
       SparkBridge.unpersistCheckpoint(m)
-      labels = next.drop("_chg")
+      SparkBridge.unpersistCheckpoint(j1)
+      // drop the checkpoint's propagated statistics at the round
+      // boundary: LogicalRDD forwards origin stats, and across an
+      // iterative loop the size estimate compounds multiplicatively
+      // until Catalyst's BigInt stats arithmetic dominates planning
+      // (measured 505 s for ONE round's planning by round 12) — see
+      // SparkBridge.dropOriginStats
+      labels = SparkBridge.dropOriginStats(next.drop("_chg"))
       i += 1
     }
     require(converged,

@@ -81,7 +81,9 @@ object Routing {
         .groupBy(col("src"), col("node")).agg(min(col("d")).as("d"))
         .localCheckpoint()
       SparkBridge.unpersistCheckpoint(dist)
-      dist = next
+      // reset propagated stats at the round boundary (the iterative-loop
+      // stats-compounding hazard — see SparkBridge.dropOriginStats)
+      dist = SparkBridge.dropOriginStats(next)
     }
     // result is the final frontier itself (output-sized, already
     // pinned); release the edge table now that the rounds are done

@@ -230,6 +230,11 @@ object Similarity {
           .select(col("cluster_id"),
             transform(col("pv"), x => x.getField("v").cast("float")).as("se"))
           .localCheckpoint()
+        // reset propagated stats at the round boundary (the
+        // iterative-loop stats-compounding hazard — see
+        // SparkBridge.dropOriginStats)
+        centroids = org.apache.spark.sql.graftbridge.SparkBridge
+          .dropOriginStats(centroids)
         if (prev != null)
           org.apache.spark.sql.graftbridge.SparkBridge.unpersistCheckpoint(prev)
         prev = centroids
