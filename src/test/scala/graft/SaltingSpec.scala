@@ -48,4 +48,30 @@ class SaltingSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2)))).toSet
     assert(salted == direct)
   }
+
+  test("dropOriginStats resets checkpoint statistics, preserves rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.SparkBridge
+    // a join-of-joins whose propagated estimate compounds — the shape
+    // every iterative loop carries round over round
+    val df = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("a", "b")
+    var frame = df.localCheckpoint()
+    val conf = spark.sessionState.conf.defaultSizeInBytes
+    (1 to 3).foreach { _ =>
+      val grown = frame.join(frame.withColumnRenamed("a", "c"), Seq("b"))
+        .select(col("b"), col("a")).localCheckpoint()
+      // WITHOUT the reset the estimate squares each round; with it the
+      // carried frame re-enters the next round at the conf default
+      val reset = SparkBridge.dropOriginStats(grown)
+      assert(reset.queryExecution.optimizedPlan.stats.sizeInBytes == conf,
+        "propagated stats must be dropped at the round boundary")
+      assert(reset.count() == grown.count(), "reset must not change rows")
+      frame = reset
+    }
+    // the Project-over-LogicalRDD shape (next.drop(col)) works too
+    val projected = SparkBridge.dropOriginStats(
+      df.withColumn("x", lit(1)).localCheckpoint().drop("x"))
+    assert(projected.columns.sameElements(Array("a", "b")))
+    assert(projected.count() == 3)
+  }
 }
