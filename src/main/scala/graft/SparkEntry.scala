@@ -50,6 +50,7 @@ object SparkEntry {
     "q29_event_funnel" -> (Relational.q29EventFunnel _),
     "q33_retention" -> (Relational.q33Retention _),
     "q34_market_basket" -> (Relational.q34MarketBasket(_, _)),
+    "q35_gap_fill" -> (Relational.q35GapFill _),
     // A'. warehouse shapes: runtime bloom filter, band lookup, SCD2
     "q30_bloom_semi" -> (Warehouse.q30BloomSemi _),
     "q31_range_lookup" -> (Warehouse.q31RangeLookup _),
@@ -78,6 +79,7 @@ object SparkEntry {
     "geo_route_eta" -> ((s, d) => Routing.routeEta(s, d)),
     "geo_route_nearest" -> ((s, d) => Routing.routeNearestPoi(s, d)),
     "geo_route_door" -> ((s, d) => Routing.routeDoorToDoor(s, d)),
+    "geo_isochrone" -> ((s, d) => Routing.isochroneCoverage(s, d)),
     // C. deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_exact_survivors" -> (Dedup.exactSurvivors _),
@@ -92,6 +94,7 @@ object SparkEntry {
     // D. similarity search
     "ann_brute_topk" -> ((s, d) => Similarity.bruteTopK(s, d)),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "ann_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "emb_neardup" -> ((s, d) => Similarity.nearDup(s, d)),
     // contract verdicts: LSH subset/recall/precision vs the blocked
     // exact generator, whose pair count the oracle cross-checks brute
@@ -114,6 +117,7 @@ object SparkEntry {
     "text_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     "text_hash_split" -> ((s, d) => TextAnalysis.hashSplit(s, d)),
     "text_pack" -> ((s, d) => TextAnalysis.pack(s, d)),
+    "text_span_dedup" -> ((s, d) => TextAnalysis.spanDedup(s, d)),
     "dedup_incremental" -> (Dedup.incremental _),
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
     "text_domain_mix" -> ((s, d) => TextAnalysis.domainMix(s, d)),
@@ -484,6 +488,28 @@ object SparkEntry {
            count(DISTINCT user_id) AS n_active
          FROM a JOIN c USING (user_id)
          GROUP BY cohort_wk, weeks_since ORDER BY cohort_wk, weeks_since""",
+    // gap fill: dense (priority x day) spine; zero-fill + carry-forward.
+    // Day as TIMESTAMP (the proven comparable form); revenue rounded at
+    // the daily aggregate so the carry-forward copies identical values
+    "q35_gap_fill" ->
+      """WITH o AS (SELECT o_orderpriority AS prio,
+           CAST(o_orderdate AS DATE) AS d, o_totalprice FROM orders),
+         daily AS (SELECT prio, d, round(sum(o_totalprice), 2) AS rev
+           FROM o GROUP BY prio, d),
+         b AS (SELECT min(d) AS d0, max(d) AS d1 FROM o),
+         days AS (SELECT CAST(unnest(generate_series(d0, d1,
+           INTERVAL 1 DAY)) AS DATE) AS d FROM b),
+         p AS (SELECT DISTINCT prio FROM o),
+         g AS (SELECT prio, d FROM p, days),
+         j AS (SELECT g.prio, g.d, daily.rev
+           FROM g LEFT JOIN daily USING (prio, d))
+         SELECT prio, CAST(d AS TIMESTAMP) AS day,
+           coalesce(rev, 0.0) AS revenue,
+           coalesce(last_value(rev IGNORE NULLS) OVER (PARTITION BY prio
+             ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             0.0) AS revenue_ff,
+           (rev IS NULL) AS is_gap
+         FROM j ORDER BY prio, day""",
     "q28_stratified_sample" ->
       """SELECT lang, rk, doc_id FROM (
            SELECT lang, doc_id,
@@ -718,6 +744,34 @@ object SparkEntry {
       """
          SELECT src, node, round(min(d), 4) AS eta_s
          FROM reach GROUP BY src, node ORDER BY src, node"""),
+    // isochrone coverage: matrix -> (src, band) counts -> dense spine
+    // cumsum -> share of all nodes. Literals CAST to DOUBLE so DuckDB
+    // cannot slip into DECIMAL math on the band arithmetic
+    "geo_isochrone" -> (RouteMatrixSql +
+      """,
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS nv FROM supplier),
+         binned AS (SELECT src,
+             CAST(least(floor(eta_s / CAST(750000.0 AS DOUBLE)), 5)
+               AS INTEGER) AS bin,
+             count(*) AS c
+           FROM m GROUP BY src, bin),
+         srcs AS (SELECT DISTINCT src FROM m),
+         bins AS (SELECT CAST(unnest(range(0, 6)) AS INTEGER) AS bin),
+         g AS (SELECT src, bin FROM srcs, bins),
+         j AS (SELECT g.src, g.bin,
+             CAST(coalesce(b.c, 0) AS BIGINT) AS n_new
+           FROM g LEFT JOIN binned b ON b.src = g.src AND b.bin = g.bin),
+         cum AS (SELECT src, bin, n_new,
+             CAST(sum(n_new) OVER (PARTITION BY src ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_reachable
+           FROM j)
+         SELECT src, bin,
+           (bin + 1) * CAST(750000.0 AS DOUBLE) AS t_max_s,
+           n_new, n_reachable,
+           floor(n_reachable / nv * CAST(10000.0 AS DOUBLE)
+             + CAST(0.5 AS DOUBLE)) / CAST(10000.0 AS DOUBLE) AS share
+         FROM cum, tot ORDER BY src, bin"""),
     "geo_route_nearest" -> (RouteMatrixSql +
       """,
          t AS (SELECT DISTINCT node % 4 AS poi_type FROM m),
@@ -993,6 +1047,79 @@ object SparkEntry {
                ORDER BY cos DESC, cid) AS rk
            FROM scored) t
          WHERE rk <= 5 ORDER BY qid, rk""",
+    // IVF-PQ is deterministic end-to-end (seeded cells + codebook,
+    // fixed-order ADC addition, id tie-breaks at every cut), so the
+    // whole index composition — coarse routing, PQ encoding, ADC
+    // lookup-table scoring, rerank cut, exact re-rank — restates in SQL
+    // and the approximate result itself hash-checks. list_distance is
+    // bit-identical to graft's l2 kernel (see emb_pq_codes), and both
+    // engines add the four squared sub-distances left to right.
+    "ann_ivfpq_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         seeds AS (SELECT vec_id AS cell, v AS sv FROM e WHERE vec_id < 16),
+         asg AS (SELECT cid, cell FROM (
+           SELECT a.vec_id AS cid, s.cell,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(a.v, s.sv) DESC, s.cell) AS rn
+           FROM e a, seeds s) t WHERE rn = 1),
+         sub AS (SELECT vec_id, m,
+             list_slice(v, m * 16 + 1, m * 16 + 16) AS sub
+           FROM e, unnest([0, 1, 2, 3]) t(m)),
+         cb AS (SELECT vec_id AS sid, m, sub AS ssub FROM sub
+           WHERE vec_id % 31 = 0),
+         codes0 AS (SELECT vec_id, m, sid AS code FROM (
+           SELECT v.vec_id, v.m, sid,
+             row_number() OVER (PARTITION BY v.vec_id, v.m
+               ORDER BY list_distance(v.sub, cb.ssub), sid) AS rn
+           FROM sub v JOIN cb ON v.m = cb.m) t WHERE rn = 1),
+         codes AS (SELECT vec_id AS cid,
+             min(CASE WHEN m = 0 THEN code END) AS code_0,
+             min(CASE WHEN m = 1 THEN code END) AS code_1,
+             min(CASE WHEN m = 2 THEN code END) AS code_2,
+             min(CASE WHEN m = 3 THEN code END) AS code_3
+           FROM codes0 GROUP BY vec_id),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         probes AS (SELECT qid, cell FROM (
+           SELECT q.qid, s.cell,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(q.qv, s.sv) DESC, s.cell)
+               AS rn
+           FROM q, seeds s) t WHERE rn <= 4),
+         lut AS (SELECT qs.qid, cb.m, cb.sid,
+             list_distance(qs.sub, cb.ssub) * list_distance(qs.sub, cb.ssub)
+               AS d2
+           FROM (SELECT vec_id AS qid, m, sub FROM sub WHERE vec_id < 10) qs
+           JOIN cb ON qs.m = cb.m),
+         cand AS (SELECT p.qid, c.cid,
+             c.code_0, c.code_1, c.code_2, c.code_3
+           FROM probes p JOIN asg a USING (cell)
+           JOIN codes c ON c.cid = a.cid
+           WHERE a.cid <> p.qid),
+         adc AS (SELECT qid, cid,
+             max(CASE WHEN m = 0 THEN d2 END)
+             + max(CASE WHEN m = 1 THEN d2 END)
+             + max(CASE WHEN m = 2 THEN d2 END)
+             + max(CASE WHEN m = 3 THEN d2 END) AS adc
+           FROM (SELECT cand.qid, cand.cid, l.m, l.d2
+             FROM cand JOIN lut l ON l.qid = cand.qid AND (
+               (l.m = 0 AND l.sid = cand.code_0)
+               OR (l.m = 1 AND l.sid = cand.code_1)
+               OR (l.m = 2 AND l.sid = cand.code_2)
+               OR (l.m = 3 AND l.sid = cand.code_3))) u
+           GROUP BY qid, cid),
+         sel AS (SELECT qid, cid FROM (
+           SELECT qid, cid,
+             row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS rn
+           FROM adc) t WHERE rn <= 32)
+         SELECT qid, rk, cid, cos_sim FROM (
+           SELECT sel.qid, sel.cid,
+             round(list_cosine_similarity(q.qv, e.v), 4) AS cos_sim,
+             row_number() OVER (PARTITION BY sel.qid
+               ORDER BY list_cosine_similarity(q.qv, e.v) DESC, sel.cid)
+               AS rk
+           FROM sel JOIN q ON q.qid = sel.qid JOIN e ON e.vec_id = sel.cid)
+           t
+         WHERE rk <= 5 ORDER BY qid, rk""",
     // semantic dedup end-to-end: the pair predicate, the undirected
     // closure, and the survivor cut all restate in SQL, so one hash
     // pins the whole composition. The oracle predicate is the label-FREE
@@ -1187,6 +1314,38 @@ object SparkEntry {
            CAST(floor((tok_end - n_tokens) / 128.0) AS BIGINT) AS bin_first,
            CAST(floor((tok_end - 1) / 128.0) AS BIGINT) AS bin_last
          FROM c ORDER BY source, doc_id""",
+    // duplicated-span removal: a position is dup when any 8-gram
+    // occurrence covering it repeats corpus-wide; kept text reassembled
+    // from uncovered positions. Exact string k-grams on both sides (no
+    // hashing), so the duplicate decision is collision-free.
+    "text_span_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+           FROM documents),
+         occ AS (SELECT doc_id, i, array_to_string(l[i:i+7], ' ') AS kg
+           FROM t, LATERAL (SELECT unnest(range(1, len(l) - 6)) AS i) r
+           WHERE len(l) >= 8),
+         dup AS (SELECT kg FROM occ GROUP BY kg HAVING count(*) >= 2),
+         cov AS (SELECT DISTINCT doc_id, p
+           FROM occ JOIN dup USING (kg),
+             LATERAL (SELECT unnest(range(i, i + 8)) AS p) rr),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_tokens
+           FROM cov GROUP BY doc_id),
+         toks AS (SELECT doc_id, i AS p, l[i] AS tok FROM t,
+           LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) r),
+         kept AS (SELECT toks.doc_id,
+             string_agg(tok, ' ' ORDER BY toks.p)
+               FILTER (WHERE cov.p IS NULL) AS kt
+           FROM toks LEFT JOIN cov
+             ON toks.doc_id = cov.doc_id AND toks.p = cov.p
+           GROUP BY toks.doc_id)
+         SELECT t.doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+           coalesce(a.dup_tokens, 0) AS dup_tokens,
+           floor(coalesce(a.dup_tokens, 0) / len(l) * 10000.0 + 0.5)
+             / 10000.0 AS dup_frac,
+           md5(coalesce(k.kt, '')) AS kept_md5
+         FROM t LEFT JOIN agg a USING (doc_id)
+           LEFT JOIN kept k ON t.doc_id = k.doc_id
+         ORDER BY t.doc_id""",
     // floor(x*1e4+0.5)/1e4 on both sides: small-integer ratios land on
     // exact decimal halves where the engines' round()s disagree
     "text_repetition" ->

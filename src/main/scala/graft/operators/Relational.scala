@@ -510,4 +510,41 @@ object Relational {
       .agg(countDistinct(col("user_id")).as("n_active"))
       .orderBy(col("cohort_wk"), col("weeks_since"))
   }
+
+  /** Time-series gap fill: a dense (priority x day) spine over the
+    * orders date range, missing days zero-filled plus a carry-forward
+    * column — the densification step before any rolling-window feature
+    * or chart; a raw groupBy silently drops empty days.
+    *
+    * Scale posture: the spine is (distinct keys) x (days) — both dims,
+    * broadcast-crossed, never the fact table; the fact side collapses
+    * to per-(key, day) partial aggregates BEFORE meeting the spine, so
+    * the only full-width shuffle is daily-aggregate-sized. The
+    * carry-forward window partitions by key and orders by day: at
+    * 100 TB the per-key day count is bounded by the calendar (a few
+    * thousand rows), so no partition can outgrow memory regardless of
+    * fact volume. */
+  def q35GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("prio"),
+        col("o_orderdate").cast("date").as("d"), col("o_totalprice"))
+    val daily = o.groupBy(col("prio"), col("d"))
+      .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+    val days = broadcast(
+      o.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"),
+          expr("interval 1 day"))).as("d")))
+    val spine = o.select(col("prio")).distinct().crossJoin(days)
+    val w = Window.partitionBy(col("prio")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("prio", "d"), "left")
+      // day reported as timestamp: the proven cross-engine comparable
+      // form (date_trunc precedent in q20/q33)
+      .select(col("prio"), col("d").cast("timestamp").as("day"),
+        coalesce(col("rev"), lit(0.0)).as("revenue"),
+        coalesce(last(col("rev"), ignoreNulls = true).over(w), lit(0.0))
+          .as("revenue_ff"),
+        col("rev").isNull.as("is_gap"))
+      .orderBy(col("prio"), col("day"))
+  }
 }

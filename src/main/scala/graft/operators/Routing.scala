@@ -156,4 +156,47 @@ object Routing {
           .as("eta_s"))
       .orderBy(col("c_custkey"))
   }
+
+  /** Isochrone coverage curve per route-matrix source: the reference's
+    * headline deliverable is "how much is reachable within T" per
+    * origin (ram-analysis/app/index.js:520-541 assembles per-origin
+    * eta-<poiType> properties; the RAM UI bins them into isochrone
+    * bands) — here as a dense (src x time-band) table of newly-reached
+    * and cumulative node counts plus the coverage share of the whole
+    * network.
+    *
+    * Scale posture: the routed matrix collapses to (src, band) counts
+    * FIRST (partial-agg, matrix never crosses anything); the dense band
+    * spine is (sources) x (nBins broadcast dim); the cumulative window
+    * partitions by src over exactly nBins rows — bounded by the band
+    * count, not the graph. The total-node scalar is a one-row broadcast
+    * cross. */
+  def isochroneCoverage(spark: SparkSession, dir: String,
+                        hops: Int = DefaultHops, binS: Double = 750000.0,
+                        nBins: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val eta = routeEta(spark, dir, hops)
+    val total = Tables.supplier(spark, dir)
+      .agg(count(lit(1)).cast("double").as("nv"))
+    val binned = eta
+      .withColumn("bin",
+        least(floor(col("eta_s") / binS), lit((nBins - 1).toLong)).cast("int"))
+      .groupBy(col("src"), col("bin")).agg(count(lit(1)).as("c"))
+    val spine = eta.select(col("src")).distinct()
+      .crossJoin(broadcast(
+        eta.sparkSession.range(nBins).select(col("id").cast("int").as("bin"))))
+    val w = Window.partitionBy(col("src")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(binned.hint("shuffle_hash"), Seq("src", "bin"), "left")
+      .select(col("src"), col("bin"), coalesce(col("c"), lit(0L)).as("n_new"))
+      .withColumn("n_reachable", sum(col("n_new")).over(w))
+      .crossJoin(broadcast(total))
+      .select(col("src"), col("bin"),
+        ((col("bin") + 1) * binS).as("t_max_s"),
+        col("n_new"), col("n_reachable"),
+        // floor(x*1e4+0.5)/1e4, not round: see TextAnalysis.withQuality
+        (floor(col("n_reachable") / col("nv") * 10000.0 + 0.5) / 10000.0)
+          .as("share"))
+      .orderBy(col("src"), col("bin"))
+  }
 }

@@ -383,25 +383,8 @@ object Similarity {
     * lower seed id via the struct ordering. */
   def pqCodes(spark: SparkSession, dir: String, subspaces: Int = 4,
               subDim: Int = 16, seedMod: Int = 31): DataFrame = {
-    import graft.functions.VectorFunctions.l2_dist
-    def subbed(df: DataFrame, idCol: String) = df
-      .select(col(idCol), posexplode(array((0 until subspaces).map(m =>
-        slice(col("embedding"), m * subDim + 1, subDim)): _*)))
-      .select(col(idCol), col("pos").as("m"), col("col").as("sub"))
-    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
-    val vsub = subbed(e, "vec_id")
-    val ssub = subbed(
-      e.filter(col("vec_id") % seedMod === 0)
-        .withColumnRenamed("vec_id", "sid"), "sid")
-      .withColumnRenamed("sub", "ssub")
-    val best = vsub.join(broadcast(ssub), Seq("m"))
-      .select(col("vec_id"), col("m"), col("sid"),
-        l2_dist(col("sub"), col("ssub")).as("dist"))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min_by(struct(col("sid"), col("dist")),
-        struct(col("dist"), col("sid"))).as("b"))
-      .select(col("vec_id"), col("m"),
-        col("b.sid").as("code"), col("b.dist").as("dist"))
+    val best = pqAssign(emb(spark, dir).select(col("vec_id"), col("embedding")),
+      subspaces, subDim, seedMod)
     val codeCols = (0 until subspaces).map(i =>
       min(when(col("m") === i, col("code"))).as(s"code_$i"))
     best.groupBy(col("vec_id"))
@@ -409,5 +392,126 @@ object Similarity {
         codeCols.tail :+
           round(sum(col("dist") * col("dist")), 4).as("recon_err2"): _*)
       .orderBy(col("vec_id"))
+  }
+
+  /** Split `embedding` into `subspaces` contiguous sub-vectors per id,
+    * exploded to one (id, m, sub) row per subspace. */
+  private def subVectors(df: DataFrame, idCol: String, subspaces: Int,
+                         subDim: Int): DataFrame = df
+    .select(col(idCol), posexplode(array((0 until subspaces).map(m =>
+      slice(col("embedding"), m * subDim + 1, subDim)): _*)))
+    .select(col(idCol), col("pos").as("m"), col("col").as("sub"))
+
+  /** Shared PQ assignment kernel ([[pqCodes]], [[ivfPqTopK]]): nearest
+    * codeword per (vector, subspace) against the broadcast codebook
+    * (seeds := vec_id % seedMod == 0), argmin ties to the lower seed id.
+    * Returns (vec_id, m, code, dist) — codes-sized, never embeddings. */
+  private def pqAssign(e: DataFrame, subspaces: Int, subDim: Int,
+                       seedMod: Int): DataFrame = {
+    import graft.functions.VectorFunctions.l2_dist
+    val vsub = subVectors(e, "vec_id", subspaces, subDim)
+    val ssub = subVectors(
+      e.filter(col("vec_id") % seedMod === 0)
+        .withColumnRenamed("vec_id", "sid"), "sid", subspaces, subDim)
+      .withColumnRenamed("sub", "ssub")
+    vsub.join(broadcast(ssub), Seq("m"))
+      .select(col("vec_id"), col("m"), col("sid"),
+        l2_dist(col("sub"), col("ssub")).as("dist"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(struct(col("sid"), col("dist")),
+        struct(col("dist"), col("sid"))).as("b"))
+      .select(col("vec_id"), col("m"),
+        col("b.sid").as("code"), col("b.dist").as("dist"))
+  }
+
+  /** IVF-PQ approximate top-k — the composition an ANN index actually
+    * serves at 100 TB: coarse IVF cells route each query to nProbe
+    * cells ([[ivfTopK]]'s routing), candidates in those cells are
+    * scored by ASYMMETRIC DISTANCE COMPUTATION over their PQ codes
+    * (query-specific lookup table of squared sub-distances — the
+    * candidate's 256-byte-class code meets a broadcast LUT, its raw
+    * floats never move), the best `rerank` candidates per query are
+    * re-ranked by exact cosine, and the top k survive.
+    *
+    * Scale posture: codebook and cell seeds broadcast (k x dims,
+    * tiny); candidate codes join the broadcast probe list map-side; the
+    * ADC scan shuffles only (qid, adc, cid) triples into the k-bounded
+    * heap ([[graft.functions.TopKByScore]] on -adc, so selection order
+    * is (adc asc, cid asc)); only the rerank-cut survivors (nQueries x
+    * rerank rows, broadcast) ever touch raw embeddings again. Every
+    * stage is deterministic (seeded codebook, fixed-order ADC addition,
+    * id tie-breaks), so the approximate result itself is oracle-exact —
+    * same contract as [[ivfTopK]] and [[pqCodes]].
+    *
+    * Reference: ram-analysis computes nearest-POI tables by exhaustive
+    * scan (ram-analysis/app/calculateNearest.js); this is the
+    * sub-linear index-shaped form of the same top-k-by-similarity. */
+  def ivfPqTopK(spark: SparkSession, dir: String, k: Int = K,
+                nQueries: Int = NQueries, nCells: Int = 16, nProbe: Int = 4,
+                subspaces: Int = 4, subDim: Int = 16, seedMod: Int = 31,
+                rerank: Int = 32): DataFrame = {
+    import graft.functions.VectorFunctions.l2_dist
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    // coarse routing: same deterministic seeding as ivfTopK
+    val seeds = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cluster_id"), col("embedding").as("se"))
+    val cells = assignToSeeds(e, seeds)
+      .select(col("vec_id").as("cid"), col("cluster_id").as("cell"))
+    // PQ codes pivoted wide: (cid, cell, code_0..code_{M-1})
+    val codeCols = (0 until subspaces).map(i =>
+      min(when(col("m") === i, col("code"))).as(s"code_$i"))
+    // codes and cells are both corpus-sized: co-partition on the id and
+    // hash-join (never a sort — codes are narrow fixed-width rows)
+    val codes = pqAssign(e, subspaces, subDim, seedMod)
+      .groupBy(col("vec_id").as("cid"))
+      .agg(codeCols.head, codeCols.tail: _*)
+      .join(cells.hint("shuffle_hash"), Seq("cid"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val pw = Window.partitionBy(col("qid")).orderBy(col("_c").desc, col("cell"))
+    val probes = q.join(broadcast(seeds.withColumnRenamed("cluster_id", "cell")))
+      .select(col("qid"), col("cell"),
+        cosine_sim(col("qe"), col("se")).as("_c"))
+      .withColumn("_rn", row_number().over(pw)).filter(col("_rn") <= nProbe)
+      .select(col("qid"), col("cell"))
+    // ADC lookup table: squared l2 from each query sub-vector to each
+    // codeword, folded into one map per query (keys m * 1M + sid; values
+    // dist^2 via the same l2 kernel as encoding, so engines agree
+    // bit-for-bit). nQueries x subspaces x codebook rows — broadcast.
+    val qsub = subVectors(q.withColumnRenamed("qe", "embedding")
+      .withColumnRenamed("qid", "vec_id"), "vec_id", subspaces, subDim)
+      .select(col("vec_id").as("qid"), col("m"), col("sub"))
+    val ssub = subVectors(
+      e.filter(col("vec_id") % seedMod === 0)
+        .withColumnRenamed("vec_id", "sid"), "sid", subspaces, subDim)
+      .withColumnRenamed("sub", "ssub")
+    val lut = qsub.join(broadcast(ssub), Seq("m"))
+      .select(col("qid"), (col("m") * 1000000L + col("sid")).as("mk"),
+        (l2_dist(col("sub"), col("ssub")) *
+          l2_dist(col("sub"), col("ssub"))).as("d2"))
+      .groupBy(col("qid"))
+      .agg(map_from_entries(collect_list(struct(col("mk"), col("d2"))))
+        .as("lut"))
+    // candidates: codes in probed cells; adc sums the per-subspace table
+    // entries in fixed written order (parenthesization matters for the
+    // oracle's double parity)
+    val adcExpr = (0 until subspaces)
+      .map(i => element_at(col("lut"), lit(i.toLong * 1000000L) + col(s"code_$i")))
+      .reduceLeft(_ + _)
+    val cand = codes.join(broadcast(probes), Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+      .join(broadcast(lut), Seq("qid"))
+      .select(col("qid"), col("cid"), adcExpr.as("adc"))
+    // rerank cut: k-bounded heap on -adc == (adc asc, cid asc)
+    val sel = cand.groupBy(col("qid"))
+      .agg(top_k_by_score(-col("adc"), col("cid"), rerank).as("top"))
+      .select(col("qid"), explode(col("top.id")).as("cid"))
+    // exact re-rank of the survivors only: the cut is nQueries x rerank
+    // rows, so it broadcasts against the corpus-sized embedding scan
+    val scored = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .join(broadcast(sel), Seq("cid"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("cid"), cosine_sim(col("qe"), col("ce")).as("cos"))
+    finishTopK(scored, k)
   }
 }

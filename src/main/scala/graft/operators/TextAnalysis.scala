@@ -483,4 +483,63 @@ object TextAnalysis {
         md5(col("redacted").cast("binary")).as("redacted_md5"))
       .orderBy(col("doc_id"))
   }
+
+  /** Cross-document duplicated-SPAN removal — exact substring dedup in
+    * its bounded k-gram form (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better": drop any span that occurs
+    * verbatim elsewhere in the corpus, not just whole-document dups).
+    * A word position is duplicated when any k-gram occurrence covering
+    * it appears >= 2 times corpus-wide (within- or cross-document);
+    * covered positions are cut and the remainder reassembled, reported
+    * as (n_tokens, dup_tokens, dup_frac, md5 of the kept text).
+    *
+    * Scale posture: k-gram occurrences explode map-side from the token
+    * array (never a token-level explode); the duplicate decision is one
+    * hash aggregation over (kg) with map-side partial combine — only
+    * distinct k-grams per partition shuffle, not occurrences — and the
+    * surviving duplicate set (typically corpus-dup density, tiny) meets
+    * the occurrence stream in a second hash join keyed by kg. Cover
+    * positions fold per document, and reassembly is one doc_id-keyed
+    * join back to the token arrays. No window over the occurrence
+    * stream (a hot k-gram would make that one straggler partition).
+    * At 100 TB the same shape holds; the k-gram strings themselves
+    * would be xxhash64-folded before the shuffle (kept as strings here
+    * so the duplicate decision is collision-free and oracle-exact). */
+  def spanDedup(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+    // one row per k-gram occurrence: (doc_id, start, kgram text)
+    val occ = docs.filter(size(col("l")) >= k)
+      .select(col("doc_id"), col("l"),
+        explode(sequence(lit(0), size(col("l")) - k)).as("i"))
+      .select(col("doc_id"), col("i"),
+        concat_ws(" ", slice(col("l"), col("i") + 1, lit(k))).as("kg"))
+    val dupKg = occ.groupBy(col("kg"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select(col("kg"))
+    // positions covered by any duplicated occurrence, folded per doc
+    val cov = occ.join(dupKg.hint("shuffle_hash"), Seq("kg"))
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (k - 1))).as("p"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dup_tokens"), collect_set(col("p")).as("cov"))
+    docs.join(cov.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("l")).cast("long").as("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("cov"), array().cast("array<int>")).as("cov"),
+        col("l"))
+      .withColumn("kept_text", concat_ws(" ",
+        transform(
+          filter(
+            transform(col("l"), (x, idx) => struct(x.as("t"), idx.as("p"))),
+            s => !array_contains(col("cov"), s.getField("p"))),
+          s => s.getField("t"))))
+      .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
+        // floor(x*1e4+0.5)/1e4, not round: see withQuality
+        (floor(col("dup_tokens") / col("n_tokens") * 10000.0 + 0.5) / 10000.0)
+          .as("dup_frac"),
+        md5(col("kept_text").cast("binary")).as("kept_md5"))
+      .orderBy(col("doc_id"))
+  }
 }

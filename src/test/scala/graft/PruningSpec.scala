@@ -43,11 +43,19 @@ class PruningSpec extends AnyFunSuite {
     // pair-count aggregate onto the one-row LSH aggregate
     // graph_triangles / sketch_heavy_hitters: the one-row max-key /
     // total-count scalar frame crossed onto the edge / candidate frame
-    val nlAllowed = Set("ann_brute_topk", "ann_ivf_topk",
+    // ann_ivfpq_topk: queries x cell seeds (the probe routing) and the
+    // per-query ADC lookup table are dim-sized broadcast crosses; the
+    // candidate scan itself is the broadcast-hash probe join
+    // q35_gap_fill: the dense spine is (distinct priorities) x (day
+    // dim), both broadcast — the fact table never crosses anything
+    val nlAllowed = Set("ann_brute_topk", "ann_ivf_topk", "ann_ivfpq_topk",
       "geo_nearest_poi", "geo_area_assign", "geo_route_nearest",
       "emb_cluster_assign", "emb_kmeans", "q31_range_lookup",
       "geo_eta_matrix", "text_tfidf", "text_xentropy", "emb_neardup_lsh",
-      "graph_triangles", "sketch_heavy_hitters")
+      "graph_triangles", "sketch_heavy_hitters", "q35_gap_fill",
+      // geo_isochrone: band spine (sources x 6-row bin dim) and the
+      // one-row total-nodes scalar are intentional broadcast crosses
+      "geo_isochrone")
     // full-outer equi-joins cannot broadcast (both sides must preserve
     // unmatched rows), so a shuffle join IS the correct plan there
     val smjAllowed = Set("q26_full_outer")

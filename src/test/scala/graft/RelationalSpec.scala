@@ -113,4 +113,30 @@ class RelationalSpec extends AnyFunSuite {
     assert(week0 == users,
       s"week-0 actives $week0 != $users distinct users")
   }
+
+  test("q35 gap fill: dense spine, zero-filled gaps, correct carry-forward") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val rows = operators.Relational.q35GapFill(spark, sf)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1),
+        r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    val o = Tables.orders(spark, sf)
+    val prios = o.select(countDistinct(col("o_orderpriority")))
+      .head().getLong(0)
+    val days = o.select(
+      org.apache.spark.sql.functions.datediff(
+        org.apache.spark.sql.functions.max(col("o_orderdate").cast("date")),
+        org.apache.spark.sql.functions.min(col("o_orderdate").cast("date"))))
+      .head().getInt(0) + 1
+    assert(rows.length == prios * days,
+      s"${rows.length} rows != $prios prios x $days days")
+    assert(rows.exists(_._5), "no gap days at test scale is implausible")
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      var ff = 0.0
+      rs.sortBy(_._2.getTime).foreach { case (_, _, rev, gotFf, gap) =>
+        if (gap) assert(rev == 0.0, "gap day with nonzero revenue")
+        else ff = rev
+        assert(gotFf == ff, s"carry-forward $gotFf != expected $ff")
+      }
+    }
+  }
 }

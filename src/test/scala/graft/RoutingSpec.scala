@@ -114,4 +114,26 @@ class RoutingSpec extends AnyFunSuite {
       assert(v == (if (mins.isEmpty) None else Some(mins.min)))
     }
   }
+
+  test("isochrone coverage: dense bands, monotone cumulative, matrix-consistent") {
+    val eta = Routing.routeEta(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    val sources = eta.map(_._1).distinct
+    val rows = Routing.isochroneCoverage(spark, sf).collect()
+    assert(rows.length == sources.length * 6, "spine must be dense")
+    rows.groupBy(_.getLong(0)).foreach { case (src, rs) =>
+      val byBin = rs.sortBy(_.getInt(1))
+      assert(byBin.map(_.getInt(1)).sameElements(0 until 6))
+      val cums = byBin.map(_.getLong(4))
+      assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+      // cumulative count at each band == nodes within that time bound
+      byBin.foreach { r =>
+        val expect = eta.count(e => e._1 == src &&
+          math.min(math.floor(e._2 / 750000.0), 5.0) <= r.getInt(1))
+        assert(r.getLong(4) == expect,
+          s"src $src band ${r.getInt(1)}: ${r.getLong(4)} != $expect")
+      }
+      assert(byBin.map(_.getLong(3)).sum == cums.last)
+    }
+  }
 }

@@ -227,4 +227,29 @@ class SimilaritySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("ivfPqTopK: full probes + corpus-wide rerank degrade to exact brute force") {
+    // with every cell probed and a rerank cut wider than the corpus,
+    // the ADC stage selects everything and the exact re-rank IS brute
+    // force — the quantization error can only hide inside the cut
+    val n = Tables.embeddings(spark, sf).count().toInt
+    val exact = Similarity.bruteTopK(spark, sf).collect().map(_.toSeq)
+    val full = Similarity.ivfPqTopK(spark, sf, nProbe = 16, rerank = n)
+      .collect().map(_.toSeq)
+    assert(full.nonEmpty && full.sameElements(exact))
+  }
+
+  test("ivfPqTopK default config: k rows per query, candidates from probed cells only") {
+    val rows = Similarity.ivfPqTopK(spark, sf).collect()
+    val perQ = rows.groupBy(_.getLong(0))
+    assert(perQ.size == Similarity.NQueries)
+    perQ.foreach { case (q, rs) =>
+      assert(rs.length == Similarity.K, s"query $q returned ${rs.length} rows")
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to Similarity.K))
+      // re-ranked cosines are exact, so they must be internally sorted
+      val cs = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+        s"query $q rerank order broken")
+    }
+  }
 }

@@ -291,4 +291,48 @@ class TextDedupSpec extends AnyFunSuite {
     // the verdicts must actually exercise reported pairs
     assert(Dedup.simhashPairs(spark, sf).count() > 0)
   }
+
+  test("spanDedup: planted spans cut exactly, unique and short docs untouched") {
+    import org.apache.spark.sql.functions.{col, md5, lit}
+    import TestSession.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("spandedup").toString
+    Seq(
+      (1L, "a b c d e f g h i j"),  // exact dup of 2 -> fully covered
+      (2L, "a b c d e f g h i j"),
+      (3L, "z y x w v u t s r q"),  // unique -> untouched
+      (4L, "a b c d e f g h zz qq"), // shares one 8-gram -> 8/10 cut
+      (5L, "one two three"))         // shorter than k -> untouched
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.TextAnalysis.spanDedup(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))).toMap
+    def h(s: String): String = Seq(s).toDF("t")
+      .select(md5(col("t").cast("binary"))).head().getString(0)
+    assert(got(1L) == ((10L, 10L, 1.0, h(""))))
+    assert(got(2L) == ((10L, 10L, 1.0, h(""))))
+    assert(got(3L) == ((10L, 0L, 0.0, h("z y x w v u t s r q"))))
+    assert(got(4L) == ((10L, 8L, 0.8, h("zz qq"))))
+    assert(got(5L) == ((3L, 0L, 0.0, h("one two three"))))
+  }
+
+  test("spanDedup on the corpus: exact-dup docs are fully covered, fractions bounded") {
+    import org.apache.spark.sql.functions.col
+    val rows = operators.TextAnalysis.spanDedup(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"doc ${r.getLong(0)} dup > total")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // any exact-duplicate document of length >= 8 must be 100% covered
+    // (the sf0.001 slice plants none — the planted fixture test above
+    // carries the non-vacuous coverage check)
+    val dupIds = Tables.documents(spark, sf)
+      .groupBy(col("text")).count().filter(col("count") >= 2)
+      .join(Tables.documents(spark, sf), Seq("text"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    rows.filter(r => dupIds.contains(r.getLong(0)) && r.getLong(1) >= 8)
+      .foreach(r => assert(r.getDouble(3) == 1.0,
+        s"exact-dup doc ${r.getLong(0)} only ${r.getDouble(3)} covered"))
+  }
 }
