@@ -80,6 +80,7 @@ object SparkEntry {
     "geo_route_nearest" -> ((s, d) => Routing.routeNearestPoi(s, d)),
     "geo_route_door" -> ((s, d) => Routing.routeDoorToDoor(s, d)),
     "geo_isochrone" -> ((s, d) => Routing.isochroneCoverage(s, d)),
+    "graph_kcore" -> ((s, d) => Graph.kcore(s, d)),
     // C. deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_exact_survivors" -> (Dedup.exactSurvivors _),
@@ -136,6 +137,7 @@ object SparkEntry {
     "sketch_distinct" -> ((s, d) => Sketches.distinctUsersChecked(s, d)),
     "sketch_quantiles" -> ((s, d) => Sketches.valueQuantilesChecked(s, d)),
     "sketch_heavy_hitters" -> ((s, d) => Sketches.heavyHitters(s, d)),
+    "sketch_countmin" -> ((s, d) => Sketches.countMin(s, d)),
     // F. multimodal feature extraction — oracle-checked since r5 on the
     // closed-form columns: byte_len is container overhead + UTF-8 text
     // bytes, width/height/n_frames are the planted header fields the
@@ -551,6 +553,7 @@ object SparkEntry {
     "graph_pagerank" -> operators.Graph.pagerankOracle(),
     "graph_components" -> operators.Graph.componentsOracle,
     "graph_triangles" -> operators.Graph.trianglesOracle,
+    "graph_kcore" -> operators.Graph.kcoreOracle(),
     "text_pii" ->
       """WITH planted AS (SELECT doc_id,
            concat(text,
@@ -1570,6 +1573,13 @@ object SparkEntry {
            CAST(n_total AS BIGINT) AS n_total
          FROM c, tot WHERE n_tok > n_total / 50.0
          ORDER BY n_tok DESC, token""",
+    // count-min contract: n_true is the exact per-key count; the
+    // one-sided error and Markov-bound verdicts are closed-form TRUE —
+    // a hash regression that piles keys into one bucket flips eps_ok
+    "sketch_countmin" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_true,
+           TRUE AS ge_ok, TRUE AS eps_ok
+         FROM events GROUP BY user_id ORDER BY user_id""",
     "stream_sketch_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
            count(*) AS n_events, TRUE AS ok_users,

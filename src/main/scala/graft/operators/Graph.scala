@@ -329,12 +329,13 @@ object Graph {
     * The oracle restates SEMANTICS, not the orientation: id-canonical
     * x < y < z enumeration over the same closed-form edge set counts
     * the identical triangles. */
-  def triangles(spark: SparkSession, dir: String): DataFrame = {
-    // the chain+permutation scheme is triangle-free (6x = -1 mod 64 has
-    // no solution), so the triangle graph adds a block-local CHORD
-    // x -> x+2: every in-block (x, x+1, x+2) run closes a triangle and
-    // the permutation edges add irregular ones — still closed-form, so
-    // the oracle rebuilds the identical edge set
+  /** Canonical undirected triangle-graph edge set shared by
+    * [[triangles]] and [[kcore]]: ccEdges plus a block-local chord
+    * x -> x+2 (the chain+permutation scheme alone is triangle-free:
+    * 6x = -1 mod 64 has no solution; the chord closes every in-block
+    * (x, x+1, x+2) run). Closed-form, so oracles rebuild the identical
+    * edge set. One row per unordered pair (u < w). */
+  private[graft] def triEdges(spark: SparkSession, dir: String): DataFrame = {
     val sup = Tables.supplier(spark, dir).select(col("s_suppkey"))
     val nv = sup.agg((max(col("s_suppkey")) + 1L).as("nv"))
     val chord = sup.crossJoin(broadcast(nv))
@@ -343,11 +344,14 @@ object Graph {
       .filter(col("dst") % CcBlock =!= 0 && col("dst") % CcBlock =!= 1 &&
         col("dst") < col("nv"))
       .select(col("src"), col("dst"))
-    val e0 = ccEdges(spark, dir).union(chord)
-    // canonical undirected edge set: one row per unordered pair
-    val und = e0.select(least(col("src"), col("dst")).as("u"),
+    ccEdges(spark, dir).union(chord)
+      .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("w"))
       .filter(col("u") =!= col("w")).distinct()
+  }
+
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val und = triEdges(spark, dir)
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("w").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -390,6 +394,110 @@ object Graph {
       .join(corners.hint("SHUFFLE_HASH"), Seq("node"), "left")
       .select(col("node"), coalesce(col("n"), lit(0L)).as("n_tri"))
       .orderBy(col("node"))
+  }
+
+  /** k-core decomposition at fixed k over the triangle graph
+    * ([[triEdges]]): iteratively peel nodes whose degree in the
+    * REMAINING subgraph is < k until fixpoint — the standard dense-
+    * subgraph filter (spam rings, social cores, protein complexes; for
+    * a data pipeline, the "remove weakly-connected noise" cut before a
+    * community pass). Returns every node with an in_core verdict and
+    * the member's within-core degree.
+    *
+    * Scale posture: the edge list is checkpointed once and each round
+    * is two shuffle-hash joins (edges x alive, alive is the shrinking
+    * side) plus one partial-agg degree count — nothing driver-side but
+    * the per-round cardinality scalar, which the convergence test
+    * needs anyway (alive only shrinks, so equal counts == equal sets;
+    * no set-compare job). Rounds are the peel avalanche's own depth;
+    * the loop THROWS past maxIter (an under-peeled core is wrong, not
+    * slow), and every round boundary resets propagated stats and
+    * releases the superseded checkpoint (the iterative-loop
+    * discipline — see SparkBridge.dropOriginStats). */
+  def kcore(spark: SparkSession, dir: String, k: Int = 4,
+            maxIter: Int = 12): DataFrame = {
+    require(k >= 1 && maxIter >= 1)
+    val und = triEdges(spark, dir).localCheckpoint()
+    var alive = und.select(col("u").as("node"))
+      .union(und.select(col("w").as("node"))).distinct()
+      .localCheckpoint()
+    var aliveN = alive.count()
+    var coreDeg: DataFrame = null // (node, deg) of the current alive set
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val e = und
+        .join(alive.select(col("node").as("u")).hint("shuffle_hash"), Seq("u"))
+        .join(alive.select(col("node").as("w")).hint("shuffle_hash"), Seq("w"))
+      val deg = e.select(col("u").as("node"))
+        .union(e.select(col("w").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+      val next = deg.filter(col("core_deg") >= k).localCheckpoint()
+      val nextN = next.count()
+      SparkBridge.unpersistCheckpoint(alive)
+      alive = SparkBridge.dropOriginStats(next)
+      converged = nextN == aliveN
+      aliveN = nextN
+      coreDeg = alive
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"k-core did not reach fixpoint in $maxIter rounds")
+    val out = Tables.supplier(spark, dir).select(col("s_suppkey").as("node"))
+      .join(coreDeg.hint("shuffle_hash"), Seq("node"), "left")
+      .select(col("node"), col("core_deg").isNotNull.as("in_core"),
+        col("core_deg"))
+      .orderBy(col("node"))
+      .localCheckpoint()
+    SparkBridge.unpersistCheckpoint(coreDeg)
+    SparkBridge.unpersistCheckpoint(und)
+    out
+  }
+
+  /** Unrolled peeling oracle for [[kcore]]: `rounds` fixed peel steps
+    * (peeling is monotone, so rounds past the fixpoint are no-ops —
+    * the unroll count only needs to COVER the avalanche depth, which
+    * the Spark side's convergence throw bounds at maxIter — the
+    * default matches kcore's maxIter so the two can never diverge). */
+  def kcoreOracle(k: Int = 4, rounds: Int = 12): String = {
+    val prefix =
+      """WITH v AS (SELECT max(s_suppkey) + 1 AS nv FROM supplier),
+       e0 AS (
+         SELECT s_suppkey AS src, s_suppkey + 1 AS dst FROM supplier, v
+         WHERE (s_suppkey + 1) % 64 <> 0 AND s_suppkey + 1 < nv
+         UNION
+         SELECT s_suppkey, s_suppkey + 2 FROM supplier, v
+         WHERE (s_suppkey + 2) % 64 <> 0 AND (s_suppkey + 2) % 64 <> 1
+           AND s_suppkey + 2 < nv
+         UNION
+         SELECT s_suppkey,
+           s_suppkey - s_suppkey % 64 + (s_suppkey * 7 + 3) % 64
+         FROM supplier, v
+         WHERE s_suppkey - s_suppkey % 64 + (s_suppkey * 7 + 3) % 64
+             <> s_suppkey
+           AND s_suppkey - s_suppkey % 64 + (s_suppkey * 7 + 3) % 64 < nv),
+       eu AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS w
+         FROM e0 WHERE src <> dst),
+       a0 AS (SELECT u AS node FROM eu UNION SELECT w FROM eu)"""
+    // MATERIALIZED: each round references the previous twice, so
+    // default CTE inlining would expand the chain 2^rounds times
+    // (observed as a file-handle explosion before it even runs)
+    val steps = (1 to rounds).map { i =>
+      s""",
+       e$i AS MATERIALIZED (SELECT u, w FROM eu
+         JOIN a${i - 1} x ON eu.u = x.node
+         JOIN a${i - 1} y ON eu.w = y.node),
+       a$i AS MATERIALIZED (SELECT node, count(*) AS c FROM
+         (SELECT u AS node FROM e$i UNION ALL SELECT w FROM e$i) t
+         GROUP BY node HAVING count(*) >= $k)"""
+    }.mkString
+    prefix + steps +
+      s"""
+       SELECT s_suppkey AS node, a$rounds.node IS NOT NULL AS in_core,
+         CAST(a$rounds.c AS BIGINT) AS core_deg
+       FROM supplier LEFT JOIN a$rounds ON a$rounds.node = s_suppkey
+       ORDER BY node"""
   }
 
   /** Recursive-free oracle for [[triangles]]: canonical x < y < z

@@ -128,4 +128,44 @@ object Sketches {
       .select(col("token"), col("n_tok"), col("n_total"))
       .orderBy(col("n_tok").desc, col("token"))
   }
+
+  /** Count-min sketch over event user_ids, expressed declaratively:
+    * each event hashes into `depth` (row, bucket) cells, the cell
+    * counters are one partial-agg groupBy — only depth x width partial
+    * rows shuffle per partition regardless of event volume, which IS
+    * the count-min space bound — and a point query reads back the
+    * min cell over the depth rows. The sketch table (depth x width,
+    * ~16k rows) broadcasts to the probe side.
+    *
+    * Counter addition is commutative, so the merged sketch is
+    * deterministic; the verdicts are the count-min contract itself:
+    * est >= true (always, one-sided error) and est <= true + ceil(e *
+    * N / width) (the Markov bound, deterministic-true on this corpus
+    * with the default width — a hash regression that piles keys into
+    * one bucket breaks it). n_true rides along as the exact pass the
+    * DuckDB oracle restates, so the hash pins the per-key truth AND
+    * both contract verdicts. */
+  def countMin(spark: SparkSession, dir: String, depth: Int = 4,
+               width: Int = 4096): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"))
+    def cells(df: org.apache.spark.sql.DataFrame) = df.withColumn("rb",
+      explode(array((0 until depth).map(i => struct(lit(i).as("r"),
+        pmod(xxhash64(lit(i), col("user_id")), lit(width.toLong)).as("b"))): _*)))
+      .select(df.columns.map(col) :+ col("rb.r").as("r") :+ col("rb.b").as("b"): _*)
+    val table = cells(ev)
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+    val users = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_true"))
+    val est = cells(users)
+      .join(broadcast(table), Seq("r", "b"))
+      .groupBy(col("user_id"))
+      .agg(first(col("n_true")).as("n_true"), min(col("c")).as("est"))
+    val total = ev.agg(count(lit(1)).as("n_total"))
+    est.crossJoin(broadcast(total))
+      .select(col("user_id"), col("n_true"),
+        (col("est") >= col("n_true")).as("ge_ok"),
+        (col("est") - col("n_true") <=
+          greatest(lit(1L), ceil(col("n_total") * 2.718281828459045 / width)
+            .cast("long"))).as("eps_ok"))
+      .orderBy(col("user_id"))
+  }
 }

@@ -75,4 +75,31 @@ class GraphSpec extends AnyFunSuite {
       assert(c == brute.getOrElse(n, 0L), s"node $n: $c vs ${brute.get(n)}")
     }
   }
+
+  test("kcore equals in-memory peeling; members keep within-core degree >= k") {
+    val k = 4
+    val edges = Graph.triEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.flatMap { case (u, w) => Seq(u -> w, w -> u) }
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    var alive = adj.keySet
+    var changed = true
+    while (changed) {
+      val drop = alive.filter(n => adj(n).count(alive) < k)
+      changed = drop.nonEmpty
+      alive = alive -- drop
+    }
+    val rows = Graph.kcore(spark, sf, k).collect()
+    val members = rows.filter(_.getBoolean(1)).map(_.getLong(0)).toSet
+    assert(members == alive, s"core mismatch: ${members.size} vs ${alive.size}")
+    rows.filter(_.getBoolean(1)).foreach { r =>
+      val deg = adj(r.getLong(0)).count(alive)
+      assert(r.getLong(2) == deg && deg >= k,
+        s"node ${r.getLong(0)}: core_deg ${r.getLong(2)} vs $deg")
+    }
+    rows.filterNot(_.getBoolean(1)).foreach(r =>
+      assert(r.isNullAt(2), "non-member with a core degree"))
+    // every supplier node is verdicted, members or not
+    assert(rows.length == Tables.supplier(spark, sf).count())
+  }
 }

@@ -55,7 +55,9 @@ class PruningSpec extends AnyFunSuite {
       "graph_triangles", "sketch_heavy_hitters", "q35_gap_fill",
       // geo_isochrone: band spine (sources x 6-row bin dim) and the
       // one-row total-nodes scalar are intentional broadcast crosses
-      "geo_isochrone")
+      // sketch_countmin: the one-row total-events scalar for the
+      // Markov-bound verdict crosses the per-user estimate frame
+      "geo_isochrone", "sketch_countmin")
     // full-outer equi-joins cannot broadcast (both sides must preserve
     // unmatched rows), so a shuffle join IS the correct plan there
     val smjAllowed = Set("q26_full_outer")

@@ -81,4 +81,25 @@ class SketchesSpec extends AnyFunSuite {
     assert(rows.map(r => r.getString(0) -> r.getLong(1)).toMap == exact)
     rows.foreach(r => assert(r.getLong(2) == n))
   }
+
+  test("countMin: exact truth, both contract verdicts hold at the default width") {
+    val rows = operators.Sketches.countMin(spark, sf).collect()
+    val exact = Tables.events(spark, sf).groupBy(col("user_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length == exact.size && rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == exact(r.getLong(0)))
+      assert(r.getBoolean(2), s"user ${r.getLong(0)} underestimated")
+      assert(r.getBoolean(3), s"user ${r.getLong(0)} outside the Markov bound")
+    }
+  }
+
+  test("countMin one-sided error survives a pathologically narrow sketch") {
+    // width 8 forces heavy collisions: estimates inflate but can never
+    // undercount — the structural count-min property
+    val rows = operators.Sketches.countMin(spark, sf, width = 8).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(2),
+      s"user ${r.getLong(0)} underestimated under collision pressure"))
+  }
 }
