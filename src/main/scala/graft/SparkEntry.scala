@@ -96,6 +96,7 @@ object SparkEntry {
     "ann_brute_topk" -> ((s, d) => Similarity.bruteTopK(s, d)),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "ann_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
+    "emb_diversity_sample" -> ((s, d) => Similarity.diversitySample(s, d)),
     "emb_neardup" -> ((s, d) => Similarity.nearDup(s, d)),
     // contract verdicts: LSH subset/recall/precision vs the blocked
     // exact generator, whose pair count the oracle cross-checks brute
@@ -554,6 +555,10 @@ object SparkEntry {
     "graph_components" -> operators.Graph.componentsOracle,
     "graph_triangles" -> operators.Graph.trianglesOracle,
     "graph_kcore" -> operators.Graph.kcoreOracle(),
+    // greedy k-center trajectory, unrolled: each pick is the argmin of
+    // the maintained nearest-center similarity with id tie-break, so
+    // the whole selection order hash-checks
+    "emb_diversity_sample" -> operators.Similarity.diversityOracle(),
     "text_pii" ->
       """WITH planted AS (SELECT doc_id,
            concat(text,

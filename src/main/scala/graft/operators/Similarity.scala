@@ -514,4 +514,84 @@ object Similarity {
       .select(col("qid"), col("cid"), cosine_sim(col("qe"), col("ce")).as("cos"))
     finishTopK(scored, k)
   }
+
+  /** Greedy k-center (farthest-point) diversity sample: start from
+    * vec 0, then repeatedly pick the vector LEAST similar to its
+    * nearest already-chosen center — the diversity-sampling pass a
+    * training-data pipeline runs to debias a corpus toward coverage
+    * (coresets, k-center seeding, dataset distillation). Reported
+    * max_cos is each pick's similarity to its nearest prior center —
+    * the coverage radius curve (non-decreasing).
+    *
+    * Scale posture: the loop state is one (vec_id, embedding, maxsim)
+    * frame; each of the nCenters rounds is a partial-agg argmin (the
+    * min_by struct — no sort, no window) plus a broadcast one-row
+    * cross to fold the new center's similarity in map-side. Nothing
+    * driver-side; checkpoint-per-round with stats reset (the
+    * iterative-loop discipline). Deterministic (struct tie-break by
+    * id), so the greedy trajectory itself is oracle-checked by the
+    * unrolled restatement ([[diversityOracle]]). */
+  def diversitySample(spark: SparkSession, dir: String,
+                      nCenters: Int = 12): DataFrame = {
+    import org.apache.spark.sql.graftbridge.SparkBridge
+    require(nCenters >= 2)
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    val c0 = e.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .localCheckpoint()
+    var state = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(c0))
+      .select(col("vec_id"), col("embedding"),
+        cosine_sim(col("embedding"), col("cv")).as("maxsim"))
+      .localCheckpoint()
+    state = SparkBridge.dropOriginStats(state)
+    val picks = scala.collection.mutable.ArrayBuffer[DataFrame](
+      c0.select(lit(1).as("rk"), col("cid").as("vec_id"),
+        lit(null).cast("double").as("max_cos")))
+    for (r <- 2 to nCenters) {
+      val center = state
+        .agg(min_by(struct(col("vec_id"), col("embedding"), col("maxsim")),
+          struct(col("maxsim"), col("vec_id"))).as("c"))
+        .select(col("c.vec_id").as("cid"), col("c.embedding").as("cv"),
+          col("c.maxsim").as("cms"))
+        .localCheckpoint()
+      picks += center.select(lit(r).as("rk"), col("cid").as("vec_id"),
+        round(col("cms"), 4).as("max_cos"))
+      val next = state.crossJoin(broadcast(center))
+        .filter(col("vec_id") =!= col("cid"))
+        .select(col("vec_id"), col("embedding"),
+          greatest(col("maxsim"),
+            cosine_sim(col("embedding"), col("cv"))).as("maxsim"))
+        .localCheckpoint()
+      SparkBridge.unpersistCheckpoint(state)
+      state = SparkBridge.dropOriginStats(next)
+    }
+    SparkBridge.unpersistCheckpoint(state)
+    picks.reduce(_ unionByName _).orderBy(col("rk"))
+  }
+
+  /** Unrolled greedy restatement of [[diversitySample]] for DuckDB.
+    * MATERIALIZED: each round references the previous state twice. */
+  def diversityOracle(nCenters: Int = 12): String = {
+    require(nCenters >= 2)
+    val rounds = (2 to nCenters).map { r =>
+      s""",
+         c$r AS MATERIALIZED (SELECT vec_id, v, ms FROM s${r - 1}
+           ORDER BY ms, vec_id LIMIT 1),
+         s$r AS MATERIALIZED (SELECT s.vec_id, s.v,
+             greatest(s.ms, list_cosine_similarity(s.v, c.v)) AS ms
+           FROM s${r - 1} s, c$r c WHERE s.vec_id <> c.vec_id)"""
+    }.mkString
+    val outs = (2 to nCenters).map(r =>
+      s"""UNION ALL SELECT $r AS rk, vec_id, round(ms, 4) AS max_cos
+         FROM c$r""").mkString("\n         ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         c1 AS MATERIALIZED (SELECT vec_id, v FROM e WHERE vec_id = 0),
+         s1 AS MATERIALIZED (SELECT a.vec_id, a.v,
+             list_cosine_similarity(a.v, c.v) AS ms
+           FROM e a, c1 c WHERE a.vec_id <> 0)$rounds
+         SELECT rk, vec_id, max_cos FROM (
+         SELECT 1 AS rk, vec_id, CAST(NULL AS DOUBLE) AS max_cos FROM c1
+         $outs) t ORDER BY rk"""
+  }
 }

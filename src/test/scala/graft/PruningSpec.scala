@@ -57,7 +57,9 @@ class PruningSpec extends AnyFunSuite {
       // one-row total-nodes scalar are intentional broadcast crosses
       // sketch_countmin: the one-row total-events scalar for the
       // Markov-bound verdict crosses the per-user estimate frame
-      "geo_isochrone", "sketch_countmin")
+      // emb_diversity_sample: each greedy round folds the one-row
+      // chosen-center frame into the state map-side by design
+      "geo_isochrone", "sketch_countmin", "emb_diversity_sample")
     // full-outer equi-joins cannot broadcast (both sides must preserve
     // unmatched rows), so a shuffle join IS the correct plan there
     val smjAllowed = Set("q26_full_outer")

@@ -239,6 +239,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full.nonEmpty && full.sameElements(exact))
   }
 
+  test("diversitySample matches in-memory greedy k-center; coverage curve monotone") {
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var centers = Vector(0L)
+    var ms = (vecs - 0L).map { case (id, v) => id -> cos(v, vecs(0L)) }
+    val expect = Vector(0L) ++ (2 to 8).map { _ =>
+      val pick = ms.minBy { case (id, s) => (s, id) }._1
+      centers :+= pick
+      ms = (ms - pick).map { case (id, s) =>
+        id -> math.max(s, cos(vecs(id), vecs(pick))) }
+      pick
+    }
+    val rows = Similarity.diversitySample(spark, sf, nCenters = 8)
+      .collect().sortBy(_.getInt(0))
+    assert(rows.map(_.getLong(1)).sameElements(expect))
+    val curve = rows.drop(1).map(_.getDouble(2))
+    assert(curve.zip(curve.tail).forall { case (a, b) => a <= b },
+      s"coverage curve not monotone: ${curve.mkString(",")}")
+    assert(rows.map(_.getLong(1)).distinct.length == rows.length)
+  }
+
   test("ivfPqTopK default config: k rows per query, candidates from probed cells only") {
     val rows = Similarity.ivfPqTopK(spark, sf).collect()
     val perQ = rows.groupBy(_.getLong(0))
