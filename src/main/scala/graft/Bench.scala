@@ -12,7 +12,8 @@ object Bench {
     "stream_sketch_window" -> (streaming.EventStreams.sketchWindowBatch _),
     "text_fingerprint" -> (operators.TextAnalysis.fingerprint _),
     "dedup_minhash_lsh" -> ((s, d) => operators.Dedup.minhashCandidates(s, d)),
-    "dedup_simhash" -> ((s, d) => operators.Dedup.simhashPairs(s, d)))
+    "dedup_simhash" -> ((s, d) => operators.Dedup.simhashPairs(s, d)),
+    "stream_cm_window" -> (streaming.EventStreams.cmWindowBatch _))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

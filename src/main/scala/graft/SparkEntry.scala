@@ -182,6 +182,7 @@ object SparkEntry {
     "stream_sketch_window" -> (graft.streaming.EventStreams.sketchWindowChecked _),
     "stream_enrich" -> (graft.streaming.EventStreams.enrichBatch _),
     "stream_cdc_merge" -> (graft.streaming.EventStreams.cdcMergeBatch _),
+    "stream_cm_window" -> (graft.streaming.EventStreams.cmWindowChecked _),
     // F. malformed-media quarantine: per (kind, verdict, reason) triage
     // counts over a deterministically damaged corpus. Oracle-checked:
     // the damage schedule (doc_id % 17) and each parser's typed verdict
@@ -1606,6 +1607,15 @@ object SparkEntry {
              ORDER BY ts DESC, event_id DESC) AS rn FROM x)
          SELECT user_id, value, ts, n_ops FROM r
          WHERE rn = 1 AND op <> 'delete' ORDER BY user_id""",
+    // windowed count-min contract: exact per-window truth plus the
+    // closed-form one-sided-error and Markov-bound verdicts (see
+    // sketch_countmin — this is its streaming-state sibling)
+    "stream_cm_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys,
+           CAST(count(*) AS BIGINT) AS n_events,
+           TRUE AS ge_ok, TRUE AS eps_ok
+         FROM events GROUP BY 1 ORDER BY 1""",
     "stream_sessionize" ->
       """WITH x AS (SELECT user_id, ts, event_id, value,
            CASE WHEN lag(ts) OVER w IS NULL

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -251,6 +251,81 @@ object EventStreams {
             lit(1.0))).as("ok_users"),
         rankOk(0.5, "p50"), rankOk(0.9, "p90"))
       .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** Count-min parameters shared by [[cmWindow]] and its contract check
+    * — the same derive-the-bounds discipline as [[SketchRsd]]. */
+  val CmDepth = 4
+  val CmWidth = 1024
+
+  /** Per-event (row, bucket) cells of the count-min sketch: the
+    * declarative form — each event explodes to CmDepth hash cells and
+    * the cell counters are ONE partial-agg groupBy, so only depth x
+    * width partial rows shuffle (or sit in streaming state) per
+    * window, which IS the count-min space bound. */
+  private def cmCells(df: DataFrame, extra: Seq[Column]): DataFrame =
+    df.withColumn("rb", explode(array((0 until CmDepth).map(i =>
+        struct(lit(i).as("r"),
+          pmod(xxhash64(lit(i), col("user_id")), lit(CmWidth.toLong))
+            .as("b"))): _*)))
+      .select(extra :+ col("rb.r").as("r") :+ col("rb.b").as("b"): _*)
+
+  /** Hourly-windowed count-min sketch table over event user_ids —
+    * the streaming form of [[graft.operators.Sketches.countMin]]: a
+    * bounded (window x depth x width) state footprint that answers
+    * per-key frequency queries no matter how many events or distinct
+    * users the hour saw. Runs identically as a batch groupBy or a
+    * watermarked streaming agg (spec-pinned batch == stream). */
+  def cmWindow(events: DataFrame): DataFrame =
+    cmCells(events.select(col("ts"), col("user_id")),
+      Seq(window(col("ts"), "1 hour").as("window")))
+      .groupBy(col("window"), col("r"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("window.start").as("window_start"), col("r"), col("b"),
+        col("c"))
+
+  def cmWindowBatch(spark: SparkSession, dir: String): DataFrame =
+    cmWindow(graft.Tables.events(spark, dir))
+      .orderBy(col("window_start"), col("r"), col("b"))
+
+  def cmWindowStream(events: DataFrame): DataFrame =
+    cmWindow(events.withWatermark("ts", Watermark))
+
+  /** Oracle-checked contract of [[cmWindow]], batch-side (streaming
+    * supports one aggregation per query; the probe pass is a second):
+    * per window, every user's min-cell estimate must dominate their
+    * exact count (one-sided error) and stay within the Markov bound
+    * ceil(e x windowN / width) of it. The sketch table broadcasts onto
+    * the probe side; verdicts fold to one row per window, which DuckDB
+    * states closed-form with the exact per-window truth. */
+  def cmWindowChecked(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .select(date_trunc("hour", col("ts")).as("window_start"),
+        col("user_id"))
+    val table = cmCells(ev, Seq(col("window_start")))
+      .groupBy(col("window_start"), col("r"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val truth = ev.groupBy(col("window_start"), col("user_id"))
+      .agg(count(lit(1)).as("n_true"))
+    val winN = ev.groupBy(col("window_start"))
+      .agg(count(lit(1)).as("win_n"))
+    val est = cmCells(truth,
+        Seq(col("window_start"), col("user_id"), col("n_true")))
+      .join(broadcast(table), Seq("window_start", "r", "b"))
+      .groupBy(col("window_start"), col("user_id"))
+      .agg(first(col("n_true")).as("n_true"), min(col("c")).as("est"))
+    est.join(broadcast(winN), Seq("window_start"))
+      .withColumn("slack",
+        greatest(lit(1L),
+          ceil(col("win_n") * 2.718281828459045 / CmWidth).cast("long")))
+      .groupBy(col("window_start"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("n_true")).as("n_events"),
+        (min(when(col("est") >= col("n_true"), 1).otherwise(0)) === 1)
+          .as("ge_ok"),
+        (min(when(col("est") - col("n_true") <= col("slack"), 1)
+          .otherwise(0)) === 1).as("eps_ok"))
+      .orderBy(col("window_start"))
   }
 
   /** Exactly-once parquet sink for a stream: each micro-batch writes to

@@ -89,6 +89,31 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("count-min window: streaming state merges across batches, equals batch") {
+    import spark.implicits._
+    val evs = (0 until 300).map(i =>
+      Ev(100 + i, t(i), i % 25, if (i % 2 == 0) "click" else "view",
+        (i % 17).toDouble))
+    val batch = EventStreams.cmWindow(evs.toDF())
+      .orderBy("window_start", "r", "b").collect().map(_.toSeq).toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(evs.take(150): _*)
+    val q = EventStreams.cmWindowStream(mem.toDF())
+      .writeStream.format("memory").queryName("out_cm")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    mem.addData(evs.drop(150): _*)
+    q.processAllAvailable(); q.stop()
+    val stream = spark.table("out_cm").collect().map(_.toSeq)
+      .sortBy(r => (r(0).asInstanceOf[Timestamp].getTime,
+        r(1).asInstanceOf[Int], r(2).asInstanceOf[Long])).toSeq
+    assert(batch == stream && batch.nonEmpty)
+    // the sketch footprint honors its bound: cells per window <= d x w
+    val perWin = batch.groupBy(_.head).map(_._2.size)
+    assert(perWin.forall(_ <= EventStreams.CmDepth * EventStreams.CmWidth))
+  }
+
   test("streaming dedup keeps one row per user/type/hour") {
     import spark.implicits._
     val stream = runStream(EventStreams.dedupStream, "append")
