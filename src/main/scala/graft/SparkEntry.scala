@@ -97,6 +97,7 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "ann_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "emb_diversity_sample" -> ((s, d) => Similarity.diversitySample(s, d)),
+    "pipeline_dedup_sample" -> ((s, d) => Similarity.dedupDiversitySample(s, d)),
     "emb_neardup" -> ((s, d) => Similarity.nearDup(s, d)),
     // contract verdicts: LSH subset/recall/precision vs the blocked
     // exact generator, whose pair count the oracle cross-checks brute
@@ -560,6 +561,9 @@ object SparkEntry {
     // the maintained nearest-center similarity with id tie-break, so
     // the whole selection order hash-checks
     "emb_diversity_sample" -> operators.Similarity.diversityOracle(),
+    // dedup-then-diversify composition: one hash pins the md5 survivor
+    // cut, the doc->embedding id alignment, and the greedy trajectory
+    "pipeline_dedup_sample" -> operators.Similarity.dedupDiversityOracle(),
     "text_pii" ->
       """WITH planted AS (SELECT doc_id,
            concat(text,

@@ -532,15 +532,24 @@ object Similarity {
     * id), so the greedy trajectory itself is oracle-checked by the
     * unrolled restatement ([[diversityOracle]]). */
   def diversitySample(spark: SparkSession, dir: String,
-                      nCenters: Int = 12): DataFrame = {
+                      nCenters: Int = 12): DataFrame =
+    diversitySampleOver(emb(spark, dir).select(col("vec_id"), col("embedding")),
+      nCenters)
+
+  /** [[diversitySample]] over an arbitrary (vec_id, embedding) set —
+    * the seed is the minimum id present (a deterministic choice that
+    * survives upstream filtering, e.g. the dedup-survivor composition
+    * [[dedupDiversitySample]]). */
+  def diversitySampleOver(e: DataFrame, nCenters: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.SparkBridge
     require(nCenters >= 2)
-    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
-    val c0 = e.filter(col("vec_id") === 0)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val c0 = e
+      .agg(min_by(struct(col("vec_id"), col("embedding")), col("vec_id"))
+        .as("c"))
+      .select(col("c.vec_id").as("cid"), col("c.embedding").as("cv"))
       .localCheckpoint()
-    var state = e.filter(col("vec_id") =!= 0)
-      .crossJoin(broadcast(c0))
+    var state = e
+      .crossJoin(broadcast(c0)).filter(col("vec_id") =!= col("cid"))
       .select(col("vec_id"), col("embedding"),
         cosine_sim(col("embedding"), col("cv")).as("maxsim"))
       .localCheckpoint()
@@ -570,9 +579,38 @@ object Similarity {
     picks.reduce(_ unionByName _).orderBy(col("rk"))
   }
 
-  /** Unrolled greedy restatement of [[diversitySample]] for DuckDB.
-    * MATERIALIZED: each round references the previous state twice. */
-  def diversityOracle(nCenters: Int = 12): String = {
+  /** End-to-end "dedup then diversify" curation pass: exact-dedup the
+    * documents (min-doc_id survivor per md5, the dedup_exact_survivors
+    * cut), pull the survivors' embeddings (vec_id parallels doc_id in
+    * the corpus), and greedy-k-center sample THEM — the pipeline a
+    * curation run actually executes so the diversity picks can never
+    * be spent on duplicate copies. Every stage restates in SQL, so one
+    * hash pins the survivor cut, the id alignment, and the whole
+    * greedy trajectory.
+    *
+    * Scale posture: the survivor cut is one md5-keyed partial-agg; the
+    * survivor-embedding join is id-keyed shuffle-hash (corpus-sized,
+    * co-partitioned); the greedy loop is [[diversitySampleOver]]'s
+    * bounded per-round argmin + broadcast fold. */
+  def dedupDiversitySample(spark: SparkSession, dir: String,
+                           nCenters: Int = 12): DataFrame = {
+    val survivors = Tables.documents(spark, dir)
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("vec_id"))
+      .select(col("vec_id"))
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+      .join(survivors.hint("shuffle_hash"), Seq("vec_id"), "left_semi")
+    diversitySampleOver(e, nCenters)
+  }
+
+  /** Unrolled greedy restatement of [[diversitySample]] /
+    * [[dedupDiversitySample]] for DuckDB: `eCte` defines the candidate
+    * set e(vec_id, v); the seed is min(vec_id) present. MATERIALIZED:
+    * each round references the previous state twice. */
+  def diversityOracle(nCenters: Int = 12,
+                      eCte: String =
+                        "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings")
+      : String = {
     require(nCenters >= 2)
     val rounds = (2 to nCenters).map { r =>
       s""",
@@ -585,13 +623,22 @@ object Similarity {
     val outs = (2 to nCenters).map(r =>
       s"""UNION ALL SELECT $r AS rk, vec_id, round(ms, 4) AS max_cos
          FROM c$r""").mkString("\n         ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         c1 AS MATERIALIZED (SELECT vec_id, v FROM e WHERE vec_id = 0),
+    s"""WITH e AS MATERIALIZED ($eCte),
+         c1 AS MATERIALIZED (SELECT vec_id, v FROM e
+           WHERE vec_id = (SELECT min(vec_id) FROM e)),
          s1 AS MATERIALIZED (SELECT a.vec_id, a.v,
              list_cosine_similarity(a.v, c.v) AS ms
-           FROM e a, c1 c WHERE a.vec_id <> 0)$rounds
+           FROM e a, c1 c WHERE a.vec_id <> c.vec_id)$rounds
          SELECT rk, vec_id, max_cos FROM (
          SELECT 1 AS rk, vec_id, CAST(NULL AS DOUBLE) AS max_cos FROM c1
          $outs) t ORDER BY rk"""
   }
+
+  /** [[diversityOracle]] over the exact-dedup survivor set. */
+  def dedupDiversityOracle(nCenters: Int = 12): String =
+    diversityOracle(nCenters,
+      """SELECT e0.vec_id, e0.embedding::DOUBLE[] AS v
+         FROM embeddings e0
+         JOIN (SELECT min(doc_id) AS vec_id FROM documents
+           GROUP BY md5(text)) s ON s.vec_id = e0.vec_id""")
 }

@@ -59,7 +59,8 @@ class PruningSpec extends AnyFunSuite {
       // Markov-bound verdict crosses the per-user estimate frame
       // emb_diversity_sample: each greedy round folds the one-row
       // chosen-center frame into the state map-side by design
-      "geo_isochrone", "sketch_countmin", "emb_diversity_sample")
+      "geo_isochrone", "sketch_countmin", "emb_diversity_sample",
+      "pipeline_dedup_sample")
     // full-outer equi-joins cannot broadcast (both sides must preserve
     // unmatched rows), so a shuffle join IS the correct plan there
     val smjAllowed = Set("q26_full_outer")

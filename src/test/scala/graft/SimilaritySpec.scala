@@ -271,6 +271,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).distinct.length == rows.length)
   }
 
+  test("dedupDiversitySample picks only exact-dedup survivors, k distinct picks") {
+    import org.apache.spark.sql.functions.{md5, min => fmin}
+    val survivors = Tables.documents(spark, sf)
+      .groupBy(md5(col("text").cast("binary")))
+      .agg(fmin(col("doc_id")).as("s"))
+      .select(col("s")).collect().map(_.getLong(0)).toSet
+    val rows = Similarity.dedupDiversitySample(spark, sf, nCenters = 8).collect()
+    assert(rows.length == 8)
+    val picks = rows.map(_.getLong(1))
+    assert(picks.distinct.length == picks.length)
+    picks.foreach(p => assert(survivors.contains(p),
+      s"pick $p is not an exact-dedup survivor"))
+    // seeded at the minimum surviving id
+    assert(rows.minBy(_.getInt(0)).getLong(1) == survivors.min)
+  }
+
   test("ivfPqTopK default config: k rows per query, candidates from probed cells only") {
     val rows = Similarity.ivfPqTopK(spark, sf).collect()
     val perQ = rows.groupBy(_.getLong(0))
