@@ -55,6 +55,7 @@ object SparkEntry {
     "q30_bloom_semi" -> (Warehouse.q30BloomSemi _),
     "q31_range_lookup" -> (Warehouse.q31RangeLookup _),
     "q32_scd2" -> (Warehouse.q32Scd2 _),
+    "q36_merge_upsert" -> (Warehouse.q36MergeUpsert _),
     // B'. graph centrality over the road-network key space (dyadic-exact
     // PageRank — see operators.Graph for why the oracle matches bitwise)
     "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
@@ -98,6 +99,7 @@ object SparkEntry {
     "ann_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "emb_diversity_sample" -> ((s, d) => Similarity.diversitySample(s, d)),
     "pipeline_dedup_sample" -> ((s, d) => Similarity.dedupDiversitySample(s, d)),
+    "emb_outliers" -> ((s, d) => Similarity.outliers(s, d)),
     "emb_neardup" -> ((s, d) => Similarity.nearDup(s, d)),
     // contract verdicts: LSH subset/recall/precision vs the blocked
     // exact generator, whose pair count the oracle cross-checks brute
@@ -553,6 +555,32 @@ object SparkEntry {
              AS is_current,
            event_id, value
          FROM ch ORDER BY user_id, valid_from""",
+    // batch MERGE restated as full outer + CASE; the change set is
+    // pure arithmetic over orders so all three clauses hash-check
+    "q36_merge_upsert" ->
+      """WITH chg AS (SELECT o_custkey AS key,
+           round(sum(o_totalprice), 2) AS spend
+         FROM orders GROUP BY 1),
+         mk AS (SELECT max(c_custkey) AS mk FROM customer),
+         src AS (
+           SELECT key, spend,
+             CASE WHEN key % 97 = 0 THEN 'D' ELSE 'U' END AS op FROM chg
+           UNION ALL
+           SELECT key + mk + 1, spend, 'I' FROM chg, mk
+           WHERE key % 101 = 0),
+         t AS (SELECT c_custkey AS key, c_name AS name, c_acctbal AS bal
+           FROM customer)
+         SELECT coalesce(t.key, s.key) AS key,
+           coalesce(t.name, concat('new_', CAST(s.key AS VARCHAR)))
+             AS name,
+           round(CASE WHEN s.op IN ('U', 'I') THEN s.spend ELSE t.bal END,
+             2) AS bal,
+           CASE WHEN s.op = 'U' THEN 'updated'
+             WHEN s.op = 'I' THEN 'inserted'
+             ELSE 'kept' END AS action
+         FROM t FULL OUTER JOIN src s ON t.key = s.key
+         WHERE s.op IS NULL OR s.op <> 'D'
+         ORDER BY key""",
     "graph_pagerank" -> operators.Graph.pagerankOracle(),
     "graph_components" -> operators.Graph.componentsOracle,
     "graph_triangles" -> operators.Graph.trianglesOracle,
@@ -564,6 +592,9 @@ object SparkEntry {
     // dedup-then-diversify composition: one hash pins the md5 survivor
     // cut, the doc->embedding id alignment, and the greedy trajectory
     "pipeline_dedup_sample" -> operators.Similarity.dedupDiversityOracle(),
+    // centroid-distance z-score: float-cast-pinned means, measured
+    // 0.011 margin at the z>2 flag boundary
+    "emb_outliers" -> operators.Similarity.outliersOracle(),
     "text_pii" ->
       """WITH planted AS (SELECT doc_id,
            concat(text,

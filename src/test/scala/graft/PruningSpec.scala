@@ -60,7 +60,14 @@ class PruningSpec extends AnyFunSuite {
       // emb_diversity_sample: each greedy round folds the one-row
       // chosen-center frame into the state map-side by design
       "geo_isochrone", "sketch_countmin", "emb_diversity_sample",
-      "pipeline_dedup_sample")
+      "pipeline_dedup_sample",
+      // emb_outliers: the one-row corpus mean/stddev scalar frame is
+      // folded onto the distance frame map-side by design
+      "emb_outliers",
+      // q36_merge_upsert: the one-row max-key scalar frame crossed onto
+      // the insert-clause change rows (the merge join itself is the
+      // asserted shuffle-hash equi-join)
+      "q36_merge_upsert")
     // full-outer equi-joins cannot broadcast (both sides must preserve
     // unmatched rows), so a shuffle join IS the correct plan there
     val smjAllowed = Set("q26_full_outer")

@@ -287,6 +287,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.minBy(_.getInt(0)).getLong(1) == survivors.min)
   }
 
+  test("outliers: one row per vector, z standardized, flags match the z column") {
+    val rows = Similarity.outliers(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.length == n)
+    val zs = rows.map(_.getDouble(2))
+    assert(math.abs(zs.sum / zs.length) < 1e-3) // standardized: mean ~ 0
+    assert(math.abs(zs.map(z => z * z).sum / zs.length - 1.0) < 1e-2)
+    rows.foreach { r =>
+      assert(r.getBoolean(3) == (r.getDouble(2) > 2.0),
+        s"flag disagrees with z at vec ${r.getLong(0)}")
+    }
+    assert(rows.count(_.getBoolean(3)) > 0) // the corpus has a tail
+  }
+
   test("ivfPqTopK default config: k rows per query, candidates from probed cells only") {
     val rows = Similarity.ivfPqTopK(spark, sf).collect()
     val perQ = rows.groupBy(_.getLong(0))

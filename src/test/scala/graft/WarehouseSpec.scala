@@ -108,4 +108,30 @@ class WarehouseSpec extends AnyFunSuite {
     assert(out(3).getLong(1) == 1 && out(3).getLong(2) == 1 &&
       out(3).getString(3) == "Shout <EMAIL> and <PHONE> loudly")
   }
+
+  test("merge upsert applies all three MERGE clauses in one pass") {
+    val sf = TestSession.sf
+    val merged = Warehouse.q36MergeUpsert(spark, sf).collect()
+    val nCust = Tables.customer(spark, sf).count()
+    val maxKey = Tables.customer(spark, sf)
+      .agg(max(col("c_custkey"))).head().getLong(0)
+    val custKeys = Tables.orders(spark, sf)
+      .select(col("o_custkey")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    val nDel = custKeys.count(_ % 97 == 0)
+    val nIns = custKeys.count(_ % 101 == 0)
+    assert(merged.length == nCust - nDel + nIns)
+    val byAction = merged.groupBy(_.getString(3)).view.mapValues(_.length)
+    assert(byAction("inserted") == nIns)
+    merged.filter(_.getString(3) == "inserted").foreach { r =>
+      assert(r.getLong(0) > maxKey)
+      assert(r.getString(1) == s"new_${r.getLong(0)}")
+    }
+    assert(!merged.exists(r => custKeys.contains(r.getLong(0)) &&
+      r.getLong(0) % 97 == 0), "a matched delete survived")
+    // no SMJ: the merge join is shuffle-hash as hinted
+    val plan = Warehouse.q36MergeUpsert(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), "merge planned a sort-merge join")
+  }
 }
