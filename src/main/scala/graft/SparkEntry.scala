@@ -51,6 +51,7 @@ object SparkEntry {
     "q33_retention" -> (Relational.q33Retention _),
     "q34_market_basket" -> (Relational.q34MarketBasket(_, _)),
     "q35_gap_fill" -> (Relational.q35GapFill _),
+    "q37_concurrency" -> (Relational.q37Concurrency(_, _)),
     // A'. warehouse shapes: runtime bloom filter, band lookup, SCD2
     "q30_bloom_semi" -> (Warehouse.q30BloomSemi _),
     "q31_range_lookup" -> (Warehouse.q31RangeLookup _),
@@ -100,6 +101,7 @@ object SparkEntry {
     "emb_diversity_sample" -> ((s, d) => Similarity.diversitySample(s, d)),
     "pipeline_dedup_sample" -> ((s, d) => Similarity.dedupDiversitySample(s, d)),
     "emb_outliers" -> ((s, d) => Similarity.outliers(s, d)),
+    "emb_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "emb_neardup" -> ((s, d) => Similarity.nearDup(s, d)),
     // contract verdicts: LSH subset/recall/precision vs the blocked
     // exact generator, whose pair count the oracle cross-checks brute
@@ -595,6 +597,24 @@ object SparkEntry {
     // centroid-distance z-score: float-cast-pinned means, measured
     // 0.011 margin at the z>2 flag boundary
     "emb_outliers" -> operators.Similarity.outliersOracle(),
+    // int8 scalar quantization: expression-identical double arithmetic
+    // both engines, integer code-sum checksum exact
+    "emb_quantize_int8" -> operators.Similarity.quantizeInt8Oracle,
+    // sweep-line concurrency: the oracle's one-window form equals the
+    // engine's two-level distributed prefix sum
+    "q37_concurrency" ->
+      """WITH ev AS (SELECT event_type AS etype, ts FROM events),
+         d AS (SELECT etype, ts AS t, 1 AS dd FROM ev
+           UNION ALL
+           SELECT etype, ts + INTERVAL 15 MINUTE, -1 FROM ev),
+         net AS (SELECT etype, t, sum(dd) AS dd FROM d GROUP BY 1, 2),
+         r AS (SELECT etype, t,
+           sum(dd) OVER (PARTITION BY etype ORDER BY t) AS conc FROM net),
+         m AS (SELECT etype, max(conc) AS mc FROM r GROUP BY 1)
+         SELECT r.etype, CAST(m.mc AS BIGINT) AS max_conc,
+           min(t) AS at_ts
+         FROM r JOIN m ON r.etype = m.etype AND r.conc = m.mc
+         GROUP BY 1, 2 ORDER BY 1""",
     "text_pii" ->
       """WITH planted AS (SELECT doc_id,
            concat(text,

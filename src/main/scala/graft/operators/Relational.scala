@@ -547,4 +547,51 @@ object Relational {
         col("rev").isNull.as("is_gap"))
       .orderBy(col("prio"), col("day"))
   }
+
+  /** Max concurrent open sessions per event type — the interval-overlap
+    * question answered by a SWEEP LINE, never an interval self-join:
+    * each event opens a half-open [ts, ts+15min) session; opens (+1)
+    * and closes (-1) net per instant, and the running prefix sum IS
+    * the concurrency curve, whose per-type max (with the first instant
+    * it was reached) is reported.
+    *
+    * Scale posture: the prefix sum is TWO-LEVEL, because a single
+    * window over a whole event type is one straggler partition at
+    * 100 TB. Deltas net per (type, instant) in a partial agg; the
+    * running sum within each (type, hour-block) partition is a bounded
+    * window (distinct instants per block <= clock resolution x block
+    * span — pick the block span to bound it); block offsets are the
+    * exclusive prefix over per-block sums, a calendar-sized frame
+    * (types x hours) that broadcasts back. Max-finding is partial-agg.
+    * Half-open semantics need no tie rule: a close netting against an
+    * open at the same instant is exactly the [t, t+s) boundary case. */
+  def q37Concurrency(spark: SparkSession, dir: String,
+                     sessionMin: Int = 15): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type").as("etype"), col("ts"))
+    val deltas = ev.select(col("etype"), col("ts").as("t"), lit(1L).as("d"))
+      .unionByName(ev.select(col("etype"),
+        (col("ts") + expr(s"INTERVAL $sessionMin MINUTES")).as("t"),
+        lit(-1L).as("d")))
+    val net = deltas.groupBy(col("etype"), col("t"))
+      .agg(sum(col("d")).as("dd"))
+      .withColumn("blk", date_trunc("hour", col("t")))
+    val wIn = Window.partitionBy(col("etype"), col("blk")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = net.withColumn("run", sum(col("dd")).over(wIn))
+    val wBlk = Window.partitionBy(col("etype")).orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = net.groupBy(col("etype"), col("blk"))
+      .agg(sum(col("dd")).as("bs"))
+      .withColumn("off", coalesce(sum(col("bs")).over(wBlk), lit(0L)))
+      .select(col("etype"), col("blk"), col("off"))
+    val conc = local.join(broadcast(offsets), Seq("etype", "blk"))
+      .select(col("etype"), col("t"), (col("off") + col("run")).as("conc"))
+    val mx = conc.groupBy(col("etype")).agg(max(col("conc")).as("max_conc"))
+    conc.join(broadcast(mx), Seq("etype"))
+      .filter(col("conc") === col("max_conc"))
+      .groupBy(col("etype"))
+      .agg(max(col("max_conc")).as("max_conc"), min(col("t")).as("at_ts"))
+      .orderBy(col("etype"))
+  }
 }

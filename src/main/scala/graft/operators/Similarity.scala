@@ -677,6 +677,70 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Scalar int8 quantization of the embedding column — the storage
+    * form a 100 TB vector corpus actually ships (4x smaller than
+    * float32, decoded on the fly at scan time): per-DIMENSION min/max
+    * over the corpus define a linear [0, 255] grid, each value snaps to
+    * its nearest code, and the report carries the per-vector code sum
+    * (an integer checksum of the whole code array) plus the L2 / max
+    * reconstruction error the quantizer induced.
+    *
+    * Scale posture: the min/max frame is a 64-row partial agg (map-side
+    * combine does all the work) broadcast back onto the exploded
+    * values; codes and errors fold per vec_id in a second partial agg.
+    * Nothing driver-side, no corpus-moving join — the same two-agg
+    * shape as [[outliers]].
+    *
+    * Determinism: min/max are order-independent (no accumulation
+    * drift), and code/recon are single-expression double arithmetic
+    * written IDENTICALLY in the oracle (same association:
+    * `scale = (mx-mn)/255`, `floor(x/scale + 0.5)`, `mn + code*scale`),
+    * so every per-dimension term is bitwise equal across engines; the
+    * integer code sum is exact and the error sums are pinned by
+    * round(4)/round(6) (the [[outliers]] pattern). */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    val ex = emb(spark, dir).select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos"), col("v").cast("double").as("v"))
+    val st = ex.groupBy(col("pos"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .select(col("pos"), col("mn"), ((col("mx") - col("mn")) / 255d).as("scale"))
+    val coded = ex.join(broadcast(st), Seq("pos"))
+      .select(col("vec_id"), col("v"),
+        when(col("scale") === 0d, lit(0d))
+          .otherwise(least(lit(255d), greatest(lit(0d),
+            floor((col("v") - col("mn")) / col("scale") + 0.5d))))
+          .as("code"),
+        col("mn"), col("scale"))
+      .select(col("vec_id"), col("v"), col("code"),
+        (col("mn") + col("code") * col("scale")).as("recon"))
+    coded.groupBy(col("vec_id"))
+      .agg(sum(col("code")).cast("bigint").as("code_sum"),
+        round(sqrt(sum(pow(col("v") - col("recon"), lit(2)))), 4).as("l2_err"),
+        round(max(abs(col("v") - col("recon"))), 6).as("max_err"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB restatement of [[quantizeInt8]] — expression-for-expression
+    * the same double arithmetic, so only the rounded error sums rely on
+    * tolerance-free pinning. */
+  def quantizeInt8Oracle: String =
+    """WITH ex AS (SELECT vec_id, i AS pos, embedding[i]::DOUBLE AS v
+         FROM embeddings, LATERAL (SELECT unnest(generate_series(
+           1, len(embedding))) AS i) t),
+       st AS (SELECT pos, min(v) AS mn, (max(v) - min(v)) / 255 AS scale
+         FROM ex GROUP BY pos),
+       coded AS (SELECT vec_id, v,
+           CASE WHEN scale = 0 THEN 0
+             ELSE least(255, greatest(0, floor((v - mn) / scale + 0.5)))
+           END AS code, mn, scale
+         FROM ex JOIN st USING (pos)),
+       r AS (SELECT vec_id, v, code, mn + code * scale AS recon FROM coded)
+       SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
+         round(sqrt(sum((v - recon) * (v - recon))), 4) AS l2_err,
+         round(max(abs(v - recon)), 6) AS max_err
+       FROM r GROUP BY vec_id ORDER BY vec_id"""
+
   /** DuckDB restatement of [[outliers]]. */
   def outliersOracle(zThresh: Double = 2.0): String =
     s"""WITH ex AS (SELECT vec_id, i AS pos, embedding[i]::DOUBLE AS v

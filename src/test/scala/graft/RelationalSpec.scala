@@ -139,4 +139,31 @@ class RelationalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q37 concurrency: two-level prefix sum equals a direct per-type sweep") {
+    import org.apache.spark.sql.functions.col
+    val rows = operators.Relational.q37Concurrency(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2))).toSeq
+    val types = Tables.events(spark, sf)
+      .select(col("event_type")).distinct().count()
+    assert(rows.length == types, "one row per event type")
+    // direct single-threaded sweep per type over the same half-open
+    // [ts, ts+15min) intervals
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime))
+    rows.foreach { case (etype, gotMax, gotAt) =>
+      val ds = ev.filter(_._1 == etype).flatMap { case (_, t) =>
+        Seq((t, 1L), (t + 15 * 60 * 1000L, -1L)) }
+      val byInstant = ds.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+        .toSeq.sortBy(_._1)
+      var run = 0L; var best = Long.MinValue; var at = 0L
+      byInstant.foreach { case (t, dd) =>
+        run += dd
+        if (run > best) { best = run; at = t }
+      }
+      assert(gotMax == best, s"$etype max $gotMax != swept $best")
+      assert(gotAt.getTime == at, s"$etype first-reach instant differs")
+    }
+  }
 }

@@ -301,6 +301,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.count(_.getBoolean(3)) > 0) // the corpus has a tail
   }
 
+  test("quantizeInt8: codes bounded, reconstruction error within half a grid step") {
+    val rows = Similarity.quantizeInt8(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.length == n)
+    val dims = Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("embedding"))).head().getInt(0)
+    rows.foreach { r =>
+      val codeSum = r.getLong(1)
+      assert(codeSum >= 0 && codeSum <= 255L * dims,
+        s"code sum $codeSum outside [0, ${255 * dims}]")
+      // nearest-code snap: per-dim error <= scale/2, so L2 over dims is
+      // bounded by sqrt(dims) * max_err and max_err itself is small
+      assert(r.getDouble(3) >= 0)
+      assert(r.getDouble(2) <= math.sqrt(dims.toDouble) * r.getDouble(3) + 1e-4,
+        s"l2 ${r.getDouble(2)} incompatible with max ${r.getDouble(3)}")
+    }
+    // quantization must actually compress: some error exists somewhere
+    assert(rows.exists(_.getDouble(2) > 0))
+  }
+
   test("ivfPqTopK default config: k rows per query, candidates from probed cells only") {
     val rows = Similarity.ivfPqTopK(spark, sf).collect()
     val perQ = rows.groupBy(_.getLong(0))
