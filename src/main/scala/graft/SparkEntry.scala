@@ -127,6 +127,8 @@ object SparkEntry {
     "text_span_dedup" -> ((s, d) => TextAnalysis.spanDedup(s, d)),
     "dedup_incremental" -> (Dedup.incremental _),
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
+    "text_mad_outliers" -> ((s, d) => TextAnalysis.madOutliers(s, d)),
+    "text_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
     "text_domain_mix" -> ((s, d) => TextAnalysis.domainMix(s, d)),
     "text_pii" -> (TextAnalysis.pii _),
     "pipeline_curate" -> ((s, d) => TextAnalysis.curate(s, d)),
@@ -1410,6 +1412,11 @@ object SparkEntry {
          FROM t LEFT JOIN agg a USING (doc_id)
            LEFT JOIN kept k ON t.doc_id = k.doc_id
          ORDER BY t.doc_id""",
+    // median/MAD robust z: dyadic-exact medians, expression-identical z
+    "text_mad_outliers" -> operators.TextAnalysis.madOutliersOracle(),
+    // PMI collocations: ln bit-parity (tfidf precedent), rounded-value
+    // ordering with bigram tie-break stabilizes the top-N cut
+    "text_collocations" -> operators.TextAnalysis.collocationsOracle(),
     // floor(x*1e4+0.5)/1e4 on both sides: small-integer ratios land on
     // exact decimal halves where the engines' round()s disagree
     "text_repetition" ->

@@ -542,4 +542,122 @@ object TextAnalysis {
         md5(col("kept_text").cast("binary")).as("kept_md5"))
       .orderBy(col("doc_id"))
   }
+
+  /** Per-source robust length-outlier cut via median/MAD — the robust
+    * twin of a z-score filter (one mojibake blob or truncation burst
+    * can't drag the mean the way it would in [[withQuality]]'s moment
+    * stats): robust z = 0.6745 (n_chars - median) / MAD, flag |z| over
+    * `cut` (Iglewicz–Hoaglin's modified z-score and its 3.5 default).
+    *
+    * Scale posture: the per-source median and MAD are exact grouped
+    * percentiles here (the q23_median precedent — sf-scale groups);
+    * the 100 TB path swaps in mergeable approx_percentile with no
+    * other change. Both stat frames are source-count-sized and
+    * broadcast back; everything else is map-side.
+    *
+    * Determinism: medians of integers (and of the dyadic-half absolute
+    * deviations) interpolate at g=0.5, which both engines compute
+    * exactly whatever the association, so med/MAD are bitwise equal;
+    * the z expression is written identically in the oracle. */
+  def madOutliers(spark: SparkSession, dir: String,
+                  cut: Double = 3.5): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val med = d.groupBy(col("source"))
+      .agg(expr("percentile(n_chars, 0.5)").as("med"))
+    val dev = d.join(broadcast(med), Seq("source"))
+      .withColumn("adev", abs(col("n_chars") - col("med")))
+    val mad = dev.groupBy(col("source"))
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    val rz = lit(0.6745) * (col("n_chars") - col("med")) / col("mad")
+    dev.join(broadcast(mad), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        round(when(col("mad") === 0d, lit(0d)).otherwise(rz), 4)
+          .as("robust_z"),
+        when(col("mad") === 0d, lit(false)).otherwise(abs(rz) > cut)
+          .as("is_outlier"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB restatement of [[madOutliers]]. */
+  def madOutliersOracle(cut: Double = 3.5): String =
+    s"""WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+       med AS (SELECT source, quantile_cont(n_chars, 0.5) AS med
+         FROM d GROUP BY 1),
+       dev AS (SELECT doc_id, d.source, n_chars, med,
+           abs(n_chars - med) AS adev
+         FROM d JOIN med ON d.source = med.source),
+       mad AS (SELECT source, quantile_cont(adev, 0.5) AS mad
+         FROM dev GROUP BY 1)
+       SELECT doc_id, dev.source, n_chars,
+         round(CASE WHEN mad = 0 THEN 0
+           ELSE CAST(0.6745 AS DOUBLE) * (n_chars - med) / mad END, 4)
+           AS robust_z,
+         CASE WHEN mad = 0 THEN FALSE
+           ELSE abs(CAST(0.6745 AS DOUBLE) * (n_chars - med) / mad)
+             > CAST($cut AS DOUBLE) END AS is_outlier
+       FROM dev JOIN mad ON dev.source = mad.source
+       ORDER BY doc_id"""
+
+  /** PMI-ranked bigram collocations — the phrase-mining pass that
+    * tells "New York" from "of the": pointwise mutual information
+    * ln(p(ab) / (p(a) p(b))) over adjacent-token bigrams, support
+    * floor `minCount` to keep rare-pair noise out, top-N by PMI.
+    *
+    * Scale posture: unigram and bigram counts are partial-agg
+    * shuffles of (term, count) pairs, never documents; the bigram
+    * frame meets the unigram counts through two VOCAB-KEYED
+    * distributed hash joins (a vocab-sized broadcast would not fit at
+    * 100 TB); the two corpus totals are one-row broadcast crosses; the
+    * final top-N is a k-sized ordered limit.
+    *
+    * Determinism: PMI is ln of one division of exact-integer-valued
+    * doubles, written with identical association in the oracle (ln
+    * bit-parity is the [[tfidf]] precedent); ordering uses the ROUNDED
+    * value with a bigram tie-break, so the cut is stable. */
+  def collocations(spark: SparkSession, dir: String, minCount: Int = 5,
+                   topN: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(explode(split(col("text"), " ")).as("term"))
+    val nTotal = toks.agg(count(lit(1)).cast("double").as("n_tok"))
+    val uni = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val biAll = docs.select(
+      explode(graft.functions.TextFunctions.word_shingles(col("text"), 2))
+        .as("bigram"))
+    val bTotal = biAll.agg(count(lit(1)).cast("double").as("b_tok"))
+    val bi = biAll.groupBy(col("bigram")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+      .withColumn("a", split(col("bigram"), " ").getItem(0))
+      .withColumn("b", split(col("bigram"), " ").getItem(1))
+    bi.join(uni.select(col("term").as("a"), col("cnt").as("ca")), Seq("a"))
+      .join(uni.select(col("term").as("b"), col("cnt").as("cb")), Seq("b"))
+      .crossJoin(broadcast(nTotal)).crossJoin(broadcast(bTotal))
+      .select(col("bigram"), col("n_pair"),
+        round(log((col("n_pair").cast("double") * col("n_tok") * col("n_tok"))
+          / (col("b_tok") * col("ca") * col("cb"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(topN)
+  }
+
+  /** DuckDB restatement of [[collocations]]. */
+  def collocationsOracle(minCount: Int = 5, topN: Int = 20): String =
+    s"""WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
+       tok AS (SELECT unnest(l) AS term FROM t),
+       n AS (SELECT CAST(count(*) AS DOUBLE) AS n_tok FROM tok),
+       uni AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+       ba AS (SELECT unnest(list_transform(range(1, len(l)),
+         i -> l[i] || ' ' || l[i + 1])) AS bigram FROM t),
+       btot AS (SELECT CAST(count(*) AS DOUBLE) AS b_tok FROM ba),
+       bi AS (SELECT bigram, count(*) AS n_pair FROM ba
+         GROUP BY 1 HAVING count(*) >= $minCount),
+       sp AS (SELECT bigram, n_pair,
+           string_split(bigram, ' ')[1] AS a,
+           string_split(bigram, ' ')[2] AS b
+         FROM bi)
+       SELECT bigram, n_pair,
+         round(ln((CAST(n_pair AS DOUBLE) * n_tok * n_tok)
+           / (b_tok * ua.cnt * ub.cnt)), 4) AS pmi
+       FROM sp JOIN uni ua ON sp.a = ua.term
+         JOIN uni ub ON sp.b = ub.term, n, btot
+       ORDER BY pmi DESC, bigram LIMIT $topN"""
 }

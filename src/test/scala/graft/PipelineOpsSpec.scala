@@ -246,4 +246,34 @@ class PipelineOpsSpec extends AnyFunSuite {
         (col("cluster_id") =!= col("vec_id") || col("cos_sim") < 0.9999)).isEmpty)
     } finally { ca.unpersist() }
   }
+
+  test("mad outliers: one row per doc, z standardized around the median, flags consistent") {
+    val rows = TextAnalysis.madOutliers(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    // per source, about half the docs sit below the median: robust z
+    // must be negative for ~half, positive for ~half
+    rows.groupBy(_.getString(1)).foreach { case (src, rs) =>
+      val neg = rs.count(_.getDouble(3) < 0)
+      assert(neg > rs.length / 4 && neg < 3 * rs.length / 4,
+        s"$src: $neg/${rs.length} below-median — median is off")
+    }
+    rows.foreach { r =>
+      assert(r.getBoolean(4) == (math.abs(r.getDouble(3)) > 3.5) ||
+        // rounding at the display edge only — recompute margin is 1e-4
+        math.abs(math.abs(r.getDouble(3)) - 3.5) < 1e-3,
+        s"flag disagrees with z at doc ${r.getLong(0)}")
+    }
+  }
+
+  test("collocations: bounded by topN, support floor holds, PMI favors rare pairs") {
+    val rows = TextAnalysis.collocations(spark, sf).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    assert(rows.forall(_.getLong(1) >= 5), "support floor violated")
+    val pmis = rows.map(_.getDouble(2))
+    assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b },
+      "not sorted by PMI desc")
+    // PMI of a bigram can't exceed ln(N^2 / (B * max(ca, cb))) in
+    // general; sanity: it must beat ln of independence for the top hit
+    assert(pmis.head > 0, "top collocation is not positively associated")
+  }
 }

@@ -67,7 +67,10 @@ class PruningSpec extends AnyFunSuite {
       // q36_merge_upsert: the one-row max-key scalar frame crossed onto
       // the insert-clause change rows (the merge join itself is the
       // asserted shuffle-hash equi-join)
-      "q36_merge_upsert")
+      "q36_merge_upsert",
+      // text_collocations: the two one-row corpus-total scalars crossed
+      // onto the surviving bigram frame (unigram counts join VOCAB-KEYED)
+      "text_collocations")
     // full-outer equi-joins cannot broadcast (both sides must preserve
     // unmatched rows), so a shuffle join IS the correct plan there
     val smjAllowed = Set("q26_full_outer")
