@@ -102,6 +102,7 @@ object SparkEntry {
     "pipeline_dedup_sample" -> ((s, d) => Similarity.dedupDiversitySample(s, d)),
     "emb_outliers" -> ((s, d) => Similarity.outliers(s, d)),
     "emb_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(s, d)),
+    "emb_pca" -> ((s, d) => Similarity.pcaPower(s, d)),
     "emb_neardup" -> ((s, d) => Similarity.nearDup(s, d)),
     // contract verdicts: LSH subset/recall/precision vs the blocked
     // exact generator, whose pair count the oracle cross-checks brute
@@ -602,6 +603,9 @@ object SparkEntry {
     // int8 scalar quantization: expression-identical double arithmetic
     // both engines, integer code-sum checksum exact
     "emb_quantize_int8" -> operators.Similarity.quantizeInt8Oracle,
+    // power-iteration PCA: float-pinned mean/cells/matvec/norm/Rayleigh
+    // make the whole 8-round trajectory hash-exact (kmeans discipline)
+    "emb_pca" -> operators.Similarity.pcaPowerOracle(),
     // sweep-line concurrency: the oracle's one-window form equals the
     // engine's two-level distributed prefix sum
     "q37_concurrency" ->

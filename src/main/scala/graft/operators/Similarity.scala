@@ -741,6 +741,120 @@ object Similarity {
          round(max(abs(v - recon)), 6) AS max_err
        FROM r GROUP BY vec_id ORDER BY vec_id"""
 
+  /** Top principal component of the (centered) embedding corpus via
+    * POWER ITERATION over the covariance matrix — the spectral summary
+    * a curation pipeline uses for whitening, drift monitoring, and the
+    * "is one direction eating the variance" anisotropy check on an
+    * encoder's output.
+    *
+    * Scale posture: the corpus appears exactly twice — once in the
+    * 64-row mean frame (map-side partial agg), once in the covariance
+    * cells, which pair-expand each CENTERED vector map-side (dims^2
+    * rows per vector, no self-join — the mean array is a one-row
+    * broadcast cross) and partial-agg down to dims x dims = 4096
+    * cells. Every power-iteration round then touches only the 4096-row
+    * cell frame (checkpointed once) and a 64-row iterate: matvec =
+    * broadcast join + partial agg; norm = one-row broadcast fold.
+    * Nothing after the cell agg scales with the corpus at all.
+    *
+    * Determinism: the mean, each covariance cell (after /n), each
+    * matvec component, the norm, and the Rayleigh quotient are pinned
+    * through a float cast (the [[kmeans]] discipline), so double
+    * accumulation-order drift cannot escape a pin; every step between
+    * pins is single-expression arithmetic the oracle restates
+    * identically, making the whole 8-round trajectory hash-exact. */
+  def pcaPower(spark: SparkSession, dir: String, iters: Int = 8): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val ex = e.select(col("vec_id"), posexplode(col("emb")).as(Seq("pos", "v")))
+    val mu = ex.groupBy(col("pos"))
+      .agg(avg(col("v")).cast("float").cast("double").as("mu"))
+    val muArr = mu.agg(array_sort(collect_list(struct(col("pos"), col("mu"))))
+        .as("pm"))
+      .select(transform(col("pm"), x => x.getField("mu")).as("mus"))
+    val centered = e.crossJoin(broadcast(muArr))
+      .select(col("vec_id"),
+        zip_with(col("emb"), col("mus"), (a, b) => a - b).as("ce"))
+    val nFrame = e.agg(count(lit(1)).cast("double").as("n"))
+    val cells = centered
+      .select(col("ce"), posexplode(col("ce")).as(Seq("i", "vi")))
+      .select(col("i"), col("vi"), posexplode(col("ce")).as(Seq("j", "vj")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("vi") * col("vj")).as("s"))
+      .crossJoin(broadcast(nFrame))
+      .select(col("i"), col("j"),
+        (col("s") / col("n")).cast("float").cast("double").as("c"))
+      .localCheckpoint()
+    var v = cells.select(col("i")).distinct()
+      .select(col("i"),
+        when(col("i") === 0, lit(1d)).otherwise(lit(0d)).as("v"))
+    for (_ <- 1 to iters) {
+      val s = cells
+        .join(broadcast(v.select(col("i").as("j"), col("v"))), Seq("j"))
+        .groupBy(col("i"))
+        .agg(sum(col("c") * col("v")).cast("float").cast("double").as("s"))
+      val nrm = s.agg(
+        sqrt(sum(col("s") * col("s"))).cast("float").cast("double").as("nrm"))
+      v = s.crossJoin(broadcast(nrm))
+        .select(col("i"), (col("s") / col("nrm")).as("v"))
+    }
+    val lam = cells
+      .join(broadcast(v.select(col("i").as("va_i"), col("v").as("va"))),
+        col("i") === col("va_i"))
+      .join(broadcast(v.select(col("i").as("vb_i"), col("v").as("vb"))),
+        col("j") === col("vb_i"))
+      .agg(sum(col("c") * col("va") * col("vb"))
+        .cast("float").cast("double").as("lam"))
+    // cells stays checkpointed: the returned plan reads it in every
+    // round's matvec (same keep-the-live-checkpoint rule as kmeans)
+    v.crossJoin(broadcast(lam))
+      .select(col("i").as("pos"), round(col("v"), 4).as("loading"),
+        round(col("lam"), 4).as("eigval"))
+      .orderBy(col("pos"))
+  }
+
+  /** DuckDB restatement of [[pcaPower]] — the same pinned trajectory,
+    * with the pair expansion as a vec_id self-join (the map-side
+    * expansion and the self-join enumerate the same (i, j) terms). */
+  def pcaPowerOracle(iters: Int = 8): String = {
+    // AS MATERIALIZED throughout: s_k is referenced twice (n_k and u_k),
+    // so plain-CTE inlining would DOUBLE the expression tree per round —
+    // 2^iters copies of the covariance self-join (measured: minutes vs
+    // 0.9 s at sf0.01)
+    val steps = (1 to iters).map { k =>
+      val prev = if (k == 1) "u0" else s"u${k - 1}"
+      s"""s$k AS MATERIALIZED (SELECT cov.i,
+           CAST(CAST(sum(c * u.v) AS REAL) AS DOUBLE) AS s
+           FROM cov JOIN $prev u ON cov.j = u.i GROUP BY cov.i),
+         n$k AS MATERIALIZED (SELECT
+           CAST(CAST(sqrt(sum(s * s)) AS REAL) AS DOUBLE) AS nrm
+           FROM s$k),
+         u$k AS MATERIALIZED (SELECT i, s / nrm AS v FROM s$k, n$k)"""
+    }.mkString(",\n")
+    val last = s"u$iters"
+    s"""WITH ex AS MATERIALIZED (SELECT vec_id, i AS pos,
+           embedding[i]::DOUBLE AS v
+         FROM embeddings, LATERAL (SELECT unnest(generate_series(
+           1, len(embedding))) AS i) t),
+       mu AS (SELECT pos, CAST(CAST(avg(v) AS REAL) AS DOUBLE) AS mu
+         FROM ex GROUP BY pos),
+       ce AS MATERIALIZED (SELECT vec_id, pos - 1 AS i, v - mu AS cv
+         FROM ex JOIN mu USING (pos)),
+       nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+       cov0 AS (SELECT a.i AS i, b.i AS j, sum(a.cv * b.cv) AS s
+         FROM ce a JOIN ce b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       cov AS MATERIALIZED (SELECT i, j,
+           CAST(CAST(s / n AS REAL) AS DOUBLE) AS c
+         FROM cov0, nn),
+       u0 AS (SELECT DISTINCT i,
+         CAST(CASE WHEN i = 0 THEN 1 ELSE 0 END AS DOUBLE) AS v FROM cov),
+       $steps,
+       lam0 AS (SELECT CAST(CAST(sum(c * a.v * b.v) AS REAL) AS DOUBLE) AS lam
+         FROM cov JOIN $last a ON cov.i = a.i JOIN $last b ON cov.j = b.i)
+       SELECT u.i AS pos, round(u.v, 4) AS loading, round(lam, 4) AS eigval
+       FROM $last u, lam0 ORDER BY pos"""
+  }
+
   /** DuckDB restatement of [[outliers]]. */
   def outliersOracle(zThresh: Double = 2.0): String =
     s"""WITH ex AS (SELECT vec_id, i AS pos, embedding[i]::DOUBLE AS v

