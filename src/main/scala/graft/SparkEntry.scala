@@ -52,6 +52,7 @@ object SparkEntry {
     "q34_market_basket" -> (Relational.q34MarketBasket(_, _)),
     "q35_gap_fill" -> (Relational.q35GapFill _),
     "q37_concurrency" -> (Relational.q37Concurrency(_, _)),
+    "q38_deciles" -> (Relational.q38Deciles _),
     // A'. warehouse shapes: runtime bloom filter, band lookup, SCD2
     "q30_bloom_semi" -> (Warehouse.q30BloomSemi _),
     "q31_range_lookup" -> (Warehouse.q31RangeLookup _),
@@ -82,6 +83,7 @@ object SparkEntry {
     "geo_route_nearest" -> ((s, d) => Routing.routeNearestPoi(s, d)),
     "geo_route_door" -> ((s, d) => Routing.routeDoorToDoor(s, d)),
     "geo_isochrone" -> ((s, d) => Routing.isochroneCoverage(s, d)),
+    "geo_areal_interp" -> ((s, d) => Accessibility.arealInterp(s, d)),
     "graph_kcore" -> ((s, d) => Graph.kcore(s, d)),
     // C. deduplication
     "dedup_exact" -> (Dedup.exact _),
@@ -606,6 +608,16 @@ object SparkEntry {
     // power-iteration PCA: float-pinned mean/cells/matvec/norm/Rayleigh
     // make the whole 8-round trajectory hash-exact (kmeans discipline)
     "emb_pca" -> operators.Similarity.pcaPowerOracle(),
+    // tie-free rank statistics: unique (bal, custkey) ordering key
+    "q38_deciles" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+           CAST(ntile(10) OVER w AS INTEGER) AS decile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment
+           ORDER BY c_acctbal, c_custkey)
+         ORDER BY c_custkey""",
     // sweep-line concurrency: the oracle's one-window form equals the
     // engine's two-level distributed prefix sum
     "q37_concurrency" ->
@@ -928,6 +940,48 @@ object SparkEntry {
                  THEN (hx1 - hx0) * (hy1 - hy0) ELSE 0 END
              AS BIGINT) AS clip_area
          FROM dims WHERE ox1 > ox0 AND oy1 > oy0
+         ORDER BY n_nationkey, cell_x, cell_y""",
+    // areal-weighted interpolation over the same closed-form clip;
+    // floor(x*1e4+0.5)/1e4 both sides (integer-ratio halves hazard)
+    "geo_areal_interp" ->
+      """WITH a AS (SELECT n_nationkey,
+           n_nationkey * 13 % 150 - 80 AS lat0,
+           n_nationkey * 29 % 330 - 175 AS lon0 FROM nation),
+         cells0 AS (SELECT n_nationkey, lat0, lon0, cx.cell_x, cy.cell_y
+           FROM a,
+           LATERAL (SELECT unnest(generate_series(
+             CAST(floor(lon0 / 10.0) AS BIGINT),
+             CAST(floor((lon0 + 30) / 10.0) AS BIGINT))) AS cell_x) cx,
+           LATERAL (SELECT unnest(generate_series(
+             CAST(floor(lat0 / 10.0) AS BIGINT),
+             CAST(floor((lat0 + 20) / 10.0) AS BIGINT))) AS cell_y) cy),
+         dims AS (SELECT n_nationkey, cell_x, cell_y,
+           GREATEST(lon0, cell_x * 10) AS ox0,
+           LEAST(lon0 + 30, cell_x * 10 + 10) AS ox1,
+           GREATEST(lat0, cell_y * 10) AS oy0,
+           LEAST(lat0 + 20, cell_y * 10 + 10) AS oy1,
+           GREATEST(lon0 + 6, cell_x * 10) AS hx0,
+           LEAST(lon0 + 18, cell_x * 10 + 10) AS hx1,
+           GREATEST(lat0 + 4, cell_y * 10) AS hy0,
+           LEAST(lat0 + 12, cell_y * 10 + 10) AS hy1
+           FROM cells0),
+         cells AS (SELECT n_nationkey, cell_x, cell_y,
+           CAST((ox1 - ox0) * (oy1 - oy0)
+             - CASE WHEN hx1 > hx0 AND hy1 > hy0
+                 THEN (hx1 - hx0) * (hy1 - hy0) ELSE 0 END
+             AS BIGINT) AS clip_area
+           FROM dims WHERE ox1 > ox0 AND oy1 > oy0),
+         tot AS (SELECT n_nationkey, CAST(sum(clip_area) AS BIGINT)
+             AS total_area
+           FROM cells GROUP BY 1),
+         pop AS (SELECT c_nationkey AS n_nationkey,
+             count(*) AS pop
+           FROM customer GROUP BY 1)
+         SELECT n_nationkey, cell_x, cell_y, clip_area, pop,
+           floor(pop * clip_area / total_area * 10000.0 + 0.5) / 10000.0
+             AS pop_cell
+         FROM cells JOIN tot USING (n_nationkey)
+           JOIN pop USING (n_nationkey)
          ORDER BY n_nationkey, cell_x, cell_y""",
     "geo_tile_features" ->
       """WITH o AS (SELECT c_custkey,

@@ -381,4 +381,41 @@ object Accessibility {
       .agg(count(lit(1)).as("n_points"),
         round(sum(col("c_acctbal")), 2).as("pop"))
       .orderBy(col("tile_x"), col("tile_y"))
+
+  /** AREAL-WEIGHTED INTERPOLATION: disaggregate a per-admin-area
+    * population onto the analysis grid by clipped-area share — the
+    * zone-to-raster population redistribution the reference runs when
+    * WorldPop rasters meet admin polygons (ram-analysis grid prep:
+    * population within each work cell). Population here = customers
+    * per nation (the deterministic stand-in), apportioned as
+    * pop x clip_area / total_area over [[clipArea]]'s cells; the cell
+    * shares per nation sum to 1, so population is CONSERVED — the
+    * invariant that makes areal weighting trustworthy (and the spec's
+    * check).
+    *
+    * Scale posture: composes [[clipArea]]'s fully map-side clip; the
+    * per-nation area total and population are two nation-count-sized
+    * partial aggs broadcast back; the apportionment itself is one
+    * map-side expression. floor(x 1e4 + 0.5)/1e4 on both sides — the
+    * integer-ratio x integer product can land on exact decimal halves
+    * where the engines' round()s disagree (the withQuality
+    * precedent). */
+  def arealInterp(spark: SparkSession, dir: String,
+                  cellDeg: Double = 10.0): DataFrame = {
+    val cells = clipArea(spark, dir, cellDeg)
+      .select(col("n_nationkey"), col("cell_x"), col("cell_y"),
+        col("clip_area"))
+    val totals = cells.groupBy(col("n_nationkey"))
+      .agg(sum(col("clip_area")).as("total_area"))
+    val pop = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").as("n_nationkey"))
+      .agg(count(lit(1)).as("pop"))
+    cells.join(broadcast(totals), Seq("n_nationkey"))
+      .join(broadcast(pop), Seq("n_nationkey"))
+      .select(col("n_nationkey"), col("cell_x"), col("cell_y"),
+        col("clip_area"), col("pop"),
+        (floor(col("pop") * col("clip_area") / col("total_area") * 10000.0
+          + 0.5) / 10000.0).as("pop_cell"))
+      .orderBy(col("n_nationkey"), col("cell_x"), col("cell_y"))
+  }
 }

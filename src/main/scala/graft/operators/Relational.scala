@@ -594,4 +594,30 @@ object Relational {
       .agg(max(col("max_conc")).as("max_conc"), min(col("t")).as("at_ts"))
       .orderBy(col("etype"))
   }
+
+  /** Rank-statistic windows in one pass per market segment: decile
+    * bucket (ntile), percent_rank, cume_dist over account balance —
+    * the quantile-bucketing step of stratified splits and score
+    * calibration. The ordering key (bal, custkey) is UNIQUE, so every
+    * rank statistic is tie-free-deterministic and the oracle hashes
+    * exactly (percent_rank/cume_dist are exact small-denominator
+    * rationals; digit 7 of their decimal expansion is never the
+    * rounding half, so round(6) is engine-agreed).
+    *
+    * Scale posture: one window sort per segment partition — the
+    * DECLARATIVE form; when a segment is a 100 TB-scale partition the
+    * swap-in is the two-level rank (range-partition the key, count per
+    * block, broadcast exclusive block offsets — the q37_concurrency
+    * two-level prefix-sum shape) or sketch_quantiles when approximate
+    * buckets suffice. */
+  def q38Deciles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        ntile(10).over(w).as("decile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy(col("c_custkey"))
+  }
 }

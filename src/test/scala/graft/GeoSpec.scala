@@ -310,4 +310,26 @@ class GeoSpec extends AnyFunSuite {
         r.getLong(9) <= (r.getLong(7) - r.getLong(5)) * (r.getLong(8) - r.getLong(6)))
     }
   }
+
+  test("arealInterp: population conserved per nation, shares proportional to area") {
+    import org.apache.spark.sql.functions.col
+    val rows = Accessibility.arealInterp(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val popByNation = Tables.customer(spark, sf)
+      .groupBy(col("c_nationkey")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (nat, rs) =>
+      val pop = popByNation(nat).toDouble
+      assert(rs.forall(_._3 == popByNation(nat)), "pop column mismatch")
+      // conservation: apportioned cells re-sum to the nation population
+      // (each cell rounded to 1e-4, so tolerance scales with cell count)
+      assert(math.abs(rs.map(_._4).sum - pop) < rs.length * 1e-4 + 1e-9,
+        s"nation $nat not conserved")
+      // proportionality: a cell with twice the area gets twice the pop
+      val perArea = rs.map(r => r._4 / r._2)
+      assert(perArea.max - perArea.min < 1e-3,
+        s"nation $nat shares not proportional to area")
+    }
+  }
 }

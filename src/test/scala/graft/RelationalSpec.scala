@@ -166,4 +166,26 @@ class RelationalSpec extends AnyFunSuite {
       assert(gotAt.getTime == at, s"$etype first-reach instant differs")
     }
   }
+
+  test("q38 deciles: buckets balanced, rank stats monotone in balance order") {
+    val rows = operators.Relational.q38Deciles(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getInt(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.length == Tables.customer(spark, sf).count())
+    rows.groupBy(_._2).foreach { case (seg, rs) =>
+      val sorted = rs.sortBy(r => (r._3, r._1))
+      // ntile balance: bucket sizes differ by at most 1
+      val sizes = sorted.groupBy(_._4).values.map(_.length)
+      assert(sizes.max - sizes.min <= 1, s"$seg: unbalanced deciles")
+      // monotone non-decreasing rank stats along the ordering
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 <= b._4 && a._5 <= b._5 && a._6 <= b._6,
+            s"$seg: rank stats not monotone")
+        case _ =>
+      }
+      assert(math.abs(sorted.last._5 - 1.0) < 1e-9)
+      assert(math.abs(sorted.last._6 - 1.0) < 1e-9)
+    }
+  }
 }
