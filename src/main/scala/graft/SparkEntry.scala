@@ -53,6 +53,7 @@ object SparkEntry {
     "q35_gap_fill" -> (Relational.q35GapFill _),
     "q37_concurrency" -> (Relational.q37Concurrency(_, _)),
     "q38_deciles" -> (Relational.q38Deciles _),
+    "q39_attribution" -> (Relational.q39Attribution(_, _)),
     // A'. warehouse shapes: runtime bloom filter, band lookup, SCD2
     "q30_bloom_semi" -> (Warehouse.q30BloomSemi _),
     "q31_range_lookup" -> (Warehouse.q31RangeLookup _),
@@ -84,6 +85,7 @@ object SparkEntry {
     "geo_route_door" -> ((s, d) => Routing.routeDoorToDoor(s, d)),
     "geo_isochrone" -> ((s, d) => Routing.isochroneCoverage(s, d)),
     "geo_areal_interp" -> ((s, d) => Accessibility.arealInterp(s, d)),
+    "geo_hex_assign" -> ((s, d) => Accessibility.hexAssign(s, d)),
     "graph_kcore" -> ((s, d) => Graph.kcore(s, d)),
     // C. deduplication
     "dedup_exact" -> (Dedup.exact _),
@@ -608,6 +610,33 @@ object SparkEntry {
     // power-iteration PCA: float-pinned mean/cells/matvec/norm/Rayleigh
     // make the whole 8-round trajectory hash-exact (kmeans discipline)
     "emb_pca" -> operators.Similarity.pcaPowerOracle(),
+    // first-touch attribution: integer epoch gap test, unique
+    // (ts, event_id) order key, floor-pattern rate
+    "q39_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, ts,
+           CAST(epoch(ts) AS BIGINT) AS sec FROM events),
+         s AS (SELECT user_id, event_id, event_type, ts,
+           CASE WHEN sec - lag(sec) OVER w > 1800
+             OR lag(sec) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+           FROM ev
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s2 AS (SELECT user_id, event_type, new_sess,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS sess_id FROM s),
+         ps AS (SELECT user_id, sess_id,
+           max(CASE WHEN new_sess = 1 THEN event_type END) AS first_touch,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS n_purch
+           FROM s2 GROUP BY 1, 2),
+         ch AS (SELECT first_touch, count(*) AS n_sessions,
+           CAST(sum(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_converted,
+           CAST(sum(n_purch) AS BIGINT) AS n_purchases
+           FROM ps GROUP BY 1)
+         SELECT first_touch, n_sessions, n_converted, n_purchases,
+           floor(n_converted / n_sessions * 10000.0 + 0.5) / 10000.0
+             AS conv_rate
+         FROM ch ORDER BY first_touch""",
     // tie-free rank statistics: unique (bal, custkey) ordering key
     "q38_deciles" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,
@@ -941,6 +970,32 @@ object SparkEntry {
              AS BIGINT) AS clip_area
          FROM dims WHERE ox1 > ox0 AND oy1 > oy0
          ORDER BY n_nationkey, cell_x, cell_y""",
+    // hex binning: floor(x+0.5) half-up both sides, IEEE-identical
+    // axial/cube arithmetic, centers recomputed from the group keys
+    "geo_hex_assign" ->
+      """WITH o AS (SELECT c_acctbal,
+           (c_custkey * 37 % 1700) / 10.0 - 85.0 AS lat,
+           (c_custkey * 91 % 3600) / 10.0 - 180.0 AS lon FROM customer),
+         f AS (SELECT c_acctbal,
+           (sqrt(3.0) / 3.0 * lon - 1.0 / 3.0 * lat) / 3.0 AS qf,
+           (2.0 / 3.0 * lat) / 3.0 AS rf FROM o),
+         g AS (SELECT c_acctbal, qf, rf, -qf - rf AS yf,
+           floor(qf + 0.5) AS rx, floor(-qf - rf + 0.5) AS ry,
+           floor(rf + 0.5) AS rz FROM f),
+         h AS (SELECT c_acctbal,
+           CAST(CASE WHEN abs(rx - qf) > abs(ry - yf)
+               AND abs(rx - qf) > abs(rz - rf)
+             THEN -ry - rz ELSE rx END AS BIGINT) AS hq,
+           CAST(CASE WHEN NOT (abs(rx - qf) > abs(ry - yf)
+               AND abs(rx - qf) > abs(rz - rf))
+               AND NOT (abs(ry - yf) > abs(rz - rf))
+             THEN -rx - ry ELSE rz END AS BIGINT) AS hr FROM g)
+         SELECT hq, hr, count(*) AS n_points,
+           round(sum(c_acctbal), 2) AS pop,
+           round(3.0 * (sqrt(3.0) * hq + sqrt(3.0) / 2.0 * hr), 4)
+             AS center_lon,
+           round(3.0 * (1.5 * hr), 4) AS center_lat
+         FROM h GROUP BY 1, 2 ORDER BY 1, 2""",
     // areal-weighted interpolation over the same closed-form clip;
     // floor(x*1e4+0.5)/1e4 both sides (integer-ratio halves hazard)
     "geo_areal_interp" ->

@@ -418,4 +418,49 @@ object Accessibility {
           + 0.5) / 10000.0).as("pop_cell"))
       .orderBy(col("n_nationkey"), col("cell_x"), col("cell_y"))
   }
+
+  /** Hexagonal-grid assignment (pointy-top axial coordinates with cube
+    * rounding — the H3/hex-bin analysis grid): each origin lands in the
+    * hex cell whose center is nearest, via fractional axial coords and
+    * the standard largest-residual cube correction; per-cell counts and
+    * balance mass plus the cell-center back-projection. Hex grids are
+    * the isotropic alternative to [[gridAssign]]'s squares (uniform
+    * neighbor distance — the grid the accessibility literature
+    * prefers).
+    *
+    * Scale posture: pure map-side arithmetic into one partial-agg
+    * groupBy, identical shape to [[tileAssign]] — no join, no window.
+    *
+    * Determinism: floor(x + 0.5) instead of round() (explicit half-up,
+    * engine-agreed); every constant (sqrt(3)/3, 2/3) is the same IEEE
+    * double expression in the oracle, and the cube-correction CASEs
+    * compare the same doubles, so cell ids match bitwise. */
+  def hexAssign(spark: SparkSession, dir: String,
+                sizeDeg: Double = 3.0): DataFrame = {
+    val x = col("lon")
+    val y = col("lat")
+    val qf = (lit(math.sqrt(3.0) / 3.0) * x - lit(1.0 / 3.0) * y) / sizeDeg
+    val rf = (lit(2.0 / 3.0) * y) / sizeDeg
+    val yf = -qf - rf
+    val rx = floor(qf + 0.5)
+    val ry = floor(yf + 0.5)
+    val rz = floor(rf + 0.5)
+    val dx = abs(rx - qf)
+    val dy = abs(ry - yf)
+    val dz = abs(rz - rf)
+    val fixQ = dx > dy && dx > dz
+    val fixR = !fixQ && !(dy > dz)
+    val hq = when(fixQ, -ry - rz).otherwise(rx).cast("bigint")
+    val hr = when(fixR, -rx - ry).otherwise(rz).cast("bigint")
+    origins(spark, dir)
+      .select(col("c_acctbal"), hq.as("hq"), hr.as("hr"))
+      .groupBy(col("hq"), col("hr"))
+      .agg(count(lit(1)).as("n_points"),
+        round(sum(col("c_acctbal")), 2).as("pop"))
+      .select(col("hq"), col("hr"), col("n_points"), col("pop"),
+        round(lit(sizeDeg) * (lit(math.sqrt(3.0)) * col("hq")
+          + lit(math.sqrt(3.0) / 2.0) * col("hr")), 4).as("center_lon"),
+        round(lit(sizeDeg) * (lit(1.5) * col("hr")), 4).as("center_lat"))
+      .orderBy(col("hq"), col("hr"))
+  }
 }

@@ -620,4 +620,50 @@ object Relational {
         round(cume_dist().over(w), 6).as("cume"))
       .orderBy(col("c_custkey"))
   }
+
+  /** First-touch session attribution: sessionize each user's event
+    * stream by 30-minute inactivity gaps (the batch twin of
+    * stream_sessionize), credit every purchase in a session to the
+    * session's FIRST event type, and report per-channel sessions,
+    * converted sessions, purchases, and conversion rate — the
+    * marketing-attribution rollup every event warehouse serves.
+    *
+    * Scale posture: both windows partition by user (per-user event
+    * counts bound the partitions — the natural key, not a handful of
+    * giant channel partitions); the session rollup is one partial agg
+    * keyed (user, session); the channel rollup is tiny. Integer epoch
+    * arithmetic for the gap test (q27 precedent) and a unique
+    * (ts, event_id) order key keep every step tie-free; the rate uses
+    * floor(x 1e4 + 0.5)/1e4 on both sides (small-integer ratios land
+    * on exact decimal halves). */
+  def q39Attribution(spark: SparkSession, dir: String,
+                     gapS: Long = 1800L): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts"), unix_timestamp(col("ts")).as("sec"))
+    val wu = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = ev
+      .withColumn("new_sess",
+        when(col("sec") - lag(col("sec"), 1).over(wu) > gapS
+          || lag(col("sec"), 1).over(wu).isNull, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess"))
+        .over(wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // the session's first event IS its new_sess=1 row (exactly one per
+    // session), so first-touch needs no order-sensitive aggregate
+    val perSession = sess.groupBy(col("user_id"), col("sess_id"))
+      .agg(max(when(col("new_sess") === 1L, col("event_type")))
+          .as("first_touch"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purch"))
+    perSession.groupBy(col("first_touch"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_purch") > 0, 1L).otherwise(0L)).as("n_converted"),
+        sum(col("n_purch")).as("n_purchases"))
+      .select(col("first_touch"), col("n_sessions"), col("n_converted"),
+        col("n_purchases"),
+        (floor(col("n_converted") / col("n_sessions") * 10000.0 + 0.5)
+          / 10000.0).as("conv_rate"))
+      .orderBy(col("first_touch"))
+  }
 }

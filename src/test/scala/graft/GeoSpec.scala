@@ -332,4 +332,29 @@ class GeoSpec extends AnyFunSuite {
         s"nation $nat shares not proportional to area")
     }
   }
+
+  test("hexAssign: total coverage, points actually nearest their hex center") {
+    import org.apache.spark.sql.functions.col
+    val rows = Accessibility.hexAssign(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).sum ==
+      Tables.customer(spark, sf).count(), "every origin lands in a cell")
+    // cube-rounding correctness: each occupied cell's center must be
+    // within one hex circumradius (= size) of some origin; spot-check
+    // via the max |center - any-origin| over a sampled cell set
+    val pts = Tables.customer(spark, sf)
+      .select(col("c_custkey")).collect().map { r =>
+        val k = r.getLong(0)
+        val lat = (k * 37 % 1700) / 10.0 - 85.0
+        val lon = (k * 91 % 3600) / 10.0 - 180.0
+        (lon, lat)
+      }
+    rows.take(40).foreach { r =>
+      val (cx, cy) = (r.getDouble(4), r.getDouble(5))
+      val nearest = pts.map { case (x, y) =>
+        math.hypot(x - cx, y - cy) }.min
+      // circumradius of a size-3 pointy-top hex is 3 degrees
+      assert(nearest <= 3.0 + 1e-6,
+        s"cell (${r.getLong(0)},${r.getLong(1)}) center has no origin within a hex radius")
+    }
+  }
 }

@@ -188,4 +188,34 @@ class RelationalSpec extends AnyFunSuite {
       assert(math.abs(sorted.last._6 - 1.0) < 1e-9)
     }
   }
+
+  test("q39 attribution: sessions partition events, conversions attributed to first touch") {
+    import org.apache.spark.sql.functions.col
+    val rows = operators.Relational.q39Attribution(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty && rows.length <= 5)
+    val totalPurch = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_._4).sum == totalPurch,
+      "every purchase attributed exactly once")
+    rows.foreach { case (ch, ns, nc, np, rate) =>
+      assert(nc <= ns, s"$ch: converted > sessions")
+      assert(np >= nc, s"$ch: purchases < converted sessions")
+      assert(math.abs(rate - math.floor(nc.toDouble / ns * 10000 + 0.5)
+        / 10000) < 1e-12, s"$ch: rate mismatch")
+    }
+    // a direct single-user resessionization agrees on the session count
+    val one = Tables.events(spark, sf)
+      .filter(col("user_id") === 7)
+      .select(col("ts"), col("event_id")).collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000, r.getLong(1)))
+      .sortBy(identity)
+    val direct = 1 + one.zip(one.tail)
+      .count { case ((a, _), (b, _)) => b - a > 1800 }
+    val perSess = operators.Relational.q39Attribution(spark, sf)
+    // session totals across channels == total sessions over all users;
+    // cross-check just the magnitude against a per-user recount lower bound
+    assert(rows.map(_._2).sum >= direct)
+  }
 }
