@@ -749,13 +749,14 @@ object Similarity {
     *
     * Scale posture: the corpus appears exactly twice — once in the
     * 64-row mean frame (map-side partial agg), once in the covariance
-    * cells, which pair-expand each CENTERED vector map-side (dims^2
-    * rows per vector, no self-join — the mean array is a one-row
-    * broadcast cross) and partial-agg down to dims x dims = 4096
-    * cells. Every power-iteration round then touches only the 4096-row
-    * cell frame (checkpointed once) and a 64-row iterate: matvec =
-    * broadcast join + partial agg; norm = one-row broadcast fold.
-    * Nothing after the cell agg scales with the corpus at all.
+    * cells: a vec_id-co-partitioned SHUFFLE_HASH self-join of the
+    * centered scalar rows whose dims^2-per-vector output feeds the
+    * partial agg directly (never materialized), collapsing to
+    * dims x dims = 4096 cells. Every power-iteration round then
+    * touches only the 4096-row cell frame (checkpointed once) and a
+    * 64-row iterate: matvec = broadcast join + partial agg; norm =
+    * one-row broadcast fold. Nothing after the cell agg scales with
+    * the corpus at all.
     *
     * Determinism: the mean, each covariance cell (after /n), each
     * matvec component, the norm, and the Rayleigh quotient are pinned
@@ -769,30 +770,46 @@ object Similarity {
     val ex = e.select(col("vec_id"), posexplode(col("emb")).as(Seq("pos", "v")))
     val mu = ex.groupBy(col("pos"))
       .agg(avg(col("v")).cast("float").cast("double").as("mu"))
-    val muArr = mu.agg(array_sort(collect_list(struct(col("pos"), col("mu"))))
-        .as("pm"))
-      .select(transform(col("pm"), x => x.getField("mu")).as("mus"))
-    val centered = e.crossJoin(broadcast(muArr))
-      .select(col("vec_id"),
-        zip_with(col("emb"), col("mus"), (a, b) => a - b).as("ce"))
+    // centered values as SCALAR rows (vec_id, i, cv): the pair terms
+    // come from a vec_id-co-partitioned self-join consumed directly by
+    // the partial agg — measured 30x faster than pair-expanding the
+    // centered ARRAY map-side (dims^2 generated rows each dragging the
+    // 64-double array through the generate chain). One corpus shuffle
+    // (narrow 3-column rows), dims^2 join output rows never materialize
+    // beyond the agg's hash table.
+    val exC = ex.join(broadcast(mu), Seq("pos"))
+      .select(col("vec_id"), col("pos").as("i"),
+        (col("v") - col("mu")).as("cv"))
     val nFrame = e.agg(count(lit(1)).cast("double").as("n"))
-    val cells = centered
-      .select(col("ce"), posexplode(col("ce")).as(Seq("i", "vi")))
-      .select(col("i"), col("vi"), posexplode(col("ce")).as(Seq("j", "vj")))
+    val cells = exC
+      .join(exC.select(col("vec_id"), col("i").as("j"), col("cv").as("cw"))
+          .hint("shuffle_hash"),
+        Seq("vec_id"))
       .groupBy(col("i"), col("j"))
-      .agg(sum(col("vi") * col("vj")).as("s"))
+      .agg(sum(col("cv") * col("cw")).as("s"))
       .crossJoin(broadcast(nFrame))
       .select(col("i"), col("j"),
         (col("s") / col("n")).cast("float").cast("double").as("c"))
       .localCheckpoint()
+    import org.apache.spark.sql.graftbridge.SparkBridge
     var v = cells.select(col("i")).distinct()
       .select(col("i"),
         when(col("i") === 0, lit(1d)).otherwise(lit(0d)).as("v"))
+    var prev: DataFrame = null
     for (_ <- 1 to iters) {
-      val s = cells
+      // checkpoint the 64-row matvec: nrm and the next iterate BOTH
+      // read it, so an unbroken lineage doubles the logical plan per
+      // round — 2^iters analysis blowup on the driver (measured 80 s
+      // at iters=8; the same double-reference hazard the oracle's
+      // MATERIALIZED CTEs guard against). Stats reset per the
+      // iterative-loop discipline (SparkBridge.dropOriginStats).
+      val s = SparkBridge.dropOriginStats(cells
         .join(broadcast(v.select(col("i").as("j"), col("v"))), Seq("j"))
         .groupBy(col("i"))
         .agg(sum(col("c") * col("v")).cast("float").cast("double").as("s"))
+        .localCheckpoint())
+      if (prev != null) SparkBridge.unpersistCheckpoint(prev)
+      prev = s
       val nrm = s.agg(
         sqrt(sum(col("s") * col("s"))).cast("float").cast("double").as("nrm"))
       v = s.crossJoin(broadcast(nrm))
