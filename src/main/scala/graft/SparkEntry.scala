@@ -107,6 +107,7 @@ object SparkEntry {
     "emb_outliers" -> ((s, d) => Similarity.outliers(s, d)),
     "emb_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "emb_pca" -> ((s, d) => Similarity.pcaPower(s, d)),
+    "emb_drift" -> ((s, d) => Similarity.drift(s, d)),
     "emb_neardup" -> ((s, d) => Similarity.nearDup(s, d)),
     // contract verdicts: LSH subset/recall/precision vs the blocked
     // exact generator, whose pair count the oracle cross-checks brute
@@ -610,6 +611,8 @@ object SparkEntry {
     // power-iteration PCA: float-pinned mean/cells/matvec/norm/Rayleigh
     // make the whole 8-round trajectory hash-exact (kmeans discipline)
     "emb_pca" -> operators.Similarity.pcaPowerOracle(),
+    // per-dim Welch z between corpus halves: float-pinned moments
+    "emb_drift" -> operators.Similarity.driftOracle(),
     // first-touch attribution: integer epoch gap test, unique
     // (ts, event_id) order key, floor-pattern rate
     "q39_attribution" ->

@@ -872,6 +872,66 @@ object Similarity {
        FROM $last u, lam0 ORDER BY pos"""
   }
 
+  /** Embedding DRIFT monitor: per-dimension Welch z between a
+    * reference slice and a candidate slice of the corpus (here the
+    * deterministic even/odd vec_id halves — in production, yesterday's
+    * accepted batch vs today's) — the encoder-regression tripwire a
+    * feature pipeline runs before letting new embeddings into the
+    * index: a library upgrade or silent preprocessing change shifts
+    * per-dimension means far beyond sampling noise.
+    *
+    * Scale posture: ONE partial agg keyed (half, pos) computes count /
+    * mean / mean-of-squares for both slices in a single corpus pass;
+    * the 2 x dims result self-aligns via a dims-sized broadcast join.
+    * Nothing else touches the corpus.
+    *
+    * Determinism: mean and m2 are float-cast-pinned per (half, pos);
+    * variance (m2 - mu^2), the pooled standard error, and z are then
+    * single-expression double arithmetic restated identically in the
+    * oracle; |z| > cut has sampling-noise-scale margin. */
+  def drift(spark: SparkSession, dir: String, cut: Double = 3.0): DataFrame = {
+    val ex = emb(spark, dir).select((col("vec_id") % 2 === 0).as("ref"),
+      posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("ref"), col("pos"), col("v").cast("double").as("v"))
+    val st = ex.groupBy(col("ref"), col("pos"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        avg(col("v")).cast("float").cast("double").as("mu"),
+        avg(col("v") * col("v")).cast("float").cast("double").as("m2"))
+    val a = st.filter(col("ref"))
+      .select(col("pos"), col("n").as("na"), col("mu").as("mua"),
+        (col("m2") - col("mua") * col("mua")).as("vara"))
+    val b = st.filter(!col("ref"))
+      .select(col("pos"), col("n").as("nb"), col("mu").as("mub"),
+        (col("m2") - col("mub") * col("mub")).as("varb"))
+    val z = (col("mub") - col("mua")) /
+      sqrt(col("vara") / col("na") + col("varb") / col("nb"))
+    a.join(broadcast(b), Seq("pos"))
+      .select(col("pos"), round(col("mua"), 4).as("mu_ref"),
+        round(col("mub"), 4).as("mu_new"), round(z, 4).as("z"),
+        (abs(z) > cut).as("drifted"))
+      .orderBy(col("pos"))
+  }
+
+  /** DuckDB restatement of [[drift]]. */
+  def driftOracle(cut: Double = 3.0): String =
+    s"""WITH ex AS (SELECT vec_id % 2 = 0 AS ref, i - 1 AS pos,
+           embedding[i]::DOUBLE AS v
+         FROM embeddings, LATERAL (SELECT unnest(generate_series(
+           1, len(embedding))) AS i) t),
+       st AS (SELECT ref, pos, CAST(count(*) AS DOUBLE) AS n,
+           CAST(CAST(avg(v) AS REAL) AS DOUBLE) AS mu,
+           CAST(CAST(avg(v * v) AS REAL) AS DOUBLE) AS m2
+         FROM ex GROUP BY 1, 2),
+       a AS (SELECT pos, n AS na, mu AS mua, m2 - mu * mu AS vara
+         FROM st WHERE ref),
+       b AS (SELECT pos, n AS nb, mu AS mub, m2 - mu * mu AS varb
+         FROM st WHERE NOT ref)
+       SELECT a.pos, round(mua, 4) AS mu_ref, round(mub, 4) AS mu_new,
+         round((mub - mua) / sqrt(vara / na + varb / nb), 4) AS z,
+         abs((mub - mua) / sqrt(vara / na + varb / nb))
+           > CAST($cut AS DOUBLE) AS drifted
+       FROM a JOIN b ON a.pos = b.pos ORDER BY a.pos"""
+
   /** DuckDB restatement of [[outliers]]. */
   def outliersOracle(zThresh: Double = 2.0): String =
     s"""WITH ex AS (SELECT vec_id, i AS pos, embedding[i]::DOUBLE AS v

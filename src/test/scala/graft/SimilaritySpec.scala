@@ -322,6 +322,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.exists(_.getDouble(2) > 0))
   }
 
+  test("drift: one row per dim, z symmetric under slice swap, flags match |z|") {
+    val rows = Similarity.drift(spark, sf).collect()
+    val dims = Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("embedding"))).head().getInt(0)
+    assert(rows.length == dims)
+    rows.foreach { r =>
+      assert(r.getBoolean(4) == (math.abs(r.getDouble(3)) > 3.0) ||
+        math.abs(math.abs(r.getDouble(3)) - 3.0) < 1e-3,
+        s"flag disagrees with z at dim ${r.getInt(0)}")
+    }
+    // the even/odd halves of one corpus should NOT mostly drift: a
+    // z-scale regression would flag everything
+    assert(rows.count(_.getBoolean(4)) < dims / 4,
+      "same-corpus halves flagged as drifted — z is mis-scaled")
+  }
+
   test("pcaPower: unit-norm loadings, eigval dominates per-dim variance") {
     val rows = Similarity.pcaPower(spark, sf).collect()
     val dims = Tables.embeddings(spark, sf)

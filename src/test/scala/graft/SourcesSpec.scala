@@ -178,4 +178,33 @@ class SourcesSpec extends AnyFunSuite {
     val arr = out(0).getString(1)
     assert(arr.startsWith("[") && arr.contains("\"origin\":1") && arr.contains("\"origin\":2"))
   }
+
+  test("ORC round-trip preserves rows; scan prunes columns and pushes filters") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("orc-docs")
+    val docs = Tables.documents(spark, sf)
+    graft.sources.Orc.write(docs, dir)
+    // read back under the full declared schema: row-for-row identical
+    val full = graft.sources.Orc.read(spark, dir,
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType))))
+    assert(full.count() == docs.count())
+    assert(full.orderBy("doc_id").collect().map(_.getString(1)).toSeq ==
+      docs.orderBy("doc_id").collect().map(_.getString(1)).toSeq)
+    // a narrow contract reads only its columns, and the filter reaches
+    // the ORC scan (the pruning/pushdown posture must survive the format)
+    val narrow = graft.sources.Orc.read(spark, dir,
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("n_chars", LongType))))
+      .filter(col("n_chars") > 100)
+    val scan = narrow.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
+      s"ORC scan did not prune columns:\n$scan")
+    assert(scan.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,100)]"),
+      s"filter not pushed into the ORC scan:\n$scan")
+    assert(narrow.count() ==
+      docs.filter(col("n_chars") > 100).count())
+  }
 }
