@@ -54,6 +54,7 @@ object SparkEntry {
     "q37_concurrency" -> (Relational.q37Concurrency(_, _)),
     "q38_deciles" -> (Relational.q38Deciles _),
     "q39_attribution" -> (Relational.q39Attribution(_, _)),
+    "q40_nested_exists" -> (Relational.q40NestedExists(_, _)),
     // A'. warehouse shapes: runtime bloom filter, band lookup, SCD2
     "q30_bloom_semi" -> (Warehouse.q30BloomSemi _),
     "q31_range_lookup" -> (Warehouse.q31RangeLookup _),
@@ -87,6 +88,7 @@ object SparkEntry {
     "geo_areal_interp" -> ((s, d) => Accessibility.arealInterp(s, d)),
     "geo_hex_assign" -> ((s, d) => Accessibility.hexAssign(s, d)),
     "graph_kcore" -> ((s, d) => Graph.kcore(s, d)),
+    "graph_jaccard" -> ((s, d) => Graph.jaccardLinks(s, d)),
     // C. deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_exact_survivors" -> (Dedup.exactSurvivors _),
@@ -595,6 +597,25 @@ object SparkEntry {
     "graph_components" -> operators.Graph.componentsOracle,
     "graph_triangles" -> operators.Graph.trianglesOracle,
     "graph_kcore" -> operators.Graph.kcoreOracle(),
+    // Jaccard link prediction: rounded-score ordering + (a, b) tie-break
+    "graph_jaccard" -> operators.Graph.jaccardOracle(),
+    // TPC-H Q21 shape: the oracle keeps the correlated EXISTS form the
+    // engine decorrelates into per-order aggregates
+    "q40_nested_exists" ->
+      """WITH lo AS (SELECT l_orderkey, l_suppkey,
+           date_diff('day', CAST(o_orderdate AS DATE),
+             CAST(l_shipdate AS DATE)) > 60 AS late
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+         SELECT l_suppkey, count(*) AS numwait FROM (
+           SELECT DISTINCT l_orderkey, l_suppkey FROM lo l1
+           WHERE late
+             AND EXISTS (SELECT 1 FROM lo l2
+               WHERE l2.l_orderkey = l1.l_orderkey
+                 AND l2.l_suppkey <> l1.l_suppkey)
+             AND NOT EXISTS (SELECT 1 FROM lo l3
+               WHERE l3.l_orderkey = l1.l_orderkey
+                 AND l3.l_suppkey <> l1.l_suppkey AND l3.late))
+         GROUP BY 1 ORDER BY numwait DESC, l_suppkey LIMIT 10""",
     // greedy k-center trajectory, unrolled: each pick is the argmin of
     // the maintained nearest-center similarity with id tie-break, so
     // the whole selection order hash-checks

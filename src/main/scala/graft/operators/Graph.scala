@@ -529,4 +529,86 @@ object Graph {
        SELECT s_suppkey AS node, CAST(coalesce(pc.n, 0) AS BIGINT) AS n_tri
        FROM supplier LEFT JOIN pc ON pc.node = s_suppkey
        ORDER BY node"""
+
+  /** Jaccard-coefficient LINK PREDICTION over [[triEdges]]: score every
+    * NON-adjacent node pair that shares at least one neighbor by
+    * |N(a) ∩ N(b)| / |N(a) ∪ N(b)| and keep the top candidates — the
+    * classic "which edge appears next" heuristic (friend suggestion,
+    * co-occurrence completion, knowledge-graph densification).
+    *
+    * Scale posture: common-neighbor pairs expand map-side from each
+    * center's SORTED adjacency list (the q34 market-basket idiom — an
+    * i<j pair walk, never an adjacency self-join shuffle); per-center
+    * fan-out is deg^2, bounded on this graph's closed-form degrees —
+    * at production scale the same sqrt-degree orientation as
+    * [[triangles]] or a hub cap bounds it (documented, not needed
+    * here). Counts fold in one partial agg; existing edges leave via a
+    * LEFT_ANTI join; degrees attach through two SHUFFLE_HASH joins.
+    * Top-N is a k-sized ordered limit on the ROUNDED score with (a, b)
+    * tie-break, so the cut is deterministic both engines. */
+  def jaccardLinks(spark: SparkSession, dir: String,
+                   topN: Int = 20): DataFrame = {
+    val und = triEdges(spark, dir)
+    val adj = und.select(col("u").as("node"), col("w").as("nbr"))
+      .unionByName(und.select(col("w").as("node"), col("u").as("nbr")))
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val pairs = adj.groupBy(col("node"))
+      .agg(sort_array(collect_list(col("nbr"))).as("ns"))
+      .filter(size(col("ns")) >= 2)
+      .select(explode(flatten(transform(col("ns"), (x, i) =>
+        transform(slice(col("ns"), i + 2, size(col("ns"))), y =>
+          struct(x.as("a"), y.as("b")))))).as("pr"))
+      .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(und.select(col("u").as("a"), col("w").as("b")), Seq("a", "b"),
+        "left_anti")
+      .join(deg.select(col("node").as("a"), col("deg").as("da"))
+        .hint("SHUFFLE_HASH"), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db"))
+        .hint("SHUFFLE_HASH"), Seq("b"))
+      .select(col("a"), col("b"), col("common"),
+        (floor(col("common") / (col("da") + col("db") - col("common"))
+          * 10000.0 + 0.5) / 10000.0).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("a"), col("b"))
+      .limit(topN)
+  }
+
+  /** DuckDB restatement of [[jaccardLinks]] — the wedge enumeration as
+    * an adjacency self-join (same (a, b, center) triples the sorted
+    * pair walk emits). */
+  def jaccardOracle(topN: Int = 20): String =
+    s"""WITH v AS (SELECT max(s_suppkey) + 1 AS nv FROM supplier),
+       e0 AS (
+         SELECT s_suppkey AS src, s_suppkey + 1 AS dst FROM supplier, v
+         WHERE (s_suppkey + 1) % 64 <> 0 AND s_suppkey + 1 < nv
+         UNION
+         SELECT s_suppkey, s_suppkey + 2 FROM supplier, v
+         WHERE (s_suppkey + 2) % 64 <> 0 AND (s_suppkey + 2) % 64 <> 1
+           AND s_suppkey + 2 < nv
+         UNION
+         SELECT s_suppkey,
+           s_suppkey - s_suppkey % 64 + (s_suppkey * 7 + 3) % 64
+         FROM supplier, v
+         WHERE s_suppkey - s_suppkey % 64 + (s_suppkey * 7 + 3) % 64
+             <> s_suppkey
+           AND s_suppkey - s_suppkey % 64 + (s_suppkey * 7 + 3) % 64 < nv),
+       eu AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS w
+         FROM e0 WHERE src <> dst),
+       adj AS (SELECT u AS node, w AS nbr FROM eu
+         UNION ALL SELECT w, u FROM eu),
+       deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY 1),
+       p AS (SELECT a1.nbr AS a, a2.nbr AS b
+         FROM adj a1 JOIN adj a2
+           ON a1.node = a2.node AND a1.nbr < a2.nbr),
+       c AS (SELECT a, b, count(*) AS common FROM p GROUP BY 1, 2),
+       ne AS (SELECT c.a, c.b, c.common FROM c
+         WHERE NOT EXISTS (SELECT 1 FROM eu
+           WHERE eu.u = c.a AND eu.w = c.b))
+       SELECT ne.a, ne.b, CAST(common AS BIGINT) AS common,
+         floor(common / (da.deg + db.deg - common) * 10000.0 + 0.5)
+           / 10000.0 AS jaccard
+       FROM ne JOIN deg da ON ne.a = da.node
+         JOIN deg db ON ne.b = db.node
+       ORDER BY jaccard DESC, ne.a, ne.b LIMIT $topN"""
 }

@@ -666,4 +666,43 @@ object Relational {
           / 10000.0).as("conv_rate"))
       .orderBy(col("first_touch"))
   }
+
+  /** TPC-H Q21 shape — the doubly-nested EXISTS / NOT EXISTS: suppliers
+    * who were the SOLE late shipper in multi-supplier orders ("waiting
+    * suppliers"), counted by order. The correlated subqueries
+    * decorrelate to per-order aggregates: EXISTS(other supplier) ==
+    * distinct-supplier count > 1; NOT EXISTS(other LATE supplier) ==
+    * distinct-LATE-supplier count == 1 (the candidate being late makes
+    * it that one). Late = shipped more than 60 days after the order
+    * date.
+    *
+    * Scale posture: ONE lineitem-orders SHUFFLE_HASH join on the order
+    * key feeds both the per-order stats (one partial agg: two distinct
+    * counters) and the candidate pairs — the nested-subquery form
+    * would rescan lineitem per predicate; candidates meet stats
+    * co-partitioned on the order key; the supplier rollup and top-N
+    * are k-sized. Date arithmetic is integer-day, tie-broken top-N. */
+  def q40NestedExists(spark: SparkSession, dir: String,
+                      lateDays: Int = 60, topN: Int = 10): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_orderdate"))
+          .hint("SHUFFLE_HASH"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (datediff(col("l_shipdate").cast("date"),
+          col("o_orderdate").cast("date")) > lateDays).as("late"))
+    val stats = li.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("ns"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("nls"))
+    val cand = li.filter(col("late"))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    cand.join(stats.hint("SHUFFLE_HASH"), Seq("l_orderkey"))
+      .filter(col("ns") > 1 && col("nls") === 1)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("l_suppkey"))
+      .limit(topN)
+  }
 }

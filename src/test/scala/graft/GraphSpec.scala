@@ -102,4 +102,24 @@ class GraphSpec extends AnyFunSuite {
     // every supplier node is verdicted, members or not
     assert(rows.length == Tables.supplier(spark, sf).count())
   }
+
+  test("jaccardLinks equals an in-memory common-neighbor scoring") {
+    val edges = Graph.triEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edgeSet = edges.toSet
+    val adj = edges.flatMap { case (u, w) => Seq(u -> w, w -> u) }
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val brute = adj.keys.toSeq.sorted.combinations(2).collect {
+      case Seq(a, b)
+        if !edgeSet.contains((a, b)) && (adj(a) & adj(b)).nonEmpty =>
+        val c = (adj(a) & adj(b)).size
+        val j = math.floor(
+          c.toDouble / (adj(a).size + adj(b).size - c) * 10000 + 0.5) / 10000
+        (a, b, c.toLong, j)
+    }.toSeq.sortBy { case (a, b, _, j) => (-j, a, b) }.take(20)
+    val rows = Graph.jaccardLinks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(rows == brute, s"top-20 mismatch:\n$rows\nvs\n$brute")
+  }
 }

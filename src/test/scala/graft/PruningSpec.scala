@@ -52,7 +52,8 @@ class PruningSpec extends AnyFunSuite {
       "geo_nearest_poi", "geo_area_assign", "geo_route_nearest",
       "emb_cluster_assign", "emb_kmeans", "q31_range_lookup",
       "geo_eta_matrix", "text_tfidf", "text_xentropy", "emb_neardup_lsh",
-      "graph_triangles", "sketch_heavy_hitters", "q35_gap_fill",
+      "graph_triangles", "graph_jaccard", "sketch_heavy_hitters",
+      "q35_gap_fill",
       // geo_isochrone: band spine (sources x 6-row bin dim) and the
       // one-row total-nodes scalar are intentional broadcast crosses
       // sketch_countmin: the one-row total-events scalar for the

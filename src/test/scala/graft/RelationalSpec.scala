@@ -218,4 +218,30 @@ class RelationalSpec extends AnyFunSuite {
     // cross-check just the magnitude against a per-user recount lower bound
     assert(rows.map(_._2).sum >= direct)
   }
+
+  test("q40 nested exists: decorrelated form equals an in-memory correlated eval") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.datediff
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        datediff(col("l_shipdate").cast("date"),
+          col("o_orderdate").cast("date")).as("days"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2) > 60))
+    val byOrder = li.groupBy(_._1)
+    val waiters = li.filter(_._3).map(t => (t._1, t._2)).distinct
+      .filter { case (o, s) =>
+        val rows = byOrder(o)
+        rows.exists(_._2 != s) && !rows.exists(r => r._2 != s && r._3)
+      }
+    val brute = waiters.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expect = brute.toSeq.sortBy { case (s, n) => (-n, s) }.take(10)
+    val got = operators.Relational.q40NestedExists(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect, s"$got vs $expect")
+  }
 }
