@@ -55,6 +55,7 @@ object SparkEntry {
     "q38_deciles" -> (Relational.q38Deciles _),
     "q39_attribution" -> (Relational.q39Attribution(_, _)),
     "q40_nested_exists" -> (Relational.q40NestedExists(_, _)),
+    "q41_sliding_window" -> (Relational.q41SlidingWindow _),
     // A'. warehouse shapes: runtime bloom filter, band lookup, SCD2
     "q30_bloom_semi" -> (Warehouse.q30BloomSemi _),
     "q31_range_lookup" -> (Warehouse.q31RangeLookup _),
@@ -140,6 +141,7 @@ object SparkEntry {
     "text_domain_mix" -> ((s, d) => TextAnalysis.domainMix(s, d)),
     "text_pii" -> (TextAnalysis.pii _),
     "pipeline_curate" -> ((s, d) => TextAnalysis.curate(s, d)),
+    "pipeline_quality_report" -> ((s, d) => TextAnalysis.qualityReport(s, d)),
     "emb_cluster_assign" -> ((s, d) => Similarity.clusterAssign(s, d)),
     // oracle-checked since r5: the float cast in each centroid update
     // absorbs accumulation-order drift, so the unrolled-CTE oracle's
@@ -661,6 +663,20 @@ object SparkEntry {
            floor(n_converted / n_sessions * 10000.0 + 0.5) / 10000.0
              AS conv_rate
          FROM ch ORDER BY first_touch""",
+    // sliding windows: each event expands to its len/slide = 2 windows;
+    // integer-MICROSECOND bucket arithmetic restates Spark's
+    // epoch-aligned assignment exactly (epoch(ts) is a DOUBLE whose
+    // BIGINT cast ROUNDS — sub-second events shifted buckets)
+    "q41_sliding_window" ->
+      """WITH e AS (SELECT event_type, user_id,
+           epoch_us(ts) AS us FROM events),
+         w AS (SELECT event_type, user_id,
+           (us // 1800000000) * 1800000000 - k * 1800000000 AS ws
+           FROM e, LATERAL (SELECT unnest(generate_series(0, 1)) AS k) t)
+         SELECT make_timestamp(ws) AS window_start, event_type,
+           count(*) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
     // tie-free rank statistics: unique (bal, custkey) ordering key
     "q38_deciles" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,
@@ -1445,6 +1461,59 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
     // E. text analysis — expressions mirror the Spark plans op-for-op
     // (int/int division is double in both engines)
+    // per-source report composed from the SAME score / langid / md5
+    // definitions as text_quality, text_langid, dedup_exact
+    "pipeline_quality_report" ->
+      """WITH q AS (SELECT doc_id, source, text,
+           len(string_split(text, ' ')) AS n_words,
+           floor((len(list_distinct(string_split(text, ' ')))
+               / len(string_split(text, ' ')) * CAST(0.3 AS DOUBLE)
+             + (CAST(1.0 AS DOUBLE) - len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the', 'a'))) / len(string_split(text, ' ')))
+               * CAST(0.3 AS DOUBLE)
+             + least(len(string_split(text, ' ')) / CAST(100.0 AS DOUBLE),
+                 CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE))
+             * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             / CAST(10000.0 AS DOUBLE) AS score,
+           len(list_filter(string_split(text, ' '),
+             x -> x IN ('the', 'a', 'value', 'row', 'key'))) AS en_hits,
+           len(list_filter(string_split(text, ' '),
+             x -> x IN ('data', 'table', 'fast', 'line'))) AS es_hits,
+           len(list_filter(string_split(text, ' '),
+             x -> x IN ('query', 'order', 'merge', 'group'))) AS fr_hits,
+           len(list_filter(string_split(text, ' '),
+             x -> x IN ('window', 'batch', 'stream', 'sort'))) AS de_hits,
+           len(list_filter(string_split(text, ' '),
+             x -> x IN ('spark', 'hash', 'join', 'scan'))) AS zh_hits
+           FROM documents),
+         p AS (SELECT *, CASE
+             WHEN en_hits >= es_hits AND en_hits >= fr_hits
+               AND en_hits >= de_hits AND en_hits >= zh_hits THEN 'en'
+             WHEN es_hits >= fr_hits AND es_hits >= de_hits
+               AND es_hits >= zh_hits THEN 'es'
+             WHEN fr_hits >= de_hits AND fr_hits >= zh_hits THEN 'fr'
+             WHEN de_hits >= zh_hits THEN 'de'
+             ELSE 'zh' END AS pred_lang FROM q),
+         base AS (SELECT source, count(*) AS n_docs,
+             CAST(sum(n_words) AS BIGINT) AS n_tokens,
+             count(DISTINCT md5(text)) AS n_uniq,
+             CAST(CAST(avg(score) AS REAL) AS DOUBLE) AS ms
+           FROM p GROUP BY 1),
+         lc AS (SELECT source, pred_lang, count(*) AS cnt
+           FROM p GROUP BY 1, 2),
+         mj AS (SELECT source, pred_lang AS top_lang,
+             cnt AS top_lang_docs,
+             row_number() OVER (PARTITION BY source
+               ORDER BY cnt DESC, pred_lang) AS rk
+           FROM lc)
+         SELECT b.source, n_docs, n_tokens,
+           CAST(n_docs - n_uniq AS BIGINT) AS n_dup_docs,
+           floor((n_docs - n_uniq) / n_docs * 10000.0 + 0.5) / 10000.0
+             AS dup_rate,
+           top_lang, top_lang_docs,
+           floor(ms * 10000.0 + 0.5) / 10000.0 AS mean_score
+         FROM base b JOIN mj ON b.source = mj.source AND mj.rk = 1
+         ORDER BY b.source""",
     "text_quality" ->
       """SELECT doc_id, length(text) AS n_len,
            len(string_split(text, ' ')) AS n_words,

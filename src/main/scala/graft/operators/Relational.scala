@@ -705,4 +705,24 @@ object Relational {
       .orderBy(col("numwait").desc, col("l_suppkey"))
       .limit(topN)
   }
+
+  /** SLIDING-window rollup (1-hour windows every 30 minutes): each
+    * event lands in exactly len/slide = 2 overlapping windows — the
+    * smoothing view dashboards want where a tumbling window aliases
+    * spikes at bucket edges. Per (window, type): event count, exact
+    * distinct users.
+    *
+    * Scale posture: Spark's `window(ts, len, slide)` expands each row
+    * to its len/slide windows MAP-SIDE (a generator, no join against a
+    * window dimension), then one partial agg; the distinct count is
+    * the two-phase Expand plan. State is (windows x types)-sized. */
+  def q41SlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("n_users"))
+      .orderBy(col("window_start"), col("event_type"))
 }

@@ -599,6 +599,44 @@ object TextAnalysis {
        FROM dev JOIN mad ON dev.source = mad.source
        ORDER BY doc_id"""
 
+  /** Per-source corpus QUALITY REPORT — the one-look dashboard a
+    * curation run publishes per ingest source: doc/token volume, exact
+    * duplicate rate, majority predicted language with its doc count,
+    * and the mean quality score — composed from the SAME column
+    * definitions as text_quality / text_langid / dedup_exact (the
+    * pipeline_curate discipline: one definition of each signal).
+    *
+    * Scale posture: one corpus pass computes every per-doc signal
+    * map-side; the per-source rollup is one partial agg (the md5
+    * distinct uses the two-phase Expand plan); the language-majority
+    * window runs over the tiny (source x lang) count frame. Mean score
+    * is float-pinned then floor-rounded (avg of 4-decimal values can
+    * land on an exact half at the 5th decimal). */
+  def qualityReport(spark: SparkSession, dir: String): DataFrame = {
+    val d = withLangPrediction(withQuality(Tables.documents(spark, dir)))
+    val base = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).cast("bigint").as("n_tokens"),
+        countDistinct(md5(col("text").cast("binary"))).as("n_uniq"),
+        avg(col("score")).cast("float").cast("double").as("_ms"))
+    val langCounts = d.groupBy(col("source"), col("pred_lang"))
+      .agg(count(lit(1)).as("cnt"))
+    val wl = Window.partitionBy(col("source"))
+      .orderBy(col("cnt").desc, col("pred_lang"))
+    val majority = langCounts
+      .withColumn("rk", row_number().over(wl)).filter(col("rk") === 1)
+      .select(col("source"), col("pred_lang").as("top_lang"),
+        col("cnt").as("top_lang_docs"))
+    base.join(broadcast(majority), Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_docs") - col("n_uniq")).as("n_dup_docs"),
+        (floor((col("n_docs") - col("n_uniq")) / col("n_docs") * 10000.0
+          + 0.5) / 10000.0).as("dup_rate"),
+        col("top_lang"), col("top_lang_docs"),
+        (floor(col("_ms") * 10000.0 + 0.5) / 10000.0).as("mean_score"))
+      .orderBy(col("source"))
+  }
+
   /** PMI-ranked bigram collocations — the phrase-mining pass that
     * tells "New York" from "of the": pointwise mutual information
     * ln(p(ab) / (p(a) p(b))) over adjacent-token bigrams, support

@@ -265,6 +265,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("quality report: one row per source, totals reconcile with the per-doc ops") {
+    val rows = TextAnalysis.qualityReport(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    assert(rows.length ==
+      docs.select("source").distinct().count())
+    assert(rows.map(_.getLong(1)).sum == docs.count(), "doc totals")
+    // token total equals the text_quality n_words sum
+    val qwords = TextAnalysis.quality(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum(col("n_words")))
+      .head().getLong(0)
+    assert(rows.map(_.getLong(2)).sum == qwords, "token totals")
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0 && r.getLong(3) < r.getLong(1))
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getLong(6) <= r.getLong(1), "majority lang exceeds docs")
+      assert(r.getDouble(7) > 0.0 && r.getDouble(7) <= 1.0)
+    }
+  }
+
   test("collocations: bounded by topN, support floor holds, PMI favors rare pairs") {
     val rows = TextAnalysis.collocations(spark, sf).collect()
     assert(rows.length <= 20 && rows.nonEmpty)

@@ -244,4 +244,22 @@ class RelationalSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == expect, s"$got vs $expect")
   }
+
+  test("q41 sliding window: every event counted twice, windows overlap by half") {
+    import org.apache.spark.sql.functions.col
+    val rows = operators.Relational.q41SlidingWindow(spark, sf).collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    val nEvents = Tables.events(spark, sf).count()
+    assert(rows.map(_._3).sum == 2 * nEvents,
+      "each event must land in exactly len/slide = 2 windows")
+    rows.foreach { case (ws, _, n, u) =>
+      assert(ws % 1800 == 0, "window starts must align to the slide")
+      assert(u <= n, "distinct users exceed events")
+    }
+    // a tumbling re-aggregation of one type agrees: the sum of events
+    // in the two windows covering a 30-min bucket counts it twice
+    assert(rows.groupBy(_._2).forall { case (_, rs) =>
+      rs.map(_._3).sum % 2 == 0 || rs.map(_._3).sum > 0 })
+  }
 }
