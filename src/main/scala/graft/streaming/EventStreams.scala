@@ -291,6 +291,24 @@ object EventStreams {
   def cmWindowStream(events: DataFrame): DataFrame =
     cmWindow(events.withWatermark("ts", Watermark))
 
+  /** SLIDING-window rollup (1 h windows every 30 min) per event type —
+    * the streaming twin of the batch q41 query: `window(ts, len,
+    * slide)` expands each event to its len/slide windows map-side, so
+    * streaming state holds (windows x types) aggregate rows, never
+    * events. Distinct users via HLL (exact distinct is not a streaming
+    * aggregate; the sketch is deterministic, so batch == stream is
+    * exact row equality, spec-pinned). */
+  def slidingWindow(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id"), 0.02).as("n_users_est"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("n_users_est"))
+
+  def slidingWindowStream(events: DataFrame): DataFrame =
+    slidingWindow(events.withWatermark("ts", Watermark))
+
   /** Oracle-checked contract of [[cmWindow]], batch-side (streaming
     * supports one aggregation per query; the probe pass is a second):
     * per window, every user's min-cell estimate must dominate their

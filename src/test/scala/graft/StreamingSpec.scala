@@ -114,6 +114,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(perWin.forall(_ <= EventStreams.CmDepth * EventStreams.CmWidth))
   }
 
+  test("sliding window: events land in two windows, streaming equals batch") {
+    import spark.implicits._
+    val evs = (0 until 300).map(i =>
+      Ev(100 + i, t(i), i % 25, if (i % 3 == 0) "click" else "view",
+        (i % 17).toDouble))
+    val batch = EventStreams.slidingWindow(evs.toDF())
+      .orderBy("window_start", "event_type").collect().map(_.toSeq).toSeq
+    // each event is counted in exactly len/slide = 2 windows
+    assert(batch.map(_(2).asInstanceOf[Long]).sum == 2L * evs.length)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(evs.take(150): _*)
+    val q = EventStreams.slidingWindowStream(mem.toDF())
+      .writeStream.format("memory").queryName("out_slide")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    mem.addData(evs.drop(150): _*)
+    q.processAllAvailable(); q.stop()
+    val stream = spark.table("out_slide").collect().map(_.toSeq)
+      .sortBy(r => (r(0).asInstanceOf[Timestamp].getTime,
+        r(1).asInstanceOf[String])).toSeq
+    assert(batch == stream && batch.nonEmpty)
+  }
+
   test("streaming dedup keeps one row per user/type/hour") {
     import spark.implicits._
     val stream = runStream(EventStreams.dedupStream, "append")
