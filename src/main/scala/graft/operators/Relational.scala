@@ -696,7 +696,11 @@ object Relational {
     * are k-sized. Date arithmetic is integer-day, tie-broken top-N. */
   def q40NestedExists(spark: SparkSession, dir: String,
                       lateDays: Int = 60, topN: Int = 10): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
+    import org.apache.spark.sql.graftbridge.SparkBridge
+    // the narrow (orderkey, suppkey, late) join result feeds BOTH the
+    // per-order stats and the candidate cut — checkpoint the 3-column
+    // frame once instead of running the lineitem x orders join twice
+    val li = SparkBridge.dropOriginStats(Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
       .join(Tables.orders(spark, dir)
           .select(col("o_orderkey"), col("o_orderdate"))
@@ -705,6 +709,7 @@ object Relational {
       .select(col("l_orderkey"), col("l_suppkey"),
         (datediff(col("l_shipdate").cast("date"),
           col("o_orderdate").cast("date")) > lateDays).as("late"))
+      .localCheckpoint())
     val stats = li.groupBy(col("l_orderkey"))
       .agg(countDistinct(col("l_suppkey")).as("ns"),
         countDistinct(when(col("late"), col("l_suppkey"))).as("nls"))
