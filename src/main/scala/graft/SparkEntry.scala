@@ -53,6 +53,7 @@ object SparkEntry {
     "q35_gap_fill" -> (Relational.q35GapFill _),
     "q37_concurrency" -> (Relational.q37Concurrency(_, _)),
     "q38_deciles" -> (Relational.q38Deciles _),
+    "q38_deciles_2l" -> ((s, d) => Relational.q38DecilesTwoLevel(s, d)),
     "q39_attribution" -> (Relational.q39Attribution(_, _)),
     "q40_nested_exists" -> (Relational.q40NestedExists(_, _)),
     "q41_sliding_window" -> (Relational.q41SlidingWindow _),
@@ -83,6 +84,7 @@ object SparkEntry {
     "geo_tile_features" -> ((s, d) => graft.sources.VectorTiles.tileFeaturesQuery(s, d)),
     "geo_tile_pyramid" -> ((s, d) => graft.sources.VectorTiles.tilePyramidQuery(s, d)),
     "geo_route_eta" -> ((s, d) => Routing.routeEta(s, d)),
+    "geo_osm_route_eta" -> ((s, d) => Routing.osmRouteEta(s, d)),
     "geo_route_nearest" -> ((s, d) => Routing.routeNearestPoi(s, d)),
     "geo_route_door" -> ((s, d) => Routing.routeDoorToDoor(s, d)),
     "geo_isochrone" -> ((s, d) => Routing.isochroneCoverage(s, d)),
@@ -640,7 +642,7 @@ object SparkEntry {
     // (ts, event_id) order key, floor-pattern rate
     "q39_attribution" ->
       """WITH ev AS (SELECT user_id, event_id, event_type, ts,
-           CAST(epoch(ts) AS BIGINT) AS sec FROM events),
+           CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
          s AS (SELECT user_id, event_id, event_type, ts,
            CASE WHEN sec - lag(sec) OVER w > 1800
              OR lag(sec) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
@@ -679,6 +681,17 @@ object SparkEntry {
          FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
     // tie-free rank statistics: unique (bal, custkey) ordering key
     "q38_deciles" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+           CAST(ntile(10) OVER w AS INTEGER) AS decile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment
+           ORDER BY c_acctbal, c_custkey)
+         ORDER BY c_custkey""",
+    // the two-level (block-local rank + broadcast offsets) swap-in must
+    // reproduce the one-window declarative answer EXACTLY — same oracle
+    "q38_deciles_2l" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,
            CAST(ntile(10) OVER w AS INTEGER) AS decile,
            round(percent_rank() OVER w, 6) AS pct_rank,
@@ -895,6 +908,43 @@ object SparkEntry {
       """
          SELECT src, node, round(min(d), 4) AS eta_s
          FROM reach GROUP BY src, node ORDER BY src, node"""),
+    // same graph parsed from the OSM XML fixture: ring = one primary
+    // (65 km/h) way, ×7+3 chords secondary (55), ×13+5 chords
+    // residential+maxspeed=40 (override wins) — parallel edges collapse
+    // to the fastest. Speeds CAST to DOUBLE so DECIMAL math can't creep
+    // into the weight arithmetic
+    "geo_osm_route_eta" ->
+      """WITH RECURSIVE
+         v AS (SELECT max(s_suppkey) + 1 AS nv FROM supplier),
+         nodes AS (SELECT s_suppkey AS id,
+           (s_suppkey * 37 % 1700) / 10.0 - 85.0 AS lat,
+           (s_suppkey * 91 % 3600) / 10.0 - 180.0 AS lon FROM supplier),
+         raw AS (
+           SELECT src, dst, speed FROM (
+             SELECT s_suppkey AS src, (s_suppkey + 1) % nv AS dst,
+               CAST(65.0 AS DOUBLE) AS speed FROM supplier, v
+             UNION ALL
+             SELECT s_suppkey, (s_suppkey * 7 + 3) % nv,
+               CAST(55.0 AS DOUBLE) FROM supplier, v
+             UNION ALL
+             SELECT s_suppkey, (s_suppkey * 13 + 5) % nv,
+               CAST(40.0 AS DOUBLE) FROM supplier, v) u
+           WHERE src <> dst),
+         e0 AS (SELECT src, dst,
+             sqrt((a.lat - b.lat) * (a.lat - b.lat)
+                + (a.lon - b.lon) * (a.lon - b.lon))
+               * 111.0 / speed * 3600.0 AS w
+           FROM raw JOIN nodes a ON a.id = src JOIN nodes b ON b.id = dst),
+         edges AS (SELECT src, dst, min(w) AS w FROM e0 GROUP BY src, dst),
+         reach AS (
+           SELECT s_suppkey AS src, s_suppkey AS node,
+             CAST(0.0 AS DOUBLE) AS d, 0 AS hops
+           FROM supplier WHERE s_suppkey % 41 = 1
+           UNION ALL
+           SELECT r.src, e.dst, r.d + e.w, r.hops + 1
+           FROM reach r JOIN edges e ON e.src = r.node WHERE r.hops < 6)
+         SELECT src, node, round(min(d), 4) AS eta_s
+         FROM reach GROUP BY src, node ORDER BY src, node""",
     // isochrone coverage: matrix -> (src, band) counts -> dense spine
     // cumsum -> share of all nodes. Literals CAST to DOUBLE so DuckDB
     // cannot slip into DECIMAL math on the band arithmetic
@@ -1850,9 +1900,15 @@ object SparkEntry {
     // count-min contract: n_true is the exact per-key count; the
     // one-sided error and Markov-bound verdicts are closed-form TRUE —
     // a hash regression that piles keys into one bucket flips eps_ok
+    // cell_mass restates an exact invariant of the sketch TABLE itself
+    // (every event fills exactly depth=4 cells, so sum over all cell
+    // counters == 4 * n_events) — a degenerate "sketch" echoing the
+    // exact truth would pass the verdicts but has no table whose mass
+    // matches
     "sketch_countmin" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_true,
-           TRUE AS ge_ok, TRUE AS eps_ok
+           TRUE AS ge_ok, TRUE AS eps_ok,
+           CAST(4 * (SELECT count(*) FROM events) AS BIGINT) AS cell_mass
          FROM events GROUP BY user_id ORDER BY user_id""",
     "stream_sketch_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
@@ -1878,11 +1934,15 @@ object SparkEntry {
     // windowed count-min contract: exact per-window truth plus the
     // closed-form one-sided-error and Markov-bound verdicts (see
     // sketch_countmin — this is its streaming-state sibling)
+    // cell_mass: per-window sketch-table invariant, sum of the window's
+    // cell counters == CmDepth(4) * window events exactly (see
+    // sketch_countmin)
     "stream_cm_window" ->
       """SELECT date_trunc('hour', ts) AS window_start,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys,
            CAST(count(*) AS BIGINT) AS n_events,
-           TRUE AS ge_ok, TRUE AS eps_ok
+           TRUE AS ge_ok, TRUE AS eps_ok,
+           CAST(4 * count(*) AS BIGINT) AS cell_mass
          FROM events GROUP BY 1 ORDER BY 1""",
     "stream_sessionize" ->
       """WITH x AS (SELECT user_id, ts, event_id, value,

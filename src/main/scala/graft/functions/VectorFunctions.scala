@@ -62,6 +62,28 @@ object VectorMath {
     dot
   }
 
+  def dotD(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toDoubleArray(); val y = b.toDoubleArray()
+    val n = math.min(x.length, y.length)
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += x(i) * y(i); i += 1 }
+    dot
+  }
+
+  def normF(a: ArrayData): Double = {
+    val x = a.toFloatArray()
+    var s = 0.0; var i = 0
+    while (i < x.length) { val xi = x(i).toDouble; s += xi * xi; i += 1 }
+    math.sqrt(s)
+  }
+
+  def normD(a: ArrayData): Double = {
+    val x = a.toDoubleArray()
+    var s = 0.0; var i = 0
+    while (i < x.length) { s += x(i) * x(i); i += 1 }
+    math.sqrt(s)
+  }
+
   /** nBits-bit random-hyperplane signature of a float vector: bit j is
     * the sign of the dot product with a pseudo-random ±1 hyperplane whose
     * entries come from the shared mix64 hash of (dim, bit) — every
@@ -160,6 +182,69 @@ case class L2Distance(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `dot_product(a, b)` -> double: the dot component of [[CosineSimilarity]]
+  * alone — the per-pair kernel of an all-pairs scan whose norms were
+  * hoisted out with [[VecNorm]]. `dot_product(a,b) / (vec_norm(a) *
+  * vec_norm(b))` is BIT-identical to `cosine_sim(a,b)` (same in-order
+  * double accumulation, same final sqrt-product division) whenever both
+  * vectors share the corpus dimensionality, at ~1/3 the per-pair
+  * arithmetic: an n²/2 scan evaluates norms n times instead of n²/2. */
+case class DotProduct(left: Expression, right: Expression)
+  extends BinaryExpression {
+  private def isFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private def kernel: String = if (isFloat) "dotF" else "dotD"
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dot_product"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (lt, rt) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires both arguments to be array<float> or both " +
+          s"array<double>, got ${lt.simpleString} and ${rt.simpleString}")
+    }
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    if (isFloat) VectorMath.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else VectorMath.dotD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorMath.$kernel($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `vec_norm(v)` -> double: L2 norm, sqrt of the in-order double sum of
+  * squares — exactly the na/nb factor [[CosineSimilarity]] computes per
+  * pair, hoisted to once per row (see [[DotProduct]]). */
+case class VecNorm(child: Expression) extends UnaryExpression {
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private def kernel: String = if (isFloat) "normF" else "normD"
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_norm"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double>, got ${t.simpleString}")
+  }
+  protected override def nullSafeEval(input: Any): Any =
+    if (isFloat) VectorMath.normF(input.asInstanceOf[ArrayData])
+    else VectorMath.normD(input.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorMath.$kernel($a)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `vec_simhash(v, nBits)` -> long: random-hyperplane LSH signature of an
   * array<float> embedding (see [[VectorMath.simhashVec]]). */
 case class VecSimHash(child: Expression, nBits: Int) extends UnaryExpression {
@@ -187,6 +272,13 @@ object VectorFunctions {
 
   def vec_simhash(v: Column, nBits: Int): Column =
     SparkBridge.column(VecSimHash(SparkBridge.expression(v), nBits))
+
+  def dot_product(a: Column, b: Column): Column =
+    SparkBridge.column(DotProduct(
+      SparkBridge.expression(a), SparkBridge.expression(b)))
+
+  def vec_norm(v: Column): Column =
+    SparkBridge.column(VecNorm(SparkBridge.expression(v)))
 
   def l2_dist(a: Column, b: Column): Column =
     SparkBridge.column(L2Distance(

@@ -633,6 +633,64 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** [[q38Deciles]] as the TWO-LEVEL rank — the 100 TB swap-in the
+    * declarative form documents. One whole-segment window sort puts a
+    * giant segment on one straggler partition; here the rank splits
+    * exactly like q37's prefix sum:
+    *
+    *  1. value-band blocks on the ordering key (fixed-width acctbal
+    *     bands — monotone in the key, so block order == key order; a
+    *     production deployment picks band edges from a quantile sketch
+    *     instead of a fixed width, same plan shape),
+    *  2. block-LOCAL row_number over (segment, band) partitions —
+    *     bounded by the band's row count, not the segment's,
+    *  3. per-band counts → exclusive prefix over the band spine (a
+    *     window over ~20 rows per segment) → broadcast offsets,
+    *  4. global rank = offset + local rank; every rank statistic is
+    *     then CLOSED-FORM in (rank, n) because the ordering key is
+    *     unique: percent_rank = (rank-1)/(n-1), cume_dist = rank/n,
+    *     and ntile(10)'s first n%10 buckets hold ceil(n/10) rows.
+    *
+    * Result-equality to the declarative form is spec-pinned (identical
+    * doubles: same divisions, same Spark round). */
+  def q38DecilesTwoLevel(spark: SparkSession, dir: String,
+                         bandWidth: Double = 500.0): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        floor(col("c_acctbal") / bandWidth).as("band"))
+    val wLoc = Window.partitionBy(col("c_mktsegment"), col("band"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    val local = cust.withColumn("lr", row_number().over(wLoc))
+    // band spine: counts per (segment, band) → exclusive prefix; ~20
+    // bands per segment, so this frame is calendar-sized and broadcasts
+    val wOff = Window.partitionBy(col("c_mktsegment")).orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = cust.groupBy(col("c_mktsegment"), col("band"))
+      .agg(count(lit(1)).as("bc"))
+      .withColumn("off", coalesce(sum(col("bc")).over(wOff), lit(0L)))
+      .withColumn("n", sum(col("bc"))
+        .over(Window.partitionBy(col("c_mktsegment"))))
+      .select(col("c_mktsegment"), col("band"), col("off"), col("n"))
+    val ranked = local.join(broadcast(offs), Seq("c_mktsegment", "band"))
+      .withColumn("rk", col("off") + col("lr"))
+    // ntile(10): sizes ceil(n/10) for the first n%10 buckets, floor
+    // after — the SQL-standard allocation Spark and DuckDB both use
+    val q = (col("n") / 10L).cast("long") // integer floor: n, 10 longs
+    val rem = col("n") % 10L
+    val cut = rem * (q + 1L)
+    val decile = when(col("rk") <= cut, ceil(col("rk") / (q + 1L)))
+      .otherwise(rem + ceil((col("rk") - cut) / q))
+      .cast("int")
+    ranked.select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        decile.as("decile"),
+        round(when(col("n") === 1L, 0.0)
+          .otherwise((col("rk") - 1L).cast("double")
+            / (col("n") - 1L).cast("double")), 6).as("pct_rank"),
+        round(col("rk").cast("double") / col("n").cast("double"), 6)
+          .as("cume"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** First-touch session attribution: sessionize each user's event
     * stream by 30-minute inactivity gaps (the batch twin of
     * stream_sessionize), credit every purchase in a session to the

@@ -63,9 +63,30 @@ object Routing {
     * `hops` edges — the OSRM `table` matrix the reference row-mins
     * (tasks.js:279). Output: (src, node, eta_s), src==node at 0. */
   def routeEta(spark: SparkSession, dir: String,
-               hops: Int = DefaultHops): DataFrame = {
+               hops: Int = DefaultHops): DataFrame =
+    routeEtaOver(spark, dir, roadEdges(spark, dir), hops)
+
+  /** [[routeEta]] with the road graph parsed from an OSM XML extract —
+    * the reference's true input path (road-network.osm → osm2osrm →
+    * osrm.table; index.js:53-60). The fixture extract encodes the same
+    * formulaic graph with per-highway-class speeds, so the full chain
+    * XML parse → segment explosion → coord joins → class/maxspeed
+    * speeds → Bellman-Ford is pinned by one recursive-CTE oracle. */
+  def osmRouteEta(spark: SparkSession, dir: String,
+                  hops: Int = DefaultHops): DataFrame = {
+    val path = graft.sources.OsmFixture.writeRoadFixture(spark, dir)
+    val edges = graft.sources.OsmXml.roadEdges(spark, path)
+      .select(col("src"), col("dst"), col("w"))
+    routeEtaOver(spark, dir, edges, hops)
+  }
+
+  /** Shared relaxation loop: bounded-hop Bellman-Ford of `edgeFrame`
+    * ((src, dst, w) directed, weights in seconds) from the supplier-key
+    * source set. */
+  private def routeEtaOver(spark: SparkSession, dir: String,
+                           edgeFrame: DataFrame, hops: Int): DataFrame = {
     require(hops >= 1)
-    val edges = roadEdges(spark, dir)
+    val edges = edgeFrame
       .withColumnRenamed("src", "esrc")
       .localCheckpoint()
     var dist = Tables.supplier(spark, dir)

@@ -1,11 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TopK.top_k_by_score
-import graft.functions.VectorFunctions.cosine_sim
+import graft.functions.VectorFunctions.{cosine_sim, dot_product, vec_norm}
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
@@ -20,9 +20,29 @@ import graft.functions.VectorFunctions.cosine_sim
 object Similarity {
   val K = 5
   val NQueries = 10
+  /** ADC map-key packing base for [[ivfPqTopK]]: key = m * base + seed
+    * id. Must exceed every codeword seed id or keys collide ACROSS
+    * subspaces and element_at silently returns a wrong d² — 2^40 holds
+    * to a ~10^12-id corpus (the codebook build also assert_true-guards
+    * it, codebook-sized cost). */
+  val LutKeyBase: Long = 1L << 40
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
+
+  /** Cosine from per-row HOISTED norms — the all-pairs kernel. An n²/2
+    * scan that calls cosine_sim evaluates both operand norms inside every
+    * pair, so 2/3 of its arithmetic is redundant; computing vec_norm once
+    * per row and scoring pairs with dot_product alone cuts the per-pair
+    * FLOPs to the dot. `dot / (na * nb)` with na = vec_norm(a) is
+    * BIT-identical to cosine_sim(a, b) (same in-order accumulation, same
+    * sqrt-product division — see [[graft.functions.DotProduct]]), so
+    * every oracle hash is unchanged. Zero-norm operands score 0.0, the
+    * cosine_sim convention. */
+  private def cosFromNorms(ea: Column, eb: Column,
+                           na: Column, nb: Column): Column =
+    when(na === 0.0 || nb === 0.0, lit(0.0))
+      .otherwise(dot_product(ea, eb) / (na * nb))
 
   /** Exact cosine top-k per query vector (queries := vec_id < nQueries). */
   def bruteTopK(spark: SparkSession, dir: String, k: Int = K,
@@ -119,9 +139,11 @@ object Similarity {
     * identical to the unsalted label join for any nSalts. */
   private[graft] def nearDupPairs(a: DataFrame, b: DataFrame, tau: Double,
                                   nSalts: Int): DataFrame =
-    Salting.saltedJoin(b, a, Seq("label"), nSalts)
+    Salting.saltedJoin(b.withColumn("_nb", vec_norm(col("eb"))),
+        a.withColumn("_na", vec_norm(col("ea"))), Seq("label"), nSalts)
       .filter(col("va") < col("vb"))
-      .withColumn("cos", cosine_sim(col("ea"), col("eb")))
+      .withColumn("cos",
+        cosFromNorms(col("ea"), col("eb"), col("_na"), col("_nb")))
       .filter(col("cos") >= tau)
       .select(col("va"), col("vb"), round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("va"), col("vb"))
@@ -162,9 +184,12 @@ object Similarity {
       .select(col("p.va"), col("p.vb")).distinct()
     val e = emb(spark, dir)
     cands
-      .join(e.select(col("vec_id").as("va"), col("embedding").as("ea")), Seq("va"))
-      .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb")), Seq("vb"))
-      .withColumn("cos", cosine_sim(col("ea"), col("eb")))
+      .join(e.select(col("vec_id").as("va"), col("embedding").as("ea"),
+        vec_norm(col("embedding")).as("_na")), Seq("va"))
+      .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+        vec_norm(col("embedding")).as("_nb")), Seq("vb"))
+      .withColumn("cos",
+        cosFromNorms(col("ea"), col("eb"), col("_na"), col("_nb")))
       .filter(col("cos") >= tau)
       .select(col("va"), col("vb"), round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("va"), col("vb"))
@@ -309,13 +334,17 @@ object Similarity {
   def nearDupBlocked(spark: SparkSession, dir: String, tau: Double = 0.35,
                      nBlocks: Int = 16): DataFrame = {
     require(nBlocks > 1)
+    // the per-row norm is computed BELOW the replicating explode, so each
+    // vector's norm evaluates once, rides its nBlocks replicas, and the
+    // n²/2 tile scan pays only the dot per pair (see [[cosFromNorms]])
     val keyed = emb(spark, dir)
       .select(col("vec_id"), col("embedding"),
+        vec_norm(col("embedding")).as("nrm"),
         pmod(xxhash64(col("vec_id")), lit(nBlocks)).cast("int").as("blk"))
       .withColumn("k", explode(sequence(lit(0), lit(nBlocks - 1))))
       .select(least(col("blk"), col("k")).as("kx"),
         greatest(col("blk"), col("k")).as("ky"),
-        col("blk"), col("vec_id"), col("embedding"))
+        col("blk"), col("vec_id"), col("embedding"), col("nrm"))
     // one side serves the LOWER block of each key, the other the
     // HIGHER, so unordered block pair {i, j} evaluates tile i x j
     // exactly once and total cosine work is the minimal n^2/2; on the
@@ -323,13 +352,14 @@ object Similarity {
     // Pair orientation is then canonicalized by id.
     val a = keyed.filter(col("kx") === col("blk"))
       .select(col("kx"), col("ky"), col("vec_id").as("va"),
-        col("embedding").as("ea"))
+        col("embedding").as("ea"), col("nrm").as("_na"))
     val b = keyed.filter(col("ky") === col("blk"))
       .select(col("kx"), col("ky"), col("vec_id").as("vb"),
-        col("embedding").as("eb"))
+        col("embedding").as("eb"), col("nrm").as("_nb"))
     a.join(b, Seq("kx", "ky"))
       .filter(col("kx") =!= col("ky") || col("va") < col("vb"))
-      .withColumn("cos", cosine_sim(col("ea"), col("eb")))
+      .withColumn("cos",
+        cosFromNorms(col("ea"), col("eb"), col("_na"), col("_nb")))
       .filter(col("cos") >= tau)
       .select(least(col("va"), col("vb")).as("va"),
         greatest(col("va"), col("vb")).as("vb"),
@@ -475,9 +505,13 @@ object Similarity {
       .withColumn("_rn", row_number().over(pw)).filter(col("_rn") <= nProbe)
       .select(col("qid"), col("cell"))
     // ADC lookup table: squared l2 from each query sub-vector to each
-    // codeword, folded into one map per query (keys m * 1M + sid; values
-    // dist^2 via the same l2 kernel as encoding, so engines agree
-    // bit-for-bit). nQueries x subspaces x codebook rows — broadcast.
+    // codeword, folded into one map per query (keys m * 2^40 + sid — the
+    // base must exceed any codeword seed id, or keys would collide
+    // across subspaces and element_at would silently return a wrong d²;
+    // 2^40 leaves headroom for ~10^12 seed ids where the old 10^6 base
+    // broke at a ~31M-vector corpus. values are dist^2 via the same l2
+    // kernel as encoding, so engines agree bit-for-bit).
+    // nQueries x subspaces x codebook rows — broadcast.
     val qsub = subVectors(q.withColumnRenamed("qe", "embedding")
       .withColumnRenamed("qid", "vec_id"), "vec_id", subspaces, subDim)
       .select(col("vec_id").as("qid"), col("m"), col("sub"))
@@ -485,8 +519,12 @@ object Similarity {
       e.filter(col("vec_id") % seedMod === 0)
         .withColumnRenamed("vec_id", "sid"), "sid", subspaces, subDim)
       .withColumnRenamed("sub", "ssub")
+      // key-packing guard: a seed id >= the base would collide across
+      // subspaces and mis-score silently; fail loudly instead (the
+      // codebook is tiny, so the check is free)
+      .filter(assert_true(col("sid") < lit(LutKeyBase)).isNull)
     val lut = qsub.join(broadcast(ssub), Seq("m"))
-      .select(col("qid"), (col("m") * 1000000L + col("sid")).as("mk"),
+      .select(col("qid"), (col("m") * lit(LutKeyBase) + col("sid")).as("mk"),
         (l2_dist(col("sub"), col("ssub")) *
           l2_dist(col("sub"), col("ssub"))).as("d2"))
       .groupBy(col("qid"))
@@ -496,7 +534,7 @@ object Similarity {
     // entries in fixed written order (parenthesization matters for the
     // oracle's double parity)
     val adcExpr = (0 until subspaces)
-      .map(i => element_at(col("lut"), lit(i.toLong * 1000000L) + col(s"code_$i")))
+      .map(i => element_at(col("lut"), lit(i.toLong * LutKeyBase) + col(s"code_$i")))
       .reduceLeft(_ + _)
     val cand = codes.join(broadcast(probes), Seq("cell"))
       .filter(col("cid") =!= col("qid"))

@@ -160,12 +160,19 @@ object Sketches {
       .groupBy(col("user_id"))
       .agg(first(col("n_true")).as("n_true"), min(col("c")).as("est"))
     val total = ev.agg(count(lit(1)).as("n_total"))
-    est.crossJoin(broadcast(total))
+    // total sketch cell mass: every event lands in exactly `depth`
+    // cells, so sum(c) == depth * n_events EXACTLY — an invariant of
+    // the sketch TABLE the oracle restates closed-form. A degenerate
+    // "sketch" that echoed the exact truth (est == n_true) would pass
+    // the verdict columns but has no table whose mass to report.
+    val mass = table.agg(sum(col("c")).as("cell_mass"))
+    est.crossJoin(broadcast(total)).crossJoin(broadcast(mass))
       .select(col("user_id"), col("n_true"),
         (col("est") >= col("n_true")).as("ge_ok"),
         (col("est") - col("n_true") <=
           greatest(lit(1L), ceil(col("n_total") * 2.718281828459045 / width)
-            .cast("long"))).as("eps_ok"))
+            .cast("long"))).as("eps_ok"),
+        col("cell_mass"))
       .orderBy(col("user_id"))
   }
 }

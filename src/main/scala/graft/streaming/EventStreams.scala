@@ -332,6 +332,12 @@ object EventStreams {
       .join(broadcast(table), Seq("window_start", "r", "b"))
       .groupBy(col("window_start"), col("user_id"))
       .agg(first(col("n_true")).as("n_true"), min(col("c")).as("est"))
+    // per-window sketch-table mass: every event fills exactly CmDepth
+    // cells, so sum(c) == CmDepth * window events EXACTLY — an
+    // invariant of the TABLE itself the oracle restates (a degenerate
+    // est == n_true echo would pass the verdicts but has no table)
+    val mass = table.groupBy(col("window_start"))
+      .agg(sum(col("c")).as("cell_mass"))
     est.join(broadcast(winN), Seq("window_start"))
       .withColumn("slack",
         greatest(lit(1L),
@@ -343,6 +349,9 @@ object EventStreams {
           .as("ge_ok"),
         (min(when(col("est") - col("n_true") <= col("slack"), 1)
           .otherwise(0)) === 1).as("eps_ok"))
+      .join(broadcast(mass), Seq("window_start"))
+      .select(col("window_start"), col("n_keys"), col("n_events"),
+        col("ge_ok"), col("eps_ok"), col("cell_mass"))
       .orderBy(col("window_start"))
   }
 

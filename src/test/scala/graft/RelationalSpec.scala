@@ -189,6 +189,23 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q38 two-level rank equals the declarative form row for row") {
+    val a = operators.Relational.q38Deciles(spark, sf)
+    val b = operators.Relational.q38DecilesTwoLevel(spark, sf)
+    assert(a.count() == b.count())
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+    // and its per-row rank window really is block-bounded: the
+    // row_number window partitions by (segment, band), never by the
+    // whole segment — the point of the swap-in
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LW}
+    import org.apache.spark.sql.catalyst.expressions.RowNumber
+    val wins = b.queryExecution.optimizedPlan.collect { case w: LW => w }
+    val rn = wins.filter(_.windowExpressions.exists(
+      _.collectFirst { case _: RowNumber => () }.isDefined))
+    assert(rn.nonEmpty && rn.forall(_.partitionSpec.size == 2),
+      "row_number window must partition by (segment, band)")
+  }
+
   test("q39 attribution: sessions partition events, conversions attributed to first touch") {
     import org.apache.spark.sql.functions.col
     val rows = operators.Relational.q39Attribution(spark, sf).collect()

@@ -110,6 +110,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(n5 == Similarity.nearDupBlocked(spark, sf).count())
   }
 
+  test("hoisted-norm dot kernel is bit-identical to cosine_sim") {
+    // the all-pairs scans score with dot_product / (vec_norm * vec_norm)
+    // (norms hoisted to once per row); if that drifts from cosine_sim by
+    // even one ulp, a tau-boundary pair could flip and break an oracle
+    // hash — pin exact-double equality over every corpus pair shape
+    import graft.functions.VectorFunctions.{dot_product, vec_norm}
+    val e = Tables.embeddings(spark, sf).limit(150)
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    val drifted = a.crossJoin(b).filter(col("va") < col("vb"))
+      .select(cosine_sim(col("ea"), col("eb")).as("ref"),
+        (dot_product(col("ea"), col("eb")) /
+          (vec_norm(col("ea")) * vec_norm(col("eb")))).as("hoisted"))
+      .filter(col("ref") =!= col("hoisted"))
+    assert(drifted.count() == 0)
+  }
+
   test("semanticDedup pair plan is label-free and block-balanced") {
     // traverse the tree rather than matching the (truncation-prone)
     // plan string
