@@ -135,6 +135,8 @@ object SparkEntry {
     "text_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     "text_hash_split" -> ((s, d) => TextAnalysis.hashSplit(s, d)),
     "text_pack" -> ((s, d) => TextAnalysis.pack(s, d)),
+    "text_bpe_tokens" -> ((s, d) => TextAnalysis.bpeTokens(s, d)),
+    "text_pack_bpe" -> ((s, d) => TextAnalysis.packBpe(s, d)),
     "text_span_dedup" -> ((s, d) => TextAnalysis.spanDedup(s, d)),
     "dedup_incremental" -> (Dedup.incremental _),
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
@@ -1626,6 +1628,48 @@ object SparkEntry {
       """WITH d AS (SELECT source,
            CAST(floor(doc_id / 256.0) AS BIGINT) AS shard, doc_id,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT source, shard, doc_id, n_tokens,
+           CAST(sum(n_tokens) OVER (PARTITION BY source, shard
+             ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS tok_end FROM d)
+         SELECT source, shard, doc_id, n_tokens,
+           CAST((tok_end - n_tokens) % 128 AS BIGINT) AS bin_offset,
+           CAST(floor((tok_end - n_tokens) / 128.0) AS BIGINT) AS bin_first,
+           CAST(floor((tok_end - 1) / 128.0) AS BIGINT) AS bin_last
+         FROM c ORDER BY source, doc_id""",
+    // real greedy BPE with the engine's non-chaining digraph merge
+    // table: operands are single chars, no char is both a merge's right
+    // and another's left, so merge applications can never interact and
+    // the exact greedy token count is closed-form — non-space chars
+    // minus one per merge-pair occurrence (each occurrence removes 2
+    // chars under replace, hence the /2). The general chained-table
+    // algorithm is spec-pinned in BpeSpec.
+    "text_bpe_tokens" ->
+      """SELECT doc_id,
+           CAST(length(replace(text, ' ', '')) AS INTEGER) AS n_chars,
+           len(string_split(text, ' ')) AS ws_tokens,
+           CAST(length(replace(text, ' ', ''))
+             - (length(text) - length(replace(text, 'th', ''))) / 2
+             - (length(text) - length(replace(text, 'er', ''))) / 2
+             - (length(text) - length(replace(text, 'on', ''))) / 2
+             - (length(text) - length(replace(text, 'an', ''))) / 2
+             - (length(text) - length(replace(text, 'is', ''))) / 2
+             - (length(text) - length(replace(text, 'ed', ''))) / 2
+             AS INTEGER) AS n_bpe
+         FROM documents ORDER BY doc_id""",
+    // text_pack re-denominated in the closed-form BPE counts above
+    "text_pack_bpe" ->
+      """WITH d AS (SELECT source,
+           CAST(floor(doc_id / 256.0) AS BIGINT) AS shard, doc_id,
+           CAST(length(replace(text, ' ', ''))
+             - (length(text) - length(replace(text, 'th', ''))) / 2
+             - (length(text) - length(replace(text, 'er', ''))) / 2
+             - (length(text) - length(replace(text, 'on', ''))) / 2
+             - (length(text) - length(replace(text, 'an', ''))) / 2
+             - (length(text) - length(replace(text, 'is', ''))) / 2
+             - (length(text) - length(replace(text, 'ed', ''))) / 2
+             AS BIGINT) AS n_tokens
            FROM documents),
          c AS (SELECT source, shard, doc_id, n_tokens,
            CAST(sum(n_tokens) OVER (PARTITION BY source, shard

@@ -275,13 +275,14 @@ object TextAnalysis {
     * per input shard for exactly this reason), so cells never
     * coordinate. Integer-exact arithmetic, fully oracle-checkable. */
   def packOf(docs: DataFrame, budget: Int = 128,
-             shardSize: Long = 256L): DataFrame = {
+             shardSize: Long = 256L,
+             tokenCount: Column = size(toks).cast("long")): DataFrame = {
     val w = Window.partitionBy(col("source"), col("shard"))
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .withColumn("shard", floor(col("doc_id") / shardSize))
-      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_tokens", tokenCount)
       .withColumn("tok_end", sum(col("n_tokens")).over(w))
       .withColumn("tok_start", col("tok_end") - col("n_tokens"))
       .select(col("source"), col("shard"), col("doc_id"), col("n_tokens"),
@@ -292,6 +293,30 @@ object TextAnalysis {
 
   def pack(spark: SparkSession, dir: String): DataFrame =
     packOf(Tables.documents(spark, dir)).orderBy(col("source"), col("doc_id"))
+
+  /** Per-document REAL BPE token counts (merges-table greedy algorithm,
+    * [[graft.functions.BpeKernel]]) next to the raw char / whitespace
+    * counts — the denominators a token-budgeted pipeline actually uses.
+    * Runs with [[graft.functions.Bpe.OracleMerges]], the non-chaining
+    * digraph table whose greedy result the DuckDB oracle can restate
+    * closed-form (tokens = non-space chars − Σ merge occurrences);
+    * chained general tables are exercised in BpeSpec. One map-side pass,
+    * all codegen. */
+  def bpeTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(translate(col("text"), " ", "")).as("n_chars"),
+        size(toks).as("ws_tokens"),
+        graft.functions.Bpe.bpe_token_count(col("text")).as("n_bpe"))
+      .orderBy(col("doc_id"))
+
+  /** [[pack]] with budgets denominated in BPE tokens instead of
+    * whitespace tokens — what a training-data packer really meters. */
+  def packBpe(spark: SparkSession, dir: String): DataFrame =
+    packOf(Tables.documents(spark, dir),
+      tokenCount = graft.functions.Bpe.bpe_token_count(col("text"))
+        .cast("long"))
+      .orderBy(col("source"), col("doc_id"))
 
   /** Gopher-style repetition signals: fraction of words that are repeats
     * and the share of the most-frequent word / bigram — the filters that
