@@ -2053,15 +2053,16 @@ object SparkEntry {
     // engine-internal, spec-checked)
     "mm_features" ->
       """SELECT doc_id,
-           CASE doc_id % 3 WHEN 0 THEN 'image/png'
-             WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS kind,
-           CAST(CASE doc_id % 3 WHEN 0 THEN 57 WHEN 1 THEN 44
-             ELSE 148 END + strlen(text) AS INTEGER) AS byte_len,
-           CAST(CASE doc_id % 3 WHEN 1 THEN 8000 + doc_id % 8000
+           CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+             WHEN 2 THEN 'video/mp4' ELSE 'image/jpeg' END AS kind,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 57 WHEN 1 THEN 44
+             WHEN 2 THEN 148 ELSE 45 END + strlen(text) AS INTEGER)
+             AS byte_len,
+           CAST(CASE doc_id % 4 WHEN 1 THEN 8000 + doc_id % 8000
              ELSE doc_id % 640 + 1 END AS INTEGER) AS width,
-           CAST(CASE doc_id % 3 WHEN 1 THEN 16
+           CAST(CASE doc_id % 4 WHEN 1 THEN 16
              ELSE doc_id % 480 + 1 END AS INTEGER) AS height,
-           CAST(CASE doc_id % 3 WHEN 2 THEN GREATEST(1,
+           CAST(CASE doc_id % 4 WHEN 2 THEN GREATEST(1,
              CAST(floor((1000 + doc_id % 8000) * 30 / 1000.0) AS INTEGER))
              ELSE 1 END AS INTEGER) AS n_frames
          FROM documents ORDER BY doc_id""",
@@ -2069,12 +2070,12 @@ object SparkEntry {
     // the same planted header fields as mm_features
     "mm_resize" ->
       """SELECT doc_id,
-           CASE doc_id % 3 WHEN 0 THEN 'image/png'
-             WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS kind,
+           CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+             WHEN 2 THEN 'video/mp4' ELSE 'image/jpeg' END AS kind,
            CAST(256 AS INTEGER) AS width, CAST(192 AS INTEGER) AS height,
-           CAST(CASE doc_id % 3 WHEN 1 THEN 8000 + doc_id % 8000
+           CAST(CASE doc_id % 4 WHEN 1 THEN 8000 + doc_id % 8000
              ELSE doc_id % 640 + 1 END AS INTEGER) AS src_w,
-           CAST(CASE doc_id % 3 WHEN 1 THEN 16
+           CAST(CASE doc_id % 4 WHEN 1 THEN 16
              ELSE doc_id % 480 + 1 END AS INTEGER) AS src_h
          FROM documents ORDER BY doc_id""",
     // F. PCM sample decode: samples are closed-form in (doc_id, i), so
@@ -2082,7 +2083,7 @@ object SparkEntry {
     // same int16s through the real RIFF framing
     "mm_pcm_stats" ->
       """WITH a AS (SELECT doc_id, 200 + doc_id % 800 AS n FROM documents
-           WHERE doc_id % 3 = 1),
+           WHERE doc_id % 4 = 1),
          s AS (SELECT doc_id, i,
              (doc_id * 31 + i * 7919) % 65536 - 32768 AS v
            FROM a, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) t),
@@ -2105,7 +2106,7 @@ object SparkEntry {
     // hash clusters ARE the scene groups — closed-form in doc_id
     "mm_dhash_dedup" ->
       """WITH img AS (SELECT doc_id, doc_id % 7 AS scene
-           FROM documents WHERE doc_id % 3 = 0),
+           FROM documents WHERE doc_id % 4 = 0),
          g AS (SELECT scene, min(doc_id) AS cluster_rep,
              count(*) AS n_dups
            FROM img GROUP BY scene)
@@ -2116,7 +2117,7 @@ object SparkEntry {
       """WITH img AS (SELECT doc_id,
            CAST(4 + doc_id % 13 AS BIGINT) AS width,
            CAST(4 + doc_id % 11 AS BIGINT) AS height
-           FROM documents WHERE doc_id % 3 = 0),
+           FROM documents WHERE doc_id % 4 = 0),
          px AS (SELECT doc_id, width, height, i % 3 AS c,
            (doc_id * 31 + i * 7919) % 256 AS v
            FROM img, LATERAL (SELECT unnest(generate_series(
@@ -2139,7 +2140,7 @@ object SparkEntry {
       """WITH v AS (SELECT doc_id,
            GREATEST(1, CAST(floor((1000 + doc_id % 8000) * 30 / 1000.0)
              AS BIGINT)) AS nf
-           FROM documents WHERE doc_id % 3 = 2)
+           FROM documents WHERE doc_id % 4 = 2)
          SELECT doc_id,
            CAST(floor((nf - 1) / 30.0) + 1 AS BIGINT) AS n_sampled,
            CAST(0 AS BIGINT) AS first_frame,
@@ -2147,20 +2148,25 @@ object SparkEntry {
          FROM v ORDER BY doc_id""",
     // F. quarantine triage: the damage schedule (doc_id % 17: 0 =
     // truncate-to-10-bytes, 5 = stomp bytes 8-11) and the parsers'
-    // typed verdicts are closed-form per kind — truncation kills every
-    // magic; the stomp breaks PNG's IHDR length (typed PNG error) and
-    // WAV's WAVE tag (magic), but MP4 stays parseable (only the ftyp
-    // brand is hit)
+    // typed verdicts are closed-form per kind — truncation kills the
+    // PNG/WAV/MP4 magics but a 2-byte JPEG SOI survives it (the walk
+    // then throws the typed overrun); the stomp breaks PNG's IHDR
+    // length (typed PNG error) and WAV's WAVE tag (magic), while MP4
+    // (only the ftyp brand hit) and JPEG (only APP0/JFIF identifier
+    // bytes hit — skipped by declared length) stay parseable
     "mm_quarantine" ->
       """WITH m AS (SELECT doc_id,
-           CASE doc_id % 3 WHEN 0 THEN 'image/png'
-             WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS kind
+           CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+             WHEN 2 THEN 'video/mp4' ELSE 'image/jpeg' END AS kind
            FROM documents),
          v AS (SELECT kind,
            CASE WHEN doc_id % 17 = 0 THEN false
-                WHEN doc_id % 17 = 5 AND kind <> 'video/mp4' THEN false
+                WHEN doc_id % 17 = 5 AND kind IN ('image/png', 'audio/wav')
+                  THEN false
                 ELSE true END AS ok,
-           CASE WHEN doc_id % 17 = 0 THEN 'unrecognized container magic'
+           CASE WHEN doc_id % 17 = 0 AND kind = 'image/jpeg'
+                  THEN 'JPEG: segment overruns payload'
+                WHEN doc_id % 17 = 0 THEN 'unrecognized container magic'
                 WHEN doc_id % 17 = 5 AND kind = 'image/png'
                   THEN 'PNG: first chunk is not a 13-byte IHDR'
                 WHEN doc_id % 17 = 5 AND kind = 'audio/wav'

@@ -238,6 +238,30 @@ object Multimodal {
     bb.array()
   }
 
+  /** Valid JPEG prefix: SOI + APP0/JFIF + one SOF (baseline FFC0 or
+    * progressive FFC2 — both carry dims the same way) + SOS + entropy
+    * body + EOI. Fixed 45-byte framing overhead (2+18+13+10+2). */
+  def jpegPayload(w: Int, h: Int, progressive: Boolean,
+                  body: Array[Byte]): Array[Byte] = {
+    require(w >= 1 && w <= 0xffff && h >= 1 && h <= 0xffff)
+    val bb = ByteBuffer.allocate(45 + body.length)
+    bb.putShort(0xffd8.toShort) // SOI
+    bb.putShort(0xffe0.toShort).putShort(16) // APP0, JFIF 1.1, 1x1, no thumb
+    bb.put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+    bb.putShort(0x0101.toShort).put(0.toByte)
+    bb.putShort(1).putShort(1).putShort(0)
+    bb.putShort((if (progressive) 0xffc2 else 0xffc0).toShort) // SOFn
+    bb.putShort(11).put(8.toByte) // len, precision
+    bb.putShort(h.toShort).putShort(w.toShort)
+    bb.put(1.toByte).put(1.toByte).put(0x11.toByte).put(0.toByte) // 1 comp
+    bb.putShort(0xffda.toShort).putShort(8) // SOS
+    bb.put(1.toByte).put(1.toByte).put(0.toByte)
+    bb.put(0.toByte).put(63.toByte).put(0.toByte)
+    bb.put(body)
+    bb.putShort(0xffd9.toShort) // EOI
+    bb.array()
+  }
+
   /** Valid ISO-BMFF prefix: ftyp + moov(mvhd v0 with timescale and
     * duration) + mdat carrying the synthetic body. */
   def mp4Payload(durationMs: Int, body: Array[Byte]): Array[Byte] = {
@@ -263,8 +287,9 @@ object Multimodal {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
-          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        element_at(array(lit("image/png"), lit("audio/wav"),
+          lit("video/mp4"), lit("image/jpeg")),
+          (col("doc_id") % 4 + 1).cast("int")).as("kind"),
         col("text"),
         (col("doc_id") % 640 + 1).cast("int").as("declared_w"),
         (col("doc_id") % 480 + 1).cast("int").as("declared_h"))
@@ -272,9 +297,11 @@ object Multimodal {
       .map { case (id, kind, text, w, h) =>
         val body = text.getBytes("UTF-8")
         val payload = kind match {
-          case "image/png" => pngPayload(w, h, body)
-          case "audio/wav" => wavPayload(8000 + (id % 8000).toInt, body)
-          case _           => mp4Payload(1000 + (id % 8000).toInt, body)
+          case "image/png"  => pngPayload(w, h, body)
+          case "audio/wav"  => wavPayload(8000 + (id % 8000).toInt, body)
+          case "video/mp4"  => mp4Payload(1000 + (id % 8000).toInt, body)
+          // half the corpus baseline, half progressive — both SOF paths
+          case _            => jpegPayload(w, h, id % 8 == 7, body)
         }
         MediaItem(id, kind, payload, w, h)
       }
@@ -297,6 +324,44 @@ object Multimodal {
     p.length >= 44 && tag(p, 0) == "RIFF" && tag(p, 8) == "WAVE"
   private def isMp4(p: Array[Byte]): Boolean =
     p.length >= 12 && tag(p, 4) == "ftyp"
+  private def isJpeg(p: Array[Byte]): Boolean =
+    p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8
+
+  private def u16be(p: Array[Byte], i: Int): Int =
+    ((p(i) & 0xff) << 8) | (p(i + 1) & 0xff)
+
+  /** JPEG segment walk to the first SOFn marker -> (width, height).
+    * Handles every dims-bearing SOF (baseline C0, extended C1,
+    * progressive C2, lossless C3, differential C5-C7/C9-CB/CD-CF);
+    * skips everything else by its declared length with the same
+    * bounds-before-use discipline as [[parseWav]]/[[parseMp4]] —
+    * marker lengths are attacker-controlled. Scanning stops at SOS
+    * (entropy-coded data follows, where FF bytes are no longer
+    * markers). */
+  def parseJpeg(p: Array[Byte]): (Int, Int) = {
+    var i = 2L
+    while (i + 4 <= p.length) {
+      require((p(i.toInt) & 0xff) == 0xff, "JPEG: lost marker alignment")
+      val m = p(i.toInt + 1) & 0xff
+      if (m == 0xff) i += 1 // fill byte
+      else if (m == 0xd9 || m == 0xda)
+        throw new IllegalArgumentException("JPEG: no SOF before SOS/EOI")
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone
+      else {
+        val len = u16be(p, i.toInt + 2)
+        require(len >= 2 && i + 2 + len <= p.length,
+          "JPEG: segment overruns payload")
+        val isSof = m >= 0xc0 && m <= 0xcf &&
+          m != 0xc4 && m != 0xc8 && m != 0xcc
+        if (isSof) {
+          require(len >= 8, "JPEG: SOF segment too small")
+          return (u16be(p, i.toInt + 7), u16be(p, i.toInt + 5))
+        }
+        i += 2 + len
+      }
+    }
+    throw new IllegalArgumentException("JPEG: no SOF before SOS/EOI")
+  }
 
   /** PNG IHDR parse with CRC32 verification -> (width, height). */
   def parsePng(p: Array[Byte]): (Int, Int) = {
@@ -371,6 +436,7 @@ object Multimodal {
         (item.declared_w, item.declared_h,
           math.max(1, (dur.toLong * VideoFps / ts).toInt))
       }
+      else if (isJpeg(p)) { val (jw, jh) = parseJpeg(p); (jw, jh, 1) }
       else throw new IllegalArgumentException(
         s"doc ${item.doc_id}: unrecognized container magic")
     var hsh = 0xcbf29ce484222325L
@@ -515,7 +581,7 @@ object Multimodal {
     throw new IllegalArgumentException("WAV: no data chunk")
   }
 
-  /** The audio subset (same doc_id % 3 kind split as [[mediaTable]])
+  /** The audio subset (same doc_id % 4 kind split as [[mediaTable]])
     * carrying FULLY DECODABLE 16-bit PCM: every sample is closed-form
     * in (doc_id, i) — s_i = ((doc_id*31 + i*7919) mod 65536) - 32768 —
     * so an engine with no audio stack states the expected sample
@@ -524,7 +590,7 @@ object Multimodal {
   def pcmMediaTable(spark: SparkSession, dir: String): Dataset[MediaItem] = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .select(col("doc_id")).filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id")).filter(col("doc_id") % 4 === 1)
       .as[Long]
       .map { id =>
         val n = (200 + id % 800).toInt
@@ -570,7 +636,7 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  /** The image subset (same doc_id % 3 kind split as [[mediaTable]])
+  /** The image subset (same doc_id % 4 kind split as [[mediaTable]])
     * carrying FULLY DECODABLE pixel data: dimensions and every pixel
     * byte are closed-form in doc_id, so an engine with no image codec
     * can still state the expected pixel statistics exactly — while the
@@ -579,7 +645,7 @@ object Multimodal {
   def pixelMediaTable(spark: SparkSession, dir: String): Dataset[MediaItem] = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .select(col("doc_id")).filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).filter(col("doc_id") % 4 === 0)
       .as[Long]
       .map { id =>
         val w = (4 + id % 13).toInt; val h = (4 + id % 11).toInt
@@ -641,7 +707,7 @@ object Multimodal {
   def dhashMediaTable(spark: SparkSession, dir: String): Dataset[MediaItem] = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .select(col("doc_id")).filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).filter(col("doc_id") % 4 === 0)
       .as[Long]
       .map { id =>
         val w = 18; val h = 16

@@ -10,7 +10,8 @@ class MultimodalSpec extends AnyFunSuite {
     val ds = Multimodal.mediaTable(spark, sf)
     val row = ds.head()
     assert(row.payload.nonEmpty)
-    assert(Set("image/png", "audio/wav", "video/mp4").contains(row.kind))
+    assert(Set("image/png", "audio/wav", "video/mp4", "image/jpeg")
+      .contains(row.kind))
     assert(row.declared_w >= 1 && row.declared_h >= 1)
   }
 
@@ -73,10 +74,45 @@ class MultimodalSpec extends AnyFunSuite {
             r.getInt(5) == (id % 480 + 1).toInt)
         case "audio/wav" => // fmt sample rate, 16-bit PCM
           assert(r.getInt(4) == 8000 + (id % 8000).toInt && r.getInt(5) == 16)
+        case "image/jpeg" => // SOF dims == the synthesized declared dims
+          assert(r.getInt(4) == (id % 640 + 1).toInt &&
+            r.getInt(5) == (id % 480 + 1).toInt && r.getInt(6) == 1)
         case _ => // mvhd duration 1000..8999 ms at 30 fps
           assert(r.getInt(6) == (1000 + id % 8000) * 30 / 1000)
       }
     }
+  }
+
+  test("JPEG SOF parse returns dims for baseline and progressive frames") {
+    for (prog <- Seq(false, true)) {
+      val p = Multimodal.jpegPayload(641, 479, prog, "scan".getBytes("UTF-8"))
+      val f = Multimodal.decode(MediaItem(11, "image/jpeg", p, 10, 10))
+      assert(f.width == 641 && f.height == 479 && f.n_frames == 1)
+      assert(f.byte_len == 45 + 4) // the fixed framing overhead
+    }
+    // SOF0 vs SOF2 really differ in the marker byte
+    val b = Multimodal.jpegPayload(8, 8, false, Array.emptyByteArray)
+    val pr = Multimodal.jpegPayload(8, 8, true, Array.emptyByteArray)
+    assert((b(20) & 0xff) == 0xff && (b(21) & 0xff) == 0xc0)
+    assert((pr(21) & 0xff) == 0xc2)
+  }
+
+  test("JPEG walk rejects truncation and missing SOF with typed errors") {
+    val p = Multimodal.jpegPayload(100, 50, false, "x".getBytes("UTF-8"))
+    val e1 = intercept[IllegalArgumentException] {
+      Multimodal.parseJpeg(p.take(10))
+    }
+    assert(e1.getMessage.contains("overruns"))
+    // SOI + EOI only: structurally valid, but no SOF to take dims from
+    val e2 = intercept[IllegalArgumentException] {
+      Multimodal.parseJpeg(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte))
+    }
+    assert(e2.getMessage.contains("no SOF"))
+    // stomping bytes 8-11 (the APP0 identifier) must NOT matter: the
+    // walk skips APP0 by declared length — mirrors the quarantine oracle
+    val stomped = p.clone()
+    (8 until 12).foreach(i => stomped(i) = 'X'.toByte)
+    assert(Multimodal.parseJpeg(stomped) == (100, 50))
   }
 
   test("resize keeps identity and varies checksum with target dims") {
