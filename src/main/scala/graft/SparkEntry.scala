@@ -201,6 +201,8 @@ object SparkEntry {
     "stream_topk_window" -> (graft.streaming.EventStreams.topkPerWindowBatch _),
     // oracle-checked since r5: per-window within-error-contract verdicts
     "stream_sketch_window" -> (graft.streaming.EventStreams.sketchWindowChecked _),
+    "stream_interval_outer" ->
+      (graft.streaming.EventStreams.intervalOuterBatch _),
     "stream_enrich" -> (graft.streaming.EventStreams.enrichBatch _),
     "stream_cdc_merge" -> (graft.streaming.EventStreams.cdcMergeBatch _),
     "stream_cm_window" -> (graft.streaming.EventStreams.cmWindowChecked _),
@@ -2045,6 +2047,19 @@ object SparkEntry {
            AND cts >= ts - INTERVAL '10 minutes' AND cts <= ts
          GROUP BY event_id, user_id, ts, value
          ORDER BY event_id""",
+    // left-outer pair form: purchases with no in-window click keep a
+    // null click row — the attribution case the streaming outer join
+    // emits after watermark expiry
+    "stream_interval_outer" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'purchase'),
+         c AS (SELECT user_id AS cu, ts AS cts, value AS cv FROM events
+           WHERE event_type = 'click')
+         SELECT event_id, user_id, ts, round(value, 2) AS value,
+           cts AS c_ts, round(cv, 2) AS click_value
+         FROM p LEFT JOIN c ON user_id = cu
+           AND cts >= ts - INTERVAL '10 minutes' AND cts <= ts
+         ORDER BY event_id, c_ts, click_value""",
     // F. feature extraction, closed-form restatement: byte_len is the
     // container framing constant (PNG sig+IHDR+IDAT+IEND = 57, WAV
     // header = 44, MP4 ftyp+moov(mvhd)+mdat = 148) plus the UTF-8 body;

@@ -422,6 +422,54 @@ object EventStreams {
         col("c_ts") <= col("p_ts"))
   }
 
+  /** Stream-stream LEFT-OUTER interval join — the attribution shape the
+    * inner form can't serve: a purchase with NO prior click must still
+    * come out (with a null click), which in streaming can only happen
+    * once the click-side watermark proves no matching click can ever
+    * arrive. Spark holds the unmatched purchase in state until the
+    * watermark passes p_ts (+ the range slack), then emits it
+    * null-padded and expires the state — so state stays bounded by
+    * watermark + lookback exactly as in the inner join, and the
+    * batch-vs-stream spec pins the null rows too. */
+  def recentClicksOuterStream(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", Watermark)
+      .select(col("event_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value"))
+    val c = clicks.withWatermark("ts", Watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("c_value"))
+    p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $JoinLookback") &&
+          col("c_ts") <= col("p_ts"),
+        "left_outer")
+      .select(col("event_id"), col("p_user").as("user_id"),
+        col("p_ts").as("ts"), round(col("value"), 2).as("value"),
+        col("c_ts"), round(col("c_value"), 2).as("click_value"))
+  }
+
+  /** Batch twin of [[recentClicksOuterStream]]: the raw left-outer
+    * pairs (null click columns preserved), the frame the driver
+    * hash-checks. */
+  def intervalOuterBatch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("c_value"))
+    p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $JoinLookback") &&
+          col("c_ts") <= col("p_ts"),
+        "left_outer")
+      .select(col("event_id"), col("p_user").as("user_id"),
+        col("p_ts").as("ts"), round(col("value"), 2).as("value"),
+        col("c_ts"), round(col("c_value"), 2).as("click_value"))
+      .orderBy(col("event_id"), col("c_ts"), col("click_value"))
+  }
+
   // ---- stream-static enrichment join ----
 
   /** Enrich each event with its user's dimension attributes (market

@@ -225,6 +225,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == Map(10L -> 2L, 11L -> 1L))
   }
 
+  test("left-outer interval join: stream emits batch's null rows after " +
+    "watermark expiry") {
+    import spark.implicits._
+    val purchases = Seq(Ev(10, t(20), 1, "purchase", 9.0),
+      Ev(11, t(40), 1, "purchase", 8.0), Ev(12, t(5), 2, "purchase", 7.0))
+    val clicks = Seq(Ev(1, t(11), 1, "click", 1.0),
+      Ev(2, t(20), 1, "click", 2.0), Ev(3, t(29), 1, "click", 3.0),
+      Ev(4, t(31), 1, "click", 4.0), Ev(5, t(6), 2, "click", 5.0))
+    def pairs(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+      .toSeq.sorted
+    // batch: p10 joins clicks 1+2, p11 joins click 4, p12 emits a NULL
+    // click row (click 5 is after it)
+    val batch = graft.streaming.EventStreams
+      .recentClicksOuterStream(purchases.toDF(), clicks.toDF())
+    val batchPairs = pairs(
+      // the same transform runs as a plain batch plan too
+      batch.collect())
+    assert(batchPairs == Seq((10L, Some(1.0)), (10L, Some(2.0)),
+      (11L, Some(4.0)), (12L, None)))
+
+    implicit val sqlCtx = spark.sqlContext
+    val pm = MemoryStream[Ev]; val cm = MemoryStream[Ev]
+    pm.addData(purchases: _*); cm.addData(clicks: _*)
+    val q = graft.streaming.EventStreams
+      .recentClicksOuterStream(pm.toDF(), cm.toDF())
+      .writeStream.format("memory").queryName("ijo")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // null rows cannot exist yet: the watermark hasn't proven absence
+    assert(spark.table("ijo").collect().forall(!_.isNullAt(5)))
+    // advance both watermarks far past every purchase + lookback: the
+    // unmatched purchase must now emit null-padded and expire
+    pm.addData(Ev(99, t(600), 9, "purchase", 0.0))
+    cm.addData(Ev(98, t(600), 9, "click", 0.0))
+    q.processAllAvailable(); q.stop()
+    val streamed = pairs(spark.table("ijo")
+      .filter(col("event_id") < 90).collect())
+    assert(streamed == batchPairs, "stream (incl. null rows) != batch")
+  }
+
   test("idempotent parquet sink: batch replay overwrites, never duplicates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
