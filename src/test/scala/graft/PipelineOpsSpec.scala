@@ -119,12 +119,13 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(dirty.count() == total, "one verdict per item, job never fails")
       // truncation (doc_id % 17 == 0) must always reject; the header
       // stomp (% 17 == 5) must reject PNG/WAV but survive on MP4 (it
-      // only hits the ftyp brand)
+      // only hits the ftyp brand) and JPEG (it only hits the APP0/JFIF
+      // identifier bytes, which the length-driven segment walk skips)
       assert(dirty.filter(col("doc_id") % 17 === 0 && col("ok")).isEmpty)
       assert(dirty.filter(col("doc_id") % 17 === 5 && col("ok") &&
-        col("kind") =!= "video/mp4").isEmpty)
+        !col("kind").isin("video/mp4", "image/jpeg")).isEmpty)
       assert(dirty.filter(col("doc_id") % 17 === 5 && !col("ok") &&
-        col("kind") === "video/mp4").isEmpty)
+        col("kind").isin("video/mp4", "image/jpeg")).isEmpty)
       // undamaged rows still parse, and every reject carries a reason
       assert(dirty.filter(col("doc_id") % 17 =!= 0 &&
         col("doc_id") % 17 =!= 5 && !col("ok")).isEmpty)
