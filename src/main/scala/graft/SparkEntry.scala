@@ -62,6 +62,7 @@ object SparkEntry {
     "q31_range_lookup" -> (Warehouse.q31RangeLookup _),
     "q32_scd2" -> (Warehouse.q32Scd2 _),
     "q36_merge_upsert" -> (Warehouse.q36MergeUpsert _),
+    "q42_op_log" -> (Warehouse.q42OpLog _),
     // B'. graph centrality over the road-network key space (dyadic-exact
     // PageRank — see operators.Graph for why the oracle matches bitwise)
     "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
@@ -601,6 +602,37 @@ object SparkEntry {
          FROM t FULL OUTER JOIN src s ON t.key = s.key
          WHERE s.op IS NULL OR s.op <> 'D'
          ORDER BY key""",
+    // operation.js state machine replay: accepted = first start, first
+    // finish after it, logs strictly between; reasons mirror the
+    // reference's three errors (finish on a completed op says "not
+    // running" — its guard checks isStarted, not isCompleted)
+    "q42_op_log" ->
+      """WITH ev AS (SELECT user_id AS op_id, event_id,
+           CASE event_type WHEN 'signup' THEN 'start'
+             WHEN 'purchase' THEN 'finish' ELSE 'log' END AS action,
+           lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+             lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+         FROM events),
+         s AS (SELECT *, min(CASE WHEN action = 'start' THEN k END)
+             OVER (PARTITION BY op_id) AS s FROM ev),
+         f AS (SELECT *, min(CASE WHEN action = 'finish' AND k > s
+             THEN k END) OVER (PARTITION BY op_id) AS f FROM s),
+         v AS (SELECT *,
+           (action = 'start' AND k = s)
+             OR (action = 'log' AND s IS NOT NULL AND k > s
+               AND (f IS NULL OR k < f))
+             OR (action = 'finish' AND f IS NOT NULL AND k = f)
+             AS accepted FROM f)
+         SELECT op_id, event_id, action, accepted,
+           CASE WHEN accepted THEN NULL
+             WHEN action = 'finish' THEN 'not running'
+             WHEN f IS NOT NULL AND k > f THEN 'already complete'
+             WHEN action = 'start' THEN 'already running'
+             ELSE 'not running' END AS reason,
+           CASE WHEN f IS NOT NULL THEN 'complete'
+             WHEN s IS NOT NULL THEN 'running'
+             ELSE 'idle' END AS status_final
+         FROM v ORDER BY op_id, event_id""",
     "graph_pagerank" -> operators.Graph.pagerankOracle(),
     "graph_components" -> operators.Graph.componentsOracle,
     "graph_triangles" -> operators.Graph.trianglesOracle,

@@ -107,6 +107,68 @@ object Warehouse {
         round(sum(col("o_totalprice")), 2).as("total_value"))
       .orderBy(col("tier"))
 
+  /** Replay of the reference's operation-log state machine
+    * (app/utils/operation.js): an operation is started (rejected with
+    * "already running" / "already complete" if a start was already
+    * accepted), carries logs only while running (else "not running" /
+    * "already complete"), and is finished exactly once ("not running"
+    * otherwise — the reference's finish() guard checks isStarted, so
+    * finishing a completed op reports not-running, not already-complete).
+    *
+    * A sequential fold per key collapses to a closed form, so no
+    * stateful iteration is needed: per operation the FIRST start is
+    * accepted, the FIRST finish after it is accepted, logs strictly
+    * between the two are accepted, everything else is rejected with the
+    * reason above. Two whole-partition window passes (first-start key,
+    * then first-finish-after-start key) classify every event — one
+    * shuffle on the operation key, no self-join, no driver state.
+    *
+    * Scale posture: partitions by op key (one per user here), so state
+    * per partition is bounded by the busiest single operation's event
+    * count — the same bound any per-key stateful replay needs. The
+    * ordering key is the zero-padded (epoch micros, event_id) string:
+    * unique, lexicographically time-ordered, and identical to build in
+    * the oracle's SQL dialect. */
+  def q42OpLog(spark: SparkSession, dir: String): DataFrame =
+    opLogReplay(Tables.events(spark, dir).select(
+      col("user_id").as("op_id"), col("event_id"),
+      when(col("event_type") === "signup", lit("start"))
+        .when(col("event_type") === "purchase", lit("finish"))
+        .otherwise(lit("log")).as("action"),
+      concat(lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+        lpad(col("event_id").cast("string"), 12, "0")).as("k")))
+
+  /** The replay itself, over any (op_id, event_id, action, k) frame
+    * where `k` is a unique, time-ordered sort key per event. */
+  def opLogReplay(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("op_id"))
+    val withFirst = ev
+      .withColumn("s",
+        min(when(col("action") === "start", col("k"))).over(w))
+      .withColumn("f",
+        min(when(col("action") === "finish" && col("k") > col("s"),
+          col("k"))).over(w))
+    val accepted =
+      (col("action") === "start" && col("k") === col("s")) ||
+      (col("action") === "log" && col("s").isNotNull &&
+        col("k") > col("s") &&
+        (col("f").isNull || col("k") < col("f"))) ||
+      (col("action") === "finish" && col("f").isNotNull &&
+        col("k") === col("f"))
+    withFirst.select(col("op_id"), col("event_id"), col("action"),
+        accepted.as("accepted"),
+        when(accepted, lit(null).cast("string"))
+          .when(col("action") === "finish", lit("not running"))
+          .when(col("f").isNotNull && col("k") > col("f"),
+            lit("already complete"))
+          .when(col("action") === "start", lit("already running"))
+          .otherwise(lit("not running")).as("reason"),
+        when(col("f").isNotNull, lit("complete"))
+          .when(col("s").isNotNull, lit("running"))
+          .otherwise(lit("idle")).as("status_final"))
+      .orderBy(col("op_id"), col("event_id"))
+  }
+
   /** Build an SCD-type-2 dimension from a change stream: one row per
     * (key, state) episode with [valid_from, valid_to) effective range,
     * open-ended for the current row. One window pass per key — each

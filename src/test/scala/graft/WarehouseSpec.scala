@@ -88,6 +88,43 @@ class WarehouseSpec extends AnyFunSuite {
     assert(viaBloom.exceptAll(plain).isEmpty && plain.exceptAll(viaBloom).isEmpty)
   }
 
+  test("operation log replay enforces the reference state machine") {
+    import spark.implicits._
+    // op 1: the canonical lifecycle plus every rejection class —
+    //   log before start (not running), start (ok), duplicate start
+    //   (already running), log (ok), finish (ok), log after finish
+    //   (already complete), second finish (not running — the finish
+    //   guard checks isStarted), restart (already complete)
+    // op 2: never started — log and finish both rejected not-running
+    // op 3: started, never finished — stays running
+    val ev = Seq(
+      (1L, 10L, "log"), (1L, 11L, "start"), (1L, 12L, "start"),
+      (1L, 13L, "log"), (1L, 14L, "finish"), (1L, 15L, "log"),
+      (1L, 16L, "finish"), (1L, 17L, "start"),
+      (2L, 20L, "log"), (2L, 21L, "finish"),
+      (3L, 30L, "start"), (3L, 31L, "log"))
+      .toDF("op_id", "event_id", "action")
+      .withColumn("k", lpad(col("event_id").cast("string"), 12, "0"))
+    val got = Warehouse.opLogReplay(ev)
+      .select(col("event_id"), col("accepted"), col("reason"),
+        col("status_final"))
+      .as[(Long, Boolean, Option[String], String)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val ok = (None: Option[String])
+    assert(got(10L) == ((false, Some("not running"), "complete")))
+    assert(got(11L) == ((true, ok, "complete")))
+    assert(got(12L) == ((false, Some("already running"), "complete")))
+    assert(got(13L) == ((true, ok, "complete")))
+    assert(got(14L) == ((true, ok, "complete")))
+    assert(got(15L) == ((false, Some("already complete"), "complete")))
+    assert(got(16L) == ((false, Some("not running"), "complete")))
+    assert(got(17L) == ((false, Some("already complete"), "complete")))
+    assert(got(20L) == ((false, Some("not running"), "idle")))
+    assert(got(21L) == ((false, Some("not running"), "idle")))
+    assert(got(30L) == ((true, ok, "running")))
+    assert(got(31L) == ((true, ok, "running")))
+  }
+
   test("pii scrub catches mixed-case and international spans") {
     import spark.implicits._
     val docs = Seq(
