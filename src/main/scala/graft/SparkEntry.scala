@@ -143,6 +143,10 @@ object SparkEntry {
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
     "text_mad_outliers" -> ((s, d) => TextAnalysis.madOutliers(s, d)),
     "text_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
+    "text_boilerplate" -> ((s, d) => TextAnalysis.boilerplate(s, d)),
+    "text_perplexity" -> ((s, d) => TextAnalysis.perplexity(s, d)),
+    "text_classifier_score" -> ((s, d) => TextAnalysis.classifierScore(s, d)),
+    "text_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
     "text_domain_mix" -> ((s, d) => TextAnalysis.domainMix(s, d)),
     "text_pii" -> (TextAnalysis.pii _),
     "pipeline_curate" -> ((s, d) => TextAnalysis.curate(s, d)),
@@ -182,6 +186,7 @@ object SparkEntry {
     // restates the closed-form sample function, so the hash proves the
     // audio decode round-trip
     "mm_pcm_stats" -> (Multimodal.pcmStats _),
+    "mm_spectral" -> (Multimodal.spectralPeak _),
     // F. resize plumbing — oracle-checked on the closed-form columns
     // (target dims + parsed source dims); the re-encode checksum stays
     // engine-internal
@@ -1751,6 +1756,18 @@ object SparkEntry {
     // PMI collocations: ln bit-parity (tfidf precedent), rounded-value
     // ordering with bigram tie-break stabilizes the top-N cut
     "text_collocations" -> operators.TextAnalysis.collocationsOracle(),
+    // per-source repeated-segment strip: exact string keys only; the
+    // one float is frac4-pinned, reassembly ordered by segment pos
+    "text_boilerplate" -> operators.TextAnalysis.boilerplateOracle(),
+    // smoothed bigram LM: ln bit-parity + per-doc summation order
+    // (narrow explode keeps a doc's rows in token order on both sides)
+    "text_perplexity" -> operators.TextAnalysis.perplexityOracle(),
+    // hashed linear scorer: dyadic weights make the doc sum EXACT, so
+    // the mean's single rounding is order-independent
+    "text_classifier_score" ->
+      operators.TextAnalysis.classifierScoreOracle(),
+    // sliding-window chunking: pure integer arithmetic + string slices
+    "text_chunk" -> operators.TextAnalysis.chunkOracle(),
     // floor(x*1e4+0.5)/1e4 on both sides: small-integer ratios land on
     // exact decimal halves where the engines' round()s disagree
     "text_repetition" ->
@@ -2125,6 +2142,14 @@ object SparkEntry {
            CAST(CASE doc_id % 4 WHEN 1 THEN 16
              ELSE doc_id % 480 + 1 END AS INTEGER) AS src_h
          FROM documents ORDER BY doc_id""",
+    // F. dominant-bin detection over cycle-aligned sine clips: all
+    // signal energy lands in the planted bin (quantization noise ~80 dB
+    // down), so the Goertzel argmax equals 3 + doc_id % 60 exactly and
+    // the whole synth -> RIFF -> decode -> DFT chain pins to an integer
+    "mm_spectral" ->
+      """SELECT doc_id, CAST(256 AS BIGINT) AS n_samples,
+           CAST(3 + doc_id % 60 AS BIGINT) AS peak_bin
+         FROM documents WHERE doc_id % 4 = 1 ORDER BY doc_id""",
     // F. PCM sample decode: samples are closed-form in (doc_id, i), so
     // the oracle aggregates the formula while Spark must recover the
     // same int16s through the real RIFF framing

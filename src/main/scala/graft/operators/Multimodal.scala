@@ -43,6 +43,8 @@ case class PixelStats(doc_id: Long, width: Long, height: Long,
 case class PcmStats(doc_id: Long, n_samples: Long, s_min: Long,
                     s_max: Long, s_sum: Long, n_sign_change: Long)
 
+case class SpectralPeak(doc_id: Long, n_samples: Long, peak_bin: Long)
+
 /** Multimodal column plumbing: binary payloads with typed metadata,
   * processed per-partition in typed Datasets.
   *
@@ -630,6 +632,78 @@ object Multimodal {
             i += 1
           }
           PcmStats(m.doc_id, s.length.toLong, mn, mx, sum, chg)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** The audio subset carrying PURE SINE tones: each clip is exactly
+    * one cycle-aligned sinusoid — N = 256 samples, planted DFT bin
+    * 3 + doc_id % 60, amplitude 8000 + (doc_id % 8)·1000 — so its
+    * spectrum is two exact spikes and the dominant bin is closed-form
+    * in doc_id alone. The WAV framing is the real [[wavPayload]]
+    * container, so the whole synth → RIFF → decode → DFT chain is
+    * exercised end to end. */
+  def sineMediaTable(spark: SparkSession, dir: String): Dataset[MediaItem] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id")).filter(col("doc_id") % 4 === 1)
+      .as[Long]
+      .map { id =>
+        val n = 256
+        val bin = (3 + id % 60).toInt
+        val amp = (8000 + (id % 8) * 1000).toDouble
+        val bb = ByteBuffer.allocate(n * 2).order(ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < n) {
+          bb.putShort(math.round(
+            amp * math.sin(2.0 * math.Pi * bin * i / n)).toShort)
+          i += 1
+        }
+        MediaItem(id, "audio/wav", wavPayload(8000, bb.array()), 0, 0)
+      }
+  }
+
+  /** Dominant-frequency detection over the decoded clips — the tone /
+    * band-energy feature an audio curation pipeline extracts per clip
+    * (voice-activity bands, hum detection, codec-artifact triage): a
+    * Goertzel scan over every DFT bin 1..N/2-1 and the argmax power
+    * bin. The decode is the real RIFF walk ([[decodeWavPcm]]); for the
+    * cycle-aligned [[sineMediaTable]] tones the winning bin equals the
+    * planted one EXACTLY (all signal energy lands in a single bin, and
+    * int16 quantization noise is ~80 dB down), so the oracle restates
+    * the integer answer closed-form — any defect in the synth, the
+    * container round-trip, or the DFT recurrence moves the argmax.
+    *
+    * Scale shape: per-partition kernel, O(N²) per clip with N fixed at
+    * 256 (the mapInPandas-batch shape a real FFT would slot into);
+    * narrow map, no shuffle, output one row per clip. */
+  def spectralPeak(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sineMediaTable(spark, dir)
+      .mapPartitions { it =>
+        it.map { m =>
+          val s = decodeWavPcm(m.payload)
+          val n = s.length
+          var best = -1L
+          var bestP = -1.0
+          var b = 1
+          while (b <= n / 2 - 1) {
+            // Goertzel recurrence for bin b over the full clip
+            val wc = 2.0 * math.cos(2.0 * math.Pi * b / n)
+            var s1 = 0.0; var s2 = 0.0
+            var i = 0
+            while (i < n) {
+              val s0 = s(i) + wc * s1 - s2
+              s2 = s1; s1 = s0
+              i += 1
+            }
+            val p = s1 * s1 + s2 * s2 - wc * s1 * s2
+            if (p > bestP) { bestP = p; best = b }
+            b += 1
+          }
+          SpectralPeak(m.doc_id, n.toLong, best)
         }
       }
       .toDF()

@@ -723,4 +723,235 @@ object TextAnalysis {
        FROM sp JOIN uni ua ON sp.a = ua.term
          JOIN uni ub ON sp.b = ub.term, n, btot
        ORDER BY pmi DESC, bigram LIMIT $topN"""
+
+  /** Per-source BOILERPLATE removal — the shard-level repeated-segment
+    * strip every web-corpus curation run applies (headers, footers,
+    * cookie banners repeat across a domain's pages; a segment that
+    * recurs across documents of one source is template, not content).
+    * The corpus has no newline structure, so "segment" is a fixed
+    * window of `segWords` consecutive words (non-overlapping); a
+    * segment is boilerplate when it appears verbatim in >= `minDocs`
+    * distinct documents of the SAME source, and the cleaned text is
+    * the surviving segments rejoined in order.
+    *
+    * Scale posture: the segment explosion is narrow (one doc's
+    * segments stay in its partition); segment frequencies are one
+    * partial-agg shuffle of (source, segment) pairs — never a vocab
+    * broadcast; the verdict join shuffles segments once on the same
+    * composite key (hot template segments are single rows on the
+    * count side of a hash join, not a skewed fan-out); reassembly is
+    * one per-doc aggregation whose collect_list is bounded by the
+    * document's own length. */
+  def boilerplate(spark: SparkSession, dir: String, segWords: Int = 8,
+                  minDocs: Int = 2): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+    val seg = docs
+      .select(col("doc_id"), col("source"),
+        posexplode(transform(
+          sequence(lit(0),
+            ((size(col("ws")) + lit(segWords - 1)) / lit(segWords))
+              .cast("int") - 1),
+          i => array_join(
+            slice(col("ws"), i * segWords + 1, lit(segWords)), " ")))
+          .as(Seq("pos", "seg")))
+    val freq = seg.groupBy(col("source"), col("seg"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    seg.join(freq.hint("shuffle_hash"), Seq("source", "seg"))
+      .withColumn("keep", col("nd") < minDocs)
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_seg"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_boiler"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("keep"), struct(col("pos"), col("seg"))))),
+            s => s.getField("seg")), " ").as("clean_text"))
+      .withColumn("boiler_frac", frac4(col("n_boiler"), col("n_seg")))
+      .select(col("doc_id"), col("source"), col("n_seg"), col("n_boiler"),
+        col("boiler_frac"), col("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB restatement of [[boilerplate]]. */
+  def boilerplateOracle(segWords: Int = 8, minDocs: Int = 2): String =
+    s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+         FROM documents),
+       seg AS (SELECT doc_id, source, CAST(i AS BIGINT) AS pos,
+           array_to_string(ws[(i * $segWords + 1):(i * $segWords + $segWords)],
+             ' ') AS seg
+         FROM w, UNNEST(range((len(ws) + ${segWords - 1}) // $segWords))
+           AS t(i)),
+       freq AS (SELECT source, seg, count(DISTINCT doc_id) AS nd
+         FROM seg GROUP BY 1, 2),
+       j AS (SELECT s.doc_id, s.source, s.pos, s.seg, f.nd < $minDocs AS keep
+         FROM seg s JOIN freq f USING (source, seg))
+       SELECT doc_id, source, count(*) AS n_seg,
+         CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_boiler,
+         floor(CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS DOUBLE)
+           / count(*) * 10000.0 + 0.5) / 10000.0 AS boiler_frac,
+         coalesce(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY pos),
+           '') AS clean_text
+       FROM j GROUP BY 1, 2 ORDER BY doc_id"""
+
+  /** Smoothed BIGRAM-LM perplexity proxy — the CCNet-style quality
+    * filter one notch above [[xentropy]]'s unigram model: score each
+    * document by the mean negative log conditional probability of its
+    * adjacent word pairs under the corpus's own add-k-smoothed bigram
+    * model, p(w2|w1) = (c(w1,w2) + k) / (c(w1·) + k·V). Word ORDER now
+    * matters — a shuffled document keeps its unigram score but craters
+    * here — which is exactly what separates fluent text from keyword
+    * soup.
+    *
+    * Scale posture: the bigram explosion is narrow; both count lookups
+    * are windows over the bigram frame's own (w1, w2) / (w1)
+    * partitions — the [[tfidf]]/[[xentropy]] no-vocab-broadcast
+    * discipline (a hot context word is one window partition; salt it
+    * if profiled); V is a one-row broadcast cross; the per-doc mean is
+    * a partial agg over rows that never left their doc's partition, so
+    * the double summation order is the document's own token order on
+    * both engines (the [[xentropy]] hash-parity precedent). */
+  def perplexity(spark: SparkSession, dir: String,
+                 k: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val bi = docs.select(col("doc_id"),
+      explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val vocab = docs
+      .select(explode(col("ws")).as("t"))
+      .agg(countDistinct(col("t")).cast("double").as("vsz"))
+    bi
+      .withColumn("cb",
+        count(lit(1)).over(Window.partitionBy(col("w1"), col("w2"))))
+      .withColumn("cu", count(lit(1)).over(Window.partitionBy(col("w1"))))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log((col("cb") + lit(k))
+          / (col("cu") + lit(k) * col("vsz")))), 4).as("nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB restatement of [[perplexity]]. */
+  def perplexityOracle(k: Double = 0.5): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+         FROM documents),
+       b AS (SELECT doc_id, ws[i + 1] AS w1, ws[i + 2] AS w2
+         FROM w, UNNEST(range(len(ws) - 1)) AS t(i)),
+       v AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS vsz
+         FROM (SELECT unnest(ws) AS t FROM w)),
+       c AS (SELECT doc_id,
+           count(*) OVER (PARTITION BY w1, w2) AS cb,
+           count(*) OVER (PARTITION BY w1) AS cu
+         FROM b)
+       SELECT doc_id, count(*) AS n_bigrams,
+         round(avg(-ln((cb + CAST($k AS DOUBLE))
+           / (cu + CAST($k AS DOUBLE) * vsz))), 4) AS nll
+       FROM c, v GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Hashed-feature LINEAR QUALITY CLASSIFIER inference — the
+    * fasttext-shaped scorer (hashing trick over tokens, mean of
+    * per-bucket weights, thresholded logit) that curation stacks run
+    * as the learned quality filter. The container ships no trained
+    * model, so the weight table is a deterministic closed-form fixture
+    * (Knuth-multiplier pseudo-weights over 256 md5 buckets) standing
+    * in for learned parameters — the Spark-side plumbing (map-side
+    * feature hashing, per-doc mean, no shuffle except the per-doc
+    * agg) is the real thing and is what the oracle pins.
+    *
+    * Determinism: every weight is a dyadic rational (n/2^16 - 1/2), so
+    * the per-doc SUM is exact in double arithmetic regardless of
+    * summation order — the mean's single rounding is the only FP op,
+    * identical on both engines. Scale: pure map + one partial agg;
+    * the weight "table" is a formula, so there is nothing to
+    * broadcast. */
+  def classifierScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val hex = "0123456789abcdef"
+    val b = (expr(s"locate(substring(md5(cast(term as binary)), 1, 1), '$hex') - 1")
+      * 16 +
+      expr(s"locate(substring(md5(cast(term as binary)), 2, 1), '$hex') - 1"))
+      .cast("bigint")
+    val wgt = ((b * lit(2654435761L)) % 65536L).cast("double") / 65536.0 - 0.5
+    toks.withColumn("w", wgt)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("w")) * 4.0 - 0.125, 4).as("logit"))
+      .withColumn("keep", col("logit") > 0.0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB restatement of [[classifierScore]]. */
+  def classifierScoreOracle(): String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         FROM documents),
+       h AS (SELECT doc_id,
+           CAST((strpos('0123456789abcdef',
+               substring(md5(term), 1, 1)) - 1) * 16
+             + strpos('0123456789abcdef', substring(md5(term), 2, 1)) - 1
+             AS BIGINT) AS b
+         FROM tok),
+       w AS (SELECT doc_id,
+           CAST((b * 2654435761) % 65536 AS DOUBLE) / CAST(65536 AS DOUBLE)
+             - CAST(0.5 AS DOUBLE) AS w
+         FROM h)
+       SELECT doc_id, count(*) AS n_tokens,
+         round(avg(w) * CAST(4.0 AS DOUBLE) - CAST(0.125 AS DOUBLE), 4)
+           AS logit,
+         round(avg(w) * CAST(4.0 AS DOUBLE) - CAST(0.125 AS DOUBLE), 4)
+           > CAST(0.0 AS DOUBLE) AS keep
+       FROM w GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Overlapping sliding-window CHUNKING — the retrieval/context-window
+    * splitter (RAG indexing, long-doc training): windows of `width`
+    * words advancing by `stride` (overlap = width - stride keeps
+    * boundary context in both neighbors), short final window kept, a
+    * sub-`width` document yielding exactly its own single chunk.
+    *
+    * Scale posture: pure narrow map + explode — a document's chunks
+    * materialize in its own partition and never shuffle; chunk count
+    * per doc is ceil-bounded by its length, so output size is a fixed
+    * multiple (width/stride) of the corpus. */
+  def chunk(spark: SparkSession, dir: String, width: Int = 64,
+            stride: Int = 48): DataFrame = {
+    require(stride >= 1 && width >= stride)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val nExtra = when(size(col("ws")) <= width, lit(0)).otherwise(
+      ceil((size(col("ws")) - lit(width)).cast("double") / stride)
+        .cast("int"))
+    docs
+      .select(col("doc_id"), col("ws"),
+        posexplode(transform(sequence(lit(0), nExtra),
+          i => array_join(slice(col("ws"), i * stride + 1, lit(width)), " ")))
+          .as(Seq("chunk_id", "chunk_text")))
+      .select(col("doc_id"), col("chunk_id").cast("bigint").as("chunk_id"),
+        (col("chunk_id") * stride + 1).cast("bigint").as("start_word"),
+        least(lit(width),
+          size(col("ws")) - col("chunk_id") * stride).cast("bigint")
+          .as("n_words"),
+        col("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** DuckDB restatement of [[chunk]]. */
+  def chunkOracle(width: Int = 64, stride: Int = 48): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+         FROM documents),
+       n AS (SELECT doc_id, ws, CASE WHEN len(ws) <= $width THEN 0
+           ELSE CAST(ceil((len(ws) - $width)
+             / CAST($stride AS DOUBLE)) AS BIGINT) END AS n_extra
+         FROM w)
+       SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+         CAST(i * $stride + 1 AS BIGINT) AS start_word,
+         CAST(least($width, len(ws) - i * $stride) AS BIGINT) AS n_words,
+         array_to_string(ws[(i * $stride + 1):(i * $stride + $width)], ' ')
+           AS chunk_text
+       FROM n, UNNEST(range(n_extra + 1)) AS t(i)
+       ORDER BY doc_id, chunk_id"""
 }

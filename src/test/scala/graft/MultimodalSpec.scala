@@ -237,6 +237,34 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("spectral peak recovers the planted bin through the RIFF round-trip") {
+    val rows = Multimodal.spectralPeak(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == 256L, s"doc $id n_samples")
+      assert(r.getLong(2) == 3 + id % 60,
+        s"doc $id: Goertzel argmax missed the planted tone")
+    }
+    // off-schedule sanity: a two-tone clip must pick the louder bin
+    val n = 256
+    val bb = java.nio.ByteBuffer.allocate(n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach { i =>
+      val v = 9000.0 * math.sin(2 * math.Pi * 11 * i / n) +
+        3000.0 * math.sin(2 * math.Pi * 40 * i / n)
+      bb.putShort(math.round(v).toShort)
+    }
+    val s = Multimodal.decodeWavPcm(Multimodal.wavPayload(8000, bb.array()))
+    val powers = (1 until n / 2).map { b =>
+      val wc = 2.0 * math.cos(2.0 * math.Pi * b / n)
+      var s1 = 0.0; var s2 = 0.0
+      s.foreach { v => val s0 = v + wc * s1 - s2; s2 = s1; s1 = s0 }
+      b -> (s1 * s1 + s2 * s2 - wc * s1 * s2)
+    }
+    assert(powers.maxBy(_._2)._1 == 11, "two-tone argmax")
+  }
+
   test("dhash64: brightness-shift invariant, scene-separating") {
     def scenePx(scene: Long, off: Int): Array[Byte] =
       Array.tabulate(18 * 16 * 3) { i =>

@@ -285,6 +285,117 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("boilerplate: per-source repeated segments stripped, reassembly ordered") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def segsOf(text: String): Seq[String] =
+      text.split(" ", -1).grouped(8).map(_.mkString(" ")).toSeq
+    // truth: distinct-doc frequency per (source, segment)
+    val freq = docs.flatMap { case (id, src, t) =>
+      segsOf(t).distinct.map(s => (src, s, id))
+    }.groupBy(x => (x._1, x._2)).map { case (k, v) => k -> v.length }
+    val truth = docs.map { case (id, src, t) =>
+      val segs = segsOf(t)
+      val kept = segs.filter(s => freq((src, s)) < 2)
+      id -> ((segs.length.toLong, (segs.length - kept.length).toLong,
+        kept.mkString(" ")))
+    }.toMap
+    val got = operators.TextAnalysis.boilerplate(spark, sf).collect()
+    assert(got.length == docs.length, "one row per doc")
+    got.foreach { r =>
+      val (nSeg, nBoiler, clean) = truth(r.getLong(0))
+      assert(r.getLong(2) == nSeg && r.getLong(3) == nBoiler,
+        s"doc ${r.getLong(0)}: seg counts diverge from in-memory truth")
+      assert(r.getString(5) == clean,
+        s"doc ${r.getLong(0)}: cleaned text diverges")
+    }
+    // the op must be non-degenerate on this corpus: planted duplicate
+    // docs share all segments, so boilerplate exists
+    assert(got.exists(_.getLong(3) > 0), "no boilerplate found at all")
+    assert(got.exists(_.getLong(3) == 0), "everything flagged boilerplate")
+  }
+
+  test("perplexity: matches the in-memory smoothed bigram model exactly") {
+    val texts = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val bigrams = texts.flatMap(t => t._2.zip(t._2.tail))
+    val cb = bigrams.groupBy(identity).map { case (k, v) => k -> v.length }
+    val cu = bigrams.groupBy(_._1).map { case (k, v) => k -> v.length }
+    val vsz = texts.flatMap(_._2).distinct.length.toDouble
+    val got = operators.TextAnalysis.perplexity(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    texts.foreach { case (id, ws) =>
+      val bs = ws.zip(ws.tail)
+      val nll = bs.map { b =>
+        -math.log((cb(b) + 0.5) / (cu(b._1) + 0.5 * vsz))
+      }.sum / bs.length
+      val (n, gotNll) = got(id)
+      assert(n == bs.length, s"doc $id bigram count")
+      assert(math.abs(gotNll -
+        BigDecimal(nll).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble) < 5e-5, s"doc $id nll $gotNll vs $nll")
+    }
+    // order sensitivity: the model is conditional, not bag-of-words —
+    // corpus-wide nll must be positive and finite
+    assert(got.values.forall(v => v._2 > 0 && !v._2.isNaN))
+  }
+
+  test("classifier score: dyadic weights reproduce the exact logit") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(term: String): Long = {
+      val hex = md.digest(term.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 2)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val texts = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val got = operators.TextAnalysis.classifierScore(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    texts.foreach { case (id, ws) =>
+      // the weight sum is exact (dyadic rationals), so the comparison
+      // is equality after the same single division and rounding
+      val sum = ws.map(w =>
+        (bucket(w) * 2654435761L) % 65536L / 65536.0 - 0.5).sum
+      val logit = BigDecimal(sum / ws.length * 4.0 - 0.125)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (n, gotLogit, keep) = got(id)
+      assert(n == ws.length && gotLogit == logit,
+        s"doc $id logit $gotLogit vs $logit")
+      assert(keep == (gotLogit > 0.0))
+    }
+  }
+
+  test("chunk: windows cover every word, overlap consistent, tail short") {
+    val width = 64; val stride = 48
+    val texts = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val got = operators.TextAnalysis.chunk(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    assert(got.size == texts.length)
+    texts.foreach { case (id, ws) =>
+      val chunks = got(id).sortBy(_.getLong(1))
+      val nExtra = if (ws.length <= width) 0
+        else math.ceil((ws.length - width).toDouble / stride).toInt
+      assert(chunks.length == nExtra + 1, s"doc $id chunk count")
+      chunks.foreach { c =>
+        val i = c.getLong(1).toInt
+        val expect = ws.slice(i * stride, i * stride + width)
+        assert(c.getString(4) == expect.mkString(" "),
+          s"doc $id chunk $i text")
+        assert(c.getLong(3) == expect.length, s"doc $id chunk $i n_words")
+        assert(c.getLong(2) == i * stride + 1)
+      }
+      // coverage: the union of windows is exactly the word range
+      assert(chunks.map(c => c.getLong(2) + c.getLong(3) - 1).max ==
+        ws.length)
+    }
+  }
+
   test("collocations: bounded by topN, support floor holds, PMI favors rare pairs") {
     val rows = TextAnalysis.collocations(spark, sf).collect()
     assert(rows.length <= 20 && rows.nonEmpty)
