@@ -57,6 +57,7 @@ object SparkEntry {
     "q39_attribution" -> (Relational.q39Attribution(_, _)),
     "q40_nested_exists" -> (Relational.q40NestedExists(_, _)),
     "q41_sliding_window" -> (Relational.q41SlidingWindow _),
+    "q43_dormant_customers" -> ((s, d) => Relational.q43DormantCustomers(s, d)),
     // A'. warehouse shapes: runtime bloom filter, band lookup, SCD2
     "q30_bloom_semi" -> (Warehouse.q30BloomSemi _),
     "q31_range_lookup" -> (Warehouse.q31RangeLookup _),
@@ -212,6 +213,7 @@ object SparkEntry {
     "stream_enrich" -> (graft.streaming.EventStreams.enrichBatch _),
     "stream_cdc_merge" -> (graft.streaming.EventStreams.cdcMergeBatch _),
     "stream_cm_window" -> (graft.streaming.EventStreams.cmWindowChecked _),
+    "stream_op_status" -> (graft.streaming.EventStreams.opStatusBatch _),
     // F. malformed-media quarantine: per (kind, verdict, reason) triage
     // counts over a deterministically damaged corpus. Oracle-checked:
     // the damage schedule (doc_id % 17) and each parser's typed verdict
@@ -720,6 +722,26 @@ object SparkEntry {
            count(*) AS n_events,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
          FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
+    // Q22 shape: scalar-avg threshold (float-pinned then floor-rounded
+    // to a cent — partial-sum ulp drift collapses before the cut) +
+    // NOT EXISTS as anti join
+    "q43_dormant_customers" ->
+      """WITH cust AS (SELECT c_custkey, c_acctbal,
+           c_nationkey % 25 AS cntrycode FROM customer
+           WHERE c_nationkey % 25 IN (3, 7, 11, 15, 19)),
+         a AS (SELECT floor(CAST(CAST(avg(c_acctbal) AS FLOAT) AS DOUBLE)
+             * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             / CAST(100.0 AS DOUBLE) AS avg_bal
+           FROM cust WHERE c_acctbal > 0),
+         buyers AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+         SELECT cntrycode, count(*) AS n_cust,
+           round(sum(c_acctbal), 2) AS total_bal
+         FROM cust, a
+         WHERE c_acctbal > avg_bal
+           AND NOT EXISTS (SELECT 1 FROM buyers
+             WHERE o_custkey = c_custkey)
+         GROUP BY cntrycode ORDER BY cntrycode""",
     // tie-free rank statistics: unique (bal, custkey) ordering key
     "q38_deciles" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,
@@ -2014,6 +2036,27 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
            count(*) AS n_events, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // operation live status: an accepted finish exists iff the
+    // greatest finish key exceeds the least start key — two
+    // commutative extrema, so batch, stream state and oracle agree
+    // regardless of arrival order
+    "stream_op_status" ->
+      """WITH ev AS (SELECT user_id AS op_id,
+           CASE event_type WHEN 'signup' THEN 'start'
+             WHEN 'purchase' THEN 'finish' ELSE 'log' END AS action,
+           lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+             lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+         FROM events),
+         a AS (SELECT op_id,
+           min(CASE WHEN action = 'start' THEN k END) AS s,
+           max(CASE WHEN action = 'finish' THEN k END) AS f,
+           count(*) AS n_events FROM ev GROUP BY 1)
+         SELECT op_id,
+           CASE WHEN s IS NOT NULL AND f > s THEN 'complete'
+             WHEN s IS NOT NULL THEN 'running'
+             ELSE 'idle' END AS status,
+           n_events
+         FROM a ORDER BY op_id""",
     // CDC merge: last (ts, event_id) op per key wins; keys whose last
     // op is a delete ('error' events) are absent from the state table
     "stream_cdc_merge" ->

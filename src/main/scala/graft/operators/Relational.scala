@@ -800,4 +800,45 @@ object Relational {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("n_users"))
       .orderBy(col("window_start"), col("event_type"))
+
+  /** TPC-H Q22 shape — global-scalar filter + anti join: "promising
+    * dormant customers" — above-average balance (average over the
+    * positive-balance population of selected country codes) with no
+    * orders since the cutoff (lapsed, not never-seen — every customer
+    * in this corpus has SOME order), rolled up per country code. The
+    * two classic decorrelations in one query: the scalar AVG subquery
+    * becomes a one-row broadcast cross (never a driver action), and
+    * NOT EXISTS (recent orders) becomes a LEFT_ANTI join.
+    *
+    * Scale posture: the anti join's big side is pre-shrunk to DISTINCT
+    * recent-order custkeys (the date filter pushes into the orders
+    * scan, then a partial-agg) before it meets customers; the
+    * selective code filter pushes into both customer scans; the final
+    * rollup is code-sized. Country code stands in for the reference's
+    * substring(c_phone) — derived from c_nationkey, the same selective
+    * dim-attribute shape. */
+  def q43DormantCustomers(spark: SparkSession, dir: String,
+                          codes: Seq[Int] = Seq(3, 7, 11, 15, 19),
+                          cutoff: String = "2000-01-01"): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .withColumn("cntrycode", col("c_nationkey") % 25)
+      .filter(col("cntrycode").isin(codes.map(Integer.valueOf): _*))
+    // float-pin the threshold (qualityReport precedent): balances are
+    // 2-decimal doubles, so the partial-sum order COULD move the avg by
+    // an ulp; collapsing to float before the floor-round makes the
+    // cut value bitwise-identical across engines and partitionings
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg((floor(avg(col("c_acctbal")).cast("float").cast("double")
+        * 100.0 + 0.5) / 100.0).as("avg_bal"))
+    val buyers = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(cutoff).cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(buyers, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("cntrycode"))
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum(col("c_acctbal")), 2).as("total_bal"))
+      .orderBy(col("cntrycode"))
+  }
 }

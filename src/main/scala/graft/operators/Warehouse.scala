@@ -130,13 +130,22 @@ object Warehouse {
     * unique, lexicographically time-ordered, and identical to build in
     * the oracle's SQL dialect. */
   def q42OpLog(spark: SparkSession, dir: String): DataFrame =
-    opLogReplay(Tables.events(spark, dir).select(
+    opLogReplay(opEventsOf(Tables.events(spark, dir)))
+
+  /** The operation-event view of the raw event stream — ONE definition
+    * shared by the batch replay, the status rollup and the streaming
+    * twin: op key = user, signup/purchase = start/finish, the rest are
+    * logs; `k` is the zero-padded (epoch micros, event_id) string — a
+    * unique, lexicographically time-ordered sort key that the oracle
+    * dialect rebuilds identically. */
+  def opEventsOf(events: DataFrame): DataFrame =
+    events.select(
       col("user_id").as("op_id"), col("event_id"),
       when(col("event_type") === "signup", lit("start"))
         .when(col("event_type") === "purchase", lit("finish"))
         .otherwise(lit("log")).as("action"),
       concat(lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
-        lpad(col("event_id").cast("string"), 12, "0")).as("k")))
+        lpad(col("event_id").cast("string"), 12, "0")).as("k"))
 
   /** The replay itself, over any (op_id, event_id, action, k) frame
     * where `k` is a unique, time-ordered sort key per event. */

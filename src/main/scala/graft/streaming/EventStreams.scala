@@ -23,6 +23,12 @@ case class CdcState(ts: Timestamp, eventId: Long, op: String,
 case class AnomalyHit(user_id: Long, event_id: Long, ts: Timestamp,
                       value: Double, zscore: Double, n_prev: Long)
 
+/** Per-operation live-status state: least start key, greatest finish
+  * key, event count — all commutative folds, so arrival order (within
+  * or across batches) cannot change the converged value. Null string =
+  * none seen. */
+case class OpStatusState(minStart: String, maxFinish: String, n: Long)
+
 /** Event-stream analytics in Structured Streaming form, with
   * batch-equivalent definitions of the same transforms.
   *
@@ -569,6 +575,72 @@ object EventStreams {
     * n_ops counts delivered records, so source-level duplicate
     * DELIVERY — at-least-once upstream — inflates the audit count but
     * never the materialized value.) */
+  // ---- operation live-status view ----
+
+  /** Batch semantics of the reference's "is this operation running?"
+    * live view (operation.js isStarted/isCompleted over the op +
+    * operations_logs tables): status per operation derived from the
+    * [[graft.operators.Warehouse.opEventsOf]] event view. The full
+    * per-event replay (q42_op_log) needs event order; the STATUS alone
+    * collapses to two commutative extrema — an accepted finish exists
+    * iff the greatest finish key exceeds the least start key — so the
+    * rollup is ONE partial-agg groupBy with no window, and the
+    * streaming twin can hold fixed-size, order-insensitive state. */
+  def opStatus(events: DataFrame): DataFrame =
+    graft.operators.Warehouse.opEventsOf(events)
+      .groupBy(col("op_id"))
+      .agg(min(when(col("action") === "start", col("k"))).as("s"),
+        max(when(col("action") === "finish", col("k"))).as("f"),
+        count(lit(1)).as("n_events"))
+      .select(col("op_id"),
+        when(col("s").isNotNull && col("f") > col("s"), lit("complete"))
+          .when(col("s").isNotNull, lit("running"))
+          .otherwise(lit("idle")).as("status"),
+        col("n_events"))
+
+  def opStatusBatch(spark: SparkSession, dir: String): DataFrame =
+    opStatus(Tables.events(spark, dir)).orderBy(col("op_id"))
+
+  /** Streaming twin: GroupState holds [[OpStatusState]] — two string
+    * extrema and a count per operation, fixed size forever. Because
+    * every fold is commutative and associative, out-of-order delivery
+    * across micro-batches converges to exactly the batch table (the
+    * spec feeds a shuffled two-batch split and compares). Emits the
+    * operation's CURRENT status row each batch — the live dashboard
+    * row the reference serves from Postgres. */
+  def opStatusStream(events: Dataset[EventRow]): Dataset[(Long, String, Long)] = {
+    import events.sparkSession.implicits._
+    def kOf(e: EventRow): String = {
+      val micros = math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+        (e.ts.getNanos / 1000L) % 1000000L
+      f"$micros%020d${e.event_id}%012d"
+    }
+    def step(opId: Long, it: Iterator[EventRow],
+             state: GroupState[OpStatusState]): Iterator[(Long, String, Long)] = {
+      var st = state.getOption.getOrElse(OpStatusState(null, null, 0L))
+      it.foreach { e =>
+        val k = kOf(e)
+        val isStart = e.event_type == "signup"
+        val isFinish = e.event_type == "purchase"
+        st = OpStatusState(
+          if (isStart && (st.minStart == null || k < st.minStart)) k
+          else st.minStart,
+          if (isFinish && (st.maxFinish == null || k > st.maxFinish)) k
+          else st.maxFinish,
+          st.n + 1L)
+      }
+      state.update(st)
+      val status =
+        if (st.minStart != null && st.maxFinish != null &&
+          st.maxFinish > st.minStart) "complete"
+        else if (st.minStart != null) "running"
+        else "idle"
+      Iterator.single((opId, status, st.n))
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(step)
+  }
+
   def cdcMergeStream(events: Dataset[EventRow]): Dataset[(Long, Double, Timestamp, Long, Boolean)] = {
     import events.sparkSession.implicits._
     def step(userId: Long, it: Iterator[EventRow],

@@ -384,6 +384,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(!last(3L).getBoolean(4) && last(3L).getDouble(1) == 7.0)
   }
 
+  test("opStatus: batch rollup matches stream state under out-of-order " +
+    "multi-batch delivery") {
+    import spark.implicits._
+    // op 1 completes (signup then purchase); op 2 starts only; op 3
+    // never starts; op 4's purchase PRECEDES its signup (finish key <
+    // start key -> still just running, not complete)
+    val log = Seq(
+      Ev(1, t(0), 1, "signup", 0.0), Ev(2, t(5), 1, "view", 0.0),
+      Ev(3, t(9), 1, "purchase", 1.0),
+      Ev(4, t(1), 2, "signup", 0.0), Ev(5, t(3), 2, "click", 0.0),
+      Ev(6, t(7), 3, "view", 0.0),
+      Ev(7, t(8), 4, "purchase", 1.0), Ev(8, t(12), 4, "signup", 0.0))
+    val batch = EventStreams.opStatus(log.toDF()).orderBy("op_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(batch == Seq((1L, "complete", 3L), (2L, "running", 2L),
+      (3L, "idle", 1L), (4L, "running", 2L)))
+
+    // deliver in two SHUFFLED batches (op 1's finish arrives before its
+    // start): the commutative state must still converge to the batch
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.opStatusStream(mem.toDF().as[EventRow])
+      .toDF("op_id", "status", "n_events")
+      .writeStream.format("memory").queryName("opstat_out")
+      .outputMode("update").start()
+    mem.addData(Seq(log(2), log(7), log(4), log(5)): _*)
+    q.processAllAvailable()
+    mem.addData(Seq(log(0), log(1), log(3), log(6)): _*)
+    q.processAllAvailable(); q.stop()
+    val last = spark.table("opstat_out").collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) =>
+        (k, rs.maxBy(_.getLong(2)).getString(1),
+          rs.map(_.getLong(2)).max) }.toSeq.sortBy(_._1)
+    assert(last == batch, s"stream state diverged: $last vs $batch")
+  }
+
   test("sketchWindowChecked: every per-window sketch verdict is true") {
     val rows = EventStreams.sketchWindowChecked(spark, sf).collect()
     assert(rows.nonEmpty)
