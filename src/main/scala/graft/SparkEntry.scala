@@ -109,6 +109,7 @@ object SparkEntry {
     "ann_brute_topk" -> ((s, d) => Similarity.bruteTopK(s, d)),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "ann_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
+    "ann_recall_eval" -> ((s, d) => Similarity.annRecallEval(s, d)),
     "emb_diversity_sample" -> ((s, d) => Similarity.diversitySample(s, d)),
     "pipeline_dedup_sample" -> ((s, d) => Similarity.dedupDiversitySample(s, d)),
     "emb_outliers" -> ((s, d) => Similarity.outliers(s, d)),
@@ -141,6 +142,7 @@ object SparkEntry {
     "text_pack_bpe" -> ((s, d) => TextAnalysis.packBpe(s, d)),
     "text_span_dedup" -> ((s, d) => TextAnalysis.spanDedup(s, d)),
     "dedup_incremental" -> (Dedup.incremental _),
+    "dedup_cdc_chunks" -> ((s, d) => Dedup.cdcChunks(s, d)),
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
     "text_mad_outliers" -> ((s, d) => TextAnalysis.madOutliers(s, d)),
     "text_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
@@ -1452,6 +1454,45 @@ object SparkEntry {
            FROM sel JOIN q ON q.qid = sel.qid JOIN e ON e.vec_id = sel.cid)
            t
          WHERE rk <= 5 ORDER BY qid, rk""",
+    // index-health recall@k: both the exact truth and the IVF probe
+    // restate in SQL (same CTEs as ann_brute/ann_ivf), so the per-query
+    // hit counts — and therefore the recall the index would ship with —
+    // hash-check; n_hit/k lands on exact tenths under the frac4 pin
+    "ann_recall_eval" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         truth AS (SELECT qid, cid FROM (
+           SELECT q.qid, e.vec_id AS cid,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id)
+               AS rk
+           FROM q, e WHERE e.vec_id <> q.qid) t WHERE rk <= 5),
+         seeds AS (SELECT vec_id AS cell, v AS sv FROM e WHERE vec_id < 16),
+         asg AS (SELECT cid, cv, cell FROM (
+           SELECT a.vec_id AS cid, a.v AS cv, s.cell,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(a.v, s.sv) DESC, s.cell)
+               AS rn
+           FROM e a, seeds s) t WHERE rn = 1),
+         probes AS (SELECT qid, qv, cell FROM (
+           SELECT q.qid, q.qv, s.cell,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(q.qv, s.sv) DESC, s.cell)
+               AS rn
+           FROM q, seeds s) t WHERE rn <= 4),
+         approx AS (SELECT qid, cid FROM (
+           SELECT p.qid, a.cid,
+             row_number() OVER (PARTITION BY p.qid
+               ORDER BY list_cosine_similarity(p.qv, a.cv) DESC, a.cid)
+               AS rk
+           FROM probes p JOIN asg a USING (cell)
+           WHERE a.cid <> p.qid) t WHERE rk <= 5),
+         hits AS (SELECT t.qid, count(*) AS n_hit FROM truth t
+           JOIN approx x ON t.qid = x.qid AND t.cid = x.cid GROUP BY 1)
+         SELECT q.qid, coalesce(n_hit, 0) AS n_hit,
+           floor(coalesce(n_hit, 0) / CAST(5.0 AS DOUBLE)
+             * 10000.0 + 0.5) / 10000.0 AS recall
+         FROM q LEFT JOIN hits ON q.qid = hits.qid ORDER BY q.qid""",
     // semantic dedup end-to-end: the pair predicate, the undirected
     // closure, and the survivor cut all restate in SQL, so one hash
     // pins the whole composition. The oracle predicate is the label-FREE
@@ -1668,6 +1709,10 @@ object SparkEntry {
          ORDER BY train_doc, eval_doc""",
     // arriving batch (doc_id % 5 == 4) classified against the existing
     // corpus; same normalization expression as text_normalize_dedup
+    // content-defined chunking: boundaries from word-hash buckets, so
+    // both engines derive identical chunk spans; chunk identity is md5
+    // of the rejoined words and the verdict is an exact distinct count
+    "dedup_cdc_chunks" -> operators.Dedup.cdcChunksOracle(),
     "dedup_incremental" ->
       """WITH d AS (SELECT doc_id, md5(text) AS h_exact,
            md5(trim(regexp_replace(regexp_replace(lower(text),

@@ -58,6 +58,86 @@ object Dedup {
         col("row.n_chars"))
       .orderBy(col("doc_id"))
 
+  /** CONTENT-DEFINED chunk dedup — the rsync/LBFS technique applied to
+    * documents: chunk boundaries are declared wherever a word's own
+    * hash satisfies a bucket test (md5 first-byte % `boundaryMod` ==
+    * 0), so boundaries travel WITH the content — insert a paragraph
+    * and every chunk after it still re-aligns, which is exactly what
+    * the fixed-stride segmenting in text_boilerplate cannot do.
+    * Chunks are hashed (md5 of the rejoined words) and counted across
+    * the corpus; a doc's chunk is duplicated when its hash occurs in
+    * >= 2 distinct documents.
+    *
+    * Scale posture: the boundary flag is pure map-side; the chunk-id
+    * assignment is one running sum over each doc's own (pos) window —
+    * per-doc partitions, bounded by document length, never a corpus
+    * sort; chunk assembly is a per-(doc, chunk) partial agg; the
+    * cross-corpus count shuffles (chunk_hash, doc) pairs once; the
+    * verdict joins back on chunk_hash (hot boilerplate chunks are
+    * single count-side rows in a hash join). */
+  def cdcChunks(spark: SparkSession, dir: String,
+                boundaryMod: Int = 8): DataFrame = {
+    val hex = "0123456789abcdef"
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+    val bucket =
+      (expr(s"locate(substring(md5(cast(word as binary)), 1, 1), '$hex') - 1")
+        * 16 +
+        expr(s"locate(substring(md5(cast(word as binary)), 2, 1), '$hex') - 1"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val chunks = words
+      .withColumn("b",
+        when(bucket % boundaryMod === 0, 1L).otherwise(0L))
+      .withColumn("chunk_id", sum(col("b")).over(wDoc))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("word")))),
+          s => s.getField("word")), " ").as("chunk_text"))
+      .select(col("doc_id"), col("chunk_id"),
+        md5(col("chunk_text").cast("binary")).as("ch"))
+    val freq = chunks.groupBy(col("ch"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    chunks.join(freq.hint("shuffle_hash"), Seq("ch"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        (floor(col("n_dup_chunks") / col("n_chunks") * 10000.0 + 0.5)
+          / 10000.0).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB restatement of [[cdcChunks]]. */
+  def cdcChunksOracle(boundaryMod: Int = 8): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+         FROM documents),
+       tok AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[i + 1] AS word
+         FROM w, UNNEST(range(len(ws))) AS t(i)),
+       b AS (SELECT doc_id, pos, word,
+           CASE WHEN ((strpos('0123456789abcdef',
+               substring(md5(word), 1, 1)) - 1) * 16
+             + strpos('0123456789abcdef', substring(md5(word), 2, 1)) - 1)
+             % $boundaryMod = 0 THEN 1 ELSE 0 END AS bf
+         FROM tok),
+       c AS (SELECT doc_id, pos, word,
+           sum(bf) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS UNBOUNDED PRECEDING) AS chunk_id
+         FROM b),
+       ch AS (SELECT doc_id, chunk_id,
+           md5(string_agg(word, ' ' ORDER BY pos)) AS ch
+         FROM c GROUP BY 1, 2),
+       freq AS (SELECT ch, count(DISTINCT doc_id) AS nd
+         FROM ch GROUP BY 1)
+       SELECT doc_id, count(*) AS n_chunks,
+         CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_chunks,
+         floor(CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) * 10000.0 + 0.5) / 10000.0 AS dup_frac
+       FROM ch JOIN freq USING (ch) GROUP BY doc_id ORDER BY doc_id"""
+
   /** Incremental-ingest dedup: classify an arriving batch (doc_id % 5 ==
     * 4 stands in for the new shard) against the EXISTING corpus — the
     * operation an append-only 100 TB pipeline runs on every delivery,

@@ -113,6 +113,35 @@ object Similarity {
     finishTopK(scored, k)
   }
 
+  /** ANN index-health evaluation — recall@k of the IVF probe against
+    * the exact brute-force truth, per query and pinned exactly: the
+    * go/no-go metric every approximate index ships with (is nProbe/
+    * nCells tuned well enough to serve?). Composes [[bruteTopK]] and
+    * [[ivfTopK]] unchanged; the eval itself is a LEFT_SEMI join and a
+    * count over two (nQueries x k)-sized frames — output-sized work on
+    * top of whatever the two index scans cost, so it inherits their
+    * scale posture. A query spine left join keeps recall-zero queries
+    * visible (vanishing rows is how eval jobs lie). recall = n_hit/k
+    * lands on exact tenths, so frac4 pins it bitwise. */
+  def annRecallEval(spark: SparkSession, dir: String, k: Int = K,
+                    nQueries: Int = NQueries): DataFrame = {
+    val truth = bruteTopK(spark, dir, k, nQueries)
+      .select(col("qid"), col("cid"))
+    val approx = ivfTopK(spark, dir, k, nQueries)
+      .select(col("qid"), col("cid"))
+    // both sides are (nQueries x k)-sized; the semi join must broadcast
+    // (derived frames carry no stats, so left alone Spark sort-merges)
+    val hits = truth.join(broadcast(approx), Seq("qid", "cid"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    emb(spark, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"))
+      .join(broadcast(hits), Seq("qid"), "left_outer")
+      .select(col("qid"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (floor(coalesce(col("n_hit"), lit(0L)) / lit(k.toDouble)
+          * 10000.0 + 0.5) / 10000.0).as("recall"))
+      .orderBy(col("qid"))
+  }
+
   /** Cosine near-duplicate pairs, blocked on the `label` metadata column
     * (an equi-join key, so the pair generation shuffles by label instead
     * of going quadratic over the corpus).

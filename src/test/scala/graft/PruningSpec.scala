@@ -75,7 +75,18 @@ class PruningSpec extends AnyFunSuite {
       // emb_pca: the one-row mean-array / n / norm / Rayleigh scalar
       // frames crossed onto dims-sized frames by design — nothing
       // corpus-sized ever meets a nested loop
-      "emb_pca")
+      "emb_pca",
+      // q43: the one-row float-pinned avg-balance scalar crossed onto
+      // the code-filtered customers (the anti join is the asserted
+      // hash join)
+      "q43_dormant_customers",
+      // ann_recall_eval composes bruteTopK + ivfTopK, inheriting their
+      // declared query x candidate crosses; the eval itself is an
+      // output-sized semi join
+      "ann_recall_eval",
+      // text_perplexity: the one-row vocabulary-size scalar (the add-k
+      // smoothing denominator) crossed onto the bigram frame by design
+      "text_perplexity")
     // full-outer equi-joins cannot broadcast (both sides must preserve
     // unmatched rows), so a shuffle join IS the correct plan there
     val smjAllowed = Set("q26_full_outer")

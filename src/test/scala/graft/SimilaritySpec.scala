@@ -66,6 +66,27 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("recall eval: per-query hits equal a hand recompute; full probe = 1.0") {
+    val rows = Similarity.annRecallEval(spark, sf).collect()
+    assert(rows.length == Similarity.NQueries, "one row per query, " +
+      "including any recall-zero query")
+    // independent recompute from the two top-k sets
+    val truth = Similarity.bruteTopK(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getLong(2)).toSet }
+    val approx = Similarity.ivfTopK(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getLong(2)).toSet }
+    rows.foreach { r =>
+      val q = r.getLong(0)
+      val expect = (truth(q) intersect approx.getOrElse(q, Set.empty)).size
+      assert(r.getLong(1) == expect.toLong, s"query $q hit count")
+      assert(r.getDouble(2) == expect.toDouble / Similarity.K,
+        s"query $q recall")
+    }
+    assert(rows.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+  }
+
   test("LSH near-dup: perfect precision, bounded recall vs brute force") {
     import spark.implicits._
     val e = Tables.embeddings(spark, sf)

@@ -116,6 +116,50 @@ class TextDedupSpec extends AnyFunSuite {
     assert(sums == nDocs)
   }
 
+  test("cdc chunks: boundaries travel with content, counts match recompute") {
+    import org.apache.spark.sql.functions.col
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(w: String): Int = {
+      val d = md.digest(w.getBytes("UTF-8"))
+      java.lang.Integer.parseInt(d.take(1).map("%02x".format(_)).mkString, 16)
+    }
+    def chunksOf(text: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[List[String]]()
+      var cur = List.empty[String]
+      text.split(" ", -1).foreach { w =>
+        if (bucket(w) % 8 == 0) { // boundary word starts a new chunk
+          if (cur.nonEmpty) out += cur
+          cur = List(w)
+        } else cur = cur :+ w
+      }
+      if (cur.nonEmpty) out += cur
+      out.map(_.mkString(" ")).toSeq
+    }
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val freq = docs.flatMap { case (id, t) => chunksOf(t).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (c, v) => c -> v.length }
+    val got = operators.Dedup.cdcChunks(spark, sf).collect()
+    assert(got.length == docs.length)
+    got.foreach { r =>
+      val (_, text) = docs.find(_._1 == r.getLong(0)).get
+      val cs = chunksOf(text)
+      assert(r.getLong(1) == cs.length.toLong,
+        s"doc ${r.getLong(0)} chunk count")
+      val dup = cs.count(c => freq(c) >= 2)
+      assert(r.getLong(2) == dup.toLong, s"doc ${r.getLong(0)} dup chunks")
+    }
+    // the property fixed-stride segmentation lacks: a leading insertion
+    // shifts every 8-word window, but CDC boundaries re-align
+    val base = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    val shifted = "INSERTED " + base
+    val cb = chunksOf(base.trim).toSet
+    val cs2 = chunksOf(shifted.trim).toSet
+    assert((cb intersect cs2).size >= cb.size - 2,
+      "content-defined chunks did not re-align after an insertion")
+  }
+
   test("hash64 is deterministic and spread") {
     val a = TextHash.hash64(UTF8String.fromString("spark"))
     val b = TextHash.hash64(UTF8String.fromString("spark"))
