@@ -58,6 +58,7 @@ object SparkEntry {
     "q40_nested_exists" -> (Relational.q40NestedExists(_, _)),
     "q41_sliding_window" -> (Relational.q41SlidingWindow _),
     "q43_dormant_customers" -> ((s, d) => Relational.q43DormantCustomers(s, d)),
+    "q44_top_supplier" -> ((s, d) => Relational.q44TopSupplier(s, d)),
     // A'. warehouse shapes: runtime bloom filter, band lookup, SCD2
     "q30_bloom_semi" -> (Warehouse.q30BloomSemi _),
     "q31_range_lookup" -> (Warehouse.q31RangeLookup _),
@@ -92,6 +93,7 @@ object SparkEntry {
     "geo_isochrone" -> ((s, d) => Routing.isochroneCoverage(s, d)),
     "geo_areal_interp" -> ((s, d) => Accessibility.arealInterp(s, d)),
     "geo_hex_assign" -> ((s, d) => Accessibility.hexAssign(s, d)),
+    "geo_dbscan" -> ((s, d) => Accessibility.gridDensity(s, d)),
     "graph_kcore" -> ((s, d) => Graph.kcore(s, d)),
     "graph_jaccard" -> ((s, d) => Graph.jaccardLinks(s, d)),
     // C. deduplication
@@ -150,6 +152,7 @@ object SparkEntry {
     "text_perplexity" -> ((s, d) => TextAnalysis.perplexity(s, d)),
     "text_classifier_score" -> ((s, d) => TextAnalysis.classifierScore(s, d)),
     "text_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
+    "text_gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(s, d)),
     "text_domain_mix" -> ((s, d) => TextAnalysis.domainMix(s, d)),
     "text_pii" -> (TextAnalysis.pii _),
     "pipeline_curate" -> ((s, d) => TextAnalysis.curate(s, d)),
@@ -168,6 +171,7 @@ object SparkEntry {
     "sketch_quantiles" -> ((s, d) => Sketches.valueQuantilesChecked(s, d)),
     "sketch_heavy_hitters" -> ((s, d) => Sketches.heavyHitters(s, d)),
     "sketch_countmin" -> ((s, d) => Sketches.countMin(s, d)),
+    "sketch_hll_union" -> ((s, d) => Sketches.hllUnion(s, d)),
     // F. multimodal feature extraction — oracle-checked since r5 on the
     // closed-form columns: byte_len is container overhead + UTF-8 text
     // bytes, width/height/n_frames are the planted header fields the
@@ -744,6 +748,24 @@ object SparkEntry {
            AND NOT EXISTS (SELECT 1 FROM buyers
              WHERE o_custkey = c_custkey)
          GROUP BY cntrycode ORDER BY cntrycode""",
+    // Q15 shape: per-supplier windowed revenue view + scalar max; every
+    // revenue float-pins then floor-rounds to a cent BEFORE the
+    // max/equality compare, so sum-order drift cannot flip is_top
+    "q44_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+           floor(CAST(CAST(sum(l_extendedprice
+               * (CAST(1.0 AS DOUBLE) - l_discount)) AS FLOAT) AS DOUBLE)
+             * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             / CAST(100.0 AS DOUBLE) AS total_rev
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY l_suppkey),
+         m AS (SELECT max(total_rev) AS max_rev FROM rev)
+         SELECT s_suppkey, s_name, total_rev, max_rev,
+           total_rev = max_rev AS is_top
+         FROM rev JOIN supplier ON s_suppkey = l_suppkey, m
+         ORDER BY s_suppkey""",
     // tie-free rank statistics: unique (bal, custkey) ordering key
     "q38_deciles" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,
@@ -1125,6 +1147,10 @@ object SparkEntry {
              AS BIGINT) AS clip_area
          FROM dims WHERE ox1 > ox0 AND oy1 > oy0
          ORDER BY n_nationkey, cell_x, cell_y""",
+    // grid-density DBSCAN surrogate: cell histogram + recursive-CTE
+    // closure over 8-connected core cells; coordinates, cell ids and
+    // the core/border/noise classification restate closed-form
+    "geo_dbscan" -> operators.Accessibility.gridDensityOracle(),
     // hex binning: floor(x+0.5) half-up both sides, IEEE-identical
     // axial/cube arithmetic, centers recomputed from the group keys
     "geo_hex_assign" ->
@@ -1835,6 +1861,9 @@ object SparkEntry {
       operators.TextAnalysis.classifierScoreOracle(),
     // sliding-window chunking: pure integer arithmetic + string slices
     "text_chunk" -> operators.TextAnalysis.chunkOracle(),
+    // Gopher rule battery: every feature a per-doc list fold, ratios
+    // frac4-pinned before the rule comparisons
+    "text_gopher_rules" -> operators.TextAnalysis.gopherRulesOracle(),
     // floor(x*1e4+0.5)/1e4 on both sides: small-integer ratios land on
     // exact decimal halves where the engines' round()s disagree
     "text_repetition" ->
@@ -2067,6 +2096,10 @@ object SparkEntry {
     // counters == 4 * n_events) — a degenerate "sketch" echoing the
     // exact truth would pass the verdicts but has no table whose mass
     // matches
+    // HLL mergeability: per-type sketches + union verdicts vs the
+    // exact distinct counts the oracle recomputes (estimates are
+    // engine-internal; a register-losing merge breaks __union__)
+    "sketch_hll_union" -> operators.Sketches.hllUnionOracle(),
     "sketch_countmin" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_true,
            TRUE AS ge_ok, TRUE AS eps_ok,

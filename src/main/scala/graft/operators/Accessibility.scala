@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.GeoFunctions.{point_in_poly, _}
@@ -463,4 +463,111 @@ object Accessibility {
         round(lit(sizeDeg) * (lit(1.5) * col("hr")), 4).as("center_lat"))
       .orderBy(col("hq"), col("hr"))
   }
+
+  /** GRID-DENSITY clustering (the distributed DBSCAN surrogate the
+    * spatial-analytics literature ships at scale — cell-level density
+    * instead of per-point epsilon balls): a cell is CORE when it holds
+    * >= minPts points; clusters are 8-connected components of core
+    * cells (label = min cell id); a point is `core` when its cell is
+    * core, `border` when a core cell touches its cell's 8-neighborhood,
+    * `noise` otherwise. Settlement detection over the origin villages —
+    * the reference's per-admin-area batching (index.js:62) upgraded to
+    * density-driven regions.
+    *
+    * Scale posture: the cell histogram is one map-side partial agg;
+    * everything after it operates on CELLS, whose count is bounded by
+    * the geographic extent / cellDeg^2 — a constant as the corpus
+    * grows, so the core set and its adjacency BROADCAST at any data
+    * scale and the component loop runs on a geography-sized graph,
+    * never a point-sized one. Points meet cluster labels through two
+    * broadcast hash joins (self cell, then neighborhood lookup) — the
+    * point frame is never shuffled at all before the oracle ORDER BY. */
+  def gridDensity(spark: SparkSession, dir: String,
+                  cellDeg: Double = 8.0, minPts: Long = 3): DataFrame = {
+    val cid = (cx: Column, cy: Column) => cx * 1000L + cy
+    val pts = origins(spark, dir)
+      .select(col("c_custkey"),
+        cellX(col("lon"), cellDeg).as("cx"),
+        cellY(col("lat"), cellDeg).as("cy"))
+    val core = pts.groupBy(col("cx"), col("cy"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minPts)
+      .select(col("cx"), col("cy"), cid(col("cx"), col("cy")).as("cid"))
+    // 8-neighborhood adjacency between core cells: each core cell emits
+    // its 3x3 stencil, met by the core set on the neighbor key. Both
+    // sides are geography-sized; the stencil fan-out is a fixed 9.
+    val offsets = array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
+      struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy")))): _*)
+    val stencil = core
+      .select(col("cid"), explode(offsets).as("o"))
+      .select(col("cid"), (col("o.dx") * 1000L + col("o.dy")
+        + col("cid")).as("ncid"))
+    val edges = stencil.filter(col("cid") =!= col("ncid"))
+      .join(broadcast(core.select(col("cid").as("ncid"))), Seq("ncid"))
+      .select(col("cid").as("src"), col("ncid").as("dst"))
+    val labels = Graph.minLabelComponents(edges, core.select(col("cid")))
+      .select(col("id").as("cid"), col("label").as("cluster"))
+    val coreLabeled = core.join(broadcast(labels), Seq("cid"))
+    // neighborhood lookup: min cluster label among core cells adjacent
+    // to each (non-core) position — built from the core side, so it is
+    // geography-sized and broadcasts
+    val nbhMin = coreLabeled
+      .select(col("cluster"), explode(offsets).as("o"),
+        col("cx"), col("cy"))
+      .select((col("cx") + col("o.dx")).as("cx"),
+        (col("cy") + col("o.dy")).as("cy"), col("cluster"))
+      .groupBy(col("cx"), col("cy"))
+      .agg(min(col("cluster")).as("nbh_cluster"))
+    val out = pts
+      .join(broadcast(coreLabeled.select(col("cx"), col("cy"),
+        col("cluster").as("own_cluster"))), Seq("cx", "cy"), "left")
+      .join(broadcast(nbhMin), Seq("cx", "cy"), "left")
+      .select(col("c_custkey"), col("cx"), col("cy"),
+        when(col("own_cluster").isNotNull, "core")
+          .when(col("nbh_cluster").isNotNull, "border")
+          .otherwise("noise").as("kind"),
+        coalesce(col("own_cluster"), col("nbh_cluster")).as("cluster"))
+      .orderBy(col("c_custkey"))
+      .localCheckpoint()
+    org.apache.spark.sql.graftbridge.SparkBridge.unpersistCheckpoint(
+      labels)
+    out
+  }
+
+  /** DuckDB restatement of [[gridDensity]]. */
+  def gridDensityOracle(cellDeg: Double = 8.0, minPts: Long = 3): String =
+    s"""WITH RECURSIVE pts AS (SELECT c_custkey,
+         CAST(floor((((c_custkey * 91 % 3600) / 10.0 - 180.0) + 180.0)
+           / CAST($cellDeg AS DOUBLE)) AS BIGINT) AS cx,
+         CAST(floor((((c_custkey * 37 % 1700) / 10.0 - 85.0) + 90.0)
+           / CAST($cellDeg AS DOUBLE)) AS BIGINT) AS cy
+         FROM customer),
+       core AS (SELECT cx, cy, cx * 1000 + cy AS cid FROM pts
+         GROUP BY cx, cy HAVING count(*) >= $minPts),
+       edges AS (SELECT a.cid AS src, b.cid AS dst
+         FROM core a JOIN core b
+         ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+           AND a.cid <> b.cid),
+       reach AS (SELECT src AS id, dst AS r FROM edges
+         UNION
+         SELECT t.id, e.dst FROM reach t JOIN edges e ON t.r = e.src),
+       labels AS (SELECT c.cid, LEAST(c.cid, coalesce(min(r.r),
+           c.cid)) AS cluster
+         FROM core c LEFT JOIN reach r ON r.id = c.cid GROUP BY c.cid),
+       cl AS (SELECT core.cx, core.cy, labels.cluster FROM core
+         JOIN labels ON labels.cid = core.cid),
+       nbh AS (SELECT p.cx + dx.d AS cx, p.cy + dy.d AS cy,
+           min(p.cluster) AS nbh_cluster
+         FROM cl p, (VALUES (-1), (0), (1)) dx(d),
+           (VALUES (-1), (0), (1)) dy(d)
+         GROUP BY 1, 2)
+       SELECT p.c_custkey, p.cx, p.cy,
+         CASE WHEN own.cluster IS NOT NULL THEN 'core'
+           WHEN nbh.nbh_cluster IS NOT NULL THEN 'border'
+           ELSE 'noise' END AS kind,
+         coalesce(own.cluster, nbh.nbh_cluster) AS cluster
+       FROM pts p
+       LEFT JOIN cl own ON own.cx = p.cx AND own.cy = p.cy
+       LEFT JOIN nbh ON nbh.cx = p.cx AND nbh.cy = p.cy
+       ORDER BY p.c_custkey"""
 }

@@ -841,4 +841,38 @@ object Relational {
         round(sum(col("c_acctbal")), 2).as("total_bal"))
       .orderBy(col("cntrycode"))
   }
+
+  /** TPC-H Q15 shape — the "who is the best supplier this quarter"
+    * view + scalar-max lookup (reference analog: the per-area result
+    * ranking the assembly step runs, index.js:519): per-supplier
+    * revenue over a shipdate window, then the supplier(s) whose
+    * revenue EQUALS the global max. The revenue view is one hash agg
+    * over the window-filtered lineitem scan (filter pushed to
+    * parquet); the max is a one-row partial-agg fold broadcast-crossed
+    * onto the view (never a window over all suppliers, never a second
+    * scan of lineitem); the supplier dim joins broadcast. Every
+    * per-supplier sum is float-pinned then floor-rounded to a cent
+    * (q43 precedent) BEFORE the max/equality compare, so partial-sum
+    * order drift can neither move the max nor flip a tie with it.
+    * Emitting the whole ranked view (not just the argmax rows) keeps
+    * the oracle hash over every supplier's revenue. */
+  def q44TopSupplier(spark: SparkSession, dir: String,
+                     from: String = "1996-01-01",
+                     until: String = "1996-04-01"): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg((floor(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("float").cast("double") * 100.0 + 0.5) / 100.0)
+        .as("total_rev"))
+    val maxRev = rev.agg(max(col("total_rev")).as("max_rev"))
+    rev.crossJoin(broadcast(maxRev))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"),
+        col("max_rev"), (col("total_rev") === col("max_rev")).as("is_top"))
+      .orderBy(col("s_suppkey"))
+  }
 }

@@ -175,4 +175,54 @@ object Sketches {
         col("cell_mass"))
       .orderBy(col("user_id"))
   }
+
+  /** Sketch MERGEABILITY demo — the property that makes sketches THE
+    * 100 TB distinct-count architecture: per-shard (here per
+    * event_type) DataSketches HLL sketches are built independently,
+    * then the corpus-wide distinct comes from UNIONING the stored
+    * sketches — no second scan of the data, which is how a warehouse
+    * answers "distinct users all-time" against append-only daily
+    * shards. Per-type sketches partial-aggregate map-side; the union
+    * folds sketch-type-sized state (groups x ~2^lgK bytes), never
+    * row-sized.
+    *
+    * Oracle shape: estimates are engine-internal (DataSketches HIP vs
+    * post-union composite estimators differ legitimately), so the
+    * output restates as exact counts + contract verdicts — each
+    * per-type estimate AND the union estimate must sit within 3x the
+    * configured RSE of the exact answer the oracle recomputes; a
+    * merge that lost or double-counted registers breaks the union
+    * verdict while the per-type rows still pass. */
+  def hllUnion(spark: SparkSession, dir: String,
+               lgK: Int = 12): DataFrame = {
+    val rse = 1.04 / math.sqrt((1L << lgK).toDouble)
+    val ev = Tables.events(spark, dir)
+    val perType = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"),
+        countDistinct(col("user_id")).as("exact_users"))
+    val typeRows = perType.select(col("event_type"),
+      col("exact_users"),
+      (abs(hll_sketch_estimate(col("sk")) - col("exact_users"))
+        <= greatest(lit(1.0), col("exact_users") * 3 * rse)).as("within"))
+    val unioned = perType.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("u_est"))
+    val exactAll = ev.agg(countDistinct(col("user_id")).as("exact_all"))
+    val unionRow = broadcast(exactAll).crossJoin(unioned)
+      .select(lit("__union__").as("event_type"), col("exact_all")
+        .as("exact_users"),
+        (abs(col("u_est") - col("exact_all"))
+          <= greatest(lit(1.0), col("exact_all") * 3 * rse)).as("within"))
+    typeRows.unionByName(unionRow).orderBy(col("event_type"))
+  }
+
+  /** DuckDB restatement of [[hllUnion]]: exact counts + closed-form
+    * TRUE verdicts (the estimates themselves are engine-internal). */
+  def hllUnionOracle(): String =
+    """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+           AS exact_users, TRUE AS within
+       FROM events GROUP BY event_type
+       UNION ALL
+       SELECT '__union__', CAST(count(DISTINCT user_id) AS BIGINT), TRUE
+       FROM events
+       ORDER BY event_type"""
 }

@@ -939,6 +939,87 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** Gopher-style RULE BATTERY (Rae et al. 2021 §A1.1, adapted to this
+    * corpus's 31-word no-punctuation vocabulary): the explicit
+    * pass/fail heuristics a pre-training pipeline applies BEFORE any
+    * learned filter — word-count window, mean word length window,
+    * type-token ratio floor, single-word repetition cap, and stopword
+    * presence. The symbol/ellipsis/bullet rules of the paper are
+    * vacuous on a punctuation-free corpus and deliberately omitted
+    * rather than shipped as always-true columns.
+    *
+    * Every feature is computed map-side with higher-order array
+    * functions over the doc's own token list (max fan-in 99 tokens x
+    * 31 distinct), so the whole battery fuses into the scan's
+    * WholeStageCodegen pass — zero shuffles before the oracle ORDER
+    * BY; at 100 TB this is a pure narrow map. Ratios are frac4
+    * floor-pinned; rule comparisons run on the pinned values so both
+    * engines cut identically. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val ws = toks
+    val frac4 = (c: Column) => floor(c * 10000.0 + 0.5) / 10000.0
+    val stops = array(Seq("the", "a", "value", "row", "key").map(lit): _*)
+    Tables.documents(spark, dir)
+      .withColumn("n_words", size(ws))
+      .withColumn("mean_wlen", frac4(
+        aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double")
+          / col("n_words")))
+      .withColumn("ttr", frac4(
+        size(array_distinct(ws)).cast("double") / col("n_words")))
+      .withColumn("top_word_frac", frac4(
+        array_max(transform(array_distinct(ws),
+          w => size(filter(ws, x => x === w)))).cast("double")
+          / col("n_words")))
+      .withColumn("n_stop_hits", size(array_intersect(ws, stops)))
+      .withColumn("words_ok",
+        col("n_words") >= 20 && col("n_words") <= 80)
+      .withColumn("wlen_ok",
+        col("mean_wlen") >= 3.0 && col("mean_wlen") <= 4.6)
+      .withColumn("ttr_ok", col("ttr") >= 0.4)
+      .withColumn("rep_ok", col("top_word_frac") <= 0.15)
+      .withColumn("stop_ok", col("n_stop_hits") >= 2)
+      .withColumn("pass", col("words_ok") && col("wlen_ok") &&
+        col("ttr_ok") && col("rep_ok") && col("stop_ok"))
+      .select(col("doc_id"), col("n_words"), col("mean_wlen"), col("ttr"),
+        col("top_word_frac"), col("n_stop_hits"), col("words_ok"),
+        col("wlen_ok"), col("ttr_ok"), col("rep_ok"), col("stop_ok"),
+        col("pass"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB restatement of [[gopherRules]]. */
+  def gopherRulesOracle(): String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+         FROM documents),
+       f AS (SELECT doc_id,
+           CAST(len(ws) AS INTEGER) AS n_words,
+           floor(CAST(list_sum(list_transform(ws, x -> len(x)))
+               AS DOUBLE) / len(ws) * 10000.0 + 0.5) / 10000.0
+             AS mean_wlen,
+           floor(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
+               * 10000.0 + 0.5) / 10000.0 AS ttr,
+           floor(CAST(list_max(list_transform(list_distinct(ws),
+                 w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE)
+               / len(ws) * 10000.0 + 0.5) / 10000.0 AS top_word_frac,
+           CAST(len(list_intersect(ws,
+               ['the', 'a', 'value', 'row', 'key'])) AS INTEGER)
+             AS n_stop_hits
+         FROM w)
+       SELECT doc_id, n_words, mean_wlen, ttr, top_word_frac, n_stop_hits,
+         n_words >= 20 AND n_words <= 80 AS words_ok,
+         mean_wlen >= CAST(3.0 AS DOUBLE)
+           AND mean_wlen <= CAST(4.6 AS DOUBLE) AS wlen_ok,
+         ttr >= CAST(0.4 AS DOUBLE) AS ttr_ok,
+         top_word_frac <= CAST(0.15 AS DOUBLE) AS rep_ok,
+         n_stop_hits >= 2 AS stop_ok,
+         (n_words >= 20 AND n_words <= 80)
+           AND (mean_wlen >= CAST(3.0 AS DOUBLE)
+             AND mean_wlen <= CAST(4.6 AS DOUBLE))
+           AND ttr >= CAST(0.4 AS DOUBLE)
+           AND top_word_frac <= CAST(0.15 AS DOUBLE)
+           AND n_stop_hits >= 2 AS pass
+       FROM f ORDER BY doc_id"""
+
   /** DuckDB restatement of [[chunk]]. */
   def chunkOracle(width: Int = 64, stride: Int = 48): String =
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws

@@ -357,4 +357,46 @@ class GeoSpec extends AnyFunSuite {
         s"cell (${r.getLong(0)},${r.getLong(1)}) center has no origin within a hex radius")
     }
   }
+
+  test("gridDensity: DBSCAN invariants — core density, border adjacency, noise isolation") {
+    import org.apache.spark.sql.functions.col
+    val minPts = 3
+    val rows = operators.Accessibility.gridDensity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(rows.nonEmpty)
+    val kinds = rows.groupBy(_._4).view.mapValues(_.length).toMap
+    assert(kinds.keySet == Set("core", "border", "noise"),
+      s"expected all three kinds at this sf, got $kinds")
+    val cellCount = rows.groupBy(r => (r._2, r._3)).view.mapValues(_.length).toMap
+    val coreCells = cellCount.filter(_._2 >= minPts).keySet
+    rows.foreach { case (k, cx, cy, kind, cluster) =>
+      val nbhCore = (-1 to 1).exists(dx => (-1 to 1).exists(dy =>
+        coreCells.contains((cx + dx, cy + dy))))
+      kind match {
+        case "core" =>
+          assert(coreCells.contains((cx, cy)), s"point $k: core in a sparse cell")
+          assert(cluster.isDefined)
+        case "border" =>
+          assert(!coreCells.contains((cx, cy)) && nbhCore,
+            s"point $k: border without an adjacent core cell")
+          assert(cluster.isDefined)
+        case "noise" =>
+          assert(!nbhCore, s"point $k: noise next to a core cell")
+          assert(cluster.isEmpty)
+      }
+    }
+    // cluster labels: same cell -> same cluster; 8-adjacent core cells
+    // -> same cluster (the components actually merged)
+    val coreByCell = rows.filter(_._4 == "core")
+      .groupBy(r => (r._2, r._3)).view.mapValues(_.map(_._5.get).distinct).toMap
+    assert(coreByCell.values.forall(_.length == 1))
+    coreByCell.foreach { case ((cx, cy), List(cl)) =>
+      (-1 to 1).foreach(dx => (-1 to 1).foreach(dy =>
+        coreByCell.get((cx + dx, cy + dy)).foreach(other =>
+          assert(other.head == cl,
+            s"adjacent core cells (${cx},${cy})/(${cx + dx},${cy + dy}) in different clusters"))))
+    }
+  }
+
 }

@@ -407,4 +407,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     // general; sanity: it must beat ln of independence for the top hit
     assert(pmis.head > 0, "top collocation is not positively associated")
   }
+
+  test("gopher rules: pass is the conjunction, features match a hand recompute") {
+    import org.apache.spark.sql.functions.col
+    val rows = TextAnalysis.gopherRules(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    val passes = rows.count(_.getBoolean(11))
+    assert(passes > 0 && passes < rows.length,
+      s"rule battery is vacuous: $passes of ${rows.length} pass")
+    rows.foreach { r =>
+      assert(r.getBoolean(11) == (r.getBoolean(6) && r.getBoolean(7) &&
+        r.getBoolean(8) && r.getBoolean(9) && r.getBoolean(10)))
+    }
+    // hand recompute doc features for a few docs
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .limit(5).collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    def frac4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    rows.filter(r => docs.contains(r.getLong(0))).foreach { r =>
+      val ws = docs(r.getLong(0)).split(" ", -1)
+      assert(r.getInt(1) == ws.length)
+      assert(r.getDouble(2) == frac4(ws.map(_.length).sum.toDouble / ws.length))
+      assert(r.getDouble(3) == frac4(ws.distinct.length.toDouble / ws.length))
+      val top = ws.groupBy(identity).values.map(_.length).max
+      assert(r.getDouble(4) == frac4(top.toDouble / ws.length))
+      val stops = Set("the", "a", "value", "row", "key")
+      assert(r.getInt(5) == ws.distinct.count(stops))
+    }
+  }
+
 }

@@ -279,4 +279,27 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.groupBy(_._2).forall { case (_, rs) =>
       rs.map(_._3).sum % 2 == 0 || rs.map(_._3).sum > 0 })
   }
+
+  test("q44 top supplier: revenue matches recompute, is_top marks exactly the max") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Relational.q44TopSupplier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val maxRev = rows.map(_.getDouble(2)).max
+    rows.foreach { r =>
+      assert(r.getDouble(3) == maxRev, "max_rev column disagrees with the view max")
+      assert(r.getBoolean(4) == (r.getDouble(2) == maxRev))
+    }
+    assert(rows.count(_.getBoolean(4)) >= 1)
+    // hand recompute one supplier's pinned revenue
+    val sk = rows.head.getLong(0)
+    val exp = Tables.lineitem(spark, sf)
+      .filter(col("l_suppkey") === sk &&
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("l_extendedprice"), col("l_discount")).collect()
+      .map(r => r.getDouble(0) * (1.0 - r.getDouble(1))).sum
+    val pinned = math.floor(exp.toFloat.toDouble * 100.0 + 0.5) / 100.0
+    assert(rows.head.getDouble(2) == pinned, s"supplier $sk revenue mismatch")
+  }
+
 }

@@ -102,4 +102,17 @@ class SketchesSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getBoolean(2),
       s"user ${r.getLong(0)} underestimated under collision pressure"))
   }
+
+  test("hll union: per-type and merged verdicts hold, union row present") {
+    val rows = Sketches.hllUnion(spark, sf).collect()
+    val union = rows.filter(_.getString(0) == "__union__")
+    assert(union.length == 1, "exactly one union row")
+    rows.foreach(r => assert(r.getBoolean(2),
+      s"${r.getString(0)}: estimate escaped its 3-sigma contract"))
+    // the union row's exact count must equal the global distinct
+    val exact = Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(union.head.getLong(1) == exact)
+  }
+
 }
