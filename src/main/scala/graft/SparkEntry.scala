@@ -93,6 +93,7 @@ object SparkEntry {
     "geo_isochrone" -> ((s, d) => Routing.isochroneCoverage(s, d)),
     "geo_areal_interp" -> ((s, d) => Accessibility.arealInterp(s, d)),
     "geo_hex_assign" -> ((s, d) => Accessibility.hexAssign(s, d)),
+    "pipeline_ram_e2e" -> ((s, d) => Accessibility.ramE2e(s, d)),
     "geo_dbscan" -> ((s, d) => Accessibility.gridDensity(s, d)),
     "graph_kcore" -> ((s, d) => Graph.kcore(s, d)),
     "graph_jaccard" -> ((s, d) => Graph.jaccardLinks(s, d)),
@@ -1151,6 +1152,67 @@ object SparkEntry {
     // closure over 8-connected core cells; coordinates, cell ids and
     // the core/border/noise classification restate closed-form
     "geo_dbscan" -> operators.Accessibility.gridDensityOracle(),
+    // the whole calculate-eta run composed: the clip restates closed-form
+    // (geo_clip_area's dims), work-area membership is the same half-open
+    // outer / open-hole interval predicates both engines evaluate on
+    // integer-valued bounds, the ETA chain is geo_nearest_poi's formula,
+    // population sums float-pinned (q43 pattern)
+    "pipeline_ram_e2e" ->
+      """WITH a AS (SELECT n_nationkey,
+           n_nationkey * 13 % 150 - 80 AS lat0,
+           n_nationkey * 29 % 330 - 175 AS lon0 FROM nation),
+         cand AS (SELECT n_nationkey, lat0, lon0, cx.cell_x, cy.cell_y
+           FROM a,
+           LATERAL (SELECT unnest(generate_series(
+             CAST(floor(lon0 / 10.0) AS BIGINT),
+             CAST(floor((lon0 + 30) / 10.0) AS BIGINT))) AS cell_x) cx,
+           LATERAL (SELECT unnest(generate_series(
+             CAST(floor(lat0 / 10.0) AS BIGINT),
+             CAST(floor((lat0 + 20) / 10.0) AS BIGINT))) AS cell_y) cy),
+         wa AS (SELECT n_nationkey, cell_x, cell_y,
+           GREATEST(lon0, cell_x * 10) AS ox0,
+           LEAST(lon0 + 30, cell_x * 10 + 10) AS ox1,
+           GREATEST(lat0, cell_y * 10) AS oy0,
+           LEAST(lat0 + 20, cell_y * 10 + 10) AS oy1,
+           GREATEST(lon0 + 6, cell_x * 10) AS hx0,
+           LEAST(lon0 + 18, cell_x * 10 + 10) AS hx1,
+           GREATEST(lat0 + 4, cell_y * 10) AS hy0,
+           LEAST(lat0 + 12, cell_y * 10 + 10) AS hy1
+           FROM cand
+           WHERE GREATEST(lon0, cell_x * 10) < LEAST(lon0 + 30, cell_x * 10 + 10)
+             AND GREATEST(lat0, cell_y * 10) < LEAST(lat0 + 20, cell_y * 10 + 10)),
+         o AS (SELECT c_custkey, c_acctbal,
+           (c_custkey * 37 % 1700) / 10.0 - 85.0 AS lat,
+           (c_custkey * 91 % 3600) / 10.0 - 180.0 AS lon FROM customer),
+         ow AS (SELECT c_custkey, c_acctbal, lat, lon,
+             n_nationkey, cell_x, cell_y
+           FROM o JOIN wa
+             ON lon >= ox0 AND lon < ox1 AND lat >= oy0 AND lat < oy1
+             AND NOT (lon > hx0 AND lon < hx1 AND lat > hy0 AND lat < hy1)),
+         p AS (SELECT s_suppkey % 4 AS poi_type,
+           (s_suppkey * 37 % 1700) / 10.0 - 85.0 AS plat,
+           (s_suppkey * 91 % 3600) / 10.0 - 180.0 AS plon FROM supplier),
+         per AS (SELECT c_custkey, n_nationkey, cell_x, cell_y, c_acctbal,
+             poi_type,
+           min(CASE WHEN
+               sqrt((lat - plat) * (lat - plat) + (lon - plon) * (lon - plon)) <= 60.0
+             THEN sqrt((lat - plat) * (lat - plat) + (lon - plon) * (lon - plon))
+               * 111.0 / 120.0 * 3600.0 END)
+             + (c_custkey % 97) / 10.0 * 900.0 AS eta_s
+           FROM ow CROSS JOIN p
+           GROUP BY c_custkey, n_nationkey, cell_x, cell_y, c_acctbal, poi_type)
+         SELECT n_nationkey, cell_x, cell_y, poi_type,
+           count(*) AS n_origins,
+           CAST(sum(CASE WHEN eta_s <= 50000.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_covered,
+           round(min(eta_s), 2) AS best_eta_s,
+           floor(CAST(CAST(sum(CASE WHEN eta_s <= 50000.0 THEN c_acctbal
+               ELSE 0.0 END) AS FLOAT) AS DOUBLE) * 100.0 + 0.5) / 100.0
+             AS covered_pop,
+           floor(CAST(CAST(sum(c_acctbal) AS FLOAT) AS DOUBLE) * 100.0
+             + 0.5) / 100.0 AS total_pop
+         FROM per GROUP BY n_nationkey, cell_x, cell_y, poi_type
+         ORDER BY n_nationkey, cell_x, cell_y, poi_type""",
     // hex binning: floor(x+0.5) half-up both sides, IEEE-identical
     // axial/cube arithmetic, centers recomputed from the group keys
     "geo_hex_assign" ->

@@ -25,20 +25,29 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
 
-  /** events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; with `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (set by [[graft.GraftSession]]) it arrives as LongType nanos.
-    * Normalize to a proper TimestampType (microsecond) column so every
-    * downstream operator sees a real timestamp. */
+  /** events.parquet's `ts` physical type varies by writer: TIMESTAMP
+    * (NANOS) arrives as LongType nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by
+    * [[graft.GraftSession]]), and timestamp[us] with
+    * isAdjustedToUTC=false arrives as TIMESTAMP_NTZ. Normalize both to
+    * a proper TimestampType (microsecond, UTC session) column so every
+    * downstream operator — including strict ones like `unix_micros` —
+    * sees one type. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
-    // integer `div`, not `/`: Column./ is double division and ns-epoch
-    // values exceed 2^53, which silently loses the low microsecond
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      // integer `div`, not `/`: Column./ is double division and ns-epoch
+      // values exceed 2^53, which silently loses the low microsecond
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // session tz is UTC (GraftSession), so the cast is identity on
+      // the stored microseconds — same instant the oracle reads
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

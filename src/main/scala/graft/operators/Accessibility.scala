@@ -327,7 +327,31 @@ object Accessibility {
     * call per (area, cell) row, fully map-side — at 100 TB this
     * pipelines with whatever derived the areas, no shuffle before the
     * final (display-only) sort. */
-  def clipArea(spark: SparkSession, dir: String, cellDeg: Double = 10.0): DataFrame = {
+  def clipArea(spark: SparkSession, dir: String, cellDeg: Double = 10.0): DataFrame =
+    clipCells(spark, dir, cellDeg)
+      .select(col("n_nationkey"), col("cell_x"), col("cell_y"),
+        size(col("oc")).cast("bigint").as("n_v_outer"),
+        when(col("ha2") > 0.0, size(col("hc"))).otherwise(0)
+          .cast("bigint").as("n_v_hole"),
+        array_min(transform(col("oc"), p => element_at(p, 1)))
+          .cast("bigint").as("ox0"),
+        array_min(transform(col("oc"), p => element_at(p, 2)))
+          .cast("bigint").as("oy0"),
+        array_max(transform(col("oc"), p => element_at(p, 1)))
+          .cast("bigint").as("ox1"),
+        array_max(transform(col("oc"), p => element_at(p, 2)))
+          .cast("bigint").as("oy1"),
+        ((col("oa2") - col("ha2")) / 2.0).cast("bigint").as("clip_area"))
+      .orderBy(col("n_nationkey"), col("cell_x"), col("cell_y"))
+
+  /** Shared clip frame behind [[clipArea]] and [[ramE2e]]: one row per
+    * nonempty (admin area, grid cell) work area, carrying the clipped
+    * outer ring `oc`, clipped hole ring `hc`, and their doubled shoelace
+    * areas `oa2`/`ha2`. Candidate cells are derived per area by
+    * arithmetic (explode over the area's own bbox range) and the clip
+    * is one codegen'd static call per row — fully map-side. */
+  private def clipCells(spark: SparkSession, dir: String,
+                        cellDeg: Double): DataFrame = {
     val lat0 = (col("n_nationkey") * 13 % 150 - 80).cast("double")
     val lon0 = (col("n_nationkey") * 29 % 330 - 175).cast("double")
     def pt(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
@@ -356,20 +380,6 @@ object Accessibility {
       .withColumn("ha2", when(ring_area2(col("hc")) > 0.0,
         ring_area2(col("hc"))).otherwise(0.0))
       .filter(col("oa2") > 0.0)
-      .select(col("n_nationkey"), col("cell_x"), col("cell_y"),
-        size(col("oc")).cast("bigint").as("n_v_outer"),
-        when(col("ha2") > 0.0, size(col("hc"))).otherwise(0)
-          .cast("bigint").as("n_v_hole"),
-        array_min(transform(col("oc"), p => element_at(p, 1)))
-          .cast("bigint").as("ox0"),
-        array_min(transform(col("oc"), p => element_at(p, 2)))
-          .cast("bigint").as("oy0"),
-        array_max(transform(col("oc"), p => element_at(p, 1)))
-          .cast("bigint").as("ox1"),
-        array_max(transform(col("oc"), p => element_at(p, 2)))
-          .cast("bigint").as("oy1"),
-        ((col("oa2") - col("ha2")) / 2.0).cast("bigint").as("clip_area"))
-      .orderBy(col("n_nationkey"), col("cell_x"), col("cell_y"))
   }
 
   /** Slippy-tile assignment + per-tile stats (ram-vt tiling analog). */
@@ -417,6 +427,90 @@ object Accessibility {
         (floor(col("pop") * col("clip_area") / col("total_area") * 10000.0
           + 0.5) / 10000.0).as("pop_cell"))
       .orderBy(col("n_nationkey"), col("cell_x"), col("cell_y"))
+  }
+
+  /** The whole per-project RAM run as ONE composed query — the
+    * reference's calculate-eta conductor (ram-analysis/app/calculate-eta/
+    * index.js:20-82, tasks.js:36-151) end-to-end: square grid over each
+    * admin area → clip to per-cell work areas (empty-clip skip,
+    * tasks.js:36) → origins within the work area (originsInRegion,
+    * utils.js:28) → POIs within the search cap of each origin
+    * (poisInBuffer) → per-origin x POI-type row-min ETA + walk leg
+    * (tasks.js:133-151) → per-(area, cell, type) result rows (the
+    * index.js:519 assembly). Built from the SAME column definitions as
+    * the parts (clipCells == geo_clip_area's frame, the radius-join +
+    * min + walk chain == geo_nearest_poi's, the coverage rollup ==
+    * geo_accessibility's), so the composition can never drift from the
+    * operators it strings together — the pipeline_curate precedent.
+    *
+    * Work-area membership is interval arithmetic on the clipped rings'
+    * bboxes (the clip windows are axis-aligned so the clipped outer /
+    * hole rings ARE rectangles): half-open [x0,x1) on the outer rect
+    * assigns a cell-boundary origin to exactly one cell, and the hole
+    * interior is open so an origin ON the hole edge stays in the work
+    * area. Explicit compares on integer-valued doubles — both engines
+    * evaluate identical predicates (no edge-undefined ray cast).
+    *
+    * Scale posture: work areas are admin x cells (dimension-sized) and
+    * BROADCAST to the origin scan — origins are never shuffled before
+    * their per-(origin, type) partial aggregation; the POI search is
+    * the bounded 3x3-neighborhood radius join (local density, not
+    * |POI|); the final rollup is one partial agg over (area, cell,
+    * type). Population sums are float-pinned before rounding (q43
+    * precedent) so partial-sum order can't move a cent. */
+  def ramE2e(spark: SparkSession, dir: String, cellDeg: Double = 10.0,
+             budgetSec: Double = 50000.0): DataFrame = {
+    val bboxOf = (ring: Column, idx: Int, agg: String) => {
+      val vals = transform(ring, p => element_at(p, idx))
+      if (agg == "min") array_min(vals) else array_max(vals)
+    }
+    val wa = clipCells(spark, dir, cellDeg)
+      .select(col("n_nationkey"), col("cell_x"), col("cell_y"),
+        bboxOf(col("oc"), 1, "min").as("ox0"),
+        bboxOf(col("oc"), 1, "max").as("ox1"),
+        bboxOf(col("oc"), 2, "min").as("oy0"),
+        bboxOf(col("oc"), 2, "max").as("oy1"),
+        (col("ha2") > 0.0).as("has_hole"),
+        bboxOf(col("hc"), 1, "min").as("hx0"),
+        bboxOf(col("hc"), 1, "max").as("hx1"),
+        bboxOf(col("hc"), 2, "min").as("hy0"),
+        bboxOf(col("hc"), 2, "max").as("hy1"))
+    val o = origins(spark, dir)
+      .select(col("c_custkey"), col("c_acctbal"), col("lat"), col("lon"))
+    val inWork = o.join(broadcast(wa),
+      col("lon") >= col("ox0") && col("lon") < col("ox1") &&
+        col("lat") >= col("oy0") && col("lat") < col("oy1") &&
+        !(col("has_hole") &&
+          col("lon") > col("hx0") && col("lon") < col("hx1") &&
+          col("lat") > col("hy0") && col("lat") < col("hy1")))
+      .select(col("c_custkey"), col("c_acctbal"), col("lat"), col("lon"),
+        col("n_nationkey"), col("cell_x"), col("cell_y"))
+    val p = pois(spark, dir)
+      .select(col("s_suppkey"), col("poi_type"), col("lat"), col("lon"))
+    val types = p.select(col("poi_type")).distinct()
+    val walkSec = (col("c_custkey") % 97) / 10.0 * WalkSecPerKm
+    val perOriginType = GeoJoins.radiusJoin(
+        inWork.crossJoin(broadcast(types)), p, MaxReachDeg,
+        broadcastRight = true, joinType = "left_outer",
+        extraKeys = Seq("poi_type"))
+      .groupBy(col("c_custkey"), col("c_acctbal"), col("n_nationkey"),
+        col("cell_x"), col("cell_y"), col("poi_type"))
+      .agg(min(travelSeconds(col("dist_deg"), MaxSpeedKmh)).as("_min_t"))
+      .withColumn("eta_s", col("_min_t") + walkSec)
+    val cent = (c: Column) =>
+      floor(c.cast("float").cast("double") * 100.0 + 0.5) / 100.0
+    perOriginType
+      .groupBy(col("n_nationkey"), col("cell_x"), col("cell_y"),
+        col("poi_type"))
+      .agg(count(lit(1)).as("n_origins"),
+        sum(when(col("eta_s") <= budgetSec, 1L).otherwise(0L))
+          .as("n_covered"),
+        round(min(col("eta_s")), 2).as("best_eta_s"),
+        cent(sum(when(col("eta_s") <= budgetSec, col("c_acctbal"))
+          .otherwise(0.0))).as("covered_pop"),
+        cent(sum(col("c_acctbal"))).as("total_pop"))
+      .orderBy(col("n_nationkey"), col("cell_x"), col("cell_y"),
+        col("poi_type"))
   }
 
   /** Hexagonal-grid assignment (pointy-top axial coordinates with cube

@@ -324,11 +324,23 @@ object TextAnalysis {
     * stopword ratios miss. Per-row array arithmetic over the split
     * (distinct terms x occurrences, bounded by the doc's own length), so
     * the whole thing stays map-side: no shuffle, no UDF. */
-  /** Highest per-element frequency in an array (distinct terms x
-    * occurrences — bounded by the doc's own length, pure map-side). */
+  /** Highest per-element frequency in an array, as the longest run of
+    * equal adjacent elements after an in-row sort — O(n log n) per doc
+    * and pure map-side, where the naive distinct x filter scan is
+    * O(distinct x n) and quadratic on a pathological repeat-free long
+    * doc. Returns null on an empty array (array_max parity), Int type
+    * (size parity). */
   private[operators] def topCount(arr: Column): Column =
-    array_max(transform(array_distinct(arr),
-      x => size(filter(arr, y => y === x))))
+    aggregate(array_sort(arr),
+      struct(lit(null).cast("string").as("prev"), lit(0).as("run"),
+        lit(0).as("best")),
+      (acc, w) => {
+        // null prev (first element) compares null === w -> null -> 1
+        val r = when(w === acc("prev"), acc("run") + 1).otherwise(lit(1))
+        struct(w.as("prev"), r.as("run"),
+          greatest(acc("best"), r).as("best"))
+      },
+      acc => when(acc("best") > 0, acc("best")))
 
   /** floor(x*1e4+0.5)/1e4, not round(_, 4): ratios of small integers DO
     * land on exact decimal halves (25/32 = .78125), where Spark's
@@ -967,9 +979,7 @@ object TextAnalysis {
       .withColumn("ttr", frac4(
         size(array_distinct(ws)).cast("double") / col("n_words")))
       .withColumn("top_word_frac", frac4(
-        array_max(transform(array_distinct(ws),
-          w => size(filter(ws, x => x === w)))).cast("double")
-          / col("n_words")))
+        topCount(ws).cast("double") / col("n_words")))
       .withColumn("n_stop_hits", size(array_intersect(ws, stops)))
       .withColumn("words_ok",
         col("n_words") >= 20 && col("n_words") <= 80)

@@ -361,7 +361,12 @@ class GeoSpec extends AnyFunSuite {
   test("gridDensity: DBSCAN invariants — core density, border adjacency, noise isolation") {
     import org.apache.spark.sql.functions.col
     val minPts = 3
-    val rows = operators.Accessibility.gridDensity(spark, sf).collect()
+    // coarser cells than the sf0.01 default: at this spec's sf0.001 the
+    // 8-degree histogram has no cell reaching minPts (all noise), which
+    // vacuously passes the border/core assertions — 20 degrees yields
+    // all three kinds (69 noise / 60 border / 21 core)
+    val rows = operators.Accessibility
+      .gridDensity(spark, sf, cellDeg = 20.0, minPts = minPts).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
         if (r.isNullAt(4)) None else Some(r.getLong(4))))
     assert(rows.nonEmpty)
@@ -391,7 +396,8 @@ class GeoSpec extends AnyFunSuite {
     val coreByCell = rows.filter(_._4 == "core")
       .groupBy(r => (r._2, r._3)).view.mapValues(_.map(_._5.get).distinct).toMap
     assert(coreByCell.values.forall(_.length == 1))
-    coreByCell.foreach { case ((cx, cy), List(cl)) =>
+    coreByCell.foreach { case ((cx, cy), cls) =>
+      val cl = cls.head
       (-1 to 1).foreach(dx => (-1 to 1).foreach(dy =>
         coreByCell.get((cx + dx, cy + dy)).foreach(other =>
           assert(other.head == cl,

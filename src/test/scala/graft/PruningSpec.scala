@@ -86,7 +86,19 @@ class PruningSpec extends AnyFunSuite {
       "ann_recall_eval",
       // text_perplexity: the one-row vocabulary-size scalar (the add-k
       // smoothing denominator) crossed onto the bigram frame by design
-      "text_perplexity")
+      "text_perplexity",
+      // sketch_hll_union: the one-row exact-all-users scalar crossed
+      // onto the one-row unioned-sketch estimate (both single rows)
+      "sketch_hll_union",
+      // q44: the one-row global-max-revenue scalar crossed onto the
+      // per-supplier revenue view (the supplier dim join is the
+      // broadcast-hash equi-join)
+      "q44_top_supplier",
+      // pipeline_ram_e2e: the work-area interval join (origins vs the
+      // broadcast admin x cell dim — containment has no equi key, the
+      // geo_area_assign posture) and the <=4-row poi-type cross it
+      // inherits from geo_nearest_poi
+      "pipeline_ram_e2e")
     // full-outer equi-joins cannot broadcast (both sides must preserve
     // unmatched rows), so a shuffle join IS the correct plan there
     val smjAllowed = Set("q26_full_outer")
