@@ -221,6 +221,7 @@ object SparkEntry {
     "stream_cdc_merge" -> (graft.streaming.EventStreams.cdcMergeBatch _),
     "stream_cm_window" -> (graft.streaming.EventStreams.cmWindowChecked _),
     "stream_op_status" -> (graft.streaming.EventStreams.opStatusBatch _),
+    "stream_op_log" -> (graft.streaming.EventStreams.opLogSummaryBatch _),
     // F. malformed-media quarantine: per (kind, verdict, reason) triage
     // counts over a deterministically damaged corpus. Oracle-checked:
     // the damage schedule (doc_id % 17) and each parser's typed verdict
@@ -2197,6 +2198,46 @@ object SparkEntry {
              ELSE 'idle' END AS status,
            n_events
          FROM a ORDER BY op_id""",
+    // per-op replay rollup: the q42 verdict columns re-derived, then
+    // collapsed — accepted count + per-guard rejection counts + status
+    "stream_op_log" ->
+      """WITH ev AS (SELECT user_id AS op_id, event_id,
+           CASE event_type WHEN 'signup' THEN 'start'
+             WHEN 'purchase' THEN 'finish' ELSE 'log' END AS action,
+           lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+             lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+         FROM events),
+         s AS (SELECT *, min(CASE WHEN action = 'start' THEN k END)
+             OVER (PARTITION BY op_id) AS s FROM ev),
+         f AS (SELECT *, min(CASE WHEN action = 'finish' AND k > s
+             THEN k END) OVER (PARTITION BY op_id) AS f FROM s),
+         v AS (SELECT *,
+           (action = 'start' AND k = s)
+             OR (action = 'log' AND s IS NOT NULL AND k > s
+               AND (f IS NULL OR k < f))
+             OR (action = 'finish' AND f IS NOT NULL AND k = f)
+             AS accepted FROM f),
+         r AS (SELECT op_id, accepted,
+           CASE WHEN accepted THEN NULL
+             WHEN action = 'finish' THEN 'not running'
+             WHEN f IS NOT NULL AND k > f THEN 'already complete'
+             WHEN action = 'start' THEN 'already running'
+             ELSE 'not running' END AS reason,
+           CASE WHEN f IS NOT NULL THEN 'complete'
+             WHEN s IS NOT NULL THEN 'running'
+             ELSE 'idle' END AS status_final
+         FROM v)
+         SELECT op_id, status_final,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN accepted THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_accepted,
+           CAST(sum(CASE WHEN reason = 'not running' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_rej_not_running,
+           CAST(sum(CASE WHEN reason = 'already running' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_rej_already_running,
+           CAST(sum(CASE WHEN reason = 'already complete' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_rej_already_complete
+         FROM r GROUP BY op_id, status_final ORDER BY op_id""",
     // CDC merge: last (ts, event_id) op per key wins; keys whose last
     // op is a delete ('error' events) are absent from the state table
     "stream_cdc_merge" ->

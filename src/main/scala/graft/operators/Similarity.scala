@@ -331,23 +331,55 @@ object Similarity {
     out
   }
 
-  /** Pair source for [[semanticDedup]]: the block-partitioned EXACT
-    * all-pairs generator [[nearDupBlocked]]. Why not LSH: at tau = 0.35
-    * (a 69.5-degree angle) a hyperplane band bit agrees on a random
-    * pair w.p. 0.5 vs only 0.614 on a tau pair, so any banding with
-    * recall ~1.0 (r <= 2 bits) admits ~25% of ALL pairs per band —
-    * measured on this corpus the "full-recall" (64, 32) config costs
-    * 13 s at sf0.1 vs 0.4 s for the balanced exact join, i.e. LSH
-    * degenerates to all-pairs with bucket overhead. Exactness at this
-    * tau is inherently quadratic; what scale design CAN fix is skew
-    * and memory, which the block partitioning does (every task owns a
-    * bounded uniform tile, no hot key exists). The subquadratic
-    * approximate path remains [[nearDupLsh]] at a selectivity-viable
-    * config, contract-checked by [[lshContractChecked]]; a 100 TB run
-    * swaps it in as the pair source and accepts its measured recall. */
+  /** Charikar bit-agreement probability: a random hyperplane bit agrees
+    * on a pair at cosine `tau` w.p. 1 - angle/pi. */
+  private[graft] def bitAgreeP(tau: Double): Double =
+    1.0 - math.acos(tau) / math.Pi
+
+  /** Closed-form banding selectivity/recall at `tau` for an (nBits,
+    * bands) random-hyperplane config: expected candidate fraction on a
+    * RANDOM (orthogonal-ish) pair = bands x 2^-r, recall on a tau pair
+    * = 1 - (1 - p^r)^bands with p = [[bitAgreeP]]. */
+  private[graft] def lshPlanStats(tau: Double, nBits: Int,
+                                  bands: Int): (Double, Double) = {
+    val r = nBits / bands
+    (bands * math.pow(0.5, r),
+      1.0 - math.pow(1.0 - math.pow(bitAgreeP(tau), r), bands))
+  }
+
+  /** Pair source for [[semanticDedup]] — dispatched by the CLOSED-FORM
+    * banding selectivity at the configured tau (the r8-verdict ask):
+    * when an LSH config prunes random pairs hard (candidate fraction
+    * <= maxRandFrac) while keeping design recall at tau (>= minRecall),
+    * the subquadratic [[nearDupLsh]] banding is the pair generator;
+    * otherwise the block-partitioned EXACT [[nearDupBlocked]] runs.
+    *
+    * Why the exact fallback exists: at tau = 0.35 (a 69.5-degree
+    * angle) a hyperplane bit agrees on a random pair w.p. 0.5 vs only
+    * 0.614 on a tau pair, so NO banding is simultaneously selective
+    * and high-recall (measured: the "full-recall" (64, 32) config
+    * costs 13 s at sf0.1 vs 0.4 s for the balanced exact join — LSH
+    * degenerates to all-pairs with bucket overhead). Exactness at such
+    * a tau is inherently quadratic; the block partitioning fixes what
+    * scale design can fix (skew, memory: every task owns a bounded
+    * uniform tile). At a production near-dup tau (~0.9, the regime
+    * semantic dedup actually targets), the default (64, 8) config is
+    * selective (rand frac 3.1%, design recall 93.5%) and the dispatch
+    * goes subquadratic — accepting LSH's measured recall, as any
+    * 100 TB run must; [[lshContractChecked]] pins the contract. The
+    * bench/oracle tau (0.35) always takes the exact path, so the
+    * registered query's hash is unchanged. */
   private[graft] def semanticPairs(spark: SparkSession, dir: String,
-                                   tau: Double): DataFrame =
-    nearDupBlocked(spark, dir, tau).select(col("va"), col("vb"))
+                                   tau: Double, nBits: Int = 64,
+                                   bands: Int = 8,
+                                   maxRandFrac: Double = 0.05,
+                                   minRecall: Double = 0.9): DataFrame = {
+    val (randFrac, recall) = lshPlanStats(tau, nBits, bands)
+    if (randFrac <= maxRandFrac && recall >= minRecall)
+      nearDupLsh(spark, dir, tau, nBits, bands).select(col("va"), col("vb"))
+    else
+      nearDupBlocked(spark, dir, tau).select(col("va"), col("vb"))
+  }
 
   /** Exact cosine pairs >= tau via uniform BLOCK-partitioned all-pairs —
     * the skew-proof form of an exact similarity self-join. Each vector

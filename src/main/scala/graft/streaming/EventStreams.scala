@@ -29,6 +29,15 @@ case class AnomalyHit(user_id: Long, event_id: Long, ts: Timestamp,
   * none seen. */
 case class OpStatusState(minStart: String, maxFinish: String, n: Long)
 
+/** Per-operation replay state for the full op-log state machine: the
+  * accepted start / finish keys (null = none yet) plus the events still
+  * ABOVE the watermark, buffered as (k, event_id, action, ts-millis)
+  * until event time order is settled. State size is bounded by one
+  * op's events inside the watermark window — the bound any event-time-
+  * ordered stateful replay needs. */
+case class OpLogState(s: String, f: String,
+                      pending: Seq[(String, Long, String, Long)])
+
 /** Event-stream analytics in Structured Streaming form, with
   * batch-equivalent definitions of the same transforms.
   *
@@ -639,6 +648,92 @@ object EventStreams {
     }
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(step)
+  }
+
+  /** Per-operation dashboard rollup of the FULL op-log replay — the
+    * operations table the reference assembles from op + operations_logs
+    * (operation.js:245 last-log fetch + the :309 start/finish guards):
+    * per op, how many log writes were accepted and how many were
+    * rejected by each guard, plus the final status. Derived from
+    * [[graft.operators.Warehouse.opLogReplay]]'s OWN columns (one
+    * definition of accepted/reason — the composition cannot drift from
+    * q42), collapsed by one partial-agg groupBy. */
+  def opLogSummaryBatch(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Warehouse.q42OpLog(spark, dir)
+      .groupBy(col("op_id"), col("status_final"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("accepted"), 1L).otherwise(0L)).as("n_accepted"),
+        sum(when(col("reason") === "not running", 1L).otherwise(0L))
+          .as("n_rej_not_running"),
+        sum(when(col("reason") === "already running", 1L).otherwise(0L))
+          .as("n_rej_already_running"),
+        sum(when(col("reason") === "already complete", 1L).otherwise(0L))
+          .as("n_rej_already_complete"))
+      .orderBy(col("op_id"))
+
+  /** Streaming twin of the FULL per-event replay (q42_op_log) — the
+    * GroupState form of the operation.js state machine. Unlike
+    * [[opStatusStream]]'s commutative extrema, per-event verdicts
+    * depend on event-time ORDER (a late-arriving earlier start changes
+    * which finish is "first after start"), so the twin uses the
+    * watermark-sorted buffer pattern: events buffer in state while
+    * above the watermark; once the watermark passes them they are
+    * folded in key order through the SAME sequential guards the batch
+    * window pass expresses closed-form, and their verdicts emit
+    * exactly once (Update mode). An event-time timeout re-fires the
+    * group when buffered events ripen with no new arrivals. For any
+    * input respecting the watermark, emitted verdicts equal the batch
+    * replay's rows (the spec shuffles a two-batch split and compares);
+    * retained state per op is the (s, f) scalars plus only the
+    * in-watermark buffer. */
+  def opLogStream(events: Dataset[EventRow]): Dataset[(Long, Long, String, Boolean, String)] = {
+    import events.sparkSession.implicits._
+    def kOf(e: EventRow): String = {
+      val micros = math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+        (e.ts.getNanos / 1000L) % 1000000L
+      f"$micros%020d${e.event_id}%012d"
+    }
+    def actionOf(e: EventRow): String = e.event_type match {
+      case "signup" => "start"
+      case "purchase" => "finish"
+      case _ => "log"
+    }
+    def step(opId: Long, it: Iterator[EventRow],
+             state: GroupState[OpLogState]): Iterator[(Long, Long, String, Boolean, String)] = {
+      val prev = state.getOption.getOrElse(OpLogState(null, null, Seq.empty))
+      val all = prev.pending ++
+        it.map(e => (kOf(e), e.event_id, actionOf(e), e.ts.getTime))
+      val wm = state.getCurrentWatermarkMs()
+      val (ripe, hold) = all.partition(_._4 <= wm)
+      var s = prev.s
+      var f = prev.f
+      val out = ripe.sortBy(_._1).map { case (k, eid, action, _) =>
+        action match {
+          case "start" =>
+            if (s == null) { s = k; (opId, eid, action, true, null: String) }
+            else (opId, eid, action, false,
+              if (f != null && k > f) "already complete" else "already running")
+          case "log" =>
+            if (s != null && f == null && k > s)
+              (opId, eid, action, true, null: String)
+            else (opId, eid, action, false,
+              if (f != null && k > f) "already complete" else "not running")
+          case _ => // finish
+            if (s != null && f == null && k > s) {
+              f = k; (opId, eid, action, true, null: String)
+            } else (opId, eid, action, false, "not running")
+        }
+      }
+      state.update(OpLogState(s, f, hold))
+      // re-fire when the earliest buffered event ripens (its ts is
+      // > wm by the partition above, as setTimeoutTimestamp requires)
+      if (hold.nonEmpty) state.setTimeoutTimestamp(hold.map(_._4).min)
+      out.iterator
+    }
+    events.withWatermark("ts", Watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout)(step)
   }
 
   def cdcMergeStream(events: Dataset[EventRow]): Dataset[(Long, Double, Timestamp, Long, Boolean)] = {

@@ -173,6 +173,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(blockSizes.max <= 2 * e / 16 + 16, "hash blocks are near-uniform")
   }
 
+  test("semanticPairs dispatches by banding selectivity at tau") {
+    def usesLsh(tau: Double): Boolean =
+      Similarity.semanticPairs(spark, sf, tau).queryExecution.optimizedPlan
+        .collect { case p => p.expressions.flatMap(_.collect {
+          case _: graft.functions.VecSimHash => true
+        }) }.flatten.nonEmpty
+    // bench/oracle tau: banding is non-selective (design recall 15% at
+    // the default config) -> the EXACT block-partitioned generator;
+    // its hash-checked oracle stays valid
+    assert(!usesLsh(0.35), "tau=0.35 must take the exact block join")
+    // production near-dup tau: default (64, 8) banding is selective
+    // (rand frac 3.1%, design recall 93.5%) -> the subquadratic LSH
+    // banding IS the pair generator
+    assert(usesLsh(0.9), "tau=0.9 must take the LSH banding")
+    // the closed-form dispatch stats agree with the plans above
+    val (fLow, rLow) = Similarity.lshPlanStats(0.35, 64, 8)
+    val (fHigh, rHigh) = Similarity.lshPlanStats(0.9, 64, 8)
+    assert(fLow == fHigh && fLow <= 0.05)
+    assert(rLow < 0.9 && rHigh >= 0.9)
+    // and the LSH-path result is a verified near-dup pair list: every
+    // surfaced pair clears tau (precision 1.0 by the exact verify)
+    val pairs = Similarity.nearDupLsh(spark, sf, tau = 0.9, nBits = 64,
+      bands = 8).collect()
+    assert(pairs.forall(_.getDouble(2) >= 0.9))
+  }
+
   test("lshContractChecked: one row, verdicts true, n_true matches brute") {
     val r = Similarity.lshContractChecked(spark, sf).collect()
     assert(r.length == 1)

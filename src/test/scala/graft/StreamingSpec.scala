@@ -420,6 +420,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(last == batch, s"stream state diverged: $last vs $batch")
   }
 
+  test("opLog replay: streaming verdicts equal the batch replay under " +
+    "shuffled multi-batch delivery") {
+    import spark.implicits._
+    // one op exercising every guard branch, one op left running, plus a
+    // far-future flush event (op 9) that pushes the watermark past the
+    // real events so their buffered verdicts emit
+    val log = Seq(
+      Ev(1, t(1), 1, "view", 0.0),      // log before start -> not running
+      Ev(2, t(2), 1, "signup", 0.0),    // first start -> accepted
+      Ev(3, t(3), 1, "view", 0.0),      // running log -> accepted
+      Ev(4, t(4), 1, "signup", 0.0),    // dup start -> already running
+      Ev(5, t(5), 1, "purchase", 0.0),  // first finish -> accepted
+      Ev(6, t(6), 1, "view", 0.0),      // log after finish -> already complete
+      Ev(7, t(7), 1, "purchase", 0.0),  // second finish -> not running
+      Ev(8, t(8), 1, "signup", 0.0),    // start after finish -> already complete
+      Ev(10, t(1), 2, "purchase", 0.0), // finish before start -> not running
+      Ev(11, t(2), 2, "signup", 0.0),   // accepted
+      Ev(12, t(3), 2, "view", 0.0))     // accepted (op stays running)
+    val batch = operators.Warehouse
+      .opLogReplay(operators.Warehouse.opEventsOf(log.toDF()))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getBoolean(3), r.getString(4))).toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.opLogStream(mem.toDS().as[EventRow])
+      .toDF("op_id", "event_id", "action", "accepted", "reason")
+      .writeStream.format("memory").queryName("oplog_out")
+      .outputMode("update").start()
+    // shuffled split: op 1's finish and dup start arrive before its
+    // start; verdicts must wait for event-time order, not arrival order
+    mem.addData(Seq(log(4), log(7), log(1), log(9), log(10)): _*)
+    q.processAllAvailable()
+    mem.addData(Seq(log(0), log(2), log(3), log(5), log(6), log(8)): _*)
+    q.processAllAvailable()
+    // nothing may emit while the watermark hasn't settled event order
+    assert(spark.table("oplog_out").count() == 0)
+    mem.addData(Ev(99, t(600), 9, "signup", 0.0))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("oplog_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getBoolean(3), r.getString(4))).toSet
+    assert(streamed == batch, s"stream diverged: $streamed vs $batch")
+  }
+
   test("sketchWindowChecked: every per-window sketch verdict is true") {
     val rows = EventStreams.sketchWindowChecked(spark, sf).collect()
     assert(rows.nonEmpty)
