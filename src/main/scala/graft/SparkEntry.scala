@@ -113,6 +113,7 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "ann_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "ann_recall_eval" -> ((s, d) => Similarity.annRecallEval(s, d)),
+    "emb_dim_recall" -> ((s, d) => Similarity.dimRecallEval(s, d)),
     "emb_diversity_sample" -> ((s, d) => Similarity.diversitySample(s, d)),
     "pipeline_dedup_sample" -> ((s, d) => Similarity.dedupDiversitySample(s, d)),
     "emb_outliers" -> ((s, d) => Similarity.outliers(s, d)),
@@ -155,6 +156,7 @@ object SparkEntry {
     "text_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
     "text_gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(s, d)),
     "text_domain_mix" -> ((s, d) => TextAnalysis.domainMix(s, d)),
+    "text_temperature_mix" -> ((s, d) => TextAnalysis.temperatureMix(s, d)),
     "text_pii" -> (TextAnalysis.pii _),
     "pipeline_curate" -> ((s, d) => TextAnalysis.curate(s, d)),
     "pipeline_quality_report" -> ((s, d) => TextAnalysis.qualityReport(s, d)),
@@ -1582,6 +1584,32 @@ object SparkEntry {
            floor(coalesce(n_hit, 0) / CAST(5.0 AS DOUBLE)
              * 10000.0 + 0.5) / 10000.0 AS recall
          FROM q LEFT JOIN hits ON q.qid = hits.qid ORDER BY q.qid""",
+    // truncated-dimension recall: the d-dim scans restate as list
+    // slices; the full-dims control row pins the spine
+    "emb_dim_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         dl AS (SELECT unnest([64, 32, 16, 8]) AS dims),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         truth AS (SELECT qid, cid FROM (
+           SELECT q.qid, e.vec_id AS cid,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id)
+               AS rk
+           FROM q, e WHERE e.vec_id <> q.qid) t WHERE rk <= 5),
+         appr AS (SELECT dims, qid, cid FROM (
+           SELECT dl.dims, q.qid, e.vec_id AS cid,
+             row_number() OVER (PARTITION BY dl.dims, q.qid
+               ORDER BY list_cosine_similarity(q.qv[1:dl.dims],
+                 e.v[1:dl.dims]) DESC, e.vec_id) AS rk
+           FROM dl, q, e WHERE e.vec_id <> q.qid) t WHERE rk <= 5),
+         hits AS (SELECT dims, t.qid, count(*) AS n_hit FROM truth t
+           JOIN appr x ON t.qid = x.qid AND t.cid = x.cid GROUP BY 1, 2)
+         SELECT dl.dims, q.qid, coalesce(n_hit, 0) AS n_hit,
+           floor(coalesce(n_hit, 0) / CAST(5.0 AS DOUBLE)
+             * 10000.0 + 0.5) / 10000.0 AS recall
+         FROM dl CROSS JOIN q
+         LEFT JOIN hits ON dl.dims = hits.dims AND q.qid = hits.qid
+         ORDER BY dl.dims, q.qid""",
     // semantic dedup end-to-end: the pair predicate, the undirected
     // closure, and the survivor cut all restate in SQL, so one hash
     // pins the whole composition. The oracle predicate is the label-FREE
@@ -2019,6 +2047,24 @@ object SparkEntry {
            FROM d)
          SELECT source, rk, doc_id FROM r
          WHERE rk <= floor(cnt * wf) ORDER BY source, rk""",
+    // temperature mixture: integer isqrt weights, integer sum, integer
+    // quota division — no floating ratio near a floor boundary
+    "text_temperature_mix" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+           FROM documents GROUP BY source),
+         t AS (SELECT CAST(floor(count(*) / 2.0) AS BIGINT) AS budget
+           FROM documents),
+         s AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM c),
+         r AS (SELECT source, doc_id,
+           row_number() OVER (PARTITION BY source
+             ORDER BY md5(text), doc_id) AS rk
+           FROM documents)
+         SELECT r.source, c.n_docs, (t.budget * c.w) // s.sw AS quota,
+           r.rk, r.doc_id
+         FROM r JOIN c ON r.source = c.source CROSS JOIN t CROSS JOIN s
+         WHERE r.rk <= (t.budget * c.w) // s.sw
+         ORDER BY r.source, r.rk""",
     "emb_cluster_assign" ->
       """WITH s AS (SELECT vec_id AS cluster_id, embedding::DOUBLE[] AS se
            FROM embeddings WHERE vec_id % 29 = 0),

@@ -142,6 +142,52 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** Truncated-dimension retrieval eval (the Matryoshka question: how
+    * many leading dimensions does serving actually need?): recall@k of
+    * brute-force top-k computed over only the first d dims, against the
+    * full-dimension truth, per (d, query) — the measurement that
+    * licenses storing/serving short prefixes of the embedding. Same
+    * eval discipline as [[annRecallEval]]: a query spine keeps
+    * recall-zero queries visible, recall = n_hit/k lands on exact
+    * tenths so frac4 pins it bitwise; the full-dims row is the eval's
+    * own control (recall 1.0 by identity).
+    *
+    * Scale posture: each dims variant is the [[bruteTopK]] shape —
+    * broadcast queries x map-side scoring into the k-bounded heap
+    * aggregate (only partitions x k rows shuffle); slicing happens
+    * map-side under the scoring join, so the d-dim scan reads the same
+    * parquet column once per variant and the eval joins are
+    * (nQueries x k)-sized. */
+  def dimRecallEval(spark: SparkSession, dir: String, k: Int = K,
+                    nQueries: Int = NQueries,
+                    dims: Seq[Int] = Seq(64, 32, 16, 8)): DataFrame = {
+    val e = emb(spark, dir)
+    def topkAt(d: Int): DataFrame = {
+      val q = e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"),
+          slice(col("embedding"), 1, d).as("qe"))
+      val c = e.select(col("vec_id").as("cid"),
+        slice(col("embedding"), 1, d).as("ce"))
+      finishTopK(c.join(broadcast(q)).filter(col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"),
+          cosine_sim(col("qe"), col("ce")).as("cos")), k)
+        .select(col("qid"), col("cid"))
+    }
+    val truth = topkAt(dims.max)
+    val spine = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"))
+    dims.map { d =>
+      val hits = truth
+        .join(broadcast(topkAt(d)), Seq("qid", "cid"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+      spine.join(broadcast(hits), Seq("qid"), "left_outer")
+        .select(lit(d).as("dims"), col("qid"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (floor(coalesce(col("n_hit"), lit(0L)) / lit(k.toDouble)
+            * 10000.0 + 0.5) / 10000.0).as("recall"))
+    }.reduce(_.unionByName(_)).orderBy(col("dims"), col("qid"))
+  }
+
   /** Cosine near-duplicate pairs, blocked on the `label` metadata column
     * (an equi-join key, so the pair generation shuffles by label instead
     * of going quadratic over the corpus).

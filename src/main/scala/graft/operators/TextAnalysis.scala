@@ -396,6 +396,49 @@ object TextAnalysis {
       .orderBy(col("source"), col("rk"))
   }
 
+  /** TEMPERATURE-scaled source mixture (the multilingual/domain
+    * rebalancing of the GPT-3/PaLM data recipes): sampling probability
+    * p_s proportional to n_s^alpha with alpha = 0.5, so under-
+    * represented sources are upweighted relative to their raw share
+    * and over-represented ones damped — the knob between proportional
+    * (alpha 1, [[domainMix]]'s regime) and uniform (alpha 0) mixing.
+    *
+    * Unlike [[domainMix]]'s per-source fixed fractions, the weights
+    * here derive from the GLOBAL per-source counts, so determinism
+    * needs care: the weight is the INTEGER isqrt floor(sqrt(n_s))
+    * (IEEE sqrt is correctly rounded and n_s is exact, so the floor is
+    * engine-identical), the weight total is an integer sum (exact,
+    * order-free), and each quota is one integer division
+    * budget x w_s div sum(w) — no floating ratio anywhere near a floor
+    * boundary. Docs are picked per source by content-hash rank
+    * (dup-safe, rerun-stable — the domainMix discipline).
+    *
+    * Scale posture: two source-count-sized broadcast aggs (counts +
+    * weight total) and the per-source rank window — each doc shuffles
+    * once on its source key; the quota arithmetic rides the broadcast
+    * rows map-side. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val weights = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", floor(sqrt(col("n_docs"))).cast("long"))
+    val totals = docs.agg(
+      floor(count(lit(1)) / 2.0).cast("long").as("budget"))
+    val wsum = weights.agg(sum(col("w")).as("sw"))
+    val rw = Window.partitionBy(col("source"))
+      .orderBy(md5(col("text").cast("binary")), col("doc_id"))
+    docs
+      .join(broadcast(weights), Seq("source"))
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(wsum))
+      .withColumn("quota", expr("budget * w div sw"))
+      .withColumn("rk", row_number().over(rw))
+      .filter(col("rk") <= col("quota"))
+      .select(col("source"), col("n_docs"), col("quota"), col("rk"),
+        col("doc_id"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   /** The end-to-end curation funnel — the canonical pre-training corpus
     * pass, composed from the SAME column definitions the individual
     * operators use (one definition of score / pred_lang / repetition /

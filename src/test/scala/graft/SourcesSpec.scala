@@ -16,6 +16,46 @@ class SourcesSpec extends AnyFunSuite {
     d.getAbsolutePath
   }
 
+  test("ShardSink: round trip verifies, placement deterministic, shards balanced") {
+    import graft.sources.ShardSink
+    val docs = Tables.documents(spark, sf)
+    val nShards = 8
+    val path = tmpDir("shards")
+    ShardSink.writeShards(docs, path, nShards)
+    // layout: exactly one parquet file per shard directory
+    (0 until nShards).foreach { s =>
+      val files = new java.io.File(s"$path/shard=$s")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"shard $s has ${files.length} files")
+    }
+    // manifest verification: every shard ok, count conserved
+    val verdicts = ShardSink.verifyShards(spark, path).collect()
+    assert(verdicts.length == nShards)
+    assert(verdicts.forall(_.getBoolean(2)), "manifest mismatch")
+    assert(verdicts.map(_.getLong(1)).sum == docs.count())
+    // determinism: a rewrite yields the byte-identical manifest
+    val m1 = spark.read.parquet(s"$path/_manifest").collect().map(_.toSeq).toSet
+    ShardSink.writeShards(docs, path, nShards)
+    val m2 = spark.read.parquet(s"$path/_manifest").collect().map(_.toSeq).toSet
+    assert(m1 == m2, "rerun changed the manifest")
+    // hash balance: no shard more than 2x the uniform share
+    val counts = verdicts.map(_.getLong(1))
+    assert(counts.max <= 2 * docs.count() / nShards,
+      s"skewed shards: ${counts.mkString(",")}")
+    // tamper detection: a corrupted manifest row must fail verification
+    // (materialize with localCheckpoint first — an overwrite of the
+    // same path a lazy plan still reads would race its own scan)
+    val tampered = spark.read.parquet(s"$path/_manifest")
+      .withColumn("checksum",
+        when(col("shard") === 0, col("checksum") + 1L)
+          .otherwise(col("checksum")))
+      .localCheckpoint()
+    tampered.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/_manifest")
+    val after = ShardSink.verifyShards(spark, path).collect()
+    assert(after.count(!_.getBoolean(2)) == 1, "tamper went undetected")
+  }
+
   test("GeoJSONL write -> read round-trips point features") {
     import spark.implicits._
     val df = Seq((1L, 10.5, -3.25, "alpha"), (2L, -120.0, 45.5, "beta"))
