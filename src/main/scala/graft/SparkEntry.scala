@@ -106,6 +106,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashCoverageChecked(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashChecked(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_containment" -> ((s, d) => Dedup.containment(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "dedup_final" -> (Dedup.finalSurvivors _),
     // D. similarity search
@@ -1371,6 +1372,31 @@ object SparkEntry {
                AS jaccard
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
          WHERE jaccard >= CAST(0.8 AS DOUBLE)
+         ORDER BY doc_a, doc_b""",
+    // asymmetric containment over CAPPED distinct shingles: the df cap
+    // is operator semantics, so the oracle restates it with the same
+    // cap and the hash is exact
+    "dedup_containment" ->
+      """WITH sh AS (SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, len(l) - 1),
+             i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) t
+           WHERE len(l) >= 3),
+         keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 20),
+         shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+         sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS size_a
+           FROM shf GROUP BY doc_id),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+           FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b, n_shared, size_a,
+           floor(CAST(n_shared AS DOUBLE) / size_a * 10000.0 + 0.5)
+             / 10000.0 AS containment
+         FROM p JOIN sz ON doc_a = sz.doc_id
+         WHERE size_a >= 5
+           AND floor(CAST(n_shared AS DOUBLE) / size_a * 10000.0 + 0.5)
+             / 10000.0 >= CAST(0.9 AS DOUBLE)
          ORDER BY doc_a, doc_b""",
     // connected components over the verified pair list: transitive
     // closure by recursive CTE (UNION dedups), label = min reachable id

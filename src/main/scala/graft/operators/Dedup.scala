@@ -237,6 +237,57 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Asymmetric CONTAINMENT dedup — the doc-inside-doc detector that
+    * symmetric Jaccard structurally misses: a short document quoted
+    * whole inside a much longer one has C(A,B) = |sh(A) n sh(B)| /
+    * |sh(A)| ~ 1.0 while its Jaccard ~ |A|/|B| ~ 0 (so minhash-LSH,
+    * tuned for Jaccard, won't even surface the pair). The candidate
+    * source is therefore the capped inverted shingle index (the
+    * [[graft.operators.TextAnalysis.decontaminate]] discipline): only
+    * (shingle, doc_id) pairs shuffle, never text; shingles in more
+    * than maxDF docs drop FIRST — that cap is part of the operator's
+    * SEMANTICS (boilerplate n-grams are not containment evidence), so
+    * the oracle restates it exactly and the hash is exact, and it
+    * bounds worst-case join fan-out to maxDF^2 per shingle (the skew
+    * guard). minSize floors the denominator so two-shingle snippets
+    * can't fire spuriously. Both orientations are evaluated (A-in-B
+    * and B-in-A are different claims); frac4 floor-pin on the ratio. */
+  def containment(spark: SparkSession, dir: String, n: Int = ShingleSize,
+                  maxDF: Int = 20, tau: Double = 0.9,
+                  minSize: Int = 5): DataFrame =
+    containmentOf(Tables.documents(spark, dir), n, maxDF, tau, minSize)
+
+  /** [[containment]] over any (doc_id, text) frame — the spec plants a
+    * doc-inside-doc pair whose Jaccard is far below any LSH tuning. */
+  private[graft] def containmentOf(docs: DataFrame, n: Int = ShingleSize,
+                                   maxDF: Int = 20, tau: Double = 0.9,
+                                   minSize: Int = 5): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"),
+        explode(array_distinct(TextFunctions.word_shingles(col("text"), n)))
+          .as("s"))
+    val keep = sh.groupBy(col("s"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDF)
+      .select(col("s"))
+    val shf = sh.join(keep, Seq("s"), "left_semi")
+    val sizes = shf.groupBy(col("doc_id")).agg(count(lit(1)).as("size_a"))
+    val pairs = shf.select(col("s"), col("doc_id").as("doc_a"))
+      .join(shf.select(col("s"), col("doc_id").as("doc_b")), Seq("s"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val c = floor(col("n_shared") / col("size_a") * 10000.0 + 0.5) / 10000.0
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("size_a")),
+        Seq("doc_a"))
+      .filter(col("size_a") >= minSize)
+      .withColumn("containment", c)
+      .filter(col("containment") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("size_a"),
+        col("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Near-duplicate CLUSTERS from the verified pair list: connected
     * components via iterative min-label propagation — the final step of
     * a production dedup pipeline (pairs alone over-count; keep-one-per-

@@ -218,6 +218,28 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got == brute, s"got ${got.size} brute ${brute.size}")
   }
 
+  test("containment flags a doc-inside-doc pair whose Jaccard is tiny") {
+    import spark.implicits._
+    // doc 1 (12 words, 10 shingles) is quoted whole inside doc 2 (62
+    // words): containment(1 in 2) = 1.0 while Jaccard ~ 10/60 — below
+    // any LSH-viable threshold, which is the reason this operator exists
+    val small = (1 to 12).map(i => s"w$i").mkString(" ")
+    val big = small + " " + (100 to 149).map(i => s"x$i").mkString(" ")
+    val noise = (1 to 8).map(d =>
+      (10L + d, (1 to 30).map(i => s"n${d}_$i").mkString(" ")))
+    val docs = (Seq((1L, small), (2L, big)) ++ noise).toDF("doc_id", "text")
+    val rows = Dedup.containmentOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(rows.toSeq == Seq((1L, 2L, 1.0)),
+      s"expected exactly the planted (1 in 2) pair, got ${rows.toSeq}")
+    // the pair's actual Jaccard documents why the symmetric pipeline
+    // can't see it: shared 10 / union 60 shingles = 0.167 << 0.8
+    def shingles(s: String) = s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val j = shingles(small).intersect(shingles(big)).size.toDouble /
+      shingles(small).union(shingles(big)).size
+    assert(j < 0.2, s"planted pair unexpectedly similar: $j")
+  }
+
   test("exact survivors has no duplicate texts and keeps min doc_id") {
     val surv = Dedup.exactSurvivors(spark, sf)
     val n = surv.count()
