@@ -115,6 +115,7 @@ object SparkEntry {
     "ann_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "ann_recall_eval" -> ((s, d) => Similarity.annRecallEval(s, d)),
     "emb_dim_recall" -> ((s, d) => Similarity.dimRecallEval(s, d)),
+    "ann_range_search" -> ((s, d) => Similarity.rangeSearch(s, d)),
     "emb_diversity_sample" -> ((s, d) => Similarity.diversitySample(s, d)),
     "pipeline_dedup_sample" -> ((s, d) => Similarity.dedupDiversitySample(s, d)),
     "emb_outliers" -> ((s, d) => Similarity.outliers(s, d)),
@@ -1610,6 +1611,16 @@ object SparkEntry {
            floor(coalesce(n_hit, 0) / CAST(5.0 AS DOUBLE)
              * 10000.0 + 0.5) / 10000.0 AS recall
          FROM q LEFT JOIN hits ON q.qid = hits.qid ORDER BY q.qid""",
+    // range retrieval: threshold scan restated directly
+    "ann_range_search" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10)
+         SELECT q.qid, e.vec_id AS cid,
+           round(list_cosine_similarity(q.qv, e.v), 4) AS cos_sim
+         FROM q, e
+         WHERE e.vec_id <> q.qid
+           AND list_cosine_similarity(q.qv, e.v) >= CAST(0.35 AS DOUBLE)
+         ORDER BY q.qid, e.vec_id""",
     // truncated-dimension recall: the d-dim scans restate as list
     // slices; the full-dims control row pins the spine
     "emb_dim_recall" ->

@@ -142,6 +142,33 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** RANGE retrieval — every candidate within cosine `tau` of each
+    * query (the radius-query twin of [[bruteTopK]]'s fixed-k: dedup
+    * probes, "find all near evidence" RAG lookups, and recall oracles
+    * want a threshold, not a count). Exact form: broadcast queries x
+    * map-side scoring with the norm hoisted per row ([[cosFromNorms]]),
+    * filter at tau — no aggregate at all, so the scan pipelines into
+    * whatever consumes the matches; per-query result size is
+    * data-dependent by design (that is what a range query reports).
+    * The subquadratic corpus-scale path is the same banding
+    * [[nearDupLsh]] uses; this is the exact reference the banded
+    * variant is measured against. */
+  def rangeSearch(spark: SparkSession, dir: String, tau: Double = 0.35,
+                  nQueries: Int = NQueries): DataFrame = {
+    val q = emb(spark, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        vec_norm(col("embedding")).as("_nq"))
+    val c = emb(spark, dir)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        vec_norm(col("embedding")).as("_nc"))
+    c.join(broadcast(q)).filter(col("cid") =!= col("qid"))
+      .withColumn("cos",
+        cosFromNorms(col("qe"), col("ce"), col("_nq"), col("_nc")))
+      .filter(col("cos") >= tau)
+      .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("qid"), col("cid"))
+  }
+
   /** Truncated-dimension retrieval eval (the Matryoshka question: how
     * many leading dimensions does serving actually need?): recall@k of
     * brute-force top-k computed over only the first d dims, against the

@@ -98,7 +98,17 @@ class PruningSpec extends AnyFunSuite {
       // broadcast admin x cell dim — containment has no equi key, the
       // geo_area_assign posture) and the <=4-row poi-type cross it
       // inherits from geo_nearest_poi
-      "pipeline_ram_e2e")
+      "pipeline_ram_e2e",
+      // emb_dim_recall: inherits ann_brute_topk's declared broadcast
+      // queries x candidates cross, once per dims variant
+      "emb_dim_recall",
+      // ann_range_search: the same declared queries x candidates cross
+      // (range scan is the threshold twin of the brute top-k)
+      "ann_range_search",
+      // text_temperature_mix: the one-row budget and weight-total
+      // scalar frames crossed onto the doc scan (weights themselves
+      // join source-keyed)
+      "text_temperature_mix")
     // full-outer equi-joins cannot broadcast (both sides must preserve
     // unmatched rows), so a shuffle join IS the correct plan there
     val smjAllowed = Set("q26_full_outer")
