@@ -269,15 +269,29 @@ object Dedup {
     val keep = sh.groupBy(col("s"))
       .agg(count(lit(1)).as("df")).filter(col("df") <= maxDF)
       .select(col("s"))
-    val shf = sh.join(keep, Seq("s"), "left_semi")
+    // the capped index feeds THREE consumers (both self-join sides and
+    // the per-doc sizes); pin it once so the shingle explode + df-cap
+    // semi-join run a single time instead of three (the ngramJaccard
+    // re-shingle lesson), and release the blocks before returning
+    val shf = sh.join(keep, Seq("s"), "left_semi").localCheckpoint()
     val sizes = shf.groupBy(col("doc_id")).agg(count(lit(1)).as("size_a"))
-    val pairs = shf.select(col("s"), col("doc_id").as("doc_a"))
-      .join(shf.select(col("s"), col("doc_id").as("doc_b")), Seq("s"))
-      .filter(col("doc_a") =!= col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+    // shared counts are symmetric: aggregate each UNORDERED pair once
+    // (half the rows through the shuffle + hash agg), then emit both
+    // orientations — C(A,B) and C(B,A) are different claims but share
+    // n_shared
+    val unordered = shf.select(col("s"), col("doc_id").as("da"))
+      .join(shf.select(col("s"), col("doc_id").as("db")), Seq("s"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db"))
       .agg(count(lit(1)).as("n_shared"))
+    val pairs = unordered.select(explode(array(
+        struct(col("da").as("doc_a"), col("db").as("doc_b"),
+          col("n_shared")),
+        struct(col("db").as("doc_a"), col("da").as("doc_b"),
+          col("n_shared")))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.n_shared"))
     val c = floor(col("n_shared") / col("size_a") * 10000.0 + 0.5) / 10000.0
-    pairs
+    val out = pairs
       .join(sizes.select(col("doc_id").as("doc_a"), col("size_a")),
         Seq("doc_a"))
       .filter(col("size_a") >= minSize)
@@ -286,6 +300,9 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_shared"), col("size_a"),
         col("containment"))
       .orderBy(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    org.apache.spark.sql.graftbridge.SparkBridge.unpersistCheckpoint(shf)
+    out
   }
 
   /** Near-duplicate CLUSTERS from the verified pair list: connected
