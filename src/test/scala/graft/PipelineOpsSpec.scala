@@ -89,6 +89,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("temperature mix: quotas conserve the budget and upweight small sources") {
+    val docs = Tables.documents(spark, sf)
+    val total = docs.count()
+    val perSource = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val out = TextAnalysis.temperatureMix(spark, sf)
+    val kept = out.groupBy(col("source")).agg(count(lit(1)).as("kept"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // per-source kept == the exact integer quota; total <= budget
+    val budget = total / 2
+    val ws = perSource.view.mapValues(n => math.sqrt(n.toDouble).toLong).toMap
+    val sw = ws.values.sum
+    perSource.keys.foreach { s =>
+      val want = budget * ws(s) / sw
+      assert(kept.getOrElse(s, 0L) == want,
+        s"$s kept ${kept.getOrElse(s, 0L)} want $want")
+    }
+    assert(kept.values.sum <= budget)
+    // the temperature property: every source's kept SHARE is at least
+    // its proportional-share counterpart iff it is below average size
+    // (alpha < 1 compresses the size spread) — verify the ordering of
+    // shares matches the ordering of sqrt weights, not raw counts
+    val shares = perSource.keys.toSeq.sortBy(ws)
+      .map(s => kept.getOrElse(s, 0L))
+    assert(shares == shares.sorted, "kept counts must order by isqrt weight")
+    // rerun stability
+    val again = TextAnalysis.temperatureMix(spark, sf)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
   test("kmeans: assignments cover all vectors and improve on round one") {
     import spark.implicits._
     val one = Similarity.kmeans(spark, sf, iters = 1).cache()
