@@ -116,6 +116,7 @@ object SparkEntry {
     "ann_recall_eval" -> ((s, d) => Similarity.annRecallEval(s, d)),
     "emb_dim_recall" -> ((s, d) => Similarity.dimRecallEval(s, d)),
     "ann_range_search" -> ((s, d) => Similarity.rangeSearch(s, d)),
+    "ann_ivf_stats" -> ((s, d) => Similarity.ivfStats(s, d)),
     "emb_diversity_sample" -> ((s, d) => Similarity.diversitySample(s, d)),
     "pipeline_dedup_sample" -> ((s, d) => Similarity.dedupDiversitySample(s, d)),
     "emb_outliers" -> ((s, d) => Similarity.outliers(s, d)),
@@ -1611,6 +1612,22 @@ object SparkEntry {
            floor(coalesce(n_hit, 0) / CAST(5.0 AS DOUBLE)
              * 10000.0 + 0.5) / 10000.0 AS recall
          FROM q LEFT JOIN hits ON q.qid = hits.qid ORDER BY q.qid""",
+    // IVF cell-balance report: the assignment argmax restated, counts
+    // + closed-form verdicts
+    "ann_ivf_stats" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         seeds AS (SELECT vec_id AS cell, v AS sv FROM e WHERE vec_id < 16),
+         asg AS (SELECT cid, cell FROM (
+           SELECT a.vec_id AS cid, s.cell,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(a.v, s.sv) DESC, s.cell)
+               AS rn
+           FROM e a, seeds s) t WHERE rn = 1),
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS nv FROM e)
+         SELECT cell AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+           floor(count(*) / nv * 10000.0 + 0.5) / 10000.0 AS share,
+           count(*) <= nv * CAST(0.25 AS DOUBLE) AS balanced
+         FROM asg CROSS JOIN tot GROUP BY cell, nv ORDER BY cell""",
     // range retrieval: threshold scan restated directly
     "ann_range_search" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

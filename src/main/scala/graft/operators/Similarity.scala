@@ -142,6 +142,35 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** IVF index-build health: per-cell member counts plus the imbalance
+    * verdict — the build-side metric that pairs with [[annRecallEval]]
+    * (a lopsided cell list makes probe cost unpredictable and recall
+    * config-dependent long before recall itself degrades). Reports
+    * each cell's size, its share of the corpus, and whether the cell
+    * stays under `maxSkew` x the uniform share; one partial-agg
+    * groupBy over the same map-side assignment the index build runs,
+    * so the report costs one scan. The oracle restates the assignment
+    * argmax and the closed-form verdicts. */
+  def ivfStats(spark: SparkSession, dir: String, nCells: Int = 16,
+               maxSkew: Double = 4.0): DataFrame = {
+    val e = emb(spark, dir)
+    val seeds = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cluster_id"), col("embedding").as("se"))
+    // corpus total rides as a one-row broadcast scalar (no driver
+    // action in the operator path)
+    val total = e.agg(count(lit(1)).cast("double").as("nv"))
+    assignToSeeds(e, seeds)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .crossJoin(broadcast(total))
+      .select(col("cluster_id"), col("n_members"),
+        (floor(col("n_members") / col("nv") * 10000.0 + 0.5)
+          / 10000.0).as("share"),
+        (col("n_members") <= col("nv") * (maxSkew / nCells))
+          .as("balanced"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** RANGE retrieval — every candidate within cosine `tau` of each
     * query (the radius-query twin of [[bruteTopK]]'s fixed-k: dedup
     * probes, "find all near evidence" RAG lookups, and recall oracles

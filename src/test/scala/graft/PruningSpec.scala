@@ -105,6 +105,9 @@ class PruningSpec extends AnyFunSuite {
       // ann_range_search: the same declared queries x candidates cross
       // (range scan is the threshold twin of the brute top-k)
       "ann_range_search",
+      // ann_ivf_stats: the seed-assignment cross (emb_cluster_assign's
+      // declared shape) + the one-row corpus-total scalar
+      "ann_ivf_stats",
       // text_temperature_mix: the one-row budget and weight-total
       // scalar frames crossed onto the doc scan (weights themselves
       // join source-keyed)
