@@ -358,6 +358,39 @@ class GeoSpec extends AnyFunSuite {
     }
   }
 
+  test("ramE2e: work-area tiling partitions each admin area exactly (no " +
+    "boundary double-count, hole excluded)") {
+    import org.apache.spark.sql.functions.col
+    val rows = operators.Accessibility.ramE2e(spark, sf).collect()
+      .filter(_.getLong(3) == 0) // one type's rows: one row per (nation, cell)
+      .map(r => (r.getInt(0), r.getLong(4)))
+    val perNation = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    // independent recount: an origin is in nation nk's work area iff it
+    // lies in the half-open outer rect minus the open hole interior —
+    // cells tile that region, so the per-nation cell sums must equal
+    // this direct predicate count exactly (a boundary origin counted in
+    // two adjacent cells, or a hole leak, breaks the equality)
+    val custs = Tables.customer(spark, sf).select(col("c_custkey"))
+      .collect().map(_.getLong(0))
+    val nations = Tables.nation(spark, sf)
+      .select(col("n_nationkey")).collect().map(_.getInt(0))
+    nations.foreach { nk =>
+      val lat0 = (nk * 13 % 150 - 80).toDouble
+      val lon0 = (nk * 29 % 330 - 175).toDouble
+      val want = custs.count { k =>
+        val lat = (k * 37 % 1700) / 10.0 - 85.0
+        val lon = (k * 91 % 3600) / 10.0 - 180.0
+        val inOuter = lon >= lon0 && lon < lon0 + 30.0 &&
+          lat >= lat0 && lat < lat0 + 20.0
+        val inHole = lon > lon0 + 6.0 && lon < lon0 + 18.0 &&
+          lat > lat0 + 4.0 && lat < lat0 + 12.0
+        inOuter && !inHole
+      }
+      assert(perNation.getOrElse(nk, 0L) == want.toLong,
+        s"nation $nk: cells sum ${perNation.getOrElse(nk, 0L)} != direct $want")
+    }
+  }
+
   test("gridDensity: DBSCAN invariants — core density, border adjacency, noise isolation") {
     import org.apache.spark.sql.functions.col
     val minPts = 3
