@@ -117,6 +117,7 @@ object SparkEntry {
     "emb_dim_recall" -> ((s, d) => Similarity.dimRecallEval(s, d)),
     "ann_range_search" -> ((s, d) => Similarity.rangeSearch(s, d)),
     "ann_ivf_stats" -> ((s, d) => Similarity.ivfStats(s, d)),
+    "pipeline_paraphrase" -> ((s, d) => Similarity.paraphrasePairs(s, d)),
     "emb_diversity_sample" -> ((s, d) => Similarity.diversitySample(s, d)),
     "pipeline_dedup_sample" -> ((s, d) => Similarity.dedupDiversitySample(s, d)),
     "emb_outliers" -> ((s, d) => Similarity.outliers(s, d)),
@@ -1612,6 +1613,28 @@ object SparkEntry {
            floor(coalesce(n_hit, 0) / CAST(5.0 AS DOUBLE)
              * 10000.0 + 0.5) / 10000.0 AS recall
          FROM q LEFT JOIN hits ON q.qid = hits.qid ORDER BY q.qid""",
+    // cross-modal paraphrase verdicts: exact cosine pairs joined to
+    // both sides' shingle sets, lexical jaccard verdict per pair
+    "pipeline_paraphrase" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+             round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+           FROM e a, e b WHERE a.vec_id < b.vec_id
+             AND list_cosine_similarity(a.v, b.v) >= CAST(0.35 AS DOUBLE)),
+         sh AS (SELECT doc_id, list_distinct(
+             list_transform(range(1, len(l) - 1),
+               i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) t
+           WHERE len(l) >= 3)
+         SELECT va, vb, cos_sim,
+           round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+             CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE), 4)
+             AS jaccard,
+           round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+             CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE), 4)
+             < CAST(0.5 AS DOUBLE) AS paraphrase
+         FROM pairs JOIN sh sa ON va = sa.doc_id JOIN sh sb ON vb = sb.doc_id
+         ORDER BY va, vb""",
     // IVF cell-balance report: the assignment argmax restated, counts
     // + closed-form verdicts
     "ann_ivf_stats" ->

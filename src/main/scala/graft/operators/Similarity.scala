@@ -142,6 +142,44 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** Cross-modal PARAPHRASE detection — the pair class embedding dedup
+    * exists to catch and lexical dedup structurally cannot: vectors
+    * cosine-close (>= tau) whose TEXTS are n-gram-far (jaccard <
+    * lexTau). Joins the exact semantic pair list ([[nearDupBlocked]],
+    * vec_id == doc_id by the corpus construction) to both sides'
+    * shingle sets and verdicts each pair; `paraphrase = true` rows are
+    * the semantic-only duplicates a text-only pipeline would keep as
+    * "distinct" training examples.
+    *
+    * Scale posture: the semantic pair list is near-dup-density-sized
+    * (tiny vs the corpus), so it BROADCASTS into the two shingle
+    * joins; shingles are computed only for pair members (semi-join
+    * prune first — the ngramJaccard lesson, two full-corpus shingle
+    * passes saved). */
+  def paraphrasePairs(spark: SparkSession, dir: String,
+                      tau: Double = 0.35,
+                      lexTau: Double = 0.5): DataFrame = {
+    import graft.functions.TextFunctions
+    val pairs = nearDupBlocked(spark, dir, tau)
+    val members = pairs
+      .select(explode(array(col("va"), col("vb"))).as("doc_id")).distinct()
+    val sh = Tables.documents(spark, dir)
+      .join(broadcast(members), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        array_distinct(TextFunctions.word_shingles(col("text"), 3)).as("s"))
+      .filter(size(col("s")) >= 1)
+    val jac = round(
+      size(array_intersect(col("sa"), col("sb"))).cast("double") /
+        size(array_union(col("sa"), col("sb"))).cast("double"), 4)
+    pairs
+      .join(sh.select(col("doc_id").as("va"), col("s").as("sa")), Seq("va"))
+      .join(sh.select(col("doc_id").as("vb"), col("s").as("sb")), Seq("vb"))
+      .withColumn("jaccard", jac)
+      .select(col("va"), col("vb"), col("cos_sim"), col("jaccard"),
+        (col("jaccard") < lexTau).as("paraphrase"))
+      .orderBy(col("va"), col("vb"))
+  }
+
   /** IVF index-build health: per-cell member counts plus the imbalance
     * verdict — the build-side metric that pairs with [[annRecallEval]]
     * (a lopsided cell list makes probe cost unpredictable and recall
