@@ -145,22 +145,27 @@ object Similarity {
   /** Cross-modal PARAPHRASE detection — the pair class embedding dedup
     * exists to catch and lexical dedup structurally cannot: vectors
     * cosine-close (>= tau) whose TEXTS are n-gram-far (jaccard <
-    * lexTau). Joins the exact semantic pair list ([[nearDupBlocked]],
+    * lexTau). Joins the semantic pair list ([[semanticPairs]],
     * vec_id == doc_id by the corpus construction) to both sides'
     * shingle sets and verdicts each pair; `paraphrase = true` rows are
     * the semantic-only duplicates a text-only pipeline would keep as
     * "distinct" training examples.
     *
-    * Scale posture: the semantic pair list is near-dup-density-sized
-    * (tiny vs the corpus), so it BROADCASTS into the two shingle
-    * joins; shingles are computed only for pair members (semi-join
-    * prune first — the ngramJaccard lesson, two full-corpus shingle
-    * passes saved). */
+    * Scale posture: the pair source is the tau-DISPATCHED
+    * [[semanticPairs]] — at the bench/oracle tau (0.35, where no
+    * banding is selective) the exact block join runs and the
+    * registered hash is unchanged; at production paraphrase tau
+    * (~0.9) the dispatch goes subquadratic via [[nearDupLsh]]
+    * (spec-pinned). The pair list is near-dup-density-sized (tiny vs
+    * the corpus), so it BROADCASTS into the two shingle joins;
+    * shingles are computed only for pair members (semi-join prune
+    * first — the ngramJaccard lesson, two full-corpus shingle passes
+    * saved). */
   def paraphrasePairs(spark: SparkSession, dir: String,
                       tau: Double = 0.35,
                       lexTau: Double = 0.5): DataFrame = {
     import graft.functions.TextFunctions
-    val pairs = nearDupBlocked(spark, dir, tau)
+    val pairs = semanticPairs(spark, dir, tau)
     val members = pairs
       .select(explode(array(col("va"), col("vb"))).as("doc_id")).distinct()
     val sh = Tables.documents(spark, dir)
@@ -267,7 +272,20 @@ object Similarity {
           cosine_sim(col("qe"), col("ce")).as("cos")), k)
         .select(col("qid"), col("cid"))
     }
-    val truth = topkAt(dims.max)
+    // ground truth comes from the UNSLICED embedding column — if dims
+    // omits the stored dimension, recall is still measured against real
+    // full-dim truth, never a truncated pseudo-truth (and when dims
+    // includes it, slice(e, 1, fulldim) == e so the control row's
+    // recall-1.0-by-identity reading is unchanged)
+    val truth = {
+      val q = e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      finishTopK(c.join(broadcast(q)).filter(col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"),
+          cosine_sim(col("qe"), col("ce")).as("cos")), k)
+        .select(col("qid"), col("cid"))
+    }
     val spine = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"))
     dims.map { d =>
@@ -459,7 +477,7 @@ object Similarity {
     * projection. */
   def semanticDedup(spark: SparkSession, dir: String,
                     tau: Double = 0.35): DataFrame = {
-    val pairs = semanticPairs(spark, dir, tau)
+    val pairs = semanticPairs(spark, dir, tau).select(col("va"), col("vb"))
     val labels = Graph.minLabelComponents(
       pairs, emb(spark, dir).select(col("vec_id")))
     val out = labels
@@ -482,6 +500,11 @@ object Similarity {
     * = 1 - (1 - p^r)^bands with p = [[bitAgreeP]]. */
   private[graft] def lshPlanStats(tau: Double, nBits: Int,
                                   bands: Int): (Double, Double) = {
+    // the dispatch must reason about the EXACT banding nearDupLsh will
+    // run: a non-divisible (nBits, bands) would make these stats
+    // describe a config the executor then rejects
+    require(bands > 0 && nBits % bands == 0,
+      s"bands ($bands) must divide nBits ($nBits)")
     val r = nBits / bands
     (bands * math.pow(0.5, r),
       1.0 - math.pow(1.0 - math.pow(bitAgreeP(tau), r), bands))
@@ -515,10 +538,13 @@ object Similarity {
                                    maxRandFrac: Double = 0.05,
                                    minRecall: Double = 0.9): DataFrame = {
     val (randFrac, recall) = lshPlanStats(tau, nBits, bands)
+    // both arms emit (va, vb, cos_sim) so similarity-consuming
+    // compositions (paraphrase mining) dispatch through here too;
+    // edge-only consumers (semanticDedup) drop the score
     if (randFrac <= maxRandFrac && recall >= minRecall)
-      nearDupLsh(spark, dir, tau, nBits, bands).select(col("va"), col("vb"))
+      nearDupLsh(spark, dir, tau, nBits, bands)
     else
-      nearDupBlocked(spark, dir, tau).select(col("va"), col("vb"))
+      nearDupBlocked(spark, dir, tau)
   }
 
   /** Exact cosine pairs >= tau via uniform BLOCK-partitioned all-pairs —

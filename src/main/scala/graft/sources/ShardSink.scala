@@ -75,9 +75,13 @@ object ShardSink {
     recomputed.join(stored, Seq("shard"), "full_outer")
       .select(col("shard"),
         coalesce(col("n_docs"), lit(-1L)).as("n_docs"),
-        (col("n_docs") === col("m_docs") &&
+        // a shard present on only ONE side (lost directory / missing
+        // manifest row) makes the equality NULL — coalesce to false so
+        // the lost-shard case is a real `ok = false` verdict instead of
+        // a null that filter(!ok) would silently drop
+        coalesce(col("n_docs") === col("m_docs") &&
           col("n_tokens") === col("m_tokens") &&
-          col("checksum") === col("m_checksum")).as("ok"))
+          col("checksum") === col("m_checksum"), lit(false)).as("ok"))
       .orderBy(col("shard"))
   }
 }

