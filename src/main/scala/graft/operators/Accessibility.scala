@@ -178,36 +178,27 @@ object Accessibility {
       GeoJoins.radiusJoin(os, p, radius, broadcastRight = true)
         .groupBy(col("c_custkey"))
         .agg(top_k_by_score(-col("dist_deg"), col("s_suppkey"), k).as("top"))
-    // persist the tight phase: it feeds BOTH the resolved branch and
-    // the anti-join deriving unresolved origins, and Spark would
-    // otherwise execute the radius join + top-k aggregate twice.
-    // persist (lazy, lineage-recoverable) rather than localCheckpoint
-    // (executor loss during the search would lose pinned partitions
-    // unrecoverably). The cache's lifecycle is owned HERE: the result is
-    // materialized eagerly below, then the phase-1 cache is released —
-    // otherwise every invocation leaks cached blocks for the session
-    // lifetime.
+    // The tight phase feeds BOTH the resolved branch and the anti-join
+    // deriving unresolved origins. No persist, no eager count: the two
+    // consumers sit above the IDENTICAL tight-phase aggregate subtree,
+    // so its shuffle exchange is planned ONCE and reused
+    // (ReusedExchange — spec-pinned). That keeps the whole search one
+    // declarative job: the shuffle files back both branches the way the
+    // old MEMORY_AND_DISK cache did, but outside the unified memory
+    // region, so a bench- or cluster-level memory squeeze cannot turn
+    // this operator into eviction churn (the r9 driver-side 3.9-15.9 s
+    // outlier was exactly the persist/eager-count lifecycle paying
+    // rebuild-under-pressure costs).
     val near = topk(o, firstRadiusDeg)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val resolved = near.filter(size(col("top")) === k)
     val unresolved = o.join(resolved.select(col("c_custkey")),
       Seq("c_custkey"), "left_anti")
-    val out = resolved.unionByName(topk(unresolved, MaxReachDeg))
+    resolved.unionByName(topk(unresolved, MaxReachDeg))
       .select(col("c_custkey"), posexplode(col("top")))
       .select(col("c_custkey"), (col("pos") + 1).cast("int").as("rk"),
         col("col.id").as("s_suppkey"),
         round(-col("col.score"), 4).as("dist_deg"))
       .orderBy(col("c_custkey"), col("rk"))
-      // persist + eager count, NOT localCheckpoint: the result keeps its
-      // lineage, so losing a cached block after phase-1's cache is gone
-      // recomputes through the full plan instead of failing on a missing
-      // checkpoint block. Eager so phase-1's (input-sized) cache can be
-      // released deterministically below; what stays cached is only the
-      // output-sized k-rows-per-origin frame.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    near.unpersist(blocking = false)
-    out
   }
 
   /** The many-to-many travel-time matrix itself (OSRM `table`,

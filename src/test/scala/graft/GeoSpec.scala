@@ -135,6 +135,21 @@ class GeoSpec extends AnyFunSuite {
     assert(got == brute && got.nonEmpty)
   }
 
+  test("knn tight-phase exchange is planned once and reused") {
+    // knnPoi's tight-phase aggregate feeds both the resolved branch and
+    // the unresolved anti-join; the design relies on Spark reusing that
+    // shuffle (ReusedExchange) instead of a persist/eager-count cache
+    // lifecycle (the r9 driver-bench outlier). If a refactor breaks the
+    // subtree identity, the tight phase silently executes twice — pin
+    // the reuse in the executed plan.
+    val out = operators.Accessibility.knnPoi(spark, sf)
+    out.collect() // finalize THIS QueryExecution's adaptive plan
+    val finalPlan = out.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("ReusedExchange") ||
+      finalPlan.contains("ReusedQueryStage"),
+      s"tight-phase exchange must be reused, not recomputed:\n$finalPlan")
+  }
+
   test("accessibility covered <= total") {
     Accessibility.accessibility(spark, sf).collect().foreach { r =>
       assert(r.getLong(2) <= r.getLong(1)) // n_covered <= n_origins
