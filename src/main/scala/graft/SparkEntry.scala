@@ -84,6 +84,7 @@ object SparkEntry {
     "geo_eta_matrix" -> ((s, d) => Accessibility.etaMatrix(s, d)),
     "geo_center_of_mass" -> (Accessibility.centerOfMass _),
     "geo_clip_area" -> ((s, d) => Accessibility.clipArea(s, d)),
+    "geo_tile_admin" -> ((s, d) => Accessibility.tileAdminPolygons(s, d)),
     "geo_tile_features" -> ((s, d) => graft.sources.VectorTiles.tileFeaturesQuery(s, d)),
     "geo_tile_pyramid" -> ((s, d) => graft.sources.VectorTiles.tilePyramidQuery(s, d)),
     "geo_route_eta" -> ((s, d) => Routing.routeEta(s, d)),
@@ -1155,6 +1156,64 @@ object SparkEntry {
              AS BIGINT) AS clip_area
          FROM dims WHERE ox1 > ox0 AND oy1 > oy0
          ORDER BY n_nationkey, cell_x, cell_y""",
+    // admin-bounds tiling: the clip restates as interval arithmetic on
+    // the tile window (geo_clip_area's dims pattern), quantization is
+    // the identical floor(+0.5) double expression on both engines, and
+    // the quantized shoelace of a rect ring is closed-form 2*w*h
+    "geo_tile_admin" ->
+      """WITH a AS (SELECT n_nationkey,
+           CAST(n_nationkey * 13 % 150 - 80 AS DOUBLE) AS lat0,
+           CAST(n_nationkey * 29 % 330 - 175 AS DOUBLE) AS lon0 FROM nation),
+         cand AS (SELECT n_nationkey, lat0, lon0, tx.tile_x, ty.tile_y
+           FROM a,
+           LATERAL (SELECT unnest(generate_series(
+             CAST(floor((lon0 + 180.0) / 45.0) AS BIGINT),
+             CAST(floor((lon0 + 30.0 + 180.0) / 45.0) AS BIGINT))) AS tile_x) tx,
+           LATERAL (SELECT unnest(generate_series(
+             CAST(floor((90.0 - (lat0 + 20.0)) / 22.5) AS BIGINT),
+             CAST(floor((90.0 - lat0) / 22.5) AS BIGINT))) AS tile_y) ty),
+         w AS (SELECT n_nationkey, lat0, lon0, tile_x, tile_y,
+           CAST(tile_x * 45.0 - 180.0 AS DOUBLE) AS tlon0,
+           CAST(90.0 - tile_y * 22.5 AS DOUBLE) AS tlatt FROM cand),
+         dims AS (SELECT n_nationkey, tile_x, tile_y, tlon0, tlatt,
+           GREATEST(lon0, tlon0) AS ox0,
+           LEAST(lon0 + 30.0, tlon0 + 45.0) AS ox1,
+           GREATEST(lat0, tlatt - 22.5) AS oy0,
+           LEAST(lat0 + 20.0, tlatt) AS oy1,
+           GREATEST(lon0 + 6.0, tlon0) AS hx0,
+           LEAST(lon0 + 18.0, tlon0 + 45.0) AS hx1,
+           GREATEST(lat0 + 4.0, tlatt - 22.5) AS hy0,
+           LEAST(lat0 + 12.0, tlatt) AS hy1
+           FROM w),
+         q AS (SELECT n_nationkey, tile_x, tile_y,
+           hx1 > hx0 AND hy1 > hy0 AS has_hole,
+           CAST(floor((ox0 - tlon0) / 45.0 * CAST(4096 AS DOUBLE) + 0.5)
+             AS BIGINT) AS qx0,
+           CAST(floor((ox1 - tlon0) / 45.0 * CAST(4096 AS DOUBLE) + 0.5)
+             AS BIGINT) AS qx1,
+           CAST(floor((tlatt - oy1) / 22.5 * CAST(4096 AS DOUBLE) + 0.5)
+             AS BIGINT) AS qy0,
+           CAST(floor((tlatt - oy0) / 22.5 * CAST(4096 AS DOUBLE) + 0.5)
+             AS BIGINT) AS qy1,
+           CAST(floor((hx0 - tlon0) / 45.0 * CAST(4096 AS DOUBLE) + 0.5)
+             AS BIGINT) AS qhx0,
+           CAST(floor((hx1 - tlon0) / 45.0 * CAST(4096 AS DOUBLE) + 0.5)
+             AS BIGINT) AS qhx1,
+           CAST(floor((tlatt - hy1) / 22.5 * CAST(4096 AS DOUBLE) + 0.5)
+             AS BIGINT) AS qhy0,
+           CAST(floor((tlatt - hy0) / 22.5 * CAST(4096 AS DOUBLE) + 0.5)
+             AS BIGINT) AS qhy1
+           FROM dims WHERE ox1 > ox0 AND oy1 > oy0)
+         SELECT n_nationkey, CAST(3 AS INT) AS z, tile_x, tile_y,
+           CAST(4 AS BIGINT) AS n_v_outer,
+           CAST(CASE WHEN has_hole THEN 4 ELSE 0 END AS BIGINT) AS n_v_hole,
+           qx0, qy0, qx1, qy1,
+           CAST(2 * (qx1 - qx0) * (qy1 - qy0)
+             - CASE WHEN has_hole
+                 THEN 2 * (qhx1 - qhx0) * (qhy1 - qhy0) ELSE 0 END
+             AS BIGINT) AS q_area2
+         FROM q
+         ORDER BY n_nationkey, tile_x, tile_y""",
     // grid-density DBSCAN surrogate: cell histogram + recursive-CTE
     // closure over 8-connected core cells; coordinates, cell ids and
     // the core/border/noise classification restate closed-form

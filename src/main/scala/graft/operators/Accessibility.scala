@@ -373,6 +373,97 @@ object Accessibility {
       .filter(col("oa2") > 0.0)
   }
 
+  /** ADMIN-BOUNDS TILING — what tippecanoe does to the admin-areas
+    * layer (ram-vt/app/index.js:74-88's `admin-bounds` VT_TYPE): clip
+    * each admin polygon to every slippy tile it touches
+    * (Sutherland–Hodgman, the [[clipArea]] kernel with the tile rect
+    * as the window) and QUANTIZE the clipped rings to tile-local
+    * integer coordinates on the MVT extent grid (y-down, the wire
+    * convention [[graft.sources.Mvt]] encodes). One row per nonempty
+    * (admin area, tile): ring vertex counts, the quantized bbox, and
+    * the quantized doubled shoelace area (outer minus hole) — every
+    * output integer-valued, so the DuckDB oracle restates the clip as
+    * interval arithmetic and the quantization as the same floor(+0.5)
+    * expression and hash-matches.
+    *
+    * The tiling is the linear equirectangular scheme [[tileAssign]]
+    * uses (tileX/tileY), so tile bounds are exact binary fractions and
+    * the clip window arithmetic is FP-exact on the integer-vertex
+    * areas. The binary MVT composition (quantized rings →
+    * [[graft.sources.Mvt.writeFeatureTiles]] → decode) is spec-pinned
+    * in VectorTilesSpec rather than oracle-hashed (tile bytes aren't
+    * relational).
+    *
+    * Scale posture: same as [[clipArea]] — candidate tiles per area by
+    * arithmetic over the area's own bbox (explode, never a global tile
+    * dimension cross), clip + quantize are codegen'd map-side
+    * expressions; no shuffle before the display sort. */
+  def tileAdminPolygons(spark: SparkSession, dir: String, zoom: Int = 3,
+                        extent: Int = 4096): DataFrame = {
+    val spanX = 360.0 / (1 << zoom)
+    val spanY = 180.0 / (1 << zoom)
+    val lat0 = (col("n_nationkey") * 13 % 150 - 80).cast("double")
+    val lon0 = (col("n_nationkey") * 29 % 330 - 175).cast("double")
+    def pt(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      array(x, y)
+    val outerRing = array(
+      pt(lon0, lat0), pt(lon0 + 30.0, lat0),
+      pt(lon0 + 30.0, lat0 + 20.0), pt(lon0, lat0 + 20.0))
+    val holeRing = array(
+      pt(lon0 + 6.0, lat0 + 4.0), pt(lon0 + 18.0, lat0 + 4.0),
+      pt(lon0 + 18.0, lat0 + 12.0), pt(lon0 + 6.0, lat0 + 12.0))
+    // tile window in (lon, lat); y tiles count DOWN from lat 90
+    val tlon0 = col("tile_x") * spanX - 180.0
+    val tlatT = lit(90.0) - col("tile_y") * spanY
+    def qx(x: org.apache.spark.sql.Column) =
+      floor((x - col("_tlon0")) / spanX * extent + 0.5).cast("long")
+    def qy(y: org.apache.spark.sql.Column) =
+      floor((col("_tlatT") - y) / spanY * extent + 0.5).cast("long")
+    Tables.nation(spark, dir)
+      .select(col("n_nationkey"), outerRing.as("oring"), holeRing.as("hring"),
+        floor((lon0 + 180.0) / spanX).cast("long").as("tx_min"),
+        floor((lon0 + 30.0 + 180.0) / spanX).cast("long").as("tx_max"),
+        floor((lit(90.0) - (lat0 + 20.0)) / spanY).cast("long").as("ty_min"),
+        floor((lit(90.0) - lat0) / spanY).cast("long").as("ty_max"))
+      .withColumn("tile_x", explode(sequence(col("tx_min"), col("tx_max"))))
+      .withColumn("tile_y", explode(sequence(col("ty_min"), col("ty_max"))))
+      .withColumn("_tlon0", tlon0)
+      .withColumn("_tlatT", tlatT)
+      .withColumn("bounds", array(
+        col("_tlon0"), col("_tlatT") - spanY,
+        col("_tlon0") + spanX, col("_tlatT")))
+      .withColumn("oc", clip_ring_rect(col("oring"), col("bounds")))
+      .withColumn("hc", clip_ring_rect(col("hring"), col("bounds")))
+      .withColumn("oa2", ring_area2(col("oc")))
+      .withColumn("ha2", when(ring_area2(col("hc")) > 0.0,
+        ring_area2(col("hc"))).otherwise(0.0))
+      .filter(col("oa2") > 0.0)
+      // quantize the clipped rings onto the tile-local extent grid
+      .withColumn("qoc", transform(col("oc"), p =>
+        array(qx(element_at(p, 1)).cast("double"),
+          qy(element_at(p, 2)).cast("double"))))
+      .withColumn("qhc", transform(col("hc"), p =>
+        array(qx(element_at(p, 1)).cast("double"),
+          qy(element_at(p, 2)).cast("double"))))
+      .select(col("n_nationkey"), lit(zoom).as("z"),
+        col("tile_x"), col("tile_y"),
+        size(col("oc")).cast("bigint").as("n_v_outer"),
+        when(col("ha2") > 0.0, size(col("hc"))).otherwise(0)
+          .cast("bigint").as("n_v_hole"),
+        array_min(transform(col("qoc"), p => element_at(p, 1)))
+          .cast("bigint").as("qx0"),
+        array_min(transform(col("qoc"), p => element_at(p, 2)))
+          .cast("bigint").as("qy0"),
+        array_max(transform(col("qoc"), p => element_at(p, 1)))
+          .cast("bigint").as("qx1"),
+        array_max(transform(col("qoc"), p => element_at(p, 2)))
+          .cast("bigint").as("qy1"),
+        (ring_area2(col("qoc")) -
+          when(col("ha2") > 0.0, ring_area2(col("qhc"))).otherwise(0.0))
+          .cast("bigint").as("q_area2"))
+      .orderBy(col("n_nationkey"), col("tile_x"), col("tile_y"))
+  }
+
   /** Slippy-tile assignment + per-tile stats (ram-vt tiling analog). */
   def tileAssign(spark: SparkSession, dir: String, zoom: Int = 4): DataFrame =
     origins(spark, dir)

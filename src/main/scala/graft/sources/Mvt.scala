@@ -19,13 +19,18 @@ import org.apache.spark.sql.functions._
   * a Layer carries name (1), repeated Feature (2), the deduplicated
   * keys (3) / values (4) tables, extent (5) and version=2 (15); a
   * Feature carries id (1), packed tags as (key-idx, value-idx) pairs
-  * (2), geom type (3) and the packed command-integer geometry (4) —
-  * for a point, MoveTo(count=1) = 9 followed by the zigzagged
-  * tile-local coordinates. Fields serialize in ascending field-number
-  * order and features in ascending id order, so tile bytes are
-  * DETERMINISTIC — the spec pins them against a hand-assembled
-  * fixture, and the decoder below is field-order-agnostic like any
-  * conforming reader.
+  * (2), geom type (3) and the packed command-integer geometry (4).
+  * All three spec geometry types encode/decode: POINT (MoveTo(n)),
+  * LINESTRING (MoveTo(1) + LineTo(n-1) per path) and POLYGON
+  * (MoveTo(1) + LineTo(n-1) + ClosePath per ring, exterior-positive
+  * winding normalized on encode) — the three source types ram-vt
+  * tiles (results points, road-network lines, admin-bounds polygons;
+  * ram-vt/app/index.js:74-88). Parameters are zigzagged deltas from a
+  * cursor that runs across parts. Fields serialize in ascending
+  * field-number order and features in ascending id order, so tile
+  * bytes are DETERMINISTIC — the spec pins them against
+  * hand-assembled fixtures, and the decoder below is
+  * field-order-agnostic like any conforming reader.
   *
   * Scale posture: encoding is per-tile local work after the same
   * single repartition-by-tile-key shuffle the GeoJSONL sink uses; a
@@ -74,17 +79,131 @@ object Mvt {
 
   // ---- tile encoding -------------------------------------------------
 
-  /** One point feature: tile-local quantized coords + string props. */
-  final case class PointFeature(id: Long, qx: Long, qy: Long,
-                                props: Seq[(String, String)])
+  /** One feature: MVT geom type (1=POINT, 2=LINESTRING, 3=POLYGON),
+    * geometry parts (points: one single-vertex part each; lines: one
+    * part per path; polygons: part 0 = exterior ring, rest = holes,
+    * rings WITHOUT the closing repeat vertex) in tile-local quantized
+    * coords, plus string props. */
+  final case class TileFeature(id: Long, geomType: Int,
+                               parts: Seq[Seq[(Long, Long)]],
+                               props: Seq[(String, String)])
 
-  /** Encode one tile: a single layer of point features. Keys and values
-    * are deduplicated in first-appearance order (feature order is the
-    * caller's — the sink sorts by id, so the tables are deterministic).
-    * All property values encode as string_value (Value field 1),
-    * matching the GeoJSONL sink's MAP<STRING,STRING> props model. */
+  /** Point-feature constructor (the original point-only surface). */
+  def PointFeature(id: Long, qx: Long, qy: Long,
+                   props: Seq[(String, String)]): TileFeature =
+    TileFeature(id, 1, Seq(Seq((qx, qy))), props)
+
+  /** Twice the signed area of a ring in tile coords (Y grows DOWN, so
+    * the spec's "exterior = positive area" means clockwise on screen).
+    * Surveyor's formula over the unclosed vertex list. */
+  def signedArea2(ring: Seq[(Long, Long)]): Long =
+    ring.indices.map { i =>
+      val (x1, y1) = ring(i)
+      val (x2, y2) = ring((i + 1) % ring.length)
+      x1 * y2 - x2 * y1
+    }.sum
+
+  /** Encode a feature's geometry as MVT 2.1 command integers: a single
+    * cursor runs across ALL parts; MoveTo/LineTo parameters are
+    * zigzagged deltas from it. Points: one MoveTo(n). Lines: per path
+    * MoveTo(1) + LineTo(n-1). Polygons: per ring MoveTo(1) +
+    * LineTo(n-1) + ClosePath, winding NORMALIZED to the spec (exterior
+    * ring positive area, holes negative — tippecanoe does the same
+    * rather than rejecting) based on ring position. */
+  def encodeGeometry(geomType: Int, parts: Seq[Seq[(Long, Long)]]): Seq[Long] = {
+    var cx = 0L; var cy = 0L
+    val out = Seq.newBuilder[Long]
+    def emit(x: Long, y: Long): Unit = {
+      out += zigzag(x - cx); out += zigzag(y - cy); cx = x; cy = y
+    }
+    geomType match {
+      case 1 =>
+        val pts = parts.flatten
+        require(pts.nonEmpty, "point feature needs >= 1 vertex")
+        out += (1L | (pts.size.toLong << 3)) // MoveTo(n)
+        pts.foreach { case (x, y) => emit(x, y) }
+      case 2 =>
+        require(parts.nonEmpty && parts.forall(_.size >= 2),
+          "each path needs >= 2 vertices")
+        parts.foreach { path =>
+          out += 9L // MoveTo(1)
+          emit(path.head._1, path.head._2)
+          out += (2L | ((path.size - 1).toLong << 3)) // LineTo(n-1)
+          path.tail.foreach { case (x, y) => emit(x, y) }
+        }
+      case 3 =>
+        require(parts.nonEmpty && parts.forall(_.size >= 3),
+          "each ring needs >= 3 vertices")
+        parts.zipWithIndex.foreach { case (ring0, i) =>
+          val a2 = signedArea2(ring0)
+          require(a2 != 0L, s"degenerate zero-area ring $i")
+          // exterior (i=0) must read positive, holes negative
+          val ring = if ((i == 0) == (a2 > 0L)) ring0 else ring0.reverse
+          out += 9L // MoveTo(1)
+          emit(ring.head._1, ring.head._2)
+          out += (2L | ((ring.size - 1).toLong << 3)) // LineTo(n-1)
+          ring.tail.foreach { case (x, y) => emit(x, y) }
+          out += 15L // ClosePath(1)
+        }
+      case other =>
+        throw new IllegalArgumentException(s"unknown geom type $other")
+    }
+    out.result()
+  }
+
+  /** Decode MVT command integers back to geometry parts (the inverse of
+    * [[encodeGeometry]]): points → one single-vertex part per vertex;
+    * lines → one part per MoveTo-started path; polygons → one part per
+    * ClosePath-terminated ring (closing vertex not repeated). */
+  def decodeGeometry(geomType: Int, geom: Seq[Long]): Seq[Seq[(Long, Long)]] = {
+    var i = 0; var cx = 0L; var cy = 0L
+    val parts = Seq.newBuilder[Seq[(Long, Long)]]
+    var cur = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def step(): (Long, Long) = {
+      cx += unzigzag(geom(i)); cy += unzigzag(geom(i + 1)); i += 2
+      (cx, cy)
+    }
+    while (i < geom.length) {
+      val cmd = geom(i); i += 1
+      val id = (cmd & 7L).toInt; val count = (cmd >>> 3).toInt
+      (id: @unchecked) match {
+        case 1 => // MoveTo
+          require(count >= 1, "MoveTo count 0")
+          (0 until count).foreach { _ =>
+            val v = step()
+            if (geomType == 1) parts += Seq(v)
+            else {
+              if (cur.nonEmpty) { parts += cur.toSeq }
+              cur = scala.collection.mutable.ArrayBuffer(v)
+            }
+          }
+        case 2 => // LineTo
+          require(geomType != 1 && count >= 1, s"bad LineTo in type $geomType")
+          (0 until count).foreach(_ => cur += step())
+        case 7 => // ClosePath
+          require(geomType == 3 && count == 1 && cur.size >= 3,
+            s"bad ClosePath in type $geomType")
+          parts += cur.toSeq
+          cur = scala.collection.mutable.ArrayBuffer.empty
+        case other =>
+          throw new IllegalArgumentException(s"unknown command $other")
+      }
+    }
+    if (cur.nonEmpty) {
+      require(geomType == 2, s"unterminated part in type $geomType")
+      parts += cur.toSeq
+    }
+    parts.result()
+  }
+
+  /** Encode one tile: a single layer of features (any mix of geometry
+    * types). Keys and values are deduplicated in first-appearance order
+    * (feature order is the caller's — the sink sorts by id, so the
+    * tables are deterministic). All property values encode as
+    * string_value (Value field 1), matching the GeoJSONL sink's
+    * MAP<STRING,STRING> props model. */
   def encodeTile(layer: String, extent: Int,
-                 features: Seq[PointFeature]): Array[Byte] = {
+                 features: Seq[TileFeature]): Array[Byte] = {
     val keys = scala.collection.mutable.LinkedHashMap[String, Int]()
     val values = scala.collection.mutable.LinkedHashMap[String, Int]()
     val featureBodies = features.map { f =>
@@ -96,8 +215,8 @@ object Mvt {
         Seq(ki.toLong, vi.toLong)
       }
       putLenDelim(fb, 2, packed(tags))
-      putVarintField(fb, 3, 1L) // GeomType POINT
-      putLenDelim(fb, 4, packed(Seq(9L, zigzag(f.qx), zigzag(f.qy))))
+      putVarintField(fb, 3, f.geomType.toLong)
+      putLenDelim(fb, 4, packed(encodeGeometry(f.geomType, f.parts)))
       fb.toByteArray
     }
     val lb = new ByteArrayOutputStream()
@@ -143,8 +262,8 @@ object Mvt {
   }
 
   /** Parse a serialized Tile into its layers. Accepts any field order;
-    * rejects wire types this sink never writes (a corrupt or
-    * non-point-tile input fails loudly, not as garbage coordinates). */
+    * rejects wire types this sink never writes (corrupt input fails
+    * loudly, not as garbage coordinates). */
   def decodeTile(bytes: Array[Byte]): Seq[DecodedLayer] = {
     val r = new Reader(bytes, 0, bytes.length)
     val layers = Seq.newBuilder[DecodedLayer]
@@ -250,10 +369,14 @@ object Mvt {
     }
   }
 
-  /** Read a `.mvt` tile tree back: one row per feature with its
-    * (z, x, y), decoded tile-local coordinates and props. Binary decode
-    * rides `mapPartitions` over the binaryFile source — the §4 idiom for
-    * opaque bytes, one decoder instance per partition. */
+  /** Read a `.mvt` tile tree back: one row per feature VERTEX with its
+    * (z, x, y), geometry type, part index (line path / polygon ring),
+    * vertex index within the part, decoded tile-local coordinates and
+    * props. A point feature reads back as exactly one row (part 0,
+    * vidx 0), so point-only consumers see the original per-feature
+    * granularity. Binary decode rides `mapPartitions` over the
+    * binaryFile source — the §4 idiom for opaque bytes, one decoder
+    * instance per partition. */
   def readTiles(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val tilePath = "^.*/(\\d+)/(\\d+)/(\\d+)\\.mvt$".r
@@ -266,17 +389,63 @@ object Mvt {
           case _ => throw new IllegalArgumentException(s"not a tile path: $p")
         }
         decodeTile(bytes).flatMap { layer =>
-          layer.features.map { f =>
-            require(f.geomType == 1 && f.geometry.length == 3 &&
-              f.geometry.head == 9L, s"not a single-point feature: $f")
+          layer.features.flatMap { f =>
             val props = f.tags.grouped(2).map {
               case Seq(ki, vi) => layer.keys(ki) -> layer.values(vi)
             }.toMap
-            (z, x, y, f.id, unzigzag(f.geometry(1)), unzigzag(f.geometry(2)),
-              props)
+            decodeGeometry(f.geomType, f.geometry).zipWithIndex.flatMap {
+              case (part, pi) => part.zipWithIndex.map {
+                case ((qx, qy), vi) =>
+                  (z, x, y, f.id, f.geomType, pi, vi, qx, qy, props)
+              }
+            }
           }
         }
       })
-      .toDF("z", "tile_x", "tile_y", "id", "qx", "qy", "props")
+      .toDF("z", "tile_x", "tile_y", "id", "geom_type", "part", "vidx",
+        "qx", "qy", "props")
+  }
+
+  /** Write pre-assembled features (any geometry type) as a binary
+    * `.mvt` tree. Input: one row per feature with `z, tile_x, tile_y,
+    * id, geom_type, parts` (array of arrays of struct{qx, qy} —
+    * tile-local quantized, polygon rings unclosed, exterior first) and
+    * `props` (array of struct{k, v}). Quantization and clip-to-tile are
+    * the upstream operator's job ([[graft.operators.Accessibility
+    * .tileAdminPolygons]] runs Sutherland-Hodgman per tile); this sink
+    * only shuffles by tile key, gathers each tile's bounded feature
+    * list, and encodes executor-side — the same distribution contract
+    * as the point sink. */
+  def writeFeatureTiles(features: DataFrame, path: String,
+                        layer: String = "graft",
+                        extent: Int = VectorTiles.Extent): Unit = {
+    val packed = features
+      .select(col("z").cast("int").as("z"),
+        col("tile_x").cast("long").as("tile_x"),
+        col("tile_y").cast("long").as("tile_y"),
+        struct(col("id").cast("long").as("id"),
+          col("geom_type").cast("int").as("gt"),
+          col("parts"), col("props")).as("f"))
+      .repartition(col("z"), col("tile_x"), col("tile_y"))
+      .groupBy(col("z"), col("tile_x"), col("tile_y"))
+      // struct ordering compares id first -> features sort by id
+      .agg(sort_array(collect_list(col("f"))).as("fs"))
+    packed.foreachPartition { (rows: Iterator[Row]) =>
+      rows.foreach { row =>
+        val features = row.getSeq[Row](3).map { f =>
+          TileFeature(f.getLong(0), f.getInt(1),
+            // parts is ARRAY<ARRAY<STRUCT<qx, qy>>>: outer elements are
+            // Seq[Row], inner rows are the vertices
+            f.getSeq[scala.collection.Seq[Row]](2).map(part =>
+              part.map(v => (v.getLong(0), v.getLong(1))).toSeq).toSeq,
+            f.getSeq[Row](3).map(p => (p.getString(0), p.getString(1))).toSeq)
+        }
+        val bytes = encodeTile(layer, extent, features)
+        val p = Paths.get(path, row.getInt(0).toString,
+          row.getLong(1).toString, s"${row.getLong(2)}.mvt")
+        Files.createDirectories(p.getParent)
+        Files.write(p, bytes)
+      }
+    }
   }
 }

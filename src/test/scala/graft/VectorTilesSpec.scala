@@ -160,6 +160,148 @@ class VectorTilesSpec extends AnyFunSuite {
       assert(Mvt.unzigzag(Mvt.zigzag(n)) == n))
   }
 
+  test("MVT linestring geometry matches the spec's command-integer example") {
+    import graft.sources.Mvt
+    // the MVT 2.1 spec's own LineString example: MoveTo(2,2),
+    // LineTo(2,10), LineTo(10,10) -> [9 4 4 18 0 16 16 0]
+    val path = Seq((2L, 2L), (2L, 10L), (10L, 10L))
+    val got = Mvt.encodeGeometry(2, Seq(path))
+    assert(got == Seq(9L, 4L, 4L, 18L, 0L, 16L, 16L, 0L))
+    assert(Mvt.decodeGeometry(2, got) == Seq(path))
+    // MULTI-line: the cursor carries across paths (second MoveTo is a
+    // delta from the first path's END, spec example 4.3.5.3)
+    val multi = Seq(path, Seq((1L, 1L), (3L, 5L)))
+    val round = Mvt.decodeGeometry(2, Mvt.encodeGeometry(2, multi))
+    assert(round == multi)
+  }
+
+  test("MVT polygon geometry: spec example bytes, rings, winding, holes") {
+    import graft.sources.Mvt
+    // the spec's Polygon example: MoveTo(3,6), LineTo(8,12),
+    // LineTo(20,34), ClosePath -> [9 6 12 18 10 12 24 44 15]
+    val ring = Seq((3L, 6L), (8L, 12L), (20L, 34L))
+    assert(Mvt.signedArea2(ring) > 0, "fixture ring must read exterior")
+    val got = Mvt.encodeGeometry(3, Seq(ring))
+    assert(got == Seq(9L, 6L, 12L, 18L, 10L, 12L, 24L, 44L, 15L))
+    assert(Mvt.decodeGeometry(3, got) == Seq(ring))
+    // winding NORMALIZATION: a reversed (negative-area) exterior ring
+    // encodes as the spec-wound ring, not as invalid output
+    val fixed = Mvt.decodeGeometry(3, Mvt.encodeGeometry(3, Seq(ring.reverse)))
+    assert(Mvt.signedArea2(fixed.head) > 0, "exterior must normalize positive")
+    // polygon with a hole: exterior positive, hole negative, both
+    // round-trip as distinct rings with the cursor running across them
+    val ext = Seq((0L, 0L), (0L, 100L), (100L, 100L), (100L, 0L))
+      .reverse // make shoelace positive under y-down
+    val hole = Seq((20L, 20L), (20L, 40L), (40L, 40L), (40L, 20L))
+    val parts = Seq(
+      if (Mvt.signedArea2(ext) > 0) ext else ext.reverse,
+      if (Mvt.signedArea2(hole) < 0) hole else hole.reverse)
+    val back = Mvt.decodeGeometry(3, Mvt.encodeGeometry(3, parts))
+    assert(back == parts)
+    assert(Mvt.signedArea2(back.head) > 0 && Mvt.signedArea2(back(1)) < 0)
+  }
+
+  test("MVT multipoint and full-tile round-trip across all three types") {
+    import graft.sources.Mvt
+    // multipoint: one MoveTo(n) run, each vertex its own part
+    val pts = Seq(Seq((5L, 7L)), Seq((3L, 2L)))
+    assert(Mvt.decodeGeometry(1, Mvt.encodeGeometry(1, pts)) == pts)
+    // one tile holding a point, a line and a polygon feature decodes
+    // back type-faithfully through the full Layer wire format
+    val fs = Seq(
+      Mvt.TileFeature(1, 1, Seq(Seq((10L, 11L))), Seq("t" -> "pt")),
+      Mvt.TileFeature(2, 2, Seq(Seq((0L, 0L), (5L, 5L), (5L, 9L))),
+        Seq("t" -> "ln")),
+      Mvt.TileFeature(3, 3, Seq(Seq((3L, 6L), (8L, 12L), (20L, 34L))),
+        Seq("t" -> "pg")))
+    val Seq(layer) = Mvt.decodeTile(Mvt.encodeTile("mixed", 4096, fs))
+    assert(layer.features.map(_.geomType) == Seq(1, 2, 3))
+    val geoms = layer.features.map(f => Mvt.decodeGeometry(f.geomType, f.geometry))
+    assert(geoms(0) == fs(0).parts && geoms(1) == fs(1).parts &&
+      geoms(2) == fs(2).parts)
+    assert(layer.keys == Seq("t") && layer.values == Seq("pt", "ln", "pg"))
+  }
+
+  test("MVT feature sink: polygon/line tiles write and read back exactly") {
+    import graft.sources.Mvt
+    import spark.implicits._
+    val dir = outDir("mvtgeom")
+    // two tiles: one polygon (admin-bounds shape), one 3-vertex road line
+    val rows = Seq(
+      (4, 3L, 5L, 100L, 3, Seq(Seq((0L, 0L), (0L, 50L), (60L, 50L), (60L, 0L))),
+        Seq(("kind", "admin"))),
+      (4, 3L, 6L, 200L, 2, Seq(Seq((1L, 2L), (9L, 2L), (9L, 30L))),
+        Seq(("kind", "road"))))
+    val df = rows.toDF("z", "tile_x", "tile_y", "id", "geom_type",
+      "parts_raw", "props_raw")
+      .select(col("z"), col("tile_x"), col("tile_y"), col("id"),
+        col("geom_type"),
+        transform(col("parts_raw"), part => transform(part, v =>
+          struct(v.getField("_1").as("qx"), v.getField("_2").as("qy"))))
+          .as("parts"),
+        transform(col("props_raw"), p =>
+          struct(p.getField("_1").as("k"), p.getField("_2").as("v")))
+          .as("props"))
+    Mvt.writeFeatureTiles(df, dir, layer = "geoms")
+    val back = graft.sources.Mvt.readTiles(spark, dir)
+      .orderBy(col("id"), col("part"), col("vidx")).collect()
+    // polygon: 4 vertices (winding-normalized ring content preserved as
+    // a set), line: 3 vertices in order
+    val poly = back.filter(_.getLong(3) == 100L)
+    assert(poly.forall(_.getInt(4) == 3) && poly.length == 4)
+    assert(poly.map(r => (r.getLong(7), r.getLong(8))).toSet ==
+      Set((0L, 0L), (0L, 50L), (60L, 50L), (60L, 0L)))
+    val road = back.filter(_.getLong(3) == 200L)
+    assert(road.forall(_.getInt(4) == 2))
+    assert(road.map(r => (r.getLong(7), r.getLong(8))).toSeq ==
+      Seq((1L, 2L), (9L, 2L), (9L, 30L)))
+    assert(back.forall(_.getMap[String, String](9)("kind") != null))
+  }
+
+  test("admin-bounds polygons tile through the binary MVT sink end-to-end") {
+    import graft.sources.Mvt
+    import graft.operators.Accessibility
+    val dir = outDir("mvtadmin")
+    // geo_tile_admin's quantized per-tile clips are rectangles; rebuild
+    // the ring from the bbox (y-down: (qx0,qy0) top-left) and push the
+    // admin-bounds layer through the binary wire format — the ram-vt
+    // admin-bounds VT_TYPE path
+    val clips = Accessibility.tileAdminPolygons(spark, sf)
+      .filter(col("q_area2") > 0)
+    val feats = clips.select(col("z"), col("tile_x"), col("tile_y"),
+      col("n_nationkey").cast("long").as("id"), lit(3).as("geom_type"),
+      array(array(
+        struct(col("qx0").as("qx"), col("qy0").as("qy")),
+        struct(col("qx1").as("qx"), col("qy0").as("qy")),
+        struct(col("qx1").as("qx"), col("qy1").as("qy")),
+        struct(col("qx0").as("qx"), col("qy1").as("qy")))).as("parts"),
+      array(struct(lit("kind").as("k"), lit("admin").as("v"))).as("props"))
+    Mvt.writeFeatureTiles(feats, dir, layer = "admin-bounds")
+    val back = Mvt.readTiles(spark, dir)
+    // every (nation, tile) feature survives with 4 polygon vertices
+    // whose bbox equals the registered query's quantized bbox
+    val agg = back.groupBy(col("z"), col("tile_x"), col("tile_y"), col("id"))
+      .agg(count(lit(1)).as("nv"), min(col("geom_type")).as("gt"),
+        min(col("qx")).as("bx0"), min(col("qy")).as("by0"),
+        max(col("qx")).as("bx1"), max(col("qy")).as("by1"))
+    val joined = clips.join(agg,
+      clips("z") === agg("z") && clips("tile_x") === agg("tile_x") &&
+        clips("tile_y") === agg("tile_y") &&
+        clips("n_nationkey") === agg("id"))
+    assert(joined.count() == clips.count())
+    assert(joined.filter(col("nv") =!= 4 || col("gt") =!= 3 ||
+      col("bx0") =!= col("qx0") || col("by0") =!= col("qy0") ||
+      col("bx1") =!= col("qx1") || col("by1") =!= col("qy1")).isEmpty)
+    // decoded rings carry spec winding: exterior positive area (y-down)
+    val ringsOk = back.collect().groupBy(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .values.forall { vs =>
+        val ring = vs.sortBy(_.getInt(6)).map(r => (r.getLong(7), r.getLong(8))).toSeq
+        Mvt.signedArea2(ring) > 0
+      }
+    assert(ringsOk, "decoded exterior rings must read positive area")
+  }
+
   test("MVT tile tree: binary write/read round-trips the exact quantization") {
     import graft.sources.Mvt
     val dir = outDir("mvt")
