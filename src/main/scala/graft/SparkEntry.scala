@@ -151,6 +151,7 @@ object SparkEntry {
     "text_pack_bpe" -> ((s, d) => TextAnalysis.packBpe(s, d)),
     "text_span_dedup" -> ((s, d) => TextAnalysis.spanDedup(s, d)),
     "dedup_incremental" -> (Dedup.incremental _),
+    "dedup_incremental_minhash" -> ((s, d) => Dedup.incrementalMinhash(s, d)),
     "dedup_cdc_chunks" -> ((s, d) => Dedup.cdcChunks(s, d)),
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
     "text_mad_outliers" -> ((s, d) => TextAnalysis.madOutliers(s, d)),
@@ -1982,6 +1983,46 @@ object SparkEntry {
            coalesce(exact_match, norm_match) AS match_doc
          FROM d LEFT JOIN ex USING (h_exact) LEFT JOIN nm USING (h_norm)
          WHERE doc_id % 5 = 4 ORDER BY doc_id""",
+    // incremental near-dup: the oracle states the EXACT batch x corpus
+    // Jaccard predicate; LSH-then-verify equals it because the (64,16)
+    // banding's design recall at tau 0.8 is ~0.9998 per true pair (the
+    // dedup_ngram_jaccard contract)
+    "dedup_incremental_minhash" ->
+      """WITH d AS (SELECT doc_id, text, md5(text) AS h_exact,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS h_norm
+           FROM documents),
+         ex AS (SELECT h_exact, min(doc_id) AS exact_match FROM d
+           WHERE doc_id % 5 <> 4 GROUP BY h_exact),
+         nm AS (SELECT h_norm, min(doc_id) AS norm_match FROM d
+           WHERE doc_id % 5 <> 4 GROUP BY h_norm),
+         sh AS (SELECT doc_id, list_distinct(
+           list_transform(range(1, len(l) - 1),
+             i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) t
+           WHERE len(l) >= 3),
+         pairs AS (SELECT b.doc_id, c.doc_id AS cdoc,
+             round(CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) /
+               CAST(len(list_distinct(list_concat(b.s, c.s))) AS DOUBLE), 4)
+               AS j
+           FROM sh b JOIN sh c
+             ON b.doc_id % 5 = 4 AND c.doc_id % 5 <> 4),
+         best AS (SELECT doc_id, cdoc, j FROM (
+             SELECT doc_id, cdoc, j, row_number() OVER (
+               PARTITION BY doc_id ORDER BY j DESC, cdoc) AS rn
+             FROM pairs WHERE j >= CAST(0.8 AS DOUBLE)) t WHERE rn = 1)
+         SELECT b.doc_id,
+           CASE WHEN exact_match IS NOT NULL THEN 'exact_dup'
+                WHEN norm_match IS NOT NULL THEN 'norm_dup'
+                WHEN cdoc IS NOT NULL THEN 'near_dup'
+                ELSE 'unique' END AS verdict,
+           coalesce(exact_match, norm_match, cdoc) AS match_doc,
+           CASE WHEN exact_match IS NULL AND norm_match IS NULL
+             THEN j END AS jaccard
+         FROM (SELECT * FROM d WHERE doc_id % 5 = 4) b
+         LEFT JOIN ex USING (h_exact) LEFT JOIN nm USING (h_norm)
+         LEFT JOIN best USING (doc_id)
+         ORDER BY doc_id""",
     // concat-and-chunk packing: integer-exact running sum per source
     "text_pack" ->
       """WITH d AS (SELECT source,

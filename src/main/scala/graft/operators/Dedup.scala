@@ -172,19 +172,144 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Banded minhash rows for a document frame: one (doc_id, band,
+    * bucket) row per band — the shared kernel behind the all-pairs LSH
+    * ([[minhashCandidates]]) and the standing-index incremental path
+    * ([[incrementalMinhash]]). */
+  private[graft] def minhashBands(docs: DataFrame, k: Int,
+                                  bands: Int): DataFrame = {
+    require(bands > 0 && k % bands == 0)
+    val r = k / bands
+    withShingles(docs)
+      .select(col("doc_id"),
+        TextFunctions.minhash_signature(col("shingles"), k).as("sig"))
+      .select(col("doc_id"), posexplode(array((0 until bands).map(b =>
+        xxhash64(lit(b), slice(col("sig"), b * r + 1, r))): _*)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+  }
+
+  /** The STANDING corpus LSH index: (band, bucket) -> sorted member
+    * list, capped at build time. A pure function of the corpus frame
+    * alone — in a production deploy this is computed once per corpus
+    * version and persisted; every arriving batch joins against it
+    * without touching corpus text again (the spec pins
+    * batch-independence by classifying batch subsets against one
+    * prebuilt index). Size-1 buckets are KEPT (unlike the all-pairs
+    * generator): a lone corpus doc must still be findable by a new
+    * arrival. */
+  private[graft] def corpusLshIndex(corpus: DataFrame, k: Int = 64,
+                                    bands: Int = 16,
+                                    maxBucket: Long = 100): DataFrame =
+    minhashBands(corpus, k, bands)
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("corpus_ids"))
+      .filter(size(col("corpus_ids")) <= maxBucket)
+
+  /** Incremental NEAR-DUP dedup — the missing rung above
+    * [[incremental]]'s exact/normalized ladder: classify an arriving
+    * batch against the standing corpus as exact_dup / norm_dup /
+    * near_dup(match, jaccard) / unique WITHOUT re-pairing the corpus.
+    * The daily-ingest operation of a production dedup deploy: corpus
+    * signatures live in [[corpusLshIndex]] (built once per corpus
+    * version), the batch computes ITS OWN signatures, probes the index
+    * by (band, bucket) equi-join, and only the candidate pairs are
+    * verified with exact shingle Jaccard — corpus text is touched only
+    * for verified candidates (semi-join pruned), never re-shingled
+    * wholesale.
+    *
+    * Verdict ladder (first match wins): exact_dup (byte-equal corpus
+    * doc), norm_dup (equal after canonicalization), near_dup (best
+    * corpus match with Jaccard >= tau; ties to the lower corpus id),
+    * unique. `jaccard` reports only on the near_dup rung — the other
+    * verdicts are hash-grade matches where similarity is definitional.
+    *
+    * Scale shape: corpus-side cost is INDEPENDENT of the batch (the
+    * spec proves subset-stability); per batch, work is batch-sized
+    * banding + a candidate-sized verify join. The DuckDB oracle states
+    * the exact batch x corpus Jaccard predicate — at tau 0.8 the
+    * (64, 16) banding's design recall (1 - (1 - 0.8^4)^16 ~ 0.9998 per
+    * true pair) makes LSH-then-verify equal exact search on this
+    * corpus, the same contract [[ngramJaccard]]'s oracle relies on. */
+  def incrementalMinhash(spark: SparkSession, dir: String,
+                         tau: Double = 0.8, k: Int = 64, bands: Int = 16,
+                         maxBucket: Long = 100): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 4)
+    val batch = docs.filter(col("doc_id") % 5 === 4)
+    val index = corpusLshIndex(corpus, k, bands, maxBucket)
+    classifyBatch(spark, dir, index, batch, tau, k, bands)
+  }
+
+  /** Classify `batch` against a prebuilt corpus index (see
+    * [[incrementalMinhash]] for semantics). Split out so the spec can
+    * hold the index fixed while varying the batch; (k, bands) must
+    * match the index's build config. */
+  private[graft] def classifyBatch(spark: SparkSession, dir: String,
+                                   index: DataFrame, batch: DataFrame,
+                                   tau: Double, k: Int = 64,
+                                   bands: Int = 16): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 4)
+    // hash ladder (the [[incremental]] definitions, corpus pre-reduced)
+    def hashed(df: DataFrame) = df.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("h_exact"),
+      md5(TextAnalysis.normalizedText(col("text"))).as("h_norm"))
+    val ex = hashed(corpus).groupBy(col("h_exact"))
+      .agg(min(col("doc_id")).as("exact_match"))
+    val nm = hashed(corpus).groupBy(col("h_norm"))
+      .agg(min(col("doc_id")).as("norm_match"))
+    // LSH probe: batch-side banding only; the index is the standing one
+    val cands = minhashBands(batch, k, bands)
+      .join(index, Seq("band", "bucket"))
+      .select(col("doc_id"), explode(col("corpus_ids")).as("cand_doc"))
+      .filter(col("doc_id") =!= col("cand_doc"))
+      .distinct()
+    // exact-Jaccard verify over candidate members only (the
+    // [[ngramJaccard]] semi-join-prune-then-shingle discipline)
+    val members = cands.select(col("doc_id")).union(
+      cands.select(col("cand_doc").as("doc_id"))).distinct()
+    val sets = withShingles(
+      docs.join(broadcast(members), Seq("doc_id"), "left_semi"))
+      .select(col("doc_id"), array_distinct(col("shingles")).as("sh"))
+    val jac = round(
+      size(array_intersect(col("sa"), col("sb"))).cast("double") /
+        size(array_union(col("sa"), col("sb"))).cast("double"), 4)
+    val verified = cands
+      .join(sets.select(col("doc_id"), col("sh").as("sa")), Seq("doc_id"))
+      .join(sets.select(col("doc_id").as("cand_doc"), col("sh").as("sb")),
+        Seq("cand_doc"))
+      .withColumn("jaccard", jac)
+      .filter(col("jaccard") >= tau)
+    // best corpus match: jaccard desc, then lower corpus id
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("jaccard").desc, col("cand_doc"))
+    val best = verified
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("cand_doc").as("near_match"),
+        col("jaccard").as("near_j"))
+    hashed(batch)
+      .join(ex, Seq("h_exact"), "left_outer")
+      .join(nm, Seq("h_norm"), "left_outer")
+      .join(best, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, "exact_dup")
+          .when(col("norm_match").isNotNull, "norm_dup")
+          .when(col("near_match").isNotNull, "near_dup")
+          .otherwise("unique").as("verdict"),
+        coalesce(col("exact_match"), col("norm_match"), col("near_match"))
+          .as("match_doc"),
+        when(col("exact_match").isNull && col("norm_match").isNull,
+          col("near_j")).as("jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
   /** MinHash-LSH candidate pairs: k-hash signature, banded into
     * (k/bands)-row buckets; docs sharing any band bucket become a pair.
     * maxBucket caps pathological buckets before the self-join. */
   def minhashCandidates(spark: SparkSession, dir: String, k: Int = 64,
                         bands: Int = 16, maxBucket: Long = 100): DataFrame = {
-    require(bands > 0 && k % bands == 0)
-    val r = k / bands
-    val sigs = docsWithShingles(spark, dir)
-      .select(col("doc_id"), TextFunctions.minhash_signature(col("shingles"), k).as("sig"))
-    val banded = sigs.select(col("doc_id"),
-        posexplode(array((0 until bands).map(b =>
-          xxhash64(lit(b), slice(col("sig"), b * r + 1, r))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val banded = minhashBands(Tables.documents(spark, dir), k, bands)
     // one shuffle, no self-join: gather each bucket's (sorted) doc list,
     // gate on bucket size, expand the i<j pairs map-side with
     // higher-order functions. The signature subtree is evaluated exactly
