@@ -172,6 +172,7 @@ object SparkEntry {
     // assignments match exactly
     "emb_kmeans" -> ((s, d) => Similarity.kmeans(s, d)),
     "emb_pq_codes" -> ((s, d) => Similarity.pqCodes(s, d)),
+    "emb_pq_trained" -> ((s, d) => Similarity.pqTrainedCodes(s, d)),
     "emb_dedup_final" -> ((s, d) => Similarity.semanticDedup(s, d)),
     // sketch-based approximate aggregation — oracle-checked since r5:
     // the estimates collapse to within-error-contract verdicts against
@@ -1796,6 +1797,40 @@ object SparkEntry {
            min(CASE WHEN m = 3 THEN code END) AS code_3,
            round(sum(dist * dist), 4) AS recon_err2
          FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""",
+    // trained-codebook PQ: one Lloyd round per subspace unrolled as a
+    // CTE (the emb_kmeans float-cast discipline), then encode against
+    // the trained codebook — the emb_pq_codes shape with cb1 in place
+    // of the raw seeds
+    "emb_pq_trained" ->
+      """WITH sub AS (
+           SELECT vec_id, m,
+             list_slice(embedding::DOUBLE[], m * 16 + 1, m * 16 + 16) AS sub
+           FROM embeddings, unnest([0, 1, 2, 3]) t(m)),
+         seeds0 AS (SELECT vec_id AS sid, m, sub AS ssub FROM sub
+           WHERE vec_id % 31 = 0),
+         asg1 AS (SELECT vec_id, m, sub, sid FROM (
+           SELECT v.vec_id, v.m, v.sub, s.sid,
+             row_number() OVER (PARTITION BY v.vec_id, v.m
+               ORDER BY list_distance(v.sub, s.ssub), s.sid) AS rn
+           FROM sub v JOIN seeds0 s ON v.m = s.m) t WHERE rn = 1),
+         cb1 AS (SELECT m, sid,
+             list(CAST(CAST(va AS REAL) AS DOUBLE) ORDER BY pos) AS ssub
+           FROM (SELECT m, sid, i AS pos, avg(sub[i]) AS va
+             FROM asg1, LATERAL (SELECT unnest(generate_series(
+               1, len(sub))) AS i) t
+             GROUP BY m, sid, i) u GROUP BY m, sid),
+         best AS (SELECT vec_id, m, sid AS code, dist FROM (
+           SELECT v.vec_id, v.m, s.sid, list_distance(v.sub, s.ssub) AS dist,
+             row_number() OVER (PARTITION BY v.vec_id, v.m
+               ORDER BY list_distance(v.sub, s.ssub), s.sid) AS rn
+           FROM sub v JOIN cb1 s ON v.m = s.m) t WHERE rn = 1)
+         SELECT vec_id,
+           min(CASE WHEN m = 0 THEN code END) AS code_0,
+           min(CASE WHEN m = 1 THEN code END) AS code_1,
+           min(CASE WHEN m = 2 THEN code END) AS code_2,
+           min(CASE WHEN m = 3 THEN code END) AS code_3,
+           round(sum(dist * dist), 4) AS recon_err2
+         FROM best GROUP BY vec_id ORDER BY vec_id""",
     // full Lloyd unrolled to the fixed 3 iterations: the float cast in
     // each centroid update swallows double-sum accumulation-order drift
     // between engines, so every round's argmax assignment is identical;

@@ -651,6 +651,75 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** TRAINED-codebook PQ — the real index build composition ([[pqCodes]]
+    * encodes against the raw seed codewords; a production build TRAINS
+    * the codebook first): per subspace, `trainRounds` Lloyd rounds of
+    * the k-means kernel over the sub-vectors (assign by l2, ties to the
+    * lower codeword id; update = element-wise mean CAST TO FLOAT — the
+    * [[kmeans]] trick that absorbs engines' double-sum order drift, so
+    * assignments stay bitwise-comparable), then encode every vector
+    * against the trained codebook and report codes + reconstruction
+    * error. Seed-codeword variants stay registered for oracle
+    * continuity; this is the composition an index deploy actually runs.
+    *
+    * Scale posture: training shuffles only (m, codeword, dim) partial
+    * aggregates per round (subspaces x k x subDim cells — centroid
+    * frames are tiny and localCheckpoint'd per round, the [[kmeans]]
+    * lineage discipline); the codebook BROADCASTS into both the
+    * assignment and final encode joins, so corpus sub-vectors never
+    * shuffle. Empty cells drop from the codebook exactly as a GROUP BY
+    * drops them — both engines agree.
+    *
+    * The DuckDB oracle unrolls the training round as a CTE chain (the
+    * emb_kmeans precedent) over the same (m, sid) keyed frame. */
+  def pqTrainedCodes(spark: SparkSession, dir: String, subspaces: Int = 4,
+                     subDim: Int = 16, seedMod: Int = 31,
+                     trainRounds: Int = 1): DataFrame = {
+    import graft.functions.VectorFunctions.l2_dist
+    require(trainRounds >= 1)
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    val vsub = subVectors(e, "vec_id", subspaces, subDim)
+    var codebook = vsub.filter(col("vec_id") % seedMod === 0)
+      .select(col("m"), col("vec_id").as("sid"), col("sub").as("ssub"))
+    def assign(cb: DataFrame): DataFrame =
+      vsub.join(broadcast(cb), Seq("m"))
+        .select(col("vec_id"), col("m"), col("sub"), col("sid"),
+          l2_dist(col("sub"), col("ssub")).as("dist"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min_by(struct(col("sid"), col("dist"), col("sub")),
+          struct(col("dist"), col("sid"))).as("b"))
+        .select(col("vec_id"), col("m"), col("b.sid").as("sid"),
+          col("b.dist").as("dist"), col("b.sub").as("sub"))
+    var prev: DataFrame = null
+    for (_ <- 1 to trainRounds) {
+      codebook = assign(codebook)
+        .select(col("m"), col("sid"), posexplode(col("sub")))
+        .groupBy(col("m"), col("sid"), col("pos"))
+        .agg(avg(col("col")).as("v"))
+        .groupBy(col("m"), col("sid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+        // float cast = the kmeans drift-absorber; kept float so the
+        // l2 kernel sees the same array<float> type as the raw side
+        // (values equal the oracle's REAL-rounded doubles)
+        .select(col("m"), col("sid"),
+          transform(col("pv"), x => x.getField("v").cast("float")).as("ssub"))
+        .localCheckpoint()
+      codebook = org.apache.spark.sql.graftbridge.SparkBridge
+        .dropOriginStats(codebook)
+      if (prev != null)
+        org.apache.spark.sql.graftbridge.SparkBridge.unpersistCheckpoint(prev)
+      prev = codebook
+    }
+    val codeCols = (0 until subspaces).map(i =>
+      min(when(col("m") === i, col("sid"))).as(s"code_$i"))
+    assign(codebook)
+      .groupBy(col("vec_id"))
+      .agg(codeCols.head,
+        codeCols.tail :+
+          round(sum(col("dist") * col("dist")), 4).as("recon_err2"): _*)
+      .orderBy(col("vec_id"))
+  }
+
   /** Split `embedding` into `subspaces` contiguous sub-vectors per id,
     * exploded to one (id, m, sub) row per subspace. */
   private def subVectors(df: DataFrame, idCol: String, subspaces: Int,

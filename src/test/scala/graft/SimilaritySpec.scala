@@ -199,6 +199,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.forall(_.getDouble(2) >= 0.9))
   }
 
+  test("trained PQ: codes cover seeds' space, training lowers total recon error") {
+    import spark.implicits._
+    val seeded = Similarity.pqCodes(spark, sf).cache()
+    val trained = Similarity.pqTrainedCodes(spark, sf).cache()
+    try {
+      // one row per vector either way; codes reference seed ids
+      assert(trained.count() == seeded.count())
+      val seedIds = Tables.embeddings(spark, sf)
+        .filter(col("vec_id") % 31 === 0)
+        .select(col("vec_id")).as[Long].collect().toSet
+      val usedCodes = trained.select(explode(array(col("code_0"),
+        col("code_1"), col("code_2"), col("code_3"))).as("c"))
+        .distinct().as[Long].collect().toSet
+      assert(usedCodes.subsetOf(seedIds), "codes must be codeword ids")
+      // the POINT of training: Lloyd's update minimizes summed squared
+      // distance for the standing assignment, and reassignment only
+      // improves it — total reconstruction error must not increase
+      val eSeed = seeded.agg(sum(col("recon_err2"))).as[Double].head()
+      val eTrained = trained.agg(sum(col("recon_err2"))).as[Double].head()
+      assert(eTrained <= eSeed + 1e-6,
+        s"training worsened reconstruction: $eTrained > $eSeed")
+      assert(eTrained < eSeed, "training should strictly improve on raw seeds")
+    } finally { seeded.unpersist(); trained.unpersist() }
+  }
+
   test("paraphrasePairs pair source obeys the tau dispatch") {
     // the r9-verdict ask: the paraphrase composition must go through
     // semanticPairs, so production-tau runs (~0.9) take the
