@@ -291,7 +291,9 @@ object Dedup {
     hashed(batch)
       .join(ex, Seq("h_exact"), "left_outer")
       .join(nm, Seq("h_norm"), "left_outer")
-      .join(best, Seq("doc_id"), "left_outer")
+      // the verified-best frame is near-dup-density-sized (tiny vs the
+      // batch) — broadcast, the paraphrasePairs discipline
+      .join(broadcast(best), Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         when(col("exact_match").isNotNull, "exact_dup")
           .when(col("norm_match").isNotNull, "norm_dup")
