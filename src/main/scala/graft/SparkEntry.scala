@@ -85,6 +85,7 @@ object SparkEntry {
     "geo_center_of_mass" -> (Accessibility.centerOfMass _),
     "geo_clip_area" -> ((s, d) => Accessibility.clipArea(s, d)),
     "geo_tile_admin" -> ((s, d) => Accessibility.tileAdminPolygons(s, d)),
+    "geo_tile_roads" -> ((s, d) => Accessibility.tileRoadSegments(s, d)),
     "geo_tile_features" -> ((s, d) => graft.sources.VectorTiles.tileFeaturesQuery(s, d)),
     "geo_tile_pyramid" -> ((s, d) => graft.sources.VectorTiles.tilePyramidQuery(s, d)),
     "geo_route_eta" -> ((s, d) => Routing.routeEta(s, d)),
@@ -1216,6 +1217,68 @@ object SparkEntry {
              AS BIGINT) AS q_area2
          FROM q
          ORDER BY n_nationkey, tile_x, tile_y""",
+    // road-network tiling: Liang-Barsky restated with the identical
+    // per-axis CASE guards, GREATEST/LEAST entry/exit fold and
+    // floor(+0.5) quantization — IEEE-identical double expressions
+    "geo_tile_roads" ->
+      """WITH v AS (SELECT max(s_suppkey) + 1 AS nv FROM supplier),
+         raw AS (
+           SELECT DISTINCT src, dst FROM (
+             SELECT s_suppkey AS src, (s_suppkey + 1) % nv AS dst
+               FROM supplier, v
+             UNION ALL
+             SELECT s_suppkey, (s_suppkey * 7 + 3) % nv FROM supplier, v
+             UNION ALL
+             SELECT s_suppkey, (s_suppkey * 13 + 5) % nv FROM supplier, v) u
+           WHERE src <> dst),
+         pts AS (SELECT src, dst,
+           CAST((src * 91 % 3600) / 10.0 - 180.0 AS DOUBLE) AS ax,
+           CAST((src * 37 % 1700) / 10.0 - 85.0 AS DOUBLE) AS ay,
+           CAST((dst * 91 % 3600) / 10.0 - 180.0 AS DOUBLE) AS bx,
+           CAST((dst * 37 % 1700) / 10.0 - 85.0 AS DOUBLE) AS by
+           FROM raw),
+         cand AS (SELECT src, dst, ax, ay, bx, by, tx.tile_x, ty.tile_y,
+           bx - ax AS dx, by - ay AS dy,
+           CAST(tile_x * 90.0 - 180.0 AS DOUBLE) AS x0,
+           CAST(90.0 - tile_y * 45.0 AS DOUBLE) AS y1
+           FROM pts,
+           LATERAL (SELECT unnest(generate_series(
+             CAST(floor((LEAST(ax, bx) + 180.0) / 90.0) AS BIGINT),
+             CAST(floor((GREATEST(ax, bx) + 180.0) / 90.0) AS BIGINT)))
+             AS tile_x) tx,
+           LATERAL (SELECT unnest(generate_series(
+             CAST(floor((90.0 - GREATEST(ay, by)) / 45.0) AS BIGINT),
+             CAST(floor((90.0 - LEAST(ay, by)) / 45.0) AS BIGINT)))
+             AS tile_y) ty),
+         slabs AS (SELECT *,
+           CASE WHEN dx <> 0 THEN LEAST((x0 - ax) / dx, (x0 + 90.0 - ax) / dx)
+             ELSE CASE WHEN ax >= x0 AND ax <= x0 + 90.0
+               THEN -1e300 ELSE 1e300 END END AS txmin,
+           CASE WHEN dx <> 0 THEN GREATEST((x0 - ax) / dx, (x0 + 90.0 - ax) / dx)
+             ELSE CASE WHEN ax >= x0 AND ax <= x0 + 90.0
+               THEN 1e300 ELSE -1e300 END END AS txmax,
+           CASE WHEN dy <> 0 THEN LEAST((y1 - 45.0 - ay) / dy, (y1 - ay) / dy)
+             ELSE CASE WHEN ay >= y1 - 45.0 AND ay <= y1
+               THEN -1e300 ELSE 1e300 END END AS tymin,
+           CASE WHEN dy <> 0 THEN GREATEST((y1 - 45.0 - ay) / dy, (y1 - ay) / dy)
+             ELSE CASE WHEN ay >= y1 - 45.0 AND ay <= y1
+               THEN 1e300 ELSE -1e300 END END AS tymax
+           FROM cand),
+         clipped AS (SELECT src, dst, tile_x, tile_y, ax, ay, dx, dy, x0, y1,
+           GREATEST(CAST(0.0 AS DOUBLE), txmin, tymin) AS t_in,
+           LEAST(CAST(1.0 AS DOUBLE), txmax, tymax) AS t_out
+           FROM slabs)
+         SELECT src, dst, CAST(2 AS INT) AS z, tile_x, tile_y,
+           CAST(floor((ax + t_in * dx - x0) / 90.0 * CAST(4096 AS DOUBLE)
+             + 0.5) AS BIGINT) AS qax,
+           CAST(floor((y1 - (ay + t_in * dy)) / 45.0 * CAST(4096 AS DOUBLE)
+             + 0.5) AS BIGINT) AS qay,
+           CAST(floor((ax + t_out * dx - x0) / 90.0 * CAST(4096 AS DOUBLE)
+             + 0.5) AS BIGINT) AS qbx,
+           CAST(floor((y1 - (ay + t_out * dy)) / 45.0 * CAST(4096 AS DOUBLE)
+             + 0.5) AS BIGINT) AS qby
+         FROM clipped WHERE t_in < t_out
+         ORDER BY src, dst, tile_x, tile_y""",
     // grid-density DBSCAN surrogate: cell histogram + recursive-CTE
     // closure over 8-connected core cells; coordinates, cell ids and
     // the core/border/noise classification restate closed-form

@@ -464,6 +464,79 @@ object Accessibility {
       .orderBy(col("n_nationkey"), col("tile_x"), col("tile_y"))
   }
 
+  /** ROAD-NETWORK TILING — ram-vt's third VT_TYPE (`road-network`
+    * LineStrings, ram-vt/app/index.js:74-88), completing the tiled
+    * trio with [[tileAssign]]/[[graft.sources.VectorTiles]] (points)
+    * and [[tileAdminPolygons]] (polygons): clip every road edge of the
+    * routing graph ([[Routing.roadEdges]]) to each slippy tile its
+    * bbox touches with the LIANG-BARSKY parametric clip (the segment
+    * counterpart of the polygon kernel's Sutherland–Hodgman), then
+    * quantize the clipped endpoints onto the MVT extent grid (y-down).
+    * One row per nonempty (edge, tile) with integer quantized
+    * endpoints — the DuckDB oracle restates the identical parametric
+    * arithmetic (same CASE guards for axis-parallel segments, same
+    * GREATEST/LEAST entry/exit fold, same floor(+0.5) quantization),
+    * so the whole clip is hash-checked.
+    *
+    * Scale posture: candidate tiles per edge by arithmetic over the
+    * edge's own bbox (explode, never a global tile dimension); the
+    * clip + quantize are codegen'd map-side expressions over the edge
+    * frame; no shuffle before the display sort. The binary MVT
+    * composition (clipped segments → LINESTRING features →
+    * [[graft.sources.Mvt.writeFeatureTiles]]) is spec-pinned. */
+  def tileRoadSegments(spark: SparkSession, dir: String, zoom: Int = 2,
+                       extent: Int = 4096): DataFrame = {
+    val spanX = 360.0 / (1 << zoom)
+    val spanY = 180.0 / (1 << zoom)
+    val pts = Routing.roadEdges(spark, dir)
+      .select(col("src"), col("dst"),
+        lonOf(col("src")).as("ax"), latOf(col("src")).as("ay"),
+        lonOf(col("dst")).as("bx"), latOf(col("dst")).as("by"))
+    // Liang-Barsky per-axis parameter window: slab entry/exit t for one
+    // axis, with the axis-parallel (d == 0) case resolved by membership
+    // (inside -> the axis never constrains, outside -> empty interval)
+    def axisT(a: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column,
+              lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column)
+        : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+      val t1 = (lo - a) / d
+      val t2 = (hi - a) / d
+      (when(d =!= 0.0, least(t1, t2))
+        .otherwise(when(a >= lo && a <= hi, -1e300).otherwise(1e300)),
+        when(d =!= 0.0, greatest(t1, t2))
+          .otherwise(when(a >= lo && a <= hi, 1e300).otherwise(-1e300)))
+    }
+    val withTiles = pts
+      .withColumn("tile_x", explode(sequence(
+        floor((least(col("ax"), col("bx")) + 180.0) / spanX).cast("long"),
+        floor((greatest(col("ax"), col("bx")) + 180.0) / spanX).cast("long"))))
+      .withColumn("tile_y", explode(sequence(
+        floor((lit(90.0) - greatest(col("ay"), col("by"))) / spanY).cast("long"),
+        floor((lit(90.0) - least(col("ay"), col("by"))) / spanY).cast("long"))))
+      .withColumn("x0", col("tile_x") * spanX - 180.0)
+      .withColumn("y1", lit(90.0) - col("tile_y") * spanY)
+      .withColumn("dx", col("bx") - col("ax"))
+      .withColumn("dy", col("by") - col("ay"))
+    val (txmin, txmax) = axisT(col("ax"), col("dx"),
+      col("x0"), col("x0") + spanX)
+    val (tymin, tymax) = axisT(col("ay"), col("dy"),
+      col("y1") - spanY, col("y1"))
+    def qx(x: org.apache.spark.sql.Column) =
+      floor((x - col("x0")) / spanX * extent + 0.5).cast("long")
+    def qy(y: org.apache.spark.sql.Column) =
+      floor((col("y1") - y) / spanY * extent + 0.5).cast("long")
+    withTiles
+      .withColumn("t_in", greatest(lit(0.0), txmin, tymin))
+      .withColumn("t_out", least(lit(1.0), txmax, tymax))
+      .filter(col("t_in") < col("t_out"))
+      .select(col("src"), col("dst"), lit(zoom).as("z"),
+        col("tile_x"), col("tile_y"),
+        qx(col("ax") + col("t_in") * col("dx")).as("qax"),
+        qy(col("ay") + col("t_in") * col("dy")).as("qay"),
+        qx(col("ax") + col("t_out") * col("dx")).as("qbx"),
+        qy(col("ay") + col("t_out") * col("dy")).as("qby"))
+      .orderBy(col("src"), col("dst"), col("tile_x"), col("tile_y"))
+  }
+
   /** Slippy-tile assignment + per-tile stats (ram-vt tiling analog). */
   def tileAssign(spark: SparkSession, dir: String, zoom: Int = 4): DataFrame =
     origins(spark, dir)

