@@ -675,24 +675,42 @@ object Similarity {
   def pqTrainedCodes(spark: SparkSession, dir: String, subspaces: Int = 4,
                      subDim: Int = 16, seedMod: Int = 31,
                      trainRounds: Int = 1): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    val cb = trainedCodebook(e, subspaces, subDim, seedMod, trainRounds)
+    val codeCols = (0 until subspaces).map(i =>
+      min(when(col("m") === i, col("code"))).as(s"code_$i"))
+    pqAssignWith(e, cb, subspaces, subDim)
+      .groupBy(col("vec_id"))
+      .agg(codeCols.head,
+        codeCols.tail :+
+          round(sum(col("dist") * col("dist")), 4).as("recon_err2"): _*)
+      .orderBy(col("vec_id"))
+  }
+
+  /** Lloyd-train the per-subspace PQ codebook (see [[pqTrainedCodes]]
+    * for the discipline): `trainRounds` assignment+update rounds from
+    * the raw seed codebook; centroid frames localCheckpoint per round.
+    * Returns the trained (m, sid, ssub) frame — the shared input of
+    * [[pqTrainedCodes]] and [[ivfPqTrainedTopK]]. */
+  private[graft] def trainedCodebook(e: DataFrame, subspaces: Int,
+                                     subDim: Int, seedMod: Int,
+                                     trainRounds: Int): DataFrame = {
     import graft.functions.VectorFunctions.l2_dist
     require(trainRounds >= 1)
-    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
     val vsub = subVectors(e, "vec_id", subspaces, subDim)
-    var codebook = vsub.filter(col("vec_id") % seedMod === 0)
-      .select(col("m"), col("vec_id").as("sid"), col("sub").as("ssub"))
-    def assign(cb: DataFrame): DataFrame =
-      vsub.join(broadcast(cb), Seq("m"))
+    var codebook = seedCodebook(e, subspaces, subDim, seedMod)
+    var prev: DataFrame = null
+    for (_ <- 1 to trainRounds) {
+      // assignment carries the sub-vector through so the update is one
+      // explode + two partial aggs over (m, codeword, dim) cells
+      val assigned = vsub.join(broadcast(codebook), Seq("m"))
         .select(col("vec_id"), col("m"), col("sub"), col("sid"),
           l2_dist(col("sub"), col("ssub")).as("dist"))
         .groupBy(col("vec_id"), col("m"))
         .agg(min_by(struct(col("sid"), col("dist"), col("sub")),
           struct(col("dist"), col("sid"))).as("b"))
-        .select(col("vec_id"), col("m"), col("b.sid").as("sid"),
-          col("b.dist").as("dist"), col("b.sub").as("sub"))
-    var prev: DataFrame = null
-    for (_ <- 1 to trainRounds) {
-      codebook = assign(codebook)
+        .select(col("m"), col("b.sid").as("sid"), col("b.sub").as("sub"))
+      codebook = assigned
         .select(col("m"), col("sid"), posexplode(col("sub")))
         .groupBy(col("m"), col("sid"), col("pos"))
         .agg(avg(col("col")).as("v"))
@@ -710,14 +728,7 @@ object Similarity {
         org.apache.spark.sql.graftbridge.SparkBridge.unpersistCheckpoint(prev)
       prev = codebook
     }
-    val codeCols = (0 until subspaces).map(i =>
-      min(when(col("m") === i, col("sid"))).as(s"code_$i"))
-    assign(codebook)
-      .groupBy(col("vec_id"))
-      .agg(codeCols.head,
-        codeCols.tail :+
-          round(sum(col("dist") * col("dist")), 4).as("recon_err2"): _*)
-      .orderBy(col("vec_id"))
+    codebook
   }
 
   /** Split `embedding` into `subspaces` contiguous sub-vectors per id,
@@ -728,19 +739,26 @@ object Similarity {
       slice(col("embedding"), m * subDim + 1, subDim)): _*)))
     .select(col(idCol), col("pos").as("m"), col("col").as("sub"))
 
-  /** Shared PQ assignment kernel ([[pqCodes]], [[ivfPqTopK]]): nearest
-    * codeword per (vector, subspace) against the broadcast codebook
-    * (seeds := vec_id % seedMod == 0), argmin ties to the lower seed id.
-    * Returns (vec_id, m, code, dist) — codes-sized, never embeddings. */
-  private def pqAssign(e: DataFrame, subspaces: Int, subDim: Int,
-                       seedMod: Int): DataFrame = {
-    import graft.functions.VectorFunctions.l2_dist
-    val vsub = subVectors(e, "vec_id", subspaces, subDim)
-    val ssub = subVectors(
+  /** The RAW seed codebook (codeword per (m, seed id), seeds :=
+    * vec_id % seedMod == 0) — the untrained (m, sid, ssub) frame both
+    * [[pqAssign]] and [[trainedCodebook]]'s round zero start from. */
+  private def seedCodebook(e: DataFrame, subspaces: Int, subDim: Int,
+                           seedMod: Int): DataFrame =
+    subVectors(
       e.filter(col("vec_id") % seedMod === 0)
         .withColumnRenamed("vec_id", "sid"), "sid", subspaces, subDim)
       .withColumnRenamed("sub", "ssub")
-    vsub.join(broadcast(ssub), Seq("m"))
+      .select(col("m"), col("sid"), col("ssub"))
+
+  /** PQ assignment against an EXPLICIT codebook frame (m, sid, ssub):
+    * nearest codeword per (vector, subspace), argmin ties to the lower
+    * codeword id. Returns (vec_id, m, code, dist) — codes-sized, never
+    * embeddings. The codebook broadcasts. */
+  private def pqAssignWith(e: DataFrame, cb: DataFrame, subspaces: Int,
+                           subDim: Int): DataFrame = {
+    import graft.functions.VectorFunctions.l2_dist
+    val vsub = subVectors(e, "vec_id", subspaces, subDim)
+    vsub.join(broadcast(cb), Seq("m"))
       .select(col("vec_id"), col("m"), col("sid"),
         l2_dist(col("sub"), col("ssub")).as("dist"))
       .groupBy(col("vec_id"), col("m"))
@@ -749,6 +767,14 @@ object Similarity {
       .select(col("vec_id"), col("m"),
         col("b.sid").as("code"), col("b.dist").as("dist"))
   }
+
+  /** Shared PQ assignment kernel ([[pqCodes]], [[ivfPqTopK]]): nearest
+    * codeword per (vector, subspace) against the broadcast RAW seed
+    * codebook. */
+  private def pqAssign(e: DataFrame, subspaces: Int, subDim: Int,
+                       seedMod: Int): DataFrame =
+    pqAssignWith(e, seedCodebook(e, subspaces, subDim, seedMod),
+      subspaces, subDim)
 
   /** IVF-PQ approximate top-k — the composition an ANN index actually
     * serves at 100 TB: coarse IVF cells route each query to nProbe
@@ -776,8 +802,38 @@ object Similarity {
                 nQueries: Int = NQueries, nCells: Int = 16, nProbe: Int = 4,
                 subspaces: Int = 4, subDim: Int = 16, seedMod: Int = 31,
                 rerank: Int = 32): DataFrame = {
-    import graft.functions.VectorFunctions.l2_dist
     val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    ivfPqTopKWith(e, seedCodebook(e, subspaces, subDim, seedMod), k,
+      nQueries, nCells, nProbe, subspaces, subDim, rerank)
+  }
+
+  /** [[ivfPqTopK]] served from the TRAINED codebook — the full
+    * production index composition (train → encode → ADC → rerank):
+    * the [[trainedCodebook]] Lloyd rounds replace the raw seed
+    * codewords in BOTH the candidate codes and the query LUT, and the
+    * identical ADC/rerank machinery runs on top. Same determinism
+    * contract (float-cast training, id tie-breaks), so the
+    * approximate result of the trained index is itself oracle-exact —
+    * the oracle splices the training CTE chain into the ann_ivfpq
+    * restatement. */
+  def ivfPqTrainedTopK(spark: SparkSession, dir: String, k: Int = K,
+                       nQueries: Int = NQueries, nCells: Int = 16,
+                       nProbe: Int = 4, subspaces: Int = 4,
+                       subDim: Int = 16, seedMod: Int = 31,
+                       rerank: Int = 32, trainRounds: Int = 1): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    ivfPqTopKWith(e,
+      trainedCodebook(e, subspaces, subDim, seedMod, trainRounds), k,
+      nQueries, nCells, nProbe, subspaces, subDim, rerank)
+  }
+
+  /** The IVF-PQ pipeline over an explicit codebook (see [[ivfPqTopK]]
+    * for the stage-by-stage scale posture). */
+  private def ivfPqTopKWith(e: DataFrame, cb: DataFrame, k: Int,
+                            nQueries: Int, nCells: Int, nProbe: Int,
+                            subspaces: Int, subDim: Int,
+                            rerank: Int): DataFrame = {
+    import graft.functions.VectorFunctions.l2_dist
     // coarse routing: same deterministic seeding as ivfTopK
     val seeds = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cluster_id"), col("embedding").as("se"))
@@ -788,7 +844,7 @@ object Similarity {
       min(when(col("m") === i, col("code"))).as(s"code_$i"))
     // codes and cells are both corpus-sized: co-partition on the id and
     // hash-join (never a sort — codes are narrow fixed-width rows)
-    val codes = pqAssign(e, subspaces, subDim, seedMod)
+    val codes = pqAssignWith(e, cb, subspaces, subDim)
       .groupBy(col("vec_id").as("cid"))
       .agg(codeCols.head, codeCols.tail: _*)
       .join(cells.hint("shuffle_hash"), Seq("cid"))
@@ -811,13 +867,10 @@ object Similarity {
     val qsub = subVectors(q.withColumnRenamed("qe", "embedding")
       .withColumnRenamed("qid", "vec_id"), "vec_id", subspaces, subDim)
       .select(col("vec_id").as("qid"), col("m"), col("sub"))
-    val ssub = subVectors(
-      e.filter(col("vec_id") % seedMod === 0)
-        .withColumnRenamed("vec_id", "sid"), "sid", subspaces, subDim)
-      .withColumnRenamed("sub", "ssub")
-      // key-packing guard: a seed id >= the base would collide across
-      // subspaces and mis-score silently; fail loudly instead (the
-      // codebook is tiny, so the check is free)
+    val ssub = cb
+      // key-packing guard: a codeword id >= the base would collide
+      // across subspaces and mis-score silently; fail loudly instead
+      // (the codebook is tiny, so the check is free)
       .filter(assert_true(col("sid") < lit(LutKeyBase)).isNull)
     val lut = qsub.join(broadcast(ssub), Seq("m"))
       .select(col("qid"), (col("m") * lit(LutKeyBase) + col("sid")).as("mk"),

@@ -48,7 +48,10 @@ class PruningSpec extends AnyFunSuite {
     // candidate scan itself is the broadcast-hash probe join
     // q35_gap_fill: the dense spine is (distinct priorities) x (day
     // dim), both broadcast — the fact table never crosses anything
+    // ann_ivfpq_trained: the same declared probe-routing and LUT
+    // crosses as ann_ivfpq_topk, fed by the trained codebook
     val nlAllowed = Set("ann_brute_topk", "ann_ivf_topk", "ann_ivfpq_topk",
+      "ann_ivfpq_trained",
       "geo_nearest_poi", "geo_area_assign", "geo_route_nearest",
       "emb_cluster_assign", "emb_kmeans", "q31_range_lookup",
       "geo_eta_matrix", "text_tfidf", "text_xentropy", "emb_neardup_lsh",
