@@ -254,4 +254,59 @@ class KernelPropertySpec extends AnyFunSuite {
         (!nonZero || math.abs(scaled - c) <= 1e-6)
     })
   }
+
+  test("MVT geometry: arbitrary multi-part lines round-trip exactly") {
+    import graft.sources.Mvt
+    val vertex = for {
+      x <- Gen.choose(0L, 4096L); y <- Gen.choose(0L, 4096L)
+    } yield (x, y)
+    val path = Gen.choose(2, 12).flatMap(n => Gen.listOfN(n, vertex))
+    val gen = Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, path))
+    check(Prop.forAll(gen) { parts0 =>
+      val parts = parts0.map(_.toSeq)
+      val enc = Mvt.encodeGeometry(2, parts)
+      Mvt.decodeGeometry(2, enc) == parts &&
+        // command stream structure: per path 1 MoveTo + n-1 LineTos
+        enc.length == parts.map(p => 2 + 2 * p.size).sum
+    })
+  }
+
+  test("MVT geometry: arbitrary polygons round-trip with spec winding") {
+    import graft.sources.Mvt
+    // non-degenerate rings: random rects + random triangles (never
+    // zero-area, vertices distinct)
+    val rect = for {
+      x0 <- Gen.choose(0L, 4000L); y0 <- Gen.choose(0L, 4000L)
+      w <- Gen.choose(1L, 96L); h <- Gen.choose(1L, 96L)
+      flip <- Gen.oneOf(true, false)
+    } yield {
+      val r = Seq((x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h))
+      if (flip) r.reverse else r
+    }
+    val gen = Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, rect))
+    check(Prop.forAll(gen) { rings =>
+      val dec = Mvt.decodeGeometry(3, Mvt.encodeGeometry(3, rings))
+      // winding normalized: ring 0 positive, holes negative; vertex
+      // SETS preserved (orientation may flip, content never changes)
+      dec.size == rings.size &&
+        Mvt.signedArea2(dec.head) > 0 &&
+        dec.tail.forall(r => Mvt.signedArea2(r) < 0) &&
+        dec.zip(rings).forall { case (d, r) => d.toSet == r.toSet }
+    })
+  }
+
+  test("MVT multipoints round-trip; zigzag is a bijection on the grid") {
+    import graft.sources.Mvt
+    val vertex = for {
+      x <- Gen.choose(0L, 4096L); y <- Gen.choose(0L, 4096L)
+    } yield (x, y)
+    val gen = Gen.choose(1, 20).flatMap(n => Gen.listOfN(n, vertex))
+    check(Prop.forAll(gen) { pts =>
+      val parts = pts.map(p => Seq(p))
+      Mvt.decodeGeometry(1, Mvt.encodeGeometry(1, parts)) == parts
+    })
+    check(Prop.forAll(Gen.choose(-1000000L, 1000000L)) { n =>
+      Mvt.unzigzag(Mvt.zigzag(n)) == n && (n < 0 || Mvt.zigzag(n) == 2 * n)
+    })
+  }
 }

@@ -290,6 +290,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally { out.unpersist() }
   }
 
+  test("incremental minhash as streaming ingest: micro-batches vs one batch") {
+    // the production daily-ingest loop as an actual stream: arriving
+    // doc ids flow through a MemoryStream, each micro-batch classifies
+    // against the SAME frozen standing index via foreachBatch, and the
+    // accumulated verdicts equal the one-shot batch run — delivery
+    // batching cannot change any verdict
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 4)
+    val arrivingAll = docs.filter(col("doc_id") % 5 === 4)
+    val index = operators.Dedup.corpusLshIndex(corpus).localCheckpoint()
+    val ids = arrivingAll.select(col("doc_id")).as[Long].collect().sorted
+    val (b1, b2) = ids.splitAt(ids.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Long]
+    val got = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val q = ms.toDS().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Long], _: Long) =>
+        val arrived = docs.join(b.toDF("doc_id"), Seq("doc_id"), "left_semi")
+        got.synchronized {
+          got ++= operators.Dedup.classifyBatch(spark, sf, index, arrived, 0.8)
+            .collect().map(_.toSeq)
+        }
+        ()
+      }
+      .start()
+    try {
+      ms.addData(b1.toIndexedSeq); q.processAllAvailable()
+      ms.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally { q.stop() }
+    val full = operators.Dedup.incrementalMinhash(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(got.size == ids.length, "one verdict per arriving doc")
+    assert(got.toSet == full,
+      "streamed micro-batch verdicts must equal the one-shot batch run")
+    org.apache.spark.sql.graftbridge.SparkBridge.unpersistCheckpoint(index)
+  }
+
   test("curate funnel agrees with its component operators") {
     import spark.implicits._
     val out = TextAnalysis.curate(spark, sf).cache()
