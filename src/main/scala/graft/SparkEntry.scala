@@ -119,6 +119,8 @@ object SparkEntry {
     "ann_recall_eval" -> ((s, d) => Similarity.annRecallEval(s, d)),
     "emb_dim_recall" -> ((s, d) => Similarity.dimRecallEval(s, d)),
     "ann_range_search" -> ((s, d) => Similarity.rangeSearch(s, d)),
+    "ann_filtered_topk" -> ((s, d) => Similarity.filteredTopK(s, d)),
+    "emb_incremental" -> ((s, d) => Similarity.incrementalAnn(s, d)),
     "ann_ivf_stats" -> ((s, d) => Similarity.ivfStats(s, d)),
     "pipeline_paraphrase" -> ((s, d) => Similarity.paraphrasePairs(s, d)),
     "emb_diversity_sample" -> ((s, d) => Similarity.diversitySample(s, d)),
@@ -160,13 +162,18 @@ object SparkEntry {
     "text_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
     "text_boilerplate" -> ((s, d) => TextAnalysis.boilerplate(s, d)),
     "text_perplexity" -> ((s, d) => TextAnalysis.perplexity(s, d)),
+    "text_lm_heldout" -> ((s, d) => TextAnalysis.lmHeldout(s, d)),
     "text_classifier_score" -> ((s, d) => TextAnalysis.classifierScore(s, d)),
+    // trained on weak labels from the quality kernel; rational sigmoid
+    // + float-cast aggregates make the whole GD trajectory hash-exact
+    "text_classifier_train" -> ((s, d) => TextAnalysis.classifierTrain(s, d)),
     "text_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
     "text_gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(s, d)),
     "text_domain_mix" -> ((s, d) => TextAnalysis.domainMix(s, d)),
     "text_temperature_mix" -> ((s, d) => TextAnalysis.temperatureMix(s, d)),
     "text_pii" -> (TextAnalysis.pii _),
     "pipeline_curate" -> ((s, d) => TextAnalysis.curate(s, d)),
+    "pipeline_llm_e2e" -> ((s, d) => TextAnalysis.llmE2e(s, d)),
     "pipeline_quality_report" -> ((s, d) => TextAnalysis.qualityReport(s, d)),
     "emb_cluster_assign" -> ((s, d) => Similarity.clusterAssign(s, d)),
     // oracle-checked since r5: the float cast in each centroid update
@@ -184,6 +191,9 @@ object SparkEntry {
     "sketch_heavy_hitters" -> ((s, d) => Sketches.heavyHitters(s, d)),
     "sketch_countmin" -> ((s, d) => Sketches.countMin(s, d)),
     "sketch_hll_union" -> ((s, d) => Sketches.hllUnion(s, d)),
+    // KMV theta-sketch intersection is md5-deterministic end-to-end, so
+    // the oracle restates the ESTIMATES themselves, not just verdicts
+    "sketch_theta_intersect" -> ((s, d) => Sketches.thetaIntersect(s, d)),
     // F. multimodal feature extraction — oracle-checked since r5 on the
     // closed-form columns: byte_len is container overhead + UTF-8 text
     // bytes, width/height/n_frames are the planted header fields the
@@ -1600,6 +1610,52 @@ object SparkEntry {
                ORDER BY list_cosine_similarity(qe, ce) DESC, cid) AS rk
            FROM q, c WHERE cid <> qid) t
          WHERE rk <= 5 ORDER BY qid, rk""",
+    // pre-filter semantics: the label predicate restricts candidates
+    // BEFORE scoring, so the oracle's filtered window-rank restates the
+    // operator exactly
+    "ann_filtered_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe, label
+           FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce,
+           label AS clabel FROM embeddings)
+         SELECT qid, label, rk, cid, cos_sim FROM (
+           SELECT qid, label, cid,
+             round(list_cosine_similarity(qe, ce), 4) AS cos_sim,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY list_cosine_similarity(qe, ce) DESC, cid) AS rk
+           FROM q JOIN c ON clabel = label AND cid <> qid) t
+         WHERE rk <= 5 ORDER BY qid, rk""",
+    // incremental ANN ingest: the standing index (corpus seeds + cell
+    // members) and the batch's probe/score/argmax are deterministic
+    // end-to-end, so the classification itself hash-checks; tau = 0.4
+    // sits >= 5e-3 (sf0.01) / 2.8e-5 (sf0.1) from the nearest
+    // best-match cosine, and cosines are bit-identical across engines
+    "emb_incremental" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         corpus AS (SELECT * FROM e WHERE vec_id % 5 <> 4),
+         batch AS (SELECT vec_id AS bid, v AS bv FROM e
+           WHERE vec_id % 5 = 4),
+         seeds AS (SELECT vec_id AS cell, v AS sv FROM corpus
+           WHERE vec_id < 20),
+         asg AS (SELECT cid, cv, cell FROM (
+           SELECT c.vec_id AS cid, c.v AS cv, s.cell,
+             row_number() OVER (PARTITION BY c.vec_id
+               ORDER BY list_cosine_similarity(c.v, s.sv) DESC, s.cell) AS rn
+           FROM corpus c, seeds s) t WHERE rn = 1),
+         probes AS (SELECT bid, bv, cell FROM (
+           SELECT b.bid, b.bv, s.cell,
+             row_number() OVER (PARTITION BY b.bid
+               ORDER BY list_cosine_similarity(b.bv, s.sv) DESC, s.cell) AS rn
+           FROM batch b, seeds s) t WHERE rn <= 4),
+         scored AS (SELECT p.bid, a.cid,
+             list_cosine_similarity(p.bv, a.cv) AS cos
+           FROM probes p JOIN asg a USING (cell)),
+         best AS (SELECT bid, cid, cos FROM (
+           SELECT bid, cid, cos, row_number() OVER (PARTITION BY bid
+             ORDER BY cos DESC, cid) AS rn FROM scored) t WHERE rn = 1)
+         SELECT bid AS vec_id, cid AS best_match, round(cos, 4) AS cos_sim,
+           CASE WHEN cos >= 0.4 THEN 'near_dup' ELSE 'unique' END AS verdict
+         FROM best ORDER BY vec_id""",
     // IVF is deterministic end-to-end (seeds = first 16 vectors, argmax
     // assignment with low-cell tie-break, top-4 probed cells), so the
     // approximate result itself is oracle-checkable, not just rows-only
@@ -2302,10 +2358,15 @@ object SparkEntry {
     // smoothed bigram LM: ln bit-parity + per-doc summation order
     // (narrow explode keeps a doc's rows in token order on both sides)
     "text_perplexity" -> operators.TextAnalysis.perplexityOracle(),
+    "text_lm_heldout" -> operators.TextAnalysis.lmHeldoutOracle(),
     // hashed linear scorer: dyadic weights make the doc sum EXACT, so
     // the mean's single rounding is order-independent
     "text_classifier_score" ->
       operators.TextAnalysis.classifierScoreOracle(),
+    // trained scorer: GD rounds unrolled as CTEs (Lloyd precedent);
+    // rational sigmoid (no libm exp) + float-cast sums = hash-exact
+    "text_classifier_train" ->
+      operators.TextAnalysis.classifierTrainOracle(),
     // sliding-window chunking: pure integer arithmetic + string slices
     "text_chunk" -> operators.TextAnalysis.chunkOracle(),
     // Gopher rule battery: every feature a per-doc list fold, ratios
@@ -2387,6 +2448,89 @@ object SparkEntry {
                 ELSE 'test' END AS split
          FROM ded JOIN kept k ON k.doc_id = ded.doc_id
          ORDER BY k.doc_id""",
+    // the full curation pipeline composed: pipeline_curate's funnel
+    // (quality + lang-agreement + repetition + exact dedup + hash
+    // split), then text_decontaminate's rare-shingle kernel with the
+    // funnel's OWN eval splits, then text_pack's integer packing per
+    // (split, source, shard) — each stage the same SQL its standalone
+    // oracle states
+    "pipeline_llm_e2e" ->
+      """WITH wc AS (SELECT doc_id, word, count(*) AS c FROM (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents) u GROUP BY doc_id, word),
+         tw AS (SELECT doc_id, max(c) AS top_word_n,
+           CAST(sum(c) AS BIGINT) AS n_words FROM wc GROUP BY doc_id),
+         q AS (SELECT d.doc_id, d.text, d.lang, d.source,
+           floor((len(list_distinct(string_split(text, ' ')))
+               / len(string_split(text, ' ')) * CAST(0.3 AS DOUBLE)
+             + (CAST(1.0 AS DOUBLE) - len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the', 'a'))) / len(string_split(text, ' ')))
+               * CAST(0.3 AS DOUBLE)
+             + least(len(string_split(text, ' ')) / CAST(100.0 AS DOUBLE),
+                 CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE))
+             * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             / CAST(10000.0 AS DOUBLE) AS score,
+           len(list_filter(string_split(text, ' '),
+             x -> x IN ('the', 'a', 'value', 'row', 'key'))) AS en_hits,
+           len(list_filter(string_split(text, ' '),
+             x -> x IN ('data', 'table', 'fast', 'line'))) AS es_hits,
+           len(list_filter(string_split(text, ' '),
+             x -> x IN ('query', 'order', 'merge', 'group'))) AS fr_hits,
+           len(list_filter(string_split(text, ' '),
+             x -> x IN ('window', 'batch', 'stream', 'sort'))) AS de_hits,
+           len(list_filter(string_split(text, ' '),
+             x -> x IN ('spark', 'hash', 'join', 'scan'))) AS zh_hits
+           FROM documents d),
+         f AS (SELECT q.doc_id, q.text, q.lang, q.source, q.score,
+           floor(top_word_n / n_words * 10000.0 + 0.5) / 10000.0
+             AS top_word_frac,
+           CASE
+             WHEN en_hits >= es_hits AND en_hits >= fr_hits
+               AND en_hits >= de_hits AND en_hits >= zh_hits THEN 'en'
+             WHEN es_hits >= fr_hits AND es_hits >= de_hits
+               AND es_hits >= zh_hits THEN 'es'
+             WHEN fr_hits >= de_hits AND fr_hits >= zh_hits THEN 'fr'
+             WHEN de_hits >= zh_hits THEN 'de'
+             ELSE 'zh' END AS pred_lang
+           FROM q JOIN tw USING (doc_id)),
+         kept AS (SELECT * FROM f
+           WHERE score >= CAST(0.55 AS DOUBLE) AND pred_lang = lang
+             AND top_word_frac <= CAST(0.15 AS DOUBLE)),
+         ded0 AS (SELECT md5(text) AS h, min(doc_id) AS doc_id
+           FROM kept GROUP BY md5(text)),
+         ded AS (SELECT k.doc_id, k.text, k.source, k.score,
+           CASE WHEN substring(md5(k.text), 1, 2) < 'd0' THEN 'train'
+                WHEN substring(md5(k.text), 1, 2) < 'e8' THEN 'valid'
+                ELSE 'test' END AS split
+           FROM ded0 JOIN kept k ON k.doc_id = ded0.doc_id),
+         sh AS (SELECT doc_id, split, unnest(list_distinct(
+             list_transform(range(1, len(l) - 1),
+               i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS s
+           FROM (SELECT doc_id, split, string_split(text, ' ') AS l
+             FROM ded) t),
+         rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 20),
+         shf AS (SELECT sh.doc_id, sh.split, sh.s
+           FROM sh JOIN rare USING (s)),
+         cont AS (SELECT DISTINCT train_doc AS doc_id FROM (
+           SELECT tr.doc_id AS train_doc, ev.eval_doc
+           FROM (SELECT doc_id, s FROM shf WHERE split = 'train') tr
+           JOIN (SELECT doc_id AS eval_doc, s FROM shf
+             WHERE split <> 'train') ev USING (s)
+           GROUP BY tr.doc_id, ev.eval_doc HAVING count(*) >= 3) t),
+         clean AS (SELECT * FROM ded
+           WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+         p AS (SELECT doc_id, split, source,
+             CAST(floor(doc_id / 256.0) AS BIGINT) AS shard, score,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM clean),
+         c2 AS (SELECT *, CAST(sum(n_tokens) OVER (
+             PARTITION BY split, source, shard ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end FROM p)
+         SELECT doc_id, split, source, shard, score, n_tokens,
+           CAST((tok_end - n_tokens) % 128 AS BIGINT) AS bin_offset,
+           CAST(floor((tok_end - n_tokens) / 128.0) AS BIGINT) AS bin_first,
+           CAST(floor((tok_end - 1) / 128.0) AS BIGINT) AS bin_last
+         FROM c2 ORDER BY doc_id""",
     // proportional per-source quota by content-hash rank (vs q28's fixed
     // count per group)
     "text_domain_mix" ->
@@ -2565,6 +2709,7 @@ object SparkEntry {
     // exact distinct counts the oracle recomputes (estimates are
     // engine-internal; a register-losing merge breaks __union__)
     "sketch_hll_union" -> operators.Sketches.hllUnionOracle(),
+    "sketch_theta_intersect" -> operators.Sketches.thetaIntersectOracle(),
     "sketch_countmin" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_true,
            TRUE AS ge_ok, TRUE AS eps_ok,

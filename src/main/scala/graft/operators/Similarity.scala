@@ -241,6 +241,98 @@ object Similarity {
       .orderBy(col("qid"), col("cid"))
   }
 
+  /** METADATA-FILTERED exact top-k — vector search with a WHERE clause,
+    * the tenant/namespace/language scoping every production retrieval
+    * deployment needs (per query here: candidates sharing the query's
+    * `label`). PRE-filter semantics: the predicate participates in the
+    * broadcast-hash join condition, so it evaluates map-side UNDER the
+    * candidate scan before any cosine is computed — a post-filter over an
+    * unfiltered top-k both wastes the dropped candidates' FLOPs and
+    * silently under-fills k when the filter is selective (the classic
+    * filtered-ANN recall bug). Scale posture otherwise identical to
+    * [[bruteTopK]]: queries broadcast with their filter attribute, scoring
+    * map-side, the k-bounded heap shuffles only partitions x k rows. */
+  def filteredTopK(spark: SparkSession, dir: String, k: Int = K,
+                   nQueries: Int = NQueries): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      col("label").as("clabel"))
+    val scored = c.join(broadcast(q),
+        col("clabel") === col("qlabel") && col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        cosine_sim(col("qe"), col("ce")).as("cos"))
+    finishTopK(scored, k)
+      .join(broadcast(q.select(col("qid"), col("qlabel").as("label"))),
+        Seq("qid"))
+      .select(col("qid"), col("label"), col("rk"), col("cid"),
+        col("cos_sim"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** Incremental ANN classification — the EMBEDDINGS rung of the
+    * incremental-ingest ladder ([[graft.operators.Dedup.incrementalMinhash]]'s
+    * twin): an arriving vector batch (vec_id % 5 == 4, the same holdout
+    * convention the dedup ladder uses) is classified against the STANDING
+    * corpus index as near_dup-of-best-match or unique, WITHOUT re-scoring
+    * any corpus x corpus pair. The standing index (coarse seed centroids +
+    * per-cell member assignment) is a pure function of the corpus alone —
+    * built once per corpus version, probed by every delivery; the spec
+    * pins batch-independence by classifying a batch subset against the
+    * same prebuilt index. Batch vectors probe their nProbe nearest cells
+    * and score ONLY the probed cells' members, so per-arrival work is
+    * batch x (corpus/nCells x nProbe), never batch x corpus. */
+  /** The STANDING index of [[incrementalAnn]]: coarse seed centroids
+    * (the 16 lowest corpus ids) + every corpus vector routed to its
+    * argmax-cos cell. A pure function of the corpus frame alone — built
+    * once per corpus version; the spec pins batch-independence by
+    * classifying a batch subset against one prebuilt index. Returns
+    * (seeds(cluster_id, se), members(cid, ce, cell)). */
+  private[graft] def standingAnnIndex(corpus: DataFrame): (DataFrame, DataFrame) = {
+    val seeds = corpus.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("cluster_id"), col("embedding").as("se"))
+    val members = assignToSeeds(corpus, seeds)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("cluster_id").as("cell"))
+    (seeds, members)
+  }
+
+  /** Classify an arriving batch against a prebuilt [[standingAnnIndex]]:
+    * probe nProbe nearest cells, score only their members, argmax. */
+  private[graft] def classifyBatch(seeds: DataFrame, members: DataFrame,
+                                   batch: DataFrame, tau: Double,
+                                   nProbe: Int): DataFrame = {
+    val pw = Window.partitionBy(col("bid")).orderBy(col("_c").desc, col("cell"))
+    val probes = batch
+      .select(col("vec_id").as("bid"), col("embedding").as("be"))
+      .join(broadcast(seeds.withColumnRenamed("cluster_id", "cell")))
+      .select(col("bid"), col("be"), col("cell"),
+        cosine_sim(col("be"), col("se")).as("_c"))
+      .withColumn("_rn", row_number().over(pw)).filter(col("_rn") <= nProbe)
+      .select(col("bid"), col("be"), col("cell"))
+    members.join(broadcast(probes), Seq("cell"))
+      .select(col("bid"), col("cid"),
+        cosine_sim(col("be"), col("ce")).as("cos"))
+      .groupBy(col("bid"))
+      .agg(max_by(col("cid"),
+          struct(col("cos"), (-col("cid")).as("_t"))).as("best_match"),
+        max(col("cos")).as("cos"))
+      .select(col("bid").as("vec_id"), col("best_match"),
+        round(col("cos"), 4).as("cos_sim"),
+        when(col("cos") >= tau, "near_dup").otherwise("unique").as("verdict"))
+      .orderBy(col("vec_id"))
+  }
+
+  def incrementalAnn(spark: SparkSession, dir: String, tau: Double = 0.4,
+                     nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val e = emb(spark, dir)
+    val (seeds, members) = standingAnnIndex(e.filter(col("vec_id") % 5 =!= 4))
+    classifyBatch(seeds, members, e.filter(col("vec_id") % 5 === 4),
+      tau, nProbe)
+  }
+
   /** Truncated-dimension retrieval eval (the Matryoshka question: how
     * many leading dimensions does serving actually need?): recall@k of
     * brute-force top-k computed over only the first d dims, against the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -225,4 +225,150 @@ object Sketches {
        SELECT '__union__', CAST(count(DISTINCT user_id) AS BIGINT), TRUE
        FROM events
        ORDER BY event_type"""
+
+  /** 2^52 as an exact double — the KMV hash-space size (13 hex digits of
+    * md5 = 52 bits, within double's 53-bit mantissa so every hash value
+    * is EXACT in double arithmetic and both engines order and divide
+    * identically). */
+  private val ThetaSpace: Double = 4503599627370496.0
+
+  /** KMV ("theta sketch") SET-INTERSECTION estimate across two event
+    * segments — the audience-overlap question (how many users are in
+    * BOTH cohorts?) that HLL alone cannot answer (HLL unions; it never
+    * intersects without inclusion-exclusion blowup across many sets).
+    * Segment A = users with a high-value purchase, B = users with a
+    * high-value click.
+    *
+    * Mechanics: each segment keeps only its k SMALLEST distinct hash
+    * values (md5-derived, portable across engines) via the k-bounded
+    * heap aggregate — fixed-size mergeable state, so each segment costs
+    * one partial-agg pass and the sketches meet in a one-row broadcast
+    * cross join. theta = the k-th minimum normalized by the hash space;
+    * the union sketch is the k smallest of the merged minima; the
+    * Jaccard numerator j counts union-sketch entries present in both
+    * per-segment sketches; est_intersect = j / k_eff x est_union. When a
+    * segment (or the union) holds fewer than k values the sketch IS the
+    * exact distinct set and the estimator degrades gracefully to the
+    * exact count.
+    *
+    * Scale posture: the production path is the two sketch passes
+    * (bounded state, one shuffle each, arrays of k longs meeting on one
+    * row); the exact columns and the contract verdicts are the
+    * verification overlay — at 100 TB you drop the exact join and ship
+    * the estimate, trusting the spec'd error contract. Unlike the HLL
+    * queries, the KMV estimate is a PURE FUNCTION of md5, so the oracle
+    * restates the estimates themselves, not just TRUE verdicts. */
+  /** The KMV intersection kernel over two user-id segment frames —
+    * factored from [[thetaIntersect]] so the spec can drive it with
+    * synthetic cohorts large enough to exercise ESTIMATE mode (the
+    * events table's cohorts sit below k at test scale, where the sketch
+    * degrades to exact). */
+  private[graft] def kmvIntersect(segA: DataFrame, segB: DataFrame,
+                                  k: Int, relTol: Double): DataFrame = {
+    import graft.functions.TopK.top_k_by_score
+    // k smallest distinct hashes + the exact distinct count, one row.
+    // score = -h is EXACT in double (52-bit hashes), so the heap's
+    // (score desc, id asc) order is precisely ascending-hash order.
+    def sketch(seg: DataFrame, tag: String): DataFrame =
+      seg.select(conv(substring(md5(col("user_id").cast("string")
+          .cast("binary")), 1, 13), 16, 10).cast("long").as("h"))
+        .agg(top_k_by_score(-col("h").cast("double"), col("h"), k).as("tk"),
+          count(lit(1)).as(s"n_$tag"))
+        .select(transform(col("tk"), x => x.getField("id")).as(s"mins_$tag"),
+          col(s"n_$tag"))
+    def estOf(mins: Column): Column =
+      when(size(mins) < k, size(mins).cast("double"))
+        .otherwise(lit((k - 1).toDouble) * ThetaSpace
+          / element_at(mins, k).cast("double"))
+    def r4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+    val exactI = segA.join(segB, Seq("user_id"))
+      .agg(count(lit(1)).as("exact_intersect"))
+    val u = slice(array_sort(array_union(col("mins_a"), col("mins_b"))), 1, k)
+    val kEff = least(lit(k), size(col("u"))).cast("double")
+    val j = size(array_intersect(array_intersect(col("u"), col("mins_a")),
+      col("mins_b"))).cast("double")
+    broadcast(sketch(segA, "a"))
+      .crossJoin(broadcast(sketch(segB, "b")))
+      .crossJoin(broadcast(exactI))
+      .withColumn("u", u)
+      .select(lit(k).as("k"), col("n_a"), col("n_b"),
+        r4(estOf(col("mins_a"))).as("est_a"),
+        r4(estOf(col("mins_b"))).as("est_b"),
+        r4(estOf(col("u"))).as("est_union"),
+        j.cast("long").as("n_common_sketch"),
+        r4(j / kEff * estOf(col("u"))).as("est_intersect"),
+        col("exact_intersect"),
+        (abs(r4(estOf(col("mins_a"))) - col("n_a"))
+          <= col("n_a") * relTol).as("ok_a"),
+        (abs(r4(estOf(col("mins_b"))) - col("n_b"))
+          <= col("n_b") * relTol).as("ok_b"),
+        (abs(r4(j / kEff * estOf(col("u"))) - col("exact_intersect"))
+          <= greatest(col("exact_intersect") * relTol, lit(4.0)))
+          .as("ok_intersect"))
+  }
+
+  def thetaIntersect(spark: SparkSession, dir: String, k: Int = 256,
+                     relTol: Double = 0.25): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def users(eventType: String): DataFrame =
+      ev.filter(col("event_type") === eventType && col("value") > 75.0)
+        .select(col("user_id")).distinct()
+    kmvIntersect(users("purchase"), users("click"), k, relTol)
+  }
+
+  /** DuckDB restatement of [[thetaIntersect]]: the full KMV estimator —
+    * md5-hash minima, theta from the k-th minimum, union sketch,
+    * Jaccard numerator — recomputed closed-form (list_sort + slicing +
+    * list_intersect), plus the same contract verdicts. */
+  def thetaIntersectOracle(k: Int = 256, relTol: Double = 0.25): String =
+    s"""WITH ua AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'purchase' AND value > 75.0),
+       ub AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'click' AND value > 75.0),
+       ha AS (SELECT CAST(concat('0x',
+           substring(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+         FROM ua),
+       hb AS (SELECT CAST(concat('0x',
+           substring(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+         FROM ub),
+       sa AS (SELECT list_sort(list(h))[1:$k] AS mins, count(*) AS n_a
+         FROM ha),
+       sb AS (SELECT list_sort(list(h))[1:$k] AS mins, count(*) AS n_b
+         FROM hb),
+       xi AS (SELECT count(*) AS exact_intersect
+         FROM ua JOIN ub USING (user_id)),
+       m AS (SELECT sa.mins AS ma, sb.mins AS mb, n_a, n_b,
+           exact_intersect,
+           list_sort(list_distinct(list_concat(sa.mins, sb.mins)))[1:$k]
+             AS u
+         FROM sa, sb, xi),
+       e AS (SELECT *,
+           CASE WHEN len(ma) < $k THEN CAST(len(ma) AS DOUBLE)
+             ELSE CAST($k - 1 AS DOUBLE) * 4503599627370496.0
+               / CAST(ma[$k] AS DOUBLE) END AS ea,
+           CASE WHEN len(mb) < $k THEN CAST(len(mb) AS DOUBLE)
+             ELSE CAST($k - 1 AS DOUBLE) * 4503599627370496.0
+               / CAST(mb[$k] AS DOUBLE) END AS eb,
+           CASE WHEN len(u) < $k THEN CAST(len(u) AS DOUBLE)
+             ELSE CAST($k - 1 AS DOUBLE) * 4503599627370496.0
+               / CAST(u[$k] AS DOUBLE) END AS eu,
+           CAST(len(list_intersect(list_intersect(u, ma), mb)) AS DOUBLE)
+             AS j,
+           CAST(least($k, len(u)) AS DOUBLE) AS keff
+         FROM m)
+       SELECT $k AS k, n_a, n_b,
+         floor(ea * 10000.0 + 0.5) / 10000.0 AS est_a,
+         floor(eb * 10000.0 + 0.5) / 10000.0 AS est_b,
+         floor(eu * 10000.0 + 0.5) / 10000.0 AS est_union,
+         CAST(j AS BIGINT) AS n_common_sketch,
+         floor(j / keff * eu * 10000.0 + 0.5) / 10000.0 AS est_intersect,
+         exact_intersect,
+         abs(floor(ea * 10000.0 + 0.5) / 10000.0 - n_a)
+           <= n_a * $relTol AS ok_a,
+         abs(floor(eb * 10000.0 + 0.5) / 10000.0 - n_b)
+           <= n_b * $relTol AS ok_b,
+         abs(floor(j / keff * eu * 10000.0 + 0.5) / 10000.0
+             - exact_intersect)
+           <= greatest(exact_intersect * $relTol, 4.0) AS ok_intersect
+       FROM e"""
 }

@@ -467,6 +467,86 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The FULL pre-training data pipeline as ONE composed job — the
+    * end-to-end flow a 100 TB curation run executes per delivery, every
+    * stage the SAME kernel its standalone operator uses (one definition
+    * of score / pred_lang / repetition / split / shingle / packing, so
+    * the e2e can never drift from its parts):
+    *
+    *   1. [[curate]]: quality-score floor + language-agreement filter +
+    *      repetition cap + exact dedup (lowest-id survivor) + the
+    *      dup-safe content-hash split;
+    *   2. decontamination of the train split against the funnel's OWN
+    *      valid/test splits via rare-shingle overlap ([[decontaminate]]'s
+    *      df-capped inverted-index kernel — standalone it uses a
+    *      doc_id%10 stand-in for "the benchmark"; here eval membership
+    *      is the real split, which is what production decontaminates
+    *      against);
+    *   3. concat-and-chunk sequence packing ([[packOf]]'s integer
+    *      arithmetic) per (split, source, shard) cell — each split packs
+    *      independently, so every surviving doc lands with its final
+    *      training-sequence placement.
+    *
+    * Scale posture inherits from the parts: stage 1 is one map-side pass
+    * plus the dedup hash-agg; stage 2's inverted shingle index is
+    * df-capped (fan-out bounded by maxDF² per shingle) and the verdict
+    * join is candidate-sized; stage 3's window partitions are bounded by
+    * shardSize docs regardless of source skew. The composition adds NO
+    * shuffle the standalone operators don't already have. */
+  def llmE2e(spark: SparkSession, dir: String, minScore: Double = 0.55,
+             maxTopWordFrac: Double = 0.15, n: Int = 3, maxDF: Int = 20,
+             minShared: Int = 3, budget: Int = 128,
+             shardSize: Long = 256L): DataFrame = {
+    val words = toks
+    val kept = withLangPrediction(withQuality(Tables.documents(spark, dir)))
+      .withColumn("top_word_frac", frac4(topCount(words), size(words)))
+      .filter(col("score") >= minScore &&
+        col("pred_lang") === col("lang") &&
+        col("top_word_frac") <= maxTopWordFrac)
+    val ded = kept
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min_by(struct(col("doc_id"), col("text"), col("source"),
+        col("score")), col("doc_id")).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"),
+        col("r.source").as("source"), col("r.score").as("score"),
+        splitCol(col("r.text")).as("split"))
+    val sh = ded.select(col("doc_id"), col("split"),
+      explode(array_distinct(TextFunctions.word_shingles(col("text"), n)))
+        .as("s"))
+    val rare = sh.groupBy(col("s"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDF)
+      .select(col("s"))
+    val shf = sh.join(rare, Seq("s"), "left_semi")
+    val contaminated = shf.filter(col("split") === "train")
+      .select(col("s"), col("doc_id").as("train_doc"))
+      .join(shf.filter(col("split") =!= "train")
+        .select(col("s"), col("doc_id").as("eval_doc")), Seq("s"))
+      .groupBy(col("train_doc"), col("eval_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("train_doc").as("doc_id")).distinct()
+    // the drop list is contamination-density-sized (ids of train docs
+    // overlapping the eval splits — a thin slice of the corpus in any
+    // run where decontamination is sane), so the verdict anti-join
+    // broadcasts it instead of shuffling the whole surviving corpus
+    // (the same call the dedup_incremental_minhash plan audit forced)
+    val clean = ded.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    val w = Window.partitionBy(col("split"), col("source"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clean
+      .withColumn("shard", floor(col("doc_id") / shardSize))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("tok_end", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("split"), col("source"), col("shard"),
+        col("score"), col("n_tokens"),
+        ((col("tok_end") - col("n_tokens")) % budget).as("bin_offset"),
+        floor((col("tok_end") - col("n_tokens")) / budget).cast("long")
+          .as("bin_first"),
+        floor((col("tok_end") - 1) / budget).cast("long").as("bin_last"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The three-way split as a single column expression (shared by
     * [[hashSplitOf]] and [[curate]]). */
   private[operators] def splitCol(text: Column, trainTo: String = "d0",
@@ -908,6 +988,75 @@ object TextAnalysis {
            / (cu + CAST($k AS DOUBLE) * vsz))), 4) AS nll
        FROM c, v GROUP BY doc_id ORDER BY doc_id"""
 
+  /** HELD-OUT language-model scoring — the train->apply composition of
+    * [[perplexity]]: bigram statistics come ONLY from the train shard of
+    * the dup-safe content-hash split ([[splitCol]]), and the held-out
+    * valid/test documents are scored against them. Self-perplexity (what
+    * [[perplexity]] measures) rewards memorized duplicates; held-out nll
+    * is the quality signal a curation pipeline actually gates on — the
+    * same train-then-apply asymmetry emb_pq_trained closes for PQ.
+    * Unseen-in-train histories degrade smoothly under add-k smoothing
+    * (an unseen bigram scores -ln(k/(cu + k*V)), an unseen history
+    * -ln(1/V)).
+    *
+    * Scale posture: identical to [[perplexity]] — counts via windows
+    * over (w1, w2) / (w1) partitions with a train-only conditional sum
+    * (never a vocab-sized broadcast or a counts join), the train vocab
+    * as a one-row broadcast scalar; the split column rides the same
+    * scan, so train+apply is ONE pass over the corpus, not two jobs. */
+  def lmHeldout(spark: SparkSession, dir: String,
+                k: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), splitCol(col("text")).as("split"),
+        split(col("text"), " ").as("ws"))
+    val bi = docs.select(col("doc_id"), col("split"),
+      explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("split"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val isTrain = (col("split") === "train").cast("long")
+    val vocab = docs.filter(col("split") === "train")
+      .select(explode(col("ws")).as("t"))
+      .agg(countDistinct(col("t")).cast("double").as("vsz"))
+    bi
+      .withColumn("cb",
+        sum(isTrain).over(Window.partitionBy(col("w1"), col("w2"))))
+      .withColumn("cu", sum(isTrain).over(Window.partitionBy(col("w1"))))
+      .filter(col("split") =!= "train")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"), col("split"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log((col("cb") + lit(k))
+          / (col("cu") + lit(k) * col("vsz")))), 4).as("nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB restatement of [[lmHeldout]]. */
+  def lmHeldoutOracle(k: Double = 0.5): String =
+    s"""WITH w AS (SELECT doc_id,
+         CASE WHEN substring(md5(text), 1, 2) < 'd0' THEN 'train'
+              WHEN substring(md5(text), 1, 2) < 'e8' THEN 'valid'
+              ELSE 'test' END AS split,
+         string_split(text, ' ') AS ws
+         FROM documents),
+       b AS (SELECT doc_id, split, ws[i + 1] AS w1, ws[i + 2] AS w2
+         FROM w, UNNEST(range(len(ws) - 1)) AS t(i)),
+       v AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS vsz
+         FROM (SELECT unnest(ws) AS t FROM w WHERE split = 'train')),
+       c AS (SELECT doc_id, split,
+           sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY w1, w2) AS cb,
+           sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY w1) AS cu
+         FROM b)
+       SELECT doc_id, split, count(*) AS n_bigrams,
+         round(avg(-ln((cb + CAST($k AS DOUBLE))
+           / (cu + CAST($k AS DOUBLE) * vsz))), 4) AS nll
+       FROM c, v WHERE split <> 'train'
+       GROUP BY doc_id, split ORDER BY doc_id"""
+
   /** Hashed-feature LINEAR QUALITY CLASSIFIER inference — the
     * fasttext-shaped scorer (hashing trick over tokens, mean of
     * per-bucket weights, thresholded logit) that curation stacks run
@@ -939,6 +1088,153 @@ object TextAnalysis {
         round(avg(col("w")) * 4.0 - 0.125, 4).as("logit"))
       .withColumn("keep", col("logit") > 0.0)
       .orderBy(col("doc_id"))
+  }
+
+  /** TRAINED quality classifier — the train->apply composition
+    * [[classifierScore]] lacks (its weights are a fixture formula; a
+    * production curation stack TRAINS the scorer): weak labels from the
+    * heuristic quality kernel (y = score >= minScore — the standard
+    * weak-supervision loop, rules label the data that trains the learned
+    * filter; the default threshold sits at the corpus MEDIAN score so
+    * the classes balance — an extreme threshold makes GD converge to
+    * the majority vote instead of a discriminative boundary), hashed
+    * bag-of-words features (the same 256 md5 buckets as inference),
+    * `steps` full-batch logistic gradient-descent rounds, then every
+    * doc scored by the trained weights.
+    *
+    * Determinism engineering (what makes a TRAINED model hash-check):
+    * the link is the RATIONAL "fast sigmoid" 0.5 + z/(2(1+|z|)) — no
+    * libm exp anywhere, so every per-element op is IEEE-identical on
+    * both engines; the only order-sensitive ops are the dot-product and
+    * gradient SUMS, and each is cast to float straight out of the
+    * aggregate (the emb_kmeans float-cast discipline: order drift lives
+    * at 1e-13, float granularity is 1e-7). x = cnt/n_tokens is one
+    * exact division per feature.
+    *
+    * Scale posture: feats is a (doc, bucket)-keyed frame of at most
+    * nBuckets rows per doc, localCheckpointed once and reused every
+    * round; the weight table is nBuckets rows and BROADCASTS into the
+    * scoring join (weights always broadcast); the error frame is
+    * doc-keyed and meets feats in a doc-co-partitioned shuffle-hash
+    * join (never a corpus broadcast); each round shuffles one doc-keyed
+    * agg + one nBuckets-keyed agg. Per-round localCheckpoint caps the
+    * plan, loop count is a constant hyper-parameter. */
+  def classifierTrain(spark: SparkSession, dir: String, nBuckets: Int = 256,
+                      steps: Int = 4, lr: Double = 4.0,
+                      minScore: Double = 0.64): DataFrame = {
+    require(nBuckets == 256, "bucket expr is the 2-hex-digit md5 prefix")
+    val labeled = withQuality(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text"),
+        (col("score") >= minScore).cast("int").as("y"))
+    val hex = "0123456789abcdef"
+    val bkt = (expr(s"locate(substring(md5(cast(term as binary)), 1, 1), '$hex') - 1")
+      * 16 +
+      expr(s"locate(substring(md5(cast(term as binary)), 2, 1), '$hex') - 1"))
+      .cast("bigint")
+    // term-frequency features per (doc, bucket), plus an intercept
+    // pseudo-feature (b = -1, x = 1): without it the model has no bias
+    // term and can only rotate the boundary through the origin
+    val feats = labeled
+      .select(col("doc_id"), col("y"), explode(split(col("text"), " ")).as("term"))
+      .withColumn("b", bkt)
+      .groupBy(col("doc_id"), col("y"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("x", col("cnt").cast("double")
+        / sum(col("cnt")).over(Window.partitionBy(col("doc_id"))))
+      .select(col("doc_id"), col("y"), col("b"), col("x"))
+      .unionByName(labeled.select(col("doc_id"), col("y"),
+        lit(-1L).as("b"), lit(1.0).as("x")))
+      .localCheckpoint()
+    // the gradient is the MEAN over docs, not the sum: a sum-gradient's
+    // effective step grows linearly with corpus size — it oscillates at
+    // 500 docs and diverges outright at 100 TB; the mean makes the
+    // step size corpus-size-invariant (measured: the same steps/lr stay
+    // stable and non-degenerate at 10x data, where the sum-gradient
+    // form had already flipped every verdict to one class at 1x)
+    val nd = labeled.agg(count(lit(1)).cast("double").as("nd"))
+    // rational sigmoid: no exp, so the per-element math cannot diverge
+    def sig(z: Column): Column = lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+    def dotZ(w: DataFrame): DataFrame =
+      feats.join(broadcast(w), Seq("b"))
+        .groupBy(col("doc_id"), col("y"))
+        .agg(sum(col("x") * col("w")).cast("float").cast("double").as("z"))
+    var w = feats.select(col("b")).distinct()
+      .withColumn("w", lit(0.0)).localCheckpoint()
+    for (_ <- 0 until steps) {
+      val err = dotZ(w)
+        .select(col("doc_id"), (sig(col("z")) - col("y")).as("err"))
+      val grad = feats.join(err.hint("shuffle_hash"), Seq("doc_id"))
+        .crossJoin(broadcast(nd))
+        .groupBy(col("b"))
+        .agg((sum(col("err") * col("x")) / first(col("nd")))
+          .cast("float").cast("double").as("g"))
+      w = w.join(grad, Seq("b"), "left_outer")
+        .select(col("b"),
+          (col("w") - lit(lr) * coalesce(col("g"), lit(0.0))).as("w"))
+        .localCheckpoint()
+    }
+    dotZ(w)
+      .select(col("doc_id"), col("y"),
+        round(col("z"), 4).as("logit"), (col("z") > 0.0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB restatement of [[classifierTrain]]: the training loop
+    * unrolled as a CTE chain (the Lloyd-oracle precedent), float casts
+    * on every aggregate, the same rational sigmoid. */
+  def classifierTrainOracle(steps: Int = 4, lr: Double = 4.0,
+                            minScore: Double = 0.64): String = {
+    val score =
+      """floor((len(list_distinct(string_split(text, ' ')))
+               / len(string_split(text, ' ')) * CAST(0.3 AS DOUBLE)
+             + (CAST(1.0 AS DOUBLE) - len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the', 'a'))) / len(string_split(text, ' ')))
+               * CAST(0.3 AS DOUBLE)
+             + least(len(string_split(text, ' ')) / CAST(100.0 AS DOUBLE),
+                 CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE))
+             * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             / CAST(10000.0 AS DOUBLE)"""
+    val steps_sql = (1 to steps).map { t =>
+      s"""z$t AS (SELECT f.doc_id, f.y,
+           CAST(CAST(sum(f.x * w.w) AS FLOAT) AS DOUBLE) AS z
+         FROM f JOIN w${t - 1} w USING (b) GROUP BY f.doc_id, f.y),
+       e$t AS (SELECT doc_id,
+           (CAST(0.5 AS DOUBLE) + z / (CAST(2.0 AS DOUBLE)
+             * (CAST(1.0 AS DOUBLE) + abs(z)))) - y AS err
+         FROM z$t),
+       g$t AS (SELECT f.b,
+           CAST(CAST(sum(e.err * f.x) / (SELECT nd FROM nd) AS FLOAT)
+             AS DOUBLE) AS g
+         FROM f JOIN e$t e USING (doc_id) GROUP BY f.b),
+       w$t AS (SELECT w.b,
+           w.w - CAST($lr AS DOUBLE) * coalesce(g.g, CAST(0.0 AS DOUBLE)) AS w
+         FROM w${t - 1} w LEFT JOIN g$t g USING (b))"""
+    }.mkString(",\n       ")
+    s"""WITH lab AS (SELECT doc_id, text,
+           CASE WHEN $score >= CAST($minScore AS DOUBLE) THEN 1 ELSE 0 END AS y
+         FROM documents),
+       tok AS (SELECT doc_id, y, unnest(string_split(text, ' ')) AS term
+         FROM lab),
+       f0 AS (SELECT doc_id, y,
+           CAST((strpos('0123456789abcdef',
+               substring(md5(term), 1, 1)) - 1) * 16
+             + strpos('0123456789abcdef', substring(md5(term), 2, 1)) - 1
+             AS BIGINT) AS b,
+           count(*) AS cnt
+         FROM tok GROUP BY doc_id, y, b),
+       f AS (SELECT doc_id, y, b, CAST(cnt AS DOUBLE)
+           / sum(cnt) OVER (PARTITION BY doc_id) AS x FROM f0
+         UNION ALL
+         SELECT doc_id, y, CAST(-1 AS BIGINT) AS b,
+           CAST(1.0 AS DOUBLE) AS x FROM lab),
+       nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM lab),
+       w0 AS (SELECT DISTINCT b, CAST(0.0 AS DOUBLE) AS w FROM f),
+       $steps_sql,
+       zf AS (SELECT f.doc_id, f.y,
+           CAST(CAST(sum(f.x * w.w) AS FLOAT) AS DOUBLE) AS z
+         FROM f JOIN w$steps w USING (b) GROUP BY f.doc_id, f.y)
+       SELECT doc_id, y, round(z, 4) AS logit, z > CAST(0.0 AS DOUBLE) AS keep
+       FROM zf ORDER BY doc_id"""
   }
 
   /** DuckDB restatement of [[classifierScore]]. */

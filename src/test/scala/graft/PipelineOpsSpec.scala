@@ -461,6 +461,110 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.values.forall(v => v._2 > 0 && !v._2.isNaN))
   }
 
+  test("lm heldout: train-only statistics match an in-memory recompute") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def splitOf(t: String): String = {
+      val b = md5hex(t).substring(0, 2)
+      if (b < "d0") "train" else if (b < "e8") "valid" else "test"
+    }
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), splitOf(r.getString(1)),
+        r.getString(1).split(" ", -1).toSeq))
+    val trainBi = docs.filter(_._2 == "train")
+      .flatMap(t => t._3.zip(t._3.tail))
+    val cb = trainBi.groupBy(identity).map { case (k, v) => k -> v.length }
+    val cu = trainBi.groupBy(_._1).map { case (k, v) => k -> v.length }
+    val vsz = docs.filter(_._2 == "train").flatMap(_._3)
+      .distinct.length.toDouble
+    val got = TextAnalysis.lmHeldout(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getDouble(3)))).toMap
+    val eval = docs.filter(_._2 != "train")
+    // exactly the held-out docs are scored — a train doc leaking into
+    // the output (or an eval doc vanishing) is the bug class here
+    assert(got.keySet == eval.map(_._1).toSet)
+    eval.foreach { case (id, sp, ws) =>
+      val bs = ws.zip(ws.tail)
+      val nll = bs.map { bg =>
+        -math.log((cb.getOrElse(bg, 0) + 0.5)
+          / (cu.getOrElse(bg._1, 0) + 0.5 * vsz))
+      }.sum / bs.length
+      val (gotSp, n, gotNll) = got(id)
+      assert(gotSp == sp && n == bs.length, s"doc $id")
+      assert(math.abs(gotNll - nll) < 5e-4, s"doc $id nll $gotNll vs $nll")
+    }
+    // memorization gap: scoring by a model that never saw the doc must
+    // be harder on average than self-perplexity (which includes it)
+    val self = TextAnalysis.perplexity(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val gaps = eval.map(e => got(e._1)._3 - self(e._1))
+    assert(gaps.sum / gaps.size > 0,
+      s"mean held-out minus self nll = ${gaps.sum / gaps.size}")
+  }
+
+  test("llm e2e: curate subset, only train dropped, packing arithmetic exact") {
+    val e2e = TextAnalysis.llmE2e(spark, sf).collect()
+    val cur = TextAnalysis.curate(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getString(4)))).toMap
+    assert(e2e.nonEmpty)
+    // stage-1 agreement: every e2e row is a curate survivor with the
+    // same score and split (the funnel kernels cannot drift)
+    e2e.foreach { r =>
+      val id = r.getLong(0)
+      assert(cur.contains(id), s"$id not a curate survivor")
+      val (score, split) = cur(id)
+      assert(r.getString(1) == split && r.getDouble(4) == score, s"$id")
+    }
+    // stage-2 agreement: decontamination may drop TRAIN docs only —
+    // valid/test survivors always flow through to packing
+    val kept = e2e.map(_.getLong(0)).toSet
+    (cur.keySet -- kept).foreach(id =>
+      assert(cur(id)._2 == "train", s"non-train doc $id dropped"))
+    // stage-3 arithmetic: recompute the running-sum packing per
+    // (split, source, shard) cell from the result's own token counts
+    e2e.groupBy(r => (r.getString(1), r.getString(2), r.getLong(3)))
+      .foreach { case (cell, rs) =>
+        var tok = 0L
+        rs.sortBy(_.getLong(0)).foreach { r =>
+          val n = r.getLong(5)
+          assert(r.getLong(6) == tok % 128, s"$cell offset")
+          assert(r.getLong(7) == tok / 128, s"$cell bin_first")
+          assert(r.getLong(8) == (tok + n - 1) / 128, s"$cell bin_last")
+          tok += n
+        }
+      }
+  }
+
+  test("classifier train: discriminative, both classes, run-to-run exact") {
+    // sf0.01: the corpus where the discrimination margin is measured
+    // (the sf0.001 sample is too small for the 4-step trajectory to
+    // clear the majority vote — hash parity still holds there)
+    val dir = "/root/testdata/sf0.01"
+    val rows = TextAnalysis.classifierTrain(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // the trained boundary must beat the majority vote — the failure
+    // mode this spec exists for is a degenerate trajectory (diverged
+    // sum-gradient or unbalanced labels) that puts every doc on one side
+    val n = rows.length.toDouble
+    val base = math.max(rows.count(_.getInt(1) == 1),
+      rows.count(_.getInt(1) == 0)) / n
+    val acc = rows.count(r => (r.getDouble(2) > 0) == (r.getInt(1) == 1)) / n
+    assert(acc > base + 0.05, s"acc $acc vs majority $base")
+    assert(rows.exists(_.getBoolean(3)) && rows.exists(!_.getBoolean(3)),
+      "both verdict classes must appear")
+    // keep agrees with the logit column it is derived from
+    rows.foreach(r => assert(r.getBoolean(3) == (r.getDouble(2) > 0)
+      || r.getDouble(2) == 0.0))
+    // the float-cast aggregate discipline makes the whole gradient
+    // trajectory reproducible bit-for-bit across runs
+    val again = TextAnalysis.classifierTrain(spark, dir).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("classifier score: dyadic weights reproduce the exact logit") {
     val md = java.security.MessageDigest.getInstance("MD5")
     def bucket(term: String): Long = {

@@ -118,7 +118,25 @@ class PruningSpec extends AnyFunSuite {
       // geo_tile_roads: inherits roadEdges' one-row node-count scalar
       // cross (the same frame geo_route_eta consumes behind its
       // checkpoint); the clip itself is pure map-side arithmetic
-      "geo_tile_roads")
+      "geo_tile_roads",
+      // sketch_theta_intersect: the two one-row KMV sketch frames and
+      // the one-row exact-intersection scalar meet in declared one-row
+      // broadcast crosses — the sketch passes themselves are partial
+      // aggs, nothing row-sized ever crosses
+      "sketch_theta_intersect",
+      // (ann_filtered_topk needs no exception: its label-equality
+      // candidate join and rank->label re-join both plan broadcast HASH)
+      // emb_incremental: inherits the seed-assignment cross
+      // (emb_cluster_assign's declared shape) on both the corpus
+      // routing and the batch probe sides
+      "emb_incremental",
+      // text_lm_heldout: text_perplexity's declared one-row train-vocab
+      // scalar cross (the add-k smoothing denominator)
+      "text_lm_heldout",
+      // text_classifier_train: the one-row doc-count scalar (the mean-
+      // gradient denominator) crossed onto the gradient agg each round;
+      // weights broadcast HASH into scoring, errors shuffle-hash by doc
+      "text_classifier_train")
     // full-outer equi-joins cannot broadcast (both sides must preserve
     // unmatched rows), so a shuffle join IS the correct plan there
     val smjAllowed = Set("q26_full_outer")

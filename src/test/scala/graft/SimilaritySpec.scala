@@ -466,6 +466,57 @@ class SimilaritySpec extends AnyFunSuite {
     assert(eig > 0)
   }
 
+  test("filtered topk: hits share the query's label and the filter binds") {
+    val rows = Similarity.filteredTopK(spark, sf).collect()
+    val lab = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(1) == lab(r.getLong(0)), "query label column")
+      // PRE-filter semantics: no hit may escape the predicate
+      assert(lab(r.getLong(3)) == lab(r.getLong(0)), "candidate label")
+    }
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(2))
+      assert(sorted.map(_.getInt(2)).toSeq == (1 to sorted.length))
+      val sc = sorted.map(_.getDouble(4))
+      assert(sc.zip(sc.tail).forall { case (a, b) => a >= b })
+    }
+    // the filter genuinely binds: some unfiltered top-1 neighbor carries
+    // a different label than its query, so post-filtering an unfiltered
+    // top-k would have returned (then dropped) it
+    val brute = Similarity.bruteTopK(spark, sf).collect()
+      .filter(_.getInt(1) == 1)
+    assert(brute.exists(r => lab(r.getLong(2)) != lab(r.getLong(0))))
+  }
+
+  test("incremental ann: prebuilt index is batch-independent, verdicts consistent") {
+    val e = Tables.embeddings(spark, sf)
+    val corpus = e.filter(col("vec_id") % 5 =!= 4)
+    val batch = e.filter(col("vec_id") % 5 === 4)
+    val (seeds, members) = Similarity.standingAnnIndex(corpus)
+    val full = Similarity.classifyBatch(seeds, members, batch, 0.4, 4)
+      .collect()
+    assert(full.length == batch.count())
+    // a batch SUBSET classified against the same prebuilt index must
+    // reproduce the full run row-for-row: corpus-side work is a pure
+    // function of the corpus, never of the arriving batch
+    val sub = Similarity.classifyBatch(seeds, members,
+      batch.filter(col("vec_id") < 250), 0.4, 4).collect()
+    val fullMap = full.map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(sub.nonEmpty)
+    sub.foreach(r => assert(fullMap(r.getLong(0)) == r.toSeq,
+      s"vec ${r.getLong(0)} classified differently in the subset run"))
+    full.foreach { r =>
+      assert(r.getLong(1) % 5 != 4, "best_match must be a corpus id")
+      // verdict thresholds at UNROUNDED cos; stay clear of the rounding
+      // boundary when asserting against the rounded display column
+      if (r.getDouble(2) >= 0.4005) assert(r.getString(3) == "near_dup")
+      if (r.getDouble(2) <= 0.3995) assert(r.getString(3) == "unique")
+    }
+  }
+
   test("ivfPqTopK default config: k rows per query, candidates from probed cells only") {
     val rows = Similarity.ivfPqTopK(spark, sf).collect()
     val perQ = rows.groupBy(_.getLong(0))

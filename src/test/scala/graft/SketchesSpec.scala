@@ -115,4 +115,30 @@ class SketchesSpec extends AnyFunSuite {
     assert(union.head.getLong(1) == exact)
   }
 
+  test("kmv theta intersect: exact below k, estimate within contract above") {
+    import spark.implicits._
+    // planted cohorts: |A| = |B| = 2000, overlap exactly 1000
+    val a = (1L to 2000L).toDF("user_id")
+    val b = (1001L to 3000L).toDF("user_id")
+    // ESTIMATE mode: cohorts and union all exceed k = 128
+    val est = Sketches.kmvIntersect(a, b, 128, 0.25).collect().head
+    assert(est.getLong(1) == 2000 && est.getLong(2) == 2000)
+    assert(est.getLong(8) == 1000, "exact intersection ground truth")
+    assert(est.getBoolean(9) && est.getBoolean(10) && est.getBoolean(11),
+      s"contract violated: est_a=${est.getDouble(3)} " +
+        s"est_b=${est.getDouble(4)} est_i=${est.getDouble(7)}")
+    assert(est.getDouble(3) != 2000.0, "should be estimating, not counting")
+    // EXACT mode: k above every cohort — the sketch IS the distinct set
+    // and every estimate collapses to the exact count
+    val ex = Sketches.kmvIntersect(a, b, 8192, 0.25).collect().head
+    assert(ex.getDouble(3) == 2000.0 && ex.getDouble(4) == 2000.0)
+    assert(ex.getDouble(5) == 3000.0, "union estimate exact below k")
+    assert(ex.getDouble(7) == 1000.0 && ex.getLong(8) == 1000)
+    // the registered events-table query holds its contract end-to-end
+    val reg = Sketches.thetaIntersect(spark, sf).collect()
+    assert(reg.length == 1)
+    assert(reg.head.getBoolean(9) && reg.head.getBoolean(10) &&
+      reg.head.getBoolean(11))
+  }
+
 }
