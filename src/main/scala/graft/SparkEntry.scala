@@ -120,7 +120,9 @@ object SparkEntry {
     "emb_dim_recall" -> ((s, d) => Similarity.dimRecallEval(s, d)),
     "ann_range_search" -> ((s, d) => Similarity.rangeSearch(s, d)),
     "ann_filtered_topk" -> ((s, d) => Similarity.filteredTopK(s, d)),
+    "ann_hybrid_rrf" -> ((s, d) => Similarity.hybridRrf(s, d)),
     "emb_incremental" -> ((s, d) => Similarity.incrementalAnn(s, d)),
+    "emb_mutual_knn" -> ((s, d) => Similarity.mutualKnn(s, d)),
     "ann_ivf_stats" -> ((s, d) => Similarity.ivfStats(s, d)),
     "pipeline_paraphrase" -> ((s, d) => Similarity.paraphrasePairs(s, d)),
     "emb_diversity_sample" -> ((s, d) => Similarity.diversitySample(s, d)),
@@ -1625,6 +1627,71 @@ object SparkEntry {
                ORDER BY list_cosine_similarity(qe, ce) DESC, cid) AS rk
            FROM q JOIN c ON clabel = label AND cid <> qid) t
          WHERE rk <= 5 ORDER BY qid, rk""",
+    // hybrid BM25 + dense RRF: per-term BM25 weights are exact-input
+    // double expressions, the per-pair weight sum is float-cast (the
+    // kmeans discipline), RRF scores are sums of exact rationals —
+    // the fused ranking itself hash-checks
+    "ann_hybrid_rrf" ->
+      """WITH tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents) u GROUP BY doc_id, term),
+         tfd AS (SELECT doc_id, term, tf,
+           sum(tf) OVER (PARTITION BY doc_id) AS dl FROM tf),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+           CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*)
+             AS avgdl FROM documents),
+         dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+           FROM tf GROUP BY term),
+         post AS (SELECT t.term, t.doc_id AS cid,
+             ln(CAST(1.0 AS DOUBLE) + (nd - df + CAST(0.5 AS DOUBLE))
+               / (df + CAST(0.5 AS DOUBLE)))
+             * (t.tf * CAST(2.25 AS DOUBLE))
+             / (t.tf + CAST(1.25 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+               + CAST(0.75 AS DOUBLE) * t.dl / avgdl)) AS w
+           FROM tfd t JOIN dfq USING (term), stats),
+         qt AS (SELECT doc_id AS qid,
+           unnest(list_distinct(string_split(text, ' '))) AS term
+           FROM documents WHERE doc_id < 10),
+         lex AS (SELECT qid, cid,
+             CAST(CAST(sum(w) AS FLOAT) AS DOUBLE) AS s
+           FROM qt JOIN post USING (term) WHERE cid <> qid
+           GROUP BY qid, cid),
+         lt AS (SELECT qid, cid, rl FROM (
+           SELECT qid, cid, row_number() OVER (PARTITION BY qid
+             ORDER BY s DESC, cid) AS rl FROM lex) t WHERE rl <= 20),
+         eq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+           FROM embeddings WHERE vec_id < 10),
+         ec AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+           FROM embeddings),
+         st AS (SELECT qid, cid, rs FROM (
+           SELECT qid, cid, row_number() OVER (PARTITION BY qid
+             ORDER BY list_cosine_similarity(qe, ce) DESC, cid) AS rs
+           FROM eq, ec WHERE cid <> qid) t WHERE rs <= 20),
+         fu AS (SELECT coalesce(lt.qid, st.qid) AS qid,
+             coalesce(lt.cid, st.cid) AS cid,
+             coalesce(CAST(1.0 AS DOUBLE) / (60 + rl), CAST(0.0 AS DOUBLE))
+               + coalesce(CAST(1.0 AS DOUBLE) / (60 + rs),
+                 CAST(0.0 AS DOUBLE)) AS f
+           FROM lt FULL OUTER JOIN st
+             ON lt.qid = st.qid AND lt.cid = st.cid)
+         SELECT qid, rk, cid,
+           floor(f * 1000000.0 + 0.5) / 1000000.0 AS rrf_score
+         FROM (SELECT qid, cid, f, row_number() OVER (PARTITION BY qid
+           ORDER BY f DESC, cid) AS rk FROM fu) t
+         WHERE rk <= 5 ORDER BY qid, rk""",
+    // mutual k-NN graph: both directions' top-k ranks restate as
+    // window row_numbers over the all-pairs cosine frame
+    "emb_mutual_knn" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+             list_cosine_similarity(a.v, b.v) AS cos
+           FROM e a, e b WHERE a.vec_id <> b.vec_id),
+         t AS (SELECT src, dst, cos FROM (
+           SELECT src, dst, cos, row_number() OVER (PARTITION BY src
+             ORDER BY cos DESC, dst) AS rn FROM p) x WHERE rn <= 5)
+         SELECT t.src AS va, t.dst AS vb, round(t.cos, 4) AS cos_sim
+         FROM t JOIN t t2 ON t2.src = t.dst AND t2.dst = t.src
+         WHERE t.src < t.dst ORDER BY va, vb""",
     // incremental ANN ingest: the standing index (corpus seeds + cell
     // members) and the batch's probe/score/argmax are deterministic
     // end-to-end, so the classification itself hash-checks; tau = 0.4

@@ -333,6 +333,88 @@ object Similarity {
       tau, nProbe)
   }
 
+  /** HYBRID retrieVAL — BM25 lexical ranking and dense-vector cosine
+    * ranking fused by RECIPROCAL RANK FUSION (RRF), the standard
+    * production shape of RAG / enterprise search (lexical catches exact
+    * terms dense embeddings blur; dense catches paraphrase lexical
+    * can't; RRF fuses by RANK so the two scores never need calibrating
+    * against each other). Query docs are doc_id < nQueries, their
+    * embeddings the aligned vec_ids (the pipeline_paraphrase id
+    * convention).
+    *
+    * Scale posture: the BM25 side IS an inverted index expressed
+    * relationally — postings = the (term, doc, weight) frame, a query's
+    * candidates are the union of its terms' posting lists reached
+    * through a term-keyed join (never a corpus scan per query); df/dl
+    * are one partial agg each and the corpus stats ride as a one-row
+    * broadcast scalar. The dense side is the [[bruteTopK]] shape. Both
+    * rank lists are (nQueries x nList)-sized, so the fusion full-outer
+    * join and final rank are output-sized.
+    *
+    * Determinism: per-term BM25 weights are exact-input double
+    * expressions (ln on identical doubles — the perplexity precedent);
+    * the per-(query, candidate) weight SUM is order-sensitive so it is
+    * float-cast out of the aggregate (the emb_kmeans discipline); RRF
+    * scores are sums of exact rationals 1/(rrfK + rank). k1/b default
+    * to DYADIC values (1.25, 0.75) so every constant is bit-identical
+    * as a literal in both engines. */
+  def hybridRrf(spark: SparkSession, dir: String, k: Int = K,
+                nQueries: Int = NQueries, k1: Double = 1.25,
+                b: Double = 0.75, rrfK: Int = 60, nLex: Int = 20,
+                nSem: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .withColumn("dl",
+        sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+    // avgdl as an exact sum/count of integer lengths (order-free)
+    val stats = docs
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(count(lit(1)).cast("double").as("nd"),
+        (sum(col("n")).cast("double") / count(lit(1))).as("avgdl"))
+    val dft = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val postings = tf.join(dft, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"), col("doc_id").as("cid"),
+        (log(lit(1.0) + (col("nd") - col("df") + 0.5) / (col("df") + 0.5))
+          * (col("tf") * lit(k1 + 1.0))
+          / (col("tf")
+            + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("w"))
+    val qterms = docs.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+    val lexW = Window.partitionBy(col("qid"))
+      .orderBy(col("s").desc, col("cid"))
+    val lexTop = qterms.join(postings, Seq("term"))
+      .filter(col("cid") =!= col("qid"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(col("w")).cast("float").cast("double").as("s"))
+      .withColumn("rl", row_number().over(lexW)).filter(col("rl") <= nLex)
+      .select(col("qid"), col("cid"), col("rl"))
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val semTop = finishTopK(c.join(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        cosine_sim(col("qe"), col("ce")).as("cos")), nSem)
+      .select(col("qid"), col("cid"), col("rk").as("rs"))
+    val fused = lexTop.join(semTop, Seq("qid", "cid"), "full_outer")
+      .select(col("qid"), col("cid"),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("rl")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(rrfK) + col("rs")), lit(0.0))).as("f"))
+    val fw = Window.partitionBy(col("qid")).orderBy(col("f").desc, col("cid"))
+    fused.withColumn("rk", row_number().over(fw)).filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("cid"),
+        (floor(col("f") * 1000000.0 + 0.5) / 1000000.0).as("rrf_score"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** Truncated-dimension retrieval eval (the Matryoshka question: how
     * many leading dimensions does serving actually need?): recall@k of
     * brute-force top-k computed over only the first d dims, against the
@@ -650,8 +732,11 @@ object Similarity {
     * square into one partition. Shuffle is nBlocks x corpus (tune
     * nBlocks ~ task-size target); compute is the problem's own
     * quadratic, spread evenly. */
-  def nearDupBlocked(spark: SparkSession, dir: String, tau: Double = 0.35,
-                     nBlocks: Int = 16): DataFrame = {
+  /** The uniform block-partitioned all-pairs scored frame behind
+    * [[nearDupBlocked]] and [[mutualKnn]]: every unordered pair once
+    * (va < vb after canonicalization), UNROUNDED cosine. */
+  private[graft] def blockedPairScores(spark: SparkSession, dir: String,
+                                       nBlocks: Int = 16): DataFrame = {
     require(nBlocks > 1)
     // the per-row norm is computed BELOW the replicating explode, so each
     // vector's norm evaluates once, rides its nBlocks replicas, and the
@@ -679,9 +764,46 @@ object Similarity {
       .filter(col("kx") =!= col("ky") || col("va") < col("vb"))
       .withColumn("cos",
         cosFromNorms(col("ea"), col("eb"), col("_na"), col("_nb")))
-      .filter(col("cos") >= tau)
       .select(least(col("va"), col("vb")).as("va"),
-        greatest(col("va"), col("vb")).as("vb"),
+        greatest(col("va"), col("vb")).as("vb"), col("cos"))
+  }
+
+  def nearDupBlocked(spark: SparkSession, dir: String, tau: Double = 0.35,
+                     nBlocks: Int = 16): DataFrame =
+    blockedPairScores(spark, dir, nBlocks)
+      .filter(col("cos") >= tau)
+      .select(col("va"), col("vb"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("va"), col("vb"))
+
+  /** MUTUAL k-NN graph — the symmetrized neighbor graph (edge kept iff
+    * each endpoint ranks the other in its own top-k) that NN-Descent /
+    * HNSW construction, graph clustering, and manifold methods all
+    * build on; mutuality is the standard pruning that kills hub nodes'
+    * asymmetric edges. Every vector is a query here (unlike
+    * [[bruteTopK]]'s fixed query set), so the pair source is the
+    * uniform BLOCKED n²/2 kernel ([[blockedPairScores]] — no broadcast
+    * of the whole corpus), each direction's top-k comes from the
+    * k-bounded heap aggregate (n x k edge rows shuffle, never the pair
+    * set), and the mutuality cut is a left-semi self-join of the
+    * directed edge list against its own transpose — edge-list-sized.
+    * At 100 TB the same composition runs with the IVF-probed candidate
+    * generator in place of the exact blocked kernel. */
+  def mutualKnn(spark: SparkSession, dir: String, k: Int = K,
+                nBlocks: Int = 16): DataFrame = {
+    val pairs = blockedPairScores(spark, dir, nBlocks)
+    val directed = pairs
+      .select(col("va").as("src"), col("vb").as("dst"), col("cos"))
+      .unionByName(pairs
+        .select(col("vb").as("src"), col("va").as("dst"), col("cos")))
+    val top = directed
+      .groupBy(col("src"))
+      .agg(top_k_by_score(col("cos"), col("dst"), k).as("t"))
+      .select(col("src"), explode(col("t")).as("e"))
+      .select(col("src"), col("e.id").as("dst"), col("e.score").as("cos"))
+    top.filter(col("src") < col("dst"))
+      .join(top.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      .select(col("src").as("va"), col("dst").as("vb"),
         round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("va"), col("vb"))
   }

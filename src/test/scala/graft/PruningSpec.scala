@@ -136,10 +136,21 @@ class PruningSpec extends AnyFunSuite {
       // text_classifier_train: the one-row doc-count scalar (the mean-
       // gradient denominator) crossed onto the gradient agg each round;
       // weights broadcast HASH into scoring, errors shuffle-hash by doc
-      "text_classifier_train")
+      "text_classifier_train",
+      // ann_hybrid_rrf: the one-row corpus-stats scalar (N, avgdl)
+      // crossed onto the postings frame, plus the inherited brute
+      // queries x candidates cross on the dense side; the lexical
+      // candidate join itself is the broadcast HASH join on term
+      "ann_hybrid_rrf")
     // full-outer equi-joins cannot broadcast (both sides must preserve
-    // unmatched rows), so a shuffle join IS the correct plan there
-    val smjAllowed = Set("q26_full_outer")
+    // unmatched rows), so a shuffle join IS the correct plan there;
+    // ann_hybrid_rrf's RRF fusion joins the two rank lists FULL OUTER
+    // (a candidate may appear in either list alone) — same class.
+    // emb_mutual_knn's mutuality cut is a self semi-join of the n x k
+    // directed edge list against its own transpose: BOTH sides are
+    // corpus-sized at scale, so the shuffle join is the plan you want
+    val smjAllowed = Set("q26_full_outer", "ann_hybrid_rrf",
+      "emb_mutual_knn")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")

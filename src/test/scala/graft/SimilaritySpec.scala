@@ -517,6 +517,61 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("mutual knn: edges equal the in-memory symmetrized top-k exactly") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val k = Similarity.K
+    val topOf = vecs.keys.map { v =>
+      v -> vecs.keys.filter(_ != v).toSeq
+        .map(u => (u, cos(vecs(v), vecs(u))))
+        .sortBy { case (u, c) => (-c, u) }.take(k).map(_._1).toSet
+    }.toMap
+    val expect = (for {
+      a <- vecs.keys; b <- topOf(a) if a < b && topOf(b).contains(a)
+    } yield (a, b)).toSet
+    val got = Similarity.mutualKnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
+    // mutuality prunes: the directed top-k graph has n*k arcs, the
+    // mutual graph must be strictly smaller than n*k/2 possible edges
+    assert(got.nonEmpty && got.size < vecs.size * k / 2)
+  }
+
+  test("hybrid rrf: both modalities bind and scores are valid rrf sums") {
+    val fused = Similarity.hybridRrf(spark, sf).collect()
+    assert(fused.nonEmpty)
+    val byQ = fused.groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length))
+      val sc = sorted.map(_.getDouble(3))
+      assert(sc.zip(sc.tail).forall { case (a, b) => a >= b })
+      // an RRF score is at most 1/(60+1) + 1/(60+1) and positive
+      assert(sc.forall(s => s > 0 && s <= 2.0 / 61.0 + 1e-9))
+    }
+    // the dense-only ranking must NOT equal the fused ranking for every
+    // query — otherwise the lexical arm contributed nothing (and vice
+    // versa would mean the dense arm is dead weight)
+    val semOnly = Similarity.bruteTopK(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    val fusedIds = byQ.map { case (q, rs) =>
+      q -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    assert(fusedIds.exists { case (q, ids) => semOnly(q) != ids },
+      "fusion never changed the dense ranking — lexical arm is dead")
+  }
+
   test("ivfPqTopK default config: k rows per query, candidates from probed cells only") {
     val rows = Similarity.ivfPqTopK(spark, sf).collect()
     val perQ = rows.groupBy(_.getLong(0))
