@@ -263,4 +263,82 @@ class SourcesSpec extends AnyFunSuite {
     assert(narrow.count() ==
       docs.filter(col("n_chars") > 100).count())
   }
+
+  test("SnapshotLog: time travel, upsert semantics, version history") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val path = tmpDir("snaplog")
+    def rowsOf(v: Option[Int] = None): Set[(Long, String)] =
+      SnapshotLog.read(spark, path, v).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    val v0data = (0L until 100L).map(i => (i, s"v0-$i"))
+    assert(SnapshotLog.create(spark, v0data.toDF("k", "payload"),
+      path, "k") == 0)
+    assert(rowsOf() == v0data.toSet)
+    // append a disjoint key range -> version 1
+    val v1data = (1000L until 1100L).map(i => (i, s"v1-$i"))
+    assert(SnapshotLog.append(spark, v1data.toDF("k", "payload"),
+      path, "k") == 1)
+    assert(rowsOf() == (v0data ++ v1data).toSet)
+    // upsert: 10 updates into v0's range + 5 brand-new keys -> version 2
+    val up = (0L until 10L).map(i => (i, s"v2-$i")) ++
+      (5000L until 5005L).map(i => (i, s"new-$i"))
+    assert(SnapshotLog.upsert(spark, up.toDF("k", "payload"),
+      path, "k") == 2)
+    val want2 = (v0data.drop(10) ++ v1data ++ up).toSet
+    assert(rowsOf() == want2, "merge semantics: replace matches, insert rest")
+    // TIME TRAVEL: every prior version still reads byte-for-byte intact
+    assert(rowsOf(Some(0)) == v0data.toSet, "v0 immutable after upsert")
+    assert(rowsOf(Some(1)) == (v0data ++ v1data).toSet)
+    // history: monotone versions with the expected row totals
+    val hist = SnapshotLog.history(spark, path).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // the upsert's key range [0, 5004] spans BOTH prior segments, so
+    // range pruning (correctly, conservatively) rewrites both into one
+    // merged segment — a wide-spread upsert costs pruning; the
+    // copy-on-write spec below exercises the confined-range case
+    assert(hist.toSeq == Seq((0, 1L, 100L), (1, 2L, 200L), (2, 1L, 205L)))
+  }
+
+  test("SnapshotLog: copy-on-write prunes by key range; torn commits invisible") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val path = tmpDir("snaplog_cow")
+    SnapshotLog.create(spark,
+      (0L until 100L).map(i => (i, "a")).toDF("k", "p"), path, "k")
+    SnapshotLog.append(spark,
+      (1000L until 1100L).map(i => (i, "b")).toDF("k", "p"), path, "k")
+    val segsBefore = SnapshotLog.manifest(spark, path, 1)
+      .select(col("seg"), col("min_key")).collect()
+      .map(r => r.getLong(1) -> r.getString(0)).toMap
+    // upsert confined to the FIRST segment's key range: the second
+    // segment must ride into the new manifest by reference (same dir),
+    // never rewritten — segment-granularity copy-on-write
+    SnapshotLog.upsert(spark,
+      (0L until 5L).map(i => (i, "a2")).toDF("k", "p"), path, "k")
+    val segs2 = SnapshotLog.manifest(spark, path, 2)
+      .select(col("seg")).collect().map(_.getString(0)).toSet
+    assert(segs2.contains(segsBefore(1000L)),
+      "out-of-range segment must be carried forward by reference")
+    assert(!segs2.contains(segsBefore(0L)),
+      "in-range segment must be rewritten")
+    // key stats in the manifest match the data they describe
+    SnapshotLog.manifest(spark, path, 2).collect().foreach { r =>
+      val (dir, lo, hi) = (r.getAs[String]("seg"),
+        r.getAs[Long]("min_key"), r.getAs[Long]("max_key"))
+      val Array(alo, ahi) = spark.read.parquet(dir)
+        .agg(min(col("k")), max(col("k"))).collect().head
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      assert(lo == alo && hi == ahi, s"stats drift for $dir")
+    }
+    // TORN COMMIT: a manifest directory for a "future" version that
+    // never advanced LATEST is invisible to readers (manifest-last
+    // protocol) — and so is a stray data directory nothing references
+    Seq(("zzz-bogus", 1L, 1L, 1L)).toDF("seg", "n_rows", "min_key", "max_key")
+      .write.parquet(s"$path/_log/v00099")
+    (0L until 3L).map(i => (i, "junk")).toDF("k", "p")
+      .write.parquet(s"$path/data/c99999-0")
+    assert(SnapshotLog.latestVersion(path).contains(2))
+    assert(SnapshotLog.read(spark, path).count() == 200)
+  }
 }
