@@ -109,15 +109,27 @@ object SnapshotLog {
       path, v)
   }
 
-  /** Keyed upsert (merge): rows with matching keys replace their old
-    * versions, the rest insert. Segment-granularity copy-on-write —
-    * only segments whose [min_key, max_key] range OVERLAPS the incoming
-    * key range are rewritten (one anti join over just those segments);
-    * every other segment rides into the new manifest untouched. */
+  /** Keyed upsert: rows with matching keys replace their old versions,
+    * the rest insert. [[merge]] with no deletes. */
   def upsert(spark: SparkSession, df: DataFrame, path: String,
-             keyCol: String): Int = {
+             keyCol: String): Int =
+    merge(spark, df.withColumn("_snap_del", lit(false)), path, keyCol,
+      "_snap_del")
+
+  /** Full MERGE — the lakehouse verb: upserts AND deletes in one
+    * atomic commit. `df` carries `keyCol` plus a boolean `deleteCol`;
+    * delete rows remove their key from the table, the rest
+    * replace-or-insert. Segment-granularity copy-on-write: only
+    * segments whose [min_key, max_key] range OVERLAPS the incoming key
+    * range (deletes included — a delete must reach the segment holding
+    * its key) are rewritten through one anti join; every other segment
+    * rides into the new manifest BY REFERENCE. A merge that deletes a
+    * whole key range commits a manifest with no replacement segment
+    * (the empty segment is elided, never listed). */
+  def merge(spark: SparkSession, df: DataFrame, path: String,
+            keyCol: String, deleteCol: String): Int = {
     val v = latestVersion(path).getOrElse(
-      sys.error(s"upsert into non-existent table $path")) + 1
+      sys.error(s"merge into non-existent table $path")) + 1
     val Array(lo, hi) = df.agg(min(col(keyCol)), max(col(keyCol)))
       .collect().head.toSeq.map(x => x.asInstanceOf[Long]).toArray
     // the manifest is segment-count-sized: collecting it is the point
@@ -125,20 +137,58 @@ object SnapshotLog {
     val (affected, untouched) = segs.partition { r =>
       r.getAs[Long]("max_key") >= lo && r.getAs[Long]("min_key") <= hi
     }
+    val inserts = df.filter(!col(deleteCol)).drop(deleteCol)
     val survivors =
-      if (affected.isEmpty) df.limit(0)
+      if (affected.isEmpty) inserts.limit(0)
       else spark.read.parquet(affected.map(_.getAs[String]("seg")): _*)
         .join(df.select(col(keyCol)), Seq(keyCol), "left_anti")
-    val newSeg = writeSegment(spark, survivors.unionByName(df), path, v, 0,
-      keyCol)
-    val carried = untouched.map(r => (r.getAs[String]("seg"),
+    val newSeg = writeSegment(spark, survivors.unionByName(inserts), path,
+      v, 0, keyCol)
+      .collect().filter(_.getAs[Long]("n_rows") > 0)
+    val rows = untouched.map(r => (r.getAs[String]("seg"),
       r.getAs[Long]("n_rows"), r.getAs[Long]("min_key"),
-      r.getAs[Long]("max_key")))
+      r.getAs[Long]("max_key"))) ++
+      newSeg.map(r => (r.getAs[String]("seg"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("min_key"), r.getAs[Long]("max_key")))
     import spark.implicits._
-    val carriedDf = carried.toSeq
-      .toDF("seg", "n_rows", "min_key", "max_key")
-    commit(carriedDf.unionByName(newSeg), path, v)
+    commit(rows.toSeq.toDF("seg", "n_rows", "min_key", "max_key"), path, v)
   }
+
+  /** STREAMING lakehouse ingestion: a CDC changelog stream
+    * materialized into the table, one atomic version per non-empty
+    * micro-batch. Each batch first reduces to its LAST op per key in
+    * `orderCols` order (max_by — the cdc_merge fold), then commits as
+    * one [[merge]]: op == 'delete' removes the key, anything else
+    * replaces-or-inserts its payload. A first batch creates the table.
+    *
+    * Replay semantics: re-applying an already-applied batch yields a
+    * byte-identical table STATE (merge is content-idempotent) at the
+    * cost of one extra version — history records the replay instead of
+    * corrupting the data, which is the audit behavior a changelog sink
+    * wants. */
+  def streamCdc(changelog: DataFrame, path: String, keyCol: String,
+                opCol: String, orderCols: Seq[String])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changelog.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val payload = batch.columns.filter(c => c != keyCol && c != opCol)
+        val last = batch.groupBy(col(keyCol))
+          .agg(max_by(struct((opCol +: payload.toSeq).map(col): _*),
+            struct(orderCols.map(col): _*)).as("_last"))
+          .select(col(keyCol) +: (opCol +: payload.toSeq)
+            .map(c => col(s"_last.$c").as(c)): _*)
+          .withColumn("_snap_del", col(opCol) === "delete")
+          .drop(opCol)
+        if (!last.isEmpty) {
+          if (latestVersion(path).isEmpty)
+            create(spark, last.filter(!col("_snap_del"))
+              .drop("_snap_del"), path, keyCol)
+          else merge(spark, last, path, keyCol, "_snap_del")
+        }
+        ()
+      }
+      .start()
 
   /** Version history: one row per committed version. */
   def history(spark: SparkSession, path: String): DataFrame = {

@@ -341,4 +341,56 @@ class SourcesSpec extends AnyFunSuite {
     assert(SnapshotLog.latestVersion(path).contains(2))
     assert(SnapshotLog.read(spark, path).count() == 200)
   }
+
+  test("SnapshotLog: streaming CDC commits one version per batch, deletes land") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmpDir("snaplog_stream")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "user_id", "op", "value")
+    val q = SnapshotLog.streamCdc(df, path, "user_id", "op",
+      Seq("event_id"))
+    def state(v: Option[Int] = None): Map[Long, (Long, Double)] =
+      SnapshotLog.read(spark, path, v).collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          ((r.getAs[Long]("event_id"), r.getAs[Double]("value")))).toMap
+    try {
+      mem.addData((1L, 1L, "upsert", 1.0), (2L, 2L, "upsert", 2.0))
+      q.processAllAvailable()
+      assert(SnapshotLog.latestVersion(path).contains(0))
+      assert(state() == Map(1L -> ((1L, 1.0)), 2L -> ((2L, 2.0))))
+      // batch 2: update key 1, insert key 3, DELETE key 2
+      mem.addData((3L, 1L, "upsert", 3.0), (4L, 3L, "upsert", 4.0),
+        (5L, 2L, "delete", 0.0))
+      q.processAllAvailable()
+      assert(SnapshotLog.latestVersion(path).contains(1))
+      assert(state() == Map(1L -> ((3L, 3.0)), 3L -> ((4L, 4.0))))
+      // batch 3 arrives OUT OF ORDER inside the batch: the later
+      // event_id (7, upsert) must beat the earlier delete (6)
+      mem.addData((7L, 3L, "upsert", 7.0), (6L, 3L, "delete", 0.0))
+      q.processAllAvailable()
+      assert(SnapshotLog.latestVersion(path).contains(2))
+      assert(state()(3L) == ((7L, 7.0)), "in-batch fold must be ordered")
+      // TIME TRAVEL across stream batches: version 0 is still intact
+      assert(state(Some(0)) == Map(1L -> ((1L, 1.0)), 2L -> ((2L, 2.0))))
+      // convergence: the streamed table equals the one-shot batch fold
+      // of the entire changelog (the cdc_merge batch==stream contract)
+      val all = Seq((1L, 1L, "upsert", 1.0), (2L, 2L, "upsert", 2.0),
+        (3L, 1L, "upsert", 3.0), (4L, 3L, "upsert", 4.0),
+        (5L, 2L, "delete", 0.0), (7L, 3L, "upsert", 7.0),
+        (6L, 3L, "delete", 0.0))
+        .toDF("event_id", "user_id", "op", "value")
+      val expect = all.groupBy(col("user_id"))
+        .agg(max_by(struct(col("op"), col("event_id"), col("value")),
+          col("event_id")).as("l"))
+        .filter(col("l.op") =!= "delete")
+        .collect().map(r => r.getAs[Long]("user_id") ->
+          ((r.getAs[org.apache.spark.sql.Row]("l").getAs[Long]("event_id"),
+            r.getAs[org.apache.spark.sql.Row]("l").getAs[Double]("value"))))
+        .toMap
+      assert(state() == expect)
+    } finally q.stop()
+  }
 }
