@@ -69,6 +69,7 @@ object SparkEntry {
     // PageRank — see operators.Graph for why the oracle matches bitwise)
     "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
     "graph_components" -> ((s, d) => Graph.components(s, d)),
+    "graph_labelprop" -> ((s, d) => Graph.labelProp(s, d)),
     "graph_triangles" -> ((s, d) => Graph.triangles(s, d)),
     // B. spatial / accessibility
     "geo_grid_assign" -> (Accessibility.gridAssign _),
@@ -673,6 +674,9 @@ object SparkEntry {
          FROM v ORDER BY op_id, event_id""",
     "graph_pagerank" -> operators.Graph.pagerankOracle(),
     "graph_components" -> operators.Graph.componentsOracle,
+    // deterministic semi-sync LPA: integer vote counts + smallest-label
+    // ties, fixed rounds -> the whole trajectory unrolls as CTEs
+    "graph_labelprop" -> operators.Graph.labelPropOracle(),
     "graph_triangles" -> operators.Graph.trianglesOracle,
     "graph_kcore" -> operators.Graph.kcoreOracle(),
     // Jaccard link prediction: rounded-score ordering + (a, b) tie-break

@@ -313,6 +313,96 @@ object Graph {
          count(*) OVER (PARTITION BY component) AS component_size
        FROM comp ORDER BY node"""
 
+  /** COMMUNITY detection via frequency-based LABEL PROPAGATION — the
+    * complement of [[components]]: min-label propagation answers "which
+    * nodes are connected AT ALL", LPA answers "which nodes are densely
+    * connected to each other" (a single connected component splits into
+    * its dense blocks). Semi-synchronous LPA with a deterministic
+    * schedule: every node starts labeled by its own id; each round every
+    * node adopts the most frequent label among its neighbors plus its
+    * own current label (one self-vote — the damping that stops 2-cycles),
+    * ties broken toward the SMALLEST label. A fixed `rounds` budget
+    * keeps the trajectory finite and oracle-unrollable (classic async
+    * LPA is schedule-dependent; this variant is a pure function of the
+    * graph).
+    *
+    * Scale posture: per round ONE equi-join (labels to the symmetrized
+    * edge list, partitioned+checkpointed once) + one (node, label)
+    * count aggregation + one max_by argmax — all partial-agg friendly,
+    * votes never sort globally; label frames are node-sized,
+    * localCheckpointed per round with the superseded checkpoint
+    * released. Vote counts are exact integers, so there is no FP
+    * anywhere in the trajectory. */
+  def labelProp(spark: SparkSession, dir: String,
+                rounds: Int = 3): DataFrame = {
+    require(rounds >= 1)
+    val nodes = Tables.supplier(spark, dir).select(col("s_suppkey").as("id"))
+    val e0 = ccEdges(spark, dir)
+    val edges = e0.select(col("src"), col("dst"))
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("dst"))
+      .localCheckpoint()
+    var labels = nodes.withColumn("label", col("id")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val votes = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src").as("id"), col("label"))
+        .unionByName(labels)
+        .groupBy(col("id"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val next = votes.groupBy(col("id"))
+        .agg(max_by(col("label"),
+          struct(col("c"), (-col("label")).as("t"))).as("label"))
+        .localCheckpoint()
+      SparkBridge.unpersistCheckpoint(labels)
+      labels = next
+    }
+    val out = labels
+      .withColumn("community_size", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("label"))))
+      .select(col("id").as("node"), col("label").as("community"),
+        col("community_size"))
+      .orderBy(col("node"))
+      .localCheckpoint()
+    SparkBridge.unpersistCheckpoint(labels)
+    out
+  }
+
+  /** Unrolled-CTE oracle for [[labelProp]]: the same deterministic
+    * vote-count/argmax trajectory, one CTE pair per round (integer
+    * counts, so nothing can drift between engines). */
+  def labelPropOracle(rounds: Int = 3): String = {
+    val roundsSql = (1 to rounds).map { t =>
+      s"""v$t AS (SELECT id, label, count(*) AS c FROM (
+           SELECT e.src AS id, l.label FROM e
+           JOIN l${t - 1} l ON l.id = e.dst
+           UNION ALL SELECT id, label FROM l${t - 1}) u
+         GROUP BY id, label),
+       l$t AS (SELECT id, label FROM (
+           SELECT id, label, row_number() OVER (PARTITION BY id
+             ORDER BY c DESC, label) AS rn FROM v$t) w WHERE rn = 1)"""
+    }.mkString(",\n       ")
+    s"""WITH v AS (SELECT max(s_suppkey) + 1 AS nv FROM supplier),
+       e0 AS (
+         SELECT s_suppkey AS src, s_suppkey + 1 AS dst FROM supplier, v
+         WHERE (s_suppkey + 1) % 64 <> 0 AND s_suppkey + 1 < nv
+         UNION
+         SELECT s_suppkey,
+           s_suppkey - s_suppkey % 64 + (s_suppkey * 7 + 3) % 64
+         FROM supplier, v
+         WHERE s_suppkey - s_suppkey % 64 + (s_suppkey * 7 + 3) % 64
+             <> s_suppkey
+           AND s_suppkey - s_suppkey % 64 + (s_suppkey * 7 + 3) % 64 < nv),
+       e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       l0 AS (SELECT s_suppkey AS id, s_suppkey AS label FROM supplier),
+       $roundsSql
+       SELECT id AS node, label AS community,
+         count(*) OVER (PARTITION BY label) AS community_size
+       FROM l$rounds ORDER BY node"""
+  }
+
   /** Per-node triangle count over the undirected [[ccEdges]] graph via
     * the DEGREE-ORDERED orientation — the standard skew bound for
     * distributed triangle enumeration: each undirected edge is kept

@@ -122,4 +122,29 @@ class GraphSpec extends AnyFunSuite {
       .toSeq
     assert(rows == brute, s"top-20 mismatch:\n$rows\nvs\n$brute")
   }
+
+  test("label propagation: strictly refines components, deterministic") {
+    val lp = Graph.labelProp(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val comp = Graph.components(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lp.keySet == comp.keySet, "one label per node")
+    // a community can never span two components (labels only travel
+    // along edges), and LPA must find FINER structure than mere
+    // connectivity — that is what it is for
+    val commToComp = lp.toSeq.groupBy(_._2._1)
+      .map { case (c, ns) => c -> ns.map(n => comp(n._1)).distinct }
+    assert(commToComp.values.forall(_.size == 1),
+      "a community spans multiple components")
+    assert(commToComp.size > comp.values.toSet.size,
+      "LPA collapsed to bare connectivity")
+    // community_size column is consistent with the labels themselves
+    val sizes = lp.values.groupBy(_._1).map { case (c, v) => c -> v.size }
+    lp.values.foreach { case (c, s) => assert(s == sizes(c)) }
+    // pure function of the graph: rerun identical (the schedule is
+    // deterministic by construction, not by luck)
+    val again = Graph.labelProp(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(again == lp)
+  }
 }
