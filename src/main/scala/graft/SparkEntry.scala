@@ -126,6 +126,7 @@ object SparkEntry {
     "emb_mutual_knn" -> ((s, d) => Similarity.mutualKnn(s, d)),
     "ann_ivf_stats" -> ((s, d) => Similarity.ivfStats(s, d)),
     "pipeline_paraphrase" -> ((s, d) => Similarity.paraphrasePairs(s, d)),
+    "text_pair_bleu" -> ((s, d) => Similarity.pairBleu(s, d)),
     "emb_diversity_sample" -> ((s, d) => Similarity.diversitySample(s, d)),
     "pipeline_dedup_sample" -> ((s, d) => Similarity.dedupDiversitySample(s, d)),
     "emb_outliers" -> ((s, d) => Similarity.outliers(s, d)),
@@ -1966,6 +1967,44 @@ object SparkEntry {
              CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE), 4)
              < CAST(0.5 AS DOUBLE) AS paraphrase
          FROM pairs JOIN sh sa ON va = sa.doc_id JOIN sh sb ON vb = sb.doc_id
+         ORDER BY va, vb""",
+    // BLEU-style clipped n-gram precision over the same cosine pair
+    // predicate; integer counts -> frac4 ratios, nothing can drift
+    "text_pair_bleu" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
+           FROM e a, e b WHERE a.vec_id < b.vec_id
+             AND list_cosine_similarity(a.v, b.v) >= CAST(0.35 AS DOUBLE)),
+         w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         g1 AS (SELECT doc_id, ng, count(*) AS c FROM (
+           SELECT doc_id, unnest(l) AS ng FROM w) t GROUP BY doc_id, ng),
+         g2 AS (SELECT doc_id, ng, count(*) AS c FROM (
+           SELECT doc_id, unnest(list_transform(range(1, len(l)),
+             i -> l[i] || ' ' || l[i + 1])) AS ng FROM w) t
+           GROUP BY doc_id, ng),
+         c1 AS (SELECT va, vb, sum(least(a.c, b.c)) AS clip1
+           FROM pairs JOIN g1 a ON a.doc_id = va
+           JOIN g1 b ON b.doc_id = vb AND b.ng = a.ng
+           GROUP BY va, vb),
+         c2 AS (SELECT va, vb, sum(least(a.c, b.c)) AS clip2
+           FROM pairs JOIN g2 a ON a.doc_id = va
+           JOIN g2 b ON b.doc_id = vb AND b.ng = a.ng
+           GROUP BY va, vb),
+         t1 AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS tot1
+           FROM g1 GROUP BY doc_id),
+         t2 AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS tot2
+           FROM g2 GROUP BY doc_id)
+         SELECT va, vb,
+           floor(coalesce(clip1, 0) / ta1.tot1 * 10000.0 + 0.5) / 10000.0
+             AS p1,
+           floor(coalesce(clip2, 0) / ta2.tot2 * 10000.0 + 0.5) / 10000.0
+             AS p2,
+           floor(ta1.tot1 / tb1.tot1 * 10000.0 + 0.5) / 10000.0
+             AS len_ratio
+         FROM pairs
+         LEFT JOIN c1 USING (va, vb) LEFT JOIN c2 USING (va, vb)
+         JOIN t1 ta1 ON ta1.doc_id = va JOIN t1 tb1 ON tb1.doc_id = vb
+         JOIN t2 ta2 ON ta2.doc_id = va
          ORDER BY va, vb""",
     // IVF cell-balance report: the assignment argmax restated, counts
     // + closed-form verdicts

@@ -415,6 +415,65 @@ object Similarity {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** BLEU-style CLIPPED n-gram precision over the semantic near-dup
+    * pairs — the eval-metric rung of the paraphrase stack: for each
+    * cosine-close pair (candidate = lower id va, reference = vb),
+    * modified 1-gram and 2-gram precisions (each candidate n-gram
+    * credits at most its count in the reference — the Papineni et al.
+    * clipping) plus the exact-rational length ratio standing in for
+    * the brevity penalty (no exp anywhere). Quantifies HOW a pair
+    * overlaps where [[paraphrasePairs]] only classifies: high p1 with
+    * low p2 = shared vocabulary, reordered phrasing — the paraphrase
+    * signature itself.
+    *
+    * Scale posture: the pair list is near-dup-density-sized and
+    * BROADCASTS into the per-doc n-gram count frames (the
+    * pipeline_paraphrase discipline); the clipped-overlap join is
+    * (pair x shared-ngram)-sized and aggregates by pair; per-doc
+    * totals are one partial agg each. Integer counts into frac4
+    * ratios: no FP drift anywhere. */
+  def pairBleu(spark: SparkSession, dir: String,
+               tau: Double = 0.35): DataFrame = {
+    val pairs = nearDupBlocked(spark, dir, tau)
+      .select(col("va"), col("vb"))
+    def gramCounts(n: Int): DataFrame =
+      graft.Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions
+            .word_shingles(col("text"), n)).as("ng"))
+        .groupBy(col("doc_id"), col("ng"))
+        .agg(count(lit(1)).as("c"))
+    def frac4(num: Column, den: Column): Column =
+      floor(num / den * 10000.0 + 0.5) / 10000.0
+    def clipped(n: Int): DataFrame = {
+      val g = gramCounts(n)
+      g.select(col("doc_id").as("va"), col("ng"), col("c").as("ca"))
+        .join(broadcast(pairs), Seq("va"))
+        .join(g.select(col("doc_id").as("vb"), col("ng"),
+          col("c").as("cb")), Seq("vb", "ng"))
+        .groupBy(col("va"), col("vb"))
+        .agg(sum(least(col("ca"), col("cb"))).as(s"clip$n"))
+    }
+    def totals(n: Int): DataFrame =
+      gramCounts(n).groupBy(col("doc_id")).agg(sum(col("c")).as(s"tot$n"))
+    // the clipped frames are at most pair-count rows (same size class
+    // as the pair list itself) — broadcast them back onto the pairs
+    pairs
+      .join(broadcast(clipped(1)), Seq("va", "vb"), "left_outer")
+      .join(broadcast(clipped(2)), Seq("va", "vb"), "left_outer")
+      .join(totals(1).select(col("doc_id").as("va"),
+        col("tot1").as("t1a")), Seq("va"))
+      .join(totals(1).select(col("doc_id").as("vb"),
+        col("tot1").as("t1b")), Seq("vb"))
+      .join(totals(2).select(col("doc_id").as("va"),
+        col("tot2").as("t2a")), Seq("va"))
+      .select(col("va"), col("vb"),
+        frac4(coalesce(col("clip1"), lit(0L)), col("t1a")).as("p1"),
+        frac4(coalesce(col("clip2"), lit(0L)), col("t2a")).as("p2"),
+        frac4(col("t1a"), col("t1b")).as("len_ratio"))
+      .orderBy(col("va"), col("vb"))
+  }
+
   /** Truncated-dimension retrieval eval (the Matryoshka question: how
     * many leading dimensions does serving actually need?): recall@k of
     * brute-force top-k computed over only the first d dims, against the

@@ -572,6 +572,32 @@ class SimilaritySpec extends AnyFunSuite {
       "fusion never changed the dense ranking — lexical arm is dead")
   }
 
+  test("pair bleu: matches an in-memory clipped-precision recompute") {
+    val texts = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    def counts(ws: Seq[String], n: Int): Map[Seq[String], Int] =
+      ws.sliding(n).toSeq.groupBy(identity).map { case (k, v) => k -> v.size }
+    def frac4(num: Double, den: Double): Double =
+      math.floor(num / den * 10000.0 + 0.5) / 10000.0
+    val got = Similarity.pairBleu(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (va, vb) = (r.getLong(0), r.getLong(1))
+      val (a, b) = (texts(va), texts(vb))
+      def clip(n: Int): Int = {
+        val cb = counts(b, n)
+        counts(a, n).map { case (g, c) => math.min(c, cb.getOrElse(g, 0)) }.sum
+      }
+      assert(r.getDouble(2) == frac4(clip(1), a.length), s"p1 of ($va,$vb)")
+      assert(r.getDouble(3) == frac4(clip(2), a.length - 1),
+        s"p2 of ($va,$vb)")
+      assert(r.getDouble(4) == frac4(a.length, b.length),
+        s"len_ratio of ($va,$vb)")
+      assert(r.getDouble(2) >= 0 && r.getDouble(2) <= 1.0)
+    }
+  }
+
   test("ivfPqTopK default config: k rows per query, candidates from probed cells only") {
     val rows = Similarity.ivfPqTopK(spark, sf).collect()
     val perQ = rows.groupBy(_.getLong(0))
