@@ -58,6 +58,7 @@ object SparkEntry {
     "q40_nested_exists" -> (Relational.q40NestedExists(_, _)),
     "q41_sliding_window" -> (Relational.q41SlidingWindow _),
     "q43_dormant_customers" -> ((s, d) => Relational.q43DormantCustomers(s, d)),
+    "q45_ks_test" -> ((s, d) => Relational.q45KsTest(s, d)),
     "q44_top_supplier" -> ((s, d) => Relational.q44TopSupplier(s, d)),
     // A'. warehouse shapes: runtime bloom filter, band lookup, SCD2
     "q30_bloom_semi" -> (Warehouse.q30BloomSemi _),
@@ -174,6 +175,7 @@ object SparkEntry {
     "text_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
     "text_gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(s, d)),
     "text_domain_mix" -> ((s, d) => TextAnalysis.domainMix(s, d)),
+    "text_drift" -> ((s, d) => TextAnalysis.textDrift(s, d)),
     "text_temperature_mix" -> ((s, d) => TextAnalysis.temperatureMix(s, d)),
     "text_pii" -> (TextAnalysis.pii _),
     "pipeline_curate" -> ((s, d) => TextAnalysis.curate(s, d)),
@@ -761,6 +763,34 @@ object SparkEntry {
     // Q22 shape: scalar-avg threshold (float-pinned then floor-rounded
     // to a cent — partial-sum ulp drift collapses before the cut) +
     // NOT EXISTS as anti join
+    // exact two-sample KS: integer-count ECDF ratios, max of exact
+    // rationals, IEEE sqrt — the statistic itself hashes
+    "q45_ks_test" ->
+      """WITH pv AS (SELECT value,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             AS BIGINT) AS c1,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             AS BIGINT) AS c2
+         FROM events WHERE event_type IN ('click', 'view')
+         GROUP BY value),
+       t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+           CAST(sum(c2) AS BIGINT) AS n2 FROM pv),
+       wk AS (SELECT value,
+           CAST(sum(c1) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+             AS BIGINT) AS r1,
+           CAST(sum(c2) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+             AS BIGINT) AS r2
+         FROM pv),
+       d AS (SELECT n1, n2,
+           max(abs(CAST(r1 AS DOUBLE) / n1 - CAST(r2 AS DOUBLE) / n2))
+             AS dmax
+         FROM wk, t GROUP BY n1, n2)
+       SELECT n1, n2,
+         floor(dmax * 10000.0 + 0.5) / 10000.0 AS ks_d,
+         dmax > CAST(1.3581 AS DOUBLE)
+           * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE))
+           AS reject
+       FROM d""",
     "q43_dormant_customers" ->
       """WITH cust AS (SELECT c_custkey, c_acctbal,
            c_nationkey % 25 AS cntrycode FROM customer
@@ -2643,6 +2673,7 @@ object SparkEntry {
          FROM c2 ORDER BY doc_id""",
     // proportional per-source quota by content-hash rank (vs q28's fixed
     // count per group)
+    "text_drift" -> operators.TextAnalysis.textDriftOracle(),
     "text_domain_mix" ->
       """WITH d AS (SELECT source, doc_id, text,
            CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) AS sid

@@ -377,6 +377,56 @@ object Relational {
           (col("n") * (col("n") - lit(1)))), 4).as("stddev_qty"))
       .orderBy(col("l_returnflag"))
 
+  /** EXACT two-sample Kolmogorov–Smirnov test between two event
+    * segments' value distributions (click vs view) — the
+    * distribution-drift tripwire behind canary analysis and
+    * feature-drift monitoring (q21's moments miss shape changes that
+    * move no mean; KS is the standard nonparametric answer). D = max
+    * |ECDF₁ − ECDF₂| evaluated after every distinct value, with the
+    * large-sample rejection bound c(α)·sqrt((n1+n2)/(n1·n2)).
+    *
+    * Determinism: ECDFs are exact integer-count ratios, the max of
+    * exact rationals, and sqrt is IEEE-exact — nothing can drift
+    * between engines, so the statistic itself hash-checks (frac4 only
+    * for display). Scale posture: per-value counts are one partial
+    * agg; the cumulative walk orders DISTINCT values only (the
+    * grouped frame, not the events) — and at true 100 TB cardinality
+    * the sketch path is [[graft.operators.Sketches.valueQuantiles]]'
+    * mergeable quantile summaries, with this exact form as its
+    * verification reference. */
+  def q45KsTest(spark: SparkSession, dir: String, alpha: Double = 1.3581)
+      : DataFrame =
+    ksTestOf(Tables.events(spark, dir), alpha)
+
+  /** [[q45KsTest]]'s kernel over any (event_type, value) frame — split
+    * out so the spec can drive planted distributions (identical ->
+    * D = 0, disjoint supports -> D = 1). */
+  private[graft] def ksTestOf(ev0: DataFrame,
+                              alpha: Double = 1.3581): DataFrame = {
+    val ev = ev0.filter(col("event_type").isin("click", "view"))
+    val perValue = ev.groupBy(col("value"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        .as("c1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c2"))
+    val totals = perValue.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val w = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perValue
+      .withColumn("r1", sum(col("c1")).over(w))
+      .withColumn("r2", sum(col("c2")).over(w))
+      .crossJoin(broadcast(totals))
+      .select(col("n1"), col("n2"),
+        abs(col("r1").cast("double") / col("n1")
+          - col("r2").cast("double") / col("n2")).as("d"))
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(col("d")).as("dmax"))
+      .select(col("n1"), col("n2"),
+        (floor(col("dmax") * 10000.0 + 0.5) / 10000.0).as("ks_d"),
+        (col("dmax") > lit(alpha)
+          * sqrt((col("n1") + col("n2")).cast("double")
+            / (col("n1") * col("n2")).cast("double"))).as("reject"))
+  }
+
   /** lag() gap detection: per user, seconds since the previous event and
     * a long-gap flag — the session-boundary / liveness probe shape
     * (operation last-log staleness check, operation.js:245). One window

@@ -988,6 +988,79 @@ object TextAnalysis {
            / (cu + CAST($k AS DOUBLE) * vsz))), 4) AS nll
        FROM c, v GROUP BY doc_id ORDER BY doc_id"""
 
+  /** TEXT corpus drift — [[graft.operators.Similarity.drift]]'s lexical
+    * twin: per-term relative frequency compared between a reference
+    * slice (even doc_ids, standing for the standing corpus) and a
+    * candidate slice (odd doc_ids, the new delivery), surfacing the
+    * topN movers by absolute frequency delta. The "crawl changed under
+    * me" tripwire a recurring ingest runs before admitting a delivery —
+    * a source swap, template change, or spam surge moves term mass long
+    * before aggregate quality scores notice.
+    *
+    * Scale posture: ONE slice-conditional partial agg over the token
+    * stream (term-keyed — never a vocab broadcast), slice totals as a
+    * one-row broadcast scalar, and the topN cut via a single
+    * rank-window over the TERM frame (vocabulary-sized, not
+    * corpus-sized). Frequencies are exact integer ratios; frac6
+    * display (drift deltas live at 1e-3). */
+  def textDrift(spark: SparkSession, dir: String, topN: Int = 20)
+      : DataFrame =
+    textDriftOf(Tables.documents(spark, dir), topN)
+
+  /** [[textDrift]]'s kernel over any (doc_id, text) frame — split out
+    * so the spec can drive planted slices (identical slices -> zero
+    * delta everywhere, a planted one-slice term -> the top mover). */
+  private[graft] def textDriftOf(docs: DataFrame, topN: Int = 20)
+      : DataFrame = {
+    def frac6(c: Column): Column = floor(c * 1000000.0 + 0.5) / 1000000.0
+    val toksTagged = docs
+      .select((col("doc_id") % 2 === 0).as("ref"),
+        explode(split(col("text"), " ")).as("term"))
+    val perTerm = toksTagged.groupBy(col("term"))
+      .agg(sum(when(col("ref"), 1L).otherwise(0L)).as("c_ref"),
+        sum(when(!col("ref"), 1L).otherwise(0L)).as("c_cand"))
+    val totals = perTerm.agg(sum(col("c_ref")).as("t_ref"),
+      sum(col("c_cand")).as("t_cand"))
+    val ranked = perTerm.crossJoin(broadcast(totals))
+      .select(col("term"), col("c_ref"), col("c_cand"),
+        (col("c_ref").cast("double") / col("t_ref")).as("p_ref"),
+        (col("c_cand").cast("double") / col("t_cand")).as("p_cand"))
+      .withColumn("delta", abs(col("p_ref") - col("p_cand")))
+      .withColumn("rk", row_number().over(Window
+        .orderBy(col("delta").desc, col("term"))))
+      .filter(col("rk") <= topN)
+    ranked.select(col("rk"), col("term"), col("c_ref"), col("c_cand"),
+      frac6(col("p_ref")).as("p_ref"), frac6(col("p_cand")).as("p_cand"),
+      frac6(col("delta")).as("delta"))
+      .orderBy(col("rk"))
+  }
+
+  /** DuckDB restatement of [[textDrift]]. */
+  def textDriftOracle(topN: Int = 20): String =
+    s"""WITH t AS (SELECT doc_id % 2 = 0 AS ref,
+           unnest(string_split(text, ' ')) AS term
+         FROM documents),
+       pt AS (SELECT term,
+           CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+           CAST(sum(CASE WHEN NOT ref THEN 1 ELSE 0 END) AS BIGINT)
+             AS c_cand
+         FROM t GROUP BY term),
+       tot AS (SELECT CAST(sum(c_ref) AS BIGINT) AS t_ref,
+           CAST(sum(c_cand) AS BIGINT) AS t_cand FROM pt),
+       r AS (SELECT term, c_ref, c_cand,
+           CAST(c_ref AS DOUBLE) / t_ref AS p_ref,
+           CAST(c_cand AS DOUBLE) / t_cand AS p_cand,
+           abs(CAST(c_ref AS DOUBLE) / t_ref
+             - CAST(c_cand AS DOUBLE) / t_cand) AS delta
+         FROM pt, tot),
+       rk AS (SELECT *, row_number() OVER (ORDER BY delta DESC, term)
+           AS rk FROM r)
+       SELECT rk, term, c_ref, c_cand,
+         floor(p_ref * 1000000.0 + 0.5) / 1000000.0 AS p_ref,
+         floor(p_cand * 1000000.0 + 0.5) / 1000000.0 AS p_cand,
+         floor(delta * 1000000.0 + 0.5) / 1000000.0 AS delta
+       FROM rk WHERE rk <= $topN ORDER BY rk"""
+
   /** HELD-OUT language-model scoring — the train->apply composition of
     * [[perplexity]]: bigram statistics come ONLY from the train shard of
     * the dup-safe content-hash split ([[splitCol]]), and the held-out

@@ -461,6 +461,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.values.forall(v => v._2 > 0 && !v._2.isNaN))
   }
 
+  test("text drift: zero on identical slices, planted term tops the movers") {
+    import spark.implicits._
+    // identical even/odd slices: every delta is exactly zero
+    val same = (0L until 20L).map(i => (i, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    TextAnalysis.textDriftOf(same).collect()
+      .foreach(r => assert(r.getAs[Double]("delta") == 0.0))
+    // plant a term that only the candidate (odd) slice carries: it must
+    // be the top mover, with c_ref = 0
+    val planted = (0L until 20L).map { i =>
+      (i, if (i % 2 == 1) "alpha beta zzznew" else "alpha beta gamma")
+    }.toDF("doc_id", "text")
+    val top = TextAnalysis.textDriftOf(planted).collect()
+    val movers = top.filter(r => r.getAs[Double]("delta") > 0)
+      .map(_.getAs[String]("term")).toSet
+    assert(movers == Set("zzznew", "gamma"),
+      s"expected the swapped terms to be the movers, got $movers")
+    val first = top.minBy(_.getAs[Int]("rk"))
+    assert(first.getAs[Long]("c_ref") == 0 ||
+      first.getAs[Long]("c_cand") == 0)
+    // frequencies are per-slice ratios: each column sums to ~1 over the
+    // full vocabulary, so the reported top-20 slice never exceeds 1
+    assert(top.map(_.getAs[Double]("p_ref")).sum <= 1.0 + 1e-9)
+    // real corpus: exactly topN rows, ranks dense, deltas non-increasing
+    val real = TextAnalysis.textDrift(spark, sf).collect()
+    assert(real.length == 20)
+    assert(real.map(_.getAs[Int]("rk")).toSeq == (1 to 20))
+    val ds = real.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("delta"))
+    assert(ds.zip(ds.tail).forall { case (a, b) => a >= b })
+  }
+
   test("lm heldout: train-only statistics match an in-memory recompute") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")

@@ -141,7 +141,11 @@ class PruningSpec extends AnyFunSuite {
       // crossed onto the postings frame, plus the inherited brute
       // queries x candidates cross on the dense side; the lexical
       // candidate join itself is the broadcast HASH join on term
-      "ann_hybrid_rrf")
+      "ann_hybrid_rrf",
+      // q45_ks_test / text_drift: the one-row sample-totals scalar
+      // crossed onto the per-value / per-term frame (ECDF and
+      // frequency denominators)
+      "q45_ks_test", "text_drift")
     // full-outer equi-joins cannot broadcast (both sides must preserve
     // unmatched rows), so a shuffle join IS the correct plan there;
     // ann_hybrid_rrf's RRF fusion joins the two rank lists FULL OUTER

@@ -15,6 +15,31 @@ class RelationalSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("ks test: zero on identical samples, one on disjoint, monotone in shift") {
+    import spark.implicits._
+    import graft.operators.Relational
+    def ev(pairs: Seq[(String, Double)]) = pairs.toDF("event_type", "value")
+    val base = (1 to 200).map(i => i * 0.5)
+    // identical distributions: D = 0, never rejected
+    val same = ev(base.map(("click", _)) ++ base.map(("view", _)))
+    val r0 = Relational.ksTestOf(same).collect().head
+    assert(r0.getDouble(2) == 0.0 && !r0.getBoolean(3))
+    // disjoint supports: D = 1, rejected
+    val far = ev(base.map(("click", _)) ++ base.map(v => ("view", v + 1e6)))
+    val r1 = Relational.ksTestOf(far).collect().head
+    assert(r1.getDouble(2) == 1.0 && r1.getBoolean(3))
+    // a partial shift lands strictly between and grows with the shift
+    def dAt(shift: Double): Double = Relational.ksTestOf(
+      ev(base.map(("click", _)) ++ base.map(v => ("view", v + shift))))
+      .collect().head.getDouble(2)
+    assert(dAt(5.0) > 0.0 && dAt(5.0) < 1.0)
+    assert(dAt(25.0) > dAt(5.0))
+    // the registered query runs the same kernel over real events
+    val reg = Relational.q45KsTest(spark, sf).collect()
+    assert(reg.length == 1 && reg.head.getLong(0) > 0 &&
+      reg.head.getLong(1) > 0)
+  }
+
   test("every declared query runs and is non-degenerate") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
