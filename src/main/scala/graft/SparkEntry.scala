@@ -59,6 +59,7 @@ object SparkEntry {
     "q41_sliding_window" -> (Relational.q41SlidingWindow _),
     "q43_dormant_customers" -> ((s, d) => Relational.q43DormantCustomers(s, d)),
     "q45_ks_test" -> ((s, d) => Relational.q45KsTest(s, d)),
+    "q46_psi" -> ((s, d) => Relational.q46Psi(s, d)),
     "q44_top_supplier" -> ((s, d) => Relational.q44TopSupplier(s, d)),
     // A'. warehouse shapes: runtime bloom filter, band lookup, SCD2
     "q30_bloom_semi" -> (Warehouse.q30BloomSemi _),
@@ -110,6 +111,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashCoverageChecked(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashChecked(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "pipeline_split_leakage" -> ((s, d) => Dedup.splitLeakage(s, d)),
     "dedup_containment" -> ((s, d) => Dedup.containment(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "dedup_final" -> (Dedup.finalSurvivors _),
@@ -122,6 +124,7 @@ object SparkEntry {
     "emb_dim_recall" -> ((s, d) => Similarity.dimRecallEval(s, d)),
     "ann_range_search" -> ((s, d) => Similarity.rangeSearch(s, d)),
     "ann_filtered_topk" -> ((s, d) => Similarity.filteredTopK(s, d)),
+    "ann_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     "ann_hybrid_rrf" -> ((s, d) => Similarity.hybridRrf(s, d)),
     "emb_incremental" -> ((s, d) => Similarity.incrementalAnn(s, d)),
     "emb_mutual_knn" -> ((s, d) => Similarity.mutualKnn(s, d)),
@@ -157,6 +160,7 @@ object SparkEntry {
     "text_hash_split" -> ((s, d) => TextAnalysis.hashSplit(s, d)),
     "text_pack" -> ((s, d) => TextAnalysis.pack(s, d)),
     "text_bpe_tokens" -> ((s, d) => TextAnalysis.bpeTokens(s, d)),
+    "text_bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "text_pack_bpe" -> ((s, d) => TextAnalysis.packBpe(s, d)),
     "text_span_dedup" -> ((s, d) => TextAnalysis.spanDedup(s, d)),
     "dedup_incremental" -> (Dedup.incremental _),
@@ -172,6 +176,7 @@ object SparkEntry {
     // trained on weak labels from the quality kernel; rational sigmoid
     // + float-cast aggregates make the whole GD trajectory hash-exact
     "text_classifier_train" -> ((s, d) => TextAnalysis.classifierTrain(s, d)),
+    "text_classifier_eval" -> ((s, d) => TextAnalysis.classifierEval(s, d)),
     "text_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
     "text_gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(s, d)),
     "text_domain_mix" -> ((s, d) => TextAnalysis.domainMix(s, d)),
@@ -200,6 +205,7 @@ object SparkEntry {
     // KMV theta-sketch intersection is md5-deterministic end-to-end, so
     // the oracle restates the ESTIMATES themselves, not just verdicts
     "sketch_theta_intersect" -> ((s, d) => Sketches.thetaIntersect(s, d)),
+    "sketch_bloom" -> ((s, d) => Sketches.bloomFilter(s, d)),
     // F. multimodal feature extraction — oracle-checked since r5 on the
     // closed-form columns: byte_len is container overhead + UTF-8 text
     // bytes, width/height/n_frames are the planted header fields the
@@ -235,6 +241,7 @@ object SparkEntry {
     // G. streaming (batch-equivalent plans; streaming entry points share
     // the same transform functions, spec-checked via MemoryStream)
     "stream_window_agg" -> (graft.streaming.EventStreams.windowAggBatch _),
+    "stream_late_audit" -> (graft.streaming.EventStreams.lateAuditBatch _),
     "stream_sessionize" -> (graft.streaming.EventStreams.sessionizeBatch _),
     "stream_dedup" -> (graft.streaming.EventStreams.dedupBatch _),
     "stream_anomaly" -> (graft.streaming.EventStreams.anomaliesBatch _),
@@ -791,6 +798,33 @@ object SparkEntry {
            * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE))
            AS reject
        FROM d""",
+    // PSI drift monitor: integer bin counts, Laplace-smoothed masses as
+    // exact-input double expressions, ln over moderate ratios; per-bin
+    // contribution and the bins-sized total both floor-rounded at 1e-6
+    "q46_psi" ->
+      """WITH pb AS (SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             AS BIGINT) AS c_a,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             AS BIGINT) AS c_b
+         FROM events WHERE event_type IN ('click', 'view')
+         GROUP BY 1),
+       t AS (SELECT CAST(sum(c_a) AS BIGINT) AS na,
+           CAST(sum(c_b) AS BIGINT) AS nb,
+           CAST(count(*) AS DOUBLE) AS nbins FROM pb),
+       sm AS (SELECT bin, c_a, c_b,
+           (c_a + CAST(0.5 AS DOUBLE))
+             / (na + CAST(0.5 AS DOUBLE) * nbins) AS p_a,
+           (c_b + CAST(0.5 AS DOUBLE))
+             / (nb + CAST(0.5 AS DOUBLE) * nbins) AS p_b
+         FROM pb, t),
+       ct AS (SELECT bin, c_a, c_b,
+           (p_a - p_b) * ln(p_a / p_b) AS contrib FROM sm)
+       SELECT bin, c_a, c_b,
+         floor(contrib * 1e6 + 0.5) / 1e6 AS psi_bin,
+         floor(sum(contrib) OVER () * 1e6 + 0.5) / 1e6 AS psi_total,
+         sum(contrib) OVER () > CAST(0.2 AS DOUBLE) AS drifted
+       FROM ct ORDER BY bin""",
     "q43_dormant_customers" ->
       """WITH cust AS (SELECT c_custkey, c_acctbal,
            c_nationkey % 25 AS cntrycode FROM customer
@@ -1548,6 +1582,33 @@ object SparkEntry {
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
          WHERE jaccard >= CAST(0.8 AS DOUBLE)
          ORDER BY doc_a, doc_b""",
+    // split-boundary leakage: the exact-Jaccard pair predicate above
+    // (LSH-then-verify equals exact search at the (64,16)@0.8 banding's
+    // ~0.9998 design recall — the dedup_incremental_minhash contract)
+    // joined against the text-hash split assignment on both endpoints
+    "pipeline_split_leakage" ->
+      """WITH sh AS (SELECT doc_id, list_distinct(
+           list_transform(range(1, len(l) - 1),
+             i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) t
+           WHERE len(l) >= 3),
+         p AS (SELECT doc_a, doc_b, jaccard FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+               CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 4)
+               AS jaccard
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id) q
+           WHERE jaccard >= CAST(0.8 AS DOUBLE)),
+         sp AS (SELECT doc_id,
+           CASE WHEN substring(md5(text), 1, 2) < 'd0' THEN 'train'
+                WHEN substring(md5(text), 1, 2) < 'e8' THEN 'valid'
+                ELSE 'test' END AS split
+           FROM documents)
+       SELECT doc_a, doc_b, jaccard, sa.split AS split_a,
+         sb.split AS split_b, sa.split <> sb.split AS leaked
+       FROM p JOIN sp sa ON p.doc_a = sa.doc_id
+         JOIN sp sb ON p.doc_b = sb.doc_id
+       ORDER BY doc_a, doc_b""",
     // asymmetric containment over CAPPED distinct shingles: the df cap
     // is operator semantics, so the oracle restates it with the same
     // cap and the hash is exact
@@ -1661,6 +1722,20 @@ object SparkEntry {
              row_number() OVER (PARTITION BY qid
                ORDER BY list_cosine_similarity(qe, ce) DESC, cid) AS rk
            FROM q JOIN c ON clabel = label AND cid <> qid) t
+         WHERE rk <= 5 ORDER BY qid, rk""",
+    // hard-negative mining: the filtered-topk restatement with the
+    // predicate flipped (different-label candidates only)
+    "ann_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe, label
+           FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce,
+           label AS neg_label FROM embeddings)
+         SELECT qid, label, rk, cid, neg_label, cos_sim FROM (
+           SELECT qid, label, cid, neg_label,
+             round(list_cosine_similarity(qe, ce), 4) AS cos_sim,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY list_cosine_similarity(qe, ce) DESC, cid) AS rk
+           FROM q JOIN c ON neg_label <> label) t
          WHERE rk <= 5 ORDER BY qid, rk""",
     // hybrid BM25 + dense RRF: per-term BM25 weights are exact-input
     // double expressions, the per-pair weight sum is float-cast (the
@@ -2433,6 +2508,11 @@ object SparkEntry {
              - (length(text) - length(replace(text, 'ed', ''))) / 2
              AS INTEGER) AS n_bpe
          FROM documents ORDER BY doc_id""",
+    // BPE merge induction: integer pair counts over the word-frequency
+    // histogram, total-ordered argmax, doubled-space replace fuse —
+    // the training loop unrolled as MATERIALIZED CTEs (see the
+    // generator's Scaladoc for why inlining would be exponential)
+    "text_bpe_train" -> operators.TextAnalysis.bpeTrainOracle(),
     // text_pack re-denominated in the closed-form BPE counts above
     "text_pack_bpe" ->
       """WITH d AS (SELECT source,
@@ -2507,6 +2587,11 @@ object SparkEntry {
     // rational sigmoid (no libm exp) + float-cast sums = hash-exact
     "text_classifier_train" ->
       operators.TextAnalysis.classifierTrainOracle(),
+    // threshold-sweep PR/F1: confusion cells are integer counts, each
+    // ratio one frac4 rounding of an integer fraction (F1 in its
+    // single-division 2tp form)
+    "text_classifier_eval" ->
+      operators.TextAnalysis.classifierEvalOracle(),
     // sliding-window chunking: pure integer arithmetic + string slices
     "text_chunk" -> operators.TextAnalysis.chunkOracle(),
     // Gopher rule battery: every feature a per-doc list fold, ratios
@@ -2851,6 +2936,46 @@ object SparkEntry {
     // engine-internal; a register-losing merge breaks __union__)
     "sketch_hll_union" -> operators.Sketches.hllUnionOracle(),
     "sketch_theta_intersect" -> operators.Sketches.thetaIntersectOracle(),
+    // bloom filter: md5-derived bits are deterministic, so the oracle
+    // restates the sketch itself bit-for-bit (build, probe, FPR)
+    "sketch_bloom" ->
+      """WITH d AS (SELECT doc_id,
+           md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         b AS (SELECT doc_id,
+           CAST(((((strpos('0123456789abcdef',
+                 substring(h, j * 4 + 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef',
+                 substring(h, j * 4 + 2, 1)) - 1)) * 16
+             + (strpos('0123456789abcdef',
+                 substring(h, j * 4 + 3, 1)) - 1)) * 16
+             + (strpos('0123456789abcdef',
+                 substring(h, j * 4 + 4, 1)) - 1)) % 16384 AS BIGINT)
+             AS bit
+           FROM d, LATERAL (SELECT unnest([0, 1, 2]) AS j) u),
+         built AS (SELECT DISTINCT bit FROM b WHERE doc_id % 2 = 0),
+         probe AS (SELECT doc_id, count(bu.hit) = 3 AS pass
+           FROM b LEFT JOIN (SELECT bit, 1 AS hit FROM built) bu
+             USING (bit)
+           GROUP BY doc_id),
+         cls AS (SELECT doc_id, pass, doc_id % 2 = 0 AS member
+           FROM probe),
+         agg AS (SELECT
+             CAST(sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_inserted,
+             CAST(count(*) AS BIGINT) AS n_probes,
+             CAST(sum(CASE WHEN member AND NOT pass THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_false_neg,
+             CAST(sum(CASE WHEN NOT member AND pass THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_false_pos,
+             CAST(sum(CASE WHEN NOT member THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nonmembers
+           FROM cls),
+         bs AS (SELECT CAST(count(*) AS BIGINT) AS bits_set FROM built)
+       SELECT 16384 AS m, 3 AS k, n_inserted, bits_set, n_probes,
+         n_false_neg = 0 AS no_false_negatives, n_false_pos,
+         floor(CAST(n_false_pos AS DOUBLE) / n_nonmembers
+           * 10000.0 + 0.5) / 10000.0 AS fpr
+       FROM agg, bs""",
     "sketch_countmin" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_true,
            TRUE AS ge_ok, TRUE AS eps_ok,
@@ -2865,6 +2990,27 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
            count(*) AS n_events, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // late-data audit: the oracle states the per-event watermark as ONE
+    // global prefix max over arrival order — semantic equality with the
+    // engine's two-level decomposition is the point; integer
+    // microsecond arithmetic, counts, one frac4
+    "stream_late_audit" ->
+      """WITH e AS (SELECT event_id, event_type, ts, epoch_us(ts) AS us,
+           CASE WHEN event_id % 97 = 0 THEN event_id + 5000
+             ELSE event_id END AS arrival
+           FROM events),
+         w AS (SELECT event_type, ts, us,
+           max(us) OVER (ORDER BY arrival, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+           FROM e),
+         l AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
+           coalesce(us < wm - 1800000000, FALSE) AS late FROM w)
+       SELECT window_start, event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+         floor(CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) * 10000.0 + 0.5) / 10000.0 AS late_frac
+       FROM l GROUP BY 1, 2 ORDER BY 1, 2""",
     // operation live status: an accepted finish exists iff the
     // greatest finish key exceeds the least start key — two
     // commutative extrema, so batch, stream state and oracle agree

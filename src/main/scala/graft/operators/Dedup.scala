@@ -364,6 +364,39 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Train/valid/test LEAKAGE audit — the dedup ladder aimed at the
+    * split boundary: a validation document that is a near-duplicate of
+    * a training document inflates every eval it touches (the
+    * train-test-overlap failure Lee et al. 2022 and the GPT-3 paper
+    * both document), and hash-splitting alone cannot prevent it (the
+    * split hashes the TEXT, so only EXACT duplicates land on the same
+    * side by construction — near-duplicates split independently).
+    * Composes the corpus near-dup detector ([[ngramJaccard]]: banded
+    * minhash-LSH candidates, exact Jaccard verify) with the standing
+    * split assignment ([[TextAnalysis.hashSplitOf]]) and verdicts each
+    * verified pair on whether it crosses a split boundary.
+    *
+    * Scale posture: the pair list is near-dup-density-sized (the point
+    * of LSH), so both split-attachment joins broadcast the pair side
+    * into the corpus-sized split scan — the audit adds two broadcast
+    * hash joins on top of the dedup pipeline it reuses, never a
+    * corpus x corpus step. */
+  def splitLeakage(spark: SparkSession, dir: String, tau: Double = 0.8)
+      : DataFrame = {
+    val pairs = ngramJaccard(spark, dir, tau)
+    val splits = TextAnalysis.hashSplitOf(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("split"))
+    val withA = splits
+      .select(col("doc_id").as("doc_a"), col("split").as("split_a"))
+      .join(broadcast(pairs), Seq("doc_a"))
+    splits.select(col("doc_id").as("doc_b"), col("split").as("split_b"))
+      .join(broadcast(withA), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        col("split_a"), col("split_b"),
+        (col("split_a") =!= col("split_b")).as("leaked"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Asymmetric CONTAINMENT dedup — the doc-inside-doc detector that
     * symmetric Jaccard structurally misses: a short document quoted
     * whole inside a much longer one has C(A,B) = |sh(A) n sh(B)| /

@@ -427,6 +427,56 @@ object Relational {
             / (col("n1") * col("n2")).cast("double"))).as("reject"))
   }
 
+  /** Population Stability Index between two event slices — the BINNED
+    * drift monitor that completes the family (q45_ks_test is the exact
+    * distribution test, text_drift the lexical one, emb_drift the
+    * embedding one): production scorecards watch PSI per feature because
+    * it localizes WHERE the distribution moved (per-bin contributions),
+    * not just whether it moved. psi = sum_bins (p_a - p_b) ln(p_a/p_b)
+    * with Laplace-smoothed bin masses ((c + 1/2) / (n + nbins/2)) so an
+    * empty bin on one side contributes a finite, defined term instead
+    * of a log-of-zero.
+    *
+    * Scale posture: one hash aggregation to per-bin counts (map-side
+    * combined conditional sums, the KS kernel's shape), then everything
+    * downstream is bins-sized (~value_range/width rows) — the totals and
+    * nbins ride a one-row broadcast cross join, never a second scan.
+    * psi > 0.2 is the standard "significant shift" actioning rule. */
+  def q46Psi(spark: SparkSession, dir: String, binWidth: Double = 50.0,
+             thresh: Double = 0.2): DataFrame =
+    psiOf(Tables.events(spark, dir), binWidth, thresh)
+
+  /** [[q46Psi]]'s kernel over any (event_type, value) frame — split out
+    * so the spec can drive planted distributions (identical slices ->
+    * psi = 0; mass moved across bins -> psi above the action rule). */
+  private[graft] def psiOf(ev0: DataFrame, binWidth: Double = 50.0,
+                           thresh: Double = 0.2): DataFrame = {
+    val ev = ev0.filter(col("event_type").isin("click", "view"))
+    val perBin = ev
+      .withColumn("bin", floor(col("value") / binWidth).cast("bigint"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        .as("c_a"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c_b"))
+    val totals = perBin.agg(sum(col("c_a")).as("na"),
+      sum(col("c_b")).as("nb"), count(lit(1)).cast("double").as("nbins"))
+    val smoothed = perBin.crossJoin(broadcast(totals))
+      .withColumn("p_a", (col("c_a") + lit(0.5))
+        / (col("na") + lit(0.5) * col("nbins")))
+      .withColumn("p_b", (col("c_b") + lit(0.5))
+        / (col("nb") + lit(0.5) * col("nbins")))
+      .withColumn("contrib", (col("p_a") - col("p_b"))
+        * log(col("p_a") / col("p_b")))
+    smoothed
+      .withColumn("psi_total", sum(col("contrib"))
+        .over(Window.partitionBy(lit(1))))
+      .select(col("bin"), col("c_a"), col("c_b"),
+        (floor(col("contrib") * 1e6 + 0.5) / 1e6).as("psi_bin"),
+        (floor(col("psi_total") * 1e6 + 0.5) / 1e6).as("psi_total"),
+        (col("psi_total") > thresh).as("drifted"))
+      .orderBy(col("bin"))
+  }
+
   /** lag() gap detection: per user, seconds since the previous event and
     * a long-gap flag — the session-boundary / liveness probe shape
     * (operation last-log staleness check, operation.js:245). One window

@@ -272,6 +272,44 @@ object Similarity {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** Hard-negative mining — [[filteredTopK]]'s complement and the
+    * contrastive-training-data rung: for each query, the top-k MOST
+    * similar candidates with a DIFFERENT label. These near-miss
+    * negatives (high cosine, wrong class) are what embedding training
+    * actually needs — random negatives are trivially separable and
+    * teach nothing; the hardest ones define the margin (the in-batch /
+    * mined-negatives distinction every contrastive recipe documents).
+    *
+    * Scale posture identical to [[bruteTopK]]: queries broadcast with
+    * their label, the != predicate evaluates map-side under the
+    * candidate scan (a dropped candidate costs zero FLOPs), scoring
+    * lands in the k-bounded heap aggregate so only partitions x k rows
+    * shuffle. At 100 TB the same mining runs per shard with the heap
+    * merge unchanged. */
+  def hardNegatives(spark: SparkSession, dir: String, k: Int = K,
+                    nQueries: Int = NQueries): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      col("label").as("neg_label"))
+    val scored = c.join(broadcast(q), col("neg_label") =!= col("qlabel"))
+      .select(col("qid"), col("cid"),
+        cosine_sim(col("qe"), col("ce")).as("cos"))
+    // the negative's label rides back in via an OUTPUT-sized broadcast
+    // (nQueries x k rows) against the corpus labels — never a second
+    // scoring pass over the corpus
+    val negLabels = e.select(col("vec_id").as("cid"),
+      col("label").as("neg_label"))
+    negLabels.join(broadcast(finishTopK(scored, k)), Seq("cid"))
+      .join(broadcast(q.select(col("qid"), col("qlabel").as("label"))),
+        Seq("qid"))
+      .select(col("qid"), col("label"), col("rk"), col("cid"),
+        col("neg_label"), col("cos_sim"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** Incremental ANN classification — the EMBEDDINGS rung of the
     * incremental-ingest ladder ([[graft.operators.Dedup.incrementalMinhash]]'s
     * twin): an arriving vector batch (vec_id % 5 == 4, the same holdout

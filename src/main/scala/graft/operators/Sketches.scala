@@ -176,6 +176,65 @@ object Sketches {
       .orderBy(col("user_id"))
   }
 
+  /** Bloom-filter membership sketch with its false-positive rate
+    * MEASURED — the set-membership rung of the sketch family
+    * (q30_bloom_semi uses Spark's runtime bloom pruning; this one IS
+    * the filter, built and probed as data so its contract is
+    * checkable): k md5-derived bit positions per key, the built filter
+    * is the distinct set-bit list, a probe passes iff all k of its
+    * bits are set. Members by construction always pass (no false
+    * negatives — THE bloom guarantee, a verdict column), and the
+    * false-positive count over the non-member probes is the real
+    * saturation cost of the (m, k, n) configuration — the number a
+    * capacity plan reads.
+    *
+    * Everything is deterministic (md5 bits, integer counts), so unlike
+    * the HLL/KLL queries the ORACLE RESTATES THE SKETCH ITSELF —
+    * bit-for-bit — not just contract verdicts.
+    *
+    * Scale posture: the built filter is at most m rows (bounded state,
+    * the sketch property) and BROADCASTS into the probe stream — the
+    * probe side is one map-side pass plus a k-rows-per-key explode
+    * into the broadcast hash join, then one partial-agg fold; this is
+    * exactly how a distributed bloom semi-join prunes a 100 TB scan. */
+  def bloomFilter(spark: SparkSession, dir: String, m: Int = 16384,
+                  k: Int = 3): DataFrame = {
+    require(k * 4 <= 32, "each hash consumes 4 hex chars of one md5")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+      .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
+    def nib(i: Int): Column =
+      (expr(s"locate(substring(h, $i, 1), '0123456789abcdef')") - 1)
+        .cast("bigint")
+    def bitAt(j: Int): Column =
+      (((nib(j * 4 + 1) * 16 + nib(j * 4 + 2)) * 16 + nib(j * 4 + 3)) * 16
+        + nib(j * 4 + 4)) % m
+    val bits = docs.withColumn("bit",
+      explode(array((0 until k).map(bitAt): _*)))
+    val built = bits.filter(col("doc_id") % 2 === 0)
+      .select(col("bit")).distinct()
+    val probed = bits
+      .join(broadcast(built.withColumn("hit", lit(1))), Seq("bit"),
+        "left_outer")
+      .groupBy(col("doc_id"))
+      .agg((count(col("hit")) === k).as("pass"))
+      .withColumn("member", col("doc_id") % 2 === 0)
+    probed.agg(
+        sum(when(col("member"), 1L).otherwise(0L)).as("n_inserted"),
+        count(lit(1)).as("n_probes"),
+        sum(when(col("member") && !col("pass"), 1L).otherwise(0L))
+          .as("n_false_neg"),
+        sum(when(!col("member") && col("pass"), 1L).otherwise(0L))
+          .as("n_false_pos"),
+        sum(when(!col("member"), 1L).otherwise(0L)).as("n_nonmembers"))
+      .crossJoin(broadcast(built.agg(count(lit(1)).as("bits_set"))))
+      .select(lit(m).as("m"), lit(k).as("k"), col("n_inserted"),
+        col("bits_set"), col("n_probes"),
+        (col("n_false_neg") === 0L).as("no_false_negatives"),
+        col("n_false_pos"),
+        (floor(col("n_false_pos") / col("n_nonmembers") * 10000.0 + 0.5)
+          / 10000.0).as("fpr"))
+  }
+
   /** Sketch MERGEABILITY demo — the property that makes sketches THE
     * 100 TB distinct-count architecture: per-shard (here per
     * event_type) DataSketches HLL sketches are built independently,

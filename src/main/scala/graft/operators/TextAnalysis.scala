@@ -310,6 +310,117 @@ object TextAnalysis {
         graft.functions.Bpe.bpe_token_count(col("text")).as("n_bpe"))
       .orderBy(col("doc_id"))
 
+  /** BPE merge-table INDUCTION on the engine — [[bpeTokens]] applies a
+    * merges table; a production tokenizer pipeline TRAINS one (Sennrich
+    * et al. 2016): greedily pick the most frequent adjacent symbol pair
+    * over the word-frequency histogram, fuse it corpus-wide, repeat.
+    * This is exactly how HF/sentencepiece BPE trainers operate — on the
+    * (word, count) histogram, never the raw corpus — so the reduction
+    * to the histogram IS the scale story: one map-side-combined token
+    * aggregation shrinks 100 TB of text to a vocabulary-sized frame,
+    * and every training round after that is vocab-sized.
+    *
+    * Determinism engineering: a word's symbol state is a string with
+    * DOUBLED-space delimiters (" a  b  c "), so fusing pair (a,b) is
+    * `replace(s, ' a  b ', ' ab ')` — both engines' replace scans
+    * leftmost non-overlapping, which is precisely BPE's merge order for
+    * overlapping runs (" a  a  a " -> " aa  a "), and each neighbor
+    * keeps one delimiter space on either side of the fused symbol. Pair
+    * counts are integer sums over word counts; the argmax is total-
+    * ordered (count desc, then pair lexicographic). No FP anywhere.
+    *
+    * Scale posture: pair counting explodes ~|word| structs map-side per
+    * vocab row and lands in one hash aggregation; the winning pair is a
+    * TakeOrdered(1) one-row frame broadcast into the next round's fuse;
+    * per-round localCheckpoint caps the plan (the Lloyd/GD loop
+    * discipline). Round count is the vocab-size budget, a constant. */
+  def bpeTrain(spark: SparkSession, dir: String, nMerges: Int = 8)
+      : DataFrame =
+    bpeTrainOf(Tables.documents(spark, dir), nMerges)
+
+  /** [[bpeTrain]]'s kernel over any frame with a `text` column — split
+    * out so the spec can drive planted corpora (overlapping runs pin
+    * the leftmost-first fuse order; a saturated vocabulary pins the
+    * graceful early stop). */
+  private[graft] def bpeTrainOf(docs: DataFrame, nMerges: Int = 8)
+      : DataFrame = {
+    var vocab = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .withColumn("s", concat(lit(" "),
+        array_join(transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))), "  "), lit(" ")))
+      .select(col("wc"), col("s"))
+      .localCheckpoint()
+    var merges: DataFrame = null
+    for (step <- 1 to nMerges) {
+      val pairs = vocab
+        .select(col("wc"), split(trim(col("s")), "  ").as("l"))
+        // a fully-fused word has one symbol left: guard before the
+        // sequence (Spark's sequence(1, 0) counts DOWN, not empty)
+        .filter(size(col("l")) >= 2)
+        .select(col("wc"),
+          explode(transform(sequence(lit(1), size(col("l")) - 1),
+            i => struct(element_at(col("l"), i).as("lft"),
+              element_at(col("l"), i + 1).as("rgt")))).as("p"))
+        .groupBy(col("p.lft").as("lft"), col("p.rgt").as("rgt"))
+        .agg(sum(col("wc")).as("pair_count"))
+      val best = pairs
+        .orderBy(col("pair_count").desc, col("lft"), col("rgt")).limit(1)
+        .select(lit(step).as("step"), col("lft"), col("rgt"),
+          concat(col("lft"), col("rgt")).as("merged"), col("pair_count"))
+        .localCheckpoint()
+      vocab = vocab
+        .crossJoin(broadcast(best.select(col("lft").as("bl"),
+          col("rgt").as("br"))))
+        .withColumn("s", expr(
+          "replace(s, concat(' ', bl, '  ', br, ' '), concat(' ', bl, br, ' '))"))
+        .select(col("wc"), col("s"))
+        .localCheckpoint()
+      merges = if (merges == null) best else merges.unionByName(best)
+    }
+    merges.orderBy(col("step"))
+  }
+
+  /** DuckDB restatement of [[bpeTrain]]: the merge loop unrolled as a
+    * CTE chain (the Lloyd-oracle precedent) — per round a pair count, a
+    * LIMIT-1 argmax, and the same doubled-space replace fuse. Every CTE
+    * is MATERIALIZED and referenced exactly once per round (the fuse
+    * takes the winner via a one-row cross join, not scalar subqueries):
+    * with default inlining each round would copy the previous round's
+    * subtree several times over — exponential in nMerges (measured:
+    * 8 rounds never finished inlined, 0.5 s materialized). */
+  def bpeTrainOracle(nMerges: Int = 8): String = {
+    val rounds = (1 to nMerges).map { t =>
+      s"""p$t AS MATERIALIZED (SELECT l[i] AS lft, l[i + 1] AS rgt,
+           CAST(sum(wc) AS BIGINT) AS pair_count
+         FROM (SELECT wc, string_split(trim(s), '  ') AS l FROM v${t - 1}) w,
+           LATERAL (SELECT unnest(range(1, len(l))) AS i) u
+         GROUP BY 1, 2),
+       b$t AS MATERIALIZED (SELECT $t AS step, lft, rgt,
+           lft || rgt AS merged, pair_count
+         FROM p$t ORDER BY pair_count DESC, lft, rgt LIMIT 1),
+       v$t AS MATERIALIZED (SELECT wc,
+           replace(s, ' ' || b.lft || '  ' || b.rgt || ' ',
+             ' ' || b.merged || ' ') AS s
+         FROM v${t - 1}, b$t b)"""
+    }.mkString(",\n       ")
+    val union = (1 to nMerges)
+      .map(t => s"SELECT step, lft, rgt, merged, pair_count FROM b$t")
+      .mkString("\n         UNION ALL ")
+    s"""WITH vocab AS (SELECT word, CAST(count(*) AS BIGINT) AS wc
+         FROM (SELECT unnest(string_split(text, ' ')) AS word
+           FROM documents) t
+         WHERE len(word) >= 2 GROUP BY word),
+       v0 AS MATERIALIZED (SELECT wc,
+           ' ' || array_to_string(list_transform(range(1, len(word) + 1),
+             i -> substring(word, i, 1)), '  ') || ' ' AS s
+         FROM vocab),
+       $rounds
+       SELECT * FROM ($union) m ORDER BY step"""
+  }
+
   /** [[pack]] with budgets denominated in BPE tokens instead of
     * whitespace tokens — what a training-data packer really meters. */
   def packBpe(spark: SparkSession, dir: String): DataFrame =
@@ -1309,6 +1420,115 @@ object TextAnalysis {
        SELECT doc_id, y, round(z, 4) AS logit, z > CAST(0.0 AS DOUBLE) AS keep
        FROM zf ORDER BY doc_id"""
   }
+
+  /** Threshold-sweep evaluation of the quality classifier — the rung
+    * that closes the scorer's loop ([[classifierScore]] applies a model,
+    * [[classifierTrain]] fits one; neither says whether the decision
+    * boundary is any GOOD): confusion counts and precision / recall / F1
+    * at each candidate logit cutoff, against the weak quality labels
+    * (score >= minScore, the same supervision [[classifierTrain]] fits
+    * to). Picking the keep-threshold off this sweep IS how a production
+    * curation filter is tuned — the PR trade-off at each cutoff decides
+    * how much corpus you pay for how much purity.
+    *
+    * Everything that hashes is integer-exact: tp/fp/fn/tn are counts,
+    * the ratios are single frac4 roundings of integer fractions (F1 in
+    * its 2tp/(2tp+fp+fn) one-division form so nothing compounds).
+    *
+    * Scale posture: logits and labels are two map-side passes over the
+    * corpus meeting in one doc-keyed shuffle-hash join (never a sort
+    * merge — doc-keyed, both sides corpus-sized); the sweep explodes
+    * each doc into |thresholds| rows map-side and one hash aggregation
+    * with map-side partial combine lands the confusion counts, so the
+    * shuffle carries |thresholds| rows per partition, not per doc. */
+  def classifierEval(spark: SparkSession, dir: String,
+                     thresholds: Seq[Double] =
+                       Seq(-0.10, -0.05, 0.0, 0.05, 0.10),
+                     minScore: Double = 0.64): DataFrame = {
+    val scored = classifierScore(spark, dir)
+      .select(col("doc_id"), col("logit"))
+    val truth = withQuality(Tables.documents(spark, dir))
+      .select(col("doc_id"), (col("score") >= minScore).as("y"))
+    scored.join(truth.hint("shuffle_hash"), Seq("doc_id"))
+      .select(col("y"), col("logit"),
+        explode(array(thresholds.map(lit): _*)).as("thresh"))
+      .groupBy(col("thresh"))
+      .agg(
+        sum(when(col("y") && col("logit") > col("thresh"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(!col("y") && col("logit") > col("thresh"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("y") && !(col("logit") > col("thresh")), 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(!col("y") && !(col("logit") > col("thresh")), 1L)
+          .otherwise(0L)).as("tn"))
+      .select(col("thresh"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") === 0L, 0.0)
+          .otherwise(frac4(col("tp"), col("tp") + col("fp")))
+          .as("precision"),
+        when(col("tp") + col("fn") === 0L, 0.0)
+          .otherwise(frac4(col("tp"), col("tp") + col("fn")))
+          .as("recall"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") === 0L, 0.0)
+          .otherwise(frac4(lit(2L) * col("tp"),
+            lit(2L) * col("tp") + col("fp") + col("fn"))).as("f1"))
+      .orderBy(col("thresh"))
+  }
+
+  /** DuckDB restatement of [[classifierEval]]: the score-kernel and
+    * quality-label CTEs spliced together, thresholds unnested. */
+  def classifierEvalOracle(minScore: Double = 0.64): String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         FROM documents),
+       h AS (SELECT doc_id,
+           CAST((strpos('0123456789abcdef',
+               substring(md5(term), 1, 1)) - 1) * 16
+             + strpos('0123456789abcdef', substring(md5(term), 2, 1)) - 1
+             AS BIGINT) AS b
+         FROM tok),
+       sc AS (SELECT doc_id,
+           round(avg(CAST((b * 2654435761) % 65536 AS DOUBLE)
+               / CAST(65536 AS DOUBLE) - CAST(0.5 AS DOUBLE))
+             * CAST(4.0 AS DOUBLE) - CAST(0.125 AS DOUBLE), 4) AS logit
+         FROM h GROUP BY doc_id),
+       lab AS (SELECT doc_id,
+           floor((len(list_distinct(string_split(text, ' ')))
+               / len(string_split(text, ' ')) * CAST(0.3 AS DOUBLE)
+             + (CAST(1.0 AS DOUBLE) - len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the', 'a'))) / len(string_split(text, ' ')))
+               * CAST(0.3 AS DOUBLE)
+             + least(len(string_split(text, ' ')) / CAST(100.0 AS DOUBLE),
+                 CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE))
+             * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             / CAST(10000.0 AS DOUBLE)
+             >= CAST($minScore AS DOUBLE) AS y
+         FROM documents),
+       sweep AS (SELECT y, logit,
+           unnest([CAST(-0.10 AS DOUBLE), CAST(-0.05 AS DOUBLE),
+             CAST(0.0 AS DOUBLE), CAST(0.05 AS DOUBLE),
+             CAST(0.10 AS DOUBLE)]) AS thresh
+         FROM sc JOIN lab USING (doc_id)),
+       cm AS (SELECT thresh,
+           CAST(sum(CASE WHEN y AND logit > thresh THEN 1 ELSE 0 END)
+             AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN NOT y AND logit > thresh THEN 1 ELSE 0 END)
+             AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN y AND NOT (logit > thresh) THEN 1 ELSE 0 END)
+             AS BIGINT) AS fn,
+           CAST(sum(CASE WHEN NOT y AND NOT (logit > thresh) THEN 1
+             ELSE 0 END) AS BIGINT) AS tn
+         FROM sweep GROUP BY thresh)
+       SELECT thresh, tp, fp, fn, tn,
+         CASE WHEN tp + fp = 0 THEN CAST(0.0 AS DOUBLE)
+           ELSE floor(CAST(tp AS DOUBLE) / (tp + fp)
+             * 10000.0 + 0.5) / 10000.0 END AS precision,
+         CASE WHEN tp + fn = 0 THEN CAST(0.0 AS DOUBLE)
+           ELSE floor(CAST(tp AS DOUBLE) / (tp + fn)
+             * 10000.0 + 0.5) / 10000.0 END AS recall,
+         CASE WHEN 2 * tp + fp + fn = 0 THEN CAST(0.0 AS DOUBLE)
+           ELSE floor(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn)
+             * 10000.0 + 0.5) / 10000.0 END AS f1
+       FROM cm ORDER BY thresh"""
 
   /** DuckDB restatement of [[classifierScore]]. */
   def classifierScoreOracle(): String =

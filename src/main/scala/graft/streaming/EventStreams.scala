@@ -99,6 +99,78 @@ object EventStreams {
     dedupKeyed(Tables.events(spark, dir))
       .orderBy(col("user_id"), col("event_type"), col("hr"))
 
+  /** Late-data audit — the watermark-tuning measurement every
+    * production stream needs before it picks a delay: replay the
+    * arrival sequence (event_id IS the append order of the synthetic
+    * stream) with a per-event watermark (running max event time so far,
+    * minus the configured delay) and count, per result window, the
+    * events that arrive already behind it. Those are the rows a
+    * watermarked window aggregate is licensed to DROP — late_frac is
+    * the data loss the chosen delay buys. The per-event watermark is
+    * the TIGHTEST model (Structured Streaming advances the watermark
+    * only between micro-batches, so a real run drops a subset of the
+    * flagged rows); an audit that reads 0.1% here licenses the delay,
+    * one that reads 10% says widen it.
+    *
+    * Scale posture: the running max is the two-level prefix shape, not
+    * one global sort — per-chunk maxima (map-side agg) take a
+    * chunk-count-sized prefix window, broadcast back, and the per-event
+    * residual max runs inside bounded chunk partitions; the final
+    * rollup is one hash agg. Integer microsecond arithmetic only; the
+    * oracle restates the global prefix max directly (same semantics,
+    * window form — equality IS the two-level decomposition's proof). */
+  def lateAuditOf(events: DataFrame, delayMin: Int = 30,
+                  chunkSize: Int = 1024): DataFrame = {
+    val delayUs = delayMin.toLong * 60L * 1000000L
+    // arrival order: an explicit `arrival` column if the caller models
+    // a reordered delivery, else event_id (the append sequence);
+    // event_id stays the deterministic tiebreak either way
+    val withArrival =
+      if (events.columns.contains("arrival")) events
+      else events.withColumn("arrival", col("event_id"))
+    val ev = withArrival.select(col("event_id"), col("arrival"),
+      col("event_type"), col("ts"), unix_micros(col("ts")).as("us"),
+      expr(s"arrival div $chunkSize").as("chunk"))
+    val chunkPrefix = ev.groupBy(col("chunk"))
+      .agg(max(col("us")).as("cmax"))
+      .withColumn("prev_max", max(col("cmax")).over(Window
+        .orderBy(col("chunk"))
+        .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("chunk"), col("prev_max"))
+    val withWm = ev
+      .join(broadcast(chunkPrefix), Seq("chunk"))
+      .withColumn("wmax", max(col("us")).over(Window
+        .partitionBy(col("chunk")).orderBy(col("arrival"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)))
+      // greatest skips nulls; only the stream's very first event has
+      // neither a prior chunk nor a prior in-chunk row -> no watermark
+      .withColumn("late", coalesce(
+        col("us") < greatest(col("prev_max"), col("wmax")) - delayUs,
+        lit(false)))
+    withWm
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"))
+      .select(col("window_start"), col("event_type"), col("n_events"),
+        col("n_late"),
+        (floor(col("n_late") / col("n_events") * 10000.0 + 0.5)
+          / 10000.0).as("late_frac"))
+  }
+
+  /** The registered audit. The synthetic events table is appended in
+    * event-time order (event_id monotone in ts), so the raw table has
+    * zero late mass by construction — the query surface plants a
+    * deterministic delivery reordering first (the text_pii precedent:
+    * plant what the corpus lacks so the detector's output is
+    * non-degenerate and oracle-pinned): every 97th event's arrival is
+    * pushed 5000 positions later, arriving hours behind the watermark. */
+  def lateAuditBatch(spark: SparkSession, dir: String): DataFrame =
+    lateAuditOf(Tables.events(spark, dir)
+        .withColumn("arrival", when(col("event_id") % 97 === 0,
+          col("event_id") + 5000L).otherwise(col("event_id"))))
+      .orderBy(col("window_start"), col("event_type"))
+
   // ---- streaming entry points (same transforms + watermark) ----
 
   def windowAggStream(events: DataFrame): DataFrame =

@@ -596,6 +596,58 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("bpe train: greedy argmax, leftmost fuse, monotone counts, saturation stops") {
+    import TestSession.spark.implicits._
+    // overlapping run: " a  a  a " must fuse leftmost-first (-> aa + a),
+    // so merge 2 is (aa, a) — a rightmost scan would learn (a, aa)
+    val runs = TextAnalysis.bpeTrainOf(Seq("aaa").toDF("text"), 2).collect()
+    assert(runs.map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+      .toSeq == Seq(("a", "a", 2L), ("aa", "a", 1L)))
+    // greedy argmax with count weighting: 'ab' appears in 3 words x
+    // counts, 'bc' in fewer occurrences -> (a,b) first
+    val small = Seq("abc abd ab", "abc ab").toDF("text")
+    val m = TextAnalysis.bpeTrainOf(small, 3).collect()
+    assert((m(0).getString(1), m(0).getString(2)) == ("a", "b"))
+    assert(m(0).getLong(4) == 5L) // abc x2, abd, ab x2
+    // pair counts never increase step-over-step (a fused pair's derived
+    // adjacencies are sub-counts of the occurrences just fused)
+    val full = TextAnalysis.bpeTrain(spark, sf).collect()
+    assert(full.length == 8)
+    val counts = full.sortBy(_.getInt(0)).map(_.getLong(4))
+    counts.zip(counts.tail).foreach { case (a, b) => assert(a >= b) }
+    // saturated vocabulary: a fully-fused corpus stops emitting merges
+    // instead of erroring
+    val sat = TextAnalysis.bpeTrainOf(Seq("ab ab").toDF("text"), 4).collect()
+    assert(sat.length == 1 &&
+      (sat(0).getString(1), sat(0).getString(2)) == ("a", "b"))
+  }
+
+  test("classifier eval: confusion cells partition the corpus, monotone recall") {
+    val dir = TestSession.sf
+    val rows = TextAnalysis.classifierEval(spark, dir).collect()
+      .sortBy(_.getDouble(0))
+    assert(rows.length == 5)
+    val n = Tables.documents(spark, dir).count()
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) + r.getLong(3) + r.getLong(4) == n,
+        "tp+fp+fn+tn must partition the corpus")
+    }
+    // raising the threshold can only shrink the predicted-positive set:
+    // tp and fp are non-increasing in thresh, recall non-increasing
+    val tps = rows.map(_.getLong(1)); val fps = rows.map(_.getLong(2))
+    tps.zip(tps.tail).foreach { case (a, b) => assert(a >= b) }
+    fps.zip(fps.tail).foreach { case (a, b) => assert(a >= b) }
+    // metrics agree with their own confusion cells
+    rows.foreach { r =>
+      val (tp, fp, fn) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      def frac(a: Long, b: Long): Double =
+        if (b == 0) 0.0 else math.floor(a.toDouble / b * 1e4 + 0.5) / 1e4
+      assert(r.getDouble(5) == frac(tp, tp + fp))
+      assert(r.getDouble(6) == frac(tp, tp + fn))
+      assert(r.getDouble(7) == frac(2 * tp, 2 * tp + fp + fn))
+    }
+  }
+
   test("classifier score: dyadic weights reproduce the exact logit") {
     val md = java.security.MessageDigest.getInstance("MD5")
     def bucket(term: String): Long = {

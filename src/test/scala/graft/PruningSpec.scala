@@ -145,7 +145,22 @@ class PruningSpec extends AnyFunSuite {
       // q45_ks_test / text_drift: the one-row sample-totals scalar
       // crossed onto the per-value / per-term frame (ECDF and
       // frequency denominators)
-      "q45_ks_test", "text_drift")
+      "q45_ks_test", "text_drift",
+      // q46_psi: the one-row totals scalar (slice sizes + bin count,
+      // the smoothing denominators) crossed onto the bins-sized frame
+      "q46_psi",
+      // ann_hard_negatives: the mining join's predicate is label
+      // INEQUALITY — not an equi key by construction — so the broadcast
+      // nested loop over the broadcast query set IS the declared plan
+      // (same class as bruteTopK's all-pairs scoring cross)
+      "ann_hard_negatives",
+      // text_bpe_train: each round fuses via the one-row winning-pair
+      // frame broadcast-crossed onto the vocab histogram
+      "text_bpe_train",
+      // sketch_bloom: the one-row probe-summary and bits-set scalars
+      // meet in declared one-row broadcast crosses; the probe itself is
+      // the broadcast HASH join against the bounded built-filter set
+      "sketch_bloom")
     // full-outer equi-joins cannot broadcast (both sides must preserve
     // unmatched rows), so a shuffle join IS the correct plan there;
     // ann_hybrid_rrf's RRF fusion joins the two rank lists FULL OUTER

@@ -40,6 +40,35 @@ class RelationalSpec extends AnyFunSuite {
       reg.head.getLong(1) > 0)
   }
 
+  test("psi: zero on identical slices, above action rule on moved mass, nonneg bins") {
+    import spark.implicits._
+    import graft.operators.Relational
+    def ev(pairs: Seq[(String, Double)]) = pairs.toDF("event_type", "value")
+    val base = (1 to 200).map(i => (i % 400).toDouble)
+    // identical slices: every bin's smoothed masses agree -> psi = 0
+    val same = Relational.psiOf(
+      ev(base.map(("click", _)) ++ base.map(("view", _)))).collect()
+    assert(same.nonEmpty)
+    same.foreach { r =>
+      assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0 &&
+        !r.getBoolean(5))
+    }
+    // mass moved wholesale across bins: psi far above the 0.2 rule
+    val moved = Relational.psiOf(
+      ev(base.map(("click", _)) ++ base.map(v => ("view", v + 200.0))))
+      .collect()
+    assert(moved.head.getDouble(4) > 0.2 && moved.head.getBoolean(5))
+    // each bin's contribution (p_a - p_b) ln(p_a/p_b) is nonnegative
+    moved.foreach(r => assert(r.getDouble(3) >= 0.0))
+    // psi_total is the same on every row and equals the bin sum
+    val total = moved.map(_.getDouble(3)).sum
+    moved.foreach(r => assert(math.abs(r.getDouble(4) - total) < 1e-4))
+    // the registered query over real events: uniform-ish slices, bins
+    // populated on both sides, no drift verdict
+    val reg = Relational.q46Psi(spark, sf).collect()
+    assert(reg.nonEmpty && reg.forall(r => !r.getBoolean(5)))
+  }
+
   test("every declared query runs and is non-degenerate") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)

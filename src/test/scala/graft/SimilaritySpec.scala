@@ -491,6 +491,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(brute.exists(r => lab(r.getLong(2)) != lab(r.getLong(0))))
   }
 
+  test("hard negatives: wrong-label only, ranked, hardest negative is tight") {
+    val rows = Similarity.hardNegatives(spark, sf).collect()
+    val lab = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(1) == lab(r.getLong(0)), "query label column")
+      assert(r.getInt(4) == lab(r.getLong(3)), "negative label column")
+      // a hard negative must NOT share the query's label
+      assert(r.getInt(4) != r.getInt(1), "negative escaped the filter")
+    }
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(2))
+      assert(sorted.map(_.getInt(2)).toSeq == (1 to sorted.length))
+      val sc = sorted.map(_.getDouble(5))
+      assert(sc.zip(sc.tail).forall { case (a, b) => a >= b })
+    }
+    // in-memory recompute for one query: the mined rank-1 negative is
+    // the true max-cosine wrong-label candidate
+    val embs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum)
+        * math.sqrt(b.map(x => x * x).sum))
+    }
+    val q0 = embs.find(_._1 == 0L).get
+    val bestNeg = embs.filter(_._3 != q0._3)
+      .map(e => (e._1, cos(q0._2, e._2))).maxBy(_._2)
+    val mined = rows.filter(r => r.getLong(0) == 0L && r.getInt(2) == 1).head
+    assert(mined.getLong(3) == bestNeg._1,
+      s"rank-1 negative ${mined.getLong(3)} vs true ${bestNeg._1}")
+  }
+
   test("incremental ann: prebuilt index is batch-independent, verdicts consistent") {
     val e = Tables.embeddings(spark, sf)
     val corpus = e.filter(col("vec_id") % 5 =!= 4)

@@ -103,6 +103,38 @@ class SketchesSpec extends AnyFunSuite {
       s"user ${r.getLong(0)} underestimated under collision pressure"))
   }
 
+  test("bloom filter: no false negatives, measured fpr matches a recompute") {
+    val r = Sketches.bloomFilter(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (m, k) = (row.getInt(0), row.getInt(1))
+    assert(m == 16384 && k == 3)
+    // THE bloom guarantee: every inserted key passes its own probe
+    assert(row.getBoolean(5), "bloom filter produced a false negative")
+    // bounded state: the filter can never exceed m bits, and inserting
+    // n keys sets at most k*n of them
+    val bitsSet = row.getLong(3)
+    assert(bitsSet <= m.toLong &&
+      bitsSet <= k.toLong * row.getLong(2))
+    // in-memory recompute of the whole sketch: same bits, same verdicts
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bits(id: Long): Seq[Long] = {
+      val h = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (0 until k).map(j =>
+        java.lang.Long.parseLong(h.substring(j * 4, j * 4 + 4), 16) % m)
+    }
+    val ids = Tables.documents(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val built = ids.filter(_ % 2 == 0).flatMap(bits).toSet
+    assert(built.size.toLong == bitsSet)
+    val fps = ids.filter(_ % 2 != 0).count(id => bits(id).forall(built))
+    assert(row.getLong(6) == fps.toLong, s"fpr count ${row.getLong(6)} vs $fps")
+    val nonMembers = ids.count(_ % 2 != 0)
+    assert(row.getDouble(7) ==
+      math.floor(fps.toDouble / nonMembers * 1e4 + 0.5) / 1e4)
+  }
+
   test("hll union: per-type and merged verdicts hold, union row present") {
     val rows = Sketches.hllUnion(spark, sf).collect()
     val union = rows.filter(_.getString(0) == "__union__")

@@ -33,6 +33,39 @@ class StreamingSpec extends AnyFunSuite {
     spark.table("out_" + mode.replace(" ", "")).collect()
   }
 
+  test("late audit: planted stragglers flagged, two-level equals global, frac exact") {
+    import spark.implicits._
+    // arrival order = event_id; event 4 arrives 40 min behind the
+    // running max (t(60)) -> late under delay 30; event 5 is only
+    // 10 min behind -> on time; the leading events can never be late
+    val evs = Seq(
+      Ev(1, t(0), 1, "click", 1.0), Ev(2, t(60), 1, "click", 1.0),
+      Ev(3, t(70), 1, "click", 1.0), Ev(4, t(20), 1, "click", 1.0),
+      Ev(5, t(61), 1, "click", 1.0), Ev(6, t(80), 1, "view", 1.0))
+    val got = EventStreams.lateAuditOf(evs.toDF(), delayMin = 30)
+      .orderBy("window_start", "event_type").collect()
+    // first hour: events 1 and 4 -> one late; second hour: all on time
+    assert(got.map(_.getLong(3)).sum == 1L, "exactly one late event")
+    val lateRow = got.find(_.getLong(3) == 1L).get
+    assert(lateRow.getTimestamp(0).getTime == (t(0).getTime / 3600000L)
+      * 3600000L, "the late event lands in the first hour window")
+    assert(lateRow.getDouble(4) ==
+      math.floor(1.0 / lateRow.getLong(2) * 1e4 + 0.5) / 1e4)
+    // the two-level decomposition is chunk-size invariant: a tiny chunk
+    // (forcing cross-chunk prefix reads) equals one big chunk (pure
+    // in-partition window) row for row
+    val small = EventStreams.lateAuditOf(evs.toDF(), 30, chunkSize = 2)
+      .orderBy("window_start", "event_type").collect().map(_.toSeq).toSeq
+    val big = EventStreams.lateAuditOf(evs.toDF(), 30, chunkSize = 1 << 20)
+      .orderBy("window_start", "event_type").collect().map(_.toSeq).toSeq
+    assert(small == big && small == got.map(_.toSeq).toSeq)
+    // and over the real events table the audit is non-degenerate: both
+    // on-time mass and SOME late mass exist at the default delay
+    val real = EventStreams.lateAuditBatch(spark, sf).collect()
+    assert(real.map(_.getLong(2)).sum > real.map(_.getLong(3)).sum)
+    assert(real.map(_.getLong(3)).sum > 0L)
+  }
+
   test("windowed agg: batch and streaming agree on MemoryStream input") {
     import spark.implicits._
     val batch = EventStreams.windowAgg(sample.toDF())

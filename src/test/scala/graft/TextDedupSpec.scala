@@ -30,6 +30,29 @@ class TextDedupSpec extends AnyFunSuite {
     assert(counts.getOrElse("train", 0L) > counts.getOrElse("test", 0L))
   }
 
+  test("split leakage: pairs are the verified near-dups, verdict matches splits") {
+    val pairs = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val splits = graft.operators.TextAnalysis.hashSplit(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val rows = Dedup.splitLeakage(spark, sf).collect()
+    // exactly the verified pair list, each annotated — nothing added,
+    // nothing dropped by the split joins
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+      == pairs.keySet)
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(r.getDouble(2) == pairs((a, b)))
+      assert(r.getString(3) == splits(a) && r.getString(4) == splits(b))
+      assert(r.getBoolean(5) == (splits(a) != splits(b)),
+        s"leak verdict for ($a, $b)")
+    }
+    // the audit exists because near-dups DO cross the hash split:
+    // text-hash splitting only co-locates exact duplicates
+    assert(rows.exists(_.getBoolean(5)),
+      "testdata must contain at least one cross-split near-dup pair")
+  }
+
   test("near-dup clusters equal the transitive closure of the pair list") {
     val pairs = Dedup.ngramJaccard(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
