@@ -60,6 +60,7 @@ object SparkEntry {
     "q43_dormant_customers" -> ((s, d) => Relational.q43DormantCustomers(s, d)),
     "q45_ks_test" -> ((s, d) => Relational.q45KsTest(s, d)),
     "q46_psi" -> ((s, d) => Relational.q46Psi(s, d)),
+    "q47_sequence_match" -> ((s, d) => Relational.q47SequenceMatch(s, d)),
     "q44_top_supplier" -> ((s, d) => Relational.q44TopSupplier(s, d)),
     // A'. warehouse shapes: runtime bloom filter, band lookup, SCD2
     "q30_bloom_semi" -> (Warehouse.q30BloomSemi _),
@@ -121,6 +122,7 @@ object SparkEntry {
     "ann_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "ann_ivfpq_trained" -> ((s, d) => Similarity.ivfPqTrainedTopK(s, d)),
     "ann_recall_eval" -> ((s, d) => Similarity.annRecallEval(s, d)),
+    "ann_ndcg_eval" -> ((s, d) => Similarity.ndcgEval(s, d)),
     "emb_dim_recall" -> ((s, d) => Similarity.dimRecallEval(s, d)),
     "ann_range_search" -> ((s, d) => Similarity.rangeSearch(s, d)),
     "ann_filtered_topk" -> ((s, d) => Similarity.filteredTopK(s, d)),
@@ -161,6 +163,7 @@ object SparkEntry {
     "text_pack" -> ((s, d) => TextAnalysis.pack(s, d)),
     "text_bpe_tokens" -> ((s, d) => TextAnalysis.bpeTokens(s, d)),
     "text_bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
+    "text_bpe_apply" -> ((s, d) => TextAnalysis.bpeApply(s, d)),
     "text_pack_bpe" -> ((s, d) => TextAnalysis.packBpe(s, d)),
     "text_span_dedup" -> ((s, d) => TextAnalysis.spanDedup(s, d)),
     "dedup_incremental" -> (Dedup.incremental _),
@@ -825,6 +828,37 @@ object SparkEntry {
          floor(sum(contrib) OVER () * 1e6 + 0.5) / 1e6 AS psi_total,
          sum(contrib) OVER () > CAST(0.2 AS DOUBLE) AS drifted
        FROM ct ORDER BY bin""",
+    // CEP sequence match: suffix-minimum keys are zero-padded strings
+    // (string order == event order), all verdict logic integer/boolean
+    "q47_sequence_match" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, ts,
+           epoch_us(ts) AS us,
+           lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || ':' ||
+             lpad(CAST(event_id AS VARCHAR), 10, '0') AS k
+         FROM events),
+       m AS (SELECT *,
+           min(CASE WHEN event_type = 'purchase' THEN k END) OVER w
+             AS next_p,
+           min(CASE WHEN event_type = 'error' THEN k END) OVER w
+             AS next_e
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+       s AS (SELECT user_id, event_id AS signup_id, ts AS signup_ts,
+           us, next_p, next_e,
+           CAST(substring(next_p, 1, 20) AS BIGINT) AS p_us,
+           CAST(substring(next_p, 22, 10) AS BIGINT) AS p_id
+         FROM m WHERE event_type = 'signup'),
+       v AS (SELECT *,
+           next_p IS NOT NULL AND p_us <= us + 3600000000 AS in_window,
+           next_e IS NULL OR next_e > next_p AS clean
+         FROM s)
+       SELECT user_id, signup_id, signup_ts,
+         CASE WHEN in_window THEN p_id ELSE CAST(-1 AS BIGINT) END
+           AS purchase_id,
+         CASE WHEN in_window THEN (p_us - us) // 1000000
+           ELSE CAST(-1 AS BIGINT) END AS gap_s,
+         in_window AND clean AS matched
+       FROM v ORDER BY user_id, signup_id""",
     "q43_dormant_customers" ->
       """WITH cust AS (SELECT c_custkey, c_acctbal,
            c_nationkey % 25 AS cntrycode FROM customer
@@ -1708,6 +1742,48 @@ object SparkEntry {
                ORDER BY list_cosine_similarity(qe, ce) DESC, cid) AS rk
            FROM q, c WHERE cid <> qid) t
          WHERE rk <= 5 ORDER BY qid, rk""",
+    // nDCG: brute + IVF rankings spliced; integer grades, float-cast
+    // 5-term discounted sums (log2 parity per element), one frac4
+    "ann_ndcg_eval" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         seeds AS (SELECT vec_id AS cell, v AS sv FROM e WHERE vec_id < 16),
+         asg AS (SELECT cid, cv, cell FROM (
+           SELECT a.vec_id AS cid, a.v AS cv, s.cell,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(a.v, s.sv) DESC, s.cell) AS rn
+           FROM e a, seeds s) t WHERE rn = 1),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         probes AS (SELECT qid, qv, cell FROM (
+           SELECT q.qid, q.qv, s.cell,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(q.qv, s.sv) DESC, s.cell) AS rn
+           FROM q, seeds s) t WHERE rn <= 4),
+         ivf AS (SELECT qid, cid, rk FROM (
+           SELECT p.qid, a.cid,
+             row_number() OVER (PARTITION BY p.qid
+               ORDER BY list_cosine_similarity(p.qv, a.cv) DESC, a.cid)
+               AS rk
+           FROM probes p JOIN asg a USING (cell) WHERE a.cid <> p.qid) t
+           WHERE rk <= 5),
+         bt AS (SELECT qid, cid, rk AS trk, 6 - rk AS rel FROM (
+           SELECT q.qid, c.vec_id AS cid,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(q.qv, c.v) DESC, c.vec_id)
+               AS rk
+           FROM q, e c WHERE c.vec_id <> q.qid) t WHERE rk <= 5),
+         d AS (SELECT i.qid,
+             CAST(sum(CASE WHEN b.rel IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hit,
+             CAST(CAST(sum(coalesce(b.rel, 0) / log2(i.rk + 1)) AS FLOAT)
+               AS DOUBLE) AS dcg
+           FROM ivf i LEFT JOIN bt b USING (qid, cid) GROUP BY i.qid),
+         g AS (SELECT qid,
+             CAST(CAST(sum(rel / log2(trk + 1)) AS FLOAT) AS DOUBLE)
+               AS idcg
+           FROM bt GROUP BY qid)
+       SELECT d.qid, n_hit,
+         floor(dcg / idcg * 10000.0 + 0.5) / 10000.0 AS ndcg
+       FROM d JOIN g USING (qid) ORDER BY d.qid""",
     // pre-filter semantics: the label predicate restricts candidates
     // BEFORE scoring, so the oracle's filtered window-rank restates the
     // operator exactly
@@ -2513,6 +2589,9 @@ object SparkEntry {
     // the training loop unrolled as MATERIALIZED CTEs (see the
     // generator's Scaladoc for why inlining would be exponential)
     "text_bpe_train" -> operators.TextAnalysis.bpeTrainOracle(),
+    // trained-tokenizer metering: the same MATERIALIZED training chain,
+    // final per-word state joined onto the corpus token stream
+    "text_bpe_apply" -> operators.TextAnalysis.bpeApplyOracle(),
     // text_pack re-denominated in the closed-form BPE counts above
     "text_pack_bpe" ->
       """WITH d AS (SELECT source,

@@ -477,6 +477,58 @@ object Relational {
       .orderBy(col("bin"))
   }
 
+  /** Complex-event-processing sequence match — the MATCH_RECOGNIZE
+    * pattern "A then B within T, with no C between" (signup then
+    * purchase within an hour, no error in between), the shape fraud
+    * rules, conversion SLAs and alerting pipelines are written in.
+    * Spark has no MATCH_RECOGNIZE; the pattern compiles to two
+    * CONDITIONAL SUFFIX MINIMA over one per-user window pass: for every
+    * event, the earliest following purchase key and earliest following
+    * error key (keys are zero-padded "us:event_id" strings, so string
+    * min IS (ts, id)-lexicographic min and string comparison IS event
+    * order). A signup then matches iff its next purchase lands inside
+    * the window and the next error, if any, comes after that purchase —
+    * no joins, no per-pattern scans: ONE window pass answers every
+    * signup, per-user partitions stay bounded by user activity, and
+    * adding pattern steps adds columns, not passes.
+    *
+    * Unmatched signups keep -1 sentinels (not nulls: a nullable int
+    * column would float-promote under the driver's pandas canon). */
+  def q47SequenceMatch(spark: SparkSession, dir: String,
+                       withinMin: Int = 60): DataFrame = {
+    val withinUs = withinMin.toLong * 60000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), unix_micros(col("ts")).as("us"))
+      .withColumn("k", concat(
+        lpad(col("us").cast("string"), 20, "0"), lit(":"),
+        lpad(col("event_id").cast("string"), 10, "0")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    ev
+      .withColumn("next_p",
+        min(when(col("event_type") === "purchase", col("k"))).over(w))
+      .withColumn("next_e",
+        min(when(col("event_type") === "error", col("k"))).over(w))
+      .filter(col("event_type") === "signup")
+      .withColumn("p_us", substring(col("next_p"), 1, 20).cast("bigint"))
+      .withColumn("p_id", substring(col("next_p"), 22, 10).cast("bigint"))
+      .withColumn("in_window", col("next_p").isNotNull &&
+        col("p_us") <= col("us") + withinUs)
+      .withColumn("clean",
+        col("next_e").isNull || col("next_e") > col("next_p"))
+      .select(col("user_id"), col("event_id").as("signup_id"),
+        col("ts").as("signup_ts"),
+        when(col("in_window"), col("p_id")).otherwise(lit(-1L))
+          .as("purchase_id"),
+        when(col("in_window"),
+          expr("(p_us - us) div 1000000")).otherwise(lit(-1L))
+          .as("gap_s"),
+        (col("in_window") && col("clean")).as("matched"))
+      .orderBy(col("user_id"), col("signup_id"))
+  }
+
   /** lag() gap detection: per user, seconds since the previous event and
     * a long-gap flag — the session-boundary / liveness probe shape
     * (operation last-log staleness check, operation.js:245). One window

@@ -142,6 +142,46 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** nDCG@k of the IVF index against brute-force graded relevance —
+    * the RANKING-quality eval [[annRecallEval]]'s set-recall cannot
+    * see: recall treats a hit at rank 1 and rank k the same, but a
+    * serving stack cares WHERE the good results land (the result the
+    * user sees first). Grades are the exact ranking's positions
+    * (rel = k+1−rank in the brute top-k, 0 outside it); DCG discounts
+    * each approximate position by log2(rank+1); IDCG is the same fold
+    * over the exact ranking itself, so ndcg = 1.0 iff the index
+    * reproduces the exact order.
+    *
+    * Determinism: grades and hit counts are integers; the two
+    * 5-term discounted sums are float-cast out of their aggregates
+    * (the kmeans discipline — log2 parity per element, order drift
+    * collapsed), ndcg is one frac4 of their ratio. Scale posture:
+    * both rankings are (nQueries x k)-sized frames from the existing
+    * index kernels; every join here is output-sized and broadcast. */
+  def ndcgEval(spark: SparkSession, dir: String, k: Int = K,
+               nQueries: Int = NQueries): DataFrame = {
+    val truth = bruteTopK(spark, dir, k, nQueries)
+      .select(col("qid"), col("cid"), col("rk").as("trk"),
+        (lit(k + 1) - col("rk")).cast("bigint").as("rel"))
+    val approx = ivfTopK(spark, dir, k, nQueries)
+      .select(col("qid"), col("rk"), col("cid"))
+    val dcg = approx
+      .join(broadcast(truth.select(col("qid"), col("cid"), col("rel"))),
+        Seq("qid", "cid"), "left_outer")
+      .groupBy(col("qid"))
+      .agg(sum(when(col("rel").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+        sum(coalesce(col("rel"), lit(0L)).cast("double")
+          / log2(col("rk") + 1)).cast("float").cast("double").as("dcg"))
+    val idcg = truth.groupBy(col("qid"))
+      .agg(sum(col("rel").cast("double") / log2(col("trk") + 1))
+        .cast("float").cast("double").as("idcg"))
+    dcg.join(broadcast(idcg), Seq("qid"))
+      .select(col("qid"), col("n_hit"),
+        (floor(col("dcg") / col("idcg") * 10000.0 + 0.5) / 10000.0)
+          .as("ndcg"))
+      .orderBy(col("qid"))
+  }
+
   /** Cross-modal PARAPHRASE detection — the pair class embedding dedup
     * exists to catch and lexical dedup structurally cannot: vectors
     * cosine-close (>= tau) whose TEXTS are n-gram-far (jaccard <

@@ -343,7 +343,13 @@ object TextAnalysis {
     * the leftmost-first fuse order; a saturated vocabulary pins the
     * graceful early stop). */
   private[graft] def bpeTrainOf(docs: DataFrame, nMerges: Int = 8)
-      : DataFrame = {
+      : DataFrame = bpeTrainState(docs, nMerges)._1
+
+  /** The full training state of [[bpeTrainOf]]: the merge table AND the
+    * final per-word symbol assignment (word, wc, s) — the trained
+    * tokenizer itself, consumed by [[bpeApply]]. */
+  private[graft] def bpeTrainState(docs: DataFrame, nMerges: Int = 8)
+      : (DataFrame, DataFrame) = {
     var vocab = docs
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) >= 2)
@@ -351,7 +357,6 @@ object TextAnalysis {
       .withColumn("s", concat(lit(" "),
         array_join(transform(sequence(lit(1), length(col("word"))),
           i => col("word").substr(i, lit(1))), "  "), lit(" ")))
-      .select(col("wc"), col("s"))
       .localCheckpoint()
     var merges: DataFrame = null
     for (step <- 1 to nMerges) {
@@ -376,11 +381,72 @@ object TextAnalysis {
           col("rgt").as("br"))))
         .withColumn("s", expr(
           "replace(s, concat(' ', bl, '  ', br, ' '), concat(' ', bl, br, ' '))"))
-        .select(col("wc"), col("s"))
+        .select(col("word"), col("wc"), col("s"))
         .localCheckpoint()
       merges = if (merges == null) best else merges.unionByName(best)
     }
-    merges.orderBy(col("step"))
+    (merges.orderBy(col("step")), vocab)
+  }
+
+  /** TRAIN-then-APPLY tokenizer metering — the composition that closes
+    * the tokenizer loop (text_bpe_train learns the merges,
+    * text_bpe_tokens applies a FIXTURE table; a production pipeline
+    * meters its corpus with the tokenizer it just trained, because
+    * token budgets, packing and cost models are all denominated in
+    * TRAINED tokens): per document, word count, non-space chars, the
+    * token count under the trained segmentation, and the chars-per-
+    * token compression the vocab size bought.
+    *
+    * The trained tokenizer IS [[bpeTrainState]]'s final per-word
+    * symbol assignment — vocabulary-sized, so it BROADCASTS into one
+    * hash join against the corpus token stream (exactly how a trained
+    * sentencepiece model ships to a fleet of tokenizer workers);
+    * out-of-vocabulary words (the len<2 training filter) count as one
+    * token. Integer counts + one frac4 ratio. */
+  def bpeApply(spark: SparkSession, dir: String, nMerges: Int = 8)
+      : DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val vocab = bpeTrainState(docs, nMerges)._2
+      .select(col("word"),
+        size(split(trim(col("s")), "  ")).cast("bigint").as("n_sym"))
+    docs
+      .select(col("doc_id"),
+        length(translate(col("text"), " ", "")).cast("bigint")
+          .as("n_chars"),
+        explode(split(col("text"), " ")).as("word"))
+      .join(broadcast(vocab), Seq("word"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_chars")).as("n_chars"),
+        count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_sym"), lit(1L))).as("n_bpe_trained"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"),
+        col("n_bpe_trained"),
+        (floor(col("n_chars") / col("n_bpe_trained") * 10000.0 + 0.5)
+          / 10000.0).as("chars_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB restatement of [[bpeApply]]: the training chain of
+    * [[bpeTrainOracle]] (word column carried through), final state
+    * joined back onto the corpus token stream. */
+  def bpeApplyOracle(nMerges: Int = 8): String = {
+    val chain = bpeChainSql(nMerges)
+    s"""WITH $chain,
+       docw AS (SELECT doc_id,
+           CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
+           unnest(string_split(text, ' ')) AS word
+         FROM documents),
+       tok AS (SELECT doc_id, n_chars,
+           coalesce(len(string_split(trim(v.s), '  ')), 1) AS t
+         FROM docw LEFT JOIN v$nMerges v USING (word)),
+       agg AS (SELECT doc_id, any_value(n_chars) AS n_chars,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(t) AS BIGINT) AS n_bpe_trained
+         FROM tok GROUP BY doc_id)
+       SELECT doc_id, n_words, n_chars, n_bpe_trained,
+         floor(CAST(n_chars AS DOUBLE) / n_bpe_trained * 10000.0 + 0.5)
+           / 10000.0 AS chars_per_token
+       FROM agg ORDER BY doc_id"""
   }
 
   /** DuckDB restatement of [[bpeTrain]]: the merge loop unrolled as a
@@ -392,6 +458,18 @@ object TextAnalysis {
     * subtree several times over — exponential in nMerges (measured:
     * 8 rounds never finished inlined, 0.5 s materialized). */
   def bpeTrainOracle(nMerges: Int = 8): String = {
+    val union = (1 to nMerges)
+      .map(t => s"SELECT step, lft, rgt, merged, pair_count FROM b$t")
+      .mkString("\n         UNION ALL ")
+    s"""WITH ${bpeChainSql(nMerges)}
+       SELECT * FROM ($union) m ORDER BY step"""
+  }
+
+  /** The shared CTE chain of the BPE oracles: vocab histogram, initial
+    * symbol state, and per-round (pair count, argmax, fuse) — the word
+    * column rides the whole chain so v$nMerges is the trained per-word
+    * tokenizer [[bpeApplyOracle]] joins against. */
+  private def bpeChainSql(nMerges: Int): String = {
     val rounds = (1 to nMerges).map { t =>
       s"""p$t AS MATERIALIZED (SELECT l[i] AS lft, l[i + 1] AS rgt,
            CAST(sum(wc) AS BIGINT) AS pair_count
@@ -401,24 +479,20 @@ object TextAnalysis {
        b$t AS MATERIALIZED (SELECT $t AS step, lft, rgt,
            lft || rgt AS merged, pair_count
          FROM p$t ORDER BY pair_count DESC, lft, rgt LIMIT 1),
-       v$t AS MATERIALIZED (SELECT wc,
+       v$t AS MATERIALIZED (SELECT word, wc,
            replace(s, ' ' || b.lft || '  ' || b.rgt || ' ',
              ' ' || b.merged || ' ') AS s
          FROM v${t - 1}, b$t b)"""
     }.mkString(",\n       ")
-    val union = (1 to nMerges)
-      .map(t => s"SELECT step, lft, rgt, merged, pair_count FROM b$t")
-      .mkString("\n         UNION ALL ")
-    s"""WITH vocab AS (SELECT word, CAST(count(*) AS BIGINT) AS wc
+    s"""vocab AS (SELECT word, CAST(count(*) AS BIGINT) AS wc
          FROM (SELECT unnest(string_split(text, ' ')) AS word
            FROM documents) t
          WHERE len(word) >= 2 GROUP BY word),
-       v0 AS MATERIALIZED (SELECT wc,
+       v0 AS MATERIALIZED (SELECT word, wc,
            ' ' || array_to_string(list_transform(range(1, len(word) + 1),
              i -> substring(word, i, 1)), '  ') || ' ' AS s
          FROM vocab),
-       $rounds
-       SELECT * FROM ($union) m ORDER BY step"""
+       $rounds"""
   }
 
   /** [[pack]] with budgets denominated in BPE tokens instead of

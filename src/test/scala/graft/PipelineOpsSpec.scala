@@ -622,6 +622,30 @@ class PipelineOpsSpec extends AnyFunSuite {
       (sat(0).getString(1), sat(0).getString(2)) == ("a", "b"))
   }
 
+  test("bpe apply: trained metering bounded, monotone in merges, oov counts one") {
+    val rows = TextAnalysis.bpeApply(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val (nw, nc, nt) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // every word is at least one token; no word exceeds its chars
+      assert(nt >= nw && nt <= nc, s"doc ${r.getLong(0)}: $nw/$nc/$nt")
+      assert(r.getDouble(4) ==
+        math.floor(nc.toDouble / nt * 1e4 + 0.5) / 1e4)
+    }
+    // more merges can only fuse further: token counts non-increasing
+    val few = TextAnalysis.bpeApply(spark, sf, nMerges = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    rows.foreach(r => assert(r.getLong(3) <= few(r.getLong(0))))
+    // out-of-vocabulary (len<2) words meter as one token each
+    import TestSession.spark.implicits._
+    val one = TextAnalysis.bpeTrainState(
+      Seq("a b ab").toDF("text"), 1)
+    // only "ab" trains (len>=2); merge fuses it to one symbol, so the
+    // doc meters as 3 tokens: a(oov)=1, b(oov)=1, ab(trained)=1
+    val vocab = one._2.collect()
+    assert(vocab.length == 1 && vocab.head.getString(0) == "ab")
+  }
+
   test("classifier eval: confusion cells partition the corpus, monotone recall") {
     val dir = TestSession.sf
     val rows = TextAnalysis.classifierEval(spark, dir).collect()

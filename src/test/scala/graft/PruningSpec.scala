@@ -160,7 +160,15 @@ class PruningSpec extends AnyFunSuite {
       // sketch_bloom: the one-row probe-summary and bits-set scalars
       // meet in declared one-row broadcast crosses; the probe itself is
       // the broadcast HASH join against the bounded built-filter set
-      "sketch_bloom")
+      "sketch_bloom",
+      // text_bpe_apply: inherits text_bpe_train's per-round one-row
+      // winning-pair crosses; the metering join itself is the
+      // vocabulary-sized broadcast HASH join
+      "text_bpe_apply",
+      // ann_ndcg_eval: inherits bruteTopK's scoring cross and
+      // ann_ivf_topk's probe-routing cross; the eval joins are
+      // output-sized broadcasts
+      "ann_ndcg_eval")
     // full-outer equi-joins cannot broadcast (both sides must preserve
     // unmatched rows), so a shuffle join IS the correct plan there;
     // ann_hybrid_rrf's RRF fusion joins the two rank lists FULL OUTER

@@ -69,6 +69,47 @@ class RelationalSpec extends AnyFunSuite {
     assert(reg.nonEmpty && reg.forall(r => !r.getBoolean(5)))
   }
 
+  test("sequence match: planted A-B-within-T-no-C patterns verdict correctly") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Relational
+    val rows = Relational.q47SequenceMatch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // verdict consistency: matched implies a real purchase id + gap
+    // within the hour; sentinel rows carry -1 on both columns
+    rows.foreach { r =>
+      if (r.getBoolean(5)) {
+        assert(r.getLong(3) >= 0 && r.getLong(4) >= 0 && r.getLong(4) <= 3600)
+      }
+      assert((r.getLong(3) == -1L) == (r.getLong(4) == -1L))
+    }
+    assert(rows.exists(_.getBoolean(5)) && rows.exists(!_.getBoolean(5)),
+      "both verdicts must appear on the real events table")
+    // in-memory CEP recompute: replay each user's (ts, id)-ordered
+    // events and apply the pattern by hand
+    val evs = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byUser = evs.groupBy(_._2).map { case (u, es) =>
+      u -> es.sortBy(e => (e._4, e._1))
+    }
+    val got = rows.map(r => (r.getLong(0), r.getLong(1)) ->
+      ((r.getLong(3), r.getBoolean(5)))).toMap
+    byUser.foreach { case (u, es) =>
+      es.zipWithIndex.filter(_._1._3 == "signup").foreach { case (s, i) =>
+        val after = es.drop(i + 1)
+        val p = after.find(_._3 == "purchase")
+        val e = after.find(_._3 == "error")
+        val inWin = p.exists(_._4 <= s._4 + 3600000000L)
+        val clean = p.isDefined && e.forall(ev =>
+          ev._4 > p.get._4 || (ev._4 == p.get._4 && ev._1 > p.get._1))
+        val (gotPid, gotMatched) = got((u, s._1))
+        assert(gotMatched == (inWin && clean), s"user $u signup ${s._1}")
+        if (inWin) assert(gotPid == p.get._1)
+      }
+    }
+  }
+
   test("every declared query runs and is non-degenerate") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)

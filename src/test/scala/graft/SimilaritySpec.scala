@@ -491,6 +491,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(brute.exists(r => lab(r.getLong(2)) != lab(r.getLong(0))))
   }
 
+  test("ndcg eval: bounded, perfect iff order reproduced, consistent with recall") {
+    val rows = Similarity.ndcgEval(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+      assert(r.getLong(1) >= 0L && r.getLong(1) <= 5L)
+    }
+    // hit counts agree with the recall eval over the same index pair
+    val recall = Similarity.annRecallEval(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) == recall(r.getLong(0))))
+    // ndcg == 1 exactly when the IVF list reproduces the exact ranking
+    val truth = Similarity.bruteTopK(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    val approx = Similarity.ivfTopK(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    rows.foreach { r =>
+      val q = r.getLong(0)
+      assert((r.getDouble(2) == 1.0) == (truth(q) == approx(q)), s"qid $q")
+    }
+    // a lossy index must actually be visible to the metric here: at the
+    // default nProbe some query misses order or membership
+    assert(rows.exists(_.getDouble(2) < 1.0))
+  }
+
   test("hard negatives: wrong-label only, ranked, hardest negative is tight") {
     val rows = Similarity.hardNegatives(spark, sf).collect()
     val lab = Tables.embeddings(spark, sf)
