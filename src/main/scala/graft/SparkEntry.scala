@@ -64,6 +64,8 @@ object SparkEntry {
     "q44_top_supplier" -> ((s, d) => Relational.q44TopSupplier(s, d)),
     // A'. warehouse shapes: runtime bloom filter, band lookup, SCD2
     "q30_bloom_semi" -> (Warehouse.q30BloomSemi _),
+    "q48_data_contract" -> ((s, d) => Warehouse.q48DataContract(s, d)),
+    "q49_view_maintain" -> ((s, d) => Warehouse.q49ViewMaintain(s, d)),
     "q31_range_lookup" -> (Warehouse.q31RangeLookup _),
     "q32_scd2" -> (Warehouse.q32Scd2 _),
     "q36_merge_upsert" -> (Warehouse.q36MergeUpsert _),
@@ -859,6 +861,61 @@ object SparkEntry {
            ELSE CAST(-1 AS BIGINT) END AS gap_s,
          in_window AND clean AS matched
        FROM v ORDER BY user_id, signup_id""",
+    // data-contract battery: every rule an integer conditional count;
+    // the corpus genuinely fails the two range rules (no planting)
+    "q48_data_contract" ->
+      """WITH la AS (SELECT CAST(count(*) AS BIGINT) AS li_n,
+           CAST(sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 45.0
+             THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+           CAST(sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END)
+             AS BIGINT) AS v_disc
+         FROM lineitem),
+       oa AS (SELECT CAST(count(*) AS BIGINT) AS o_n,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_uniq,
+           CAST(sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS v_price,
+           CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+             THEN 1 ELSE 0 END) AS BIGINT) AS v_status
+         FROM orders),
+       ra AS (SELECT CAST(count(*) AS BIGINT) AS v_ref FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+           WHERE o.o_orderkey = l.l_orderkey)),
+       rules AS (
+         SELECT 'li_quantity_range' AS rule, li_n AS n_checked,
+           v_qty AS n_violations FROM la
+         UNION ALL SELECT 'li_discount_max', li_n, v_disc FROM la
+         UNION ALL SELECT 'li_orderkey_ref', (SELECT li_n FROM la),
+           v_ref FROM ra
+         UNION ALL SELECT 'o_orderkey_unique', o_n, v_uniq FROM oa
+         UNION ALL SELECT 'o_totalprice_positive', o_n, v_price FROM oa
+         UNION ALL SELECT 'o_status_domain', o_n, v_status FROM oa)
+       SELECT rule, n_checked, n_violations,
+         floor(CAST(n_violations AS DOUBLE) / n_checked * 10000.0 + 0.5)
+           / 10000.0 AS violation_frac,
+         n_violations = 0 AS passed
+       FROM rules ORDER BY rule""",
+    // incremental view maintenance: base/delta states restated with
+    // the same split, merged by the same full-outer coalesce algebra
+    "q49_view_maintain" ->
+      """WITH e AS (SELECT event_id, event_type, value,
+           date_trunc('hour', ts) AS window_start FROM events),
+       b AS (SELECT window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_b, sum(value) AS s_b
+         FROM e WHERE event_id % 10 < 8 GROUP BY 1, 2),
+       d AS (SELECT window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_d, sum(value) AS s_d
+         FROM e WHERE event_id % 10 >= 8 GROUP BY 1, 2)
+       SELECT coalesce(b.window_start, d.window_start) AS window_start,
+         coalesce(b.event_type, d.event_type) AS event_type,
+         coalesce(n_b, CAST(0 AS BIGINT))
+           + coalesce(n_d, CAST(0 AS BIGINT)) AS n_events,
+         round(coalesce(s_b, CAST(0.0 AS DOUBLE))
+           + coalesce(s_d, CAST(0.0 AS DOUBLE)), 2) AS sum_value,
+         n_d IS NOT NULL AS updated
+       FROM b FULL OUTER JOIN d
+         ON b.window_start = d.window_start
+           AND b.event_type = d.event_type
+       ORDER BY 1, 2""",
     "q43_dormant_customers" ->
       """WITH cust AS (SELECT c_custkey, c_acctbal,
            c_nationkey % 25 AS cntrycode FROM customer

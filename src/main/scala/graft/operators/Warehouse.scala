@@ -249,4 +249,100 @@ object Warehouse {
           .otherwise(lit("kept")).as("action"))
       .orderBy(col("key"))
   }
+
+  /** Declarative DATA-CONTRACT validation — the expectations gate
+    * (Great-Expectations / dbt-test class) every ingest runs before
+    * data is allowed downstream: per rule, rows checked, violations,
+    * violation rate and a pass verdict. The battery covers the four
+    * constraint families a contract needs — range (quantity, discount,
+    * positivity), domain (order status), uniqueness (order key), and
+    * referential integrity (every lineitem's order exists) — and the
+    * corpus genuinely fails two of them (quantity ≤ 45 and discount
+    * ≤ 0.08 are violated by real rows), so the report has live
+    * violations without planting.
+    *
+    * Scale posture: all same-table rules fold in ONE map-side-combined
+    * aggregation pass per table (a rule is a conditional sum, so adding
+    * rules is free); uniqueness is count − countDistinct inside the
+    * same pass; referential integrity is the only extra job — one
+    * broadcast ANTI join counted (orders' key side broadcasts). The
+    * one-row per-table aggregates meet in declared scalar crosses and
+    * unpivot to the report map-side. */
+  def q48DataContract(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val liAgg = li.agg(count(lit(1)).as("li_n"),
+      sum(when(col("l_quantity") < 1.0 || col("l_quantity") > 45.0, 1L)
+        .otherwise(0L)).as("v_qty"),
+      sum(when(col("l_discount") > 0.08, 1L).otherwise(0L)).as("v_disc"))
+    val oAgg = o.agg(count(lit(1)).as("o_n"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_uniq"),
+      sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("v_price"),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+        .otherwise(0L)).as("v_status"))
+    val refAgg = li
+      .join(broadcast(o.select(col("o_orderkey"))),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("v_ref"))
+    liAgg.crossJoin(broadcast(oAgg)).crossJoin(broadcast(refAgg))
+      .select(explode(array(
+        struct(lit("li_quantity_range").as("rule"),
+          col("li_n").as("n_checked"), col("v_qty").as("n_violations")),
+        struct(lit("li_discount_max").as("rule"),
+          col("li_n").as("n_checked"), col("v_disc").as("n_violations")),
+        struct(lit("li_orderkey_ref").as("rule"),
+          col("li_n").as("n_checked"), col("v_ref").as("n_violations")),
+        struct(lit("o_orderkey_unique").as("rule"),
+          col("o_n").as("n_checked"), col("v_uniq").as("n_violations")),
+        struct(lit("o_totalprice_positive").as("rule"),
+          col("o_n").as("n_checked"), col("v_price").as("n_violations")),
+        struct(lit("o_status_domain").as("rule"),
+          col("o_n").as("n_checked"), col("v_status").as("n_violations"))))
+        .as("r"))
+      .select(col("r.rule"), col("r.n_checked"), col("r.n_violations"),
+        (floor(col("r.n_violations") / col("r.n_checked") * 10000.0 + 0.5)
+          / 10000.0).as("violation_frac"),
+        (col("r.n_violations") === 0L).as("passed"))
+      .orderBy(col("rule"))
+  }
+
+  /** Incremental MATERIALIZED-VIEW maintenance — the delta-merge that
+    * keeps a standing aggregate current without rescanning history (at
+    * 100 TB the base scan is the unaffordable part; a view you must
+    * rebuild from scratch is not a view, it's a report): the base
+    * partition (event_id % 10 < 8 — the standing snapshot's stand-in)
+    * and the arriving delta each reduce to MERGEABLE per-group state
+    * (count, sum — the partial-agg pair), and the merge is one
+    * group-keyed full-outer fold: groups only in base pass through,
+    * groups only in the delta appear, overlapping groups add their
+    * states. `updated` marks exactly the groups the delta touched —
+    * what an incremental refresh would rewrite.
+    *
+    * Scale posture: both sides reduce map-side before anything
+    * shuffles (state is groups-sized, not rows-sized); the merge is a
+    * shuffle-hash full outer on the group key (full outer cannot
+    * broadcast — both sides must keep unmatched groups); a real deploy
+    * stores the base state and replays only deltas, which this
+    * operator's algebra makes a pure state-add. Spec pins
+    * merge == full recompute and that `updated` is exactly the
+    * delta's group set. */
+  def q49ViewMaintain(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        date_trunc("hour", col("ts")).as("window_start"))
+    def state(df: DataFrame, n: String, s: String): DataFrame = df
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(count(lit(1)).as(n), sum(col("value")).as(s))
+    val base = state(ev.filter(col("event_id") % 10 < 8), "n_b", "s_b")
+    val delta = state(ev.filter(col("event_id") % 10 >= 8), "n_d", "s_d")
+    base.join(delta.hint("shuffle_hash"),
+        Seq("window_start", "event_type"), "full_outer")
+      .select(col("window_start"), col("event_type"),
+        (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
+          .as("n_events"),
+        round(coalesce(col("s_b"), lit(0.0))
+          + coalesce(col("s_d"), lit(0.0)), 2).as("sum_value"),
+        col("n_d").isNotNull.as("updated"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
 }

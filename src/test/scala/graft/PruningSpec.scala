@@ -168,7 +168,10 @@ class PruningSpec extends AnyFunSuite {
       // ann_ndcg_eval: inherits bruteTopK's scoring cross and
       // ann_ivf_topk's probe-routing cross; the eval joins are
       // output-sized broadcasts
-      "ann_ndcg_eval")
+      "ann_ndcg_eval",
+      // q48_data_contract: the one-row per-table rule aggregates meet
+      // in declared scalar crosses before the map-side unpivot
+      "q48_data_contract")
     // full-outer equi-joins cannot broadcast (both sides must preserve
     // unmatched rows), so a shuffle join IS the correct plan there;
     // ann_hybrid_rrf's RRF fusion joins the two rank lists FULL OUTER

@@ -171,4 +171,57 @@ class WarehouseSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("SortMergeJoin"), "merge planned a sort-merge join")
   }
+
+  test("data contract: live violations on range rules, integrity rules pass") {
+    val sf = TestSession.sf
+    val rows = Warehouse.q48DataContract(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(rows.size == 6)
+    // recompute the two failing range rules exactly
+    val li = Tables.lineitem(spark, sf)
+    val nLi = li.count()
+    val vQty = li.filter(col("l_quantity") < 1.0 ||
+      col("l_quantity") > 45.0).count()
+    val vDisc = li.filter(col("l_discount") > 0.08).count()
+    assert(vQty > 0 && vDisc > 0, "corpus must fail the range rules")
+    assert(rows("li_quantity_range") == ((nLi, vQty,
+      math.floor(vQty.toDouble / nLi * 1e4 + 0.5) / 1e4, false)))
+    assert(rows("li_discount_max")._2 == vDisc)
+    // the integrity family holds on consistent TPC-H data
+    Seq("li_orderkey_ref", "o_orderkey_unique", "o_totalprice_positive",
+      "o_status_domain").foreach { rule =>
+      assert(rows(rule)._2 == 0L && rows(rule)._4, s"$rule must pass")
+    }
+  }
+
+  test("view maintenance: delta merge equals full recompute, updated = delta groups") {
+    val sf = TestSession.sf
+    val merged = Warehouse.q49ViewMaintain(spark, sf).collect()
+    // merge == full recompute on every group (the algebra's whole point)
+    val full = graft.streaming.EventStreams
+      .windowAggBatch(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(merged.length == full.size)
+    merged.foreach { r =>
+      val (n, s) = full((r.getTimestamp(0), r.getString(1)))
+      assert(r.getLong(2) == n)
+      assert(math.abs(r.getDouble(3) - s) < 0.011,
+        s"sum drift ${r.getDouble(3)} vs $s")
+    }
+    // updated marks exactly the groups the delta batch touched
+    val deltaGroups = Tables.events(spark, sf)
+      .filter(col("event_id") % 10 >= 8)
+      .select(date_trunc("hour", col("ts")), col("event_type"))
+      .distinct().collect()
+      .map(r => (r.getTimestamp(0), r.getString(1))).toSet
+    merged.foreach { r =>
+      assert(r.getBoolean(4) ==
+        deltaGroups((r.getTimestamp(0), r.getString(1))))
+    }
+    assert(merged.exists(_.getBoolean(4)) && merged.exists(!_.getBoolean(4)),
+      "both touched and untouched groups must exist")
+  }
 }
