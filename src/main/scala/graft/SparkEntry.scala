@@ -73,6 +73,7 @@ object SparkEntry {
     // B'. graph centrality over the road-network key space (dyadic-exact
     // PageRank — see operators.Graph for why the oracle matches bitwise)
     "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
+    "graph_ppr" -> ((s, d) => Graph.personalizedPagerank(s, d)),
     "graph_components" -> ((s, d) => Graph.components(s, d)),
     "graph_labelprop" -> ((s, d) => Graph.labelProp(s, d)),
     "graph_triangles" -> ((s, d) => Graph.triangles(s, d)),
@@ -140,6 +141,7 @@ object SparkEntry {
     "emb_outliers" -> ((s, d) => Similarity.outliers(s, d)),
     "emb_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "emb_pca" -> ((s, d) => Similarity.pcaPower(s, d)),
+    "emb_pca_project" -> ((s, d) => Similarity.pcaProject(s, d)),
     "emb_drift" -> ((s, d) => Similarity.drift(s, d)),
     "emb_neardup" -> ((s, d) => Similarity.nearDup(s, d)),
     // contract verdicts: LSH subset/recall/precision vs the blocked
@@ -688,6 +690,9 @@ object SparkEntry {
              ELSE 'idle' END AS status_final
          FROM v ORDER BY op_id, event_id""",
     "graph_pagerank" -> operators.Graph.pagerankOracle(),
+    // personalized pagerank: same dyadic-exact unrolled chain, restart
+    // mass confined to the seed indicator
+    "graph_ppr" -> operators.Graph.personalizedPagerankOracle(),
     "graph_components" -> operators.Graph.componentsOracle,
     // deterministic semi-sync LPA: integer vote counts + smallest-label
     // ties, fixed rounds -> the whole trajectory unrolls as CTEs
@@ -729,6 +734,9 @@ object SparkEntry {
     // power-iteration PCA: float-pinned mean/cells/matvec/norm/Rayleigh
     // make the whole 8-round trajectory hash-exact (kmeans discipline)
     "emb_pca" -> operators.Similarity.pcaPowerOracle(),
+    // PCA projection: shared trajectory chain + the centered dot —
+    // sign pinned by the deterministic power-iteration init
+    "emb_pca_project" -> operators.Similarity.pcaProjectOracle(),
     // per-dim Welch z between corpus halves: float-pinned moments
     "emb_drift" -> operators.Similarity.driftOracle(),
     // first-touch attribution: integer epoch gap test, unique

@@ -122,6 +122,82 @@ object Graph {
        SELECT node, r AS pr FROM p$iters ORDER BY node"""
   }
 
+  /** PERSONALIZED PageRank (TrustRank shape) — propagation of trust /
+    * quality from a SEED set instead of uniform teleport: the restart
+    * mass lands only on seeds (node % 16 == 0 — the "manually vetted"
+    * sources), so a node's score measures its link-distance-weighted
+    * reachability FROM the trusted set. This is the propagation model
+    * data curation uses to extend a small vetted-domain list over a web
+    * graph (TrustRank, Gyöngyi et al. 2004): spam/junk far from seeds
+    * decays geometrically, well-linked neighborhoods of seeds score
+    * high. Same exact-arithmetic engineering as [[pagerank]] (dyadic
+    * damping 3/4, rank/4 contributions, seed indicator 0/1, fixed
+    * rounds — every add exact, so aggregation order cannot move a bit);
+    * unnormalized restart (seed teleport = 1/4 each) keeps the update
+    * dyadic. Non-seeds start at 0: mass genuinely FLOWS from seeds. */
+  def personalizedPagerank(spark: SparkSession, dir: String,
+                           iters: Int = DefaultIters,
+                           seedMod: Int = 16): DataFrame = {
+    require(iters >= 1)
+    val nodes = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").as("node"))
+      .withColumn("seed", (col("node") % seedMod === 0).cast("double"))
+    val edges = pageEdges(spark, dir)
+      .withColumnRenamed("src", "esrc")
+      .repartition(col("esrc"))
+      .localCheckpoint()
+    var ranks = nodes.withColumn("r", col("seed")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val inbound = ranks.join(edges, ranks("node") === edges("esrc"))
+        .select(edges("dst").as("node"), (col("r") / OutDegree).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("m"))
+      val next = nodes.join(inbound, Seq("node"), "left_outer")
+        .select(col("node"), col("seed"),
+          (lit(1 - Damping) * col("seed")
+            + lit(Damping) * coalesce(col("m"), lit(0.0))).as("r"))
+        .localCheckpoint()
+      SparkBridge.unpersistCheckpoint(ranks)
+      ranks = SparkBridge.dropOriginStats(next)
+    }
+    val out = ranks
+      .select(col("node"), (col("seed") > 0.5).as("is_seed"),
+        col("r").as("ppr"))
+      .orderBy(col("node"))
+    SparkBridge.unpersistCheckpoint(edges)
+    out
+  }
+
+  /** Unrolled DuckDB oracle for [[personalizedPagerank]] — the
+    * [[pagerankOracle]] chain with the seed-indicator restart. */
+  def personalizedPagerankOracle(iters: Int = DefaultIters,
+                                 seedMod: Int = 16): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""p$i AS (SELECT n.node, n.seed,
+         CAST(0.25 AS DOUBLE) * n.seed + CAST(0.75 AS DOUBLE)
+           * coalesce(s.m, CAST(0.0 AS DOUBLE)) AS r
+         FROM n LEFT JOIN (
+           SELECT e.dst AS node, sum(p.r / CAST(4.0 AS DOUBLE)) AS m
+           FROM e JOIN p${i - 1} p ON p.node = e.src GROUP BY e.dst) s
+         USING (node))"""
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT max(s_suppkey) + 1 AS nv FROM supplier),
+       e AS (
+         SELECT s_suppkey AS src, (s_suppkey * 7 + 1) % nv AS dst FROM supplier, v
+         UNION ALL
+         SELECT s_suppkey, (s_suppkey * 13 + 3) % nv FROM supplier, v
+         UNION ALL
+         SELECT s_suppkey, (s_suppkey * 29 + 5) % nv FROM supplier, v
+         UNION ALL
+         SELECT s_suppkey, (s_suppkey * 31 + 11) % nv FROM supplier, v),
+       n AS (SELECT s_suppkey AS node,
+         CASE WHEN s_suppkey % $seedMod = 0 THEN CAST(1.0 AS DOUBLE)
+           ELSE CAST(0.0 AS DOUBLE) END AS seed FROM supplier),
+       p0 AS (SELECT node, seed, seed AS r FROM n),
+       $rounds
+       SELECT node, seed > CAST(0.5 AS DOUBLE) AS is_seed, r AS ppr
+       FROM p$iters ORDER BY node"""
+  }
+
   /** Block size of the deterministic component graph: nodes connect only
     * within their 64-key block, so components are non-trivial (up to 64
     * members, the tail block smaller) and the expected answer is fully

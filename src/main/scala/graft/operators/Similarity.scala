@@ -1503,6 +1503,19 @@ object Similarity {
     * pins is single-expression arithmetic the oracle restates
     * identically, making the whole 8-round trajectory hash-exact. */
   def pcaPower(spark: SparkSession, dir: String, iters: Int = 8): DataFrame = {
+    val (_, v, lam) = pcaState(spark, dir, iters)
+    v.crossJoin(broadcast(lam))
+      .select(col("i").as("pos"), round(col("v"), 4).as("loading"),
+        round(col("lam"), 4).as("eigval"))
+      .orderBy(col("pos"))
+  }
+
+  /** The shared trajectory of [[pcaPower]] / [[pcaProject]]: centered
+    * scalar rows (vec_id, i, cv), the converged top eigenvector
+    * (i, v), and the Rayleigh eigenvalue. */
+  private[graft] def pcaState(spark: SparkSession, dir: String,
+                              iters: Int = 8)
+      : (DataFrame, DataFrame, DataFrame) = {
     val e = emb(spark, dir).select(col("vec_id"),
       col("embedding").cast("array<double>").as("emb"))
     val ex = e.select(col("vec_id"), posexplode(col("emb")).as(Seq("pos", "v")))
@@ -1562,20 +1575,63 @@ object Similarity {
         .cast("float").cast("double").as("lam"))
     // cells stays checkpointed: the returned plan reads it in every
     // round's matvec (same keep-the-live-checkpoint rule as kmeans)
-    v.crossJoin(broadcast(lam))
-      .select(col("i").as("pos"), round(col("v"), 4).as("loading"),
-        round(col("lam"), 4).as("eigval"))
-      .orderBy(col("pos"))
+    (exC, v, lam)
+  }
+
+  /** PCA PROJECTION — the APPLY rung [[pcaPower]] trains for: every
+    * vector's coordinate along the learned top component (the
+    * dimensionality-reduction / visualization / coarse-binning axis a
+    * fitted PCA exists to produce; training a component and never
+    * projecting onto it is half an operator). pc1 = Σ_i (x_i − μ_i)·v_i
+    * over the SAME centered scalar rows and converged eigenvector as
+    * the trainer — one corpus pass against the dims-sized broadcast
+    * eigenvector, the per-vector dot float-cast out of its aggregate
+    * (the kmeans discipline). Sign is pinned by the deterministic
+    * power-iteration init, so both engines agree bitwise. */
+  def pcaProject(spark: SparkSession, dir: String, iters: Int = 8)
+      : DataFrame = {
+    val (exC, v, _) = pcaState(spark, dir, iters)
+    val proj = exC
+      .join(broadcast(v.select(col("i"), col("v"))), Seq("i"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("cv") * col("v")).cast("float").cast("double")
+        .as("p"))
+    emb(spark, dir).select(col("vec_id"), col("label"))
+      .join(proj.hint("shuffle_hash"), Seq("vec_id"))
+      .select(col("vec_id"), col("label"), round(col("p"), 4).as("pc1"))
+      .orderBy(col("vec_id"))
   }
 
   /** DuckDB restatement of [[pcaPower]] — the same pinned trajectory,
     * with the pair expansion as a vec_id self-join (the map-side
     * expansion and the self-join enumerate the same (i, j) terms). */
   def pcaPowerOracle(iters: Int = 8): String = {
-    // AS MATERIALIZED throughout: s_k is referenced twice (n_k and u_k),
-    // so plain-CTE inlining would DOUBLE the expression tree per round —
-    // 2^iters copies of the covariance self-join (measured: minutes vs
-    // 0.9 s at sf0.01)
+    val last = s"u$iters"
+    s"""WITH ${pcaChainSql(iters)},
+       lam0 AS (SELECT CAST(CAST(sum(c * a.v * b.v) AS REAL) AS DOUBLE) AS lam
+         FROM cov JOIN $last a ON cov.i = a.i JOIN $last b ON cov.j = b.i)
+       SELECT u.i AS pos, round(u.v, 4) AS loading, round(lam, 4) AS eigval
+       FROM $last u, lam0 ORDER BY pos"""
+  }
+
+  /** DuckDB restatement of [[pcaProject]]: the shared trajectory chain,
+    * final eigenvector dotted back onto the centered rows. */
+  def pcaProjectOracle(iters: Int = 8): String =
+    s"""WITH ${pcaChainSql(iters)},
+       proj AS (SELECT ce.vec_id,
+           CAST(CAST(sum(ce.cv * u.v) AS REAL) AS DOUBLE) AS p
+         FROM ce JOIN u$iters u ON ce.i = u.i GROUP BY ce.vec_id)
+       SELECT e.vec_id, e.label, round(p, 4) AS pc1
+       FROM proj JOIN embeddings e USING (vec_id) ORDER BY vec_id"""
+
+  /** Shared CTE chain of the PCA oracles ([[pcaPowerOracle]] /
+    * [[pcaProjectOracle]]): centering, covariance, and the unrolled
+    * power iteration.
+    * AS MATERIALIZED throughout: s_k is referenced twice (n_k and u_k),
+    * so plain-CTE inlining would DOUBLE the expression tree per round —
+    * 2^iters copies of the covariance self-join (measured: minutes vs
+    * 0.9 s at sf0.01). */
+  private def pcaChainSql(iters: Int): String = {
     val steps = (1 to iters).map { k =>
       val prev = if (k == 1) "u0" else s"u${k - 1}"
       s"""s$k AS MATERIALIZED (SELECT cov.i,
@@ -1586,8 +1642,7 @@ object Similarity {
            FROM s$k),
          u$k AS MATERIALIZED (SELECT i, s / nrm AS v FROM s$k, n$k)"""
     }.mkString(",\n")
-    val last = s"u$iters"
-    s"""WITH ex AS MATERIALIZED (SELECT vec_id, i AS pos,
+    s"""ex AS MATERIALIZED (SELECT vec_id, i AS pos,
            embedding[i]::DOUBLE AS v
          FROM embeddings, LATERAL (SELECT unnest(generate_series(
            1, len(embedding))) AS i) t),
@@ -1603,11 +1658,7 @@ object Similarity {
          FROM cov0, nn),
        u0 AS (SELECT DISTINCT i,
          CAST(CASE WHEN i = 0 THEN 1 ELSE 0 END AS DOUBLE) AS v FROM cov),
-       $steps,
-       lam0 AS (SELECT CAST(CAST(sum(c * a.v * b.v) AS REAL) AS DOUBLE) AS lam
-         FROM cov JOIN $last a ON cov.i = a.i JOIN $last b ON cov.j = b.i)
-       SELECT u.i AS pos, round(u.v, 4) AS loading, round(lam, 4) AS eigval
-       FROM $last u, lam0 ORDER BY pos"""
+       $steps"""
   }
 
   /** Embedding DRIFT monitor: per-dimension Welch z between a

@@ -7,6 +7,30 @@ import graft.operators.Graph
 class GraphSpec extends AnyFunSuite {
   import TestSession._
 
+  test("ppr: mass conserved at |seeds|, seeds keep restart floor, flows from seeds") {
+    val rows = Graph.personalizedPagerank(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nSeeds = rows.count(_.getBoolean(1))
+    assert(nSeeds > 0 && nSeeds < rows.length)
+    // constant out-degree distributes every node's rank fully, so each
+    // round's total is 0.25|S| + 0.75·total: from t0 = |S| the total is
+    // a fixpoint — mass is conserved EXACTLY (dyadic arithmetic)
+    val total = rows.map(_.getDouble(2)).sum
+    assert(math.abs(total - nSeeds.toDouble) < 1e-9,
+      s"mass $total vs seeds $nSeeds")
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0)
+      // every seed receives its own restart mass in the final round
+      if (r.getBoolean(1)) assert(r.getDouble(2) >= 0.25)
+    }
+    // trust genuinely concentrates near seeds: the seed average beats
+    // the non-seed average
+    val seedAvg = rows.filter(_.getBoolean(1)).map(_.getDouble(2)).sum / nSeeds
+    val otherAvg = rows.filter(!_.getBoolean(1)).map(_.getDouble(2)).sum /
+      (rows.length - nSeeds)
+    assert(seedAvg > otherAvg)
+  }
+
   test("components: each 64-key block is exactly one component") {
     val rows = Graph.components(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -171,7 +171,10 @@ class PruningSpec extends AnyFunSuite {
       "ann_ndcg_eval",
       // q48_data_contract: the one-row per-table rule aggregates meet
       // in declared scalar crosses before the map-side unpivot
-      "q48_data_contract")
+      "q48_data_contract",
+      // emb_pca_project: inherits emb_pca's declared one-row norm
+      // cross in the live (post-checkpoint) eigenvector plan
+      "emb_pca_project")
     // full-outer equi-joins cannot broadcast (both sides must preserve
     // unmatched rows), so a shuffle join IS the correct plan there;
     // ann_hybrid_rrf's RRF fusion joins the two rank lists FULL OUTER

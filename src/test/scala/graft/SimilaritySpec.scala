@@ -491,6 +491,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(brute.exists(r => lab(r.getLong(2)) != lab(r.getLong(0))))
   }
 
+  test("pca project: centered, variance equals the eigenvalue, matches loadings") {
+    val rows = Similarity.pcaProject(spark, sf).collect()
+    val n = rows.length
+    assert(n == Tables.embeddings(spark, sf).count())
+    val ps = rows.map(_.getDouble(2))
+    // projection of centered data along any axis has zero mean
+    assert(math.abs(ps.sum / n) < 1e-3, s"mean ${ps.sum / n}")
+    // the variance along the learned axis IS the Rayleigh eigenvalue
+    val pca = Similarity.pcaPower(spark, sf).collect()
+    val eig = pca.head.getDouble(2)
+    val varP = ps.map(p => p * p).sum / n
+    assert(math.abs(varP - eig) < 0.05 * eig,
+      s"var $varP vs eigval $eig")
+    // per-vector recompute from the published (rounded) loadings
+    val load = pca.map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val embs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    val dims = embs.head._2.length
+    val mus = (0 until dims).map(i => embs.map(_._2(i)).sum / n)
+    val got = rows.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    embs.foreach { case (id, v) =>
+      val p = (0 until dims).map(i => (v(i) - mus(i)) * load(i)).sum
+      assert(math.abs(got(id) - p) < 1e-2, s"vec $id: ${got(id)} vs $p")
+    }
+  }
+
   test("ndcg eval: bounded, perfect iff order reproduced, consistent with recall") {
     val rows = Similarity.ndcgEval(spark, sf).collect()
     assert(rows.nonEmpty)
