@@ -83,6 +83,7 @@ object SparkEntry {
     "geo_poly_filter" -> (Accessibility.polyFilter _),
     "geo_buffer_count" -> (Accessibility.bufferCount _),
     "geo_nearest_poi" -> (Accessibility.nearestPoi _),
+    "geo_snap_roads" -> ((s, d) => Accessibility.snapRoads(s, d)),
     "geo_centroid" -> (Accessibility.centroid _),
     "geo_accessibility" -> ((s, d) => Accessibility.accessibility(s, d)),
     "geo_tile_assign" -> ((s, d) => Accessibility.tileAssign(s, d)),
@@ -1464,6 +1465,9 @@ object SparkEntry {
     // closure over 8-connected core cells; coordinates, cell ids and
     // the core/border/noise classification restate closed-form
     "geo_dbscan" -> operators.Accessibility.gridDensityOracle(),
+    // map matching: identical IEEE expression trees for the projection
+    // arithmetic; cell cover restated as the radius bound it is
+    "geo_snap_roads" -> operators.Accessibility.snapRoadsOracle(),
     // the whole calculate-eta run composed: the clip restates closed-form
     // (geo_clip_area's dims), work-area membership is the same half-open
     // outer / open-hole interval predicates both engines evaluate on

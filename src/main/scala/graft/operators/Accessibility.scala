@@ -819,4 +819,137 @@ object Accessibility {
        LEFT JOIN cl own ON own.cx = p.cx AND own.cy = p.cy
        LEFT JOIN nbh ON nbh.cx = p.cx AND nbh.cy = p.cy
        ORDER BY p.c_custkey"""
+
+  /** MAP-MATCHING — snap every probe point to its nearest ROAD SEGMENT
+    * (the GPS-trace→network step upstream of every routing pipeline;
+    * the reference's nearest-road walk-time leg, tasks.js:141-151,
+    * uses exactly this association): exact point-to-segment projection
+    * t = clamp(((p−a)·(b−a))/|b−a|², 0, 1), snapped point a + t(b−a),
+    * planar-degree distance — against the CHAIN subset of the road
+    * network (k → k+1), whose bounded geometric span is what makes a
+    * cell index possible at all.
+    *
+    * Scale posture: the R-tree of a single-node matcher becomes a CELL
+    * COVER here — each segment explodes into the grid cells its bbox
+    * overlaps (bounded by the chain edges' bounded span; a handful of
+    * antimeridian-wrapping segments cover one lon row of cells), the
+    * cover is dimension-sized and BROADCASTS, and each point probes
+    * exactly its own cell — per-point work is local segment density,
+    * never |segments|. Matching is radius-bounded BY the cell cover
+    * (a point whose cell no segment bbox touches reports
+    * matched = false with sentinels, not a global scan — precisely how
+    * production map-matching rejects off-network probes). Argmin per
+    * point by (dist, src, dst) row_number inside point partitions. */
+  def snapRoads(spark: SparkSession, dir: String,
+                cellDeg: Double = 10.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sup = Tables.supplier(spark, dir).select(col("s_suppkey"))
+    val nv = sup.agg((max(col("s_suppkey")) + 1L).as("nv"))
+    val segs = sup.crossJoin(broadcast(nv))
+      .select(col("s_suppkey").as("src"),
+        ((col("s_suppkey") + 1L) % col("nv")).as("dst"))
+      .withColumn("ax", lonOf(col("src")))
+      .withColumn("ay", latOf(col("src")))
+      .withColumn("bx", lonOf(col("dst")))
+      .withColumn("by", latOf(col("dst")))
+    val segCells = segs
+      .withColumn("cx", explode(sequence(
+        floor((least(col("ax"), col("bx")) + 180.0) / cellDeg)
+          .cast("long"),
+        floor((greatest(col("ax"), col("bx")) + 180.0) / cellDeg)
+          .cast("long"))))
+      .withColumn("cy", explode(sequence(
+        floor((least(col("ay"), col("by")) + 90.0) / cellDeg)
+          .cast("long"),
+        floor((greatest(col("ay"), col("by")) + 90.0) / cellDeg)
+          .cast("long"))))
+    val pts = Tables.customer(spark, dir).select(col("c_custkey"))
+      .withColumn("px", lonOf(col("c_custkey")))
+      .withColumn("py", latOf(col("c_custkey")))
+      .withColumn("cx", cellX(col("px"), cellDeg))
+      .withColumn("cy", cellY(col("py"), cellDeg))
+    val cand = pts.join(broadcast(segCells), Seq("cx", "cy"))
+      .withColumn("dx", col("bx") - col("ax"))
+      .withColumn("dy", col("by") - col("ay"))
+      .withColumn("t", greatest(lit(0.0), least(lit(1.0),
+        ((col("px") - col("ax")) * col("dx")
+          + (col("py") - col("ay")) * col("dy"))
+          / (col("dx") * col("dx") + col("dy") * col("dy")))))
+      .withColumn("sx", col("ax") + col("t") * col("dx"))
+      .withColumn("sy", col("ay") + col("t") * col("dy"))
+      .withColumn("dist", sqrt(
+        (col("px") - col("sx")) * (col("px") - col("sx"))
+          + (col("py") - col("sy")) * (col("py") - col("sy"))))
+    val w = Window.partitionBy(col("c_custkey"))
+      .orderBy(col("dist"), col("src"), col("dst"))
+    val best = cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("c_custkey"), col("src"), col("dst"), col("t"),
+        col("dist"), col("sx"), col("sy"))
+    pts.select(col("c_custkey"), col("px"), col("py"))
+      .join(broadcast(best), Seq("c_custkey"), "left_outer")
+      .select(col("c_custkey"), col("src").isNotNull.as("matched"),
+        coalesce(col("src"), lit(-1L)).as("seg_src"),
+        coalesce(col("dst"), lit(-1L)).as("seg_dst"),
+        round(coalesce(col("t"), lit(-1.0)), 4).as("t"),
+        round(coalesce(col("dist"), lit(-1.0)), 4).as("snap_dist_deg"),
+        round(coalesce(col("sx"), lit(-999.0)), 4).as("snap_lon"),
+        round(coalesce(col("sy"), lit(-999.0)), 4).as("snap_lat"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** DuckDB restatement of [[snapRoads]]: identical coordinate
+    * derivation, cell cover, projection arithmetic (same expression
+    * trees — IEEE parity), and (dist, src, dst) argmin. */
+  def snapRoadsOracle(cellDeg: Double = 10.0): String =
+    s"""WITH v AS (SELECT max(s_suppkey) + 1 AS nv FROM supplier),
+       seg AS (SELECT src, dst,
+           (src * 91 % 3600) / 10.0 - 180.0 AS ax,
+           (src * 37 % 1700) / 10.0 - 85.0 AS ay,
+           (dst * 91 % 3600) / 10.0 - 180.0 AS bx,
+           (dst * 37 % 1700) / 10.0 - 85.0 AS by
+         FROM (SELECT s_suppkey AS src, (s_suppkey + 1) % nv AS dst
+           FROM supplier, v) t),
+       cl AS (SELECT seg.*, u.cx, w.cy FROM seg,
+         LATERAL (SELECT unnest(range(
+           CAST(floor((least(ax, bx) + 180.0) / $cellDeg) AS BIGINT),
+           CAST(floor((greatest(ax, bx) + 180.0) / $cellDeg) AS BIGINT)
+             + 1)) AS cx) u,
+         LATERAL (SELECT unnest(range(
+           CAST(floor((least(ay, by) + 90.0) / $cellDeg) AS BIGINT),
+           CAST(floor((greatest(ay, by) + 90.0) / $cellDeg) AS BIGINT)
+             + 1)) AS cy) w),
+       pts AS (SELECT c_custkey,
+           (c_custkey * 91 % 3600) / 10.0 - 180.0 AS px,
+           (c_custkey * 37 % 1700) / 10.0 - 85.0 AS py
+         FROM customer),
+       ptc AS (SELECT *,
+           CAST(floor((px + 180.0) / $cellDeg) AS BIGINT) AS cx,
+           CAST(floor((py + 90.0) / $cellDeg) AS BIGINT) AS cy
+         FROM pts),
+       cand0 AS (SELECT p.c_custkey, p.px, p.py, s.src, s.dst,
+           s.ax, s.ay, s.bx - s.ax AS dx, s.by - s.ay AS dy
+         FROM ptc p JOIN cl s ON s.cx = p.cx AND s.cy = p.cy),
+       cand1 AS (SELECT *, greatest(CAST(0.0 AS DOUBLE),
+           least(CAST(1.0 AS DOUBLE),
+             ((px - ax) * dx + (py - ay) * dy)
+               / (dx * dx + dy * dy))) AS t
+         FROM cand0),
+       cand2 AS (SELECT *, ax + t * dx AS sx, ay + t * dy AS sy
+         FROM cand1),
+       cand AS (SELECT *, sqrt((px - sx) * (px - sx)
+           + (py - sy) * (py - sy)) AS dist FROM cand2),
+       best AS (SELECT * FROM (SELECT *,
+           row_number() OVER (PARTITION BY c_custkey
+             ORDER BY dist, src, dst) AS rn FROM cand) t WHERE rn = 1)
+       SELECT p.c_custkey, b.src IS NOT NULL AS matched,
+         coalesce(b.src, CAST(-1 AS BIGINT)) AS seg_src,
+         coalesce(b.dst, CAST(-1 AS BIGINT)) AS seg_dst,
+         round(coalesce(b.t, CAST(-1.0 AS DOUBLE)), 4) AS t,
+         round(coalesce(b.dist, CAST(-1.0 AS DOUBLE)), 4)
+           AS snap_dist_deg,
+         round(coalesce(b.sx, CAST(-999.0 AS DOUBLE)), 4) AS snap_lon,
+         round(coalesce(b.sy, CAST(-999.0 AS DOUBLE)), 4) AS snap_lat
+       FROM pts p LEFT JOIN best b USING (c_custkey)
+       ORDER BY p.c_custkey"""
 }

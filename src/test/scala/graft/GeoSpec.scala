@@ -8,6 +8,52 @@ import graft.operators.{Accessibility, GeoJoins}
 class GeoSpec extends AnyFunSuite {
   import TestSession._
 
+  test("snap roads: matched = cell-covered, projection is the argmin, t on segment") {
+    val rows = Accessibility.snapRoads(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getBoolean(1)) && rows.exists(!_.getBoolean(1)),
+      "both matched and off-network points must exist")
+    // in-memory recompute of the whole matcher
+    def lat(k: Long) = (k * 37 % 1700) / 10.0 - 85.0
+    def lon(k: Long) = (k * 91 % 3600) / 10.0 - 180.0
+    val nv = Tables.supplier(spark, sf)
+      .agg(max(col("s_suppkey"))).head().getLong(0) + 1
+    val segs = (0L until nv).map { k =>
+      val d = (k + 1) % nv
+      (k, d, lon(k), lat(k), lon(d), lat(d))
+    }
+    def cells(x0: Double, x1: Double, y0: Double, y1: Double) =
+      (for {
+        cx <- math.floor((math.min(x0, x1) + 180) / 10).toLong to
+          math.floor((math.max(x0, x1) + 180) / 10).toLong
+        cy <- math.floor((math.min(y0, y1) + 90) / 10).toLong to
+          math.floor((math.max(y0, y1) + 90) / 10).toLong
+      } yield (cx, cy)).toSet
+    val segCells = segs.map(s => s -> cells(s._3, s._5, s._4, s._6))
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (px, py) = (lon(id), lat(id))
+      val pc = (math.floor((px + 180) / 10).toLong,
+        math.floor((py + 90) / 10).toLong)
+      val cand = segCells.filter(_._2.contains(pc)).map(_._1)
+      assert(r.getBoolean(1) == cand.nonEmpty, s"point $id matched flag")
+      if (cand.nonEmpty) {
+        val scored = cand.map { case (s, d, ax, ay, bx, by) =>
+          val (dx, dy) = (bx - ax, by - ay)
+          val t = math.max(0.0, math.min(1.0,
+            ((px - ax) * dx + (py - ay) * dy) / (dx * dx + dy * dy)))
+          val (sx, sy) = (ax + t * dx, ay + t * dy)
+          val dist = math.sqrt((px - sx) * (px - sx) + (py - sy) * (py - sy))
+          (dist, s, d, t, sx, sy)
+        }.minBy(c => (c._1, c._2, c._3))
+        assert(r.getLong(2) == scored._2 && r.getLong(3) == scored._3,
+          s"point $id best segment")
+        assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+        assert(math.abs(r.getDouble(5) - scored._1) < 1e-3)
+      }
+    }
+  }
+
   test("haversine expression matches known distance (Paris-London)") {
     // 48.8566,2.3522 -> 51.5074,-0.1278 is ~343.6 km
     val d = spark.range(1)

@@ -174,7 +174,11 @@ class PruningSpec extends AnyFunSuite {
       "q48_data_contract",
       // emb_pca_project: inherits emb_pca's declared one-row norm
       // cross in the live (post-checkpoint) eigenvector plan
-      "emb_pca_project")
+      "emb_pca_project",
+      // geo_snap_roads: the one-row node-count scalar (segment ring
+      // modulus) crosses the supplier dim; matching itself is the
+      // broadcast HASH cell-cover join
+      "geo_snap_roads")
     // full-outer equi-joins cannot broadcast (both sides must preserve
     // unmatched rows), so a shuffle join IS the correct plan there;
     // ann_hybrid_rrf's RRF fusion joins the two rank lists FULL OUTER
