@@ -169,6 +169,7 @@ object SparkEntry {
     "text_bpe_tokens" -> ((s, d) => TextAnalysis.bpeTokens(s, d)),
     "text_bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "text_bpe_apply" -> ((s, d) => TextAnalysis.bpeApply(s, d)),
+    "text_zipf" -> ((s, d) => TextAnalysis.zipfFit(s, d)),
     "text_pack_bpe" -> ((s, d) => TextAnalysis.packBpe(s, d)),
     "text_span_dedup" -> ((s, d) => TextAnalysis.spanDedup(s, d)),
     "dedup_incremental" -> (Dedup.incremental _),
@@ -2661,6 +2662,9 @@ object SparkEntry {
     // trained-tokenizer metering: the same MATERIALIZED training chain,
     // final per-word state joined onto the corpus token stream
     "text_bpe_apply" -> operators.TextAnalysis.bpeApplyOracle(),
+    // Zipf fit: integer ranks from a total order, float-cast OLS sums
+    // (ln parity), single-expression slope/intercept/R2
+    "text_zipf" -> operators.TextAnalysis.zipfFitOracle(),
     // text_pack re-denominated in the closed-form BPE counts above
     "text_pack_bpe" ->
       """WITH d AS (SELECT source,

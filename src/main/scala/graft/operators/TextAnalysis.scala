@@ -388,6 +388,86 @@ object TextAnalysis {
     (merges.orderBy(col("step")), vocab)
   }
 
+  /** Zipf rank-frequency FIT — the corpus-shape diagnostic (a natural
+    * corpus follows freq ∝ rank^s with s ≈ −1; boilerplate floods,
+    * template spam, or synthetic text bend the curve, so the fitted
+    * exponent and its R² are cheap whole-corpus health numbers a
+    * curation dashboard tracks release over release): OLS of ln(freq)
+    * on ln(rank) over the top `topR` terms.
+    *
+    * Determinism: ranks are integers from a total order (count desc,
+    * term); the four OLS sums run over exactly topR rows and are
+    * float-cast out of their aggregate (ln parity per element, order
+    * drift collapsed); slope/intercept/R² are then single-expression
+    * arithmetic on the pinned sums, frac4 at the edge.
+    *
+    * Scale posture: term counts are one map-side-combined agg; the
+    * top-R cut is a TakeOrdered (per-partition heads merge on the
+    * driver, never a global sort); everything after is topR-sized. */
+  def zipfFit(spark: SparkSession, dir: String, topR: Int = 100)
+      : DataFrame = zipfFitOf(Tables.documents(spark, dir), topR)
+
+  /** [[zipfFit]]'s kernel over any frame with a `text` column — split
+    * out so the spec can plant an exactly-Zipfian corpus (slope −1,
+    * R² 1) and a uniform one (slope 0). */
+  private[graft] def zipfFitOf(docs: DataFrame, topR: Int = 100)
+      : DataFrame = {
+    val counts = docs
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(count(lit(1)).as("n_vocab"),
+      sum(col("cnt")).as("n_tokens"))
+    val top = counts.orderBy(col("cnt").desc, col("term")).limit(topR)
+      .withColumn("rk", row_number().over(Window
+        .orderBy(col("cnt").desc, col("term"))))
+      .select(log(col("rk").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    val sums = top.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("x")).cast("float").cast("double").as("sx"),
+      sum(col("y")).cast("float").cast("double").as("sy"),
+      sum(col("x") * col("x")).cast("float").cast("double").as("sxx"),
+      sum(col("y") * col("y")).cast("float").cast("double").as("syy"),
+      sum(col("x") * col("y")).cast("float").cast("double").as("sxy"))
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    sums.crossJoin(broadcast(total))
+      .select(col("n_vocab"), col("n_tokens"), col("n").cast("bigint").as("n_top"),
+        (floor(cov / vx * 10000.0 + 0.5) / 10000.0).as("slope"),
+        (floor((col("sy") - cov / vx * col("sx")) / col("n")
+          * 10000.0 + 0.5) / 10000.0).as("intercept"),
+        (floor(cov * cov / (vx * vy) * 10000.0 + 0.5) / 10000.0).as("r2"))
+  }
+
+  /** DuckDB restatement of [[zipfFit]]: same total order, same pinned
+    * OLS sums, same single-expression fit. */
+  def zipfFitOracle(topR: Int = 100): String =
+    s"""WITH c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
+         FROM (SELECT unnest(string_split(text, ' ')) AS term
+           FROM documents) t GROUP BY term),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+         CAST(sum(cnt) AS BIGINT) AS n_tokens FROM c),
+       top AS (SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, term)
+             AS DOUBLE)) AS x,
+           ln(CAST(cnt AS DOUBLE)) AS y
+         FROM (SELECT * FROM c ORDER BY cnt DESC, term LIMIT $topR) q),
+       s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           CAST(CAST(sum(x) AS FLOAT) AS DOUBLE) AS sx,
+           CAST(CAST(sum(y) AS FLOAT) AS DOUBLE) AS sy,
+           CAST(CAST(sum(x * x) AS FLOAT) AS DOUBLE) AS sxx,
+           CAST(CAST(sum(y * y) AS FLOAT) AS DOUBLE) AS syy,
+           CAST(CAST(sum(x * y) AS FLOAT) AS DOUBLE) AS sxy
+         FROM top)
+       SELECT n_vocab, n_tokens, CAST(n AS BIGINT) AS n_top,
+         floor((n * sxy - sx * sy) / (n * sxx - sx * sx)
+           * 10000.0 + 0.5) / 10000.0 AS slope,
+         floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+           * 10000.0 + 0.5) / 10000.0 AS intercept,
+         floor((n * sxy - sx * sy) * (n * sxy - sx * sy)
+           / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+           * 10000.0 + 0.5) / 10000.0 AS r2
+       FROM s, tot"""
+
   /** TRAIN-then-APPLY tokenizer metering — the composition that closes
     * the tokenizer loop (text_bpe_train learns the merges,
     * text_bpe_tokens applies a FIXTURE table; a production pipeline

@@ -29,6 +29,15 @@ case class AnomalyHit(user_id: Long, event_id: Long, ts: Timestamp,
   * none seen. */
 case class OpStatusState(minStart: String, maxFinish: String, n: Long)
 
+/** A buffered event of the streaming CEP matcher: id, event-time in
+  * microseconds (ordering), the original timestamp (emitted verbatim —
+  * a millis round-trip would drop microseconds), type. */
+case class CepEv(eid: Long, us: Long, ts: Timestamp, tpe: String)
+
+/** Per-user CEP buffer: the in-watermark event window (every event a
+  * not-yet-finalizable signup could still reference). */
+case class CepBuf(buf: Seq[CepEv])
+
 /** Per-operation replay state for the full op-log state machine: the
   * accepted start / finish keys (null = none yet) plus the events still
   * ABOVE the watermark, buffered as (k, event_id, action, ts-millis)
@@ -811,6 +820,66 @@ object EventStreams {
       // re-fire when the earliest buffered event ripens (its ts is
       // > wm by the partition above, as setTimeoutTimestamp requires)
       if (hold.nonEmpty) state.setTimeoutTimestamp(hold.map(_._4).min)
+      out.iterator
+    }
+    events.withWatermark("ts", Watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout)(step)
+  }
+
+  /** Streaming twin of q47_sequence_match — the CEP pattern "signup
+    * then purchase within 1h, no error between" running on the LIVE
+    * stream. A signup's verdict is decidable exactly when the watermark
+    * passes signup + window: every event that could supply the match
+    * (first following purchase inside the window) or block it (an
+    * error before that purchase) has event time ≤ signup + window, so
+    * the watermark guarantee makes the verdict FINAL — it emits once
+    * (Update mode) and equals the batch operator's row (a first
+    * purchase beyond the window yields the same matched = false /
+    * sentinel row as no purchase at all, so nothing outside the window
+    * is ever needed). State per user is ONE WINDOW of events: an event
+    * can only be referenced by signups up to `window` before it, all
+    * finalized once the watermark passes event + window — buffered
+    * rows are evicted on exactly that condition, so retention is
+    * bounded by per-user event rate x window, independent of stream
+    * length. An event-time timeout (earliest pending signup + window,
+    * +1 ms against the us→ms floor) re-fires the group when a pending
+    * signup ripens with no new arrivals. */
+  def cepStream(events: Dataset[EventRow], windowUs: Long = 3600000000L)
+      : Dataset[(Long, Long, Timestamp, Long, Long, Boolean)] = {
+    import events.sparkSession.implicits._
+    def usOf(e: EventRow): Long =
+      math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+        (e.ts.getNanos / 1000L) % 1000000L
+    def step(userId: Long, it: Iterator[EventRow],
+             state: GroupState[CepBuf])
+        : Iterator[(Long, Long, Timestamp, Long, Long, Boolean)] = {
+      val prev = state.getOption.getOrElse(CepBuf(Seq.empty))
+      val all = (prev.buf ++ it.map(e =>
+        CepEv(e.event_id, usOf(e), e.ts, e.event_type)))
+        .sortBy(e => (e.us, e.eid))
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val (ripe, hold) = all.filter(_.tpe == "signup")
+        .partition(s => s.us + windowUs <= wmUs)
+      val out = ripe.map { s =>
+        val after = all.filter(e =>
+          e.us > s.us || (e.us == s.us && e.eid > s.eid))
+        val p = after.find(_.tpe == "purchase")
+        val err = after.find(_.tpe == "error")
+        val inWin = p.exists(_.us <= s.us + windowUs)
+        val clean = p.nonEmpty && err.forall(ev =>
+          ev.us > p.get.us || (ev.us == p.get.us && ev.eid > p.get.eid))
+        (userId, s.eid, s.ts,
+          if (inWin) p.get.eid else -1L,
+          if (inWin) (p.get.us - s.us) / 1000000L else -1L,
+          inWin && clean)
+      }
+      // evict everything no pending-or-future signup can reference
+      state.update(CepBuf(all.filter(_.us + windowUs > wmUs)))
+      if (hold.nonEmpty)
+        state.setTimeoutTimestamp(
+          hold.map(_.ts.getTime).min + windowUs / 1000L + 1L)
       out.iterator
     }
     events.withWatermark("ts", Watermark)

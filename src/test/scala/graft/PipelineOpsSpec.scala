@@ -622,6 +622,33 @@ class PipelineOpsSpec extends AnyFunSuite {
       (sat(0).getString(1), sat(0).getString(2)) == ("a", "b"))
   }
 
+  test("zipf fit: exact power law reads slope -1 r2 1, uniform reads slope 0") {
+    import TestSession.spark.implicits._
+    // plant freq(term_r) = 2^(7-r) over 8 terms: ln f = ln 2^7 - r ln 2,
+    // exactly linear in ln rank? no — linear in RANK, not ln rank; use
+    // freq = 720/r over ranks 1..6 instead (integer counts, exact law)
+    val planted = (1 to 6).flatMap(r => Seq.fill(720 / r)(s"t$r"))
+    val zp = TextAnalysis.zipfFitOf(Seq(planted.mkString(" ")).toDF("text"))
+      .collect().head
+    assert(zp.getLong(2) == 6L)
+    assert(math.abs(zp.getDouble(3) + 1.0) < 0.01, s"slope ${zp.getDouble(3)}")
+    assert(zp.getDouble(5) > 0.999, s"r2 ${zp.getDouble(5)}")
+    // a uniform corpus has zero slope
+    val uni = (1 to 6).flatMap(r => Seq.fill(100)(s"u$r"))
+    val zu = TextAnalysis.zipfFitOf(Seq(uni.mkString(" ")).toDF("text"))
+      .collect().head
+    assert(zu.getDouble(3) == 0.0, s"uniform slope ${zu.getDouble(3)}")
+    // the real corpus: its 31-word vocabulary is near-uniform, and the
+    // diagnostic correctly reads it as NON-Zipfian (shallow slope, weak
+    // fit) — exactly the verdict the metric exists to raise on
+    // synthetic/templated text
+    val zr = TextAnalysis.zipfFit(spark, TestSession.sf).collect().head
+    assert(zr.getLong(2) == zr.getLong(0), "top cut covers the whole vocab")
+    assert(zr.getDouble(3) < 0.0 && zr.getDouble(3) > -0.6,
+      s"slope ${zr.getDouble(3)}")
+    assert(zr.getDouble(5) < 0.5, s"r2 ${zr.getDouble(5)}")
+  }
+
   test("bpe apply: trained metering bounded, monotone in merges, oov counts one") {
     val rows = TextAnalysis.bpeApply(spark, sf).collect()
     assert(rows.length == Tables.documents(spark, sf).count())

@@ -178,7 +178,10 @@ class PruningSpec extends AnyFunSuite {
       // geo_snap_roads: the one-row node-count scalar (segment ring
       // modulus) crosses the supplier dim; matching itself is the
       // broadcast HASH cell-cover join
-      "geo_snap_roads")
+      "geo_snap_roads",
+      // text_zipf: the one-row OLS-sums and vocab-totals scalars meet
+      // in a declared one-row broadcast cross
+      "text_zipf")
     // full-outer equi-joins cannot broadcast (both sides must preserve
     // unmatched rows), so a shuffle join IS the correct plan there;
     // ann_hybrid_rrf's RRF fusion joins the two rank lists FULL OUTER

@@ -499,6 +499,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, s"stream diverged: $streamed vs $batch")
   }
 
+  test("cep stream: emitted verdicts equal the batch sequence matcher exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventRow].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val mem = MemoryStream[EventRow]
+    val q = EventStreams.cepStream(mem.toDS())
+      .toDF("user_id", "signup_id", "signup_ts", "purchase_id",
+        "gap_s", "matched")
+      .writeStream.format("memory").queryName("cep_out")
+      .outputMode("update").start()
+    val (a, b) = evs.splitAt(evs.length / 2)
+    mem.addData(a.toSeq: _*); q.processAllAvailable()
+    mem.addData(b.toSeq: _*); q.processAllAvailable()
+    // flush: a type-neutral event far enough out to ripen every signup
+    // (watermark delay 1h + match window 1h)
+    val maxTs = evs.map(_.ts.getTime).max
+    mem.addData(EventRow(999999L,
+      new java.sql.Timestamp(maxTs + 3L * 3600 * 1000), 0L, "view", 0.0))
+    q.processAllAvailable(); q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))
+    val streamed = spark.table("cep_out").collect().map(key)
+    val batch = graft.operators.Relational.q47SequenceMatch(spark, sf)
+      .collect().map(key).toSet
+    assert(streamed.toSet == batch,
+      s"stream diverged: ${(streamed.toSet -- batch).take(3)} / ${(batch -- streamed.toSet).take(3)}")
+    // finality: each verdict emitted exactly once
+    assert(streamed.length == batch.size)
+  }
+
   test("sketchWindowChecked: every per-window sketch verdict is true") {
     val rows = EventStreams.sketchWindowChecked(spark, sf).collect()
     assert(rows.nonEmpty)
