@@ -186,6 +186,8 @@ object SparkEntry {
     // + float-cast aggregates make the whole GD trajectory hash-exact
     "text_classifier_train" -> ((s, d) => TextAnalysis.classifierTrain(s, d)),
     "text_classifier_eval" -> ((s, d) => TextAnalysis.classifierEval(s, d)),
+    "text_classifier_calib" ->
+      ((s, d) => TextAnalysis.classifierCalibration(s, d)),
     "text_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
     "text_gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(s, d)),
     "text_domain_mix" -> ((s, d) => TextAnalysis.domainMix(s, d)),
@@ -2744,6 +2746,10 @@ object SparkEntry {
     // single-division 2tp form)
     "text_classifier_eval" ->
       operators.TextAnalysis.classifierEvalOracle(),
+    // reliability bins + ECE: integer counts, one float-cast mean per
+    // bin, gap/ECE from already-rounded columns (nothing compounds)
+    "text_classifier_calib" ->
+      operators.TextAnalysis.classifierCalibrationOracle(),
     // sliding-window chunking: pure integer arithmetic + string slices
     "text_chunk" -> operators.TextAnalysis.chunkOracle(),
     // Gopher rule battery: every feature a per-doc list fold, ratios

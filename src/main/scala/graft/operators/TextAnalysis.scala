@@ -1629,6 +1629,105 @@ object TextAnalysis {
       .orderBy(col("thresh"))
   }
 
+  /** CALIBRATION of the quality classifier — the reliability diagram +
+    * expected calibration error that tells you whether the scorer's
+    * PROBABILITIES mean anything (a filter tuned by threshold only
+    * needs ranking; a downweighting or temperature-mix pipeline
+    * consumes the probability itself, and an uncalibrated one silently
+    * skews the mixture): predictions bucket by predicted probability
+    * (the same rational sigmoid the trainer uses — no libm exp), and
+    * each bin compares mean predicted probability against the observed
+    * positive rate; ECE is the support-weighted mean gap.
+    *
+    * Everything that hashes is integer counts, one float-cast mean per
+    * bin, and frac4 single roundings; the gap and ECE are computed
+    * from the already-rounded per-bin columns so nothing compounds.
+    * Scale: the doc-keyed score/label join (classifierEval's shape),
+    * one hash agg to bins, then bins-sized arithmetic. */
+  def classifierCalibration(spark: SparkSession, dir: String,
+                            nBins: Int = 20, minScore: Double = 0.64,
+                            eceCut: Double = 0.1): DataFrame = {
+    val scored = classifierScore(spark, dir)
+      .select(col("doc_id"), col("logit"))
+    val truth = withQuality(Tables.documents(spark, dir))
+      .select(col("doc_id"), (col("score") >= minScore).as("y"))
+    val p = lit(0.5) +
+      col("logit") / (lit(2.0) * (lit(1.0) + abs(col("logit"))))
+    val bins = scored.join(truth.hint("shuffle_hash"), Seq("doc_id"))
+      .withColumn("p", p)
+      .withColumn("bin", floor(col("p") * nBins).cast("bigint"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+        avg(col("p")).cast("float").cast("double").as("mp"))
+    bins
+      .withColumn("mean_pred", floor(col("mp") * 10000.0 + 0.5) / 10000.0)
+      .withColumn("pos_rate", frac4(col("n_pos"), col("n")))
+      .withColumn("gap", abs(col("mean_pred") - col("pos_rate")))
+      .withColumn("ece", floor(
+        sum(col("gap") * col("n")).over(Window.partitionBy(lit(1)))
+          / sum(col("n")).over(Window.partitionBy(lit(1)))
+          * 10000.0 + 0.5) / 10000.0)
+      .select(col("bin"), col("n"), col("n_pos"), col("mean_pred"),
+        col("pos_rate"), (floor(col("gap") * 10000.0 + 0.5) / 10000.0)
+          .as("gap"),
+        col("ece"), (col("ece") < eceCut).as("calibrated"))
+      .orderBy(col("bin"))
+  }
+
+  /** DuckDB restatement of [[classifierCalibration]]. */
+  def classifierCalibrationOracle(nBins: Int = 20,
+                                  minScore: Double = 0.64,
+                                  eceCut: Double = 0.1): String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         FROM documents),
+       h AS (SELECT doc_id,
+           CAST((strpos('0123456789abcdef',
+               substring(md5(term), 1, 1)) - 1) * 16
+             + strpos('0123456789abcdef', substring(md5(term), 2, 1)) - 1
+             AS BIGINT) AS b
+         FROM tok),
+       sc AS (SELECT doc_id,
+           round(avg(CAST((b * 2654435761) % 65536 AS DOUBLE)
+               / CAST(65536 AS DOUBLE) - CAST(0.5 AS DOUBLE))
+             * CAST(4.0 AS DOUBLE) - CAST(0.125 AS DOUBLE), 4) AS logit
+         FROM h GROUP BY doc_id),
+       lab AS (SELECT doc_id,
+           floor((len(list_distinct(string_split(text, ' ')))
+               / len(string_split(text, ' ')) * CAST(0.3 AS DOUBLE)
+             + (CAST(1.0 AS DOUBLE) - len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the', 'a'))) / len(string_split(text, ' ')))
+               * CAST(0.3 AS DOUBLE)
+             + least(len(string_split(text, ' ')) / CAST(100.0 AS DOUBLE),
+                 CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE))
+             * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             / CAST(10000.0 AS DOUBLE)
+             >= CAST($minScore AS DOUBLE) AS y
+         FROM documents),
+       pr AS (SELECT sc.doc_id, y,
+           CAST(0.5 AS DOUBLE) + logit / (CAST(2.0 AS DOUBLE)
+             * (CAST(1.0 AS DOUBLE) + abs(logit))) AS p
+         FROM sc JOIN lab USING (doc_id)),
+       bins AS (SELECT CAST(floor(p * $nBins) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(CAST(avg(p) AS FLOAT) AS DOUBLE) AS mp
+         FROM pr GROUP BY 1),
+       r AS (SELECT bin, n, n_pos,
+           floor(mp * 10000.0 + 0.5) / 10000.0 AS mean_pred,
+           floor(CAST(n_pos AS DOUBLE) / n * 10000.0 + 0.5) / 10000.0
+             AS pos_rate
+         FROM bins),
+       g AS (SELECT *, abs(mean_pred - pos_rate) AS gap FROM r)
+       SELECT bin, n, n_pos, mean_pred, pos_rate,
+         floor(gap * 10000.0 + 0.5) / 10000.0 AS gap,
+         floor(sum(gap * n) OVER () / sum(n) OVER ()
+           * 10000.0 + 0.5) / 10000.0 AS ece,
+         floor(sum(gap * n) OVER () / sum(n) OVER ()
+           * 10000.0 + 0.5) / 10000.0 < CAST($eceCut AS DOUBLE)
+           AS calibrated
+       FROM g ORDER BY bin"""
+
   /** DuckDB restatement of [[classifierEval]]: the score-kernel and
     * quality-label CTEs spliced together, thresholds unnested. */
   def classifierEvalOracle(minScore: Double = 0.64): String =

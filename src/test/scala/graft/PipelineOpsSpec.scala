@@ -699,6 +699,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("classifier calibration: bin identities hold, ece is the weighted gap mean") {
+    val rows = TextAnalysis.classifierCalibration(spark, TestSession.sf)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getLong(1)).sum
+    assert(n == Tables.documents(spark, TestSession.sf).count())
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(0) >= 0 && r.getLong(0) < 20)
+      // pos_rate and gap agree with their own cells
+      val pr = math.floor(r.getLong(2).toDouble / r.getLong(1) * 1e4 + 0.5) / 1e4
+      assert(r.getDouble(4) == pr)
+      val gap = math.floor(math.abs(r.getDouble(3) - r.getDouble(4))
+        * 1e4 + 0.5) / 1e4
+      assert(r.getDouble(5) == gap)
+      // predicted probability means stay inside their bin's range
+      assert(r.getDouble(3) >= r.getLong(0) / 20.0 - 1e-4 &&
+        r.getDouble(3) <= (r.getLong(0) + 1) / 20.0 + 1e-4)
+    }
+    // ece: support-weighted mean of the (unrounded-at-accumulation) gaps,
+    // constant across rows
+    val ece = rows.map(r =>
+      math.abs(r.getDouble(3) - r.getDouble(4)) * r.getLong(1)).sum / n
+    val pinned = math.floor(ece * 1e4 + 0.5) / 1e4
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(6) - pinned) < 2e-4,
+        s"ece ${r.getDouble(6)} vs $pinned")
+      assert(r.getBoolean(7) == (r.getDouble(6) < 0.1))
+    }
+  }
+
   test("classifier score: dyadic weights reproduce the exact logit") {
     val md = java.security.MessageDigest.getInstance("MD5")
     def bucket(term: String): Long = {
