@@ -203,6 +203,7 @@ object SparkEntry {
     // assignments match exactly
     "emb_kmeans" -> ((s, d) => Similarity.kmeans(s, d)),
     "emb_pq_codes" -> ((s, d) => Similarity.pqCodes(s, d)),
+    "emb_rq_codes" -> ((s, d) => Similarity.rqCodes(s, d)),
     "emb_pq_trained" -> ((s, d) => Similarity.pqTrainedCodes(s, d)),
     "emb_dedup_final" -> ((s, d) => Similarity.semanticDedup(s, d)),
     // sketch-based approximate aggregation — oracle-checked since r5:
@@ -2360,6 +2361,36 @@ object SparkEntry {
            min(CASE WHEN m = 3 THEN code END) AS code_3,
            round(sum(dist * dist), 4) AS recon_err2
          FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""",
+    // residual quantization: two seeded-codebook argmin stages, exact
+    // residual subtraction, l2 bit-parity; the zero residual (vec 0 is
+    // in both seed sets) guarantees err2 <= err1
+    "emb_rq_codes" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+           FROM embeddings),
+         cb1 AS (SELECT vec_id AS c1, v AS w1 FROM e
+           WHERE vec_id % 31 = 0),
+         a1 AS (SELECT vec_id, c1 AS code1, d1, w1 FROM (
+           SELECT e.vec_id, cb1.c1, cb1.w1,
+             list_distance(e.v, cb1.w1) AS d1,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_distance(e.v, cb1.w1), cb1.c1) AS rn
+           FROM e, cb1) t WHERE rn = 1),
+         r AS (SELECT a1.vec_id, code1, d1,
+             list_transform(range(1, len(v) + 1),
+               i -> v[i] - w1[i]) AS res
+           FROM a1 JOIN e USING (vec_id)),
+         cb2 AS (SELECT vec_id AS c2, res AS w2 FROM r
+           WHERE vec_id % 37 = 0),
+         a2 AS (SELECT vec_id, code1, d1, c2 AS code2, d2 FROM (
+           SELECT r.vec_id, r.code1, r.d1, cb2.c2,
+             list_distance(r.res, cb2.w2) AS d2,
+             row_number() OVER (PARTITION BY r.vec_id
+               ORDER BY list_distance(r.res, cb2.w2), cb2.c2) AS rn
+           FROM r, cb2) t WHERE rn = 1)
+       SELECT vec_id, code1, code2,
+         round(d1 * d1, 4) AS err1, round(d2 * d2, 4) AS err2,
+         d2 < d1 AS improved
+       FROM a2 ORDER BY vec_id""",
     // trained-codebook PQ: one Lloyd round per subspace unrolled as a
     // CTE (the emb_kmeans float-cast discipline), then encode against
     // the trained codebook — the emb_pq_codes shape with cb1 in place

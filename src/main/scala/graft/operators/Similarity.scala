@@ -1002,6 +1002,64 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** RESIDUAL quantization (RVQ) — the additive-codebook family PQ's
+    * subspace split cannot express (ScaNN's anisotropic stage, neural
+    * audio codecs, modern billion-scale indexes): stage 1 quantizes the
+    * whole vector against a coarse codebook, stage 2 quantizes the
+    * RESIDUAL against a residual codebook, and the reconstruction is
+    * the SUM of the two codewords — error is driven down stage by
+    * stage instead of dimension-sliced. Codebooks are deterministic
+    * pure functions of the corpus (stage 1: the seed vectors; stage 2:
+    * the stage-1 residuals of a second seed set). vec_id 0 sits in
+    * both seed sets, so the zero residual is ALWAYS a stage-2 codeword
+    * — which proves err2 <= err1 for every vector (the zero codeword
+    * reproduces stage 1's error exactly; anything chosen over it is
+    * strictly better). `improved` marks where stage 2 genuinely
+    * reduced error.
+    *
+    * Determinism: both argmins tie to the lower codeword id; residual
+    * subtraction is exact-input arithmetic; distances use the l2
+    * kernel (bit-identical to DuckDB's list_distance — the pqCodes
+    * parity). Scale posture: both codebooks are seed-density-sized and
+    * BROADCAST; each stage is one map-side scoring pass into a
+    * per-vector min_by — raw vectors never shuffle. */
+  def rqCodes(spark: SparkSession, dir: String, seed1: Int = 31,
+              seed2: Int = 37): DataFrame = {
+    import graft.functions.VectorFunctions.l2_dist
+    val e = emb(spark, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    def nearest(frame: DataFrame, vcol: String, cb: DataFrame,
+                idCol: String, wCol: String): DataFrame =
+      frame.join(broadcast(cb))
+        .select(frame.columns.map(col) :+ col(idCol) :+
+          l2_dist(col(vcol), col(wCol)).as("d") :+ col(wCol): _*)
+        .groupBy(col("vec_id"))
+        .agg(min_by(struct(col(idCol).as("c"), col("d"),
+          col(wCol).as("w")), struct(col("d"), col(idCol))).as("b"))
+    val cb1 = e.filter(col("vec_id") % seed1 === 0)
+      .select(col("vec_id").as("c1"), col("v").as("w1"))
+    val a1 = nearest(e, "v", cb1, "c1", "w1")
+      .select(col("vec_id"), col("b.c").as("code1"), col("b.d").as("d1"),
+        col("b.w").as("cw1"))
+    // the residual frame feeds the stage-2 codebook, the stage-2 scan,
+    // AND the final assembly — checkpoint once so stage 1 runs once
+    val res = a1.join(e.hint("shuffle_hash"), Seq("vec_id"))
+      .select(col("vec_id"), col("code1"), col("d1"),
+        zip_with(col("v"), col("cw1"), (a, b) => a - b).as("r"))
+      .localCheckpoint()
+    val cb2 = res.filter(col("vec_id") % seed2 === 0)
+      .select(col("vec_id").as("c2"), col("r").as("w2"))
+    val a2 = nearest(res, "r", cb2, "c2", "w2")
+      .select(col("vec_id"), col("b.c").as("code2"), col("b.d").as("d2"))
+    res.select(col("vec_id"), col("code1"), col("d1"))
+      .join(a2.hint("shuffle_hash"), Seq("vec_id"))
+      .select(col("vec_id"), col("code1"), col("code2"),
+        round(col("d1") * col("d1"), 4).as("err1"),
+        round(col("d2") * col("d2"), 4).as("err2"),
+        (col("d2") < col("d1")).as("improved"))
+      .orderBy(col("vec_id"))
+  }
+
   /** TRAINED-codebook PQ — the real index build composition ([[pqCodes]]
     * encodes against the raw seed codewords; a production build TRAINS
     * the codebook first): per subspace, `trainRounds` Lloyd rounds of

@@ -181,7 +181,10 @@ class PruningSpec extends AnyFunSuite {
       "geo_snap_roads",
       // text_zipf: the one-row OLS-sums and vocab-totals scalars meet
       // in a declared one-row broadcast cross
-      "text_zipf")
+      "text_zipf",
+      // emb_rq_codes: both quantization stages score against broadcast
+      // seed codebooks (the emb_cluster_assign declared shape)
+      "emb_rq_codes")
     // full-outer equi-joins cannot broadcast (both sides must preserve
     // unmatched rows), so a shuffle join IS the correct plan there;
     // ann_hybrid_rrf's RRF fusion joins the two rank lists FULL OUTER

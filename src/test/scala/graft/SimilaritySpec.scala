@@ -491,6 +491,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(brute.exists(r => lab(r.getLong(2)) != lab(r.getLong(0))))
   }
 
+  test("rq codes: stage 2 never worsens, seeds exact, improvement real") {
+    val rows = Similarity.rqCodes(spark, sf).collect()
+    assert(rows.length == Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      val (id, e1, e2) = (r.getLong(0), r.getDouble(3), r.getDouble(4))
+      // the zero-residual codeword (vec 0 is in both seed sets) makes
+      // stage 2 a strict refinement: err2 <= err1 for EVERY vector
+      assert(e2 <= e1 + 1e-9, s"vec $id: $e2 > $e1")
+      // a stage-1 seed reproduces itself exactly
+      if (id % 31 == 0) assert(e1 == 0.0, s"seed $id err1 $e1")
+      // `improved` is consistent with its own error columns (modulo
+      // the 1e-4 output rounding collapsing a sub-rounding gain)
+      if (r.getBoolean(5)) assert(e2 <= e1)
+    }
+    // vec 0 is in both seed sets: both stages exact
+    val v0 = rows.find(_.getLong(0) == 0L).get
+    assert(v0.getLong(1) == 0L && v0.getDouble(3) == 0.0 &&
+      v0.getDouble(4) == 0.0)
+    // stage 2 genuinely reduces corpus error, not just never-worsens
+    assert(rows.count(_.getBoolean(5)) > 0)
+    val m1 = rows.map(_.getDouble(3)).sum
+    val m2 = rows.map(_.getDouble(4)).sum
+    assert(m2 < m1, s"total err did not decrease: $m2 vs $m1")
+  }
+
   test("pca project: centered, variance equals the eigenvalue, matches loadings") {
     val rows = Similarity.pcaProject(spark, sf).collect()
     val n = rows.length
