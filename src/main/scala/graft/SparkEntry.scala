@@ -66,6 +66,7 @@ object SparkEntry {
     "q30_bloom_semi" -> (Warehouse.q30BloomSemi _),
     "q48_data_contract" -> ((s, d) => Warehouse.q48DataContract(s, d)),
     "q49_view_maintain" -> ((s, d) => Warehouse.q49ViewMaintain(s, d)),
+    "q50_entity_match" -> ((s, d) => Warehouse.q50EntityMatch(s, d)),
     "q31_range_lookup" -> (Warehouse.q31RangeLookup _),
     "q32_scd2" -> (Warehouse.q32Scd2 _),
     "q36_merge_upsert" -> (Warehouse.q36MergeUpsert _),
@@ -929,6 +930,33 @@ object SparkEntry {
          ON b.window_start = d.window_start
            AND b.event_type = d.event_type
        ORDER BY 1, 2""",
+    // entity resolution: blocked candidates + Levenshtein verify —
+    // the DP distance is integer-identical on both engines
+    "q50_entity_match" ->
+      """WITH cust AS (SELECT c_custkey, c_name FROM customer),
+         corpus AS (SELECT c_custkey AS cid, c_name AS cname,
+           right(c_name, 6) AS blk FROM cust),
+         typos AS (SELECT c_custkey AS bid, 'typo' AS kind,
+           substring(c_name, 1, 1) || substring(c_name, 3) AS bname
+           FROM cust WHERE c_custkey % 7 = 0),
+         fresh AS (SELECT c_custkey AS bid, 'new' AS kind,
+           'Vendor#' || lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS bname
+           FROM cust WHERE c_custkey % 13 = 0),
+         batch AS (SELECT * FROM typos UNION ALL SELECT * FROM fresh),
+         cand AS (SELECT b.bid, b.kind, c.cid,
+             CAST(levenshtein(b.bname, c.cname) AS BIGINT) AS lev
+           FROM (SELECT *, right(bname, 6) AS blk FROM batch) b
+           JOIN corpus c USING (blk)
+           WHERE levenshtein(b.bname, c.cname) <= 2),
+         best AS (SELECT bid, kind, cid, lev FROM (
+           SELECT *, row_number() OVER (PARTITION BY bid, kind
+             ORDER BY lev, cid) AS rn FROM cand) t WHERE rn = 1)
+       SELECT b.bid, b.kind,
+         coalesce(best.cid, CAST(-1 AS BIGINT)) AS matched_id,
+         coalesce(best.lev, CAST(-1 AS BIGINT)) AS lev,
+         best.cid IS NOT NULL AS matched
+       FROM batch b LEFT JOIN best USING (bid, kind)
+       ORDER BY b.bid, b.kind""",
     "q43_dormant_customers" ->
       """WITH cust AS (SELECT c_custkey, c_acctbal,
            c_nationkey % 25 AS cntrycode FROM customer

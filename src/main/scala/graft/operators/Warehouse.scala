@@ -306,6 +306,56 @@ object Warehouse {
       .orderBy(col("rule"))
   }
 
+  /** ENTITY RESOLUTION (record linkage / MDM match) — the fuzzy-match
+    * rung exact joins cannot express: an arriving record batch (typo'd
+    * duplicates of existing customers + genuinely new entities) is
+    * matched against the master by BLOCKED candidate generation +
+    * edit-distance verification — the canonical two-phase ER shape
+    * (Fellegi-Sunter blocking): a cheap equi-join block key (the
+    * 6-digit name suffix, which a leading-word typo preserves) bounds
+    * the candidate pairs, then Levenshtein <= maxLev verifies inside
+    * blocks, best match by (distance, id). Unmatched records keep -1
+    * sentinels — they are the NEW-entity stream an MDM pipeline
+    * inserts rather than merges.
+    *
+    * Determinism: Levenshtein is the classic DP (identical integers on
+    * both engines), blocks and argmin total-ordered. Scale posture:
+    * the batch BROADCASTS into the master scan on the block key (the
+    * master never shuffles), per-block fan-out is bounded by block
+    * cardinality, and the verdict joins are batch-sized. */
+  def q50EntityMatch(spark: SparkSession, dir: String, maxLev: Int = 2)
+      : DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"))
+    val corpus = cust
+      .select(col("c_custkey").as("cid"), col("c_name").as("cname"))
+      .withColumn("blk", expr("right(cname, 6)"))
+    val typos = cust.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("bid"), lit("typo").as("kind"),
+        concat(substring(col("c_name"), 1, 1),
+          expr("substring(c_name, 3)")).as("bname"))
+    val fresh = cust.filter(col("c_custkey") % 13 === 0)
+      .select(col("c_custkey").as("bid"), lit("new").as("kind"),
+        concat(lit("Vendor#"),
+          lpad(col("c_custkey").cast("string"), 6, "0")).as("bname"))
+    val batch = typos.unionByName(fresh)
+    val cand = corpus
+      .join(broadcast(batch.withColumn("blk", expr("right(bname, 6)"))),
+        Seq("blk"))
+      .withColumn("lev",
+        levenshtein(col("bname"), col("cname")).cast("bigint"))
+      .filter(col("lev") <= maxLev)
+    val best = cand.groupBy(col("bid"), col("kind"))
+      .agg(min_by(struct(col("cid"), col("lev")),
+        struct(col("lev"), col("cid"))).as("b"))
+    batch.join(broadcast(best), Seq("bid", "kind"), "left_outer")
+      .select(col("bid"), col("kind"),
+        coalesce(col("b.cid"), lit(-1L)).as("matched_id"),
+        coalesce(col("b.lev"), lit(-1L)).as("lev"),
+        col("b.cid").isNotNull.as("matched"))
+      .orderBy(col("bid"), col("kind"))
+  }
+
   /** Incremental MATERIALIZED-VIEW maintenance — the delta-merge that
     * keeps a standing aggregate current without rescanning history (at
     * 100 TB the base scan is the unaffordable part; a view you must

@@ -196,6 +196,30 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("entity match: every typo resolves to its source, new entities stay new") {
+    val sf = TestSession.sf
+    val rows = Warehouse.q50EntityMatch(spark, sf).collect()
+    val keys = Tables.customer(spark, sf)
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+    val nTypo = keys.count(_ % 7 == 0)
+    val nFresh = keys.count(_ % 13 == 0)
+    assert(rows.length == nTypo + nFresh)
+    val (typo, fresh) = rows.partition(_.getString(1) == "typo")
+    assert(typo.length == nTypo && fresh.length == nFresh)
+    // a leading-word typo preserves the blocking suffix, so every
+    // perturbed record must resolve to EXACTLY its source at distance 1
+    typo.foreach { r =>
+      assert(r.getBoolean(4), s"typo ${r.getLong(0)} unmatched")
+      assert(r.getLong(2) == r.getLong(0), s"typo ${r.getLong(0)} matched wrong")
+      assert(r.getLong(3) == 1L)
+    }
+    // a genuinely new entity has no master record within the edit
+    // budget: the -1 sentinels mark the insert stream
+    fresh.foreach { r =>
+      assert(!r.getBoolean(4) && r.getLong(2) == -1L && r.getLong(3) == -1L)
+    }
+  }
+
   test("view maintenance: delta merge equals full recompute, updated = delta groups") {
     val sf = TestSession.sf
     val merged = Warehouse.q49ViewMaintain(spark, sf).collect()
