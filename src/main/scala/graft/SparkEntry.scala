@@ -219,6 +219,7 @@ object SparkEntry {
     // the oracle restates the ESTIMATES themselves, not just verdicts
     "sketch_theta_intersect" -> ((s, d) => Sketches.thetaIntersect(s, d)),
     "sketch_bloom" -> ((s, d) => Sketches.bloomFilter(s, d)),
+    "sketch_bloom_merge" -> ((s, d) => Sketches.bloomMerge(s, d)),
     // F. multimodal feature extraction — oracle-checked since r5 on the
     // closed-form columns: byte_len is container overhead + UTF-8 text
     // bytes, width/height/n_frames are the planted header fields the
@@ -3193,6 +3194,44 @@ object SparkEntry {
          floor(CAST(n_false_pos AS DOUBLE) / n_nonmembers
            * 10000.0 + 0.5) / 10000.0 AS fpr
        FROM agg, bs""",
+    // bloom merge: per-shard filters OR (set-union of set bits) into
+    // the coordinator filter; inclusion-exclusion and member
+    // preservation stated exactly
+    "sketch_bloom_merge" ->
+      """WITH d AS (SELECT doc_id,
+           md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         b AS (SELECT doc_id,
+           CAST(((((strpos('0123456789abcdef',
+                 substring(h, j * 4 + 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef',
+                 substring(h, j * 4 + 2, 1)) - 1)) * 16
+             + (strpos('0123456789abcdef',
+                 substring(h, j * 4 + 3, 1)) - 1)) * 16
+             + (strpos('0123456789abcdef',
+                 substring(h, j * 4 + 4, 1)) - 1)) % 16384 AS BIGINT)
+             AS bit
+           FROM d, LATERAL (SELECT unnest([0, 1, 2]) AS j) u),
+         ba AS (SELECT DISTINCT bit FROM b WHERE doc_id % 4 = 0),
+         bb AS (SELECT DISTINCT bit FROM b WHERE doc_id % 4 = 2),
+         mg AS (SELECT bit FROM ba UNION SELECT bit FROM bb),
+         mem AS (SELECT doc_id, count(u.hit) = 3 AS pass
+           FROM b LEFT JOIN (SELECT bit, 1 AS hit FROM mg) u USING (bit)
+           WHERE doc_id % 2 = 0 GROUP BY doc_id),
+         cnts AS (SELECT CAST(count(*) AS BIGINT) AS n_members,
+             CAST(sum(CASE WHEN NOT pass THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_false_neg
+           FROM mem),
+         sa AS (SELECT CAST(count(*) AS BIGINT) AS bits_a FROM ba),
+         sb AS (SELECT CAST(count(*) AS BIGINT) AS bits_b FROM bb),
+         sm AS (SELECT CAST(count(*) AS BIGINT) AS bits_merged FROM mg),
+         ov AS (SELECT CAST(count(*) AS BIGINT) AS n_shared
+           FROM ba WHERE bit IN (SELECT bit FROM bb))
+       SELECT 16384 AS m, 3 AS k, bits_a, bits_b, n_shared,
+         bits_merged,
+         bits_merged = bits_a + bits_b - n_shared
+           AS inclusion_exclusion_ok,
+         n_members, n_false_neg = 0 AS merge_preserves_members
+       FROM cnts, sa, sb, sm, ov""",
     "sketch_countmin" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_true,
            TRUE AS ge_ok, TRUE AS eps_ok,

@@ -197,10 +197,11 @@ object Sketches {
     * probe side is one map-side pass plus a k-rows-per-key explode
     * into the broadcast hash join, then one partial-agg fold; this is
     * exactly how a distributed bloom semi-join prunes a 100 TB scan. */
-  def bloomFilter(spark: SparkSession, dir: String, m: Int = 16384,
-                  k: Int = 3): DataFrame = {
+  /** The md5-derived k bit positions of every doc_id: the shared bit
+    * kernel of [[bloomFilter]] and [[bloomMerge]]. */
+  private def bloomBits(docs: DataFrame, m: Int, k: Int): DataFrame = {
     require(k * 4 <= 32, "each hash consumes 4 hex chars of one md5")
-    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val withH = docs
       .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
     def nib(i: Int): Column =
       (expr(s"locate(substring(h, $i, 1), '0123456789abcdef')") - 1)
@@ -208,8 +209,13 @@ object Sketches {
     def bitAt(j: Int): Column =
       (((nib(j * 4 + 1) * 16 + nib(j * 4 + 2)) * 16 + nib(j * 4 + 3)) * 16
         + nib(j * 4 + 4)) % m
-    val bits = docs.withColumn("bit",
-      explode(array((0 until k).map(bitAt): _*)))
+    withH.withColumn("bit", explode(array((0 until k).map(bitAt): _*)))
+  }
+
+  def bloomFilter(spark: SparkSession, dir: String, m: Int = 16384,
+                  k: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val bits = bloomBits(docs, m, k)
     val built = bits.filter(col("doc_id") % 2 === 0)
       .select(col("bit")).distinct()
     val probed = bits
@@ -233,6 +239,51 @@ object Sketches {
         col("n_false_pos"),
         (floor(col("n_false_pos") / col("n_nonmembers") * 10000.0 + 0.5)
           / 10000.0).as("fpr"))
+  }
+
+  /** Bloom-filter MERGEABILITY — the property that lets every shard
+    * build its membership filter independently and a coordinator OR
+    * them together (how a distributed bloom semi-join actually
+    * assembles: per-executor partial filters union by bitwise OR,
+    * which in the set-bit-list representation is exactly set UNION).
+    * Two disjoint shards (doc_id % 4 == 0 and % 4 == 2) build their
+    * filters; the merged filter is their set-bit union, and the
+    * verdict columns state the merge contract: every member of either
+    * shard passes the MERGED filter (no false negatives survive a
+    * merge — the guarantee that licenses the distributed build), and
+    * the merged bit count obeys inclusion-exclusion against the
+    * per-shard counts exactly. Fully deterministic md5 bits, so the
+    * oracle restates build, merge, probe, and contract bit-for-bit. */
+  def bloomMerge(spark: SparkSession, dir: String, m: Int = 16384,
+                 k: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val bits = bloomBits(docs, m, k)
+    val bitsA = bits.filter(col("doc_id") % 4 === 0)
+      .select(col("bit")).distinct()
+    val bitsB = bits.filter(col("doc_id") % 4 === 2)
+      .select(col("bit")).distinct()
+    val merged = bitsA.unionByName(bitsB).distinct()
+    val members = bits.filter(col("doc_id") % 2 === 0)
+      .join(broadcast(merged.withColumn("hit", lit(1))), Seq("bit"),
+        "left_outer")
+      .groupBy(col("doc_id"))
+      .agg((count(col("hit")) === k).as("pass"))
+    val counts = members.agg(count(lit(1)).as("n_members"),
+      sum(when(!col("pass"), 1L).otherwise(0L)).as("n_false_neg"))
+    val overlap = bitsA.join(bitsB, Seq("bit"), "left_semi")
+      .agg(count(lit(1)).as("n_shared"))
+    counts
+      .crossJoin(broadcast(bitsA.agg(count(lit(1)).as("bits_a"))))
+      .crossJoin(broadcast(bitsB.agg(count(lit(1)).as("bits_b"))))
+      .crossJoin(broadcast(merged.agg(count(lit(1)).as("bits_merged"))))
+      .crossJoin(broadcast(overlap))
+      .select(lit(m).as("m"), lit(k).as("k"), col("bits_a"),
+        col("bits_b"), col("n_shared"), col("bits_merged"),
+        (col("bits_merged") ===
+          col("bits_a") + col("bits_b") - col("n_shared"))
+          .as("inclusion_exclusion_ok"),
+        col("n_members"),
+        (col("n_false_neg") === 0L).as("merge_preserves_members"))
   }
 
   /** Sketch MERGEABILITY demo — the property that makes sketches THE

@@ -161,6 +161,9 @@ class PruningSpec extends AnyFunSuite {
       // meet in declared one-row broadcast crosses; the probe itself is
       // the broadcast HASH join against the bounded built-filter set
       "sketch_bloom",
+      // sketch_bloom_merge: the per-shard/merged/overlap one-row bit
+      // counts meet in declared scalar crosses; probe is broadcast HASH
+      "sketch_bloom_merge",
       // text_bpe_apply: inherits text_bpe_train's per-round one-row
       // winning-pair crosses; the metering join itself is the
       // vocabulary-sized broadcast HASH join

@@ -135,6 +135,24 @@ class SketchesSpec extends AnyFunSuite {
       math.floor(fps.toDouble / nonMembers * 1e4 + 0.5) / 1e4)
   }
 
+  test("bloom merge: union filter preserves members, inclusion-exclusion exact") {
+    val r = Sketches.bloomMerge(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    // the merge contract: OR of shard filters loses no member
+    assert(row.getBoolean(8), "merge produced a false negative")
+    // set-bit counts obey inclusion-exclusion exactly
+    assert(row.getBoolean(6))
+    assert(row.getLong(5) ==
+      row.getLong(2) + row.getLong(3) - row.getLong(4))
+    // the merged filter equals the filter built over the union corpus:
+    // same bits_set as sketch_bloom's (whose insert set IS shard A + B)
+    val whole = Sketches.bloomFilter(spark, sf).collect().head
+    assert(row.getLong(5) == whole.getLong(3),
+      "merged filter differs from the directly-built union filter")
+    assert(row.getLong(7) == whole.getLong(2), "member count mismatch")
+  }
+
   test("hll union: per-type and merged verdicts hold, union row present") {
     val rows = Sketches.hllUnion(spark, sf).collect()
     val union = rows.filter(_.getString(0) == "__union__")
