@@ -1444,10 +1444,17 @@ object TextAnalysis {
     * the link is the RATIONAL "fast sigmoid" 0.5 + z/(2(1+|z|)) — no
     * libm exp anywhere, so every per-element op is IEEE-identical on
     * both engines; the only order-sensitive ops are the dot-product and
-    * gradient SUMS, and each is cast to float straight out of the
-    * aggregate (the emb_kmeans float-cast discipline: order drift lives
-    * at 1e-13, float granularity is 1e-7). x = cnt/n_tokens is one
-    * exact division per feature.
+    * gradient SUMS, and each is made order-INDEPENDENT by quantizing
+    * every term to a dyadic grid BEFORE the aggregate — each product is
+    * floored to an integer multiple of 2^-24 and summed as a LONG
+    * (integer addition is exact and commutative), then divided back
+    * once. This is strictly stronger than the float-cast-after-sum
+    * discipline used elsewhere: that one only collapses drift when the
+    * double sum sits far from a float rounding boundary (probabilistic;
+    * r10's driver run found the counterexample — one boundary hit
+    * compounding through 4 weight updates), whereas an integer sum is
+    * bitwise identical on ANY partitioning by construction.
+    * x = cnt/n_tokens is one exact division per feature.
     *
     * Scale posture: feats is a (doc, bucket)-keyed frame of at most
     * nBuckets rows per doc, localCheckpointed once and reused every
@@ -1492,10 +1499,18 @@ object TextAnalysis {
     val nd = labeled.agg(count(lit(1)).cast("double").as("nd"))
     // rational sigmoid: no exp, so the per-element math cannot diverge
     def sig(z: Column): Column = lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+    // dyadic quantization grid: terms snap to multiples of 2^-24 and sum
+    // as longs (exact, order-independent); magnitudes are bounded — |w|
+    // <= lr*steps ~ 16, x <= 1, so a per-doc dot sum is < 257*16*2^24
+    // ~ 7e10 and a per-bucket gradient sum is < nd*2^24 — far inside
+    // long range, and the final sums are < 2^53 so the one cast back to
+    // double is exact
+    val Q = 16777216.0 // 2^24
     def dotZ(w: DataFrame): DataFrame =
       feats.join(broadcast(w), Seq("b"))
         .groupBy(col("doc_id"), col("y"))
-        .agg(sum(col("x") * col("w")).cast("float").cast("double").as("z"))
+        .agg((sum(floor(col("x") * col("w") * lit(Q) + lit(0.5)))
+          .cast("double") / lit(Q)).as("z"))
     var w = feats.select(col("b")).distinct()
       .withColumn("w", lit(0.0)).localCheckpoint()
     for (_ <- 0 until steps) {
@@ -1504,8 +1519,8 @@ object TextAnalysis {
       val grad = feats.join(err.hint("shuffle_hash"), Seq("doc_id"))
         .crossJoin(broadcast(nd))
         .groupBy(col("b"))
-        .agg((sum(col("err") * col("x")) / first(col("nd")))
-          .cast("float").cast("double").as("g"))
+        .agg((sum(floor(col("err") * col("x") * lit(Q) + lit(0.5)))
+          .cast("double") / lit(Q) / first(col("nd"))).as("g"))
       w = w.join(grad, Seq("b"), "left_outer")
         .select(col("b"),
           (col("w") - lit(lr) * coalesce(col("g"), lit(0.0))).as("w"))
@@ -1513,13 +1528,15 @@ object TextAnalysis {
     }
     dotZ(w)
       .select(col("doc_id"), col("y"),
-        round(col("z"), 4).as("logit"), (col("z") > 0.0).as("keep"))
+        (floor(col("z") * 10000.0 + 0.5) / 10000.0).as("logit"),
+        (col("z") > 0.0).as("keep"))
       .orderBy(col("doc_id"))
   }
 
   /** DuckDB restatement of [[classifierTrain]]: the training loop
-    * unrolled as a CTE chain (the Lloyd-oracle precedent), float casts
-    * on every aggregate, the same rational sigmoid. */
+    * unrolled as a CTE chain (the Lloyd-oracle precedent), the same
+    * dyadic-grid integer sums (floor to 2^-24 multiples, sum as
+    * BIGINT, divide once), the same rational sigmoid. */
   def classifierTrainOracle(steps: Int = 4, lr: Double = 4.0,
                             minScore: Double = 0.64): String = {
     val score =
@@ -1534,15 +1551,18 @@ object TextAnalysis {
              / CAST(10000.0 AS DOUBLE)"""
     val steps_sql = (1 to steps).map { t =>
       s"""z$t AS (SELECT f.doc_id, f.y,
-           CAST(CAST(sum(f.x * w.w) AS FLOAT) AS DOUBLE) AS z
+           CAST(sum(CAST(floor(f.x * w.w * CAST(16777216 AS DOUBLE)
+               + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+             / CAST(16777216 AS DOUBLE) AS z
          FROM f JOIN w${t - 1} w USING (b) GROUP BY f.doc_id, f.y),
        e$t AS (SELECT doc_id,
            (CAST(0.5 AS DOUBLE) + z / (CAST(2.0 AS DOUBLE)
              * (CAST(1.0 AS DOUBLE) + abs(z)))) - y AS err
          FROM z$t),
        g$t AS (SELECT f.b,
-           CAST(CAST(sum(e.err * f.x) / (SELECT nd FROM nd) AS FLOAT)
-             AS DOUBLE) AS g
+           CAST(sum(CAST(floor(e.err * f.x * CAST(16777216 AS DOUBLE)
+               + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+             / CAST(16777216 AS DOUBLE) / (SELECT nd FROM nd) AS g
          FROM f JOIN e$t e USING (doc_id) GROUP BY f.b),
        w$t AS (SELECT w.b,
            w.w - CAST($lr AS DOUBLE) * coalesce(g.g, CAST(0.0 AS DOUBLE)) AS w
@@ -1569,9 +1589,14 @@ object TextAnalysis {
        w0 AS (SELECT DISTINCT b, CAST(0.0 AS DOUBLE) AS w FROM f),
        $steps_sql,
        zf AS (SELECT f.doc_id, f.y,
-           CAST(CAST(sum(f.x * w.w) AS FLOAT) AS DOUBLE) AS z
+           CAST(sum(CAST(floor(f.x * w.w * CAST(16777216 AS DOUBLE)
+               + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+             / CAST(16777216 AS DOUBLE) AS z
          FROM f JOIN w$steps w USING (b) GROUP BY f.doc_id, f.y)
-       SELECT doc_id, y, round(z, 4) AS logit, z > CAST(0.0 AS DOUBLE) AS keep
+       SELECT doc_id, y,
+         floor(z * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+           / CAST(10000.0 AS DOUBLE) AS logit,
+         z > CAST(0.0 AS DOUBLE) AS keep
        FROM zf ORDER BY doc_id"""
   }
 

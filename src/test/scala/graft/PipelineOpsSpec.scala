@@ -590,10 +590,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     // keep agrees with the logit column it is derived from
     rows.foreach(r => assert(r.getBoolean(3) == (r.getDouble(2) > 0)
       || r.getDouble(2) == 0.0))
-    // the float-cast aggregate discipline makes the whole gradient
+    // the dyadic-grid integer-sum discipline makes the whole gradient
     // trajectory reproducible bit-for-bit across runs
     val again = TextAnalysis.classifierTrain(spark, dir).collect()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // ... and across PARTITIONINGS: r10's driver ran a different
+    // parallelism than the builder and flipped a float-cast boundary;
+    // an integer sum cannot care about summation order, so training
+    // under a different shuffle width must be bitwise identical
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val alt = TextAnalysis.classifierTrain(spark, dir).collect()
+      assert(rows.map(_.toSeq).toSeq == alt.map(_.toSeq).toSeq,
+        "training trajectory drifted across shuffle partitionings")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   test("bpe train: greedy argmax, leftmost fuse, monotone counts, saturation stops") {
