@@ -839,11 +839,13 @@ object SparkEntry {
              / (nb + CAST(0.5 AS DOUBLE) * nbins) AS p_b
          FROM pb, t),
        ct AS (SELECT bin, c_a, c_b,
-           (p_a - p_b) * ln(p_a / p_b) AS contrib FROM sm)
+           CAST(floor((p_a - p_b) * ln(p_a / p_b) * 1e6 + 0.5) AS BIGINT)
+             AS binq FROM sm)
        SELECT bin, c_a, c_b,
-         floor(contrib * 1e6 + 0.5) / 1e6 AS psi_bin,
-         floor(sum(contrib) OVER () * 1e6 + 0.5) / 1e6 AS psi_total,
-         sum(contrib) OVER () > CAST(0.2 AS DOUBLE) AS drifted
+         CAST(binq AS DOUBLE) / 1e6 AS psi_bin,
+         CAST(sum(binq) OVER () AS DOUBLE) / 1e6 AS psi_total,
+         CAST(sum(binq) OVER () AS DOUBLE) / 1e6
+           > CAST(0.2 AS DOUBLE) AS drifted
        FROM ct ORDER BY bin""",
     // CEP sequence match: suffix-minimum keys are zero-padded strings
     // (string order == event order), all verdict logic integer/boolean

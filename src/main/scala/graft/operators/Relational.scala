@@ -467,13 +467,18 @@ object Relational {
         / (col("nb") + lit(0.5) * col("nbins")))
       .withColumn("contrib", (col("p_a") - col("p_b"))
         * log(col("p_a") / col("p_b")))
+    // quantize each bin's contribution to the 1e-6 grid FIRST and sum
+    // the integer grid values — the total is then sum(psi_bin) exactly,
+    // order-independent on any partitioning (summing raw doubles and
+    // rounding after leaves the rounded total hostage to summation
+    // order at a grid boundary)
     smoothed
-      .withColumn("psi_total", sum(col("contrib"))
-        .over(Window.partitionBy(lit(1))))
+      .withColumn("binq", floor(col("contrib") * 1e6 + 0.5))
+      .withColumn("totq", sum(col("binq")).over(Window.partitionBy(lit(1))))
       .select(col("bin"), col("c_a"), col("c_b"),
-        (floor(col("contrib") * 1e6 + 0.5) / 1e6).as("psi_bin"),
-        (floor(col("psi_total") * 1e6 + 0.5) / 1e6).as("psi_total"),
-        (col("psi_total") > thresh).as("drifted"))
+        (col("binq").cast("double") / 1e6).as("psi_bin"),
+        (col("totq").cast("double") / 1e6).as("psi_total"),
+        (col("totq").cast("double") / 1e6 > thresh).as("drifted"))
       .orderBy(col("bin"))
   }
 

@@ -359,7 +359,8 @@ object TextAnalysis {
           i => col("word").substr(i, lit(1))), "  "), lit(" ")))
       .localCheckpoint()
     var merges: DataFrame = null
-    for (step <- 1 to nMerges) {
+    var saturated = false
+    for (step <- 1 to nMerges if !saturated) {
       val pairs = vocab
         .select(col("wc"), split(trim(col("s")), "  ").as("l"))
         // a fully-fused word has one symbol left: guard before the
@@ -376,14 +377,24 @@ object TextAnalysis {
         .select(lit(step).as("step"), col("lft"), col("rgt"),
           concat(col("lft"), col("rgt")).as("merged"), col("pair_count"))
         .localCheckpoint()
-      vocab = vocab
-        .crossJoin(broadcast(best.select(col("lft").as("bl"),
-          col("rgt").as("br"))))
-        .withColumn("s", expr(
-          "replace(s, concat(' ', bl, '  ', br, ' '), concat(' ', bl, br, ' '))"))
-        .select(col("word"), col("wc"), col("s"))
-        .localCheckpoint()
-      merges = if (merges == null) best else merges.unionByName(best)
+      // saturated vocabulary: no adjacent pair left anywhere. STOP —
+      // cross-joining the empty winner would wipe the entire per-word
+      // symbol state (every partially-fused word lost, bpeApply then
+      // meters everything as 1-token OOV). The emptiness probe is a
+      // one-row localCheckpointed frame, driver-cheap.
+      if (best.isEmpty) {
+        if (merges == null) merges = best // schema-correct empty table
+        saturated = true
+      } else {
+        vocab = vocab
+          .crossJoin(broadcast(best.select(col("lft").as("bl"),
+            col("rgt").as("br"))))
+          .withColumn("s", expr(
+            "replace(s, concat(' ', bl, '  ', br, ' '), concat(' ', bl, br, ' '))"))
+          .select(col("word"), col("wc"), col("s"))
+          .localCheckpoint()
+        merges = if (merges == null) best else merges.unionByName(best)
+      }
     }
     (merges.orderBy(col("step")), vocab)
   }
@@ -560,9 +571,9 @@ object TextAnalysis {
            lft || rgt AS merged, pair_count
          FROM p$t ORDER BY pair_count DESC, lft, rgt LIMIT 1),
        v$t AS MATERIALIZED (SELECT word, wc,
-           replace(s, ' ' || b.lft || '  ' || b.rgt || ' ',
-             ' ' || b.merged || ' ') AS s
-         FROM v${t - 1}, b$t b)"""
+           coalesce(replace(s, ' ' || b.lft || '  ' || b.rgt || ' ',
+             ' ' || b.merged || ' '), s) AS s
+         FROM v${t - 1} LEFT JOIN b$t b ON TRUE)"""
     }.mkString(",\n       ")
     s"""vocab AS (SELECT word, CAST(count(*) AS BIGINT) AS wc
          FROM (SELECT unnest(string_split(text, ' ')) AS word
@@ -1689,10 +1700,17 @@ object TextAnalysis {
       .withColumn("mean_pred", floor(col("mp") * 10000.0 + 0.5) / 10000.0)
       .withColumn("pos_rate", frac4(col("n_pos"), col("n")))
       .withColumn("gap", abs(col("mean_pred") - col("pos_rate")))
+      // gap is a difference of two 1e-4-grid values, so gap*n*1e4 is an
+      // integer up to FP error — snap each term to that integer and sum
+      // as longs (order-independent; a raw double window sum rounded
+      // after is hostage to summation order at a grid boundary). The
+      // algebra folds the two 1e4 factors: ece = floor(sum_q/sum_n
+      // + 0.5)/1e4 == floor((sum(gap*n)/sum(n))*1e4 + 0.5)/1e4.
+      .withColumn("gapq", floor(col("gap") * col("n") * 10000.0 + 0.5))
       .withColumn("ece", floor(
-        sum(col("gap") * col("n")).over(Window.partitionBy(lit(1)))
-          / sum(col("n")).over(Window.partitionBy(lit(1)))
-          * 10000.0 + 0.5) / 10000.0)
+        sum(col("gapq")).over(Window.partitionBy(lit(1))).cast("double")
+          / sum(col("n")).over(Window.partitionBy(lit(1))).cast("double")
+          + 0.5) / 10000.0)
       .select(col("bin"), col("n"), col("n_pos"), col("mean_pred"),
         col("pos_rate"), (floor(col("gap") * 10000.0 + 0.5) / 10000.0)
           .as("gap"),
@@ -1743,14 +1761,19 @@ object TextAnalysis {
            floor(CAST(n_pos AS DOUBLE) / n * 10000.0 + 0.5) / 10000.0
              AS pos_rate
          FROM bins),
-       g AS (SELECT *, abs(mean_pred - pos_rate) AS gap FROM r)
+       g AS (SELECT *, abs(mean_pred - pos_rate) AS gap,
+           CAST(floor(abs(mean_pred - pos_rate) * n
+             * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             AS gapq
+         FROM r)
        SELECT bin, n, n_pos, mean_pred, pos_rate,
          floor(gap * 10000.0 + 0.5) / 10000.0 AS gap,
-         floor(sum(gap * n) OVER () / sum(n) OVER ()
-           * 10000.0 + 0.5) / 10000.0 AS ece,
-         floor(sum(gap * n) OVER () / sum(n) OVER ()
-           * 10000.0 + 0.5) / 10000.0 < CAST($eceCut AS DOUBLE)
-           AS calibrated
+         floor(CAST(sum(gapq) OVER () AS DOUBLE)
+           / CAST(sum(n) OVER () AS DOUBLE) + CAST(0.5 AS DOUBLE))
+           / 10000.0 AS ece,
+         floor(CAST(sum(gapq) OVER () AS DOUBLE)
+           / CAST(sum(n) OVER () AS DOUBLE) + CAST(0.5 AS DOUBLE))
+           / 10000.0 < CAST($eceCut AS DOUBLE) AS calibrated
        FROM g ORDER BY bin"""
 
   /** DuckDB restatement of [[classifierEval]]: the score-kernel and

@@ -875,8 +875,14 @@ object EventStreams {
           if (inWin) (p.get.us - s.us) / 1000000L else -1L,
           inWin && clean)
       }
-      // evict everything no pending-or-future signup can reference
-      state.update(CepBuf(all.filter(_.us + windowUs > wmUs)))
+      // evict everything no pending-or-future signup can reference; a
+      // user whose events have ALL ripened gets state.remove(), not an
+      // empty-buffer update — without a timeout nothing would ever
+      // clear the empty CepBuf, and a long-running stream carries one
+      // dead state-store entry per ever-seen user forever
+      val keep = all.filter(_.us + windowUs > wmUs)
+      if (keep.isEmpty && hold.isEmpty) state.remove()
+      else state.update(CepBuf(keep))
       if (hold.nonEmpty)
         state.setTimeoutTimestamp(
           hold.map(_.ts.getTime).min + windowUs / 1000L + 1L)

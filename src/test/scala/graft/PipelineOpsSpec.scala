@@ -631,6 +631,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     val sat = TextAnalysis.bpeTrainOf(Seq("ab ab").toDF("text"), 4).collect()
     assert(sat.length == 1 &&
       (sat(0).getString(1), sat(0).getString(2)) == ("a", "b"))
+    // ... and the trained per-word symbol STATE survives rounds past
+    // saturation (the pre-fix cross-join with the empty winner wiped
+    // the whole vocab frame — every word silently became a 1-token OOV
+    // in bpeApply; only count coincidence masked it)
+    val (satM, satV) =
+      TextAnalysis.bpeTrainState(Seq("ab ab").toDF("text"), 4)
+    assert(satM.count() == 1)
+    val vr = satV.collect()
+    assert(vr.length == 1 && vr(0).getString(0) == "ab"
+      && vr(0).getString(2).trim == "ab",
+      "symbol state must survive saturation, not be wiped")
   }
 
   test("zipf fit: exact power law reads slope -1 r2 1, uniform reads slope 0") {
