@@ -912,22 +912,87 @@ object Similarity {
       .select(col("va"), col("vb"), round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("va"), col("vb"))
 
+  /** IVF-probed candidate pairs — the SUBQUADRATIC pair source for
+    * every-vector-is-a-query compositions ([[mutualKnn]] at scale):
+    * vectors assign to their nearest coarse cell map-side (broadcast
+    * seed centroids, the [[ivfTopK]] kernel), every vector then PROBES
+    * its nProbe nearest cells, and candidates are exactly the (probe,
+    * member) pairs meeting in a cell-keyed shuffle-hash join — work is
+    * ~n² · nProbe/nCells instead of n²/2, and with nCells grown ~√n
+    * (production sizing) the scan is ~n^1.5. A pair can surface from
+    * either endpoint's probe; canonicalizing by id and one hash
+    * aggregate dedupes (cosine is bit-identical from both directions —
+    * the in-order dot kernel is commutative here because the element
+    * walk is index-ordered, not operand-ordered). Same (va, vb, cos)
+    * contract as [[blockedPairScores]]; recall < 1 by construction
+    * (a true neighbor outside every probed cell is missed) — the
+    * mutual-graph recall is spec-measured against the exact kernel. */
+  private[graft] def ivfCandidatePairScores(spark: SparkSession,
+                                            dir: String, nCells: Int = 16,
+                                            nProbe: Int = 4): DataFrame = {
+    val e = emb(spark, dir)
+    val seeds = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cluster_id"), col("embedding").as("se"))
+    // norms hoisted below the join (the [[blockedPairScores]]
+    // discipline): each evaluates once per row and rides the shuffle,
+    // so the candidate scan pays only the dot per pair
+    val members = assignToSeeds(e, seeds)
+      .select(col("cluster_id").as("cell"), col("vec_id").as("cid"),
+        col("embedding").as("ce"), vec_norm(col("embedding")).as("_nc"))
+    val pw = Window.partitionBy(col("qid"))
+      .orderBy(col("_c").desc, col("cell"))
+    val probes = e.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        vec_norm(col("embedding")).as("_nq"))
+      .join(broadcast(seeds.withColumnRenamed("cluster_id", "cell")))
+      .select(col("qid"), col("qe"), col("_nq"), col("cell"),
+        cosine_sim(col("qe"), col("se")).as("_c"))
+      .withColumn("_rn", row_number().over(pw))
+      .filter(col("_rn") <= nProbe)
+      .select(col("cell"), col("qid"), col("qe"), col("_nq"))
+    // both sides are corpus-sized (xnProbe on the probe side): a
+    // cell-keyed shuffle-hash join, never a corpus broadcast; per-key
+    // volume is cell-occupancy x probe-fanin, the IVF balance contract
+    members.join(probes.hint("shuffle_hash"), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(least(col("qid"), col("cid")).as("va"),
+        greatest(col("qid"), col("cid")).as("vb"),
+        cosFromNorms(col("qe"), col("ce"), col("_nq"), col("_nc"))
+          .as("cos"))
+      .groupBy(col("va"), col("vb")).agg(max(col("cos")).as("cos"))
+  }
+
   /** MUTUAL k-NN graph — the symmetrized neighbor graph (edge kept iff
     * each endpoint ranks the other in its own top-k) that NN-Descent /
     * HNSW construction, graph clustering, and manifold methods all
     * build on; mutuality is the standard pruning that kills hub nodes'
     * asymmetric edges. Every vector is a query here (unlike
-    * [[bruteTopK]]'s fixed query set), so the pair source is the
-    * uniform BLOCKED n²/2 kernel ([[blockedPairScores]] — no broadcast
-    * of the whole corpus), each direction's top-k comes from the
-    * k-bounded heap aggregate (n x k edge rows shuffle, never the pair
-    * set), and the mutuality cut is a left-semi self-join of the
-    * directed edge list against its own transpose — edge-list-sized.
-    * At 100 TB the same composition runs with the IVF-probed candidate
-    * generator in place of the exact blocked kernel. */
+    * [[bruteTopK]]'s fixed query set), so the pair source is DISPATCHED
+    * (the [[semanticPairs]] precedent): up to `maxExact` vectors the
+    * uniform BLOCKED n²/2 kernel ([[blockedPairScores]] — exact, no
+    * broadcast of the corpus) is affordable and keeps the registered
+    * oracle exact; past it — the 100 TB regime, where n²/2 is 10,000x
+    * the work at 100x the data — the [[ivfCandidatePairScores]]
+    * generator supplies candidates at ~n²·nProbe/nCells (~n^1.5 with
+    * √n cells), accepting its spec-measured recall as any production
+    * kNN-graph build must. The dispatch probe is one parquet
+    * count (metadata-cheap at any scale). Downstream is arm-agnostic:
+    * each direction's top-k comes from the k-bounded heap aggregate
+    * (n x k edge rows shuffle, never the pair set), and the mutuality
+    * cut is a left-semi self-join of the directed edge list against
+    * its own transpose — edge-list-sized. */
   def mutualKnn(spark: SparkSession, dir: String, k: Int = K,
-                nBlocks: Int = 16): DataFrame = {
-    val pairs = blockedPairScores(spark, dir, nBlocks)
+                nBlocks: Int = 16, maxExact: Long = 100000L,
+                nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val pairs =
+      if (emb(spark, dir).count() <= maxExact)
+        blockedPairScores(spark, dir, nBlocks)
+      else ivfCandidatePairScores(spark, dir, nCells, nProbe)
+    mutualKnnFrom(pairs, k)
+  }
+
+  /** The arm-agnostic tail of [[mutualKnn]] over any (va, vb, cos)
+    * pair frame: directed top-k per endpoint, mutuality semi-join. */
+  private[graft] def mutualKnnFrom(pairs: DataFrame, k: Int): DataFrame = {
     val directed = pairs
       .select(col("va").as("src"), col("vb").as("dst"), col("cos"))
       .unionByName(pairs

@@ -246,6 +246,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaDispatch.nonEmpty)
   }
 
+  test("mutualKnn dispatches to the IVF candidate generator past maxExact") {
+    import org.apache.spark.sql.catalyst.expressions.Sequence
+    // the exact arm is recognizable by its block-replication explode
+    // (sequence(0, nBlocks-1)); the IVF arm has no Sequence anywhere.
+    // Probe the ANALYZED plan — the optimizer constant-folds the
+    // literal-bounded sequence into an array literal
+    def usesBlocked(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.collect { case p =>
+        p.expressions.flatMap(_.collect { case _: Sequence => true })
+      }.flatten.nonEmpty
+    val exact = Similarity.mutualKnn(spark, sf)
+    assert(usesBlocked(exact),
+      "below maxExact the dispatch must keep the exact blocked kernel")
+    val ivf = Similarity.mutualKnn(spark, sf, maxExact = 0L)
+    assert(!usesBlocked(ivf),
+      "past maxExact the IVF candidate generator must engage")
+    // the production arm approximates the SAME graph: recall of the
+    // exact mutual edges (subset does NOT hold by construction — a
+    // missed candidate can promote a lesser neighbor into top-k, so
+    // what's contractual is recall, as with every ANN index here)
+    val t = exact.select("va", "vb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val g = ivf.select("va", "vb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t.nonEmpty)
+    val recall = (t & g).size.toDouble / t.size
+    assert(recall >= 0.6, s"mutual-graph recall $recall (${(t & g).size}/${t.size})")
+    // shared edges carry the identical rounded cosine (both arms score
+    // with the same hoisted-norm dot kernel)
+    val tm = exact.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ivf.collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      tm.get(key).foreach(c => assert(c == r.getDouble(2), s"cos drift at $key"))
+    }
+  }
+
   test("lshContractChecked: one row, verdicts true, n_true matches brute") {
     val r = Similarity.lshContractChecked(spark, sf).collect()
     assert(r.length == 1)
