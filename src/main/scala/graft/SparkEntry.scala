@@ -184,9 +184,11 @@ object SparkEntry {
     "text_lm_heldout" -> ((s, d) => TextAnalysis.lmHeldout(s, d)),
     "text_classifier_score" -> ((s, d) => TextAnalysis.classifierScore(s, d)),
     // trained on weak labels from the quality kernel; rational sigmoid
-    // + float-cast aggregates make the whole GD trajectory hash-exact
+    // + dyadic-grid integer sums make the whole GD trajectory hash-exact
     "text_classifier_train" -> ((s, d) => TextAnalysis.classifierTrain(s, d)),
     "text_classifier_eval" -> ((s, d) => TextAnalysis.classifierEval(s, d)),
+    "text_classifier_eval_heldout" ->
+      ((s, d) => TextAnalysis.classifierEvalHeldout(s, d)),
     "text_classifier_calib" ->
       ((s, d) => TextAnalysis.classifierCalibration(s, d)),
     "text_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
@@ -2808,6 +2810,10 @@ object SparkEntry {
     // single-division 2tp form)
     "text_classifier_eval" ->
       operators.TextAnalysis.classifierEvalOracle(),
+    // HELD-OUT sweep: the train chain restricted to the hash-split
+    // train shard, PR/F1 on the valid shard the gradients never saw
+    "text_classifier_eval_heldout" ->
+      operators.TextAnalysis.classifierEvalHeldoutOracle(),
     // reliability bins + ECE: integer counts, one float-cast mean per
     // bin, gap/ECE from already-rounded columns (nothing compounds)
     "text_classifier_calib" ->

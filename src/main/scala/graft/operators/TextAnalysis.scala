@@ -35,7 +35,7 @@ object TextAnalysis {
     * data pipeline). */
   /** Adds the quality feature columns (shared by [[quality]] and the
     * [[curate]] funnel — one definition of "the score"). */
-  private[operators] def withQuality(docs: DataFrame): DataFrame =
+  private[graft] def withQuality(docs: DataFrame): DataFrame =
     docs
       .withColumn("n_len", length(col("text")))
       .withColumn("n_words", size(toks))
@@ -825,7 +825,7 @@ object TextAnalysis {
 
   /** The three-way split as a single column expression (shared by
     * [[hashSplitOf]] and [[curate]]). */
-  private[operators] def splitCol(text: Column, trainTo: String = "d0",
+  private[graft] def splitCol(text: Column, trainTo: String = "d0",
                                   validTo: String = "e8"): Column = {
     val bucket = substring(md5(text.cast("binary")), 1, 2)
     when(bucket < trainTo, "train")
@@ -1482,15 +1482,28 @@ object TextAnalysis {
     val labeled = withQuality(Tables.documents(spark, dir))
       .select(col("doc_id"), col("text"),
         (col("score") >= minScore).cast("int").as("y"))
+    val feats = classifierFeats(labeled)
+    val w = classifierGd(feats, steps, lr)
+    classifierZ(feats, w)
+      .select(col("doc_id"), col("y"),
+        (floor(col("z") * 10000.0 + 0.5) / 10000.0).as("logit"),
+        (col("z") > 0.0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Hashed bag-of-words features for any labeled (doc_id, text, y)
+    * frame — [[classifierTrain]]'s feature kernel, shared with the
+    * held-out eval: term-frequency x per (doc, md5-bucket), plus an
+    * intercept pseudo-feature (b = -1, x = 1) — without it the model
+    * has no bias term and can only rotate the boundary through the
+    * origin. localCheckpointed once; every GD round reuses it. */
+  private[graft] def classifierFeats(labeled: DataFrame): DataFrame = {
     val hex = "0123456789abcdef"
     val bkt = (expr(s"locate(substring(md5(cast(term as binary)), 1, 1), '$hex') - 1")
       * 16 +
       expr(s"locate(substring(md5(cast(term as binary)), 2, 1), '$hex') - 1"))
       .cast("bigint")
-    // term-frequency features per (doc, bucket), plus an intercept
-    // pseudo-feature (b = -1, x = 1): without it the model has no bias
-    // term and can only rotate the boundary through the origin
-    val feats = labeled
+    labeled
       .select(col("doc_id"), col("y"), explode(split(col("text"), " ")).as("term"))
       .withColumn("b", bkt)
       .groupBy(col("doc_id"), col("y"), col("b"))
@@ -1501,47 +1514,124 @@ object TextAnalysis {
       .unionByName(labeled.select(col("doc_id"), col("y"),
         lit(-1L).as("b"), lit(1.0).as("x")))
       .localCheckpoint()
-    // the gradient is the MEAN over docs, not the sum: a sum-gradient's
-    // effective step grows linearly with corpus size — it oscillates at
-    // 500 docs and diverges outright at 100 TB; the mean makes the
-    // step size corpus-size-invariant (measured: the same steps/lr stay
-    // stable and non-degenerate at 10x data, where the sum-gradient
-    // form had already flipped every verdict to one class at 1x)
-    val nd = labeled.agg(count(lit(1)).cast("double").as("nd"))
-    // rational sigmoid: no exp, so the per-element math cannot diverge
+  }
+
+  /** The dyadic quantization grid shared by the classifier's sums:
+    * terms snap to multiples of 2^-24 and sum as longs (exact,
+    * order-independent); magnitudes are bounded — |w| <= lr*steps ~ 16,
+    * x <= 1, so a per-doc dot sum is < 257*16*2^24 ~ 7e10 and a
+    * per-bucket gradient sum is < nd*2^24 — far inside long range, and
+    * the final sums are < 2^53 so the one cast back to double is
+    * exact. */
+  private val DyadicQ = 16777216.0 // 2^24
+
+  /** Order-independent dot product z per doc: feats x broadcast
+    * weights, dyadic-grid integer sum. */
+  private[graft] def classifierZ(feats: DataFrame, w: DataFrame)
+      : DataFrame =
+    feats.join(broadcast(w), Seq("b"))
+      .groupBy(col("doc_id"), col("y"))
+      .agg((sum(floor(col("x") * col("w") * lit(DyadicQ) + lit(0.5)))
+        .cast("double") / lit(DyadicQ)).as("z"))
+
+  /** Full-batch logistic gradient descent over a feature frame —
+    * returns the trained (b, w) table. The gradient is the MEAN over
+    * docs, not the sum: a sum-gradient's effective step grows linearly
+    * with corpus size — it oscillates at 500 docs and diverges outright
+    * at 100 TB; the mean makes the step size corpus-size-invariant
+    * (measured: the same steps/lr stay stable and non-degenerate at
+    * 10x data, where the sum-gradient form had already flipped every
+    * verdict to one class at 1x). The rational sigmoid has no exp, so
+    * the per-element math cannot diverge; both sums ride the dyadic
+    * grid ([[DyadicQ]]). nd is the intercept-row count — one row per
+    * doc by construction. */
+  private[graft] def classifierGd(feats: DataFrame, steps: Int,
+                                  lr: Double): DataFrame = {
+    val nd = feats.filter(col("b") === -1L)
+      .agg(count(lit(1)).cast("double").as("nd"))
     def sig(z: Column): Column = lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
-    // dyadic quantization grid: terms snap to multiples of 2^-24 and sum
-    // as longs (exact, order-independent); magnitudes are bounded — |w|
-    // <= lr*steps ~ 16, x <= 1, so a per-doc dot sum is < 257*16*2^24
-    // ~ 7e10 and a per-bucket gradient sum is < nd*2^24 — far inside
-    // long range, and the final sums are < 2^53 so the one cast back to
-    // double is exact
-    val Q = 16777216.0 // 2^24
-    def dotZ(w: DataFrame): DataFrame =
-      feats.join(broadcast(w), Seq("b"))
-        .groupBy(col("doc_id"), col("y"))
-        .agg((sum(floor(col("x") * col("w") * lit(Q) + lit(0.5)))
-          .cast("double") / lit(Q)).as("z"))
     var w = feats.select(col("b")).distinct()
       .withColumn("w", lit(0.0)).localCheckpoint()
     for (_ <- 0 until steps) {
-      val err = dotZ(w)
+      val err = classifierZ(feats, w)
         .select(col("doc_id"), (sig(col("z")) - col("y")).as("err"))
       val grad = feats.join(err.hint("shuffle_hash"), Seq("doc_id"))
         .crossJoin(broadcast(nd))
         .groupBy(col("b"))
-        .agg((sum(floor(col("err") * col("x") * lit(Q) + lit(0.5)))
-          .cast("double") / lit(Q) / first(col("nd"))).as("g"))
+        .agg((sum(floor(col("err") * col("x") * lit(DyadicQ) + lit(0.5)))
+          .cast("double") / lit(DyadicQ) / first(col("nd"))).as("g"))
       w = w.join(grad, Seq("b"), "left_outer")
         .select(col("b"),
           (col("w") - lit(lr) * coalesce(col("g"), lit(0.0))).as("w"))
         .localCheckpoint()
     }
-    dotZ(w)
-      .select(col("doc_id"), col("y"),
-        (floor(col("z") * 10000.0 + 0.5) / 10000.0).as("logit"),
-        (col("z") > 0.0).as("keep"))
-      .orderBy(col("doc_id"))
+    w
+  }
+
+  /** HELD-OUT evaluation of the TRAINED classifier — the honest PR
+    * curve ([[classifierEval]] and [[classifierCalibration]] are
+    * in-sample twice over: they score the corpus the trainer fit, with
+    * the labels it fit to): train on the dup-safe hash-split TRAIN
+    * shard ([[hashSplitOf]]'s content-hash buckets — near-identical
+    * docs land on the same side, the Lee-et-al. leakage guard), then
+    * threshold-sweep precision / recall / F1 on the VALID shard the
+    * gradients never saw. Picking the production keep-threshold off
+    * THIS sweep (not the in-sample one) is how a curation gate is
+    * actually tuned.
+    *
+    * No leakage by construction: every aggregate in the GD loop runs
+    * over the train-shard feature frame only (spec-pinned: deleting
+    * the valid shard from the corpus leaves the trained weights
+    * bitwise identical). Valid docs score through the same
+    * [[classifierZ]] kernel against the broadcast trained weights;
+    * valid-only buckets drop out of the inner join, which IS
+    * weight-0 semantics for unseen features (the intercept keeps
+    * every doc alive). Confusion counts are integers, ratios single
+    * frac4 roundings; z rides the dyadic grid — everything hashes.
+    *
+    * Scale posture: inherits [[classifierGd]]'s (train shard) and
+    * [[classifierZ]]'s (valid shard) shapes; the sweep explodes each
+    * valid doc into |thresholds| rows map-side and one hash
+    * aggregation lands the confusion counts. */
+  def classifierEvalHeldout(spark: SparkSession, dir: String,
+                            thresholds: Seq[Double] =
+                              Seq(-0.10, -0.05, 0.0, 0.05, 0.10),
+                            steps: Int = 4, lr: Double = 4.0,
+                            minScore: Double = 0.64): DataFrame = {
+    val labeled = withQuality(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text"),
+        (col("score") >= minScore).cast("int").as("y"),
+        splitCol(col("text")).as("split"))
+    val w = classifierGd(
+      classifierFeats(labeled.filter(col("split") === "train")
+        .select(col("doc_id"), col("text"), col("y"))), steps, lr)
+    val zv = classifierZ(
+      classifierFeats(labeled.filter(col("split") === "valid")
+        .select(col("doc_id"), col("text"), col("y"))), w)
+    zv
+      .select(col("y"), col("z"),
+        explode(array(thresholds.map(lit): _*)).as("thresh"))
+      .groupBy(col("thresh"))
+      .agg(
+        sum(when(col("y") === 1 && col("z") > col("thresh"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("y") === 0 && col("z") > col("thresh"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("y") === 1 && !(col("z") > col("thresh")), 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("y") === 0 && !(col("z") > col("thresh")), 1L)
+          .otherwise(0L)).as("tn"))
+      .select(col("thresh"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") === 0L, 0.0)
+          .otherwise(frac4(col("tp"), col("tp") + col("fp")))
+          .as("precision"),
+        when(col("tp") + col("fn") === 0L, 0.0)
+          .otherwise(frac4(col("tp"), col("tp") + col("fn")))
+          .as("recall"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") === 0L, 0.0)
+          .otherwise(frac4(lit(2L) * col("tp"),
+            lit(2L) * col("tp") + col("fp") + col("fn"))).as("f1"))
+      .orderBy(col("thresh"))
   }
 
   /** DuckDB restatement of [[classifierTrain]]: the training loop
@@ -1609,6 +1699,113 @@ object TextAnalysis {
            / CAST(10000.0 AS DOUBLE) AS logit,
          z > CAST(0.0 AS DOUBLE) AS keep
        FROM zf ORDER BY doc_id"""
+  }
+
+  /** DuckDB restatement of [[classifierEvalHeldout]]: the
+    * [[classifierTrainOracle]] chain restricted to the train hash
+    * shard, valid-shard features scored against the final weights,
+    * thresholds unnested into the [[classifierEvalOracle]] sweep
+    * tail. */
+  def classifierEvalHeldoutOracle(steps: Int = 4, lr: Double = 4.0,
+                                  minScore: Double = 0.64): String = {
+    val score =
+      """floor((len(list_distinct(string_split(text, ' ')))
+               / len(string_split(text, ' ')) * CAST(0.3 AS DOUBLE)
+             + (CAST(1.0 AS DOUBLE) - len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the', 'a'))) / len(string_split(text, ' ')))
+               * CAST(0.3 AS DOUBLE)
+             + least(len(string_split(text, ' ')) / CAST(100.0 AS DOUBLE),
+                 CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE))
+             * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             / CAST(10000.0 AS DOUBLE)"""
+    val steps_sql = (1 to steps).map { t =>
+      s"""z$t AS (SELECT f.doc_id, f.y,
+           CAST(sum(CAST(floor(f.x * w.w * CAST(16777216 AS DOUBLE)
+               + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+             / CAST(16777216 AS DOUBLE) AS z
+         FROM f JOIN w${t - 1} w USING (b) GROUP BY f.doc_id, f.y),
+       e$t AS (SELECT doc_id,
+           (CAST(0.5 AS DOUBLE) + z / (CAST(2.0 AS DOUBLE)
+             * (CAST(1.0 AS DOUBLE) + abs(z)))) - y AS err
+         FROM z$t),
+       g$t AS (SELECT f.b,
+           CAST(sum(CAST(floor(e.err * f.x * CAST(16777216 AS DOUBLE)
+               + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+             / CAST(16777216 AS DOUBLE) / (SELECT nd FROM nd) AS g
+         FROM f JOIN e$t e USING (doc_id) GROUP BY f.b),
+       w$t AS (SELECT w.b,
+           w.w - CAST($lr AS DOUBLE) * coalesce(g.g, CAST(0.0 AS DOUBLE)) AS w
+         FROM w${t - 1} w LEFT JOIN g$t g USING (b))"""
+    }.mkString(",\n       ")
+    s"""WITH lab AS (SELECT doc_id, text,
+           CASE WHEN $score >= CAST($minScore AS DOUBLE) THEN 1 ELSE 0 END AS y,
+           substring(md5(text), 1, 2) AS bucket
+         FROM documents),
+       labt AS (SELECT doc_id, text, y FROM lab WHERE bucket < 'd0'),
+       labv AS (SELECT doc_id, text, y FROM lab
+         WHERE bucket >= 'd0' AND bucket < 'e8'),
+       tok AS (SELECT doc_id, y, unnest(string_split(text, ' ')) AS term
+         FROM labt),
+       f0 AS (SELECT doc_id, y,
+           CAST((strpos('0123456789abcdef',
+               substring(md5(term), 1, 1)) - 1) * 16
+             + strpos('0123456789abcdef', substring(md5(term), 2, 1)) - 1
+             AS BIGINT) AS b,
+           count(*) AS cnt
+         FROM tok GROUP BY doc_id, y, b),
+       f AS (SELECT doc_id, y, b, CAST(cnt AS DOUBLE)
+           / sum(cnt) OVER (PARTITION BY doc_id) AS x FROM f0
+         UNION ALL
+         SELECT doc_id, y, CAST(-1 AS BIGINT) AS b,
+           CAST(1.0 AS DOUBLE) AS x FROM labt),
+       nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM labt),
+       w0 AS (SELECT DISTINCT b, CAST(0.0 AS DOUBLE) AS w FROM f),
+       $steps_sql,
+       tokv AS (SELECT doc_id, y, unnest(string_split(text, ' ')) AS term
+         FROM labv),
+       fv0 AS (SELECT doc_id, y,
+           CAST((strpos('0123456789abcdef',
+               substring(md5(term), 1, 1)) - 1) * 16
+             + strpos('0123456789abcdef', substring(md5(term), 2, 1)) - 1
+             AS BIGINT) AS b,
+           count(*) AS cnt
+         FROM tokv GROUP BY doc_id, y, b),
+       fv AS (SELECT doc_id, y, b, CAST(cnt AS DOUBLE)
+           / sum(cnt) OVER (PARTITION BY doc_id) AS x FROM fv0
+         UNION ALL
+         SELECT doc_id, y, CAST(-1 AS BIGINT) AS b,
+           CAST(1.0 AS DOUBLE) AS x FROM labv),
+       zv AS (SELECT f.doc_id, f.y,
+           CAST(sum(CAST(floor(f.x * w.w * CAST(16777216 AS DOUBLE)
+               + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+             / CAST(16777216 AS DOUBLE) AS z
+         FROM fv f JOIN w$steps w USING (b) GROUP BY f.doc_id, f.y),
+       sweep AS (SELECT y, z,
+           unnest([CAST(-0.10 AS DOUBLE), CAST(-0.05 AS DOUBLE),
+             CAST(0.0 AS DOUBLE), CAST(0.05 AS DOUBLE),
+             CAST(0.10 AS DOUBLE)]) AS thresh
+         FROM zv),
+       cm AS (SELECT thresh,
+           CAST(sum(CASE WHEN y = 1 AND z > thresh THEN 1 ELSE 0 END)
+             AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN y = 0 AND z > thresh THEN 1 ELSE 0 END)
+             AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN y = 1 AND NOT z > thresh THEN 1 ELSE 0 END)
+             AS BIGINT) AS fn,
+           CAST(sum(CASE WHEN y = 0 AND NOT z > thresh THEN 1 ELSE 0 END)
+             AS BIGINT) AS tn
+         FROM sweep GROUP BY thresh)
+       SELECT thresh, tp, fp, fn, tn,
+         CASE WHEN tp + fp = 0 THEN CAST(0.0 AS DOUBLE)
+           ELSE floor(CAST(tp AS DOUBLE) / (tp + fp) * 10000.0 + 0.5)
+             / 10000.0 END AS precision,
+         CASE WHEN tp + fn = 0 THEN CAST(0.0 AS DOUBLE)
+           ELSE floor(CAST(tp AS DOUBLE) / (tp + fn) * 10000.0 + 0.5)
+             / 10000.0 END AS recall,
+         CASE WHEN 2 * tp + fp + fn = 0 THEN CAST(0.0 AS DOUBLE)
+           ELSE floor(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn)
+             * 10000.0 + 0.5) / 10000.0 END AS f1
+       FROM cm ORDER BY thresh"""
   }
 
   /** Threshold-sweep evaluation of the quality classifier — the rung

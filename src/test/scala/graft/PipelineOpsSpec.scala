@@ -607,6 +607,53 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("heldout classifier eval: train-shard-only gradients, sane sweep") {
+    val dir = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, dir)
+    val labeled = TextAnalysis.withQuality(docs)
+      .select(col("doc_id"), col("text"),
+        (col("score") >= 0.64).cast("int").as("y"),
+        TextAnalysis.splitCol(col("text")).as("split"))
+    // NO LEAKAGE: the weights trained through the heldout path's own
+    // construction (label the FULL corpus, then filter to the train
+    // shard) must be bitwise identical to weights trained on a corpus
+    // from which valid/test docs were physically DELETED before any
+    // labeling — if any aggregate anywhere in the chain saw a valid
+    // doc (e.g. a future corpus-statistic label threshold), they
+    // would differ
+    val train = labeled.filter(col("split") === "train")
+      .select(col("doc_id"), col("text"), col("y"))
+    val wFull = TextAnalysis.classifierGd(
+      TextAnalysis.classifierFeats(train), 4, 4.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val prunedDocs = docs.join(
+      train.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val labeledPruned = TextAnalysis.withQuality(prunedDocs)
+      .select(col("doc_id"), col("text"),
+        (col("score") >= 0.64).cast("int").as("y"))
+    val wPruned = TextAnalysis.classifierGd(
+      TextAnalysis.classifierFeats(labeledPruned), 4, 4.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(wFull == wPruned, "gradients must see the train shard only")
+    // the sweep itself: 5 thresholds, counts partition the valid shard
+    val nValid = labeled.filter(col("split") === "valid").count()
+    assert(nValid > 0, "valid shard must be non-empty at sf0.01")
+    val rows = TextAnalysis.classifierEvalHeldout(spark, dir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) + r.getLong(3) + r.getLong(4)
+        == nValid, "confusion cells must partition the valid shard")
+      Seq(5, 6, 7).foreach(i =>
+        assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0))
+    }
+    // monotone threshold mechanics: raising the cutoff can only shrink
+    // the kept set, so tp and fp are non-increasing in thresh
+    val byT = rows.sortBy(_.getDouble(0))
+    byT.zip(byT.tail).foreach { case (a, b) =>
+      assert(a.getLong(1) >= b.getLong(1) && a.getLong(2) >= b.getLong(2))
+    }
+  }
+
   test("bpe train: greedy argmax, leftmost fuse, monotone counts, saturation stops") {
     import TestSession.spark.implicits._
     // overlapping run: " a  a  a " must fuse leftmost-first (-> aa + a),
