@@ -144,6 +144,7 @@ object SparkEntry {
     "emb_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "emb_pca" -> ((s, d) => Similarity.pcaPower(s, d)),
     "emb_pca_project" -> ((s, d) => Similarity.pcaProject(s, d)),
+    "emb_pca_fit_apply" -> ((s, d) => Similarity.pcaFitApply(s, d)),
     "emb_drift" -> ((s, d) => Similarity.drift(s, d)),
     "emb_neardup" -> ((s, d) => Similarity.nearDup(s, d)),
     // contract verdicts: LSH subset/recall/precision vs the blocked
@@ -746,6 +747,11 @@ object SparkEntry {
     // PCA projection: shared trajectory chain + the centered dot —
     // sign pinned by the deterministic power-iteration init
     "emb_pca_project" -> operators.Similarity.pcaProjectOracle(),
+    // fit-once PCA: trained model persists as a parquet artifact, the
+    // registered call is one corpus pass against the broadcast model;
+    // the oracle restates fit + apply as one chain (the artifact is an
+    // execution shortcut, not a semantic input — cold == warm hash)
+    "emb_pca_fit_apply" -> operators.Similarity.pcaFitApplyOracle(),
     // per-dim Welch z between corpus halves: float-pinned moments
     "emb_drift" -> operators.Similarity.driftOracle(),
     // first-touch attribution: integer epoch gap test, unique

@@ -1725,6 +1725,77 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** FIT-ONCE / APPLY-MANY PCA — the production twin of
+    * [[pcaProject]] (which retrains the component it projects with —
+    * oracle-honest but the suite pays the covariance + power
+    * iteration on every call): the converged model (i, mu, v, eigval)
+    * PERSISTS as a parquet artifact keyed by corpus path + hyperparams
+    * + format version, the fit runs at most once per corpus (skipped
+    * whenever the artifact's _SUCCESS marker exists — the idempotent
+    * model-registry shape), and every subsequent call is ONE corpus
+    * pass against the dims-sized BROADCAST model. At 100 TB this is
+    * the only sane shape: the eigenvector is fit on a snapshot and
+    * applied to every batch thereafter.
+    *
+    * Determinism: mu is the same float-cast mean the trainer centers
+    * with; v round-trips parquet bitwise (doubles are exact on disk);
+    * the projection dot rides the dyadic grid (each (x−mu)·v term
+    * floored to a 2^-24 multiple, summed as longs — the classifier
+    * discipline, order-independent on any partitioning) and pc1 is
+    * floor-rounded. The oracle restates fit + apply as one chain —
+    * the artifact is an execution shortcut, never a semantic input:
+    * a cold and a warm call hash identically. */
+  def pcaFitApply(spark: SparkSession, dir: String, iters: Int = 8)
+      : DataFrame = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|$iters".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val modelPath = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_models", s"pca1_v1_$key")
+    if (!java.nio.file.Files.exists(modelPath.resolve("_SUCCESS"))) {
+      val (_, v, lam) = pcaState(spark, dir, iters)
+      val e = emb(spark, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      val mu = e.select(posexplode(col("emb")).as(Seq("i", "x")))
+        .groupBy(col("i"))
+        .agg(avg(col("x")).cast("float").cast("double").as("mu"))
+      mu.join(v, Seq("i")).crossJoin(broadcast(lam))
+        .select(col("i"), col("mu"), col("v"), col("lam"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(modelPath.toString)
+    }
+    val model = spark.read.parquet(modelPath.toString)
+      .select(col("i").as("pos"), col("mu"), col("v").as("w"))
+    val ex = emb(spark, dir).select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("pos", "x")))
+    val proj = ex.join(broadcast(model), Seq("pos"))
+      .groupBy(col("vec_id"))
+      .agg((sum(floor((col("x") - col("mu")) * col("w")
+          * lit(16777216.0) + lit(0.5)))
+        .cast("double") / lit(16777216.0)).as("p"))
+    emb(spark, dir).select(col("vec_id"), col("label"))
+      .join(proj.hint("shuffle_hash"), Seq("vec_id"))
+      .select(col("vec_id"), col("label"),
+        (floor(col("p") * 10000.0 + 0.5) / 10000.0).as("pc1"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB restatement of [[pcaFitApply]]: the shared trajectory
+    * chain (fit), the dyadic-grid projection (apply) — the model
+    * artifact collapses out because fit ∘ apply is one derivation of
+    * the same tables. */
+  def pcaFitApplyOracle(iters: Int = 8): String =
+    s"""WITH ${pcaChainSql(iters)},
+       proj AS (SELECT ce.vec_id,
+           CAST(sum(CAST(floor(ce.cv * u.v * CAST(16777216 AS DOUBLE)
+               + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+             / CAST(16777216 AS DOUBLE) AS p
+         FROM ce JOIN u$iters u ON ce.i = u.i GROUP BY ce.vec_id)
+       SELECT e.vec_id, e.label,
+         floor(p * 10000.0 + 0.5) / 10000.0 AS pc1
+       FROM proj JOIN embeddings e USING (vec_id) ORDER BY vec_id"""
+
   /** DuckDB restatement of [[pcaPower]] — the same pinned trajectory,
     * with the pair expansion as a vec_id self-join (the map-side
     * expansion and the self-join enumerate the same (i, j) terms). */

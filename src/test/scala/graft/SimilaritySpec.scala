@@ -579,6 +579,44 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("pca fit-apply: artifact fit once and reused, agrees with the retraining twin") {
+    import java.nio.file.{Files, Paths}
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$sf|8".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val modelDir = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_models", s"pca1_v1_$key")
+    def rmrf(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    rmrf(modelDir)
+    // cold call: fits, persists, projects
+    val r1 = Similarity.pcaFitApply(spark, sf).collect()
+    assert(Files.exists(modelDir.resolve("_SUCCESS")), "artifact persisted")
+    val snap = { import scala.jdk.CollectionConverters._
+      Files.list(modelDir).iterator().asScala
+        .map(f => f.getFileName.toString ->
+          Files.getLastModifiedTime(f).toMillis).toMap }
+    // warm call: bitwise-identical rows, artifact files untouched
+    // (fit-once — the covariance + power iteration never rerun)
+    val r2 = Similarity.pcaFitApply(spark, sf).collect()
+    assert(r1.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq)
+    val snap2 = { import scala.jdk.CollectionConverters._
+      Files.list(modelDir).iterator().asScala
+        .map(f => f.getFileName.toString ->
+          Files.getLastModifiedTime(f).toMillis).toMap }
+    assert(snap == snap2, "warm call must not rewrite the model artifact")
+    // the apply-many path computes the same projection the retraining
+    // twin does (both derive pc1 = sum (x-mu)*v from the same
+    // trajectory; rounding grids differ at most one 1e-4 step)
+    val twin = Similarity.pcaProject(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    r1.foreach { r =>
+      assert(math.abs(r.getDouble(2) - twin(r.getLong(0))) <= 1e-4 + 1e-9,
+        s"vec ${r.getLong(0)}: ${r.getDouble(2)} vs ${twin(r.getLong(0))}")
+    }
+  }
+
   test("ndcg eval: bounded, perfect iff order reproduced, consistent with recall") {
     val rows = Similarity.ndcgEval(spark, sf).collect()
     assert(rows.nonEmpty)
