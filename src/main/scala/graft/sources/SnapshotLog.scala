@@ -190,14 +190,113 @@ object SnapshotLog {
       }
       .start()
 
-  /** Version history: one row per committed version. */
+  /** OPTIMIZE-style segment compaction — the maintenance commit an
+    * upsert-heavy history needs (every merge writes one replacement
+    * segment; a nightly CDC stream accumulates hundreds of small
+    * segments, and every read then unions hundreds of directories):
+    * all current segments below `minRows` fold into ONE new segment;
+    * larger segments ride into the new manifest by reference. The
+    * compacted state is a NEW numbered version — no existing segment
+    * or manifest file is touched, so every prior version's time-travel
+    * read is byte-identical before and after (spec-proven); a reader
+    * pinned mid-compaction never notices. No-op (no commit, current
+    * version returned) when fewer than two segments qualify —
+    * compaction is idempotent. Returns the committed version. */
+  def compact(spark: SparkSession, path: String, keyCol: String,
+              minRows: Long = Long.MaxValue): Int = {
+    val v0 = latestVersion(path).getOrElse(
+      sys.error(s"compact of non-existent table $path"))
+    val segs = manifest(spark, path, v0).collect()
+    val (small, big) = segs.partition(_.getAs[Long]("n_rows") < minRows)
+    if (small.length <= 1) return v0
+    val v = v0 + 1
+    val merged = spark.read.parquet(small.map(_.getAs[String]("seg")): _*)
+    val newSeg = writeSegment(spark, merged, path, v, 0, keyCol).collect()
+    val rows = big.map(r => (r.getAs[String]("seg"),
+      r.getAs[Long]("n_rows"), r.getAs[Long]("min_key"),
+      r.getAs[Long]("max_key"))) ++
+      newSeg.map(r => (r.getAs[String]("seg"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("min_key"), r.getAs[Long]("max_key")))
+    import spark.implicits._
+    commit(rows.toSeq.toDF("seg", "n_rows", "min_key", "max_key"), path, v)
+  }
+
+  private def pinsDir(path: String) = Paths.get(logDir(path), "pins")
+
+  /** PIN a version against retention GC — the "train run X read corpus
+    * version N" contract made durable: a pinned version's manifest and
+    * segments survive every [[gc]] until [[unpin]]. Pin state is a
+    * marker file per version (crash-safe: creation is one atomic file
+    * create; no manifest is ever rewritten). */
+  def pin(path: String, v: Int): Unit = {
+    require(Files.exists(Paths.get(manifestDir(path, v))),
+      s"cannot pin non-existent version $v at $path")
+    Files.createDirectories(pinsDir(path))
+    Files.write(pinsDir(path).resolve(f"v$v%05d"), Array.emptyByteArray)
+    ()
+  }
+
+  def unpin(path: String, v: Int): Unit = {
+    Files.deleteIfExists(pinsDir(path).resolve(f"v$v%05d"))
+    ()
+  }
+
+  def pinnedVersions(path: String): Set[Int] =
+    if (!Files.exists(pinsDir(path))) Set.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.list(pinsDir(path)).iterator().asScala
+        .map(_.getFileName.toString.stripPrefix("v").toInt).toSet
+    }
+
+  /** Retention GC — reclaims the history [[compact]] makes obsolete:
+    * every version except the newest `retainLast` and every PINNED
+    * version ([[pin]]) is expired — its manifest deleted, and any
+    * segment referenced by NO retained version's manifest deleted with
+    * it. A pinned or retained version is REFUSED by construction: the
+    * kept-segment set is computed as the union over every retained
+    * manifest BEFORE anything is deleted, so files a surviving version
+    * references are structurally unreachable by the delete pass —
+    * time travel to a pinned version is byte-identical after any
+    * number of GCs (spec-proven). Deletion order (orphan segments,
+    * then expired manifests) means a mid-GC crash can only leave an
+    * expired version torn — never a retained one. Returns the expired
+    * version numbers. */
+  def gc(spark: SparkSession, path: String, retainLast: Int): Seq[Int] = {
+    require(retainLast >= 1, "must retain at least the latest version")
+    val latest = latestVersion(path).getOrElse(
+      sys.error(s"gc of non-existent table $path"))
+    val retained = (0 to latest)
+      .filter(v => v > latest - retainLast).toSet ++ pinnedVersions(path)
+    val expired = (0 to latest).filterNot(retained)
+      .filter(v => Files.exists(Paths.get(manifestDir(path, v))))
+    if (expired.isEmpty) return Seq.empty
+    def segsOf(v: Int): Set[String] = manifest(spark, path, v)
+      .select(col("seg")).collect().map(_.getString(0)).toSet
+    val keep = retained.filter(v =>
+      Files.exists(Paths.get(manifestDir(path, v)))).flatMap(segsOf)
+    val orphans = expired.flatMap(segsOf).toSet -- keep
+    def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    orphans.foreach(s => rmTree(Paths.get(s)))
+    expired.foreach(v => rmTree(Paths.get(manifestDir(path, v))))
+    expired
+  }
+
+  /** Version history: one row per committed version still on disk
+    * (a [[gc]]-expired version drops out of the history, as it should —
+    * its manifest no longer exists). */
   def history(spark: SparkSession, path: String): DataFrame = {
     val latest = latestVersion(path).getOrElse(
       sys.error(s"no committed version at $path"))
-    (0 to latest).map { v =>
-      manifest(spark, path, v)
-        .agg(count(lit(1)).as("n_segments"), sum(col("n_rows")).as("n_rows"))
-        .select(lit(v).as("version"), col("n_segments"), col("n_rows"))
-    }.reduce(_ unionByName _).orderBy(col("version"))
+    (0 to latest)
+      .filter(v => Files.exists(Paths.get(manifestDir(path, v))))
+      .map { v =>
+        manifest(spark, path, v)
+          .agg(count(lit(1)).as("n_segments"), sum(col("n_rows")).as("n_rows"))
+          .select(lit(v).as("version"), col("n_segments"), col("n_rows"))
+      }.reduce(_ unionByName _).orderBy(col("version"))
   }
 }

@@ -342,6 +342,59 @@ class SourcesSpec extends AnyFunSuite {
     assert(SnapshotLog.read(spark, path).count() == 200)
   }
 
+  test("SnapshotLog: compaction preserves every version read; GC refuses pinned versions") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val path = tmpDir("snaplog_gc")
+    def rowsOf(v: Option[Int] = None): Set[(Long, String)] =
+      SnapshotLog.read(spark, path, v).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    // build an upsert-heavy history: v0 create + three appends of
+    // small segments -> v3 has 4 segments
+    SnapshotLog.create(spark,
+      (0L until 50L).map(i => (i, s"c$i")).toDF("k", "p"), path, "k")
+    (1 to 3).foreach { b =>
+      SnapshotLog.append(spark, (b * 1000L until b * 1000L + 50L)
+        .map(i => (i, s"a$b-$i")).toDF("k", "p"), path, "k")
+    }
+    val preCompact = (0 to 3).map(v => v -> rowsOf(Some(v))).toMap
+    assert(SnapshotLog.manifest(spark, path, 3).count() == 4)
+    // COMPACT: one new version, ONE segment, same rows; every prior
+    // version reads byte-identically (no existing file touched)
+    assert(SnapshotLog.compact(spark, path, "k") == 4)
+    assert(SnapshotLog.manifest(spark, path, 4).count() == 1)
+    assert(rowsOf(Some(4)) == preCompact(3))
+    (0 to 3).foreach(v => assert(rowsOf(Some(v)) == preCompact(v),
+      s"compaction disturbed the v$v time-travel read"))
+    // idempotent: a second compact of the single-segment state is a
+    // no-op commit-wise
+    assert(SnapshotLog.compact(spark, path, "k") == 4)
+    assert(SnapshotLog.latestVersion(path).contains(4))
+    // PIN v1, then GC down to the last 2 versions: v0 and v2 expire,
+    // v1 survives BECAUSE pinned, v3/v4 by retention
+    SnapshotLog.pin(path, 1)
+    val expired = SnapshotLog.gc(spark, path, retainLast = 2)
+    assert(expired == Seq(0, 2), s"expired $expired")
+    assert(rowsOf(Some(1)) == preCompact(1),
+      "pinned version must read byte-identically after GC")
+    assert(rowsOf(Some(3)) == preCompact(3) && rowsOf(Some(4)) == preCompact(3))
+    // expired versions are genuinely gone (manifest deleted)
+    intercept[Exception] { rowsOf(Some(0)) }
+    // history now lists only surviving versions
+    assert(SnapshotLog.history(spark, path).collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 3, 4))
+    // unpin + GC again: v1 now expires too; the survivors still read
+    SnapshotLog.unpin(path, 1)
+    assert(SnapshotLog.gc(spark, path, retainLast = 2) == Seq(1))
+    intercept[Exception] { rowsOf(Some(1)) }
+    assert(rowsOf(Some(4)) == preCompact(3))
+    // GC of everything but latest keeps the table serving
+    assert(SnapshotLog.gc(spark, path, retainLast = 1) == Seq(3))
+    assert(rowsOf() == preCompact(3))
+    // pinning a non-existent version is refused outright
+    intercept[IllegalArgumentException] { SnapshotLog.pin(path, 77) }
+  }
+
   test("SnapshotLog: streaming CDC commits one version per batch, deletes land") {
     import spark.implicits._
     import graft.sources.SnapshotLog
