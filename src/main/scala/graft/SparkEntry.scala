@@ -135,6 +135,8 @@ object SparkEntry {
     "ann_hybrid_rrf" -> ((s, d) => Similarity.hybridRrf(s, d)),
     "emb_incremental" -> ((s, d) => Similarity.incrementalAnn(s, d)),
     "emb_mutual_knn" -> ((s, d) => Similarity.mutualKnn(s, d)),
+    "emb_semantic_communities" ->
+      ((s, d) => Similarity.semanticCommunities(s, d)),
     "ann_ivf_stats" -> ((s, d) => Similarity.ivfStats(s, d)),
     "pipeline_paraphrase" -> ((s, d) => Similarity.paraphrasePairs(s, d)),
     "text_pair_bleu" -> ((s, d) => Similarity.pairBleu(s, d)),
@@ -1990,6 +1992,11 @@ object SparkEntry {
          SELECT t.src AS va, t.dst AS vb, round(t.cos, 4) AS cos_sim
          FROM t JOIN t t2 ON t2.src = t.dst AND t2.dst = t.src
          WHERE t.src < t.dst ORDER BY va, vb""",
+    // semantic communities: the mutual-kNN chain spliced into the
+    // unrolled LPA chain — integer votes after the knn build, so the
+    // whole composition hash-checks
+    "emb_semantic_communities" ->
+      operators.Similarity.semanticCommunitiesOracle(),
     // incremental ANN ingest: the standing index (corpus seeds + cell
     // members) and the batch's probe/score/argmax are deterministic
     // end-to-end, so the classification itself hash-checks; tau = 0.4

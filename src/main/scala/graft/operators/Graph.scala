@@ -411,11 +411,31 @@ object Graph {
     * anywhere in the trajectory. */
   def labelProp(spark: SparkSession, dir: String,
                 rounds: Int = 3): DataFrame = {
-    require(rounds >= 1)
     val nodes = Tables.supplier(spark, dir).select(col("s_suppkey").as("id"))
-    val e0 = ccEdges(spark, dir)
-    val edges = e0.select(col("src"), col("dst"))
-      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val labels = labelPropOver(ccEdges(spark, dir), nodes, rounds)
+    val out = labels
+      .withColumn("community_size", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("label"))))
+      .select(col("id").as("node"), col("label").as("community"),
+        col("community_size"))
+      .orderBy(col("node"))
+      .localCheckpoint()
+    SparkBridge.unpersistCheckpoint(labels)
+    out
+  }
+
+  /** [[labelProp]]'s kernel over ANY undirected edge/node frame —
+    * (src, dst) pairs in either orientation plus an `id` node spine —
+    * shared with the semantic-community composition over the mutual
+    * k-NN graph ([[Similarity.semanticCommunities]]). Returns the
+    * final checkpointed (id, label) frame; the caller formats and
+    * releases it. */
+  private[graft] def labelPropOver(edges0: DataFrame, nodes: DataFrame,
+                                   rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val edges = edges0.select(col("src"), col("dst"))
+      .union(edges0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .repartition(col("dst"))
       .localCheckpoint()
@@ -434,16 +454,7 @@ object Graph {
       SparkBridge.unpersistCheckpoint(labels)
       labels = next
     }
-    val out = labels
-      .withColumn("community_size", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("label"))))
-      .select(col("id").as("node"), col("label").as("community"),
-        col("community_size"))
-      .orderBy(col("node"))
-      .localCheckpoint()
-    SparkBridge.unpersistCheckpoint(labels)
-    out
+    labels
   }
 
   /** Unrolled-CTE oracle for [[labelProp]]: the same deterministic

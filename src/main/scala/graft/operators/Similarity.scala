@@ -1010,6 +1010,77 @@ object Similarity {
       .orderBy(col("va"), col("vb"))
   }
 
+  /** SEMANTIC COMMUNITIES — corpus topic discovery as ONE composed
+    * pipeline: the mutual k-NN graph ([[mutualKnn]], inheriting its
+    * dispatched exact/IVF pair source) fed into the deterministic
+    * semi-synchronous label propagation kernel
+    * ([[Graph.labelPropOver]] — every vector starts as its own label,
+    * each round adopts the most frequent neighbor label with a
+    * self-vote, ties toward the smallest label). This is the standard
+    * embedding-clustering shape (mutual-kNN prunes hub edges, LPA
+    * finds the dense blocks) that powers corpus topic maps and
+    * domain-mix audits; unlike [[kmeans]] it needs no k and follows
+    * non-convex manifolds.
+    *
+    * Everything after the knn build is integer votes — no FP anywhere
+    * in the trajectory, so the composition hash-checks end-to-end: the
+    * oracle splices the knn CTE chain into the unrolled LPA chain.
+    * Scale posture: inherits the knn arms'; each LPA round is one
+    * edge-keyed equi-join + two hash aggs over edge-sized frames. */
+  def semanticCommunities(spark: SparkSession, dir: String, k: Int = K,
+                          rounds: Int = 3): DataFrame = {
+    val knn = mutualKnn(spark, dir, k)
+      .select(col("va").as("src"), col("vb").as("dst"))
+    val nodes = emb(spark, dir).select(col("vec_id").as("id"))
+    val labels = Graph.labelPropOver(knn, nodes, rounds)
+    val out = labels
+      .withColumn("community_size", count(lit(1))
+        .over(Window.partitionBy(col("label"))))
+      .select(col("id").as("vec_id"), col("label").as("community"),
+        col("community_size"))
+      .orderBy(col("vec_id"))
+      .localCheckpoint()
+    org.apache.spark.sql.graftbridge.SparkBridge.unpersistCheckpoint(labels)
+    out
+  }
+
+  /** DuckDB restatement of [[semanticCommunities]]: the emb_mutual_knn
+    * chain (brute pairs → per-direction top-k → mutuality self-join)
+    * spliced into the unrolled LPA vote/argmax chain. MATERIALIZED
+    * throughout — t is referenced twice (the mutuality join) and ge
+    * once per round, so plain-CTE inlining would copy the n² pair scan
+    * per round. */
+  def semanticCommunitiesOracle(k: Int = K, rounds: Int = 3): String = {
+    val roundsSql = (1 to rounds).map { t =>
+      s"""v$t AS MATERIALIZED (SELECT id, label, count(*) AS c FROM (
+           SELECT ge.src AS id, l.label FROM ge
+           JOIN l${t - 1} l ON l.id = ge.dst
+           UNION ALL SELECT id, label FROM l${t - 1}) u
+         GROUP BY id, label),
+       l$t AS MATERIALIZED (SELECT id, label FROM (
+           SELECT id, label, row_number() OVER (PARTITION BY id
+             ORDER BY c DESC, label) AS rn FROM v$t) w WHERE rn = 1)"""
+    }.mkString(",\n       ")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+         FROM embeddings),
+       p AS MATERIALIZED (SELECT a.vec_id AS src, b.vec_id AS dst,
+           list_cosine_similarity(a.v, b.v) AS cos
+         FROM e a, e b WHERE a.vec_id <> b.vec_id),
+       t AS MATERIALIZED (SELECT src, dst FROM (
+         SELECT src, dst, row_number() OVER (PARTITION BY src
+           ORDER BY cos DESC, dst) AS rn FROM p) x WHERE rn <= $k),
+       m AS MATERIALIZED (SELECT t.src AS va, t.dst AS vb
+         FROM t JOIN t t2 ON t2.src = t.dst AND t2.dst = t.src
+         WHERE t.src < t.dst),
+       ge AS MATERIALIZED (SELECT va AS src, vb AS dst FROM m
+         UNION SELECT vb AS src, va AS dst FROM m),
+       l0 AS (SELECT vec_id AS id, vec_id AS label FROM embeddings),
+       $roundsSql
+       SELECT id AS vec_id, label AS community,
+         count(*) OVER (PARTITION BY label) AS community_size
+       FROM l$rounds ORDER BY vec_id"""
+  }
+
   /** Hash-checked contract restatement of [[nearDupLsh]] at its
     * selectivity-viable default configuration: WHICH pairs the banding
     * surfaces is engine-specific, but (a) the verified pairs must be a

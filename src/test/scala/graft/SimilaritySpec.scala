@@ -282,6 +282,39 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("semantic communities: equals in-memory LPA over the mutual-kNN graph") {
+    val rows = Similarity.semanticCommunities(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.length == n, "every vector gets a community")
+    // recompute the full composition in memory: mutual-kNN edges (the
+    // already-pinned operator), then 3 rounds of deterministic
+    // semi-synchronous LPA (self-vote, most-frequent label, ties to
+    // the smallest label)
+    val edges = Similarity.mutualKnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (s, es) => s -> es.map(_._2).toSeq }
+    val ids = rows.map(_.getLong(0))
+    var lab = ids.map(i => i -> i).toMap
+    for (_ <- 1 to 3) {
+      lab = ids.map { v =>
+        val votes = (adj.getOrElse(v, Seq.empty).map(lab) :+ lab(v))
+          .groupBy(identity).map { case (l, o) => l -> o.size }
+        v -> votes.toSeq.map { case (l, c) => (-c, l) }.min._2
+      }.toMap
+    }
+    rows.foreach { r =>
+      assert(r.getLong(1) == lab(r.getLong(0)),
+        s"community drift at vec ${r.getLong(0)}")
+      assert(r.getLong(2) == lab.values.count(_ == lab(r.getLong(0))),
+        s"community_size drift at vec ${r.getLong(0)}")
+    }
+    // the clustering is non-degenerate: more than one community, and
+    // at least one genuinely multi-member community
+    val comms = rows.map(_.getLong(1)).distinct
+    assert(comms.length > 1 && rows.exists(_.getLong(2) > 1))
+  }
+
   test("lshContractChecked: one row, verdicts true, n_true matches brute") {
     val r = Similarity.lshContractChecked(spark, sf).collect()
     assert(r.length == 1)
