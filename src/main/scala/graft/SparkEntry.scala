@@ -66,6 +66,10 @@ object SparkEntry {
     "q30_bloom_semi" -> (Warehouse.q30BloomSemi _),
     "q48_data_contract" -> ((s, d) => Warehouse.q48DataContract(s, d)),
     "q49_view_maintain" -> ((s, d) => Warehouse.q49ViewMaintain(s, d)),
+    // incremental-MV target view; the SnapshotLog foreachBatch
+    // maintenance loop converging to it is spec-pinned (StreamingSpec)
+    "stream_view_maintain" ->
+      (graft.streaming.EventStreams.viewMaintainBatch _),
     "q50_entity_match" -> ((s, d) => Warehouse.q50EntityMatch(s, d)),
     "q31_range_lookup" -> (Warehouse.q31RangeLookup _),
     "q32_scd2" -> (Warehouse.q32Scd2 _),
@@ -943,6 +947,13 @@ object SparkEntry {
          ON b.window_start = d.window_start
            AND b.event_type = d.event_type
        ORDER BY 1, 2""",
+    // the incremental view's TARGET (full recompute); the streaming
+    // SnapshotLog loop must converge to exactly this table
+    "stream_view_maintain" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     // entity resolution: blocked candidates + Levenshtein verify —
     // the DP distance is integer-identical on both engines
     "q50_entity_match" ->

@@ -894,6 +894,100 @@ object EventStreams {
         GroupStateTimeout.EventTimeTimeout)(step)
   }
 
+  // ---- incremental materialized view over SnapshotLog ----
+
+  /** Batch target of the INCREMENTAL MATERIALIZED VIEW: the hourly
+    * per-type count/sum rollup (q49_view_maintain's view semantics as
+    * a full recompute — the table the streaming maintenance loop must
+    * converge to after any batch split). */
+  def viewMaintain(events: DataFrame): DataFrame =
+    events
+      .select(date_trunc("hour", col("ts")).as("window_start"),
+        col("event_type"), col("value"))
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+
+  def viewMaintainBatch(spark: SparkSession, dir: String): DataFrame =
+    viewMaintain(Tables.events(spark, dir))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** The view state table's packed long key: (hour epoch, event-type
+    * code). Hour-major, so a live stream's recent windows cluster at
+    * the key-range tail and SnapshotLog's [min,max] stats confine each
+    * refresh's segment rewrites to the hot tail. The type dictionary
+    * is fixed (the events contract); an unknown type fails loudly
+    * rather than colliding into another group's state. */
+  private val ViewTypeCodes =
+    Seq("click", "error", "purchase", "signup", "view")
+  private def viewKey: Column = {
+    val code = ViewTypeCodes.zipWithIndex
+      .foldLeft(raise_error(concat(lit("unknown event_type "),
+        col("event_type"))).cast("long")) { case (acc, (t, i)) =>
+        when(col("event_type") === t, lit(i.toLong)).otherwise(acc)
+      }
+    floor(unix_seconds(col("window_start")) / 3600L) * 8L + code
+  }
+
+  /** STREAMING view maintenance — [[graft.operators.Warehouse
+    * .q49ViewMaintain]]'s mergeable-state algebra run as the
+    * production foreachBatch loop over a [[graft.sources.SnapshotLog]]
+    * table: each micro-batch reduces map-side to per-group (count,
+    * raw sum) deltas, ADDS them onto the standing state of exactly the
+    * touched groups (a groups-sized left join — the base history is
+    * never rescanned), and commits ONE atomic version per non-empty
+    * batch — so every refresh is a pinned, time-travelable version and
+    * a crash between batches leaves the last good version serving.
+    * Untouched groups ride forward by segment reference (SnapshotLog's
+    * copy-on-write, helped by the hour-major key packing). The stored
+    * state keeps the RAW sum; rounding is presentation, applied by
+    * [[viewMaintainRead]] — compounding round-then-add drift across
+    * thousands of refreshes is how incremental views silently diverge
+    * from their definition. */
+  def viewMaintainStream(events: DataFrame, path: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = batch
+          .select(date_trunc("hour", col("ts")).as("window_start"),
+            col("event_type"), col("value"))
+          .groupBy(col("window_start"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_raw"))
+          .withColumn("k", viewKey)
+          .select(col("k"), col("window_start"), col("event_type"),
+            col("n_events"), col("sum_raw"))
+        if (!delta.isEmpty) {
+          val spark = batch.sparkSession
+          import graft.sources.SnapshotLog
+          if (SnapshotLog.latestVersion(path).isEmpty)
+            SnapshotLog.create(spark, delta, path, "k")
+          else {
+            val standing = SnapshotLog.read(spark, path)
+              .select(col("k"), col("n_events").as("n_b"),
+                col("sum_raw").as("s_b"))
+            val upserts = delta
+              .join(standing.hint("shuffle_hash"), Seq("k"), "left_outer")
+              .select(col("k"), col("window_start"), col("event_type"),
+                (col("n_events") + coalesce(col("n_b"), lit(0L)))
+                  .as("n_events"),
+                (col("sum_raw") + coalesce(col("s_b"), lit(0.0)))
+                  .as("sum_raw"))
+            SnapshotLog.upsert(spark, upserts, path, "k")
+          }
+        }
+        ()
+      }
+      .start()
+
+  /** The maintained view as a consumer reads it (latest or a pinned
+    * version): presentation rounding applied to the stored raw state,
+    * same output shape as [[viewMaintain]]. */
+  def viewMaintainRead(spark: SparkSession, path: String,
+                       version: Option[Int] = None): DataFrame =
+    graft.sources.SnapshotLog.read(spark, path, version)
+      .select(col("window_start"), col("event_type"), col("n_events"),
+        round(col("sum_raw"), 2).as("sum_value"))
+
   def cdcMergeStream(events: Dataset[EventRow]): Dataset[(Long, Double, Timestamp, Long, Boolean)] = {
     import events.sparkSession.implicits._
     def step(userId: Long, it: Iterator[EventRow],

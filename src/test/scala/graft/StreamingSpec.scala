@@ -91,6 +91,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.length == 4)
   }
 
+  test("view maintenance stream: SnapshotLog state converges to the batch view, one version per batch") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    implicit val sqlCtx = spark.sqlContext
+    val path = {
+      val d = new java.io.File("target/tmp-streams/view_maintain")
+      org.apache.commons.io.FileUtils.deleteQuietly(d)
+      d.getParentFile.mkdirs()
+      d.getAbsolutePath
+    }
+    // enough spread that batches genuinely overlap groups: 3 hours x
+    // 3 types, values carrying fractional mass
+    val evs = (0 until 180).map(i =>
+      Ev(i.toLong, t(i), i % 20,
+        Seq("click", "view", "purchase")(i % 3), i * 0.25 + 0.01))
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.viewMaintainStream(mem.toDF(), path)
+    // three micro-batches split by event id — each must commit exactly
+    // one new version
+    evs.grouped(60).foreach { b =>
+      mem.addData(b: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(SnapshotLog.latestVersion(path).contains(2),
+      "three non-empty batches -> versions 0, 1, 2")
+    // CONVERGENCE: the maintained state equals the batch full
+    // recompute row for row (counts exact; sums differ only below the
+    // presentation rounding)
+    val got = EventStreams.viewMaintainRead(spark, path)
+      .orderBy("window_start", "event_type").collect().map(_.toSeq).toSeq
+    val want = EventStreams.viewMaintain(evs.toDF())
+      .orderBy("window_start", "event_type").collect().map(_.toSeq).toSeq
+    assert(got == want, "stream state must equal the batch view")
+    // intermediate versions are the prefix views: version 0 equals the
+    // recompute over batch 1 alone (the refresh history is honest)
+    val v0 = EventStreams.viewMaintainRead(spark, path, Some(0))
+      .orderBy("window_start", "event_type").collect().map(_.toSeq).toSeq
+    val w0 = EventStreams.viewMaintain(evs.take(60).toDF())
+      .orderBy("window_start", "event_type").collect().map(_.toSeq).toSeq
+    assert(v0 == w0, "version 0 must be the first batch's view")
+  }
+
   test("sketch window runs inside streaming state and agrees with batch") {
     import spark.implicits._
     // enough cardinality that the sketches actually summarize something:
