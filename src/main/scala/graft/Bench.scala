@@ -105,7 +105,11 @@ object Bench {
       (s, d) => SparkEntry.queries("q1_pricing_summary")(s, d))
     val gcAlgo = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       .stream.map[String](_.getName).toArray.mkString("+")
-    val envJson = s"""{"heap_max_mb":${Runtime.getRuntime.maxMemory() / (1024 * 1024)},"gc":"$gcAlgo","cpus":${Runtime.getRuntime.availableProcessors()},"spark_cpus":$cpus,"java":"${System.getProperty("java.version")}","warm_ref_q1_sec":${if (envRef < 0) "-1" else BigDecimal(envRef).setScale(3, BigDecimal.RoundingMode.HALF_UP)}}"""
+    // shuffle_partitions recorded explicitly: the r10 red-gate class
+    // (cross-partitioning float-sum drift) is a function of exactly
+    // this knob, so the fingerprint must make a driver/builder
+    // partitioning mismatch visible at a glance
+    val envJson = s"""{"heap_max_mb":${Runtime.getRuntime.maxMemory() / (1024 * 1024)},"gc":"$gcAlgo","cpus":${Runtime.getRuntime.availableProcessors()},"spark_cpus":$cpus,"shuffle_partitions":${spark.conf.get("spark.sql.shuffle.partitions")},"java":"${System.getProperty("java.version")}","warm_ref_q1_sec":${if (envRef < 0) "-1" else BigDecimal(envRef).setScale(3, BigDecimal.RoundingMode.HALF_UP)}}"""
     // Full per-query record to a FILE: the driver's stdout capture keeps
     // only a tail, which in round 7 truncated ~56 of 131 per-query times
     // and let a 2.3x regression hide outside the slowest-10. The file is

@@ -196,6 +196,7 @@ object SparkEntry {
     "text_classifier_eval" -> ((s, d) => TextAnalysis.classifierEval(s, d)),
     "text_classifier_eval_heldout" ->
       ((s, d) => TextAnalysis.classifierEvalHeldout(s, d)),
+    "text_dsir_weights" -> ((s, d) => TextAnalysis.dsirWeights(s, d)),
     "text_classifier_calib" ->
       ((s, d) => TextAnalysis.classifierCalibration(s, d)),
     "text_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
@@ -2838,6 +2839,9 @@ object SparkEntry {
     // train shard, PR/F1 on the valid shard the gradients never saw
     "text_classifier_eval_heldout" ->
       operators.TextAnalysis.classifierEvalHeldoutOracle(),
+    // DSIR importance weights: per-bucket ln ratio computed once on
+    // the 256-row stats frame, per-doc sum on the dyadic grid
+    "text_dsir_weights" -> operators.TextAnalysis.dsirWeightsOracle(),
     // reliability bins + ECE: integer counts, one float-cast mean per
     // bin, gap/ECE from already-rounded columns (nothing compounds)
     "text_classifier_calib" ->

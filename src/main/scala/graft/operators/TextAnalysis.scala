@@ -1568,6 +1568,107 @@ object TextAnalysis {
     w
   }
 
+  /** DSIR-style IMPORTANCE WEIGHTS (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling") — the
+    * distribution-matching rung the quality ladder lacks: instead of
+    * scoring each doc in isolation (quality/classifier rungs), weight
+    * every doc by how much its hashed-n-gram distribution looks like a
+    * TARGET domain relative to the raw corpus, then keep the docs the
+    * likelihood ratio favors. Target here = the high-quality slice
+    * (score >= minScore — in production, a curated seed corpus);
+    * features are the classifier's 256 md5 hash buckets; per-bucket
+    * Laplace-smoothed unigram models p_t, p_r; per-doc importance
+    * log-weight = Σ_tokens ln(p_t(b)/p_r(b)); keep iff the ratio
+    * favors the target (log_w > 0 — the deterministic analog of
+    * DSIR's Gumbel top-k resample).
+    *
+    * Determinism: the per-bucket log-ratio lr(b) is computed ONCE on
+    * the 256-row stats frame (ln parity per element, the PSI
+    * precedent) and broadcast; the per-doc sum rides the dyadic 2^-24
+    * grid (classifier discipline — order-independent on any
+    * partitioning); log_w floor-rounded at the edge.
+    *
+    * Scale posture: TWO corpus passes and nothing else — pass one
+    * computes both models' bucket counts in a single hash aggregation
+    * (the target flag rides the explode map-side, so target counts are
+    * a conditional sum, never a corpus self-join), pass two folds the
+    * broadcast 256-row ratio table over the token stream; totals ride
+    * a one-row broadcast cross. */
+  def dsirWeights(spark: SparkSession, dir: String,
+                  minScore: Double = 0.64): DataFrame = {
+    val hex = "0123456789abcdef"
+    val bkt = (expr(s"locate(substring(md5(cast(term as binary)), 1, 1), '$hex') - 1")
+      * 16 +
+      expr(s"locate(substring(md5(cast(term as binary)), 2, 1), '$hex') - 1"))
+      .cast("bigint")
+    def toksB = withQuality(Tables.documents(spark, dir))
+      .select(col("doc_id"), (col("score") >= minScore).as("tgt"),
+        explode(split(col("text"), " ")).as("term"))
+      .withColumn("b", bkt)
+      .select(col("doc_id"), col("tgt"), col("b"))
+    val stats = toksB.groupBy(col("b"))
+      .agg(count(lit(1)).as("c_r"),
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("c_t"))
+    val totals = stats.agg(sum(col("c_r")).cast("double").as("n_r"),
+      sum(col("c_t")).cast("double").as("n_t"))
+    val lr = stats.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((col("c_t") + lit(0.5)) / (col("n_t") + lit(128.0)))
+          - log((col("c_r") + lit(0.5)) / (col("n_r") + lit(128.0))))
+          .as("lr"))
+    toksB.join(broadcast(lr), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(floor(col("lr") * lit(DyadicQ) + lit(0.5)))
+          .cast("double") / lit(DyadicQ)).as("lw"))
+      .select(col("doc_id"), col("n_tokens"),
+        (floor(col("lw") * 10000.0 + 0.5) / 10000.0).as("log_w"),
+        (col("lw") > 0.0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB restatement of [[dsirWeights]]: same one-aggregation
+    * two-model counts, same broadcast-ratio fold on the dyadic grid. */
+  def dsirWeightsOracle(minScore: Double = 0.64): String =
+    s"""WITH sc AS (SELECT doc_id, text,
+           floor((len(list_distinct(string_split(text, ' ')))
+               / len(string_split(text, ' ')) * CAST(0.3 AS DOUBLE)
+             + (CAST(1.0 AS DOUBLE) - len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the', 'a'))) / len(string_split(text, ' ')))
+               * CAST(0.3 AS DOUBLE)
+             + least(len(string_split(text, ' ')) / CAST(100.0 AS DOUBLE),
+                 CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE))
+             * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             / CAST(10000.0 AS DOUBLE)
+             >= CAST($minScore AS DOUBLE) AS tgt
+         FROM documents),
+       tb AS (SELECT doc_id, tgt,
+           CAST((strpos('0123456789abcdef',
+               substring(md5(term), 1, 1)) - 1) * 16
+             + strpos('0123456789abcdef', substring(md5(term), 2, 1)) - 1
+             AS BIGINT) AS b
+         FROM (SELECT doc_id, tgt,
+             unnest(string_split(text, ' ')) AS term FROM sc) u),
+       st AS (SELECT b, CAST(count(*) AS BIGINT) AS c_r,
+           CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+         FROM tb GROUP BY b),
+       tot AS (SELECT CAST(sum(c_r) AS DOUBLE) AS n_r,
+           CAST(sum(c_t) AS DOUBLE) AS n_t FROM st),
+       lr AS (SELECT b,
+           ln((c_t + CAST(0.5 AS DOUBLE)) / (n_t + CAST(128.0 AS DOUBLE)))
+             - ln((c_r + CAST(0.5 AS DOUBLE)) / (n_r + CAST(128.0 AS DOUBLE)))
+             AS lr
+         FROM st, tot),
+       w AS (SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CAST(floor(lr.lr * CAST(16777216 AS DOUBLE)
+               + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+             / CAST(16777216 AS DOUBLE) AS lw
+         FROM tb JOIN lr USING (b) GROUP BY tb.doc_id)
+       SELECT doc_id, n_tokens,
+         floor(lw * 10000.0 + 0.5) / 10000.0 AS log_w,
+         lw > CAST(0.0 AS DOUBLE) AS keep
+       FROM w ORDER BY doc_id"""
+
   /** HELD-OUT evaluation of the TRAINED classifier — the honest PR
     * curve ([[classifierEval]] and [[classifierCalibration]] are
     * in-sample twice over: they score the corpus the trainer fit, with

@@ -607,6 +607,57 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("dsir weights: in-memory recompute agrees, ratio separates target from raw") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = TextAnalysis.dsirWeights(spark, dir).collect()
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(rows.length == docs.length)
+    // recompute the whole model in memory: bucket counts, Laplace
+    // unigram models, per-doc ln-ratio sums
+    def bucket(term: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(term.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val hex = "0123456789abcdef"
+      (hex.indexOf(h(0)) * 16 + hex.indexOf(h(1))).toLong
+    }
+    def score(text: String): Double = {
+      val ws = text.split(" ")
+      val s = ws.distinct.length.toDouble / ws.length * 0.3 +
+        (1.0 - ws.count(w => w == "the" || w == "a").toDouble / ws.length) * 0.3 +
+        math.min(ws.length / 100.0, 1.0) * 0.4
+      math.floor(s * 10000.0 + 0.5) / 10000.0
+    }
+    val tgtIds = docs.filter { case (_, t) => score(t) >= 0.64 }.map(_._1).toSet
+    val allToks = docs.flatMap { case (id, t) =>
+      t.split(" ").map(w => (id, bucket(w))) }
+    val cR = allToks.groupBy(_._2).map { case (b, xs) => b -> xs.length }
+    val cT = allToks.filter(x => tgtIds(x._1)).groupBy(_._2)
+      .map { case (b, xs) => b -> xs.length }
+    val (nR, nT) = (allToks.length.toDouble,
+      allToks.count(x => tgtIds(x._1)).toDouble)
+    val lr = cR.map { case (b, c) => b ->
+      (math.log((cT.getOrElse(b, 0) + 0.5) / (nT + 128.0))
+        - math.log((c + 0.5) / (nR + 128.0))) }
+    val want = allToks.groupBy(_._1).map { case (id, xs) =>
+      id -> xs.map(x => lr(x._2)).sum }
+    rows.foreach { r =>
+      val (id, lw) = (r.getLong(0), r.getDouble(2))
+      assert(math.abs(lw - want(id)) < 2e-4, s"doc $id: $lw vs ${want(id)}")
+      assert(r.getBoolean(3) == (lw > 0.0) || lw == 0.0)
+      assert(r.getLong(1) == docs.find(_._1 == id).get._2.split(" ").length)
+    }
+    // the POINT of importance weighting: the ratio must separate the
+    // target slice from the rest in aggregate
+    val byTgt = rows.partition(r => tgtIds(r.getLong(0)))
+    val meanT = byTgt._1.map(_.getDouble(2)).sum / byTgt._1.length
+    val meanR = byTgt._2.map(_.getDouble(2)).sum / byTgt._2.length
+    assert(meanT > meanR, s"target mean $meanT must exceed raw mean $meanR")
+    // and both verdict classes appear (the threshold is discriminative)
+    assert(rows.exists(_.getBoolean(3)) && rows.exists(!_.getBoolean(3)))
+  }
+
   test("heldout classifier eval: train-shard-only gradients, sane sweep") {
     val dir = "/root/testdata/sf0.01"
     val docs = Tables.documents(spark, dir)

@@ -187,7 +187,10 @@ class PruningSpec extends AnyFunSuite {
       "text_zipf",
       // emb_rq_codes: both quantization stages score against broadcast
       // seed codebooks (the emb_cluster_assign declared shape)
-      "emb_rq_codes")
+      "emb_rq_codes",
+      // text_dsir_weights: the one-row token-totals scalar (the two
+      // Laplace denominators) crossed onto the 256-row stats frame
+      "text_dsir_weights")
     // full-outer equi-joins cannot broadcast (both sides must preserve
     // unmatched rows), so a shuffle join IS the correct plan there;
     // ann_hybrid_rrf's RRF fusion joins the two rank lists FULL OUTER
