@@ -141,6 +141,7 @@ object SparkEntry {
     "emb_mutual_knn" -> ((s, d) => Similarity.mutualKnn(s, d)),
     "emb_semantic_communities" ->
       ((s, d) => Similarity.semanticCommunities(s, d)),
+    "emb_centrality" -> ((s, d) => Similarity.centrality(s, d)),
     "ann_ivf_stats" -> ((s, d) => Similarity.ivfStats(s, d)),
     "pipeline_paraphrase" -> ((s, d) => Similarity.paraphrasePairs(s, d)),
     "text_pair_bleu" -> ((s, d) => Similarity.pairBleu(s, d)),
@@ -2009,6 +2010,10 @@ object SparkEntry {
     // whole composition hash-checks
     "emb_semantic_communities" ->
       operators.Similarity.semanticCommunitiesOracle(),
+    // semantic centrality: the knn chain spliced into unrolled
+    // PageRank rounds; variable-degree divisions snap to the dyadic
+    // grid before every sum, so the trajectory hash-checks
+    "emb_centrality" -> operators.Similarity.centralityOracle(),
     // incremental ANN ingest: the standing index (corpus seeds + cell
     // members) and the batch's probe/score/argmax are deterministic
     // end-to-end, so the classification itself hash-checks; tau = 0.4

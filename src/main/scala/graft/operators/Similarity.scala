@@ -1044,6 +1044,105 @@ object Similarity {
     out
   }
 
+  /** SEMANTIC CENTRALITY — degree-normalized PageRank over the mutual
+    * k-NN graph: which vectors sit at the dense heart of the corpus's
+    * similarity structure. The representative-sample selector a
+    * curation stack runs after clustering (top-central docs per region
+    * are what you hand to human eval / few-shot pools; bottom-central
+    * are isolates worth an outlier pass — the complement of
+    * [[outliers]]'s geometric view). Same fixed-round
+    * iterate-join-agg shape as [[Graph.pagerank]], but the kNN graph
+    * has VARIABLE degree, so rank/deg is not an exact power-of-two
+    * scaling (graph_pagerank's dyadic trick) — instead each
+    * contribution snaps to the dyadic 2^-24 grid and sums as longs
+    * (the classifier discipline): order-independent on any
+    * partitioning and restated identically by the oracle, so the
+    * whole trajectory hash-checks despite inexact divisions.
+    *
+    * Scale posture: inherits the knn arms'; per round ONE equi-join
+    * against the degree-annotated edge list (partitioned +
+    * checkpointed once) + one quantized sum — the [[Graph.pagerank]]
+    * loop shape; rank frames node-sized, superseded checkpoints
+    * released. */
+  def centrality(spark: SparkSession, dir: String, k: Int = K,
+                 iters: Int = 6): DataFrame = {
+    import org.apache.spark.sql.graftbridge.SparkBridge
+    val m = mutualKnn(spark, dir, k).select(col("va"), col("vb"))
+    val deg0 = m.select(col("va").as("esrc"), col("vb").as("dst"))
+      .unionByName(m.select(col("vb").as("esrc"), col("va").as("dst")))
+    val deg = deg0.groupBy(col("esrc")).agg(count(lit(1)).as("deg"))
+    val edges = deg0.join(deg, Seq("esrc"))
+      .repartition(col("esrc")).localCheckpoint()
+    val nodes = emb(spark, dir).select(col("vec_id").as("node"))
+    var ranks = nodes.withColumn("r", lit(1.0)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val inbound = ranks.join(edges, ranks("node") === edges("esrc"))
+        .select(col("dst").as("node"),
+          floor(col("r") / col("deg") * lit(16777216.0) + lit(0.5)).as("cq"))
+        .groupBy(col("node"))
+        .agg((sum(col("cq")).cast("double") / lit(16777216.0)).as("m"))
+      val next = nodes.join(inbound, Seq("node"), "left_outer")
+        .select(col("node"),
+          (lit(0.25) + lit(0.75) * coalesce(col("m"), lit(0.0))).as("r"))
+        .localCheckpoint()
+      SparkBridge.unpersistCheckpoint(ranks)
+      ranks = SparkBridge.dropOriginStats(next)
+    }
+    val out = ranks
+      .join(deg.withColumnRenamed("esrc", "node"), Seq("node"), "left_outer")
+      .select(col("node").as("vec_id"),
+        coalesce(col("deg"), lit(0L)).as("degree"),
+        (floor(col("r") * 10000.0 + 0.5) / 10000.0).as("pr"))
+      .orderBy(col("vec_id"))
+      .localCheckpoint()
+    SparkBridge.unpersistCheckpoint(ranks)
+    SparkBridge.unpersistCheckpoint(edges)
+    out
+  }
+
+  /** DuckDB restatement of [[centrality]]: the knn chain spliced into
+    * the unrolled PageRank rounds, every per-node sum on the dyadic
+    * grid. */
+  def centralityOracle(k: Int = K, iters: Int = 6): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT n.node,
+           CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+             * coalesce(s.m, CAST(0.0 AS DOUBLE)) AS r
+         FROM n LEFT JOIN (
+           SELECT ed.dst AS node,
+             CAST(sum(CAST(floor(p.r / ed.deg * CAST(16777216 AS DOUBLE)
+                 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+               / CAST(16777216 AS DOUBLE) AS m
+           FROM ed JOIN p${i - 1} p ON p.node = ed.src GROUP BY ed.dst) s
+         USING (node))"""
+    }.mkString(",\n       ")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+         FROM embeddings),
+       p AS MATERIALIZED (SELECT a.vec_id AS src, b.vec_id AS dst,
+           list_cosine_similarity(a.v, b.v) AS cos
+         FROM e a, e b WHERE a.vec_id <> b.vec_id),
+       t AS MATERIALIZED (SELECT src, dst FROM (
+         SELECT src, dst, row_number() OVER (PARTITION BY src
+           ORDER BY cos DESC, dst) AS rn FROM p) x WHERE rn <= $k),
+       mm AS MATERIALIZED (SELECT t.src AS va, t.dst AS vb
+         FROM t JOIN t t2 ON t2.src = t.dst AND t2.dst = t.src
+         WHERE t.src < t.dst),
+       ge AS MATERIALIZED (SELECT va AS src, vb AS dst FROM mm
+         UNION ALL SELECT vb AS src, va AS dst FROM mm),
+       d AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg
+         FROM ge GROUP BY src),
+       ed AS MATERIALIZED (SELECT ge.src, ge.dst, d.deg
+         FROM ge JOIN d USING (src)),
+       n AS (SELECT vec_id AS node FROM embeddings),
+       p0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS r FROM n),
+       $rounds
+       SELECT p.node AS vec_id,
+         coalesce(d.deg, CAST(0 AS BIGINT)) AS degree,
+         floor(p.r * 10000.0 + 0.5) / 10000.0 AS pr
+       FROM p$iters p LEFT JOIN d ON d.src = p.node
+       ORDER BY vec_id"""
+  }
+
   /** DuckDB restatement of [[semanticCommunities]]: the emb_mutual_knn
     * chain (brute pairs → per-direction top-k → mutuality self-join)
     * spliced into the unrolled LPA vote/argmax chain. MATERIALIZED

@@ -198,10 +198,10 @@ class PruningSpec extends AnyFunSuite {
     // emb_mutual_knn's mutuality cut is a self semi-join of the n x k
     // directed edge list against its own transpose: BOTH sides are
     // corpus-sized at scale, so the shuffle join is the plan you want
-    // emb_semantic_communities composes emb_mutual_knn, inheriting the
-    // declared mutuality-cut shuffle join
+    // emb_semantic_communities / emb_centrality compose emb_mutual_knn,
+    // inheriting the declared mutuality-cut shuffle join
     val smjAllowed = Set("q26_full_outer", "ann_hybrid_rrf",
-      "emb_mutual_knn", "emb_semantic_communities")
+      "emb_mutual_knn", "emb_semantic_communities", "emb_centrality")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")

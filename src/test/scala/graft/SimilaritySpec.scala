@@ -315,6 +315,48 @@ class SimilaritySpec extends AnyFunSuite {
     assert(comms.length > 1 && rows.exists(_.getLong(2) > 1))
   }
 
+  test("semantic centrality: equals in-memory quantized PageRank, partitioning-invariant") {
+    val rows = Similarity.centrality(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.length == n)
+    // recompute the whole trajectory in memory with the same dyadic
+    // quantization: contributions floor to 2^-24 multiples, sum as
+    // longs, update 0.25 + 0.75*m
+    val edges = Similarity.mutualKnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sym = edges ++ edges.map(_.swap)
+    val deg = sym.groupBy(_._1).map { case (s, es) => s -> es.length }
+    val ids = rows.map(_.getLong(0))
+    val Q = 16777216.0
+    var r = ids.map(i => i -> 1.0).toMap
+    for (_ <- 1 to 6) {
+      val inbound = sym.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _) =>
+          math.floor(r(s) / deg(s) * Q + 0.5).toLong }.sum / Q }
+      r = ids.map(i => i -> (0.25 + 0.75 * inbound.getOrElse(i, 0.0))).toMap
+    }
+    rows.foreach { row =>
+      val id = row.getLong(0)
+      assert(row.getLong(1) == deg.getOrElse(id, 0), s"degree at $id")
+      val want = math.floor(r(id) * 10000.0 + 0.5) / 10000.0
+      assert(row.getDouble(2) == want, s"pr at $id: ${row.getDouble(2)} vs $want")
+    }
+    // hubs rank above isolates: centrality must correlate with degree
+    // in aggregate (the selection signal the operator exists for)
+    val hubs = rows.filter(_.getLong(1) >= 3).map(_.getDouble(2))
+    val lone = rows.filter(_.getLong(1) == 0).map(_.getDouble(2))
+    if (hubs.nonEmpty && lone.nonEmpty)
+      assert(hubs.sum / hubs.length > lone.sum / lone.length)
+    // the dyadic grid makes the trajectory partitioning-invariant
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "5")
+      val alt = Similarity.centrality(spark, sf).collect()
+      assert(rows.map(_.toSeq).toSeq == alt.map(_.toSeq).toSeq,
+        "centrality drifted across shuffle partitionings")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("lshContractChecked: one row, verdicts true, n_true matches brute") {
     val r = Similarity.lshContractChecked(spark, sf).collect()
     assert(r.length == 1)
