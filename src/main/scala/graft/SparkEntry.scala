@@ -198,6 +198,7 @@ object SparkEntry {
     "text_classifier_eval_heldout" ->
       ((s, d) => TextAnalysis.classifierEvalHeldout(s, d)),
     "text_dsir_weights" -> ((s, d) => TextAnalysis.dsirWeights(s, d)),
+    "text_watermark" -> ((s, d) => TextAnalysis.watermarkDetect(s, d)),
     "text_classifier_calib" ->
       ((s, d) => TextAnalysis.classifierCalibration(s, d)),
     "text_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
@@ -2847,6 +2848,9 @@ object SparkEntry {
     // DSIR importance weights: per-bucket ln ratio computed once on
     // the 256-row stats frame, per-doc sum on the dyadic grid
     "text_dsir_weights" -> operators.TextAnalysis.dsirWeightsOracle(),
+    // watermark z-test: integer green counts, one closed-form z per
+    // doc (exact-rounded sqrt), pure map-side
+    "text_watermark" -> operators.TextAnalysis.watermarkDetectOracle(),
     // reliability bins + ECE: integer counts, one float-cast mean per
     // bin, gap/ECE from already-rounded columns (nothing compounds)
     "text_classifier_calib" ->

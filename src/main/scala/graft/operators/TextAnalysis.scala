@@ -1568,6 +1568,79 @@ object TextAnalysis {
     w
   }
 
+  /** LLM WATERMARK detection (Kirchenbauer et al. 2023, "A Watermark
+    * for Large Language Models") — the provenance filter a 2023+
+    * training-data pipeline runs so model output doesn't feed the next
+    * model's corpus: a watermarking sampler biases each token toward a
+    * pseudorandom "green list" seeded by the previous token, so
+    * watermarked text shows a green fraction far above 1/2 and natural
+    * text sits at chance. The detector is the one-proportion z-test
+    * per document: a bigram (prev, cur) is green iff the md5 of
+    * "prev cur" starts below '8' (P = 1/2 exactly — 16 hex digits),
+    * z = (2·n_green − n)/√n, flag at the standard z > 4 (false-positive
+    * probability ~3e-5 per doc under H0).
+    *
+    * Determinism: counts are integers; z is one closed-form expression
+    * per doc (IEEE sqrt is exact-rounded, division deterministic),
+    * floor-rounded. Scale posture: pure map-side array arithmetic —
+    * the bigram list, the hash filter and the z-test all evaluate
+    * per-row inside codegen; NO shuffle anywhere (the orderBy is
+    * oracle plumbing). */
+  def watermarkDetect(spark: SparkSession, dir: String,
+                      zCut: Double = 4.0): DataFrame =
+    watermarkOf(Tables.documents(spark, dir), zCut)
+      .orderBy(col("doc_id"))
+
+  /** [[watermarkDetect]]'s kernel over any (doc_id, text) frame —
+    * split out so the spec can plant a constructed watermarked doc
+    * (every bigram green) next to natural text. */
+  private[graft] def watermarkOf(docs: DataFrame,
+                                 zCut: Double = 4.0): DataFrame = {
+    val arr = split(col("text"), " ")
+    // sequence(1, 0) counts DOWN, not empty — guard the one-word doc
+    val bg = when(size(arr) >= 2,
+      transform(sequence(lit(1), size(arr) - 1),
+        i => concat(element_at(arr, i), lit(" "), element_at(arr, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    docs
+      .withColumn("_bg", bg)
+      .withColumn("n_scored", size(col("_bg")).cast("bigint"))
+      .withColumn("n_green", size(filter(col("_bg"),
+        s => substring(md5(s.cast("binary")), 1, 1) < "8")).cast("bigint"))
+      .select(col("doc_id"), col("n_scored"), col("n_green"),
+        when(col("n_scored") === 0L, lit(0.0))
+          .otherwise(floor(
+            (lit(2L) * col("n_green") - col("n_scored"))
+              / sqrt(col("n_scored").cast("double")) * 10000.0 + 0.5)
+            / 10000.0).as("z"),
+        when(col("n_scored") === 0L, lit(false))
+          .otherwise((lit(2L) * col("n_green") - col("n_scored"))
+            / sqrt(col("n_scored").cast("double")) > zCut).as("watermarked"))
+  }
+
+  /** DuckDB restatement of [[watermarkDetect]]. */
+  def watermarkDetectOracle(zCut: Double = 4.0): String =
+    s"""WITH b AS (SELECT doc_id,
+           list_transform(range(1, len(string_split(text, ' '))),
+             i -> string_split(text, ' ')[i] || ' '
+               || string_split(text, ' ')[i + 1]) AS bg
+         FROM documents),
+       c AS (SELECT doc_id,
+           CAST(len(bg) AS BIGINT) AS n_scored,
+           CAST(len(list_filter(bg,
+             x -> substring(md5(x), 1, 1) < '8')) AS BIGINT) AS n_green
+         FROM b)
+       SELECT doc_id, n_scored, n_green,
+         CASE WHEN n_scored = 0 THEN CAST(0.0 AS DOUBLE)
+           ELSE floor((2 * n_green - n_scored)
+             / sqrt(CAST(n_scored AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+         END AS z,
+         CASE WHEN n_scored = 0 THEN FALSE
+           ELSE (2 * n_green - n_scored)
+             / sqrt(CAST(n_scored AS DOUBLE)) > CAST($zCut AS DOUBLE)
+         END AS watermarked
+       FROM c ORDER BY doc_id"""
+
   /** DSIR-style IMPORTANCE WEIGHTS (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling") — the
     * distribution-matching rung the quality ladder lacks: instead of

@@ -607,6 +607,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("watermark detect: planted green-chain flagged, natural corpus clean, z exact") {
+    import TestSession.spark.implicits._
+    def isGreen(prev: String, cur: String): Boolean = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$prev $cur".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      h(0) < '8'
+    }
+    // construct a "generated" doc the way a watermarking sampler would:
+    // greedily extend with a vocab word whose bigram lands green
+    val vocab = ('a' to 'z').map(_.toString)
+    var chain = List("seed")
+    for (_ <- 1 to 30)
+      chain = chain :+ vocab.find(w => isGreen(chain.last, w)).getOrElse(vocab.head)
+    val planted = chain.mkString(" ")
+    // and a natural-ish control with the same length from fixed words
+    val control = (0 until 31).map(i => vocab(i % 26)).mkString(" ")
+    val got = TextAnalysis.watermarkOf(
+      Seq((1L, planted), (2L, control), (3L, "solo"))
+        .toDF("doc_id", "text")).orderBy("doc_id").collect()
+    // planted: all 30 bigrams green -> z = 30/sqrt(30) = 5.477 > 4
+    val g1 = got(0)
+    assert(g1.getLong(1) == 30 && g1.getLong(2) == 30)
+    assert(g1.getBoolean(4), "the green chain must be flagged")
+    assert(g1.getDouble(3) == math.floor(30.0 / math.sqrt(30.0) * 1e4 + 0.5) / 1e4)
+    // control: z matches the closed form from its own green count
+    val cBg = control.split(" ").sliding(2).toSeq
+    val cGreen = cBg.count(p => isGreen(p(0), p(1)))
+    val g2 = got(1)
+    assert(g2.getLong(2) == cGreen)
+    assert(g2.getDouble(3) == math.floor(
+      (2.0 * cGreen - cBg.size) / math.sqrt(cBg.size.toDouble) * 1e4 + 0.5) / 1e4)
+    // a one-word doc has nothing to score and is never flagged
+    assert(got(2).getLong(1) == 0 && got(2).getDouble(3) == 0.0
+      && !got(2).getBoolean(4))
+    // the real corpus is natural text: nothing should trip the z>4
+    // gate, and the z distribution centers near 0 (chance greenness)
+    val real = TextAnalysis.watermarkDetect(spark, sf).collect()
+    assert(real.forall(!_.getBoolean(4)), "natural corpus must not flag")
+    val zMean = real.map(_.getDouble(3)).sum / real.length
+    assert(math.abs(zMean) < 0.5, s"z mean $zMean should sit near chance")
+  }
+
   test("dsir weights: in-memory recompute agrees, ratio separates target from raw") {
     val dir = "/root/testdata/sf0.01"
     val rows = TextAnalysis.dsirWeights(spark, dir).collect()
