@@ -142,6 +142,7 @@ object SparkEntry {
     "emb_semantic_communities" ->
       ((s, d) => Similarity.semanticCommunities(s, d)),
     "emb_centrality" -> ((s, d) => Similarity.centrality(s, d)),
+    "ann_binary_topk" -> ((s, d) => Similarity.binaryTopK(s, d)),
     "ann_ivf_stats" -> ((s, d) => Similarity.ivfStats(s, d)),
     "pipeline_paraphrase" -> ((s, d) => Similarity.paraphrasePairs(s, d)),
     "text_pair_bleu" -> ((s, d) => Similarity.pairBleu(s, d)),
@@ -2015,6 +2016,9 @@ object SparkEntry {
     // PageRank rounds; variable-degree divisions snap to the dyadic
     // grid before every sum, so the trajectory hash-checks
     "emb_centrality" -> operators.Similarity.centralityOracle(),
+    // binary ANN: integer bit packing + XOR/popcount distances,
+    // (hamming asc, cid asc) ties matching the k-heap exactly
+    "ann_binary_topk" -> operators.Similarity.binaryTopKOracle(),
     // incremental ANN ingest: the standing index (corpus seeds + cell
     // members) and the batch's probe/score/argmax are deterministic
     // end-to-end, so the classification itself hash-checks; tau = 0.4

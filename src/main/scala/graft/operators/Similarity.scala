@@ -113,6 +113,118 @@ object Similarity {
     finishTopK(scored, k)
   }
 
+  /** BINARY-QUANTIZED ANN — sign quantization to 1 bit/dim and
+    * Hamming-distance top-k: the fast-scan compression rung below PQ
+    * ([[pqCodes]] stores 8 bits/subspace; this stores 64 BITS per
+    * 64-dim vector — a 32x cut over raw floats) that vector stores run
+    * as their first-pass filter, because Hamming distance on packed
+    * words is a handful of XOR+popcount instructions and sign bits
+    * preserve angular neighborhoods (Charikar hyperplane sketch with
+    * the standard basis). Signatures pack into TWO 32-bit words so
+    * every engine's signed-64 arithmetic stays exact (a bit-63 sum
+    * would overflow DuckDB's checked BIGINT); distance = popcount(lo
+    * XOR lo') + popcount(hi XOR hi').
+    *
+    * This is a TWO-STAGE search (the production deployment): the
+    * packed signatures shortlist `shortlist` candidates per query by
+    * Hamming distance — the pass that scans the whole corpus, at 1/32
+    * the bytes — and only the shortlist's raw floats are fetched for
+    * the exact-cosine rerank to top-k. Raw vectors move for
+    * nQueries x shortlist rows, never the corpus (the ADC-rerank
+    * shape of [[ivfPqTopK]] with a cheaper first pass).
+    *
+    * Determinism: stage one is all integers (bit packing, XOR,
+    * popcount; ties at equal distance break toward the smaller id in
+    * both the k-heap and the oracle's row_number); stage two is the
+    * established cosine ranking. Scale posture: the signature build
+    * is one map-side pass (64 static-literal bit terms, all codegen);
+    * queries broadcast; only (qid, cid, hd) triples reach the
+    * k-bounded heap — numPartitions x shortlist rows shuffle; the
+    * rerank joins the shortlist (broadcast, output-sized) back to the
+    * vector table. */
+  def binaryTopK(spark: SparkSession, dir: String, k: Int = K,
+                 nQueries: Int = NQueries, shortlist: Int = 50)
+      : DataFrame = {
+    def sigLo: Column = (0 until 32)
+      .map(i => when(element_at(col("embedding"), i + 1) > 0.0,
+        lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    def sigHi: Column = (32 until 64)
+      .map(i => when(element_at(col("embedding"), i + 1) > 0.0,
+        lit(1L << (i - 32))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val sigs = emb(spark, dir)
+      .select(col("vec_id"), sigLo.as("lo"), sigHi.as("hi"))
+    val q = sigs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("lo").as("qlo"),
+        col("hi").as("qhi"))
+    val hd = bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+      bit_count(col("hi").bitwiseXOR(col("qhi")))
+    val scored = sigs.join(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        hd.cast("long").as("hd"))
+    val short = scored
+      .groupBy(col("qid"))
+      .agg(top_k_by_score((-col("hd")).cast("double"), col("cid"),
+        shortlist).as("top"))
+      .select(col("qid"), explode(col("top")).as("e"))
+      .select(col("qid"), col("e.id").as("cid"),
+        (-col("e.score")).cast("bigint").as("hd"))
+    // rerank: fetch raw floats for the shortlist only
+    val cand = emb(spark, dir)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .join(broadcast(short), Seq("cid"))
+    val qe = emb(spark, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    cand.join(broadcast(qe), Seq("qid"))
+      .select(col("qid"), col("cid"), col("hd"),
+        cosine_sim(col("qe"), col("ce")).as("cos"))
+      .groupBy(col("qid"))
+      .agg(top_k_by_score(col("cos"), col("cid"), k).as("top"),
+        map_from_entries(collect_list(struct(col("cid"), col("hd"))))
+          .as("hds"))
+      .select(col("qid"), posexplode(col("top")), col("hds"))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rk"),
+        col("col.id").as("cid"),
+        element_at(col("hds"), col("col.id")).as("hamming"),
+        round(col("col.score"), 4).as("cos_sim"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** DuckDB restatement of [[binaryTopK]]: same two-word sign packing,
+    * same (hamming asc, cid asc) shortlist, same cosine rerank. */
+  def binaryTopKOracle(k: Int = K, nQueries: Int = NQueries,
+                       shortlist: Int = 50): String =
+    s"""WITH s AS (SELECT vec_id,
+           CAST(list_sum(list_transform(range(0, 32), i ->
+             CASE WHEN embedding[i + 1] > 0 THEN (CAST(1 AS BIGINT) << i)
+               ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS lo,
+           CAST(list_sum(list_transform(range(32, 64), i ->
+             CASE WHEN embedding[i + 1] > 0
+               THEN (CAST(1 AS BIGINT) << (i - 32))
+               ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS hi
+         FROM embeddings),
+       p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+           CAST(bit_count(xor(c.lo, q.lo))
+             + bit_count(xor(c.hi, q.hi)) AS BIGINT) AS hd
+         FROM s c, (SELECT * FROM s WHERE vec_id < $nQueries) q
+         WHERE c.vec_id <> q.vec_id),
+       sl AS (SELECT qid, cid, hd FROM (
+         SELECT qid, cid, hd, row_number() OVER (PARTITION BY qid
+           ORDER BY hd, cid) AS rn FROM p) r
+         WHERE rn <= $shortlist),
+       rr AS (SELECT sl.qid, sl.cid, sl.hd,
+           list_cosine_similarity(qe.embedding::DOUBLE[],
+             ce.embedding::DOUBLE[]) AS cos
+         FROM sl JOIN embeddings ce ON ce.vec_id = sl.cid
+           JOIN embeddings qe ON qe.vec_id = sl.qid)
+       SELECT qid, CAST(rn AS INT) AS rk, cid, hd AS hamming,
+         round(cos, 4) AS cos_sim FROM (
+         SELECT qid, cid, hd, cos, row_number() OVER (PARTITION BY qid
+           ORDER BY cos DESC, cid) AS rn FROM rr) r
+       WHERE rn <= $k ORDER BY qid, rk"""
+
   /** ANN index-health evaluation — recall@k of the IVF probe against
     * the exact brute-force truth, per query and pinned exactly: the
     * go/no-go metric every approximate index ships with (is nProbe/

@@ -190,7 +190,10 @@ class PruningSpec extends AnyFunSuite {
       "emb_rq_codes",
       // text_dsir_weights: the one-row token-totals scalar (the two
       // Laplace denominators) crossed onto the 256-row stats frame
-      "text_dsir_weights")
+      "text_dsir_weights",
+      // ann_binary_topk: bruteTopK's declared broadcast queries x
+      // candidates cross, at 1/32 the scan bytes (bit signatures)
+      "ann_binary_topk")
     // full-outer equi-joins cannot broadcast (both sides must preserve
     // unmatched rows), so a shuffle join IS the correct plan there;
     // ann_hybrid_rrf's RRF fusion joins the two rank lists FULL OUTER

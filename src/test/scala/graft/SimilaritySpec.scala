@@ -315,6 +315,54 @@ class SimilaritySpec extends AnyFunSuite {
     assert(comms.length > 1 && rows.exists(_.getLong(2) > 1))
   }
 
+  test("binary ANN: shortlist+rerank equals in-memory recompute, recall clears floor") {
+    val rows = Similarity.binaryTopK(spark, sf).collect()
+    val embs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    // stage 1 recompute: sign signatures + hamming + (hd, cid) shortlist
+    def sig(v: Array[Float]): (Long, Long) = {
+      var lo = 0L; var hi = 0L
+      (0 until 32).foreach(i => if (v(i) > 0) lo |= (1L << i))
+      (32 until 64).foreach(i => if (v(i) > 0) hi |= (1L << (i - 32)))
+      (lo, hi)
+    }
+    val sigs = embs.map { case (id, v) => id -> sig(v) }.toMap
+    val em = embs.toMap
+    def hd(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      (0 until 64).foreach { i =>
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    (0L until 10L).foreach { q =>
+      val short = embs.map(_._1).filter(_ != q)
+        .map(c => (hd(sigs(c), sigs(q)), c)).sorted.take(50)
+      val got = rows.filter(_.getLong(0) == q).sortBy(_.getInt(1))
+      assert(got.length == 5, s"q$q must return k rows")
+      // stage 2: the returned rows are exactly the top-5 by cosine
+      // WITHIN the shortlist, each carrying its stage-1 distance
+      val rerank = short.map { case (d, c) => (cos(em(c), em(q)), c, d) }
+        .sortBy(x => (-x._1, x._2)).take(5)
+      got.zip(rerank).foreach { case (r, (wc, cid, whd)) =>
+        assert(r.getLong(2) == cid, s"q$q rank ${r.getInt(1)}")
+        assert(r.getLong(3) == whd.toLong)
+        // cos_sim is rounded to 4 decimals — half-width tolerance
+        assert(math.abs(r.getDouble(4) - wc) <= 5.1e-5)
+      }
+    }
+    // the POINT of the two-stage shape: reranked recall far above the
+    // raw-hamming ranking (measured 0.16 here), approaching exact
+    val truth = Similarity.bruteTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hits = rows.map(r => (r.getLong(0), r.getLong(2))).count(truth.contains)
+    val recall = hits.toDouble / truth.size
+    assert(recall >= 0.4, s"two-stage recall@5 $recall vs exact")
+  }
+
   test("semantic centrality: equals in-memory quantized PageRank, partitioning-invariant") {
     val rows = Similarity.centrality(spark, sf).collect()
     val n = Tables.embeddings(spark, sf).count()
