@@ -200,6 +200,7 @@ object SparkEntry {
       ((s, d) => TextAnalysis.classifierEvalHeldout(s, d)),
     "text_dsir_weights" -> ((s, d) => TextAnalysis.dsirWeights(s, d)),
     "text_watermark" -> ((s, d) => TextAnalysis.watermarkDetect(s, d)),
+    "text_kn_perplexity" -> ((s, d) => TextAnalysis.knPerplexity(s, d)),
     "text_classifier_calib" ->
       ((s, d) => TextAnalysis.classifierCalibration(s, d)),
     "text_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
@@ -2855,6 +2856,9 @@ object SparkEntry {
     // watermark z-test: integer green counts, one closed-form z per
     // doc (exact-rounded sqrt), pure map-side
     "text_watermark" -> operators.TextAnalysis.watermarkDetectOracle(),
+    // Kneser-Ney: window-count model (continuation counts as window
+    // sums of a first-occurrence flag), dyadic-grid per-doc NLL
+    "text_kn_perplexity" -> operators.TextAnalysis.knPerplexityOracle(),
     // reliability bins + ECE: integer counts, one float-cast mean per
     // bin, gap/ECE from already-rounded columns (nothing compounds)
     "text_classifier_calib" ->

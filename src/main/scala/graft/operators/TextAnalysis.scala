@@ -1568,6 +1568,101 @@ object TextAnalysis {
     w
   }
 
+  /** Interpolated KNESER-NEY bigram perplexity — the industry-standard
+    * n-gram smoothing ([[perplexity]] is add-k; every serious n-gram
+    * LM since Chen & Goodman 1999 uses absolute discounting with
+    * CONTINUATION counts): p(w2|w1) = max(c(w1w2)−D, 0)/c(w1·) +
+    * D·N1+(w1·)/c(w1·) · N1+(·w2)/T — the lower-order weight is how
+    * many DISTINCT contexts a word follows (N1+(·w2)), not how often
+    * it occurs, which is exactly what separates "Francisco" (frequent
+    * but only after "San") from genuinely versatile words. Per doc the
+    * mean negative log-likelihood under the corpus's own model — the
+    * sharper quality/fluency signal the add-k rung approximates.
+    *
+    * Scale posture: the whole model lives as WINDOW counts over the
+    * bigram occurrence stream (the tfidf/perplexity no-vocab-broadcast
+    * discipline): occurrence counts over (w1,w2) and (w1) partitions,
+    * continuation counts as window sums of a first-occurrence flag
+    * (row_number == 1) over (w1) and (w2) — distinct-counting without
+    * a distinct agg or a join; the type total T is a one-row broadcast
+    * cross. Per-doc NLL rides the dyadic 2^-24 grid (classifier
+    * discipline — order-independent on any partitioning); ln parity
+    * per element (the PSI precedent). */
+  def knPerplexity(spark: SparkSession, dir: String,
+                   discount: Double = 0.75): DataFrame =
+    knPerplexityOf(Tables.documents(spark, dir), discount)
+
+  /** [[knPerplexity]]'s kernel over any (doc_id, text) frame — split
+    * out so the spec can plant the continuation-count corpus (the
+    * "Francisco" effect needs a constructed context structure). */
+  private[graft] def knPerplexityOf(docs: DataFrame,
+                                    discount: Double = 0.75): DataFrame = {
+    val ws = split(col("text"), " ")
+    val bgs = docs
+      .select(col("doc_id"), posexplode(when(size(ws) >= 2,
+        transform(sequence(lit(1), size(ws) - 1),
+          i => struct(element_at(ws, i).as("w1"),
+            element_at(ws, i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as(Seq("i", "bg")))
+      .select(col("doc_id"), col("i"), col("bg.w1").as("w1"),
+        col("bg.w2").as("w2"))
+    val wPair = Window.partitionBy(col("w1"), col("w2"))
+    val wU = Window.partitionBy(col("w1"))
+    val wB = Window.partitionBy(col("w2"))
+    val types = bgs.select(col("w1"), col("w2")).distinct()
+      .agg(count(lit(1)).cast("double").as("t"))
+    val p = greatest(col("cb") - lit(discount), lit(0.0)) / col("cu") +
+      lit(discount) * col("n1f") / col("cu") * (col("n1b") / col("t"))
+    bgs
+      .withColumn("cb", count(lit(1)).over(wPair))
+      .withColumn("cu", count(lit(1)).over(wU))
+      .withColumn("f", when(row_number().over(
+        wPair.orderBy(col("doc_id"), col("i"))) === 1, 1L).otherwise(0L))
+      .withColumn("n1f", sum(col("f")).over(wU))
+      .withColumn("n1b", sum(col("f")).over(wB))
+      .crossJoin(broadcast(types))
+      .withColumn("p", p)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(floor(-log(col("p")) * lit(DyadicQ) + lit(0.5)))
+          .cast("double") / lit(DyadicQ) / count(lit(1))).as("nllr"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (floor(col("nllr") * 10000.0 + 0.5) / 10000.0).as("nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB restatement of [[knPerplexity]]: identical window-count
+    * model, identical interpolation expression, dyadic-grid NLL. */
+  def knPerplexityOracle(discount: Double = 0.75): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+         FROM documents),
+       b AS (SELECT doc_id, i, ws[i + 1] AS w1, ws[i + 2] AS w2
+         FROM w, UNNEST(range(len(ws) - 1)) AS t(i)),
+       ty AS (SELECT CAST(count(*) AS DOUBLE) AS t
+         FROM (SELECT DISTINCT w1, w2 FROM b)),
+       c AS (SELECT doc_id, i, w1, w2,
+           count(*) OVER (PARTITION BY w1, w2) AS cb,
+           count(*) OVER (PARTITION BY w1) AS cu,
+           CASE WHEN row_number() OVER (PARTITION BY w1, w2
+             ORDER BY doc_id, i) = 1 THEN 1 ELSE 0 END AS f
+         FROM b),
+       c2 AS (SELECT doc_id, cb, cu,
+           sum(f) OVER (PARTITION BY w1) AS n1f,
+           sum(f) OVER (PARTITION BY w2) AS n1b
+         FROM c),
+       pp AS (SELECT doc_id,
+           greatest(cb - CAST($discount AS DOUBLE), CAST(0.0 AS DOUBLE))
+             / cu
+             + CAST($discount AS DOUBLE) * n1f / cu * (n1b / t) AS p
+         FROM c2, ty)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         floor(CAST(sum(CAST(floor(-ln(p) * CAST(16777216 AS DOUBLE)
+               + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+           / CAST(16777216 AS DOUBLE) / count(*) * 10000.0 + 0.5)
+           / 10000.0 AS nll
+       FROM pp GROUP BY doc_id ORDER BY doc_id"""
+
   /** LLM WATERMARK detection (Kirchenbauer et al. 2023, "A Watermark
     * for Large Language Models") — the provenance filter a 2023+
     * training-data pipeline runs so model output doesn't feed the next

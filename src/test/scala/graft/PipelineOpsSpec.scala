@@ -607,6 +607,57 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("kn perplexity: in-memory recompute agrees, continuation counts drive the backoff") {
+    import TestSession.spark.implicits._
+    // in-memory interpolated KN over any corpus
+    def knNll(texts: Seq[(Long, String)], d: Double = 0.75)
+        : Map[Long, Double] = {
+      val bgs = texts.flatMap { case (id, t) =>
+        t.split(" ").sliding(2).filter(_.length == 2)
+          .map(p => (id, p(0), p(1))).toSeq }
+      val cb = bgs.groupBy(x => (x._2, x._3)).map { case (k, v) => k -> v.size }
+      val cu = bgs.groupBy(_._2).map { case (k, v) => k -> v.size }
+      val types = cb.keySet
+      val n1f = types.groupBy(_._1).map { case (k, v) => k -> v.size }
+      val n1b = types.groupBy(_._2).map { case (k, v) => k -> v.size }
+      val tt = types.size.toDouble
+      bgs.groupBy(_._1).map { case (id, xs) =>
+        val nll = xs.map { case (_, w1, w2) =>
+          val p = math.max(cb((w1, w2)) - d, 0.0) / cu(w1) +
+            d * n1f(w1) / cu(w1) * (n1b(w2) / tt)
+          -math.log(p)
+        }.sum / xs.size
+        id -> math.floor(nll * 1e4 + 0.5) / 1e4
+      }
+    }
+    // real corpus: operator equals the recompute (dyadic grid keeps
+    // them within one 1e-4 step of the plain-double fold)
+    val real = TextAnalysis.knPerplexity(spark, "/root/testdata/sf0.001")
+      .collect()
+    val texts = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = knNll(texts)
+    real.foreach { r =>
+      assert(math.abs(r.getDouble(2) - want(r.getLong(0))) <= 2e-4,
+        s"doc ${r.getLong(0)}: ${r.getDouble(2)} vs ${want(r.getLong(0))}")
+    }
+    // the Francisco effect: 'rare' follows ONLY 'san' (frequent pair,
+    // one context) while 'versatile' follows many contexts with the
+    // same total frequency — a doc using 'versatile' in a NEW context
+    // must score cheaper than one using 'rare' in a new context,
+    // because continuation counts (not raw frequency) set the backoff
+    val corpus = Seq(
+      (1L, "san rare san rare san rare san rare"),
+      (2L, "aa versatile bb versatile cc versatile dd versatile"),
+      (3L, "xx rare yy zz"),      // 'rare' after an unseen-for-it context
+      (4L, "xx versatile yy zz")) // 'versatile' after the same context
+    val kn = TextAnalysis.knPerplexityOf(corpus.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(kn(4L) < kn(3L),
+      s"versatile-in-new-context ${kn(4L)} must beat rare ${kn(3L)}")
+  }
+
   test("watermark detect: planted green-chain flagged, natural corpus clean, z exact") {
     import TestSession.spark.implicits._
     def isGreen(prev: String, cur: String): Boolean = {

@@ -193,7 +193,10 @@ class PruningSpec extends AnyFunSuite {
       "text_dsir_weights",
       // ann_binary_topk: bruteTopK's declared broadcast queries x
       // candidates cross, at 1/32 the scan bytes (bit signatures)
-      "ann_binary_topk")
+      "ann_binary_topk",
+      // text_kn_perplexity: the one-row bigram-type-total scalar (the
+      // continuation-probability denominator) crossed onto the stream
+      "text_kn_perplexity")
     // full-outer equi-joins cannot broadcast (both sides must preserve
     // unmatched rows), so a shuffle join IS the correct plan there;
     // ann_hybrid_rrf's RRF fusion joins the two rank lists FULL OUTER
