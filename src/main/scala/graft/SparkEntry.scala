@@ -255,6 +255,7 @@ object SparkEntry {
     // restates the closed-form sample function, so the hash proves the
     // audio decode round-trip
     "mm_pcm_stats" -> (Multimodal.pcmStats _),
+    "mm_vad" -> ((s, d) => Multimodal.pcmVad(s, d)),
     "mm_spectral" -> (Multimodal.spectralPeak _),
     // F. resize plumbing — oracle-checked on the closed-form columns
     // (target dims + parsed source dims); the re-encode checksum stays
@@ -3520,6 +3521,9 @@ object SparkEntry {
     // F. PCM sample decode: samples are closed-form in (doc_id, i), so
     // the oracle aggregates the formula while Spark must recover the
     // same int16s through the real RIFF framing
+    // VAD: integer frame energies over the closed-form samples, runs
+    // rebuilt with a gaps-and-islands window
+    "mm_vad" -> operators.Multimodal.pcmVadOracle(),
     "mm_pcm_stats" ->
       """WITH a AS (SELECT doc_id, 200 + doc_id % 800 AS n FROM documents
            WHERE doc_id % 4 = 1),

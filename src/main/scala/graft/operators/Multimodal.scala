@@ -45,6 +45,9 @@ case class PcmStats(doc_id: Long, n_samples: Long, s_min: Long,
 
 case class SpectralPeak(doc_id: Long, n_samples: Long, peak_bin: Long)
 
+case class VadStats(doc_id: Long, n_frames: Long, n_active: Long,
+                    n_segments: Long, longest_run: Long)
+
 /** Multimodal column plumbing: binary payloads with typed metadata,
   * processed per-partition in typed Datasets.
   *
@@ -637,6 +640,88 @@ object Multimodal {
       .toDF()
       .orderBy(col("doc_id"))
   }
+
+  /** Energy-threshold VOICE-ACTIVITY segmentation over the decoded PCM
+    * clips — the speech-data triage every audio curation pipeline runs
+    * before paying for transcription (silence-heavy and wall-of-noise
+    * clips are budget sinks; segment structure is the routing signal):
+    * 160-sample frames (10 ms at 16 kHz), a frame is ACTIVE iff its
+    * mean |amplitude| clears the threshold — stated integer-exactly as
+    * sum|v| > threshold · frame_len, so there is no division anywhere
+    * — and activity collapses to per-clip segment structure (active
+    * frames, maximal runs, longest run). The decode is the real RIFF
+    * walk ([[decodeWavPcm]]); the DuckDB oracle restates the
+    * closed-form sample function and rebuilds the same runs with a
+    * gaps-and-islands window, so a decode or framing defect breaks the
+    * hash. Scale shape: one typed mapPartitions pass, fixed-width
+    * output rows, the run scan is O(samples) per clip; binary never
+    * leaves the executor. */
+  def pcmVad(spark: SparkSession, dir: String, frame: Int = 160,
+             threshold: Long = 16384L): DataFrame = {
+    import spark.implicits._
+    pcmMediaTable(spark, dir)
+      .mapPartitions { it =>
+        it.map { m =>
+          val s = decodeWavPcm(m.payload)
+          val nf = (s.length + frame - 1) / frame
+          var segs = 0L; var nAct = 0L; var longest = 0L; var run = 0L
+          var f = 0
+          while (f < nf) {
+            val from = f * frame
+            val until = math.min(from + frame, s.length)
+            var sa = 0L
+            var j = from
+            while (j < until) { sa += math.abs(s(j).toLong); j += 1 }
+            if (sa > threshold * (until - from)) {
+              nAct += 1; run += 1
+              if (run > longest) longest = run
+              if (run == 1) segs += 1
+            } else run = 0
+            f += 1
+          }
+          VadStats(m.doc_id, nf.toLong, nAct, segs, longest)
+        }
+      }
+      .toDF()
+      .withColumn("active_frac",
+        floor(col("n_active") / col("n_frames") * 10000.0 + 0.5) / 10000.0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB restatement of [[pcmVad]]: the closed-form sample
+    * function, the same integer frame-energy rule, runs rebuilt with
+    * the standard gaps-and-islands window. */
+  def pcmVadOracle(frame: Int = 160, threshold: Long = 16384L): String =
+    s"""WITH a AS (SELECT doc_id, 200 + doc_id % 800 AS n FROM documents
+         WHERE doc_id % 4 = 1),
+       s AS (SELECT doc_id,
+           CAST(floor(i / $frame) AS BIGINT) AS f,
+           abs((doc_id * 31 + i * 7919) % 65536 - 32768) AS av
+         FROM a, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) t),
+       fr AS (SELECT doc_id, f, sum(av) AS sa,
+           CAST(count(*) AS BIGINT) AS len
+         FROM s GROUP BY doc_id, f),
+       fl AS (SELECT doc_id, f,
+           CASE WHEN sa > $threshold * len THEN 1 ELSE 0 END AS act
+         FROM fr),
+       isl AS (SELECT doc_id, f, act,
+           f - row_number() OVER (PARTITION BY doc_id, act ORDER BY f)
+             AS grp
+         FROM fl),
+       runs AS (SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS rl
+         FROM isl WHERE act = 1 GROUP BY doc_id, grp),
+       base AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(act) AS BIGINT) AS n_active
+         FROM fl GROUP BY doc_id),
+       rr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(max(rl) AS BIGINT) AS longest_run
+         FROM runs GROUP BY doc_id)
+       SELECT b.doc_id, b.n_frames, b.n_active,
+         coalesce(rr.n_segments, CAST(0 AS BIGINT)) AS n_segments,
+         coalesce(rr.longest_run, CAST(0 AS BIGINT)) AS longest_run,
+         floor(CAST(b.n_active AS DOUBLE) / b.n_frames * 10000.0 + 0.5)
+           / 10000.0 AS active_frac
+       FROM base b LEFT JOIN rr USING (doc_id) ORDER BY doc_id"""
 
   /** The audio subset carrying PURE SINE tones: each clip is exactly
     * one cycle-aligned sinusoid — N = 256 samples, planted DFT bin

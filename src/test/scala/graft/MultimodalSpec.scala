@@ -237,6 +237,36 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("pcmVad equals the closed-form frame segmentation") {
+    val rows = Multimodal.pcmVad(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val n = (200 + id % 800).toInt
+      val vs = (0 until n).map(i =>
+        math.abs((id * 31 + i.toLong * 7919) % 65536 - 32768))
+      val frames = vs.grouped(160).toSeq
+      val act = frames.map(f => f.sum > 16384L * f.length)
+      assert(r.getLong(1) == frames.length.toLong, s"doc $id n_frames")
+      assert(r.getLong(2) == act.count(identity).toLong, s"doc $id n_active")
+      // maximal runs of active frames
+      val runs = act.foldLeft(List.empty[Int]) {
+        case (acc, true) if acc.nonEmpty && acc.head > 0 => (acc.head + 1) :: acc.tail
+        case (acc, true) => 1 :: acc
+        case (acc, false) => 0 :: acc
+      }.filter(_ > 0)
+      assert(r.getLong(3) == runs.length.toLong, s"doc $id n_segments")
+      assert(r.getLong(4) == (if (runs.isEmpty) 0L else runs.max.toLong),
+        s"doc $id longest_run")
+      assert(r.getDouble(5) == math.floor(
+        act.count(identity).toDouble / frames.length * 1e4 + 0.5) / 1e4)
+    }
+    // the segmentation is non-degenerate on this corpus: both active
+    // and inactive frames exist somewhere
+    assert(rows.exists(_.getLong(2) > 0) &&
+      rows.exists(r => r.getLong(2) < r.getLong(1)))
+  }
+
   test("spectral peak recovers the planted bin through the RIFF round-trip") {
     val rows = Multimodal.spectralPeak(spark, sf).collect()
     assert(rows.nonEmpty)
