@@ -190,6 +190,8 @@ object SparkEntry {
     "text_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
     "text_boilerplate" -> ((s, d) => TextAnalysis.boilerplate(s, d)),
     "text_perplexity" -> ((s, d) => TextAnalysis.perplexity(s, d)),
+    "text_ppl_buckets" -> ((s, d) => TextAnalysis.pplBuckets(s, d)),
+    "text_ngram_novelty" -> ((s, d) => TextAnalysis.ngramNovelty(s, d)),
     "text_lm_heldout" -> ((s, d) => TextAnalysis.lmHeldout(s, d)),
     "text_classifier_score" -> ((s, d) => TextAnalysis.classifierScore(s, d)),
     // trained on weak labels from the quality kernel; rational sigmoid
@@ -210,6 +212,7 @@ object SparkEntry {
     "text_temperature_mix" -> ((s, d) => TextAnalysis.temperatureMix(s, d)),
     "text_pii" -> (TextAnalysis.pii _),
     "pipeline_curate" -> ((s, d) => TextAnalysis.curate(s, d)),
+    "pipeline_filter_funnel" -> ((s, d) => TextAnalysis.filterFunnel(s, d)),
     "pipeline_llm_e2e" -> ((s, d) => TextAnalysis.llmE2e(s, d)),
     "pipeline_quality_report" -> ((s, d) => TextAnalysis.qualityReport(s, d)),
     "emb_cluster_assign" -> ((s, d) => Similarity.clusterAssign(s, d)),
@@ -2833,6 +2836,12 @@ object SparkEntry {
     // smoothed bigram LM: ln bit-parity + per-doc summation order
     // (narrow explode keeps a doc's rows in token order on both sides)
     "text_perplexity" -> operators.TextAnalysis.perplexityOracle(),
+    // CCNet tercile cut: the perplexity chain + a histogram-threshold
+    // bucket assignment (value-determined, so ties can never straddle)
+    "text_ppl_buckets" -> operators.TextAnalysis.pplBucketsOracle(),
+    // held-out bigram novelty: valid-split distinct bigrams probed
+    // against the train-split type set over the dup-safe hash split
+    "text_ngram_novelty" -> operators.TextAnalysis.ngramNoveltyOracle(),
     "text_lm_heldout" -> operators.TextAnalysis.lmHeldoutOracle(),
     // hashed linear scorer: dyadic weights make the doc sum EXACT, so
     // the mean's single rounding is order-independent
@@ -2945,6 +2954,75 @@ object SparkEntry {
                 ELSE 'test' END AS split
          FROM ded JOIN kept k ON k.doc_id = ded.doc_id
          ORDER BY k.doc_id""",
+    // the funnel's observability twin: the same gate fragments, counted
+    // cumulatively per source instead of filtered — the dedup-survivor
+    // gate restated as a conditional min over the text-hash partition
+    "pipeline_filter_funnel" ->
+      """WITH wc AS (SELECT doc_id, word, count(*) AS c FROM (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents) u GROUP BY doc_id, word),
+         tw AS (SELECT doc_id, max(c) AS top_word_n,
+           CAST(sum(c) AS BIGINT) AS n_words FROM wc GROUP BY doc_id),
+         q AS (SELECT d.doc_id, d.text, d.lang, d.source,
+           floor((len(list_distinct(string_split(text, ' ')))
+               / len(string_split(text, ' ')) * CAST(0.3 AS DOUBLE)
+             + (CAST(1.0 AS DOUBLE) - len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the', 'a'))) / len(string_split(text, ' ')))
+               * CAST(0.3 AS DOUBLE)
+             + least(len(string_split(text, ' ')) / CAST(100.0 AS DOUBLE),
+                 CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE))
+             * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             / CAST(10000.0 AS DOUBLE) AS score,
+           len(list_filter(string_split(text, ' '),
+             x -> x IN ('the', 'a', 'value', 'row', 'key'))) AS en_hits,
+           len(list_filter(string_split(text, ' '),
+             x -> x IN ('data', 'table', 'fast', 'line'))) AS es_hits,
+           len(list_filter(string_split(text, ' '),
+             x -> x IN ('query', 'order', 'merge', 'group'))) AS fr_hits,
+           len(list_filter(string_split(text, ' '),
+             x -> x IN ('window', 'batch', 'stream', 'sort'))) AS de_hits,
+           len(list_filter(string_split(text, ' '),
+             x -> x IN ('spark', 'hash', 'join', 'scan'))) AS zh_hits
+           FROM documents d),
+         f AS (SELECT q.doc_id, q.text, q.lang, q.source, q.score,
+           floor(top_word_n / n_words * 10000.0 + 0.5) / 10000.0
+             AS top_word_frac,
+           CASE
+             WHEN en_hits >= es_hits AND en_hits >= fr_hits
+               AND en_hits >= de_hits AND en_hits >= zh_hits THEN 'en'
+             WHEN es_hits >= fr_hits AND es_hits >= de_hits
+               AND es_hits >= zh_hits THEN 'es'
+             WHEN fr_hits >= de_hits AND fr_hits >= zh_hits THEN 'fr'
+             WHEN de_hits >= zh_hits THEN 'de'
+             ELSE 'zh' END AS pred_lang
+           FROM q JOIN tw USING (doc_id)),
+         fl AS (SELECT doc_id, text, source,
+           CASE WHEN score >= CAST(0.55 AS DOUBLE) THEN 1 ELSE 0 END AS p1,
+           CASE WHEN score >= CAST(0.55 AS DOUBLE) AND pred_lang = lang
+             THEN 1 ELSE 0 END AS p2,
+           CASE WHEN score >= CAST(0.55 AS DOUBLE) AND pred_lang = lang
+             AND top_word_frac <= CAST(0.15 AS DOUBLE)
+             THEN 1 ELSE 0 END AS p3
+           FROM f),
+         sv AS (SELECT *, CASE WHEN p3 = 1 AND doc_id =
+             min(CASE WHEN p3 = 1 THEN doc_id END)
+               OVER (PARTITION BY md5(text)) THEN 1 ELSE 0 END AS p4
+           FROM fl),
+         ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n0,
+           CAST(sum(p1) AS BIGINT) AS n1, CAST(sum(p2) AS BIGINT) AS n2,
+           CAST(sum(p3) AS BIGINT) AS n3, CAST(sum(p4) AS BIGINT) AS n4
+           FROM sv GROUP BY source),
+         st AS (
+           SELECT 0 AS stage_ord, 'raw' AS stage, source, n0 AS n_docs,
+             n0 FROM ag
+           UNION ALL SELECT 1, 'quality', source, n1, n0 FROM ag
+           UNION ALL SELECT 2, 'lang', source, n2, n0 FROM ag
+           UNION ALL SELECT 3, 'repetition', source, n3, n0 FROM ag
+           UNION ALL SELECT 4, 'dedup', source, n4, n0 FROM ag)
+         SELECT stage_ord, stage, source, n_docs,
+           floor(CAST(n_docs AS DOUBLE) / n0 * 10000.0 + 0.5) / 10000.0
+             AS retained_frac
+         FROM st ORDER BY stage_ord, source""",
     // the full curation pipeline composed: pipeline_curate's funnel
     // (quality + lang-agreement + repetition + exact dedup + hash
     // split), then text_decontaminate's rare-shingle kernel with the

@@ -743,6 +743,57 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The curation funnel's OBSERVABILITY twin — per-source survival
+    * counts through each gate of [[curate]]'s pipeline (raw → quality
+    * floor → language agreement → repetition cap → exact-dedup
+    * survivor), the yield report every production curation run ships
+    * next to its output (a silent stage collapse — a mis-tuned
+    * threshold wiping a source — is invisible in the survivor set but
+    * obvious in the funnel). Every gate is the SAME column definition
+    * its standalone operator uses, so the funnel can never disagree
+    * with the pipeline it audits. Cumulative by construction: stage k
+    * counts docs passing gates 1..k.
+    *
+    * Scale shape: flags are one map-side pass over the scan; the only
+    * shuffle is the dedup-survivor window keyed on the text hash (the
+    * same key dedup_exact aggregates on); the per-source rollup is
+    * source-cardinality-sized and the stage unpivot is map-side. */
+  def filterFunnel(spark: SparkSession, dir: String,
+                   minScore: Double = 0.55,
+                   maxTopWordFrac: Double = 0.15): DataFrame = {
+    val words = toks
+    val flags = withLangPrediction(withQuality(Tables.documents(spark, dir)))
+      .withColumn("top_word_frac", frac4(topCount(words), size(words)))
+      .withColumn("p1", (col("score") >= minScore).cast("int"))
+      .withColumn("p2",
+        (col("p1") === 1 && col("pred_lang") === col("lang")).cast("int"))
+      .withColumn("p3",
+        (col("p2") === 1 && col("top_word_frac") <= maxTopWordFrac)
+          .cast("int"))
+    val hw = Window.partitionBy(md5(col("text").cast("binary")))
+    val surv = flags
+      .withColumn("h_min",
+        min(when(col("p3") === 1, col("doc_id"))).over(hw))
+      .withColumn("p4",
+        (col("p3") === 1 && col("doc_id") === col("h_min")).cast("int"))
+    surv
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n0"), sum(col("p1")).as("n1"),
+        sum(col("p2")).as("n2"), sum(col("p3")).as("n3"),
+        sum(col("p4")).as("n4"))
+      .select(col("source"), col("n0"),
+        expr("""stack(5,
+          0, 'raw', n0,
+          1, 'quality', n1,
+          2, 'lang', n2,
+          3, 'repetition', n3,
+          4, 'dedup', n4) as (stage_ord, stage, n_docs)"""))
+      .select(col("stage_ord"), col("stage"), col("source"),
+        col("n_docs").cast("long").as("n_docs"),
+        frac4(col("n_docs"), col("n0")).as("retained_frac"))
+      .orderBy(col("stage_ord"), col("source"))
+  }
+
   /** The FULL pre-training data pipeline as ONE composed job — the
     * end-to-end flow a 100 TB curation run executes per delivery, every
     * stage the SAME kernel its standalone operator uses (one definition
@@ -1263,6 +1314,123 @@ object TextAnalysis {
          round(avg(-ln((cb + CAST($k AS DOUBLE))
            / (cu + CAST($k AS DOUBLE) * vsz))), 4) AS nll
        FROM c, v GROUP BY doc_id ORDER BY doc_id"""
+
+  /** CCNet-style PERPLEXITY BUCKETING — partition the corpus into
+    * head / middle / tail thirds by LM fluency (per-doc smoothed-bigram
+    * nll from [[perplexity]], the SAME kernel), the standard quality
+    * triage a web-crawl curation run applies before choosing what to
+    * keep (CCNet keeps head+middle, drops tail; Wenzek et al. 2020).
+    *
+    * Scale shape: the tercile cut is NOT a global ntile sort — nll is
+    * already rounded to 1e-4, so the corpus collapses to a bounded
+    * value histogram (cardinality ≈ value range × 1e4, independent of
+    * corpus size); thresholds come from a cumulative count over that
+    * histogram (one value-sized window), broadcast back as one-row
+    * scalars, and bucket assignment is map-side. Ties share a value so
+    * they share a bucket — value-determined, partitioning-independent. */
+  def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val p = perplexity(spark, dir)
+    val cum = p.groupBy(col("nll")).agg(count(lit(1)).as("c"))
+      .withColumn("cc", sum(col("c")).over(Window.orderBy(col("nll"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val nd = p.agg(count(lit(1)).as("nd"))
+    val t1 = cum.crossJoin(broadcast(nd))
+      .filter(col("cc") * 3 >= col("nd"))
+      .agg(min(col("nll")).as("t1"))
+    val t2 = cum.crossJoin(broadcast(nd))
+      .filter(col("cc") * 3 >= col("nd") * 2)
+      .agg(min(col("nll")).as("t2"))
+    p.crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
+      .select(col("doc_id"), col("n_bigrams"), col("nll"),
+        when(col("nll") <= col("t1"), "head")
+          .when(col("nll") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB restatement of [[pplBuckets]]: the [[perplexityOracle]]
+    * chain plus the same histogram-threshold cut. */
+  def pplBucketsOracle(k: Double = 0.5): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+         FROM documents),
+       b AS (SELECT doc_id, ws[i + 1] AS w1, ws[i + 2] AS w2
+         FROM w, UNNEST(range(len(ws) - 1)) AS t(i)),
+       v AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS vsz
+         FROM (SELECT unnest(ws) AS t FROM w)),
+       c AS (SELECT doc_id,
+           count(*) OVER (PARTITION BY w1, w2) AS cb,
+           count(*) OVER (PARTITION BY w1) AS cu
+         FROM b),
+       p AS (SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(-ln((cb + CAST($k AS DOUBLE))
+             / (cu + CAST($k AS DOUBLE) * vsz))), 4) AS nll
+         FROM c, v GROUP BY doc_id),
+       h AS (SELECT nll, CAST(count(*) AS BIGINT) AS c
+         FROM p GROUP BY nll),
+       cum AS (SELECT nll, sum(c) OVER (ORDER BY nll
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+         FROM h),
+       n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM p),
+       t1 AS (SELECT min(nll) AS t1 FROM cum, n WHERE cc * 3 >= nd),
+       t2 AS (SELECT min(nll) AS t2 FROM cum, n WHERE cc * 3 >= nd * 2)
+       SELECT doc_id, n_bigrams, nll,
+         CASE WHEN nll <= t1 THEN 'head'
+              WHEN nll <= t2 THEN 'middle'
+              ELSE 'tail' END AS bucket
+       FROM p, t1, t2 ORDER BY doc_id"""
+
+  /** Held-out N-GRAM NOVELTY — for each VALID-split document, the
+    * fraction of its distinct word bigrams never seen in the TRAIN
+    * split (the dup-safe [[splitCol]] hash split, so a duplicated text
+    * can never sit on both sides): the memorization/generalization
+    * probe run next to [[lmHeldout]] — a valid shard whose bigrams are
+    * all in train measures memorization, not generalization, and a
+    * spike in novelty flags a domain the train shard never covered.
+    *
+    * Scale shape: one explode per side, the train bigram-type set
+    * stays DISTRIBUTED (shingle-keyed equi-join — at 100 TB the train
+    * type set is corpus-scale and can never broadcast), membership via
+    * LEFT join marker, per-doc rollup on the valid side only. */
+  def ngramNovelty(spark: SparkSession, dir: String, n: Int = 2)
+      : DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), splitCol(col("text")).as("split"))
+    val bg = docs.select(col("doc_id"), col("split"),
+      explode(array_distinct(TextFunctions.word_shingles(col("text"), n)))
+        .as("bg"))
+    val trainBg = bg.filter(col("split") === "train")
+      .select(col("bg")).distinct()
+    bg.filter(col("split") === "valid")
+      .join(trainBg.withColumn("seen", lit(1L)), Seq("bg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_types"),
+        coalesce(sum(col("seen")), lit(0L)).as("n_seen"))
+      .select(col("doc_id"), col("n_types"), col("n_seen"),
+        frac4(col("n_types") - col("n_seen"), col("n_types"))
+          .as("novel_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB restatement of [[ngramNovelty]]. */
+  def ngramNoveltyOracle(): String =
+    """WITH d AS (SELECT doc_id, text,
+         CASE WHEN substring(md5(text), 1, 2) < 'd0' THEN 'train'
+              WHEN substring(md5(text), 1, 2) < 'e8' THEN 'valid'
+              ELSE 'test' END AS split FROM documents),
+       l AS (SELECT doc_id, split, string_split(text, ' ') AS ws FROM d),
+       g AS (SELECT doc_id, split,
+           unnest(list_distinct(list_transform(range(1, len(ws)),
+             i -> ws[i] || ' ' || ws[i + 1]))) AS bg FROM l),
+       tr AS (SELECT DISTINCT bg FROM g WHERE split = 'train'),
+       va AS (SELECT doc_id, bg FROM g WHERE split = 'valid'),
+       j AS (SELECT va.doc_id,
+           CASE WHEN tr.bg IS NULL THEN 0 ELSE 1 END AS seen
+         FROM va LEFT JOIN tr ON va.bg = tr.bg)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(seen) AS BIGINT) AS n_seen,
+         floor((count(*) - sum(seen)) / CAST(count(*) AS DOUBLE)
+           * 10000.0 + 0.5) / 10000.0 AS novel_frac
+       FROM j GROUP BY doc_id ORDER BY doc_id"""
 
   /** TEXT corpus drift — [[graft.operators.Similarity.drift]]'s lexical
     * twin: per-term relative frequency compared between a reference

@@ -355,6 +355,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally { out.unpersist() }
   }
 
+  test("filter funnel: monotone stages bracketed by raw counts and curate") {
+    val out = TextAnalysis.filterFunnel(spark, sf).collect()
+    val bySrc = out.groupBy(_.getString(2))
+    val rawCounts = Tables.documents(spark, sf).groupBy(col("source"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.keySet == rawCounts.keySet, "one funnel per source")
+    bySrc.foreach { case (src, rows) =>
+      val byStage = rows.sortBy(_.getInt(0))
+      assert(byStage.map(_.getInt(0)).toSeq == (0 until 5),
+        s"$src has all five stages")
+      assert(byStage.head.getLong(3) == rawCounts(src), s"$src raw count")
+      assert(byStage.head.getDouble(4) == 1.0, s"$src raw retained_frac")
+      // survival is monotone non-increasing through the gates
+      byStage.sliding(2).foreach { case Array(a, b) =>
+        assert(b.getLong(3) <= a.getLong(3),
+          s"$src stage ${b.getInt(0)} grew")
+      }
+    }
+    // the terminal stage equals the curate survivor set it audits
+    val curateN = TextAnalysis.curate(spark, sf).count()
+    assert(out.filter(_.getInt(0) == 4).map(_.getLong(3)).sum == curateN,
+      "dedup-stage total equals curate's survivor count")
+    // the funnel genuinely filters on this corpus (gates non-degenerate)
+    assert(out.filter(_.getInt(0) == 4).map(_.getLong(3)).sum <
+      out.filter(_.getInt(0) == 0).map(_.getLong(3)).sum)
+  }
+
   test("cluster assign: total coverage, valid seeds, self-assignment") {
     val ca = Similarity.clusterAssign(spark, sf).cache()
     try {
@@ -433,6 +460,68 @@ class PipelineOpsSpec extends AnyFunSuite {
     // docs share all segments, so boilerplate exists
     assert(got.exists(_.getLong(3) > 0), "no boilerplate found at all")
     assert(got.exists(_.getLong(3) == 0), "everything flagged boilerplate")
+  }
+
+  test("ppl buckets: thresholds are exact terciles and assignment is by value") {
+    val p = operators.TextAnalysis.perplexity(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val out = operators.TextAnalysis.pplBuckets(spark, sf).collect()
+    assert(out.length == p.size, "one bucket row per scored doc")
+    // recompute the histogram thresholds in memory
+    val n = p.size
+    val sorted = p.values.toSeq.sorted
+    def thr(mult: Int): Double = {
+      val byVal = sorted.groupBy(identity).map { case (v, g) => (v, g.size) }
+        .toSeq.sortBy(_._1)
+      var cc = 0L
+      byVal.collectFirst { case (v, c) if { cc += c; cc * 3 >= mult.toLong * n } => v }.get
+    }
+    val (t1, t2) = (thr(1), thr(2))
+    out.foreach { r =>
+      val nll = p(r.getLong(0))
+      val want = if (nll <= t1) "head" else if (nll <= t2) "middle" else "tail"
+      assert(r.getString(3) == want, s"doc ${r.getLong(0)} bucket")
+      assert(r.getDouble(2) == nll)
+    }
+    // all three buckets are inhabited and sized within one value-tie of n/3
+    val sizes = out.groupBy(_.getString(3)).map { case (b, g) => b -> g.size }
+    assert(sizes.keySet == Set("head", "middle", "tail"))
+    assert(sizes("head") >= n / 3, "head holds at least its tercile")
+    // same value -> same bucket (a tie can never straddle a boundary)
+    out.groupBy(_.getDouble(2)).values.foreach { g =>
+      assert(g.map(_.getString(3)).distinct.length == 1)
+    }
+  }
+
+  test("ngram novelty: agrees with an in-memory split recompute") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def splitOf(t: String): String = {
+      val h = java.security.MessageDigest.getInstance("MD5").digest(
+        t.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 2)
+      if (h < "d0") "train" else if (h < "e8") "valid" else "test"
+    }
+    def bigrams(t: String): Set[String] =
+      t.split(" ", -1).sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toSet
+    val trainSet = docs.filter(d => splitOf(d._2) == "train")
+      .flatMap(d => bigrams(d._2)).toSet
+    val valid = docs.filter(d => splitOf(d._2) == "valid").toMap
+    val out = operators.TextAnalysis.ngramNovelty(spark, sf).collect()
+    assert(out.nonEmpty && out.length == valid.size,
+      "one row per valid-split doc")
+    out.foreach { r =>
+      val bs = bigrams(valid(r.getLong(0)))
+      val seen = bs.count(trainSet.contains)
+      assert(r.getLong(1) == bs.size.toLong, s"doc ${r.getLong(0)} types")
+      assert(r.getLong(2) == seen.toLong, s"doc ${r.getLong(0)} seen")
+      assert(r.getDouble(3) == math.floor(
+        (bs.size - seen).toDouble / bs.size * 1e4 + 0.5) / 1e4)
+    }
+    // the probe is informative on this corpus: some bigrams are novel
+    // somewhere, and most are covered (31-word vocab -> dense coverage)
+    assert(out.exists(_.getLong(2) > 0))
   }
 
   test("perplexity: matches the in-memory smoothed bigram model exactly") {

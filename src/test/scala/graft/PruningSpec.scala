@@ -196,7 +196,11 @@ class PruningSpec extends AnyFunSuite {
       "ann_binary_topk",
       // text_kn_perplexity: the one-row bigram-type-total scalar (the
       // continuation-probability denominator) crossed onto the stream
-      "text_kn_perplexity")
+      "text_kn_perplexity",
+      // text_ppl_buckets: the corpus-count and two tercile-threshold
+      // one-row scalars crossed onto the per-doc nll frame (plus
+      // text_perplexity's declared vocab-size scalar upstream)
+      "text_ppl_buckets")
     // full-outer equi-joins cannot broadcast (both sides must preserve
     // unmatched rows), so a shuffle join IS the correct plan there;
     // ann_hybrid_rrf's RRF fusion joins the two rank lists FULL OUTER
