@@ -81,6 +81,7 @@ object SparkEntry {
     "graph_ppr" -> ((s, d) => Graph.personalizedPagerank(s, d)),
     "graph_components" -> ((s, d) => Graph.components(s, d)),
     "graph_labelprop" -> ((s, d) => Graph.labelProp(s, d)),
+    "graph_modularity" -> ((s, d) => Graph.modularity(s, d)),
     "graph_triangles" -> ((s, d) => Graph.triangles(s, d)),
     // B. spatial / accessibility
     "geo_grid_assign" -> (Accessibility.gridAssign _),
@@ -722,6 +723,9 @@ object SparkEntry {
     // deterministic semi-sync LPA: integer vote counts + smallest-label
     // ties, fixed rounds -> the whole trajectory unrolls as CTEs
     "graph_labelprop" -> operators.Graph.labelPropOracle(),
+    // modularity grades the labelprop partition: integer e_c/d_c/m, one
+    // double division per community, floor-rounded at 1e-6
+    "graph_modularity" -> operators.Graph.modularityOracle(),
     "graph_triangles" -> operators.Graph.trianglesOracle,
     "graph_kcore" -> operators.Graph.kcoreOracle(),
     // Jaccard link prediction: rounded-score ordering + (a, b) tie-break

@@ -490,6 +490,118 @@ object Graph {
        FROM l$rounds ORDER BY node"""
   }
 
+  /** MODULARITY of the [[labelProp]] partition — the quality score that
+    * turns "communities were found" into "communities are real"
+    * (Newman 2004): Q = Σ_c [ e_c/m − (d_c/2m)² ] over the undirected
+    * graph, reported per community so a single bad merge is visible
+    * (its contribution goes negative) instead of drowning in the
+    * global sum. The labels come from the SAME [[labelPropOver]]
+    * trajectory graph_labelprop registers, so the score always grades
+    * the partition the engine actually ships.
+    *
+    * Determinism: e_c, d_c, m are exact integers; each contribution is
+    * the integer ratio (4·m·e_c − d_c²)/(4·m²) evaluated in one double
+    * division and floor-rounded at 1e-6 — no FP accumulates anywhere.
+    * Scale shape: two node-keyed equi-joins to label the edge
+    * endpoints, degree/size/internal-edge rollups all partial-agg
+    * friendly, the edge total a one-row broadcast scalar; nothing
+    * sorts or broadcasts a corpus-sized side. */
+  def modularity(spark: SparkSession, dir: String,
+                 rounds: Int = 3): DataFrame = {
+    val nodes = Tables.supplier(spark, dir).select(col("s_suppkey").as("id"))
+    val edges = ccEdges(spark, dir)
+    val labels = labelPropOver(edges, nodes, rounds)
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("w"))
+      .filter(col("u") =!= col("w")).distinct()
+    val mEdges = und.agg(count(lit(1)).as("m"))
+    val deg = und.select(col("u").as("id"))
+      .union(und.select(col("w").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val lu = labels.toDF("u", "lu")
+    val lw = labels.toDF("w", "lw")
+    val ein = und.join(lu, Seq("u")).join(lw, Seq("w"))
+      .filter(col("lu") === col("lw"))
+      .groupBy(col("lu").as("community")).agg(count(lit(1)).as("e_in"))
+    val dtot = deg.join(labels, Seq("id"))
+      .groupBy(col("label").as("community")).agg(sum(col("deg")).as("d_tot"))
+    val sizes = labels.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val out = sizes.join(dtot, Seq("community"), "left")
+      .join(ein, Seq("community"), "left")
+      .crossJoin(broadcast(mEdges))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"),
+        coalesce(col("d_tot"), lit(0L)).as("d_tot"), col("m"))
+      .withColumn("q_frac",
+        floor((lit(4L) * col("m") * col("e_in")
+            - col("d_tot") * col("d_tot")).cast("double")
+          / (lit(4L) * col("m") * col("m")).cast("double")
+          * 1000000.0 + 0.5) / 1000000.0)
+      .select(col("community"), col("n_nodes"), col("e_in"),
+        col("d_tot"), col("q_frac"))
+      .orderBy(col("community"))
+      .localCheckpoint()
+    SparkBridge.unpersistCheckpoint(labels)
+    out
+  }
+
+  /** Unrolled oracle for [[modularity]]: [[labelPropOracle]]'s CTE
+    * chain plus the integer-exact per-community contribution. */
+  def modularityOracle(rounds: Int = 3): String = {
+    val roundsSql = (1 to rounds).map { t =>
+      s"""v$t AS (SELECT id, label, count(*) AS c FROM (
+           SELECT e.src AS id, l.label FROM e
+           JOIN l${t - 1} l ON l.id = e.dst
+           UNION ALL SELECT id, label FROM l${t - 1}) u
+         GROUP BY id, label),
+       l$t AS (SELECT id, label FROM (
+           SELECT id, label, row_number() OVER (PARTITION BY id
+             ORDER BY c DESC, label) AS rn FROM v$t) w WHERE rn = 1)"""
+    }.mkString(",\n       ")
+    s"""WITH v AS (SELECT max(s_suppkey) + 1 AS nv FROM supplier),
+       e0 AS (
+         SELECT s_suppkey AS src, s_suppkey + 1 AS dst FROM supplier, v
+         WHERE (s_suppkey + 1) % 64 <> 0 AND s_suppkey + 1 < nv
+         UNION
+         SELECT s_suppkey,
+           s_suppkey - s_suppkey % 64 + (s_suppkey * 7 + 3) % 64
+         FROM supplier, v
+         WHERE s_suppkey - s_suppkey % 64 + (s_suppkey * 7 + 3) % 64
+             <> s_suppkey
+           AND s_suppkey - s_suppkey % 64 + (s_suppkey * 7 + 3) % 64 < nv),
+       e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       l0 AS (SELECT s_suppkey AS id, s_suppkey AS label FROM supplier),
+       $roundsSql,
+       und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS w
+         FROM e0 WHERE src <> dst),
+       m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+       deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+           SELECT u AS id FROM und UNION ALL SELECT w AS id FROM und) x
+         GROUP BY id),
+       ein AS (SELECT l1.label AS community,
+           CAST(count(*) AS BIGINT) AS e_in
+         FROM und JOIN l$rounds l1 ON l1.id = und.u
+         JOIN l$rounds l2 ON l2.id = und.w
+         WHERE l1.label = l2.label GROUP BY l1.label),
+       dt AS (SELECT label AS community, CAST(sum(deg) AS BIGINT) AS d_tot
+         FROM deg JOIN l$rounds lr ON lr.id = deg.id GROUP BY label),
+       sz AS (SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes
+         FROM l$rounds GROUP BY label)
+       SELECT sz.community, n_nodes,
+         coalesce(e_in, CAST(0 AS BIGINT)) AS e_in,
+         coalesce(d_tot, CAST(0 AS BIGINT)) AS d_tot,
+         floor(CAST(4 * m * coalesce(e_in, CAST(0 AS BIGINT))
+             - coalesce(d_tot, CAST(0 AS BIGINT))
+               * coalesce(d_tot, CAST(0 AS BIGINT)) AS DOUBLE)
+           / CAST(4 * m * m AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+           AS q_frac
+       FROM sz LEFT JOIN dt USING (community)
+         LEFT JOIN ein USING (community), m
+       ORDER BY sz.community"""
+  }
+
   /** Per-node triangle count over the undirected [[ccEdges]] graph via
     * the DEGREE-ORDERED orientation — the standard skew bound for
     * distributed triangle enumeration: each undirected edge is kept

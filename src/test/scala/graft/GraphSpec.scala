@@ -147,6 +147,42 @@ class GraphSpec extends AnyFunSuite {
     assert(rows == brute, s"top-20 mismatch:\n$rows\nvs\n$brute")
   }
 
+  test("modularity: integer recompute from the labelprop partition") {
+    val lp = Graph.labelProp(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val und = Graph.ccEdges(spark, sf).collect()
+      .map { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).toSet
+    val m = und.size.toLong
+    val deg = und.toSeq.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val ein = und.toSeq.filter(p => lp(p._1) == lp(p._2))
+      .groupBy(p => lp(p._1)).map { case (c, v) => c -> v.size.toLong }
+    val dtot = deg.toSeq.groupBy(p => lp(p._1))
+      .map { case (c, v) => c -> v.map(_._2).sum }
+    val sizes = lp.values.groupBy(identity)
+      .map { case (c, v) => c -> v.size.toLong }
+    val rows = Graph.modularity(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == sizes.keySet,
+      "one row per labelprop community")
+    rows.foreach { r =>
+      val c = r.getLong(0)
+      assert(r.getLong(1) == sizes(c), s"community $c size")
+      assert(r.getLong(2) == ein.getOrElse(c, 0L), s"community $c e_in")
+      assert(r.getLong(3) == dtot.getOrElse(c, 0L), s"community $c d_tot")
+      val e = ein.getOrElse(c, 0L); val d = dtot.getOrElse(c, 0L)
+      val want = math.floor((4L * m * e - d * d).toDouble
+        / (4L * m * m).toDouble * 1e6 + 0.5) / 1e6
+      assert(r.getDouble(4) == want, s"community $c q_frac")
+    }
+    // better than random (Q > 0) — with many communities on a small
+    // graph the absolute value stays modest, but the sign is the claim
+    val q = rows.map(_.getDouble(4)).sum
+    assert(q > 0.0 && q <= 1.0, s"labelprop modularity out of range: $q")
+  }
+
   test("label propagation: strictly refines components, deterministic") {
     val lp = Graph.labelProp(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap

@@ -200,7 +200,10 @@ class PruningSpec extends AnyFunSuite {
       // text_ppl_buckets: the corpus-count and two tercile-threshold
       // one-row scalars crossed onto the per-doc nll frame (plus
       // text_perplexity's declared vocab-size scalar upstream)
-      "text_ppl_buckets")
+      "text_ppl_buckets",
+      // graph_modularity: the one-row edge-total scalar crossed onto
+      // the community rollup (plus ccEdges' declared nv scalar)
+      "graph_modularity")
     // full-outer equi-joins cannot broadcast (both sides must preserve
     // unmatched rows), so a shuffle join IS the correct plan there;
     // ann_hybrid_rrf's RRF fusion joins the two rank lists FULL OUTER
