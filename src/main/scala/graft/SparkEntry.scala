@@ -231,6 +231,7 @@ object SparkEntry {
     "sketch_distinct" -> ((s, d) => Sketches.distinctUsersChecked(s, d)),
     "sketch_quantiles" -> ((s, d) => Sketches.valueQuantilesChecked(s, d)),
     "sketch_heavy_hitters" -> ((s, d) => Sketches.heavyHitters(s, d)),
+    "sketch_priority_sample" -> ((s, d) => Sketches.prioritySample(s, d)),
     "sketch_countmin" -> ((s, d) => Sketches.countMin(s, d)),
     "sketch_hll_union" -> ((s, d) => Sketches.hllUnion(s, d)),
     // KMV theta-sketch intersection is md5-deterministic end-to-end, so
@@ -3264,6 +3265,11 @@ object SparkEntry {
            TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99
          FROM events GROUP BY event_type ORDER BY event_type""",
     // heavy hitters: the Misra-Gries guarantee is deterministic (every
+    // priority sampling: LCG uniforms and priorities are single exact
+    // IEEE ops, so the sample and tau hash bit-identically; the heap
+    // aggregate's keep order == (priority DESC, event_id)
+    "sketch_priority_sample" ->
+      operators.Sketches.prioritySampleOracle(),
     // token with freq > n/k survives pass 1), so the engine's two-pass
     // candidate pipeline must EQUAL brute force — a sketch that drops a
     // heavy token deletes a row here

@@ -481,4 +481,64 @@ object Sketches {
              - exact_intersect)
            <= greatest(exact_intersect * $relTol, 4.0) AS ok_intersect
        FROM e"""
+
+  /** PRIORITY SAMPLING (Duffield, Lund & Thorup 2007) — the weighted
+    * sampling sketch that replaces "sum over an unaffordable subset
+    * scan": each item gets priority q_i = w_i/u_i for a per-item
+    * uniform u_i, the k highest-priority items form the sample, and
+    * with τ = the (k+1)-th priority, Σ max(w_i, τ) over the sample is
+    * an UNBIASED estimator of Σ w_i over any subset — near-optimal
+    * variance among all k-sample schemes. The production answer to
+    * "estimate revenue per segment from a fixed-size sample" at 100 TB.
+    *
+    * Determinism: u_i is a closed-form LCG hash of event_id mapped to
+    * (0,1] with a dyadic denominator, so u and q are IEEE-exact and
+    * the oracle recomputes them bit-identically; there are no sums —
+    * every output value is a single product/division/max of exact
+    * inputs, so no rounding is needed anywhere.
+    *
+    * Scale shape: priorities are map-side; the global top-(k+1) runs on
+    * the k-bounded heap aggregate ([[graft.functions.TopKByScore]] —
+    * numPartitions × (k+1) rows move, never a global sort); the k-row
+    * sample broadcasts back onto the fact scan for its attributes. */
+  def prioritySample(spark: SparkSession, dir: String, k: Int = 64)
+      : DataFrame = {
+    import graft.functions.TopK.top_k_by_score
+    val pr = Tables.events(spark, dir)
+      .select(col("event_id"), col("value"))
+      .withColumn("u",
+        ((((col("event_id") * 1103515245L + 12345L) % 2147483647L) + 1L)
+          .cast("double")) / 2147483648.0)
+      .withColumn("priority", col("value") / col("u"))
+    val sample = pr
+      .agg(top_k_by_score(col("priority"), col("event_id"), k + 1).as("top"))
+      .select(col("top"),
+        element_at(col("top"), k + 1).getField("score").as("tau"))
+      .select(posexplode(slice(col("top"), 1, k)), col("tau"))
+      .select((col("pos") + 1).cast("int").as("rk"),
+        col("col.id").as("event_id"), col("col.score").as("priority"),
+        col("tau"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .join(broadcast(sample), Seq("event_id"))
+      .select(col("rk"), col("event_id"), col("event_type"), col("value"),
+        col("priority"), col("tau"),
+        greatest(col("value"), col("tau")).as("est_weight"))
+      .orderBy(col("rk"))
+  }
+
+  /** DuckDB restatement of [[prioritySample]]: the same LCG uniform,
+    * priorities ranked by (priority DESC, event_id) — exactly the heap
+    * aggregate's keep order — τ read at rank k+1. */
+  def prioritySampleOracle(k: Int = 64): String =
+    s"""WITH pr AS (SELECT event_id, event_type, value,
+           value / (CAST((event_id * 1103515245 + 12345) % 2147483647
+             + 1 AS DOUBLE) / 2147483648.0) AS priority
+         FROM events),
+       rkd AS (SELECT *, row_number()
+           OVER (ORDER BY priority DESC, event_id) AS rk FROM pr),
+       tau AS (SELECT priority AS tau FROM rkd WHERE rk = ${k + 1})
+       SELECT CAST(rk AS INTEGER) AS rk, event_id, event_type, value,
+         priority, tau, greatest(value, tau) AS est_weight
+       FROM rkd, tau WHERE rk <= $k ORDER BY rk"""
 }

@@ -191,4 +191,34 @@ class SketchesSpec extends AnyFunSuite {
       reg.head.getBoolean(11))
   }
 
+  test("priority sample: exact recompute, and the DLT estimator lands near") {
+    val k = 64
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("value")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    // in-memory priorities with the same LCG uniform
+    val pri = ev.map { case (id, v) =>
+      val u = ((id * 1103515245L + 12345L) % 2147483647L + 1L).toDouble /
+        2147483648.0
+      (id, v, v / u)
+    }.sortBy(p => (-p._3, p._1))
+    val tau = pri(k)._3
+    val out = Sketches.prioritySample(spark, sf).collect()
+    assert(out.length == k)
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getInt(0) == i + 1)
+      assert(r.getLong(1) == pri(i)._1, s"rank ${i + 1} id")
+      assert(r.getDouble(3) == pri(i)._2)
+      assert(r.getDouble(4) == pri(i)._3)
+      assert(r.getDouble(5) == tau)
+      assert(r.getDouble(6) == math.max(pri(i)._2, tau))
+    }
+    // unbiased subset-sum estimator: the full-population estimate from
+    // 64 of n items lands within 50% (sigma ~ 1/sqrt(k-1) ~ 12.6%)
+    val est = out.map(_.getDouble(6)).sum
+    val truth = ev.map(_._2).sum
+    assert(math.abs(est - truth) / truth < 0.5,
+      s"estimate $est vs truth $truth")
+  }
+
 }
