@@ -132,6 +132,7 @@ object SparkEntry {
     "ann_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "ann_ivfpq_trained" -> ((s, d) => Similarity.ivfPqTrainedTopK(s, d)),
     "ann_recall_eval" -> ((s, d) => Similarity.annRecallEval(s, d)),
+    "ann_nprobe_sweep" -> ((s, d) => Similarity.nprobeSweep(s, d)),
     "ann_ndcg_eval" -> ((s, d) => Similarity.ndcgEval(s, d)),
     "emb_dim_recall" -> ((s, d) => Similarity.dimRecallEval(s, d)),
     "ann_range_search" -> ((s, d) => Similarity.rangeSearch(s, d)),
@@ -2243,6 +2244,10 @@ object SparkEntry {
     // restate in SQL (same CTEs as ann_brute/ann_ivf), so the per-query
     // hit counts — and therefore the recall the index would ship with —
     // hash-check; n_hit/k lands on exact tenths under the frac4 pin
+    // recall/cost curve: the recall-eval chain swept over nProbe, cost
+    // from cells-sized arithmetic (probe list x cell sizes minus the
+    // always-probed self cell)
+    "ann_nprobe_sweep" -> operators.Similarity.nprobeSweepOracle(),
     "ann_recall_eval" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),

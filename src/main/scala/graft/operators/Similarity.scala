@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.SparkBridge
 import graft.Tables
 import graft.functions.TopK.top_k_by_score
 import graft.functions.VectorFunctions.{cosine_sim, dot_product, vec_norm}
@@ -292,6 +293,119 @@ object Similarity {
         (floor(col("dcg") / col("idcg") * 10000.0 + 0.5) / 10000.0)
           .as("ndcg"))
       .orderBy(col("qid"))
+  }
+
+  /** The RECALL/COST CURVE — [[annRecallEval]] swept across the probe
+    * budget: one row per nProbe with mean recall@k against the exact
+    * truth AND the number of candidate pairs actually scored (the cost
+    * axis), which is the tuning table an IVF deployment reads to pick
+    * its operating point (recall climbs toward 1.0 at nProbe == nCells
+    * while cost climbs toward the full n·nQueries scan — the knee is
+    * the config you ship).
+    *
+    * Scale shape: the probe ranking and cell sizes are computed ONCE
+    * and checkpointed; each arm reuses them plus one ivf search; the
+    * scanned-pairs count is cells-sized arithmetic (probe list ⨝ cell
+    * sizes — minus the self-match each query's rank-1 own cell always
+    * contributes), never a rescan. Hits/recall per arm are integer
+    * counts and one frac4. */
+  def nprobeSweep(spark: SparkSession, dir: String, k: Int = K,
+                  nQueries: Int = NQueries, nCells: Int = 16,
+                  probes: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame = {
+    val truth = bruteTopK(spark, dir, k, nQueries)
+      .select(col("qid"), col("cid")).localCheckpoint()
+    val e = emb(spark, dir)
+    val seeds = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cluster_id"), col("embedding").as("se"))
+    val cellSz = assignToSeeds(e, seeds)
+      .groupBy(col("cluster_id").as("cell"))
+      .agg(count(lit(1)).as("csz")).localCheckpoint()
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val pw = Window.partitionBy(col("qid"))
+      .orderBy(col("_c").desc, col("cell"))
+    val probeRanks = q
+      .join(broadcast(seeds.withColumnRenamed("cluster_id", "cell")))
+      .select(col("qid"), col("cell"),
+        cosine_sim(col("qe"), col("se")).as("_c"))
+      .withColumn("prn", row_number().over(pw))
+      .select(col("qid"), col("cell"), col("prn"))
+      .localCheckpoint()
+    val arms = probes.map { p =>
+      val approx = ivfTopK(spark, dir, k, nQueries, nCells, p)
+        .select(col("qid"), col("cid"))
+      val hit = truth.join(broadcast(approx), Seq("qid", "cid"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      val scanned = probeRanks.filter(col("prn") <= p)
+        .join(broadcast(cellSz), Seq("cell"))
+        .agg((sum(col("csz")) - nQueries).as("n_scanned"))
+      hit.crossJoin(scanned)
+        .select(lit(p).as("nprobe"), col("n_hit"),
+          (floor(col("n_hit") / lit((nQueries * k).toDouble)
+            * 10000.0 + 0.5) / 10000.0).as("mean_recall"),
+          col("n_scanned"))
+    }
+    val out = arms.reduce(_ unionByName _).orderBy(col("nprobe"))
+      .localCheckpoint()
+    SparkBridge.unpersistCheckpoint(truth)
+    SparkBridge.unpersistCheckpoint(cellSz)
+    SparkBridge.unpersistCheckpoint(probeRanks)
+    out
+  }
+
+  /** DuckDB restatement of [[nprobeSweep]]: the ann_recall_eval CTE
+    * chain with the probe rank kept, one arm per nProbe. */
+  def nprobeSweepOracle(k: Int = K, nQueries: Int = NQueries,
+                        nCells: Int = 16,
+                        probes: Seq[Int] = Seq(1, 2, 4, 8, 16)): String = {
+    val total = (nQueries * k).toDouble
+    val armCtes = probes.map { p =>
+      s"""ap$p AS (SELECT qid, cid FROM (
+           SELECT pr.qid, a.cid,
+             row_number() OVER (PARTITION BY pr.qid
+               ORDER BY list_cosine_similarity(pr.qv, a.cv) DESC, a.cid)
+               AS rk
+           FROM (SELECT qid, qv, cell FROM probesall WHERE prn <= $p) pr
+           JOIN asg a USING (cell) WHERE a.cid <> pr.qid) t WHERE rk <= $k),
+         hit$p AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+           FROM truth t JOIN ap$p x ON t.qid = x.qid AND t.cid = x.cid),
+         sc$p AS (SELECT CAST(sum(csz) AS BIGINT) - $nQueries AS n_scanned
+           FROM probesall pr JOIN cellsz USING (cell) WHERE pr.prn <= $p)"""
+    }.mkString(",\n         ")
+    val armRows = probes.map { p =>
+      s"""SELECT $p AS nprobe, n_hit,
+           floor(n_hit / CAST($total AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+             AS mean_recall, n_scanned
+         FROM hit$p, sc$p"""
+    }.mkString("\n         UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e
+           WHERE vec_id < $nQueries),
+         truth AS MATERIALIZED (SELECT qid, cid FROM (
+           SELECT q.qid, e.vec_id AS cid,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id)
+               AS rk
+           FROM q, e WHERE e.vec_id <> q.qid) t WHERE rk <= $k),
+         seeds AS (SELECT vec_id AS cell, v AS sv FROM e
+           WHERE vec_id < $nCells),
+         asg AS MATERIALIZED (SELECT cid, cv, cell FROM (
+           SELECT a.vec_id AS cid, a.v AS cv, s.cell,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(a.v, s.sv) DESC, s.cell)
+               AS rn
+           FROM e a, seeds s) t WHERE rn = 1),
+         cellsz AS MATERIALIZED (SELECT cell,
+           CAST(count(*) AS BIGINT) AS csz FROM asg GROUP BY cell),
+         probesall AS MATERIALIZED (SELECT qid, qv, cell, prn FROM (
+           SELECT q.qid, q.qv, s.cell,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(q.qv, s.sv) DESC, s.cell)
+               AS prn
+           FROM q, seeds s) t),
+         $armCtes
+       $armRows
+       ORDER BY nprobe"""
   }
 
   /** Cross-modal PARAPHRASE detection — the pair class embedding dedup

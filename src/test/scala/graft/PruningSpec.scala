@@ -203,7 +203,10 @@ class PruningSpec extends AnyFunSuite {
       "text_ppl_buckets",
       // graph_modularity: the one-row edge-total scalar crossed onto
       // the community rollup (plus ccEdges' declared nv scalar)
-      "graph_modularity")
+      "graph_modularity",
+      // ann_nprobe_sweep: per-arm one-row hit x scanned scalar crosses
+      // on top of the declared brute/ivf broadcast query crosses
+      "ann_nprobe_sweep")
     // full-outer equi-joins cannot broadcast (both sides must preserve
     // unmatched rows), so a shuffle join IS the correct plan there;
     // ann_hybrid_rrf's RRF fusion joins the two rank lists FULL OUTER

@@ -87,6 +87,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
   }
 
+  test("nprobe sweep: recall and cost climb monotonically to the exact arm") {
+    val rows = Similarity.nprobeSweep(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 4, 8, 16))
+    // recall and scanned-pairs are monotone non-decreasing in nprobe
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(1) >= a.getLong(1), "hits fell as probes grew")
+      assert(b.getLong(3) > a.getLong(3), "cost must strictly grow")
+    }
+    // the full-probe arm is exact: recall 1.0 and cost = (n-1) per query
+    val n = Tables.embeddings(spark, sf).count()
+    val last = rows.last
+    assert(last.getDouble(2) == 1.0, "probing every cell must be exact")
+    assert(last.getLong(3) == (n - 1) * Similarity.NQueries)
+    // the nprobe=4 arm equals the registered recall eval's totals
+    val evalHits = Similarity.annRecallEval(spark, sf).collect()
+      .map(_.getLong(1)).sum
+    assert(rows.find(_.getInt(0) == 4).get.getLong(1) == evalHits)
+    // per-arm mean recall is the pinned ratio of its own hit count
+    rows.foreach { r =>
+      val want = math.floor(r.getLong(1).toDouble /
+        (Similarity.NQueries * Similarity.K) * 1e4 + 0.5) / 1e4
+      assert(r.getDouble(2) == want)
+    }
+  }
+
   test("LSH near-dup: perfect precision, bounded recall vs brute force") {
     import spark.implicits._
     val e = Tables.embeddings(spark, sf)
