@@ -122,6 +122,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashCoverageChecked(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashChecked(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_lsh_sweep" -> ((s, d) => Dedup.lshSweep(s, d)),
     "pipeline_split_leakage" -> ((s, d) => Dedup.splitLeakage(s, d)),
     "dedup_containment" -> ((s, d) => Dedup.containment(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
@@ -1742,6 +1743,10 @@ object SparkEntry {
     "dedup_simhash" ->
       """SELECT doc_id, TRUE AS partners_verified, TRUE AS hamming_ok
          FROM documents ORDER BY doc_id""",
+    // banding S-curve table: design constants inlined identically on
+    // both engines, recall verdict mathematics-robust (design recall is
+    // a lower bound for pairs above tau)
+    "dedup_lsh_sweep" -> operators.Dedup.lshSweepOracle(),
     "dedup_ngram_jaccard" ->
       """WITH sh AS (SELECT doc_id, list_distinct(
            list_transform(range(1, len(l) - 1),

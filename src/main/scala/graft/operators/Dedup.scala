@@ -364,6 +364,89 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** The LSH BANDING S-CURVE TABLE — [[graft.operators.Similarity
+    * .nprobeSweep]]'s twin on the dedup side: one row per (bands, rows)
+    * split of the k = 64 minhash signature with the closed-form
+    * candidate probability 1 − (1 − s^r)^b at similarity 0.7 / 0.8 /
+    * 0.9 (the table every LSH deployment reads to pick its operating
+    * point — wide bands catch lower-similarity pairs at higher
+    * candidate cost, long rows sharpen the threshold), plus the
+    * MEASURED verdict that this corpus's true pairs (exact Jaccard ≥
+    * tau via [[ngramJaccard]]) are recalled at ≥ the design rate —
+    * the design curve is a lower bound for pairs above tau, so the
+    * verdict is mathematics-robust, not a statistical hope.
+    *
+    * Determinism: design probabilities are compile-time constants
+    * (left-folded multiplication, floor-rounded 1e-6) inlined
+    * identically into the oracle; n_true rides the standing
+    * LSH-equals-exact contract; the verdict compares two exact
+    * integers against a constant. Scale shape: the truth pair list is
+    * computed once and checkpointed (near-dup-density-sized); each arm
+    * is one banding pass + a pair-keyed semi join. */
+  def lshSweep(spark: SparkSession, dir: String, k: Int = 64,
+               tau: Double = 0.8,
+               bandConfigs: Seq[Int] = Seq(4, 8, 16, 32)): DataFrame = {
+    import org.apache.spark.sql.graftbridge.SparkBridge
+    val truth = ngramJaccard(spark, dir, tau)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val arms = bandConfigs.map { b =>
+      val r = k / b
+      val cand = minhashCandidates(spark, dir, k, b)
+      val found = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("n_found"))
+      val nT = truth.agg(count(lit(1)).as("n_true"))
+      found.crossJoin(broadcast(nT)).select(
+        lit(b).as("bands"), lit(r).as("r"),
+        lit(sCurve(0.7, r, b)).as("design_recall_70"),
+        lit(sCurve(0.8, r, b)).as("design_recall_80"),
+        lit(sCurve(0.9, r, b)).as("design_recall_90"),
+        col("n_true"),
+        (col("n_found").cast("double") >=
+          col("n_true") * sCurve(tau, r, b)).as("recall_ok"))
+    }
+    val out = arms.reduce(_ unionByName _).orderBy(col("bands"))
+      .localCheckpoint()
+    SparkBridge.unpersistCheckpoint(truth)
+    out
+  }
+
+  /** 1 − (1 − s^r)^b by left-folded multiplication (both engines'
+    * literal arithmetic), floor-rounded at 1e-6. */
+  private def sCurve(s: Double, r: Int, b: Int): Double = {
+    val sr = (1 until r).foldLeft(s)((acc, _) => acc * s)
+    val om = 1.0 - sr
+    val omb = (1 until b).foldLeft(om)((acc, _) => acc * om)
+    math.floor((1.0 - omb) * 1e6 + 0.5) / 1e6
+  }
+
+  /** DuckDB restatement of [[lshSweep]]: exact all-pairs truth (the
+    * standing LSH-equals-exact contract), the same inlined design
+    * constants, verdicts closed-form TRUE. */
+  def lshSweepOracle(k: Int = 64, tau: Double = 0.8,
+                     bandConfigs: Seq[Int] = Seq(4, 8, 16, 32)): String = {
+    val armRows = bandConfigs.map { b =>
+      val r = k / b
+      s"""SELECT $b AS bands, $r AS r,
+           CAST(${sCurve(0.7, r, b)} AS DOUBLE) AS design_recall_70,
+           CAST(${sCurve(0.8, r, b)} AS DOUBLE) AS design_recall_80,
+           CAST(${sCurve(0.9, r, b)} AS DOUBLE) AS design_recall_90,
+           n_true, TRUE AS recall_ok FROM n"""
+    }.mkString("\n         UNION ALL ")
+    s"""WITH sh AS (SELECT doc_id, list_distinct(
+           list_transform(range(1, len(l) - 1),
+             i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+             t WHERE len(l) >= 3),
+         tp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+             CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 4)
+             >= CAST($tau AS DOUBLE)),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM tp)
+       $armRows
+       ORDER BY bands"""
+  }
+
   /** Train/valid/test LEAKAGE audit — the dedup ladder aimed at the
     * split boundary: a validation document that is a near-duplicate of
     * a training document inflates every eval it touches (the

@@ -424,4 +424,34 @@ class TextDedupSpec extends AnyFunSuite {
       .foreach(r => assert(r.getDouble(3) == 1.0,
         s"exact-dup doc ${r.getLong(0)} only ${r.getDouble(3)} covered"))
   }
+
+  test("lsh sweep: S-curve monotone in bands, measured recall clears design") {
+    val rows = operators.Dedup.lshSweep(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(4, 8, 16, 32))
+    rows.foreach { r => assert(r.getInt(0) * r.getInt(1) == 64) }
+    // for fixed s, more (shorter) bands can only raise hit probability
+    for (c <- 2 to 4) {
+      rows.sliding(2).foreach { case Array(a, b) =>
+        assert(b.getDouble(c) >= a.getDouble(c),
+          s"design recall col $c fell from bands ${a.getInt(0)} to ${b.getInt(0)}")
+      }
+    }
+    // closed-form spot check: (16,4)@0.8 is the famous ~0.9998
+    val fine = rows.find(_.getInt(0) == 16).get
+    assert(fine.getDouble(3) > 0.999 && fine.getDouble(3) < 1.0)
+    // n_true equals the standing verify kernel's pair count, verdicts hold
+    val nTrue = operators.Dedup.ngramJaccard(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getLong(5) == nTrue)
+      assert(r.getBoolean(6), s"bands ${r.getInt(0)} missed its design recall")
+    }
+    // the verdict is NOT vacuous: recompute measured recall for the
+    // coarsest arm and check it actually exceeds its design bound
+    val truth = operators.Dedup.ngramJaccard(spark, sf)
+      .select(col("doc_a"), col("doc_b"))
+    val found4 = truth.join(
+      operators.Dedup.minhashCandidates(spark, sf, 64, 4),
+      Seq("doc_a", "doc_b"), "left_semi").count()
+    assert(found4.toDouble >= nTrue * 0.107, "coarse arm below design")
+  }
 }
