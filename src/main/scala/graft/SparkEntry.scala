@@ -234,6 +234,8 @@ object SparkEntry {
     "sketch_quantiles" -> ((s, d) => Sketches.valueQuantilesChecked(s, d)),
     "sketch_heavy_hitters" -> ((s, d) => Sketches.heavyHitters(s, d)),
     "sketch_priority_sample" -> ((s, d) => Sketches.prioritySample(s, d)),
+    "sketch_weighted_quantiles" ->
+      ((s, d) => Sketches.weightedQuantiles(s, d)),
     "sketch_countmin" -> ((s, d) => Sketches.countMin(s, d)),
     "sketch_hll_union" -> ((s, d) => Sketches.hllUnion(s, d)),
     // KMV theta-sketch intersection is md5-deterministic end-to-end, so
@@ -3280,6 +3282,10 @@ object SparkEntry {
     // aggregate's keep order == (priority DESC, event_id)
     "sketch_priority_sample" ->
       operators.Sketches.prioritySampleOracle(),
+    // exact weighted quantiles: integer threshold rule over the value
+    // histogram, no division anywhere
+    "sketch_weighted_quantiles" ->
+      operators.Sketches.weightedQuantilesOracle(),
     // token with freq > n/k survives pass 1), so the engine's two-pass
     // candidate pipeline must EQUAL brute force — a sketch that drops a
     // heavy token deletes a row here

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -481,6 +482,63 @@ object Sketches {
              - exact_intersect)
            <= greatest(exact_intersect * $relTol, 4.0) AS ok_intersect
        FROM e"""
+
+  /** EXACT WEIGHTED QUANTILES by histogram threshold — the weighted
+    * complement of [[valueQuantiles]]'s unweighted sketch, computed
+    * EXACTLY and distributed: per event type, the weighted p50/p90 of
+    * `value` under per-event weights (the "median transaction value
+    * weighted by volume" class of question). The weighted quantile at
+    * q is the smallest value whose cumulative weight reaches q·W,
+    * stated integer-exactly (2·cum ≥ W, 10·cum ≥ 9·W) so no division
+    * exists to drift.
+    *
+    * Scale shape: one (type, value)-keyed partial agg collapses the
+    * corpus to a value histogram, the cumulative window runs over
+    * HISTOGRAM rows (value cardinality per type — here cents-grained
+    * and bounded; at 100 TB you bucket raw doubles to a grid first,
+    * which is exactly what [[graft.operators.TextAnalysis.pplBuckets]]
+    * does with its 1e-4 nll grid), and the threshold pick is a
+    * conditional min — never a per-type global sort of raw rows. */
+  def weightedQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val wv = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"),
+        (lit(1L) + col("event_id") % 5L).as("w"))
+    val hist = wv.groupBy(col("event_type"), col("value"))
+      .agg(sum(col("w")).as("cw"))
+      .withColumn("cum", sum(col("cw")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("value"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = wv.groupBy(col("event_type"))
+      .agg(sum(col("w")).as("tw"), count(lit(1)).as("n_events"))
+    hist.join(broadcast(tot), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(first(col("n_events")).as("n_events"),
+        first(col("tw")).as("total_w"),
+        min(when(col("cum") * 2 >= col("tw"), col("value"))).as("p50_w"),
+        min(when(col("cum") * 10 >= col("tw") * 9, col("value")))
+          .as("p90_w"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB restatement of [[weightedQuantiles]]. */
+  def weightedQuantilesOracle(): String =
+    """WITH wv AS (SELECT event_type, value,
+         1 + event_id % 5 AS w FROM events),
+       h AS (SELECT event_type, value, CAST(sum(w) AS BIGINT) AS cw
+         FROM wv GROUP BY event_type, value),
+       c AS (SELECT event_type, value,
+           sum(cw) OVER (PARTITION BY event_type ORDER BY value
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM h),
+       t AS (SELECT event_type, CAST(sum(w) AS BIGINT) AS tw,
+           CAST(count(*) AS BIGINT) AS n_events
+         FROM wv GROUP BY event_type)
+       SELECT c.event_type, n_events, tw AS total_w,
+         min(CASE WHEN cum * 2 >= tw THEN value END) AS p50_w,
+         min(CASE WHEN cum * 10 >= tw * 9 THEN value END) AS p90_w
+       FROM c JOIN t ON c.event_type = t.event_type
+       GROUP BY c.event_type, n_events, tw
+       ORDER BY c.event_type"""
 
   /** PRIORITY SAMPLING (Duffield, Lund & Thorup 2007) — the weighted
     * sampling sketch that replaces "sum over an unaffordable subset

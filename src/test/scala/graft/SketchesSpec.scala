@@ -191,6 +191,28 @@ class SketchesSpec extends AnyFunSuite {
       reg.head.getBoolean(11))
   }
 
+  test("weighted quantiles: brute-force weighted rank recompute") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("value"), col("event_id")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), 1L + r.getLong(2) % 5L))
+    val out = Sketches.weightedQuantiles(spark, sf).collect()
+    val byType = ev.groupBy(_._1)
+    assert(out.map(_.getString(0)).toSet == byType.keySet)
+    out.foreach { r =>
+      val g = byType(r.getString(0)).sortBy(_._2)
+      val tw = g.map(_._3).sum
+      assert(r.getLong(1) == g.length.toLong)
+      assert(r.getLong(2) == tw)
+      def wq(num: Long, den: Long): Double = {
+        var cum = 0L
+        g.collectFirst { case (_, v, w) if { cum += w; cum * den >= tw * num } => v }.get
+      }
+      assert(r.getDouble(3) == wq(1, 2), s"${r.getString(0)} p50")
+      assert(r.getDouble(4) == wq(9, 10), s"${r.getString(0)} p90")
+      assert(r.getDouble(3) <= r.getDouble(4))
+    }
+  }
+
   test("priority sample: exact recompute, and the DLT estimator lands near") {
     val k = 64
     val ev = Tables.events(spark, sf)
