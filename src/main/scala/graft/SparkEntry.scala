@@ -195,6 +195,7 @@ object SparkEntry {
     "text_perplexity" -> ((s, d) => TextAnalysis.perplexity(s, d)),
     "text_ppl_buckets" -> ((s, d) => TextAnalysis.pplBuckets(s, d)),
     "text_ngram_novelty" -> ((s, d) => TextAnalysis.ngramNovelty(s, d)),
+    "text_sft_render" -> ((s, d) => TextAnalysis.sftRender(s, d)),
     "text_lm_heldout" -> ((s, d) => TextAnalysis.lmHeldout(s, d)),
     "text_classifier_score" -> ((s, d) => TextAnalysis.classifierScore(s, d)),
     // trained on weak labels from the quality kernel; rational sigmoid
@@ -2859,6 +2860,9 @@ object SparkEntry {
     // held-out bigram novelty: valid-split distinct bigrams probed
     // against the train-split type set over the dup-safe hash split
     "text_ngram_novelty" -> operators.TextAnalysis.ngramNoveltyOracle(),
+    // SFT chat-template rendering: the oracle re-renders byte-identically
+    // (md5 + exact length pin the template), loss span in token space
+    "text_sft_render" -> operators.TextAnalysis.sftRenderOracle(),
     "text_lm_heldout" -> operators.TextAnalysis.lmHeldoutOracle(),
     // hashed linear scorer: dyadic weights make the doc sum EXACT, so
     // the mean's single rounding is order-independent

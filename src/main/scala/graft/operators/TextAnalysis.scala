@@ -1379,6 +1379,66 @@ object TextAnalysis {
               ELSE 'tail' END AS bucket
        FROM p, t1, t2 ORDER BY doc_id"""
 
+  /** SFT RENDERING with LOSS MASKS — the instruction-tuning data
+    * assembly step: adjacent documents pair as (prompt, response)
+    * turns, each pair renders through the chat template
+    * `<|user|> {p} <|assistant|> {r}`, and the operator emits the
+    * token-space loss span (train the loss ONLY on assistant tokens —
+    * the mask every SFT trainer consumes) plus the rendered string's
+    * exact length and md5, so the oracle re-renders the template
+    * byte-identically and any template or pairing drift breaks the
+    * hash. Token space is whitespace tokens: the two template markers
+    * count one token each, so loss_from = prompt_tokens + 3 (after
+    * the user marker, the prompt, and the assistant marker) through
+    * loss_to = n_tokens.
+    *
+    * Scale shape: one pair_id-keyed equi-join (the only shuffle);
+    * template assembly, token counts, and the digest are map-side
+    * codegen'd string ops. */
+  def sftRender(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val p = d.filter(col("doc_id") % 2 === 0)
+      .select(expr("doc_id div 2").as("pair_id"),
+        col("doc_id").as("prompt_id"), col("text").as("ptext"))
+    val r = d.filter(col("doc_id") % 2 === 1)
+      .select(expr("doc_id div 2").as("pair_id"),
+        col("doc_id").as("response_id"), col("text").as("rtext"))
+    val pt = size(split(col("ptext"), " ")).cast("long")
+    val rt = size(split(col("rtext"), " ")).cast("long")
+    val rendered = concat(lit("<|user|> "), col("ptext"),
+      lit(" <|assistant|> "), col("rtext"))
+    p.join(r, Seq("pair_id"))
+      .select(col("pair_id"), col("prompt_id"), col("response_id"),
+        pt.as("prompt_tokens"), rt.as("response_tokens"),
+        (pt + rt + 2L).as("n_tokens"),
+        (pt + 3L).as("loss_from"),
+        (pt + rt + 2L).as("loss_to"),
+        length(rendered).cast("long").as("n_chars"),
+        md5(rendered.cast("binary")).as("render_md5"))
+      .orderBy(col("pair_id"))
+  }
+
+  /** DuckDB restatement of [[sftRender]]: the template re-rendered
+    * with string concatenation, token counts from the same split. */
+  def sftRenderOracle(): String =
+    """WITH p AS (SELECT doc_id // 2 AS pair_id, doc_id AS prompt_id,
+           text AS ptext FROM documents WHERE doc_id % 2 = 0),
+       r AS (SELECT doc_id // 2 AS pair_id, doc_id AS response_id,
+           text AS rtext FROM documents WHERE doc_id % 2 = 1)
+       SELECT pair_id, prompt_id, response_id,
+         CAST(len(string_split(ptext, ' ')) AS BIGINT) AS prompt_tokens,
+         CAST(len(string_split(rtext, ' ')) AS BIGINT) AS response_tokens,
+         CAST(len(string_split(ptext, ' '))
+           + len(string_split(rtext, ' ')) + 2 AS BIGINT) AS n_tokens,
+         CAST(len(string_split(ptext, ' ')) + 3 AS BIGINT) AS loss_from,
+         CAST(len(string_split(ptext, ' '))
+           + len(string_split(rtext, ' ')) + 2 AS BIGINT) AS loss_to,
+         CAST(length('<|user|> ' || ptext || ' <|assistant|> ' || rtext)
+           AS BIGINT) AS n_chars,
+         md5('<|user|> ' || ptext || ' <|assistant|> ' || rtext)
+           AS render_md5
+       FROM p JOIN r USING (pair_id) ORDER BY pair_id"""
+
   /** Held-out N-GRAM NOVELTY — for each VALID-split document, the
     * fraction of its distinct word bigrams never seen in the TRAIN
     * split (the dup-safe [[splitCol]] hash split, so a duplicated text

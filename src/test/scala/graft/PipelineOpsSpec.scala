@@ -493,6 +493,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sft render: template reassembly and loss spans match in memory") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = operators.TextAnalysis.sftRender(spark, sf).collect()
+    val nPairs = docs.keys.count(id => id % 2 == 0 && docs.contains(id + 1))
+    assert(out.length == nPairs, "one row per complete (even, odd) pair")
+    out.foreach { r =>
+      val pid = r.getLong(1); val rid = r.getLong(2)
+      assert(pid % 2 == 0 && rid == pid + 1, "pairing is (2i, 2i+1)")
+      val p = docs(pid); val resp = docs(rid)
+      val rendered = s"<|user|> $p <|assistant|> $resp"
+      val pw = p.split(" ", -1).length; val rw = resp.split(" ", -1).length
+      assert(r.getLong(3) == pw.toLong && r.getLong(4) == rw.toLong)
+      assert(r.getLong(5) == pw + rw + 2L, "total tokens")
+      assert(r.getLong(6) == pw + 3L && r.getLong(7) == pw + rw + 2L,
+        "loss span covers exactly the response tokens")
+      // span length == response tokens: the mask trains on all of the
+      // response and none of the prompt or markers
+      assert(r.getLong(7) - r.getLong(6) + 1 == rw.toLong)
+      assert(r.getLong(8) == rendered.length.toLong)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(rendered.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getString(9) == md, s"pair ${r.getLong(0)} digest")
+    }
+  }
+
   test("ngram novelty: agrees with an in-memory split recompute") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).collect()
