@@ -71,6 +71,7 @@ object SparkEntry {
     "stream_view_maintain" ->
       (graft.streaming.EventStreams.viewMaintainBatch _),
     "q50_entity_match" -> ((s, d) => Warehouse.q50EntityMatch(s, d)),
+    "q51_skew_report" -> ((s, d) => Warehouse.q51SkewReport(s, d)),
     "q31_range_lookup" -> (Warehouse.q31RangeLookup _),
     "q32_scd2" -> (Warehouse.q32Scd2 _),
     "q36_merge_upsert" -> (Warehouse.q36MergeUpsert _),
@@ -973,6 +974,9 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_events,
            round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // join-key skew report: size-histogram threshold quantiles, all
+    // integers until the one share ratio
+    "q51_skew_report" -> operators.Warehouse.q51SkewReportOracle(),
     // entity resolution: blocked candidates + Levenshtein verify —
     // the DP distance is integer-identical on both engines
     "q50_entity_match" ->

@@ -376,6 +376,84 @@ object Warehouse {
     * operator's algebra makes a pure state-add. Spec pins
     * merge == full recompute and that `updated` is exactly the
     * delta's group set. */
+  /** JOIN-KEY SKEW REPORT — the operational measurement that decides
+    * whether a join needs salting BEFORE it falls over (the 100 TB
+    * failure mode is one straggler partition, and the fix — salt
+    * factor, AQE skew thresholds, broadcast cutoffs — is chosen from
+    * exactly these numbers): per candidate join key, row/key counts,
+    * the heaviest key's absolute size and corpus share, the p50/p99 of
+    * the KEY-SIZE distribution (threshold rule over the size histogram
+    * — integer-exact, the [[Sketches.weightedQuantiles]] pattern), and
+    * the heaviest key's multiple of the mean (x100, integer div).
+    *
+    * Scale shape: per key, one key-keyed partial-agg count, then the
+    * per-key sizes collapse AGAIN to a size histogram (distinct-sizes
+    * cardinality — tiny), so the quantile window never touches a
+    * key-sized frame; totals ride a one-row broadcast cross. */
+  def q51SkewReport(spark: SparkSession, dir: String): DataFrame = {
+    def keySkew(df: DataFrame, key: String, name: String): DataFrame = {
+      val sizes = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+      val hist = sizes.groupBy(col("c")).agg(count(lit(1)).as("nk"))
+        .withColumn("cum", sum(col("nk")).over(Window.orderBy(col("c"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = sizes.agg(count(lit(1)).as("n_keys"),
+        sum(col("c")).as("n_rows"), max(col("c")).as("max_key_rows"))
+      hist.crossJoin(broadcast(tot))
+        .agg(first(col("n_rows")).as("n_rows"),
+          first(col("n_keys")).as("n_keys"),
+          first(col("max_key_rows")).as("max_key_rows"),
+          min(when(col("cum") * 2 >= col("n_keys"), col("c")))
+            .as("p50_key_rows"),
+          min(when(col("cum") * 100 >= col("n_keys") * 99, col("c")))
+            .as("p99_key_rows"))
+        .select(lit(name).as("key_name"), col("n_rows"), col("n_keys"),
+          col("max_key_rows"),
+          (floor(col("max_key_rows") / col("n_rows") * 1000000.0 + 0.5)
+            / 1000000.0).as("max_key_share"),
+          col("p50_key_rows"), col("p99_key_rows"),
+          expr("max_key_rows * n_keys * 100 div n_rows").as("skew_x100"))
+    }
+    keySkew(Tables.events(spark, dir), "user_id", "events.user_id")
+      .unionByName(keySkew(Tables.lineitem(spark, dir), "l_orderkey",
+        "lineitem.l_orderkey"))
+      .unionByName(keySkew(Tables.orders(spark, dir), "o_custkey",
+        "orders.o_custkey"))
+      .orderBy(col("key_name"))
+  }
+
+  /** DuckDB restatement of [[q51SkewReport]]. */
+  def q51SkewReportOracle(): String = {
+    def arm(table: String, key: String, name: String): String =
+      s"""SELECT '$name' AS key_name, n_rows, n_keys, max_key_rows,
+           floor(CAST(max_key_rows AS DOUBLE) / n_rows * 1000000.0 + 0.5)
+             / 1000000.0 AS max_key_share,
+           p50_key_rows, p99_key_rows,
+           max_key_rows * n_keys * 100 // n_rows AS skew_x100
+         FROM (
+           SELECT CAST(min(CASE WHEN cum * 2 >= n_keys THEN c END)
+               AS BIGINT) AS p50_key_rows,
+             CAST(min(CASE WHEN cum * 100 >= n_keys * 99 THEN c END)
+               AS BIGINT) AS p99_key_rows,
+             CAST(min(n_rows) AS BIGINT) AS n_rows,
+             CAST(min(n_keys) AS BIGINT) AS n_keys,
+             CAST(min(max_key_rows) AS BIGINT) AS max_key_rows
+           FROM (
+             SELECT h.c, sum(h.nk) OVER (ORDER BY h.c
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               t.n_keys, t.n_rows, t.max_key_rows
+             FROM (SELECT c, count(*) AS nk FROM (
+                 SELECT $key, count(*) AS c FROM $table GROUP BY $key) s
+               GROUP BY c) h,
+               (SELECT count(*) AS n_keys, sum(c) AS n_rows,
+                 max(c) AS max_key_rows FROM (
+                 SELECT $key, count(*) AS c FROM $table GROUP BY $key) s2
+               ) t) u) v"""
+    s"""${arm("events", "user_id", "events.user_id")}
+       UNION ALL ${arm("lineitem", "l_orderkey", "lineitem.l_orderkey")}
+       UNION ALL ${arm("orders", "o_custkey", "orders.o_custkey")}
+       ORDER BY key_name"""
+  }
+
   def q49ViewMaintain(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), col("value"),

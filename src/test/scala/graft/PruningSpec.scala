@@ -206,7 +206,10 @@ class PruningSpec extends AnyFunSuite {
       "graph_modularity",
       // ann_nprobe_sweep: per-arm one-row hit x scanned scalar crosses
       // on top of the declared brute/ivf broadcast query crosses
-      "ann_nprobe_sweep")
+      "ann_nprobe_sweep",
+      // q51_skew_report: per-key one-row totals scalar crossed onto the
+      // (tiny) key-size histogram
+      "q51_skew_report")
     // full-outer equi-joins cannot broadcast (both sides must preserve
     // unmatched rows), so a shuffle join IS the correct plan there;
     // ann_hybrid_rrf's RRF fusion joins the two rank lists FULL OUTER

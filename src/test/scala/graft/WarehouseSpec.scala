@@ -248,4 +248,41 @@ class WarehouseSpec extends AnyFunSuite {
     assert(merged.exists(_.getBoolean(4)) && merged.exists(!_.getBoolean(4)),
       "both touched and untouched groups must exist")
   }
+
+  test("skew report: per-key stats equal a brute recompute") {
+    val out = Warehouse.q51SkewReport(spark, sf).collect()
+    assert(out.map(_.getString(0)).toSeq ==
+      Seq("events.user_id", "lineitem.l_orderkey", "orders.o_custkey"))
+    def brute(df: org.apache.spark.sql.DataFrame, key: String)
+        : (Long, Long, Long, Long, Long) = {
+      val sizes = df.groupBy(col(key)).count().collect()
+        .map(_.getLong(1)).sorted
+      val nKeys = sizes.length.toLong
+      def q(num: Long, den: Long): Long = {
+        var cum = 0L
+        // walk the distinct-size histogram in ascending order
+        sizes.groupBy(identity).toSeq.sortBy(_._1)
+          .collectFirst { case (c, g) if {
+            cum += g.size; cum * den >= nKeys * num } => c }.get
+      }
+      (sizes.sum, nKeys, sizes.max, q(1, 2), q(99, 100))
+    }
+    val tables = Map(
+      "events.user_id" -> ((Tables.events(spark, sf), "user_id")),
+      "lineitem.l_orderkey" -> ((Tables.lineitem(spark, sf), "l_orderkey")),
+      "orders.o_custkey" -> ((Tables.orders(spark, sf), "o_custkey")))
+    out.foreach { r =>
+      val (df, key) = tables(r.getString(0))
+      val (nRows, nKeys, mx, p50, p99) = brute(df, key)
+      assert(r.getLong(1) == nRows && r.getLong(2) == nKeys)
+      assert(r.getLong(3) == mx, s"${r.getString(0)} max")
+      assert(r.getDouble(4) ==
+        math.floor(mx.toDouble / nRows * 1e6 + 0.5) / 1e6)
+      assert(r.getLong(5) == p50 && r.getLong(6) == p99,
+        s"${r.getString(0)} quantiles")
+      assert(r.getLong(7) == mx * nKeys * 100 / nRows)
+      // the report is the salting signal: p99 >= p50 and max >= p99
+      assert(mx >= p99 && p99 >= p50)
+    }
+  }
 }
