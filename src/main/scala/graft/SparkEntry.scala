@@ -287,6 +287,8 @@ object SparkEntry {
     "stream_anomaly" -> (graft.streaming.EventStreams.anomaliesBatch _),
     "stream_interval_join" -> (graft.streaming.EventStreams.intervalJoinBatch _),
     "stream_topk_window" -> (graft.streaming.EventStreams.topkPerWindowBatch _),
+    "stream_sample_window" ->
+      (graft.streaming.EventStreams.sampleWindowBatch _),
     // oracle-checked since r5: per-window within-error-contract verdicts
     "stream_sketch_window" -> (graft.streaming.EventStreams.sketchWindowChecked _),
     "stream_interval_outer" ->
@@ -3558,6 +3560,27 @@ object SparkEntry {
                date_trunc('hour', ts) ORDER BY ts, event_id) AS rn
            FROM events) t
          WHERE rn = 1 ORDER BY user_id, event_type, hr""",
+    // windowed priority sample: the prioritySample restatement per
+    // hour window, tau nullable -> 0 for windows at or under k events
+    "stream_sample_window" ->
+      """WITH pr AS (SELECT event_id, ts, value,
+           value / (CAST((event_id * 1103515245 + 12345) % 2147483647
+             + 1 AS DOUBLE) / 2147483648.0) AS priority
+         FROM events),
+       w AS (SELECT date_trunc('hour', ts) AS window_start, event_id,
+           value, priority FROM pr),
+       rkd AS (SELECT *, row_number() OVER (PARTITION BY window_start
+           ORDER BY priority DESC, event_id) AS rk FROM w),
+       tau AS (SELECT window_start,
+           max(CASE WHEN rk = 5 THEN priority END) AS tau
+         FROM rkd GROUP BY window_start)
+       SELECT r.window_start, CAST(r.rk AS INT) AS rk, r.event_id,
+         r.value, r.priority,
+         coalesce(t.tau, CAST(0.0 AS DOUBLE)) AS tau,
+         greatest(r.value, coalesce(t.tau, CAST(0.0 AS DOUBLE)))
+           AS est_weight
+       FROM rkd r JOIN tau t USING (window_start) WHERE r.rk <= 4
+       ORDER BY r.window_start, r.rk""",
     "stream_topk_window" ->
       """SELECT window_start, rk, event_id, value FROM (
            SELECT date_trunc('hour', ts) AS window_start, event_id, value,

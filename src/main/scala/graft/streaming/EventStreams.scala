@@ -270,6 +270,48 @@ object EventStreams {
   def topkPerWindowStream(events: DataFrame, k: Int = 3): DataFrame =
     topkPerWindow(events.withWatermark("ts", Watermark), k)
 
+  /** PRIORITY SAMPLING inside streaming state —
+    * [[graft.operators.Sketches.prioritySample]] run per tumbling
+    * window on the live stream: the "sample the firehose" operator (a
+    * fixed-size weighted sample per hour whose Σ max(w, τ) estimates
+    * any subset's value total unbiasedly — Duffield-Lund-Thorup). The
+    * k-bounded heap is the per-window STATE, so unbounded streams keep
+    * k+1 rows of state per window, never the event list; priorities
+    * are the same closed-form LCG uniform, so batch == stream
+    * bit-identically and the DuckDB oracle restates the batch form.
+    * Windows holding ≤ k events sample everything with τ = 0 (the
+    * estimator degrades to exact). */
+  def sampleWindow(events: DataFrame, k: Int = 4): DataFrame = {
+    val pr = events.select(col("event_id"), col("ts"), col("value"))
+      .withColumn("priority", col("value") /
+        (((col("event_id") * 1103515245L + 12345L) % 2147483647L + 1L)
+          .cast("double") / 2147483648.0))
+    pr.groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.TopK.top_k_by_score(
+        col("priority"), col("event_id"), k + 1).as("top"))
+      .select(col("window.start").as("window_start"),
+        when(size(col("top")) === k + 1,
+          element_at(col("top"), k + 1).getField("score"))
+          .otherwise(lit(0.0)).as("tau"),
+        posexplode(slice(col("top"), 1, k)))
+      .select(col("window_start"), (col("pos") + 1).cast("int").as("rk"),
+        col("col.id").as("event_id"), col("col.score").as("priority"),
+        col("tau"))
+  }
+
+  def sampleWindowBatch(spark: SparkSession, dir: String): DataFrame = {
+    val sample = sampleWindow(Tables.events(spark, dir))
+    Tables.events(spark, dir).select(col("event_id"), col("value"))
+      .join(broadcast(sample), Seq("event_id"))
+      .select(col("window_start"), col("rk"), col("event_id"),
+        col("value"), col("priority"), col("tau"),
+        greatest(col("value"), col("tau")).as("est_weight"))
+      .orderBy(col("window_start"), col("rk"))
+  }
+
+  def sampleWindowStream(events: DataFrame, k: Int = 4): DataFrame =
+    sampleWindow(events.withWatermark("ts", Watermark), k)
+
   /** Sketches INSIDE streaming state: per tumbling window and event
     * type, HLL++ distinct users and mergeable approximate value
     * quantiles. Both aggregates keep fixed-size buffers in the state

@@ -275,6 +275,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(sorted.toSeq == batch)
   }
 
+  test("windowed priority sample streams with heap state, equals batch") {
+    import spark.implicits._
+    // six events in hour one (> k+1 = 5, so tau engages), two in hour two
+    val evs = Seq(Ev(1, t(1), 1, "m", 5.0), Ev(2, t(2), 1, "m", 9.0),
+      Ev(3, t(3), 2, "m", 7.0), Ev(4, t(4), 2, "m", 1.0),
+      Ev(5, t(10), 1, "m", 4.0), Ev(6, t(20), 2, "m", 8.0),
+      Ev(7, t(65), 1, "m", 4.0), Ev(8, t(70), 2, "m", 2.0))
+    val batch = EventStreams.sampleWindow(evs.toDF())
+      .orderBy("window_start", "rk").collect().map(_.toSeq).toSeq
+    // hour one samples exactly k = 4 of its 6 events with tau > 0;
+    // hour two samples both its events with tau == 0
+    val hours = batch.groupBy(_(0))
+    assert(hours.size == 2)
+    assert(batch.count(_(4).asInstanceOf[Double] > 0.0) == 4,
+      "exactly the full hour-one window carries a live tau")
+    assert(batch.count(_(4).asInstanceOf[Double] == 0.0) == 2,
+      "the under-full window samples everything at tau 0")
+    // in-memory recompute of hour one's heap order
+    def pri(id: Long, v: Double): Double =
+      v / (((id * 1103515245L + 12345L) % 2147483647L + 1L).toDouble /
+        2147483648.0)
+    val h1 = evs.take(6).map(e => (e.event_id, pri(e.event_id, e.value)))
+      .sortBy(p => (-p._2, p._1))
+    assert(batch.take(4).map(_(2)) == h1.take(4).map(_._1))
+    assert(batch.take(4).forall(_(4).asInstanceOf[Double] == h1(4)._2),
+      "tau is the (k+1)-th priority")
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(evs.take(3): _*)
+    val q = EventStreams.sampleWindowStream(mem.toDF())
+      .writeStream.format("memory").queryName("samplew")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    mem.addData(evs.drop(3): _*)
+    q.processAllAvailable(); q.stop()
+    val sorted = spark.table("samplew").collect().map(_.toSeq).sortBy(r =>
+      (r(0).asInstanceOf[java.sql.Timestamp].getTime, r(1).asInstanceOf[Int]))
+    assert(sorted.toSeq == batch)
+  }
+
   test("interval join: streaming pairs equal the batch join's pairs") {
     import spark.implicits._
     val purchases = Seq(Ev(10, t(20), 1, "purchase", 9.0),
