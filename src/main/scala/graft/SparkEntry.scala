@@ -83,6 +83,7 @@ object SparkEntry {
     "graph_components" -> ((s, d) => Graph.components(s, d)),
     "graph_labelprop" -> ((s, d) => Graph.labelProp(s, d)),
     "graph_modularity" -> ((s, d) => Graph.modularity(s, d)),
+    "graph_degree_dist" -> ((s, d) => Graph.degreeDist(s, d)),
     "graph_triangles" -> ((s, d) => Graph.triangles(s, d)),
     // B. spatial / accessibility
     "geo_grid_assign" -> (Accessibility.gridAssign _),
@@ -197,6 +198,7 @@ object SparkEntry {
     "text_ppl_buckets" -> ((s, d) => TextAnalysis.pplBuckets(s, d)),
     "text_ngram_novelty" -> ((s, d) => TextAnalysis.ngramNovelty(s, d)),
     "text_sft_render" -> ((s, d) => TextAnalysis.sftRender(s, d)),
+    "text_lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(s, d)),
     "text_lm_heldout" -> ((s, d) => TextAnalysis.lmHeldout(s, d)),
     "text_classifier_score" -> ((s, d) => TextAnalysis.classifierScore(s, d)),
     // trained on weak labels from the quality kernel; rational sigmoid
@@ -735,6 +737,8 @@ object SparkEntry {
     // modularity grades the labelprop partition: integer e_c/d_c/m, one
     // double division per community, floor-rounded at 1e-6
     "graph_modularity" -> operators.Graph.modularityOracle(),
+    // log2 degree bins via binary-string length: integer-exact, libm-free
+    "graph_degree_dist" -> operators.Graph.degreeDistOracle(),
     "graph_triangles" -> operators.Graph.trianglesOracle,
     "graph_kcore" -> operators.Graph.kcoreOracle(),
     // Jaccard link prediction: rounded-score ordering + (a, b) tie-break
@@ -2869,6 +2873,9 @@ object SparkEntry {
     // SFT chat-template rendering: the oracle re-renders byte-identically
     // (md5 + exact length pin the template), loss span in token space
     "text_sft_render" -> operators.TextAnalysis.sftRenderOracle(),
+    // langid confusion cells: integer counts + one frac4 row share
+    "text_lang_confusion" ->
+      operators.TextAnalysis.langConfusionOracle(),
     "text_lm_heldout" -> operators.TextAnalysis.lmHeldoutOracle(),
     // hashed linear scorer: dyadic weights make the doc sum EXACT, so
     // the mean's single rounding is order-independent

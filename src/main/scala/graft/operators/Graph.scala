@@ -602,6 +602,56 @@ object Graph {
        ORDER BY sz.community"""
   }
 
+  /** Log2-binned DEGREE DISTRIBUTION of the undirected [[ccEdges]]
+    * graph — the first diagnostic anyone runs on a new graph (is it
+    * power-law? is there a celebrity node that will wreck the joins?),
+    * and the input to [[Warehouse.q51SkewReport]]-style salting
+    * decisions on edge-keyed work. Bins are integer-EXACT: bin =
+    * bit-length(degree) − 1 (the binary-string length, not FP log2 —
+    * libm log2 at a power of two is not portable), so the histogram
+    * can never disagree across engines. Scale shape: degrees from one
+    * node-keyed partial agg; the rollup is bin-cardinality-sized
+    * (≤ 64 rows whatever the graph). */
+  def degreeDist(spark: SparkSession, dir: String): DataFrame = {
+    val und = ccEdges(spark, dir)
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("w"))
+      .filter(col("u") =!= col("w")).distinct()
+    und.select(col("u").as("id")).union(und.select(col("w").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .withColumn("bin_id", (length(bin(col("deg"))) - 1).cast("long"))
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("deg")).as("min_deg"),
+        max(col("deg")).as("max_deg"), sum(col("deg")).as("sum_deg"))
+      .orderBy(col("bin_id"))
+  }
+
+  /** DuckDB restatement of [[degreeDist]] over the same closed-form
+    * edge set. */
+  def degreeDistOracle(): String =
+    """WITH v AS (SELECT max(s_suppkey) + 1 AS nv FROM supplier),
+       e0 AS (
+         SELECT s_suppkey AS src, s_suppkey + 1 AS dst FROM supplier, v
+         WHERE (s_suppkey + 1) % 64 <> 0 AND s_suppkey + 1 < nv
+         UNION
+         SELECT s_suppkey,
+           s_suppkey - s_suppkey % 64 + (s_suppkey * 7 + 3) % 64
+         FROM supplier, v
+         WHERE s_suppkey - s_suppkey % 64 + (s_suppkey * 7 + 3) % 64
+             <> s_suppkey
+           AND s_suppkey - s_suppkey % 64 + (s_suppkey * 7 + 3) % 64 < nv),
+       und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst)
+           AS w FROM e0 WHERE src <> dst),
+       deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+           SELECT u AS id FROM und UNION ALL SELECT w AS id FROM und) x
+         GROUP BY id)
+       SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bin_id,
+         CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(min(deg) AS BIGINT) AS min_deg,
+         CAST(max(deg) AS BIGINT) AS max_deg,
+         CAST(sum(deg) AS BIGINT) AS sum_deg
+       FROM deg GROUP BY length(bin(deg)) - 1 ORDER BY bin_id"""
+
   /** Per-node triangle count over the undirected [[ccEdges]] graph via
     * the DEGREE-ORDERED orientation — the standard skew bound for
     * distributed triangle enumeration: each undirected edge is kept

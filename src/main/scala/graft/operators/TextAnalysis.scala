@@ -1379,6 +1379,62 @@ object TextAnalysis {
               ELSE 'tail' END AS bucket
        FROM p, t1, t2 ORDER BY doc_id"""
 
+  /** Language-ID CONFUSION MATRIX — the eval behind [[langid]]'s
+    * point predictions: declared label × predicted label with counts
+    * and the row-normalized share, the table that says WHERE the
+    * classifier errs (which languages bleed into which) rather than
+    * just how often — the difference between "92% accurate" and
+    * "all the es→fr mass comes from one template". diag = the
+    * per-language recall; off-diagonal hot cells are the marker lists
+    * to fix. One scan, one (lang, pred)-keyed partial agg (≤ 25
+    * cells), share a window over the declared-language row. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+    withLangPrediction(Tables.documents(spark, dir))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("declared_total", sum(col("n_docs")).over(w))
+      .select(col("lang"), col("pred_lang"), col("n_docs"),
+        col("declared_total"),
+        frac4(col("n_docs"), col("declared_total")).as("share"),
+        (col("lang") === col("pred_lang")).as("correct"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  /** DuckDB restatement of [[langConfusion]]: the [[langid]] oracle's
+    * marker-count argmax, rolled up to the confusion cells. */
+  def langConfusionOracle(): String =
+    """WITH q AS (SELECT doc_id, lang,
+         len(list_filter(string_split(text, ' '),
+           x -> x IN ('the', 'a', 'value', 'row', 'key'))) AS en_hits,
+         len(list_filter(string_split(text, ' '),
+           x -> x IN ('data', 'table', 'fast', 'line'))) AS es_hits,
+         len(list_filter(string_split(text, ' '),
+           x -> x IN ('query', 'order', 'merge', 'group'))) AS fr_hits,
+         len(list_filter(string_split(text, ' '),
+           x -> x IN ('window', 'batch', 'stream', 'sort'))) AS de_hits,
+         len(list_filter(string_split(text, ' '),
+           x -> x IN ('spark', 'hash', 'join', 'scan'))) AS zh_hits
+         FROM documents),
+       p AS (SELECT doc_id, lang, CASE
+           WHEN en_hits >= es_hits AND en_hits >= fr_hits
+             AND en_hits >= de_hits AND en_hits >= zh_hits THEN 'en'
+           WHEN es_hits >= fr_hits AND es_hits >= de_hits
+             AND es_hits >= zh_hits THEN 'es'
+           WHEN fr_hits >= de_hits AND fr_hits >= zh_hits THEN 'fr'
+           WHEN de_hits >= zh_hits THEN 'de'
+           ELSE 'zh' END AS pred_lang
+         FROM q),
+       c AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+         FROM p GROUP BY lang, pred_lang)
+       SELECT lang, pred_lang, n_docs,
+         CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+           AS declared_total,
+         floor(n_docs / CAST(sum(n_docs) OVER (PARTITION BY lang)
+           AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS share,
+         lang = pred_lang AS correct
+       FROM c ORDER BY lang, pred_lang"""
+
   /** SFT RENDERING with LOSS MASKS — the instruction-tuning data
     * assembly step: adjacent documents pair as (prompt, response)
     * turns, each pair renders through the chat template

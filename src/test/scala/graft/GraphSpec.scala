@@ -183,6 +183,32 @@ class GraphSpec extends AnyFunSuite {
     assert(q > 0.0 && q <= 1.0, s"labelprop modularity out of range: $q")
   }
 
+  test("degree distribution: bins recompute from raw degrees, totals conserve") {
+    val und = Graph.ccEdges(spark, sf).collect()
+      .map { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).toSet
+    val deg = und.toSeq.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).map { case (_, v) => v.size.toLong }
+    val want = deg.groupBy(d => 63 - java.lang.Long.numberOfLeadingZeros(d))
+    val rows = Graph.degreeDist(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet ==
+      want.keySet.map(_.toLong), "bin ids")
+    rows.foreach { r =>
+      val g = want(r.getLong(0).toInt)
+      assert(r.getLong(1) == g.size.toLong)
+      assert(r.getLong(2) == g.min && r.getLong(3) == g.max)
+      assert(r.getLong(4) == g.sum)
+      // bin boundaries honest: every degree in [2^bin, 2^(bin+1))
+      assert(g.min >= (1L << r.getLong(0).toInt) &&
+        g.max < (1L << (r.getLong(0).toInt + 1)))
+    }
+    // conservation: every node binned once, degree mass = 2|E|
+    assert(rows.map(_.getLong(1)).sum == deg.size.toLong)
+    assert(rows.map(_.getLong(4)).sum == 2L * und.size)
+  }
+
   test("label propagation: strictly refines components, deterministic") {
     val lp = Graph.labelProp(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap

@@ -493,6 +493,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("lang confusion: cells partition the corpus, diag equals langid recall") {
+    val out = operators.TextAnalysis.langConfusion(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(out.map(_.getLong(2)).sum == nDocs, "cells partition the corpus")
+    // per declared language: totals match, shares sum to ~1 per row group
+    out.groupBy(_.getString(0)).foreach { case (lang, cells) =>
+      val tot = cells.map(_.getLong(2)).sum
+      assert(cells.forall(_.getLong(3) == tot), s"$lang declared_total")
+      cells.foreach { c =>
+        assert(c.getDouble(4) == math.floor(
+          c.getLong(2).toDouble / tot * 1e4 + 0.5) / 1e4)
+        assert(c.getBoolean(5) == (c.getString(0) == c.getString(1)))
+      }
+    }
+    // diag cells agree with a direct langid join
+    val pred = operators.TextAnalysis.langid(spark, sf)
+      .select(col("doc_id"), col("pred_lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val declared = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val wantCells = declared.groupBy { case (id, l) => (l, pred(id)) }
+      .map { case (k, v) => k -> v.length.toLong }
+    out.foreach { c =>
+      assert(wantCells((c.getString(0), c.getString(1))) == c.getLong(2))
+    }
+    assert(out.length == wantCells.size, "no phantom cells")
+  }
+
   test("sft render: template reassembly and loss spans match in memory") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).collect()
