@@ -223,6 +223,7 @@ object SparkEntry {
     "pipeline_llm_e2e" -> ((s, d) => TextAnalysis.llmE2e(s, d)),
     "pipeline_quality_report" -> ((s, d) => TextAnalysis.qualityReport(s, d)),
     "emb_cluster_assign" -> ((s, d) => Similarity.clusterAssign(s, d)),
+    "emb_cluster_quality" -> ((s, d) => Similarity.clusterQuality(s, d)),
     // oracle-checked since r5: the float cast in each centroid update
     // absorbs accumulation-order drift, so the unrolled-CTE oracle's
     // assignments match exactly
@@ -3175,6 +3176,10 @@ object SparkEntry {
          FROM r JOIN c ON r.source = c.source CROSS JOIN t CROSS JOIN s
          WHERE r.rk <= (t.budget * c.w) // s.sw
          ORDER BY r.source, r.rk""",
+    // cluster quality: dyadic-grid cohesion mean (order-independent),
+    // exact min, kxk centroid separation cross
+    "emb_cluster_quality" ->
+      operators.Similarity.clusterQualityOracle(),
     "emb_cluster_assign" ->
       """WITH s AS (SELECT vec_id AS cluster_id, embedding::DOUBLE[] AS se
            FROM embeddings WHERE vec_id % 29 = 0),

@@ -939,6 +939,83 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** CLUSTER QUALITY REPORT — cohesion vs separation for the
+    * [[clusterAssign]] partition, the eval that decides whether a
+    * clustering is SERVABLE (tight clusters far from their neighbors)
+    * or cosmetic: per cluster, member count, the MEAN member→centroid
+    * cosine (cohesion), the WORST member (min cosine — the outlier the
+    * mean hides), the nearest OTHER centroid's cosine (separation),
+    * and the cohesion − separation margin (positive = members sit
+    * closer to their own centroid than the neighboring centroid does).
+    *
+    * Determinism: the mean rides the dyadic 2^-24 grid (each cosine
+    * snaps to the grid as a long, sums exactly in any order — the
+    * classifier-GD discipline), min and the k×k centroid cosines are
+    * single exact ops. Scale shape: cohesion is one cluster-keyed
+    * partial agg over the same map-side assignment the index build
+    * runs; separation is a k×k broadcast self-cross (seed-count-sized,
+    * corpus-independent). */
+  def clusterQuality(spark: SparkSession, dir: String,
+                     modulus: Int = 29): DataFrame = {
+    val Q = 16777216.0 // 2^24
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    val seeds = e.filter(col("vec_id") % modulus === 0)
+      .select(col("vec_id").as("cluster_id"), col("embedding").as("se"))
+    val coh = assignToSeeds(e, seeds)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(floor(col("cos") * Q + lit(0.5))).as("q"),
+        round(min(col("cos")), 4).as("min_cos"))
+    val sep = seeds.toDF("ca", "sa")
+      .join(broadcast(seeds.toDF("cb", "sb")), col("ca") =!= col("cb"))
+      .select(col("ca").as("cluster_id"),
+        cosine_sim(col("sa"), col("sb")).as("cc"))
+      .groupBy(col("cluster_id"))
+      .agg(round(max(col("cc")), 4).as("nn_centroid_cos"))
+    coh.join(sep, Seq("cluster_id"))
+      .withColumn("mean_cos",
+        floor(col("q").cast("double") / (col("n_members") * Q)
+          * 10000.0 + 0.5) / 10000.0)
+      .select(col("cluster_id"), col("n_members"), col("mean_cos"),
+        col("min_cos"), col("nn_centroid_cos"),
+        floor((col("mean_cos") - col("nn_centroid_cos")) * 10000.0 + 0.5)
+          ./(10000.0).as("margin"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** DuckDB restatement of [[clusterQuality]]: the assignment argmax,
+    * dyadic-grid cohesion mean, k×k separation cross. */
+  def clusterQualityOracle(modulus: Int = 29): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       seeds AS (SELECT vec_id AS cluster_id, v AS sv FROM e
+         WHERE vec_id % $modulus = 0),
+       asg AS (SELECT vec_id, cluster_id, cos FROM (
+           SELECT a.vec_id, s.cluster_id,
+             list_cosine_similarity(a.v, s.sv) AS cos,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(a.v, s.sv) DESC,
+                 s.cluster_id) AS rn
+           FROM e a, seeds s) t WHERE rn = 1),
+       coh AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(CAST(floor(cos * CAST(16777216 AS DOUBLE)
+             + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS q,
+           round(min(cos), 4) AS min_cos
+         FROM asg GROUP BY cluster_id),
+       sep AS (SELECT a.cluster_id,
+           round(max(list_cosine_similarity(a.sv, b.sv)), 4)
+             AS nn_centroid_cos
+         FROM seeds a JOIN seeds b ON a.cluster_id <> b.cluster_id
+         GROUP BY a.cluster_id)
+       SELECT c.cluster_id, n_members,
+         floor(CAST(q AS DOUBLE) / (n_members * CAST(16777216 AS DOUBLE))
+           * 10000.0 + 0.5) / 10000.0 AS mean_cos,
+         min_cos, nn_centroid_cos,
+         floor((floor(CAST(q AS DOUBLE)
+             / (n_members * CAST(16777216 AS DOUBLE))
+             * 10000.0 + 0.5) / 10000.0 - nn_centroid_cos)
+           * 10000.0 + 0.5) / 10000.0 AS margin
+       FROM coh c JOIN sep USING (cluster_id) ORDER BY c.cluster_id"""
+
   /** Full Lloyd k-means over the embeddings (seeds as in
     * [[clusterAssign]]), `iters` assignment+update rounds, reporting
     * final cluster sizes and mean similarity-to-centroid (rows-only:

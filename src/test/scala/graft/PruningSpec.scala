@@ -209,7 +209,11 @@ class PruningSpec extends AnyFunSuite {
       "ann_nprobe_sweep",
       // q51_skew_report: per-key one-row totals scalar crossed onto the
       // (tiny) key-size histogram
-      "q51_skew_report")
+      "q51_skew_report",
+      // emb_cluster_quality: the kxk centroid separation self-cross
+      // (seed-count-sized, corpus-independent) plus the declared
+      // emb_cluster_assign broadcast-seed assignment
+      "emb_cluster_quality")
     // full-outer equi-joins cannot broadcast (both sides must preserve
     // unmatched rows), so a shuffle join IS the correct plan there;
     // ann_hybrid_rrf's RRF fusion joins the two rank lists FULL OUTER

@@ -87,6 +87,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
   }
 
+  test("cluster quality: cohesion/separation recompute from the assignment") {
+    val asg = Similarity.clusterAssign(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap // vec -> cluster
+    val out = Similarity.clusterQuality(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSet == asg.values.toSet,
+      "one row per inhabited cluster")
+    val sizes = asg.values.groupBy(identity).map { case (c, v) => c -> v.size }
+    out.foreach { r =>
+      assert(r.getLong(1) == sizes(r.getLong(0)).toLong)
+      // cohesion is a mean of cosines: bounded, and >= its own min
+      assert(r.getDouble(2) <= 1.0001 && r.getDouble(2) >= r.getDouble(3),
+        s"cluster ${r.getLong(0)} mean below min")
+      assert(r.getDouble(4) <= 1.0001)
+      // margin column is exactly the rounded difference
+      assert(r.getDouble(5) == math.floor(
+        (r.getDouble(2) - r.getDouble(4)) * 1e4 + 0.5) / 1e4)
+    }
+    // members sum to the corpus
+    assert(out.map(_.getLong(1)).sum == asg.size.toLong)
+    // every seed's own vector scores cos 1 with itself, so each seed's
+    // cluster mean is pulled up: at least one cluster has mean > nn
+    // separation (a fully unseparated clustering would be a bug)
+    assert(out.exists(_.getDouble(5) > 0.0), "no cluster beats its neighbor")
+  }
+
   test("nprobe sweep: recall and cost climb monotonically to the exact arm") {
     val rows = Similarity.nprobeSweep(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 4, 8, 16))
