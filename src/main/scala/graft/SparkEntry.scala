@@ -220,6 +220,7 @@ object SparkEntry {
     "text_pii" -> (TextAnalysis.pii _),
     "pipeline_curate" -> ((s, d) => TextAnalysis.curate(s, d)),
     "pipeline_filter_funnel" -> ((s, d) => TextAnalysis.filterFunnel(s, d)),
+    "pipeline_dataset_card" -> ((s, d) => TextAnalysis.datasetCard(s, d)),
     "pipeline_llm_e2e" -> ((s, d) => TextAnalysis.llmE2e(s, d)),
     "pipeline_quality_report" -> ((s, d) => TextAnalysis.qualityReport(s, d)),
     "emb_cluster_assign" -> ((s, d) => Similarity.clusterAssign(s, d)),
@@ -2989,6 +2990,9 @@ object SparkEntry {
                 ELSE 'test' END AS split
          FROM ded JOIN kept k ON k.doc_id = ded.doc_id
          ORDER BY k.doc_id""",
+    // the dataset card: the e2e survivor chain rolled up per section
+    "pipeline_dataset_card" ->
+      operators.TextAnalysis.datasetCardOracle(),
     // the funnel's observability twin: the same gate fragments, counted
     // cumulatively per source instead of filtered — the dedup-survivor
     // gate restated as a conditional min over the text-hash partition

@@ -874,6 +874,152 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The DATASET CARD — the statistics block every released training
+    * corpus ships (Gebru et al.'s datasheets, the HF dataset card):
+    * computed from the FINAL [[llmE2e]] output so the card describes
+    * what actually ships, not what entered the funnel. Sections:
+    * `corpus` (raw/kept/dropped docs + whitespace-token mass — the
+    * headline retention numbers), `split` (train/valid/test doc and
+    * token counts with shares of the kept set), `source` (per-source
+    * composition of the kept set — the mixing table consumers read).
+    * All counts exact integers; shares one frac4 each.
+    *
+    * Scale shape: the e2e survivor frame is computed once and
+    * checkpointed; every section is a partial-agg rollup over it
+    * (split/source cardinality-sized), raw totals are one scan, and
+    * the section union is a handful of rows. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.SparkBridge
+    val e2e = llmE2e(spark, dir)
+      .select(col("split"), col("source"), col("n_tokens"))
+      .localCheckpoint()
+    val raw = Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("raw_docs"),
+        sum(size(toks)).cast("long").as("raw_tokens"))
+    val kept = e2e.agg(count(lit(1)).as("kept_docs"),
+      sum(col("n_tokens")).as("kept_tokens"))
+    val corpus = raw.crossJoin(broadcast(kept)).select(expr(
+      """stack(3,
+        'corpus', 'raw', raw_docs, raw_tokens, 1.0D,
+        'corpus', 'kept', kept_docs, kept_tokens,
+          floor(kept_docs / CAST(raw_docs AS DOUBLE) * 10000.0D + 0.5D)
+            / 10000.0D,
+        'corpus', 'dropped', raw_docs - kept_docs,
+          raw_tokens - kept_tokens,
+          floor((raw_docs - kept_docs) / CAST(raw_docs AS DOUBLE)
+            * 10000.0D + 0.5D) / 10000.0D
+      ) as (section, key, n_docs, n_tokens, share)"""))
+    def sectionOf(keyCol: String, name: String): DataFrame =
+      e2e.groupBy(col(keyCol))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .crossJoin(broadcast(kept))
+        .select(lit(name).as("section"), col(keyCol).as("key"),
+          col("n_docs"), col("n_tokens"),
+          (floor(col("n_docs") / col("kept_docs").cast("double")
+            * 10000.0 + 0.5) / 10000.0).as("share"))
+    val out = corpus
+      .unionByName(sectionOf("split", "split"))
+      .unionByName(sectionOf("source", "source"))
+      .orderBy(col("section"), col("key"))
+      .localCheckpoint()
+    SparkBridge.unpersistCheckpoint(e2e)
+    out
+  }
+
+  /** DuckDB restatement of [[datasetCard]]: the [[llmE2e]] oracle's
+    * survivor chain (through decontamination) rolled up per section. */
+  def datasetCardOracle(): String = {
+    val chain = """wc AS (SELECT doc_id, word, count(*) AS c FROM (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents) u GROUP BY doc_id, word),
+         tw AS (SELECT doc_id, max(c) AS top_word_n,
+           CAST(sum(c) AS BIGINT) AS n_words FROM wc GROUP BY doc_id),
+         q AS (SELECT d.doc_id, d.text, d.lang, d.source,
+           floor((len(list_distinct(string_split(text, ' ')))
+               / len(string_split(text, ' ')) * CAST(0.3 AS DOUBLE)
+             + (CAST(1.0 AS DOUBLE) - len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the', 'a'))) / len(string_split(text, ' ')))
+               * CAST(0.3 AS DOUBLE)
+             + least(len(string_split(text, ' ')) / CAST(100.0 AS DOUBLE),
+                 CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE))
+             * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             / CAST(10000.0 AS DOUBLE) AS score,
+           len(list_filter(string_split(text, ' '),
+             x -> x IN ('the', 'a', 'value', 'row', 'key'))) AS en_hits,
+           len(list_filter(string_split(text, ' '),
+             x -> x IN ('data', 'table', 'fast', 'line'))) AS es_hits,
+           len(list_filter(string_split(text, ' '),
+             x -> x IN ('query', 'order', 'merge', 'group'))) AS fr_hits,
+           len(list_filter(string_split(text, ' '),
+             x -> x IN ('window', 'batch', 'stream', 'sort'))) AS de_hits,
+           len(list_filter(string_split(text, ' '),
+             x -> x IN ('spark', 'hash', 'join', 'scan'))) AS zh_hits
+           FROM documents d),
+         f AS (SELECT q.doc_id, q.text, q.lang, q.source, q.score,
+           floor(top_word_n / n_words * 10000.0 + 0.5) / 10000.0
+             AS top_word_frac,
+           CASE
+             WHEN en_hits >= es_hits AND en_hits >= fr_hits
+               AND en_hits >= de_hits AND en_hits >= zh_hits THEN 'en'
+             WHEN es_hits >= fr_hits AND es_hits >= de_hits
+               AND es_hits >= zh_hits THEN 'es'
+             WHEN fr_hits >= de_hits AND fr_hits >= zh_hits THEN 'fr'
+             WHEN de_hits >= zh_hits THEN 'de'
+             ELSE 'zh' END AS pred_lang
+           FROM q JOIN tw USING (doc_id)),
+         kept AS (SELECT * FROM f
+           WHERE score >= CAST(0.55 AS DOUBLE) AND pred_lang = lang
+             AND top_word_frac <= CAST(0.15 AS DOUBLE)),
+         ded0 AS (SELECT md5(text) AS h, min(doc_id) AS doc_id
+           FROM kept GROUP BY md5(text)),
+         ded AS (SELECT k.doc_id, k.text, k.source,
+           CASE WHEN substring(md5(k.text), 1, 2) < 'd0' THEN 'train'
+                WHEN substring(md5(k.text), 1, 2) < 'e8' THEN 'valid'
+                ELSE 'test' END AS split
+           FROM ded0 JOIN kept k ON k.doc_id = ded0.doc_id),
+         sh AS (SELECT doc_id, split, unnest(list_distinct(
+             list_transform(range(1, len(l) - 1),
+               i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS s
+           FROM (SELECT doc_id, split, string_split(text, ' ') AS l
+             FROM ded) t),
+         rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 20),
+         shf AS (SELECT sh.doc_id, sh.split, sh.s
+           FROM sh JOIN rare USING (s)),
+         cont AS (SELECT DISTINCT train_doc AS doc_id FROM (
+           SELECT tr.doc_id AS train_doc, ev.eval_doc
+           FROM (SELECT doc_id, s FROM shf WHERE split = 'train') tr
+           JOIN (SELECT doc_id AS eval_doc, s FROM shf
+             WHERE split <> 'train') ev USING (s)
+           GROUP BY tr.doc_id, ev.eval_doc HAVING count(*) >= 3) t),
+         p AS (SELECT split, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM cont))"""
+    s"""WITH $chain,
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS raw_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS raw_tokens
+           FROM documents),
+         ks AS (SELECT CAST(count(*) AS BIGINT) AS kept_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS kept_tokens FROM p)
+       SELECT 'corpus' AS section, 'raw' AS key, raw_docs AS n_docs,
+         raw_tokens AS n_tokens, CAST(1.0 AS DOUBLE) AS share FROM tot
+       UNION ALL SELECT 'corpus', 'kept', kept_docs, kept_tokens,
+         floor(kept_docs / CAST(raw_docs AS DOUBLE) * 10000.0 + 0.5)
+           / 10000.0 FROM ks, tot
+       UNION ALL SELECT 'corpus', 'dropped', raw_docs - kept_docs,
+         raw_tokens - kept_tokens,
+         floor((raw_docs - kept_docs) / CAST(raw_docs AS DOUBLE)
+           * 10000.0 + 0.5) / 10000.0 FROM ks, tot
+       UNION ALL SELECT 'split', split, CAST(count(*) AS BIGINT),
+         CAST(sum(n_tokens) AS BIGINT),
+         floor(count(*) / CAST(kept_docs AS DOUBLE) * 10000.0 + 0.5)
+           / 10000.0 FROM p, ks GROUP BY split, kept_docs
+       UNION ALL SELECT 'source', source, CAST(count(*) AS BIGINT),
+         CAST(sum(n_tokens) AS BIGINT),
+         floor(count(*) / CAST(kept_docs AS DOUBLE) * 10000.0 + 0.5)
+           / 10000.0 FROM p, ks GROUP BY source, kept_docs
+       ORDER BY section, key"""
+  }
+
   /** The three-way split as a single column expression (shared by
     * [[hashSplitOf]] and [[curate]]). */
   private[graft] def splitCol(text: Column, trainTo: String = "d0",

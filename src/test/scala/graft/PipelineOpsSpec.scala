@@ -493,6 +493,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dataset card: sections reconcile with the e2e output exactly") {
+    val e2e = TextAnalysis.llmE2e(spark, sf)
+      .select(col("split"), col("source"), col("n_tokens")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val card = TextAnalysis.datasetCard(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val rawDocs = Tables.documents(spark, sf).count()
+    val (kd, kt) = (e2e.length.toLong, e2e.map(_._3).sum)
+    assert(card(("corpus", "raw"))._1 == rawDocs)
+    assert(card(("corpus", "raw"))._3 == 1.0)
+    assert(card(("corpus", "kept")) ==
+      ((kd, kt, math.floor(kd.toDouble / rawDocs * 1e4 + 0.5) / 1e4)))
+    assert(card(("corpus", "dropped"))._1 == rawDocs - kd)
+    // raw token mass conserves: kept + dropped == raw
+    assert(card(("corpus", "kept"))._2 + card(("corpus", "dropped"))._2 ==
+      card(("corpus", "raw"))._2)
+    // split and source sections partition the kept set
+    for ((sec, keyOf) <- Seq(
+        ("split", (t: (String, String, Long)) => t._1),
+        ("source", (t: (String, String, Long)) => t._2))) {
+      val want = e2e.groupBy(keyOf)
+        .map { case (k, v) => k -> ((v.length.toLong, v.map(_._3).sum)) }
+      val got = card.collect { case ((s, k), v) if s == sec => k -> v }
+      assert(got.keySet == want.keySet, s"$sec keys")
+      want.foreach { case (k, (nd, nt)) =>
+        assert(got(k)._1 == nd && got(k)._2 == nt, s"$sec/$k")
+        assert(got(k)._3 ==
+          math.floor(nd.toDouble / kd * 1e4 + 0.5) / 1e4)
+      }
+      assert(want.values.map(_._1).sum == kd, s"$sec partitions kept")
+    }
+  }
+
   test("lang confusion: cells partition the corpus, diag equals langid recall") {
     val out = operators.TextAnalysis.langConfusion(spark, sf).collect()
     val nDocs = Tables.documents(spark, sf).count()
