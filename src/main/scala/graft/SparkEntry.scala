@@ -125,6 +125,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhashChecked(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_lsh_sweep" -> ((s, d) => Dedup.lshSweep(s, d)),
+    "dedup_incremental_bloom" -> ((s, d) => Dedup.incrementalBloom(s, d)),
     "pipeline_split_leakage" -> ((s, d) => Dedup.splitLeakage(s, d)),
     "dedup_containment" -> ((s, d) => Dedup.containment(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
@@ -2699,6 +2700,25 @@ object SparkEntry {
     // both engines derive identical chunk spans; chunk identity is md5
     // of the rejoined words and the verdict is an exact distinct count
     "dedup_cdc_chunks" -> operators.Dedup.cdcChunksOracle(),
+    // bloom-gated incremental dedup: bloom negatives are provably
+    // unique (no false negatives) and positives are join-verified, so
+    // the verdicts equal the ungated operator's exact restatement
+    "dedup_incremental_bloom" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h_exact,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS h_norm
+           FROM documents),
+         ex AS (SELECT h_exact, min(doc_id) AS exact_match FROM d
+           WHERE doc_id % 5 <> 4 GROUP BY h_exact),
+         nm AS (SELECT h_norm, min(doc_id) AS norm_match FROM d
+           WHERE doc_id % 5 <> 4 GROUP BY h_norm)
+         SELECT doc_id,
+           CASE WHEN exact_match IS NOT NULL THEN 'exact_dup'
+                WHEN norm_match IS NOT NULL THEN 'norm_dup'
+                ELSE 'unique' END AS verdict,
+           coalesce(exact_match, norm_match) AS match_doc
+         FROM d LEFT JOIN ex USING (h_exact) LEFT JOIN nm USING (h_norm)
+         WHERE doc_id % 5 = 4 ORDER BY doc_id""",
     "dedup_incremental" ->
       """WITH d AS (SELECT doc_id, md5(text) AS h_exact,
            md5(trim(regexp_replace(regexp_replace(lower(text),

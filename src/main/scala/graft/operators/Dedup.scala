@@ -172,6 +172,62 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** [[incremental]] BEHIND A BLOOM GATE — the 100 TB shape of the
+    * daily exact/normalized dedup pass: in production almost every
+    * arriving document is NEW, so paying two hash-keyed joins against
+    * the corpus for every arrival wastes the common case. A standing
+    * bloom filter over the corpus's exact+normalized hashes triages
+    * MAP-SIDE: bloom-negative docs are *provably* unique (no false
+    * negatives) and never reach a join; only bloom-positive docs take
+    * the verify joins, which also scrub the false positives. Verdicts
+    * are therefore IDENTICAL to [[incremental]] — the oracle is the
+    * same exact restatement, and the spec additionally pins the plan
+    * (the bloom gate is real) and output equality with the ungated
+    * operator. The bloom sizes itself from Catalyst's plan statistic
+    * (the [[Warehouse.bloomSemiJoin]] pattern — no extra count job). */
+  def incrementalBloom(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.SparkBridge
+    val withH = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(col("text").cast("binary")).as("h_exact"),
+        md5(TextAnalysis.normalizedText(col("text"))).as("h_norm"))
+    val corpus = withH.filter(col("doc_id") % 5 =!= 4)
+    val arriving = withH.filter(col("doc_id") % 5 === 4)
+    val hashes = corpus.select(col("h_exact").as("h"))
+      .union(corpus.select(col("h_norm").as("h")))
+    val nItems = {
+      val stats = hashes.queryExecution.optimizedPlan.stats
+      stats.rowCount.map(_.toLong).getOrElse {
+        val width = hashes.queryExecution.optimizedPlan.output
+          .map(_.dataType.defaultSize).sum + 8
+        math.max(64L, (stats.sizeInBytes / BigInt(width)).toLong)
+      }
+    }
+    val bloom = hashes.agg(
+      SparkBridge.bloomFilterAgg(xxhash64(col("h")), nItems).as("bf"))
+    val gated = arriving.withColumn("maybe",
+      SparkBridge.mightContain(SparkBridge.scalarSubquery(bloom),
+        xxhash64(col("h_exact"))) ||
+      SparkBridge.mightContain(SparkBridge.scalarSubquery(bloom),
+        xxhash64(col("h_norm"))))
+    val sureNew = gated.filter(!col("maybe"))
+      .select(col("doc_id"), lit("unique").as("verdict"),
+        lit(null).cast("long").as("match_doc"))
+    val ex = corpus.groupBy(col("h_exact"))
+      .agg(min(col("doc_id")).as("exact_match"))
+    val nm = corpus.groupBy(col("h_norm"))
+      .agg(min(col("doc_id")).as("norm_match"))
+    val verified = gated.filter(col("maybe"))
+      .join(ex, Seq("h_exact"), "left_outer")
+      .join(nm, Seq("h_norm"), "left_outer")
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, "exact_dup")
+          .when(col("norm_match").isNotNull, "norm_dup")
+          .otherwise("unique").as("verdict"),
+        coalesce(col("exact_match"), col("norm_match")).as("match_doc"))
+    sureNew.unionByName(verified).orderBy(col("doc_id"))
+  }
+
   /** Banded minhash rows for a document frame: one (doc_id, band,
     * bucket) row per band — the shared kernel behind the all-pairs LSH
     * ([[minhashCandidates]]) and the standing-index incremental path

@@ -425,6 +425,22 @@ class TextDedupSpec extends AnyFunSuite {
         s"exact-dup doc ${r.getLong(0)} only ${r.getDouble(3)} covered"))
   }
 
+  test("bloom-gated incremental dedup equals the ungated verdicts, gate real") {
+    val gated = operators.Dedup.incrementalBloom(spark, sf)
+    val want = operators.Dedup.incremental(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(gated.collect().map(_.toSeq).toSeq == want,
+      "bloom gating must not change any verdict")
+    // the gate is real: the physical plan carries the bloom probe and
+    // the might_contain filter sits on the arriving scan
+    val plan = gated.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), "bloom gate missing from plan")
+    // on this corpus some arrivals are genuinely new -> the map-side
+    // fast path has work to do (at sf0.001 no dup crosses the %5 split,
+    // so dup rungs are covered by the sf0.01 oracle gate instead)
+    assert(want.exists(_(1) == "unique"))
+  }
+
   test("lsh sweep: S-curve monotone in bands, measured recall clears design") {
     val rows = operators.Dedup.lshSweep(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == Seq(4, 8, 16, 32))
