@@ -87,6 +87,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
   }
 
+  test("persisted ivfpq: cold == warm == trained, artifact on disk") {
+    // clear any artifact from prior runs so this run exercises COLD
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$sf|4|16|31|1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_models", s"ivfpq_v1_$key")
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmrf)
+      f.delete(); ()
+    }
+    if (java.nio.file.Files.exists(p)) rmrf(p.toFile)
+    val cold = Similarity.ivfPqPersistedTopK(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(java.nio.file.Files.exists(p.resolve("_SUCCESS")),
+      "cold call must persist the model artifact")
+    val warm = Similarity.ivfPqPersistedTopK(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(warm == cold, "warm read-from-artifact must equal cold")
+    val trained = Similarity.ivfPqTrainedTopK(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(cold == trained,
+      "the artifact is an execution shortcut, never a semantic input")
+  }
+
   test("cluster quality: cohesion/separation recompute from the assignment") {
     val asg = Similarity.clusterAssign(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap // vec -> cluster
