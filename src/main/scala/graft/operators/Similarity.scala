@@ -1332,8 +1332,11 @@ object Similarity {
     * edge-keyed equi-join + two hash aggs over edge-sized frames. */
   def semanticCommunities(spark: SparkSession, dir: String, k: Int = K,
                           rounds: Int = 3): DataFrame = {
+    // checkpoint before labelPropOver's symmetrizing union references
+    // the pair list twice (else the kNN kernel re-executes per branch)
     val knn = mutualKnn(spark, dir, k)
       .select(col("va").as("src"), col("vb").as("dst"))
+      .localCheckpoint()
     val nodes = emb(spark, dir).select(col("vec_id").as("id"))
     val labels = Graph.labelPropOver(knn, nodes, rounds)
     val out = labels
@@ -1344,6 +1347,7 @@ object Similarity {
       .orderBy(col("vec_id"))
       .localCheckpoint()
     org.apache.spark.sql.graftbridge.SparkBridge.unpersistCheckpoint(labels)
+    org.apache.spark.sql.graftbridge.SparkBridge.unpersistCheckpoint(knn)
     out
   }
 
@@ -1370,7 +1374,12 @@ object Similarity {
   def centrality(spark: SparkSession, dir: String, k: Int = K,
                  iters: Int = 6): DataFrame = {
     import org.apache.spark.sql.graftbridge.SparkBridge
+    // checkpoint the pair list FIRST: it is referenced twice by the
+    // symmetrizing union and again by the degree join — without this
+    // the whole kNN kernel (the expensive part) re-executes per
+    // reference (measured 6.25 s -> the knn cost once, not 3-4x)
     val m = mutualKnn(spark, dir, k).select(col("va"), col("vb"))
+      .localCheckpoint()
     val deg0 = m.select(col("va").as("esrc"), col("vb").as("dst"))
       .unionByName(m.select(col("vb").as("esrc"), col("va").as("dst")))
     val deg = deg0.groupBy(col("esrc")).agg(count(lit(1)).as("deg"))
@@ -1400,6 +1409,7 @@ object Similarity {
       .localCheckpoint()
     SparkBridge.unpersistCheckpoint(ranks)
     SparkBridge.unpersistCheckpoint(edges)
+    SparkBridge.unpersistCheckpoint(m)
     out
   }
 
