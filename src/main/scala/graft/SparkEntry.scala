@@ -3230,17 +3230,23 @@ object SparkEntry {
                 ELSE 'test' END AS split
          FROM documents ORDER BY doc_id""",
     // unigram cross-entropy: p(t) = corpus count / total tokens; the
-    // per-doc mean of -ln p is the only float agg and is rounded
+    // per-doc mean is occ-weighted on the dyadic 2^-24 grid (ln parity
+    // per element, integer weighting exact — order-independent)
     "text_xentropy" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
            FROM documents),
-         c AS (SELECT doc_id, term,
-           count(*) OVER (PARTITION BY term) AS c FROM t),
-         n AS (SELECT count(*) AS t_total FROM (
-           SELECT unnest(string_split(text, ' ')) FROM documents) u)
-         SELECT doc_id, count(*) AS n_tokens,
-           round(avg(-ln(c::DOUBLE / t_total)), 4) AS xent
-         FROM c, n GROUP BY doc_id ORDER BY doc_id""",
+         dt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS occ
+           FROM t GROUP BY doc_id, term),
+         c AS (SELECT term, CAST(sum(occ) AS BIGINT) AS c
+           FROM dt GROUP BY term),
+         n AS (SELECT CAST(sum(c) AS BIGINT) AS t_total FROM c)
+         SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_tokens,
+           floor(CAST(sum(occ * CAST(floor(-ln(c::DOUBLE / t_total)
+                 * CAST(16777216 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                 AS BIGINT)) AS DOUBLE)
+             / CAST(16777216 AS DOUBLE) / sum(occ) * 10000.0 + 0.5)
+             / 10000.0 AS xent
+         FROM dt JOIN c USING (term), n GROUP BY doc_id ORDER BY doc_id""",
     // Efraimidis-Spirakis weighted sample: priority = ln(u)/w with u a
     // dyadic-exact uniform from the md5 prefix (+0.5 so never 0) and
     // w = char length; ln bit-parity makes the ranking oracle-exact

@@ -972,7 +972,11 @@ object Similarity {
         cosine_sim(col("sa"), col("sb")).as("cc"))
       .groupBy(col("cluster_id"))
       .agg(round(max(col("cc")), 4).as("nn_centroid_cos"))
-    coh.join(sep, Seq("cluster_id"))
+    // sep is k-sized (one row per seed, corpus-independent): hint the
+    // broadcast explicitly — stats through the assignment BNLJ are
+    // unknown, so the static planner would otherwise fall back to a
+    // sort-merge join that AQE only repairs at runtime.
+    coh.join(broadcast(sep), Seq("cluster_id"))
       .withColumn("mean_cos",
         floor(col("q").cast("double") / (col("n_members") * Q)
           * 10000.0 + 0.5) / 10000.0)

@@ -136,21 +136,33 @@ object TextAnalysis {
     * the pipeline. p(t) = count(t)/T with no smoothing (every scored
     * token is in the vocabulary by construction).
     *
-    * Scale shape: token counts come from a window over the term
-    * partition of the (doc, term)-level frame (same no-vocab-broadcast
-    * discipline as [[tfidf]]); T is the one scalar crossed on; the
-    * per-doc mean is a partial-agg. ln bit-parity holds (verified), the
-    * final double mean is rounded for the oracle. */
+    * Scale shape (the [[collocations]] discipline — NOT a term window,
+    * which would ship every occurrence of a hot token to one partition
+    * with no map-side combine): occurrences collapse map-side to
+    * (doc, term, occ), term counts collapse that to the VOCAB-sized
+    * (term, c) frame, and the two meet through a term-keyed hash join
+    * (AQE-skew-splittable); T is the one scalar crossed on. The
+    * per-doc mean is occ-weighted on the dyadic 2^-24 grid — each
+    * term's -ln p snaps to an integer once, occ · int is exact, so the
+    * mean is order-independent on any partitioning (the classifier-GD
+    * discipline); ln bit-parity holds per element (verified). */
   def xentropy(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+    val Q = 16777216.0 // 2^24
+    val docTerm = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val total = toks.agg(count(lit(1)).as("t_total"))
-    toks
-      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("occ"))
+    val termCnt = docTerm.groupBy(col("term")).agg(sum(col("occ")).as("c"))
+    val total = termCnt.agg(sum(col("c")).as("t_total"))
+    docTerm
+      .join(termCnt, Seq("term"))
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        round(avg(-log(col("c") / col("t_total"))), 4).as("xent"))
+      .agg(sum(col("occ")).as("n_tokens"),
+        (sum(col("occ") * floor(-log(col("c") / col("t_total")) * lit(Q)
+          + lit(0.5))).cast("double") / lit(Q) / sum(col("occ"))).as("x"))
+      .select(col("doc_id"), col("n_tokens"),
+        (floor(col("x") * 10000.0 + 0.5) / 10000.0).as("xent"))
       .orderBy(col("doc_id"))
   }
 
@@ -189,12 +201,13 @@ object TextAnalysis {
     * ties — equal raw scores — break by term, so the ranking is fully
     * deterministic cross-engine.
     *
-    * Scale posture: df is DERIVED from the tf frame as a window count
-    * over the term partition — no vocab-sized broadcast, which a
-    * heavy-tailed 100 TB vocabulary would blow; N is the one scalar
-    * broadcast. Three key-partitioned shuffles total ((doc,term) agg,
-    * term window, doc window), each partial-agg or a partition-local
-    * sort bounded by doc length / term df. */
+    * Scale posture: df is DERIVED from the tf frame as a vocab-sized
+    * partial agg met through a term-keyed hash join (the
+    * [[collocations]] discipline — a term WINDOW would ship every
+    * (doc, term) row of a hot term to one partition with no map-side
+    * combine, and a vocab broadcast would blow at a heavy-tailed
+    * 100 TB vocabulary); N is the one scalar broadcast. The remaining
+    * window is doc-keyed (bounded by doc length). */
   def tfidf(spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
@@ -202,8 +215,9 @@ object TextAnalysis {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+    val dfCnt = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .join(dfCnt, Seq("term"))
       .crossJoin(broadcast(nDocs))
       .withColumn("raw", col("tf") * log(col("n_docs") / col("df")))
       .withColumn("rk", row_number().over(
@@ -1411,16 +1425,19 @@ object TextAnalysis {
     * here — which is exactly what separates fluent text from keyword
     * soup.
     *
-    * Scale posture: the bigram explosion is narrow; both count lookups
-    * are windows over the bigram frame's own (w1, w2) / (w1)
-    * partitions — the [[tfidf]]/[[xentropy]] no-vocab-broadcast
-    * discipline (a hot context word is one window partition; salt it
-    * if profiled); V is a one-row broadcast cross; the per-doc mean is
-    * a partial agg over rows that never left their doc's partition, so
-    * the double summation order is the document's own token order on
-    * both engines (the [[xentropy]] hash-parity precedent). */
+    * Scale posture (the [[collocations]] discipline — NOT word-keyed
+    * windows, which ship every occurrence of a hot context word to one
+    * partition with no map-side combine): occurrences collapse
+    * map-side to (doc, w1, w2, occ), pair counts collapse that to the
+    * TYPE-sized (w1, w2, cb) frame, cu falls out of one groupBy over
+    * the type frame, and the frames meet through vocab-keyed hash
+    * joins (AQE-skew-splittable); V is a one-row broadcast cross. The
+    * per-doc mean is occ-weighted on the dyadic 2^-24 grid — each
+    * type's nll snaps to an integer once, occ · int is exact, so the
+    * mean is order-independent on any partitioning. */
   def perplexity(spark: SparkSession, dir: String,
                  k: Double = 0.5): DataFrame = {
+    val Q = 16777216.0 // 2^24
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
     val bi = docs.select(col("doc_id"),
@@ -1432,19 +1449,27 @@ object TextAnalysis {
     val vocab = docs
       .select(explode(col("ws")).as("t"))
       .agg(countDistinct(col("t")).cast("double").as("vsz"))
-    bi
-      .withColumn("cb",
-        count(lit(1)).over(Window.partitionBy(col("w1"), col("w2"))))
-      .withColumn("cu", count(lit(1)).over(Window.partitionBy(col("w1"))))
+    val docBg = bi.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("occ"))
+    val pairCnt = docBg.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("occ")).as("cb"))
+    val uniCnt = pairCnt.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
+    val pFrame = pairCnt.join(uniCnt, Seq("w1"))
       .crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"), ((col("cb") + lit(k))
+        / (col("cu") + lit(k) * col("vsz"))).as("p"))
+    docBg.join(pFrame, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(-log((col("cb") + lit(k))
-          / (col("cu") + lit(k) * col("vsz")))), 4).as("nll"))
+      .agg(sum(col("occ")).as("n_bigrams"),
+        (sum(col("occ") * floor(-log(col("p")) * lit(Q) + lit(0.5)))
+          .cast("double") / lit(Q) / sum(col("occ"))).as("x"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (floor(col("x") * 10000.0 + 0.5) / 10000.0).as("nll"))
       .orderBy(col("doc_id"))
   }
 
-  /** DuckDB restatement of [[perplexity]]. */
+  /** DuckDB restatement of [[perplexity]]: the same group-by count
+    * ladder and occ-weighted dyadic-grid NLL. */
   def perplexityOracle(k: Double = 0.5): String =
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
          FROM documents),
@@ -1452,14 +1477,21 @@ object TextAnalysis {
          FROM w, UNNEST(range(len(ws) - 1)) AS t(i)),
        v AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS vsz
          FROM (SELECT unnest(ws) AS t FROM w)),
-       c AS (SELECT doc_id,
-           count(*) OVER (PARTITION BY w1, w2) AS cb,
-           count(*) OVER (PARTITION BY w1) AS cu
-         FROM b)
-       SELECT doc_id, count(*) AS n_bigrams,
-         round(avg(-ln((cb + CAST($k AS DOUBLE))
-           / (cu + CAST($k AS DOUBLE) * vsz))), 4) AS nll
-       FROM c, v GROUP BY doc_id ORDER BY doc_id"""
+       db AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS occ
+         FROM b GROUP BY doc_id, w1, w2),
+       pc AS (SELECT w1, w2, CAST(sum(occ) AS BIGINT) AS cb
+         FROM db GROUP BY w1, w2),
+       uc AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu
+         FROM pc GROUP BY w1),
+       pp AS (SELECT w1, w2, (cb + CAST($k AS DOUBLE))
+           / (cu + CAST($k AS DOUBLE) * vsz) AS p
+         FROM pc JOIN uc USING (w1), v)
+       SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
+         floor(CAST(sum(occ * CAST(floor(-ln(p) * CAST(16777216 AS DOUBLE)
+               + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+           / CAST(16777216 AS DOUBLE) / sum(occ) * 10000.0 + 0.5)
+           / 10000.0 AS nll
+       FROM db JOIN pp USING (w1, w2) GROUP BY doc_id ORDER BY doc_id"""
 
   /** CCNet-style PERPLEXITY BUCKETING — partition the corpus into
     * head / middle / tail thirds by LM fluency (per-doc smoothed-bigram
@@ -1503,14 +1535,22 @@ object TextAnalysis {
          FROM w, UNNEST(range(len(ws) - 1)) AS t(i)),
        v AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS vsz
          FROM (SELECT unnest(ws) AS t FROM w)),
-       c AS (SELECT doc_id,
-           count(*) OVER (PARTITION BY w1, w2) AS cb,
-           count(*) OVER (PARTITION BY w1) AS cu
-         FROM b),
-       p AS (SELECT doc_id, count(*) AS n_bigrams,
-           round(avg(-ln((cb + CAST($k AS DOUBLE))
-             / (cu + CAST($k AS DOUBLE) * vsz))), 4) AS nll
-         FROM c, v GROUP BY doc_id),
+       db AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS occ
+         FROM b GROUP BY doc_id, w1, w2),
+       pc AS (SELECT w1, w2, CAST(sum(occ) AS BIGINT) AS cb
+         FROM db GROUP BY w1, w2),
+       uc AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu
+         FROM pc GROUP BY w1),
+       pq AS (SELECT w1, w2, (cb + CAST($k AS DOUBLE))
+           / (cu + CAST($k AS DOUBLE) * vsz) AS p
+         FROM pc JOIN uc USING (w1), v),
+       p AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
+           floor(CAST(sum(occ * CAST(floor(-ln(p)
+                 * CAST(16777216 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                 AS BIGINT)) AS DOUBLE)
+             / CAST(16777216 AS DOUBLE) / sum(occ) * 10000.0 + 0.5)
+             / 10000.0 AS nll
+         FROM db JOIN pq USING (w1, w2) GROUP BY doc_id),
        h AS (SELECT nll, CAST(count(*) AS BIGINT) AS c
          FROM p GROUP BY nll),
        cum AS (SELECT nll, sum(c) OVER (ORDER BY nll
@@ -1778,13 +1818,17 @@ object TextAnalysis {
     * (an unseen bigram scores -ln(k/(cu + k*V)), an unseen history
     * -ln(1/V)).
     *
-    * Scale posture: identical to [[perplexity]] — counts via windows
-    * over (w1, w2) / (w1) partitions with a train-only conditional sum
-    * (never a vocab-sized broadcast or a counts join), the train vocab
-    * as a one-row broadcast scalar; the split column rides the same
-    * scan, so train+apply is ONE pass over the corpus, not two jobs. */
+    * Scale posture: identical to [[perplexity]]'s count ladder — the
+    * train model collapses map-side to the TYPE-sized (w1, w2, cb)
+    * frame and its per-context rollup, and heldout doc-bigrams meet it
+    * through vocab-keyed LEFT hash joins (coalesce 0 = unseen; never a
+    * vocab broadcast, never a word-keyed window exchange); the train
+    * vocab is a one-row broadcast scalar; the split column rides the
+    * same scan, so train+apply is ONE corpus pass. NLL occ-weighted on
+    * the dyadic grid (order-independent). */
   def lmHeldout(spark: SparkSession, dir: String,
                 k: Double = 0.5): DataFrame = {
+    val Q = 16777216.0 // 2^24
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), splitCol(col("text")).as("split"),
         split(col("text"), " ").as("ws"))
@@ -1795,24 +1839,33 @@ object TextAnalysis {
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
       .select(col("doc_id"), col("split"),
         col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val isTrain = (col("split") === "train").cast("long")
     val vocab = docs.filter(col("split") === "train")
       .select(explode(col("ws")).as("t"))
       .agg(countDistinct(col("t")).cast("double").as("vsz"))
-    bi
-      .withColumn("cb",
-        sum(isTrain).over(Window.partitionBy(col("w1"), col("w2"))))
-      .withColumn("cu", sum(isTrain).over(Window.partitionBy(col("w1"))))
-      .filter(col("split") =!= "train")
+    val trainPair = bi.filter(col("split") === "train")
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val trainUni = trainPair.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
+    val docBg = bi.filter(col("split") =!= "train")
+      .groupBy(col("doc_id"), col("split"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("occ"))
+    docBg
+      .join(trainPair, Seq("w1", "w2"), "left_outer")
+      .join(trainUni, Seq("w1"), "left_outer")
       .crossJoin(broadcast(vocab))
+      .withColumn("p", (coalesce(col("cb"), lit(0L)) + lit(k))
+        / (coalesce(col("cu"), lit(0L)) + lit(k) * col("vsz")))
       .groupBy(col("doc_id"), col("split"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(-log((col("cb") + lit(k))
-          / (col("cu") + lit(k) * col("vsz")))), 4).as("nll"))
+      .agg(sum(col("occ")).as("n_bigrams"),
+        (sum(col("occ") * floor(-log(col("p")) * lit(Q) + lit(0.5)))
+          .cast("double") / lit(Q) / sum(col("occ"))).as("x"))
+      .select(col("doc_id"), col("split"), col("n_bigrams"),
+        (floor(col("x") * 10000.0 + 0.5) / 10000.0).as("nll"))
       .orderBy(col("doc_id"))
   }
 
-  /** DuckDB restatement of [[lmHeldout]]. */
+  /** DuckDB restatement of [[lmHeldout]]: the same train-count ladder
+    * met through LEFT joins (coalesce 0 = unseen), occ-weighted
+    * dyadic-grid NLL. */
   def lmHeldoutOracle(k: Double = 0.5): String =
     s"""WITH w AS (SELECT doc_id,
          CASE WHEN substring(md5(text), 1, 2) < 'd0' THEN 'train'
@@ -1824,17 +1877,22 @@ object TextAnalysis {
          FROM w, UNNEST(range(len(ws) - 1)) AS t(i)),
        v AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS vsz
          FROM (SELECT unnest(ws) AS t FROM w WHERE split = 'train')),
-       c AS (SELECT doc_id, split,
-           sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
-             OVER (PARTITION BY w1, w2) AS cb,
-           sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
-             OVER (PARTITION BY w1) AS cu
-         FROM b)
-       SELECT doc_id, split, count(*) AS n_bigrams,
-         round(avg(-ln((cb + CAST($k AS DOUBLE))
-           / (cu + CAST($k AS DOUBLE) * vsz))), 4) AS nll
-       FROM c, v WHERE split <> 'train'
-       GROUP BY doc_id, split ORDER BY doc_id"""
+       tp AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+         FROM b WHERE split = 'train' GROUP BY w1, w2),
+       tu AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu
+         FROM tp GROUP BY w1),
+       db AS (SELECT doc_id, split, w1, w2, CAST(count(*) AS BIGINT) AS occ
+         FROM b WHERE split <> 'train' GROUP BY doc_id, split, w1, w2),
+       pp AS (SELECT doc_id, split, occ,
+           (coalesce(cb, 0) + CAST($k AS DOUBLE))
+             / (coalesce(cu, 0) + CAST($k AS DOUBLE) * vsz) AS p
+         FROM db LEFT JOIN tp USING (w1, w2) LEFT JOIN tu USING (w1), v)
+       SELECT doc_id, split, CAST(sum(occ) AS BIGINT) AS n_bigrams,
+         floor(CAST(sum(occ * CAST(floor(-ln(p) * CAST(16777216 AS DOUBLE)
+               + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+           / CAST(16777216 AS DOUBLE) / sum(occ) * 10000.0 + 0.5)
+           / 10000.0 AS nll
+       FROM pp GROUP BY doc_id, split ORDER BY doc_id"""
 
   /** Hashed-feature LINEAR QUALITY CLASSIFIER inference — the
     * fasttext-shaped scorer (hashing trick over tokens, mean of
@@ -2009,15 +2067,25 @@ object TextAnalysis {
     * mean negative log-likelihood under the corpus's own model — the
     * sharper quality/fluency signal the add-k rung approximates.
     *
-    * Scale posture: the whole model lives as WINDOW counts over the
-    * bigram occurrence stream (the tfidf/perplexity no-vocab-broadcast
-    * discipline): occurrence counts over (w1,w2) and (w1) partitions,
-    * continuation counts as window sums of a first-occurrence flag
-    * (row_number == 1) over (w1) and (w2) — distinct-counting without
-    * a distinct agg or a join; the type total T is a one-row broadcast
-    * cross. Per-doc NLL rides the dyadic 2^-24 grid (classifier
-    * discipline — order-independent on any partitioning); ln parity
-    * per element (the PSI precedent). */
+    * Scale posture (the [[collocations]] discipline — NOT windows): a
+    * window partitioned by a word key ships every occurrence of that
+    * word to ONE partition with no map-side combine, and on a Zipfian
+    * corpus the "the"-partition holds a constant fraction of all
+    * bigram mass — the one-straggler failure mode. Instead the whole
+    * model lives as PARTIAL-AGG count frames: occurrences collapse
+    * map-side to (doc, w1, w2, occ), pair counts collapse that to the
+    * TYPE-sized (w1, w2, cb) frame, and the per-word quantities both
+    * fall out of one groupBy over the type frame — cu = Σ cb and
+    * n1f = row count per w1 (distinct-follower counting without a
+    * distinct agg), n1b = row count per w2. The frames meet through
+    * vocab-keyed hash joins (AQE-skew-splittable, unlike a window
+    * exchange); the type total T is a one-row broadcast cross; the
+    * per-doc NLL joins the doc-bigram frame to the type-sized p frame
+    * bigram-keyed (hot types are single build-side rows). Per-doc NLL
+    * rides the dyadic 2^-24 grid (classifier discipline —
+    * order-independent on any partitioning, and exactly occ-weighted:
+    * occ · floor(·) == the per-occurrence integer sum); ln parity per
+    * element (the PSI precedent). */
   def knPerplexity(spark: SparkSession, dir: String,
                    discount: Double = 0.75): DataFrame =
     knPerplexityOf(Tables.documents(spark, dir), discount)
@@ -2035,63 +2103,65 @@ object TextAnalysis {
             element_at(ws, i + 1).as("w2"))))
         .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
         .as(Seq("i", "bg")))
-      .select(col("doc_id"), col("i"), col("bg.w1").as("w1"),
-        col("bg.w2").as("w2"))
-    val wPair = Window.partitionBy(col("w1"), col("w2"))
-    val wU = Window.partitionBy(col("w1"))
-    val wB = Window.partitionBy(col("w2"))
-    val types = bgs.select(col("w1"), col("w2")).distinct()
-      .agg(count(lit(1)).cast("double").as("t"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // Map-side combine ladder: occurrences -> per-doc types -> types.
+    val docBg = bgs.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("occ"))
+    val pairCnt = docBg.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("occ")).as("cb"))
+    // cu and n1f from ONE pass over the type-sized frame: each row of
+    // pairCnt is one distinct (w1, w2) type, so count(*) per w1 IS
+    // N1+(w1 .) and sum(cb) per w1 IS c(w1 .).
+    val uniCnt = pairCnt.groupBy(col("w1"))
+      .agg(sum(col("cb")).as("cu"), count(lit(1)).as("n1f"))
+    val folCnt = pairCnt.groupBy(col("w2"))
+      .agg(count(lit(1)).as("n1b"))
+    val types = pairCnt.agg(count(lit(1)).cast("double").as("t"))
     val p = greatest(col("cb") - lit(discount), lit(0.0)) / col("cu") +
       lit(discount) * col("n1f") / col("cu") * (col("n1b") / col("t"))
-    bgs
-      .withColumn("cb", count(lit(1)).over(wPair))
-      .withColumn("cu", count(lit(1)).over(wU))
-      .withColumn("f", when(row_number().over(
-        wPair.orderBy(col("doc_id"), col("i"))) === 1, 1L).otherwise(0L))
-      .withColumn("n1f", sum(col("f")).over(wU))
-      .withColumn("n1b", sum(col("f")).over(wB))
+    val pFrame = pairCnt
+      .join(uniCnt, Seq("w1"))
+      .join(folCnt, Seq("w2"))
       .crossJoin(broadcast(types))
-      .withColumn("p", p)
+      .select(col("w1"), col("w2"), p.as("p"))
+    docBg.join(pFrame, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        (sum(floor(-log(col("p")) * lit(DyadicQ) + lit(0.5)))
-          .cast("double") / lit(DyadicQ) / count(lit(1))).as("nllr"))
+      .agg(sum(col("occ")).as("n_bigrams"),
+        (sum(col("occ") * floor(-log(col("p")) * lit(DyadicQ) + lit(0.5)))
+          .cast("double") / lit(DyadicQ) / sum(col("occ"))).as("nllr"))
       .select(col("doc_id"), col("n_bigrams"),
         (floor(col("nllr") * 10000.0 + 0.5) / 10000.0).as("nll"))
       .orderBy(col("doc_id"))
   }
 
-  /** DuckDB restatement of [[knPerplexity]]: identical window-count
-    * model, identical interpolation expression, dyadic-grid NLL. */
+  /** DuckDB restatement of [[knPerplexity]]: identical group-by count
+    * ladder, identical interpolation expression, occ-weighted
+    * dyadic-grid NLL. */
   def knPerplexityOracle(discount: Double = 0.75): String =
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
          FROM documents),
-       b AS (SELECT doc_id, i, ws[i + 1] AS w1, ws[i + 2] AS w2
+       b AS (SELECT doc_id, ws[i + 1] AS w1, ws[i + 2] AS w2
          FROM w, UNNEST(range(len(ws) - 1)) AS t(i)),
-       ty AS (SELECT CAST(count(*) AS DOUBLE) AS t
-         FROM (SELECT DISTINCT w1, w2 FROM b)),
-       c AS (SELECT doc_id, i, w1, w2,
-           count(*) OVER (PARTITION BY w1, w2) AS cb,
-           count(*) OVER (PARTITION BY w1) AS cu,
-           CASE WHEN row_number() OVER (PARTITION BY w1, w2
-             ORDER BY doc_id, i) = 1 THEN 1 ELSE 0 END AS f
-         FROM b),
-       c2 AS (SELECT doc_id, cb, cu,
-           sum(f) OVER (PARTITION BY w1) AS n1f,
-           sum(f) OVER (PARTITION BY w2) AS n1b
-         FROM c),
-       pp AS (SELECT doc_id,
+       db AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS occ
+         FROM b GROUP BY doc_id, w1, w2),
+       pc AS (SELECT w1, w2, CAST(sum(occ) AS BIGINT) AS cb
+         FROM db GROUP BY w1, w2),
+       uc AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu,
+           CAST(count(*) AS BIGINT) AS n1f FROM pc GROUP BY w1),
+       fc AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b
+         FROM pc GROUP BY w2),
+       ty AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM pc),
+       pp AS (SELECT w1, w2,
            greatest(cb - CAST($discount AS DOUBLE), CAST(0.0 AS DOUBLE))
              / cu
              + CAST($discount AS DOUBLE) * n1f / cu * (n1b / t) AS p
-         FROM c2, ty)
-       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         floor(CAST(sum(CAST(floor(-ln(p) * CAST(16777216 AS DOUBLE)
+         FROM pc JOIN uc USING (w1) JOIN fc USING (w2), ty)
+       SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
+         floor(CAST(sum(occ * CAST(floor(-ln(p) * CAST(16777216 AS DOUBLE)
                + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
-           / CAST(16777216 AS DOUBLE) / count(*) * 10000.0 + 0.5)
+           / CAST(16777216 AS DOUBLE) / sum(occ) * 10000.0 + 0.5)
            / 10000.0 AS nll
-       FROM pp GROUP BY doc_id ORDER BY doc_id"""
+       FROM db JOIN pp USING (w1, w2) GROUP BY doc_id ORDER BY doc_id"""
 
   /** LLM WATERMARK detection (Kirchenbauer et al. 2023, "A Watermark
     * for Large Language Models") — the provenance filter a 2023+

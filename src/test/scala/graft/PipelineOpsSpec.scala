@@ -838,6 +838,65 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"versatile-in-new-context ${kn(4L)} must beat rare ${kn(3L)}")
   }
 
+  test("word-count ladders: no word-keyed window exchange; Zipf fixture bitwise") {
+    import TestSession.spark.implicits._
+    // plan audit (the r11 verdict's text_kn_perplexity ask): the n-gram
+    // LM family must carry its counts as partial-agg frames met through
+    // vocab-keyed hash joins — a window partitioned by a word key ships
+    // every occurrence of a hot token to ONE partition with no map-side
+    // combine, the one-straggler failure on a Zipfian corpus. No Window
+    // operator may appear anywhere in these plans.
+    Seq("text_kn_perplexity" -> TextAnalysis.knPerplexity(spark, sf),
+      "text_perplexity" -> TextAnalysis.perplexity(spark, sf),
+      "text_xentropy" -> TextAnalysis.xentropy(spark, sf),
+      "text_lm_heldout" -> TextAnalysis.lmHeldout(spark, sf))
+      .foreach { case (name, df) =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("Window"),
+          s"$name plans a window exchange:\n$plan")
+      }
+    // tfidf keeps exactly one window and it is DOC-keyed (bounded by a
+    // document's own length) — the term side must be join-fed
+    val tfLines = TextAnalysis.tfidf(spark, sf).queryExecution
+      .executedPlan.toString.linesIterator
+      .filter(_.contains("Window")).toSeq
+    assert(tfLines.nonEmpty && tfLines.forall(_.contains("doc_id")),
+      s"tfidf window must be doc-keyed only: $tfLines")
+    // Zipf-skewed fixture: 'the' carries half the bigram mass (every
+    // other token), exactly the skew the window plan strangled on. The
+    // operator must still be BITWISE equal to the dyadic in-memory
+    // recompute on any partitioning.
+    val tail = (0 until 25).map(i => s"w$i")
+    val zipf = (0L until 40L).map { d =>
+      val ws = (0 until 24).map { j =>
+        if (j % 2 == 0) "the" else tail(((d * 7 + j) % 25).toInt)
+      }
+      (d, ws.mkString(" "))
+    }
+    val got = TextAnalysis.knPerplexityOf(zipf.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    val bgs = zipf.flatMap { case (id, t) =>
+      t.split(" ").sliding(2).map(p => (id, p(0), p(1))).toSeq }
+    val cb = bgs.groupBy(x => (x._2, x._3)).map { case (k, v) => k -> v.size }
+    val cu = bgs.groupBy(_._2).map { case (k, v) => k -> v.size }
+    val types = cb.keySet
+    val n1f = types.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val n1b = types.groupBy(_._2).map { case (k, v) => k -> v.size }
+    val tt = types.size.toDouble
+    val q = 16777216.0
+    bgs.groupBy(_._1).foreach { case (id, xs) =>
+      val s = xs.map { case (_, w1, w2) =>
+        val p = math.max(cb((w1, w2)) - 0.75, 0.0) / cu(w1) +
+          0.75 * n1f(w1) / cu(w1) * (n1b(w2) / tt)
+        math.floor(-math.log(p) * q + 0.5).toLong
+      }.sum
+      val want = math.floor(s.toDouble / q / xs.size * 1e4 + 0.5) / 1e4
+      assert(got(id) == ((xs.size.toLong, want)),
+        s"doc $id: ${got(id)} vs ($want)")
+    }
+  }
+
   test("watermark detect: planted green-chain flagged, natural corpus clean, z exact") {
     import TestSession.spark.implicits._
     def isGreen(prev: String, cur: String): Boolean = {

@@ -50,8 +50,12 @@ class PruningSpec extends AnyFunSuite {
     // dim), both broadcast — the fact table never crosses anything
     // ann_ivfpq_trained: the same declared probe-routing and LUT
     // crosses as ann_ivfpq_topk, fed by the trained codebook
+    // ann_index_persist: shares ivfPqTopKWith with ann_ivfpq_topk /
+    // ann_ivfpq_trained — identical declared probe-routing (queries x
+    // cell seeds) and per-query ADC LUT broadcast crosses; only the
+    // codebook source differs (persisted artifact vs in-line fit)
     val nlAllowed = Set("ann_brute_topk", "ann_ivf_topk", "ann_ivfpq_topk",
-      "ann_ivfpq_trained",
+      "ann_ivfpq_trained", "ann_index_persist",
       "geo_nearest_poi", "geo_area_assign", "geo_route_nearest",
       "emb_cluster_assign", "emb_kmeans", "q31_range_lookup",
       "geo_eta_matrix", "text_tfidf", "text_xentropy", "emb_neardup_lsh",
