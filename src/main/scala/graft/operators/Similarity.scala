@@ -1790,9 +1790,10 @@ object Similarity {
 
   /** FIT-ONCE, SEARCH-MANY IVF-PQ — the serving deployment shape: the
     * trained codebook is PERSISTED as a parquet model artifact on
-    * first call (the [[pcaFitApply]] pattern — keyed by its training
-    * config, `_SUCCESS`-gated) and every subsequent search reads the
-    * artifact instead of re-running Lloyd. Float arrays round-trip
+    * first call (the [[pcaFitApply]] pattern — keyed by corpus content
+    * fingerprint + training config under the
+    * [[graft.sources.ModelStore]] root, `_SUCCESS`-gated) and every
+    * subsequent search reads the artifact instead of re-running Lloyd. Float arrays round-trip
     * parquet exactly, so a cold call (train + persist + search) and a
     * warm call (read + search) hash identically to
     * [[ivfPqTrainedTopK]] — the artifact is an execution shortcut,
@@ -1805,21 +1806,16 @@ object Similarity {
                          subDim: Int = 16, seedMod: Int = 31,
                          rerank: Int = 32, trainRounds: Int = 1)
       : DataFrame = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$subspaces|$subDim|$seedMod|$trainRounds"
-        .getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    val modelPath = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_models",
-      s"ivfpq_v1_$key")
+    import graft.sources.ModelStore
+    // key = corpus CONTENT fingerprint + hyperparams: regenerated data
+    // at the same path gets a fresh key, so a stale artifact is never
+    // addressed again (the r11 ADVICE staleness hazard)
+    val fp = ModelStore.corpusFingerprint(spark, s"$dir/embeddings.parquet")
+    val key = ModelStore.md5(s"$fp|$subspaces|$subDim|$seedMod|$trainRounds")
     val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
-    if (!java.nio.file.Files.exists(modelPath.resolve("_SUCCESS"))) {
-      trainedCodebook(e, subspaces, subDim, seedMod, trainRounds)
-        .coalesce(1)
-        .write.mode("overwrite").parquet(modelPath.toString)
-    }
-    val cb = spark.read.parquet(modelPath.toString)
-      .select(col("m"), col("sid"), col("ssub"))
+    val cb = ModelStore.getOrFit(spark, s"ivfpq_v2_$key") {
+      trainedCodebook(e, subspaces, subDim, seedMod, trainRounds).coalesce(1)
+    }.select(col("m"), col("sid"), col("ssub"))
     ivfPqTopKWith(e, cb, k, nQueries, nCells, nProbe, subspaces, subDim,
       rerank)
   }
@@ -2252,10 +2248,13 @@ object Similarity {
     * [[pcaProject]] (which retrains the component it projects with —
     * oracle-honest but the suite pays the covariance + power
     * iteration on every call): the converged model (i, mu, v, eigval)
-    * PERSISTS as a parquet artifact keyed by corpus path + hyperparams
-    * + format version, the fit runs at most once per corpus (skipped
-    * whenever the artifact's _SUCCESS marker exists — the idempotent
-    * model-registry shape), and every subsequent call is ONE corpus
+    * PERSISTS as a parquet artifact keyed by corpus CONTENT fingerprint
+    * + hyperparams + format version under the [[graft.sources.ModelStore]]
+    * root (Hadoop FS — `file:` in tests, `hdfs:`/`s3a:` on a cluster),
+    * the fit runs at most once per corpus VERSION (skipped whenever the
+    * artifact's _SUCCESS marker exists — the idempotent model-registry
+    * shape; regenerated data re-keys, so stale artifacts are never
+    * addressed), and every subsequent call is ONE corpus
     * pass against the dims-sized BROADCAST model. At 100 TB this is
     * the only sane shape: the eigenvector is fit on a snapshot and
     * applied to every batch thereafter.
@@ -2270,12 +2269,10 @@ object Similarity {
     * a cold and a warm call hash identically. */
   def pcaFitApply(spark: SparkSession, dir: String, iters: Int = 8)
       : DataFrame = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$iters".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    val modelPath = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_models", s"pca1_v1_$key")
-    if (!java.nio.file.Files.exists(modelPath.resolve("_SUCCESS"))) {
+    import graft.sources.ModelStore
+    val fp = ModelStore.corpusFingerprint(spark, s"$dir/embeddings.parquet")
+    val key = ModelStore.md5(s"$fp|$iters")
+    val model = ModelStore.getOrFit(spark, s"pca1_v2_$key") {
       val (_, v, lam) = pcaState(spark, dir, iters)
       val e = emb(spark, dir).select(col("vec_id"),
         col("embedding").cast("array<double>").as("emb"))
@@ -2285,10 +2282,7 @@ object Similarity {
       mu.join(v, Seq("i")).crossJoin(broadcast(lam))
         .select(col("i"), col("mu"), col("v"), col("lam"))
         .coalesce(1)
-        .write.mode("overwrite").parquet(modelPath.toString)
-    }
-    val model = spark.read.parquet(modelPath.toString)
-      .select(col("i").as("pos"), col("mu"), col("v").as("w"))
+    }.select(col("i").as("pos"), col("mu"), col("v").as("w"))
     val ex = emb(spark, dir).select(col("vec_id"),
         posexplode(col("embedding").cast("array<double>"))
           .as(Seq("pos", "x")))

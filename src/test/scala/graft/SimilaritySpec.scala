@@ -88,20 +88,19 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("persisted ivfpq: cold == warm == trained, artifact on disk") {
-    // clear any artifact from prior runs so this run exercises COLD
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$sf|4|16|31|1".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    val p = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_models", s"ivfpq_v1_$key")
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rmrf)
-      f.delete(); ()
-    }
-    if (java.nio.file.Files.exists(p)) rmrf(p.toFile)
+    import graft.sources.ModelStore
+    // the key is corpus-content-fingerprinted + hyperparams (the r11
+    // ADVICE staleness fix) — recompute it the way the operator does
+    val fp = ModelStore.corpusFingerprint(spark, s"$sf/embeddings.parquet")
+    val name = s"ivfpq_v2_${ModelStore.md5(s"$fp|4|16|31|1")}"
+    // clear any artifact from prior runs so this run exercises COLD —
+    // through the Hadoop FS, the same API the store uses
+    val ap = new org.apache.hadoop.fs.Path(ModelStore.artifactPath(spark, name))
+    val fs = ap.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(ap, true)
     val cold = Similarity.ivfPqPersistedTopK(spark, sf)
       .collect().map(_.toSeq).toSeq
-    assert(java.nio.file.Files.exists(p.resolve("_SUCCESS")),
+    assert(ModelStore.isFitted(spark, name),
       "cold call must persist the model artifact")
     val warm = Similarity.ivfPqPersistedTopK(spark, sf)
       .collect().map(_.toSeq).toSeq
@@ -110,6 +109,43 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(cold == trained,
       "the artifact is an execution shortcut, never a semantic input")
+  }
+
+  test("model store: honors a file:-scheme configured root; fingerprint tracks content") {
+    import graft.sources.ModelStore
+    val tmpRoot = java.nio.file.Files
+      .createTempDirectory("graft_model_root_").toString
+    spark.conf.set("spark.graft.modelRoot", s"file:$tmpRoot")
+    try {
+      // artifacts land under the CONFIGURED root, written and read via
+      // the Hadoop FS API (the cluster posture: swap file: for s3a:)
+      val fp = ModelStore.corpusFingerprint(spark, s"$sf/embeddings.parquet")
+      val name = s"ivfpq_v2_${ModelStore.md5(s"$fp|4|16|31|1")}"
+      val viaRoot = Similarity.ivfPqPersistedTopK(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(tmpRoot, name, "_SUCCESS")),
+        "artifact must be written under spark.graft.modelRoot")
+      assert(ModelStore.isFitted(spark, name))
+      // results are root-independent (same model, different shelf)
+      val trained = Similarity.ivfPqTrainedTopK(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      assert(viaRoot == trained)
+      // staleness: rewriting the corpus (same path, new bytes/mtimes)
+      // changes the fingerprint, so the old artifact is never reused
+      val corpusCopy = java.nio.file.Files
+        .createTempDirectory("graft_fp_corpus_").toString
+      val tbl = s"$corpusCopy/embeddings.parquet"
+      Tables.embeddings(spark, sf).limit(50).write.parquet(tbl)
+      val fp1 = ModelStore.corpusFingerprint(spark, tbl)
+      assert(ModelStore.corpusFingerprint(spark, tbl) == fp1,
+        "fingerprint must be stable across re-listings")
+      Thread.sleep(1100) // mtime granularity can be 1s on some filesystems
+      Tables.embeddings(spark, sf).limit(60)
+        .write.mode("overwrite").parquet(tbl)
+      assert(ModelStore.corpusFingerprint(spark, tbl) != fp1,
+        "regenerated data at the same path must re-key the artifact")
+    } finally spark.conf.unset("spark.graft.modelRoot")
   }
 
   test("cluster quality: cohesion/separation recompute from the assignment") {
@@ -779,10 +815,11 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("pca fit-apply: artifact fit once and reused, agrees with the retraining twin") {
     import java.nio.file.{Files, Paths}
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$sf|8".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    import graft.sources.ModelStore
+    val fp = ModelStore.corpusFingerprint(spark, s"$sf/embeddings.parquet")
+    val key = ModelStore.md5(s"$fp|8")
     val modelDir = Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_models", s"pca1_v1_$key")
+      "graft_models", s"pca1_v2_$key")
     def rmrf(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
