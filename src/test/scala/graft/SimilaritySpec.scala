@@ -367,12 +367,16 @@ class SimilaritySpec extends AnyFunSuite {
       df.queryExecution.analyzed.collect { case p =>
         p.expressions.flatMap(_.collect { case _: Sequence => true })
       }.flatten.nonEmpty
-    val exact = Similarity.mutualKnn(spark, sf)
-    assert(usesBlocked(exact),
+    // probe the BUILDER's plan — the persisted artifact read hides the
+    // arm choice from mutualKnn's own plan
+    assert(usesBlocked(Similarity.mutualKnnBuild(spark, sf, Similarity.K,
+      16, 100000L, 16, 4)),
       "below maxExact the dispatch must keep the exact blocked kernel")
-    val ivf = Similarity.mutualKnn(spark, sf, maxExact = 0L)
-    assert(!usesBlocked(ivf),
+    assert(!usesBlocked(Similarity.mutualKnnBuild(spark, sf, Similarity.K,
+      16, 0L, 16, 4)),
       "past maxExact the IVF candidate generator must engage")
+    val exact = Similarity.mutualKnn(spark, sf)
+    val ivf = Similarity.mutualKnn(spark, sf, maxExact = 0L)
     // the production arm approximates the SAME graph: recall of the
     // exact mutual edges (subset does NOT hold by construction — a
     // missed candidate can promote a lesser neighbor into top-k, so
@@ -390,6 +394,28 @@ class SimilaritySpec extends AnyFunSuite {
     ivf.collect().foreach { r =>
       val key = (r.getLong(0), r.getLong(1))
       tm.get(key).foreach(c => assert(c == r.getDouble(2), s"cos drift at $key"))
+    }
+  }
+
+  test("knn graph artifact: cold == warm bit-identical, one build serves three queries") {
+    import graft.sources.ModelStore
+    val fp = ModelStore.corpusFingerprint(spark, s"$sf/embeddings.parquet")
+    val name = s"knng_v1_${ModelStore.md5(s"$fp|${Similarity.K}|16|100000|16|4")}"
+    val ap = new org.apache.hadoop.fs.Path(ModelStore.artifactPath(spark, name))
+    val fs = ap.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(ap, true)
+    val cold = Similarity.mutualKnn(spark, sf).collect().map(_.toSeq).toSeq
+    assert(ModelStore.isFitted(spark, name),
+      "cold call must persist the edge-list artifact")
+    val warm = Similarity.mutualKnn(spark, sf).collect().map(_.toSeq).toSeq
+    assert(warm == cold, "warm read-from-artifact must equal cold")
+    // the consumers draw the same graph: communities' edge set and
+    // centrality's degrees must be derivable from the artifact rows
+    val degs = cold.flatMap(r => Seq(r.head, r(1))).groupBy(identity)
+      .map { case (k2, v) => k2 -> v.size.toLong }
+    Similarity.centrality(spark, sf).collect().foreach { r =>
+      assert(r.getLong(1) == degs.getOrElse(r.getLong(0), 0L),
+        s"vec ${r.getLong(0)} degree")
     }
   }
 
