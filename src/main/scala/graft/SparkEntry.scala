@@ -136,6 +136,7 @@ object SparkEntry {
     "ann_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "ann_ivfpq_trained" -> ((s, d) => Similarity.ivfPqTrainedTopK(s, d)),
     "ann_index_persist" -> ((s, d) => Similarity.ivfPqPersistedTopK(s, d)),
+    "rag_retrieve_topk" -> ((s, d) => Similarity.ragRetrieveTopK(s, d)),
     "ann_recall_eval" -> ((s, d) => Similarity.annRecallEval(s, d)),
     "ann_nprobe_sweep" -> ((s, d) => Similarity.nprobeSweep(s, d)),
     "ann_ndcg_eval" -> ((s, d) => Similarity.ndcgEval(s, d)),
@@ -426,6 +427,94 @@ object SparkEntry {
            FROM probes p JOIN asg a USING (cell)
            JOIN codes c ON c.cid = a.cid
            WHERE a.cid <> p.qid),
+         adc AS (SELECT qid, cid,
+             max(CASE WHEN m = 0 THEN d2 END)
+             + max(CASE WHEN m = 1 THEN d2 END)
+             + max(CASE WHEN m = 2 THEN d2 END)
+             + max(CASE WHEN m = 3 THEN d2 END) AS adc
+           FROM (SELECT cand.qid, cand.cid, l.m, l.d2
+             FROM cand JOIN lut l ON l.qid = cand.qid AND (
+               (l.m = 0 AND l.sid = cand.code_0)
+               OR (l.m = 1 AND l.sid = cand.code_1)
+               OR (l.m = 2 AND l.sid = cand.code_2)
+               OR (l.m = 3 AND l.sid = cand.code_3))) u
+           GROUP BY qid, cid),
+         sel AS (SELECT qid, cid FROM (
+           SELECT qid, cid,
+             row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS rn
+           FROM adc) t WHERE rn <= 32)
+         SELECT qid, rk, cid, cos_sim FROM (
+           SELECT sel.qid, sel.cid,
+             round(list_cosine_similarity(q.qv, e.v), 4) AS cos_sim,
+             row_number() OVER (PARTITION BY sel.qid
+               ORDER BY list_cosine_similarity(q.qv, e.v) DESC, sel.cid)
+               AS rk
+           FROM sel JOIN q ON q.qid = sel.qid JOIN e ON e.vec_id = sel.cid)
+           t
+         WHERE rk <= 5 ORDER BY qid, rk"""
+
+  /** rag_retrieve_topk: the [[AnnIvfpqTrainedOracle]] chain over the
+    * corpus/query TWO-TABLE split (corpus = vec_id % 5 <> 0, queries =
+    * the rest below 50), with the label scope as a candidate-join
+    * predicate — the pre-filtered retrieval serve path. */
+  private val RagRetrieveOracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+           FROM embeddings WHERE vec_id % 5 <> 0),
+         seeds AS (SELECT vec_id AS cell, v AS sv FROM e WHERE vec_id < 20),
+         asg AS (SELECT cid, cell FROM (
+           SELECT a.vec_id AS cid, s.cell,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(a.v, s.sv) DESC, s.cell) AS rn
+           FROM e a, seeds s) t WHERE rn = 1),
+         sub AS (SELECT vec_id, m,
+             list_slice(v, m * 16 + 1, m * 16 + 16) AS sub
+           FROM e, unnest([0, 1, 2, 3]) t(m)),
+         cb0 AS (SELECT vec_id AS sid, m, sub AS ssub FROM sub
+           WHERE vec_id % 31 = 0),
+         tasg AS (SELECT vec_id, m, sub, sid FROM (
+           SELECT v.vec_id, v.m, v.sub, c.sid,
+             row_number() OVER (PARTITION BY v.vec_id, v.m
+               ORDER BY list_distance(v.sub, c.ssub), c.sid) AS rn
+           FROM sub v JOIN cb0 c ON v.m = c.m) t WHERE rn = 1),
+         cb AS (SELECT m, sid,
+             list(CAST(CAST(va AS REAL) AS DOUBLE) ORDER BY pos) AS ssub
+           FROM (SELECT m, sid, i AS pos, avg(sub[i]) AS va
+             FROM tasg, LATERAL (SELECT unnest(generate_series(
+               1, len(sub))) AS i) t
+             GROUP BY m, sid, i) u GROUP BY m, sid),
+         codes0 AS (SELECT vec_id, m, sid AS code FROM (
+           SELECT v.vec_id, v.m, sid,
+             row_number() OVER (PARTITION BY v.vec_id, v.m
+               ORDER BY list_distance(v.sub, cb.ssub), sid) AS rn
+           FROM sub v JOIN cb ON v.m = cb.m) t WHERE rn = 1),
+         codes AS (SELECT vec_id AS cid,
+             min(CASE WHEN m = 0 THEN code END) AS code_0,
+             min(CASE WHEN m = 1 THEN code END) AS code_1,
+             min(CASE WHEN m = 2 THEN code END) AS code_2,
+             min(CASE WHEN m = 3 THEN code END) AS code_3
+           FROM codes0 GROUP BY vec_id),
+         q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+             label AS scope
+           FROM embeddings WHERE vec_id % 5 = 0 AND vec_id < 50),
+         probes AS (SELECT qid, scope, cell FROM (
+           SELECT q.qid, q.scope, s.cell,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(q.qv, s.sv) DESC, s.cell)
+               AS rn
+           FROM q, seeds s) t WHERE rn <= 4),
+         qsub AS (SELECT qid, m,
+             list_slice(qv, m * 16 + 1, m * 16 + 16) AS sub
+           FROM q, unnest([0, 1, 2, 3]) t(m)),
+         lut AS (SELECT qs.qid, cb.m, cb.sid,
+             list_distance(qs.sub, cb.ssub) * list_distance(qs.sub, cb.ssub)
+               AS d2
+           FROM qsub qs JOIN cb ON qs.m = cb.m),
+         cand AS (SELECT p.qid, c.cid,
+             c.code_0, c.code_1, c.code_2, c.code_3
+           FROM probes p JOIN asg a USING (cell)
+           JOIN codes c ON c.cid = a.cid
+           JOIN e ON e.vec_id = c.cid
+           WHERE e.label = p.scope),
          adc AS (SELECT qid, cid,
              max(CASE WHEN m = 0 THEN d2 END)
              + max(CASE WHEN m = 1 THEN d2 END)
@@ -2268,6 +2357,9 @@ object SparkEntry {
     // codes AND the query LUT both read the trained codewords
     "ann_ivfpq_trained" -> AnnIvfpqTrainedOracle,
     "ann_index_persist" -> AnnIvfpqTrainedOracle,
+    // cross-table retrieval: corpus/query split + label pre-filter over
+    // the persisted trained index (the RAG serve shape)
+    "rag_retrieve_topk" -> RagRetrieveOracle,
     // index-health recall@k: both the exact truth and the IVF probe
     // restate in SQL (same CTEs as ann_brute/ann_ivf), so the per-query
     // hit counts — and therefore the recall the index would ship with —

@@ -1844,6 +1844,107 @@ object Similarity {
       rerank)
   }
 
+  /** CROSS-TABLE RETRIEVAL — the RAG serving join every retrieval user
+    * reaches for first (r11 verdict gap #3): a QUERY table distinct
+    * from the corpus searches the corpus's PERSISTED IVF-PQ index with
+    * PRE-FILTER metadata scoping. Every other ANN query here draws its
+    * queries from the corpus itself; this is the two-table shape —
+    * queries are the embeddings with vec_id % `corpusMod` == 0 (below
+    * `maxQid`), the corpus is everything else, so the id spaces are
+    * DISJOINT by construction and no self-hit exclusion applies.
+    *
+    * Stage shape (the [[ivfPqTopKWith]] kernels, re-plumbed for two
+    * tables): the trained codebook persists through
+    * [[graft.sources.ModelStore]] (fit once per corpus version, read
+    * thereafter); corpus rows assign to coarse cells and PQ codes
+    * map-side against broadcast seeds/codebook; each query probes its
+    * nProbe nearest cells; and the SCOPE — each query searches only
+    * corpus rows sharing its label, the tenant/namespace pre-filter of
+    * a production vector store — rides the probe join as a second
+    * equi-key (cell AND label), so out-of-scope candidates are dropped
+    * by the hash join BEFORE any ADC arithmetic, not post-filtered.
+    * ADC + exact rerank as in [[ivfPqTopK]]; the corpus is NEVER
+    * broadcast — probes/LUT/rerank-survivor frames (all
+    * queries-x-small-sized) are the only broadcast sides. */
+  def ragRetrieveTopK(spark: SparkSession, dir: String, k: Int = K,
+                      nProbe: Int = 4, subspaces: Int = 4,
+                      subDim: Int = 16, seedMod: Int = 31,
+                      rerank: Int = 32, trainRounds: Int = 1,
+                      corpusMod: Int = 5, seedIdMax: Int = 20,
+                      maxQid: Int = 50): DataFrame = {
+    import graft.functions.VectorFunctions.l2_dist
+    import graft.sources.ModelStore
+    val all = emb(spark, dir)
+    val corpus = all.filter(col("vec_id") % corpusMod =!= 0)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val ce = corpus.select(col("vec_id"), col("embedding"))
+    val q = all.filter(col("vec_id") % corpusMod === 0 &&
+        col("vec_id") < maxQid)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("scope"))
+    val fp = ModelStore.corpusFingerprint(spark, s"$dir/embeddings.parquet")
+    val key = ModelStore.md5(
+      s"rag|$fp|$corpusMod|$subspaces|$subDim|$seedMod|$trainRounds")
+    val cb = ModelStore.getOrFit(spark, s"ragcb_v1_$key") {
+      trainedCodebook(ce, subspaces, subDim, seedMod, trainRounds)
+        .coalesce(1)
+    }.select(col("m"), col("sid"), col("ssub"))
+    // coarse cells: the corpus rows below seedIdMax (16 of the first
+    // 20 ids at corpusMod = 5 — query ids are never centroids)
+    val seeds = corpus.filter(col("vec_id") < seedIdMax)
+      .select(col("vec_id").as("cluster_id"), col("embedding").as("se"))
+    val cells = assignToSeeds(ce, seeds)
+      .select(col("vec_id").as("cid"), col("cluster_id").as("cell"))
+    val codeCols = (0 until subspaces).map(i =>
+      min(when(col("m") === i, col("code"))).as(s"code_$i"))
+    val codes = pqAssignWith(ce, cb, subspaces, subDim)
+      .groupBy(col("vec_id").as("cid"))
+      .agg(codeCols.head, codeCols.tail: _*)
+      .join(cells.hint("shuffle_hash"), Seq("cid"))
+      .join(corpus.select(col("vec_id").as("cid"), col("label").as("lab"))
+        .hint("shuffle_hash"), Seq("cid"))
+    val pw = Window.partitionBy(col("qid"))
+      .orderBy(col("_c").desc, col("cell"))
+    val probes = q
+      .join(broadcast(seeds.withColumnRenamed("cluster_id", "cell")))
+      .select(col("qid"), col("scope"), col("cell"),
+        cosine_sim(col("qe"), col("se")).as("_c"))
+      .withColumn("_rn", row_number().over(pw))
+      .filter(col("_rn") <= nProbe)
+      .select(col("qid"), col("scope"), col("cell"))
+    val qsub = subVectors(q.select(col("qid").as("vec_id"),
+        col("qe").as("embedding")), "vec_id", subspaces, subDim)
+      .select(col("vec_id").as("qid"), col("m"), col("sub"))
+    val ssub = cb.filter(assert_true(col("sid") < lit(LutKeyBase)).isNull)
+    val lut = qsub.join(broadcast(ssub), Seq("m"))
+      .select(col("qid"),
+        (col("m") * lit(LutKeyBase) + col("sid")).as("mk"),
+        (l2_dist(col("sub"), col("ssub")) *
+          l2_dist(col("sub"), col("ssub"))).as("d2"))
+      .groupBy(col("qid"))
+      .agg(map_from_entries(collect_list(struct(col("mk"), col("d2"))))
+        .as("lut"))
+    val adcExpr = (0 until subspaces)
+      .map(i => element_at(col("lut"),
+        lit(i.toLong * LutKeyBase) + col(s"code_$i")))
+      .reduceLeft(_ + _)
+    // PRE-FILTER scoping: label equality is part of the probe join KEY
+    // — out-of-scope candidates never reach the ADC arithmetic
+    val cand = codes.join(broadcast(probes),
+        codes("cell") === probes("cell") && codes("lab") === probes("scope"))
+      .join(broadcast(lut), Seq("qid"))
+      .select(col("qid"), col("cid"), adcExpr.as("adc"))
+    val sel = cand.groupBy(col("qid"))
+      .agg(top_k_by_score(-col("adc"), col("cid"), rerank).as("top"))
+      .select(col("qid"), explode(col("top.id")).as("cid"))
+    val scored = ce.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .join(broadcast(sel), Seq("cid"))
+      .join(broadcast(q.select(col("qid"), col("qe"))), Seq("qid"))
+      .select(col("qid"), col("cid"),
+        cosine_sim(col("qe"), col("ce")).as("cos"))
+    finishTopK(scored, k)
+  }
+
   /** The IVF-PQ pipeline over an explicit codebook (see [[ivfPqTopK]]
     * for the stage-by-stage scale posture). */
   private def ivfPqTopKWith(e: DataFrame, cb: DataFrame, k: Int,

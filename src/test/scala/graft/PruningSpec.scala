@@ -54,8 +54,11 @@ class PruningSpec extends AnyFunSuite {
     // ann_ivfpq_trained — identical declared probe-routing (queries x
     // cell seeds) and per-query ADC LUT broadcast crosses; only the
     // codebook source differs (persisted artifact vs in-line fit)
+    // rag_retrieve_topk: the same declared probe-routing (query table x
+    // corpus cell seeds) and LUT crosses over the two-table split; the
+    // scoped candidate probe itself is the (cell, label) hash join
     val nlAllowed = Set("ann_brute_topk", "ann_ivf_topk", "ann_ivfpq_topk",
-      "ann_ivfpq_trained", "ann_index_persist",
+      "ann_ivfpq_trained", "ann_index_persist", "rag_retrieve_topk",
       "geo_nearest_poi", "geo_area_assign", "geo_route_nearest",
       "emb_cluster_assign", "emb_kmeans", "q31_range_lookup",
       "geo_eta_matrix", "text_tfidf", "text_xentropy", "emb_neardup_lsh",

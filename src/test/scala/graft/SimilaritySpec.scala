@@ -419,6 +419,58 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("rag retrieve: two-table split honored, scope pre-filters, recall vs scoped brute") {
+    val rows = Similarity.ragRetrieveTopK(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val all = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val labels = all.map(t => t._1 -> t._3).toMap
+    rows.foreach { r =>
+      val (qid, cid) = (r.getLong(0), r.getLong(2))
+      // queries come only from the query table, hits only from the corpus
+      assert(qid % 5 == 0 && qid < 50, s"non-query qid $qid")
+      assert(cid % 5 != 0, s"corpus hit $cid is a query-table id")
+      // the scope pre-filter: every hit shares its query's label
+      assert(labels(cid) == labels(qid), s"out-of-scope hit $qid -> $cid")
+    }
+    // ranks dense from 1, cosine non-increasing per query
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to rs.length))
+      val cs = sorted.map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, s"q $qid order")
+    }
+    // recall vs the scoped brute-force truth (double-precision cosine is
+    // rank-stable here): the index must find most true scoped neighbors
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val corpus = all.filter(_._1 % 5 != 0)
+    val queries = all.filter(t => t._1 % 5 == 0 && t._1 < 50)
+    val truth = queries.map { case (qid, qv, lab) =>
+      qid -> corpus.filter(_._3 == lab)
+        .map(c => (c._1, cos(qv, c._2)))
+        .sortBy(t => (-t._2, t._1)).take(Similarity.K).map(_._1).toSet
+    }.toMap
+    val got = rows.groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val recalls = truth.map { case (q, t) =>
+      (t & got.getOrElse(q, Set.empty)).size.toDouble / t.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean scoped recall $mean")
+    // plan: no corpus broadcast — the scoped candidate probe is a hash
+    // join keyed on (cell, label); broadcast sides are query-sized
+    val plan = Similarity.ragRetrieveTopK(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastHashJoin"), "scoped probe must hash-join")
+  }
+
   test("semantic communities: equals in-memory LPA over the mutual-kNN graph") {
     val rows = Similarity.semanticCommunities(spark, sf).collect()
     val n = Tables.embeddings(spark, sf).count()
