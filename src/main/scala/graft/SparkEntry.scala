@@ -456,7 +456,10 @@ object SparkEntry {
   /** rag_retrieve_topk: the [[AnnIvfpqTrainedOracle]] chain over the
     * corpus/query TWO-TABLE split (corpus = vec_id % 5 <> 0, queries =
     * the rest below 50), with the label scope as a candidate-join
-    * predicate — the pre-filtered retrieval serve path. */
+    * predicate — the pre-filtered retrieval serve path. Probing is
+    * selectivity-aware: scope-bearing cells in cosine order, widened
+    * until the running same-scope member count (excluding the current
+    * cell) reaches the rerank budget of 32, floor nProbe = 4. */
   private val RagRetrieveOracle: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
            FROM embeddings WHERE vec_id % 5 <> 0),
@@ -496,12 +499,19 @@ object SparkEntry {
          q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
              label AS scope
            FROM embeddings WHERE vec_id % 5 = 0 AND vec_id < 50),
+         stats AS (SELECT a.cell, e.label AS slab, count(*) AS members
+           FROM asg a JOIN e ON e.vec_id = a.cid GROUP BY a.cell, e.label),
          probes AS (SELECT qid, scope, cell FROM (
-           SELECT q.qid, q.scope, s.cell,
+           SELECT q.qid, q.scope, s.cell, st.members,
              row_number() OVER (PARTITION BY q.qid
                ORDER BY list_cosine_similarity(q.qv, s.sv) DESC, s.cell)
-               AS rn
-           FROM q, seeds s) t WHERE rn <= 4),
+               AS rn,
+             sum(st.members) OVER (PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(q.qv, s.sv) DESC, s.cell)
+               AS cum
+           FROM q, seeds s, stats st
+           WHERE st.cell = s.cell AND st.slab = q.scope) t
+           WHERE rn <= 4 OR cum - members < 32),
          qsub AS (SELECT qid, m,
              list_slice(qv, m * 16 + 1, m * 16 + 16) AS sub
            FROM q, unnest([0, 1, 2, 3]) t(m)),
@@ -3705,8 +3715,8 @@ object SparkEntry {
     // hour window, tau nullable -> 0 for windows at or under k events
     "stream_sample_window" ->
       """WITH pr AS (SELECT event_id, ts, value,
-           value / (CAST((event_id * 1103515245 + 12345) % 2147483647
-             + 1 AS DOUBLE) / 2147483648.0) AS priority
+           value / (CAST(((event_id % 2147483648) * 1103515245 + 12345)
+             % 2147483647 + 1 AS DOUBLE) / 2147483648.0) AS priority
          FROM events),
        w AS (SELECT date_trunc('hour', ts) AS window_start, event_id,
            value, priority FROM pr),

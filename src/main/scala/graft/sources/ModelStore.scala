@@ -30,20 +30,46 @@ object ModelStore {
         System.getProperty("java.io.tmpdir"), "graft_models").toString)
 
   /** Content/version fingerprint of a source table directory: MD5 of
-    * the recursive (path, length, modification time) listing, sorted.
-    * Any rewrite of the data — new files, different sizes, touched
-    * mtimes — yields a new fingerprint; byte-identical re-listing
-    * yields the same one, so warm calls still hit. */
+    * the recursive (path, length, modification time) listing — sorted,
+    * suffixed with the file COUNT and a content ANCHOR (MD5 of the
+    * first 4 KiB of the lexicographically first file). Any rewrite of
+    * the data — new files, different sizes, touched mtimes, or an
+    * in-place byte rewrite that preserves all three within the
+    * filesystem's mtime granule — yields a new fingerprint;
+    * byte-identical re-listing yields the same one, so warm calls
+    * still hit.
+    *
+    * Assumption: Spark-written corpora (UUID part file names) always
+    * change the listing on rewrite, so (path, length, mtime) alone
+    * suffices there; the anchor exists for EXTERNALLY-managed tables
+    * whose writers reuse file names — it catches a first-block rewrite
+    * but not a tail-only one, which is the accepted cost of keeping
+    * the fingerprint one driver-side listing + one 4 KiB read. */
   def corpusFingerprint(spark: SparkSession, tablePath: String): String = {
     val p = new org.apache.hadoop.fs.Path(tablePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(p, true)
-    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    val entries = scala.collection.mutable.ArrayBuffer
+      .empty[(String, org.apache.hadoop.fs.Path)]
     while (it.hasNext) {
       val s = it.next()
-      entries += s"${s.getPath.toUri.getPath}|${s.getLen}|${s.getModificationTime}"
+      entries += ((s"${s.getPath.toUri.getPath}|${s.getLen}|${s.getModificationTime}",
+        s.getPath))
     }
-    md5(entries.sorted.mkString("\n"))
+    val sorted = entries.sortBy(_._1)
+    val anchor = sorted.headOption.map { case (_, fp) =>
+      val in = fs.open(fp)
+      try {
+        val buf = new Array[Byte](4096)
+        var off = 0; var n = 0
+        while (off < buf.length && { n = in.read(buf, off, buf.length - off); n > 0 })
+          off += n
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(buf.take(off)).map("%02x".format(_)).mkString
+      } finally in.close()
+    }.getOrElse("empty")
+    md5((sorted.map(_._1) :+ s"n=${sorted.size}" :+ s"anchor=$anchor")
+      .mkString("\n"))
   }
 
   def md5(s: String): String =
@@ -69,12 +95,45 @@ object ModelStore {
     * to 1; an n·k kNN edge list stays distributed). Reading back even
     * on the cold path means cold and warm calls consume byte-identical
     * parquet — the artifact is an execution shortcut, never a semantic
-    * input. */
+    * input.
+    *
+    * ATOMIC PUBLISH (SnapshotLog's manifest-last discipline): the cold
+    * path writes to `<path>.__tmp-<uuid>` and Hadoop-renames into
+    * place, so a reader can never observe a half-written artifact
+    * under a valid `_SUCCESS`, and a crash mid-fit leaves only a temp
+    * dir that the next caller ignores (a committed-artifact dir either
+    * exists completely or not at all). A partial TARGET dir without
+    * `_SUCCESS` (a crashed pre-atomic publish, or a listing race) is
+    * deleted before the rename — the store self-heals. Two concurrent
+    * cold callers both fit; the loser's rename is skipped or fails
+    * (target occupied by the winner), it deletes its temp dir and
+    * reads the winner — both succeed, nothing interleaves. */
   def getOrFit(spark: SparkSession, name: String)
               (fit: => DataFrame): DataFrame = {
     val path = artifactPath(spark, name)
-    if (!isFitted(spark, name))
-      fit.write.mode("overwrite").parquet(path)
+    if (!isFitted(spark, name)) {
+      val target = new org.apache.hadoop.fs.Path(path)
+      val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$path.__tmp-${java.util.UUID.randomUUID()}")
+      fit.write.mode("overwrite").parquet(tmp.toString)
+      if (isFitted(spark, name)) {
+        // a concurrent fitter published while we were fitting: keep the
+        // winner, discard our run
+        fs.delete(tmp, true)
+      } else {
+        // self-heal: a target without _SUCCESS is a crashed partial
+        if (fs.exists(target)) fs.delete(target, true)
+        // rename-into-existing-dir NESTS on posix-style filesystems, so
+        // treat a target that (re)appeared as a lost race, never rename
+        // over it
+        if (fs.exists(target) || !fs.rename(tmp, target)) {
+          fs.delete(tmp, true)
+          require(isFitted(spark, name),
+            s"ModelStore publish failed for $name: rename rejected and no winner present")
+        }
+      }
+    }
     spark.read.parquet(path)
   }
 }

@@ -67,10 +67,19 @@ object SnapshotLog {
   /** Write `df` as one new segment directory and return its manifest
     * row (seg, n_rows, min_key, max_key). The stats aggregate runs on
     * the written files so the manifest can never disagree with the
-    * bytes on disk. */
+    * bytes on disk.
+    *
+    * The directory name is ATTEMPT-unique (uuid suffix): a crash after
+    * the segment lands but before [[commit]] leaves an unreachable
+    * orphan that can never collide with — and therefore never block —
+    * a retry of the same version (the r11 ADVICE orphan hazard; with
+    * the old deterministic `c{v}-{idx}` name, errorifexists made the
+    * retry fail forever). Visibility still flips only at commit;
+    * orphans are reclaimed by [[gc]]'s unreferenced-segment sweep. */
   private def writeSegment(spark: SparkSession, df: DataFrame, path: String,
                            v: Int, idx: Int, keyCol: String): DataFrame = {
-    val dir = f"$path/data/c$v%05d-$idx"
+    val dir = f"$path/data/c$v%05d-$idx-" +
+      java.util.UUID.randomUUID().toString.take(8)
     df.write.mode("errorifexists").parquet(dir)
     spark.read.parquet(dir)
       .agg(count(lit(1)).as("n_rows"),
@@ -260,8 +269,13 @@ object SnapshotLog {
     * time travel to a pinned version is byte-identical after any
     * number of GCs (spec-proven). Deletion order (orphan segments,
     * then expired manifests) means a mid-GC crash can only leave an
-    * expired version torn — never a retained one. Returns the expired
-    * version numbers. */
+    * expired version torn — never a retained one. Also sweeps
+    * UNREFERENCED data directories (crashed [[writeSegment]] attempts
+    * — see its orphan note): anything under `data/` that no on-disk
+    * manifest lists is reclaimed. GC must not run concurrently with a
+    * writer (an in-flight segment is unreferenced until its commit) —
+    * the single-maintainer discipline every lakehouse GC documents.
+    * Returns the expired version numbers. */
   def gc(spark: SparkSession, path: String, retainLast: Int): Seq[Int] = {
     require(retainLast >= 1, "must retain at least the latest version")
     val latest = latestVersion(path).getOrElse(
@@ -270,7 +284,6 @@ object SnapshotLog {
       .filter(v => v > latest - retainLast).toSet ++ pinnedVersions(path)
     val expired = (0 to latest).filterNot(retained)
       .filter(v => Files.exists(Paths.get(manifestDir(path, v))))
-    if (expired.isEmpty) return Seq.empty
     def segsOf(v: Int): Set[String] = manifest(spark, path, v)
       .select(col("seg")).collect().map(_.getString(0)).toSet
     val keep = retained.filter(v =>
@@ -282,6 +295,19 @@ object SnapshotLog {
     }
     orphans.foreach(s => rmTree(Paths.get(s)))
     expired.foreach(v => rmTree(Paths.get(manifestDir(path, v))))
+    // unreferenced-segment sweep: reclaim crashed writeSegment attempts
+    // — data dirs no surviving manifest lists (expired manifests are
+    // already gone, so "on-disk manifests" == the retained set)
+    val dataDir = Paths.get(path, "data")
+    if (Files.exists(dataDir)) {
+      import scala.jdk.CollectionConverters._
+      val referenced = (0 to latest)
+        .filter(v => Files.exists(Paths.get(manifestDir(path, v))))
+        .flatMap(segsOf).map(s => Paths.get(s).toAbsolutePath.normalize).toSet
+      Files.list(dataDir).iterator().asScala.toSeq
+        .filterNot(d => referenced.contains(d.toAbsolutePath.normalize))
+        .foreach(rmTree)
+    }
     expired
   }
 

@@ -282,9 +282,14 @@ object EventStreams {
     * Windows holding ≤ k events sample everything with τ = 0 (the
     * estimator degrades to exact). */
   def sampleWindow(events: DataFrame, k: Int = 4): DataFrame = {
+    // event_id reduced mod 2^31 BEFORE the multiply: the product stays
+    // < 2^61, so the LCG never overflows Long at 100 TB id ranges
+    // (Spark would wrap silently where DuckDB errors — see
+    // [[graft.operators.Sketches.prioritySample]])
     val pr = events.select(col("event_id"), col("ts"), col("value"))
       .withColumn("priority", col("value") /
-        (((col("event_id") * 1103515245L + 12345L) % 2147483647L + 1L)
+        ((((col("event_id") % 2147483648L) * 1103515245L + 12345L)
+          % 2147483647L + 1L)
           .cast("double") / 2147483648.0))
     pr.groupBy(window(col("ts"), "1 hour"))
       .agg(graft.functions.TopK.top_k_by_score(

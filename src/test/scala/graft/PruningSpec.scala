@@ -36,9 +36,11 @@ class PruningSpec extends AnyFunSuite {
     // geo_eta_matrix: the poisInBuffer bbox pre-filter crosses the POI
     // scan with a ONE-row scalar bbox frame (agg over origins) — the
     // search itself stays the cell-bucketed hash join
-    // text_tfidf / text_xentropy: the one-row scalar N/total frame
-    // crossed onto the token frame (term counts are window counts, NOT
-    // a vocab-sized broadcast)
+    // text_tfidf / text_xentropy: the one-row scalar N/total frames
+    // (corpus doc count / token total) crossed onto the per-doc frame;
+    // since r12 the term/DF counts themselves arrive through vocab-keyed
+    // HASH joins onto map-side-combined count ladders — only the scalar
+    // denominators cross
     // emb_neardup_lsh: the contract verdict crosses the ONE-row exact
     // pair-count aggregate onto the one-row LSH aggregate
     // graph_triangles / sketch_heavy_hitters: the one-row max-key /
@@ -211,6 +213,11 @@ class PruningSpec extends AnyFunSuite {
       // graph_modularity: the one-row edge-total scalar crossed onto
       // the community rollup (plus ccEdges' declared nv scalar)
       "graph_modularity",
+      // graph_degree_dist: consumes ccEdges, inheriting its declared
+      // one-row nv scalar cross (Graph.scala ccEdges — the same
+      // adjudication as graph_modularity); the degree histogram itself
+      // is a pure two-level hash agg
+      "graph_degree_dist",
       // ann_nprobe_sweep: per-arm one-row hit x scanned scalar crosses
       // on top of the declared brute/ivf broadcast query crosses
       "ann_nprobe_sweep",
@@ -232,15 +239,22 @@ class PruningSpec extends AnyFunSuite {
     // inheriting the declared mutuality-cut shuffle join
     val smjAllowed = Set("q26_full_outer", "ann_hybrid_rrf",
       "emb_mutual_knn", "emb_semantic_communities", "emb_centrality")
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Accumulate EVERY violation before asserting: a fail-fast gate let
+    // one missed allowlist entry shadow another for a full round (r11's
+    // ann_index_persist miss hid graph_degree_dist's until r12).
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
-      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
-      if (!smjAllowed.contains(name))
-        assert(!plan.contains("SortMergeJoin"), s"$name plans a sort-merge join at test scale")
-      if (!nlAllowed.contains(name))
-        assert(!plan.contains("BroadcastNestedLoopJoin"),
-          s"$name plans an unexpected broadcast nested-loop join")
+      Seq(
+        if (plan.contains("CartesianProduct"))
+          Some(s"$name plans a cartesian product") else None,
+        if (!smjAllowed.contains(name) && plan.contains("SortMergeJoin"))
+          Some(s"$name plans a sort-merge join at test scale") else None,
+        if (!nlAllowed.contains(name) && plan.contains("BroadcastNestedLoopJoin"))
+          Some(s"$name plans an unexpected broadcast nested-loop join") else None
+      ).flatten
     }
+    assert(violations.isEmpty, s"${violations.size} plan-gate violations:\n" +
+      violations.mkString("\n"))
   }
 
   test("ETA queries search cell-bucketed candidates, not an all-POIs cross") {

@@ -115,6 +115,8 @@ class SimilaritySpec extends AnyFunSuite {
     import graft.sources.ModelStore
     val tmpRoot = java.nio.file.Files
       .createTempDirectory("graft_model_root_").toString
+    val corpusCopy = java.nio.file.Files
+      .createTempDirectory("graft_fp_corpus_").toString
     spark.conf.set("spark.graft.modelRoot", s"file:$tmpRoot")
     try {
       // artifacts land under the CONFIGURED root, written and read via
@@ -131,21 +133,97 @@ class SimilaritySpec extends AnyFunSuite {
       val trained = Similarity.ivfPqTrainedTopK(spark, sf)
         .collect().map(_.toSeq).toSeq
       assert(viaRoot == trained)
-      // staleness: rewriting the corpus (same path, new bytes/mtimes)
-      // changes the fingerprint, so the old artifact is never reused
-      val corpusCopy = java.nio.file.Files
-        .createTempDirectory("graft_fp_corpus_").toString
+      // staleness: rewriting the corpus (same path, new bytes) changes
+      // the fingerprint, so the old artifact is never reused. The
+      // rewrite changes the ROW COUNT (50 -> 60), so file sizes differ
+      // — the assertion rides the size channel of the fingerprint and
+      // never depends on the filesystem's mtime granularity
       val tbl = s"$corpusCopy/embeddings.parquet"
       Tables.embeddings(spark, sf).limit(50).write.parquet(tbl)
       val fp1 = ModelStore.corpusFingerprint(spark, tbl)
       assert(ModelStore.corpusFingerprint(spark, tbl) == fp1,
         "fingerprint must be stable across re-listings")
-      Thread.sleep(1100) // mtime granularity can be 1s on some filesystems
       Tables.embeddings(spark, sf).limit(60)
         .write.mode("overwrite").parquet(tbl)
       assert(ModelStore.corpusFingerprint(spark, tbl) != fp1,
         "regenerated data at the same path must re-key the artifact")
-    } finally spark.conf.unset("spark.graft.modelRoot")
+      // content anchor: an in-place first-block rewrite that keeps the
+      // listing identical (same name, same size, restored mtime) still
+      // re-keys — the externally-managed-table hazard from r12 ADVICE
+      val anchored = java.nio.file.Paths.get(corpusCopy, "anchored")
+      java.nio.file.Files.createDirectories(anchored)
+      val f = anchored.resolve("data.bin")
+      java.nio.file.Files.write(f, Array.fill[Byte](64)(1))
+      val t0 = java.nio.file.Files.getLastModifiedTime(f)
+      val fpA = ModelStore.corpusFingerprint(spark, anchored.toString)
+      java.nio.file.Files.write(f, Array.fill[Byte](64)(2))
+      java.nio.file.Files.setLastModifiedTime(f, t0) // same name+size+mtime
+      assert(ModelStore.corpusFingerprint(spark, anchored.toString) != fpA,
+        "first-block content anchor must catch an in-place rewrite")
+    } finally {
+      spark.conf.unset("spark.graft.modelRoot")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(corpusCopy))
+    }
+  }
+
+  test("model store: crashed partial target self-heals; concurrent cold fitters both succeed") {
+    import graft.sources.ModelStore
+    import spark.implicits._
+    val tmpRoot = java.nio.file.Files
+      .createTempDirectory("graft_ms_atomic_").toString
+    spark.conf.set("spark.graft.modelRoot", s"file:$tmpRoot")
+    try {
+      val df = (0L until 20L).map(i => (i, i * 2.0)).toDF("id", "v")
+      val expected = df.collect().map(_.toSeq).toSet
+      def tmpDirsLeft(): Seq[String] = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(java.nio.file.Paths.get(tmpRoot))
+          .iterator().asScala.map(_.getFileName.toString)
+          .filter(_.contains(".__tmp-")).toSeq
+      }
+      // CRASH SIMULATION: a target dir holding partial data but no
+      // _SUCCESS — a publish that died mid-write. The next getOrFit
+      // must treat it as absent, replace it wholesale, and serve the
+      // fit result.
+      val name = "atomic_crash_model"
+      val partial = java.nio.file.Paths.get(tmpRoot, name)
+      java.nio.file.Files.createDirectories(partial)
+      java.nio.file.Files.write(partial.resolve("part-garbage.parquet"),
+        Array[Byte](1, 2, 3))
+      assert(!ModelStore.isFitted(spark, name),
+        "no _SUCCESS => not fitted, regardless of stray bytes")
+      val healed = ModelStore.getOrFit(spark, name)(df)
+        .collect().map(_.toSeq).toSet
+      assert(healed == expected, "self-healed artifact serves the fit result")
+      assert(ModelStore.isFitted(spark, name))
+      assert(!java.nio.file.Files.exists(partial.resolve("part-garbage.parquet")),
+        "the partial dir must be replaced wholesale, not merged into")
+      assert(tmpDirsLeft().isEmpty, s"temp dirs left behind: ${tmpDirsLeft()}")
+      // CONCURRENT COLD FITTERS: two threads race the same key; both
+      // must succeed with identical rows, exactly one artifact commits,
+      // and the loser's temp dir is gone
+      val name2 = "atomic_race_model"
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val outs = new java.util.concurrent.ConcurrentLinkedQueue[Set[Seq[Any]]]()
+      val threads = (1 to 2).map { _ =>
+        new Thread(() =>
+          try outs.add(ModelStore.getOrFit(spark, name2)(df)
+            .collect().map(_.toSeq).toSet)
+          catch { case t: Throwable => errs.add(t) })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      import scala.jdk.CollectionConverters._
+      assert(errs.isEmpty, s"concurrent getOrFit failed: ${errs.asScala.toSeq}")
+      assert(outs.size == 2 && outs.asScala.toSet == Set(expected),
+        "both racers must serve the identical committed artifact")
+      assert(ModelStore.isFitted(spark, name2))
+      assert(tmpDirsLeft().isEmpty,
+        s"the losing racer must delete its temp dir: ${tmpDirsLeft()}")
+    } finally {
+      spark.conf.unset("spark.graft.modelRoot")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+    }
   }
 
   test("cluster quality: cohesion/separation recompute from the assignment") {
@@ -462,7 +540,12 @@ class SimilaritySpec extends AnyFunSuite {
     val recalls = truth.map { case (q, t) =>
       (t & got.getOrElse(q, Set.empty)).size.toDouble / t.size }
     val mean = recalls.sum / recalls.size
-    assert(mean >= 0.6, s"mean scoped recall $mean")
+    info(f"measured mean scoped recall $mean%.4f over ${recalls.size} queries")
+    // floor pinned from measurement: 0.92 on this corpus after the
+    // selectivity-aware probe widening (was 0.32 scope-blind at r12);
+    // 0.8 leaves margin for fp ordering jitter without ever accepting
+    // a scope-blind regression
+    assert(mean >= 0.8, s"mean scoped recall $mean")
     // plan: no corpus broadcast — the scoped candidate probe is a hash
     // join keyed on (cell, label); broadcast sides are query-sized
     val plan = Similarity.ragRetrieveTopK(spark, sf)

@@ -218,10 +218,10 @@ class SketchesSpec extends AnyFunSuite {
     val ev = Tables.events(spark, sf)
       .select(col("event_id"), col("value")).collect()
       .map(r => r.getLong(0) -> r.getDouble(1))
-    // in-memory priorities with the same LCG uniform
+    // in-memory priorities with the same mod-reduced LCG uniform
     val pri = ev.map { case (id, v) =>
-      val u = ((id * 1103515245L + 12345L) % 2147483647L + 1L).toDouble /
-        2147483648.0
+      val u = (((id % 2147483648L) * 1103515245L + 12345L)
+        % 2147483647L + 1L).toDouble / 2147483648.0
       (id, v, v / u)
     }.sortBy(p => (-p._3, p._1))
     val tau = pri(k)._3
@@ -241,6 +241,15 @@ class SketchesSpec extends AnyFunSuite {
     val truth = ev.map(_._2).sum
     assert(math.abs(est - truth) / truth < 0.5,
       s"estimate $est vs truth $truth")
+    // BOUNDARY: k >= n means the whole population is the sample and
+    // τ = 0 (the guard, not a null element_at) — the estimator is exact
+    val small = Sketches.prioritySample(spark, sf, k = ev.length + 10)
+      .collect()
+    assert(small.length == ev.length, "k >= n samples everything")
+    small.foreach { r =>
+      assert(r.getDouble(5) == 0.0, "tau must be 0 when n <= k")
+      assert(r.getDouble(6) == r.getDouble(3), "estimator exact at tau=0")
+    }
   }
 
 }

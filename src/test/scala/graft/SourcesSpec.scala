@@ -395,6 +395,38 @@ class SourcesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { SnapshotLog.pin(path, 77) }
   }
 
+  test("SnapshotLog: crashed segment attempts never block a retry; gc sweeps unreferenced orphans") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val path = tmpDir("snaplog_orphan")
+    SnapshotLog.create(spark,
+      (0L until 40L).map(i => (i, s"c$i")).toDF("k", "p"), path, "k")
+    // CRASH SIMULATION: a merge attempt for v1 wrote its segment and
+    // died before commit. With the old deterministic c{v}-{idx} names
+    // this dir made the retry's errorifexists write fail FOREVER; with
+    // attempt-unique names it is just an unreachable orphan.
+    val orphan = java.nio.file.Paths.get(path, "data", "c00001-0-deadbeef")
+    (0L until 5L).map(i => (i, "torn")).toDF("k", "p")
+      .write.parquet(orphan.toString)
+    assert(SnapshotLog.latestVersion(path).contains(0),
+      "a torn segment with no commit must stay invisible")
+    // the retry commits v1 cleanly
+    assert(SnapshotLog.upsert(spark,
+      (10L until 20L).map(i => (i, s"u$i")).toDF("k", "p"), path, "k") == 1)
+    val rows = SnapshotLog.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows.size == 40 && rows(15L) == "u15" && rows(5L) == "c5")
+    // gc — even with nothing expired — sweeps the orphan and keeps
+    // every referenced segment
+    assert(java.nio.file.Files.exists(orphan))
+    assert(SnapshotLog.gc(spark, path, retainLast = 10).isEmpty)
+    assert(!java.nio.file.Files.exists(orphan),
+      "unreferenced orphan segment must be reclaimed")
+    assert(SnapshotLog.read(spark, path, Some(0)).count() == 40)
+    assert(SnapshotLog.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap == rows)
+  }
+
   test("SnapshotLog: streaming CDC commits one version per batch, deletes land") {
     import spark.implicits._
     import graft.sources.SnapshotLog

@@ -294,8 +294,8 @@ class StreamingSpec extends AnyFunSuite {
       "the under-full window samples everything at tau 0")
     // in-memory recompute of hour one's heap order
     def pri(id: Long, v: Double): Double =
-      v / (((id * 1103515245L + 12345L) % 2147483647L + 1L).toDouble /
-        2147483648.0)
+      v / ((((id % 2147483648L) * 1103515245L + 12345L)
+        % 2147483647L + 1L).toDouble / 2147483648.0)
     val h1 = evs.take(6).map(e => (e.event_id, pri(e.event_id, e.value)))
       .sortBy(p => (-p._2, p._1))
     assert(batch.take(4).map(_(2)) == h1.take(4).map(_._1))

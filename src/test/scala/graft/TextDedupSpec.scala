@@ -459,15 +459,34 @@ class TextDedupSpec extends AnyFunSuite {
     val nTrue = operators.Dedup.ngramJaccard(spark, sf).count()
     rows.foreach { r =>
       assert(r.getLong(5) == nTrue)
-      assert(r.getBoolean(6), s"bands ${r.getInt(0)} missed its design recall")
+      assert(r.getBoolean(7), s"bands ${r.getInt(0)} missed its design recall")
     }
-    // the verdict is NOT vacuous: recompute measured recall for the
-    // coarsest arm and check it actually exceeds its design bound
+    // EVERY arm's emitted measured_recall equals an independent
+    // recompute (truth ∩ candidates / truth), and the verdict is the
+    // measured-vs-design comparison it claims to be — nothing stated
+    // without measurement (the r12 ADVICE ask)
     val truth = operators.Dedup.ngramJaccard(spark, sf)
       .select(col("doc_a"), col("doc_b"))
-    val found4 = truth.join(
-      operators.Dedup.minhashCandidates(spark, sf, 64, 4),
-      Seq("doc_a", "doc_b"), "left_semi").count()
-    assert(found4.toDouble >= nTrue * 0.107, "coarse arm below design")
+    rows.foreach { r =>
+      val b = r.getInt(0)
+      val found = truth.join(
+        operators.Dedup.minhashCandidates(spark, sf, 64, b),
+        Seq("doc_a", "doc_b"), "left_semi").count()
+      val want = math.floor(found.toDouble / nTrue * 1e4 + 0.5) / 1e4
+      assert(r.getDouble(6) == want,
+        s"bands $b measured_recall ${r.getDouble(6)} != recomputed $want")
+      assert(r.getBoolean(7) == (found.toDouble >= nTrue * r.getDouble(3)),
+        s"bands $b verdict is not the measured-vs-design comparison")
+      info(f"bands $b%2d: measured recall $want%.4f (design ${r.getDouble(3)}%.4f)")
+    }
+    // BOUNDARY: an unreachable tau empties the truth set — n_true = 0,
+    // measured recall vacuously 1.0 (no division blowup), verdict true
+    val empty = operators.Dedup.lshSweep(spark, sf, tau = 2.0).collect()
+    assert(empty.length == 4)
+    empty.foreach { r =>
+      assert(r.getLong(5) == 0L)
+      assert(r.getDouble(6) == 1.0, "empty truth must read as vacuous full recall")
+      assert(r.getBoolean(7))
+    }
   }
 }
