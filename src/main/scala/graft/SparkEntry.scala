@@ -137,6 +137,7 @@ object SparkEntry {
     "ann_ivfpq_trained" -> ((s, d) => Similarity.ivfPqTrainedTopK(s, d)),
     "ann_index_persist" -> ((s, d) => Similarity.ivfPqPersistedTopK(s, d)),
     "rag_retrieve_topk" -> ((s, d) => Similarity.ragRetrieveTopK(s, d)),
+    "rag_mmr_rerank" -> ((s, d) => Similarity.ragMmrRerank(s, d)),
     "ann_recall_eval" -> ((s, d) => Similarity.annRecallEval(s, d)),
     "ann_nprobe_sweep" -> ((s, d) => Similarity.nprobeSweep(s, d)),
     "ann_ndcg_eval" -> ((s, d) => Similarity.ndcgEval(s, d)),
@@ -550,6 +551,61 @@ object SparkEntry {
            FROM sel JOIN q ON q.qid = sel.qid JOIN e ON e.vec_id = sel.cid)
            t
          WHERE rk <= 5 ORDER BY qid, rk"""
+
+  /** rag_mmr_rerank: the retrieval chain ([[RagRetrieveOracle]],
+    * nested verbatim) followed by the MMR greedy trajectory unrolled
+    * into MATERIALIZED per-round CTEs (the diversitySample discipline
+    * — inlining a loop-carried CTE is exponential): round 1 picks pure
+    * relevance, each later round scores the un-selected candidates
+    * with λ·rel − (1−λ)·max-sim-to-selected over the pre-rounded
+    * pairwise sim table and takes the (score DESC, cid) head. */
+  private val RagMmrOracle: String =
+    s"""WITH retrieved AS MATERIALIZED ($RagRetrieveOracle),
+       ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       cand AS MATERIALIZED (SELECT qid, cid, cos_sim AS rel
+         FROM retrieved),
+       sims AS MATERIALIZED (SELECT a.qid, a.cid AS ca, b.cid AS cb,
+           round(list_cosine_similarity(ea.v, eb.v), 4) AS sim
+         FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid
+         JOIN ev ea ON ea.vec_id = a.cid
+         JOIN ev eb ON eb.vec_id = b.cid),
+       s1 AS MATERIALIZED (SELECT qid, cid, rel, 0.5 * rel AS score
+         FROM (SELECT qid, cid, rel, row_number() OVER (
+             PARTITION BY qid ORDER BY 0.5 * rel DESC, cid) AS rn
+           FROM cand) t WHERE rn = 1),
+       s2 AS MATERIALIZED (SELECT qid, cid, rel, score FROM (
+           SELECT c.qid, c.cid, c.rel,
+             0.5 * c.rel - 0.5 * m.ms AS score,
+             row_number() OVER (PARTITION BY c.qid
+               ORDER BY 0.5 * c.rel - 0.5 * m.ms DESC, c.cid) AS rn
+           FROM cand c JOIN (SELECT s.qid, s.ca, max(s.sim) AS ms
+               FROM sims s JOIN s1 ON s1.qid = s.qid AND s1.cid = s.cb
+               GROUP BY s.qid, s.ca) m
+             ON m.qid = c.qid AND m.ca = c.cid
+           WHERE NOT EXISTS (SELECT 1 FROM s1
+             WHERE s1.qid = c.qid AND s1.cid = c.cid)) t WHERE rn = 1),
+       sel12 AS MATERIALIZED (SELECT qid, cid FROM s1
+         UNION ALL SELECT qid, cid FROM s2),
+       s3 AS MATERIALIZED (SELECT qid, cid, rel, score FROM (
+           SELECT c.qid, c.cid, c.rel,
+             0.5 * c.rel - 0.5 * m.ms AS score,
+             row_number() OVER (PARTITION BY c.qid
+               ORDER BY 0.5 * c.rel - 0.5 * m.ms DESC, c.cid) AS rn
+           FROM cand c JOIN (SELECT s.qid, s.ca, max(s.sim) AS ms
+               FROM sims s JOIN sel12
+                 ON sel12.qid = s.qid AND sel12.cid = s.cb
+               GROUP BY s.qid, s.ca) m
+             ON m.qid = c.qid AND m.ca = c.cid
+           WHERE NOT EXISTS (SELECT 1 FROM sel12
+             WHERE sel12.qid = c.qid AND sel12.cid = c.cid)) t
+         WHERE rn = 1)
+       SELECT qid, 1 AS sel_rk, cid, rel,
+         floor(score * 1e4 + 0.5) / 1e4 AS mmr_score FROM s1
+       UNION ALL SELECT qid, 2, cid, rel,
+         floor(score * 1e4 + 0.5) / 1e4 FROM s2
+       UNION ALL SELECT qid, 3, cid, rel,
+         floor(score * 1e4 + 0.5) / 1e4 FROM s3
+       ORDER BY qid, sel_rk"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -2370,6 +2426,7 @@ object SparkEntry {
     // cross-table retrieval: corpus/query split + label pre-filter over
     // the persisted trained index (the RAG serve shape)
     "rag_retrieve_topk" -> RagRetrieveOracle,
+    "rag_mmr_rerank" -> RagMmrOracle,
     // index-health recall@k: both the exact truth and the IVF probe
     // restate in SQL (same CTEs as ann_brute/ann_ivf), so the per-query
     // hit counts — and therefore the recall the index would ship with —

@@ -1991,6 +1991,81 @@ object Similarity {
     finishTopK(scored, k)
   }
 
+  /** MMR RE-RANK — the serve step a RAG stack runs ON the retrieved
+    * list (Carbonell & Goldstein 1998): greedily select kSel of the
+    * [[ragRetrieveTopK]] candidates maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) — relevance traded against
+    * redundancy, so near-duplicate passages don't crowd the context
+    * window (the retrieval twin of [[diversitySample]]'s k-center
+    * coverage argument; λ = 0.5 balances the two).
+    *
+    * Scale posture: everything after retrieval operates on
+    * queries×k-sized frames — candidate embeddings arrive through ONE
+    * corpus scan joined against the broadcast retrieved list, pairwise
+    * sims are queries×k², and each greedy round is one equi-join + one
+    * k-bounded max_by partial agg; the corpus is scanned exactly once
+    * more than retrieval itself. Determinism: rel and pairwise sims
+    * round to the 1e-4 grid BEFORE the MMR arithmetic, every score is
+    * the same two-multiply/one-subtract IEEE tree on both engines,
+    * ties break to the smallest cid; the oracle restates the greedy
+    * trajectory with unrolled MATERIALIZED rounds (the diversitySample
+    * discipline). */
+  def ragMmrRerank(spark: SparkSession, dir: String, kSel: Int = 3,
+                   lam: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.graftbridge.SparkBridge
+    val retrieved = ragRetrieveTopK(spark, dir)
+      .select(col("qid"), col("cid"), col("cos_sim").as("rel"))
+    val ce = emb(spark, dir)
+      .select(col("vec_id").as("cid"), col("embedding"))
+    // one corpus scan, pruned by the broadcast retrieved list
+    val cand = ce.join(broadcast(retrieved), Seq("cid"))
+      .select(col("qid"), col("cid"), col("rel"), col("embedding"))
+      .localCheckpoint()
+    val sims = cand.select(col("qid"), col("cid").as("ca"),
+        col("embedding").as("ea"))
+      .join(cand.select(col("qid"), col("cid").as("cb"),
+        col("embedding").as("eb")), Seq("qid"))
+      .filter(col("ca") =!= col("cb"))
+      .select(col("qid"), col("ca"), col("cb"),
+        round(cosine_sim(col("ea"), col("eb")), 4).as("sim"))
+      .localCheckpoint()
+    val relOnly = cand.select(col("qid"), col("cid"), col("rel"))
+    // round 1: pure relevance (empty selected set, zero penalty)
+    var selected = relOnly
+      .withColumn("score", lit(lam) * col("rel"))
+      .groupBy(col("qid"))
+      .agg(max_by(struct(col("cid"), col("rel"), col("score")),
+        struct(col("score"), lit(0L) - col("cid"))).as("p"))
+      .select(col("qid"), lit(1).as("sel_rk"), col("p.cid").as("cid"),
+        col("p.rel").as("rel"), col("p.score").as("score"))
+    for (r <- 2 to kSel) {
+      val ms = sims.join(selected.select(col("qid"), col("cid").as("cb")),
+          Seq("qid", "cb"))
+        .groupBy(col("qid"), col("ca")).agg(max(col("sim")).as("ms"))
+        .withColumnRenamed("ca", "cid")
+      val pick = relOnly
+        .join(selected.select(col("qid"), col("cid")),
+          Seq("qid", "cid"), "left_anti")
+        .join(ms, Seq("qid", "cid"))
+        .withColumn("score",
+          lit(lam) * col("rel") - lit(1.0 - lam) * col("ms"))
+        .groupBy(col("qid"))
+        .agg(max_by(struct(col("cid"), col("rel"), col("score")),
+          struct(col("score"), lit(0L) - col("cid"))).as("p"))
+        .select(col("qid"), lit(r).as("sel_rk"), col("p.cid").as("cid"),
+          col("p.rel").as("rel"), col("p.score").as("score"))
+      selected = selected.unionByName(pick)
+    }
+    val out = selected.select(col("qid"), col("sel_rk"), col("cid"),
+        col("rel"),
+        (floor(col("score") * 1e4 + 0.5) / 1e4).as("mmr_score"))
+      .orderBy(col("qid"), col("sel_rk"))
+      .localCheckpoint()
+    SparkBridge.unpersistCheckpoint(cand)
+    SparkBridge.unpersistCheckpoint(sims)
+    out
+  }
+
   /** The IVF-PQ pipeline over an explicit codebook (see [[ivfPqTopK]]
     * for the stage-by-stage scale posture). */
   private def ivfPqTopKWith(e: DataFrame, cb: DataFrame, k: Int,

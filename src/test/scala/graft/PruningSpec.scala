@@ -59,8 +59,12 @@ class PruningSpec extends AnyFunSuite {
     // rag_retrieve_topk: the same declared probe-routing (query table x
     // corpus cell seeds) and LUT crosses over the two-table split; the
     // scoped candidate probe itself is the (cell, label) hash join
+    // rag_mmr_rerank: inherits rag_retrieve_topk's declared crosses in
+    // its retrieval stage; everything MMR adds is qid-keyed hash
+    // joins + max_by partial aggs over queries x k frames
     val nlAllowed = Set("ann_brute_topk", "ann_ivf_topk", "ann_ivfpq_topk",
       "ann_ivfpq_trained", "ann_index_persist", "rag_retrieve_topk",
+      "rag_mmr_rerank",
       "geo_nearest_poi", "geo_area_assign", "geo_route_nearest",
       "emb_cluster_assign", "emb_kmeans", "q31_range_lookup",
       "geo_eta_matrix", "text_tfidf", "text_xentropy", "emb_neardup_lsh",

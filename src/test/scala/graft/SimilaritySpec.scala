@@ -554,6 +554,53 @@ class SimilaritySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "scoped probe must hash-join")
   }
 
+  test("rag mmr rerank: equals the in-memory greedy MMR trajectory over the retrieved list") {
+    val retrieved = Similarity.ragRetrieveTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val embMap = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // Spark round(x, 4) is BigDecimal HALF_UP — replicate it exactly
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Similarity.ragMmrRerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got.nonEmpty)
+    retrieved.groupBy(_._1).foreach { case (qid, cands0) =>
+      val cands = cands0.map(t => (t._2, t._3)).toSeq
+      def sim(a: Long, b: Long) = r4(cos(embMap(a), embMap(b)))
+      var sel = List.empty[(Long, Double, Double)]
+      for (_ <- 1 to math.min(3, cands.length)) {
+        val remaining = cands.filterNot(c => sel.exists(_._1 == c._1))
+        val scored = remaining.map { case (cid, rel) =>
+          val ms = if (sel.isEmpty) 0.0 else sel.map(s => sim(cid, s._1)).max
+          (cid, rel, 0.5 * rel - 0.5 * ms)
+        }
+        sel = sel :+ scored.maxBy(t => (t._3, -t._1))
+      }
+      val want = sel.zipWithIndex.map { case ((cid, rel, sc), i) =>
+        (qid, i + 1, cid, rel, math.floor(sc * 1e4 + 0.5) / 1e4) }
+      val gotQ = got.filter(_._1 == qid).sortBy(_._2).toList
+      assert(gotQ == want, s"qid $qid MMR trajectory: got $gotQ want $want")
+    }
+    // the redundancy penalty is real on this corpus: at least one query's
+    // MMR selection departs from the plain relevance top-3
+    val plainTop3 = retrieved.groupBy(_._1).map { case (q, cs) =>
+      q -> cs.sortBy(t => (-t._3, t._2)).take(3).map(_._2).toSeq }
+    val mmrSel = got.groupBy(_._1).map { case (q, rs) =>
+      q -> rs.sortBy(_._2).map(_._3).toSeq }
+    assert(mmrSel.exists { case (q, sel) => plainTop3(q) != sel },
+      "MMR never diverged from plain top-3 — the penalty is vacuous here")
+  }
+
   test("semantic communities: equals in-memory LPA over the mutual-kNN graph") {
     val rows = Similarity.semanticCommunities(spark, sf).collect()
     val n = Tables.embeddings(spark, sf).count()
