@@ -138,6 +138,7 @@ object SparkEntry {
     "ann_index_persist" -> ((s, d) => Similarity.ivfPqPersistedTopK(s, d)),
     "rag_retrieve_topk" -> ((s, d) => Similarity.ragRetrieveTopK(s, d)),
     "rag_mmr_rerank" -> ((s, d) => Similarity.ragMmrRerank(s, d)),
+    "rag_context_pack" -> ((s, d) => Similarity.ragContextPack(s, d)),
     "ann_recall_eval" -> ((s, d) => Similarity.annRecallEval(s, d)),
     "ann_nprobe_sweep" -> ((s, d) => Similarity.nprobeSweep(s, d)),
     "ann_ndcg_eval" -> ((s, d) => Similarity.ndcgEval(s, d)),
@@ -606,6 +607,25 @@ object SparkEntry {
        UNION ALL SELECT qid, 3, cid, rel,
          floor(score * 1e4 + 0.5) / 1e4 FROM s3
        ORDER BY qid, sel_rk"""
+
+  /** rag_context_pack: the MMR chain nested verbatim, joined onto the
+    * documents token counts (ws_tokens' split), with the greedy
+    * budget-128 fill as a running-sum window — pure integer arithmetic
+    * after the selection. */
+  private val RagContextPackOracle: String =
+    s"""WITH mmr AS MATERIALIZED ($RagMmrOracle),
+       dt AS (SELECT doc_id AS cid, len(string_split(text, ' '))
+           AS n_tokens FROM documents),
+       j AS (SELECT m.qid, m.sel_rk, m.cid, dt.n_tokens,
+           CAST(sum(dt.n_tokens) OVER (PARTITION BY m.qid
+             ORDER BY m.sel_rk) AS BIGINT) AS cum_tokens
+         FROM mmr m JOIN dt ON dt.cid = m.cid)
+       SELECT qid, sel_rk, cid, n_tokens, cum_tokens,
+         greatest(0, least(n_tokens, 128 - (cum_tokens - n_tokens)))
+           AS kept_tokens,
+         greatest(0, least(n_tokens, 128 - (cum_tokens - n_tokens)))
+           = n_tokens AS packed
+       FROM j ORDER BY qid, sel_rk"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -2427,6 +2447,7 @@ object SparkEntry {
     // the persisted trained index (the RAG serve shape)
     "rag_retrieve_topk" -> RagRetrieveOracle,
     "rag_mmr_rerank" -> RagMmrOracle,
+    "rag_context_pack" -> RagContextPackOracle,
     // index-health recall@k: both the exact truth and the IVF probe
     // restate in SQL (same CTEs as ann_brute/ann_ivf), so the per-query
     // hit counts — and therefore the recall the index would ship with —

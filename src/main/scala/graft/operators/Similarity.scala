@@ -2066,6 +2066,38 @@ object Similarity {
     out
   }
 
+  /** CONTEXT PACKING — the last serve-chain step: fit the
+    * [[ragMmrRerank]]-selected passages into a fixed token budget in
+    * selection order, truncating the first overflowing passage and
+    * zeroing the rest (the context-window assembly every RAG stack
+    * performs between retrieval and generation). vec_id ↔ doc_id is
+    * the corpus's 1:1 embedding-of-document mapping, so this is the
+    * first cross join of the embeddings serve chain back onto the
+    * documents table. n_tokens is the whitespace count
+    * ([[TextAnalysis.tokens]]' ws_tokens definition — same split, same
+    * oracle restatement); everything downstream of the MMR selection
+    * is integer arithmetic over a queries×kSel frame: one broadcast
+    * join into a single documents scan, one qid-keyed running-sum
+    * window over kSel rows per query. */
+  def ragContextPack(spark: SparkSession, dir: String, budget: Int = 128)
+      : DataFrame = {
+    val sel = ragMmrRerank(spark, dir)
+      .select(col("qid"), col("sel_rk"), col("cid"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("cid"),
+        size(split(col("text"), " ")).as("n_tokens"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sel_rk"))
+    docs.join(broadcast(sel), Seq("cid"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("kept_tokens",
+        greatest(lit(0L), least(col("n_tokens").cast("long"),
+          lit(budget.toLong) - (col("cum_tokens") - col("n_tokens")))))
+      .withColumn("packed", col("kept_tokens") === col("n_tokens"))
+      .select(col("qid"), col("sel_rk"), col("cid"), col("n_tokens"),
+        col("cum_tokens"), col("kept_tokens"), col("packed"))
+      .orderBy(col("qid"), col("sel_rk"))
+  }
+
   /** The IVF-PQ pipeline over an explicit codebook (see [[ivfPqTopK]]
     * for the stage-by-stage scale posture). */
   private def ivfPqTopKWith(e: DataFrame, cb: DataFrame, k: Int,

@@ -62,9 +62,11 @@ class PruningSpec extends AnyFunSuite {
     // rag_mmr_rerank: inherits rag_retrieve_topk's declared crosses in
     // its retrieval stage; everything MMR adds is qid-keyed hash
     // joins + max_by partial aggs over queries x k frames
+    // rag_context_pack: inherits the same through its rag_mmr_rerank
+    // input; the pack itself is one broadcast join + one window
     val nlAllowed = Set("ann_brute_topk", "ann_ivf_topk", "ann_ivfpq_topk",
       "ann_ivfpq_trained", "ann_index_persist", "rag_retrieve_topk",
-      "rag_mmr_rerank",
+      "rag_mmr_rerank", "rag_context_pack",
       "geo_nearest_poi", "geo_area_assign", "geo_route_nearest",
       "emb_cluster_assign", "emb_kmeans", "q31_range_lookup",
       "geo_eta_matrix", "text_tfidf", "text_xentropy", "emb_neardup_lsh",

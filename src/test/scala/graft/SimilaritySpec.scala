@@ -601,6 +601,30 @@ class SimilaritySpec extends AnyFunSuite {
       "MMR never diverged from plain top-3 — the penalty is vacuous here")
   }
 
+  test("rag context pack: greedy budget fill equals in-memory recompute; truncation engages") {
+    val mmr = Similarity.ragMmrRerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val nTok = Tables.documents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).length).toMap
+    val got = Similarity.ragContextPack(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    val want = mmr.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).map { case (_, rk, cid) =>
+        val n = nTok(cid)
+        val kept = math.max(0L, math.min(n.toLong, 128L - cum))
+        cum += n
+        (qid, rk, cid, n, cum, kept, kept == n.toLong)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want, "pack trajectory diverges from recompute")
+    // the budget is binding on this corpus: the first selection always
+    // fits whole (max doc 99 < 128) and some later selection truncates
+    assert(got.filter(_._2 == 1).forall(_._7), "a first pick failed to pack")
+    assert(got.exists(r => !r._7), "no truncation anywhere — budget vacuous")
+  }
+
   test("semantic communities: equals in-memory LPA over the mutual-kNN graph") {
     val rows = Similarity.semanticCommunities(spark, sf).collect()
     val n = Tables.embeddings(spark, sf).count()
