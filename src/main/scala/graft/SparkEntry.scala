@@ -139,6 +139,7 @@ object SparkEntry {
     "rag_retrieve_topk" -> ((s, d) => Similarity.ragRetrieveTopK(s, d)),
     "rag_mmr_rerank" -> ((s, d) => Similarity.ragMmrRerank(s, d)),
     "rag_context_pack" -> ((s, d) => Similarity.ragContextPack(s, d)),
+    "rag_recall_eval" -> ((s, d) => Similarity.ragRecallEval(s, d)),
     "ann_recall_eval" -> ((s, d) => Similarity.annRecallEval(s, d)),
     "ann_nprobe_sweep" -> ((s, d) => Similarity.nprobeSweep(s, d)),
     "ann_ndcg_eval" -> ((s, d) => Similarity.ndcgEval(s, d)),
@@ -626,6 +627,29 @@ object SparkEntry {
          greatest(0, least(n_tokens, 128 - (cum_tokens - n_tokens)))
            = n_tokens AS packed
        FROM j ORDER BY qid, sel_rk"""
+
+  /** rag_recall_eval: the retrieval chain nested, graded against the
+    * scoped exact truth (label-keyed brute top-k restated as a
+    * window rank) — per-query recall@5 and MRR. */
+  private val RagRecallEvalOracle: String =
+    s"""WITH retrieved AS MATERIALIZED ($RagRetrieveOracle),
+       qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label
+         FROM embeddings WHERE vec_id % 5 = 0 AND vec_id < 50),
+       cs AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+         FROM embeddings WHERE vec_id % 5 <> 0),
+       truth AS (SELECT qid, cid FROM (
+           SELECT q.qid, c.vec_id AS cid,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(q.qv, c.v) DESC, c.vec_id)
+               AS rn
+           FROM qs q JOIN cs c ON c.label = q.label) t WHERE rn <= 5),
+       h AS (SELECT r.qid, CAST(count(*) AS BIGINT) AS n_hit,
+           min(r.rk) AS first_hit_rk
+         FROM retrieved r JOIN truth USING (qid, cid) GROUP BY r.qid)
+       SELECT qs.qid, coalesce(h.n_hit, CAST(0 AS BIGINT)) AS n_hit,
+         CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5 AS recall,
+         coalesce(1.0 / h.first_hit_rk, CAST(0 AS DOUBLE)) AS mrr
+       FROM qs LEFT JOIN h ON h.qid = qs.qid ORDER BY qs.qid"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -2448,6 +2472,7 @@ object SparkEntry {
     "rag_retrieve_topk" -> RagRetrieveOracle,
     "rag_mmr_rerank" -> RagMmrOracle,
     "rag_context_pack" -> RagContextPackOracle,
+    "rag_recall_eval" -> RagRecallEvalOracle,
     // index-health recall@k: both the exact truth and the IVF probe
     // restate in SQL (same CTEs as ann_brute/ann_ivf), so the per-query
     // hit counts — and therefore the recall the index would ship with —

@@ -2098,6 +2098,49 @@ object Similarity {
       .orderBy(col("qid"), col("sel_rk"))
   }
 
+  /** SCOPED RETRIEVAL EVAL — ann_recall_eval's two-table, filtered
+    * twin, and the serve-quality monitor for [[ragRetrieveTopK]]: each
+    * query's retrieved list graded against the scoped EXACT truth
+    * (brute top-k within the query's label) as per-query recall@k and
+    * MRR. This is precisely the metric whose silent regression
+    * motivated the r13 probe-widening fix (scope-blind probing read
+    * 0.32 here) — as an operator it is a standing dashboard row, not a
+    * one-off spec measurement. The truth arm is a label-keyed
+    * broadcast-hash join (queries broadcast into the corpus scan — no
+    * all-pairs cross) into the k-bounded heap; the eval joins are
+    * output-sized. */
+  def ragRecallEval(spark: SparkSession, dir: String, k: Int = K,
+                    corpusMod: Int = 5, maxQid: Int = 50): DataFrame = {
+    val all = emb(spark, dir)
+    val corpus = all.filter(col("vec_id") % corpusMod =!= 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("label").as("lab"))
+    val q = all.filter(col("vec_id") % corpusMod === 0 &&
+        col("vec_id") < maxQid)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("scope"))
+    val truth = corpus.join(broadcast(q), col("lab") === col("scope"))
+      .select(col("qid"), col("cid"), cosine_sim(col("qe"), col("ce")).as("cos"))
+      .groupBy(col("qid"))
+      .agg(top_k_by_score(col("cos"), col("cid"), k).as("top"))
+      .select(col("qid"), explode(col("top.id")).as("cid"))
+    val retrieved = ragRetrieveTopK(spark, dir)
+      .select(col("qid"), col("rk"), col("cid"))
+    // truth and agg are queries x k / queries-sized — broadcast
+    // explicitly (they sit above aggregates, so Catalyst has no size
+    // estimate and would fall back to a sort-merge join)
+    val agg = retrieved.join(broadcast(truth), Seq("qid", "cid"), "left_semi")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_hit"), min(col("rk")).as("first_hit_rk"))
+    q.select(col("qid"))
+      .join(broadcast(agg), Seq("qid"), "left_outer")
+      .select(col("qid"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / k).as("recall"),
+        coalesce(lit(1.0) / col("first_hit_rk"), lit(0.0)).as("mrr"))
+      .orderBy(col("qid"))
+  }
+
   /** The IVF-PQ pipeline over an explicit codebook (see [[ivfPqTopK]]
     * for the stage-by-stage scale posture). */
   private def ivfPqTopKWith(e: DataFrame, cb: DataFrame, k: Int,

@@ -625,6 +625,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.exists(r => !r._7), "no truncation anywhere — budget vacuous")
   }
 
+  test("rag recall eval: per-query recall/MRR equal the in-memory grade of the retrieved list") {
+    val all = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val corpus = all.filter(_._1 % 5 != 0)
+    val queries = all.filter(t => t._1 % 5 == 0 && t._1 < 50)
+    val truth = queries.map { case (qid, qv, lab) =>
+      qid -> corpus.filter(_._3 == lab)
+        .map(c => (c._1, cos(qv, c._2)))
+        .sortBy(t => (-t._2, t._1)).take(Similarity.K).map(_._1).toSet
+    }.toMap
+    val retrieved = Similarity.ragRetrieveTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val rows = Similarity.ragRecallEval(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == queries.map(_._1).sorted.toSeq,
+      "one grade row per query, in order")
+    rows.foreach { r =>
+      val qid = r.getLong(0)
+      val mine = retrieved.filter(_._1 == qid).sortBy(_._2)
+      val hitRks = mine.filter(m => truth(qid).contains(m._3)).map(_._2)
+      assert(r.getLong(1) == hitRks.length.toLong, s"q $qid n_hit")
+      assert(r.getDouble(2) == hitRks.length.toDouble / Similarity.K,
+        s"q $qid recall")
+      val mrr = if (hitRks.isEmpty) 0.0 else 1.0 / hitRks.min
+      assert(r.getDouble(3) == mrr, s"q $qid mrr")
+    }
+    // consistency with the retrieval spec's pinned floor: the operator
+    // reports the same corpus-mean scoped recall the rag test measures
+    val mean = rows.map(_.getDouble(2)).sum / rows.length
+    info(f"operator-reported mean scoped recall $mean%.4f")
+    assert(mean >= 0.8)
+  }
+
   test("semantic communities: equals in-memory LPA over the mutual-kNN graph") {
     val rows = Similarity.semanticCommunities(spark, sf).collect()
     val n = Tables.embeddings(spark, sf).count()
