@@ -140,6 +140,7 @@ object SparkEntry {
     "rag_mmr_rerank" -> ((s, d) => Similarity.ragMmrRerank(s, d)),
     "rag_context_pack" -> ((s, d) => Similarity.ragContextPack(s, d)),
     "rag_recall_eval" -> ((s, d) => Similarity.ragRecallEval(s, d)),
+    "rag_ndcg_eval" -> ((s, d) => Similarity.ragNdcgEval(s, d)),
     "ann_recall_eval" -> ((s, d) => Similarity.annRecallEval(s, d)),
     "ann_nprobe_sweep" -> ((s, d) => Similarity.nprobeSweep(s, d)),
     "ann_ndcg_eval" -> ((s, d) => Similarity.ndcgEval(s, d)),
@@ -650,6 +651,35 @@ object SparkEntry {
          CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5 AS recall,
          coalesce(1.0 / h.first_hit_rk, CAST(0 AS DOUBLE)) AS mrr
        FROM qs LEFT JOIN h ON h.qid = qs.qid ORDER BY qs.qid"""
+
+  /** rag_ndcg_eval: the retrieval chain graded against the scoped
+    * exact ranking (ann_ndcg_eval's float-cast discounted-sum
+    * discipline over the two-table split). */
+  private val RagNdcgEvalOracle: String =
+    s"""WITH retrieved AS MATERIALIZED ($RagRetrieveOracle),
+       qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label
+         FROM embeddings WHERE vec_id % 5 = 0 AND vec_id < 50),
+       cs AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+         FROM embeddings WHERE vec_id % 5 <> 0),
+       bt AS (SELECT qid, cid, rk AS trk, 6 - rk AS rel FROM (
+           SELECT q.qid, c.vec_id AS cid,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(q.qv, c.v) DESC, c.vec_id)
+               AS rk
+           FROM qs q JOIN cs c ON c.label = q.label) t WHERE rk <= 5),
+       d AS (SELECT r.qid,
+           CAST(sum(CASE WHEN b.rel IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hit,
+           CAST(CAST(sum(coalesce(b.rel, 0) / log2(r.rk + 1)) AS FLOAT)
+             AS DOUBLE) AS dcg
+         FROM retrieved r LEFT JOIN bt b USING (qid, cid) GROUP BY r.qid),
+       g AS (SELECT qid,
+           CAST(CAST(sum(rel / log2(trk + 1)) AS FLOAT) AS DOUBLE)
+             AS idcg
+         FROM bt GROUP BY qid)
+       SELECT d.qid, n_hit,
+         floor(dcg / idcg * 10000.0 + 0.5) / 10000.0 AS ndcg
+       FROM d JOIN g USING (qid) ORDER BY d.qid"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -2473,6 +2503,7 @@ object SparkEntry {
     "rag_mmr_rerank" -> RagMmrOracle,
     "rag_context_pack" -> RagContextPackOracle,
     "rag_recall_eval" -> RagRecallEvalOracle,
+    "rag_ndcg_eval" -> RagNdcgEvalOracle,
     // index-health recall@k: both the exact truth and the IVF probe
     // restate in SQL (same CTEs as ann_brute/ann_ivf), so the per-query
     // hit counts — and therefore the recall the index would ship with —

@@ -2141,6 +2141,55 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** SCOPED nDCG — [[ndcgEval]]'s two-table filtered twin, completing
+    * the serve-quality pair with [[ragRecallEval]] (recall counts WHAT
+    * was found; nDCG grades WHERE it landed): the retrieved list
+    * scored with graded relevance rel = k+1 − exact-scoped-rank,
+    * positions discounted by log2(rank+1), normalized by the ideal
+    * ordering — 1.0 iff the index reproduces the scoped exact ORDER.
+    * Same float-cast discounted-sum discipline as ndcgEval (5-term
+    * double sums cast to float so partial-agg order cannot move a
+    * bit); truth/idcg frames sit above aggregates, so they broadcast
+    * EXPLICITLY (no Catalyst size estimate — the rag_recall_eval
+    * lesson). */
+  def ragNdcgEval(spark: SparkSession, dir: String, k: Int = K,
+                  corpusMod: Int = 5, maxQid: Int = 50): DataFrame = {
+    val all = emb(spark, dir)
+    val corpus = all.filter(col("vec_id") % corpusMod =!= 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("label").as("lab"))
+    val q = all.filter(col("vec_id") % corpusMod === 0 &&
+        col("vec_id") < maxQid)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("scope"))
+    val truth = corpus.join(broadcast(q), col("lab") === col("scope"))
+      .select(col("qid"), col("cid"),
+        cosine_sim(col("qe"), col("ce")).as("cos"))
+      .groupBy(col("qid"))
+      .agg(top_k_by_score(col("cos"), col("cid"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("trk"),
+        col("col.id").as("cid"))
+      .withColumn("rel", (lit(k + 1) - col("trk")).cast("bigint"))
+    val approx = ragRetrieveTopK(spark, dir)
+      .select(col("qid"), col("rk"), col("cid"))
+    val dcg = approx
+      .join(broadcast(truth.select(col("qid"), col("cid"), col("rel"))),
+        Seq("qid", "cid"), "left_outer")
+      .groupBy(col("qid"))
+      .agg(sum(when(col("rel").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+        sum(coalesce(col("rel"), lit(0L)).cast("double")
+          / log2(col("rk") + 1)).cast("float").cast("double").as("dcg"))
+    val idcg = truth.groupBy(col("qid"))
+      .agg(sum(col("rel").cast("double") / log2(col("trk") + 1))
+        .cast("float").cast("double").as("idcg"))
+    dcg.join(broadcast(idcg), Seq("qid"))
+      .select(col("qid"), col("n_hit"),
+        (floor(col("dcg") / col("idcg") * 10000.0 + 0.5) / 10000.0)
+          .as("ndcg"))
+      .orderBy(col("qid"))
+  }
+
   /** The IVF-PQ pipeline over an explicit codebook (see [[ivfPqTopK]]
     * for the stage-by-stage scale posture). */
   private def ivfPqTopKWith(e: DataFrame, cb: DataFrame, k: Int,

@@ -64,11 +64,13 @@ class PruningSpec extends AnyFunSuite {
     // joins + max_by partial aggs over queries x k frames
     // rag_context_pack: inherits the same through its rag_mmr_rerank
     // input; the pack itself is one broadcast join + one window
-    // rag_recall_eval: inherits the retrieval crosses; the truth arm is
-    // a label-keyed broadcast HASH join + k-heap, eval joins output-sized
+    // rag_recall_eval / rag_ndcg_eval: inherit the retrieval crosses;
+    // the truth arm is a label-keyed broadcast HASH join + k-heap,
+    // eval joins output-sized
     val nlAllowed = Set("ann_brute_topk", "ann_ivf_topk", "ann_ivfpq_topk",
       "ann_ivfpq_trained", "ann_index_persist", "rag_retrieve_topk",
       "rag_mmr_rerank", "rag_context_pack", "rag_recall_eval",
+      "rag_ndcg_eval",
       "geo_nearest_poi", "geo_area_assign", "geo_route_nearest",
       "emb_cluster_assign", "emb_kmeans", "q31_range_lookup",
       "geo_eta_matrix", "text_tfidf", "text_xentropy", "emb_neardup_lsh",

@@ -665,6 +665,54 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.8)
   }
 
+  test("rag ndcg eval: equals in-memory graded-relevance recompute; order sensitivity real") {
+    val all = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val corpus = all.filter(_._1 % 5 != 0)
+    val queries = all.filter(t => t._1 % 5 == 0 && t._1 < 50)
+    val k = Similarity.K
+    // scoped exact ranking -> graded relevance
+    val rels = queries.map { case (qid, qv, lab) =>
+      qid -> corpus.filter(_._3 == lab)
+        .map(c => (c._1, cos(qv, c._2)))
+        .sortBy(t => (-t._2, t._1)).take(k).zipWithIndex
+        .map { case ((cid, _), i) => cid -> (k - i).toLong }.toMap
+    }.toMap
+    val retrieved = Similarity.ragRetrieveTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val rows = Similarity.ragNdcgEval(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == queries.map(_._1).sorted.toSeq)
+    def log2(x: Double): Double = math.log(x) / math.log(2.0)
+    rows.foreach { r =>
+      val qid = r.getLong(0)
+      val mine = retrieved.filter(_._1 == qid).sortBy(_._2)
+      val nHit = mine.count(m => rels(qid).contains(m._3))
+      val dcg = mine.map { case (_, rk, cid) =>
+        rels(qid).getOrElse(cid, 0L).toDouble / log2(rk + 1.0) }
+        .sum.toFloat.toDouble
+      val idcg = rels(qid).values.toSeq.sorted.reverse.zipWithIndex
+        .map { case (rel, i) => rel.toDouble / log2(i + 2.0) }
+        .sum.toFloat.toDouble
+      assert(r.getLong(1) == nHit.toLong, s"q $qid n_hit")
+      assert(r.getDouble(2) ==
+        math.floor(dcg / idcg * 10000.0 + 0.5) / 10000.0, s"q $qid ndcg")
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+    // the grade is order-sensitive for real: some query retrieves all
+    // true neighbors (recall 1) yet ndcg < 1 (wrong order), or misses
+    // some (ndcg necessarily < 1) — either way not all-1.0
+    assert(rows.exists(_.getDouble(2) < 1.0),
+      "every ndcg is 1.0 — the eval cannot see ranking error here")
+  }
+
   test("semantic communities: equals in-memory LPA over the mutual-kNN graph") {
     val rows = Similarity.semanticCommunities(spark, sf).collect()
     val n = Tables.embeddings(spark, sf).count()
