@@ -2017,10 +2017,20 @@ object Similarity {
       .select(col("qid"), col("cid"), col("cos_sim").as("rel"))
     val ce = emb(spark, dir)
       .select(col("vec_id").as("cid"), col("embedding"))
-    // one corpus scan, pruned by the broadcast retrieved list
+    // one corpus scan, pruned by the broadcast retrieved list; the
+    // result is a queries x k frame (dozens of rows at any corpus
+    // size), so it REPARTITIONS to one partition before the checkpoint
+    // (repartition, not coalesce — coalesce(1) would collapse the
+    // corpus scan itself to a single task) so every downstream greedy
+    // round runs single-task instead of paying 32-partition scheduling
+    // per stage
     val cand = ce.join(broadcast(retrieved), Seq("cid"))
       .select(col("qid"), col("cid"), col("rel"), col("embedding"))
+      .repartition(1)
       .localCheckpoint()
+    // no checkpoint: sims derives from the checkpointed cand blocks in
+    // one cheap self-join, so per-round re-evaluation never re-runs
+    // the retrieval chain
     val sims = cand.select(col("qid"), col("cid").as("ca"),
         col("embedding").as("ea"))
       .join(cand.select(col("qid"), col("cid").as("cb"),
@@ -2028,9 +2038,13 @@ object Similarity {
       .filter(col("ca") =!= col("cb"))
       .select(col("qid"), col("ca"), col("cb"),
         round(cosine_sim(col("ea"), col("eb")), 4).as("sim"))
-      .localCheckpoint()
     val relOnly = cand.select(col("qid"), col("cid"), col("rel"))
-    // round 1: pure relevance (empty selected set, zero penalty)
+    // round 1: pure relevance (empty selected set, zero penalty).
+    // Each round's state CHECKPOINTS (the centrality loop discipline):
+    // a round references the prior selected frame twice (penalty join +
+    // anti join), so an unbroken lineage doubles the re-evaluated plan
+    // per round — measured 0.33/0.99/1.86 s across rounds 1-3 before
+    // the cut, flat ~0.3 s after
     var selected = relOnly
       .withColumn("score", lit(lam) * col("rel"))
       .groupBy(col("qid"))
@@ -2038,6 +2052,7 @@ object Similarity {
         struct(col("score"), lit(0L) - col("cid"))).as("p"))
       .select(col("qid"), lit(1).as("sel_rk"), col("p.cid").as("cid"),
         col("p.rel").as("rel"), col("p.score").as("score"))
+      .localCheckpoint()
     for (r <- 2 to kSel) {
       val ms = sims.join(selected.select(col("qid"), col("cid").as("cb")),
           Seq("qid", "cb"))
@@ -2054,7 +2069,9 @@ object Similarity {
           struct(col("score"), lit(0L) - col("cid"))).as("p"))
         .select(col("qid"), lit(r).as("sel_rk"), col("p.cid").as("cid"),
           col("p.rel").as("rel"), col("p.score").as("score"))
-      selected = selected.unionByName(pick)
+      val next = selected.unionByName(pick).localCheckpoint()
+      SparkBridge.unpersistCheckpoint(selected)
+      selected = SparkBridge.dropOriginStats(next)
     }
     val out = selected.select(col("qid"), col("sel_rk"), col("cid"),
         col("rel"),
@@ -2062,7 +2079,7 @@ object Similarity {
       .orderBy(col("qid"), col("sel_rk"))
       .localCheckpoint()
     SparkBridge.unpersistCheckpoint(cand)
-    SparkBridge.unpersistCheckpoint(sims)
+    SparkBridge.unpersistCheckpoint(selected)
     out
   }
 
