@@ -247,6 +247,7 @@ object SparkEntry {
     "sketch_quantiles" -> ((s, d) => Sketches.valueQuantilesChecked(s, d)),
     "sketch_heavy_hitters" -> ((s, d) => Sketches.heavyHitters(s, d)),
     "sketch_priority_sample" -> ((s, d) => Sketches.prioritySample(s, d)),
+    "sketch_bottomk_sample" -> ((s, d) => Sketches.bottomkSample(s, d)),
     "sketch_weighted_quantiles" ->
       ((s, d) => Sketches.weightedQuantiles(s, d)),
     "sketch_countmin" -> ((s, d) => Sketches.countMin(s, d)),
@@ -3577,6 +3578,10 @@ object SparkEntry {
     // aggregate's keep order == (priority DESC, event_id)
     "sketch_priority_sample" ->
       operators.Sketches.prioritySampleOracle(),
+    // bottom-k (KMV) sample: same exact LCG uniforms, ranked (u ASC,
+    // event_id) == the heap keep order under the negated score
+    "sketch_bottomk_sample" ->
+      operators.Sketches.bottomkSampleOracle(),
     // exact weighted quantiles: integer threshold rule over the value
     // histogram, no division anywhere
     "sketch_weighted_quantiles" ->

@@ -613,4 +613,70 @@ object Sketches {
          greatest(value, coalesce((SELECT priority FROM rkd
            WHERE rk = ${k + 1}), CAST(0 AS DOUBLE))) AS est_weight
        FROM rkd WHERE rk <= $k ORDER BY rk"""
+
+  /** BOTTOM-K (KMV) SAMPLE per stratum — the mergeable UNIFORM-sample
+    * sketch ([[prioritySample]]'s unweighted sibling, Bar-Yossef et
+    * al. 2002): per event type, the k events with the SMALLEST
+    * deterministic hash form (a) a uniform fixed-size sample whose
+    * bottom-k property makes it mergeable (bottom-k of a union is the
+    * merge of bottom-ks — shards combine without resampling), and (b)
+    * a cardinality estimator: with hashes uniform on (0,1], the k-th
+    * smallest value h_k estimates distinct-keys ≈ (k−1)/h_k. Here the
+    * hashed key is event_id (unique per event), so the estimate
+    * targets the per-type ROW count and the exact n_events column
+    * makes the error visible and spec-bounded.
+    *
+    * Determinism: the same mod-reduced LCG uniform as
+    * [[prioritySample]] (IEEE-exact, oracle recomputes bit-identical);
+    * a stratum with ≤ k rows samples everything and reports the EXACT
+    * count (h_k undefined → coalesce, the τ-guard discipline). Scale
+    * shape: hash map-side, per-type k-bounded heap (numPartitions × k
+    * rows move), estimator arithmetic on the types-sized agg. */
+  def bottomkSample(spark: SparkSession, dir: String, k: Int = 64)
+      : DataFrame = {
+    import graft.functions.TopK.top_k_by_score
+    val u = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"))
+      .withColumn("u",
+        (((col("event_id") % 2147483648L) * 1103515245L + 12345L)
+          % 2147483647L + 1L).cast("double") / 2147483648.0)
+    u.groupBy(col("event_type"))
+      .agg(top_k_by_score(lit(0.0) - col("u"), col("event_id"), k)
+        .as("top"), count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("n_events"),
+        when(size(col("top")) === k,
+          lit(0.0) - element_at(col("top"), k).getField("score"))
+          .as("kth_u"),
+        posexplode(col("top")))
+      .select(col("event_type"),
+        (col("pos") + 1).cast("int").as("rk"),
+        col("col.id").as("event_id"),
+        (lit(0.0) - col("col.score")).as("u"),
+        coalesce(lit((k - 1).toDouble) / col("kth_u"),
+          col("n_events").cast("double")).as("est_distinct"),
+        col("n_events"))
+      .orderBy(col("event_type"), col("rk"))
+  }
+
+  /** DuckDB restatement of [[bottomkSample]]: the same LCG uniform
+    * ranked (u ASC, event_id) — the heap's keep order under the
+    * negated score — with the k-th value left-joined back and the
+    * under-full-stratum estimate coalesced to the exact count. */
+  def bottomkSampleOracle(k: Int = 64): String =
+    s"""WITH u AS (SELECT event_type, event_id,
+           CAST(((event_id % 2147483648) * 1103515245 + 12345)
+             % 2147483647 + 1 AS DOUBLE) / 2147483648.0 AS u
+         FROM events),
+       rkd AS (SELECT *, row_number() OVER (PARTITION BY event_type
+           ORDER BY u, event_id) AS rk FROM u),
+       kth AS (SELECT event_type, u AS kth_u FROM rkd WHERE rk = $k),
+       n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+         FROM u GROUP BY event_type)
+       SELECT r.event_type, CAST(r.rk AS INT) AS rk, r.event_id, r.u,
+         coalesce(CAST(${k - 1} AS DOUBLE) / kth.kth_u,
+           CAST(n.n_events AS DOUBLE)) AS est_distinct,
+         n.n_events
+       FROM rkd r JOIN n USING (event_type)
+       LEFT JOIN kth ON kth.event_type = r.event_type
+       WHERE r.rk <= $k ORDER BY r.event_type, r.rk"""
 }

@@ -252,4 +252,51 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("bottom-k sample: exact recompute, mergeable, estimator bounded, under-full exact") {
+    val k = 64
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def u(id: Long): Double =
+      (((id % 2147483648L) * 1103515245L + 12345L) % 2147483647L + 1L)
+        .toDouble / 2147483648.0
+    val byType = ev.groupBy(_._1)
+    val out = Sketches.bottomkSample(spark, sf).collect()
+    byType.foreach { case (t, rows) =>
+      val sorted = rows.map(r => (u(r._2), r._2)).sortBy(identity).take(k)
+      val gotT = out.filter(_.getString(0) == t).sortBy(_.getInt(1))
+      assert(gotT.length == math.min(k, rows.length), s"$t sample size")
+      gotT.zip(sorted).zipWithIndex.foreach { case ((g, (uu, id)), i) =>
+        assert(g.getInt(1) == i + 1 && g.getLong(2) == id &&
+          g.getDouble(3) == uu, s"$t rank ${i + 1}")
+      }
+      val n = rows.length
+      val want = if (n <= k) n.toDouble else (k - 1).toDouble / sorted(k - 1)._1
+      gotT.foreach { g =>
+        assert(g.getDouble(4) == want, s"$t est")
+        assert(g.getLong(5) == n.toLong, s"$t n_events")
+      }
+      val relErr = math.abs(want - n) / n
+      info(f"$t: est $want%.1f vs exact $n (rel err $relErr%.3f)")
+      // KMV standard error ~ 1/sqrt(k-2) ~ 0.13 at k=64; 3x bound
+      assert(relErr < 0.39, s"$t estimator escaped its 3-sigma bound")
+    }
+    // MERGEABILITY — the property that makes bottom-k a sketch: the
+    // union's bottom-k equals the merge of per-shard bottom-ks
+    byType.foreach { case (t, rows) =>
+      def bk(ids: Seq[Long]) = ids.map(id => (u(id), id)).sorted.take(k)
+      val (a, b) = rows.map(_._2).toSeq.partition(_ % 2 == 0)
+      assert((bk(a) ++ bk(b)).sorted.take(k) == bk(rows.map(_._2).toSeq),
+        s"$t bottom-k not mergeable")
+    }
+    // BOUNDARY: k above every stratum size -> everything sampled, the
+    // estimate coalesces to the exact count
+    val all = Sketches.bottomkSample(spark, sf, k = ev.length + 10)
+      .collect()
+    assert(all.length == ev.length, "k >= n samples everything")
+    all.foreach { r =>
+      assert(r.getDouble(4) == r.getLong(5).toDouble,
+        "under-full stratum must report the exact count") }
+  }
+
 }
