@@ -301,6 +301,8 @@ object SparkEntry {
     "stream_topk_window" -> (graft.streaming.EventStreams.topkPerWindowBatch _),
     "stream_sample_window" ->
       (graft.streaming.EventStreams.sampleWindowBatch _),
+    "stream_bottomk_window" ->
+      (graft.streaming.EventStreams.bottomkWindowBatch _),
     // oracle-checked since r5: per-window within-error-contract verdicts
     "stream_sketch_window" -> (graft.streaming.EventStreams.sketchWindowChecked _),
     "stream_interval_outer" ->
@@ -3871,6 +3873,28 @@ object SparkEntry {
            AS est_weight
        FROM rkd r JOIN tau t USING (window_start) WHERE r.rk <= 4
        ORDER BY r.window_start, r.rk""",
+    // windowed bottom-k (KMV) sample: the batch restatement — same LCG
+    // uniform ranked (u ASC, event_id), per-window k-th value joined
+    // back, under-full windows coalescing to the exact count
+    "stream_bottomk_window" ->
+      """WITH u AS (SELECT event_id, ts,
+           CAST(((event_id % 2147483648) * 1103515245 + 12345)
+             % 2147483647 + 1 AS DOUBLE) / 2147483648.0 AS u
+         FROM events),
+       w AS (SELECT date_trunc('hour', ts) AS window_start, event_id, u
+         FROM u),
+       rkd AS (SELECT *, row_number() OVER (PARTITION BY window_start
+           ORDER BY u, event_id) AS rk FROM w),
+       kth AS (SELECT window_start, u AS kth_u FROM rkd WHERE rk = 4),
+       n AS (SELECT window_start, CAST(count(*) AS BIGINT) AS n_events
+         FROM w GROUP BY window_start)
+       SELECT r.window_start, CAST(r.rk AS INT) AS rk, r.event_id, r.u,
+         coalesce(CAST(3 AS DOUBLE) / kth.kth_u,
+           CAST(n.n_events AS DOUBLE)) AS est_events,
+         n.n_events
+       FROM rkd r JOIN n USING (window_start)
+       LEFT JOIN kth USING (window_start)
+       WHERE r.rk <= 4 ORDER BY r.window_start, r.rk""",
     "stream_topk_window" ->
       """SELECT window_start, rk, event_id, value FROM (
            SELECT date_trunc('hour', ts) AS window_start, event_id, value,

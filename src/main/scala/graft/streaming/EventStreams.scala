@@ -317,6 +317,46 @@ object EventStreams {
   def sampleWindowStream(events: DataFrame, k: Int = 4): DataFrame =
     sampleWindow(events.withWatermark("ts", Watermark), k)
 
+  /** BOTTOM-K (KMV) SAMPLE inside streaming state —
+    * [[graft.operators.Sketches.bottomkSample]] per tumbling window:
+    * the mergeable-sample property IS what makes it a streaming
+    * sketch (each micro-batch's bottom-k merges into the standing
+    * per-window bottom-k without resampling — the k-bounded heap is
+    * the state, never the event list). Same mod-reduced LCG uniform,
+    * so batch == stream bit-identically and the oracle restates the
+    * batch form; the k-th smallest hash estimates the window's event
+    * count ((k−1)/h_k), exact for windows at or under k events (the
+    * [[sampleWindow]] τ-guard discipline). */
+  def bottomkWindow(events: DataFrame, k: Int = 4): DataFrame = {
+    val u = events.select(col("event_id"), col("ts"))
+      .withColumn("u",
+        (((col("event_id") % 2147483648L) * 1103515245L + 12345L)
+          % 2147483647L + 1L).cast("double") / 2147483648.0)
+    u.groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.TopK.top_k_by_score(
+        lit(0.0) - col("u"), col("event_id"), k).as("top"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("n_events"),
+        when(size(col("top")) === k,
+          lit(0.0) - element_at(col("top"), k).getField("score"))
+          .as("kth_u"),
+        posexplode(col("top")))
+      .select(col("window_start"),
+        (col("pos") + 1).cast("int").as("rk"),
+        col("col.id").as("event_id"),
+        (lit(0.0) - col("col.score")).as("u"),
+        coalesce(lit((k - 1).toDouble) / col("kth_u"),
+          col("n_events").cast("double")).as("est_events"),
+        col("n_events"))
+  }
+
+  def bottomkWindowBatch(spark: SparkSession, dir: String): DataFrame =
+    bottomkWindow(Tables.events(spark, dir))
+      .orderBy(col("window_start"), col("rk"))
+
+  def bottomkWindowStream(events: DataFrame, k: Int = 4): DataFrame =
+    bottomkWindow(events.withWatermark("ts", Watermark), k)
+
   /** Sketches INSIDE streaming state: per tumbling window and event
     * type, HLL++ distinct users and mergeable approximate value
     * quantiles. Both aggregates keep fixed-size buffers in the state

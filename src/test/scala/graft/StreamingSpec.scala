@@ -316,6 +316,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(sorted.toSeq == batch)
   }
 
+  test("bottom-k window: equals in-memory recompute; stream merges micro-batches to the same sample") {
+    import spark.implicits._
+    // six events in hour one (> k = 4, so the heap cuts and the KMV
+    // estimate engages), two in hour two (under-full: exact count)
+    val evs = Seq(Ev(1, t(1), 1, "m", 5.0), Ev(2, t(2), 1, "m", 9.0),
+      Ev(3, t(3), 2, "m", 7.0), Ev(4, t(4), 2, "m", 1.0),
+      Ev(5, t(10), 1, "m", 4.0), Ev(6, t(20), 2, "m", 8.0),
+      Ev(7, t(65), 1, "m", 4.0), Ev(8, t(70), 2, "m", 2.0))
+    val batch = EventStreams.bottomkWindow(evs.toDF())
+      .orderBy("window_start", "rk").collect().map(_.toSeq).toSeq
+    def u(id: Long): Double =
+      (((id % 2147483648L) * 1103515245L + 12345L) % 2147483647L + 1L)
+        .toDouble / 2147483648.0
+    // in-memory recompute per window
+    val h1 = evs.take(6).map(e => (u(e.event_id), e.event_id)).sorted
+    val h2 = evs.drop(6).map(e => (u(e.event_id), e.event_id)).sorted
+    val wantH1 = h1.take(4).zipWithIndex.map { case ((uu, id), i) =>
+      (i + 1, id, uu, 3.0 / h1(3)._1, 6L) }
+    val wantH2 = h2.zipWithIndex.map { case ((uu, id), i) =>
+      (i + 1, id, uu, 2.0, 2L) }
+    val got = batch.map(r => (r(1).asInstanceOf[Int], r(2).asInstanceOf[Long],
+      r(3).asInstanceOf[Double], r(4).asInstanceOf[Double],
+      r(5).asInstanceOf[Long]))
+    assert(got.toList == (wantH1 ++ wantH2).toList,
+      s"bottom-k recompute mismatch: $got")
+    // STREAM: split MID-hour-one so the standing window state must
+    // MERGE two micro-batches' bottom-ks — the sketch property live
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(evs.take(3): _*)
+    val q = EventStreams.bottomkWindowStream(mem.toDF())
+      .writeStream.format("memory").queryName("bottomkw")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    mem.addData(evs.drop(3): _*)
+    q.processAllAvailable(); q.stop()
+    val sorted = spark.table("bottomkw").collect().map(_.toSeq).sortBy(r =>
+      (r(0).asInstanceOf[java.sql.Timestamp].getTime, r(1).asInstanceOf[Int]))
+    assert(sorted.toSeq == batch, "merged stream state != batch bottom-k")
+  }
+
   test("interval join: streaming pairs equal the batch join's pairs") {
     import spark.implicits._
     val purchases = Seq(Ev(10, t(20), 1, "purchase", 9.0),
