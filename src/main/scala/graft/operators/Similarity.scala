@@ -1922,24 +1922,35 @@ object Similarity {
     // 20 ids at corpusMod = 5 — query ids are never centroids)
     val seeds = corpus.filter(col("vec_id") < seedIdMax)
       .select(col("vec_id").as("cluster_id"), col("embedding").as("se"))
-    val cells = assignToSeeds(ce, seeds)
-      .select(col("vec_id").as("cid"), col("cluster_id").as("cell"))
+    // the WHOLE serving index persists — cells + PQ codes + labels —
+    // not just the codebook: a production vector store pays coarse
+    // assignment and PQ encoding once per corpus version, never per
+    // query batch (all-integer columns, so the parquet round-trip is
+    // exact and cold == warm bit-identically; written DISTRIBUTED,
+    // the kNN-graph-artifact discipline — corpus-sized, never
+    // coalesced). The key adds seedIdMax: cells depend on the seed
+    // set, and an index must never be addressed by a key that omits
+    // anything that shaped it.
+    val idxKey = ModelStore.md5(s"ragidx|$fp|$corpusMod|$subspaces|" +
+      s"$subDim|$seedMod|$trainRounds|$seedIdMax")
     val codeCols = (0 until subspaces).map(i =>
       min(when(col("m") === i, col("code"))).as(s"code_$i"))
-    val codes = pqAssignWith(ce, cb, subspaces, subDim)
-      .groupBy(col("vec_id").as("cid"))
-      .agg(codeCols.head, codeCols.tail: _*)
-      .join(cells.hint("shuffle_hash"), Seq("cid"))
-      .join(corpus.select(col("vec_id").as("cid"), col("label").as("lab"))
-        .hint("shuffle_hash"), Seq("cid"))
-    // (cell, label) member counts: corpus-sized agg to a cells-x-labels
-    // frame — the scope-density statistics the probe widening reads
-    val scopeStats = cells
-      .join(corpus.select(col("vec_id").as("cid"), col("label").as("slab"))
-        .hint("shuffle_hash"), Seq("cid"))
-      .groupBy(col("cell"), col("slab"))
+    val codes = ModelStore.getOrFit(spark, s"ragidx_v1_$idxKey") {
+      val cells = assignToSeeds(ce, seeds)
+        .select(col("vec_id").as("cid"), col("cluster_id").as("cell"))
+      pqAssignWith(ce, cb, subspaces, subDim)
+        .groupBy(col("vec_id").as("cid"))
+        .agg(codeCols.head, codeCols.tail: _*)
+        .join(cells.hint("shuffle_hash"), Seq("cid"))
+        .join(corpus.select(col("vec_id").as("cid"),
+          col("label").as("lab")).hint("shuffle_hash"), Seq("cid"))
+    }
+    // (cell, label) member counts: an index-sized agg to a
+    // cells-x-labels frame — the scope-density statistics the probe
+    // widening reads, derived from the persisted index itself
+    val scopeStats = codes
+      .groupBy(col("cell").as("scell"), col("lab").as("slab"))
       .agg(count(lit(1)).as("members"))
-      .withColumnRenamed("cell", "scell")
     val pw = Window.partitionBy(col("qid"))
       .orderBy(col("_c").desc, col("cell"))
     // probe scope-bearing cells in cosine order until the scoped

@@ -554,6 +554,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "scoped probe must hash-join")
   }
 
+  test("rag index artifact: cold fit == warm read bit-identically") {
+    import graft.sources.ModelStore
+    val fp = ModelStore.corpusFingerprint(spark, s"$sf/embeddings.parquet")
+    val cbName = s"ragcb_v1_${ModelStore.md5(s"rag|$fp|5|4|16|31|1")}"
+    val idxName = s"ragidx_v1_${ModelStore.md5(s"ragidx|$fp|5|4|16|31|1|20")}"
+    val hc = spark.sparkContext.hadoopConfiguration
+    Seq(cbName, idxName).foreach { n =>
+      val p = new org.apache.hadoop.fs.Path(ModelStore.artifactPath(spark, n))
+      p.getFileSystem(hc).delete(p, true)
+    }
+    val cold = Similarity.ragRetrieveTopK(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(ModelStore.isFitted(spark, cbName), "cold run must persist the codebook")
+    assert(ModelStore.isFitted(spark, idxName),
+      "cold run must persist the FULL index (cells + codes + labels)")
+    val warm = Similarity.ragRetrieveTopK(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(warm == cold,
+      "warm index read must serve byte-identical results to the cold fit")
+  }
+
   test("rag mmr rerank: equals the in-memory greedy MMR trajectory over the retrieved list") {
     val retrieved = Similarity.ragRetrieveTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
