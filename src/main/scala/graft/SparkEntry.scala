@@ -141,6 +141,7 @@ object SparkEntry {
     "rag_context_pack" -> ((s, d) => Similarity.ragContextPack(s, d)),
     "rag_recall_eval" -> ((s, d) => Similarity.ragRecallEval(s, d)),
     "rag_ndcg_eval" -> ((s, d) => Similarity.ragNdcgEval(s, d)),
+    "rag_index_refresh" -> ((s, d) => Similarity.ragIndexRefresh(s, d)),
     "ann_recall_eval" -> ((s, d) => Similarity.annRecallEval(s, d)),
     "ann_nprobe_sweep" -> ((s, d) => Similarity.nprobeSweep(s, d)),
     "ann_ndcg_eval" -> ((s, d) => Similarity.ndcgEval(s, d)),
@@ -683,6 +684,58 @@ object SparkEntry {
        SELECT d.qid, n_hit,
          floor(dcg / idcg * 10000.0 + 0.5) / 10000.0 AS ndcg
        FROM d JOIN g USING (qid) ORDER BY d.qid"""
+
+  /** rag_index_refresh: the arrival batch encoded against the
+    * BASE-trained codebook (the AnnIvfpqTrained codebook chain
+    * restricted to base rows) and the base coarse seeds — the
+    * returned delta is what the refresh appends to the index log. */
+  private val RagIndexRefreshOracle: String =
+    """WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+           FROM embeddings WHERE vec_id % 5 <> 0 AND vec_id % 5 <> 4),
+       arr AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+           FROM embeddings WHERE vec_id % 5 = 4),
+       bsub AS (SELECT vec_id, m,
+           list_slice(v, m * 16 + 1, m * 16 + 16) AS sub
+         FROM b, unnest([0, 1, 2, 3]) t(m)),
+       cb0 AS (SELECT vec_id AS sid, m, sub AS ssub FROM bsub
+         WHERE vec_id % 31 = 0),
+       tasg AS (SELECT vec_id, m, sub, sid FROM (
+           SELECT v.vec_id, v.m, v.sub, c.sid,
+             row_number() OVER (PARTITION BY v.vec_id, v.m
+               ORDER BY list_distance(v.sub, c.ssub), c.sid) AS rn
+           FROM bsub v JOIN cb0 c ON v.m = c.m) t WHERE rn = 1),
+       cb AS (SELECT m, sid,
+           list(CAST(CAST(va AS REAL) AS DOUBLE) ORDER BY pos) AS ssub
+         FROM (SELECT m, sid, i AS pos, avg(sub[i]) AS va
+           FROM tasg, LATERAL (SELECT unnest(generate_series(
+             1, len(sub))) AS i) t
+           GROUP BY m, sid, i) u GROUP BY m, sid),
+       asub AS (SELECT vec_id, m,
+           list_slice(v, m * 16 + 1, m * 16 + 16) AS sub
+         FROM arr, unnest([0, 1, 2, 3]) t(m)),
+       codes0 AS (SELECT vec_id, m, sid AS code FROM (
+           SELECT v.vec_id, v.m, sid,
+             row_number() OVER (PARTITION BY v.vec_id, v.m
+               ORDER BY list_distance(v.sub, cb.ssub), sid) AS rn
+           FROM asub v JOIN cb ON v.m = cb.m) t WHERE rn = 1),
+       seeds AS (SELECT vec_id AS cell, v AS sv FROM b
+         WHERE vec_id < 20),
+       cells AS (SELECT cid, cell FROM (
+           SELECT a.vec_id AS cid, s.cell,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(a.v, s.sv) DESC, s.cell)
+               AS rn
+           FROM arr a, seeds s) t WHERE rn = 1)
+       SELECT c.vec_id AS cid,
+         min(CASE WHEN m = 0 THEN code END) AS code_0,
+         min(CASE WHEN m = 1 THEN code END) AS code_1,
+         min(CASE WHEN m = 2 THEN code END) AS code_2,
+         min(CASE WHEN m = 3 THEN code END) AS code_3,
+         cells.cell, arr.label AS lab
+       FROM codes0 c JOIN cells ON cells.cid = c.vec_id
+       JOIN arr ON arr.vec_id = c.vec_id
+       GROUP BY c.vec_id, cells.cell, arr.label
+       ORDER BY cid"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -2507,6 +2560,7 @@ object SparkEntry {
     "rag_context_pack" -> RagContextPackOracle,
     "rag_recall_eval" -> RagRecallEvalOracle,
     "rag_ndcg_eval" -> RagNdcgEvalOracle,
+    "rag_index_refresh" -> RagIndexRefreshOracle,
     // index-health recall@k: both the exact truth and the IVF probe
     // restate in SQL (same CTEs as ann_brute/ann_ivf), so the per-query
     // hit counts — and therefore the recall the index would ship with —

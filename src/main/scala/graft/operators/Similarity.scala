@@ -2218,6 +2218,70 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** INDEX REFRESH — the serving-index LIFECYCLE step the fit-once
+    * family was missing: a batch of ARRIVING embeddings (vec_id % 5
+    * == 4, the [[emb_incremental]] arrival convention) is encoded
+    * against the STANDING base index — base-trained codebook, base
+    * coarse seeds — and appended to a VERSIONED index log
+    * ([[graft.sources.SnapshotLog]] under the model root: v0 = the
+    * base index, v1 = the delta), so a nightly embedding drop costs
+    * one arrivals-sized encode instead of a corpus re-encode, readers
+    * pinned to v0 keep serving the old index mid-refresh, and the
+    * refresh is IDEMPOTENT (a rerun never duplicates the delta —
+    * spec-pinned, with read-back == base ∪ delta and v0 time-travel
+    * == base exactly). Returns the encoded delta (all-integer
+    * columns + the label scope). The codebook is NOT retrained on
+    * deltas — the production behavior: PQ retraining happens at
+    * corpus-version boundaries, not per drop.
+    *
+    * Scale shape: encoding is map-side against the broadcast
+    * codebook/seeds (arrivals × codebook work, corpus never
+    * rescanned); the log append writes one arrivals-sized segment and
+    * carries the base segment BY REFERENCE. SnapshotLog's pointer
+    * files are java.nio-local — the model root must be a local path
+    * for this operator (the documented SnapshotLog posture). */
+  def ragIndexRefresh(spark: SparkSession, dir: String,
+                      subspaces: Int = 4, subDim: Int = 16,
+                      seedMod: Int = 31, trainRounds: Int = 1,
+                      seedIdMax: Int = 20): DataFrame = {
+    import graft.sources.{ModelStore, SnapshotLog}
+    val all = emb(spark, dir)
+    val base = all.filter(col("vec_id") % 5 =!= 0 && col("vec_id") % 5 =!= 4)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val arrivals = all.filter(col("vec_id") % 5 === 4)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val be = base.select(col("vec_id"), col("embedding"))
+    val fp = ModelStore.corpusFingerprint(spark, s"$dir/embeddings.parquet")
+    val key = ModelStore.md5(
+      s"ragbase|$fp|$subspaces|$subDim|$seedMod|$trainRounds|$seedIdMax")
+    val cb = ModelStore.getOrFit(spark, s"ragbasecb_v1_$key") {
+      trainedCodebook(be, subspaces, subDim, seedMod, trainRounds)
+        .coalesce(1)
+    }.select(col("m"), col("sid"), col("ssub"))
+    val seeds = base.filter(col("vec_id") < seedIdMax)
+      .select(col("vec_id").as("cluster_id"), col("embedding").as("se"))
+    def encode(rows: DataFrame): DataFrame = {
+      val e = rows.select(col("vec_id"), col("embedding"))
+      val cells = assignToSeeds(e, seeds)
+        .select(col("vec_id").as("cid"), col("cluster_id").as("cell"))
+      val codeCols = (0 until subspaces).map(i =>
+        min(when(col("m") === i, col("code"))).as(s"code_$i"))
+      pqAssignWith(e, cb, subspaces, subDim)
+        .groupBy(col("vec_id").as("cid"))
+        .agg(codeCols.head, codeCols.tail: _*)
+        .join(cells.hint("shuffle_hash"), Seq("cid"))
+        .join(rows.select(col("vec_id").as("cid"), col("label").as("lab"))
+          .hint("shuffle_hash"), Seq("cid"))
+    }
+    val logPath = ModelStore.root(spark).stripPrefix("file:") +
+      s"/ragidxlog_v1_$key"
+    if (SnapshotLog.latestVersion(logPath).isEmpty)
+      SnapshotLog.create(spark, encode(base), logPath, "cid")
+    if (SnapshotLog.latestVersion(logPath).contains(0))
+      SnapshotLog.append(spark, encode(arrivals), logPath, "cid")
+    encode(arrivals).orderBy(col("cid"))
+  }
+
   /** The IVF-PQ pipeline over an explicit codebook (see [[ivfPqTopK]]
     * for the stage-by-stage scale posture). */
   private def ivfPqTopKWith(e: DataFrame, cb: DataFrame, k: Int,

@@ -67,10 +67,12 @@ class PruningSpec extends AnyFunSuite {
     // rag_recall_eval / rag_ndcg_eval: inherit the retrieval crosses;
     // the truth arm is a label-keyed broadcast HASH join + k-heap,
     // eval joins output-sized
+    // rag_index_refresh: the arrivals x base-seeds coarse-assignment
+    // cross (the emb_cluster_assign declared shape) over the delta
     val nlAllowed = Set("ann_brute_topk", "ann_ivf_topk", "ann_ivfpq_topk",
       "ann_ivfpq_trained", "ann_index_persist", "rag_retrieve_topk",
       "rag_mmr_rerank", "rag_context_pack", "rag_recall_eval",
-      "rag_ndcg_eval",
+      "rag_ndcg_eval", "rag_index_refresh",
       "geo_nearest_poi", "geo_area_assign", "geo_route_nearest",
       "emb_cluster_assign", "emb_kmeans", "q31_range_lookup",
       "geo_eta_matrix", "text_tfidf", "text_xentropy", "emb_neardup_lsh",

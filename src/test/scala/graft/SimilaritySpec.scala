@@ -575,6 +575,43 @@ class SimilaritySpec extends AnyFunSuite {
       "warm index read must serve byte-identical results to the cold fit")
   }
 
+  test("rag index refresh: versioned log lifecycle — v0 base, v1 adds the delta, idempotent") {
+    import graft.sources.{ModelStore, SnapshotLog}
+    val fp = ModelStore.corpusFingerprint(spark, s"$sf/embeddings.parquet")
+    val key = ModelStore.md5(s"ragbase|$fp|4|16|31|1|20")
+    val logPath = ModelStore.root(spark).stripPrefix("file:") +
+      s"/ragidxlog_v1_$key"
+    // fresh lifecycle: wipe the log and the base codebook artifact
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(logPath))
+    val cbp = new org.apache.hadoop.fs.Path(
+      ModelStore.artifactPath(spark, s"ragbasecb_v1_$key"))
+    cbp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(cbp, true)
+    val delta = Similarity.ragIndexRefresh(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(delta.nonEmpty &&
+      delta.forall(_.head.asInstanceOf[Long] % 5 == 4),
+      "the delta is exactly the arrival batch")
+    // versioned reads: v0 time-travel = the base index only; latest =
+    // base ∪ delta, with the delta rows byte-equal to the returned frame
+    assert(SnapshotLog.latestVersion(logPath).contains(1),
+      "refresh commits exactly one delta version")
+    val v0 = SnapshotLog.read(spark, logPath, Some(0))
+      .collect().map(_.toSeq).toSet
+    val v1 = SnapshotLog.read(spark, logPath).collect().map(_.toSeq).toSet
+    assert(v0.forall { r =>
+      val m = r.head.asInstanceOf[Long] % 5; m != 0 && m != 4 },
+      "v0 must hold only base rows")
+    assert(v1 == v0 ++ delta,
+      "latest must read base ∪ delta, nothing rewritten")
+    // a reader pinned to v0 mid-refresh still serves the old index
+    assert((v1 -- v0) == delta)
+    // IDEMPOTENT: a rerun appends nothing and returns the same delta
+    val delta2 = Similarity.ragIndexRefresh(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(delta2 == delta && SnapshotLog.latestVersion(logPath).contains(1),
+      "a refresh rerun must not duplicate the delta")
+  }
+
   test("rag mmr rerank: equals the in-memory greedy MMR trajectory over the retrieved list") {
     val retrieved = Similarity.ragRetrieveTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
