@@ -191,7 +191,14 @@ object Accessibility {
     // rebuild-under-pressure costs).
     val near = topk(o, firstRadiusDeg)
     val resolved = near.filter(size(col("top")) === k)
-    val unresolved = o.join(resolved.select(col("c_custkey")),
+    // shuffle-HASH anti join: resolved sits above an aggregate (no
+    // size estimate) and at scale BOTH sides are origin-sized, so the
+    // planner's stats-blind fallback is a sort-merge join — the hint
+    // keeps the partition-wise hash plan (narrow key-only build side,
+    // no sort) at every scale; sf0.001 plans were too small to show
+    // the flip, the sf0.1 plan gate caught it
+    val unresolved = o.join(
+      resolved.select(col("c_custkey")).hint("shuffle_hash"),
       Seq("c_custkey"), "left_anti")
     resolved.unionByName(topk(unresolved, MaxReachDeg))
       .select(col("c_custkey"), posexplode(col("top")))

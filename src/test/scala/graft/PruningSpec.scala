@@ -20,8 +20,12 @@ class PruningSpec extends AnyFunSuite {
     assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), scan)
   }
 
-  test("no query plans a cartesian product or sort-merge join, except the declared broadcast-NL cases") {
-    // broadcast nested-loop is the intended plan where a dimension-sized
+  // Allowlists shared by the sf0.001 and sf0.1 plan gates below — ONE
+  // adjudication record, checked at two data scales (a stats-driven
+  // join flip that only appears past the broadcast thresholds is
+  // invisible at spec scale; geo_knn's anti-join SMJ was exactly that).
+  //
+  // broadcast nested-loop is the intended plan where a dimension-sized
     // side is crossed against the big side on purpose: brute/IVF ANN
     // scoring (queries/seeds x candidates); geo_area_assign (polygon
     // containment has no equi key; the area table is broadcast);
@@ -251,21 +255,36 @@ class PruningSpec extends AnyFunSuite {
     // inheriting the declared mutuality-cut shuffle join
     val smjAllowed = Set("q26_full_outer", "ann_hybrid_rrf",
       "emb_mutual_knn", "emb_semantic_communities", "emb_centrality")
-    // Accumulate EVERY violation before asserting: a fail-fast gate let
-    // one missed allowlist entry shadow another for a full round (r11's
-    // ann_index_persist miss hid graph_degree_dist's until r12).
-    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+  // Accumulate EVERY violation before asserting: a fail-fast gate let
+  // one missed allowlist entry shadow another for a full round (r11's
+  // ann_index_persist miss hid graph_degree_dist's until r12).
+  private def planViolations(dir: String): Seq[String] =
+    SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
       Seq(
         if (plan.contains("CartesianProduct"))
           Some(s"$name plans a cartesian product") else None,
         if (!smjAllowed.contains(name) && plan.contains("SortMergeJoin"))
-          Some(s"$name plans a sort-merge join at test scale") else None,
+          Some(s"$name plans a sort-merge join") else None,
         if (!nlAllowed.contains(name) && plan.contains("BroadcastNestedLoopJoin"))
           Some(s"$name plans an unexpected broadcast nested-loop join") else None
       ).flatten
     }
+
+  test("no query plans a cartesian product or sort-merge join, except the declared broadcast-NL cases") {
+    val violations = planViolations(sf)
     assert(violations.isEmpty, s"${violations.size} plan-gate violations:\n" +
+      violations.mkString("\n"))
+  }
+
+  test("plan shapes hold at sf0.1 — stats-driven join flips surface here, not at spec scale") {
+    // the same whole-registry gate against 100x the data: past the
+    // broadcast thresholds the planner's stats-blind fallbacks appear
+    // (a post-aggregate join side has NO size estimate and falls to
+    // sort-merge — geo_knn's anti join did exactly that until hinted)
+    val violations = planViolations("/root/testdata/sf0.1")
+    assert(violations.isEmpty,
+      s"${violations.size} plan-gate violations at sf0.1:\n" +
       violations.mkString("\n"))
   }
 
