@@ -275,6 +275,7 @@ object SparkEntry {
     // F. perceptual dedup over REAL decoded pixels: dHash clusters must
     // equal the planted scene structure the oracle states closed-form
     "mm_dhash_dedup" -> (Multimodal.dhashDedup _),
+    "mm_entropy" -> (Multimodal.entropyStats _),
     // F. real 16-bit PCM decode (RIFF walk + int16 LE) — the oracle
     // restates the closed-form sample function, so the hash proves the
     // audio decode round-trip
@@ -4059,6 +4060,32 @@ object SparkEntry {
          SELECT i.doc_id, g.cluster_rep, CAST(g.n_dups AS BIGINT) AS n_dups,
            i.doc_id = g.cluster_rep AS survivor
          FROM img i JOIN g USING (scene) ORDER BY i.doc_id""",
+    // byte-histogram entropy: the closed-form pixel function re-binned
+    // in SQL; float-cast entropy sums absorb per-term log2 ulp noise
+    // and bin-order differences (the nDCG discipline)
+    "mm_entropy" ->
+      """WITH img AS (SELECT doc_id,
+           CAST(4 + doc_id % 13 AS BIGINT) AS width,
+           CAST(4 + doc_id % 11 AS BIGINT) AS height
+           FROM documents WHERE doc_id % 4 = 0),
+         px AS (SELECT doc_id, (doc_id * 31 + i * 7919) % 256 AS v
+           FROM img, LATERAL (SELECT unnest(generate_series(
+             0, width * height * 3 - 1)) AS i) t),
+         hist AS (SELECT doc_id, v, CAST(count(*) AS BIGINT) AS c
+           FROM px GROUP BY doc_id, v),
+         tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(max(c) AS BIGINT) AS cmax
+           FROM hist GROUP BY doc_id),
+         ent AS (SELECT h.doc_id,
+             CAST(CAST(-sum((c / CAST(n AS DOUBLE))
+               * log2(c / CAST(n AS DOUBLE))) AS FLOAT) AS DOUBLE) AS hf
+           FROM hist h JOIN tot USING (doc_id) GROUP BY h.doc_id)
+         SELECT t.doc_id, t.n AS n_bytes, t.n_distinct,
+           floor(ent.hf * 1e4 + 0.5) / 1e4 AS entropy,
+           floor(CAST(t.cmax AS DOUBLE) / t.n * 1e4 + 0.5) / 1e4
+             AS top_byte_share
+         FROM tot t JOIN ent USING (doc_id) ORDER BY t.doc_id""",
     "mm_pixel_stats" ->
       """WITH img AS (SELECT doc_id,
            CAST(4 + doc_id % 13 AS BIGINT) AS width,

@@ -33,6 +33,9 @@ case class MediaVerdict(doc_id: Long, kind: String, ok: Boolean,
 
 /** Per-channel pixel statistics of one decoded image (sums kept as
   * integers — no float accumulation order to disagree about). */
+case class MmEntropy(doc_id: Long, n_bytes: Long, n_distinct: Long,
+                     entropy: Double, top_byte_share: Double)
+
 case class PixelStats(doc_id: Long, width: Long, height: Long,
                       r_min: Long, r_max: Long, r_sum: Long,
                       g_min: Long, g_max: Long, g_sum: Long,
@@ -801,6 +804,56 @@ object Multimodal {
     * can still state the expected pixel statistics exactly — while the
     * Spark side must round-trip real zlib + PNG filtering to recover
     * them. */
+  /** Per-image BYTE-HISTOGRAM SHANNON ENTROPY over the decoded pixels
+    * — the information-content quality filter of a vision corpus
+    * ([[graft.operators.TextAnalysis]]'s text_quality analog): flat
+    * fills, letterboxes, and solid-color junk score near 0 bits/byte,
+    * photographic content near 8, so "entropy < τ" is the first-pass
+    * cut a multimodal curation stack runs after decode. Also emits the
+    * distinct-byte count and the top-byte share (a spike there is the
+    * other junk signature — one dominant background value).
+    *
+    * Decode is the real PNG path ([[decodePngPixels]]); the histogram
+    * fold runs in fixed bin order inside the codec boundary, entropy
+    * sums float-cast (the nDCG discipline: per-term log2 last-ulp
+    * noise and bin-order differences both vanish at float precision)
+    * then frac4-floored, so the DuckDB oracle's GROUP BY restatement
+    * from the closed-form pixel function hashes bit-identically.
+    * Scale: one map-side pass per image, output one row per image —
+    * no shuffle anywhere before the presentation sort. */
+  def entropyStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pixelMediaTable(spark, dir)
+      .mapPartitions { it =>
+        it.map { m =>
+          val px = decodePngPixels(m.payload)._3
+          val counts = new Array[Long](256)
+          var i = 0
+          while (i < px.length) { counts(px(i) & 0xff) += 1; i += 1 }
+          val n = px.length.toDouble
+          var hAcc = 0.0
+          var nDistinct = 0L
+          var cMax = 0L
+          var b = 0
+          while (b < 256) {
+            val c = counts(b)
+            if (c > 0) {
+              nDistinct += 1
+              if (c > cMax) cMax = c
+              val p = c / n
+              hAcc -= p * (math.log(p) / math.log(2.0))
+            }
+            b += 1
+          }
+          MmEntropy(m.doc_id, px.length.toLong, nDistinct,
+            math.floor(hAcc.toFloat.toDouble * 1e4 + 0.5) / 1e4,
+            math.floor(cMax / n * 1e4 + 0.5) / 1e4)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
   def pixelMediaTable(spark: SparkSession, dir: String): Dataset[MediaItem] = {
     import spark.implicits._
     Tables.documents(spark, dir)

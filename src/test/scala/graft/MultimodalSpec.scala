@@ -313,6 +313,45 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("entropyStats: equals the closed-form recompute through the real decode; bounds hold") {
+    val rows = Multimodal.entropyStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(id % 4 == 0)
+      // regenerate the synthetic byte stream and recompute with the
+      // operator's own discipline (fixed bin order, float-cast, frac4)
+      val w = (4 + id % 13).toInt; val h = (4 + id % 11).toInt
+      val n = w * h * 3
+      val counts = new Array[Long](256)
+      (0 until n).foreach(i => counts(((id * 31 + i.toLong * 7919) % 256).toInt) += 1)
+      var hAcc = 0.0; var nd = 0L; var cMax = 0L
+      (0 until 256).foreach { b =>
+        val c = counts(b)
+        if (c > 0) {
+          nd += 1; if (c > cMax) cMax = c
+          val p = c / n.toDouble
+          hAcc -= p * (math.log(p) / math.log(2.0))
+        }
+      }
+      assert(r.getLong(1) == n.toLong, s"doc $id n_bytes")
+      assert(r.getLong(2) == nd, s"doc $id n_distinct")
+      assert(r.getDouble(3) ==
+        math.floor(hAcc.toFloat.toDouble * 1e4 + 0.5) / 1e4, s"doc $id entropy")
+      assert(r.getDouble(4) ==
+        math.floor(cMax / n.toDouble * 1e4 + 0.5) / 1e4, s"doc $id share")
+      // information-theoretic bounds: 0 <= H <= log2(distinct values),
+      // and the top-byte share can never undercut the uniform floor
+      assert(r.getDouble(3) >= 0.0 &&
+        r.getDouble(3) <= math.log(nd.toDouble) / math.log(2.0) + 1e-4,
+        s"doc $id entropy outside [0, log2(n_distinct)]")
+      assert(r.getDouble(4) >= 1.0 / nd - 1e-4, s"doc $id share floor")
+    }
+    // the quality signal is discriminative on this corpus: sizes vary,
+    // so entropies do too (a constant column would be a vacuous filter)
+    assert(rows.map(_.getDouble(3)).distinct.length > 1)
+  }
+
   test("dhashDedup: clusters equal the planted scene structure through " +
     "the real decode") {
     val rows = Multimodal.dhashDedup(spark, sf).collect()
