@@ -490,11 +490,23 @@ object Dedup {
     * until the banding itself changes — at which point the driver hash
     * breaks on a NUMBER, not a hand-waved boolean (the dedup_simhash
     * measured-contract pattern; the corpus-specific pin is re-measured
-    * by TextDedupSpec's in-memory recompute at its own scale). */
+    * by TextDedupSpec's in-memory recompute at its own scale).
+    *
+    * VALIDITY: the pinned measured_recall values hold ONLY for the
+    * sf0.01 gate corpus and the default band set — this oracle is the
+    * driver's sf0.01 contract, not a general restatement. Running the
+    * gate at another scale, or with bands outside the pinned set,
+    * fails by construction; the latter is rejected eagerly below with
+    * a message instead of a bare NoSuchElementException. */
   def lshSweepOracle(k: Int = 64, tau: Double = 0.8,
                      bandConfigs: Seq[Int] = Seq(4, 8, 16, 32)): String = {
     // measured on /root/testdata/sf0.01 (the driver's CORRECTNESS gate)
     val measuredSf001 = Map(4 -> "0.92", 8 -> "1.0", 16 -> "1.0", 32 -> "1.0")
+    val unpinned = bandConfigs.filterNot(measuredSf001.contains)
+    require(unpinned.isEmpty,
+      s"lshSweepOracle has measured sf0.01 recall pins only for bands " +
+        s"${measuredSf001.keys.toSeq.sorted.mkString(",")}; " +
+        s"unpinned: ${unpinned.mkString(",")} — measure and pin before use")
     val armRows = bandConfigs.map { b =>
       val r = k / b
       s"""SELECT $b AS bands, $r AS r,

@@ -31,11 +31,13 @@ case class SampledFrame(doc_id: Long, frame_idx: Int, frame_checksum: Long)
 case class MediaVerdict(doc_id: Long, kind: String, ok: Boolean,
                         error: String)
 
-/** Per-channel pixel statistics of one decoded image (sums kept as
-  * integers — no float accumulation order to disagree about). */
+/** Byte-histogram entropy row of one decoded image ([[entropyStats]]'s
+  * output shape; entropy/share are frac4-floored doubles). */
 case class MmEntropy(doc_id: Long, n_bytes: Long, n_distinct: Long,
                      entropy: Double, top_byte_share: Double)
 
+/** Per-channel pixel statistics of one decoded image (sums kept as
+  * integers — no float accumulation order to disagree about). */
 case class PixelStats(doc_id: Long, width: Long, height: Long,
                       r_min: Long, r_max: Long, r_sum: Long,
                       g_min: Long, g_max: Long, g_sum: Long,
@@ -798,12 +800,6 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  /** The image subset (same doc_id % 4 kind split as [[mediaTable]])
-    * carrying FULLY DECODABLE pixel data: dimensions and every pixel
-    * byte are closed-form in doc_id, so an engine with no image codec
-    * can still state the expected pixel statistics exactly — while the
-    * Spark side must round-trip real zlib + PNG filtering to recover
-    * them. */
   /** Per-image BYTE-HISTOGRAM SHANNON ENTROPY over the decoded pixels
     * — the information-content quality filter of a vision corpus
     * ([[graft.operators.TextAnalysis]]'s text_quality analog): flat
@@ -854,6 +850,12 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** The image subset (same doc_id % 4 kind split as [[mediaTable]])
+    * carrying FULLY DECODABLE pixel data: dimensions and every pixel
+    * byte are closed-form in doc_id, so an engine with no image codec
+    * can still state the expected pixel statistics exactly — while the
+    * Spark side must round-trip real zlib + PNG filtering to recover
+    * them. */
   def pixelMediaTable(spark: SparkSession, dir: String): Dataset[MediaItem] = {
     import spark.implicits._
     Tables.documents(spark, dir)

@@ -2152,8 +2152,12 @@ object Similarity {
       .groupBy(col("qid"))
       .agg(top_k_by_score(col("cos"), col("cid"), k).as("top"))
       .select(col("qid"), explode(col("top.id")).as("cid"))
-    val retrieved = ragRetrieveTopK(spark, dir)
-      .select(col("qid"), col("rk"), col("cid"))
+    // forward the truth-shaping parameters: truth@k graded against a
+    // retrieval run built with a DIFFERENT k/split would be silently
+    // wrong for any non-default invocation
+    val retrieved =
+      ragRetrieveTopK(spark, dir, k = k, corpusMod = corpusMod, maxQid = maxQid)
+        .select(col("qid"), col("rk"), col("cid"))
     // truth and agg are queries x k / queries-sized — broadcast
     // explicitly (they sit above aggregates, so Catalyst has no size
     // estimate and would fall back to a sort-merge join)
@@ -2199,8 +2203,11 @@ object Similarity {
       .select(col("qid"), (col("pos") + 1).cast("int").as("trk"),
         col("col.id").as("cid"))
       .withColumn("rel", (lit(k + 1) - col("trk")).cast("bigint"))
-    val approx = ragRetrieveTopK(spark, dir)
-      .select(col("qid"), col("rk"), col("cid"))
+    // same parameter-forwarding discipline as ragRecallEval: the
+    // graded run must share the truth's k and query/corpus split
+    val approx =
+      ragRetrieveTopK(spark, dir, k = k, corpusMod = corpusMod, maxQid = maxQid)
+        .select(col("qid"), col("rk"), col("cid"))
     val dcg = approx
       .join(broadcast(truth.select(col("qid"), col("cid"), col("rel"))),
         Seq("qid", "cid"), "left_outer")

@@ -628,8 +628,10 @@ object Sketches {
     *
     * Determinism: the same mod-reduced LCG uniform as
     * [[prioritySample]] (IEEE-exact, oracle recomputes bit-identical);
-    * a stratum with ≤ k rows samples everything and reports the EXACT
-    * count (h_k undefined → coalesce, the τ-guard discipline). Scale
+    * a stratum with FEWER than k rows samples everything and reports
+    * the EXACT count (h_k undefined → coalesce, the τ-guard
+    * discipline; at exactly k rows h_k exists, so the (k−1)/h_k
+    * estimate is emitted — both engines agree on that boundary). Scale
     * shape: hash map-side, per-type k-bounded heap (numPartitions × k
     * rows move), estimator arithmetic on the types-sized agg. */
   def bottomkSample(spark: SparkSession, dir: String, k: Int = 64)

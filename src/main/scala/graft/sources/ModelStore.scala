@@ -107,7 +107,19 @@ object ModelStore {
     * deleted before the rename — the store self-heals. Two concurrent
     * cold callers both fit; the loser's rename is skipped or fails
     * (target occupied by the winner), it deletes its temp dir and
-    * reads the winner — both succeed, nothing interleaves. */
+    * reads the winner.
+    *
+    * The check-then-act pairs below are NOT atomic — a winner can
+    * commit between any check and the action it guards. The self-heal
+    * delete therefore re-checks `_SUCCESS` immediately before firing
+    * (it must never destroy a just-committed artifact), and the
+    * residual hazard is confined to: a loser may briefly leave NO
+    * artifact on disk between deleting a genuine crashed partial and
+    * completing its own rename. Readers go through `getOrFit`, which
+    * re-fits on a missing marker, and fits are deterministic — so
+    * every interleaving converges to the same bytes; what is NOT
+    * guaranteed is that an artifact dir, once visible, is visible
+    * forever to out-of-band readers that bypass this method. */
   def getOrFit(spark: SparkSession, name: String)
               (fit: => DataFrame): DataFrame = {
     val path = artifactPath(spark, name)
@@ -122,8 +134,12 @@ object ModelStore {
         // winner, discard our run
         fs.delete(tmp, true)
       } else {
-        // self-heal: a target without _SUCCESS is a crashed partial
-        if (fs.exists(target)) fs.delete(target, true)
+        // self-heal: a target without _SUCCESS is a crashed partial.
+        // Re-check the marker at the last instant — a winner may have
+        // committed since the isFitted() above, and deleting ITS dir
+        // would un-publish a valid artifact (TOCTOU guard; see doc)
+        if (fs.exists(target) && !isFitted(spark, name))
+          fs.delete(target, true)
         // rename-into-existing-dir NESTS on posix-style filesystems, so
         // treat a target that (re)appeared as a lost race, never rename
         // over it

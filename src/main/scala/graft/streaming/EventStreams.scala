@@ -325,8 +325,9 @@ object EventStreams {
     * the state, never the event list). Same mod-reduced LCG uniform,
     * so batch == stream bit-identically and the oracle restates the
     * batch form; the k-th smallest hash estimates the window's event
-    * count ((k−1)/h_k), exact for windows at or under k events (the
-    * [[sampleWindow]] τ-guard discipline). */
+    * count ((k−1)/h_k), exact for windows with FEWER than k events
+    * (the [[sampleWindow]] τ-guard discipline; at exactly k events
+    * h_k exists and the estimator is emitted, batch == stream). */
   def bottomkWindow(events: DataFrame, k: Int = 4): DataFrame = {
     val u = events.select(col("event_id"), col("ts"))
       .withColumn("u",
