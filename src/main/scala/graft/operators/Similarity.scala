@@ -2244,9 +2244,10 @@ object Similarity {
     * Scale shape: encoding is map-side against the broadcast
     * codebook/seeds (arrivals × codebook work, corpus never
     * rescanned); the log append writes one arrivals-sized segment and
-    * carries the base segment BY REFERENCE. SnapshotLog's pointer
-    * files are java.nio-local — the model root must be a local path
-    * for this operator (the documented SnapshotLog posture). */
+    * carries the base segment BY REFERENCE. SnapshotLog runs on the
+    * Hadoop FileSystem API, so the model root — and with it the index
+    * log — may live on any Hadoop scheme (`file:`, `hdfs:`, ABFS;
+    * see SnapshotLog's object-store rename caveat). */
   def ragIndexRefresh(spark: SparkSession, dir: String,
                       subspaces: Int = 4, subDim: Int = 16,
                       seedMod: Int = 31, trainRounds: Int = 1,
@@ -2280,8 +2281,7 @@ object Similarity {
         .join(rows.select(col("vec_id").as("cid"), col("label").as("lab"))
           .hint("shuffle_hash"), Seq("cid"))
     }
-    val logPath = ModelStore.root(spark).stripPrefix("file:") +
-      s"/ragidxlog_v1_$key"
+    val logPath = ModelStore.root(spark) + s"/ragidxlog_v1_$key"
     if (SnapshotLog.latestVersion(logPath).isEmpty)
       SnapshotLog.create(spark, encode(base), logPath, "cid")
     if (SnapshotLog.latestVersion(logPath).contains(0))

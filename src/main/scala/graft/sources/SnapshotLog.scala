@@ -1,9 +1,18 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.hadoop.fs.{FileAlreadyExistsException, FileContext,
+  FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+/** Thrown by a commit that lost the version race: another writer
+  * committed the same version number first. The loser's segments are
+  * unreachable orphans ([[SnapshotLog.gc]] reclaims them); the table
+  * itself is untouched — retrying the logical operation re-reads the
+  * new latest version and commits on top of it. */
+final class ConcurrentCommitException(msg: String)
+  extends RuntimeException(msg)
 
 /** A minimal VERSIONED-SNAPSHOT table format (the Delta/Iceberg idea
   * built from scratch on plain parquet): every commit produces an
@@ -18,11 +27,39 @@ import org.apache.spark.sql.functions._
   * per project run (ram-analysis/app/s3 uploads); this is the same
   * artifact contract upgraded with atomic versions and time travel.
   *
-  * Commit protocol (manifest-LAST): data segments are written first,
-  * then the version manifest, then the one-line LATEST pointer — a
-  * crash at any earlier point leaves prior versions untouched and the
-  * torn version invisible (readers resolve through LATEST or an
-  * explicit pinned version; spec-covered).
+  * Commit protocol (rename-last, the Delta log discipline): data
+  * segments are written first (attempt-unique names), then the version
+  * manifest is written COMPLETE to a hidden temp directory and RENAMED
+  * to its numbered place `_log/vNNNNN` — that rename is the commit
+  * point. A crash at any earlier step leaves prior versions untouched
+  * and nothing committed (temp dirs are unreachable orphans [[gc]]
+  * sweeps); once the manifest directory exists under its version
+  * number, the version IS committed. The one-line LATEST pointer is
+  * advanced after the rename as a seek hint only — [[latestVersion]]
+  * rolls FORWARD from it over contiguous committed manifests, so a
+  * crash between rename and pointer advance loses nothing.
+  *
+  * CONCURRENT WRITERS: two sessions that both read latest = N and race
+  * to commit N+1 are adjudicated by the manifest rename — the
+  * filesystem grants exactly one rename onto `_log/vNNNNN`; the loser
+  * gets [[ConcurrentCommitException]] and its temp manifest/segments
+  * become gc-able orphans. No interleaving can tear table state,
+  * because nothing under a committed version is ever mutated. The
+  * rename-if-absent check-and-act is server-atomic on HDFS-like
+  * filesystems; on the local filesystem `FileContext` re-checks at
+  * rename time (residual window is the filesystem's, and the loser
+  * still fails because a directory rename onto a non-empty directory
+  * cannot succeed).
+  *
+  * All filesystem I/O goes through the Hadoop FileSystem API resolved
+  * from the table path's own scheme, so a table root may live on any
+  * Hadoop filesystem (`file:`, `hdfs:`, object stores). OBJECT-STORE
+  * CAVEAT: the commit rename must be atomic-if-absent; on s3a, rename
+  * is a non-atomic client-side copy+delete and two racing committers
+  * are NOT reliably adjudicated — on such stores this log needs an
+  * external commit coordinator (the documented posture of every
+  * rename-based table format; HDFS/ABFS/GCS-with-hierarchical-
+  * namespace are fine).
   *
   * Scale posture: a manifest is segment-count-sized (it lists
   * directories, never rows) and is the ONLY thing the driver ever
@@ -36,16 +73,47 @@ object SnapshotLog {
 
   private def logDir(path: String) = s"$path/_log"
   private def manifestDir(path: String, v: Int) = f"${logDir(path)}/v$v%05d"
-  private def latestFile(path: String) = Paths.get(logDir(path), "LATEST")
+  private def latestFile(path: String) = new Path(logDir(path), "LATEST")
+
+  /** Hadoop configuration of the active session (the table path's
+    * scheme resolves its FileSystem through this), falling back to a
+    * default Configuration for session-less callers (pin/unpin from a
+    * driver-side tool). */
+  private def hadoopConf: org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private def fsOf(p: Path): FileSystem = p.getFileSystem(hadoopConf)
+
+  private def readSmall(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      var n = 0
+      while ({ n = in.read(buf); n > 0 }) out.write(buf, 0, n)
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
 
   /** The committed latest version, or None for an empty/absent table.
-    * Reads the one-line LATEST pointer — the commit point of the
-    * manifest-last protocol. */
+    * Reads the LATEST seek hint, then rolls FORWARD over contiguous
+    * committed manifest directories — the hint may be stale (a writer
+    * crashed after its commit rename, or a concurrent writer has not
+    * advanced it yet) but can never claim an uncommitted version. An
+    * unreadable/torn hint degrades to a scan from v0 (correct, just
+    * O(versions)). */
   def latestVersion(path: String): Option[Int] = {
     val f = latestFile(path)
-    if (Files.exists(f))
-      Some(new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim.toInt)
-    else None
+    val fs = fsOf(f)
+    val hint =
+      if (fs.exists(f))
+        scala.util.Try(readSmall(fs, f).trim.toInt).toOption
+      else None
+    var v = hint.getOrElse(-1)
+    while (fs.exists(new Path(manifestDir(path, v + 1)))) v += 1
+    if (v >= 0) Some(v) else None
   }
 
   /** Manifest frame of `version`: (seg, n_rows, min_key, max_key). */
@@ -88,16 +156,53 @@ object SnapshotLog {
         col("min_key"), col("max_key"))
   }
 
-  /** Commit `rows` as the manifest of version `v`, then advance the
-    * LATEST pointer — the last, atomic step (temp file + atomic move). */
+  /** Commit `rows` as the manifest of version `v`: write the manifest
+    * parquet COMPLETE to an attempt-unique temp dir, rename it to
+    * `_log/vNNNNN` (THE commit point — atomic, first-writer-wins; a
+    * loser throws [[ConcurrentCommitException]]), then advance the
+    * LATEST seek hint (best-effort overwrite rename — [[latestVersion]]
+    * tolerates staleness). */
   private def commit(rows: DataFrame, path: String, v: Int): Int = {
-    rows.coalesce(1).write.mode("errorifexists").parquet(manifestDir(path, v))
-    Files.createDirectories(Paths.get(logDir(path)))
-    val tmp = Paths.get(logDir(path), s".LATEST.tmp$v")
-    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, latestFile(path), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    val target = new Path(manifestDir(path, v))
+    val fs = fsOf(target)
+    val tmp = new Path(logDir(path),
+      f".v$v%05d-tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    // repartition(1), not coalesce(1): coalesce would collapse the
+    // upstream segment-stats scan into the same single task
+    rows.repartition(1).write.mode("errorifexists").parquet(tmp.toString)
+    val fc = FileContext.getFileContext(fs.makeQualified(target).toUri,
+      hadoopConf)
+    try fc.rename(fs.makeQualified(tmp), fs.makeQualified(target))
+    catch {
+      case e: java.io.IOException =>
+        val lost = e.isInstanceOf[FileAlreadyExistsException] ||
+          fs.exists(target)
+        fs.delete(tmp, true)
+        if (lost) throw new ConcurrentCommitException(
+          s"version $v at $path was committed concurrently by another " +
+            s"writer; re-read latestVersion and retry on top of it")
+        else throw e
+    }
+    writeLatestHint(path, v)
     v
+  }
+
+  /** Advance the LATEST seek hint to `v` (temp file + overwrite
+    * rename). Correctness never depends on this file — see
+    * [[latestVersion]]'s roll-forward — so a concurrent hint race or a
+    * non-atomic object-store rename costs a longer forward scan, never
+    * a wrong answer. */
+  private def writeLatestHint(path: String, v: Int): Unit = {
+    val f = latestFile(path)
+    val fs = fsOf(f)
+    val tmp = new Path(logDir(path),
+      s".LATEST-tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = FileContext.getFileContext(fs.makeQualified(f).toUri, hadoopConf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(f),
+      Options.Rename.OVERWRITE)
   }
 
   /** Create the table at version 0. */
@@ -110,9 +215,17 @@ object SnapshotLog {
   /** Append-only commit: one new segment; every prior segment carried
     * forward by reference. */
   def append(spark: SparkSession, df: DataFrame, path: String,
-             keyCol: String): Int = {
-    val v = latestVersion(path).getOrElse(
-      sys.error(s"append to non-existent table $path")) + 1
+             keyCol: String): Int =
+    appendAt(spark, df, path, keyCol,
+      latestVersion(path).getOrElse(
+        sys.error(s"append to non-existent table $path")) + 1)
+
+  /** [[append]] with the target version fixed by the caller — the
+    * two-writer race surface made testable: both writers compute the
+    * same `v`, exactly one commit rename wins, the loser throws
+    * [[ConcurrentCommitException]] (spec-pinned). */
+  private[graft] def appendAt(spark: SparkSession, df: DataFrame,
+                              path: String, keyCol: String, v: Int): Int = {
     val prev = manifest(spark, path, v - 1)
     commit(prev.unionByName(writeSegment(spark, df, path, v, 0, keyCol)),
       path, v)
@@ -230,7 +343,7 @@ object SnapshotLog {
     commit(rows.toSeq.toDF("seg", "n_rows", "min_key", "max_key"), path, v)
   }
 
-  private def pinsDir(path: String) = Paths.get(logDir(path), "pins")
+  private def pinsDir(path: String) = new Path(logDir(path), "pins")
 
   /** PIN a version against retention GC — the "train run X read corpus
     * version N" contract made durable: a pinned version's manifest and
@@ -238,25 +351,26 @@ object SnapshotLog {
     * marker file per version (crash-safe: creation is one atomic file
     * create; no manifest is ever rewritten). */
   def pin(path: String, v: Int): Unit = {
-    require(Files.exists(Paths.get(manifestDir(path, v))),
+    val fs = fsOf(new Path(path))
+    require(fs.exists(new Path(manifestDir(path, v))),
       s"cannot pin non-existent version $v at $path")
-    Files.createDirectories(pinsDir(path))
-    Files.write(pinsDir(path).resolve(f"v$v%05d"), Array.emptyByteArray)
-    ()
+    fs.mkdirs(pinsDir(path))
+    fs.create(new Path(pinsDir(path), f"v$v%05d"), true).close()
   }
 
   def unpin(path: String, v: Int): Unit = {
-    Files.deleteIfExists(pinsDir(path).resolve(f"v$v%05d"))
+    val fs = fsOf(new Path(path))
+    fs.delete(new Path(pinsDir(path), f"v$v%05d"), false)
     ()
   }
 
-  def pinnedVersions(path: String): Set[Int] =
-    if (!Files.exists(pinsDir(path))) Set.empty
-    else {
-      import scala.jdk.CollectionConverters._
-      Files.list(pinsDir(path)).iterator().asScala
-        .map(_.getFileName.toString.stripPrefix("v").toInt).toSet
-    }
+  def pinnedVersions(path: String): Set[Int] = {
+    val d = pinsDir(path)
+    val fs = fsOf(d)
+    if (!fs.exists(d)) Set.empty
+    else fs.listStatus(d)
+      .map(_.getPath.getName.stripPrefix("v").toInt).toSet
+  }
 
   /** Retention GC — reclaims the history [[compact]] makes obsolete:
     * every version except the newest `retainLast` and every PINNED
@@ -271,42 +385,45 @@ object SnapshotLog {
     * then expired manifests) means a mid-GC crash can only leave an
     * expired version torn — never a retained one. Also sweeps
     * UNREFERENCED data directories (crashed [[writeSegment]] attempts
-    * — see its orphan note): anything under `data/` that no on-disk
-    * manifest lists is reclaimed. GC must not run concurrently with a
-    * writer (an in-flight segment is unreferenced until its commit) —
-    * the single-maintainer discipline every lakehouse GC documents.
-    * Returns the expired version numbers. */
+    * — see its orphan note) and crashed commit temp dirs under `_log`:
+    * anything no on-disk manifest lists is reclaimed. GC must not run
+    * concurrently with a writer (an in-flight segment or temp manifest
+    * is unreferenced until its commit) — the single-maintainer
+    * discipline every lakehouse GC documents. Returns the expired
+    * version numbers. */
   def gc(spark: SparkSession, path: String, retainLast: Int): Seq[Int] = {
     require(retainLast >= 1, "must retain at least the latest version")
     val latest = latestVersion(path).getOrElse(
       sys.error(s"gc of non-existent table $path"))
+    val fs = fsOf(new Path(path))
+    def mExists(v: Int): Boolean = fs.exists(new Path(manifestDir(path, v)))
     val retained = (0 to latest)
       .filter(v => v > latest - retainLast).toSet ++ pinnedVersions(path)
-    val expired = (0 to latest).filterNot(retained)
-      .filter(v => Files.exists(Paths.get(manifestDir(path, v))))
+    val expired = (0 to latest).filterNot(retained).filter(mExists)
     def segsOf(v: Int): Set[String] = manifest(spark, path, v)
       .select(col("seg")).collect().map(_.getString(0)).toSet
-    val keep = retained.filter(v =>
-      Files.exists(Paths.get(manifestDir(path, v)))).flatMap(segsOf)
+    val keep = retained.filter(mExists).flatMap(segsOf)
     val orphans = expired.flatMap(segsOf).toSet -- keep
-    def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
-    orphans.foreach(s => rmTree(Paths.get(s)))
-    expired.foreach(v => rmTree(Paths.get(manifestDir(path, v))))
+    orphans.foreach(s => fs.delete(new Path(s), true))
+    expired.foreach(v => fs.delete(new Path(manifestDir(path, v)), true))
     // unreferenced-segment sweep: reclaim crashed writeSegment attempts
     // — data dirs no surviving manifest lists (expired manifests are
     // already gone, so "on-disk manifests" == the retained set)
-    val dataDir = Paths.get(path, "data")
-    if (Files.exists(dataDir)) {
-      import scala.jdk.CollectionConverters._
-      val referenced = (0 to latest)
-        .filter(v => Files.exists(Paths.get(manifestDir(path, v))))
-        .flatMap(segsOf).map(s => Paths.get(s).toAbsolutePath.normalize).toSet
-      Files.list(dataDir).iterator().asScala.toSeq
-        .filterNot(d => referenced.contains(d.toAbsolutePath.normalize))
-        .foreach(rmTree)
+    val dataDir = new Path(path, "data")
+    if (fs.exists(dataDir)) {
+      val referenced = (0 to latest).filter(mExists).flatMap(segsOf)
+        .map(s => fs.makeQualified(new Path(s))).toSet
+      fs.listStatus(dataDir).toSeq
+        .filterNot(st => referenced.contains(fs.makeQualified(st.getPath)))
+        .foreach(st => fs.delete(st.getPath, true))
+    }
+    // crashed commit/hint temp dirs (hidden `.`-prefixed names inside
+    // _log — losers delete their own, this catches hard crashes)
+    val ld = new Path(logDir(path))
+    if (fs.exists(ld)) {
+      fs.listStatus(ld).toSeq
+        .filter(st => st.getPath.getName.startsWith("."))
+        .foreach(st => fs.delete(st.getPath, true))
     }
     expired
   }
@@ -317,8 +434,9 @@ object SnapshotLog {
   def history(spark: SparkSession, path: String): DataFrame = {
     val latest = latestVersion(path).getOrElse(
       sys.error(s"no committed version at $path"))
+    val fs = fsOf(new Path(path))
     (0 to latest)
-      .filter(v => Files.exists(Paths.get(manifestDir(path, v))))
+      .filter(v => fs.exists(new Path(manifestDir(path, v))))
       .map { v =>
         manifest(spark, path, v)
           .agg(count(lit(1)).as("n_segments"), sum(col("n_rows")).as("n_rows"))

@@ -478,4 +478,111 @@ class SourcesSpec extends AnyFunSuite {
       assert(state() == expect)
     } finally q.stop()
   }
+
+  test("SnapshotLog: full lifecycle over an explicit file:-scheme Hadoop path") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    // the Hadoop-FS port's acceptance test: every verb through a
+    // scheme-qualified URI (the shape an hdfs:// or abfs:// root takes),
+    // never a bare local path
+    val path = "file:" + tmpDir("snaplog_hadoop")
+    assert(SnapshotLog.create(spark,
+      (0L until 60L).map(i => (i, s"c$i")).toDF("k", "p"), path, "k") == 0)
+    assert(SnapshotLog.append(spark,
+      (1000L until 1050L).map(i => (i, "b")).toDF("k", "p"), path, "k") == 1)
+    assert(SnapshotLog.upsert(spark,
+      (10L until 15L).map(i => (i, "u")).toDF("k", "p"), path, "k") == 2)
+    assert(SnapshotLog.merge(spark,
+      Seq((1000L, "x", true), (2000L, "n", false))
+        .toDF("k", "p", "del"), path, "k", "del") == 3)
+    def rows(v: Option[Int]): Map[Long, String] =
+      SnapshotLog.read(spark, path, v).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+    val latest = rows(None)
+    assert(latest.size == 60 + 50 - 1 + 1 && latest(10L) == "u" &&
+      latest(2000L) == "n" && !latest.contains(1000L))
+    // time travel across the URI path
+    assert(rows(Some(0)) == (0L until 60L).map(i => i -> s"c$i").toMap)
+    assert(rows(Some(1)).size == 110 && rows(Some(1))(10L) == "c10")
+    // pin + gc through the same FileSystem
+    SnapshotLog.pin(path, 0)
+    assert(SnapshotLog.gc(spark, path, retainLast = 1) == Seq(1, 2))
+    assert(rows(Some(0)).size == 60, "pinned v0 must survive gc")
+    assert(rows(None) == latest)
+    assert(SnapshotLog.history(spark, path).collect()
+      .map(_.getInt(0)).toSeq == Seq(0, 3))
+  }
+
+  test("SnapshotLog: concurrent committers of one version — exactly one wins") {
+    import spark.implicits._
+    import graft.sources.{ConcurrentCommitException, SnapshotLog}
+    val path = tmpDir("snaplog_race")
+    SnapshotLog.create(spark,
+      (0L until 20L).map(i => (i, "base")).toDF("k", "p"), path, "k")
+    // both writers have already computed v = latest + 1 = 1 (the race
+    // window): start them together and let the commit rename adjudicate
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Any]()
+    val threads = Seq("w1", "w2").map { name =>
+      new Thread(() => {
+        try {
+          barrier.await()
+          results.put(name, SnapshotLog.appendAt(spark,
+            (100L until 110L).map(i => (i, name)).toDF("k", "p"),
+            path, "k", v = 1))
+        } catch { case e: Throwable => results.put(name, e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val outcomes = Seq("w1", "w2").map(results.get)
+    val winners = outcomes.collect { case v: Integer => v }
+    val losers = outcomes.collect { case e: ConcurrentCommitException => e }
+    assert(winners == Seq(1) && losers.length == 1,
+      s"expected exactly one winner and one clean loser, got $outcomes")
+    // the committed v1 is internally consistent: base + exactly ONE
+    // writer's rows (never a mix)
+    val v1 = SnapshotLog.read(spark, path, Some(1)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(v1.size == 30)
+    val tags = v1.filter(_._1 >= 100L).values.toSet
+    assert(tags.size == 1 && (tags == Set("w1") || tags == Set("w2")),
+      s"v1 mixed rows from both writers: $tags")
+    // the loser's orphaned segment is reclaimed by gc, the winner's kept
+    SnapshotLog.gc(spark, path, retainLast = 10)
+    assert(SnapshotLog.read(spark, path, Some(1)).count() == 30)
+    // life goes on: a normal append commits v2 on top of the winner
+    assert(SnapshotLog.append(spark,
+      Seq((500L, "after")).toDF("k", "p"), path, "k") == 2)
+    assert(SnapshotLog.read(spark, path).count() == 31)
+  }
+
+  test("SnapshotLog: stale LATEST hint rolls forward to the true committed version") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val path = tmpDir("snaplog_hint")
+    SnapshotLog.create(spark,
+      (0L until 10L).map(i => (i, "a")).toDF("k", "p"), path, "k")
+    SnapshotLog.append(spark,
+      (100L until 110L).map(i => (i, "b")).toDF("k", "p"), path, "k")
+    SnapshotLog.append(spark,
+      (200L until 210L).map(i => (i, "c")).toDF("k", "p"), path, "k")
+    // crash simulation: a writer died after its commit rename but
+    // before advancing the hint — regress the hint to v0 by hand
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "_log", "LATEST"),
+      "0".getBytes("UTF-8"))
+    assert(SnapshotLog.latestVersion(path).contains(2),
+      "reader must roll forward past a stale hint")
+    assert(SnapshotLog.read(spark, path).count() == 30)
+    // a torn/unreadable hint degrades to a scan from v0, same answer
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "_log", "LATEST"),
+      "garbage".getBytes("UTF-8"))
+    assert(SnapshotLog.latestVersion(path).contains(2))
+    // and the next commit repairs the hint
+    assert(SnapshotLog.append(spark,
+      Seq((300L, "d")).toDF("k", "p"), path, "k") == 3)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "_log", "LATEST")), "UTF-8").trim == "3")
+  }
 }
