@@ -142,6 +142,7 @@ object SparkEntry {
     "rag_recall_eval" -> ((s, d) => Similarity.ragRecallEval(s, d)),
     "rag_ndcg_eval" -> ((s, d) => Similarity.ragNdcgEval(s, d)),
     "rag_index_refresh" -> ((s, d) => Similarity.ragIndexRefresh(s, d)),
+    "rag_index_compact" -> ((s, d) => Similarity.ragIndexCompact(s, d)),
     "ann_recall_eval" -> ((s, d) => Similarity.annRecallEval(s, d)),
     "ann_nprobe_sweep" -> ((s, d) => Similarity.nprobeSweep(s, d)),
     "ann_ndcg_eval" -> ((s, d) => Similarity.ndcgEval(s, d)),
@@ -2562,6 +2563,21 @@ object SparkEntry {
     "rag_recall_eval" -> RagRecallEvalOracle,
     "rag_ndcg_eval" -> RagNdcgEvalOracle,
     "rag_index_refresh" -> RagIndexRefreshOracle,
+    // rag_index_compact: the serving-lifecycle audit frame is
+    // closed-form in the id space — ever-indexed docs are vec_id % 5
+    // <> 0, v0 (the base index) is % 5 in (1,2,3), tombstones are the
+    // cid % 9 = 4 slice, and the post-compact index serves exactly the
+    // non-tombstoned rows. The Spark side READS every membership
+    // column back from the versioned log (nothing restated from the
+    // rule), so a merge that failed to delete, resurrected a doc, or
+    // bumped the version on replay breaks this hash.
+    "rag_index_compact" ->
+      """SELECT vec_id AS cid, label AS lab,
+           (vec_id % 5) IN (1, 2, 3) AS served_v0,
+           vec_id % 9 = 4 AS tombstoned,
+           vec_id % 9 <> 4 AS served_latest,
+           CAST(2 AS INT) AS latest_version
+         FROM embeddings WHERE vec_id % 5 <> 0 ORDER BY cid""",
     // index-health recall@k: both the exact truth and the IVF probe
     // restate in SQL (same CTEs as ann_brute/ann_ivf), so the per-query
     // hit counts — and therefore the recall the index would ship with —

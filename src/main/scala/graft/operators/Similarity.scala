@@ -1945,6 +1945,23 @@ object Similarity {
         .join(corpus.select(col("vec_id").as("cid"),
           col("label").as("lab")).hint("shuffle_hash"), Seq("cid"))
     }
+    serveScoped(codes, q, ce, seeds, cb, k, nProbe, rerank,
+      subspaces, subDim)
+  }
+
+  /** The scoped ADC SERVING KERNEL over a persisted index frame
+    * `codes` (cid, code_0..M-1, cell, lab) — the read path of
+    * [[ragRetrieveTopK]], factored so any index MATERIALIZATION (the
+    * fit-once artifact there, a [[graft.sources.SnapshotLog]] version
+    * in [[ragServeFromLog]]) serves through identical plans: probe
+    * widening over (cell, label) member stats, label-scoped candidate
+    * join, broadcast ADC LUT, exact top-k rescore. `ce` supplies the
+    * full-precision embeddings for the rescore only. */
+  private def serveScoped(codes: DataFrame, q: DataFrame, ce: DataFrame,
+                          seeds: DataFrame, cb: DataFrame, k: Int,
+                          nProbe: Int, rerank: Int, subspaces: Int,
+                          subDim: Int): DataFrame = {
+    import graft.functions.VectorFunctions.l2_dist
     // (cell, label) member counts: an index-sized agg to a
     // cells-x-labels frame — the scope-density statistics the probe
     // widening reads, derived from the persisted index itself
@@ -2281,12 +2298,137 @@ object Similarity {
         .join(rows.select(col("vec_id").as("cid"), col("label").as("lab"))
           .hint("shuffle_hash"), Seq("cid"))
     }
-    val logPath = ModelStore.root(spark) + s"/ragidxlog_v1_$key"
+    val logPath = ragIndexLogPath(spark, dir, subspaces, subDim, seedMod,
+      trainRounds, seedIdMax)
     if (SnapshotLog.latestVersion(logPath).isEmpty)
       SnapshotLog.create(spark, encode(base), logPath, "cid")
     if (SnapshotLog.latestVersion(logPath).contains(0))
       SnapshotLog.append(spark, encode(arrivals), logPath, "cid")
     encode(arrivals).orderBy(col("cid"))
+  }
+
+  /** The versioned index log's table root — one log per (corpus
+    * fingerprint, index hyperparameters), shared by [[ragIndexRefresh]]
+    * (writes v0/v1), [[ragIndexCompact]] (writes the tombstone
+    * version), and [[ragServeFromLog]] (reads any version). */
+  private def ragIndexLogPath(spark: SparkSession, dir: String,
+                              subspaces: Int, subDim: Int, seedMod: Int,
+                              trainRounds: Int, seedIdMax: Int): String = {
+    import graft.sources.ModelStore
+    val fp = ModelStore.corpusFingerprint(spark, s"$dir/embeddings.parquet")
+    val key = ModelStore.md5(
+      s"ragbase|$fp|$subspaces|$subDim|$seedMod|$trainRounds|$seedIdMax")
+    ModelStore.root(spark) + s"/ragidxlog_v1_$key"
+  }
+
+  /** SERVE FROM THE VERSIONED LOG — scoped retrieval whose index frame
+    * is a [[graft.sources.SnapshotLog]] VERSION instead of the
+    * fit-once artifact: `version = None` serves the latest committed
+    * index (post-[[ragIndexCompact]], tombstoned docs are structurally
+    * absent — they cannot be candidates, so they can never be
+    * retrieved); a pinned `Some(v)` serves that exact historical index
+    * (a reader pinned to v0/v1 still retrieves a since-deleted doc —
+    * the time-travel contract, spec-pinned). Queries are the held-out
+    * vec_id % 5 == 0 rows (the split [[ragIndexRefresh]] never
+    * indexes); cb/seeds are the refresh family's base-trained
+    * artifacts (warm reads). Serving plans are IDENTICAL to
+    * [[ragRetrieveTopK]]'s — both call [[serveScoped]]. */
+  def ragServeFromLog(spark: SparkSession, dir: String,
+                      version: Option[Int] = None, k: Int = K,
+                      nProbe: Int = 4, subspaces: Int = 4,
+                      subDim: Int = 16, seedMod: Int = 31,
+                      rerank: Int = 32, trainRounds: Int = 1,
+                      seedIdMax: Int = 20, maxQid: Int = 50): DataFrame = {
+    import graft.sources.{ModelStore, SnapshotLog}
+    val all = emb(spark, dir)
+    val base = all.filter(col("vec_id") % 5 =!= 0 && col("vec_id") % 5 =!= 4)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val q = all.filter(col("vec_id") % 5 === 0 && col("vec_id") < maxQid)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("scope"))
+    val be = base.select(col("vec_id"), col("embedding"))
+    val fp = ModelStore.corpusFingerprint(spark, s"$dir/embeddings.parquet")
+    val key = ModelStore.md5(
+      s"ragbase|$fp|$subspaces|$subDim|$seedMod|$trainRounds|$seedIdMax")
+    val cb = ModelStore.getOrFit(spark, s"ragbasecb_v1_$key") {
+      trainedCodebook(be, subspaces, subDim, seedMod, trainRounds)
+        .coalesce(1)
+    }.select(col("m"), col("sid"), col("ssub"))
+    val seeds = base.filter(col("vec_id") < seedIdMax)
+      .select(col("vec_id").as("cluster_id"), col("embedding").as("se"))
+    val ce = all.filter(col("vec_id") % 5 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val logPath = ragIndexLogPath(spark, dir, subspaces, subDim, seedMod,
+      trainRounds, seedIdMax)
+    val codes = SnapshotLog.read(spark, logPath, version)
+      .select(col("cid") +: (0 until subspaces).map(i => col(s"code_$i")) :+
+        col("cell") :+ col("lab"): _*)
+    serveScoped(codes, q, ce, seeds, cb, k, nProbe, rerank,
+      subspaces, subDim)
+  }
+
+  /** SERVING-INDEX DELETES — the lifecycle step between
+    * [[ragIndexRefresh]] (adds) and retention: documents deleted from
+    * the corpus (GDPR erasure, licence takedowns, dedup kills) are
+    * TOMBSTONED out of the serving index through one
+    * [[graft.sources.SnapshotLog.merge]] commit, so a deleted doc
+    * stops being served the moment the new version commits while every
+    * version-pinned reader — "train run X read index version N" —
+    * still sees it via time travel. Segment-granularity copy-on-write:
+    * only segments whose key range the tombstones touch are rewritten
+    * (one anti join); the rest ride into the new manifest by
+    * reference. IDEMPOTENT REPLAY: a rerun finds no tombstoned cid
+    * still served and commits NOTHING — the version number is stable
+    * under replay (spec-pinned, and the emitted latest_version column
+    * makes a replay-bump break the driver hash).
+    *
+    * The tombstone set here is the deterministic cid % `tombMod` ==
+    * `tombRes` slice of the served index (a production caller passes
+    * its erasure list); the output is the per-doc serving LIFECYCLE
+    * table — one row per ever-indexed doc with its v0/latest serving
+    * state — which is exactly the audit view an erasure pipeline
+    * reports from. Reference analog: the reference erases and
+    * re-uploads named result artifacts wholesale per run
+    * (ram-analysis/app/s3/utils.js:5 removeFile, :65 putFile); this
+    * keeps erasure at document granularity with history intact.
+    *
+    * Scale shape: the merge rewrite is one key-partitioned anti join
+    * over only the touched segments; the audit frame is three
+    * manifest-driven parquet reads joined on cid (shuffle-hash — the
+    * index is corpus-sized, never broadcast). */
+  def ragIndexCompact(spark: SparkSession, dir: String,
+                      subspaces: Int = 4, subDim: Int = 16,
+                      seedMod: Int = 31, trainRounds: Int = 1,
+                      seedIdMax: Int = 20, tombMod: Int = 9,
+                      tombRes: Int = 4): DataFrame = {
+    import graft.sources.SnapshotLog
+    // ensure the log exists at v0/v1 (refresh is idempotent; its
+    // returned frame is lazy and unused — only the commits matter)
+    ragIndexRefresh(spark, dir, subspaces, subDim, seedMod, trainRounds,
+      seedIdMax)
+    val logPath = ragIndexLogPath(spark, dir, subspaces, subDim, seedMod,
+      trainRounds, seedIdMax)
+    val tombs = SnapshotLog.read(spark, logPath)
+      .filter(col("cid") % tombMod === tombRes)
+    if (!tombs.isEmpty)
+      SnapshotLog.merge(spark, tombs.withColumn("_snap_del", lit(true)),
+        logPath, "cid", "_snap_del")
+    val vL = SnapshotLog.latestVersion(logPath).getOrElse(
+      sys.error(s"no committed index log at $logPath"))
+    val served0 = SnapshotLog.read(spark, logPath, Some(0))
+      .select(col("cid")).withColumn("served_v0", lit(true))
+    val servedL = SnapshotLog.read(spark, logPath)
+      .select(col("cid")).withColumn("served_latest", lit(true))
+    SnapshotLog.read(spark, logPath, Some(1))
+      .select(col("cid"), col("lab"))
+      .join(served0.hint("shuffle_hash"), Seq("cid"), "left_outer")
+      .join(servedL.hint("shuffle_hash"), Seq("cid"), "left_outer")
+      .select(col("cid"), col("lab"),
+        coalesce(col("served_v0"), lit(false)).as("served_v0"),
+        (col("cid") % tombMod === tombRes).as("tombstoned"),
+        coalesce(col("served_latest"), lit(false)).as("served_latest"),
+        lit(vL).as("latest_version"))
+      .orderBy(col("cid"))
   }
 
   /** The IVF-PQ pipeline over an explicit codebook (see [[ivfPqTopK]]

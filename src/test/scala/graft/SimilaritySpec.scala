@@ -612,6 +612,57 @@ class SimilaritySpec extends AnyFunSuite {
       "a refresh rerun must not duplicate the delta")
   }
 
+  test("rag index compact: tombstoned docs stop being served, pinned versions still see them, replay stable") {
+    import graft.sources.{ModelStore, SnapshotLog}
+    val fp = ModelStore.corpusFingerprint(spark, s"$sf/embeddings.parquet")
+    val key = ModelStore.md5(s"ragbase|$fp|4|16|31|1|20")
+    val logPath = ModelStore.root(spark).stripPrefix("file:") +
+      s"/ragidxlog_v1_$key"
+    // fresh lifecycle: wipe the log (the codebook artifact may stay —
+    // compact must work against a warm OR cold base fit)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(logPath))
+    val audit = Similarity.ragIndexCompact(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getInt(5)))
+    assert(audit.nonEmpty && audit.exists(_._3),
+      "the tombstone slice must be non-empty or the test is vacuous")
+    audit.foreach { case (cid, sv0, tomb, svL, vL) =>
+      assert(tomb == (cid % 9 == 4))
+      assert(svL == !tomb, s"cid $cid: served_latest must be exactly " +
+        "the non-tombstoned set")
+      assert(sv0 == (cid % 5 != 4), s"cid $cid: v0 serves only the base")
+      assert(vL == 2, "create + append + one tombstone merge = v2")
+    }
+    // RETRIEVAL-LEVEL erasure: serving the latest index can never
+    // return a tombstoned doc — it is structurally absent from the
+    // candidate set, not post-filtered
+    val latestServe = Similarity.ragServeFromLog(spark, sf)
+      .select("cid").collect().map(_.getLong(0))
+    assert(latestServe.nonEmpty)
+    assert(latestServe.forall(_ % 9 != 4),
+      "a tombstoned doc must never be retrieved from the compacted index")
+    // ... while a reader PINNED to the pre-delete version still
+    // retrieves them (and the plant is meaningful: some tombstoned doc
+    // genuinely ranked in the pre-delete top-k)
+    val v1Serve = Similarity.ragServeFromLog(spark, sf, Some(1))
+      .select("cid").collect().map(_.getLong(0))
+    assert(v1Serve.exists(_ % 9 == 4),
+      "pre-delete serving must still retrieve the later-tombstoned docs")
+    // v0 pins all the way back to the base-only index
+    val v0Serve = Similarity.ragServeFromLog(spark, sf, Some(0))
+      .select("cid").collect().map(_.getLong(0))
+    assert(v0Serve.nonEmpty && v0Serve.forall(_ % 5 != 4),
+      "v0 serving must never surface an arrival")
+    // IDEMPOTENT REPLAY: a rerun commits nothing and reports the same
+    // audit frame at the same version
+    val audit2 = Similarity.ragIndexCompact(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getInt(5)))
+    assert(audit2.toSeq == audit.toSeq &&
+      SnapshotLog.latestVersion(logPath).contains(2),
+      "a compact rerun must not commit a new version")
+  }
+
   test("rag mmr rerank: equals the in-memory greedy MMR trajectory over the retrieved list") {
     val retrieved = Similarity.ragRetrieveTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
