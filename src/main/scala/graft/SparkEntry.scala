@@ -76,6 +76,8 @@ object SparkEntry {
     "q32_scd2" -> (Warehouse.q32Scd2 _),
     "q36_merge_upsert" -> (Warehouse.q36MergeUpsert _),
     "q42_op_log" -> (Warehouse.q42OpLog _),
+    "q52_snapshot_diff" -> (Warehouse.q52SnapshotDiff _),
+    "q53_snapshot_prune" -> (Warehouse.q53SnapshotPrune _),
     // B'. graph centrality over the road-network key space (dyadic-exact
     // PageRank — see operators.Graph for why the oracle matches bitwise)
     "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
@@ -1071,6 +1073,41 @@ object SparkEntry {
     // finish after it, logs strictly between; reasons mirror the
     // reference's three errors (finish on a completed op says "not
     // running" — its guard checks isStarted, not isCompleted)
+    // q52_snapshot_diff: the change feed is closed-form in the key
+    // space (delete % 13 == 4 beats update % 7 == 3; inserts at
+    // key + maxkey for source keys % 11 == 5; +100.0 and /2.0 are
+    // single IEEE ops — no rounding); the Spark side DERIVES it from
+    // the two committed versions' segments, so a merge that missed a
+    // delete, doubled an insert, or emitted an unchanged survivor row
+    // breaks this hash
+    "q52_snapshot_diff" ->
+      """WITH mk AS (SELECT max(c_custkey) AS m FROM customer)
+         SELECT * FROM (
+           SELECT c_custkey AS key, 'delete' AS change,
+             c_acctbal AS bal_old, CAST(NULL AS DOUBLE) AS bal_new
+           FROM customer WHERE c_custkey % 13 = 4
+           UNION ALL
+           SELECT c_custkey, 'update', c_acctbal, c_acctbal + 100.0
+           FROM customer WHERE c_custkey % 7 = 3 AND c_custkey % 13 <> 4
+           UNION ALL
+           SELECT c_custkey + (SELECT m FROM mk), 'insert',
+             CAST(NULL AS DOUBLE), c_acctbal / 2.0
+           FROM customer WHERE c_custkey % 11 = 5)
+         ORDER BY key""",
+    // q53_snapshot_prune: range aggregate closed-form over orders; the
+    // segments_scanned/total pair restates the EXPECTED pruning (1 of
+    // 4 range-sliced segments) — the Spark side reads both counts off
+    // the live manifest, so a skipping regression is a hash break
+    "q53_snapshot_prune" ->
+      """WITH k AS (SELECT max(o_orderkey) // 4 + 1 AS k4 FROM orders),
+         b AS (SELECT k4 + k4 // 4 AS lo, k4 + k4 // 2 AS hi FROM k)
+         SELECT lo, hi, CAST(count(*) AS BIGINT) AS n_rows,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+           CAST(1 AS INT) AS segments_scanned,
+           CAST(4 AS INT) AS segments_total
+         FROM orders, b WHERE o_orderkey BETWEEN lo AND hi
+         GROUP BY lo, hi""",
     "q42_op_log" ->
       """WITH ev AS (SELECT user_id AS op_id, event_id,
            CASE event_type WHEN 'signup' THEN 'start'

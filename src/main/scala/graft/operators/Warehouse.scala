@@ -473,4 +473,102 @@ object Warehouse {
         col("n_d").isNotNull.as("updated"))
       .orderBy(col("window_start"), col("event_type"))
   }
+
+  /** CHANGE DATA FEED between table versions — the lakehouse read verb
+    * [[graft.sources.SnapshotLog.diff]] exists for, driven end-to-end:
+    * a customer dimension is committed at v0, one MERGE applies a
+    * deterministic change batch (deletes at key % 13 == 4; balance
+    * updates at key % 7 == 3; inserts at maxkey + key for source keys
+    * % 11 == 5), and the output is the derived row-level changelog
+    * v0 → v1 — exactly what a downstream incremental consumer (index
+    * refresh, aggregate maintenance, replication) pulls instead of
+    * re-reading the table. Deletes take precedence over updates on
+    * overlapping keys (the CDC convention); arithmetic is pure IEEE
+    * (+100.0, /2.0 — no rounding anywhere), so both engines agree
+    * bitwise.
+    *
+    * Scale posture: the diff scans ONLY the symmetric difference of
+    * the two manifests' segment lists (copy-on-write shares the rest
+    * by reference), so its cost is the commit's size, never the
+    * table's; the classify join is one shuffle-hash full outer on the
+    * key. Lifecycle is fingerprint-keyed and replay-guarded: a rerun
+    * commits nothing and re-derives the same feed (the
+    * rag_index_compact discipline).
+    *
+    * Reference analog: the reference's result tables are regenerated
+    * and re-uploaded wholesale per run (ram-analysis/app/s3/utils.js:5
+    * removeFile + :65 putFile); this derives the per-row delta between
+    * any two retained versions instead. */
+  def q52SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{ModelStore, SnapshotLog}
+    val t = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("key"), col("c_name").as("name"),
+        col("c_acctbal").as("bal"))
+    val fp = ModelStore.corpusFingerprint(spark, s"$dir/customer.parquet")
+    val path = ModelStore.root(spark) +
+      s"/snapdiff_v1_${ModelStore.md5(s"snapdiff|$fp")}"
+    if (SnapshotLog.latestVersion(path).isEmpty)
+      SnapshotLog.create(spark, t, path, "key")
+    if (SnapshotLog.latestVersion(path).contains(0)) {
+      val mk = t.agg(max(col("key")).as("mk"))
+      val dels = t.filter(col("key") % 13 === 4)
+        .withColumn("_del", lit(true))
+      val upds = t.filter(col("key") % 7 === 3 && col("key") % 13 =!= 4)
+        .withColumn("bal", col("bal") + lit(100.0))
+        .withColumn("_del", lit(false))
+      val ins = t.filter(col("key") % 11 === 5).crossJoin(broadcast(mk))
+        .select((col("key") + col("mk")).as("key"),
+          concat(lit("new_"), col("name")).as("name"),
+          (col("bal") / lit(2.0)).as("bal"), lit(false).as("_del"))
+      SnapshotLog.merge(spark, dels.unionByName(upds).unionByName(ins),
+        path, "key", "_del")
+    }
+    SnapshotLog.diff(spark, path, 0, 1, "key")
+      .select(col("key"), col("change"),
+        col("_old.bal").as("bal_old"), col("_new.bal").as("bal_new"))
+      .orderBy(col("key"))
+  }
+
+  /** STATS-PRUNED RANGE READ — data skipping through the versioned
+    * table's manifest ([[graft.sources.SnapshotLog.readRange]]): the
+    * orders fact is committed as four key-range-sliced segments
+    * (create + three appends — the layout a range-partitioned ingest
+    * produces naturally), then a key-range query consults the
+    * per-segment [min,max] stats and scans exactly ONE of the four.
+    * The output row carries the scanned/total segment counts beside
+    * the range aggregate, so a pruning regression (scanning 4/4)
+    * breaks the driver hash instead of silently costing 4× the I/O —
+    * at 100 TB this is the difference between reading a partition and
+    * reading the table. Pure count/min/max aggregates — nothing
+    * float-ordered. */
+  def q53SnapshotPrune(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{ModelStore, SnapshotLog}
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("key"), col("o_custkey").as("cust"),
+        col("o_totalprice").as("price"))
+    val mk = o.agg(max(col("key"))).collect().head.getLong(0)
+    val k4 = mk / 4L + 1L
+    val fp = ModelStore.corpusFingerprint(spark, s"$dir/orders.parquet")
+    val path = ModelStore.root(spark) +
+      s"/snaprange_v1_${ModelStore.md5(s"snaprange|$fp")}"
+    def slice(s: Long): DataFrame =
+      o.filter(col("key") >= s * k4 && col("key") < (s + 1) * k4)
+    if (SnapshotLog.latestVersion(path).isEmpty)
+      SnapshotLog.create(spark, slice(0), path, "key")
+    var v = SnapshotLog.latestVersion(path).get
+    while (v < 3) {
+      SnapshotLog.append(spark, slice(v + 1L), path, "key")
+      v = SnapshotLog.latestVersion(path).get
+    }
+    val lo = k4 + k4 / 4L
+    val hi = k4 + k4 / 2L
+    val (rows, scanned, total) =
+      SnapshotLog.readRange(spark, path, "key", lo, hi)
+    rows.agg(count(lit(1)).as("n_rows"),
+        min(col("key")).as("min_key"), max(col("key")).as("max_key"),
+        countDistinct(col("cust")).as("n_cust"))
+      .select(lit(lo).as("lo"), lit(hi).as("hi"), col("n_rows"),
+        col("min_key"), col("max_key"), col("n_cust"),
+        lit(scanned).as("segments_scanned"), lit(total).as("segments_total"))
+  }
 }

@@ -428,6 +428,77 @@ object SnapshotLog {
     expired
   }
 
+  /** CHANGE DATA FEED — the row-level difference between two committed
+    * versions (Delta's CDF / Iceberg's changelog read, derived rather
+    * than stored): every key inserted, updated or deleted between
+    * `vFrom` and `vTo`, with the old and new payloads side by side.
+    *
+    * SEGMENT-AWARE: copy-on-write means the two manifests SHARE every
+    * untouched segment by reference, and a key's row lives in exactly
+    * one segment per version — so rows in shared segments are
+    * byte-identical in both versions and cannot be part of the diff.
+    * Only the symmetric difference of the segment lists is scanned
+    * (the segments `vTo` rewrote or added, and the `vFrom` segments
+    * they replaced); the diff of a small commit against a huge table
+    * costs the commit's size, never the table's. One shuffle-hash
+    * full-outer join on the key classifies the scanned rows:
+    * only-new = insert, only-old = delete, both-with-different-payload
+    * = update; a rewritten survivor row (both sides identical) is
+    * dropped — it moved segments without changing. */
+  def diff(spark: SparkSession, path: String, vFrom: Int, vTo: Int,
+           keyCol: String): DataFrame = {
+    require(vFrom < vTo, s"diff requires vFrom < vTo, got $vFrom..$vTo")
+    def segsOf(v: Int): Seq[String] = manifest(spark, path, v)
+      .select(col("seg")).collect().map(_.getString(0)).toSeq
+    val from = segsOf(vFrom); val to = segsOf(vTo)
+    val onlyFrom = from.diff(to); val onlyTo = to.diff(from)
+    def side(segs: Seq[String], tag: String): DataFrame = {
+      val df =
+        if (segs.isEmpty)
+          // schema anchor: an empty side still needs the table schema
+          spark.read.parquet(from.head).limit(0)
+        else spark.read.parquet(segs: _*)
+      val payload = df.columns.filterNot(_ == keyCol)
+      df.select(col(keyCol),
+        struct(payload.map(col): _*).as(s"_$tag"))
+    }
+    side(onlyFrom, "old").join(side(onlyTo, "new").hint("shuffle_hash"),
+        Seq(keyCol), "full_outer")
+      .withColumn("change",
+        when(col("_old").isNull, lit("insert"))
+          .when(col("_new").isNull, lit("delete"))
+          .otherwise(lit("update")))
+      // survivors carried through a rewrite: present on both sides
+      // with identical payloads — not a change
+      .filter(!(col("change") === "update" && col("_old") <=> col("_new")))
+  }
+
+  /** STATS-PRUNED RANGE READ — the data-skipping read path every
+    * lakehouse sells: a key-range query consults the manifest's
+    * per-segment [min_key, max_key] BEFORE touching data, scans only
+    * the segments whose range overlaps [lo, hi], and pushes the key
+    * predicate into the parquet scan of those. The manifest is
+    * segment-count-sized driver state (the one collect this format
+    * ever does); a range query against a 100 TB table reads the
+    * overlapping segments only. Returns (rows, segments scanned,
+    * segments total) — the skip ratio is part of the result so a
+    * pruning regression is observable, not silent. */
+  def readRange(spark: SparkSession, path: String, keyCol: String,
+                lo: Long, hi: Long,
+                version: Option[Int] = None): (DataFrame, Int, Int) = {
+    val v = version.orElse(latestVersion(path))
+      .getOrElse(sys.error(s"no committed version at $path"))
+    val segs = manifest(spark, path, v).collect()
+    val hit = segs.filter(r =>
+      r.getAs[Long]("max_key") >= lo && r.getAs[Long]("min_key") <= hi)
+    val rows =
+      if (hit.isEmpty)
+        spark.read.parquet(segs.head.getAs[String]("seg")).limit(0)
+      else spark.read.parquet(hit.map(_.getAs[String]("seg")): _*)
+        .filter(col(keyCol) >= lo && col(keyCol) <= hi)
+    (rows, hit.length, segs.length)
+  }
+
   /** Version history: one row per committed version still on disk
     * (a [[gc]]-expired version drops out of the history, as it should —
     * its manifest no longer exists). */

@@ -97,6 +97,10 @@ class PruningSpec extends AnyFunSuite {
       // the insert-clause change rows (the merge join itself is the
       // asserted shuffle-hash equi-join)
       "q36_merge_upsert",
+      // q52_snapshot_diff: the same one-row max-key scalar cross as
+      // q36 builds its insert clause (the diff classify join is the
+      // asserted shuffle-hash full outer)
+      "q52_snapshot_diff",
       // text_collocations: the two one-row corpus-total scalars crossed
       // onto the surviving bigram frame (unigram counts join VOCAB-KEYED)
       "text_collocations",

@@ -556,6 +556,61 @@ class SourcesSpec extends AnyFunSuite {
     assert(SnapshotLog.read(spark, path).count() == 31)
   }
 
+  test("SnapshotLog: diff classifies inserts/updates/deletes and drops carried survivors; readRange prunes by stats") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val path = tmpDir("snaplog_diff")
+    SnapshotLog.create(spark,
+      (0L until 100L).map(i => (i, s"a$i")).toDF("k", "p"), path, "k")
+    SnapshotLog.append(spark,
+      (1000L until 1100L).map(i => (i, s"b$i")).toDF("k", "p"), path, "k")
+    // diff across an append: every appended row is an insert, nothing
+    // from the untouched base segment appears
+    val d01 = SnapshotLog.diff(spark, path, 0, 1, "k")
+      .select(col("k"), col("change")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(d01.length == 100 && d01.forall(t => t._2 == "insert" &&
+      t._1 >= 1000L))
+    // upsert confined to the base segment's range: segment B must ride
+    // by reference, and the diff must contain ONLY the 5 updated keys —
+    // the other 95 rewritten-survivor rows are identical on both sides
+    SnapshotLog.upsert(spark,
+      (0L until 5L).map(i => (i, s"A$i")).toDF("k", "p"), path, "k")
+    val d12 = SnapshotLog.diff(spark, path, 1, 2, "k")
+      .select(col("k"), col("change")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(d12.sortBy(_._1).toSeq ==
+      (0L until 5L).map(i => (i, "update")).toSeq,
+      s"expected 5 updates, got ${d12.toSeq}")
+    // a merge with deletes shows as deletes; cross-version diff (0 -> 3)
+    // composes the whole history
+    SnapshotLog.merge(spark,
+      Seq((7L, "x", true), (2000L, "n", false)).toDF("k", "p", "del"),
+      path, "k", "del")
+    val d23 = SnapshotLog.diff(spark, path, 2, 3, "k")
+      .select(col("k"), col("change")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(d23.toSeq == Seq((7L, "delete"), (2000L, "insert")))
+    val d03 = SnapshotLog.diff(spark, path, 0, 3, "k")
+      .select(col("k"), col("change")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(d03(7L) == "delete" && d03(0L) == "update" &&
+      d03(2000L) == "insert" && d03(1000L) == "insert" &&
+      !d03.contains(50L))
+    // stats-pruned range read at pinned v2 (two disjoint-range
+    // segments): only the segment whose [min,max] overlaps is scanned,
+    // and the row set equals a direct filter
+    val (rows, scanned, total) =
+      SnapshotLog.readRange(spark, path, "k", 1000L, 1050L, Some(2))
+    assert(scanned == 1 && total == 2,
+      s"range read must prune to the one overlapping segment " +
+        s"($scanned/$total)")
+    assert(rows.count() == 51)
+    val (r2, s2, _) =
+      SnapshotLog.readRange(spark, path, "k", 5000L, 6000L, Some(2))
+    assert(s2 == 0 && r2.count() == 0, "empty overlap scans nothing")
+  }
+
   test("SnapshotLog: stale LATEST hint rolls forward to the true committed version") {
     import spark.implicits._
     import graft.sources.SnapshotLog

@@ -285,4 +285,62 @@ class WarehouseSpec extends AnyFunSuite {
       assert(mx >= p99 && p99 >= p50)
     }
   }
+
+  test("q52 snapshot diff equals the in-memory change batch; replay commits nothing") {
+    import graft.sources.{ModelStore, SnapshotLog}
+    val fp = ModelStore.corpusFingerprint(spark, s"$sf/customer.parquet")
+    val path = ModelStore.root(spark).stripPrefix("file:") +
+      s"/snapdiff_v1_${ModelStore.md5(s"snapdiff|$fp")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    def run(): Seq[(Long, String, Option[Double], Option[Double])] =
+      Warehouse.q52SnapshotDiff(spark, sf).collect().toSeq
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    val got = run()
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_acctbal")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val mk = cust.map(_._1).max
+    val expect = (cust.filter(_._1 % 13 == 4)
+        .map { case (k, b) => (k, "delete", Some(b), None) } ++
+      cust.filter(t => t._1 % 7 == 3 && t._1 % 13 != 4)
+        .map { case (k, b) => (k, "update", Some(b), Some(b + 100.0)) } ++
+      cust.filter(_._1 % 11 == 5)
+        .map { case (k, b) => (k + mk, "insert", None, Some(b / 2.0)) })
+      .sortBy(_._1).toSeq
+    assert(expect.count(_._2 == "delete") > 0 &&
+      expect.count(_._2 == "update") > 0 &&
+      expect.count(_._2 == "insert") > 0,
+      "every change kind must be live in the fixture")
+    assert(got == expect)
+    assert(SnapshotLog.latestVersion(path).contains(1))
+    // replay: same feed, no new version
+    assert(run() == expect &&
+      SnapshotLog.latestVersion(path).contains(1),
+      "a rerun must re-derive the same feed without committing")
+  }
+
+  test("q53 snapshot prune scans one of four range segments and matches a direct filter") {
+    import graft.sources.{ModelStore, SnapshotLog}
+    val fp = ModelStore.corpusFingerprint(spark, s"$sf/orders.parquet")
+    val path = ModelStore.root(spark).stripPrefix("file:") +
+      s"/snaprange_v1_${ModelStore.md5(s"snaprange|$fp")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val r = Warehouse.q53SnapshotPrune(spark, sf).collect().head
+    assert(r.getInt(6) == 1 && r.getInt(7) == 4,
+      s"expected 1/4 segments scanned, got ${r.getInt(6)}/${r.getInt(7)}")
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val k4 = o.map(_._1).max / 4L + 1L
+    val (lo, hi) = (k4 + k4 / 4L, k4 + k4 / 2L)
+    val in = o.filter(t => t._1 >= lo && t._1 <= hi)
+    assert(r.getLong(0) == lo && r.getLong(1) == hi)
+    assert(r.getLong(2) == in.length &&
+      r.getLong(3) == in.map(_._1).min && r.getLong(4) == in.map(_._1).max &&
+      r.getLong(5) == in.map(_._2).distinct.length)
+    // replay on the standing table: identical row, still four segments
+    assert(Warehouse.q53SnapshotPrune(spark, sf).collect().head == r)
+  }
 }
