@@ -78,6 +78,7 @@ object SparkEntry {
     "q42_op_log" -> (Warehouse.q42OpLog _),
     "q52_snapshot_diff" -> (Warehouse.q52SnapshotDiff _),
     "q53_snapshot_prune" -> (Warehouse.q53SnapshotPrune _),
+    "q54_snapshot_evolve" -> (Warehouse.q54SnapshotEvolve _),
     // B'. graph centrality over the road-network key space (dyadic-exact
     // PageRank — see operators.Graph for why the oracle matches bitwise)
     "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
@@ -1108,6 +1109,28 @@ object SparkEntry {
            CAST(4 AS INT) AS segments_total
          FROM orders, b WHERE o_orderkey BETWEEN lo AND hi
          GROUP BY lo, hi""",
+    // q54_snapshot_evolve: the reconciled post-evolution table is
+    // closed-form — original keys carry retail only where the widened
+    // upsert touched them (% 10 == 7 in the first segment's range),
+    // appended keys (shifted by maxkey+1) always carry it; the Spark
+    // side reads the value through mergeSchema across genuinely
+    // heterogeneous live segments, so a broken reconciliation (dropped
+    // column, wrong nulls, evolved survivor loss) breaks this hash
+    "q54_snapshot_evolve" ->
+      """WITH mk AS (SELECT max(p_partkey) AS m FROM part),
+         h AS (SELECT m // 2 AS h FROM mk)
+         SELECT * FROM (
+           SELECT p_partkey AS key, p_name AS name,
+             CASE WHEN p_partkey % 10 = 7
+                 AND p_partkey <= (SELECT h FROM h)
+               THEN p_retailprice / 2.0
+               ELSE CAST(NULL AS DOUBLE) END AS retail
+           FROM part
+           UNION ALL
+           SELECT p_partkey + (SELECT m FROM mk) + 1, 'n2_' || p_name,
+             p_retailprice
+           FROM part)
+         ORDER BY key""",
     "q42_op_log" ->
       """WITH ev AS (SELECT user_id AS op_id, event_id,
            CASE event_type WHEN 'signup' THEN 'start'

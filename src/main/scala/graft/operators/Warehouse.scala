@@ -541,6 +541,65 @@ object Warehouse {
     * at 100 TB this is the difference between reading a partition and
     * reading the table. Pure count/min/max aggregates — nothing
     * float-ordered. */
+  /** ADDITIVE SCHEMA EVOLUTION through the versioned table — the
+    * other lifecycle change a long-lived dataset is guaranteed to hit
+    * (a new feature column lands mid-history): the part dimension is
+    * committed as TWO pre-evolution key-range segments of (key, name);
+    * an APPEND then arrives already carrying a new `retail` column
+    * (keys shifted by maxkey+1 — part keys start at 0 — so segment ranges stay disjoint and
+    * COW-prunable); an UPSERT under the widened schema rewrites a
+    * slice of the FIRST pre-evolution segment only — the second stays
+    * live and two-column at latest, so the mergeSchema read genuinely
+    * reconciles heterogeneous live segments. Evolved rows carry their
+    * value, never-touched pre-evolution rows read null, and a v0
+    * time-travel read still has the ORIGINAL two-column schema
+    * (spec-pinned) — the Delta/Iceberg additive contract, without
+    * rewriting any committed segment.
+    *
+    * Arithmetic is one IEEE division (retail/2.0 on the upserted
+    * slice); everything else is column plumbing, so the oracle is
+    * closed-form in the id space. Lifecycle fingerprint-keyed and
+    * replay-guarded like its siblings. */
+  def q54SnapshotEvolve(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{ModelStore, SnapshotLog}
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey").as("key"), col("p_name").as("name"),
+        col("p_retailprice").as("retail"))
+    val fp = ModelStore.corpusFingerprint(spark, s"$dir/part.parquet")
+    val path = ModelStore.root(spark) +
+      s"/snapevolve_v1_${ModelStore.md5(s"snapevolve|$fp")}"
+    val mk = p.agg(max(col("key"))).collect().head.getLong(0)
+    val h = mk / 2L
+    // v0/v1: the pre-evolution history, two key-range segments
+    if (SnapshotLog.latestVersion(path).isEmpty)
+      SnapshotLog.create(spark,
+        p.filter(col("key") <= h).select(col("key"), col("name")),
+        path, "key")
+    if (SnapshotLog.latestVersion(path).contains(0))
+      SnapshotLog.append(spark,
+        p.filter(col("key") > h).select(col("key"), col("name")),
+        path, "key")
+    // v2: the evolving append — `retail` arrives with the new rows
+    if (SnapshotLog.latestVersion(path).contains(1))
+      SnapshotLog.append(spark,
+        p.select((col("key") + lit(mk + 1L)).as("key"),
+          concat(lit("n2_"), col("name")).as("name"), col("retail")),
+        path, "key")
+    // v3: an upsert under the widened schema confined to the FIRST
+    // pre-evolution segment's range — the second pre-evolution segment
+    // stays live (and two-column) at latest, so the mergeSchema read
+    // genuinely reconciles heterogeneous segments
+    if (SnapshotLog.latestVersion(path).contains(2))
+      SnapshotLog.upsert(spark,
+        p.filter(col("key") % 10 === 7 && col("key") <= h)
+          .select(col("key"), col("name"),
+            (col("retail") / lit(2.0)).as("retail")),
+        path, "key")
+    SnapshotLog.read(spark, path, mergeSchema = true)
+      .select(col("key"), col("name"), col("retail"))
+      .orderBy(col("key"))
+  }
+
   def q53SnapshotPrune(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.{ModelStore, SnapshotLog}
     val o = Tables.orders(spark, dir)

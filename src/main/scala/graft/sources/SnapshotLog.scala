@@ -122,14 +122,23 @@ object SnapshotLog {
 
   /** Snapshot read at `version` (default: latest). The union of the
     * manifest's segment directories — immutable forever, because a
-    * later commit only ever ADDS segment directories and manifests. */
+    * later commit only ever ADDS segment directories and manifests.
+    *
+    * `mergeSchema = true` reconciles ADDITIVE schema evolution across
+    * segments (a column added by a later commit reads as null from
+    * pre-evolution segments — the Delta/Iceberg additive contract) at
+    * the cost of reading every segment's footer; leave it off for
+    * schema-stable tables. */
   def read(spark: SparkSession, path: String,
-           version: Option[Int] = None): DataFrame = {
+           version: Option[Int] = None,
+           mergeSchema: Boolean = false): DataFrame = {
     val v = version.orElse(latestVersion(path))
       .getOrElse(sys.error(s"no committed version at $path"))
     val segs = manifest(spark, path, v)
       .select(col("seg")).collect().map(_.getString(0))
-    spark.read.parquet(segs: _*)
+    if (mergeSchema)
+      spark.read.option("mergeSchema", "true").parquet(segs: _*)
+    else spark.read.parquet(segs: _*)
   }
 
   /** Write `df` as one new segment directory and return its manifest
@@ -260,11 +269,17 @@ object SnapshotLog {
       r.getAs[Long]("max_key") >= lo && r.getAs[Long]("min_key") <= hi
     }
     val inserts = df.filter(!col(deleteCol)).drop(deleteCol)
+    // mergeSchema + allowMissingColumns: a merge whose incoming rows
+    // carry NEW columns (additive schema evolution) rewrites its
+    // touched segments under the widened schema — survivors read nulls
+    // for the new columns; both are no-ops on schema-stable tables
     val survivors =
       if (affected.isEmpty) inserts.limit(0)
-      else spark.read.parquet(affected.map(_.getAs[String]("seg")): _*)
+      else spark.read.option("mergeSchema", "true")
+        .parquet(affected.map(_.getAs[String]("seg")): _*)
         .join(df.select(col(keyCol)), Seq(keyCol), "left_anti")
-    val newSeg = writeSegment(spark, survivors.unionByName(inserts), path,
+    val newSeg = writeSegment(spark,
+      survivors.unionByName(inserts, allowMissingColumns = true), path,
       v, 0, keyCol)
       .collect().filter(_.getAs[Long]("n_rows") > 0)
     val rows = untouched.map(r => (r.getAs[String]("seg"),

@@ -343,4 +343,49 @@ class WarehouseSpec extends AnyFunSuite {
     // replay on the standing table: identical row, still four segments
     assert(Warehouse.q53SnapshotPrune(spark, sf).collect().head == r)
   }
+
+  test("q54 schema evolution: widened reads reconcile, v0 keeps the original schema") {
+    import graft.sources.{ModelStore, SnapshotLog}
+    val fp = ModelStore.corpusFingerprint(spark, s"$sf/part.parquet")
+    val path = ModelStore.root(spark).stripPrefix("file:") +
+      s"/snapevolve_v1_${ModelStore.md5(s"snapevolve|$fp")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    def run(): Seq[(Long, String, Option[Double])] =
+      Warehouse.q54SnapshotEvolve(spark, sf).collect().toSeq
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    val got = run()
+    val part = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val mk = part.map(_._1).max
+    val h = mk / 2L
+    val expect = (part.map { case (k, n, rp) =>
+        (k, n, if (k % 10 == 7 && k <= h) Some(rp / 2.0) else None) } ++
+      part.map { case (k, n, rp) => (k + mk + 1L, s"n2_$n", Some(rp)) })
+      .sortBy(_._1).toSeq
+    assert(got == expect)
+    // the evolved-null, evolved-value and upsert-halved classes are all
+    // genuinely populated
+    assert(got.exists(t => t._1 <= mk && t._3.isEmpty) &&
+      got.exists(t => t._1 <= mk && t._3.nonEmpty) &&
+      got.exists(t => t._1 > mk && t._3.nonEmpty))
+    // heterogeneous LIVE segments at latest: the second pre-evolution
+    // segment (keys in (h, mk]) must still be two-column on disk
+    val segs = SnapshotLog.manifest(spark, path,
+        SnapshotLog.latestVersion(path).get).collect()
+      .map(r => (r.getAs[String]("seg"), r.getAs[Long]("min_key")))
+    val preEvo = segs.filter(t => t._2 > h && t._2 <= mk)
+    assert(preEvo.nonEmpty, "the untouched pre-evolution segment must survive")
+    assert(spark.read.parquet(preEvo.head._1).columns.toSeq ==
+      Seq("key", "name"),
+      "the untouched segment must keep its original schema on disk")
+    // v0 time travel: original two-column schema, no retail anywhere
+    val v0 = SnapshotLog.read(spark, path, Some(0))
+    assert(v0.columns.toSeq == Seq("key", "name"))
+    assert(v0.count() == part.count(_._1 <= h))
+    // replay: same reconciled table, no new version
+    val vL = SnapshotLog.latestVersion(path)
+    assert(run() == expect && SnapshotLog.latestVersion(path) == vL)
+  }
 }
