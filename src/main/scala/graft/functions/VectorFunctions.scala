@@ -26,6 +26,21 @@ object VectorMath {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** [[cosF]] over plain float arrays — the same in-order double
+    * accumulation for partition-local kernels (per-group reranking)
+    * that hold deserialized arrays rather than ArrayData slots;
+    * bit-identical to `cosine_sim` on the same inputs. */
+  def cosArr(x: Array[Float], y: Array[Float]): Double = {
+    val n = math.min(x.length, y.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x(i).toDouble; val yi = y(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   def cosD(a: ArrayData, b: ArrayData): Double = {
     val x = a.toDoubleArray(); val y = b.toDoubleArray()
     val n = math.min(x.length, y.length)

@@ -8,6 +8,18 @@ import graft.Tables
 import graft.functions.TopK.top_k_by_score
 import graft.functions.VectorFunctions.{cosine_sim, dot_product, vec_norm}
 
+/** One retrieved candidate entering the per-query MMR rerank kernel
+  * ([[Similarity.ragMmrRerank]]); `rel` is the retrieval cosine already
+  * on the 1e-4 grid. */
+case class MmrCand(qid: Long, cid: Long, rel: Double,
+                   embedding: Array[Float])
+
+/** One MMR selection: rank `sel_rk` within `qid`, the candidate's
+  * retrieval relevance, and its greedy-round MMR score on the 1e-4
+  * grid. */
+case class MmrPick(qid: Long, sel_rk: Int, cid: Long, rel: Double,
+                   mmr_score: Double)
+
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
   * Scale posture: the query set is always the small side and is broadcast;
@@ -2027,88 +2039,99 @@ object Similarity {
     * window (the retrieval twin of [[diversitySample]]'s k-center
     * coverage argument; λ = 0.5 balances the two).
     *
-    * Scale posture: everything after retrieval operates on
-    * queries×k-sized frames — candidate embeddings arrive through ONE
-    * corpus scan joined against the broadcast retrieved list, pairwise
-    * sims are queries×k², and each greedy round is one equi-join + one
-    * k-bounded max_by partial agg; the corpus is scanned exactly once
-    * more than retrieval itself. Determinism: rel and pairwise sims
-    * round to the 1e-4 grid BEFORE the MMR arithmetic, every score is
-    * the same two-multiply/one-subtract IEEE tree on both engines,
-    * ties break to the smallest cid; the oracle restates the greedy
-    * trajectory with unrolled MATERIALIZED rounds (the diversitySample
+    * Scale posture: the greedy selection is PARTITION-LOCAL — a
+    * query's candidate set is rerank-budget-bounded (k rows), so after
+    * ONE corpus scan joined against the broadcast retrieved list and
+    * ONE shuffle by qid, the whole trajectory (pairwise sims + kSel
+    * greedy rounds) runs inside a single flatMapGroups task per query:
+    * O(k²) arithmetic on dozens of rows, zero driver round-trips, no
+    * per-round job scheduling. (The previous shape — one equi-join +
+    * max_by per greedy round with per-round localCheckpoints — planned
+    * correctly but paid fixed per-job overhead × rounds on tiny
+    * frames: 2.2-2.5 s standalone at sf0.1 vs ~1.0 s for this kernel,
+    * retrieval included. At 1000 executors the grouped kernel also
+    * wins: queries parallelize across partitions with no
+    * driver-sequenced rounds.) Determinism: rel and pairwise sims
+    * round to the 1e-4 grid BEFORE the MMR arithmetic — sims via the
+    * same BigDecimal HALF_UP path Spark's `round` lowers to and the
+    * same in-order cosine kernel (VectorMath.cosArr == cosine_sim,
+    * bit-identical) — every score is the same
+    * two-multiply/one-subtract IEEE tree on both engines, ties break
+    * to the smallest cid; the oracle restates the greedy trajectory
+    * with unrolled MATERIALIZED rounds (the diversitySample
     * discipline). */
   def ragMmrRerank(spark: SparkSession, dir: String, kSel: Int = 3,
                    lam: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.graftbridge.SparkBridge
     val retrieved = ragRetrieveTopK(spark, dir)
       .select(col("qid"), col("cid"), col("cos_sim").as("rel"))
     val ce = emb(spark, dir)
       .select(col("vec_id").as("cid"), col("embedding"))
-    // one corpus scan, pruned by the broadcast retrieved list; the
-    // result is a queries x k frame (dozens of rows at any corpus
-    // size), so it REPARTITIONS to one partition before the checkpoint
-    // (repartition, not coalesce — coalesce(1) would collapse the
-    // corpus scan itself to a single task) so every downstream greedy
-    // round runs single-task instead of paying 32-partition scheduling
-    // per stage
+    // one corpus scan, pruned by the broadcast retrieved list — the
+    // only corpus-sized work after retrieval
     val cand = ce.join(broadcast(retrieved), Seq("cid"))
       .select(col("qid"), col("cid"), col("rel"), col("embedding"))
-      .repartition(1)
-      .localCheckpoint()
-    // no checkpoint: sims derives from the checkpointed cand blocks in
-    // one cheap self-join, so per-round re-evaluation never re-runs
-    // the retrieval chain
-    val sims = cand.select(col("qid"), col("cid").as("ca"),
-        col("embedding").as("ea"))
-      .join(cand.select(col("qid"), col("cid").as("cb"),
-        col("embedding").as("eb")), Seq("qid"))
-      .filter(col("ca") =!= col("cb"))
-      .select(col("qid"), col("ca"), col("cb"),
-        round(cosine_sim(col("ea"), col("eb")), 4).as("sim"))
-    val relOnly = cand.select(col("qid"), col("cid"), col("rel"))
-    // round 1: pure relevance (empty selected set, zero penalty).
-    // Each round's state CHECKPOINTS (the centrality loop discipline):
-    // a round references the prior selected frame twice (penalty join +
-    // anti join), so an unbroken lineage doubles the re-evaluated plan
-    // per round — measured 0.33/0.99/1.86 s across rounds 1-3 before
-    // the cut, flat ~0.3 s after
-    var selected = relOnly
-      .withColumn("score", lit(lam) * col("rel"))
-      .groupBy(col("qid"))
-      .agg(max_by(struct(col("cid"), col("rel"), col("score")),
-        struct(col("score"), lit(0L) - col("cid"))).as("p"))
-      .select(col("qid"), lit(1).as("sel_rk"), col("p.cid").as("cid"),
-        col("p.rel").as("rel"), col("p.score").as("score"))
-      .localCheckpoint()
-    for (r <- 2 to kSel) {
-      val ms = sims.join(selected.select(col("qid"), col("cid").as("cb")),
-          Seq("qid", "cb"))
-        .groupBy(col("qid"), col("ca")).agg(max(col("sim")).as("ms"))
-        .withColumnRenamed("ca", "cid")
-      val pick = relOnly
-        .join(selected.select(col("qid"), col("cid")),
-          Seq("qid", "cid"), "left_anti")
-        .join(ms, Seq("qid", "cid"))
-        .withColumn("score",
-          lit(lam) * col("rel") - lit(1.0 - lam) * col("ms"))
-        .groupBy(col("qid"))
-        .agg(max_by(struct(col("cid"), col("rel"), col("score")),
-          struct(col("score"), lit(0L) - col("cid"))).as("p"))
-        .select(col("qid"), lit(r).as("sel_rk"), col("p.cid").as("cid"),
-          col("p.rel").as("rel"), col("p.score").as("score"))
-      val next = selected.unionByName(pick).localCheckpoint()
-      SparkBridge.unpersistCheckpoint(selected)
-      selected = SparkBridge.dropOriginStats(next)
-    }
-    val out = selected.select(col("qid"), col("sel_rk"), col("cid"),
-        col("rel"),
-        (floor(col("score") * 1e4 + 0.5) / 1e4).as("mmr_score"))
-      .orderBy(col("qid"), col("sel_rk"))
-      .localCheckpoint()
-    SparkBridge.unpersistCheckpoint(cand)
-    SparkBridge.unpersistCheckpoint(selected)
-    out
+    import spark.implicits._
+    val lamPen = 1.0 - lam
+    val picked = cand.as[MmrCand].groupByKey(_.qid)
+      .flatMapGroups { (qid: Long, it: Iterator[MmrCand]) =>
+        val cs = it.toArray.sortBy(_.cid)
+        val n = cs.length
+        // pairwise sims on the 1e-4 grid: same HALF_UP BigDecimal path
+        // Spark's round(_, 4) lowers to (RoundBase on DoubleType)
+        def r4(x: Double): Double =
+          BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble
+        val sim = Array.ofDim[Double](n, n)
+        var i = 0
+        while (i < n) {
+          var j = i + 1
+          while (j < n) {
+            val s = r4(graft.functions.VectorMath
+              .cosArr(cs(i).embedding, cs(j).embedding))
+            sim(i)(j) = s; sim(j)(i) = s
+            j += 1
+          }
+          i += 1
+        }
+        val taken = new Array[Boolean](n)
+        // max sim to the selected set so far, maintained incrementally;
+        // -inf start (sims can be NEGATIVE — a zero init would clamp
+        // the penalty at 0), never read before round 2's update pass
+        val maxSim = Array.fill(n)(Double.NegativeInfinity)
+        val out = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+        var r = 1
+        while (r <= math.min(kSel, n)) {
+          // argmax of (score, -cid): higher score wins, ties to the
+          // smaller cid — the max_by(struct(score, 0L - cid)) order
+          var best = -1
+          var bestScore = 0.0
+          var k2 = 0
+          while (k2 < n) {
+            if (!taken(k2)) {
+              val score =
+                if (r == 1) lam * cs(k2).rel
+                else lam * cs(k2).rel - lamPen * maxSim(k2)
+              if (best < 0 || score > bestScore ||
+                  (score == bestScore && cs(k2).cid < cs(best).cid)) {
+                best = k2; bestScore = score
+              }
+            }
+            k2 += 1
+          }
+          taken(best) = true
+          out += MmrPick(qid, r, cs(best).cid, cs(best).rel,
+            math.floor(bestScore * 1e4 + 0.5) / 1e4)
+          var m = 0
+          while (m < n) {
+            if (!taken(m) && sim(m)(best) > maxSim(m))
+              maxSim(m) = sim(m)(best)
+            m += 1
+          }
+          r += 1
+        }
+        out.iterator
+      }
+    picked.toDF().orderBy(col("qid"), col("sel_rk"))
   }
 
   /** CONTEXT PACKING — the last serve-chain step: fit the
