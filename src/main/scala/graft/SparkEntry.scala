@@ -79,6 +79,8 @@ object SparkEntry {
     "q52_snapshot_diff" -> (Warehouse.q52SnapshotDiff _),
     "q53_snapshot_prune" -> (Warehouse.q53SnapshotPrune _),
     "q54_snapshot_evolve" -> (Warehouse.q54SnapshotEvolve _),
+    "q55_snapshot_compact" -> (Warehouse.q55SnapshotCompact _),
+    "q56_snapshot_retention" -> (Warehouse.q56SnapshotRetention _),
     // B'. graph centrality over the road-network key space (dyadic-exact
     // PageRank — see operators.Graph for why the oracle matches bitwise)
     "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
@@ -1131,6 +1133,41 @@ object SparkEntry {
              p_retailprice
            FROM part)
          ORDER BY key""",
+    // q55_snapshot_compact: range aggregate closed-form over orders;
+    // the two probe shapes restate the EXPECTED stats pruning — 8/8
+    // through the key-interleaved churn history, 1/4 after clustered
+    // compaction — read live off the manifests on the Spark side, so
+    // a clustering or row-conservation regression breaks this hash
+    "q55_snapshot_compact" ->
+      """WITH mk AS (SELECT max(o_orderkey) AS m FROM orders),
+         b AS (SELECT m // 8 AS lo, m // 8 + m // 16 AS hi FROM mk)
+         SELECT lo, hi, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_rows_churn,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+           CAST(8 AS INT) AS scanned_churn,
+           CAST(8 AS INT) AS total_churn,
+           CAST(1 AS INT) AS scanned_compacted,
+           CAST(4 AS INT) AS total_compacted
+         FROM orders, b WHERE o_orderkey BETWEEN lo AND hi
+         GROUP BY lo, hi""",
+    // q56_snapshot_retention: the surviving history is closed-form —
+    // version 1 (two segments, %4 in {0,1}, pinned) and version 3
+    // (one compacted segment, %4 in {0,1,2}); reread_rows re-counts
+    // from the data files, so a GC that deleted a segment shared with
+    // the pinned version would break this hash
+    "q56_snapshot_retention" ->
+      """WITH c AS (SELECT c_custkey AS key FROM customer),
+         n01 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c
+                 WHERE key % 4 <= 1),
+         n012 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c
+                  WHERE key % 4 <= 2)
+         SELECT * FROM (
+           SELECT CAST(1 AS INT) AS version, CAST(2 AS BIGINT) AS n_segments,
+             (SELECT n FROM n01) AS n_rows,
+             (SELECT n FROM n01) AS reread_rows, TRUE AS pinned
+           UNION ALL
+           SELECT 3, 1, (SELECT n FROM n012), (SELECT n FROM n012), FALSE)
+         ORDER BY version""",
     "q42_op_log" ->
       """WITH ev AS (SELECT user_id AS op_id, event_id,
            CASE event_type WHEN 'signup' THEN 'start'

@@ -630,4 +630,112 @@ object Warehouse {
         col("min_key"), col("max_key"), col("n_cust"),
         lit(scanned).as("segments_scanned"), lit(total).as("segments_total"))
   }
+
+  /** CLUSTERED COMPACTION through the versioned table (the lakehouses'
+    * OPTIMIZE with a sort column) — the maintenance step that keeps
+    * [[q53SnapshotPrune]]'s data skipping alive under CDC churn: orders
+    * arrives as EIGHT key-interleaved churn segments (key % 8 == i — a
+    * feed partitioned by something other than the query key), so every
+    * segment spans the whole key space and a range probe must scan all
+    * eight (stats pruning defeated, measured in the output). One
+    * [[graft.sources.SnapshotLog.compact]] with `slices = 4` folds them
+    * into four key-DISJOINT equal-width segments; the same probe then
+    * scans exactly ONE. Both probe shapes ride in the hashed output
+    * (8/8 before, 1/4 after) beside the range aggregate, so a
+    * clustering regression — or a compaction that loses rows — breaks
+    * the driver hash instead of silently costing 8× the I/O forever.
+    * The before-probe reads version 7 (immutable manifest), the
+    * after-probe reads latest; replay re-derives both without
+    * committing (every step version-guarded). At 100 TB this is the
+    * nightly OPTIMIZE every lakehouse schedules: compaction cost is
+    * the churn's size, never the table's, and the payoff is every
+    * subsequent range read. */
+  def q55SnapshotCompact(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{ModelStore, SnapshotLog}
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("key"), col("o_custkey").as("cust"))
+    val mk = o.agg(max(col("key"))).collect().head.getLong(0)
+    val fp = ModelStore.corpusFingerprint(spark, s"$dir/orders.parquet")
+    val path = ModelStore.root(spark) +
+      s"/snapcompact_v1_${ModelStore.md5(s"snapcompact|$fp")}"
+    // v0..v7: the churn history — one segment per key residue class,
+    // each spanning ~[i, mk]: worst case for min/max stats pruning
+    if (SnapshotLog.latestVersion(path).isEmpty)
+      SnapshotLog.create(spark, o.filter(col("key") % 8 === 0), path, "key")
+    var v = SnapshotLog.latestVersion(path).get
+    while (v < 7) {
+      SnapshotLog.append(spark, o.filter(col("key") % 8 === (v + 1L)),
+        path, "key")
+      v = SnapshotLog.latestVersion(path).get
+    }
+    val lo = mk / 8L
+    val hi = mk / 8L + mk / 16L
+    val (before, scannedB, totalB) =
+      SnapshotLog.readRange(spark, path, "key", lo, hi, Some(7))
+    if (SnapshotLog.latestVersion(path).contains(7))
+      SnapshotLog.compact(spark, path, "key", Long.MaxValue, slices = 4)
+    val (after, scannedA, totalA) =
+      SnapshotLog.readRange(spark, path, "key", lo, hi)
+    // the aggregate reads through the PRUNED path (after); `before`
+    // feeds the row-conservation cross-check only (one-row broadcast
+    // cross — the q51 pattern, declared in the plan gate)
+    after.agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("cust")).as("n_cust"))
+      .join(broadcast(before.agg(count(lit(1)).as("n_rows_churn"))))
+      .select(lit(lo).as("lo"), lit(hi).as("hi"), col("n_rows"),
+        col("n_rows_churn"), col("n_cust"),
+        lit(scannedB).as("scanned_churn"), lit(totalB).as("total_churn"),
+        lit(scannedA).as("scanned_compacted"),
+        lit(totalA).as("total_compacted"))
+  }
+
+  /** RETENTION GC through the versioned table — the lifecycle step
+    * that makes time travel AFFORDABLE (an append-only history of a
+    * 100 TB table is an unbounded bill; Delta VACUUM / Iceberg
+    * expire_snapshots is how production tables bound it): customer
+    * builds a four-version history (initial load, two appends, a full
+    * compaction), version 1 is PINNED (the "training run X read corpus
+    * version 1" contract), then `gc(retainLast = 1)` expires
+    * everything else. The hashed output is the surviving history —
+    * per version: manifest stats (n_segments, n_rows), the row count
+    * RE-READ from the data files, and the pin flag. The re-read
+    * column is the point: version 1's segments are ALSO referenced by
+    * expired versions 0 and 2, so a GC that computed reachability
+    * wrong (deleted a shared segment) or a pin that failed to hold
+    * breaks the hash — the shared-segment protection is observable,
+    * not asserted. Version 2's unshared segment IS reclaimed (its
+    * version drops out of history). Replay: every commit is
+    * version-guarded, pin is an idempotent marker create, and a
+    * second gc finds nothing expirable — same output, no new
+    * version. */
+  def q56SnapshotRetention(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{ModelStore, SnapshotLog}
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"))
+    val fp = ModelStore.corpusFingerprint(spark, s"$dir/customer.parquet")
+    val path = ModelStore.root(spark) +
+      s"/snapretain_v1_${ModelStore.md5(s"snapretain|$fp")}"
+    if (SnapshotLog.latestVersion(path).isEmpty)
+      SnapshotLog.create(spark, c.filter(col("key") % 4 === 0), path, "key")
+    if (SnapshotLog.latestVersion(path).contains(0))
+      SnapshotLog.append(spark, c.filter(col("key") % 4 === 1), path, "key")
+    SnapshotLog.pin(path, 1)
+    if (SnapshotLog.latestVersion(path).contains(1))
+      SnapshotLog.append(spark, c.filter(col("key") % 4 === 2), path, "key")
+    if (SnapshotLog.latestVersion(path).contains(2))
+      SnapshotLog.compact(spark, path, "key")
+    SnapshotLog.gc(spark, path, retainLast = 1)
+    val hist = SnapshotLog.history(spark, path)
+    val alive = hist.select(col("version")).collect().map(_.getInt(0))
+    val reread = alive.map { v =>
+      SnapshotLog.read(spark, path, Some(v))
+        .agg(count(lit(1)).as("reread_rows"))
+        .select(lit(v).as("version"), col("reread_rows"))
+    }.reduce(_ unionByName _)
+    val pinned = SnapshotLog.pinnedVersions(path).toSeq
+    hist.join(broadcast(reread), Seq("version"))
+      .select(col("version"), col("n_segments"), col("n_rows"),
+        col("reread_rows"), col("version").isin(pinned: _*).as("pinned"))
+      .orderBy(col("version"))
+  }
 }

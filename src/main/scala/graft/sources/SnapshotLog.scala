@@ -338,9 +338,23 @@ object SnapshotLog {
     * read is byte-identical before and after (spec-proven); a reader
     * pinned mid-compaction never notices. No-op (no commit, current
     * version returned) when fewer than two segments qualify —
-    * compaction is idempotent. Returns the committed version. */
+    * compaction is idempotent. Returns the committed version.
+    *
+    * `slices > 1` is CLUSTERED compaction (the lakehouses' OPTIMIZE
+    * with a sort column): the folded rows are cut into `slices`
+    * key-DISJOINT segments of equal width over the folded rows'
+    * global [min, max] — boundaries are deterministic from manifest
+    * stats (no sampling pass, so a replayed compaction commits
+    * bit-identical manifests). Churn segments written key-interleaved
+    * (a CDC feed) each span the whole key space and defeat
+    * [[readRange]]'s stats pruning; clustered compaction restores it
+    * to ~1/slices of the data per range probe. Equal-width binning
+    * assumes a roughly uniform key space; heavily skewed key spaces
+    * get uneven slice sizes (still correct — stats prune on whatever
+    * the ranges are). Empty slices are dropped from the manifest. */
   def compact(spark: SparkSession, path: String, keyCol: String,
-              minRows: Long = Long.MaxValue): Int = {
+              minRows: Long = Long.MaxValue, slices: Int = 1): Int = {
+    require(slices >= 1, s"slices must be >= 1, got $slices")
     val v0 = latestVersion(path).getOrElse(
       sys.error(s"compact of non-existent table $path"))
     val segs = manifest(spark, path, v0).collect()
@@ -348,7 +362,20 @@ object SnapshotLog {
     if (small.length <= 1) return v0
     val v = v0 + 1
     val merged = spark.read.parquet(small.map(_.getAs[String]("seg")): _*)
-    val newSeg = writeSegment(spark, merged, path, v, 0, keyCol).collect()
+    val newSeg =
+      if (slices == 1) writeSegment(spark, merged, path, v, 0, keyCol)
+        .collect().toSeq
+      else {
+        val lo = small.map(_.getAs[Long]("min_key")).min
+        val hi = small.map(_.getAs[Long]("max_key")).max
+        val width = (hi - lo) / slices + 1
+        (0 until slices).flatMap { i =>
+          val sLo = lo + i.toLong * width
+          val part = merged.filter(
+            col(keyCol) >= sLo && col(keyCol) < sLo + width)
+          writeSegment(spark, part, path, v, i, keyCol).collect()
+        }.filter(_.getAs[Long]("n_rows") > 0)
+      }
     val rows = big.map(r => (r.getAs[String]("seg"),
       r.getAs[Long]("n_rows"), r.getAs[Long]("min_key"),
       r.getAs[Long]("max_key"))) ++
@@ -378,6 +405,11 @@ object SnapshotLog {
     fs.delete(new Path(pinsDir(path), f"v$v%05d"), false)
     ()
   }
+
+  /** Whether version `v`'s manifest is still on disk — false once
+    * [[gc]] has expired it (the observable retention boundary). */
+  def manifestExists(path: String, v: Int): Boolean =
+    fsOf(new Path(path)).exists(new Path(manifestDir(path, v)))
 
   def pinnedVersions(path: String): Set[Int] = {
     val d = pinsDir(path)

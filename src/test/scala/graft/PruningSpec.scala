@@ -101,6 +101,10 @@ class PruningSpec extends AnyFunSuite {
       // q36 builds its insert clause (the diff classify join is the
       // asserted shuffle-hash full outer)
       "q52_snapshot_diff",
+      // q55_snapshot_compact: the one-row churn-path conservation
+      // count crossed onto the one-row pruned-path aggregate (both
+      // single rows, the q51 pattern)
+      "q55_snapshot_compact",
       // text_collocations: the two one-row corpus-total scalars crossed
       // onto the surviving bigram frame (unigram counts join VOCAB-KEYED)
       "text_collocations",

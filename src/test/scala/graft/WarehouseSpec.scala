@@ -388,4 +388,78 @@ class WarehouseSpec extends AnyFunSuite {
     val vL = SnapshotLog.latestVersion(path)
     assert(run() == expect && SnapshotLog.latestVersion(path) == vL)
   }
+
+  test("q55 clustered compaction: 8/8 churn probe becomes 1/4, rows conserved, history immutable") {
+    import graft.sources.{ModelStore, SnapshotLog}
+    val fp = ModelStore.corpusFingerprint(spark, s"$sf/orders.parquet")
+    val path = ModelStore.root(spark).stripPrefix("file:") +
+      s"/snapcompact_v1_${ModelStore.md5(s"snapcompact|$fp")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val r = Warehouse.q55SnapshotCompact(spark, sf).collect().head
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val mk = o.map(_._1).max
+    val (lo, hi) = (mk / 8L, mk / 8L + mk / 16L)
+    val in = o.filter(t => t._1 >= lo && t._1 <= hi)
+    assert(r.getLong(0) == lo && r.getLong(1) == hi)
+    // pruned-path aggregate equals the direct filter; churn path
+    // conserves the same rows
+    assert(r.getLong(2) == in.length && r.getLong(3) == in.length &&
+      r.getLong(4) == in.map(_._2).distinct.length)
+    assert(r.getInt(5) == 8 && r.getInt(6) == 8,
+      s"churn probe must scan all 8, got ${r.getInt(5)}/${r.getInt(6)}")
+    assert(r.getInt(7) == 1 && r.getInt(8) == 4,
+      s"compacted probe must scan 1/4, got ${r.getInt(7)}/${r.getInt(8)}")
+    // compacted segments are key-DISJOINT and cover every churn row
+    val segs = SnapshotLog.manifest(spark, path, 8).collect()
+      .map(x => (x.getAs[Long]("min_key"), x.getAs[Long]("max_key"),
+        x.getAs[Long]("n_rows"))).sortBy(_._1)
+    assert(segs.length == 4)
+    assert(segs.sliding(2).forall(p => p(0)._2 < p(1)._1),
+      "slice key ranges must not overlap")
+    assert(segs.map(_._3).sum == o.length)
+    // pre-compaction history is untouched: v7 still unions to the
+    // full table
+    assert(SnapshotLog.read(spark, path, Some(7)).count() == o.length)
+    // replay: same row, no new version
+    assert(Warehouse.q55SnapshotCompact(spark, sf).collect().head == r &&
+      SnapshotLog.latestVersion(path).contains(8))
+  }
+
+  test("q56 retention gc: pinned version survives via shared segments, unshared segment reclaimed") {
+    import graft.sources.{ModelStore, SnapshotLog}
+    val fp = ModelStore.corpusFingerprint(spark, s"$sf/customer.parquet")
+    val path = ModelStore.root(spark).stripPrefix("file:") +
+      s"/snapretain_v1_${ModelStore.md5(s"snapretain|$fp")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    def run(): Seq[(Int, Long, Long, Long, Boolean)] =
+      Warehouse.q56SnapshotRetention(spark, sf).collect().toSeq
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4)))
+    val got = run()
+    val keys = Tables.customer(spark, sf)
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+    val n01 = keys.count(_ % 4 <= 1).toLong
+    val n012 = keys.count(_ % 4 <= 2).toLong
+    // only v1 (pinned) and v3 (latest) survive; reread counts prove
+    // the shared segments gc must NOT touch are still readable
+    assert(got == Seq((1, 2L, n01, n01, true), (3, 1L, n012, n012, false)))
+    // expired manifests are gone...
+    assert(SnapshotLog.manifestExists(path, 1) &&
+      SnapshotLog.manifestExists(path, 3))
+    assert(!SnapshotLog.manifestExists(path, 0) &&
+      !SnapshotLog.manifestExists(path, 2))
+    // ...and v2's unshared %4==2 segment was physically reclaimed:
+    // the data dir holds exactly v1's two segments + v3's compacted one
+    val dataDirs = new java.io.File(s"$path/data").listFiles()
+    assert(dataDirs != null && dataDirs.length == 3,
+      s"expected 3 live segment dirs, got ${dataDirs.length}")
+    // pinned time travel is byte-identical in content after gc
+    val v1 = SnapshotLog.read(spark, path, Some(1))
+      .select(col("key")).collect().map(_.getLong(0)).sorted
+    assert(v1.toSeq == keys.filter(_ % 4 <= 1).sorted.toSeq)
+    // replay: same output, no new version, nothing newly expired
+    assert(run() == got && SnapshotLog.latestVersion(path).contains(3))
+  }
 }
