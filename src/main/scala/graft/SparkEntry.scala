@@ -81,6 +81,8 @@ object SparkEntry {
     "q54_snapshot_evolve" -> (Warehouse.q54SnapshotEvolve _),
     "q55_snapshot_compact" -> (Warehouse.q55SnapshotCompact _),
     "q56_snapshot_retention" -> (Warehouse.q56SnapshotRetention _),
+    "q57_snapshot_restore" -> (Warehouse.q57SnapshotRestore _),
+    "q58_snapshot_wap" -> (Warehouse.q58SnapshotWap _),
     // B'. graph centrality over the road-network key space (dyadic-exact
     // PageRank — see operators.Graph for why the oracle matches bitwise)
     "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
@@ -1168,6 +1170,39 @@ object SparkEntry {
            UNION ALL
            SELECT 3, 1, (SELECT n FROM n012), (SELECT n FROM n012), FALSE)
          ORDER BY version""",
+    // q57_snapshot_restore: the restored table is the original
+    // customer dimension; the damaged v1 column is closed-form (keys
+    // %5==0 deleted -> null, %3==1 corrupted at +100) — the Spark side
+    // reads BOTH states through the log, so a restore that lost rows
+    // or destroyed the audit trail breaks this hash
+    "q57_snapshot_restore" ->
+      """SELECT c_custkey AS key, c_acctbal AS bal,
+           CASE WHEN c_custkey % 5 = 0 THEN CAST(NULL AS DOUBLE)
+                WHEN c_custkey % 3 = 1 THEN c_acctbal + 100.0
+                ELSE c_acctbal END AS bal_bad
+         FROM customer ORDER BY key""",
+    // q58_snapshot_wap: the audit report is closed-form (batch sizes
+    // and the planted sign-flip count), but `published` and
+    // `table_rows` are READ BACK from the committed log on the Spark
+    // side — a gate that leaked the bad batch or dropped the good one
+    // breaks this hash
+    "q58_snapshot_wap" ->
+      """WITH g AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders
+                    WHERE o_orderkey % 9 = 5),
+         b AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders
+               WHERE o_orderkey % 9 = 7),
+         bv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders
+                WHERE o_orderkey % 9 = 7 AND o_orderkey % 2 = 0
+                  AND o_totalprice > 0),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders)
+         SELECT * FROM (
+           SELECT 'bad' AS batch, (SELECT n FROM b) AS n_rows,
+             (SELECT n FROM bv) AS n_violations, FALSE AS published,
+             (SELECT n FROM t) + (SELECT n FROM g) AS table_rows
+           UNION ALL
+           SELECT 'good', (SELECT n FROM g), 0, TRUE,
+             (SELECT n FROM t) + (SELECT n FROM g))
+         ORDER BY batch""",
     "q42_op_log" ->
       """WITH ev AS (SELECT user_id AS op_id, event_id,
            CASE event_type WHEN 'signup' THEN 'start'

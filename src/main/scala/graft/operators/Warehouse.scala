@@ -738,4 +738,121 @@ object Warehouse {
         col("reread_rows"), col("version").isin(pinned: _*).as("pinned"))
       .orderBy(col("version"))
   }
+
+  /** RESTORE after a bad batch — the versioned table's "oops" path
+    * (Delta RESTORE / Iceberg rollback): customer is loaded at v0, a
+    * fat-fingered MERGE lands at v1 (deletes every key%5==0, corrupts
+    * key%3==1 balances at +100), and
+    * [[graft.sources.SnapshotLog.restore]] rolls the table back at v2
+    * — ONE segment-count-sized manifest commit re-listing v0's
+    * segments BY REFERENCE: zero data rewritten, and the bad version
+    * stays time-travelable for audit (nothing is erased until
+    * retention GC). The hashed output reads BOTH states through the
+    * log — the restored latest beside the damaged v1 (deleted keys
+    * null, corrupted balances visible) — so a restore that lost rows,
+    * resurrected deletes wrongly, or destroyed the audit trail breaks
+    * the driver hash. Replay is version-guarded: a rerun re-reads
+    * both versions and commits nothing. */
+  def q57SnapshotRestore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{ModelStore, SnapshotLog}
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"))
+    val fp = ModelStore.corpusFingerprint(spark, s"$dir/customer.parquet")
+    val path = ModelStore.root(spark) +
+      s"/snaprestore_v1_${ModelStore.md5(s"snaprestore|$fp")}"
+    if (SnapshotLog.latestVersion(path).isEmpty)
+      SnapshotLog.create(spark, c, path, "key")
+    if (SnapshotLog.latestVersion(path).contains(0)) {
+      val dels = c.filter(col("key") % 5 === 0)
+        .withColumn("_del", lit(true))
+      val bad = c.filter(col("key") % 3 === 1 && col("key") % 5 =!= 0)
+        .withColumn("bal", col("bal") + lit(100.0))
+        .withColumn("_del", lit(false))
+      SnapshotLog.merge(spark, dels.unionByName(bad), path, "key", "_del")
+    }
+    if (SnapshotLog.latestVersion(path).contains(1))
+      SnapshotLog.restore(spark, path, 0)
+    val restored = SnapshotLog.read(spark, path)
+      .select(col("key"), col("bal"))
+    val damaged = SnapshotLog.read(spark, path, Some(1))
+      .select(col("key"), col("bal").as("bal_bad"))
+    restored.join(damaged, Seq("key"), "left_outer")
+      .orderBy(col("key"))
+  }
+
+  /** WRITE-AUDIT-PUBLISH through the versioned table — Iceberg's WAP
+    * ingestion gate, the production answer to "never let a bad batch
+    * become visible": each incoming batch is STAGED as real segment
+    * files plus a non-version manifest (readers of any committed
+    * version cannot see it), the data contract runs against the
+    * staged view (the table AS IF published — table-level audits, not
+    * just batch-level), and only a clean audit PUBLISHES (one atomic
+    * manifest-sized commit, data moving by reference); a dirty batch
+    * is abandoned and its segments swept by the stage-aware gc. Here:
+    * orders is the base, a GOOD batch (key%9==5 shifted past the key
+    * space, halved price) audits clean and publishes at v1; a BAD
+    * batch (key%9==7 shifted further, price negated on even source
+    * keys — the fat-finger sign flip) audits dirty and never
+    * commits. The hashed output is the per-batch audit report with
+    * `published` and `table_rows` READ BACK from the log (batch-key
+    * membership in latest + latest's row count), so a gate that
+    * leaked the bad batch, dropped the good one, or let staged rows
+    * into a committed version breaks the driver hash. Replay re-runs
+    * the failed batch's audit (an unpublished batch is recorded
+    * nowhere — the retry semantics every WAP pipeline has), reaches
+    * the same verdict, commits nothing; the end-of-run gc keeps the
+    * replayed stage's orphans from accumulating. */
+  def q58SnapshotWap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{ModelStore, SnapshotLog}
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("key"), col("o_custkey").as("cust"),
+        col("o_totalprice").as("price"))
+    val mk = o.agg(max(col("key"))).collect().head.getLong(0)
+    val good = o.filter(col("key") % 9 === 5)
+      .select((col("key") + lit(mk + 1L)).as("key"), col("cust"),
+        (col("price") / lit(2.0)).as("price"))
+    val bad = o.filter(col("key") % 9 === 7)
+      .select((col("key") + lit(2L * (mk + 1L))).as("key"), col("cust"),
+        when(col("key") % 2 === 0, -col("price")).otherwise(col("price"))
+          .as("price"))
+    val fp = ModelStore.corpusFingerprint(spark, s"$dir/orders.parquet")
+    val path = ModelStore.root(spark) +
+      s"/snapwap_v1_${ModelStore.md5(s"snapwap|$fp")}"
+    if (SnapshotLog.latestVersion(path).isEmpty)
+      SnapshotLog.create(spark, o, path, "key")
+    // the audit: the price-sign contract over the STAGED view
+    def audit(name: String): Long =
+      SnapshotLog.readStaged(spark, path, name)
+        .filter(col("price") < 0).count()
+    def gate(batch: DataFrame, name: String): Long = {
+      SnapshotLog.stage(spark, batch, path, "key", name)
+      val viol = audit(name)
+      if (viol == 0L) SnapshotLog.publishStage(spark, path, name)
+      else SnapshotLog.abandonStage(path, name)
+      viol
+    }
+    if (SnapshotLog.latestVersion(path).contains(0)) gate(good, "b_good")
+    // the bad batch is gated on EVERY run at latest == 1 — an
+    // unpublished batch is recorded nowhere, so the pipeline retries
+    // it; the verdict is deterministic and nothing commits
+    val badViol =
+      if (SnapshotLog.latestVersion(path).contains(1)) gate(bad, "b_bad")
+      else 0L
+    SnapshotLog.gc(spark, path, retainLast = 2)
+    val latest = SnapshotLog.read(spark, path)
+    val nTable = latest.count()
+    // published flags read back from the log: batch-key-range
+    // membership in the committed latest
+    val nGoodIn = latest.filter(col("key") > mk &&
+      col("key") <= 2L * mk + 1L).count()
+    val nBadIn = latest.filter(col("key") > 2L * mk + 1L).count()
+    val gN = good.count()
+    val bN = bad.count()
+    import spark.implicits._
+    Seq(
+      ("bad", bN, badViol, nBadIn > 0L, nTable),
+      ("good", gN, 0L, nGoodIn == gN, nTable))
+      .toDF("batch", "n_rows", "n_violations", "published", "table_rows")
+      .orderBy(col("batch"))
+  }
 }

@@ -385,6 +385,104 @@ object SnapshotLog {
     commit(rows.toSeq.toDF("seg", "n_rows", "min_key", "max_key"), path, v)
   }
 
+  private def stageFile(path: String, name: String) = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"stage names are [A-Za-z0-9_]+, got '$name'")
+    new Path(logDir(path), s"stage-$name")
+  }
+
+  /** WRITE-AUDIT-PUBLISH, the write step: land `df` as real segment
+    * files plus a STAGED manifest (`_log/stage-<name>`) that is NOT a
+    * version — readers of any committed version never see staged rows
+    * (audit-before-visibility, Iceberg's WAP pattern). The staged
+    * manifest lists only the delta segments; [[readStaged]] composes
+    * them onto latest, [[publishStage]] turns them into one atomic
+    * append commit, [[abandonStage]] drops the manifest (the segments
+    * become unreferenced and [[gc]] reclaims them — gc keeps segments
+    * referenced by OPEN stages). Re-staging a name replaces the prior
+    * staged manifest (its segments orphan for gc). */
+  def stage(spark: SparkSession, df: DataFrame, path: String,
+            keyCol: String, name: String): Unit = {
+    val v = latestVersion(path).getOrElse(
+      sys.error(s"stage onto non-existent table $path"))
+    val rows = writeSegment(spark, df, path, v + 1, 0, keyCol)
+      .collect().filter(_.getAs[Long]("n_rows") > 0)
+      .map(r => (r.getAs[String]("seg"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("min_key"), r.getAs[Long]("max_key")))
+    import spark.implicits._
+    val f = stageFile(path, name)
+    val fs = fsOf(f)
+    val tmp = new Path(logDir(path),
+      s".stage-$name-tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    rows.toSeq.toDF("seg", "n_rows", "min_key", "max_key")
+      .repartition(1).write.mode("errorifexists").parquet(tmp.toString)
+    // re-staging a name replaces the prior manifest (a manifest is a
+    // parquet DIRECTORY — rename-overwrite onto a non-empty dir is not
+    // portable, so drop it first; the window only affects this stage's
+    // own readers, never committed versions)
+    if (fs.exists(f)) fs.delete(f, true)
+    val fc = FileContext.getFileContext(fs.makeQualified(f).toUri,
+      hadoopConf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(f))
+  }
+
+  def stageExists(path: String, name: String): Boolean = {
+    val f = stageFile(path, name)
+    fsOf(f).exists(f)
+  }
+
+  /** The table AS IF the stage were published: latest ∪ the staged
+    * delta — the frame the audit queries run against. */
+  def readStaged(spark: SparkSession, path: String,
+                 name: String): DataFrame = {
+    val staged = spark.read.parquet(stageFile(path, name).toString)
+      .select(col("seg")).collect().map(_.getString(0))
+    val base = read(spark, path)
+    if (staged.isEmpty) base
+    else base.unionByName(spark.read.parquet(staged: _*))
+  }
+
+  /** Publish a stage as ONE atomic append commit: latest's manifest
+    * plus the staged segments become the next version (the commit
+    * rename adjudicates concurrent writers as always), then the
+    * staged manifest is dropped. The data files move by REFERENCE —
+    * publishing is a manifest-sized operation no matter the batch. */
+  def publishStage(spark: SparkSession, path: String,
+                   name: String): Int = {
+    val v = latestVersion(path).getOrElse(
+      sys.error(s"publish onto non-existent table $path"))
+    val f = stageFile(path, name)
+    val staged = spark.read.parquet(f.toString)
+    val committed = commit(
+      manifest(spark, path, v).unionByName(staged), path, v + 1)
+    fsOf(f).delete(f, true)
+    committed
+  }
+
+  /** Drop a stage without publishing: the audit failed. The segment
+    * files orphan; [[gc]]'s unreferenced sweep reclaims them. */
+  def abandonStage(path: String, name: String): Unit = {
+    val f = stageFile(path, name)
+    fsOf(f).delete(f, true)
+    ()
+  }
+
+  /** RESTORE — re-commit version `v`'s manifest as a NEW latest
+    * version (Delta RESTORE / Iceberg rollback): the "bad batch" undo.
+    * Pure copy-on-write by reference — zero data rewritten, one
+    * segment-count-sized manifest commit — and nothing is erased: the
+    * rolled-back commits stay time-travelable for audit until [[gc]]
+    * expires them, and [[diff]] across the restore yields exactly the
+    * inverse change feed. No-op when `v` is already latest. */
+  def restore(spark: SparkSession, path: String, v: Int): Int = {
+    val latest = latestVersion(path).getOrElse(
+      sys.error(s"restore of non-existent table $path"))
+    require(manifestExists(path, v),
+      s"cannot restore expired or missing version $v at $path")
+    if (v == latest) return latest
+    commit(manifest(spark, path, v), path, latest + 1)
+  }
+
   private def pinsDir(path: String) = new Path(logDir(path), "pins")
 
   /** PIN a version against retention GC — the "train run X read corpus
@@ -455,10 +553,20 @@ object SnapshotLog {
     expired.foreach(v => fs.delete(new Path(manifestDir(path, v)), true))
     // unreferenced-segment sweep: reclaim crashed writeSegment attempts
     // — data dirs no surviving manifest lists (expired manifests are
-    // already gone, so "on-disk manifests" == the retained set)
+    // already gone, so "on-disk manifests" == the retained set). OPEN
+    // stages count as references: a staged-but-unpublished batch is
+    // live until published or abandoned.
     val dataDir = new Path(path, "data")
     if (fs.exists(dataDir)) {
-      val referenced = (0 to latest).filter(mExists).flatMap(segsOf)
+      val ld0 = new Path(logDir(path))
+      val stagedSegs = fs.listStatus(ld0).toSeq
+        .filter(_.getPath.getName.startsWith("stage-"))
+        .flatMap { st =>
+          spark.read.parquet(st.getPath.toString)
+            .select(col("seg")).collect().map(_.getString(0))
+        }
+      val referenced = ((0 to latest).filter(mExists).flatMap(segsOf) ++
+          stagedSegs)
         .map(s => fs.makeQualified(new Path(s))).toSet
       fs.listStatus(dataDir).toSeq
         .filterNot(st => referenced.contains(fs.makeQualified(st.getPath)))

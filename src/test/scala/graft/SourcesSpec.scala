@@ -427,6 +427,47 @@ class SourcesSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toMap == rows)
   }
 
+  test("SnapshotLog: staged batches invisible until publish; abandon + stage-aware gc reclaim") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val path = tmpDir("snaplog_wap")
+    SnapshotLog.create(spark,
+      (0L until 30L).map(i => (i, s"c$i")).toDF("k", "p"), path, "k")
+    // STAGE: real files on disk, but no committed reader sees them
+    SnapshotLog.stage(spark,
+      (100L until 110L).map(i => (i, s"s$i")).toDF("k", "p"), path,
+      "k", "batch1")
+    assert(SnapshotLog.latestVersion(path).contains(0))
+    assert(SnapshotLog.read(spark, path).count() == 30,
+      "staged rows must be invisible to committed readers")
+    assert(SnapshotLog.readStaged(spark, path, "batch1").count() == 40,
+      "the staged view composes latest with the delta")
+    // gc with the stage OPEN must keep its segments (they are
+    // referenced by the staged manifest, not by any version)
+    assert(SnapshotLog.gc(spark, path, retainLast = 10).isEmpty)
+    assert(SnapshotLog.readStaged(spark, path, "batch1").count() == 40,
+      "gc must not reclaim an open stage's segments")
+    // PUBLISH: one atomic commit; the stage is gone
+    assert(SnapshotLog.publishStage(spark, path, "batch1") == 1)
+    assert(!SnapshotLog.stageExists(path, "batch1"))
+    assert(SnapshotLog.read(spark, path).count() == 40)
+    assert(SnapshotLog.read(spark, path, Some(0)).count() == 30)
+    // ABANDON: a second batch fails its audit; after abandon + gc its
+    // data dir is physically reclaimed
+    SnapshotLog.stage(spark,
+      (200L until 205L).map(i => (i, "bad")).toDF("k", "p"), path,
+      "k", "batch2")
+    val dataDirs = new java.io.File(s"$path/data")
+    val before = dataDirs.listFiles().length
+    SnapshotLog.abandonStage(path, "batch2")
+    assert(!SnapshotLog.stageExists(path, "batch2"))
+    assert(SnapshotLog.read(spark, path).count() == 40)
+    assert(SnapshotLog.gc(spark, path, retainLast = 10).isEmpty)
+    assert(dataDirs.listFiles().length == before - 1,
+      "the abandoned stage's segment must be swept")
+    assert(SnapshotLog.read(spark, path).count() == 40)
+  }
+
   test("SnapshotLog: streaming CDC commits one version per batch, deletes land") {
     import spark.implicits._
     import graft.sources.SnapshotLog

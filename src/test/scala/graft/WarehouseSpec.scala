@@ -462,4 +462,80 @@ class WarehouseSpec extends AnyFunSuite {
     // replay: same output, no new version, nothing newly expired
     assert(run() == got && SnapshotLog.latestVersion(path).contains(3))
   }
+
+  test("q57 restore: rollback by reference, bad version auditable, diff is the inverse feed") {
+    import graft.sources.{ModelStore, SnapshotLog}
+    val fp = ModelStore.corpusFingerprint(spark, s"$sf/customer.parquet")
+    val path = ModelStore.root(spark).stripPrefix("file:") +
+      s"/snaprestore_v1_${ModelStore.md5(s"snaprestore|$fp")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    def run(): Seq[(Long, Double, Option[Double])] =
+      Warehouse.q57SnapshotRestore(spark, sf).collect().toSeq
+        .map(r => (r.getLong(0), r.getDouble(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    val got = run()
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_acctbal")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val expect = cust.map { case (k, b) =>
+      (k, b,
+        if (k % 5 == 0) None
+        else if (k % 3 == 1) Some(b + 100.0) else Some(b))
+    }.sortBy(_._1).toSeq
+    assert(got == expect)
+    assert(SnapshotLog.latestVersion(path).contains(2))
+    // the bad version is auditable: v1 lost exactly the %5==0 keys
+    assert(SnapshotLog.read(spark, path, Some(1)).count() ==
+      cust.count(_._1 % 5 != 0))
+    // diff across the restore is the exact inverse feed: deleted keys
+    // come back as inserts, corrupted balances as updates back to the
+    // original; untouched keys never appear
+    val inv = SnapshotLog.diff(spark, path, 1, 2, "key").collect()
+      .map(r => (r.getLong(0), r.getAs[String]("change")))
+    val nDel = cust.count(_._1 % 5 == 0)
+    val nBad = cust.count(t => t._1 % 3 == 1 && t._1 % 5 != 0)
+    assert(inv.count(_._2 == "insert") == nDel &&
+      inv.count(_._2 == "update") == nBad &&
+      inv.count(_._2 == "delete") == 0)
+    // zero data rewritten: the restore manifest lists v0's segment
+    // dirs verbatim
+    val segsOf = (v: Int) => SnapshotLog.manifest(spark, path, v)
+      .select(col("seg")).collect().map(_.getString(0)).toSet
+    assert(segsOf(2) == segsOf(0))
+    // replay: same table, no new version
+    assert(run() == expect && SnapshotLog.latestVersion(path).contains(2))
+  }
+
+  test("q58 wap: good batch publishes, bad batch audits dirty and never commits") {
+    import graft.sources.{ModelStore, SnapshotLog}
+    val fp = ModelStore.corpusFingerprint(spark, s"$sf/orders.parquet")
+    val path = ModelStore.root(spark).stripPrefix("file:") +
+      s"/snapwap_v1_${ModelStore.md5(s"snapwap|$fp")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    def run(): Seq[(String, Long, Long, Boolean, Long)] =
+      Warehouse.q58SnapshotWap(spark, sf).collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3), r.getLong(4)))
+    val got = run()
+    val keys = Tables.orders(spark, sf)
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    val g = keys.count(_ % 9 == 5).toLong
+    val b = keys.count(_ % 9 == 7).toLong
+    val bv = keys.count(k => k % 9 == 7 && k % 2 == 0).toLong
+    val n = keys.length.toLong
+    assert(bv > 0, "the planted violation class must be live")
+    assert(got == Seq(("bad", b, bv, false, n + g),
+      ("good", g, 0L, true, n + g)))
+    // the log: exactly v0 (base) + v1 (good publish); the bad batch
+    // never became a version and its stage is gone
+    assert(SnapshotLog.latestVersion(path).contains(1))
+    assert(!SnapshotLog.stageExists(path, "b_good") &&
+      !SnapshotLog.stageExists(path, "b_bad"))
+    assert(SnapshotLog.read(spark, path, Some(0)).count() == n)
+    // no negative price ever visible through any committed version
+    assert(SnapshotLog.read(spark, path)
+      .filter(col("price") < 0).count() == 0)
+    // replay: same report, same single published version
+    assert(run() == got && SnapshotLog.latestVersion(path).contains(1))
+  }
 }
