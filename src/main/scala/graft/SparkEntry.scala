@@ -150,6 +150,7 @@ object SparkEntry {
     "rag_ndcg_eval" -> ((s, d) => Similarity.ragNdcgEval(s, d)),
     "rag_index_refresh" -> ((s, d) => Similarity.ragIndexRefresh(s, d)),
     "rag_index_compact" -> ((s, d) => Similarity.ragIndexCompact(s, d)),
+    "rag_index_sync" -> ((s, d) => Similarity.ragIndexSync(s, d)),
     "ann_recall_eval" -> ((s, d) => Similarity.annRecallEval(s, d)),
     "ann_nprobe_sweep" -> ((s, d) => Similarity.nprobeSweep(s, d)),
     "ann_ndcg_eval" -> ((s, d) => Similarity.ndcgEval(s, d)),
@@ -2710,6 +2711,43 @@ object SparkEntry {
            vec_id % 9 <> 4 AS served_latest,
            CAST(2 AS INT) AS latest_version
          FROM embeddings WHERE vec_id % 5 <> 0 ORDER BY cid""",
+    // rag_index_sync: the change feed is closed-form in the id space
+    // (deletes %19==6, re-embeds %17==3 with the negated vector,
+    // inserts %23==7 shifted past the key space) and the cell columns
+    // restate the coarse assignment — cosine DESC with ties to the
+    // smallest seed id, the assignToSeeds order — against the FIXED
+    // base seeds; the Spark side reads every membership and cell value
+    // back from the index log's versions, so a failed tombstone, lost
+    // insert, or skipped re-encode breaks this hash
+    "rag_index_sync" ->
+      """WITH e AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS v,
+             label AS lab FROM embeddings),
+         mk AS (SELECT max(cid) AS m FROM e),
+         seeds AS (SELECT cid AS cell, v AS sv FROM e WHERE cid < 20),
+         asg AS (SELECT cid, cell FROM (
+           SELECT t.cid, s.cell, row_number() OVER (PARTITION BY t.cid
+               ORDER BY list_cosine_similarity(t.v, s.sv) DESC, s.cell)
+               AS rn
+           FROM e t, seeds s) z WHERE rn = 1),
+         nasg AS (SELECT cid, cell FROM (
+           SELECT t.cid, s.cell, row_number() OVER (PARTITION BY t.cid
+               ORDER BY list_cosine_similarity(
+                 list_transform(t.v, x -> -x), s.sv) DESC, s.cell) AS rn
+           FROM e t, seeds s) z WHERE rn = 1)
+         SELECT * FROM (
+           SELECT e.cid, 'delete' AS change, e.lab,
+             a.cell AS cell_before, CAST(NULL AS BIGINT) AS cell_after,
+             TRUE AS served_before, FALSE AS served_after
+           FROM e JOIN asg a USING (cid) WHERE cid % 19 = 6
+           UNION ALL
+           SELECT e.cid, 'update', e.lab, a.cell, n.cell, TRUE, TRUE
+           FROM e JOIN asg a USING (cid) JOIN nasg n USING (cid)
+           WHERE cid % 17 = 3 AND cid % 19 <> 6
+           UNION ALL
+           SELECT e.cid + (SELECT m FROM mk) + 1, 'insert', e.lab,
+             CAST(NULL AS BIGINT), a.cell, FALSE, TRUE
+           FROM e JOIN asg a USING (cid) WHERE cid % 23 = 7)
+         ORDER BY cid""",
     // index-health recall@k: both the exact truth and the IVF probe
     // restate in SQL (same CTEs as ann_brute/ann_ivf), so the per-query
     // hit counts — and therefore the recall the index would ship with —

@@ -2454,6 +2454,109 @@ object Similarity {
       .orderBy(col("cid"))
   }
 
+  /** CDC-DRIVEN INDEX SYNC — the serving index FOLLOWS THE TABLE: the
+    * corpus lives in a versioned [[graft.sources.SnapshotLog]] table,
+    * a MERGE lands (deletes cid%19==6; re-embeddings cid%17==3, here
+    * the negated vector — a model refresh; inserts past the key
+    * space for source cid%23==7), and the index syncs by consuming
+    * the table's CHANGE FEED, not by rescanning the corpus:
+    * `diff(v0, v1)` yields exactly the changed rows, deletes
+    * tombstone through one merge, updates/inserts coarse-assign their
+    * NEW vectors against the index's FIXED build-time seeds (stale
+    * centroids — production reality: sync re-encodes documents, never
+    * re-seeds) and ride the same single atomic merge. Sync cost is
+    * the commit's size, never the table's — the production posture
+    * for a 100 TB corpus taking thousand-row merges.
+    *
+    * The hashed output is the per-changed-doc audit: serving
+    * membership BEFORE and AFTER (read back from index versions 0 and
+    * latest — a failed tombstone, lost insert, or leaked delete flips
+    * a boolean) and the coarse cell BEFORE and AFTER (read back from
+    * the index rows — a sync that forgot to RE-encode an update keeps
+    * serving the old cell and breaks the hash wherever the negated
+    * vector lands elsewhere). Oracle restates the change classes in
+    * the id space and the cell assignments with the same
+    * cosine/tie-break arithmetic. Replay: every commit on both logs
+    * is version-guarded — a rerun re-reads, commits nothing. */
+  def ragIndexSync(spark: SparkSession, dir: String,
+                   seedIdMax: Int = 20, delMod: Int = 19, delRes: Int = 6,
+                   updMod: Int = 17, updRes: Int = 3,
+                   insMod: Int = 23, insRes: Int = 7): DataFrame = {
+    import graft.sources.{ModelStore, SnapshotLog}
+    val e = emb(spark, dir).select(col("vec_id").as("cid"),
+      col("embedding"), col("label").as("lab"))
+    val mk = e.agg(max(col("cid"))).collect().head.getLong(0)
+    val fp = ModelStore.corpusFingerprint(spark, s"$dir/embeddings.parquet")
+    val tag = s"$fp|$seedIdMax|$delMod|$delRes|$updMod|$updRes|$insMod|$insRes"
+    val srcPath = ModelStore.root(spark) +
+      s"/embsrc_v1_${ModelStore.md5(s"embsrc|$tag")}"
+    val idxPath = ModelStore.root(spark) +
+      s"/embidx_v1_${ModelStore.md5(s"embidx|$tag")}"
+    // the SOURCE table: v0 base corpus, v1 the CDC merge
+    if (SnapshotLog.latestVersion(srcPath).isEmpty)
+      SnapshotLog.create(spark, e, srcPath, "cid")
+    if (SnapshotLog.latestVersion(srcPath).contains(0)) {
+      val dels = e.filter(col("cid") % delMod === delRes)
+        .withColumn("_del", lit(true))
+      val upds = e.filter(col("cid") % updMod === updRes &&
+          col("cid") % delMod =!= delRes)
+        .select(col("cid"),
+          transform(col("embedding"), x => -x).as("embedding"), col("lab"))
+        .withColumn("_del", lit(false))
+      val ins = e.filter(col("cid") % insMod === insRes)
+        .select((col("cid") + lit(mk + 1L)).as("cid"), col("embedding"),
+          col("lab"))
+        .withColumn("_del", lit(false))
+      SnapshotLog.merge(spark, dels.unionByName(upds).unionByName(ins),
+        srcPath, "cid", "_del")
+    }
+    // the INDEX at v0: coarse-cell membership of the base corpus,
+    // seeds FIXED from the base (cid < seedIdMax)
+    val base = SnapshotLog.read(spark, srcPath, Some(0))
+    val seeds = base.filter(col("cid") < seedIdMax)
+      .select(col("cid").as("cluster_id"), col("embedding").as("se"))
+    def cellsOf(rows: DataFrame): DataFrame =
+      assignToSeeds(rows.select(col("cid").as("vec_id"),
+          col("embedding")), seeds)
+        .select(col("vec_id").as("cid"), col("cluster_id").as("cell"))
+    if (SnapshotLog.latestVersion(idxPath).isEmpty)
+      SnapshotLog.create(spark,
+        cellsOf(base)
+          .join(base.select(col("cid"), col("lab")).hint("shuffle_hash"),
+            Seq("cid")),
+        idxPath, "cid")
+    // SYNC: one atomic index merge derived ENTIRELY from the feed
+    if (SnapshotLog.latestVersion(idxPath).contains(0)) {
+      val feed = SnapshotLog.diff(spark, srcPath, 0, 1, "cid")
+      val tombs = feed.filter(col("change") === "delete")
+        .select(col("cid"), lit(0L).as("cell"), lit(0).as("lab"),
+          lit(true).as("_del"))
+      val fresh = feed.filter(col("change") =!= "delete")
+        .select(col("cid"), col("_new.embedding").as("embedding"),
+          col("_new.lab").as("lab"))
+      val encoded = cellsOf(fresh)
+        .join(fresh.select(col("cid"), col("lab")).hint("shuffle_hash"),
+          Seq("cid"))
+        .withColumn("_del", lit(false))
+      SnapshotLog.merge(spark, tombs.unionByName(encoded), idxPath,
+        "cid", "_del")
+    }
+    val feed = SnapshotLog.diff(spark, srcPath, 0, 1, "cid")
+      .select(col("cid"), col("change"),
+        coalesce(col("_new.lab"), col("_old.lab")).as("lab"))
+    val before = SnapshotLog.read(spark, idxPath, Some(0))
+      .select(col("cid"), col("cell").as("cell_before"))
+    val after = SnapshotLog.read(spark, idxPath)
+      .select(col("cid"), col("cell").as("cell_after"))
+    feed.join(before.hint("shuffle_hash"), Seq("cid"), "left_outer")
+      .join(after.hint("shuffle_hash"), Seq("cid"), "left_outer")
+      .select(col("cid"), col("change"), col("lab"),
+        col("cell_before"), col("cell_after"),
+        col("cell_before").isNotNull.as("served_before"),
+        col("cell_after").isNotNull.as("served_after"))
+      .orderBy(col("cid"))
+  }
+
   /** The IVF-PQ pipeline over an explicit codebook (see [[ivfPqTopK]]
     * for the stage-by-stage scale posture). */
   private def ivfPqTopKWith(e: DataFrame, cb: DataFrame, k: Int,

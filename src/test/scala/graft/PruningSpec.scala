@@ -73,10 +73,12 @@ class PruningSpec extends AnyFunSuite {
     // eval joins output-sized
     // rag_index_refresh: the arrivals x base-seeds coarse-assignment
     // cross (the emb_cluster_assign declared shape) over the delta
+    // rag_index_sync: the same declared coarse-assignment cross (base
+    // build + changed-row re-encode, both x broadcast fixed seeds)
     val nlAllowed = Set("ann_brute_topk", "ann_ivf_topk", "ann_ivfpq_topk",
       "ann_ivfpq_trained", "ann_index_persist", "rag_retrieve_topk",
       "rag_mmr_rerank", "rag_context_pack", "rag_recall_eval",
-      "rag_ndcg_eval", "rag_index_refresh",
+      "rag_ndcg_eval", "rag_index_refresh", "rag_index_sync",
       "geo_nearest_poi", "geo_area_assign", "geo_route_nearest",
       "emb_cluster_assign", "emb_kmeans", "q31_range_lookup",
       "geo_eta_matrix", "text_tfidf", "text_xentropy", "emb_neardup_lsh",

@@ -663,6 +663,64 @@ class SimilaritySpec extends AnyFunSuite {
       "a compact rerun must not commit a new version")
   }
 
+  test("rag index sync: the feed drives tombstones and re-encodes; stale versions pin; replay stable") {
+    import graft.sources.{ModelStore, SnapshotLog}
+    val fp = ModelStore.corpusFingerprint(spark, s"$sf/embeddings.parquet")
+    val tag = s"$fp|20|19|6|17|3|23|7"
+    val srcPath = ModelStore.root(spark).stripPrefix("file:") +
+      s"/embsrc_v1_${ModelStore.md5(s"embsrc|$tag")}"
+    val idxPath = ModelStore.root(spark).stripPrefix("file:") +
+      s"/embidx_v1_${ModelStore.md5(s"embidx|$tag")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcPath))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxPath))
+    def run(): Seq[(Long, String, Int, Option[Long], Option[Long], Boolean, Boolean)] =
+      Similarity.ragIndexSync(spark, sf).collect().toSeq.map(r =>
+        (r.getLong(0), r.getString(1), r.getInt(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          r.getBoolean(5), r.getBoolean(6)))
+    val got = run()
+    // in-memory recompute: cell = argmax cosine over the fixed seeds,
+    // ties to the smallest seed id (the assignToSeeds order)
+    val es = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val mk = es.map(_._1).max
+    val seeds = es.filter(_._1 < 20).map(t => (t._1, t._2)).sortBy(_._1)
+    def cell(v: Array[Float]): Long =
+      seeds.map { case (sid, sv) =>
+        (graft.functions.VectorMath.cosArr(v, sv), sid) }
+        .maxBy { case (c, sid) => (c, -sid) }._2
+    val expect = (es.filter(_._1 % 19 == 6).map { case (k, v, l) =>
+        (k, "delete", l, Some(cell(v)), None: Option[Long], true, false) } ++
+      es.filter(t => t._1 % 17 == 3 && t._1 % 19 != 6).map { case (k, v, l) =>
+        (k, "update", l, Some(cell(v)), Some(cell(v.map(x => -x))),
+          true, true) } ++
+      es.filter(_._1 % 23 == 7).map { case (k, v, l) =>
+        (k + mk + 1, "insert", l, None: Option[Long], Some(cell(v)),
+          false, true) }).sortBy(_._1).toSeq
+    assert(expect.exists(_._2 == "delete") && expect.exists(_._2 == "update")
+      && expect.exists(_._2 == "insert"),
+      "every change class must be live in the fixture")
+    assert(got == expect)
+    // a re-encode genuinely moved at least one updated doc's cell, or
+    // the cell_after column couldn't catch a skipped re-encode here
+    assert(expect.exists(t => t._2 == "update" && t._4 != t._5),
+      "at least one update must land in a different cell")
+    // the index log: latest never serves a deleted cid; v0 still does
+    val latestIdx = SnapshotLog.read(spark, idxPath)
+      .select(col("cid")).collect().map(_.getLong(0)).toSet
+    assert(expect.filter(_._2 == "delete").forall(t => !latestIdx(t._1)))
+    assert(expect.filter(_._2 == "insert").forall(t => latestIdx(t._1)))
+    val v0Idx = SnapshotLog.read(spark, idxPath, Some(0))
+      .select(col("cid")).collect().map(_.getLong(0)).toSet
+    assert(expect.filter(_._2 == "delete").forall(t => v0Idx(t._1)),
+      "the pre-sync index version must still serve later-deleted docs")
+    // replay: same audit, no new versions on either log
+    assert(run() == expect &&
+      SnapshotLog.latestVersion(srcPath).contains(1) &&
+      SnapshotLog.latestVersion(idxPath).contains(1))
+  }
+
   test("rag mmr rerank: equals the in-memory greedy MMR trajectory over the retrieved list") {
     val retrieved = Similarity.ragRetrieveTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
