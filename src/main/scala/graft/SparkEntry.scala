@@ -83,6 +83,7 @@ object SparkEntry {
     "q56_snapshot_retention" -> (Warehouse.q56SnapshotRetention _),
     "q57_snapshot_restore" -> (Warehouse.q57SnapshotRestore _),
     "q58_snapshot_wap" -> (Warehouse.q58SnapshotWap _),
+    "q59_snapshot_zorder" -> (Warehouse.q59SnapshotZorder _),
     // B'. graph centrality over the road-network key space (dyadic-exact
     // PageRank — see operators.Graph for why the oracle matches bitwise)
     "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
@@ -1204,6 +1205,79 @@ object SparkEntry {
            SELECT 'good', (SELECT n FROM g), 0, TRUE,
              (SELECT n FROM t) + (SELECT n FROM g))
          ORDER BY batch""",
+    // q59_snapshot_zorder: the oracle re-derives the WHOLE clustering
+    // arithmetic in SQL — 16-bit affine binning, the Morton
+    // shift-and-mask interleave, equal-width slice boundaries over the
+    // data's [zmin, zmax] (mirroring compact/compactZOrder's
+    // (hi-lo)//n+1 width), per-slice min/max stats for both layouts —
+    // and counts the slices each probe's stats test would scan; the
+    // Spark side MEASURES the same counts through readBox, so a
+    // clustering or pruning regression on either layout breaks this
+    // hash (integer arithmetic end-to-end, bit-identical by
+    // construction)
+    "q59_snapshot_zorder" ->
+      """WITH o AS (SELECT o_custkey AS cust,
+           date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+             AS day, o_totalprice AS price FROM orders),
+         b AS (SELECT min(cust) AS cmin, max(cust) AS cmax,
+                      min(day) AS dmin, max(day) AS dmax FROM o),
+         pr AS (SELECT cmin + 7*(cmax-cmin)//16 AS clo,
+                       cmin + 9*(cmax-cmin)//16 AS chi,
+                       dmin + 7*(dmax-dmin)//16 AS dlo,
+                       dmin + 9*(dmax-dmin)//16 AS dhi FROM b),
+         sc AS (SELECT cmin, dmin, (cmax-cmin)//65536 + 1 AS xw,
+                       (dmax-dmin)//65536 + 1 AS yw FROM b),
+         g0 AS (SELECT cust, day, price, (cust-cmin)//xw AS xb,
+                       (day-dmin)//yw AS yb FROM o, sc),
+         g1 AS (SELECT cust, day, price,
+                 (xb | (xb<<8)) & 16711935 AS xs,
+                 (yb | (yb<<8)) & 16711935 AS ys FROM g0),
+         g2 AS (SELECT cust, day, price,
+                 (xs | (xs<<4)) & 252645135 AS xs,
+                 (ys | (ys<<4)) & 252645135 AS ys FROM g1),
+         g3 AS (SELECT cust, day, price,
+                 (xs | (xs<<2)) & 858993459 AS xs,
+                 (ys | (ys<<2)) & 858993459 AS ys FROM g2),
+         g4 AS (SELECT cust, day, price,
+                 (xs | (xs<<1)) & 1431655765 AS xs,
+                 (ys | (ys<<1)) & 1431655765 AS ys FROM g3),
+         z AS (SELECT cust, day, price, xs | (ys<<1) AS zv FROM g4),
+         zbb AS (SELECT min(zv) AS zmin, max(zv) AS zmax FROM z),
+         zsl AS (SELECT cust, day,
+                  (zv - zmin)//((zmax-zmin)//16+1) AS sl FROM z, zbb),
+         zstats AS (SELECT sl, min(cust) AS cmn, max(cust) AS cmx,
+                     min(day) AS dmn, max(day) AS dmx
+                    FROM zsl GROUP BY sl),
+         lsl AS (SELECT cust,
+                  (cust - cmin)//((cmax-cmin)//16+1) AS sl FROM o, b),
+         lstats AS (SELECT sl, min(cust) AS cmn, max(cust) AS cmx
+                    FROM lsl GROUP BY sl),
+         box AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                  round(sum(price), 2) AS sum_price
+                 FROM o, pr
+                 WHERE cust BETWEEN clo AND chi AND day BETWEEN dlo AND dhi)
+         SELECT clo AS c_lo, chi AS c_hi, dlo AS d_lo, dhi AS d_hi,
+           n_rows, sum_price, n_rows AS n_rows_linear,
+           CAST((SELECT count(*) FROM lstats, pr
+                 WHERE cmx >= clo AND cmn <= chi) AS INT)
+             AS scan_cust_linear,
+           CAST((SELECT count(*) FROM zstats, pr
+                 WHERE cmx >= clo AND cmn <= chi) AS INT)
+             AS scan_cust_zorder,
+           CAST((SELECT count(*) FROM lstats) AS INT) AS scan_date_linear,
+           CAST((SELECT count(*) FROM zstats, pr
+                 WHERE dmx >= dlo AND dmn <= dhi) AS INT)
+             AS scan_date_zorder,
+           CAST((SELECT count(*) FROM lstats, pr
+                 WHERE cmx >= clo AND cmn <= chi) AS INT)
+             AS scan_box_linear,
+           CAST((SELECT count(*) FROM zstats, pr
+                 WHERE cmx >= clo AND cmn <= chi
+                   AND dmx >= dlo AND dmn <= dhi) AS INT)
+             AS scan_box_zorder,
+           CAST((SELECT count(*) FROM lstats) AS INT) AS total_linear,
+           CAST((SELECT count(*) FROM zstats) AS INT) AS total_zorder
+         FROM box, pr""",
     "q42_op_log" ->
       """WITH ev AS (SELECT user_id AS op_id, event_id,
            CASE event_type WHEN 'signup' THEN 'start'

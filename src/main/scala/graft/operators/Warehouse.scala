@@ -689,6 +689,94 @@ object Warehouse {
         lit(totalA).as("total_compacted"))
   }
 
+  /** Z-ORDER CLUSTERED COMPACTION vs 1-D — the multi-dimensional
+    * data-skipping demonstration (Delta `OPTIMIZE ZORDER BY
+    * (custkey, orderdate)`): the SAME churned orders history (eight
+    * key-residue segments, every one spanning the full customer AND
+    * date space) is compacted two ways — [[graft.sources.SnapshotLog
+    * .compact]] 16-sliced on customer (1-D), and [[graft.sources
+    * .SnapshotLog.compactZOrder]] 16-sliced along the Morton curve of
+    * (customer, order-day) with BOTH columns' min/max in the manifest.
+    * Three probe families then run against both layouts through
+    * [[graft.sources.SnapshotLog.readBox]]: a customer range, a date
+    * range, and the 2-D box. The 1-D layout serves exactly one family
+    * (customer prunes hard; date scans EVERYTHING — the production
+    * incident this operator exists to prevent); the z layout serves
+    * all three at ~sqrt pruning — each z slice is a compact 2-D tile,
+    * so per-column stats are tight on both axes. All six
+    * scanned/total counts ride in the hashed output beside the box
+    * aggregate (closed-form in the oracle, which re-derives the
+    * interleave arithmetic, slice boundaries and per-slice stats in
+    * SQL) — a clustering regression on either layout breaks the
+    * driver hash, not just a latency chart. The box aggregate reads
+    * through the z-pruned path; the 1-D path's box count rides beside
+    * it as row conservation (the two layouts must serve identical
+    * data). Replay: both tables fingerprint-keyed and version-guarded
+    * — a rerun probes, commits nothing. */
+  def q59SnapshotZorder(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{ModelStore, SnapshotLog}
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("key"),
+      col("o_custkey").as("cust"),
+      datediff(col("o_orderdate").cast("date"),
+        lit(java.sql.Date.valueOf("1992-01-01"))).cast("long").as("day"),
+      col("o_totalprice").as("price"))
+    val fp = ModelStore.corpusFingerprint(spark, s"$dir/orders.parquet")
+    val pathL = ModelStore.root(spark) +
+      s"/zlin_v1_${ModelStore.md5(s"zlin|$fp")}"
+    val pathZ = ModelStore.root(spark) +
+      s"/zord_v1_${ModelStore.md5(s"zord|$fp")}"
+    def churn(path: String): Unit = {
+      if (SnapshotLog.latestVersion(path).isEmpty)
+        SnapshotLog.create(spark, o.filter(col("key") % 8 === 0), path,
+          "cust")
+      var v = SnapshotLog.latestVersion(path).get
+      while (v < 7) {
+        SnapshotLog.append(spark, o.filter(col("key") % 8 === (v + 1L)),
+          path, "cust")
+        v = SnapshotLog.latestVersion(path).get
+      }
+    }
+    churn(pathL); churn(pathZ)
+    if (SnapshotLog.latestVersion(pathL).contains(7))
+      SnapshotLog.compact(spark, pathL, "cust", Long.MaxValue, slices = 16)
+    if (SnapshotLog.latestVersion(pathZ).contains(7))
+      SnapshotLog.compactZOrder(spark, pathZ, "cust", "day", slices = 16)
+    val b = o.agg(min(col("cust")), max(col("cust")),
+      min(col("day")), max(col("day"))).collect().head
+    val (cmin, cmax, dmin, dmax) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val (cLo, cHi) =
+      (cmin + 7L * (cmax - cmin) / 16L, cmin + 9L * (cmax - cmin) / 16L)
+    val (dLo, dHi) =
+      (dmin + 7L * (dmax - dmin) / 16L, dmin + 9L * (dmax - dmin) / 16L)
+    val (_, sCustL, totL) =
+      SnapshotLog.readBox(spark, pathL, "cust", "day", cLo, cHi, dmin, dmax)
+    val (_, sCustZ, totZ) =
+      SnapshotLog.readBox(spark, pathZ, "cust", "day", cLo, cHi, dmin, dmax)
+    val (_, sDayL, _) =
+      SnapshotLog.readBox(spark, pathL, "cust", "day", cmin, cmax, dLo, dHi)
+    val (_, sDayZ, _) =
+      SnapshotLog.readBox(spark, pathZ, "cust", "day", cmin, cmax, dLo, dHi)
+    val (boxL, sBoxL, _) =
+      SnapshotLog.readBox(spark, pathL, "cust", "day", cLo, cHi, dLo, dHi)
+    val (boxZ, sBoxZ, _) =
+      SnapshotLog.readBox(spark, pathZ, "cust", "day", cLo, cHi, dLo, dHi)
+    boxZ.agg(count(lit(1)).as("n_rows"),
+        round(sum(col("price")), 2).as("sum_price"))
+      .join(broadcast(boxL.agg(count(lit(1)).as("n_rows_linear"))))
+      .select(lit(cLo).as("c_lo"), lit(cHi).as("c_hi"),
+        lit(dLo).as("d_lo"), lit(dHi).as("d_hi"),
+        col("n_rows"), col("sum_price"), col("n_rows_linear"),
+        lit(sCustL).as("scan_cust_linear"),
+        lit(sCustZ).as("scan_cust_zorder"),
+        lit(sDayL).as("scan_date_linear"),
+        lit(sDayZ).as("scan_date_zorder"),
+        lit(sBoxL).as("scan_box_linear"),
+        lit(sBoxZ).as("scan_box_zorder"),
+        lit(totL).as("total_linear"), lit(totZ).as("total_zorder"))
+  }
+
   /** RETENTION GC through the versioned table — the lifecycle step
     * that makes time travel AFFORDABLE (an append-only history of a
     * 100 TB table is an unbounded bill; Delta VACUUM / Iceberg

@@ -236,8 +236,11 @@ object SnapshotLog {
   private[graft] def appendAt(spark: SparkSession, df: DataFrame,
                               path: String, keyCol: String, v: Int): Int = {
     val prev = manifest(spark, path, v - 1)
-    commit(prev.unionByName(writeSegment(spark, df, path, v, 0, keyCol)),
-      path, v)
+    // allowMissingColumns: an append after [[compactZOrder]] carries a
+    // 4-column stats row into a 6-column manifest — the new segment's
+    // second-column stats are null (readers prune conservatively)
+    commit(prev.unionByName(writeSegment(spark, df, path, v, 0, keyCol),
+      allowMissingColumns = true), path, v)
   }
 
   /** Keyed upsert: rows with matching keys replace their old versions,
@@ -383,6 +386,121 @@ object SnapshotLog {
         r.getAs[Long]("min_key"), r.getAs[Long]("max_key")))
     import spark.implicits._
     commit(rows.toSeq.toDF("seg", "n_rows", "min_key", "max_key"), path, v)
+  }
+
+  /** OPTIMIZE ZORDER — MULTI-dimensional clustered compaction (the
+    * Delta `OPTIMIZE ... ZORDER BY (x, y)` / Iceberg sort-order
+    * rewrite): every current segment folds into `slices` new segments
+    * clustered along the Morton curve of `(xCol, yCol)`, and the new
+    * manifest carries per-segment min/max stats for BOTH columns
+    * (`min_key`/`max_key` on `xCol` — the table's key stats contract —
+    * plus `min_key2`/`max_key2` on `yCol`). [[compact]]'s 1-D
+    * clustering keeps ONE probe family alive; real tables serve two
+    * (orders by customer AND by date). Z-clustering makes each segment
+    * a compact 2-D tile, so per-column min/max are tight on both axes
+    * and [[readBox]] prunes either probe shape to ~sqrt of the data
+    * instead of one shape to 1/slices and the other to everything.
+    *
+    * Mechanics, one data pass: both columns are affine-binned into 16
+    * bits (offset = data min, width = range/2^16+1 — deterministic
+    * from two aggregates, no sampling, so a replayed rewrite commits
+    * bit-identical manifests), interleaved
+    * ([[SpatialLayout.zValue16]]), rows cut into `slices` equal-width
+    * z intervals over the data's [zMin, zMax], and written with ONE
+    * partitioned write (slice id is the partition column — no
+    * per-slice re-scan of the source); slice directories are then
+    * renamed into the segment namespace and stats-scanned. Like
+    * [[compact]], the rewrite commits a NEW version — every prior
+    * version's time travel is byte-identical after it.
+    *
+    * Stats lifecycle: the second-column stats survive until a
+    * rewriting commit that doesn't know about them ([[merge]],
+    * [[compact]]) rebuilds the manifest 4-column — exactly when the
+    * physical clustering is destroyed anyway. Re-run compactZOrder to
+    * restore both, the production OPTIMIZE cadence. Readers treat
+    * missing/null stats as "scan it" — always correct, never tight. */
+  def compactZOrder(spark: SparkSession, path: String, xCol: String,
+                    yCol: String, slices: Int = 16): Int = {
+    require(slices >= 1, s"slices must be >= 1, got $slices")
+    val v0 = latestVersion(path).getOrElse(
+      sys.error(s"zorder compact of non-existent table $path"))
+    val segs = manifest(spark, path, v0).collect()
+    if (segs.length <= 1) return v0
+    val v = v0 + 1
+    val all = spark.read.parquet(segs.map(_.getAs[String]("seg")): _*)
+    val xL = col(xCol).cast("long"); val yL = col(yCol).cast("long")
+    val b = all.agg(min(xL), max(xL), min(yL), max(yL)).collect().head
+    val (xMin, xMax, yMin, yMax) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val xW = (xMax - xMin) / 65536L + 1L
+    val yW = (yMax - yMin) / 65536L + 1L
+    val z = SpatialLayout.zValue16(
+      expr(s"(CAST($xCol AS BIGINT) - ${xMin}L) div ${xW}L"),
+      expr(s"(CAST($yCol AS BIGINT) - ${yMin}L) div ${yW}L"))
+    val withZ = all.withColumn("_snap_z", z)
+    val zb = withZ.agg(min(col("_snap_z")), max(col("_snap_z")))
+      .collect().head
+    val (zMin, zMax) = (zb.getLong(0), zb.getLong(1))
+    val width = (zMax - zMin) / slices + 1L
+    val tmp = new Path(logDir(path),
+      s".zorder-tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val fs = fsOf(tmp)
+    withZ
+      .withColumn("_snap_slice",
+        expr(s"CAST((_snap_z - ${zMin}L) div ${width}L AS INT)"))
+      .drop("_snap_z")
+      .repartition(col("_snap_slice"))
+      .write.partitionBy("_snap_slice").parquet(tmp.toString)
+    val rows = (0 until slices).flatMap { i =>
+      val part = new Path(tmp, s"_snap_slice=$i")
+      if (!fs.exists(part)) None
+      else {
+        val dir = f"$path/data/c$v%05d-$i-" +
+          java.util.UUID.randomUUID().toString.take(8)
+        fs.mkdirs(new Path(path, "data"))
+        if (!fs.rename(part, new Path(dir)))
+          sys.error(s"zorder compaction could not move slice $i to $dir")
+        val st = spark.read.parquet(dir)
+          .agg(count(lit(1)), min(xL), max(xL), min(yL), max(yL))
+          .collect().head
+        Some((dir, st.getLong(0), st.getLong(1), st.getLong(2),
+          st.getLong(3), st.getLong(4)))
+      }
+    }.filter(_._2 > 0L)
+    fs.delete(tmp, true)
+    import spark.implicits._
+    commit(rows.toDF("seg", "n_rows", "min_key", "max_key",
+      "min_key2", "max_key2"), path, v)
+  }
+
+  /** Two-column stats-pruned BOX read — [[readRange]]'s 2-D twin over
+    * a [[compactZOrder]]ed table: a segment is scanned only when its
+    * `[min_key, max_key]` intersects `[xLo, xHi]` AND (when present)
+    * its `[min_key2, max_key2]` intersects `[yLo, yHi]`; manifests or
+    * rows without second-column stats prune on the first column only
+    * (correct, just not tight). Both residual predicates push into the
+    * scanned segments' parquet scan. Returns (rows, scanned, total). */
+  def readBox(spark: SparkSession, path: String, xCol: String,
+              yCol: String, xLo: Long, xHi: Long, yLo: Long, yHi: Long,
+              version: Option[Int] = None): (DataFrame, Int, Int) = {
+    val v = version.orElse(latestVersion(path))
+      .getOrElse(sys.error(s"no committed version at $path"))
+    val m = manifest(spark, path, v)
+    val has2 = m.columns.contains("min_key2")
+    val segs = m.collect()
+    val hit = segs.filter { r =>
+      r.getAs[Long]("max_key") >= xLo && r.getAs[Long]("min_key") <= xHi &&
+        (!has2 || r.isNullAt(r.fieldIndex("min_key2")) ||
+          (r.getAs[Long]("max_key2") >= yLo &&
+            r.getAs[Long]("min_key2") <= yHi))
+    }
+    val rows =
+      if (hit.isEmpty)
+        spark.read.parquet(segs.head.getAs[String]("seg")).limit(0)
+      else spark.read.parquet(hit.map(_.getAs[String]("seg")): _*)
+        .filter(col(xCol) >= xLo && col(xCol) <= xHi &&
+          col(yCol) >= yLo && col(yCol) <= yHi)
+    (rows, hit.length, segs.length)
   }
 
   private def stageFile(path: String, name: String) = {

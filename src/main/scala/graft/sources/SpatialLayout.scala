@@ -22,13 +22,20 @@ object SpatialLayout {
 
   /** Spread the low 16 bits of v so bit i lands at position 2i
     * (the classic Morton bit-twiddle, expressed as Column algebra). */
-  private def spreadBits16(v: Column): Column = {
+  private[sources] def spreadBits16(v: Column): Column = {
     var x = v.bitwiseAND(lit(0xFFFFL))
     x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
     x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0FL))
     x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x33333333L))
     x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x55555555L))
   }
+
+  /** 32-bit Morton code of two PRE-BINNED integer coordinates, each
+    * already in [0, 65535] — the generic interleave [[zValue]] wraps
+    * for lat/lon and [[SnapshotLog.compactZOrder]] uses for arbitrary
+    * column pairs. Stays inside whole-stage codegen. */
+  def zValue16(x: Column, y: Column): Column =
+    spreadBits16(x).bitwiseOR(shiftleft(spreadBits16(y), 1))
 
   /** 32-bit Morton code of (lat, lon) at 16-bit resolution per axis
     * (~600 m cells at the equator — finer than any practical file). */

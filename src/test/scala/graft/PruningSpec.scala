@@ -107,6 +107,9 @@ class PruningSpec extends AnyFunSuite {
       // count crossed onto the one-row pruned-path aggregate (both
       // single rows, the q51 pattern)
       "q55_snapshot_compact",
+      // q59_snapshot_zorder: the same one-row box-aggregate x one-row
+      // conservation-count cross (z-pruned path vs linear path)
+      "q59_snapshot_zorder",
       // text_collocations: the two one-row corpus-total scalars crossed
       // onto the surviving bigram frame (unigram counts join VOCAB-KEYED)
       "text_collocations",

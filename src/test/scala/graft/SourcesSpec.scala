@@ -395,6 +395,60 @@ class SourcesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { SnapshotLog.pin(path, 77) }
   }
 
+  test("SnapshotLog: zorder compaction tiles both columns; readBox prunes; later append degrades conservatively") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val path = tmpDir("snaplog_zorder")
+    // a 32x32 grid written as four arrival-order segments, each
+    // spanning the whole plane — worst case for stats pruning
+    val pts = for (x <- 0L until 32L; y <- 0L until 32L)
+      yield (x * 32L + y, x, y)
+    SnapshotLog.create(spark,
+      pts.filter(_._1 % 4 == 0).toDF("k", "x", "y"), path, "x")
+    (1 to 3).foreach(i => SnapshotLog.append(spark,
+      pts.filter(_._1 % 4 == i).toDF("k", "x", "y"), path, "x"))
+    val pre = SnapshotLog.read(spark, path).collect()
+      .map(_.getLong(0)).toSet
+    // zorder: x,y in [0,31] -> bins == coords, z in [0,1023], width
+    // 1023/16+1 = 64 -> each slice is EXACTLY one 8x8 tile of the
+    // 4x4 tile grid (the arithmetic the operator oracle re-derives)
+    assert(SnapshotLog.compactZOrder(spark, path, "x", "y",
+      slices = 16) == 4)
+    val m = SnapshotLog.manifest(spark, path, 4).collect()
+    assert(m.length == 16)
+    assert(m.forall { r =>
+      r.getAs[Long]("max_key") - r.getAs[Long]("min_key") == 7L &&
+        r.getAs[Long]("max_key2") - r.getAs[Long]("min_key2") == 7L
+    }, "every z slice must be a compact 8x8 tile on BOTH axes")
+    assert(m.map(_.getAs[Long]("n_rows")).sum == pts.length)
+    // time travel to the pre-compaction version is untouched
+    assert(SnapshotLog.read(spark, path, Some(3)).collect()
+      .map(_.getLong(0)).toSet == pre)
+    // 2-D box == one tile; x-only probe == one tile column (4/16)
+    val (box, sBox, tot) = SnapshotLog.readBox(spark, path, "x", "y",
+      8L, 15L, 8L, 15L)
+    assert(tot == 16 && sBox == 1, s"box scanned $sBox/$tot")
+    assert(box.collect().map(_.getLong(0)).toSet ==
+      pts.filter(t => t._2 >= 8 && t._2 <= 15 && t._3 >= 8 && t._3 <= 15)
+        .map(_._1).toSet)
+    val (_, sX, _) = SnapshotLog.readBox(spark, path, "x", "y",
+      8L, 15L, 0L, 31L)
+    val (_, sY, _) = SnapshotLog.readBox(spark, path, "x", "y",
+      0L, 31L, 8L, 15L)
+    assert(sX == 4 && sY == 4, s"single-axis probes scanned $sX/$sY")
+    // an append AFTER zorder carries null second-column stats: a row
+    // inside the box's x range but outside its y range is scanned
+    // (conservative, +1) yet filtered — the result set is unchanged
+    SnapshotLog.append(spark, Seq((9999L, 9L, 100L)).toDF("k", "x", "y"),
+      path, "x")
+    val (box2, sBox2, tot2) = SnapshotLog.readBox(spark, path, "x", "y",
+      8L, 15L, 8L, 15L)
+    assert(tot2 == 17 && sBox2 == 2,
+      s"null-stats segment must be scanned conservatively, got $sBox2/$tot2")
+    assert(box2.collect().map(_.getLong(0)).toSet ==
+      box.collect().map(_.getLong(0)).toSet)
+  }
+
   test("SnapshotLog: crashed segment attempts never block a retry; gc sweeps unreferenced orphans") {
     import spark.implicits._
     import graft.sources.SnapshotLog

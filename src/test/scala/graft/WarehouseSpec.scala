@@ -427,6 +427,80 @@ class WarehouseSpec extends AnyFunSuite {
       SnapshotLog.latestVersion(path).contains(8))
   }
 
+  test("q59 zorder: in-memory clustering recompute matches; date probe collapses from full scan") {
+    import graft.sources.{ModelStore, SnapshotLog}
+    val fp = ModelStore.corpusFingerprint(spark, s"$sf/orders.parquet")
+    val pathL = ModelStore.root(spark).stripPrefix("file:") +
+      s"/zlin_v1_${ModelStore.md5(s"zlin|$fp")}"
+    val pathZ = ModelStore.root(spark).stripPrefix("file:") +
+      s"/zord_v1_${ModelStore.md5(s"zord|$fp")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(pathL))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(pathZ))
+    val r = Warehouse.q59SnapshotZorder(spark, sf).collect().head
+    // in-memory recompute: same select as the operator for the (cust,
+    // day, price) projection, ALL clustering arithmetic re-derived in
+    // Scala — affine 16-bit bins, Morton interleave, equal-width
+    // slices, per-slice stats, probe intersection counts
+    val o = Tables.orders(spark, sf).select(
+      col("o_custkey"),
+      datediff(col("o_orderdate").cast("date"),
+        lit(java.sql.Date.valueOf("1992-01-01"))).cast("long"),
+      col("o_totalprice")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    val (cmin, cmax) = (o.map(_._1).min, o.map(_._1).max)
+    val (dmin, dmax) = (o.map(_._2).min, o.map(_._2).max)
+    val (cLo, cHi) =
+      (cmin + 7L * (cmax - cmin) / 16L, cmin + 9L * (cmax - cmin) / 16L)
+    val (dLo, dHi) =
+      (dmin + 7L * (dmax - dmin) / 16L, dmin + 9L * (dmax - dmin) / 16L)
+    def spread(v: Long): Long = {
+      var x = v & 0xFFFFL
+      x = (x | (x << 8)) & 0x00FF00FFL
+      x = (x | (x << 4)) & 0x0F0F0F0FL
+      x = (x | (x << 2)) & 0x33333333L
+      (x | (x << 1)) & 0x55555555L
+    }
+    val xw = (cmax - cmin) / 65536L + 1L
+    val yw = (dmax - dmin) / 65536L + 1L
+    val zOf = o.map(t =>
+      (t, spread((t._1 - cmin) / xw) | (spread((t._2 - dmin) / yw) << 1)))
+    val (zmin, zmax) = (zOf.map(_._2).min, zOf.map(_._2).max)
+    val zw = (zmax - zmin) / 16L + 1L
+    val zstats = zOf.groupBy(t => (t._2 - zmin) / zw).values.map { g =>
+      (g.map(_._1._1).min, g.map(_._1._1).max,
+        g.map(_._1._2).min, g.map(_._1._2).max)
+    }.toSeq
+    val lw = (cmax - cmin) / 16L + 1L
+    val lstats = o.groupBy(t => (t._1 - cmin) / lw).values.map { g =>
+      (g.map(_._1).min, g.map(_._1).max)
+    }.toSeq
+    val box = o.filter(t =>
+      t._1 >= cLo && t._1 <= cHi && t._2 >= dLo && t._2 <= dHi)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (cLo, cHi, dLo, dHi))
+    assert(r.getLong(4) == box.length && r.getLong(6) == box.length)
+    assert(math.abs(r.getDouble(5) - box.map(_._3).sum) < 0.02)
+    val expScanCustL = lstats.count(s => s._2 >= cLo && s._1 <= cHi)
+    val expScanCustZ = zstats.count(s => s._2 >= cLo && s._1 <= cHi)
+    val expScanDayZ = zstats.count(s => s._4 >= dLo && s._3 <= dHi)
+    val expScanBoxZ = zstats.count(s => s._2 >= cLo && s._1 <= cHi &&
+      s._4 >= dLo && s._3 <= dHi)
+    assert((r.getInt(7), r.getInt(8), r.getInt(9), r.getInt(10),
+      r.getInt(11), r.getInt(12), r.getInt(13), r.getInt(14)) ==
+      (expScanCustL, expScanCustZ, lstats.length, expScanDayZ,
+        expScanCustL, expScanBoxZ, lstats.length, zstats.length))
+    // the operator's reason to exist: the date probe scans EVERYTHING
+    // on the 1-D layout and genuinely prunes on the z layout; the 2-D
+    // box prunes at least as hard as either 1-D answer
+    assert(r.getInt(9) == r.getInt(13) && r.getInt(10) < r.getInt(9),
+      s"date probe: z ${r.getInt(10)} must beat linear ${r.getInt(9)}")
+    assert(r.getInt(12) <= r.getInt(11) && r.getInt(12) <= r.getInt(10))
+    // replay: same row, no new versions on either table
+    assert(Warehouse.q59SnapshotZorder(spark, sf).collect().head == r &&
+      SnapshotLog.latestVersion(pathL).contains(8) &&
+      SnapshotLog.latestVersion(pathZ).contains(8))
+  }
+
   test("q56 retention gc: pinned version survives via shared segments, unshared segment reclaimed") {
     import graft.sources.{ModelStore, SnapshotLog}
     val fp = ModelStore.corpusFingerprint(spark, s"$sf/customer.parquet")
