@@ -152,6 +152,8 @@ object SparkEntry {
     "rag_index_refresh" -> ((s, d) => Similarity.ragIndexRefresh(s, d)),
     "rag_index_compact" -> ((s, d) => Similarity.ragIndexCompact(s, d)),
     "rag_index_sync" -> ((s, d) => Similarity.ragIndexSync(s, d)),
+    "ann_nndescent" -> ((s, d) => Similarity.nnDescent(s, d)),
+    "ann_graph_topk" -> ((s, d) => Similarity.graphTopK(s, d)),
     "ann_recall_eval" -> ((s, d) => Similarity.annRecallEval(s, d)),
     "ann_nprobe_sweep" -> ((s, d) => Similarity.nprobeSweep(s, d)),
     "ann_ndcg_eval" -> ((s, d) => Similarity.ndcgEval(s, d)),
@@ -394,6 +396,60 @@ object SparkEntry {
   /** Shared by ann_ivfpq_trained and ann_index_persist (the
     * persisted-artifact variant is an execution shortcut: cold and
     * warm calls hash identically to the trained pipeline). */
+  /** The three NN-descent rounds as CTEs ending at the final directed
+    * graph `g3 (v, cand, cs)` — shared verbatim by the ann_nndescent
+    * oracle (which ranks g3 for presentation) and the ann_graph_topk
+    * oracle (which beam-searches over it), so the build and serve
+    * oracles can never drift apart. */
+  private val NnDescentGraphCte: String =
+    """WITH e AS MATERIALIZED (SELECT vec_id AS v,
+             embedding::DOUBLE[] AS ve FROM embeddings),
+         mk AS (SELECT max(v) AS m FROM e),
+         init AS MATERIALIZED (SELECT DISTINCT v,
+             CASE WHEN c0 = v THEN (c0 + 1) % mm ELSE c0 END AS cand
+           FROM (SELECT e.v, (e.v * 2654435761 + t.j * 40503) % (m + 1)
+                   AS c0, m + 1 AS mm
+                 FROM e, mk, range(1, 13) AS t(j)) z),
+         u1 AS MATERIALIZED (SELECT DISTINCT v, u FROM (
+           SELECT v, cand AS u FROM init
+           UNION ALL SELECT cand, v FROM init) z),
+         c1 AS (SELECT DISTINCT v, cand FROM (
+           SELECT a.v, b.u AS cand FROM u1 a JOIN u1 b ON a.u = b.v
+           WHERE b.u <> a.v
+           UNION ALL SELECT v, cand FROM init) z),
+         s1 AS (SELECT c.v, c.cand,
+             list_cosine_similarity(x.ve, y.ve) AS cs
+           FROM c1 c JOIN e x ON x.v = c.v JOIN e y ON y.v = c.cand),
+         g1 AS MATERIALIZED (SELECT v, cand FROM (
+           SELECT v, cand, row_number() OVER (PARTITION BY v
+               ORDER BY cs DESC, cand) AS rk FROM s1) z WHERE rk <= 12),
+         u2 AS MATERIALIZED (SELECT DISTINCT v, u FROM (
+           SELECT v, cand AS u FROM g1
+           UNION ALL SELECT cand, v FROM g1) z),
+         c2 AS (SELECT DISTINCT v, cand FROM (
+           SELECT a.v, b.u AS cand FROM u2 a JOIN u2 b ON a.u = b.v
+           WHERE b.u <> a.v
+           UNION ALL SELECT v, cand FROM g1) z),
+         s2 AS (SELECT c.v, c.cand,
+             list_cosine_similarity(x.ve, y.ve) AS cs
+           FROM c2 c JOIN e x ON x.v = c.v JOIN e y ON y.v = c.cand),
+         g2 AS MATERIALIZED (SELECT v, cand FROM (
+           SELECT v, cand, row_number() OVER (PARTITION BY v
+               ORDER BY cs DESC, cand) AS rk FROM s2) z WHERE rk <= 12),
+         u3 AS MATERIALIZED (SELECT DISTINCT v, u FROM (
+           SELECT v, cand AS u FROM g2
+           UNION ALL SELECT cand, v FROM g2) z),
+         c3 AS (SELECT DISTINCT v, cand FROM (
+           SELECT a.v, b.u AS cand FROM u3 a JOIN u3 b ON a.u = b.v
+           WHERE b.u <> a.v
+           UNION ALL SELECT v, cand FROM g2) z),
+         s3 AS (SELECT c.v, c.cand,
+             list_cosine_similarity(x.ve, y.ve) AS cs
+           FROM c3 c JOIN e x ON x.v = c.v JOIN e y ON y.v = c.cand),
+         g3 AS MATERIALIZED (SELECT v, cand, cs FROM (
+           SELECT v, cand, cs, row_number() OVER (PARTITION BY v
+               ORDER BY cs DESC, cand) AS rk FROM s3) z WHERE rk <= 12)"""
+
   private val AnnIvfpqTrainedOracle: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          seeds AS (SELECT vec_id AS cell, v AS sv FROM e WHERE vec_id < 16),
@@ -2822,6 +2878,75 @@ object SparkEntry {
              CAST(NULL AS BIGINT), a.cell, FALSE, TRUE
            FROM e JOIN asg a USING (cid) WHERE cid % 23 = 7)
          ORDER BY cid""",
+    // ann_nndescent: the oracle restates all THREE refinement rounds
+    // verbatim — id-space pseudo-random init (v*2654435761 + j*40503
+    // mod maxId+1, self-hit shifted), neighbor-of-neighbor candidate
+    // generation over the undirected edge list, (cos DESC, id) top-k
+    // — so an init, candidate-union, or heap tie-break divergence
+    // breaks the hash row-for-row
+    "ann_nndescent" -> (NnDescentGraphCte +
+      """
+         SELECT v AS vec_id, CAST(rk AS INT) AS rk, cand AS nbr,
+           round(cs, 4) AS cos_sim
+         FROM (SELECT v, cand, cs, row_number() OVER (PARTITION BY v
+             ORDER BY cs DESC, cand) AS rk FROM g3) z
+         ORDER BY vec_id, rk"""),
+    // ann_graph_topk: the serve-side walk over the SAME graph CTEs —
+    // 8 per-query LCG entry points (self-shifted), four expansion
+    // rounds (candidates = beam ∪ out-neighbors, top-16 by cos DESC
+    // with id tie-break), final top-5 from the last beam; an entry,
+    // expansion, or tie-break divergence breaks the hash
+    "ann_graph_topk" -> (NnDescentGraphCte +
+      """,
+         q AS MATERIALIZED (SELECT vec_id AS qid,
+             embedding::DOUBLE[] AS qe FROM embeddings
+           WHERE vec_id < 10),
+         bb0 AS MATERIALIZED (SELECT DISTINCT qid,
+             CASE WHEN c0 = qid THEN (c0 + 1) % mm ELSE c0 END AS cid
+           FROM (SELECT q.qid, (q.qid * 2654435761 + t.j * 40503)
+                   % (m + 1) AS c0, m + 1 AS mm
+                 FROM q, mk, range(1, 9) AS t(j)) z),
+         cc1 AS (SELECT DISTINCT qid, cid FROM (
+           SELECT b.qid, g.cand AS cid FROM bb0 b JOIN g3 g ON g.v = b.cid
+           UNION ALL SELECT qid, cid FROM bb0) z WHERE cid <> qid),
+         ss1 AS (SELECT c.qid, c.cid,
+             list_cosine_similarity(qq.qe, e.ve) AS cs
+           FROM cc1 c JOIN q qq ON qq.qid = c.qid JOIN e ON e.v = c.cid),
+         bb1 AS MATERIALIZED (SELECT qid, cid FROM (
+           SELECT qid, cid, row_number() OVER (PARTITION BY qid
+               ORDER BY cs DESC, cid) AS rk FROM ss1) z WHERE rk <= 16),
+         cc2 AS (SELECT DISTINCT qid, cid FROM (
+           SELECT b.qid, g.cand AS cid FROM bb1 b JOIN g3 g ON g.v = b.cid
+           UNION ALL SELECT qid, cid FROM bb1) z WHERE cid <> qid),
+         ss2 AS (SELECT c.qid, c.cid,
+             list_cosine_similarity(qq.qe, e.ve) AS cs
+           FROM cc2 c JOIN q qq ON qq.qid = c.qid JOIN e ON e.v = c.cid),
+         bb2 AS MATERIALIZED (SELECT qid, cid FROM (
+           SELECT qid, cid, row_number() OVER (PARTITION BY qid
+               ORDER BY cs DESC, cid) AS rk FROM ss2) z WHERE rk <= 16),
+         cc3 AS (SELECT DISTINCT qid, cid FROM (
+           SELECT b.qid, g.cand AS cid FROM bb2 b JOIN g3 g ON g.v = b.cid
+           UNION ALL SELECT qid, cid FROM bb2) z WHERE cid <> qid),
+         ss3 AS (SELECT c.qid, c.cid,
+             list_cosine_similarity(qq.qe, e.ve) AS cs
+           FROM cc3 c JOIN q qq ON qq.qid = c.qid JOIN e ON e.v = c.cid),
+         bb3 AS MATERIALIZED (SELECT qid, cid FROM (
+           SELECT qid, cid, row_number() OVER (PARTITION BY qid
+               ORDER BY cs DESC, cid) AS rk FROM ss3) z WHERE rk <= 16),
+         cc4 AS (SELECT DISTINCT qid, cid FROM (
+           SELECT b.qid, g.cand AS cid FROM bb3 b JOIN g3 g ON g.v = b.cid
+           UNION ALL SELECT qid, cid FROM bb3) z WHERE cid <> qid),
+         ss4 AS (SELECT c.qid, c.cid,
+             list_cosine_similarity(qq.qe, e.ve) AS cs
+           FROM cc4 c JOIN q qq ON qq.qid = c.qid JOIN e ON e.v = c.cid),
+         bb4 AS (SELECT qid, cid, cs FROM (
+           SELECT qid, cid, cs, row_number() OVER (PARTITION BY qid
+               ORDER BY cs DESC, cid) AS rk FROM ss4) z WHERE rk <= 16)
+         SELECT qid, CAST(rk AS INT) AS rk, cid, round(cs, 4) AS cos_sim
+         FROM (SELECT qid, cid, cs, row_number() OVER (PARTITION BY qid
+             ORDER BY cs DESC, cid) AS rk FROM bb4) z
+         WHERE rk <= 5
+         ORDER BY qid, rk"""),
     // index-health recall@k: both the exact truth and the IVF probe
     // restate in SQL (same CTEs as ann_brute/ann_ivf), so the per-query
     // hit counts — and therefore the recall the index would ship with —

@@ -2557,6 +2557,169 @@ object Similarity {
       .orderBy(col("cid"))
   }
 
+  /** NN-DESCENT k-NN GRAPH construction (Dong et al., WWW'11 — the
+    * build step under every graph-based ANN index: HNSW/NSG layers,
+    * SemDeDup's similarity graph, hard-negative mining). The exact
+    * k-NN graph costs N² comparisons; NN-descent converges to it by
+    * local refinement — "a neighbor of a neighbor is probably a
+    * neighbor": each round every node scores only its CURRENT
+    * neighborhood's neighborhood (degree² candidates, here ≤ (2k)² =
+    * 576 per node per round) and keeps the top k, so a round is
+    * O(N·k²) cosines through two shuffle-hash equi-joins on the edge
+    * list — no all-pairs, no index build, embarrassingly partitionable
+    * by node. Determinism (the oracle contract): init neighbors are
+    * pseudo-random in the ID SPACE — cand(v, j) = (v·2654435761 +
+    * j·40503) mod (maxId+1), self-hits shifted by one — so both
+    * engines derive the identical graph with no RNG (ids here are
+    * dense; a sparse id space would first densify with one
+    * zipWithIndex-style pass; id·A stays in-range to ~10^9 ids).
+    * Rounds are fixed (iters = 3) and the oracle restates all three
+    * rounds' candidate generation, scoring and (cos DESC, id) top-k
+    * verbatim (measured on this corpus: graph recall vs the exact
+    * k-NN graph 0.02 -> 0.54 -> 0.83 -> 0.90 across the rounds —
+    * spec-pinned at >= 0.8; random data is NN-descent's WORST case,
+    * clustered real embeddings converge faster). The per-round edge frame is localCheckpointed (it is
+    * read three times per round — undirected union + both join sides;
+    * the mmr/centrality lineage discipline). Output: the final graph,
+    * one row per (vec_id, rank, nbr, cos). Quality is spec-pinned:
+    * recall vs the exact k-NN graph strictly improves over the random
+    * init. */
+  def nnDescent(spark: SparkSession, dir: String, k: Int = 12,
+                iters: Int = 3): DataFrame = {
+    val e = emb(spark, dir)
+      .select(col("vec_id").as("v"), col("embedding").as("ve"))
+    val mk = e.agg(max(col("v"))).collect().head.getLong(0)
+    val g = nnDescentEdges(e, mk, k, iters)
+    val fin = g.join(e.hint("shuffle_hash"), Seq("v"))
+      .join(e.select(col("v").as("cand"), col("ve").as("we"))
+        .hint("shuffle_hash"), Seq("cand"))
+      .select(col("v").as("qid"), col("cand").as("cid"),
+        cosine_sim(col("ve"), col("we")).as("cos"))
+    finishTopK(fin, k)
+      .select(col("qid").as("vec_id"), col("rk"), col("cid").as("nbr"),
+        col("cos_sim"))
+      .orderBy(col("vec_id"), col("rk"))
+  }
+
+  /** The NN-descent refinement loop itself — the final DIRECTED edge
+    * list (v, cand), k out-edges per node, shared by [[nnDescent]]
+    * (which scores and ranks it for presentation) and [[graphTopK]]
+    * (which persists it as the serving graph artifact). See
+    * [[nnDescent]] for the round mechanics and determinism contract. */
+  private def nnDescentEdges(e: DataFrame, mk: Long, k: Int,
+                             iters: Int): DataFrame = {
+    val init = e.select(col("v"),
+        explode(array((1 to k).map(j => lit(j.toLong)): _*)).as("j"))
+      .select(col("v"),
+        ((col("v") * lit(2654435761L) + col("j") * lit(40503L))
+          % (mk + 1L)).as("c0"))
+      .select(col("v"),
+        when(col("c0") === col("v"), (col("c0") + 1L) % (mk + 1L))
+          .otherwise(col("c0")).as("cand"))
+      .distinct()
+    var g = init.localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val und = g.select(col("v"), col("cand").as("u"))
+        .unionByName(g.select(col("cand").as("v"), col("v").as("u")))
+        .distinct()
+      val non = und.as("a")
+        .join(und.as("b").hint("shuffle_hash"), col("a.u") === col("b.v"))
+        .filter(col("b.u") =!= col("a.v"))
+        .select(col("a.v").as("v"), col("b.u").as("cand"))
+      val cands = non.unionByName(g).distinct()
+      val scored = cands
+        .join(e.hint("shuffle_hash"), Seq("v"))
+        .join(e.select(col("v").as("cand"), col("ve").as("we"))
+          .hint("shuffle_hash"), Seq("cand"))
+        .select(col("v"), col("cand"),
+          cosine_sim(col("ve"), col("we")).as("cs"))
+      val next = scored.groupBy(col("v"))
+        .agg(top_k_by_score(col("cs"), col("cand"), k).as("top"))
+        .select(col("v"), explode(col("top.id")).as("cand"))
+      val old = g
+      g = next.localCheckpoint(true)
+      old.unpersist()
+    }
+    g
+  }
+
+  /** GRAPH-ANN SEARCH — the serve-side twin of [[nnDescent]]'s build
+    * step (HNSW/NSG layer-0 search, Malkov & Yashunin '16): each query
+    * greedily walks the PERSISTED k-NN graph instead of scanning the
+    * corpus. The graph artifact is fit ONCE per corpus version through
+    * [[graft.sources.ModelStore]] (content-fingerprint-keyed, the
+    * [[ivfPqPersistedTopK]] discipline — cold build + search hashes
+    * identically to warm read + search, spec-pinned) and every search
+    * pays only the walk: `entries` (8) pseudo-random entry points per
+    * query (the same id-space LCG as the graph init, self-hits
+    * shifted), then `hops` (4) fixed rounds of best-first expansion —
+    * candidates = beam ∪ out-neighbors(beam), score against the query
+    * vector, keep the (cos DESC, id) top-`beam` (16, HNSW's ef ≈ 3k)
+    * — and the final top-k from the last beam. Per hop the work is ONE beam-keyed equi-join into the edge
+    * list and ONE id-keyed vector fetch against the corpus (candidate
+    * side queries×beam×(k+1) — broadcastable at any corpus size; at
+    * scale the serving copy is id-bucketed so the fetch prunes to the
+    * candidate buckets instead of a full scan). No all-pairs anywhere:
+    * search cost is O(queries · hops · beam · k) cosines vs brute's
+    * O(queries · N). Fixed hops + the deterministic graph make the
+    * whole walk restatable: the oracle re-derives the three descent
+    * rounds AND the four expansion rounds verbatim, so an entry-point,
+    * expansion, or tie-break divergence breaks the hash. Measured on
+    * this corpus (random data, the graph's worst case): recall@5 vs
+    * [[bruteTopK]] 0.92 at sf0.001 (beam 8 / 3 hops measured 0.76 —
+    * the beam width IS the recall knob, exactly HNSW's ef) —
+    * spec-pinned >= 0.8 with the in-memory walk recompute. */
+  def graphTopK(spark: SparkSession, dir: String, k: Int = K,
+                nQueries: Int = NQueries, gk: Int = 12, iters: Int = 3,
+                beam: Int = 16, hops: Int = 4, entries: Int = 8)
+      : DataFrame = {
+    import graft.sources.ModelStore
+    val e = emb(spark, dir)
+      .select(col("vec_id").as("v"), col("embedding").as("ve"))
+    val mk = e.agg(max(col("v"))).collect().head.getLong(0)
+    val fp = ModelStore.corpusFingerprint(spark, s"$dir/embeddings.parquet")
+    val key = ModelStore.md5(s"$fp|nnd|$gk|$iters")
+    val graph = ModelStore.getOrFit(spark, s"nndgraph_$key") {
+      nnDescentEdges(e, mk, gk, iters)
+    }.select(col("v"), col("cand"))
+    val q = emb(spark, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cvec = e.select(col("v").as("cid"), col("ve").as("ce"))
+    val b0 = q.select(col("qid"),
+        explode(array((1 to entries).map(j => lit(j.toLong)): _*)).as("j"))
+      .select(col("qid"),
+        ((col("qid") * lit(2654435761L) + col("j") * lit(40503L))
+          % (mk + 1L)).as("c0"))
+      .select(col("qid"),
+        when(col("c0") === col("qid"), (col("c0") + 1L) % (mk + 1L))
+          .otherwise(col("c0")).as("cid"))
+      .distinct()
+    var b = b0.localCheckpoint(true)
+    for (_ <- 1 to hops) {
+      val expand = b
+        .join(graph.hint("shuffle_hash"), col("cid") === col("v"))
+        .select(col("qid"), col("cand").as("cid"))
+      val cands = expand.unionByName(b)
+        .filter(col("cid") =!= col("qid")).distinct()
+      val scored = cands
+        .join(cvec.hint("shuffle_hash"), Seq("cid"))
+        .join(broadcast(q), Seq("qid"))
+        .select(col("qid"), col("cid"),
+          cosine_sim(col("qe"), col("ce")).as("cs"))
+      val next = scored.groupBy(col("qid"))
+        .agg(top_k_by_score(col("cs"), col("cid"), beam).as("top"))
+        .select(col("qid"), explode(col("top.id")).as("cid"))
+      val old = b
+      b = next.localCheckpoint(true)
+      old.unpersist()
+    }
+    val fin = b.join(cvec.hint("shuffle_hash"), Seq("cid"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("cid"),
+        cosine_sim(col("qe"), col("ce")).as("cos"))
+    finishTopK(fin, k)
+  }
+
   /** The IVF-PQ pipeline over an explicit codebook (see [[ivfPqTopK]]
     * for the stage-by-stage scale posture). */
   private def ivfPqTopKWith(e: DataFrame, cb: DataFrame, k: Int,

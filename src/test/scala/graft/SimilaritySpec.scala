@@ -721,6 +721,127 @@ class SimilaritySpec extends AnyFunSuite {
       SnapshotLog.latestVersion(idxPath).contains(1))
   }
 
+  test("ann nndescent: equals the in-memory three-round descent; recall strictly improves over init") {
+    val got = Similarity.nnDescent(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val es = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val vecs = es.toMap
+    val ids = es.map(_._1)
+    val n = ids.max + 1
+    def cos(a: Long, b: Long): Double =
+      graft.functions.VectorMath.cosArr(vecs(a), vecs(b))
+    val k = 12
+    val init: Map[Long, Seq[Long]] = ids.map { v =>
+      v -> (1 to k).map { j =>
+        val c0 = (v * 2654435761L + j * 40503L) % n
+        if (c0 == v) (c0 + 1) % n else c0
+      }.distinct.toSeq
+    }.toMap
+    def round(g: Map[Long, Seq[Long]]): Map[Long, Seq[Long]] = {
+      val und = g.toSeq.flatMap { case (v, cs) =>
+        cs.flatMap(c => Seq((v, c), (c, v))) }.distinct
+      val byV = und.groupBy(_._1)
+        .map { case (v, ps) => v -> ps.map(_._2).distinct }
+      ids.map { v =>
+        val non = byV.getOrElse(v, Nil)
+          .flatMap(u => byV.getOrElse(u, Nil)).filter(_ != v)
+        val cands = (non ++ g.getOrElse(v, Nil)).distinct
+        v -> cands.map(c => (c, cos(v, c)))
+          .sortBy { case (c, s) => (-s, c) }.take(k).map(_._1)
+      }.toMap
+    }
+    val g2 = round(round(round(init)))
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = g2.toSeq.flatMap { case (v, cs) =>
+      cs.map(c => (c, cos(v, c))).sortBy { case (c, s) => (-s, c) }
+        .zipWithIndex.map { case ((c, s), i) => (v, i + 1, c, r4(s)) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got == expect)
+    // the point of the refinement: graph recall vs the exact k-NN
+    // graph strictly improves over the pseudo-random init
+    val exact = ids.map { v =>
+      v -> ids.filter(_ != v).map(c => (c, cos(v, c)))
+        .sortBy { case (c, s) => (-s, c) }.take(k).map(_._1).toSet
+    }.toMap
+    def recall(g: Map[Long, Seq[Long]]): Double =
+      ids.map(v => g(v).toSet.intersect(exact(v)).size.toDouble / k)
+        .sum / ids.length
+    val (rInit, rFinal) = (recall(init), recall(g2))
+    assert(rFinal >= 0.8 && rFinal > rInit + 0.5,
+      s"descent must materially improve recall: init $rInit final $rFinal")
+  }
+
+  test("ann graph topk: equals the in-memory beam walk over the descent graph; recall floor vs brute; cold == warm") {
+    val cold = Similarity.graphTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val warm = Similarity.graphTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(cold == warm, "persisted graph artifact must be an execution shortcut, never a semantic input")
+    val es = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val vecs = es.toMap
+    val ids = es.map(_._1)
+    val n = ids.max + 1
+    def cos(a: Long, b: Long): Double =
+      graft.functions.VectorMath.cosArr(vecs(a), vecs(b))
+    // the descent graph, exactly as the nndescent spec derives it
+    val gk = 12
+    val init: Map[Long, Seq[Long]] = ids.map { v =>
+      v -> (1 to gk).map { j =>
+        val c0 = (v * 2654435761L + j * 40503L) % n
+        if (c0 == v) (c0 + 1) % n else c0
+      }.distinct.toSeq
+    }.toMap
+    def round(g: Map[Long, Seq[Long]]): Map[Long, Seq[Long]] = {
+      val und = g.toSeq.flatMap { case (v, cs) =>
+        cs.flatMap(c => Seq((v, c), (c, v))) }.distinct
+      val byV = und.groupBy(_._1)
+        .map { case (v, ps) => v -> ps.map(_._2).distinct }
+      ids.map { v =>
+        val non = byV.getOrElse(v, Nil)
+          .flatMap(u => byV.getOrElse(u, Nil)).filter(_ != v)
+        val cands = (non ++ g.getOrElse(v, Nil)).distinct
+        v -> cands.map(c => (c, cos(v, c)))
+          .sortBy { case (c, s) => (-s, c) }.take(gk).map(_._1)
+      }.toMap
+    }
+    val graph = round(round(round(init)))
+    // the beam walk: 8 entries, 4 hops, beam 16, final top-5
+    val (entries, hops, beamW, k) = (8, 4, 16, 5)
+    val qids = ids.filter(_ < 10)
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = qids.flatMap { qid =>
+      var beam: Seq[Long] = (1 to entries).map { j =>
+        val c0 = (qid * 2654435761L + j * 40503L) % n
+        if (c0 == qid) (c0 + 1) % n else c0
+      }.distinct
+      for (_ <- 1 to hops) {
+        val cands = (beam.flatMap(c => graph.getOrElse(c, Nil)) ++ beam)
+          .distinct.filter(_ != qid)
+        beam = cands.map(c => (c, cos(qid, c)))
+          .sortBy { case (c, s) => (-s, c) }.take(beamW).map(_._1)
+      }
+      beam.map(c => (c, cos(qid, c)))
+        .sortBy { case (c, s) => (-s, c) }.take(k)
+        .zipWithIndex.map { case ((c, s), i) => (qid, i + 1, c, r4(s)) }
+    }.sortBy(t => (t._1, t._2))
+    assert(cold == expect.toSeq)
+    // quality: the walk must find what a full corpus scan finds
+    val hits = qids.map { qid =>
+      val truth = ids.filter(_ != qid).map(c => (c, cos(qid, c)))
+        .sortBy { case (c, s) => (-s, c) }.take(k).map(_._1).toSet
+      cold.filter(_._1 == qid).map(_._3).count(truth.contains).toDouble / k
+    }
+    val recall = hits.sum / qids.length
+    assert(recall >= 0.8, s"graph search recall@5 vs brute: $recall")
+  }
+
   test("rag mmr rerank: equals the in-memory greedy MMR trajectory over the retrieved list") {
     val retrieved = Similarity.ragRetrieveTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
