@@ -154,6 +154,7 @@ object SparkEntry {
     "rag_index_sync" -> ((s, d) => Similarity.ragIndexSync(s, d)),
     "ann_nndescent" -> ((s, d) => Similarity.nnDescent(s, d)),
     "ann_graph_topk" -> ((s, d) => Similarity.graphTopK(s, d)),
+    "ann_graph_prune" -> ((s, d) => Similarity.graphPrune(s, d)),
     "ann_recall_eval" -> ((s, d) => Similarity.annRecallEval(s, d)),
     "ann_nprobe_sweep" -> ((s, d) => Similarity.nprobeSweep(s, d)),
     "ann_ndcg_eval" -> ((s, d) => Similarity.ndcgEval(s, d)),
@@ -261,6 +262,7 @@ object SparkEntry {
     "sketch_heavy_hitters" -> ((s, d) => Sketches.heavyHitters(s, d)),
     "sketch_priority_sample" -> ((s, d) => Sketches.prioritySample(s, d)),
     "sketch_bottomk_sample" -> ((s, d) => Sketches.bottomkSample(s, d)),
+    "sketch_ams_f2" -> ((s, d) => Sketches.amsF2(s, d)),
     "sketch_weighted_quantiles" ->
       ((s, d) => Sketches.weightedQuantiles(s, d)),
     "sketch_countmin" -> ((s, d) => Sketches.countMin(s, d)),
@@ -317,6 +319,8 @@ object SparkEntry {
       (graft.streaming.EventStreams.sampleWindowBatch _),
     "stream_bottomk_window" ->
       (graft.streaming.EventStreams.bottomkWindowBatch _),
+    "stream_f2_window" ->
+      (graft.streaming.EventStreams.f2WindowBatch _),
     // oracle-checked since r5: per-window within-error-contract verdicts
     "stream_sketch_window" -> (graft.streaming.EventStreams.sketchWindowChecked _),
     "stream_interval_outer" ->
@@ -2947,6 +2951,23 @@ object SparkEntry {
              ORDER BY cs DESC, cid) AS rk FROM bb4) z
          WHERE rk <= 5
          ORDER BY qid, rk"""),
+    // ann_graph_prune: the RNG lune test over the SAME graph CTEs —
+    // one NOT EXISTS against every ranked-closer candidate (u occludes
+    // c iff cos(u,c) > cos(v,c)); rank-1 unoccludable, kept edges
+    // re-ranked dense — a tie-break or lune divergence breaks the hash
+    "ann_graph_prune" -> (NnDescentGraphCte +
+      """,
+         rnk AS MATERIALIZED (SELECT v, cand, cs, row_number() OVER (
+             PARTITION BY v ORDER BY cs DESC, cand) AS rk FROM g3),
+         pr AS (SELECT a.v, a.rk, a.cand, a.cs FROM rnk a
+           WHERE NOT EXISTS (SELECT 1 FROM rnk u
+             JOIN e x ON x.v = u.cand JOIN e y ON y.v = a.cand
+             WHERE u.v = a.v AND u.rk < a.rk
+               AND list_cosine_similarity(x.ve, y.ve) > a.cs))
+         SELECT v AS vec_id, CAST(row_number() OVER (PARTITION BY v
+             ORDER BY rk) AS INT) AS rk,
+           cand AS nbr, round(cs, 4) AS cos_sim, CAST(rk AS INT) AS was_rk
+         FROM pr ORDER BY vec_id, rk"""),
     // index-health recall@k: both the exact truth and the IVF probe
     // restate in SQL (same CTEs as ann_brute/ann_ivf), so the per-query
     // hit counts — and therefore the recall the index would ship with —
@@ -4024,6 +4045,10 @@ object SparkEntry {
     // event_id) == the heap keep order under the negated score
     "sketch_bottomk_sample" ->
       operators.Sketches.bottomkSampleOracle(),
+    // AMS F2: md5-nibble signs, integer row sums/squares, exact
+    // order-statistic median — the oracle restates the sketch itself
+    "sketch_ams_f2" ->
+      operators.Sketches.amsF2Oracle(),
     // exact weighted quantiles: integer threshold rule over the value
     // histogram, no division anywhere
     "sketch_weighted_quantiles" ->
@@ -4335,6 +4360,28 @@ object SparkEntry {
        FROM rkd r JOIN n USING (window_start)
        LEFT JOIN kth USING (window_start)
        WHERE r.rk <= 4 ORDER BY r.window_start, r.rk""",
+    // windowed AMS F2: the batch restatement — identical md5-nibble
+    // signs, per-window integer row sums, exact order-statistic median
+    "stream_f2_window" ->
+      """WITH ev AS (SELECT date_trunc('hour', ts) AS window_start,
+           md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+       sg AS (SELECT window_start, t.r AS sketch_row,
+           CAST(sum(1 - 2 * ((strpos('0123456789abcdef',
+             substring(h, t.r + 1, 1)) - 1) % 2)) AS BIGINT) AS row_sum,
+           CAST(count(*) AS BIGINT) AS n_events
+         FROM ev, LATERAL (SELECT unnest(generate_series(0, 8)) AS r) t
+         GROUP BY window_start, t.r),
+       est AS (SELECT window_start, sketch_row, row_sum,
+           row_sum * row_sum AS row_est, n_events FROM sg),
+       med AS (SELECT window_start, row_est AS f2_est FROM (
+           SELECT window_start, row_est, row_number() OVER (
+             PARTITION BY window_start ORDER BY row_est, sketch_row)
+             AS rn FROM est) z
+         WHERE rn = 5)
+       SELECT e.window_start, CAST(e.sketch_row AS INT) AS sketch_row,
+         e.row_sum, e.row_est, m.f2_est, e.n_events
+       FROM est e JOIN med m USING (window_start)
+       ORDER BY e.window_start, e.sketch_row""",
     "stream_topk_window" ->
       """SELECT window_start, rk, event_id, value FROM (
            SELECT date_trunc('hour', ts) AS window_start, event_id, value,

@@ -681,4 +681,86 @@ object Sketches {
        FROM rkd r JOIN n USING (event_type)
        LEFT JOIN kth ON kth.event_type = r.event_type
        WHERE r.rk <= $k ORDER BY r.event_type, r.rk"""
+
+  /** AMS (Alon-Matias-Szegedy '96) SECOND-FREQUENCY-MOMENT sketch over
+    * event user_ids — F2 = sum over keys of count(key)^2 is the
+    * SELF-JOIN SIZE, the number a join planner wants before it commits
+    * to a shuffle on a possibly-skewed key (q51_skew_report measures
+    * the heavy keys themselves; this estimates the aggregate skew mass
+    * in ONE constant-state pass with no per-key state at all). Each of
+    * the `rows` sketch rows assigns every key a deterministic +-1 sign
+    * and keeps the single running sum S_r = sum over events of
+    * sign(key, r); E[S_r^2] = F2 exactly, and the median of the `rows`
+    * independent squares is the variance-reduced estimate. The whole
+    * sketch is `rows` CONDITIONAL SUMS IN ONE map-side-combined
+    * aggregate (the q48 one-pass-many-rules idiom): state is `rows`
+    * longs per partition REGARDLESS of event volume or key
+    * cardinality — this is the sketch you can afford when even the
+    * per-key groupBy is the thing being avoided. Fully mergeable
+    * (sums add), hence the streaming twin
+    * [[graft.streaming.EventStreams.f2Window]].
+    *
+    * Determinism (the oracle contract): sign(key, r) = 1 - 2*(nibble
+    * r+1 of md5(key as string) mod 2) — the [[bloomFilter]] md5-nibble
+    * kernel — so signs, row sums, squares, the 9-row median (exact
+    * order statistic, never interpolated) and the integer error
+    * percentage are ALL integer arithmetic: the oracle restates the
+    * sketch itself bit-for-bit, not just a contract verdict. The exact
+    * F2 (one per-key groupBy pass) rides along as the verification
+    * reference — at 100 TB that exact arm is the column you drop. */
+  def amsF2(spark: SparkSession, dir: String, rows: Int = 9): DataFrame = {
+    require(rows <= 32 && rows % 2 == 1, "odd rows, one md5 nibble each")
+    val ev = Tables.events(spark, dir).select(col("user_id"))
+      .withColumn("h", md5(col("user_id").cast("string").cast("binary")))
+    def nib(i: Int): Column =
+      (expr(s"locate(substring(h, $i, 1), '0123456789abcdef')") - 1)
+        .cast("bigint")
+    def sign(r: Int): Column = lit(1L) - lit(2L) * (nib(r + 1) % 2)
+    val sums = ev.agg(sum(sign(0)).as("s_0"),
+      (1 until rows).map(r => sum(sign(r)).as(s"s_$r")): _*)
+    val est = sums.select(explode(array((0 until rows).map(r =>
+        struct(lit(r).cast("int").as("sketch_row"),
+          col(s"s_$r").as("row_sum"))): _*)).as("z"))
+      .select(col("z.sketch_row"), col("z.row_sum"),
+        (col("z.row_sum") * col("z.row_sum")).as("row_est"))
+    val med = est
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("row_est"), col("sketch_row"))))
+      .filter(col("rn") === (rows + 1) / 2)
+      .select(col("row_est").as("f2_est"))
+    val exact = Tables.events(spark, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("f2_exact"),
+        count(lit(1)).as("n_keys"))
+    est.crossJoin(broadcast(med)).crossJoin(broadcast(exact))
+      .select(col("sketch_row"), col("row_sum"), col("row_est"),
+        col("f2_est"), col("f2_exact"), col("n_keys"),
+        expr("abs(f2_est - f2_exact) * 100L DIV f2_exact").as("err_pct"))
+      .orderBy(col("sketch_row"))
+  }
+
+  /** DuckDB restatement of [[amsF2]] — the identical md5-nibble signs,
+    * row sums, exact-order-statistic median and integer error. */
+  def amsF2Oracle(rows: Int = 9): String =
+    s"""WITH ev AS (SELECT user_id,
+           md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+       sg AS (SELECT t.r AS sketch_row,
+           CAST(sum(1 - 2 * ((strpos('0123456789abcdef',
+             substring(h, t.r + 1, 1)) - 1) % 2)) AS BIGINT) AS row_sum
+         FROM ev, LATERAL (SELECT unnest(generate_series(0, ${rows - 1}))
+           AS r) t
+         GROUP BY t.r),
+       est AS (SELECT sketch_row, row_sum,
+           row_sum * row_sum AS row_est FROM sg),
+       med AS (SELECT row_est AS f2_est FROM (
+           SELECT row_est, row_number() OVER (ORDER BY row_est,
+             sketch_row) AS rn FROM est) z
+         WHERE rn = ${(rows + 1) / 2}),
+       ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact,
+           CAST(count(*) AS BIGINT) AS n_keys
+         FROM (SELECT count(*) AS c FROM events GROUP BY user_id) u)
+       SELECT CAST(sketch_row AS INT) AS sketch_row, row_sum, row_est,
+         f2_est, f2_exact, n_keys,
+         (abs(f2_est - f2_exact) * 100) // f2_exact AS err_pct
+       FROM est, med, ex ORDER BY sketch_row"""
 }

@@ -358,6 +358,52 @@ object EventStreams {
   def bottomkWindowStream(events: DataFrame, k: Int = 4): DataFrame =
     bottomkWindow(events.withWatermark("ts", Watermark), k)
 
+  /** AMS F2 SKETCH inside streaming state —
+    * [[graft.operators.Sketches.amsF2]] per tumbling window: the
+    * self-join-size / aggregate-skew estimate of each hour's key
+    * distribution from `rows` running sums, so per-window state is
+    * `rows` longs + a count NO MATTER how many events or distinct
+    * users the hour saw (contrast stream_cm_window's depth x width
+    * cells — this is the cheapest rung of the windowed-sketch
+    * ladder). Sums are commutative folds, so micro-batch arrival
+    * order cannot move a bit and batch == stream exactly
+    * (spec-pinned). The median estimate is derived AFTER the agg as a
+    * pure projection (sorted-array element — an exact order statistic
+    * over the window's own `rows` squares, never a second
+    * aggregation, which streaming would reject). Same md5-nibble
+    * signs as the batch op, so the oracle restates the whole sketch
+    * closed-form. */
+  def f2Window(events: DataFrame, rows: Int = 9): DataFrame = {
+    val ev = events.select(col("ts"), col("user_id"))
+      .withColumn("h", md5(col("user_id").cast("string").cast("binary")))
+    def nib(i: Int): Column =
+      (expr(s"locate(substring(h, $i, 1), '0123456789abcdef')") - 1)
+        .cast("bigint")
+    def sign(r: Int): Column = lit(1L) - lit(2L) * (nib(r + 1) % 2)
+    ev.groupBy(window(col("ts"), "1 hour"))
+      .agg(sum(sign(0)).as("s_0"),
+        ((1 until rows).map(r => sum(sign(r)).as(s"s_$r")) :+
+          count(lit(1)).as("n_events")): _*)
+      .select(col("window.start").as("window_start"), col("n_events"),
+        element_at(array_sort(array((0 until rows).map(r =>
+          col(s"s_$r") * col(s"s_$r")): _*)), (rows + 1) / 2)
+          .as("f2_est"),
+        posexplode(array((0 until rows).map(r =>
+          struct(lit(r).cast("int").as("sketch_row"),
+            col(s"s_$r").as("row_sum"))): _*)))
+      .select(col("window_start"), col("col.sketch_row").as("sketch_row"),
+        col("col.row_sum").as("row_sum"),
+        (col("col.row_sum") * col("col.row_sum")).as("row_est"),
+        col("f2_est"), col("n_events"))
+  }
+
+  def f2WindowBatch(spark: SparkSession, dir: String): DataFrame =
+    f2Window(Tables.events(spark, dir))
+      .orderBy(col("window_start"), col("sketch_row"))
+
+  def f2WindowStream(events: DataFrame, rows: Int = 9): DataFrame =
+    f2Window(events.withWatermark("ts", Watermark), rows)
+
   /** Sketches INSIDE streaming state: per tumbling window and event
     * type, HLL++ distinct users and mergeable approximate value
     * quantiles. Both aggregates keep fixed-size buffers in the state

@@ -88,9 +88,12 @@ class PruningSpec extends AnyFunSuite {
       // one-row total-nodes scalar are intentional broadcast crosses
       // sketch_countmin: the one-row total-events scalar for the
       // Markov-bound verdict crosses the per-user estimate frame
+      // sketch_ams_f2: the one-row median-estimate and exact-F2 scalar
+      // frames crossed onto the 9-row sketch frame by design
       // emb_diversity_sample: each greedy round folds the one-row
       // chosen-center frame into the state map-side by design
-      "geo_isochrone", "sketch_countmin", "emb_diversity_sample",
+      "geo_isochrone", "sketch_countmin", "sketch_ams_f2",
+      "emb_diversity_sample",
       "pipeline_dedup_sample",
       // emb_outliers: the one-row corpus mean/stddev scalar frame is
       // folded onto the distance frame map-side by design

@@ -842,6 +842,66 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"graph search recall@5 vs brute: $recall")
   }
 
+  test("ann graph prune: equals the in-memory RNG lune rule; degree drops, rank-1 always survives") {
+    val got = Similarity.graphPrune(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4))).toSeq
+    val es = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val vecs = es.toMap
+    val ids = es.map(_._1)
+    val n = ids.max + 1
+    def cos(a: Long, b: Long): Double =
+      graft.functions.VectorMath.cosArr(vecs(a), vecs(b))
+    // the descent graph, exactly as the nndescent spec derives it
+    val gk = 12
+    val init: Map[Long, Seq[Long]] = ids.map { v =>
+      v -> (1 to gk).map { j =>
+        val c0 = (v * 2654435761L + j * 40503L) % n
+        if (c0 == v) (c0 + 1) % n else c0
+      }.distinct.toSeq
+    }.toMap
+    def round(g: Map[Long, Seq[Long]]): Map[Long, Seq[Long]] = {
+      val und = g.toSeq.flatMap { case (v, cs) =>
+        cs.flatMap(c => Seq((v, c), (c, v))) }.distinct
+      val byV = und.groupBy(_._1)
+        .map { case (v, ps) => v -> ps.map(_._2).distinct }
+      ids.map { v =>
+        val non = byV.getOrElse(v, Nil)
+          .flatMap(u => byV.getOrElse(u, Nil)).filter(_ != v)
+        val cands = (non ++ g.getOrElse(v, Nil)).distinct
+        v -> cands.map(c => (c, cos(v, c)))
+          .sortBy { case (c, s) => (-s, c) }.take(gk).map(_._1)
+      }.toMap
+    }
+    val graph = round(round(round(init)))
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the RNG lune rule over each node's ranked candidates: drop c if
+    // some ranked-closer u has cos(u, c) > cos(v, c)
+    val expect = ids.flatMap { v =>
+      val ranked = graph(v).map(c => (c, cos(v, c)))
+        .sortBy { case (c, s) => (-s, c) }
+      val kept = ranked.zipWithIndex.filter { case ((c, s), i) =>
+        !ranked.take(i).exists { case (u, _) => cos(u, c) > s }
+      }
+      kept.zipWithIndex.map { case (((c, s), wasIdx), newIdx) =>
+        (v, newIdx + 1, c, r4(s), wasIdx + 1) }
+    }.sortBy(t => (t._1, t._2)).toSeq
+    assert(got == expect)
+    // structural contracts: rank-1 survives everywhere, pruning is
+    // real, kept edges are a subset of the descent graph
+    assert(ids.forall(v => got.exists(t => t._1 == v && t._5 == 1)),
+      "rank-1 must be unoccludable")
+    val before = ids.map(v => graph(v).size).sum
+    assert(got.size < before, "the lune rule must actually prune")
+    assert(got.forall(t => graph(t._1).contains(t._3)),
+      "pruned graph must be a subgraph of the descent graph")
+    info(s"edges $before -> ${got.size} " +
+      f"(mean degree ${before.toDouble / ids.length}%.1f -> " +
+      f"${got.size.toDouble / ids.length}%.1f)")
+  }
+
   test("rag mmr rerank: equals the in-memory greedy MMR trajectory over the retrieved list") {
     val retrieved = Similarity.ragRetrieveTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))

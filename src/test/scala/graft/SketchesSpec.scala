@@ -299,4 +299,43 @@ class SketchesSpec extends AnyFunSuite {
         "under-full stratum must report the exact count") }
   }
 
+  test("ams f2: exact in-memory recompute of signs, sums, median and error") {
+    val rows = 9
+    val ids = Tables.events(spark, sf).select(col("user_id")).collect()
+      .map(_.getLong(0))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def sign(id: Long, r: Int): Long = {
+      val nib = "0123456789abcdef".indexOf(md5hex(id.toString)(r)).toLong
+      1L - 2L * (nib % 2)
+    }
+    val sums = (0 until rows).map(r => ids.map(sign(_, r)).sum)
+    val ests = sums.map(s => s * s)
+    val f2Est = ests.zipWithIndex.sortBy(identity).apply(rows / 2)._1
+    val counts = ids.groupBy(identity).values.map(_.length.toLong)
+    val f2Exact = counts.map(c => c * c).sum
+    val errPct = math.abs(f2Est - f2Exact) * 100L / f2Exact
+    val got = Sketches.amsF2(spark, sf).collect()
+    assert(got.length == rows)
+    got.foreach { g =>
+      val r = g.getInt(0)
+      assert(g.getLong(1) == sums(r), s"row $r sum")
+      assert(g.getLong(2) == ests(r), s"row $r est")
+      assert(g.getLong(3) == f2Est, "median estimate")
+      assert(g.getLong(4) == f2Exact && g.getLong(5) == counts.size)
+      assert(g.getLong(6) == errPct, "integer err pct")
+    }
+    // MERGEABILITY — the sketch property: per-shard row sums add to
+    // the global row sums (what the streaming twin's state relies on)
+    val (a, b) = ids.partition(_ % 2 == 0)
+    (0 until rows).foreach { r =>
+      assert(a.map(sign(_, r)).sum + b.map(sign(_, r)).sum == sums(r),
+        s"row $r not mergeable") }
+    // the estimator should land in the right ballpark (median-of-9
+    // AMS has stddev ~ F2 * sqrt(2) / 3; this corpus measured ~0.3)
+    info(s"f2 est $f2Est vs exact $f2Exact (err ${errPct}%)")
+    assert(errPct < 200, "estimator wildly off — sign derivation broken?")
+  }
+
 }

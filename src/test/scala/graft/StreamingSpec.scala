@@ -357,6 +357,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(sorted.toSeq == batch, "merged stream state != batch bottom-k")
   }
 
+  test("f2 window: equals in-memory recompute; stream merges micro-batch sums exactly") {
+    import spark.implicits._
+    // hour one: user 1 x3, user 2 x2, user 3 x1 (F2 = 9+4+1 = 14);
+    // hour two: user 1 x2 (F2 = 4)
+    val evs = Seq(Ev(1, t(1), 1, "m", 0), Ev(2, t(2), 1, "m", 0),
+      Ev(3, t(3), 1, "m", 0), Ev(4, t(4), 2, "m", 0),
+      Ev(5, t(10), 2, "m", 0), Ev(6, t(20), 3, "m", 0),
+      Ev(7, t(65), 1, "m", 0), Ev(8, t(70), 1, "m", 0))
+    val batch = EventStreams.f2Window(evs.toDF())
+      .orderBy("window_start", "sketch_row").collect().map(_.toSeq).toSeq
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def sign(id: Long, r: Int): Long =
+      1L - 2L * ("0123456789abcdef".indexOf(md5hex(id.toString)(r)) % 2)
+    def wantFor(users: Seq[Long]): Seq[(Long, Long, Long)] = {
+      val sums = (0 until 9).map(r => users.map(sign(_, r)).sum)
+      val med = sums.map(s => s * s).zipWithIndex.sortBy(identity)
+        .apply(4)._1
+      sums.zipWithIndex.map { case (s, _) => (s, s * s, med) }
+    }
+    val w1 = wantFor(evs.take(6).map(_.user_id))
+    val w2 = wantFor(evs.drop(6).map(_.user_id))
+    val got = batch.map(r => (r(2).asInstanceOf[Long],
+      r(3).asInstanceOf[Long], r(4).asInstanceOf[Long],
+      r(5).asInstanceOf[Long]))
+    val want = w1.map { case (s, e, m) => (s, e, m, 6L) } ++
+      w2.map { case (s, e, m) => (s, e, m, 2L) }
+    assert(got.toList == want.toList, s"f2 recompute mismatch: $got")
+    // STREAM: split MID-hour-one so the standing window sums must
+    // merge two micro-batches — commutative folds, bit-exact
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(evs.take(3): _*)
+    val q = EventStreams.f2WindowStream(mem.toDF())
+      .writeStream.format("memory").queryName("f2w")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    mem.addData(evs.drop(3): _*)
+    q.processAllAvailable(); q.stop()
+    val sorted = spark.table("f2w").collect().map(_.toSeq).sortBy(r =>
+      (r(0).asInstanceOf[java.sql.Timestamp].getTime,
+        r(1).asInstanceOf[Int]))
+    assert(sorted.toSeq == batch, "merged stream state != batch f2 sketch")
+  }
+
   test("interval join: streaming pairs equal the batch join's pairs") {
     import spark.implicits._
     val purchases = Seq(Ev(10, t(20), 1, "purchase", 9.0),
