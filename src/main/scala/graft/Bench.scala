@@ -156,7 +156,10 @@ object Bench {
         case JString(s) => s
         case _ => ""
       }
-      if (!sfDir.endsWith(pinnedSf)) Map.empty
+      // an absent/empty sf pin means the baseline's scale is unknown —
+      // no baseline at all beats ratios against an unknowable scale
+      // (endsWith("") matches every sfDir)
+      if (pinnedSf.isEmpty || !sfDir.endsWith(pinnedSf)) Map.empty
       else root \ "queries" match {
         case JObject(fields) => fields.collect {
           case (k, JDouble(v)) => k -> v

@@ -330,6 +330,13 @@ object SparkEntry {
     "stream_cm_window" -> (graft.streaming.EventStreams.cmWindowChecked _),
     "stream_op_status" -> (graft.streaming.EventStreams.opStatusBatch _),
     "stream_op_log" -> (graft.streaming.EventStreams.opLogSummaryBatch _),
+    // follower-driven index sync: rag_index_sync with the versions
+    // DISCOVERED by the table's durable-cursor change-feed follower
+    // instead of passed in; CDC lands as two commits, the follower
+    // converges the index across both (StreamingSpec drives the same
+    // follower through micro-batches via SnapshotLog.followStream)
+    "stream_index_sync" -> ((s, d) =>
+      operators.Similarity.streamIndexSync(s, d)),
     // F. malformed-media quarantine: per (kind, verdict, reason) triage
     // counts over a deterministically damaged corpus. Oracle-checked:
     // the damage schedule (doc_id % 17) and each parser's typed verdict
@@ -2869,6 +2876,42 @@ object SparkEntry {
                  list_transform(t.v, x -> -x), s.sv) DESC, s.cell) AS rn
            FROM e t, seeds s) z WHERE rn = 1)
          SELECT * FROM (
+           SELECT e.cid, 'delete' AS change, e.lab,
+             a.cell AS cell_before, CAST(NULL AS BIGINT) AS cell_after,
+             TRUE AS served_before, FALSE AS served_after
+           FROM e JOIN asg a USING (cid) WHERE cid % 19 = 6
+           UNION ALL
+           SELECT e.cid, 'update', e.lab, a.cell, n.cell, TRUE, TRUE
+           FROM e JOIN asg a USING (cid) JOIN nasg n USING (cid)
+           WHERE cid % 17 = 3 AND cid % 19 <> 6
+           UNION ALL
+           SELECT e.cid + (SELECT m FROM mk) + 1, 'insert', e.lab,
+             CAST(NULL AS BIGINT), a.cell, FALSE, TRUE
+           FROM e JOIN asg a USING (cid) WHERE cid % 23 = 7)
+         ORDER BY cid""",
+    // stream_index_sync: the SAME closed-form id-space restatement as
+    // rag_index_sync (the follower must converge to the identical net
+    // state even though the CDC landed as two commits it discovered
+    // itself), plus the follower's final cursor — pinned to 2, the
+    // source's last version: a follower that skipped or re-delivered a
+    // commit surfaces as a wrong cursor or a wrong cell and breaks
+    // this hash
+    "stream_index_sync" ->
+      """WITH e AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS v,
+             label AS lab FROM embeddings),
+         mk AS (SELECT max(cid) AS m FROM e),
+         seeds AS (SELECT cid AS cell, v AS sv FROM e WHERE cid < 20),
+         asg AS (SELECT cid, cell FROM (
+           SELECT t.cid, s.cell, row_number() OVER (PARTITION BY t.cid
+               ORDER BY list_cosine_similarity(t.v, s.sv) DESC, s.cell)
+               AS rn
+           FROM e t, seeds s) z WHERE rn = 1),
+         nasg AS (SELECT cid, cell FROM (
+           SELECT t.cid, s.cell, row_number() OVER (PARTITION BY t.cid
+               ORDER BY list_cosine_similarity(
+                 list_transform(t.v, x -> -x), s.sv) DESC, s.cell) AS rn
+           FROM e t, seeds s) z WHERE rn = 1)
+         SELECT *, CAST(2 AS INT) AS cursor_version FROM (
            SELECT e.cid, 'delete' AS change, e.lab,
              a.cell AS cell_before, CAST(NULL AS BIGINT) AS cell_after,
              TRUE AS served_before, FALSE AS served_after

@@ -2557,6 +2557,119 @@ object Similarity {
       .orderBy(col("cid"))
   }
 
+  /** FOLLOWER-DRIVEN INDEX SYNC — [[ragIndexSync]] re-expressed on the
+    * table's CHANGE-FEED FOLLOWER ([[graft.sources.SnapshotLog
+    * .followDiff]]): the serving index tracks the corpus with NO
+    * version plumbing at all. Where ragIndexSync is handed `diff(0,1)`
+    * explicitly, here the CDC lands as TWO separate commits (v1 =
+    * deletes %19==6 + re-embeddings %17==3 with the negated vector;
+    * v2 = inserts %23==7 shifted past the key space) and the follower
+    * — a named durable cursor in the table's own log — discovers both,
+    * delivers each commit's diff in order, and the index applies one
+    * atomic merge per feed. This is the lifecycle rung every tailing
+    * consumer needs (index sync, view maintenance, replication): the
+    * downstream system never tracks versions itself, and a restart
+    * resumes mid-history from the cursor. Net state converges to
+    * exactly ragIndexSync's (same change classes, same cells — the
+    * oracle is the same closed-form id-space restatement), plus the
+    * follower's final cursor rides in the output so a replay that
+    * re-delivered or skipped a commit breaks the hash.
+    *
+    * Replay: the CURSOR is the replay guard — a rerun finds
+    * cursor == latest, delivers nothing, commits nothing; every
+    * source/index commit is additionally version-guarded.
+    *
+    * Scale shape: identical to ragIndexSync per feed (diff costs the
+    * commit's size; encode + merge are key-partitioned; seeds stay
+    * fixed from build time); the follower adds one cursor read and
+    * one latestVersion poll per cycle. */
+  def streamIndexSync(spark: SparkSession, dir: String,
+                      seedIdMax: Int = 20, delMod: Int = 19, delRes: Int = 6,
+                      updMod: Int = 17, updRes: Int = 3,
+                      insMod: Int = 23, insRes: Int = 7): DataFrame = {
+    import graft.sources.{ModelStore, SnapshotLog}
+    val e = emb(spark, dir).select(col("vec_id").as("cid"),
+      col("embedding"), col("label").as("lab"))
+    val mk = e.agg(max(col("cid"))).collect().head.getLong(0)
+    val fp = ModelStore.corpusFingerprint(spark, s"$dir/embeddings.parquet")
+    val tag = s"$fp|$seedIdMax|$delMod|$delRes|$updMod|$updRes|$insMod|$insRes"
+    val srcPath = ModelStore.root(spark) +
+      s"/embsrcf_v1_${ModelStore.md5(s"embsrcf|$tag")}"
+    val idxPath = ModelStore.root(spark) +
+      s"/embidxf_v1_${ModelStore.md5(s"embidxf|$tag")}"
+    // the SOURCE table: v0 base corpus; v1 deletes + re-embeddings;
+    // v2 inserts — two separate commits so the follower has a
+    // multi-version feed to discover
+    if (SnapshotLog.latestVersion(srcPath).isEmpty)
+      SnapshotLog.create(spark, e, srcPath, "cid")
+    if (SnapshotLog.latestVersion(srcPath).contains(0)) {
+      val dels = e.filter(col("cid") % delMod === delRes)
+        .withColumn("_del", lit(true))
+      val upds = e.filter(col("cid") % updMod === updRes &&
+          col("cid") % delMod =!= delRes)
+        .select(col("cid"),
+          transform(col("embedding"), x => -x).as("embedding"), col("lab"))
+        .withColumn("_del", lit(false))
+      SnapshotLog.merge(spark, dels.unionByName(upds), srcPath, "cid",
+        "_del")
+    }
+    if (SnapshotLog.latestVersion(srcPath).contains(1)) {
+      val ins = e.filter(col("cid") % insMod === insRes)
+        .select((col("cid") + lit(mk + 1L)).as("cid"), col("embedding"),
+          col("lab"))
+        .withColumn("_del", lit(false))
+      SnapshotLog.merge(spark, ins, srcPath, "cid", "_del")
+    }
+    // the INDEX at v0: coarse cells of the base corpus, seeds FIXED
+    val base = SnapshotLog.read(spark, srcPath, Some(0))
+    val seeds = base.filter(col("cid") < seedIdMax)
+      .select(col("cid").as("cluster_id"), col("embedding").as("se"))
+    def cellsOf(rows: DataFrame): DataFrame =
+      assignToSeeds(rows.select(col("cid").as("vec_id"),
+          col("embedding")), seeds)
+        .select(col("vec_id").as("cid"), col("cluster_id").as("cell"))
+    if (SnapshotLog.latestVersion(idxPath).isEmpty)
+      SnapshotLog.create(spark,
+        cellsOf(base)
+          .join(base.select(col("cid"), col("lab")).hint("shuffle_hash"),
+            Seq("cid")),
+        idxPath, "cid")
+    // THE FOLLOWER: consume every not-yet-consumed commit's feed, one
+    // atomic index merge per feed — no version arguments anywhere
+    SnapshotLog.followDiff(spark, srcPath, "cid", "idxsync") { (feed, _) =>
+      val tombs = feed.filter(col("change") === "delete")
+        .select(col("cid"), lit(0L).as("cell"), lit(0).as("lab"),
+          lit(true).as("_del"))
+      val fresh = feed.filter(col("change") =!= "delete")
+        .select(col("cid"), col("_new.embedding").as("embedding"),
+          col("_new.lab").as("lab"))
+      val encoded = cellsOf(fresh)
+        .join(fresh.select(col("cid"), col("lab")).hint("shuffle_hash"),
+          Seq("cid"))
+        .withColumn("_del", lit(false))
+      SnapshotLog.merge(spark, tombs.unionByName(encoded), idxPath,
+        "cid", "_del")
+      ()
+    }
+    val vSrc = SnapshotLog.latestVersion(srcPath).get
+    val cursor = SnapshotLog.cursorVersion(srcPath, "idxsync").getOrElse(0)
+    val feed = SnapshotLog.diff(spark, srcPath, 0, vSrc, "cid")
+      .select(col("cid"), col("change"),
+        coalesce(col("_new.lab"), col("_old.lab")).as("lab"))
+    val before = SnapshotLog.read(spark, idxPath, Some(0))
+      .select(col("cid"), col("cell").as("cell_before"))
+    val after = SnapshotLog.read(spark, idxPath)
+      .select(col("cid"), col("cell").as("cell_after"))
+    feed.join(before.hint("shuffle_hash"), Seq("cid"), "left_outer")
+      .join(after.hint("shuffle_hash"), Seq("cid"), "left_outer")
+      .select(col("cid"), col("change"), col("lab"),
+        col("cell_before"), col("cell_after"),
+        col("cell_before").isNotNull.as("served_before"),
+        col("cell_after").isNotNull.as("served_after"),
+        lit(cursor).cast("int").as("cursor_version"))
+      .orderBy(col("cid"))
+  }
+
   /** NN-DESCENT k-NN GRAPH construction (Dong et al., WWW'11 — the
     * build step under every graph-based ANN index: HNSW/NSG layers,
     * SemDeDup's similarity graph, hard-negative mining). The exact
@@ -2757,10 +2870,19 @@ object Similarity {
     * mean degree 12 -> 4.1. */
   def graphPrune(spark: SparkSession, dir: String, gk: Int = 12,
                  iters: Int = 3): DataFrame = {
+    import graft.sources.ModelStore
     val e = emb(spark, dir)
       .select(col("vec_id").as("v"), col("embedding").as("ve"))
     val mk = e.agg(max(col("v"))).collect().head.getLong(0)
-    val g = nnDescentEdges(e, mk, gk, iters)
+    // Reuse the graph [[graphTopK]] persists under the SAME
+    // content-fingerprint key — prune is a post-build maintenance step
+    // over the artifact, never a rebuild (a prune that re-runs the
+    // 3-round descent it prunes pays the index build twice).
+    val fp = ModelStore.corpusFingerprint(spark, s"$dir/embeddings.parquet")
+    val key = ModelStore.md5(s"$fp|nnd|$gk|$iters")
+    val g = ModelStore.getOrFit(spark, s"nndgraph_$key") {
+      nnDescentEdges(e, mk, gk, iters)
+    }.select(col("v"), col("cand"))
     val scored = g.join(e.hint("shuffle_hash"), Seq("v"))
       .join(e.select(col("v").as("cand"), col("ve").as("we"))
         .hint("shuffle_hash"), Seq("cand"))

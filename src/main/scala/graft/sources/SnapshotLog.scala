@@ -101,9 +101,17 @@ object SnapshotLog {
     * Reads the LATEST seek hint, then rolls FORWARD over contiguous
     * committed manifest directories — the hint may be stale (a writer
     * crashed after its commit rename, or a concurrent writer has not
-    * advanced it yet) but can never claim an uncommitted version. An
-    * unreadable/torn hint degrades to a scan from v0 (correct, just
-    * O(versions)). */
+    * advanced it yet) but can never claim an uncommitted version.
+    *
+    * A missing/torn hint — or a hint pointing at a version [[gc]] has
+    * since expired — degrades to LISTING `_log` for the maximum
+    * committed vNNNNN directory and rolling forward from there. The
+    * old degradation (scan up from v0) silently returned None once
+    * retention GC had deleted the early manifests: the forward scan hit
+    * the retention gap, a guarded `if (latestVersion.isEmpty) create`
+    * caller would then re-commit a fresh v0 and FORK the surviving
+    * history. The listing is version-count-sized (gc keeps it short)
+    * and only runs on the degraded path. */
   def latestVersion(path: String): Option[Int] = {
     val f = latestFile(path)
     val fs = fsOf(f)
@@ -111,9 +119,23 @@ object SnapshotLog {
       if (fs.exists(f))
         scala.util.Try(readSmall(fs, f).trim.toInt).toOption
       else None
-    var v = hint.getOrElse(-1)
-    while (fs.exists(new Path(manifestDir(path, v + 1)))) v += 1
-    if (v >= 0) Some(v) else None
+    def listMax: Option[Int] = {
+      val ld = new Path(logDir(path))
+      if (!fs.exists(ld)) None
+      else fs.listStatus(ld).toSeq.map(_.getPath.getName)
+        .filter(_.matches("v\\d{5}"))
+        .map(_.stripPrefix("v").toInt)
+        .reduceOption(_ max _)
+    }
+    val start = hint.filter(h =>
+      fs.exists(new Path(manifestDir(path, h)))).orElse(listMax)
+    start match {
+      case None => None
+      case Some(s) =>
+        var v = s
+        while (fs.exists(new Path(manifestDir(path, v + 1)))) v += 1
+        Some(v)
+    }
   }
 
   /** Manifest frame of `version`: (seg, n_rows, min_key, max_key). */
@@ -136,7 +158,13 @@ object SnapshotLog {
       .getOrElse(sys.error(s"no committed version at $path"))
     val segs = manifest(spark, path, v)
       .select(col("seg")).collect().map(_.getString(0))
-    if (mergeSchema)
+    if (segs.isEmpty)
+      // a delete-everything merge commits a segment-less manifest; the
+      // version reads as an empty frame under the table's schema
+      spark.read.parquet(anchorSeg(spark, path, v).getOrElse(sys.error(
+        s"read at $path v$v: no surviving version lists a segment to " +
+          "anchor the table schema"))).limit(0)
+    else if (mergeSchema)
       spark.read.option("mergeSchema", "true").parquet(segs: _*)
     else spark.read.parquet(segs: _*)
   }
@@ -261,13 +289,23 @@ object SnapshotLog {
     * whole key range commits a manifest with no replacement segment
     * (the empty segment is elided, never listed). */
   def merge(spark: SparkSession, df: DataFrame, path: String,
-            keyCol: String, deleteCol: String): Int = {
-    val v = latestVersion(path).getOrElse(
-      sys.error(s"merge into non-existent table $path")) + 1
+            keyCol: String, deleteCol: String): Int =
+    mergeAt(spark, df, path, keyCol, deleteCol,
+      latestVersion(path).getOrElse(
+        sys.error(s"merge into non-existent table $path")) + 1)
+
+  /** [[merge]] with the target version fixed by the caller — the race
+    * surface [[appendAt]] exposes, for specs and for
+    * [[mergeOrRebase]]'s retry loop. */
+  private[graft] def mergeAt(spark: SparkSession, df: DataFrame,
+                             path: String, keyCol: String,
+                             deleteCol: String, v: Int): Int = {
     val Array(lo, hi) = df.agg(min(col(keyCol)), max(col(keyCol)))
       .collect().head.toSeq.map(x => x.asInstanceOf[Long]).toArray
     // the manifest is segment-count-sized: collecting it is the point
-    val segs = manifest(spark, path, v - 1).collect()
+    val m = manifest(spark, path, v - 1)
+    val has2 = m.columns.contains("min_key2")
+    val segs = m.collect()
     val (affected, untouched) = segs.partition { r =>
       r.getAs[Long]("max_key") >= lo && r.getAs[Long]("min_key") <= hi
     }
@@ -285,13 +323,103 @@ object SnapshotLog {
       survivors.unionByName(inserts, allowMissingColumns = true), path,
       v, 0, keyCol)
       .collect().filter(_.getAs[Long]("n_rows") > 0)
-    val rows = untouched.map(r => (r.getAs[String]("seg"),
-      r.getAs[Long]("n_rows"), r.getAs[Long]("min_key"),
-      r.getAs[Long]("max_key"))) ++
-      newSeg.map(r => (r.getAs[String]("seg"), r.getAs[Long]("n_rows"),
-        r.getAs[Long]("min_key"), r.getAs[Long]("max_key")))
     import spark.implicits._
-    commit(rows.toSeq.toDF("seg", "n_rows", "min_key", "max_key"), path, v)
+    if (!has2) {
+      val rows = untouched.map(r => (r.getAs[String]("seg"),
+        r.getAs[Long]("n_rows"), r.getAs[Long]("min_key"),
+        r.getAs[Long]("max_key"))) ++
+        newSeg.map(r => (r.getAs[String]("seg"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("min_key"), r.getAs[Long]("max_key")))
+      commit(rows.toSeq.toDF("seg", "n_rows", "min_key", "max_key"), path, v)
+    } else {
+      // a [[compactZOrder]]ed table: segments carried BY REFERENCE keep
+      // their physical z-clustering, so carrying their second-column
+      // stats costs nothing and keeps [[readBox]]'s date-axis pruning
+      // alive between OPTIMIZE runs; only the rewritten segment (whose
+      // clustering the rewrite destroyed anyway) drops to null —
+      // readers treat null as "scan it"
+      def k2(r: org.apache.spark.sql.Row, c: String): Option[Long] =
+        Option(r.getAs[java.lang.Long](c)).map(_.longValue)
+      val rows = untouched.map(r => (r.getAs[String]("seg"),
+        r.getAs[Long]("n_rows"), r.getAs[Long]("min_key"),
+        r.getAs[Long]("max_key"), k2(r, "min_key2"), k2(r, "max_key2"))) ++
+        newSeg.map(r => (r.getAs[String]("seg"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("min_key"), r.getAs[Long]("max_key"),
+          None: Option[Long], None: Option[Long]))
+      commit(rows.toSeq.toDF("seg", "n_rows", "min_key", "max_key",
+        "min_key2", "max_key2"), path, v)
+    }
+  }
+
+  /** Key ranges version `w`'s commit WROTE or REMOVED: the min/max
+    * stats of the symmetric difference between its manifest and its
+    * parent's segment lists — the same copy-on-write invariant
+    * [[diff]] exploits. Segment-count-sized driver work. */
+  private def touchedRanges(spark: SparkSession, path: String,
+                            w: Int): Seq[(Long, Long)] = {
+    val prev = manifest(spark, path, w - 1).collect()
+    val cur = manifest(spark, path, w).collect()
+    val prevSegs = prev.map(_.getAs[String]("seg")).toSet
+    val curSegs = cur.map(_.getAs[String]("seg")).toSet
+    (prev.filterNot(r => curSegs(r.getAs[String]("seg"))) ++
+      cur.filterNot(r => prevSegs(r.getAs[String]("seg"))))
+      .map(r => (r.getAs[Long]("min_key"), r.getAs[Long]("max_key"))).toSeq
+  }
+
+  /** [[merge]] with OPTIMISTIC-CONCURRENCY rebase (the Delta/Iceberg
+    * logical conflict check): a writer that loses the commit race
+    * inspects every commit that beat it — when ALL of them touched key
+    * ranges DISJOINT from this merge's [min, max] key range, the merge
+    * is rebased onto the new latest and retried automatically (two
+    * concurrent ingest jobs on different key ranges both commit, in
+    * some serial order); a single overlapping commit refuses the
+    * rebase with [[ConcurrentCommitException]] — overlapping writes
+    * need the caller's logic re-run against the interleaved state, not
+    * a blind replay. Overlap is judged range-vs-range from manifest
+    * stats (conservative: a false overlap costs a manual retry, never
+    * a wrong rebase); an interleaved version whose manifest has
+    * already been [[gc]]'d is unverifiable and also refuses. The
+    * rebase rewrites the merge's data segments (the losing attempt's
+    * files orphan for gc) — commit adjudication stays physical and
+    * first-writer-wins underneath, exactly as before. */
+  def mergeOrRebase(spark: SparkSession, df: DataFrame, path: String,
+                    keyCol: String, deleteCol: String,
+                    maxRebases: Int = 5): Int =
+    mergeOrRebaseFrom(spark, df, path, keyCol, deleteCol,
+      latestVersion(path).getOrElse(
+        sys.error(s"merge into non-existent table $path")), maxRebases)
+
+  /** [[mergeOrRebase]] with the base version fixed by the caller (the
+    * version this writer READ) — the testable race surface. */
+  private[graft] def mergeOrRebaseFrom(spark: SparkSession, df: DataFrame,
+                                       path: String, keyCol: String,
+                                       deleteCol: String, baseV: Int,
+                                       maxRebases: Int = 5): Int = {
+    val Array(lo, hi) = df.agg(min(col(keyCol)), max(col(keyCol)))
+      .collect().head.toSeq.map(x => x.asInstanceOf[Long]).toArray
+    var base = baseV
+    var rebases = 0
+    var committed = -1
+    while (committed < 0) {
+      try committed = mergeAt(spark, df, path, keyCol, deleteCol, base + 1)
+      catch {
+        case e: ConcurrentCommitException =>
+          val now = latestVersion(path).getOrElse(throw e)
+          val conflict = (base + 1 to now).exists { w =>
+            !manifestExists(path, w) || !manifestExists(path, w - 1) ||
+              touchedRanges(spark, path, w).exists { case (mn, mx) =>
+                mx >= lo && mn <= hi }
+          }
+          if (conflict) throw new ConcurrentCommitException(
+            s"merge of keys [$lo, $hi] at $path lost the race to a " +
+              "commit touching an OVERLAPPING key range; rebase refused " +
+              "- re-run the logical operation against the new state")
+          rebases += 1
+          if (rebases > maxRebases) throw e
+          base = now
+      }
+    }
+    committed
   }
 
   /** STREAMING lakehouse ingestion: a CDC changelog stream
@@ -354,7 +482,15 @@ object SnapshotLog {
     * to ~1/slices of the data per range probe. Equal-width binning
     * assumes a roughly uniform key space; heavily skewed key spaces
     * get uneven slice sizes (still correct — stats prune on whatever
-    * the ranges are). Empty slices are dropped from the manifest. */
+    * the ranges are). Empty slices are dropped from the manifest.
+    *
+    * Sliced compaction is ONE partitioned write (slice id as the
+    * partition column — the [[compactZOrder]] shape): the folded rows
+    * are read once, shuffled once on the slice id, the slice
+    * directories renamed into the segment namespace, and per-slice
+    * stats come from ONE aggregation grouped by slice — never a
+    * re-scan or a read job per slice. At production scale an OPTIMIZE
+    * must cost the churn one pass, not `slices` re-scans of it. */
   def compact(spark: SparkSession, path: String, keyCol: String,
               minRows: Long = Long.MaxValue, slices: Int = 1): Int = {
     require(slices >= 1, s"slices must be >= 1, got $slices")
@@ -365,27 +501,51 @@ object SnapshotLog {
     if (small.length <= 1) return v0
     val v = v0 + 1
     val merged = spark.read.parquet(small.map(_.getAs[String]("seg")): _*)
-    val newSeg =
-      if (slices == 1) writeSegment(spark, merged, path, v, 0, keyCol)
-        .collect().toSeq
+    val newSeg: Seq[(String, Long, Long, Long)] =
+      if (slices == 1)
+        writeSegment(spark, merged, path, v, 0, keyCol).collect().toSeq
+          .map(r => (r.getAs[String]("seg"), r.getAs[Long]("n_rows"),
+            r.getAs[Long]("min_key"), r.getAs[Long]("max_key")))
       else {
         val lo = small.map(_.getAs[Long]("min_key")).min
         val hi = small.map(_.getAs[Long]("max_key")).max
         val width = (hi - lo) / slices + 1
-        (0 until slices).flatMap { i =>
-          val sLo = lo + i.toLong * width
-          val part = merged.filter(
-            col(keyCol) >= sLo && col(keyCol) < sLo + width)
-          writeSegment(spark, part, path, v, i, keyCol).collect()
-        }.filter(_.getAs[Long]("n_rows") > 0)
+        val tmp = new Path(logDir(path),
+          s".compact-tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+        val fs = fsOf(tmp)
+        // same slice membership as the old per-slice filter loop —
+        // slice(key) = (key - lo) div width over key in [lo, hi] — so
+        // the committed manifests are bit-identical to the loop's
+        merged
+          .withColumn("_snap_slice", expr(
+            s"CAST((CAST($keyCol AS BIGINT) - ${lo}L) div ${width}L AS INT)"))
+          .repartition(col("_snap_slice"))
+          .write.partitionBy("_snap_slice").parquet(tmp.toString)
+        val stats = spark.read.parquet(tmp.toString)
+          .groupBy(col("_snap_slice"))
+          .agg(count(lit(1)), min(col(keyCol)), max(col(keyCol)))
+          .collect()
+          .map(r => r.getInt(0) ->
+            (r.getLong(1), r.getAs[Long](2), r.getAs[Long](3)))
+          .toMap
+        val out = (0 until slices).flatMap { i =>
+          stats.get(i).filter(_._1 > 0L).map { case (n, mn, mx) =>
+            val dir = f"$path/data/c$v%05d-$i-" +
+              java.util.UUID.randomUUID().toString.take(8)
+            fs.mkdirs(new Path(path, "data"))
+            if (!fs.rename(new Path(tmp, s"_snap_slice=$i"), new Path(dir)))
+              sys.error(s"compaction could not move slice $i to $dir")
+            (dir, n, mn, mx)
+          }
+        }
+        fs.delete(tmp, true)
+        out
       }
-    val rows = big.map(r => (r.getAs[String]("seg"),
+    val rows = big.toSeq.map(r => (r.getAs[String]("seg"),
       r.getAs[Long]("n_rows"), r.getAs[Long]("min_key"),
-      r.getAs[Long]("max_key"))) ++
-      newSeg.map(r => (r.getAs[String]("seg"), r.getAs[Long]("n_rows"),
-        r.getAs[Long]("min_key"), r.getAs[Long]("max_key")))
+      r.getAs[Long]("max_key"))) ++ newSeg
     import spark.implicits._
-    commit(rows.toSeq.toDF("seg", "n_rows", "min_key", "max_key"), path, v)
+    commit(rows.toDF("seg", "n_rows", "min_key", "max_key"), path, v)
   }
 
   /** OPTIMIZE ZORDER — MULTI-dimensional clustered compaction (the
@@ -413,12 +573,14 @@ object SnapshotLog {
     * [[compact]], the rewrite commits a NEW version — every prior
     * version's time travel is byte-identical after it.
     *
-    * Stats lifecycle: the second-column stats survive until a
-    * rewriting commit that doesn't know about them ([[merge]],
-    * [[compact]]) rebuilds the manifest 4-column — exactly when the
-    * physical clustering is destroyed anyway. Re-run compactZOrder to
-    * restore both, the production OPTIMIZE cadence. Readers treat
-    * missing/null stats as "scan it" — always correct, never tight. */
+    * Stats lifecycle: [[merge]] CARRIES the second-column stats on
+    * every segment it rides by reference (their physical clustering is
+    * untouched, so the stats stay tight for free) and nulls them only
+    * on its own rewritten segment; [[compact]] rebuilds the manifest
+    * 4-column — its fold destroys the z-clustering anyway. Re-run
+    * compactZOrder to restore both, the production OPTIMIZE cadence.
+    * Readers treat missing/null stats as "scan it" — always correct,
+    * never tight. */
   def compactZOrder(spark: SparkSession, path: String, xCol: String,
                     yCol: String, slices: Int = 16): Int = {
     require(slices >= 1, s"slices must be >= 1, got $slices")
@@ -451,22 +613,27 @@ object SnapshotLog {
       .drop("_snap_z")
       .repartition(col("_snap_slice"))
       .write.partitionBy("_snap_slice").parquet(tmp.toString)
+    // per-slice stats in ONE aggregation grouped by the slice id Spark
+    // rediscovers from the partition directory names — not a read job
+    // per slice (at 100s of slices the sequential-jobs version IS the
+    // compaction's cost)
+    val stats = spark.read.parquet(tmp.toString)
+      .groupBy(col("_snap_slice"))
+      .agg(count(lit(1)), min(xL), max(xL), min(yL), max(yL))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toMap
     val rows = (0 until slices).flatMap { i =>
-      val part = new Path(tmp, s"_snap_slice=$i")
-      if (!fs.exists(part)) None
-      else {
+      stats.get(i).filter(_._1 > 0L).map { case (n, mnx, mxx, mny, mxy) =>
         val dir = f"$path/data/c$v%05d-$i-" +
           java.util.UUID.randomUUID().toString.take(8)
         fs.mkdirs(new Path(path, "data"))
-        if (!fs.rename(part, new Path(dir)))
+        if (!fs.rename(new Path(tmp, s"_snap_slice=$i"), new Path(dir)))
           sys.error(s"zorder compaction could not move slice $i to $dir")
-        val st = spark.read.parquet(dir)
-          .agg(count(lit(1)), min(xL), max(xL), min(yL), max(yL))
-          .collect().head
-        Some((dir, st.getLong(0), st.getLong(1), st.getLong(2),
-          st.getLong(3), st.getLong(4)))
+        (dir, n, mnx, mxx, mny, mxy)
       }
-    }.filter(_._2 > 0L)
+    }
     fs.delete(tmp, true)
     import spark.implicits._
     commit(rows.toDF("seg", "n_rows", "min_key", "max_key",
@@ -496,7 +663,10 @@ object SnapshotLog {
     }
     val rows =
       if (hit.isEmpty)
-        spark.read.parquet(segs.head.getAs[String]("seg")).limit(0)
+        spark.read.parquet(segs.headOption.map(_.getAs[String]("seg"))
+          .orElse(anchorSeg(spark, path, v)).getOrElse(sys.error(
+            s"readBox at $path: no surviving version lists a segment " +
+              "to anchor the table schema"))).limit(0)
       else spark.read.parquet(hit.map(_.getAs[String]("seg")): _*)
         .filter(col(xCol) >= xLo && col(xCol) <= xHi &&
           col(yCol) >= yLo && col(yCol) <= yHi)
@@ -571,8 +741,13 @@ object SnapshotLog {
       sys.error(s"publish onto non-existent table $path"))
     val f = stageFile(path, name)
     val staged = spark.read.parquet(f.toString)
+    // allowMissingColumns: a publish onto a [[compactZOrder]]ed table
+    // unions the 4-column staged manifest into a 6-column latest —
+    // the staged segments' second-column stats read as null (readers
+    // prune conservatively), exactly [[appendAt]]'s posture
     val committed = commit(
-      manifest(spark, path, v).unionByName(staged), path, v + 1)
+      manifest(spark, path, v).unionByName(staged,
+        allowMissingColumns = true), path, v + 1)
     fsOf(f).delete(f, true)
     committed
   }
@@ -626,6 +801,21 @@ object SnapshotLog {
     * [[gc]] has expired it (the observable retention boundary). */
   def manifestExists(path: String, v: Int): Boolean =
     fsOf(new Path(path)).exists(new Path(manifestDir(path, v)))
+
+  /** A segment path usable as a SCHEMA ANCHOR for empty results: the
+    * referenced version's own first segment when it has one, else the
+    * nearest surviving older version's. A merge that deletes every row
+    * legitimately commits a SEGMENT-LESS manifest (the empty
+    * replacement segment is elided), so empty-result paths must not
+    * assume `segs.head` exists. None only when no surviving version
+    * lists any segment at all. */
+  private def anchorSeg(spark: SparkSession, path: String,
+                        v: Int): Option[String] =
+    (v to 0 by -1).iterator
+      .filter(manifestExists(path, _))
+      .map(u => manifest(spark, path, u).select(col("seg"))
+        .limit(1).collect().headOption.map(_.getString(0)))
+      .collectFirst { case Some(s) => s }
 
   def pinnedVersions(path: String): Set[Int] = {
     val d = pinsDir(path)
@@ -725,11 +915,17 @@ object SnapshotLog {
       .select(col("seg")).collect().map(_.getString(0)).toSeq
     val from = segsOf(vFrom); val to = segsOf(vTo)
     val onlyFrom = from.diff(to); val onlyTo = to.diff(from)
+    // schema anchor for an empty side: either endpoint's first segment,
+    // falling back through history when BOTH endpoints are segment-less
+    // (delete-everything merges elide the empty replacement segment)
+    lazy val anchor = (from ++ to).headOption
+      .orElse(anchorSeg(spark, path, vTo))
+      .getOrElse(sys.error(
+        s"diff($vFrom..$vTo) at $path: no surviving version lists a " +
+          "segment to anchor the table schema"))
     def side(segs: Seq[String], tag: String): DataFrame = {
       val df =
-        if (segs.isEmpty)
-          // schema anchor: an empty side still needs the table schema
-          spark.read.parquet(from.head).limit(0)
+        if (segs.isEmpty) spark.read.parquet(anchor).limit(0)
         else spark.read.parquet(segs: _*)
       val payload = df.columns.filterNot(_ == keyCol)
       df.select(col(keyCol),
@@ -745,6 +941,96 @@ object SnapshotLog {
       // with identical payloads — not a change
       .filter(!(col("change") === "update" && col("_old") <=> col("_new")))
   }
+
+  private def cursorFile(path: String, name: String) = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"follower names are [A-Za-z0-9_]+, got '$name'")
+    new Path(logDir(path), s"cursor-$name")
+  }
+
+  /** The named follower's durable cursor — the last version it has
+    * fully consumed — or None for a follower that has never run. */
+  def cursorVersion(path: String, name: String): Option[Int] = {
+    val f = cursorFile(path, name)
+    val fs = fsOf(f)
+    if (!fs.exists(f)) None
+    else scala.util.Try(readSmall(fs, f).trim.toInt).toOption
+  }
+
+  private def writeCursor(path: String, name: String, v: Int): Unit = {
+    val f = cursorFile(path, name)
+    val fs = fsOf(f)
+    val tmp = new Path(logDir(path),
+      s".cursor-$name-tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = FileContext.getFileContext(fs.makeQualified(f).toUri, hadoopConf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(f),
+      Options.Rename.OVERWRITE)
+  }
+
+  /** CHANGE-FEED FOLLOWER — the Delta `readStream` shape over this
+    * log: a named consumer that DISCOVERS new commits itself instead
+    * of being handed version numbers. Each call reads the follower's
+    * durable cursor (`_log/cursor-<name>`; a brand-new follower starts
+    * at `startAt`, default v0 — the version it bootstrapped its own
+    * state from), and for every committed version it has not yet
+    * consumed delivers that version's [[diff]] against its parent to
+    * `fn` along with the version number, advancing the cursor AFTER
+    * each delivery returns. Delivery is therefore AT-LEAST-ONCE per
+    * version: a crash between `fn` and the cursor advance re-delivers
+    * that one version on the next poll — consumers apply idempotently
+    * ([[merge]] already is: re-applying a change set yields the same
+    * table state). Versions are delivered strictly in order, one
+    * diff per commit, so a downstream [[merge]]-per-feed consumer
+    * converges to exactly the state an explicit `diff(v0, latest)`
+    * consumer reaches. Poll cost when idle is one cursor read + one
+    * [[latestVersion]] call; per delivered version it is the diff's
+    * cost — the commit's size, never the table's. Returns the number
+    * of versions delivered (0 = already caught up: the replay guard).
+    *
+    * Reference analog: the reference DB layer re-imports each
+    * project's results on every run cycle (ram-analysis/app/index.js
+    * re-import loop); this is that cycle with a durable cursor, so a
+    * follower pays each commit once instead of a rescan per cycle. */
+  def followDiff(spark: SparkSession, path: String, keyCol: String,
+                 name: String, startAt: Int = 0)(
+      fn: (DataFrame, Int) => Unit): Int = {
+    val latest = latestVersion(path).getOrElse(
+      sys.error(s"follow of non-existent table $path"))
+    val from = cursorVersion(path, name).getOrElse(startAt)
+    var delivered = 0
+    var v = from + 1
+    while (v <= latest) {
+      fn(diff(spark, path, v - 1, v, keyCol), v)
+      writeCursor(path, name, v)
+      delivered += 1
+      v += 1
+    }
+    delivered
+  }
+
+  /** CONTINUOUS follower: a Structured Streaming query that polls the
+    * log once per micro-batch of the caller-supplied `ticks` stream (a
+    * rate source in production, a MemoryStream in tests) and delivers
+    * each newly committed version's diff through [[followDiff]] — the
+    * tick stream only SCHEDULES polls; discovery, ordering and the
+    * durable cursor live in the table's own log, so the follower
+    * resumes mid-history after any restart and converges no matter how
+    * commits interleave with micro-batches (spec-pinned: three commits
+    * landing across separate batches reach the same downstream state
+    * as one explicit diff). */
+  def followStream(ticks: DataFrame, path: String, keyCol: String,
+                   name: String, startAt: Int = 0)(
+      fn: (DataFrame, Int) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    ticks.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        followDiff(b.sparkSession, path, keyCol, name, startAt)(fn)
+        ()
+      }
+      .start()
 
   /** STATS-PRUNED RANGE READ — the data-skipping read path every
     * lakehouse sells: a key-range query consults the manifest's
@@ -766,7 +1052,10 @@ object SnapshotLog {
       r.getAs[Long]("max_key") >= lo && r.getAs[Long]("min_key") <= hi)
     val rows =
       if (hit.isEmpty)
-        spark.read.parquet(segs.head.getAs[String]("seg")).limit(0)
+        spark.read.parquet(segs.headOption.map(_.getAs[String]("seg"))
+          .orElse(anchorSeg(spark, path, v)).getOrElse(sys.error(
+            s"readRange at $path: no surviving version lists a segment " +
+              "to anchor the table schema"))).limit(0)
       else spark.read.parquet(hit.map(_.getAs[String]("seg")): _*)
         .filter(col(keyCol) >= lo && col(keyCol) <= hi)
     (rows, hit.length, segs.length)

@@ -846,6 +846,14 @@ class SimilaritySpec extends AnyFunSuite {
     val got = Similarity.graphPrune(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
         r.getInt(4))).toSeq
+    // prune now reads graphTopK's persisted descent graph (same
+    // ModelStore key) — a second call must be byte-identical (artifact
+    // is an execution shortcut, never a semantic input), and the
+    // in-memory rebuild below IS the prune-over-rebuild oracle.
+    val warm = Similarity.graphPrune(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4))).toSeq
+    assert(got == warm, "prune over persisted artifact must equal prune over rebuild")
     val es = Tables.embeddings(spark, sf).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
     val vecs = es.toMap

@@ -735,4 +735,235 @@ class SourcesSpec extends AnyFunSuite {
     assert(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path, "_log", "LATEST")), "UTF-8").trim == "3")
   }
+
+  test("SnapshotLog: latestVersion survives retention GC with a missing or expired hint — no history fork") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val path = tmpDir("snaplog_gchint")
+    SnapshotLog.create(spark,
+      (0L until 10L).map(i => (i, "a")).toDF("k", "p"), path, "k")
+    (1 to 4).foreach { i =>
+      SnapshotLog.append(spark,
+        (i * 100L until i * 100L + 10L).map(j => (j, s"b$i"))
+          .toDF("k", "p"), path, "k")
+    }
+    SnapshotLog.gc(spark, path, retainLast = 2) // v0..v2 expired
+    assert(!SnapshotLog.manifestExists(path, 0))
+    // crash scenario 1: hint file gone entirely — the old v0-up scan
+    // hit the retention gap, returned None, and a guarded
+    // `if (latestVersion.isEmpty) create` caller would fork history
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(path, "_log", "LATEST"))
+    assert(SnapshotLog.latestVersion(path).contains(4),
+      "a gc'd table with no hint must still report its true latest")
+    // crash scenario 2: stale hint pointing at an EXPIRED version
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "_log", "LATEST"),
+      "0".getBytes("UTF-8"))
+    assert(SnapshotLog.latestVersion(path).contains(4),
+      "a hint below the retention gap must fall back to the log listing")
+    assert(SnapshotLog.read(spark, path).count() == 50)
+  }
+
+  test("SnapshotLog: mergeOrRebase — disjoint-range losers rebase and commit; overlapping losers are refused") {
+    import spark.implicits._
+    import graft.sources.{ConcurrentCommitException, SnapshotLog}
+    val path = tmpDir("snaplog_rebase")
+    // two key-disjoint segments so range conflict detection has
+    // something honest to measure
+    SnapshotLog.create(spark,
+      (0L until 10L).map(i => (i, s"a$i")).toDF("k", "p"), path, "k")
+    SnapshotLog.append(spark,
+      (100L until 110L).map(i => (i, s"b$i")).toDF("k", "p"), path, "k")
+    // writer A wins v2 with a merge over keys [0, 9]
+    assert(SnapshotLog.merge(spark,
+      (0L until 10L).map(i => (i, s"A$i", false)).toDF("k", "p", "del"),
+      path, "k", "del") == 2)
+    // writer B read v1, targets v2, loses — but A touched only [0, 9],
+    // disjoint from B's [100, 109]: B rebases automatically onto v2
+    // and commits v3
+    val vB = SnapshotLog.mergeOrRebaseFrom(spark,
+      (100L until 110L).map(i => (i, s"B$i", false)).toDF("k", "p", "del"),
+      path, "k", "del", baseV = 1)
+    assert(vB == 3, s"disjoint loser must rebase-commit v3, got $vB")
+    val state = SnapshotLog.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(state.size == 20 && state(0L) == "A0" && state(100L) == "B100",
+      "both writers' payloads must serve after the rebase")
+    // writer C read v1 too, targets v2, loses — and its keys [5, 6]
+    // OVERLAP A's committed [0, 9]: rebase refused, table untouched
+    val e = intercept[ConcurrentCommitException] {
+      SnapshotLog.mergeOrRebaseFrom(spark,
+        Seq((5L, "C5", false), (6L, "C6", false)).toDF("k", "p", "del"),
+        path, "k", "del", baseV = 1)
+    }
+    assert(e.getMessage.contains("OVERLAPPING"))
+    assert(SnapshotLog.latestVersion(path).contains(3))
+    assert(SnapshotLog.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap.apply(5L) == "A5",
+      "a refused rebase must leave the interleaved commit serving")
+  }
+
+  test("SnapshotLog: WAP publish onto a z-ordered (6-column-manifest) table") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val path = tmpDir("snaplog_wapz")
+    SnapshotLog.create(spark,
+      (0L until 64L).map(i => (i, i % 8, s"a$i")).toDF("k", "y", "p"),
+      path, "k")
+    SnapshotLog.append(spark,
+      (64L until 128L).map(i => (i, i % 8, s"b$i")).toDF("k", "y", "p"),
+      path, "k")
+    SnapshotLog.compactZOrder(spark, path, "k", "y", slices = 4)
+    // the staged manifest is 4-column; publish must widen it into the
+    // 6-column latest (appendAt already does; publish regressed)
+    SnapshotLog.stage(spark,
+      (128L until 140L).map(i => (i, i % 8, s"c$i")).toDF("k", "y", "p"),
+      path, "k", "batch1")
+    val v = SnapshotLog.publishStage(spark, path, "batch1")
+    assert(SnapshotLog.read(spark, path, Some(v)).count() == 140)
+    val m = SnapshotLog.manifest(spark, path, v)
+    assert(m.columns.contains("min_key2"))
+    val staged = m.filter(col("min_key") === 128L).collect()
+    assert(staged.length == 1 && staged.head.isNullAt(
+        staged.head.fieldIndex("min_key2")),
+      "published segments carry null second-column stats (prune conservatively)")
+  }
+
+  test("SnapshotLog: a delete-everything merge commits a segment-less manifest that still reads, diffs and range-probes") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val path = tmpDir("snaplog_empty")
+    SnapshotLog.create(spark,
+      (0L until 10L).map(i => (i, s"a$i")).toDF("k", "p"), path, "k")
+    // delete every row: the empty replacement segment is elided and v1
+    // lists zero segments
+    assert(SnapshotLog.merge(spark,
+      (0L until 10L).map(i => (i, s"x$i", true)).toDF("k", "p", "del"),
+      path, "k", "del") == 1)
+    assert(SnapshotLog.manifest(spark, path, 1).count() == 0)
+    // read: empty frame under the table schema (anchored from history)
+    val r = SnapshotLog.read(spark, path)
+    assert(r.count() == 0 && r.columns.toSeq == Seq("k", "p"))
+    // diff INTO the empty version: 10 deletes
+    val d01 = SnapshotLog.diff(spark, path, 0, 1, "k")
+      .select(col("k"), col("change")).collect()
+    assert(d01.length == 10 && d01.forall(_.getString(1) == "delete"))
+    // range read against the empty version: zero rows, zero scanned
+    val (rows, scanned, total) =
+      SnapshotLog.readRange(spark, path, "k", 0L, 100L)
+    assert(rows.count() == 0 && scanned == 0 && total == 0)
+    // life resumes: an append works, and diff FROM the empty version
+    // (its side anchored through history) classifies pure inserts
+    SnapshotLog.append(spark,
+      (50L until 55L).map(i => (i, s"n$i")).toDF("k", "p"), path, "k")
+    val d12 = SnapshotLog.diff(spark, path, 1, 2, "k")
+      .select(col("k"), col("change")).collect()
+    assert(d12.length == 5 && d12.forall(_.getString(1) == "insert"))
+  }
+
+  test("SnapshotLog: merge carries second-column stats on by-reference segments — date probes stay pruned") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val path = tmpDir("snaplog_zmerge")
+    // keys 0..255 with y correlated to k so z-tiles are tight
+    SnapshotLog.create(spark,
+      (0L until 256L).map(i => (i, i / 16L, s"a$i")).toDF("k", "y", "p"),
+      path, "k")
+    SnapshotLog.append(spark,
+      (256L until 512L).map(i => (i, i / 16L, s"b$i")).toDF("k", "y", "p"),
+      path, "k")
+    SnapshotLog.compactZOrder(spark, path, "k", "y", slices = 8)
+    val vz = SnapshotLog.latestVersion(path).get
+    val (_, scannedZ, totalZ) = SnapshotLog.readBox(spark, path, "k", "y",
+      0L, 511L, 2L, 5L)
+    assert(scannedZ < totalZ, "z-ordered date probe must prune")
+    // a narrow merge rewrites ONE key range; every other segment rides
+    // by reference WITH its second-column stats
+    SnapshotLog.merge(spark,
+      Seq((0L, 0L, "A0", false), (1L, 0L, "A1", false))
+        .toDF("k", "y", "p", "del"), path, "k", "del")
+    val m = SnapshotLog.manifest(spark, path, vz + 1)
+    assert(m.columns.contains("min_key2"),
+      "merge onto a z-ordered table must keep the 6-column manifest")
+    val carried = m.filter(col("min_key2").isNotNull).count()
+    assert(carried >= totalZ - 2,
+      s"by-reference segments must keep their 2-D stats ($carried kept)")
+    // the date probe still prunes AFTER the merge — the production
+    // point: skipping survives between OPTIMIZE runs
+    val (rowsM, scannedM, totalM) = SnapshotLog.readBox(spark, path,
+      "k", "y", 0L, 511L, 2L, 5L)
+    assert(scannedM < totalM,
+      s"post-merge date probe must still prune ($scannedM/$totalM)")
+    assert(rowsM.count() ==
+      (0L until 512L).count(i => (i / 16L) >= 2L && (i / 16L) <= 5L))
+  }
+
+  test("SnapshotLog followStream: commits landing across micro-batches are delivered in order once; cursor survives restart") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmpDir("snaplog_follow")
+    SnapshotLog.create(spark,
+      (0L until 10L).map(i => (i, s"a$i")).toDF("k", "p"), path, "k")
+    val delivered =
+      new java.util.concurrent.CopyOnWriteArrayList[(Int, Seq[(Long, String)])]()
+    def fn(feed: org.apache.spark.sql.DataFrame, v: Int): Unit = {
+      delivered.add((v, feed.select(col("k"), col("change")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq))
+      ()
+    }
+    val ticks = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Int]
+    val q = SnapshotLog.followStream(ticks.toDF(), path, "k", "spec")(fn)
+    try {
+      // batch 1: nothing new — a fresh follower bootstraps AT v0
+      ticks.addData(1); q.processAllAvailable()
+      assert(delivered.isEmpty, "v0 is the bootstrap state, not a change")
+      // batch 2: one commit landed
+      SnapshotLog.append(spark,
+        (100L until 103L).map(i => (i, s"b$i")).toDF("k", "p"), path, "k")
+      ticks.addData(2); q.processAllAvailable()
+      assert(delivered.size == 1 && delivered.get(0)._1 == 1 &&
+        delivered.get(0)._2 == (100L until 103L).map(i => (i, "insert")))
+      // batch 3: TWO commits landed between polls — both delivered, in
+      // order, each exactly once
+      SnapshotLog.upsert(spark,
+        Seq((0L, "A0")).toDF("k", "p"), path, "k")
+      SnapshotLog.merge(spark,
+        Seq((100L, "x", true)).toDF("k", "p", "del"), path, "k", "del")
+      ticks.addData(3); q.processAllAvailable()
+      assert(delivered.size == 3)
+      assert(delivered.get(1)._1 == 2 &&
+        delivered.get(1)._2 == Seq((0L, "update")))
+      assert(delivered.get(2)._1 == 3 &&
+        delivered.get(2)._2 == Seq((100L, "delete")))
+      // idle poll: nothing re-delivered
+      ticks.addData(4); q.processAllAvailable()
+      assert(delivered.size == 3)
+    } finally q.stop()
+    // the cursor is durable in the table's own log: a RESTARTED
+    // follower resumes mid-history instead of replaying
+    assert(SnapshotLog.cursorVersion(path, "spec").contains(3))
+    SnapshotLog.append(spark,
+      Seq((500L, "c")).toDF("k", "p"), path, "k")
+    val n = SnapshotLog.followDiff(spark, path, "k", "spec")(fn)
+    assert(n == 1 && delivered.size == 4 && delivered.get(3)._1 == 4 &&
+      delivered.get(3)._2 == Seq((500L, "insert")))
+    // convergence: replaying the delivered feeds over the bootstrap
+    // state reaches exactly read(latest)
+    import scala.jdk.CollectionConverters._
+    val replayed = delivered.asScala.foldLeft(
+      (0L until 10L).map(i => i -> s"a$i").toMap) { case (st, (v, feed)) =>
+      feed.foldLeft(st) { case (s, (k, change)) =>
+        if (change == "delete") s - k
+        else s + (k -> SnapshotLog.read(spark, path, Some(v))
+          .filter(col("k") === k).collect().head.getString(1))
+      }
+    }
+    val latest = SnapshotLog.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(replayed == latest,
+      "follower-fed replay must converge to the table's latest state")
+  }
 }
