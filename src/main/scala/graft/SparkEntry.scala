@@ -84,6 +84,8 @@ object SparkEntry {
     "q57_snapshot_restore" -> (Warehouse.q57SnapshotRestore _),
     "q58_snapshot_wap" -> (Warehouse.q58SnapshotWap _),
     "q59_snapshot_zorder" -> (Warehouse.q59SnapshotZorder _),
+    "q60_merge_rebase" -> (Warehouse.q60MergeRebase _),
+    "q61_follow_mv" -> (Warehouse.q61FollowMv _),
     // B'. graph centrality over the road-network key space (dyadic-exact
     // PageRank — see operators.Graph for why the oracle matches bitwise)
     "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
@@ -1345,6 +1347,52 @@ object SparkEntry {
            CAST((SELECT count(*) FROM lstats) AS INT) AS total_linear,
            CAST((SELECT count(*) FROM zstats) AS INT) AS total_zorder
          FROM box, pr""",
+    // q60_merge_rebase: the final table is closed-form (+100.0 on low
+    // keys %7==3 from writer A; *2.0 on high keys %5==2 from writer B
+    // — both single IEEE ops per row), and latest_version/n_versions
+    // are READ BACK from the log on the Spark side — a rebase that
+    // mis-versioned, replayed A's rows onto B's, or dropped the
+    // rebased commit breaks this hash
+    "q60_merge_rebase" ->
+      """WITH h AS (SELECT max(c_custkey) // 2 AS h FROM customer)
+         SELECT c_custkey AS key,
+           CASE WHEN c_custkey <= (SELECT h FROM h)
+                  AND c_custkey % 7 = 3 THEN c_acctbal + 100.0
+                WHEN c_custkey > (SELECT h FROM h)
+                  AND c_custkey % 5 = 2 THEN c_acctbal * 2.0
+                ELSE c_acctbal END AS bal,
+           CAST(3 AS INT) AS latest_version,
+           CAST(4 AS INT) AS n_versions
+         FROM customer ORDER BY key""",
+    // q61_follow_mv: the maintained view's net state is closed-form in
+    // the id space (v1: deletes %11==4, +50000 updates %13==2, inserts
+    // %29==5 shifted past the key space; v2 over the CURRENT state:
+    // deletes %23==9, doubling updates %19==7); integer cents
+    // throughout so incremental addition is exact — the Spark side
+    // reaches this state ONLY through bootstrap + two follower feeds,
+    // so a skipped feed, double apply, or wrong delta breaks the hash;
+    // view_version/cursor_version are read back from the logs
+    "q61_follow_mv" ->
+      """WITH o AS (SELECT o_orderkey AS key, o_orderkey % 16 AS grp,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+         mk AS (SELECT max(key) AS m FROM o),
+         fin AS (
+           SELECT grp,
+             CASE WHEN key % 19 = 7 AND key % 23 <> 9
+               THEN (cents + CASE WHEN key % 13 = 2 THEN 50000 ELSE 0 END)
+                 * 2
+               ELSE cents + CASE WHEN key % 13 = 2 THEN 50000 ELSE 0 END
+             END AS v
+           FROM o WHERE key % 11 <> 4 AND key % 23 <> 9
+           UNION ALL
+           SELECT (key + (SELECT m FROM mk) + 1) % 16, cents
+           FROM o WHERE key % 29 = 5)
+         SELECT grp, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(v) AS BIGINT) AS sum_cents,
+           CAST(2 AS INT) AS view_version,
+           CAST(2 AS INT) AS cursor_version
+         FROM fin GROUP BY grp ORDER BY grp""",
     "q42_op_log" ->
       """WITH ev AS (SELECT user_id AS op_id, event_id,
            CASE event_type WHEN 'signup' THEN 'start'

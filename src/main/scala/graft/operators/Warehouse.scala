@@ -943,4 +943,170 @@ object Warehouse {
       .toDF("batch", "n_rows", "n_violations", "published", "table_rows")
       .orderBy(col("batch"))
   }
+
+  /** CONCURRENT-MERGE REBASE through the versioned table — the
+    * optimistic-concurrency rung above q58's single-writer WAP (the
+    * Delta/Iceberg logical conflict check; reference analog: the
+    * reference serializes concurrent project runs with an operation
+    * lock, ram-analysis/app/utils/operation.js — this keeps BOTH
+    * writers when their write sets cannot conflict): customer is
+    * committed as two key-DISJOINT segments (low half, high half);
+    * writer A merges a +100 balance adjustment over low keys %7==3 and
+    * wins v2; writer B — deliberately rebased from the STALE base v1,
+    * the deterministic re-creation of losing the race — merges a
+    * doubled balance over high keys %5==2, hits
+    * ConcurrentCommitException at v2, inspects A's touched ranges
+    * (low-half only, disjoint from B's high keys), REBASES
+    * automatically and commits v3. Both writers' payloads serve at
+    * latest. The hashed output is the final per-key table read back
+    * through the log plus the read-back latest version and history
+    * length — a rebase that mis-versioned, replayed A's rows, or
+    * dropped B's breaks the hash; arithmetic is single IEEE ops per
+    * row (+100.0, *2.0), nothing float-ordered. Replay: every step
+    * version-guarded — a rerun reads back, commits nothing. */
+  def q60MergeRebase(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{ModelStore, SnapshotLog}
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"))
+    val fp = ModelStore.corpusFingerprint(spark, s"$dir/customer.parquet")
+    val path = ModelStore.root(spark) +
+      s"/mrebase_v1_${ModelStore.md5(s"mrebase|$fp")}"
+    val mk = c.agg(max(col("key"))).collect().head.getLong(0)
+    val h = mk / 2L
+    if (SnapshotLog.latestVersion(path).isEmpty)
+      SnapshotLog.create(spark, c.filter(col("key") <= h), path, "key")
+    if (SnapshotLog.latestVersion(path).contains(0))
+      SnapshotLog.append(spark, c.filter(col("key") > h), path, "key")
+    // writer A: wins v2 with a low-half merge
+    if (SnapshotLog.latestVersion(path).contains(1))
+      SnapshotLog.merge(spark,
+        c.filter(col("key") <= h && col("key") % 7 === 3)
+          .withColumn("bal", col("bal") + lit(100.0))
+          .withColumn("_del", lit(false)),
+        path, "key", "_del")
+    // writer B: based on STALE v1 (it read the table before A
+    // committed), targets v2, loses, proves A's write set disjoint
+    // from its own high-half keys, rebases, commits v3
+    if (SnapshotLog.latestVersion(path).contains(2)) {
+      val vB = SnapshotLog.mergeOrRebaseFrom(spark,
+        c.filter(col("key") > h && col("key") % 5 === 2)
+          .withColumn("bal", col("bal") * lit(2.0))
+          .withColumn("_del", lit(false)),
+        path, "key", "_del", baseV = 1)
+      require(vB == 3, s"rebase must land at v3, got $vB")
+    }
+    val latest = SnapshotLog.latestVersion(path).get
+    val nVersions = SnapshotLog.history(spark, path).count()
+    SnapshotLog.read(spark, path)
+      .select(col("key"), col("bal"),
+        lit(latest).cast("int").as("latest_version"),
+        lit(nVersions).cast("int").as("n_versions"))
+      .orderBy(col("key"))
+  }
+
+  /** FOLLOWER-DRIVEN INCREMENTAL VIEW MAINTENANCE — the change-feed
+    * follower's canonical consumer (stream_view_maintain's batch
+    * cousin, fed by the TABLE's own change feed instead of an event
+    * stream; reference analog: the DB layer re-imports each project's
+    * results wholesale per run cycle, ram-analysis/app/index.js —
+    * this pays each commit once): a per-group (count, sum) view over
+    * a churning orders table is BOOTSTRAPPED once from v0, then
+    * maintained ONLY from [[graft.sources.SnapshotLog.followDiff]]
+    * feeds — two further source commits (v1: deletes %11==4, +50000
+    * updates %13==2, inserts %29==5 shifted past the key space;
+    * v2: doubling updates %19==7 and deletes %23==9 over the CURRENT
+    * table state) each reduce to per-group (Δcount, Δsum) and land as
+    * one groups-sized view merge. The base table is NEVER rescanned
+    * after bootstrap — at 100 TB the view update costs the commit's
+    * size. Values are integer CENTS (floor(price*100+0.5)) so
+    * incremental addition is exact and associative — the dyadic-grid
+    * discipline with no float anywhere. The view commit is guarded to
+    * apply feed v only when the view sits at v−1, so the follower's
+    * at-least-once delivery has exactly-once EFFECT (a re-delivered
+    * feed is a no-op — spec-proven for the follower itself). The
+    * hashed output is the final view read back plus the view's
+    * version and the follower's cursor — a skipped feed, double
+    * apply, or wrong delta breaks the hash; the oracle restates the
+    * net state closed-form in the id space. */
+  def q61FollowMv(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{ModelStore, SnapshotLog}
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("key"),
+      (col("o_orderkey") % 16).as("grp"),
+      floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
+        .as("cents"))
+    val fp = ModelStore.corpusFingerprint(spark, s"$dir/orders.parquet")
+    val srcPath = ModelStore.root(spark) +
+      s"/fmvsrc_v1_${ModelStore.md5(s"fmvsrc|$fp")}"
+    val viewPath = ModelStore.root(spark) +
+      s"/fmvview_v1_${ModelStore.md5(s"fmvview|$fp")}"
+    val mk = o.agg(max(col("key"))).collect().head.getLong(0)
+    if (SnapshotLog.latestVersion(srcPath).isEmpty)
+      SnapshotLog.create(spark, o, srcPath, "key")
+    if (SnapshotLog.latestVersion(srcPath).contains(0)) {
+      val dels = o.filter(col("key") % 11 === 4)
+        .withColumn("_del", lit(true))
+      val upds = o.filter(col("key") % 13 === 2 && col("key") % 11 =!= 4)
+        .withColumn("cents", col("cents") + lit(50000L))
+        .withColumn("_del", lit(false))
+      val ins = o.filter(col("key") % 29 === 5)
+        .select((col("key") + lit(mk + 1L)).as("key"),
+          ((col("key") + lit(mk + 1L)) % 16).as("grp"), col("cents"))
+        .withColumn("_del", lit(false))
+      SnapshotLog.merge(spark, dels.unionByName(upds).unionByName(ins),
+        srcPath, "key", "_del")
+    }
+    if (SnapshotLog.latestVersion(srcPath).contains(1)) {
+      // v2 transforms the CURRENT state (so updates compound honestly)
+      val cur = SnapshotLog.read(spark, srcPath)
+        .filter(col("key") <= mk) // original-key space only
+      val dels = cur.filter(col("key") % 23 === 9)
+        .withColumn("_del", lit(true))
+      val upds = cur.filter(col("key") % 19 === 7 && col("key") % 23 =!= 9)
+        .withColumn("cents", col("cents") * lit(2L))
+        .withColumn("_del", lit(false))
+      SnapshotLog.merge(spark, dels.unionByName(upds), srcPath, "key",
+        "_del")
+    }
+    // BOOTSTRAP: the one full scan the view ever pays
+    if (SnapshotLog.latestVersion(viewPath).isEmpty)
+      SnapshotLog.create(spark,
+        SnapshotLog.read(spark, srcPath, Some(0))
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents")),
+        viewPath, "grp")
+    // THE FOLLOWER: each not-yet-consumed commit reduces to per-group
+    // deltas and lands as one groups-sized view merge; view version
+    // tracks source version exactly, so a re-delivered feed no-ops
+    SnapshotLog.followDiff(spark, srcPath, "key", "mv") { (feed, v) =>
+      if (SnapshotLog.latestVersion(viewPath).contains(v - 1)) {
+        val delta = feed.select(
+            coalesce(col("_new.grp"), col("_old.grp")).as("grp"),
+            when(col("change") === "insert", 1L)
+              .when(col("change") === "delete", -1L)
+              .otherwise(0L).as("dc"),
+            (coalesce(col("_new.cents"), lit(0L)) -
+              coalesce(col("_old.cents"), lit(0L))).as("ds"))
+          .groupBy(col("grp"))
+          .agg(sum(col("dc")).as("dc"), sum(col("ds")).as("ds"))
+        val cur = SnapshotLog.read(spark, viewPath)
+        val upd = cur.join(delta.hint("shuffle_hash"), Seq("grp"),
+            "right_outer")
+          .select(col("grp"),
+            (coalesce(col("cnt"), lit(0L)) + col("dc")).as("cnt"),
+            (coalesce(col("sum_cents"), lit(0L)) + col("ds"))
+              .as("sum_cents"))
+          .withColumn("_del", col("cnt") === 0L)
+        SnapshotLog.merge(spark, upd, viewPath, "grp", "_del")
+        ()
+      }
+    }
+    val viewV = SnapshotLog.latestVersion(viewPath).get
+    val cursor = SnapshotLog.cursorVersion(srcPath, "mv").getOrElse(0)
+    SnapshotLog.read(spark, viewPath)
+      .select(col("grp"), col("cnt"), col("sum_cents"),
+        lit(viewV).cast("int").as("view_version"),
+        lit(cursor).cast("int").as("cursor_version"))
+      .orderBy(col("grp"))
+  }
 }

@@ -612,4 +612,98 @@ class WarehouseSpec extends AnyFunSuite {
     // replay: same report, same single published version
     assert(run() == got && SnapshotLog.latestVersion(path).contains(1))
   }
+
+  test("q60 merge rebase: both writers' payloads serve, rebase lands at v3, in-memory recompute matches") {
+    import graft.sources.{ModelStore, SnapshotLog}
+    val sf = TestSession.sf
+    val fp = ModelStore.corpusFingerprint(spark, s"$sf/customer.parquet")
+    val path = ModelStore.root(spark).stripPrefix("file:") +
+      s"/mrebase_v1_${ModelStore.md5(s"mrebase|$fp")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val got = Warehouse.q60MergeRebase(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getInt(3)))
+    val c = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_acctbal")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val h = c.map(_._1).max / 2L
+    val expect = c.map { case (k, b) =>
+      val bal =
+        if (k <= h && k % 7 == 3) b + 100.0
+        else if (k > h && k % 5 == 2) b * 2.0
+        else b
+      (k, bal, 3, 4)
+    }.sortBy(_._1)
+    assert(got.toSeq == expect.toSeq)
+    // the rebased history really is 4 versions with v2 = A-only and
+    // v3 = A + B (B's stale-base merge landed ON TOP of A's commit)
+    val v2 = SnapshotLog.read(spark, path, Some(2)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val bKeys = c.collect { case (k, _) if k > h && k % 5 == 2 => k }
+    assert(bKeys.forall(k => v2(k) == c.toMap.apply(k)),
+      "v2 must predate writer B's doubling")
+    // replay: no new version, same frame
+    assert(Warehouse.q60MergeRebase(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getInt(3)))
+      .toSeq == got.toSeq)
+    assert(SnapshotLog.latestVersion(path).contains(3))
+  }
+
+  test("q61 follower MV: view reached only through feeds equals the in-memory recompute; feeds have exactly-once effect") {
+    import graft.sources.{ModelStore, SnapshotLog}
+    val sf = TestSession.sf
+    val fp = ModelStore.corpusFingerprint(spark, s"$sf/orders.parquet")
+    def p(tag: String) = ModelStore.root(spark).stripPrefix("file:") +
+      s"/${tag}_v1_${ModelStore.md5(s"$tag|$fp")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(p("fmvsrc")))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(p("fmvview")))
+    val got = Warehouse.q61FollowMv(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getInt(4)))
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val mk = o.map(_._1).max
+    def cents(p: Double): Long = math.floor(p * 100.0 + 0.5).toLong
+    // the net state, replayed in memory
+    val fin = o.flatMap { case (k, price) =>
+      val c0 = cents(price)
+      val alive = k % 11 != 4 && k % 23 != 9
+      val v1 = c0 + (if (k % 13 == 2) 50000L else 0L)
+      val v2 = if (k % 19 == 7 && k % 23 != 9) v1 * 2L else v1
+      val orig = if (alive) Seq((k % 16, v2)) else Seq.empty
+      val ins = if (k % 29 == 5) Seq(((k + mk + 1) % 16, c0)) else Seq.empty
+      orig ++ ins
+    }
+    val expect = fin.groupBy(_._1).map { case (g, vs) =>
+      (g, vs.length.toLong, vs.map(_._2).sum, 2, 2)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == expect)
+    // the view genuinely tracked the source one version per feed:
+    // view v1 reflects ONLY the first churn commit
+    val srcV1 = o.flatMap { case (k, price) =>
+      val c0 = cents(price)
+      if (k % 11 == 4) Seq.empty
+      else Seq((k % 16, c0 + (if (k % 13 == 2) 50000L else 0L)))
+    } ++ o.collect { case (k, price) if k % 29 == 5 =>
+      ((k + mk + 1) % 16, cents(price)) }
+    val expectV1 = srcV1.groupBy(_._1).map { case (g, vs) =>
+      (g, vs.length.toLong, vs.map(_._2).sum) }.toSeq.sortBy(_._1)
+    val gotV1 = SnapshotLog.read(spark, p("fmvview"), Some(1)).collect()
+      .map(r => (r.getAs[Long]("grp"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("sum_cents"))).sortBy(_._1)
+    assert(gotV1.toSeq == expectV1, "view v1 must equal the post-feed-1 state")
+    // exactly-once EFFECT: wind the follower cursor back (a crash
+    // between apply and cursor advance) — the re-delivered feed must
+    // no-op because the view already sits past it
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      p("fmvsrc"), "_log", "cursor-mv"), "1".getBytes("UTF-8"))
+    val again = Warehouse.q61FollowMv(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getInt(4)))
+    assert(again.toSeq == got.toSeq,
+      "a re-delivered feed must have no effect on the view")
+    assert(SnapshotLog.latestVersion(p("fmvview")).contains(2))
+  }
 }
