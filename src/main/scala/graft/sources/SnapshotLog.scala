@@ -776,6 +776,32 @@ object SnapshotLog {
     commit(manifest(spark, path, v), path, latest + 1)
   }
 
+  /** SHALLOW CLONE (Delta CLONE / Iceberg branch-from-snapshot): the
+    * clone is a NEW table whose v0 manifest references the source's
+    * version-`version` segments BY PATH — zero data copied, one
+    * manifest-sized commit no matter the table size. The cloned
+    * version is PINNED on the source FIRST, so the source's retention
+    * [[gc]] can structurally never reclaim segments the clone serves —
+    * this closes the dangling-clone hazard shallow clones are
+    * documented to carry elsewhere (dropping the clone and [[unpin]]ing
+    * the source version is the clone owner's explicit lifecycle act).
+    * Writes to the clone are copy-on-write as always: its commits
+    * write segments under the CLONE's root; source segments it still
+    * references ride by path until a clone-side rewrite replaces them,
+    * and the clone's own [[gc]] only sweeps the clone's data directory
+    * — it cannot touch source files. Returns the clone's version 0. */
+  def cloneTable(spark: SparkSession, srcPath: String, dstPath: String,
+                 version: Option[Int] = None): Int = {
+    val v = version.orElse(latestVersion(srcPath)).getOrElse(
+      sys.error(s"clone of non-existent table $srcPath"))
+    require(latestVersion(dstPath).isEmpty,
+      s"clone target already exists at $dstPath")
+    require(manifestExists(srcPath, v),
+      s"cannot clone expired or missing version $v at $srcPath")
+    pin(srcPath, v)
+    commit(manifest(spark, srcPath, v), dstPath, 0)
+  }
+
   private def pinsDir(path: String) = new Path(logDir(path), "pins")
 
   /** PIN a version against retention GC — the "train run X read corpus
@@ -856,7 +882,14 @@ object SnapshotLog {
     def segsOf(v: Int): Set[String] = manifest(spark, path, v)
       .select(col("seg")).collect().map(_.getString(0)).toSet
     val keep = retained.filter(mExists).flatMap(segsOf)
-    val orphans = expired.flatMap(segsOf).toSet -- keep
+    // ownership is root-scoped: segments referenced from OUTSIDE this
+    // table's data directory (a shallow [[cloneTable]]'s by-path
+    // references into its source) are the SOURCE's to reclaim — this
+    // table's gc must never delete another table's files
+    val ownPrefix = fs.makeQualified(new Path(path, "data")).toString + "/"
+    val orphans = (expired.flatMap(segsOf).toSet -- keep)
+      .filter(s => fs.makeQualified(new Path(s)).toString
+        .startsWith(ownPrefix))
     orphans.foreach(s => fs.delete(new Path(s), true))
     expired.foreach(v => fs.delete(new Path(manifestDir(path, v)), true))
     // unreferenced-segment sweep: reclaim crashed writeSegment attempts

@@ -966,4 +966,49 @@ class SourcesSpec extends AnyFunSuite {
     assert(replayed == latest,
       "follower-fed replay must converge to the table's latest state")
   }
+
+  test("SnapshotLog cloneTable: zero-copy clone pins its source version; writes diverge; neither gc touches the other") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val src = tmpDir("snaplog_clonesrc")
+    val dst = tmpDir("snaplog_clonedst")
+    SnapshotLog.create(spark,
+      (0L until 10L).map(i => (i, s"a$i")).toDF("k", "p"), src, "k")
+    SnapshotLog.append(spark,
+      (100L until 110L).map(i => (i, s"b$i")).toDF("k", "p"), src, "k")
+    // clone at v1: manifest-sized, zero data copied, source pinned
+    assert(SnapshotLog.cloneTable(spark, src, dst) == 0)
+    assert(SnapshotLog.pinnedVersions(src).contains(1),
+      "clone must pin the source version it references")
+    assert(SnapshotLog.read(spark, dst).count() == 20)
+    assert(!new java.io.File(dst, "data").exists(),
+      "a fresh clone owns no data files of its own")
+    // writes diverge: the clone's upsert rewrites into the CLONE's
+    // root; the source is untouched
+    SnapshotLog.upsert(spark,
+      (0L until 5L).map(i => (i, s"C$i")).toDF("k", "p"), dst, "k")
+    assert(SnapshotLog.read(spark, dst).filter(col("p") === "C0")
+      .count() == 1)
+    assert(SnapshotLog.read(spark, src).filter(col("p") === "C0")
+      .count() == 0, "clone writes must never reach the source")
+    // source churns and gc's aggressively — the pinned version keeps
+    // every segment the clone serves
+    SnapshotLog.append(spark,
+      (200L until 210L).map(i => (i, s"d$i")).toDF("k", "p"), src, "k")
+    SnapshotLog.gc(spark, src, retainLast = 1)
+    assert(SnapshotLog.read(spark, dst).count() == 20,
+      "source gc must not reclaim segments a clone references (pin)")
+    // clone-side gc can never delete source files: fold the clone to
+    // fully-owned segments, expire its src-referencing history
+    SnapshotLog.compact(spark, dst, "k", minRows = Long.MaxValue)
+    SnapshotLog.gc(spark, dst, retainLast = 1)
+    assert(SnapshotLog.read(spark, src, Some(1)).count() == 20,
+      "clone gc must never delete the source's files (root-scoped ownership)")
+    assert(SnapshotLog.read(spark, dst).count() == 20)
+    // the explicit lifecycle act: unpin releases the source version to
+    // ITS next gc
+    SnapshotLog.unpin(src, 1)
+    SnapshotLog.gc(spark, src, retainLast = 1)
+    assert(!SnapshotLog.manifestExists(src, 1))
+  }
 }
