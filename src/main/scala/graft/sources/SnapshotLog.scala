@@ -142,6 +142,14 @@ object SnapshotLog {
   def manifest(spark: SparkSession, path: String, version: Int): DataFrame =
     spark.read.parquet(manifestDir(path, version))
 
+  /** Whether version `v` was committed as REWRITE-ONLY (Delta's
+    * dataChange=false): a compaction — identical logical rows, new
+    * physical layout. Change-feed consumers skip these commits. */
+  def isRewriteOnly(path: String, v: Int): Boolean = {
+    val m = new Path(manifestDir(path, v), "_rewriteonly")
+    fsOf(m).exists(m)
+  }
+
   /** Snapshot read at `version` (default: latest). The union of the
     * manifest's segment directories — immutable forever, because a
     * later commit only ever ADDS segment directories and manifests.
@@ -199,7 +207,8 @@ object SnapshotLog {
     * loser throws [[ConcurrentCommitException]]), then advance the
     * LATEST seek hint (best-effort overwrite rename — [[latestVersion]]
     * tolerates staleness). */
-  private def commit(rows: DataFrame, path: String, v: Int): Int = {
+  private def commit(rows: DataFrame, path: String, v: Int,
+                     rewriteOnly: Boolean = false): Int = {
     val target = new Path(manifestDir(path, v))
     val fs = fsOf(target)
     val tmp = new Path(logDir(path),
@@ -207,6 +216,15 @@ object SnapshotLog {
     // repartition(1), not coalesce(1): coalesce would collapse the
     // upstream segment-stats scan into the same single task
     rows.repartition(1).write.mode("errorifexists").parquet(tmp.toString)
+    // Delta's dataChange=false: a REWRITE-ONLY commit (compaction —
+    // same logical rows, new physical layout) is marked inside the
+    // manifest directory BEFORE the commit rename, so the marker is
+    // exactly as atomic as the commit itself; the underscore name is
+    // invisible to the manifest's parquet listing. [[followDiff]]
+    // skips such commits instead of paying a full-table diff to learn
+    // nothing changed.
+    if (rewriteOnly)
+      fs.create(new Path(tmp, "_rewriteonly"), true).close()
     val fc = FileContext.getFileContext(fs.makeQualified(target).toUri,
       hadoopConf)
     try fc.rename(fs.makeQualified(tmp), fs.makeQualified(target))
@@ -545,7 +563,8 @@ object SnapshotLog {
       r.getAs[Long]("n_rows"), r.getAs[Long]("min_key"),
       r.getAs[Long]("max_key"))) ++ newSeg
     import spark.implicits._
-    commit(rows.toDF("seg", "n_rows", "min_key", "max_key"), path, v)
+    commit(rows.toDF("seg", "n_rows", "min_key", "max_key"), path, v,
+      rewriteOnly = true)
   }
 
   /** OPTIMIZE ZORDER — MULTI-dimensional clustered compaction (the
@@ -637,7 +656,7 @@ object SnapshotLog {
     fs.delete(tmp, true)
     import spark.implicits._
     commit(rows.toDF("seg", "n_rows", "min_key", "max_key",
-      "min_key2", "max_key2"), path, v)
+      "min_key2", "max_key2"), path, v, rewriteOnly = true)
   }
 
   /** Two-column stats-pruned BOX read — [[readRange]]'s 2-D twin over
@@ -1036,9 +1055,15 @@ object SnapshotLog {
     var delivered = 0
     var v = from + 1
     while (v <= latest) {
-      fn(diff(spark, path, v - 1, v, keyCol), v)
+      // rewrite-only commits (compaction) change no logical row: skip
+      // the delivery ENTIRELY rather than paying a full-table diff to
+      // prove emptiness — at 100 TB, OPTIMIZE must be free for every
+      // follower (Delta's dataChange=false contract)
+      if (!isRewriteOnly(path, v)) {
+        fn(diff(spark, path, v - 1, v, keyCol), v)
+        delivered += 1
+      }
       writeCursor(path, name, v)
-      delivered += 1
       v += 1
     }
     delivered

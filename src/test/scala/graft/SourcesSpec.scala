@@ -945,11 +945,21 @@ class SourcesSpec extends AnyFunSuite {
     // the cursor is durable in the table's own log: a RESTARTED
     // follower resumes mid-history instead of replaying
     assert(SnapshotLog.cursorVersion(path, "spec").contains(3))
+    // a REWRITE-ONLY commit (OPTIMIZE) between polls: marked at commit,
+    // logically empty (ground truth: the explicit diff has no rows),
+    // and the follower SKIPS it — no delivery, no full-table diff,
+    // cursor still advances past it
+    SnapshotLog.compact(spark, path, "k")
+    assert(SnapshotLog.isRewriteOnly(path, 4))
+    assert(SnapshotLog.diff(spark, path, 3, 4, "k").count() == 0,
+      "a compaction's change feed must be logically empty")
     SnapshotLog.append(spark,
       Seq((500L, "c")).toDF("k", "p"), path, "k")
     val n = SnapshotLog.followDiff(spark, path, "k", "spec")(fn)
-    assert(n == 1 && delivered.size == 4 && delivered.get(3)._1 == 4 &&
-      delivered.get(3)._2 == Seq((500L, "insert")))
+    assert(n == 1 && delivered.size == 4 && delivered.get(3)._1 == 5 &&
+      delivered.get(3)._2 == Seq((500L, "insert")),
+      "the follower must skip the rewrite-only commit and deliver only the append")
+    assert(SnapshotLog.cursorVersion(path, "spec").contains(5))
     // convergence: replaying the delivered feeds over the bootstrap
     // state reaches exactly read(latest)
     import scala.jdk.CollectionConverters._
