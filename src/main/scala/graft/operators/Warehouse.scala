@@ -1020,10 +1020,15 @@ object Warehouse {
     * after bootstrap — at 100 TB the view update costs the commit's
     * size. Values are integer CENTS (floor(price*100+0.5)) so
     * incremental addition is exact and associative — the dyadic-grid
-    * discipline with no float anywhere. The view commit is guarded to
-    * apply feed v only when the view sits at v−1, so the follower's
-    * at-least-once delivery has exactly-once EFFECT (a re-delivered
-    * feed is a no-op — spec-proven for the follower itself). The
+    * discipline with no float anywhere. Each view commit is STAMPED
+    * with the source version it applied ([[graft.sources.SnapshotLog
+    * .lastTxnVersion]], Delta's txnAppId/txnVersion) and the apply is
+    * guarded on that watermark, so the follower's at-least-once
+    * delivery has CRASH-SAFE exactly-once EFFECT: the marker travels
+    * inside the commit itself — no window between "applied" and
+    * "recorded" — and the guard survives rewrite-only gaps in the
+    * source history (spec winds the cursor back to force a
+    * re-delivery). The
     * hashed output is the final view read back plus the view's
     * version and the follower's cursor — a skipped feed, double
     * apply, or wrong delta breaks the hash; the oracle restates the
@@ -1076,10 +1081,12 @@ object Warehouse {
           .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents")),
         viewPath, "grp")
     // THE FOLLOWER: each not-yet-consumed commit reduces to per-group
-    // deltas and lands as one groups-sized view merge; view version
-    // tracks source version exactly, so a re-delivered feed no-ops
+    // deltas and lands as one groups-sized view merge STAMPED with the
+    // applied source version (the txn watermark travels inside the
+    // commit), so a re-delivered feed no-ops — crash-safe exactly-once
+    // effect even across rewrite-only gaps in the source history
     SnapshotLog.followDiff(spark, srcPath, "key", "mv") { (feed, v) =>
-      if (SnapshotLog.latestVersion(viewPath).contains(v - 1)) {
+      if (SnapshotLog.lastTxnVersion(viewPath, "mv").forall(_ < v)) {
         val delta = feed.select(
             coalesce(col("_new.grp"), col("_old.grp")).as("grp"),
             when(col("change") === "insert", 1L)
@@ -1097,7 +1104,8 @@ object Warehouse {
             (coalesce(col("sum_cents"), lit(0L)) + col("ds"))
               .as("sum_cents"))
           .withColumn("_del", col("cnt") === 0L)
-        SnapshotLog.merge(spark, upd, viewPath, "grp", "_del")
+        SnapshotLog.merge(spark, upd, viewPath, "grp", "_del",
+          txn = Some(("mv", v)))
         ()
       }
     }

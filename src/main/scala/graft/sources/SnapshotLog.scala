@@ -150,6 +150,37 @@ object SnapshotLog {
     fsOf(m).exists(m)
   }
 
+  /** IDEMPOTENT-WRITER WATERMARK (Delta's txnAppId/txnVersion): the
+    * latest transaction version application `app` has recorded in any
+    * surviving commit, or None. A consumer that stamps each derived
+    * commit with the source version it applied ([[merge]]'s `txn`
+    * parameter) gets CRASH-SAFE exactly-once effect: a re-delivered
+    * feed finds its version already recorded and no-ops, even when
+    * the crash hit between the derived commit and the consumer's own
+    * cursor advance — the marker travels INSIDE the commit, so there
+    * is no window between "applied" and "recorded". Scans newest to
+    * oldest and stops at the first stamped commit (consumers stamp
+    * monotonically); version-count-sized driver work. Retention
+    * caveat (Delta documents the same): [[gc]] expires markers with
+    * their manifests, so retention must outlast the longest consumer
+    * lag. */
+  def lastTxnVersion(path: String, app: String): Option[Int] = {
+    val latest = latestVersion(path).getOrElse(return None)
+    val fs = fsOf(new Path(path))
+    val prefix = s"_txn-$app-"
+    (latest to 0 by -1).iterator
+      .filter(manifestExists(path, _))
+      .map { v =>
+        fs.listStatus(new Path(manifestDir(path, v))).toSeq
+          .map(_.getPath.getName)
+          .filter(_.startsWith(prefix))
+          .flatMap(n => scala.util.Try(n.stripPrefix(prefix).toInt)
+            .toOption)
+          .reduceOption(_ max _)
+      }
+      .collectFirst { case Some(tv) => tv }
+  }
+
   /** Snapshot read at `version` (default: latest). The union of the
     * manifest's segment directories — immutable forever, because a
     * later commit only ever ADDS segment directories and manifests.
@@ -208,7 +239,8 @@ object SnapshotLog {
     * LATEST seek hint (best-effort overwrite rename — [[latestVersion]]
     * tolerates staleness). */
   private def commit(rows: DataFrame, path: String, v: Int,
-                     rewriteOnly: Boolean = false): Int = {
+                     rewriteOnly: Boolean = false,
+                     txn: Option[(String, Int)] = None): Int = {
     val target = new Path(manifestDir(path, v))
     val fs = fsOf(target)
     val tmp = new Path(logDir(path),
@@ -225,6 +257,14 @@ object SnapshotLog {
     // nothing changed.
     if (rewriteOnly)
       fs.create(new Path(tmp, "_rewriteonly"), true).close()
+    // Delta's txnAppId/txnVersion: an idempotent writer stamps the
+    // commit with its (application, version) pair — same atomicity
+    // argument as the rewrite-only marker
+    txn.foreach { case (app, tv) =>
+      require(app.nonEmpty && app.forall(c => c.isLetterOrDigit || c == '_'),
+        s"txn app ids are [A-Za-z0-9_]+, got '$app'")
+      fs.create(new Path(tmp, s"_txn-$app-$tv"), true).close()
+    }
     val fc = FileContext.getFileContext(fs.makeQualified(target).toUri,
       hadoopConf)
     try fc.rename(fs.makeQualified(tmp), fs.makeQualified(target))
@@ -307,17 +347,19 @@ object SnapshotLog {
     * whole key range commits a manifest with no replacement segment
     * (the empty segment is elided, never listed). */
   def merge(spark: SparkSession, df: DataFrame, path: String,
-            keyCol: String, deleteCol: String): Int =
+            keyCol: String, deleteCol: String,
+            txn: Option[(String, Int)] = None): Int =
     mergeAt(spark, df, path, keyCol, deleteCol,
       latestVersion(path).getOrElse(
-        sys.error(s"merge into non-existent table $path")) + 1)
+        sys.error(s"merge into non-existent table $path")) + 1, txn)
 
   /** [[merge]] with the target version fixed by the caller — the race
     * surface [[appendAt]] exposes, for specs and for
     * [[mergeOrRebase]]'s retry loop. */
   private[graft] def mergeAt(spark: SparkSession, df: DataFrame,
                              path: String, keyCol: String,
-                             deleteCol: String, v: Int): Int = {
+                             deleteCol: String, v: Int,
+                             txn: Option[(String, Int)] = None): Int = {
     val Array(lo, hi) = df.agg(min(col(keyCol)), max(col(keyCol)))
       .collect().head.toSeq.map(x => x.asInstanceOf[Long]).toArray
     // the manifest is segment-count-sized: collecting it is the point
@@ -348,7 +390,8 @@ object SnapshotLog {
         r.getAs[Long]("max_key"))) ++
         newSeg.map(r => (r.getAs[String]("seg"), r.getAs[Long]("n_rows"),
           r.getAs[Long]("min_key"), r.getAs[Long]("max_key")))
-      commit(rows.toSeq.toDF("seg", "n_rows", "min_key", "max_key"), path, v)
+      commit(rows.toSeq.toDF("seg", "n_rows", "min_key", "max_key"),
+        path, v, txn = txn)
     } else {
       // a [[compactZOrder]]ed table: segments carried BY REFERENCE keep
       // their physical z-clustering, so carrying their second-column
@@ -365,7 +408,7 @@ object SnapshotLog {
           r.getAs[Long]("min_key"), r.getAs[Long]("max_key"),
           None: Option[Long], None: Option[Long]))
       commit(rows.toSeq.toDF("seg", "n_rows", "min_key", "max_key",
-        "min_key2", "max_key2"), path, v)
+        "min_key2", "max_key2"), path, v, txn = txn)
     }
   }
 

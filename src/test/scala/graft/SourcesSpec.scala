@@ -977,6 +977,44 @@ class SourcesSpec extends AnyFunSuite {
       "follower-fed replay must converge to the table's latest state")
   }
 
+  test("SnapshotLog txn markers: stamped commits record the writer's watermark atomically; re-applies no-op") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val path = tmpDir("snaplog_txn")
+    SnapshotLog.create(spark,
+      (0L until 10L).map(i => (i, s"a$i")).toDF("k", "p"), path, "k")
+    assert(SnapshotLog.lastTxnVersion(path, "sync").isEmpty)
+    // a consumer stamps its derived commit with the source version it
+    // applied — the marker travels inside the commit
+    SnapshotLog.merge(spark,
+      Seq((0L, "A0", false)).toDF("k", "p", "del"), path, "k", "del",
+      txn = Some(("sync", 7)))
+    assert(SnapshotLog.lastTxnVersion(path, "sync").contains(7))
+    assert(SnapshotLog.lastTxnVersion(path, "other").isEmpty,
+      "watermarks are per-application")
+    // an unstamped commit on top does not erase the watermark — the
+    // scan walks back to the newest stamped commit
+    SnapshotLog.append(spark,
+      Seq((100L, "b")).toDF("k", "p"), path, "k")
+    assert(SnapshotLog.lastTxnVersion(path, "sync").contains(7))
+    // the idempotent-apply discipline: apply feed v iff watermark < v
+    def applyOnce(v: Int): Boolean =
+      if (SnapshotLog.lastTxnVersion(path, "sync").forall(_ < v)) {
+        SnapshotLog.merge(spark,
+          Seq((200L + v, s"f$v", false)).toDF("k", "p", "del"),
+          path, "k", "del", txn = Some(("sync", v)))
+        true
+      } else false
+    assert(!applyOnce(7), "an already-applied feed must no-op")
+    assert(applyOnce(8))
+    assert(!applyOnce(8), "a re-delivered feed must no-op (crash-safe)")
+    assert(SnapshotLog.lastTxnVersion(path, "sync").contains(8))
+    assert(SnapshotLog.read(spark, path)
+      .filter(col("k") === 208L).count() == 1)
+    assert(SnapshotLog.read(spark, path).count() == 12,
+      "the re-delivered feed must not have landed twice")
+  }
+
   test("SnapshotLog cloneTable: zero-copy clone pins its source version; writes diverge; neither gc touches the other") {
     import spark.implicits._
     import graft.sources.SnapshotLog
