@@ -2635,21 +2635,25 @@ object Similarity {
             Seq("cid")),
         idxPath, "cid")
     // THE FOLLOWER: consume every not-yet-consumed commit's feed, one
-    // atomic index merge per feed — no version arguments anywhere
-    SnapshotLog.followDiff(spark, srcPath, "cid", "idxsync") { (feed, _) =>
-      val tombs = feed.filter(col("change") === "delete")
-        .select(col("cid"), lit(0L).as("cell"), lit(0).as("lab"),
-          lit(true).as("_del"))
-      val fresh = feed.filter(col("change") =!= "delete")
-        .select(col("cid"), col("_new.embedding").as("embedding"),
-          col("_new.lab").as("lab"))
-      val encoded = cellsOf(fresh)
-        .join(fresh.select(col("cid"), col("lab")).hint("shuffle_hash"),
-          Seq("cid"))
-        .withColumn("_del", lit(false))
-      SnapshotLog.merge(spark, tombs.unionByName(encoded), idxPath,
-        "cid", "_del")
-      ()
+    // atomic index merge per feed — no version arguments anywhere; the
+    // merge is STAMPED with the applied source version and guarded on
+    // the watermark (crash-safe exactly-once effect, the q61 contract)
+    SnapshotLog.followDiff(spark, srcPath, "cid", "idxsync") { (feed, v) =>
+      if (SnapshotLog.lastTxnVersion(idxPath, "idxsync").forall(_ < v)) {
+        val tombs = feed.filter(col("change") === "delete")
+          .select(col("cid"), lit(0L).as("cell"), lit(0).as("lab"),
+            lit(true).as("_del"))
+        val fresh = feed.filter(col("change") =!= "delete")
+          .select(col("cid"), col("_new.embedding").as("embedding"),
+            col("_new.lab").as("lab"))
+        val encoded = cellsOf(fresh)
+          .join(fresh.select(col("cid"), col("lab")).hint("shuffle_hash"),
+            Seq("cid"))
+          .withColumn("_del", lit(false))
+        SnapshotLog.merge(spark, tombs.unionByName(encoded), idxPath,
+          "cid", "_del", txn = Some(("idxsync", v)))
+        ()
+      }
     }
     val vSrc = SnapshotLog.latestVersion(srcPath).get
     val cursor = SnapshotLog.cursorVersion(srcPath, "idxsync").getOrElse(0)
