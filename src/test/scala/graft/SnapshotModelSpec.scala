@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.SnapshotLog
+
+/** MODEL-BASED LIFECYCLE FUZZ for the versioned table: a seeded random
+  * sequence of every lifecycle verb (append / upsert / merge-with-
+  * deletes / sliced compact / restore / pin / gc) runs against BOTH the
+  * real SnapshotLog table and a trivial in-memory model (a Map plus a
+  * version→snapshot history). After every step the suite asserts the
+  * three invariants the format sells:
+  *
+  *   1. read(latest) == the model's current state — no verb, in any
+  *      order, may lose/duplicate/corrupt a row;
+  *   2. TIME TRAVEL: every still-on-disk version reads byte-equal to
+  *      the snapshot the model recorded when that version committed —
+  *      immutability survives arbitrary later history (including
+  *      compactions that rewrite the physical layout and GCs that
+  *      delete sibling versions);
+  *   3. manifest/data agreement: per-version manifest row counts sum
+  *      to the data's count, and segment [min,max] stats bound the
+  *      segment's actual keys (the stats-pruning contract readRange
+  *      and merge COW both trust).
+  *
+  * Individual verbs each have example-based specs (SourcesSpec); this
+  * spec checks that they COMPOSE — the class of bug a fixed example
+  * can't catch (e.g. compact after a delete-everything merge, gc with
+  * a pin on a restored version, upsert spanning a compaction slice
+  * boundary). Deterministic seed: failures reproduce exactly. */
+class SnapshotModelSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def tmpDir(name: String): String = {
+    val d = new java.io.File(s"target/tmp-snapmodel/$name")
+    org.apache.commons.io.FileUtils.deleteQuietly(d)
+    d.getParentFile.mkdirs()
+    d.getAbsolutePath
+  }
+
+  for (seed <- Seq(42, 7, 20260815))
+  test(s"random lifecycle sequences (seed $seed): table == model at latest, time travel intact, stats bound data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val path = tmpDir(s"fuzz$seed")
+    val keySpace = 400L
+
+    var model = (0L until 40L).map(k => k -> s"v0_$k").toMap
+    SnapshotLog.create(spark,
+      model.toSeq.map { case (k, p) => (k, p) }.toDF("k", "p"), path, "k")
+    // version -> model snapshot at that commit
+    var hist = Map(0 -> model)
+    var latest = 0
+
+    def commitSnap(v: Int): Unit = { hist += (v -> model); latest = v }
+
+    def randomRows(n: Int, tag: String): Seq[(Long, String)] =
+      (0 until n).map { _ =>
+        val k = rnd.nextLong(keySpace)
+        k -> s"${tag}_${k}_${rnd.nextInt(1000)}"
+      }.distinct.groupBy(_._1).map(_._2.head).toSeq
+
+    val steps = 40
+    for (step <- 1 to steps) {
+      rnd.nextInt(7) match {
+        case 0 => // append strictly-new keys
+          val base = keySpace + step * 100L
+          val rows = (0 until 1 + rnd.nextInt(5))
+            .map(i => (base + i) -> s"app${step}_$i")
+          val v = SnapshotLog.append(spark,
+            rows.toDF("k", "p"), path, "k")
+          model ++= rows; commitSnap(v)
+        case 1 => // upsert (replace-or-insert)
+          val rows = randomRows(1 + rnd.nextInt(8), s"ups$step")
+          val v = SnapshotLog.upsert(spark, rows.toDF("k", "p"), path, "k")
+          model ++= rows; commitSnap(v)
+        case 2 => // merge: deletes + upserts in one commit
+          val ups = randomRows(1 + rnd.nextInt(5), s"mrg$step")
+          val delKeys = (0 until 1 + rnd.nextInt(6))
+            .map(_ => rnd.nextLong(keySpace)).distinct
+            .filterNot(ups.map(_._1).contains)
+          val df = (ups.map { case (k, p) => (k, p, false) } ++
+            delKeys.map(k => (k, "", true))).toDF("k", "p", "del")
+          val v = SnapshotLog.merge(spark, df, path, "k", "del")
+          model = model -- delKeys ++ ups; commitSnap(v)
+        case 3 => // OPTIMIZE, sometimes sliced; rewrite-only: no model change
+          val v = SnapshotLog.compact(spark, path, "k",
+            minRows = Long.MaxValue, slices = 1 + rnd.nextInt(4))
+          if (v != latest) commitSnap(v)
+        case 4 => // restore a random surviving version
+          val survivors = hist.keys.filter(
+            SnapshotLog.manifestExists(path, _)).toSeq.sorted
+          val target = survivors(rnd.nextInt(survivors.length))
+          val v = SnapshotLog.restore(spark, path, target)
+          if (v != latest) { model = hist(target); commitSnap(v) }
+        case 5 => // pin a random surviving version
+          val survivors = hist.keys.filter(
+            SnapshotLog.manifestExists(path, _)).toSeq.sorted
+          SnapshotLog.pin(path, survivors(rnd.nextInt(survivors.length)))
+        case 6 => // retention gc: drop expired versions from our record
+          val retain = 1 + rnd.nextInt(4)
+          SnapshotLog.gc(spark, path, retainLast = retain)
+          hist = hist.filter { case (v, _) =>
+            SnapshotLog.manifestExists(path, v) }
+      }
+
+      // invariant 1: latest == model
+      val got = SnapshotLog.read(spark, path).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(got == model, s"step $step: latest diverged from model " +
+        s"(missing=${(model.keySet -- got.keySet).take(5)}, " +
+        s"extra=${(got.keySet -- model.keySet).take(5)})")
+
+      // invariant 2: every surviving version time-travels byte-equal
+      // to its recorded snapshot (check 2 random survivors per step)
+      val survivors = hist.keys.toSeq.sorted
+      (0 until 2).foreach { _ =>
+        val v = survivors(rnd.nextInt(survivors.length))
+        val tt = SnapshotLog.read(spark, path, Some(v)).collect()
+          .map(r => (r.getLong(0), r.getString(1))).toMap
+        assert(tt == hist(v),
+          s"step $step: time travel to v$v diverged from its snapshot")
+      }
+
+      // invariant 3: manifest stats agree with and bound the data
+      val m = SnapshotLog.manifest(spark, path, latest).collect()
+      assert(m.map(_.getAs[Long]("n_rows")).sum == model.size,
+        s"step $step: manifest row counts disagree with the data")
+      m.foreach { r =>
+        val seg = r.getAs[String]("seg")
+        val ks = spark.read.parquet(seg).select(col("k")).collect()
+          .map(_.getLong(0))
+        assert(ks.nonEmpty &&
+          ks.min == r.getAs[Long]("min_key") &&
+          ks.max == r.getAs[Long]("max_key"),
+          s"step $step: stats of $seg do not bound its keys")
+      }
+    }
+    // end state sanity: the table survived 40 mixed lifecycle steps
+    assert(SnapshotLog.history(spark, path).count() == hist.size)
+  }
+}
