@@ -308,12 +308,53 @@ object SnapshotLog {
   }
 
   /** Append-only commit: one new segment; every prior segment carried
-    * forward by reference. */
+    * forward by reference.
+    *
+    * A blind append has NO read set — it is compatible with ANY
+    * interleaved commit — so a lost version race is always rebasable:
+    * the loser re-reads latest and re-commits its already-written
+    * segment row onto the new manifest (Delta's blind-append
+    * semantics; two concurrent ingest jobs both land, in some serial
+    * order). Only the manifest commit retries — the data segment is
+    * written once. Bounded retries; a pathological storm still
+    * surfaces the final [[ConcurrentCommitException]]. */
   def append(spark: SparkSession, df: DataFrame, path: String,
-             keyCol: String): Int =
-    appendAt(spark, df, path, keyCol,
-      latestVersion(path).getOrElse(
-        sys.error(s"append to non-existent table $path")) + 1)
+             keyCol: String, maxRetries: Int = 5): Int = {
+    def latestOr = latestVersion(path).getOrElse(
+      sys.error(s"append to non-existent table $path"))
+    // write the segment ONCE, against the first observed version
+    var v = latestOr + 1
+    val seg = writeSegment(spark, df, path, v, 0, keyCol)
+      .collect().head
+    // the frozen one-row manifest entry (get(i), not getAs[Long]:
+    // an empty append's min/max stats are NULL and must stay NULL)
+    val segRow = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(
+        seg.get(0), seg.get(1), seg.get(2), seg.get(3))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("seg",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("n_rows",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("min_key",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("max_key",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+    var attempts = 0
+    while (true) {
+      try {
+        val prev = manifest(spark, path, v - 1)
+        return commit(prev.unionByName(segRow,
+          allowMissingColumns = true), path, v)
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempts += 1
+          if (attempts > maxRetries) throw e
+          v = latestOr + 1
+      }
+    }
+    -1 // unreachable
+  }
 
   /** [[append]] with the target version fixed by the caller — the
     * two-writer race surface made testable: both writers compute the

@@ -977,6 +977,46 @@ class SourcesSpec extends AnyFunSuite {
       "follower-fed replay must converge to the table's latest state")
   }
 
+  test("SnapshotLog: concurrent blind APPENDS both land — the loser rebases its manifest, never rewrites its segment") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val path = tmpDir("snaplog_apprace")
+    SnapshotLog.create(spark,
+      (0L until 10L).map(i => (i, "base")).toDF("k", "p"), path, "k")
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Any]()
+    val threads = Seq(("w1", 100L), ("w2", 200L)).map { case (name, base) =>
+      new Thread(() => {
+        try {
+          barrier.await()
+          results.put(name, SnapshotLog.append(spark,
+            (base until base + 10L).map(i => (i, name)).toDF("k", "p"),
+            path, "k"))
+        } catch { case e: Throwable => results.put(name, e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val outcomes = Seq("w1", "w2").map(results.get)
+    val versions = outcomes.collect { case v: Integer => v.intValue }
+    assert(versions.sorted == Seq(1, 2),
+      s"both blind appends must commit (one after a rebase), got $outcomes")
+    // all thirty rows serve; the two appended segments are distinct
+    val state = SnapshotLog.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(state.size == 30 &&
+      state(100L) == "w1" && state(200L) == "w2")
+    // the loser's segment was written ONCE: v2's manifest adds exactly
+    // one segment over v1's, and no unreferenced data dir exists
+    val s1 = SnapshotLog.manifest(spark, path, 1).collect()
+      .map(_.getAs[String]("seg")).toSet
+    val s2 = SnapshotLog.manifest(spark, path, 2).collect()
+      .map(_.getAs[String]("seg")).toSet
+    assert(s1.subsetOf(s2) && (s2 -- s1).size == 1)
+    val dataDirs = new java.io.File(path, "data").listFiles().length
+    assert(dataDirs == s2.size,
+      s"no orphaned duplicate segment from the rebase ($dataDirs dirs vs ${s2.size} referenced)")
+  }
+
   test("SnapshotLog txn markers: stamped commits record the writer's watermark atomically; re-applies no-op") {
     import spark.implicits._
     import graft.sources.SnapshotLog
