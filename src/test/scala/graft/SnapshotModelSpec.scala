@@ -52,6 +52,12 @@ class SnapshotModelSpec extends AnyFunSuite {
     var hist = Map(0 -> model)
     var latest = 0
 
+    // invariant 4 state: a CHANGE-FEED FOLLOWER consumer riding along —
+    // bootstrapped from v0, fed ONLY by followDiff deliveries (restores
+    // arrive as inverse diffs; rewrite-only compactions are skipped) —
+    // must track the model through every verb in any order
+    var followerState = model
+
     def commitSnap(v: Int): Unit = { hist += (v -> model); latest = v }
 
     def randomRows(n: Int, tag: String): Seq[(Long, String)] =
@@ -121,6 +127,21 @@ class SnapshotModelSpec extends AnyFunSuite {
         assert(tt == hist(v),
           s"step $step: time travel to v$v diverged from its snapshot")
       }
+
+      // invariant 4: the follower consumer converges to the model on
+      // every poll — deletes remove, inserts/updates take _new, and a
+      // skipped rewrite-only compaction must not desync it
+      SnapshotLog.followDiff(spark, path, "k", "fz") { (feed, _) =>
+        feed.select(col("k"), col("change"), col("_new.p").as("p"))
+          .collect().foreach { r =>
+            if (r.getString(1) == "delete")
+              followerState -= r.getLong(0)
+            else followerState += (r.getLong(0) -> r.getString(2))
+          }
+        ()
+      }
+      assert(followerState == model,
+        s"step $step: follower-fed state diverged from the model")
 
       // invariant 3: manifest stats agree with and bound the data
       val m = SnapshotLog.manifest(spark, path, latest).collect()
