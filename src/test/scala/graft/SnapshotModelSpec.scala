@@ -66,7 +66,9 @@ class SnapshotModelSpec extends AnyFunSuite {
         k -> s"${tag}_${k}_${rnd.nextInt(1000)}"
       }.distinct.groupBy(_._1).map(_._2.head).toSeq
 
-    val steps = 40
+    // depth is env-tunable so a bug hunt can run long sequences
+    // (SNAP_FUZZ_STEPS=200) without changing the committed default
+    val steps = sys.env.getOrElse("SNAP_FUZZ_STEPS", "40").toInt
     for (step <- 1 to steps) {
       rnd.nextInt(7) match {
         case 0 => // append strictly-new keys

@@ -853,6 +853,10 @@ class SourcesSpec extends AnyFunSuite {
     val (rows, scanned, total) =
       SnapshotLog.readRange(spark, path, "k", 0L, 100L)
     assert(rows.count() == 0 && scanned == 0 && total == 0)
+    // 2-D box read takes the same anchored empty path
+    val (box, bScanned, bTotal) =
+      SnapshotLog.readBox(spark, path, "k", "k", 0L, 100L, 0L, 100L)
+    assert(box.count() == 0 && bScanned == 0 && bTotal == 0)
     // life resumes: an append works, and diff FROM the empty version
     // (its side anchored through history) classifies pure inserts
     SnapshotLog.append(spark,
