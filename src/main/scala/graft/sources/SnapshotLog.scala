@@ -122,8 +122,11 @@ object SnapshotLog {
     def listMax: Option[Int] = {
       val ld = new Path(logDir(path))
       if (!fs.exists(ld)) None
+      // v\d{5,}: %05d grows past five digits at version 100000 (a
+      // per-micro-batch CDC table gets there) — the listing must not
+      // stop seeing those
       else fs.listStatus(ld).toSeq.map(_.getPath.getName)
-        .filter(_.matches("v\\d{5}"))
+        .filter(_.matches("v\\d{5,}"))
         .map(_.stripPrefix("v").toInt)
         .reduceOption(_ max _)
     }
