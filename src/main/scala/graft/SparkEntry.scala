@@ -86,6 +86,7 @@ object SparkEntry {
     "q59_snapshot_zorder" -> (Warehouse.q59SnapshotZorder _),
     "q60_merge_rebase" -> (Warehouse.q60MergeRebase _),
     "q61_follow_mv" -> (Warehouse.q61FollowMv _),
+    "q62_follow_mv_minmax" -> (Warehouse.q62FollowMvMinmax _),
     // B'. graph centrality over the road-network key space (dyadic-exact
     // PageRank — see operators.Graph for why the oracle matches bitwise)
     "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
@@ -1390,6 +1391,63 @@ object SparkEntry {
            FROM o WHERE key % 29 = 5)
          SELECT grp, CAST(count(*) AS BIGINT) AS cnt,
            CAST(sum(v) AS BIGINT) AS sum_cents,
+           CAST(2 AS INT) AS view_version,
+           CAST(2 AS INT) AS cursor_version
+         FROM fin GROUP BY grp ORDER BY grp""",
+    // q62_follow_mv_minmax: the same net-state CTEs as q61 but with
+    // min/max, PLUS the whole eviction arithmetic restated — per feed,
+    // a group rescans iff some removed value ties-or-beats the
+    // PRE-FEED extremum (removed <= min OR removed >= max, against
+    // the v0 stats for feed 1 and the post-feed-1 stats for feed 2);
+    // the Spark side reaches the final view ONLY through bootstrap +
+    // two follower feeds and re-derives the eviction count from
+    // committed state, so a wrong incremental min/max, a missed
+    // eviction, or a rescan-everything shortcut breaks this hash
+    "q62_follow_mv_minmax" ->
+      """WITH o AS (SELECT o_orderkey AS key, o_orderkey % 16 AS grp,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+         mk AS (SELECT max(key) AS m FROM o),
+         s0 AS (SELECT grp, min(cents) AS mn, max(cents) AS mx
+                FROM o GROUP BY grp),
+         rem1 AS (SELECT grp, min(c) AS rmn, max(c) AS rmx FROM (
+           SELECT grp, cents AS c FROM o WHERE key % 11 = 4
+           UNION ALL
+           SELECT grp, cents FROM o
+           WHERE key % 13 = 2 AND key % 11 <> 4) z GROUP BY grp),
+         ev1 AS (SELECT count(*) AS n FROM rem1 JOIN s0 USING (grp)
+                 WHERE rmn <= mn OR rmx >= mx),
+         st1 AS (
+           SELECT grp,
+             cents + CASE WHEN key % 13 = 2 THEN 50000 ELSE 0 END AS v
+           FROM o WHERE key % 11 <> 4
+           UNION ALL
+           SELECT (key + (SELECT m FROM mk) + 1) % 16, cents
+           FROM o WHERE key % 29 = 5),
+         s1 AS (SELECT grp, min(v) AS mn, max(v) AS mx
+                FROM st1 GROUP BY grp),
+         rem2 AS (SELECT grp, min(c) AS rmn, max(c) AS rmx FROM (
+           SELECT grp,
+             cents + CASE WHEN key % 13 = 2 THEN 50000 ELSE 0 END AS c
+           FROM o WHERE key % 11 <> 4
+             AND (key % 23 = 9 OR key % 19 = 7)) z GROUP BY grp),
+         ev2 AS (SELECT count(*) AS n FROM rem2 JOIN s1 USING (grp)
+                 WHERE rmn <= mn OR rmx >= mx),
+         fin AS (
+           SELECT grp,
+             CASE WHEN key % 19 = 7 AND key % 23 <> 9
+               THEN (cents + CASE WHEN key % 13 = 2 THEN 50000 ELSE 0 END)
+                 * 2
+               ELSE cents + CASE WHEN key % 13 = 2 THEN 50000 ELSE 0 END
+             END AS v
+           FROM o WHERE key % 11 <> 4 AND key % 23 <> 9
+           UNION ALL
+           SELECT (key + (SELECT m FROM mk) + 1) % 16, cents
+           FROM o WHERE key % 29 = 5)
+         SELECT grp, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(min(v) AS BIGINT) AS mn, CAST(max(v) AS BIGINT) AS mx,
+           CAST((SELECT n FROM ev1) + (SELECT n FROM ev2) AS INT)
+             AS rescanned_groups,
            CAST(2 AS INT) AS view_version,
            CAST(2 AS INT) AS cursor_version
          FROM fin GROUP BY grp ORDER BY grp""",

@@ -1033,7 +1033,16 @@ object Warehouse {
     * version and the follower's cursor — a skipped feed, double
     * apply, or wrong delta breaks the hash; the oracle restates the
     * net state closed-form in the id space. */
-  def q61FollowMv(spark: SparkSession, dir: String): DataFrame = {
+  /** The churned (key, grp, cents) source table the follower-driven
+    * views (q61, q62) consume: v0 = full orders; v1 = deletes %11==4,
+    * +50000 updates %13==2, inserts %29==5 shifted past the key space;
+    * v2 (over the CURRENT state, so updates compound honestly) =
+    * deletes %23==9, doubling updates %19==7. Integer cents
+    * (floor(price*100+0.5)); every commit version-guarded; the table
+    * path is `tag`-keyed so each consumer family can own an isolated
+    * copy of the identical history. Returns (srcPath, maxKey). */
+  private def churnedMvSource(spark: SparkSession, dir: String,
+                              tag: String): (String, Long) = {
     import graft.sources.{ModelStore, SnapshotLog}
     val o = Tables.orders(spark, dir).select(
       col("o_orderkey").as("key"),
@@ -1042,9 +1051,7 @@ object Warehouse {
         .as("cents"))
     val fp = ModelStore.corpusFingerprint(spark, s"$dir/orders.parquet")
     val srcPath = ModelStore.root(spark) +
-      s"/fmvsrc_v1_${ModelStore.md5(s"fmvsrc|$fp")}"
-    val viewPath = ModelStore.root(spark) +
-      s"/fmvview_v1_${ModelStore.md5(s"fmvview|$fp")}"
+      s"/${tag}_v1_${ModelStore.md5(s"$tag|$fp")}"
     val mk = o.agg(max(col("key"))).collect().head.getLong(0)
     if (SnapshotLog.latestVersion(srcPath).isEmpty)
       SnapshotLog.create(spark, o, srcPath, "key")
@@ -1062,7 +1069,6 @@ object Warehouse {
         srcPath, "key", "_del")
     }
     if (SnapshotLog.latestVersion(srcPath).contains(1)) {
-      // v2 transforms the CURRENT state (so updates compound honestly)
       val cur = SnapshotLog.read(spark, srcPath)
         .filter(col("key") <= mk) // original-key space only
       val dels = cur.filter(col("key") % 23 === 9)
@@ -1073,6 +1079,15 @@ object Warehouse {
       SnapshotLog.merge(spark, dels.unionByName(upds), srcPath, "key",
         "_del")
     }
+    (srcPath, mk)
+  }
+
+  def q61FollowMv(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{ModelStore, SnapshotLog}
+    val (srcPath, _) = churnedMvSource(spark, dir, "fmvsrc")
+    val fp = ModelStore.corpusFingerprint(spark, s"$dir/orders.parquet")
+    val viewPath = ModelStore.root(spark) +
+      s"/fmvview_v1_${ModelStore.md5(s"fmvview|$fp")}"
     // BOOTSTRAP: the one full scan the view ever pays
     if (SnapshotLog.latestVersion(viewPath).isEmpty)
       SnapshotLog.create(spark,
@@ -1113,6 +1128,123 @@ object Warehouse {
     val cursor = SnapshotLog.cursorVersion(srcPath, "mv").getOrElse(0)
     SnapshotLog.read(spark, viewPath)
       .select(col("grp"), col("cnt"), col("sum_cents"),
+        lit(viewV).cast("int").as("view_version"),
+        lit(cursor).cast("int").as("cursor_version"))
+      .orderBy(col("grp"))
+  }
+
+  /** FOLLOWER-DRIVEN MIN/MAX VIEW MAINTENANCE — the NON-DISTRIBUTIVE
+    * aggregate case q61's count/sum never hits (the textbook hard
+    * problem of incremental view maintenance: a deletion can EVICT the
+    * group's extremum, and no delta arithmetic can recover the
+    * runner-up): the same churned source history feeds a per-group
+    * (count, min, max) view through the change-feed follower. Per
+    * feed, each touched group takes one of two arms decided from the
+    * PRE-FEED view row and the feed's own delta stats — INCREMENTAL
+    * when every removed value sits strictly inside the group's open
+    * (min, max) interval (min/max can only tighten outward:
+    * new_min = least(min, inserted values), one groups-sized join, no
+    * base read), or GROUP RESCAN when a removed value ties-or-beats an
+    * extremum (`removed <= min OR removed >= max` — ties rescan too,
+    * conservatively, since a duplicate extremal value survives): only
+    * the EVICTED groups re-aggregate, from the source read AT THE
+    * FEED'S VERSION (not latest — the follower may be mid-history), so
+    * the rescan costs the evicted groups' rows, never the table.
+    * A group whose delta count reaches zero tombstones out of the view.
+    * Each view commit is txn-stamped with the applied source version
+    * (crash-safe exactly-once, the q61 contract).
+    *
+    * The hashed output is the final view PLUS `rescanned_groups` — the
+    * total eviction count re-derived from COMMITTED state (each
+    * historical feed's decision recomputed against the view version it
+    * applied to), so it is replay-stable and the oracle restates the
+    * whole eviction arithmetic closed-form in the id space; the spec
+    * pins the live run's decisions against an in-memory replay.
+    * Reference analog: the DB re-import cycle again
+    * (ram-analysis/app/index.js) — this is the consumer that CANNOT
+    * always be incremental and must know, provably, when it isn't. */
+  def q62FollowMvMinmax(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{ModelStore, SnapshotLog}
+    val (srcPath, _) = churnedMvSource(spark, dir, "fmmsrc")
+    val fp = ModelStore.corpusFingerprint(spark, s"$dir/orders.parquet")
+    val viewPath = ModelStore.root(spark) +
+      s"/fmmview_v1_${ModelStore.md5(s"fmmview|$fp")}"
+    def aggView(rows: DataFrame): DataFrame =
+      rows.groupBy(col("grp"))
+        .agg(count(lit(1)).as("cnt"), min(col("cents")).as("mn"),
+          max(col("cents")).as("mx"))
+    if (SnapshotLog.latestVersion(viewPath).isEmpty)
+      SnapshotLog.create(spark,
+        aggView(SnapshotLog.read(spark, srcPath, Some(0))), viewPath,
+        "grp")
+    // per-feed decision frame: post-feed count, insert-side extrema,
+    // and the EVICTION verdict against the pre-feed view row
+    def decide(feed: DataFrame, pre: DataFrame): DataFrame = {
+      val perGrp = feed.select(
+          coalesce(col("_new.grp"), col("_old.grp")).as("grp"),
+          when(col("change") === "insert", 1L)
+            .when(col("change") === "delete", -1L)
+            .otherwise(0L).as("dc"),
+          col("_new.cents").as("addv"), col("_old.cents").as("remv"))
+        .groupBy(col("grp"))
+        .agg(sum(col("dc")).as("dc"),
+          min(col("addv")).as("add_mn"), max(col("addv")).as("add_mx"),
+          min(col("remv")).as("rem_mn"), max(col("remv")).as("rem_mx"))
+      pre.join(perGrp.hint("shuffle_hash"), Seq("grp"), "right_outer")
+        .select(col("grp"),
+          (coalesce(col("cnt"), lit(0L)) + col("dc")).as("cnt"),
+          col("mn"), col("mx"), col("add_mn"), col("add_mx"),
+          coalesce(col("rem_mn").isNotNull && col("mn").isNotNull &&
+            (col("rem_mn") <= col("mn") || col("rem_mx") >= col("mx")),
+            lit(false)).as("evict"))
+    }
+    def nullMin(a: org.apache.spark.sql.Column,
+                b: org.apache.spark.sql.Column) =
+      when(a.isNull, b).when(b.isNull, a).otherwise(least(a, b))
+    def nullMax(a: org.apache.spark.sql.Column,
+                b: org.apache.spark.sql.Column) =
+      when(a.isNull, b).when(b.isNull, a).otherwise(greatest(a, b))
+    SnapshotLog.followDiff(spark, srcPath, "key", "mvmm") { (feed, v) =>
+      if (SnapshotLog.lastTxnVersion(viewPath, "mvmm").forall(_ < v)) {
+        val d = decide(feed, SnapshotLog.read(spark, viewPath))
+          .localCheckpoint(true)
+        // evicted groups re-aggregate from the source AT THE FEED'S
+        // version; the list is groups-sized driver state by design
+        val rescanGrps = d.filter(col("evict")).select(col("grp"))
+          .collect().map(_.getLong(0))
+        val rescanned =
+          if (rescanGrps.isEmpty) d.select(col("grp"), col("cnt"),
+            col("mn"), col("mx")).limit(0)
+          else aggView(SnapshotLog.read(spark, srcPath, Some(v))
+            .filter(col("grp").isin(rescanGrps: _*)))
+        val emptied = d.filter(col("evict") && col("cnt") === 0L)
+          .select(col("grp"), col("cnt"),
+            lit(null).cast("long").as("mn"), lit(null).cast("long").as("mx"))
+        val incr = d.filter(!col("evict"))
+          .select(col("grp"), col("cnt"),
+            nullMin(col("mn"), col("add_mn")).as("mn"),
+            nullMax(col("mx"), col("add_mx")).as("mx"))
+        SnapshotLog.merge(spark,
+          incr.unionByName(rescanned).unionByName(emptied)
+            .withColumn("_del", col("cnt") === 0L),
+          viewPath, "grp", "_del", txn = Some(("mvmm", v)))
+        d.unpersist()
+        ()
+      }
+    }
+    // replay-stable eviction audit: re-derive every historical feed's
+    // decisions from COMMITTED state (view version v-1 + source diff)
+    val vSrc = SnapshotLog.latestVersion(srcPath).get
+    val rescans = (1 to vSrc).map { v =>
+      decide(SnapshotLog.diff(spark, srcPath, v - 1, v, "key"),
+          SnapshotLog.read(spark, viewPath, Some(v - 1)))
+        .filter(col("evict")).count()
+    }.sum
+    val viewV = SnapshotLog.latestVersion(viewPath).get
+    val cursor = SnapshotLog.cursorVersion(srcPath, "mvmm").getOrElse(0)
+    SnapshotLog.read(spark, viewPath)
+      .select(col("grp"), col("cnt"), col("mn"), col("mx"),
+        lit(rescans).cast("int").as("rescanned_groups"),
         lit(viewV).cast("int").as("view_version"),
         lit(cursor).cast("int").as("cursor_version"))
       .orderBy(col("grp"))

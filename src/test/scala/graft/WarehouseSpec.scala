@@ -706,4 +706,67 @@ class WarehouseSpec extends AnyFunSuite {
       "a re-delivered feed must have no effect on the view")
     assert(SnapshotLog.latestVersion(p("fmvview")).contains(2))
   }
+
+  test("q62 min/max follower MV: eviction decisions and both maintenance arms match the in-memory replay; replay-stable") {
+    import graft.sources.{ModelStore, SnapshotLog}
+    val sf = TestSession.sf
+    val fp = ModelStore.corpusFingerprint(spark, s"$sf/orders.parquet")
+    def p(tag: String) = ModelStore.root(spark).stripPrefix("file:") +
+      s"/${tag}_v1_${ModelStore.md5(s"$tag|$fp")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(p("fmmsrc")))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(p("fmmview")))
+    val got = Warehouse.q62FollowMvMinmax(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5), r.getInt(6)))
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val mk = o.map(_._1).max
+    def cents(pr: Double): Long = math.floor(pr * 100.0 + 0.5).toLong
+    // state machine in memory: v0 rows, feed-1 rows, feed-2 rows
+    val v0 = o.map { case (k, pr) => (k, k % 16, cents(pr)) }
+    val st1 = v0.collect { case (k, g, c) if k % 11 != 4 =>
+      (k, g, c + (if (k % 13 == 2) 50000L else 0L)) } ++
+      v0.collect { case (k, _, c) if k % 29 == 5 =>
+        (k + mk + 1, (k + mk + 1) % 16, c) }
+    val st2 = st1.collect { case (k, g, c) if !(k <= mk && k % 23 == 9) =>
+      (k, g, if (k <= mk && k % 19 == 7) c * 2L else c) }
+    def viewOf(st: Seq[(Long, Long, Long)]) =
+      st.groupBy(_._2).map { case (g, rows) =>
+        g -> (rows.length.toLong, rows.map(_._3).min, rows.map(_._3).max) }
+    val (view0, view1, view2) = (viewOf(v0), viewOf(st1), viewOf(st2))
+    // eviction decisions in memory (removed <= min OR removed >= max)
+    def evictions(pre: Map[Long, (Long, Long, Long)],
+                  removed: Seq[(Long, Long)]): Int =
+      removed.groupBy(_._1).count { case (g, vs) =>
+        val (_, mn, mx) = pre(g)
+        vs.map(_._2).min <= mn || vs.map(_._2).max >= mx
+      }
+    val rem1 = v0.collect { case (k, g, c) if k % 11 == 4 => (g, c) } ++
+      v0.collect { case (k, g, c) if k % 13 == 2 && k % 11 != 4 => (g, c) }
+    val rem2 = st1.collect {
+      case (k, g, c) if k <= mk && k % 11 != 4 &&
+        (k % 23 == 9 || k % 19 == 7) => (g, c) }
+    val expectRescans = evictions(view0, rem1) + evictions(view1, rem2)
+    val expect = view2.toSeq.map { case (g, (n, mn, mx)) =>
+      (g, n, mn, mx, expectRescans, 2, 2) }.sortBy(_._1)
+    assert(got.toSeq == expect)
+    assert(expectRescans > 0 && expectRescans < 32,
+      s"the fixture must exercise BOTH arms (got $expectRescans evictions of 32 group-feeds)")
+    // the per-feed path really committed: view v1 time-travels to the
+    // post-feed-1 state exactly
+    val gotV1 = SnapshotLog.read(spark, p("fmmview"), Some(1)).collect()
+      .map(r => (r.getAs[Long]("grp"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("mn"), r.getAs[Long]("mx"))).sortBy(_._1)
+    assert(gotV1.toSeq == view1.toSeq.map { case (g, (n, mn, mx)) =>
+      (g, n, mn, mx) }.sortBy(_._1))
+    // replay: nothing re-applies, the derived eviction audit is stable
+    val again = Warehouse.q62FollowMvMinmax(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5), r.getInt(6)))
+    assert(again.toSeq == got.toSeq &&
+      SnapshotLog.latestVersion(p("fmmview")).contains(2))
+  }
 }
