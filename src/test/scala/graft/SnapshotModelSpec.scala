@@ -6,10 +6,11 @@ import graft.sources.SnapshotLog
 
 /** MODEL-BASED LIFECYCLE FUZZ for the versioned table: a seeded random
   * sequence of every lifecycle verb (append / upsert / merge-with-
-  * deletes / sliced compact / restore / pin / gc) runs against BOTH the
-  * real SnapshotLog table and a trivial in-memory model (a Map plus a
-  * version→snapshot history). After every step the suite asserts the
-  * three invariants the format sells:
+  * deletes / sliced compact / Morton-curve compactZOrder / restore /
+  * pin / shallow clone / gc) runs against BOTH the real SnapshotLog
+  * table and a trivial in-memory model (a Map plus a version→snapshot
+  * history). After every step the suite asserts the invariants the
+  * format sells:
   *
   *   1. read(latest) == the model's current state — no verb, in any
   *      order, may lose/duplicate/corrupt a row;
@@ -19,15 +20,25 @@ import graft.sources.SnapshotLog
   *      compactions that rewrite the physical layout and GCs that
   *      delete sibling versions);
   *   3. manifest/data agreement: per-version manifest row counts sum
-  *      to the data's count, and segment [min,max] stats bound the
-  *      segment's actual keys (the stats-pruning contract readRange
-  *      and merge COW both trust).
+  *      to the data's count, segment [min,max] stats bound the
+  *      segment's actual keys, and — when a z-order rewrite left
+  *      second-column stats (which [[SnapshotLog.merge]] carries on
+  *      by-reference segments) — those bound the y column too (the
+  *      stats-pruning contract readRange/readBox/merge COW all trust);
+  *   4. a CHANGE-FEED FOLLOWER consumer riding along — bootstrapped
+  *      from v0, fed ONLY by followDiff deliveries (restores arrive as
+  *      inverse diffs; rewrite-only compactions are skipped) — tracks
+  *      the model through every verb in any order;
+  *   5. a SHALLOW CLONE taken at a random surviving version reads
+  *      byte-equal to that version's snapshot, diverges under its own
+  *      writes, and never disturbs the source.
   *
   * Individual verbs each have example-based specs (SourcesSpec); this
   * spec checks that they COMPOSE — the class of bug a fixed example
   * can't catch (e.g. compact after a delete-everything merge, gc with
-  * a pin on a restored version, upsert spanning a compaction slice
-  * boundary). Deterministic seed: failures reproduce exactly. */
+  * a pin on a restored version, a merge carrying 2-D stats over a
+  * z-ordered layout that a later 1-D compact rebuilds). Deterministic
+  * seed: failures reproduce exactly. */
 class SnapshotModelSpec extends AnyFunSuite {
   import TestSession._
 
@@ -38,6 +49,8 @@ class SnapshotModelSpec extends AnyFunSuite {
     d.getAbsolutePath
   }
 
+  private def yOf(k: Long): Long = k % 97L
+
   for (seed <- Seq(42, 7, 20260815))
   test(s"random lifecycle sequences (seed $seed): table == model at latest, time travel intact, stats bound data") {
     import spark.implicits._
@@ -45,17 +58,16 @@ class SnapshotModelSpec extends AnyFunSuite {
     val path = tmpDir(s"fuzz$seed")
     val keySpace = 400L
 
+    def toDf(rows: Seq[(Long, String)]) =
+      rows.map { case (k, p) => (k, yOf(k), p) }.toDF("k", "y", "p")
+
     var model = (0L until 40L).map(k => k -> s"v0_$k").toMap
-    SnapshotLog.create(spark,
-      model.toSeq.map { case (k, p) => (k, p) }.toDF("k", "p"), path, "k")
+    SnapshotLog.create(spark, toDf(model.toSeq), path, "k")
     // version -> model snapshot at that commit
     var hist = Map(0 -> model)
     var latest = 0
 
-    // invariant 4 state: a CHANGE-FEED FOLLOWER consumer riding along —
-    // bootstrapped from v0, fed ONLY by followDiff deliveries (restores
-    // arrive as inverse diffs; rewrite-only compactions are skipped) —
-    // must track the model through every verb in any order
+    // invariant 4 state: the follower consumer
     var followerState = model
 
     def commitSnap(v: Int): Unit = { hist += (v -> model); latest = v }
@@ -66,55 +78,77 @@ class SnapshotModelSpec extends AnyFunSuite {
         k -> s"${tag}_${k}_${rnd.nextInt(1000)}"
       }.distinct.groupBy(_._1).map(_._2.head).toSeq
 
+    def readMap(v: Option[Int] = None): Map[Long, String] =
+      SnapshotLog.read(spark, path, v).collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[String]("p"))).toMap
+
     // depth is env-tunable so a bug hunt can run long sequences
     // (SNAP_FUZZ_STEPS=200) without changing the committed default
     val steps = sys.env.getOrElse("SNAP_FUZZ_STEPS", "40").toInt
     for (step <- 1 to steps) {
-      rnd.nextInt(7) match {
+      rnd.nextInt(9) match {
         case 0 => // append strictly-new keys
           val base = keySpace + step * 100L
           val rows = (0 until 1 + rnd.nextInt(5))
             .map(i => (base + i) -> s"app${step}_$i")
-          val v = SnapshotLog.append(spark,
-            rows.toDF("k", "p"), path, "k")
+          val v = SnapshotLog.append(spark, toDf(rows), path, "k")
           model ++= rows; commitSnap(v)
         case 1 => // upsert (replace-or-insert)
           val rows = randomRows(1 + rnd.nextInt(8), s"ups$step")
-          val v = SnapshotLog.upsert(spark, rows.toDF("k", "p"), path, "k")
+          val v = SnapshotLog.upsert(spark, toDf(rows), path, "k")
           model ++= rows; commitSnap(v)
         case 2 => // merge: deletes + upserts in one commit
           val ups = randomRows(1 + rnd.nextInt(5), s"mrg$step")
           val delKeys = (0 until 1 + rnd.nextInt(6))
             .map(_ => rnd.nextLong(keySpace)).distinct
             .filterNot(ups.map(_._1).contains)
-          val df = (ups.map { case (k, p) => (k, p, false) } ++
-            delKeys.map(k => (k, "", true))).toDF("k", "p", "del")
+          val df = (ups.map { case (k, p) => (k, yOf(k), p, false) } ++
+            delKeys.map(k => (k, yOf(k), "", true)))
+            .toDF("k", "y", "p", "del")
           val v = SnapshotLog.merge(spark, df, path, "k", "del")
           model = model -- delKeys ++ ups; commitSnap(v)
         case 3 => // OPTIMIZE, sometimes sliced; rewrite-only: no model change
           val v = SnapshotLog.compact(spark, path, "k",
             minRows = Long.MaxValue, slices = 1 + rnd.nextInt(4))
           if (v != latest) commitSnap(v)
-        case 4 => // restore a random surviving version
+        case 4 => // OPTIMIZE ZORDER on (k, y): 6-column manifest appears
+          val v = SnapshotLog.compactZOrder(spark, path, "k", "y",
+            slices = 1 + rnd.nextInt(4))
+          if (v != latest) commitSnap(v)
+        case 5 => // restore a random surviving version
           val survivors = hist.keys.filter(
             SnapshotLog.manifestExists(path, _)).toSeq.sorted
           val target = survivors(rnd.nextInt(survivors.length))
           val v = SnapshotLog.restore(spark, path, target)
           if (v != latest) { model = hist(target); commitSnap(v) }
-        case 5 => // pin a random surviving version
+        case 6 => // pin a random surviving version
           val survivors = hist.keys.filter(
             SnapshotLog.manifestExists(path, _)).toSeq.sorted
           SnapshotLog.pin(path, survivors(rnd.nextInt(survivors.length)))
-        case 6 => // retention gc: drop expired versions from our record
+        case 7 => // retention gc: drop expired versions from our record
           val retain = 1 + rnd.nextInt(4)
           SnapshotLog.gc(spark, path, retainLast = retain)
           hist = hist.filter { case (v, _) =>
             SnapshotLog.manifestExists(path, v) }
+        case 8 => // invariant 5: shallow clone at a surviving version
+          val survivors = hist.keys.filter(
+            SnapshotLog.manifestExists(path, _)).toSeq.sorted
+          val target = survivors(rnd.nextInt(survivors.length))
+          val dst = tmpDir(s"fuzz${seed}_clone$step")
+          SnapshotLog.cloneTable(spark, path, dst, Some(target))
+          val cloneMap = SnapshotLog.read(spark, dst).collect()
+            .map(r => (r.getAs[Long]("k"), r.getAs[String]("p"))).toMap
+          assert(cloneMap == hist(target),
+            s"step $step: clone of v$target diverged from its snapshot")
+          // the clone's own writes never reach the source
+          SnapshotLog.upsert(spark, toDf(Seq(1L -> s"clone$step")), dst,
+            "k")
+          assert(readMap() == model,
+            s"step $step: a clone write leaked into the source")
       }
 
       // invariant 1: latest == model
-      val got = SnapshotLog.read(spark, path).collect()
-        .map(r => (r.getLong(0), r.getString(1))).toMap
+      val got = readMap()
       assert(got == model, s"step $step: latest diverged from model " +
         s"(missing=${(model.keySet -- got.keySet).take(5)}, " +
         s"extra=${(got.keySet -- model.keySet).take(5)})")
@@ -124,9 +158,7 @@ class SnapshotModelSpec extends AnyFunSuite {
       val survivors = hist.keys.toSeq.sorted
       (0 until 2).foreach { _ =>
         val v = survivors(rnd.nextInt(survivors.length))
-        val tt = SnapshotLog.read(spark, path, Some(v)).collect()
-          .map(r => (r.getLong(0), r.getString(1))).toMap
-        assert(tt == hist(v),
+        assert(readMap(Some(v)) == hist(v),
           s"step $step: time travel to v$v diverged from its snapshot")
       }
 
@@ -145,21 +177,28 @@ class SnapshotModelSpec extends AnyFunSuite {
       assert(followerState == model,
         s"step $step: follower-fed state diverged from the model")
 
-      // invariant 3: manifest stats agree with and bound the data
+      // invariant 3: manifest stats agree with and bound the data —
+      // including the second-column stats a z-order rewrite leaves and
+      // merge carries on by-reference segments
       val m = SnapshotLog.manifest(spark, path, latest).collect()
       assert(m.map(_.getAs[Long]("n_rows")).sum == model.size,
         s"step $step: manifest row counts disagree with the data")
+      val has2 = m.nonEmpty && m.head.schema.fieldNames.contains("min_key2")
       m.foreach { r =>
         val seg = r.getAs[String]("seg")
-        val ks = spark.read.parquet(seg).select(col("k")).collect()
-          .map(_.getLong(0))
-        assert(ks.nonEmpty &&
-          ks.min == r.getAs[Long]("min_key") &&
-          ks.max == r.getAs[Long]("max_key"),
+        val rows = spark.read.parquet(seg).select(col("k"), col("y"))
+          .collect().map(x => (x.getLong(0), x.getLong(1)))
+        assert(rows.nonEmpty &&
+          rows.map(_._1).min == r.getAs[Long]("min_key") &&
+          rows.map(_._1).max == r.getAs[Long]("max_key"),
           s"step $step: stats of $seg do not bound its keys")
+        if (has2 && !r.isNullAt(r.fieldIndex("min_key2")))
+          assert(rows.map(_._2).min == r.getAs[Long]("min_key2") &&
+            rows.map(_._2).max == r.getAs[Long]("max_key2"),
+            s"step $step: second-column stats of $seg do not bound y")
       }
     }
-    // end state sanity: the table survived 40 mixed lifecycle steps
+    // end state sanity: the table survived the mixed lifecycle steps
     assert(SnapshotLog.history(spark, path).count() == hist.size)
   }
 }
