@@ -1163,60 +1163,75 @@ object Warehouse {
     * Reference analog: the DB re-import cycle again
     * (ram-analysis/app/index.js) — this is the consumer that CANNOT
     * always be incremental and must know, provably, when it isn't. */
-  def q62FollowMvMinmax(spark: SparkSession, dir: String): DataFrame = {
-    import graft.sources.{ModelStore, SnapshotLog}
-    val (srcPath, _) = churnedMvSource(spark, dir, "fmmsrc")
-    val fp = ModelStore.corpusFingerprint(spark, s"$dir/orders.parquet")
-    val viewPath = ModelStore.root(spark) +
-      s"/fmmview_v1_${ModelStore.md5(s"fmmview|$fp")}"
-    def aggView(rows: DataFrame): DataFrame =
-      rows.groupBy(col("grp"))
-        .agg(count(lit(1)).as("cnt"), min(col("cents")).as("mn"),
-          max(col("cents")).as("mx"))
-    if (SnapshotLog.latestVersion(viewPath).isEmpty)
-      SnapshotLog.create(spark,
-        aggView(SnapshotLog.read(spark, srcPath, Some(0))), viewPath,
-        "grp")
-    // per-feed decision frame: post-feed count, insert-side extrema,
-    // and the EVICTION verdict against the pre-feed view row
-    def decide(feed: DataFrame, pre: DataFrame): DataFrame = {
-      val perGrp = feed.select(
-          coalesce(col("_new.grp"), col("_old.grp")).as("grp"),
-          when(col("change") === "insert", 1L)
-            .when(col("change") === "delete", -1L)
-            .otherwise(0L).as("dc"),
-          col("_new.cents").as("addv"), col("_old.cents").as("remv"))
-        .groupBy(col("grp"))
-        .agg(sum(col("dc")).as("dc"),
-          min(col("addv")).as("add_mn"), max(col("addv")).as("add_mx"),
-          min(col("remv")).as("rem_mn"), max(col("remv")).as("rem_mx"))
-      pre.join(perGrp.hint("shuffle_hash"), Seq("grp"), "right_outer")
-        .select(col("grp"),
-          (coalesce(col("cnt"), lit(0L)) + col("dc")).as("cnt"),
-          col("mn"), col("mx"), col("add_mn"), col("add_mx"),
-          coalesce(col("rem_mn").isNotNull && col("mn").isNotNull &&
-            (col("rem_mn") <= col("mn") || col("rem_mx") >= col("mx")),
-            lit(false)).as("evict"))
-    }
+  /** Per-group (count, min, max) over a (grp, cents) frame — the view
+    * shape [[minmaxMaintain]] maintains. */
+  private def minmaxAggView(rows: DataFrame): DataFrame =
+    rows.groupBy(col("grp"))
+      .agg(count(lit(1)).as("cnt"), min(col("cents")).as("mn"),
+        max(col("cents")).as("mx"))
+
+  /** Per-feed decision frame for min/max view maintenance: post-feed
+    * count, insert-side extrema, and the EVICTION verdict against the
+    * pre-feed view row (removed ties-or-beats an extremum → rescan). */
+  private[graft] def minmaxDecide(feed: DataFrame,
+                                  pre: DataFrame): DataFrame = {
+    val perGrp = feed.select(
+        coalesce(col("_new.grp"), col("_old.grp")).as("grp"),
+        when(col("change") === "insert", 1L)
+          .when(col("change") === "delete", -1L)
+          .otherwise(0L).as("dc"),
+        col("_new.cents").as("addv"), col("_old.cents").as("remv"))
+      .groupBy(col("grp"))
+      .agg(sum(col("dc")).as("dc"),
+        min(col("addv")).as("add_mn"), max(col("addv")).as("add_mx"),
+        min(col("remv")).as("rem_mn"), max(col("remv")).as("rem_mx"))
+    pre.join(perGrp.hint("shuffle_hash"), Seq("grp"), "right_outer")
+      .select(col("grp"),
+        (coalesce(col("cnt"), lit(0L)) + col("dc")).as("cnt"),
+        col("mn"), col("mx"), col("add_mn"), col("add_mx"),
+        coalesce(col("rem_mn").isNotNull && col("mn").isNotNull &&
+          (col("rem_mn") <= col("mn") || col("rem_mx") >= col("mx")),
+          lit(false)).as("evict"))
+  }
+
+  /** The min/max view-maintenance CONSUMER, extracted from
+    * [[q62FollowMvMinmax]] so specs can drive it against arbitrary
+    * sources (e.g. a mass-eviction feed): bootstraps the view from
+    * source v0 when absent, then follows `srcPath`'s change feed under
+    * follower/txn name `app`, maintaining the per-group (cnt, mn, mx)
+    * view at `viewPath` with the two-arm discipline documented on
+    * [[q62FollowMvMinmax]]. Returns versions delivered this call. */
+  private[graft] def minmaxMaintain(spark: SparkSession, srcPath: String,
+                                    viewPath: String, app: String): Int = {
+    import graft.sources.SnapshotLog
     def nullMin(a: org.apache.spark.sql.Column,
                 b: org.apache.spark.sql.Column) =
       when(a.isNull, b).when(b.isNull, a).otherwise(least(a, b))
     def nullMax(a: org.apache.spark.sql.Column,
                 b: org.apache.spark.sql.Column) =
       when(a.isNull, b).when(b.isNull, a).otherwise(greatest(a, b))
-    SnapshotLog.followDiff(spark, srcPath, "key", "mvmm") { (feed, v) =>
-      if (SnapshotLog.lastTxnVersion(viewPath, "mvmm").forall(_ < v)) {
-        val d = decide(feed, SnapshotLog.read(spark, viewPath))
+    if (SnapshotLog.latestVersion(viewPath).isEmpty)
+      SnapshotLog.create(spark,
+        minmaxAggView(SnapshotLog.read(spark, srcPath, Some(0))), viewPath,
+        "grp")
+    SnapshotLog.followDiff(spark, srcPath, "key", app) { (feed, v) =>
+      if (SnapshotLog.lastTxnVersion(viewPath, app).forall(_ < v)) {
+        val d = minmaxDecide(feed, SnapshotLog.read(spark, viewPath))
           .localCheckpoint(true)
         // evicted groups re-aggregate from the source AT THE FEED'S
-        // version; the list is groups-sized driver state by design
-        val rescanGrps = d.filter(col("evict")).select(col("grp"))
-          .collect().map(_.getLong(0))
+        // version, selected by a broadcast LEFT-SEMI join against the
+        // eviction frame — never a collect: a feed that evicts every
+        // group (a whole-partition delete) stays executor-side instead
+        // of building a driver list and a groups-sized isin expression
+        // tree. The one driver touch is a 1-row any-evictions probe
+        // that lets an eviction-free feed skip the source read.
+        val anyEvict = d.filter(col("evict")).limit(1).count() > 0L
         val rescanned =
-          if (rescanGrps.isEmpty) d.select(col("grp"), col("cnt"),
+          if (!anyEvict) d.select(col("grp"), col("cnt"),
             col("mn"), col("mx")).limit(0)
-          else aggView(SnapshotLog.read(spark, srcPath, Some(v))
-            .filter(col("grp").isin(rescanGrps: _*)))
+          else minmaxAggView(SnapshotLog.read(spark, srcPath, Some(v))
+            .join(broadcast(d.filter(col("evict")).select(col("grp"))),
+              Seq("grp"), "left_semi"))
         val emptied = d.filter(col("evict") && col("cnt") === 0L)
           .select(col("grp"), col("cnt"),
             lit(null).cast("long").as("mn"), lit(null).cast("long").as("mx"))
@@ -1227,16 +1242,33 @@ object Warehouse {
         SnapshotLog.merge(spark,
           incr.unionByName(rescanned).unionByName(emptied)
             .withColumn("_del", col("cnt") === 0L),
-          viewPath, "grp", "_del", txn = Some(("mvmm", v)))
+          viewPath, "grp", "_del", txn = Some((app, v)))
         d.unpersist()
         ()
       }
     }
+  }
+
+  def q62FollowMvMinmax(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{ModelStore, SnapshotLog}
+    val (srcPath, _) = churnedMvSource(spark, dir, "fmmsrc")
+    val fp = ModelStore.corpusFingerprint(spark, s"$dir/orders.parquet")
+    val viewPath = ModelStore.root(spark) +
+      s"/fmmview_v1_${ModelStore.md5(s"fmmview|$fp")}"
+    minmaxMaintain(spark, srcPath, viewPath, "mvmm")
     // replay-stable eviction audit: re-derive every historical feed's
-    // decisions from COMMITTED state (view version v-1 + source diff)
+    // decisions from COMMITTED state (view version v-1 + source diff).
+    // The v-1 pairing assumes every source commit landed exactly one
+    // view commit (true here: churnedMvSource never compacts, and the
+    // follower starts at v0) — assert it, so a future rewrite-only
+    // source commit or a late-starting follower fails loudly instead
+    // of silently auditing the wrong view version.
     val vSrc = SnapshotLog.latestVersion(srcPath).get
+    require(SnapshotLog.latestVersion(viewPath).contains(vSrc),
+      s"q62 audit: view history (${SnapshotLog.latestVersion(viewPath)}) " +
+        s"is not 1:1 with source feeds ($vSrc) - the v-1 pairing is invalid")
     val rescans = (1 to vSrc).map { v =>
-      decide(SnapshotLog.diff(spark, srcPath, v - 1, v, "key"),
+      minmaxDecide(SnapshotLog.diff(spark, srcPath, v - 1, v, "key"),
           SnapshotLog.read(spark, viewPath, Some(v - 1)))
         .filter(col("evict")).count()
     }.sum

@@ -244,6 +244,18 @@ object SnapshotLog {
   private def commit(rows: DataFrame, path: String, v: Int,
                      rewriteOnly: Boolean = false,
                      txn: Option[(String, Int)] = None): Int = {
+    // A commit must be the new MAXIMUM version. Without this guard a
+    // stale caller computing baseV+1 after [[gc]] expired that number
+    // (pins leave non-contiguous survivors) would rename onto a
+    // no-longer-existing manifest dir successfully and silently
+    // RE-CREATE an old version number with new content — forking time
+    // travel and [[history]]. Racing writers of the same fresh number
+    // both pass (v == latest+1); the rename still adjudicates them.
+    latestVersion(path).foreach { l =>
+      if (v <= l) throw new ConcurrentCommitException(
+        s"commit of version $v at $path is behind committed latest $l; " +
+          "re-read latestVersion and retry on top of it")
+    }
     val target = new Path(manifestDir(path, v))
     val fs = fsOf(target)
     val tmp = new Path(logDir(path),
@@ -343,12 +355,20 @@ object SnapshotLog {
           org.apache.spark.sql.types.LongType, nullable = true),
         org.apache.spark.sql.types.StructField("max_key",
           org.apache.spark.sql.types.LongType, nullable = true))))
+    // ELIDE an empty segment (like [[merge]] already does): its null
+    // stats would otherwise ride in the manifest forever and read as
+    // range [0,0] wherever stats are unboxed; the version still
+    // commits (an append always advances the table), just with no new
+    // segment row, and the orphan dir is [[gc]]'s to sweep
+    val emptySeg = seg.getAs[Long]("n_rows") == 0L
     var attempts = 0
     while (true) {
       try {
         val prev = manifest(spark, path, v - 1)
-        return commit(prev.unionByName(segRow,
-          allowMissingColumns = true), path, v)
+        return commit(
+          if (emptySeg) prev
+          else prev.unionByName(segRow, allowMissingColumns = true),
+          path, v)
       } catch {
         case e: ConcurrentCommitException =>
           attempts += 1
@@ -468,6 +488,11 @@ object SnapshotLog {
     val curSegs = cur.map(_.getAs[String]("seg")).toSet
     (prev.filterNot(r => curSegs(r.getAs[String]("seg"))) ++
       cur.filterNot(r => prevSegs(r.getAs[String]("seg"))))
+      // an empty segment's min/max stats are NULL — getAs[Long] would
+      // unbox them to 0 and fabricate a range [0,0] that spuriously
+      // refuses rebases covering key 0; zero rows touch no range
+      .filter(r => r.getAs[Long]("n_rows") > 0 &&
+        !r.isNullAt(r.fieldIndex("min_key")))
       .map(r => (r.getAs[Long]("min_key"), r.getAs[Long]("max_key"))).toSeq
   }
 
@@ -1208,17 +1233,32 @@ object SnapshotLog {
 
   /** Version history: one row per committed version still on disk
     * (a [[gc]]-expired version drops out of the history, as it should —
-    * its manifest no longer exists). */
+    * its manifest no longer exists). ONE Spark job no matter the
+    * version count: every surviving manifest is read in a single
+    * parquet scan and the version number recovered from each row's
+    * own manifest file path — a 10k-commit table pays one job, not
+    * 10k sequential agg jobs. */
   def history(spark: SparkSession, path: String): DataFrame = {
     val latest = latestVersion(path).getOrElse(
       sys.error(s"no committed version at $path"))
     val fs = fsOf(new Path(path))
-    (0 to latest)
+    val versions = (0 to latest)
       .filter(v => fs.exists(new Path(manifestDir(path, v))))
-      .map { v =>
-        manifest(spark, path, v)
-          .agg(count(lit(1)).as("n_segments"), sum(col("n_rows")).as("n_rows"))
-          .select(lit(v).as("version"), col("n_segments"), col("n_rows"))
-      }.reduce(_ unionByName _).orderBy(col("version"))
+    val agg = spark.read.parquet(versions.map(manifestDir(path, _)): _*)
+      .withColumn("version",
+        regexp_extract(input_file_name(), "/v(\\d{5,})/[^/]*$", 1)
+          .cast("int"))
+      .groupBy(col("version"))
+      .agg(count(lit(1)).as("n_segments"), sum(col("n_rows")).as("n_rows"))
+    import spark.implicits._
+    // left join, not the agg alone: a delete-everything merge commits a
+    // SEGMENT-LESS manifest (zero rows) whose version must still appear
+    // in the history as (v, 0, null)
+    versions.toDF("version")
+      .join(broadcast(agg), Seq("version"), "left_outer")
+      .select(col("version"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        col("n_rows"))
+      .orderBy(col("version"))
   }
 }

@@ -769,4 +769,37 @@ class WarehouseSpec extends AnyFunSuite {
     assert(again.toSeq == got.toSeq &&
       SnapshotLog.latestVersion(p("fmmview")).contains(2))
   }
+
+  test("q62 maintenance under MASS EVICTION: a feed evicting every group takes the semi-join rescan arm and converges, no driver collect") {
+    import graft.sources.SnapshotLog
+    val root = "target/tmp-warehouse-massevict"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val srcPath = s"$root/src"; val viewPath = s"$root/view"
+    import spark.implicits._
+    // 8 groups x 40 rows; cents = grp*1000 + i so each group's min is
+    // its i=0 row and max its i=39 row
+    val v0 = (0L until 8L).flatMap(g => (0L until 40L).map(i =>
+      (g * 100L + i, g, g * 1000L + i))).toDF("key", "grp", "cents")
+    SnapshotLog.create(spark, v0, srcPath, "key")
+    // the mass-eviction feed: DELETE every group's current min AND max
+    // — all 8 groups evict, the rescan arm must select every group
+    val feed = (0L until 8L).flatMap(g => Seq(
+      (g * 100L, g, g * 1000L, true),
+      (g * 100L + 39L, g, g * 1000L + 39L, true))).toDF(
+      "key", "grp", "cents", "_del")
+    SnapshotLog.merge(spark, feed, srcPath, "key", "_del")
+    Warehouse.minmaxMaintain(spark, srcPath, viewPath, "massev")
+    val got = SnapshotLog.read(spark, viewPath).collect()
+      .map(r => (r.getAs[Long]("grp"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("mn"), r.getAs[Long]("mx"))).sortBy(_._1)
+    val expect = (0L until 8L).map(g =>
+      (g, 38L, g * 1000L + 1L, g * 1000L + 38L))
+    assert(got.toSeq == expect,
+      "every group must have re-derived its runner-up extrema via the rescan arm")
+    // and the decision frame really evicted ALL groups
+    val d = Warehouse.minmaxDecide(
+      SnapshotLog.diff(spark, srcPath, 0, 1, "key"),
+      SnapshotLog.read(spark, viewPath, Some(0)))
+    assert(d.filter(col("evict")).count() == 8L)
+  }
 }
