@@ -724,8 +724,11 @@ object Warehouse {
     val fp = ModelStore.corpusFingerprint(spark, s"$dir/orders.parquet")
     val pathL = ModelStore.root(spark) +
       s"/zlin_v1_${ModelStore.md5(s"zlin|$fp")}"
+    // _v2: the manifest's secondary stats moved from min_key2/max_key2
+    // columns to the per-column stats map — a warm _v1 table would be
+    // read format-blind and lose its date-axis pruning
     val pathZ = ModelStore.root(spark) +
-      s"/zord_v1_${ModelStore.md5(s"zord|$fp")}"
+      s"/zord_v2_${ModelStore.md5(s"zord|$fp")}"
     def churn(path: String): Unit = {
       if (SnapshotLog.latestVersion(path).isEmpty)
         SnapshotLog.create(spark, o.filter(col("key") % 8 === 0), path,

@@ -387,8 +387,8 @@ object SnapshotLog {
                               path: String, keyCol: String, v: Int): Int = {
     val prev = manifest(spark, path, v - 1)
     // allowMissingColumns: an append after [[compactZOrder]] carries a
-    // 4-column stats row into a 6-column manifest — the new segment's
-    // second-column stats are null (readers prune conservatively)
+    // stats-less row into a manifest with a per-column stats map — the
+    // new segment's map is null (readers prune conservatively)
     commit(prev.unionByName(writeSegment(spark, df, path, v, 0, keyCol),
       allowMissingColumns = true), path, v)
   }
@@ -426,10 +426,11 @@ object SnapshotLog {
                              txn: Option[(String, Int)] = None): Int = {
     val Array(lo, hi) = df.agg(min(col(keyCol)), max(col(keyCol)))
       .collect().head.toSeq.map(x => x.asInstanceOf[Long]).toArray
-    // the manifest is segment-count-sized: collecting it is the point
+    // the manifest is segment-count-sized: collecting it is the point.
+    // Empty segments (a legacy empty append) are dropped here — they
+    // hold no rows, so eliding them from the new manifest loses nothing
     val m = manifest(spark, path, v - 1)
-    val has2 = m.columns.contains("min_key2")
-    val segs = m.collect()
+    val segs = m.collect().filter(_.getAs[Long]("n_rows") > 0)
     val (affected, untouched) = segs.partition { r =>
       r.getAs[Long]("max_key") >= lo && r.getAs[Long]("min_key") <= hi
     }
@@ -446,34 +447,22 @@ object SnapshotLog {
     val newSeg = writeSegment(spark,
       survivors.unionByName(inserts, allowMissingColumns = true), path,
       v, 0, keyCol)
-      .collect().filter(_.getAs[Long]("n_rows") > 0)
-    import spark.implicits._
-    if (!has2) {
-      val rows = untouched.map(r => (r.getAs[String]("seg"),
-        r.getAs[Long]("n_rows"), r.getAs[Long]("min_key"),
-        r.getAs[Long]("max_key"))) ++
-        newSeg.map(r => (r.getAs[String]("seg"), r.getAs[Long]("n_rows"),
-          r.getAs[Long]("min_key"), r.getAs[Long]("max_key")))
-      commit(rows.toSeq.toDF("seg", "n_rows", "min_key", "max_key"),
-        path, v, txn = txn)
-    } else {
-      // a [[compactZOrder]]ed table: segments carried BY REFERENCE keep
-      // their physical z-clustering, so carrying their second-column
-      // stats costs nothing and keeps [[readBox]]'s date-axis pruning
-      // alive between OPTIMIZE runs; only the rewritten segment (whose
-      // clustering the rewrite destroyed anyway) drops to null —
-      // readers treat null as "scan it"
-      def k2(r: org.apache.spark.sql.Row, c: String): Option[Long] =
-        Option(r.getAs[java.lang.Long](c)).map(_.longValue)
-      val rows = untouched.map(r => (r.getAs[String]("seg"),
-        r.getAs[Long]("n_rows"), r.getAs[Long]("min_key"),
-        r.getAs[Long]("max_key"), k2(r, "min_key2"), k2(r, "max_key2"))) ++
-        newSeg.map(r => (r.getAs[String]("seg"), r.getAs[Long]("n_rows"),
-          r.getAs[Long]("min_key"), r.getAs[Long]("max_key"),
-          None: Option[Long], None: Option[Long]))
-      commit(rows.toSeq.toDF("seg", "n_rows", "min_key", "max_key",
-        "min_key2", "max_key2"), path, v, txn = txn)
-    }
+      .filter(col("n_rows") > 0)
+    // segments carried BY REFERENCE keep their manifest row VERBATIM —
+    // whatever stats columns the manifest carries (the per-column
+    // `stats` map a [[compactZOrder]] leaves) ride along untouched,
+    // because the segments' physical clustering is untouched: carrying
+    // the stats costs nothing and keeps [[readBox]]'s secondary-axis
+    // pruning alive between OPTIMIZE runs. Only the rewritten segment
+    // (whose clustering the rewrite destroyed anyway) has no secondary
+    // stats — readers treat a missing entry as "scan it". No per-shape
+    // fork: this is column-set-agnostic by construction.
+    val untouchedSegs = untouched.map(_.getAs[String]("seg")).toSeq
+    val carried =
+      if (untouchedSegs.isEmpty) m.limit(0)
+      else m.filter(col("seg").isin(untouchedSegs: _*))
+    commit(carried.unionByName(newSeg, allowMissingColumns = true),
+      path, v, txn = txn)
   }
 
   /** Key ranges version `w`'s commit WROTE or REMOVED: the min/max
@@ -685,7 +674,10 @@ object SnapshotLog {
     * clustered along the Morton curve of `(xCol, yCol)`, and the new
     * manifest carries per-segment min/max stats for BOTH columns
     * (`min_key`/`max_key` on `xCol` — the table's key stats contract —
-    * plus `min_key2`/`max_key2` on `yCol`). [[compact]]'s 1-D
+    * plus a PER-COLUMN `stats` map entry for `yCol`, and one for every
+    * extra column in `statsCols`: the Iceberg-style general form, so a
+    * third probe column is one more map entry, never a manifest-shape
+    * fork). [[compact]]'s 1-D
     * clustering keeps ONE probe family alive; real tables serve two
     * (orders by customer AND by date). Z-clustering makes each segment
     * a compact 2-D tile, so per-column min/max are tight on both axes
@@ -704,16 +696,18 @@ object SnapshotLog {
     * [[compact]], the rewrite commits a NEW version — every prior
     * version's time travel is byte-identical after it.
     *
-    * Stats lifecycle: [[merge]] CARRIES the second-column stats on
+    * Stats lifecycle: [[merge]] CARRIES the per-column stats map on
     * every segment it rides by reference (their physical clustering is
-    * untouched, so the stats stay tight for free) and nulls them only
-    * on its own rewritten segment; [[compact]] rebuilds the manifest
-    * 4-column — its fold destroys the z-clustering anyway. Re-run
+    * untouched, so the stats stay tight for free) and leaves it null
+    * only on its own rewritten segment; [[compact]] rebuilds the
+    * manifest stats-less — its fold destroys the z-clustering anyway.
+    * Re-run
     * compactZOrder to restore both, the production OPTIMIZE cadence.
     * Readers treat missing/null stats as "scan it" — always correct,
     * never tight. */
   def compactZOrder(spark: SparkSession, path: String, xCol: String,
-                    yCol: String, slices: Int = 16): Int = {
+                    yCol: String, slices: Int = 16,
+                    statsCols: Seq[String] = Nil): Int = {
     require(slices >= 1, s"slices must be >= 1, got $slices")
     val v0 = latestVersion(path).getOrElse(
       sys.error(s"zorder compact of non-existent table $path"))
@@ -747,60 +741,116 @@ object SnapshotLog {
     // per-slice stats in ONE aggregation grouped by the slice id Spark
     // rediscovers from the partition directory names — not a read job
     // per slice (at 100s of slices the sequential-jobs version IS the
-    // compaction's cost)
+    // compaction's cost). The SECONDARY columns (yCol plus any caller
+    // statsCols) land in the manifest's per-column `stats` map —
+    // adding a stats column is one more agg pair here, never a new
+    // manifest shape fork downstream.
+    val secondary = (yCol +: statsCols).distinct.filterNot(_ == xCol)
+    val aggCols = Seq(count(lit(1)), min(xL), max(xL)) ++
+      secondary.flatMap(c =>
+        Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
     val stats = spark.read.parquet(tmp.toString)
       .groupBy(col("_snap_slice"))
-      .agg(count(lit(1)), min(xL), max(xL), min(yL), max(yL))
+      .agg(aggCols.head, aggCols.tail: _*)
       .collect()
-      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5)))
+      .map(r => r.getInt(0) -> r)
       .toMap
-    val rows = (0 until slices).flatMap { i =>
-      stats.get(i).filter(_._1 > 0L).map { case (n, mnx, mxx, mny, mxy) =>
-        val dir = f"$path/data/c$v%05d-$i-" +
-          java.util.UUID.randomUUID().toString.take(8)
-        fs.mkdirs(new Path(path, "data"))
-        if (!fs.rename(new Path(tmp, s"_snap_slice=$i"), new Path(dir)))
-          sys.error(s"zorder compaction could not move slice $i to $dir")
-        (dir, n, mnx, mxx, mny, mxy)
+    val rows: Seq[org.apache.spark.sql.Row] =
+      (0 until slices).flatMap { i =>
+        stats.get(i).filter(_.getLong(1) > 0L).map { r =>
+          val dir = f"$path/data/c$v%05d-$i-" +
+            java.util.UUID.randomUUID().toString.take(8)
+          fs.mkdirs(new Path(path, "data"))
+          if (!fs.rename(new Path(tmp, s"_snap_slice=$i"), new Path(dir)))
+            sys.error(s"zorder compaction could not move slice $i to $dir")
+          val sMap = secondary.zipWithIndex.map { case (c, j) =>
+            c -> org.apache.spark.sql.Row(r.getLong(4 + 2 * j),
+              r.getLong(5 + 2 * j))
+          }.toMap
+          org.apache.spark.sql.Row(dir, r.getLong(1), r.getLong(2),
+            r.getLong(3), sMap)
+        }
       }
-    }
     fs.delete(tmp, true)
-    import spark.implicits._
-    commit(rows.toDF("seg", "n_rows", "min_key", "max_key",
-      "min_key2", "max_key2"), path, v, rewriteOnly = true)
+    import scala.jdk.CollectionConverters._
+    commit(spark.createDataFrame(new java.util.ArrayList(rows.asJava),
+      manifestStatsSchema), path, v, rewriteOnly = true)
+  }
+
+  /** Manifest schema when per-column secondary stats are present: the
+    * 4-column base plus `stats: map<column, struct<mn, mx>>`. Readers
+    * treat a missing map, a null map, or a missing entry identically —
+    * "scan it"; writers that add a stats column never fork the
+    * manifest shape again. */
+  private val manifestStatsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("seg", StringType, nullable = true),
+      StructField("n_rows", LongType, nullable = true),
+      StructField("min_key", LongType, nullable = true),
+      StructField("max_key", LongType, nullable = true),
+      StructField("stats", MapType(StringType,
+        StructType(Seq(StructField("mn", LongType, nullable = true),
+          StructField("mx", LongType, nullable = true))),
+        valueContainsNull = false), nullable = true)))
+  }
+
+  /** The `[mn, mx]` range recorded for `c` in a manifest row's
+    * per-column stats map, or None when the manifest/row/entry lacks
+    * it (readers must then scan the segment — correct, never tight). */
+  private def statsRange(r: org.apache.spark.sql.Row,
+                         c: String): Option[(Long, Long)] = {
+    if (!r.schema.fieldNames.contains("stats")) return None
+    val i = r.fieldIndex("stats")
+    if (r.isNullAt(i)) return None
+    r.getMap[String, org.apache.spark.sql.Row](i).get(c)
+      .map(s => (s.getLong(0), s.getLong(1)))
   }
 
   /** Two-column stats-pruned BOX read — [[readRange]]'s 2-D twin over
     * a [[compactZOrder]]ed table: a segment is scanned only when its
     * `[min_key, max_key]` intersects `[xLo, xHi]` AND (when present)
-    * its `[min_key2, max_key2]` intersects `[yLo, yHi]`; manifests or
-    * rows without second-column stats prune on the first column only
+    * its stats-map entry for `yCol` intersects `[yLo, yHi]`; manifests
+    * or rows without secondary stats prune on the first column only
     * (correct, just not tight). Both residual predicates push into the
     * scanned segments' parquet scan. Returns (rows, scanned, total). */
   def readBox(spark: SparkSession, path: String, xCol: String,
               yCol: String, xLo: Long, xHi: Long, yLo: Long, yHi: Long,
-              version: Option[Int] = None): (DataFrame, Int, Int) = {
+              version: Option[Int] = None): (DataFrame, Int, Int) =
+    readProbe(spark, path, xCol, xLo, xHi, Seq((yCol, yLo, yHi)), version)
+
+  /** N-COLUMN stats-pruned read — the general data-skipping probe: a
+    * segment is scanned only when its `[min_key, max_key]` intersects
+    * the key probe AND, for EVERY `(c, lo, hi)` in `probes`, its
+    * per-column stats-map entry for `c` (when present) intersects
+    * `[lo, hi]`. A missing map or entry is "scan it" — conservative,
+    * never wrong. All residual predicates push into the scanned
+    * segments' parquet scan. Returns (rows, scanned, total). */
+  def readProbe(spark: SparkSession, path: String, keyCol: String,
+                keyLo: Long, keyHi: Long,
+                probes: Seq[(String, Long, Long)],
+                version: Option[Int] = None): (DataFrame, Int, Int) = {
     val v = version.orElse(latestVersion(path))
       .getOrElse(sys.error(s"no committed version at $path"))
-    val m = manifest(spark, path, v)
-    val has2 = m.columns.contains("min_key2")
-    val segs = m.collect()
+    val segs = manifest(spark, path, v).collect()
     val hit = segs.filter { r =>
-      r.getAs[Long]("max_key") >= xLo && r.getAs[Long]("min_key") <= xHi &&
-        (!has2 || r.isNullAt(r.fieldIndex("min_key2")) ||
-          (r.getAs[Long]("max_key2") >= yLo &&
-            r.getAs[Long]("min_key2") <= yHi))
+      r.getAs[Long]("max_key") >= keyLo &&
+        r.getAs[Long]("min_key") <= keyHi &&
+        probes.forall { case (c, lo, hi) =>
+          statsRange(r, c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+        }
+    }
+    val pred = probes.foldLeft(col(keyCol) >= keyLo && col(keyCol) <= keyHi) {
+      case (p, (c, lo, hi)) => p && col(c) >= lo && col(c) <= hi
     }
     val rows =
       if (hit.isEmpty)
         spark.read.parquet(segs.headOption.map(_.getAs[String]("seg"))
           .orElse(anchorSeg(spark, path, v)).getOrElse(sys.error(
-            s"readBox at $path: no surviving version lists a segment " +
+            s"readProbe at $path: no surviving version lists a segment " +
               "to anchor the table schema"))).limit(0)
       else spark.read.parquet(hit.map(_.getAs[String]("seg")): _*)
-        .filter(col(xCol) >= xLo && col(xCol) <= xHi &&
-          col(yCol) >= yLo && col(yCol) <= yHi)
+        .filter(pred)
     (rows, hit.length, segs.length)
   }
 
@@ -873,8 +923,8 @@ object SnapshotLog {
     val f = stageFile(path, name)
     val staged = spark.read.parquet(f.toString)
     // allowMissingColumns: a publish onto a [[compactZOrder]]ed table
-    // unions the 4-column staged manifest into a 6-column latest —
-    // the staged segments' second-column stats read as null (readers
+    // unions the stats-less staged manifest into a stats-mapped latest
+    // — the staged segments' stats map reads as null (readers
     // prune conservatively), exactly [[appendAt]]'s posture
     val committed = commit(
       manifest(spark, path, v).unionByName(staged,

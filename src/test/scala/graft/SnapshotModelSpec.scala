@@ -111,7 +111,7 @@ class SnapshotModelSpec extends AnyFunSuite {
           val v = SnapshotLog.compact(spark, path, "k",
             minRows = Long.MaxValue, slices = 1 + rnd.nextInt(4))
           if (v != latest) commitSnap(v)
-        case 4 => // OPTIMIZE ZORDER on (k, y): 6-column manifest appears
+        case 4 => // OPTIMIZE ZORDER on (k, y): the stats map appears
           val v = SnapshotLog.compactZOrder(spark, path, "k", "y",
             slices = 1 + rnd.nextInt(4))
           if (v != latest) commitSnap(v)
@@ -183,7 +183,7 @@ class SnapshotModelSpec extends AnyFunSuite {
       val m = SnapshotLog.manifest(spark, path, latest).collect()
       assert(m.map(_.getAs[Long]("n_rows")).sum == model.size,
         s"step $step: manifest row counts disagree with the data")
-      val has2 = m.nonEmpty && m.head.schema.fieldNames.contains("min_key2")
+      val hasStats = m.nonEmpty && m.head.schema.fieldNames.contains("stats")
       m.foreach { r =>
         val seg = r.getAs[String]("seg")
         val rows = spark.read.parquet(seg).select(col("k"), col("y"))
@@ -192,10 +192,18 @@ class SnapshotModelSpec extends AnyFunSuite {
           rows.map(_._1).min == r.getAs[Long]("min_key") &&
           rows.map(_._1).max == r.getAs[Long]("max_key"),
           s"step $step: stats of $seg do not bound its keys")
-        if (has2 && !r.isNullAt(r.fieldIndex("min_key2")))
-          assert(rows.map(_._2).min == r.getAs[Long]("min_key2") &&
-            rows.map(_._2).max == r.getAs[Long]("max_key2"),
-            s"step $step: second-column stats of $seg do not bound y")
+        // the per-column stats map: EVERY entry must bound its column
+        // exactly (z-order writes y; merge carries the map by reference)
+        if (hasStats && !r.isNullAt(r.fieldIndex("stats"))) {
+          val byCol = Map("k" -> rows.map(_._1), "y" -> rows.map(_._2))
+          r.getMap[String, org.apache.spark.sql.Row](r.fieldIndex("stats"))
+            .foreach { case (c, mm) =>
+              val vals = byCol.getOrElse(c,
+                fail(s"step $step: stats entry for unknown column $c"))
+              assert(vals.min == mm.getLong(0) && vals.max == mm.getLong(1),
+                s"step $step: stats[$c] of $seg do not bound the column")
+            }
+        }
       }
     }
     // end state sanity: the table survived the mixed lifecycle steps

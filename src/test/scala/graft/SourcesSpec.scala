@@ -417,8 +417,10 @@ class SourcesSpec extends AnyFunSuite {
     val m = SnapshotLog.manifest(spark, path, 4).collect()
     assert(m.length == 16)
     assert(m.forall { r =>
+      val y = r.getMap[String, org.apache.spark.sql.Row](
+        r.fieldIndex("stats"))("y")
       r.getAs[Long]("max_key") - r.getAs[Long]("min_key") == 7L &&
-        r.getAs[Long]("max_key2") - r.getAs[Long]("min_key2") == 7L
+        y.getLong(1) - y.getLong(0) == 7L
     }, "every z slice must be a compact 8x8 tile on BOTH axes")
     assert(m.map(_.getAs[Long]("n_rows")).sum == pts.length)
     // time travel to the pre-compaction version is untouched
@@ -804,7 +806,7 @@ class SourcesSpec extends AnyFunSuite {
       "a refused rebase must leave the interleaved commit serving")
   }
 
-  test("SnapshotLog: WAP publish onto a z-ordered (6-column-manifest) table") {
+  test("SnapshotLog: WAP publish onto a z-ordered (stats-mapped-manifest) table") {
     import spark.implicits._
     import graft.sources.SnapshotLog
     val path = tmpDir("snaplog_wapz")
@@ -815,19 +817,55 @@ class SourcesSpec extends AnyFunSuite {
       (64L until 128L).map(i => (i, i % 8, s"b$i")).toDF("k", "y", "p"),
       path, "k")
     SnapshotLog.compactZOrder(spark, path, "k", "y", slices = 4)
-    // the staged manifest is 4-column; publish must widen it into the
-    // 6-column latest (appendAt already does; publish regressed)
+    // the staged manifest is stats-less; publish must widen it into
+    // the stats-mapped latest (appendAt already does; publish
+    // regressed once)
     SnapshotLog.stage(spark,
       (128L until 140L).map(i => (i, i % 8, s"c$i")).toDF("k", "y", "p"),
       path, "k", "batch1")
     val v = SnapshotLog.publishStage(spark, path, "batch1")
     assert(SnapshotLog.read(spark, path, Some(v)).count() == 140)
     val m = SnapshotLog.manifest(spark, path, v)
-    assert(m.columns.contains("min_key2"))
+    assert(m.columns.contains("stats"))
     val staged = m.filter(col("min_key") === 128L).collect()
     assert(staged.length == 1 && staged.head.isNullAt(
-        staged.head.fieldIndex("min_key2")),
-      "published segments carry null second-column stats (prune conservatively)")
+        staged.head.fieldIndex("stats")),
+      "published segments carry a null stats map (prune conservatively)")
+  }
+
+  test("SnapshotLog: three-column stats via statsCols — readProbe prunes on every recorded axis") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val path = tmpDir("snaplog_3col")
+    // k in [0,255], y = k/16 (correlated), w = k/32 (also correlated):
+    // z-tiles on (k,y) are tight on w too — w stats come free via
+    // statsCols, no third manifest shape
+    val rows = (0L until 256L).map(i => (i, i / 16L, i / 32L, s"p$i"))
+    SnapshotLog.create(spark,
+      rows.filter(_._1 % 2 == 0).toDF("k", "y", "w", "p"), path, "k")
+    SnapshotLog.append(spark,
+      rows.filter(_._1 % 2 == 1).toDF("k", "y", "w", "p"), path, "k")
+    SnapshotLog.compactZOrder(spark, path, "k", "y", slices = 8,
+      statsCols = Seq("w"))
+    val m = SnapshotLog.manifest(spark, path,
+      SnapshotLog.latestVersion(path).get).collect()
+    assert(m.forall { r =>
+      val s = r.getMap[String, org.apache.spark.sql.Row](
+        r.fieldIndex("stats"))
+      s.contains("y") && s.contains("w")
+    }, "every slice must carry stats entries for BOTH secondary columns")
+    // a w-only probe prunes even though w was never a z-order column
+    val (rowsW, scannedW, totalW) = SnapshotLog.readProbe(spark, path,
+      "k", 0L, 255L, Seq(("w", 2L, 3L)))
+    assert(scannedW < totalW,
+      s"third-column probe must prune ($scannedW/$totalW)")
+    assert(rowsW.count() == rows.count(t => t._3 >= 2L && t._3 <= 3L))
+    // and a combined (y, w) probe intersects both maps
+    val (rowsYW, scannedYW, _) = SnapshotLog.readProbe(spark, path,
+      "k", 0L, 255L, Seq(("y", 4L, 5L), ("w", 2L, 2L)))
+    assert(scannedYW <= scannedW)
+    assert(rowsYW.count() ==
+      rows.count(t => t._2 >= 4L && t._2 <= 5L && t._3 == 2L))
   }
 
   test("SnapshotLog: a delete-everything merge commits a segment-less manifest that still reads, diffs and range-probes") {
@@ -866,7 +904,7 @@ class SourcesSpec extends AnyFunSuite {
     assert(d12.length == 5 && d12.forall(_.getString(1) == "insert"))
   }
 
-  test("SnapshotLog: merge carries second-column stats on by-reference segments — date probes stay pruned") {
+  test("SnapshotLog: merge carries per-column stats on by-reference segments — date probes stay pruned") {
     import spark.implicits._
     import graft.sources.SnapshotLog
     val path = tmpDir("snaplog_zmerge")
@@ -888,9 +926,10 @@ class SourcesSpec extends AnyFunSuite {
       Seq((0L, 0L, "A0", false), (1L, 0L, "A1", false))
         .toDF("k", "y", "p", "del"), path, "k", "del")
     val m = SnapshotLog.manifest(spark, path, vz + 1)
-    assert(m.columns.contains("min_key2"),
-      "merge onto a z-ordered table must keep the 6-column manifest")
-    val carried = m.filter(col("min_key2").isNotNull).count()
+    assert(m.columns.contains("stats"),
+      "merge onto a z-ordered table must keep the stats-mapped manifest")
+    val carried = m.filter(col("stats").isNotNull &&
+      map_contains_key(col("stats"), "y")).count()
     assert(carried >= totalZ - 2,
       s"by-reference segments must keep their 2-D stats ($carried kept)")
     // the date probe still prunes AFTER the merge — the production

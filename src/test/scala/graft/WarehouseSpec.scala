@@ -433,7 +433,7 @@ class WarehouseSpec extends AnyFunSuite {
     val pathL = ModelStore.root(spark).stripPrefix("file:") +
       s"/zlin_v1_${ModelStore.md5(s"zlin|$fp")}"
     val pathZ = ModelStore.root(spark).stripPrefix("file:") +
-      s"/zord_v1_${ModelStore.md5(s"zord|$fp")}"
+      s"/zord_v2_${ModelStore.md5(s"zord|$fp")}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(pathL))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(pathZ))
     val r = Warehouse.q59SnapshotZorder(spark, sf).collect().head
