@@ -87,6 +87,8 @@ object SparkEntry {
     "q60_merge_rebase" -> (Warehouse.q60MergeRebase _),
     "q61_follow_mv" -> (Warehouse.q61FollowMv _),
     "q62_follow_mv_minmax" -> (Warehouse.q62FollowMvMinmax _),
+    "q63_merge_dv" -> (Warehouse.q63MergeDv _),
+    "export_csv_flat" -> (graft.sources.Exports.exportCsvFlat _),
     // B'. graph centrality over the road-network key space (dyadic-exact
     // PageRank — see operators.Graph for why the oracle matches bitwise)
     "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
@@ -1451,6 +1453,54 @@ object SparkEntry {
            CAST(2 AS INT) AS view_version,
            CAST(2 AS INT) AS cursor_version
          FROM fin GROUP BY grp ORDER BY grp""",
+    // q63_merge_dv: the final logical table is closed-form (first-
+    // quarter deletes %13==4, +100.0 updates %7==3, half-balance
+    // inserts %11==5 shifted past max — single IEEE ops), and the
+    // MERGE-ON-READ physics are read back from the committed manifest
+    // on the Spark side: 5 segments (4 by-reference + 1 delta — a COW
+    // fallback would change the count), exactly 1 carrying deletion
+    // vectors, and the exact suppressed-row count restated here as the
+    // closed-form first-quarter delete+update cardinality — a lost
+    // tombstone, a resurrected row, or an over-wide presence scan
+    // breaks this hash
+    "q63_merge_dv" ->
+      """WITH mk AS (SELECT max(c_custkey) AS m FROM customer),
+         qq AS (SELECT (SELECT m FROM mk) // 4 + 1 AS q),
+         fin AS (
+           SELECT c_custkey AS key,
+             CASE WHEN c_custkey < (SELECT q FROM qq)
+                    AND c_custkey % 7 = 3 AND c_custkey % 13 <> 4
+               THEN c_acctbal + 100.0 ELSE c_acctbal END AS bal
+           FROM customer
+           WHERE NOT (c_custkey < (SELECT q FROM qq)
+             AND c_custkey % 13 = 4)
+           UNION ALL
+           SELECT c_custkey + (SELECT m FROM mk) + 1, c_acctbal / 2.0
+           FROM customer WHERE c_custkey % 11 = 5),
+         sup AS (SELECT count(*) AS n FROM customer
+           WHERE c_custkey < (SELECT q FROM qq)
+             AND (c_custkey % 13 = 4 OR c_custkey % 7 = 3))
+         SELECT key, bal,
+           CAST(4 AS INT) AS latest_version,
+           CAST(5 AS INT) AS n_segments,
+           CAST(1 AS INT) AS n_dv_segments,
+           CAST((SELECT n FROM sup) AS BIGINT) AS dv_suppressed
+         FROM fin ORDER BY key""",
+    // export_csv_flat: the generateCSV dotted-column flatten — the
+    // oracle aliases the dotted names directly (quoted); integer cents
+    // keep the sums bitwise-exact
+    "export_csv_flat" ->
+      """SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS "poi.n_orders",
+           CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS "poi.eta.cents",
+           r.r_name AS "region.name"
+         FROM orders o
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         GROUP BY n.n_name, r.r_name
+         ORDER BY nation""",
     "q42_op_log" ->
       """WITH ev AS (SELECT user_id AS op_id, event_id,
            CASE event_type WHEN 'signup' THEN 'start'

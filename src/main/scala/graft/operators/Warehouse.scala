@@ -1284,4 +1284,78 @@ object Warehouse {
         lit(cursor).cast("int").as("cursor_version"))
       .orderBy(col("grp"))
   }
+
+  /** DELETION-VECTOR (merge-on-read) MERGE through the versioned table
+    * ([[graft.sources.SnapshotLog.mergeDv]]) — the write-amplification
+    * fix for update-heavy histories: the customer dimension is
+    * committed as FOUR key-range segments, then ONE MoR merge applies
+    * point deletes (key % 13 == 4) and +100.0 balance updates
+    * (key % 7 == 3) confined to the FIRST quarter of the key space,
+    * plus inserts (key % 11 == 5, shifted past max) — and rewrites
+    * NOTHING: the commit is a tombstone sidecar plus one delta
+    * segment, every prior segment riding by reference (a COW merge
+    * would re-write the whole affected segment for the same rows;
+    * spec-measured O(delta) bytes in DeletionVectorSpec).
+    *
+    * The hashed output is the final logical table (read through the
+    * tombstone anti join) PLUS the physics read back from the
+    * committed manifest: segment count (4 originals + 1 delta — a
+    * rewrite would change it), how many segments carry vectors
+    * (exactly the one the delta touched — more means the presence
+    * scan over-tombstoned, fewer means deletes were lost or
+    * physically rewritten), and the exact suppressed-row count. The
+    * oracle restates all of it closed-form in the id space, so a
+    * wrong tombstone, a resurrection, or a silent fallback to
+    * copy-on-write breaks the hash. Arithmetic is one IEEE add /
+    * divide per touched row. Lifecycle fingerprint-keyed and
+    * replay-guarded like its q52-q59 siblings. */
+  def q63MergeDv(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{ModelStore, SnapshotLog}
+    val t = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"))
+    val mk = t.agg(max(col("key"))).collect().head.getLong(0)
+    val q = mk / 4L + 1L
+    val fp = ModelStore.corpusFingerprint(spark, s"$dir/customer.parquet")
+    val path = ModelStore.root(spark) +
+      s"/snapdv_v1_${ModelStore.md5(s"snapdv|$fp")}"
+    def slice(s: Long): DataFrame =
+      t.filter(col("key") >= s * q && col("key") < (s + 1) * q)
+    if (SnapshotLog.latestVersion(path).isEmpty)
+      SnapshotLog.create(spark, slice(0), path, "key")
+    var v = SnapshotLog.latestVersion(path).get
+    while (v < 3) {
+      SnapshotLog.append(spark, slice(v + 1L), path, "key")
+      v = SnapshotLog.latestVersion(path).get
+    }
+    if (SnapshotLog.latestVersion(path).contains(3)) {
+      val dels = t.filter(col("key") < q && col("key") % 13 === 4)
+        .select(col("key"), col("bal"), lit(true).as("_del"))
+      val upds = t.filter(col("key") < q && col("key") % 7 === 3 &&
+          col("key") % 13 =!= 4)
+        .select(col("key"), (col("bal") + lit(100.0)).as("bal"),
+          lit(false).as("_del"))
+      val ins = t.filter(col("key") % 11 === 5)
+        .select((col("key") + lit(mk + 1L)).as("key"),
+          (col("bal") / lit(2.0)).as("bal"), lit(false).as("_del"))
+      SnapshotLog.mergeDv(spark, dels.unionByName(upds).unionByName(ins),
+        path, "key", "_del")
+    }
+    // the physics, read back from the committed manifest (segment-
+    // count-sized driver state — the format's documented one collect)
+    val m = SnapshotLog.manifest(spark, path, 4).collect()
+    def dvRows(r: org.apache.spark.sql.Row): Long =
+      if (!r.schema.fieldNames.contains("dv_rows") ||
+        r.isNullAt(r.fieldIndex("dv_rows"))) 0L
+      else r.getLong(r.fieldIndex("dv_rows"))
+    val nDvSegs = m.count(dvRows(_) > 0L)
+    val suppressed = m.map(dvRows).sum
+    SnapshotLog.read(spark, path)
+      .select(col("key"), col("bal"),
+        lit(SnapshotLog.latestVersion(path).get).cast("int")
+          .as("latest_version"),
+        lit(m.length).cast("int").as("n_segments"),
+        lit(nDvSegs).cast("int").as("n_dv_segments"),
+        lit(suppressed).cast("bigint").as("dv_suppressed"))
+      .orderBy(col("key"))
+  }
 }

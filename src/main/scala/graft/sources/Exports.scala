@@ -85,6 +85,44 @@ object Exports {
     child.write.mode("overwrite").parquet(s"$dir/results_child.parquet")
   }
 
+  /** Query surface for the CSV-flatten export (the generateCSV shape,
+    * ram-analysis/app/index.js:565-604, where nested `poi.school` /
+    * `poi.eta` result fields become dotted CSV headers): per-nation
+    * order rollups are assembled into the reference's nested result
+    * shape — a two-level `poi.eta.*` struct plus a `region.*` struct —
+    * and [[flatten]] projects them to dotted top-level columns. The
+    * hashed output pins the recursive dotting (two levels deep), the
+    * deterministic column order, and the aggregate values; money is
+    * integer cents so both engines agree bitwise. All three dims
+    * broadcast; the one shuffle is the fact-side aggregation. */
+  def exportCsvFlat(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): DataFrame = {
+    import graft.Tables
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val r = Tables.region(spark, dir)
+      .select(col("r_regionkey"), col("r_name"))
+    // the fact-dim join shuffles on the key (customer does NOT
+    // broadcast at 100 TB); nation/region are constant-sized
+    val agg = o.join(c.hint("shuffle_hash"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+    val nested = agg
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name").as("nation"),
+        struct(col("n_orders"),
+          struct(col("cents")).as("eta")).as("poi"),
+        struct(col("r_name").as("name")).as("region"))
+    flatten(nested).orderBy(col("nation"))
+  }
+
   /** Write the grouped-JSON frame as one JSON object file shape:
     * {"key": [...], ...} per partition line-oriented — each line is
     * `"<key>": [...]` so a downstream cat/wrap produces the reference's

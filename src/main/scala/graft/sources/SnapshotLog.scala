@@ -198,17 +198,15 @@ object SnapshotLog {
            mergeSchema: Boolean = false): DataFrame = {
     val v = version.orElse(latestVersion(path))
       .getOrElse(sys.error(s"no committed version at $path"))
-    val segs = manifest(spark, path, v)
-      .select(col("seg")).collect().map(_.getString(0))
-    if (segs.isEmpty)
+    val rows = manifest(spark, path, v).collect().toSeq
+    // readRows applies any deletion vectors ([[mergeDv]]); a DV-free
+    // manifest goes through the plain multi-directory scan unchanged
+    readRows(spark, rows, mergeSchema).getOrElse(
       // a delete-everything merge commits a segment-less manifest; the
       // version reads as an empty frame under the table's schema
       spark.read.parquet(anchorSeg(spark, path, v).getOrElse(sys.error(
         s"read at $path v$v: no surviving version lists a segment to " +
-          "anchor the table schema"))).limit(0)
-    else if (mergeSchema)
-      spark.read.option("mergeSchema", "true").parquet(segs: _*)
-    else spark.read.parquet(segs: _*)
+          "anchor the table schema"))).limit(0))
   }
 
   /** Write `df` as one new segment directory and return its manifest
@@ -439,10 +437,13 @@ object SnapshotLog {
     // carry NEW columns (additive schema evolution) rewrites its
     // touched segments under the widened schema — survivors read nulls
     // for the new columns; both are no-ops on schema-stable tables
+    // readRows applies any deletion vectors on the affected segments
+    // (a COW rewrite of a tombstoned segment folds the tombstones into
+    // data; the new manifest row carries no dvs and the tombstone dir
+    // becomes [[gc]]-reclaimable once no version references it)
     val survivors =
       if (affected.isEmpty) inserts.limit(0)
-      else spark.read.option("mergeSchema", "true")
-        .parquet(affected.map(_.getAs[String]("seg")): _*)
+      else readRows(spark, affected.toSeq, mergeSchema = true).get
         .join(df.select(col(keyCol)), Seq(keyCol), "left_anti")
     val newSeg = writeSegment(spark,
       survivors.unionByName(inserts, allowMissingColumns = true), path,
@@ -473,10 +474,16 @@ object SnapshotLog {
                             w: Int): Seq[(Long, Long)] = {
     val prev = manifest(spark, path, w - 1).collect()
     val cur = manifest(spark, path, w).collect()
-    val prevSegs = prev.map(_.getAs[String]("seg")).toSet
-    val curSegs = cur.map(_.getAs[String]("seg")).toSet
-    (prev.filterNot(r => curSegs(r.getAs[String]("seg"))) ++
-      cur.filterNot(r => prevSegs(r.getAs[String]("seg"))))
+    // identity is (segment, deletion vectors) — a [[mergeDv]] commit
+    // changes a segment's dvs without changing its path, and the keys
+    // it suppressed count as touched (conservatively, via the
+    // segment's whole range)
+    def ident(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("seg"), dvListOf(r))
+    val prevSegs = prev.map(ident).toSet
+    val curSegs = cur.map(ident).toSet
+    (prev.filterNot(r => curSegs(ident(r))) ++
+      cur.filterNot(r => prevSegs(ident(r))))
       // an empty segment's min/max stats are NULL — getAs[Long] would
       // unbox them to 0 and fabricate a range [0,0] that spuriously
       // refuses rebases covering key 0; zero rows touch no range
@@ -615,14 +622,22 @@ object SnapshotLog {
     require(slices >= 1, s"slices must be >= 1, got $slices")
     val v0 = latestVersion(path).getOrElse(
       sys.error(s"compact of non-existent table $path"))
-    val segs = manifest(spark, path, v0).collect()
+    val mDf = manifest(spark, path, v0)
+    val segs = mDf.collect()
     val (small, big) = segs.partition(_.getAs[Long]("n_rows") < minRows)
-    if (small.length <= 1) return v0
+    // a lone segment still folds when it carries deletion vectors —
+    // compaction is the verb that PURGES tombstones back into data
+    if (small.length <= 1 && !small.exists(dvListOf(_).nonEmpty))
+      return v0
+    if (small.isEmpty) return v0
     val v = v0 + 1
-    val merged = spark.read.parquet(small.map(_.getAs[String]("seg")): _*)
+    // readRows applies any deletion vectors: the fold purges them —
+    // the folded segment lists no dvs and the tombstone dirs orphan
+    val merged = readRows(spark, small.toSeq).get
     val newSeg: Seq[(String, Long, Long, Long)] =
       if (slices == 1)
         writeSegment(spark, merged, path, v, 0, keyCol).collect().toSeq
+          .filter(_.getAs[Long]("n_rows") > 0)
           .map(r => (r.getAs[String]("seg"), r.getAs[Long]("n_rows"),
             r.getAs[Long]("min_key"), r.getAs[Long]("max_key")))
       else {
@@ -660,12 +675,17 @@ object SnapshotLog {
         fs.delete(tmp, true)
         out
       }
-    val rows = big.toSeq.map(r => (r.getAs[String]("seg"),
-      r.getAs[Long]("n_rows"), r.getAs[Long]("min_key"),
-      r.getAs[Long]("max_key"))) ++ newSeg
+    // by-reference segments keep their manifest rows VERBATIM — their
+    // per-column stats map AND their deletion-vector list both stay
+    // live (dropping dvs here would RESURRECT tombstoned rows)
+    val bigSegs = big.map(_.getAs[String]("seg")).toSeq
+    val carried =
+      if (bigSegs.isEmpty) mDf.limit(0)
+      else mDf.filter(col("seg").isin(bigSegs: _*))
     import spark.implicits._
-    commit(rows.toDF("seg", "n_rows", "min_key", "max_key"), path, v,
-      rewriteOnly = true)
+    commit(carried.unionByName(
+      newSeg.toDF("seg", "n_rows", "min_key", "max_key"),
+      allowMissingColumns = true), path, v, rewriteOnly = true)
   }
 
   /** OPTIMIZE ZORDER — MULTI-dimensional clustered compaction (the
@@ -712,11 +732,18 @@ object SnapshotLog {
     val v0 = latestVersion(path).getOrElse(
       sys.error(s"zorder compact of non-existent table $path"))
     val segs = manifest(spark, path, v0).collect()
-    if (segs.length <= 1) return v0
+    if (segs.length <= 1 && !segs.exists(dvListOf(_).nonEmpty)) return v0
+    if (segs.isEmpty) return v0
     val v = v0 + 1
-    val all = spark.read.parquet(segs.map(_.getAs[String]("seg")): _*)
+    // readRows applies any deletion vectors: the rewrite purges them
+    val all = readRows(spark, segs.toSeq).get
     val xL = col(xCol).cast("long"); val yL = col(yCol).cast("long")
     val b = all.agg(min(xL), max(xL), min(yL), max(yL)).collect().head
+    if (b.isNullAt(0))
+      // every row tombstoned: the rewrite is a segment-less manifest
+      return commit(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        manifestStatsSchema), path, v, rewriteOnly = true)
     val (xMin, xMax, yMin, yMax) =
       (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
     val xW = (xMax - xMin) / 65536L + 1L
@@ -807,6 +834,186 @@ object SnapshotLog {
       .map(s => (s.getLong(0), s.getLong(1)))
   }
 
+  /** DELETION-VECTOR (merge-on-read) plumbing. A [[mergeDv]] suppresses
+    * rows WITHOUT rewriting their segments: it commits a TOMBSTONE
+    * parquet directory under `path/dv/` whose rows are
+    * `(_snap_seg, <keyCol>)` — "this key's rows in this segment are
+    * deleted" — and attaches the tombstone's path to each affected
+    * segment's manifest row (`dvs: array<string>`, accumulating across
+    * merges) together with the exact suppressed-row count
+    * (`dv_rows: long`, so logical row accounting never needs a data
+    * scan). Readers apply a segment's tombstones with ONE anti join;
+    * compaction folds them into data and drops them; [[gc]] reclaims
+    * tombstone dirs no surviving manifest references. Tables that never
+    * see a [[mergeDv]] never grow the columns — every other verb
+    * carries them opaquely via `unionByName(allowMissingColumns)`. */
+  private def dvListOf(r: org.apache.spark.sql.Row): Seq[String] =
+    if (!r.schema.fieldNames.contains("dvs")) Nil
+    else {
+      val i = r.fieldIndex("dvs")
+      if (r.isNullAt(i)) Nil else r.getSeq[String](i)
+    }
+
+  private def dvRowsOf(r: org.apache.spark.sql.Row): Long =
+    if (!r.schema.fieldNames.contains("dv_rows")) 0L
+    else {
+      val i = r.fieldIndex("dv_rows")
+      if (r.isNullAt(i)) 0L else r.getLong(i)
+    }
+
+  /** Physical rows minus tombstoned rows — the segment's contribution
+    * to the table's logical row count. */
+  private def liveRowsOf(r: org.apache.spark.sql.Row): Long =
+    r.getAs[Long]("n_rows") - dvRowsOf(r)
+
+  /** Read the data of `rows` (manifest rows) with each segment's
+    * deletion vectors applied. Segments with no tombstones go through
+    * the plain multi-directory parquet scan (bit-identical plan to the
+    * pre-DV read path — DV-free tables pay nothing); tombstoned
+    * segments are read with a per-segment tag and cleaned by ONE
+    * broadcast anti join against the union of their attached tombstone
+    * files on `(_snap_seg, key)` — a tombstone's rows target exactly
+    * one segment, so entries for segments outside this read (possible
+    * after a COW rewrite or restore) match nothing by construction.
+    *
+    * The broadcast is deliberate: tombstones are merge-delta-sized by
+    * construction (a [[mergeDv]] writes at most its incoming key
+    * count), and [[compact]]/[[compactZOrder]] fold them away — a
+    * tombstone set too big to broadcast is a table overdue for its
+    * OPTIMIZE, not a read-path regression.
+    *
+    * None when `rows` is empty (callers fall back to their schema
+    * anchor). */
+  private def readRows(spark: SparkSession,
+                       rows: Seq[org.apache.spark.sql.Row],
+                       mergeSchema: Boolean = false): Option[DataFrame] = {
+    if (rows.isEmpty) return None
+    val (dvd, plain) = rows.partition(dvListOf(_).nonEmpty)
+    def readPlain(segs: Seq[String]): DataFrame =
+      if (mergeSchema)
+        spark.read.option("mergeSchema", "true").parquet(segs: _*)
+      else spark.read.parquet(segs: _*)
+    val plainDf =
+      if (plain.isEmpty) None
+      else Some(readPlain(plain.map(_.getAs[String]("seg"))))
+    val dvdDf =
+      if (dvd.isEmpty) None
+      else {
+        val tagged = dvd.map { r =>
+          spark.read.parquet(r.getAs[String]("seg"))
+            .withColumn("_snap_seg", lit(r.getAs[String]("seg")))
+        }.reduce((a, b) =>
+          a.unionByName(b, allowMissingColumns = mergeSchema))
+        val dvPaths = dvd.flatMap(dvListOf).distinct
+        val tombs = spark.read.parquet(dvPaths: _*)
+        val kc = tombs.columns.filter(_ != "_snap_seg").head
+        Some(tagged.join(broadcast(tombs), Seq("_snap_seg", kc),
+          "left_anti").drop("_snap_seg"))
+      }
+    (plainDf, dvdDf) match {
+      case (Some(p), Some(d)) =>
+        Some(p.unionByName(d, allowMissingColumns = mergeSchema))
+      case (p, d) => p.orElse(d)
+    }
+  }
+
+  /** MERGE-ON-READ merge — [[merge]]'s deletion-vector twin: the same
+    * upsert+delete semantics, but affected segments are NEVER
+    * rewritten. The commit writes (a) one tombstone directory listing
+    * exactly the incoming keys PRESENT in each affected segment (a
+    * key-column-only scan of the overlapping segments decides
+    * presence, with prior tombstones applied so counts never
+    * double-count) and (b) one delta segment holding the non-delete
+    * incoming rows; every prior segment rides into the new manifest BY
+    * REFERENCE — affected ones with the tombstone path appended to
+    * their `dvs` list and their `dv_rows` advanced by the exact
+    * suppressed count.
+    *
+    * WRITE COST IS O(delta): a point delete in a 1 GB segment writes a
+    * few-KB tombstone where [[merge]]'s copy-on-write rewrites the
+    * gigabyte (spec-measured). The read tax — one broadcast anti join
+    * per read until the next [[compact]]/[[compactZOrder]] folds the
+    * tombstones into data — is the documented MoR trade every
+    * lakehouse (Delta deletion vectors, Iceberg merge-on-read) makes
+    * for update-heavy workloads; the reference's per-run result
+    * re-import cycle (ram-analysis/app/index.js:122-134) is exactly
+    * that workload. Readers of OLD versions are untouched: the
+    * tombstone is referenced only from the new manifest, so time
+    * travel before the merge reads the unsuppressed rows. */
+  def mergeDv(spark: SparkSession, df: DataFrame, path: String,
+              keyCol: String, deleteCol: String,
+              txn: Option[(String, Int)] = None): Int =
+    mergeDvAt(spark, df, path, keyCol, deleteCol,
+      latestVersion(path).getOrElse(
+        sys.error(s"mergeDv into non-existent table $path")) + 1, txn)
+
+  /** [[mergeDv]] with the target version fixed by the caller — the
+    * testable race surface, [[mergeAt]]'s twin. */
+  private[graft] def mergeDvAt(spark: SparkSession, df: DataFrame,
+                               path: String, keyCol: String,
+                               deleteCol: String, v: Int,
+                               txn: Option[(String, Int)] = None): Int = {
+    val Array(lo, hi) = df.agg(min(col(keyCol)), max(col(keyCol)))
+      .collect().head.toSeq.map(x => x.asInstanceOf[Long]).toArray
+    val m = manifest(spark, path, v - 1)
+    // canonical manifest shape: dvs/dv_rows present (null where absent)
+    // so driver-side row surgery below works on one fixed schema
+    val mc0 = if (m.columns.contains("dvs")) m
+      else m.withColumn("dvs",
+        lit(null).cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)))
+    val mc = if (mc0.columns.contains("dv_rows")) mc0
+      else mc0.withColumn("dv_rows", lit(null).cast("long"))
+    val rows = mc.collect().filter(_.getAs[Long]("n_rows") > 0)
+    val affected = rows.filter { r =>
+      r.getAs[Long]("max_key") >= lo && r.getAs[Long]("min_key") <= hi
+    }
+    // which incoming keys are PRESENT per affected segment — the
+    // column-pruned presence scan (keyCol only), prior DVs applied
+    val dvDir = f"$path/dv/d$v%05d-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val counts: Map[String, Long] =
+      if (affected.isEmpty) Map.empty
+      else {
+        val tagged = affected.toSeq.map { r =>
+          spark.read.parquet(r.getAs[String]("seg")).select(col(keyCol))
+            .withColumn("_snap_seg", lit(r.getAs[String]("seg")))
+        }.reduce(_.unionByName(_))
+        val priorDvs = affected.toSeq.flatMap(dvListOf).distinct
+        val live =
+          if (priorDvs.isEmpty) tagged
+          else tagged.join(broadcast(spark.read.parquet(priorDvs: _*)),
+            Seq("_snap_seg", keyCol), "left_anti")
+        val tomb = live.join(broadcast(df.select(col(keyCol)).distinct()),
+          Seq(keyCol), "left_semi")
+          .select(col("_snap_seg"), col(keyCol))
+        tomb.write.mode("errorifexists").parquet(dvDir)
+        val got = spark.read.parquet(dvDir)
+          .groupBy(col("_snap_seg")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        if (got.isEmpty) fsOf(new Path(dvDir)).delete(new Path(dvDir), true)
+        got
+      }
+    val carried = rows.toSeq.map { r =>
+      counts.get(r.getAs[String]("seg")) match {
+        case None => r
+        case Some(n) =>
+          val vals = r.toSeq.toArray
+          vals(r.fieldIndex("dvs")) = dvListOf(r) :+ dvDir
+          vals(r.fieldIndex("dv_rows")) = dvRowsOf(r) + n
+          org.apache.spark.sql.Row.fromSeq(vals.toIndexedSeq)
+      }
+    }
+    val inserts = df.filter(!col(deleteCol)).drop(deleteCol)
+    val newSeg = writeSegment(spark, inserts, path, v, 0, keyCol)
+      .filter(col("n_rows") > 0)
+    import scala.jdk.CollectionConverters._
+    val carriedDf = spark.createDataFrame(
+      new java.util.ArrayList(carried.asJava), mc.schema)
+    commit(carriedDf.unionByName(newSeg, allowMissingColumns = true),
+      path, v, txn = txn)
+  }
+
   /** Two-column stats-pruned BOX read — [[readRange]]'s 2-D twin over
     * a [[compactZOrder]]ed table: a segment is scanned only when its
     * `[min_key, max_key]` intersects `[xLo, xHi]` AND (when present)
@@ -843,14 +1050,11 @@ object SnapshotLog {
     val pred = probes.foldLeft(col(keyCol) >= keyLo && col(keyCol) <= keyHi) {
       case (p, (c, lo, hi)) => p && col(c) >= lo && col(c) <= hi
     }
-    val rows =
-      if (hit.isEmpty)
-        spark.read.parquet(segs.headOption.map(_.getAs[String]("seg"))
-          .orElse(anchorSeg(spark, path, v)).getOrElse(sys.error(
-            s"readProbe at $path: no surviving version lists a segment " +
-              "to anchor the table schema"))).limit(0)
-      else spark.read.parquet(hit.map(_.getAs[String]("seg")): _*)
-        .filter(pred)
+    val rows = readRows(spark, hit.toSeq).map(_.filter(pred)).getOrElse(
+      spark.read.parquet(segs.headOption.map(_.getAs[String]("seg"))
+        .orElse(anchorSeg(spark, path, v)).getOrElse(sys.error(
+          s"readProbe at $path: no surviving version lists a segment " +
+            "to anchor the table schema"))).limit(0))
     (rows, hit.length, segs.length)
   }
 
@@ -1094,6 +1298,21 @@ object SnapshotLog {
         .filterNot(st => referenced.contains(fs.makeQualified(st.getPath)))
         .foreach(st => fs.delete(st.getPath, true))
     }
+    // deletion-vector sweep: a tombstone dir ([[mergeDv]]) lives until
+    // no surviving manifest references it — a COW rewrite, compaction,
+    // or the expiry of every version that listed it orphans the dir.
+    // Same ownership scoping as segments: only dirs under THIS table's
+    // dv/ are listed, so a shallow clone's by-path references into its
+    // source are the source's to reclaim (and its pin protects them).
+    val dvRoot = new Path(path, "dv")
+    if (fs.exists(dvRoot)) {
+      val refDvs = (0 to latest).filter(mExists)
+        .flatMap(v => manifest(spark, path, v).collect().flatMap(dvListOf))
+        .map(s => fs.makeQualified(new Path(s))).toSet
+      fs.listStatus(dvRoot).toSeq
+        .filterNot(st => refDvs.contains(fs.makeQualified(st.getPath)))
+        .foreach(st => fs.delete(st.getPath, true))
+    }
     // crashed commit/hint temp dirs (hidden `.`-prefixed names inside
     // _log — losers delete their own, this catches hard crashes)
     val ld = new Path(logDir(path))
@@ -1125,22 +1344,33 @@ object SnapshotLog {
   def diff(spark: SparkSession, path: String, vFrom: Int, vTo: Int,
            keyCol: String): DataFrame = {
     require(vFrom < vTo, s"diff requires vFrom < vTo, got $vFrom..$vTo")
-    def segsOf(v: Int): Seq[String] = manifest(spark, path, v)
-      .select(col("seg")).collect().map(_.getString(0)).toSeq
-    val from = segsOf(vFrom); val to = segsOf(vTo)
-    val onlyFrom = from.diff(to); val onlyTo = to.diff(from)
+    def rowsOf(v: Int): Seq[org.apache.spark.sql.Row] =
+      manifest(spark, path, v).collect().toSeq
+    val from = rowsOf(vFrom); val to = rowsOf(vTo)
+    // the copy-on-write sharing unit is (segment, deletion vectors): a
+    // [[mergeDv]] changes a segment's dvs list WITHOUT changing its
+    // path, and its suppressed rows must surface as deletes — so the
+    // symmetric difference is computed on the pair, and a segment
+    // whose dvs changed is read on BOTH sides (each under its own
+    // tombstones; the unsuppressed survivors are identical on both and
+    // fall to the <=> filter below)
+    def ident(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("seg"), dvListOf(r))
+    val toIds = to.map(ident).toSet; val fromIds = from.map(ident).toSet
+    val onlyFrom = from.filterNot(r => toIds(ident(r)))
+    val onlyTo = to.filterNot(r => fromIds(ident(r)))
     // schema anchor for an empty side: either endpoint's first segment,
     // falling back through history when BOTH endpoints are segment-less
     // (delete-everything merges elide the empty replacement segment)
     lazy val anchor = (from ++ to).headOption
+      .map(_.getAs[String]("seg"))
       .orElse(anchorSeg(spark, path, vTo))
       .getOrElse(sys.error(
         s"diff($vFrom..$vTo) at $path: no surviving version lists a " +
           "segment to anchor the table schema"))
-    def side(segs: Seq[String], tag: String): DataFrame = {
-      val df =
-        if (segs.isEmpty) spark.read.parquet(anchor).limit(0)
-        else spark.read.parquet(segs: _*)
+    def side(rows: Seq[org.apache.spark.sql.Row], tag: String): DataFrame = {
+      val df = readRows(spark, rows).getOrElse(
+        spark.read.parquet(anchor).limit(0))
       val payload = df.columns.filterNot(_ == keyCol)
       df.select(col(keyCol),
         struct(payload.map(col): _*).as(s"_$tag"))
@@ -1209,14 +1439,24 @@ object SnapshotLog {
     * re-import loop); this is that cycle with a durable cursor, so a
     * follower pays each commit once instead of a rescan per cycle. */
   def followDiff(spark: SparkSession, path: String, keyCol: String,
-                 name: String, startAt: Int = 0)(
+                 name: String, startAt: Int = 0,
+                 maxVersions: Int = Int.MaxValue)(
       fn: (DataFrame, Int) => Unit): Int = {
+    require(maxVersions >= 1, s"maxVersions must be >= 1, got $maxVersions")
     val latest = latestVersion(path).getOrElse(
       sys.error(s"follow of non-existent table $path"))
     val from = cursorVersion(path, name).getOrElse(startAt)
     var delivered = 0
+    var processed = 0
     var v = from + 1
-    while (v <= latest) {
+    // ADMISSION CONTROL (Delta's maxFilesPerTrigger): a poll consumes
+    // at most `maxVersions` commits — a follower resuming after a long
+    // outage catches up over several bounded polls instead of
+    // replaying the whole backlog into one giant micro-batch; the
+    // cursor advances per consumed version, so progress is durable
+    // across the partial polls
+    while (v <= latest && processed < maxVersions) {
+      processed += 1
       // rewrite-only commits (compaction) change no logical row: skip
       // the delivery ENTIRELY rather than paying a full-table diff to
       // prove emptiness — at 100 TB, OPTIMIZE must be free for every
@@ -1242,12 +1482,14 @@ object SnapshotLog {
     * landing across separate batches reach the same downstream state
     * as one explicit diff). */
   def followStream(ticks: DataFrame, path: String, keyCol: String,
-                   name: String, startAt: Int = 0)(
+                   name: String, startAt: Int = 0,
+                   maxVersionsPerPoll: Int = Int.MaxValue)(
       fn: (DataFrame, Int) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     ticks.writeStream
       .foreachBatch { (b: DataFrame, _: Long) =>
-        followDiff(b.sparkSession, path, keyCol, name, startAt)(fn)
+        followDiff(b.sparkSession, path, keyCol, name, startAt,
+          maxVersionsPerPoll)(fn)
         ()
       }
       .start()
@@ -1270,14 +1512,12 @@ object SnapshotLog {
     val segs = manifest(spark, path, v).collect()
     val hit = segs.filter(r =>
       r.getAs[Long]("max_key") >= lo && r.getAs[Long]("min_key") <= hi)
-    val rows =
-      if (hit.isEmpty)
+    val rows = readRows(spark, hit.toSeq)
+      .map(_.filter(col(keyCol) >= lo && col(keyCol) <= hi)).getOrElse(
         spark.read.parquet(segs.headOption.map(_.getAs[String]("seg"))
           .orElse(anchorSeg(spark, path, v)).getOrElse(sys.error(
             s"readRange at $path: no surviving version lists a segment " +
-              "to anchor the table schema"))).limit(0)
-      else spark.read.parquet(hit.map(_.getAs[String]("seg")): _*)
-        .filter(col(keyCol) >= lo && col(keyCol) <= hi)
+              "to anchor the table schema"))).limit(0))
     (rows, hit.length, segs.length)
   }
 
@@ -1294,12 +1534,22 @@ object SnapshotLog {
     val fs = fsOf(new Path(path))
     val versions = (0 to latest)
       .filter(v => fs.exists(new Path(manifestDir(path, v))))
-    val agg = spark.read.parquet(versions.map(manifestDir(path, _)): _*)
+    // mergeSchema: manifests before and after the first [[mergeDv]] /
+    // [[compactZOrder]] differ in their optional columns; n_rows is
+    // LOGICAL (physical minus tombstoned) so history never overcounts
+    // a deletion-vector table
+    val m0 = spark.read.option("mergeSchema", "true")
+      .parquet(versions.map(manifestDir(path, _)): _*)
+    val live =
+      if (m0.columns.contains("dv_rows"))
+        col("n_rows") - coalesce(col("dv_rows"), lit(0L))
+      else col("n_rows")
+    val agg = m0
       .withColumn("version",
         regexp_extract(input_file_name(), "/v(\\d{5,})/[^/]*$", 1)
           .cast("int"))
       .groupBy(col("version"))
-      .agg(count(lit(1)).as("n_segments"), sum(col("n_rows")).as("n_rows"))
+      .agg(count(lit(1)).as("n_segments"), sum(live).as("n_rows"))
     import spark.implicits._
     // left join, not the agg alone: a delete-everything merge commits a
     // SEGMENT-LESS manifest (zero rows) whose version must still appear

@@ -86,7 +86,7 @@ class SnapshotModelSpec extends AnyFunSuite {
     // (SNAP_FUZZ_STEPS=200) without changing the committed default
     val steps = sys.env.getOrElse("SNAP_FUZZ_STEPS", "40").toInt
     for (step <- 1 to steps) {
-      rnd.nextInt(9) match {
+      rnd.nextInt(10) match {
         case 0 => // append strictly-new keys
           val base = keySpace + step * 100L
           val rows = (0 until 1 + rnd.nextInt(5))
@@ -145,6 +145,17 @@ class SnapshotModelSpec extends AnyFunSuite {
             "k")
           assert(readMap() == model,
             s"step $step: a clone write leaked into the source")
+        case 9 => // MERGE-ON-READ merge: deletes+upserts via deletion
+          // vectors — same model semantics as case 2, different physics
+          val ups = randomRows(1 + rnd.nextInt(5), s"mor$step")
+          val delKeys = (0 until 1 + rnd.nextInt(6))
+            .map(_ => rnd.nextLong(keySpace)).distinct
+            .filterNot(ups.map(_._1).contains)
+          val df = (ups.map { case (k, p) => (k, yOf(k), p, false) } ++
+            delKeys.map(k => (k, yOf(k), "", true)))
+            .toDF("k", "y", "p", "del")
+          val v = SnapshotLog.mergeDv(spark, df, path, "k", "del")
+          model = model -- delKeys ++ ups; commitSnap(v)
       }
 
       // invariant 1: latest == model
@@ -181,7 +192,13 @@ class SnapshotModelSpec extends AnyFunSuite {
       // including the second-column stats a z-order rewrite leaves and
       // merge carries on by-reference segments
       val m = SnapshotLog.manifest(spark, path, latest).collect()
-      assert(m.map(_.getAs[Long]("n_rows")).sum == model.size,
+      def dvRows(r: org.apache.spark.sql.Row): Long =
+        if (!r.schema.fieldNames.contains("dv_rows") ||
+          r.isNullAt(r.fieldIndex("dv_rows"))) 0L
+        else r.getLong(r.fieldIndex("dv_rows"))
+      // LOGICAL rows: physical minus deletion-vector-suppressed
+      assert(m.map(r => r.getAs[Long]("n_rows") - dvRows(r)).sum
+        == model.size,
         s"step $step: manifest row counts disagree with the data")
       val hasStats = m.nonEmpty && m.head.schema.fieldNames.contains("stats")
       m.foreach { r =>
