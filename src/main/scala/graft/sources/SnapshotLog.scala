@@ -515,19 +515,43 @@ object SnapshotLog {
       latestVersion(path).getOrElse(
         sys.error(s"merge into non-existent table $path")), maxRebases)
 
+  /** [[mergeDv]] behind the same optimistic-concurrency rebase loop as
+    * [[mergeOrRebase]]: a MoR writer that loses the commit race rebases
+    * automatically when every interleaved commit touched a DISJOINT key
+    * range (judged from manifest stats, deletion-vector changes
+    * included — [[touchedRanges]] keys on (segment, dvs)), and is
+    * refused on overlap. The losing attempt's tombstone dir and delta
+    * segment orphan for [[gc]]. */
+  def mergeDvOrRebase(spark: SparkSession, df: DataFrame, path: String,
+                      keyCol: String, deleteCol: String,
+                      maxRebases: Int = 5): Int =
+    rebaseLoop(spark, df, path, keyCol,
+      latestVersion(path).getOrElse(
+        sys.error(s"merge into non-existent table $path")), maxRebases,
+      v => mergeDvAt(spark, df, path, keyCol, deleteCol, v))
+
   /** [[mergeOrRebase]] with the base version fixed by the caller (the
     * version this writer READ) — the testable race surface. */
   private[graft] def mergeOrRebaseFrom(spark: SparkSession, df: DataFrame,
                                        path: String, keyCol: String,
                                        deleteCol: String, baseV: Int,
-                                       maxRebases: Int = 5): Int = {
+                                       maxRebases: Int = 5): Int =
+    rebaseLoop(spark, df, path, keyCol, baseV, maxRebases,
+      v => mergeAt(spark, df, path, keyCol, deleteCol, v))
+
+  /** The shared optimistic-concurrency retry: commit via `attempt` at
+    * base+1, and on a lost race rebase iff every interleaved commit's
+    * touched ranges are disjoint from this write set's [lo, hi]. */
+  private def rebaseLoop(spark: SparkSession, df: DataFrame, path: String,
+                         keyCol: String, baseV: Int, maxRebases: Int,
+                         attempt: Int => Int): Int = {
     val Array(lo, hi) = df.agg(min(col(keyCol)), max(col(keyCol)))
       .collect().head.toSeq.map(x => x.asInstanceOf[Long]).toArray
     var base = baseV
     var rebases = 0
     var committed = -1
     while (committed < 0) {
-      try committed = mergeAt(spark, df, path, keyCol, deleteCol, base + 1)
+      try committed = attempt(base + 1)
       catch {
         case e: ConcurrentCommitException =>
           val now = latestVersion(path).getOrElse(throw e)

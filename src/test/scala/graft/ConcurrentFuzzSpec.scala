@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.sources.{ConcurrentCommitException, SnapshotLog}
+import graft.sources.SnapshotLog
 
 /** CONCURRENT lifecycle fuzz — the multi-writer counterpart of
   * SnapshotModelSpec (which interleaves verbs in ONE thread): two
@@ -91,27 +91,16 @@ class ConcurrentFuzzSpec extends AnyFunSuite {
                 .map(k => (k, "", true))
               if (ups.nonEmpty || dels.nonEmpty) {
                 val df = toDf(ups ++ dels)
-                // mergeDv races through the same optimistic loop by
-                // hand: rebase when every interleaved commit's touched
-                // ranges are disjoint (they are — ranges are disjoint
-                // by construction), else surface the refusal
+                // both merge flavors ride the optimistic rebase loop;
+                // ranges are disjoint by construction, so every lost
+                // race must rebase — a refusal here is a conflict-check
+                // false positive and fails the writer
                 if (arm == 1)
                   SnapshotLog.mergeOrRebase(spark, df, path, "k", "del",
                     maxRebases = 30)
-                else {
-                  var done = false
-                  var tries = 0
-                  while (!done) {
-                    try {
-                      SnapshotLog.mergeDv(spark, df, path, "k", "del")
-                      done = true
-                    } catch {
-                      case e: ConcurrentCommitException =>
-                        tries += 1
-                        if (tries > 30) throw e
-                    }
-                  }
-                }
+                else
+                  SnapshotLog.mergeDvOrRebase(spark, df, path, "k", "del",
+                    maxRebases = 30)
                 model = model -- dels.map(_._1) ++ ups.map(u => u._1 -> u._2)
               }
           }
