@@ -88,6 +88,8 @@ object SparkEntry {
     "q61_follow_mv" -> (Warehouse.q61FollowMv _),
     "q62_follow_mv_minmax" -> (Warehouse.q62FollowMvMinmax _),
     "q63_merge_dv" -> (Warehouse.q63MergeDv _),
+    "q64_purge_dv" -> (Warehouse.q64PurgeDv _),
+    "q65_point_skip" -> (Warehouse.q65PointSkip _),
     "export_csv_flat" -> (graft.sources.Exports.exportCsvFlat _),
     // B'. graph centrality over the road-network key space (dyadic-exact
     // PageRank — see operators.Graph for why the oracle matches bitwise)
@@ -1486,6 +1488,57 @@ object SparkEntry {
            CAST(1 AS INT) AS n_dv_segments,
            CAST((SELECT n FROM sup) AS BIGINT) AS dv_suppressed
          FROM fin ORDER BY key""",
+    // q64_purge_dv: q63's dense wave + a sparse all-delete wave
+    // (%29==7 over the second quarter), then a purge at minDvFrac=0.1.
+    // The logical table is q63's final state minus the sparse deletes;
+    // the physics are closed-form: 5 segments, exactly 1 still
+    // vectored (the sparse one — the dense segment's vectors folded
+    // into data), surviving suppressed count = the sparse-wave
+    // cardinality, and exactly 1 segment rewritten
+    "q64_purge_dv" ->
+      """WITH mk AS (SELECT max(c_custkey) AS m FROM customer),
+         qq AS (SELECT (SELECT m FROM mk) // 4 + 1 AS q),
+         fin AS (
+           SELECT c_custkey AS key,
+             CASE WHEN c_custkey < (SELECT q FROM qq)
+                    AND c_custkey % 7 = 3 AND c_custkey % 13 <> 4
+               THEN c_acctbal + 100.0 ELSE c_acctbal END AS bal
+           FROM customer
+           WHERE NOT (c_custkey < (SELECT q FROM qq)
+               AND c_custkey % 13 = 4)
+             AND NOT (c_custkey >= (SELECT q FROM qq)
+               AND c_custkey < 2 * (SELECT q FROM qq)
+               AND c_custkey % 29 = 7)
+           UNION ALL
+           SELECT c_custkey + (SELECT m FROM mk) + 1, c_acctbal / 2.0
+           FROM customer WHERE c_custkey % 11 = 5),
+         sup AS (SELECT count(*) AS n FROM customer
+           WHERE c_custkey >= (SELECT q FROM qq)
+             AND c_custkey < 2 * (SELECT q FROM qq)
+             AND c_custkey % 29 = 7)
+         SELECT key, bal,
+           CAST(6 AS INT) AS latest_version,
+           CAST(5 AS INT) AS n_segments,
+           CAST(1 AS INT) AS n_dv_segments,
+           CAST((SELECT n FROM sup) AS BIGINT) AS dv_suppressed,
+           CAST(1 AS INT) AS n_rewritten
+         FROM fin ORDER BY key""",
+    // q65_point_skip: the three point-lookup physics classes restated
+    // literally — live key found with pruning, deletion-vectored key
+    // scanned-but-empty (the bloom indexes physical rows), absent
+    // in-range key bloom-excluded with zero scans; the live key's
+    // payload comes from the same parquet both engines read
+    "q65_point_skip" ->
+      """SELECT * FROM (VALUES
+           (CAST(3 AS BIGINT), CAST(0 AS BIGINT),
+            CAST(NULL AS DOUBLE), true, true),
+           (CAST(10 AS BIGINT), CAST(1 AS BIGINT),
+            (SELECT c_acctbal FROM customer WHERE c_custkey = 10),
+            true, false),
+           (CAST(13 AS BIGINT), CAST(0 AS BIGINT),
+            CAST(NULL AS DOUBLE), true, false))
+         AS t(probe, found, bal, pruned, bloom_excluded)
+         ORDER BY probe""",
     // export_csv_flat: the generateCSV dotted-column flatten — the
     // oracle aliases the dotted names directly (quoted); integer cents
     // keep the sums bitwise-exact

@@ -1358,4 +1358,149 @@ object Warehouse {
         lit(suppressed).cast("bigint").as("dv_suppressed"))
       .orderBy(col("key"))
   }
+
+  /** TARGETED TOMBSTONE PURGE under the hash gate
+    * ([[graft.sources.SnapshotLog.purgeDv]] — Iceberg's
+    * rewrite-position-deletes / Delta's REORG PURGE): after [[q63MergeDv]]'s
+    * dense merge wave the first segment is ~19% tombstoned, a second
+    * all-delete wave leaves the second segment ~3% tombstoned, and a
+    * purge at minDvFrac = 0.1 must rewrite EXACTLY the dense one —
+    * folding its vectors into data — while the sparse segment keeps
+    * riding by reference WITH its tombstones still attached (rewriting
+    * it too would be COW write amplification, the thing MoR exists to
+    * avoid).
+    *
+    * The hashed output is the final logical table plus the physics:
+    * segment count (unchanged — the purge is 1:1), exactly one
+    * segment still vectored, the exact surviving suppressed count
+    * (the sparse wave's — the dense wave's tombstones are gone into
+    * data), and how many segments the purge rewrote (exactly 1,
+    * computed as the manifest set difference v6 \ v5). A purge that
+    * rewrites too much, too little, loses a tombstone, or resurrects
+    * a dense-wave delete breaks the hash; the oracle restates the
+    * table and every count closed-form in the id space. Reference
+    * analog: the result-replacement cycle (ram-analysis/app/
+    * index.js:122-134) that makes update-heavy tables accumulate dead
+    * rows in the first place. */
+  def q64PurgeDv(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{ModelStore, SnapshotLog}
+    val t = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"))
+    val mk = t.agg(max(col("key"))).collect().head.getLong(0)
+    val q = mk / 4L + 1L
+    val fp = ModelStore.corpusFingerprint(spark, s"$dir/customer.parquet")
+    val path = ModelStore.root(spark) +
+      s"/snapdvp_v1_${ModelStore.md5(s"snapdvp|$fp")}"
+    def slice(s: Long): DataFrame =
+      t.filter(col("key") >= s * q && col("key") < (s + 1) * q)
+    if (SnapshotLog.latestVersion(path).isEmpty)
+      SnapshotLog.create(spark, slice(0), path, "key")
+    var v = SnapshotLog.latestVersion(path).get
+    while (v < 3) {
+      SnapshotLog.append(spark, slice(v + 1L), path, "key")
+      v = SnapshotLog.latestVersion(path).get
+    }
+    if (SnapshotLog.latestVersion(path).contains(3)) {
+      // the dense wave — q63's merge shape: ~19% of segment 0
+      val dels = t.filter(col("key") < q && col("key") % 13 === 4)
+        .select(col("key"), col("bal"), lit(true).as("_del"))
+      val upds = t.filter(col("key") < q && col("key") % 7 === 3 &&
+          col("key") % 13 =!= 4)
+        .select(col("key"), (col("bal") + lit(100.0)).as("bal"),
+          lit(false).as("_del"))
+      val ins = t.filter(col("key") % 11 === 5)
+        .select((col("key") + lit(mk + 1L)).as("key"),
+          (col("bal") / lit(2.0)).as("bal"), lit(false).as("_del"))
+      SnapshotLog.mergeDv(spark, dels.unionByName(upds).unionByName(ins),
+        path, "key", "_del")
+    }
+    if (SnapshotLog.latestVersion(path).contains(4)) {
+      // the sparse wave — an all-delete merge leaving ~3% of segment 1
+      // tombstoned (below the purge threshold; no delta segment)
+      val sparse = t.filter(col("key") >= q && col("key") < 2L * q &&
+          col("key") % 29 === 7)
+        .select(col("key"), col("bal"), lit(true).as("_del"))
+      SnapshotLog.mergeDv(spark, sparse, path, "key", "_del")
+    }
+    if (SnapshotLog.latestVersion(path).contains(5))
+      SnapshotLog.purgeDv(spark, path, "key", minDvFrac = 0.1)
+    val segsAt = (n: Int) => SnapshotLog.manifest(spark, path, n).collect()
+    def dvRows(r: org.apache.spark.sql.Row): Long =
+      if (!r.schema.fieldNames.contains("dv_rows") ||
+        r.isNullAt(r.fieldIndex("dv_rows"))) 0L
+      else r.getLong(r.fieldIndex("dv_rows"))
+    val m5 = segsAt(5).map(_.getAs[String]("seg")).toSet
+    val m = segsAt(6)
+    SnapshotLog.read(spark, path)
+      .select(col("key"), col("bal"),
+        lit(SnapshotLog.latestVersion(path).get).cast("int")
+          .as("latest_version"),
+        lit(m.length).cast("int").as("n_segments"),
+        lit(m.count(dvRows(_) > 0L)).cast("int").as("n_dv_segments"),
+        lit(m.map(dvRows).sum).cast("bigint").as("dv_suppressed"),
+        lit(m.count(r => !m5.contains(r.getAs[String]("seg"))))
+          .cast("int").as("n_rewritten"))
+      .orderBy(col("key"))
+  }
+
+  /** BLOOM-PRUNED POINT LOOKUP under the hash gate
+    * ([[graft.sources.SnapshotLog.readPoint]]): a z-ordered table's tiles
+    * OVERLAP on the key axis (each tile is a 2-D quadrant — several
+    * tiles' key ranges contain any given key), so min/max pruning
+    * alone over-scans every point lookup; the per-tile key bloom the
+    * maintenance rewrite recorded settles which tile actually holds
+    * the key, on the driver, before any scan is scheduled.
+    *
+    * Three probes, each a distinct physics class: a LIVE key (found,
+    * scanned < total), a DELETION-VECTORED key (the bloom indexes
+    * physical rows so its tile scans, and the read's anti join
+    * returns nothing — found = 0 but NOT bloom-excluded), and an
+    * ABSENT-in-range key (every covering tile's bloom excludes it —
+    * zero segments scanned, the lookup never touches data). The
+    * exact scanned counts are bloom-bit determined (deterministic for
+    * fixed data, not closed-form), so the hashed verdicts are the
+    * CLASS booleans — pruned (scanned < total) and bloom_excluded
+    * (scanned == 0) — plus the found payload; the oracle restates all
+    * three rows literally. Verified stable at sf 0.001/0.01/0.1. */
+  def q65PointSkip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{ModelStore, SnapshotLog}
+    // keys k % 3 == 0 are dropped so an absent-IN-RANGE probe exists
+    val t = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 3 =!= 0)
+      .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"),
+        floor(col("c_acctbal") * 100).cast("long").as("y"))
+    val fp = ModelStore.corpusFingerprint(spark, s"$dir/customer.parquet")
+    val path = ModelStore.root(spark) +
+      s"/snappt_v1_${ModelStore.md5(s"snappt|$fp")}"
+    if (SnapshotLog.latestVersion(path).isEmpty)
+      SnapshotLog.create(spark, t.filter(col("key") % 2 === 0), path, "key")
+    if (SnapshotLog.latestVersion(path).contains(0))
+      SnapshotLog.append(spark, t.filter(col("key") % 2 === 1), path, "key")
+    if (SnapshotLog.latestVersion(path).contains(1))
+      SnapshotLog.compactZOrder(spark, path, "key", "y", slices = 8)
+    if (SnapshotLog.latestVersion(path).contains(2)) {
+      val dels = t.filter(col("key") % 97 === 13)
+        .select(col("key"), col("bal"), col("y"), lit(true).as("_del"))
+      SnapshotLog.mergeDv(spark, dels, path, "key", "_del")
+    }
+    // probes: live (10: %3=1, %97=10), deleted (13: %97=13), absent (3)
+    val out = Seq(3L, 10L, 13L).map { p =>
+      val (df, scanned, total) = SnapshotLog.readPoint(spark, path, "key", p)
+      val hit = df.select(col("bal")).collect()
+      org.apache.spark.sql.Row(p, hit.length.toLong,
+        hit.headOption.map(_.getDouble(0)).map(java.lang.Double.valueOf)
+          .orNull,
+        scanned < total, scanned == 0)
+    }
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(new java.util.ArrayList(out.asJava),
+      StructType(Seq(
+        StructField("probe", LongType, nullable = false),
+        StructField("found", LongType, nullable = false),
+        StructField("bal", DoubleType, nullable = true),
+        StructField("pruned", BooleanType, nullable = false),
+        StructField("bloom_excluded", BooleanType, nullable = false))))
+      .orderBy(col("probe"))
+  }
 }

@@ -222,15 +222,21 @@ object SnapshotLog {
     * retry fail forever). Visibility still flips only at commit;
     * orphans are reclaimed by [[gc]]'s unreferenced-segment sweep. */
   private def writeSegment(spark: SparkSession, df: DataFrame, path: String,
-                           v: Int, idx: Int, keyCol: String): DataFrame = {
+                           v: Int, idx: Int, keyCol: String,
+                           bloomExpected: Option[Long] = None): DataFrame = {
     val dir = f"$path/data/c$v%05d-$idx-" +
       java.util.UUID.randomUUID().toString.take(8)
     df.write.mode("errorifexists").parquet(dir)
+    val aggs = Seq(count(lit(1)).as("n_rows"),
+      min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key")) ++
+      bloomExpected.map(n => org.apache.spark.sql.graftbridge.SparkBridge
+        .bloomFilterAgg(xxhash64(col(keyCol).cast("long")), n)
+        .as("_bloom"))
+    val out = Seq(col("n_rows"), col("min_key"), col("max_key")) ++
+      bloomExpected.map(_ => col("_bloom"))
     spark.read.parquet(dir)
-      .agg(count(lit(1)).as("n_rows"),
-        min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"))
-      .select(lit(dir).as("seg"), col("n_rows"),
-        col("min_key"), col("max_key"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(lit(dir).as("seg") +: out: _*)
   }
 
   /** Commit `rows` as the manifest of version `v`: write the manifest
@@ -658,12 +664,20 @@ object SnapshotLog {
     // readRows applies any deletion vectors: the fold purges them —
     // the folded segment lists no dvs and the tombstone dirs orphan
     val merged = readRows(spark, small.toSeq).get
-    val newSeg: Seq[(String, Long, Long, Long)] =
+    // point-lookup bloom sizing: the fold's live rows, floored so tiny
+    // tables still get a usable filter and capped so a sidecar (and the
+    // driver pass that loads it per candidate) stays MBs-bounded
+    val expectedKeys = math.max(1024L,
+      math.min(small.map(liveRowsOf).sum, MaxBloomItems))
+    val newSeg: Seq[(String, Long, Long, Long, String)] =
       if (slices == 1)
-        writeSegment(spark, merged, path, v, 0, keyCol).collect().toSeq
+        writeSegment(spark, merged, path, v, 0, keyCol,
+          bloomExpected = Some(expectedKeys)).collect().toSeq
           .filter(_.getAs[Long]("n_rows") > 0)
           .map(r => (r.getAs[String]("seg"), r.getAs[Long]("n_rows"),
-            r.getAs[Long]("min_key"), r.getAs[Long]("max_key")))
+            r.getAs[Long]("min_key"), r.getAs[Long]("max_key"),
+            Option(r.getAs[Array[Byte]]("_bloom"))
+              .map(writeBloomSidecar(path, v, 0, _)).orNull))
       else {
         val lo = small.map(_.getAs[Long]("min_key")).min
         val hi = small.map(_.getAs[Long]("max_key")).max
@@ -679,21 +693,31 @@ object SnapshotLog {
             s"CAST((CAST($keyCol AS BIGINT) - ${lo}L) div ${width}L AS INT)"))
           .repartition(col("_snap_slice"))
           .write.partitionBy("_snap_slice").parquet(tmp.toString)
+        // per-slice expected items: 2x the uniform share absorbs skew
+        // without forfeiting the size cap (a fixed constant because the
+        // bloom aggregate is sized once per aggregation, not per group)
+        val perSlice = math.max(1024L,
+          math.min(2L * expectedKeys / slices, MaxBloomItems))
         val stats = spark.read.parquet(tmp.toString)
           .groupBy(col("_snap_slice"))
-          .agg(count(lit(1)), min(col(keyCol)), max(col(keyCol)))
+          .agg(count(lit(1)), min(col(keyCol)), max(col(keyCol)),
+            org.apache.spark.sql.graftbridge.SparkBridge
+              .bloomFilterAgg(xxhash64(col(keyCol).cast("long")),
+                perSlice))
           .collect()
           .map(r => r.getInt(0) ->
-            (r.getLong(1), r.getAs[Long](2), r.getAs[Long](3)))
+            (r.getLong(1), r.getAs[Long](2), r.getAs[Long](3),
+              r.getAs[Array[Byte]](4)))
           .toMap
         val out = (0 until slices).flatMap { i =>
-          stats.get(i).filter(_._1 > 0L).map { case (n, mn, mx) =>
+          stats.get(i).filter(_._1 > 0L).map { case (n, mn, mx, bb) =>
             val dir = f"$path/data/c$v%05d-$i-" +
               java.util.UUID.randomUUID().toString.take(8)
             fs.mkdirs(new Path(path, "data"))
             if (!fs.rename(new Path(tmp, s"_snap_slice=$i"), new Path(dir)))
               sys.error(s"compaction could not move slice $i to $dir")
-            (dir, n, mn, mx)
+            (dir, n, mn, mx,
+              Option(bb).map(writeBloomSidecar(path, v, i, _)).orNull)
           }
         }
         fs.delete(tmp, true)
@@ -708,7 +732,7 @@ object SnapshotLog {
       else mDf.filter(col("seg").isin(bigSegs: _*))
     import spark.implicits._
     commit(carried.unionByName(
-      newSeg.toDF("seg", "n_rows", "min_key", "max_key"),
+      newSeg.toDF("seg", "n_rows", "min_key", "max_key", "bloom"),
       allowMissingColumns = true), path, v, rewriteOnly = true)
   }
 
@@ -797,9 +821,13 @@ object SnapshotLog {
     // adding a stats column is one more agg pair here, never a new
     // manifest shape fork downstream.
     val secondary = (yCol +: statsCols).distinct.filterNot(_ == xCol)
+    val perSlice = math.max(1024L, math.min(
+      2L * segs.map(liveRowsOf).sum / slices, MaxBloomItems))
     val aggCols = Seq(count(lit(1)), min(xL), max(xL)) ++
       secondary.flatMap(c =>
-        Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
+        Seq(min(col(c).cast("long")), max(col(c).cast("long")))) :+
+      org.apache.spark.sql.graftbridge.SparkBridge
+        .bloomFilterAgg(xxhash64(col(xCol).cast("long")), perSlice)
     val stats = spark.read.parquet(tmp.toString)
       .groupBy(col("_snap_slice"))
       .agg(aggCols.head, aggCols.tail: _*)
@@ -818,14 +846,117 @@ object SnapshotLog {
             c -> org.apache.spark.sql.Row(r.getLong(4 + 2 * j),
               r.getLong(5 + 2 * j))
           }.toMap
+          val bloom = Option(
+            r.getAs[Array[Byte]](4 + 2 * secondary.length))
+            .map(writeBloomSidecar(path, v, i, _)).orNull
           org.apache.spark.sql.Row(dir, r.getLong(1), r.getLong(2),
-            r.getLong(3), sMap)
+            r.getLong(3), sMap, bloom)
         }
       }
     fs.delete(tmp, true)
     import scala.jdk.CollectionConverters._
     commit(spark.createDataFrame(new java.util.ArrayList(rows.asJava),
       manifestStatsSchema), path, v, rewriteOnly = true)
+  }
+
+  /** TARGETED TOMBSTONE PURGE — Iceberg's rewrite-position-deletes /
+    * Delta's REORG PURGE: rewrite ONLY the segments whose
+    * deletion-vector density has reached `minDvFrac` (fraction of
+    * physical rows tombstoned), each into ONE new segment holding its
+    * live rows, and carry every other segment — including
+    * lightly-vectored ones below the threshold — by reference,
+    * verbatim. [[compact]] also purges, but by FOLDING segments
+    * together, which destroys their clustering (and at 100 TB a
+    * full-table fold is not a thing you run because one segment
+    * accumulated tombstones); the MoR read tax lives only in the
+    * vectored segments, so that is all a purge rewrites. Clustering is
+    * preserved segment-by-segment — a purged z-order tile is still the
+    * same tile minus its dead rows — so the per-column `stats` map
+    * rides onto the rewritten row unchanged (rows only shrink: the old
+    * bounds stay correct, and stay tight enough to prune with).
+    *
+    * One data pass for ALL purged segments: each target's live rows
+    * (vectors applied) are tagged with the target's index and written
+    * in ONE partitioned write, then slice dirs rename into the segment
+    * namespace and per-target stats come from ONE grouped aggregation
+    * — never a job per segment. A fully-tombstoned segment rewrites to
+    * zero rows and is elided. Commits REWRITE-ONLY (identical logical
+    * rows — the change feed skips it); the replaced segments and any
+    * tombstone dirs no surviving manifest references are [[gc]]'s to
+    * reclaim. Returns the new version, or the current one when no
+    * segment crosses the threshold. */
+  def purgeDv(spark: SparkSession, path: String, keyCol: String,
+              minDvFrac: Double = 0.0): Int = {
+    require(minDvFrac >= 0.0 && minDvFrac <= 1.0,
+      s"minDvFrac is a fraction of a segment's physical rows, " +
+        s"got $minDvFrac")
+    val v0 = latestVersion(path).getOrElse(
+      sys.error(s"purge of non-existent table $path"))
+    val m = manifest(spark, path, v0)
+    val rows = m.collect()
+    val (targets, carried) = rows.partition { r =>
+      dvListOf(r).nonEmpty && r.getAs[Long]("n_rows") > 0 &&
+        dvRowsOf(r).toDouble >= minDvFrac * r.getAs[Long]("n_rows")
+    }
+    if (targets.isEmpty) return v0
+    val v = v0 + 1
+    val tmp = new Path(logDir(path),
+      s".purge-tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val fs = fsOf(tmp)
+    val tagged = targets.zipWithIndex.map { case (r, i) =>
+      readRows(spark, Seq(r)).get.withColumn("_snap_tgt", lit(i))
+    }.reduce(_.unionByName(_))
+    tagged
+      .repartition(col("_snap_tgt"))
+      .write.partitionBy("_snap_tgt").parquet(tmp.toString)
+    // explicit schema: when EVERY target purges to zero live rows the
+    // write emits no data files, and schema inference on the empty tmp
+    // would throw; the stats still come from the written bytes
+    val perTarget = math.max(1024L,
+      math.min(targets.map(liveRowsOf).max, MaxBloomItems))
+    val stats = spark.read.schema(tagged.schema).parquet(tmp.toString)
+      .groupBy(col("_snap_tgt"))
+      .agg(count(lit(1)), min(col(keyCol).cast("long")),
+        max(col(keyCol).cast("long")),
+        org.apache.spark.sql.graftbridge.SparkBridge
+          .bloomFilterAgg(xxhash64(col(keyCol).cast("long")), perTarget))
+      .collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getAs[Array[Byte]](4)))
+      .toMap
+    val rewritten = targets.zipWithIndex.flatMap { case (r, i) =>
+      stats.get(i).filter(_._1 > 0L).map { case (n, mn, mx, bb) =>
+        val dir = f"$path/data/p$v%05d-$i-" +
+          java.util.UUID.randomUUID().toString.take(8)
+        fs.mkdirs(new Path(path, "data"))
+        if (!fs.rename(new Path(tmp, s"_snap_tgt=$i"), new Path(dir)))
+          sys.error(s"purge could not move target $i to $dir")
+        // row surgery on the TARGET's own manifest row: seg/row-count/
+        // key bounds refresh, dvs and dv_rows clear, the key bloom
+        // refreshed over the live rows (when the manifest shape has
+        // one), and every other column — the stats map above all —
+        // carries verbatim, so the shape never forks here
+        val vals = r.toSeq.toArray
+        vals(r.fieldIndex("seg")) = dir
+        vals(r.fieldIndex("n_rows")) = n
+        vals(r.fieldIndex("min_key")) = mn
+        vals(r.fieldIndex("max_key")) = mx
+        if (r.schema.fieldNames.contains("dvs"))
+          vals(r.fieldIndex("dvs")) = null
+        if (r.schema.fieldNames.contains("dv_rows"))
+          vals(r.fieldIndex("dv_rows")) = null
+        if (r.schema.fieldNames.contains("bloom"))
+          vals(r.fieldIndex("bloom")) = Option(bb)
+            .map(writeBloomSidecar(path, v, i, _)).orNull
+        org.apache.spark.sql.Row.fromSeq(vals.toIndexedSeq)
+      }
+    }
+    fs.delete(tmp, true)
+    import scala.jdk.CollectionConverters._
+    commit(spark.createDataFrame(
+      new java.util.ArrayList((carried.toSeq ++ rewritten).asJava),
+      m.schema), path, v, rewriteOnly = true)
   }
 
   /** Manifest schema when per-column secondary stats are present: the
@@ -843,7 +974,8 @@ object SnapshotLog {
       StructField("stats", MapType(StringType,
         StructType(Seq(StructField("mn", LongType, nullable = true),
           StructField("mx", LongType, nullable = true))),
-        valueContainsNull = false), nullable = true)))
+        valueContainsNull = false), nullable = true),
+      StructField("bloom", StringType, nullable = true)))
   }
 
   /** The `[mn, mx]` range recorded for `c` in a manifest row's
@@ -871,6 +1003,37 @@ object SnapshotLog {
     * tombstone dirs no surviving manifest references. Tables that never
     * see a [[mergeDv]] never grow the columns — every other verb
     * carries them opaquely via `unionByName(allowMissingColumns)`. */
+  /** Serialized-bloom size cap: bounds a sidecar (and the driver pass
+    * that loads one per candidate segment) to single-digit MBs; past
+    * the cap the filter's false-positive rate degrades gracefully
+    * rather than the manifest pass growing without bound. */
+  private val MaxBloomItems = 4L * 1024 * 1024
+
+  /** The key-bloom sidecar path recorded for a manifest row, if the
+    * segment has one (only maintenance rewrites — [[compact]] /
+    * [[compactZOrder]] — build them; everything else carries or
+    * nulls the column, and a missing bloom just means "scan it"). */
+  private def bloomPathOf(r: org.apache.spark.sql.Row): Option[String] =
+    if (!r.schema.fieldNames.contains("bloom")) None
+    else {
+      val i = r.fieldIndex("bloom")
+      if (r.isNullAt(i)) None else Option(r.getString(i))
+    }
+
+  /** Write serialized bloom bytes under `path/bloom/` (attempt-unique
+    * name, [[gc]]-swept when unreferenced) and return the sidecar
+    * path. */
+  private def writeBloomSidecar(path: String, v: Int, idx: Int,
+                                bytes: Array[Byte]): String = {
+    val f = new Path(s"$path/bloom",
+      f"b$v%05d-$idx-${java.util.UUID.randomUUID().toString.take(8)}")
+    val fs = fsOf(f)
+    fs.mkdirs(f.getParent)
+    val out = fs.create(f, false)
+    try out.write(bytes) finally out.close()
+    f.toString
+  }
+
   private def dvListOf(r: org.apache.spark.sql.Row): Seq[String] =
     if (!r.schema.fieldNames.contains("dvs")) Nil
     else {
@@ -1079,6 +1242,49 @@ object SnapshotLog {
         .orElse(anchorSeg(spark, path, v)).getOrElse(sys.error(
           s"readProbe at $path: no surviving version lists a segment " +
             "to anchor the table schema"))).limit(0))
+    (rows, hit.length, segs.length)
+  }
+
+  /** BLOOM-PRUNED POINT LOOKUP — `key = k` data skipping past what
+    * min/max ranges can do: after a merge-heavy history (or any
+    * interleaved ingest) segment key ranges overlap, so a range probe
+    * scans every overlapping segment even though the key's rows live
+    * in one or two of them. [[compact]]/[[compactZOrder]] record a
+    * per-segment key bloom sidecar (`path/bloom/`, Spark's
+    * `util.sketch.BloomFilter` over `xxhash64(key)`, items capped at
+    * [[MaxBloomItems]]); this read consults the manifest's range
+    * stats FIRST, then tests the surviving candidates' blooms on the
+    * driver — segment-count-bounded work, sidecars loaded only for
+    * range-surviving rows — and scans only the segments whose filter
+    * might contain the key (a missing bloom is "scan it"; a false
+    * positive costs one extra segment scan, never a wrong answer —
+    * and the pushed `key = k` residual makes that scan a
+    * footer-pruned no-op). Deletion vectors compose: a tombstoned
+    * key may pass its segment's bloom, and the read's anti join
+    * removes it. Returns (rows, segments scanned, segments total). */
+  def readPoint(spark: SparkSession, path: String, keyCol: String,
+                key: Long,
+                version: Option[Int] = None): (DataFrame, Int, Int) = {
+    val v = version.orElse(latestVersion(path))
+      .getOrElse(sys.error(s"no committed version at $path"))
+    val segs = manifest(spark, path, v).collect()
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashLong(key, 42L) // the seed of the xxhash64(...) function
+    val hit = segs.filter { r =>
+      r.getAs[Long]("max_key") >= key && r.getAs[Long]("min_key") <= key &&
+        bloomPathOf(r).forall { p =>
+          val in = fsOf(new Path(p)).open(new Path(p))
+          try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+            .mightContainLong(h)
+          finally in.close()
+        }
+    }
+    val rows = readRows(spark, hit.toSeq)
+      .map(_.filter(col(keyCol) === key)).getOrElse(
+        spark.read.parquet(segs.headOption.map(_.getAs[String]("seg"))
+          .orElse(anchorSeg(spark, path, v)).getOrElse(sys.error(
+            s"readPoint at $path: no surviving version lists a segment " +
+              "to anchor the table schema"))).limit(0))
     (rows, hit.length, segs.length)
   }
 
@@ -1335,6 +1541,19 @@ object SnapshotLog {
         .map(s => fs.makeQualified(new Path(s))).toSet
       fs.listStatus(dvRoot).toSeq
         .filterNot(st => refDvs.contains(fs.makeQualified(st.getPath)))
+        .foreach(st => fs.delete(st.getPath, true))
+    }
+    // key-bloom sidecar sweep: same reachability rule as tombstones —
+    // a sidecar lives until no surviving manifest's `bloom` column
+    // references it (segment rewrites and version expiry orphan them)
+    val bloomRoot = new Path(path, "bloom")
+    if (fs.exists(bloomRoot)) {
+      val refBlooms = (0 to latest).filter(mExists)
+        .flatMap(v => manifest(spark, path, v).collect()
+          .flatMap(bloomPathOf))
+        .map(s => fs.makeQualified(new Path(s))).toSet
+      fs.listStatus(bloomRoot).toSeq
+        .filterNot(st => refBlooms.contains(fs.makeQualified(st.getPath)))
         .foreach(st => fs.delete(st.getPath, true))
     }
     // crashed commit/hint temp dirs (hidden `.`-prefixed names inside

@@ -177,6 +177,119 @@ class DeletionVectorSpec extends AnyFunSuite {
       state(12L) == "u12" && state(9000000L) == "n")
   }
 
+  test("purgeDv rewrites only segments at the DV-density threshold; below-threshold vectors and their dirs survive; logical state, time travel and the change feed are untouched") {
+    import spark.implicits._
+    val path = tmpDir("purge")
+    buildTable(path, big = 2000) // seg0 [0,2000) + three 50-row appends
+    // dense wave: 20 of seg1's 50 rows (frac 0.4) — above threshold
+    val dense = (1000000L until 1000020L).map(k => (k, "", true))
+      .toDF("k", "p", "del")
+    SnapshotLog.mergeDv(spark, dense, path, "k", "del") // v4
+    // sparse wave: 2 of seg0's 2000 rows (frac 0.001) — below threshold
+    val sparse = Seq((7L, "", true), (9L, "", true)).toDF("k", "p", "del")
+    SnapshotLog.mergeDv(spark, sparse, path, "k", "del") // v5
+    val before = readMap(path)
+    val m5 = SnapshotLog.manifest(spark, path, 5).collect()
+    val denseSeg = m5.find(r => dvsOf(r).nonEmpty &&
+      r.getAs[Long]("min_key") >= 1000000L).get
+    val sparseSeg = m5.find(r => dvsOf(r).nonEmpty &&
+      r.getAs[Long]("min_key") < 1000000L).get
+
+    val v = SnapshotLog.purgeDv(spark, path, "k", minDvFrac = 0.1)
+    assert(v == 6)
+    val m6 = SnapshotLog.manifest(spark, path, 6).collect()
+    // the dense segment was rewritten: gone from the manifest, replaced
+    // by a vector-free segment holding exactly its live rows
+    assert(!m6.exists(_.getAs[String]("seg") ==
+      denseSeg.getAs[String]("seg")))
+    val repl = m6.find(r => r.getAs[Long]("min_key") >= 1000000L &&
+      r.getAs[Long]("min_key") < 2000000L).get
+    assert(dvsOf(repl).isEmpty && repl.getAs[Long]("n_rows") == 30L)
+    // the sparse segment rides by reference VERBATIM — same path, same
+    // tombstone list; the rest of the manifest is carried too
+    val sparseAfter = m6.find(_.getAs[String]("seg") ==
+      sparseSeg.getAs[String]("seg")).get
+    assert(dvsOf(sparseAfter) == dvsOf(sparseSeg) &&
+      sparseAfter.getAs[Long]("dv_rows") == 2L)
+    assert(m6.length == m5.length)
+    // logical state identical; both pre-purge versions time-travel
+    assert(readMap(path) == before)
+    assert(readMap(path, Some(5)) == before)
+    assert(readMap(path, Some(4)).contains(7L))
+    // rewrite-only: a follower cursored before the purge reads nothing
+    assert(SnapshotLog.isRewriteOnly(path, 6))
+    var fed = 0
+    SnapshotLog.followDiff(spark, path, "k", "pg", startAt = 5) {
+      (feed, _) => fed += feed.count().toInt
+    }
+    assert(fed == 0, s"purge leaked $fed rows into the change feed")
+    // idempotent: nothing is at the threshold any more
+    assert(SnapshotLog.purgeDv(spark, path, "k", minDvFrac = 0.1) == 6)
+    // gc reclaims the replaced segment and ITS tombstone dir, but must
+    // keep the below-threshold segment's still-referenced tombstones
+    SnapshotLog.gc(spark, path, retainLast = 1)
+    assert(!new java.io.File(denseSeg.getAs[String]("seg")).exists())
+    assert(dvsOf(sparseAfter).forall(d => new java.io.File(d).exists()),
+      "gc reclaimed a tombstone dir the live manifest still references")
+    assert(readMap(path) == before)
+    // a fully-tombstoned segment purges to zero rows and is ELIDED
+    val wipe = (3000000L until 3000050L).map(k => (k, "", true))
+      .toDF("k", "p", "del")
+    SnapshotLog.mergeDv(spark, wipe, path, "k", "del")
+    SnapshotLog.purgeDv(spark, path, "k", minDvFrac = 0.5)
+    val m8 = SnapshotLog.manifest(spark, path, 8).collect()
+    assert(!m8.exists(r => r.getAs[Long]("min_key") >= 3000000L))
+    assert(readMap(path) == before.view.filterKeys(_ < 3000000L).toMap)
+  }
+
+  test("purgeDv preserves z-order clustering: the per-column stats map rides onto the rewritten segment and readBox prunes exactly as before") {
+    import spark.implicits._
+    val path = tmpDir("purgez")
+    val df = (0L until 4096L).map(i => (i, (i * 2654435761L) % 4096L))
+      .toDF("k", "y")
+    // two commits: compactZOrder no-ops on a single-segment table
+    SnapshotLog.create(spark, df.filter(col("k") < 2048L), path, "k")
+    SnapshotLog.append(spark, df.filter(col("k") >= 2048L), path, "k")
+    SnapshotLog.compactZOrder(spark, path, "k", "y", slices = 8) // v2
+    val (_, scanned0, total0) =
+      SnapshotLog.readBox(spark, path, "k", "y", 0L, 511L, 0L, 511L)
+    assert(scanned0 < total0, "z-order fixture fails to prune at all")
+    // tombstone a few rows in ONE tile, then purge everything vectored
+    val probe = SnapshotLog.read(spark, path).filter(col("k") < 5L)
+      .select(col("k"), col("y"), lit(true).as("del"))
+    SnapshotLog.mergeDv(spark, probe, path, "k", "del") // v3
+    val vectored = SnapshotLog.manifest(spark, path, 3).collect()
+      .filter(dvsOf(_).nonEmpty)
+    assert(vectored.nonEmpty)
+    val v = SnapshotLog.purgeDv(spark, path, "k")
+    assert(v == 4)
+    val m3 = SnapshotLog.manifest(spark, path, 4).collect()
+    assert(m3.forall(dvsOf(_).isEmpty))
+    // every rewritten row kept its per-column stats map (rows only
+    // shrink, so the old bounds remain correct) — pruning is as tight
+    // after the purge as before it
+    val statsIdx = m3.head.fieldIndex("stats")
+    assert(m3.forall(r => !r.isNullAt(statsIdx) &&
+      r.getMap[String, org.apache.spark.sql.Row](statsIdx)
+        .contains("y")))
+    val (rows3, scanned3, total3) =
+      SnapshotLog.readBox(spark, path, "k", "y", 0L, 511L, 0L, 511L)
+    assert(total3 == total0 && scanned3 == scanned0,
+      s"purge loosened pruning: $scanned3/$total3 vs $scanned0/$total0")
+    // the purge refreshed the rewritten tile's key bloom over its LIVE
+    // rows: a purged-away key now bloom-prunes to zero scans and zero
+    // rows (a carried bloom would still false-positive the old tile)
+    val bloomIdx = m3.head.fieldIndex("bloom")
+    assert(m3.forall(!_.isNullAt(bloomIdx)),
+      "purge dropped a tile's key bloom")
+    val (gone, scannedGone, _) = SnapshotLog.readPoint(spark, path, "k", 2L)
+    assert(gone.count() == 0 && scannedGone == 0,
+      s"purged key k=2 still scanned $scannedGone segments")
+    assert(rows3.count() ==
+      df.filter(col("k") <= 511L && col("y") <= 511L).count() - probe
+        .filter(col("k") <= 511L && col("y") <= 511L).count())
+  }
+
   test("followDiff admission control: maxVersions bounds each poll; cursor makes partial progress durable") {
     import spark.implicits._
     val path = tmpDir("admission")

@@ -86,7 +86,7 @@ class SnapshotModelSpec extends AnyFunSuite {
     // (SNAP_FUZZ_STEPS=200) without changing the committed default
     val steps = sys.env.getOrElse("SNAP_FUZZ_STEPS", "40").toInt
     for (step <- 1 to steps) {
-      rnd.nextInt(10) match {
+      rnd.nextInt(11) match {
         case 0 => // append strictly-new keys
           val base = keySpace + step * 100L
           val rows = (0 until 1 + rnd.nextInt(5))
@@ -156,6 +156,11 @@ class SnapshotModelSpec extends AnyFunSuite {
             .toDF("k", "y", "p", "del")
           val v = SnapshotLog.mergeDv(spark, df, path, "k", "del")
           model = model -- delKeys ++ ups; commitSnap(v)
+        case 10 => // targeted tombstone purge at a random density
+          // threshold; rewrite-only: no model change
+          val v = SnapshotLog.purgeDv(spark, path, "k",
+            minDvFrac = rnd.nextDouble() * 0.5)
+          if (v != latest) commitSnap(v)
       }
 
       // invariant 1: latest == model
