@@ -1057,9 +1057,11 @@ object SnapshotLog {
     * deletion vectors applied. Segments with no tombstones go through
     * the plain multi-directory parquet scan (bit-identical plan to the
     * pre-DV read path — DV-free tables pay nothing); tombstoned
-    * segments are read with a per-segment tag and cleaned by ONE
-    * broadcast anti join against the union of their attached tombstone
-    * files on `(_snap_seg, key)` — a tombstone's rows target exactly
+    * segments are read in ONE multi-directory scan (the owning segment
+    * recovered from each row's file path by basename — never a union
+    * node per segment) and cleaned by ONE broadcast anti join against
+    * the union of their attached tombstone files on
+    * `(_snap_seg, key)` — a tombstone's rows target exactly
     * one segment, so entries for segments outside this read (possible
     * after a COW rewrite or restore) match nothing by construction.
     *
@@ -1086,14 +1088,36 @@ object SnapshotLog {
     val dvdDf =
       if (dvd.isEmpty) None
       else {
-        val tagged = dvd.map { r =>
-          spark.read.parquet(r.getAs[String]("seg"))
-            .withColumn("_snap_seg", lit(r.getAs[String]("seg")))
-        }.reduce((a, b) =>
-          a.unionByName(b, allowMissingColumns = mergeSchema))
+        val segsD = dvd.map(_.getAs[String]("seg"))
+        // ONE multi-directory scan for every tombstoned segment, the
+        // owning segment recovered from each row's file path (segment
+        // dir basenames are version+attempt unique) and translated
+        // back to the manifest's seg string for the tombstone join —
+        // a union of per-segment tagged scans costs a plan node and a
+        // codegen break per segment, and at a 100 TB segment count
+        // that union IS the read. Basename collision (take(8) uuid)
+        // falls back to the per-segment tagging, correct always.
+        val byName = segsD.map(s => new Path(s).getName -> s).toMap
         val dvPaths = dvd.flatMap(dvListOf).distinct
-        val tombs = spark.read.parquet(dvPaths: _*)
-        val kc = tombs.columns.filter(_ != "_snap_seg").head
+        val tombs0 = spark.read.parquet(dvPaths: _*)
+        val kc = tombs0.columns.filter(_ != "_snap_seg").head
+        val (tagged, tombs) =
+          if (byName.size == segsD.length) {
+            // the join key is the DIR BASENAME: derived on the big side
+            // with two substring_index calls per row (no regex, no
+            // full-path string keys) and on the tombstone side — dv
+            // rows store the manifest's seg string — by the same
+            // basename cut, delta-sized work
+            val base = substring_index(
+              substring_index(input_file_name(), "/", -2), "/", 1)
+            (readPlain(segsD).withColumn("_snap_seg", base),
+              tombs0.withColumn("_snap_seg",
+                substring_index(col("_snap_seg"), "/", -1)))
+          } else (dvd.map { r =>
+            spark.read.parquet(r.getAs[String]("seg"))
+              .withColumn("_snap_seg", lit(r.getAs[String]("seg")))
+          }.reduce((a, b) =>
+            a.unionByName(b, allowMissingColumns = mergeSchema)), tombs0)
         Some(tagged.join(broadcast(tombs), Seq("_snap_seg", kc),
           "left_anti").drop("_snap_seg"))
       }
@@ -1162,18 +1186,40 @@ object SnapshotLog {
     val counts: Map[String, Long] =
       if (affected.isEmpty) Map.empty
       else {
-        val tagged = affected.toSeq.map { r =>
-          spark.read.parquet(r.getAs[String]("seg")).select(col(keyCol))
-            .withColumn("_snap_seg", lit(r.getAs[String]("seg")))
-        }.reduce(_.unionByName(_))
+        // ONE column-pruned multi-directory presence scan over every
+        // affected segment (a union of per-segment tagged reads costs
+        // a plan node per segment — at a 100 TB segment count the
+        // union IS the scan); rows carry the dir BASENAME and the
+        // delta-sized tombstone output translates back to the
+        // manifest's seg strings at the end
+        val affSegs = affected.toSeq.map(_.getAs[String]("seg"))
+        val byName = affSegs.map(s => new Path(s).getName -> s).toMap
+        val oneScan = byName.size == affSegs.length
+        val tagged =
+          if (oneScan)
+            spark.read.parquet(affSegs: _*).select(col(keyCol))
+              .withColumn("_snap_seg", substring_index(
+                substring_index(input_file_name(), "/", -2), "/", 1))
+          else affected.toSeq.map { r =>
+            spark.read.parquet(r.getAs[String]("seg")).select(col(keyCol))
+              .withColumn("_snap_seg", lit(r.getAs[String]("seg")))
+          }.reduce(_.unionByName(_))
         val priorDvs = affected.toSeq.flatMap(dvListOf).distinct
         val live =
           if (priorDvs.isEmpty) tagged
-          else tagged.join(broadcast(spark.read.parquet(priorDvs: _*)),
-            Seq("_snap_seg", keyCol), "left_anti")
+          else {
+            val prior0 = spark.read.parquet(priorDvs: _*)
+            val prior = if (oneScan) prior0.withColumn("_snap_seg",
+              substring_index(col("_snap_seg"), "/", -1)) else prior0
+            tagged.join(broadcast(prior),
+              Seq("_snap_seg", keyCol), "left_anti")
+          }
+        val nameToSeg = map(byName.toSeq.flatMap { case (n, s) =>
+          Seq(lit(n), lit(s)) }: _*)
         val tomb = live.join(broadcast(df.select(col(keyCol)).distinct()),
           Seq(keyCol), "left_semi")
-          .select(col("_snap_seg"), col(keyCol))
+          .select((if (oneScan) element_at(nameToSeg, col("_snap_seg"))
+            else col("_snap_seg")).as("_snap_seg"), col(keyCol))
         tomb.write.mode("errorifexists").parquet(dvDir)
         val got = spark.read.parquet(dvDir)
           .groupBy(col("_snap_seg")).agg(count(lit(1)).as("n"))
@@ -1284,6 +1330,48 @@ object SnapshotLog {
         spark.read.parquet(segs.headOption.map(_.getAs[String]("seg"))
           .orElse(anchorSeg(spark, path, v)).getOrElse(sys.error(
             s"readPoint at $path: no surviving version lists a segment " +
+              "to anchor the table schema"))).limit(0))
+    (rows, hit.length, segs.length)
+  }
+
+  /** BATCHED point lookup — [[readPoint]] for an id list (the
+    * enrichment shape a pipeline actually runs: "fetch these N
+    * documents/vectors by id"): ONE manifest pass tests every key
+    * against every range-surviving segment's bloom — each sidecar
+    * loaded at most once for the whole batch — and ONE scan covers
+    * the union of might-contain segments, with the `IN` residual
+    * pushed into it. Driver work is (candidate segments x keys)
+    * bloom probes on in-memory bitmaps; `keys` is id-list-sized by
+    * contract (a corpus-sized probe side belongs in a join, not a
+    * point-lookup API). Returns (rows, segments scanned, total). */
+  def readPoints(spark: SparkSession, path: String, keyCol: String,
+                 keys: Seq[Long],
+                 version: Option[Int] = None): (DataFrame, Int, Int) = {
+    require(keys.nonEmpty, "readPoints needs at least one key")
+    val v = version.orElse(latestVersion(path))
+      .getOrElse(sys.error(s"no committed version at $path"))
+    val segs = manifest(spark, path, v).collect()
+    val hashes = keys.map(k => k ->
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(k, 42L))
+    val blooms = scala.collection.mutable.Map
+      .empty[String, org.apache.spark.util.sketch.BloomFilter]
+    def bloomAt(p: String) = blooms.getOrElseUpdate(p, {
+      val in = fsOf(new Path(p)).open(new Path(p))
+      try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+      finally in.close()
+    })
+    val hit = segs.filter { r =>
+      val (lo, hi) = (r.getAs[Long]("min_key"), r.getAs[Long]("max_key"))
+      hashes.exists { case (k, h) =>
+        lo <= k && k <= hi &&
+          bloomPathOf(r).forall(p => bloomAt(p).mightContainLong(h))
+      }
+    }
+    val rows = readRows(spark, hit.toSeq)
+      .map(_.filter(col(keyCol).isin(keys: _*))).getOrElse(
+        spark.read.parquet(segs.headOption.map(_.getAs[String]("seg"))
+          .orElse(anchorSeg(spark, path, v)).getOrElse(sys.error(
+            s"readPoints at $path: no surviving version lists a segment " +
               "to anchor the table schema"))).limit(0))
     (rows, hit.length, segs.length)
   }

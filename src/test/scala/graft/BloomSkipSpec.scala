@@ -95,6 +95,33 @@ class BloomSkipSpec extends AnyFunSuite {
     assert(r4.count() == 1)
   }
 
+  test("readPoints: one manifest pass and one scan for an id list; the candidate set is the union of per-key survivors") {
+    import spark.implicits._
+    val path = tmpDir("batch")
+    val df = (0L until 4096L).map(i => (i, (i * 2654435761L) % 4096L))
+      .toDF("k", "y")
+    SnapshotLog.create(spark, df.filter(col("k") % 2 === 0), path, "k")
+    SnapshotLog.append(spark, df.filter(col("k") % 2 === 1), path, "k")
+    SnapshotLog.compactZOrder(spark, path, "k", "y", slices = 8)
+    val m = SnapshotLog.manifest(spark, path, 2).collect()
+
+    val keys = Seq(5L, 1234L, 4000L, 999999L) // three live + one absent
+    val (rows, scanned, total) =
+      SnapshotLog.readPoints(spark, path, "k", keys)
+    assert(rows.collect().map(_.getAs[Long]("k")).sorted.toSeq ==
+      Seq(5L, 1234L, 4000L))
+    assert(total == m.length)
+    // the batch's candidates can never exceed the sum of the per-key
+    // lookups' — and with blooms it stays well under the range union
+    val perKey = keys.map(k =>
+      SnapshotLog.readPoint(spark, path, "k", k)._2).sum
+    assert(scanned <= perKey && scanned <= m.length)
+    val rangeUnion = m.count(r => keys.exists(k =>
+      r.getAs[Long]("min_key") <= k && r.getAs[Long]("max_key") >= k))
+    assert(scanned < rangeUnion,
+      s"blooms pruned nothing for the batch: $scanned of $rangeUnion")
+  }
+
   test("gc sweeps bloom sidecars no surviving manifest references and keeps live ones") {
     import spark.implicits._
     val path = tmpDir("gc")
