@@ -593,21 +593,32 @@ object Dedup {
       .select(col("doc_id"),
         explode(array_distinct(TextFunctions.word_shingles(col("text"), n)))
           .as("s"))
-    val keep = sh.groupBy(col("s"))
-      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDF)
-      .select(col("s"))
-    // the capped index feeds THREE consumers (both self-join sides and
-    // the per-doc sizes); pin it once so the shingle explode + df-cap
-    // semi-join run a single time instead of three (the ngramJaccard
-    // re-shingle lesson), and release the blocks before returning
-    val shf = sh.join(keep, Seq("s"), "left_semi").localCheckpoint()
-    val sizes = shf.groupBy(col("doc_id")).agg(count(lit(1)).as("size_a"))
+    // the capped inverted index as ONE aggregation: per shingle, its
+    // distinct doc set AND its df in the same grouped pass, boilerplate
+    // shingles dropped at the filter (a hot shingle's set is transient
+    // partial-agg state, bounded by its partition's docs, and dies
+    // here). The r16 100x scale probe OOM'd the PREVIOUS shape — a
+    // corpus-sized df-cap semi-join feeding a corpus x corpus shingle
+    // self-JOIN whose sort-merge spill arena collided with the pinned
+    // index — so candidate pairs are now generated MAP-SIDE from each
+    // kept shingle's doc array (double explode, fan-out <= maxDF^2 per
+    // shingle by the cap): no join, no sort, nothing corpus x corpus
+    // anywhere. Pinned once: the index feeds both the pair source and
+    // the per-doc sizes.
+    val byShingle = sh.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"), collect_set(col("doc_id")).as("docs"))
+      .filter(col("df") <= maxDF)
+      .select(col("docs"))
+      .localCheckpoint()
+    val sizes = byShingle.select(explode(col("docs")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("size_a"))
     // shared counts are symmetric: aggregate each UNORDERED pair once
     // (half the rows through the shuffle + hash agg), then emit both
     // orientations — C(A,B) and C(B,A) are different claims but share
     // n_shared
-    val unordered = shf.select(col("s"), col("doc_id").as("da"))
-      .join(shf.select(col("s"), col("doc_id").as("db")), Seq("s"))
+    val unordered = byShingle
+      .select(explode(col("docs")).as("da"), col("docs"))
+      .select(col("da"), explode(col("docs")).as("db"))
       .filter(col("da") < col("db"))
       .groupBy(col("da"), col("db"))
       .agg(count(lit(1)).as("n_shared"))
@@ -628,7 +639,8 @@ object Dedup {
         col("containment"))
       .orderBy(col("doc_a"), col("doc_b"))
       .localCheckpoint()
-    org.apache.spark.sql.graftbridge.SparkBridge.unpersistCheckpoint(shf)
+    org.apache.spark.sql.graftbridge.SparkBridge
+      .unpersistCheckpoint(byShingle)
     out
   }
 
