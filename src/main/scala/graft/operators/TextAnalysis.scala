@@ -242,14 +242,19 @@ object TextAnalysis {
     val sh = Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(array_distinct(TextFunctions.word_shingles(col("text"), n))).as("s"))
-    val keep = sh.groupBy(col("s"))
-      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDF).select(col("s"))
-    val shf = sh.join(keep, Seq("s"), "left_semi")
-    val tr = shf.filter(col("doc_id") % 10 =!= 0)
-      .select(col("s"), col("doc_id").as("train_doc"))
-    val ev = shf.filter(col("doc_id") % 10 === 0)
-      .select(col("s"), col("doc_id").as("eval_doc"))
-    tr.join(ev, Seq("s"))
+    // the inverted index as ONE aggregation (the dedup_containment
+    // r16 scale lesson: a df-cap semi-join feeding a shingle join is
+    // two corpus x corpus steps whose sort arenas OOM at 100x); each
+    // kept shingle's doc set splits into train/eval arrays and the
+    // (train, eval) pairs explode MAP-SIDE — fan-out <= maxDF^2 per
+    // shingle by the cap, no join anywhere
+    sh.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"), collect_set(col("doc_id")).as("docs"))
+      .filter(col("df") <= maxDF)
+      .select(filter(col("docs"), d => d % 10 =!= 0).as("tr"),
+        filter(col("docs"), d => d % 10 === 0).as("ev"))
+      .select(explode(col("tr")).as("train_doc"), col("ev"))
+      .select(col("train_doc"), explode(col("ev")).as("eval_doc"))
       .groupBy(col("train_doc"), col("eval_doc"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -854,14 +859,22 @@ object TextAnalysis {
     val sh = ded.select(col("doc_id"), col("split"),
       explode(array_distinct(TextFunctions.word_shingles(col("text"), n)))
         .as("s"))
-    val rare = sh.groupBy(col("s"))
-      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDF)
-      .select(col("s"))
-    val shf = sh.join(rare, Seq("s"), "left_semi")
-    val contaminated = shf.filter(col("split") === "train")
-      .select(col("s"), col("doc_id").as("train_doc"))
-      .join(shf.filter(col("split") =!= "train")
-        .select(col("s"), col("doc_id").as("eval_doc")), Seq("s"))
+    // same one-aggregation inverted index as [[decontaminate]] (the
+    // dedup_containment r16 scale lesson): per-shingle doc sets split
+    // into train/eval arrays, pairs exploded map-side, no join
+    val contaminated = sh.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"),
+        collect_set(struct(col("doc_id"), col("split"))).as("docs"))
+      .filter(col("df") <= maxDF)
+      .select(
+        transform(filter(col("docs"),
+          d => d.getField("split") === "train"),
+          x => x.getField("doc_id")).as("tr"),
+        transform(filter(col("docs"),
+          d => d.getField("split") =!= "train"),
+          x => x.getField("doc_id")).as("ev"))
+      .select(explode(col("tr")).as("train_doc"), col("ev"))
+      .select(col("train_doc"), explode(col("ev")).as("eval_doc"))
       .groupBy(col("train_doc"), col("eval_doc"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
