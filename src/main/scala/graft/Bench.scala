@@ -52,12 +52,21 @@ object Bench {
       // memory region, and later persisting queries pay eviction/spill
       // churn instead of their own cost; the round-7 driver-side geo_knn
       // "regression" — 7.7 s there, 0.6 s isolated — fits exactly this).
-      // Clearing per QUERY keeps within-query reps warm (min-of-3 stays
-      // comparable to prior rounds) while making each query's timing
-      // independent of what ran before it.
-      spark.catalog.clearCache()
-      System.gc()
+      // Clearing per REP: clearCache() only drops the SQL cache —
+      // localCheckpoint()ed frames pin RDD blocks the catalog never
+      // sees, and across reps x queries those blocks accumulate in the
+      // block manager (the r16 adjudication measured ann_nndescent reps
+      // growing 27 -> 60 -> 159 s from exactly this). Every operator
+      // builds its frames fresh per call, so a finished rep's blocks
+      // are unreachable garbage, never warmth — releasing them between
+      // reps removes the cross-rep memory pressure without cooling
+      // anything a later rep could reuse (JIT, codegen and parquet
+      // footers stay warm in the JVM regardless).
       (1 to reps).map { _ =>
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        System.gc()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>

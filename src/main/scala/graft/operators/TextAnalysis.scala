@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.TextFunctions
+import graft.functions.{CappedSet, TextFunctions}
 
 /** Text-analysis features over the `documents` table: quality scoring,
   * language-ID, token counting, fingerprinting — the standard pre-training
@@ -242,15 +242,17 @@ object TextAnalysis {
     val sh = Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(array_distinct(TextFunctions.word_shingles(col("text"), n))).as("s"))
-    // the inverted index as ONE aggregation (the dedup_containment
-    // r16 scale lesson: a df-cap semi-join feeding a shingle join is
-    // two corpus x corpus steps whose sort arenas OOM at 100x); each
-    // kept shingle's doc set splits into train/eval arrays and the
+    // the inverted index as ONE aggregation with BOUNDED state (the
+    // dedup_containment discipline): [[graft.functions.CappedDistinctSet]]
+    // abandons a shingle's doc set past maxDF, so the final merge never
+    // holds a hot shingle's corpus-sized doc list — the hazard the
+    // collect_set + post-filter shape carries at true 100 TB. Each kept
+    // shingle's doc set splits into train/eval arrays and the
     // (train, eval) pairs explode MAP-SIDE — fan-out <= maxDF^2 per
     // shingle by the cap, no join anywhere
     sh.groupBy(col("s"))
-      .agg(count(lit(1)).as("df"), collect_set(col("doc_id")).as("docs"))
-      .filter(col("df") <= maxDF)
+      .agg(CappedSet.capped_distinct_set(col("doc_id"), maxDF).as("docs"))
+      .filter(col("docs").isNotNull)
       .select(filter(col("docs"), d => d % 10 =!= 0).as("tr"),
         filter(col("docs"), d => d % 10 === 0).as("ev"))
       .select(explode(col("tr")).as("train_doc"), col("ev"))
@@ -859,20 +861,24 @@ object TextAnalysis {
     val sh = ded.select(col("doc_id"), col("split"),
       explode(array_distinct(TextFunctions.word_shingles(col("text"), n)))
         .as("s"))
-    // same one-aggregation inverted index as [[decontaminate]] (the
-    // dedup_containment r16 scale lesson): per-shingle doc sets split
-    // into train/eval arrays, pairs exploded map-side, no join
+    // same bounded-state inverted index as [[decontaminate]]
+    // ([[graft.functions.CappedDistinctSet]] — a hot shingle's set dies
+    // at the cap inside the aggregation, never on the reducer). The
+    // aggregate is long-typed, so the (doc_id, split) element packs
+    // into one long — doc_id << 1 | is_train — and unpacks in the
+    // map-side array split below; split is a function of doc_id (one
+    // split per document), so distinctness is preserved exactly
     val contaminated = sh.groupBy(col("s"))
-      .agg(count(lit(1)).as("df"),
-        collect_set(struct(col("doc_id"), col("split"))).as("docs"))
-      .filter(col("df") <= maxDF)
+      .agg(CappedSet.capped_distinct_set(
+        shiftleft(col("doc_id"), 1) +
+          when(col("split") === "train", 1L).otherwise(0L), maxDF)
+        .as("docs"))
+      .filter(col("docs").isNotNull)
       .select(
-        transform(filter(col("docs"),
-          d => d.getField("split") === "train"),
-          x => x.getField("doc_id")).as("tr"),
-        transform(filter(col("docs"),
-          d => d.getField("split") =!= "train"),
-          x => x.getField("doc_id")).as("ev"))
+        transform(filter(col("docs"), d => d % 2 === 1),
+          x => shiftright(x, 1)).as("tr"),
+        transform(filter(col("docs"), d => d % 2 === 0),
+          x => shiftright(x, 1)).as("ev"))
       .select(explode(col("tr")).as("train_doc"), col("ev"))
       .select(col("train_doc"), explode(col("ev")).as("eval_doc"))
       .groupBy(col("train_doc"), col("eval_doc"))

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{CappedDistinctSet, CappedSet}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.BoundReference
+import org.apache.spark.sql.types.LongType
+
+/** The bounded inverted-index aggregate (r16 verdict "what's wrong" #1):
+  * per-group state must stay <= cap ids through update, serialize and
+  * merge — a hot key (boilerplate shingle in every document of a 100 TB
+  * corpus) must cost one dead bit on its reducer, never a corpus-sized
+  * set. */
+class CappedSetSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("capped_distinct_set equals collect_set + df filter (the semantics it replaces)") {
+    import spark.implicits._
+    // keys with distinct counts straddling the cap, plus duplicate rows
+    // (distinctness, not row count, is what the cap measures)
+    val rows = (1 to 40).flatMap { g =>
+      (1 to g).map(i => (g.toLong, i.toLong)) ++
+        (1 to math.min(g, 7)).map(i => (g.toLong, i.toLong))
+    }
+    val df = rows.toDF("g", "id")
+    val cap = 20
+    val got = df.groupBy($"g")
+      .agg(CappedSet.capped_distinct_set($"id", cap).as("docs"))
+      .filter($"docs".isNotNull)
+      .select($"g", $"docs")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toMap
+    val expect = df.groupBy($"g")
+      .agg(countDistinct($"id").as("df"), collect_set($"id").as("docs"))
+      .filter($"df" <= cap)
+      .select($"g", $"docs")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList.sorted)).toMap
+    assert(got == expect)
+    assert(got.keySet == (1 to 20).map(_.toLong).toSet,
+      "groups over the cap must evaluate to null and be filtered")
+  }
+
+  test("buffer state is bounded: overflow abandons the set, dead is sticky through merge") {
+    val agg = CappedDistinctSet(BoundReference(0, LongType, nullable = true),
+      cap = 10)
+    val buf = agg.createAggregationBuffer()
+    // one hot group far past the cap: the state must collapse to the
+    // dead bit, not grow with the input (the 100x-probe OOM class)
+    (1L to 100000L).foreach(v => agg.update(buf, InternalRow(v)))
+    assert(buf.dead && buf.ids.isEmpty,
+      s"state must be abandoned past the cap; held ${buf.ids.size} ids")
+    assert(agg.eval(buf) == null)
+    // serialized payload of a dead buffer is the flag, not the ids
+    assert(agg.serialize(buf).length <= 16)
+    // dead infects any merge, in both directions
+    val fresh = agg.createAggregationBuffer()
+    (1L to 3L).foreach(v => agg.update(fresh, InternalRow(v)))
+    val merged = agg.merge(fresh, agg.deserialize(agg.serialize(buf)))
+    assert(merged.dead && merged.ids.isEmpty)
+    // under-cap round trip is exact and sorted
+    val small = agg.createAggregationBuffer()
+    Seq(9L, 2L, 9L, 5L).foreach(v => agg.update(small, InternalRow(v)))
+    val arr = agg.eval(agg.deserialize(agg.serialize(small)))
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+    assert(arr.toLongArray().toList == List(2L, 5L, 9L))
+    // a merge whose union crosses the cap dies even when both halves
+    // are individually under it
+    val a = agg.createAggregationBuffer()
+    val b = agg.createAggregationBuffer()
+    (1L to 8L).foreach(v => agg.update(a, InternalRow(v)))
+    (6L to 14L).foreach(v => agg.update(b, InternalRow(v)))
+    assert(agg.merge(a, b).dead)
+  }
+
+  test("containment survives a shingle planted in EVERY document (the hot-key reducer hazard)") {
+    import spark.implicits._
+    // every doc shares one boilerplate 3-shingle; two docs additionally
+    // share enough rare shingles that one contains the other
+    val boiler = "terms of service apply"
+    val nDocs = 5000
+    // doc 1's FULL text (boilerplate included) is a prefix of doc 2's,
+    // so every doc-1 shingle — body, boilerplate, and the body-boiler
+    // crossing ones — appears in doc 2: containment(1 in 2) = 1.0
+    val docs = (0 until nDocs).map { i =>
+      val body =
+        if (i == 1) s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"
+        else if (i == 2) s"alpha1 beta1 gamma1 delta1 epsilon1 zeta1 $boiler extra$i filler$i more$i noise$i pad$i tail$i"
+        else s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f"
+      (i.toLong, s"$body $boiler")
+    }.toDF("doc_id", "text")
+    val got = graft.operators.Dedup.containmentOf(docs, n = 3, maxDF = 20,
+        tau = 0.9, minSize = 5)
+      .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // doc 1's shingle set sits inside doc 2's; the planted pair must
+    // surface, and the boilerplate shingles (df = nDocs >> maxDF) must
+    // contribute nothing — no pair between unrelated docs
+    assert(got.contains((1L, 2L)), s"planted containment pair missing: ${got.toList}")
+    assert(got.forall { case (a, b) => Set(a, b).subsetOf(Set(1L, 2L)) },
+      s"boilerplate shingle leaked pairs: ${got.toList}")
+  }
+}

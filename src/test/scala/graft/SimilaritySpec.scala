@@ -721,10 +721,19 @@ class SimilaritySpec extends AnyFunSuite {
       SnapshotLog.latestVersion(idxPath).contains(1))
   }
 
-  test("ann nndescent: equals the in-memory three-round descent; recall strictly improves over init") {
+  test("ann nndescent: equals the in-memory three-round descent; recall strictly improves over init; cold == warm") {
     val got = Similarity.nnDescent(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
       .toSeq
+    // fit-once through ModelStore (the r16 verdict's #1 ask): the first
+    // call above built/read the nndgraph artifact; this call must read
+    // it warm and produce byte-identical rows — the artifact is an
+    // execution shortcut, never a semantic input
+    val warm = Similarity.nnDescent(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == warm,
+      "nnDescent must serve from the persisted descent graph: cold == warm")
     val es = Tables.embeddings(spark, sf).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
     val vecs = es.toMap
