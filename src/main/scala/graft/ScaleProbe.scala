@@ -99,6 +99,26 @@ object ScaleProbe {
         spark.read.parquet(s"$src/$t.parquet")
           .write.mode("overwrite").parquet(s"$dst/$t.parquet")
       }
+    // completion marker LAST (r16 ADVICE): records what was built, so a
+    // crashed or different-parameter previous build is detected and
+    // rebuilt instead of silently reused (stale scaled data poisons
+    // every ratio in SCALE_r{N}.json)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(scaledMarker(dst)),
+      markerContent(src, factor).getBytes("UTF-8"))
+  }
+
+  private def scaledMarker(dst: String): String = s"$dst/_GRAFT_SCALED"
+  private def markerContent(src: String, factor: Int): String =
+    s"base=$src\nfactor=$factor\n"
+
+  /** True iff a prior [[buildScaled]] COMPLETED with the same base and
+    * factor — the marker is written as the build's last step. */
+  def scaledIsCurrent(src: String, dst: String, factor: Int): Boolean = {
+    val p = java.nio.file.Paths.get(scaledMarker(dst))
+    java.nio.file.Files.exists(p) &&
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8") ==
+        markerContent(src, factor)
   }
 
   def main(args: Array[String]): Unit = {
@@ -111,7 +131,7 @@ object ScaleProbe {
       .withExtensions(new GraftExtensions).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!new java.io.File(scaled, "documents.parquet").exists())
+    if (!scaledIsCurrent(base, scaled, factor))
       buildScaled(spark, base, scaled, factor)
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt

@@ -90,6 +90,7 @@ object SparkEntry {
     "q63_merge_dv" -> (Warehouse.q63MergeDv _),
     "q64_purge_dv" -> (Warehouse.q64PurgeDv _),
     "q65_point_skip" -> (Warehouse.q65PointSkip _),
+    "q66_snapshot_evolve2" -> (Warehouse.q66SnapshotEvolve2 _),
     "export_csv_flat" -> (graft.sources.Exports.exportCsvFlat _),
     // B'. graph centrality over the road-network key space (dyadic-exact
     // PageRank — see operators.Graph for why the oracle matches bitwise)
@@ -332,6 +333,8 @@ object SparkEntry {
     "stream_sketch_window" -> (graft.streaming.EventStreams.sketchWindowChecked _),
     "stream_interval_outer" ->
       (graft.streaming.EventStreams.intervalOuterBatch _),
+    "stream_interval_full" ->
+      (graft.streaming.EventStreams.intervalFullBatch _),
     "stream_enrich" -> (graft.streaming.EventStreams.enrichBatch _),
     "stream_cdc_merge" -> (graft.streaming.EventStreams.cdcMergeBatch _),
     "stream_cm_window" -> (graft.streaming.EventStreams.cmWindowChecked _),
@@ -1210,6 +1213,26 @@ object SparkEntry {
            SELECT p_partkey + (SELECT m FROM mk) + 1, 'n2_' || p_name,
              p_retailprice
            FROM part)
+         ORDER BY key""",
+    // q66_snapshot_evolve2: rename+drop are metadata-only, so the whole
+    // lifecycle restates closed-form over part — price is the v0 retail
+    // carried through the rename (halved on the upserted slice), the
+    // post-rename appended half is 2x with no v0 twin, and the dropped
+    // `name` survives only in the v0 time-travel columns. x2 and /2 are
+    // exact binary scaling, hash-safe without rounding.
+    "q66_snapshot_evolve2" ->
+      """WITH mk AS (SELECT max(p_partkey) AS m FROM part),
+         h AS (SELECT m // 2 AS h FROM mk)
+         SELECT * FROM (
+           SELECT p_partkey AS key,
+             CASE WHEN p_partkey % 10 = 3 THEN p_retailprice / 2.0
+               ELSE p_retailprice END AS price,
+             p_name AS name_v0, p_retailprice AS retail_v0
+           FROM part WHERE p_partkey <= (SELECT h FROM h)
+           UNION ALL
+           SELECT p_partkey, p_retailprice * 2.0,
+             CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+           FROM part WHERE p_partkey > (SELECT h FROM h))
          ORDER BY key""",
     // q55_snapshot_compact: range aggregate closed-form over orders;
     // the two probe shapes restate the EXPECTED stats pruning — 8/8
@@ -3282,7 +3305,10 @@ object SparkEntry {
              AS jaccard,
            round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
              CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE), 4)
-             < CAST(0.5 AS DOUBLE) AS paraphrase
+             < CAST(0.5 AS DOUBLE) AS paraphrase,
+           'exact_blocked' AS pair_arm,
+           CAST(0.0313 AS DOUBLE) AS cand_frac,
+           CAST(0.1503 AS DOUBLE) AS design_recall
          FROM pairs JOIN sh sa ON va = sa.doc_id JOIN sh sb ON vb = sb.doc_id
          ORDER BY va, vb""",
     // BLEU-style clipped n-gram precision over the same cosine pair
@@ -3397,7 +3423,10 @@ object SparkEntry {
            SELECT r.node, e.dst FROM reach r JOIN e ON e.src = r.m),
          comp AS (SELECT node AS vec_id, min(m) AS cluster
            FROM reach GROUP BY node)
-         SELECT vec_id, cluster, vec_id = cluster AS survivor
+         SELECT vec_id, cluster, vec_id = cluster AS survivor,
+           'exact_blocked' AS pair_arm,
+           CAST(0.0313 AS DOUBLE) AS cand_frac,
+           CAST(0.1503 AS DOUBLE) AS design_recall
          FROM comp ORDER BY vec_id""",
     // product quantization: 4 subspaces x 16 dims, codebook = vec_id %
     // 31 seeds; DuckDB's list_distance is the same sqrt-of-ordered-sum
@@ -4665,6 +4694,20 @@ object SparkEntry {
          FROM p LEFT JOIN c ON user_id = cu
            AND cts >= ts - INTERVAL '10 minutes' AND cts <= ts
          ORDER BY event_id, c_ts, click_value""",
+    // stream_interval_full: the symmetric completion — unmatched CLICKS
+    // surface too (null purchase columns), user_id coalesced across
+    // sides; same rounding discipline as the left-outer twin
+    "stream_interval_full" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'purchase'),
+         c AS (SELECT user_id AS cu, ts AS cts, value AS cv FROM events
+           WHERE event_type = 'click')
+         SELECT event_id, coalesce(user_id, cu) AS user_id, ts,
+           round(value, 2) AS value, cts AS c_ts,
+           round(cv, 2) AS click_value
+         FROM p FULL JOIN c ON user_id = cu
+           AND cts >= ts - INTERVAL '10 minutes' AND cts <= ts
+         ORDER BY event_id, user_id, c_ts, click_value""",
     // F. feature extraction, closed-form restatement: byte_len is the
     // container framing constant (PNG sig+IHDR+IDAT+IEND = 57, WAV
     // header = 44, MP4 ftyp+moov(mvhd)+mdat = 148) plus the UTF-8 body;

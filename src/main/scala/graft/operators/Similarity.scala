@@ -454,12 +454,18 @@ object Similarity {
     val jac = round(
       size(array_intersect(col("sa"), col("sb"))).cast("double") /
         size(array_union(col("sa"), col("sb"))).cast("double"), 4)
+    // dispatch provenance IN the hash (r16 verdict #8): which pair arm
+    // ran, at what closed-form selectivity/recall — a silent arm switch
+    // or a banding-stats regression breaks the oracle compare
+    val (arm, candFrac, designRecall) = semanticDispatch(tau)
     pairs
       .join(sh.select(col("doc_id").as("va"), col("s").as("sa")), Seq("va"))
       .join(sh.select(col("doc_id").as("vb"), col("s").as("sb")), Seq("vb"))
       .withColumn("jaccard", jac)
       .select(col("va"), col("vb"), col("cos_sim"), col("jaccard"),
-        (col("jaccard") < lexTau).as("paraphrase"))
+        (col("jaccard") < lexTau).as("paraphrase"),
+        lit(arm).as("pair_arm"), lit(candFrac).as("cand_frac"),
+        lit(designRecall).as("design_recall"))
       .orderBy(col("va"), col("vb"))
   }
 
@@ -1110,9 +1116,13 @@ object Similarity {
     val pairs = semanticPairs(spark, dir, tau).select(col("va"), col("vb"))
     val labels = Graph.minLabelComponents(
       pairs, emb(spark, dir).select(col("vec_id")))
+    // dispatch provenance IN the hash (r16 verdict #8)
+    val (arm, candFrac, designRecall) = semanticDispatch(tau)
     val out = labels
       .select(col("id").as("vec_id"), col("label").as("cluster"),
-        (col("id") === col("label")).as("survivor"))
+        (col("id") === col("label")).as("survivor"),
+        lit(arm).as("pair_arm"), lit(candFrac).as("cand_frac"),
+        lit(designRecall).as("design_recall"))
       .orderBy(col("vec_id"))
       .localCheckpoint()
     org.apache.spark.sql.graftbridge.SparkBridge.unpersistCheckpoint(labels)
@@ -1167,14 +1177,32 @@ object Similarity {
                                    bands: Int = 8,
                                    maxRandFrac: Double = 0.05,
                                    minRecall: Double = 0.9): DataFrame = {
-    val (randFrac, recall) = lshPlanStats(tau, nBits, bands)
     // both arms emit (va, vb, cos_sim) so similarity-consuming
     // compositions (paraphrase mining) dispatch through here too;
     // edge-only consumers (semanticDedup) drop the score
-    if (randFrac <= maxRandFrac && recall >= minRecall)
+    if (semanticDispatch(tau, nBits, bands, maxRandFrac,
+        minRecall)._1 == "lsh_banded")
       nearDupLsh(spark, dir, tau, nBits, bands)
     else
       nearDupBlocked(spark, dir, tau)
+  }
+
+  /** The dispatch DECISION behind [[semanticPairs]], exposed so callers
+    * can surface it as provenance columns (r16 verdict: the declared
+    * quadratic bench-tau arm must be visible in the HASH, not just the
+    * spec): (chosen arm, expected candidate fraction on a random pair,
+    * closed-form design recall at tau), the latter two frac4-pinned. */
+  private[graft] def semanticDispatch(tau: Double, nBits: Int = 64,
+                                      bands: Int = 8,
+                                      maxRandFrac: Double = 0.05,
+                                      minRecall: Double = 0.9)
+      : (String, Double, Double) = {
+    val (randFrac, recall) = lshPlanStats(tau, nBits, bands)
+    val arm =
+      if (randFrac <= maxRandFrac && recall >= minRecall) "lsh_banded"
+      else "exact_blocked"
+    def frac4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+    (arm, frac4(randFrac), frac4(recall))
   }
 
   /** Exact cosine pairs >= tau via uniform BLOCK-partitioned all-pairs —

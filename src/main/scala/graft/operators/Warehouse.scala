@@ -600,6 +600,68 @@ object Warehouse {
       .orderBy(col("key"))
   }
 
+  /** COLUMN RENAME + DROP through the versioned table — the OTHER half
+    * of schema evolution ([[q54SnapshotEvolve]] covers ADD): a renamed
+    * source column must not fork the table, and a retired column must
+    * disappear without rewriting a byte. Both verbs are METADATA-ONLY
+    * commits via column mapping (Delta's column-mapping mode "name" —
+    * physical parquet names frozen at first write, each version's
+    * manifest carrying its own logical view, SnapshotLog.scala's
+    * `_colmap`):
+    *
+    *   v0 create (key, name, retail) on the first half of part;
+    *   v1 RENAME retail -> price (no segment read or written);
+    *   v2 append the second half UNDER THE NEW NAME at 2x price —
+    *      the writer speaks logical `price`, the segment stores
+    *      physical `retail`, so old and new segments share one
+    *      physical schema;
+    *   v3 DROP name (physical data stays for time travel);
+    *   v4 upsert price/2 on key%10==3 of the first half under the
+    *      post-drop two-column schema.
+    *
+    * Output: the latest logical rows LEFT-joined with the v0
+    * time-travel view — one hash pins the rename (price == v0 retail
+    * for untouched keys), the append-after-rename (2x rows join null:
+    * v0 never had them), the drop (no `name` at latest; `name_v0`
+    * still readable), and the upsert arithmetic. All arithmetic is
+    * exact binary scaling (x2, /2). Lifecycle fingerprint-keyed and
+    * replay-guarded like its siblings — a rerun commits nothing. */
+  def q66SnapshotEvolve2(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{ModelStore, SnapshotLog}
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey").as("key"), col("p_name").as("name"),
+        col("p_retailprice").as("retail"))
+    val fp = ModelStore.corpusFingerprint(spark, s"$dir/part.parquet")
+    val path = ModelStore.root(spark) +
+      s"/snapevolve2_v1_${ModelStore.md5(s"snapevolve2|$fp")}"
+    val mk = p.agg(max(col("key"))).collect().head.getLong(0)
+    val h = mk / 2L
+    if (SnapshotLog.latestVersion(path).isEmpty)
+      SnapshotLog.create(spark, p.filter(col("key") <= h), path, "key")
+    if (SnapshotLog.latestVersion(path).contains(0))
+      SnapshotLog.renameColumn(spark, path, "retail", "price")
+    if (SnapshotLog.latestVersion(path).contains(1))
+      SnapshotLog.append(spark,
+        p.filter(col("key") > h).select(col("key"), col("name"),
+          (col("retail") * lit(2.0)).as("price")),
+        path, "key")
+    if (SnapshotLog.latestVersion(path).contains(2))
+      SnapshotLog.dropColumn(spark, path, "name")
+    if (SnapshotLog.latestVersion(path).contains(3))
+      SnapshotLog.upsert(spark,
+        p.filter(col("key") % 10 === 3 && col("key") <= h)
+          .select(col("key"), (col("retail") / lit(2.0)).as("price")),
+        path, "key")
+    val latest = SnapshotLog.read(spark, path)
+      .select(col("key"), col("price"))
+    val v0 = SnapshotLog.read(spark, path, Some(0))
+      .select(col("key"), col("name").as("name_v0"),
+        col("retail").as("retail_v0"))
+    latest.join(v0.hint("shuffle_hash"), Seq("key"), "left_outer")
+      .select(col("key"), col("price"), col("name_v0"), col("retail_v0"))
+      .orderBy(col("key"))
+  }
+
   def q53SnapshotPrune(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.{ModelStore, SnapshotLog}
     val o = Tables.orders(spark, dir)

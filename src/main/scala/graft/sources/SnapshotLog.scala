@@ -184,6 +184,162 @@ object SnapshotLog {
       .collectFirst { case Some(tv) => tv }
   }
 
+  // ---------------------------------------------------------------
+  // COLUMN MAPPING (Delta column-mapping mode "name" / Iceberg field
+  // renames): RENAME and DROP become METADATA-ONLY commits. Physical
+  // column names in segment parquet never change after first write; a
+  // `_colmap` file inside each manifest directory (written to the temp
+  // dir before the commit rename, so exactly as atomic as the commit)
+  // records the logical view: `m:<logical>=<physical>` per renamed
+  // column and `d:<physical>` per dropped one. Readers alias physical
+  // to logical and omit dropped physicals; writers translate logical
+  // back to physical, so old and new segments always share a physical
+  // schema. No file means identity — every pre-existing table reads
+  // and writes exactly as before. Time travel composes for free: each
+  // version's manifest carries ITS OWN mapping, so a pre-rename read
+  // shows the old names, and a restore restores the old schema. The
+  // one declared limitation (Delta shares it without field-id
+  // allocation): re-adding a column whose name a drop retired — or
+  // whose name is some renamed column's physical storage name — is
+  // refused with an explicit error rather than silently forking the
+  // physical schema.
+  // ---------------------------------------------------------------
+
+  /** How a commit acquires its column mapping. */
+  private sealed trait ColMapArg
+  /** Carry the mapping of the nearest surviving version below the new
+    * one — the default for every data verb. */
+  private case object ColMapInherit extends ColMapArg
+  /** Write exactly this mapping text (None = identity / no file) —
+    * rename/drop/restore/clone pass their own. */
+  private case class ColMapSet(text: Option[String]) extends ColMapArg
+
+  private def colMapText(path: String, v: Int): Option[String] = {
+    val f = new Path(manifestDir(path, v), "_colmap")
+    val fs = fsOf(f)
+    if (fs.exists(f)) Some(readSmall(fs, f)) else None
+  }
+
+  /** Version `v`'s column mapping: (logical -> physical pairs, dropped
+    * physical names). Empty for an unmapped (identity) table. */
+  def columnMapping(path: String, v: Int): (Seq[(String, String)], Seq[String]) =
+    colMapText(path, v).map(parseColMap).getOrElse((Nil, Nil))
+
+  private def parseColMap(text: String): (Seq[(String, String)], Seq[String]) = {
+    val lines = text.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    val pairs = lines.filter(_.startsWith("m:")).map { l =>
+      val Array(a, b) = l.stripPrefix("m:").split("=", 2)
+      (a, b)
+    }
+    (pairs, lines.filter(_.startsWith("d:")).map(_.stripPrefix("d:")))
+  }
+
+  private def renderColMap(pairs: Seq[(String, String)],
+                           dropped: Seq[String]): String =
+    (pairs.map { case (l, p) => s"m:$l=$p" } ++
+      dropped.map("d:" + _)).mkString("\n")
+
+  /** Logical view of a physically-named frame under a mapping: dropped
+    * physicals omitted, renamed physicals aliased, everything else —
+    * including columns added AFTER the rename, which are identity by
+    * construction — passes through. Identity mapping is a no-op (the
+    * common case pays nothing). */
+  private def applyColMap(df: DataFrame,
+                          pairs: Seq[(String, String)],
+                          dropped: Seq[String]): DataFrame =
+    if (pairs.isEmpty && dropped.isEmpty) df
+    else {
+      val byPhys = pairs.map(_.swap).toMap
+      val cols = df.columns.toSeq.filterNot(dropped.contains)
+        .map(c => byPhys.get(c).map(l => col(c).as(l)).getOrElse(col(c)))
+      df.select(cols: _*)
+    }
+
+  /** Physical twin of a caller's logically-named frame — what the data
+    * verbs write, so every segment of a table shares one physical
+    * schema no matter how many renames its history carries. */
+  private def toPhysical(df: DataFrame,
+                         pairs: Seq[(String, String)],
+                         dropped: Seq[String]): DataFrame =
+    if (pairs.isEmpty && dropped.isEmpty) df
+    else {
+      val byLogical = pairs.toMap
+      val physInUse = pairs.map(_._2).toSet
+      val cols = df.columns.toSeq.map { c =>
+        byLogical.get(c) match {
+          case Some(p) => col(c).as(p)
+          case None =>
+            require(!dropped.contains(c),
+              s"column '$c' was dropped from this table; re-adding a " +
+                "dropped column's name is not supported (rename first)")
+            require(!physInUse.contains(c),
+              s"column name '$c' is the physical storage name of a " +
+                "renamed column and cannot be (re)introduced")
+            col(c)
+        }
+      }
+      df.select(cols: _*)
+    }
+
+  /** The physical storage name behind a logical column name. */
+  private def physicalName(pairs: Seq[(String, String)],
+                           dropped: Seq[String], name: String): String = {
+    require(!dropped.contains(name) || pairs.exists(_._1 == name),
+      s"column '$name' was dropped from this table")
+    pairs.toMap.getOrElse(name, name)
+  }
+
+  /** Mapping of the nearest surviving version at or below `v` — the
+    * inherit source for a commit building on `v`. Commits always build
+    * on the (surviving) latest, so the walk is one step in practice. */
+  private def inheritColMap(path: String, v: Int): Option[String] =
+    (v to 0 by -1).iterator
+      .filter(manifestExists(path, _))
+      .map(colMapText(path, _))
+      .nextOption().flatten
+
+  /** METADATA-ONLY column RENAME — no segment is read or rewritten; the
+    * commit re-lists version latest's manifest rows verbatim with an
+    * updated `_colmap`. Marked rewrite-only (identical logical rows up
+    * to naming), so change-feed followers skip it. */
+  def renameColumn(spark: SparkSession, path: String,
+                   oldName: String, newName: String): Int = {
+    require(oldName != newName, s"rename of '$oldName' onto itself")
+    val v0 = latestVersion(path).getOrElse(
+      sys.error(s"rename on non-existent table $path"))
+    val (pairs, dropped) = columnMapping(path, v0)
+    val logical = read(spark, path, Some(v0)).schema.fieldNames.toSeq
+    require(logical.contains(oldName),
+      s"cannot rename absent column '$oldName' (have ${logical.mkString(", ")})")
+    require(!logical.contains(newName),
+      s"cannot rename '$oldName' to existing column '$newName'")
+    require(!dropped.contains(newName) && !pairs.exists(_._2 == newName),
+      s"'$newName' is a retired physical column name on this table")
+    val phys = pairs.toMap.getOrElse(oldName, oldName)
+    val next = pairs.filterNot(_._1 == oldName) :+ (newName -> phys)
+    commit(manifest(spark, path, v0), path, v0 + 1, rewriteOnly = true,
+      colMap = ColMapSet(Some(renderColMap(next, dropped))))
+  }
+
+  /** METADATA-ONLY column DROP — the physical data stays in place (time
+    * travel to pre-drop versions still reads it; the bytes are
+    * reclaimed only when rewrites + [[gc]] retire the old segments),
+    * but every read at or after this version omits the column and
+    * every write that re-introduces its name is refused. */
+  def dropColumn(spark: SparkSession, path: String, name: String): Int = {
+    val v0 = latestVersion(path).getOrElse(
+      sys.error(s"drop on non-existent table $path"))
+    val (pairs, dropped) = columnMapping(path, v0)
+    val logical = read(spark, path, Some(v0)).schema.fieldNames.toSeq
+    require(logical.contains(name),
+      s"cannot drop absent column '$name' (have ${logical.mkString(", ")})")
+    require(logical.size > 1, s"cannot drop the last column '$name'")
+    val phys = pairs.toMap.getOrElse(name, name)
+    val next = pairs.filterNot(_._1 == name)
+    commit(manifest(spark, path, v0), path, v0 + 1, rewriteOnly = true,
+      colMap = ColMapSet(Some(renderColMap(next, dropped :+ phys))))
+  }
+
   /** Snapshot read at `version` (default: latest). The union of the
     * manifest's segment directories — immutable forever, because a
     * later commit only ever ADDS segment directories and manifests.
@@ -201,12 +357,16 @@ object SnapshotLog {
     val rows = manifest(spark, path, v).collect().toSeq
     // readRows applies any deletion vectors ([[mergeDv]]); a DV-free
     // manifest goes through the plain multi-directory scan unchanged
-    readRows(spark, rows, mergeSchema).getOrElse(
+    val phys = readRows(spark, rows, mergeSchema).getOrElse(
       // a delete-everything merge commits a segment-less manifest; the
       // version reads as an empty frame under the table's schema
       spark.read.parquet(anchorSeg(spark, path, v).getOrElse(sys.error(
         s"read at $path v$v: no surviving version lists a segment to " +
           "anchor the table schema"))).limit(0))
+    // VERSION v's OWN column mapping: a pre-rename time travel shows
+    // the old names; identity tables pay nothing
+    val (pairs, dropped) = columnMapping(path, v)
+    applyColMap(phys, pairs, dropped)
   }
 
   /** Write `df` as one new segment directory and return its manifest
@@ -247,7 +407,8 @@ object SnapshotLog {
     * tolerates staleness). */
   private def commit(rows: DataFrame, path: String, v: Int,
                      rewriteOnly: Boolean = false,
-                     txn: Option[(String, Int)] = None): Int = {
+                     txn: Option[(String, Int)] = None,
+                     colMap: ColMapArg = ColMapInherit): Int = {
     // A commit must be the new MAXIMUM version. Without this guard a
     // stale caller computing baseV+1 after [[gc]] expired that number
     // (pins leave non-contiguous survivors) would rename onto a
@@ -283,6 +444,18 @@ object SnapshotLog {
       require(app.nonEmpty && app.forall(c => c.isLetterOrDigit || c == '_'),
         s"txn app ids are [A-Za-z0-9_]+, got '$app'")
       fs.create(new Path(tmp, s"_txn-$app-$tv"), true).close()
+    }
+    // the column mapping travels INSIDE the commit (same atomicity as
+    // the rename): data verbs inherit the mapping they built on,
+    // rename/drop/restore/clone set their own explicitly
+    val colMapOut = colMap match {
+      case ColMapSet(t) => t
+      case ColMapInherit => inheritColMap(path, v - 1)
+    }
+    colMapOut.foreach { t =>
+      val out = fs.create(new Path(tmp, "_colmap"), true)
+      try out.write(t.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
     }
     val fc = FileContext.getFileContext(fs.makeQualified(target).toUri,
       hadoopConf)
@@ -343,7 +516,10 @@ object SnapshotLog {
       sys.error(s"append to non-existent table $path"))
     // write the segment ONCE, against the first observed version
     var v = latestOr + 1
-    val seg = writeSegment(spark, df, path, v, 0, keyCol)
+    // callers speak the LOGICAL schema; segments store the physical one
+    val (cmPairs, cmDropped) = columnMapping(path, v - 1)
+    val seg = writeSegment(spark, toPhysical(df, cmPairs, cmDropped), path,
+      v, 0, physicalName(cmPairs, cmDropped, keyCol))
       .collect().head
     // the frozen one-row manifest entry (get(i), not getAs[Long]:
     // an empty append's min/max stats are NULL and must stay NULL)
@@ -390,10 +566,13 @@ object SnapshotLog {
   private[graft] def appendAt(spark: SparkSession, df: DataFrame,
                               path: String, keyCol: String, v: Int): Int = {
     val prev = manifest(spark, path, v - 1)
+    val (cmPairs, cmDropped) = columnMapping(path, v - 1)
     // allowMissingColumns: an append after [[compactZOrder]] carries a
     // stats-less row into a manifest with a per-column stats map — the
     // new segment's map is null (readers prune conservatively)
-    commit(prev.unionByName(writeSegment(spark, df, path, v, 0, keyCol),
+    commit(prev.unionByName(
+      writeSegment(spark, toPhysical(df, cmPairs, cmDropped), path, v, 0,
+        physicalName(cmPairs, cmDropped, keyCol)),
       allowMissingColumns = true), path, v)
   }
 
@@ -430,6 +609,9 @@ object SnapshotLog {
                              txn: Option[(String, Int)] = None): Int = {
     val Array(lo, hi) = df.agg(min(col(keyCol)), max(col(keyCol)))
       .collect().head.toSeq.map(x => x.asInstanceOf[Long]).toArray
+    // callers speak the LOGICAL schema; segments store the physical one
+    val (cmPairs, cmDropped) = columnMapping(path, v - 1)
+    val keyP = physicalName(cmPairs, cmDropped, keyCol)
     // the manifest is segment-count-sized: collecting it is the point.
     // Empty segments (a legacy empty append) are dropped here — they
     // hold no rows, so eliding them from the new manifest loses nothing
@@ -438,7 +620,8 @@ object SnapshotLog {
     val (affected, untouched) = segs.partition { r =>
       r.getAs[Long]("max_key") >= lo && r.getAs[Long]("min_key") <= hi
     }
-    val inserts = df.filter(!col(deleteCol)).drop(deleteCol)
+    val inserts = toPhysical(df.filter(!col(deleteCol)).drop(deleteCol),
+      cmPairs, cmDropped)
     // mergeSchema + allowMissingColumns: a merge whose incoming rows
     // carry NEW columns (additive schema evolution) rewrites its
     // touched segments under the widened schema — survivors read nulls
@@ -450,10 +633,10 @@ object SnapshotLog {
     val survivors =
       if (affected.isEmpty) inserts.limit(0)
       else readRows(spark, affected.toSeq, mergeSchema = true).get
-        .join(df.select(col(keyCol)), Seq(keyCol), "left_anti")
+        .join(df.select(col(keyCol).as(keyP)), Seq(keyP), "left_anti")
     val newSeg = writeSegment(spark,
       survivors.unionByName(inserts, allowMissingColumns = true), path,
-      v, 0, keyCol)
+      v, 0, keyP)
       .filter(col("n_rows") > 0)
     // segments carried BY REFERENCE keep their manifest row VERBATIM —
     // whatever stats columns the manifest carries (the per-column
@@ -652,6 +835,9 @@ object SnapshotLog {
     require(slices >= 1, s"slices must be >= 1, got $slices")
     val v0 = latestVersion(path).getOrElse(
       sys.error(s"compact of non-existent table $path"))
+    // segment rewrites work in PHYSICAL names (readRows output)
+    val (cmPairs0, cmDropped0) = columnMapping(path, v0)
+    val keyP = physicalName(cmPairs0, cmDropped0, keyCol)
     val mDf = manifest(spark, path, v0)
     val segs = mDf.collect()
     val (small, big) = segs.partition(_.getAs[Long]("n_rows") < minRows)
@@ -671,7 +857,7 @@ object SnapshotLog {
       math.min(small.map(liveRowsOf).sum, MaxBloomItems))
     val newSeg: Seq[(String, Long, Long, Long, String)] =
       if (slices == 1)
-        writeSegment(spark, merged, path, v, 0, keyCol,
+        writeSegment(spark, merged, path, v, 0, keyP,
           bloomExpected = Some(expectedKeys)).collect().toSeq
           .filter(_.getAs[Long]("n_rows") > 0)
           .map(r => (r.getAs[String]("seg"), r.getAs[Long]("n_rows"),
@@ -690,7 +876,7 @@ object SnapshotLog {
         // the committed manifests are bit-identical to the loop's
         merged
           .withColumn("_snap_slice", expr(
-            s"CAST((CAST($keyCol AS BIGINT) - ${lo}L) div ${width}L AS INT)"))
+            s"CAST((CAST($keyP AS BIGINT) - ${lo}L) div ${width}L AS INT)"))
           .repartition(col("_snap_slice"))
           .write.partitionBy("_snap_slice").parquet(tmp.toString)
         // per-slice expected items: 2x the uniform share absorbs skew
@@ -700,9 +886,9 @@ object SnapshotLog {
           math.min(2L * expectedKeys / slices, MaxBloomItems))
         val stats = spark.read.parquet(tmp.toString)
           .groupBy(col("_snap_slice"))
-          .agg(count(lit(1)), min(col(keyCol)), max(col(keyCol)),
+          .agg(count(lit(1)), min(col(keyP)), max(col(keyP)),
             org.apache.spark.sql.graftbridge.SparkBridge
-              .bloomFilterAgg(xxhash64(col(keyCol).cast("long")),
+              .bloomFilterAgg(xxhash64(col(keyP).cast("long")),
                 perSlice))
           .collect()
           .map(r => r.getInt(0) ->
@@ -779,13 +965,19 @@ object SnapshotLog {
     require(slices >= 1, s"slices must be >= 1, got $slices")
     val v0 = latestVersion(path).getOrElse(
       sys.error(s"zorder compact of non-existent table $path"))
+    // segment rewrites work in PHYSICAL names (readRows output); the
+    // stats map is keyed physically too, matching what readProbe probes
+    val (cmP, cmD) = columnMapping(path, v0)
+    val xP = physicalName(cmP, cmD, xCol)
+    val yP = physicalName(cmP, cmD, yCol)
+    val statsP = statsCols.map(physicalName(cmP, cmD, _))
     val segs = manifest(spark, path, v0).collect()
     if (segs.length <= 1 && !segs.exists(dvListOf(_).nonEmpty)) return v0
     if (segs.isEmpty) return v0
     val v = v0 + 1
     // readRows applies any deletion vectors: the rewrite purges them
     val all = readRows(spark, segs.toSeq).get
-    val xL = col(xCol).cast("long"); val yL = col(yCol).cast("long")
+    val xL = col(xP).cast("long"); val yL = col(yP).cast("long")
     val b = all.agg(min(xL), max(xL), min(yL), max(yL)).collect().head
     if (b.isNullAt(0))
       // every row tombstoned: the rewrite is a segment-less manifest
@@ -797,8 +989,8 @@ object SnapshotLog {
     val xW = (xMax - xMin) / 65536L + 1L
     val yW = (yMax - yMin) / 65536L + 1L
     val z = SpatialLayout.zValue16(
-      expr(s"(CAST($xCol AS BIGINT) - ${xMin}L) div ${xW}L"),
-      expr(s"(CAST($yCol AS BIGINT) - ${yMin}L) div ${yW}L"))
+      expr(s"(CAST($xP AS BIGINT) - ${xMin}L) div ${xW}L"),
+      expr(s"(CAST($yP AS BIGINT) - ${yMin}L) div ${yW}L"))
     val withZ = all.withColumn("_snap_z", z)
     val zb = withZ.agg(min(col("_snap_z")), max(col("_snap_z")))
       .collect().head
@@ -820,14 +1012,14 @@ object SnapshotLog {
     // statsCols) land in the manifest's per-column `stats` map —
     // adding a stats column is one more agg pair here, never a new
     // manifest shape fork downstream.
-    val secondary = (yCol +: statsCols).distinct.filterNot(_ == xCol)
+    val secondary = (yP +: statsP).distinct.filterNot(_ == xP)
     val perSlice = math.max(1024L, math.min(
       2L * segs.map(liveRowsOf).sum / slices, MaxBloomItems))
     val aggCols = Seq(count(lit(1)), min(xL), max(xL)) ++
       secondary.flatMap(c =>
         Seq(min(col(c).cast("long")), max(col(c).cast("long")))) :+
       org.apache.spark.sql.graftbridge.SparkBridge
-        .bloomFilterAgg(xxhash64(col(xCol).cast("long")), perSlice)
+        .bloomFilterAgg(xxhash64(col(xP).cast("long")), perSlice)
     val stats = spark.read.parquet(tmp.toString)
       .groupBy(col("_snap_slice"))
       .agg(aggCols.head, aggCols.tail: _*)
@@ -892,6 +1084,9 @@ object SnapshotLog {
         s"got $minDvFrac")
     val v0 = latestVersion(path).getOrElse(
       sys.error(s"purge of non-existent table $path"))
+    // segment rewrites work in PHYSICAL names (readRows output)
+    val (cmP, cmD) = columnMapping(path, v0)
+    val keyP = physicalName(cmP, cmD, keyCol)
     val m = manifest(spark, path, v0)
     val rows = m.collect()
     val (targets, carried) = rows.partition { r =>
@@ -905,7 +1100,12 @@ object SnapshotLog {
     val fs = fsOf(tmp)
     val tagged = targets.zipWithIndex.map { case (r, i) =>
       readRows(spark, Seq(r)).get.withColumn("_snap_tgt", lit(i))
-    }.reduce(_.unionByName(_))
+      // allowMissingColumns: targets may straddle an additive schema
+      // evolution (some segments rewritten wide, others still narrow,
+      // both over the DV-density threshold) — narrow ones null-fill
+      // the evolved columns, matching merge()'s mergeSchema survivor
+      // read, instead of failing the purge (r16 ADVICE)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
     tagged
       .repartition(col("_snap_tgt"))
       .write.partitionBy("_snap_tgt").parquet(tmp.toString)
@@ -916,10 +1116,10 @@ object SnapshotLog {
       math.min(targets.map(liveRowsOf).max, MaxBloomItems))
     val stats = spark.read.schema(tagged.schema).parquet(tmp.toString)
       .groupBy(col("_snap_tgt"))
-      .agg(count(lit(1)), min(col(keyCol).cast("long")),
-        max(col(keyCol).cast("long")),
+      .agg(count(lit(1)), min(col(keyP).cast("long")),
+        max(col(keyP).cast("long")),
         org.apache.spark.sql.graftbridge.SparkBridge
-          .bloomFilterAgg(xxhash64(col(keyCol).cast("long")), perTarget))
+          .bloomFilterAgg(xxhash64(col(keyP).cast("long")), perTarget))
       .collect()
       .map(r => r.getInt(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3),
@@ -1117,13 +1317,23 @@ object SnapshotLog {
             spark.read.parquet(r.getAs[String]("seg"))
               .withColumn("_snap_seg", lit(r.getAs[String]("seg")))
           }.reduce((a, b) =>
-            a.unionByName(b, allowMissingColumns = mergeSchema)), tombs0)
+            // allowMissingColumns unconditionally: the segments are one
+            // logical table whose widths may straddle an additive schema
+            // evolution; a default read must null-fill like the single
+            // multi-dir scan did, never throw (r16 ADVICE)
+            a.unionByName(b, allowMissingColumns = true)), tombs0)
         Some(tagged.join(broadcast(tombs), Seq("_snap_seg", kc),
           "left_anti").drop("_snap_seg"))
       }
     (plainDf, dvdDf) match {
       case (Some(p), Some(d)) =>
-        Some(p.unionByName(d, allowMissingColumns = mergeSchema))
+        // allowMissingColumns unconditionally: the plain/dvd split can
+        // straddle an additive evolution boundary (a COW merge widened
+        // only the segments it touched), and both groups come from the
+        // SAME logical table — a default mergeSchema=false read must
+        // null-fill exactly like the pre-DV single multi-directory scan
+        // returned rows, not throw AnalysisException (r16 ADVICE)
+        Some(p.unionByName(d, allowMissingColumns = true))
       case (p, d) => p.orElse(d)
     }
   }
@@ -1166,6 +1376,10 @@ object SnapshotLog {
                                txn: Option[(String, Int)] = None): Int = {
     val Array(lo, hi) = df.agg(min(col(keyCol)), max(col(keyCol)))
       .collect().head.toSeq.map(x => x.asInstanceOf[Long]).toArray
+    // callers speak the LOGICAL schema; segments and tombstone files
+    // store the physical one
+    val (cmPairs, cmDropped) = columnMapping(path, v - 1)
+    val keyP = physicalName(cmPairs, cmDropped, keyCol)
     val m = manifest(spark, path, v - 1)
     // canonical manifest shape: dvs/dv_rows present (null where absent)
     // so driver-side row surgery below works on one fixed schema
@@ -1197,11 +1411,11 @@ object SnapshotLog {
         val oneScan = byName.size == affSegs.length
         val tagged =
           if (oneScan)
-            spark.read.parquet(affSegs: _*).select(col(keyCol))
+            spark.read.parquet(affSegs: _*).select(col(keyP))
               .withColumn("_snap_seg", substring_index(
                 substring_index(input_file_name(), "/", -2), "/", 1))
           else affected.toSeq.map { r =>
-            spark.read.parquet(r.getAs[String]("seg")).select(col(keyCol))
+            spark.read.parquet(r.getAs[String]("seg")).select(col(keyP))
               .withColumn("_snap_seg", lit(r.getAs[String]("seg")))
           }.reduce(_.unionByName(_))
         val priorDvs = affected.toSeq.flatMap(dvListOf).distinct
@@ -1212,14 +1426,15 @@ object SnapshotLog {
             val prior = if (oneScan) prior0.withColumn("_snap_seg",
               substring_index(col("_snap_seg"), "/", -1)) else prior0
             tagged.join(broadcast(prior),
-              Seq("_snap_seg", keyCol), "left_anti")
+              Seq("_snap_seg", keyP), "left_anti")
           }
         val nameToSeg = map(byName.toSeq.flatMap { case (n, s) =>
           Seq(lit(n), lit(s)) }: _*)
-        val tomb = live.join(broadcast(df.select(col(keyCol)).distinct()),
-          Seq(keyCol), "left_semi")
+        val tomb = live.join(
+          broadcast(df.select(col(keyCol).as(keyP)).distinct()),
+          Seq(keyP), "left_semi")
           .select((if (oneScan) element_at(nameToSeg, col("_snap_seg"))
-            else col("_snap_seg")).as("_snap_seg"), col(keyCol))
+            else col("_snap_seg")).as("_snap_seg"), col(keyP))
         tomb.write.mode("errorifexists").parquet(dvDir)
         val got = spark.read.parquet(dvDir)
           .groupBy(col("_snap_seg")).agg(count(lit(1)).as("n"))
@@ -1237,8 +1452,9 @@ object SnapshotLog {
           org.apache.spark.sql.Row.fromSeq(vals.toIndexedSeq)
       }
     }
-    val inserts = df.filter(!col(deleteCol)).drop(deleteCol)
-    val newSeg = writeSegment(spark, inserts, path, v, 0, keyCol)
+    val inserts = toPhysical(df.filter(!col(deleteCol)).drop(deleteCol),
+      cmPairs, cmDropped)
+    val newSeg = writeSegment(spark, inserts, path, v, 0, keyP)
       .filter(col("n_rows") > 0)
     import scala.jdk.CollectionConverters._
     val carriedDf = spark.createDataFrame(
@@ -1272,15 +1488,20 @@ object SnapshotLog {
                 version: Option[Int] = None): (DataFrame, Int, Int) = {
     val v = version.orElse(latestVersion(path))
       .getOrElse(sys.error(s"no committed version at $path"))
+    val (pairs, dropped) = columnMapping(path, v)
+    val key = physicalName(pairs, dropped, keyCol)
+    // probe columns and stats-map entries live in physical names too
+    val probesP = probes.map { case (c, lo, hi) =>
+      (physicalName(pairs, dropped, c), lo, hi) }
     val segs = manifest(spark, path, v).collect()
     val hit = segs.filter { r =>
       r.getAs[Long]("max_key") >= keyLo &&
         r.getAs[Long]("min_key") <= keyHi &&
-        probes.forall { case (c, lo, hi) =>
+        probesP.forall { case (c, lo, hi) =>
           statsRange(r, c).forall { case (mn, mx) => mx >= lo && mn <= hi }
         }
     }
-    val pred = probes.foldLeft(col(keyCol) >= keyLo && col(keyCol) <= keyHi) {
+    val pred = probesP.foldLeft(col(key) >= keyLo && col(key) <= keyHi) {
       case (p, (c, lo, hi)) => p && col(c) >= lo && col(c) <= hi
     }
     val rows = readRows(spark, hit.toSeq).map(_.filter(pred)).getOrElse(
@@ -1288,7 +1509,7 @@ object SnapshotLog {
         .orElse(anchorSeg(spark, path, v)).getOrElse(sys.error(
           s"readProbe at $path: no surviving version lists a segment " +
             "to anchor the table schema"))).limit(0))
-    (rows, hit.length, segs.length)
+    (applyColMap(rows, pairs, dropped), hit.length, segs.length)
   }
 
   /** BLOOM-PRUNED POINT LOOKUP — `key = k` data skipping past what
@@ -1313,6 +1534,8 @@ object SnapshotLog {
                 version: Option[Int] = None): (DataFrame, Int, Int) = {
     val v = version.orElse(latestVersion(path))
       .getOrElse(sys.error(s"no committed version at $path"))
+    val (pairs, dropped) = columnMapping(path, v)
+    val keyP = physicalName(pairs, dropped, keyCol)
     val segs = manifest(spark, path, v).collect()
     val h = org.apache.spark.sql.catalyst.expressions.XXH64
       .hashLong(key, 42L) // the seed of the xxhash64(...) function
@@ -1326,12 +1549,12 @@ object SnapshotLog {
         }
     }
     val rows = readRows(spark, hit.toSeq)
-      .map(_.filter(col(keyCol) === key)).getOrElse(
+      .map(_.filter(col(keyP) === key)).getOrElse(
         spark.read.parquet(segs.headOption.map(_.getAs[String]("seg"))
           .orElse(anchorSeg(spark, path, v)).getOrElse(sys.error(
             s"readPoint at $path: no surviving version lists a segment " +
               "to anchor the table schema"))).limit(0))
-    (rows, hit.length, segs.length)
+    (applyColMap(rows, pairs, dropped), hit.length, segs.length)
   }
 
   /** BATCHED point lookup — [[readPoint]] for an id list (the
@@ -1350,6 +1573,8 @@ object SnapshotLog {
     require(keys.nonEmpty, "readPoints needs at least one key")
     val v = version.orElse(latestVersion(path))
       .getOrElse(sys.error(s"no committed version at $path"))
+    val (pairs, dropped) = columnMapping(path, v)
+    val keyP = physicalName(pairs, dropped, keyCol)
     val segs = manifest(spark, path, v).collect()
     val hashes = keys.map(k => k ->
       org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(k, 42L))
@@ -1368,12 +1593,12 @@ object SnapshotLog {
       }
     }
     val rows = readRows(spark, hit.toSeq)
-      .map(_.filter(col(keyCol).isin(keys: _*))).getOrElse(
+      .map(_.filter(col(keyP).isin(keys: _*))).getOrElse(
         spark.read.parquet(segs.headOption.map(_.getAs[String]("seg"))
           .orElse(anchorSeg(spark, path, v)).getOrElse(sys.error(
             s"readPoints at $path: no surviving version lists a segment " +
               "to anchor the table schema"))).limit(0))
-    (rows, hit.length, segs.length)
+    (applyColMap(rows, pairs, dropped), hit.length, segs.length)
   }
 
   private def stageFile(path: String, name: String) = {
@@ -1396,7 +1621,10 @@ object SnapshotLog {
             keyCol: String, name: String): Unit = {
     val v = latestVersion(path).getOrElse(
       sys.error(s"stage onto non-existent table $path"))
-    val rows = writeSegment(spark, df, path, v + 1, 0, keyCol)
+    // staged segments are physical like committed ones
+    val (cmPairs, cmDropped) = columnMapping(path, v)
+    val rows = writeSegment(spark, toPhysical(df, cmPairs, cmDropped),
+      path, v + 1, 0, physicalName(cmPairs, cmDropped, keyCol))
       .collect().filter(_.getAs[Long]("n_rows") > 0)
       .map(r => (r.getAs[String]("seg"), r.getAs[Long]("n_rows"),
         r.getAs[Long]("min_key"), r.getAs[Long]("max_key")))
@@ -1430,7 +1658,13 @@ object SnapshotLog {
       .select(col("seg")).collect().map(_.getString(0))
     val base = read(spark, path)
     if (staged.isEmpty) base
-    else base.unionByName(spark.read.parquet(staged: _*))
+    else {
+      // staged segments are physical; the audit frame is logical
+      val v = latestVersion(path).get
+      val (pairs, dropped) = columnMapping(path, v)
+      base.unionByName(
+        applyColMap(spark.read.parquet(staged: _*), pairs, dropped))
+    }
   }
 
   /** Publish a stage as ONE atomic append commit: latest's manifest
@@ -1476,7 +1710,10 @@ object SnapshotLog {
     require(manifestExists(path, v),
       s"cannot restore expired or missing version $v at $path")
     if (v == latest) return latest
-    commit(manifest(spark, path, v), path, latest + 1)
+    // restore restores the SCHEMA too: the target version's column
+    // mapping rides with its manifest, not the pre-restore latest's
+    commit(manifest(spark, path, v), path, latest + 1,
+      colMap = ColMapSet(colMapText(path, v)))
   }
 
   /** SHALLOW CLONE (Delta CLONE / Iceberg branch-from-snapshot): the
@@ -1502,7 +1739,10 @@ object SnapshotLog {
     require(manifestExists(srcPath, v),
       s"cannot clone expired or missing version $v at $srcPath")
     pin(srcPath, v)
-    commit(manifest(spark, srcPath, v), dstPath, 0)
+    // the clone inherits the cloned version's column mapping (commit's
+    // default inherit looks at the DESTINATION's history, which is empty)
+    commit(manifest(spark, srcPath, v), dstPath, 0,
+      colMap = ColMapSet(colMapText(srcPath, v)))
   }
 
   private def pinsDir(path: String) = new Path(logDir(path), "pins")
@@ -1699,14 +1939,36 @@ object SnapshotLog {
       .getOrElse(sys.error(
         s"diff($vFrom..$vTo) at $path: no surviving version lists a " +
           "segment to anchor the table schema"))
-    def side(rows: Seq[org.apache.spark.sql.Row], tag: String): DataFrame = {
-      val df = readRows(spark, rows).getOrElse(
-        spark.read.parquet(anchor).limit(0))
-      val payload = df.columns.filterNot(_ == keyCol)
-      df.select(col(keyCol),
+    // BOTH sides present under vTo's column mapping: a diff is about
+    // ROWS, the mapping is presentation — so a rename-only commit diffs
+    // EMPTY (payload structs compare equal under one naming), and the
+    // change feed always speaks the consumer's current schema
+    val (cmPairs, cmDropped) = columnMapping(path, vTo)
+    def frame(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+      // mergeSchema: a side's own segments can straddle an additive
+      // evolution; row volume is COW-bounded (changed segments only)
+      applyColMap(readRows(spark, rows, mergeSchema = true).getOrElse(
+        spark.read.parquet(anchor).limit(0)), cmPairs, cmDropped)
+    val fOld = frame(onlyFrom)
+    val fNew = frame(onlyTo)
+    // the two SIDES can also differ physically (a merge written after
+    // a column drop that a later restore reverted, or one side predating
+    // an additive evolution): align both to the union schema with typed
+    // nulls so the payload structs compare field-for-field — a
+    // physically-absent column and a null value are the same logical row
+    val types = (fOld.schema.fields ++ fNew.schema.fields)
+      .map(f => f.name -> f.dataType).toMap
+    val all = (fOld.columns ++
+      fNew.columns.filterNot(fOld.columns.contains)).toSeq
+    def side(df: DataFrame, tag: String): DataFrame = {
+      val a = df.select(all.map(c =>
+        if (df.columns.contains(c)) col(c)
+        else lit(null).cast(types(c)).as(c)): _*)
+      val payload = all.filterNot(_ == keyCol)
+      a.select(col(keyCol),
         struct(payload.map(col): _*).as(s"_$tag"))
     }
-    side(onlyFrom, "old").join(side(onlyTo, "new").hint("shuffle_hash"),
+    side(fOld, "old").join(side(fNew, "new").hint("shuffle_hash"),
         Seq(keyCol), "full_outer")
       .withColumn("change",
         when(col("_old").isNull, lit("insert"))
@@ -1840,16 +2102,18 @@ object SnapshotLog {
                 version: Option[Int] = None): (DataFrame, Int, Int) = {
     val v = version.orElse(latestVersion(path))
       .getOrElse(sys.error(s"no committed version at $path"))
+    val (pairs, dropped) = columnMapping(path, v)
+    val key = physicalName(pairs, dropped, keyCol)
     val segs = manifest(spark, path, v).collect()
     val hit = segs.filter(r =>
       r.getAs[Long]("max_key") >= lo && r.getAs[Long]("min_key") <= hi)
     val rows = readRows(spark, hit.toSeq)
-      .map(_.filter(col(keyCol) >= lo && col(keyCol) <= hi)).getOrElse(
+      .map(_.filter(col(key) >= lo && col(key) <= hi)).getOrElse(
         spark.read.parquet(segs.headOption.map(_.getAs[String]("seg"))
           .orElse(anchorSeg(spark, path, v)).getOrElse(sys.error(
             s"readRange at $path: no surviving version lists a segment " +
               "to anchor the table schema"))).limit(0))
-    (rows, hit.length, segs.length)
+    (applyColMap(rows, pairs, dropped), hit.length, segs.length)
   }
 
   /** Version history: one row per committed version still on disk

@@ -700,6 +700,53 @@ object EventStreams {
       .orderBy(col("event_id"), col("c_ts"), col("click_value"))
   }
 
+  /** Stream-stream FULL-OUTER interval join — the symmetric completion
+    * of [[recentClicksOuterStream]] (clickstream RECONCILIATION: every
+    * purchase AND every click surfaces exactly once, matched or
+    * null-padded — the shape that audits "clicks with no purchase"
+    * and "purchases with no click" in one feed). Streaming semantics:
+    * an unmatched PURCHASE emits null-click once the click watermark
+    * passes p_ts (as in left-outer); an unmatched CLICK emits
+    * null-purchase once the purchase watermark proves no purchase in
+    * [c_ts, c_ts + lookback] can still arrive. State stays bounded by
+    * watermark + lookback on BOTH sides — the same eviction the inner
+    * join already needs, plus the two null-emission points
+    * (spec-pinned against the batch twin, including both null row
+    * classes). user_id coalesces across sides so the reconciled feed
+    * keys cleanly either way. */
+  def recentClicksFullStream(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", Watermark)
+      .select(col("event_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value"))
+    val c = clicks.withWatermark("ts", Watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("c_value"))
+    // full-outer cannot broadcast, and the default would sort-merge on
+    // user_id — a per-batch sort of both unsorted streams. Shuffle-hash
+    // full-outer (SPARK-32399) hashes the click side per user instead;
+    // the streaming form keys state the same way.
+    p.join(c.hint("shuffle_hash"),
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $JoinLookback") &&
+          col("c_ts") <= col("p_ts"),
+        "full_outer")
+      .select(col("event_id"),
+        coalesce(col("p_user"), col("c_user")).as("user_id"),
+        col("p_ts").as("ts"), round(col("value"), 2).as("value"),
+        col("c_ts"), round(col("c_value"), 2).as("click_value"))
+  }
+
+  /** Batch twin of [[recentClicksFullStream]]: the raw full-outer pairs
+    * with both null-padding classes, the frame the driver hash-checks. */
+  def intervalFullBatch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    recentClicksFullStream(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "click"))
+      .orderBy(col("event_id"), col("user_id"), col("c_ts"),
+        col("click_value"))
+  }
+
   // ---- stream-static enrichment join ----
 
   /** Enrich each event with its user's dimension attributes (market

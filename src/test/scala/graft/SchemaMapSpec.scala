@@ -1,0 +1,204 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.SnapshotLog
+
+/** Column RENAME/DROP via column mapping (Delta column-mapping mode
+  * "name"): metadata-only commits, physical parquet names frozen at
+  * first write, each version reading under its OWN mapping. */
+class SchemaMapSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def tmpDir(name: String): String = {
+    val d = new java.io.File(s"target/tmp-schemamap/$name")
+    org.apache.commons.io.FileUtils.deleteQuietly(d)
+    d.getParentFile.mkdirs()
+    d.getAbsolutePath
+  }
+
+  test("rename is metadata-only: values survive, new name at latest, old name under time travel") {
+    import spark.implicits._
+    val path = tmpDir("rename")
+    val rows = (0L until 50L).map(k => (k, s"p$k", k * 2))
+    SnapshotLog.create(spark, rows.toDF("k", "p", "w"), path, "k")
+    val segsBefore = SnapshotLog.manifest(spark, path, 0)
+      .select("seg").collect().map(_.getString(0)).toSet
+    val v1 = SnapshotLog.renameColumn(spark, path, "w", "weight")
+    assert(v1 == 1)
+    // metadata-only: the new manifest references the SAME segments
+    val segsAfter = SnapshotLog.manifest(spark, path, 1)
+      .select("seg").collect().map(_.getString(0)).toSet
+    assert(segsAfter == segsBefore, "rename must not rewrite any segment")
+    assert(SnapshotLog.isRewriteOnly(path, 1), "rename commits rewrite-only")
+    val latest = SnapshotLog.read(spark, path)
+    assert(latest.columns.toSeq == Seq("k", "p", "weight"))
+    assert(latest.select(sum($"weight")).head.getLong(0) ==
+      rows.map(_._3).sum)
+    // time travel to v0 shows the pre-rename schema
+    assert(SnapshotLog.read(spark, path, Some(0)).columns.toSeq ==
+      Seq("k", "p", "w"))
+    // diff across the rename boundary is empty: rows did not change
+    assert(SnapshotLog.diff(spark, path, 0, 1, "k").count() == 0)
+  }
+
+  test("writes after a rename speak the logical schema and share the physical one") {
+    import spark.implicits._
+    val path = tmpDir("writes")
+    SnapshotLog.create(spark,
+      (0L until 20L).map(k => (k, k * 10)).toDF("k", "w"), path, "k")
+    SnapshotLog.renameColumn(spark, path, "w", "weight")
+    // append with the NEW logical name
+    SnapshotLog.append(spark,
+      (20L until 30L).map(k => (k, k * 10)).toDF("k", "weight"), path, "k")
+    // upsert with the new logical name
+    SnapshotLog.upsert(spark, Seq((5L, 999L)).toDF("k", "weight"), path, "k")
+    // merge-on-read delete
+    SnapshotLog.mergeDv(spark, Seq((7L, 0L, true)).toDF("k", "weight", "del"),
+      path, "k", "del")
+    val got = SnapshotLog.read(spark, path)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("weight")).toMap
+    val expect = ((0L until 30L).filter(_ != 7L)
+      .map(k => k -> k * 10).toMap) + (5L -> 999L)
+    assert(got == expect)
+    // every segment stores the PHYSICAL name `w` — no schema fork
+    SnapshotLog.manifest(spark, path,
+      SnapshotLog.latestVersion(path).get).select("seg").collect()
+      .map(_.getString(0)).foreach { seg =>
+        assert(spark.read.parquet(seg).columns.contains("w") &&
+          !spark.read.parquet(seg).columns.contains("weight"),
+          s"segment $seg forked the physical schema")
+      }
+    // writing the retired PHYSICAL name is refused
+    val e = intercept[Exception] {
+      SnapshotLog.append(spark, Seq((99L, 1L)).toDF("k", "w"), path, "k")
+    }
+    assert(e.getMessage.contains("physical storage name"))
+  }
+
+  test("drop hides the column at latest, keeps it under time travel, refuses re-adds") {
+    import spark.implicits._
+    val path = tmpDir("drop")
+    SnapshotLog.create(spark,
+      (0L until 20L).map(k => (k, s"p$k", k % 7)).toDF("k", "p", "junk"),
+      path, "k")
+    val v1 = SnapshotLog.dropColumn(spark, path, "junk")
+    assert(v1 == 1 && SnapshotLog.isRewriteOnly(path, 1))
+    assert(SnapshotLog.read(spark, path).columns.toSeq == Seq("k", "p"))
+    assert(SnapshotLog.read(spark, path, Some(0)).columns.toSeq ==
+      Seq("k", "p", "junk"))
+    // writes may no longer mention the dropped column
+    val e = intercept[Exception] {
+      SnapshotLog.append(spark, Seq((99L, "x", 1L)).toDF("k", "p", "junk"),
+        path, "k")
+    }
+    assert(e.getMessage.contains("dropped"))
+    // but writes without it proceed, and reads stay two-column
+    SnapshotLog.append(spark, Seq((99L, "x")).toDF("k", "p"), path, "k")
+    assert(SnapshotLog.read(spark, path).count() == 21)
+    // rename of a dropped column's LOGICAL name is absent -> refused
+    intercept[Exception] {
+      SnapshotLog.renameColumn(spark, path, "junk", "junk2")
+    }
+  }
+
+  test("rename chain + drop + restore: each version reads under its own mapping") {
+    import spark.implicits._
+    val path = tmpDir("chain")
+    SnapshotLog.create(spark,
+      (0L until 10L).map(k => (k, k * 3, s"p$k")).toDF("k", "a", "p"),
+      path, "k")                                     // v0: (k, a, p)
+    SnapshotLog.renameColumn(spark, path, "a", "b")  // v1: (k, b, p)
+    SnapshotLog.renameColumn(spark, path, "b", "c")  // v2: (k, c, p)
+    SnapshotLog.dropColumn(spark, path, "p")         // v3: (k, c)
+    assert(SnapshotLog.read(spark, path, Some(0)).columns.toSeq ==
+      Seq("k", "a", "p"))
+    assert(SnapshotLog.read(spark, path, Some(1)).columns.toSeq ==
+      Seq("k", "b", "p"))
+    assert(SnapshotLog.read(spark, path, Some(2)).columns.toSeq ==
+      Seq("k", "c", "p"))
+    assert(SnapshotLog.read(spark, path, Some(3)).columns.toSeq ==
+      Seq("k", "c"))
+    // values ride the chain untouched
+    assert(SnapshotLog.read(spark, path).select(sum($"c")).head.getLong(0) ==
+      (0L until 10L).map(_ * 3).sum)
+    // restore to v1 restores the v1 SCHEMA (b, p back)
+    val v4 = SnapshotLog.restore(spark, path, 1)
+    assert(SnapshotLog.read(spark, path, Some(v4)).columns.toSeq ==
+      Seq("k", "b", "p"))
+  }
+
+  test("clone carries the mapping; maintenance and pruned reads run under logical names") {
+    import spark.implicits._
+    val path = tmpDir("maint")
+    val rows = (0L until 200L).map(k => (k, k % 97, s"p$k"))
+    SnapshotLog.create(spark, rows.toDF("id", "y", "p"), path, "id")
+    SnapshotLog.append(spark,
+      (200L until 400L).map(k => (k, k % 97, s"p$k")).toDF("id", "y", "p"),
+      path, "id")
+    // rename the KEY column itself, then run every keyed verb logically
+    SnapshotLog.renameColumn(spark, path, "id", "key")
+    val (ranged, _, _) = SnapshotLog.readRange(spark, path, "key", 10L, 19L)
+    assert(ranged.columns.contains("key") &&
+      ranged.count() == 10)
+    SnapshotLog.compact(spark, path, "key", slices = 2)
+    val (pt, _, _) = SnapshotLog.readPoint(spark, path, "key", 42L)
+    assert(pt.select("p").head.getString(0) == "p42")
+    val (pts, _, _) = SnapshotLog.readPoints(spark, path, "key",
+      Seq(1L, 399L))
+    assert(pts.count() == 2)
+    SnapshotLog.compactZOrder(spark, path, "key", "y", slices = 4)
+    val (box, _, _) = SnapshotLog.readBox(spark, path, "key", "y",
+      0L, 100L, 0L, 50L)
+    assert(box.count() ==
+      rows.count { case (k, y, _) => k <= 100 && y <= 50 })
+    SnapshotLog.mergeDv(spark, Seq((3L, 3L, "x", true)).toDF(
+      "key", "y", "p", "del"), path, "key", "del")
+    SnapshotLog.purgeDv(spark, path, "key", minDvFrac = 0.0)
+    assert(SnapshotLog.read(spark, path).count() == 399)
+    // the clone speaks the source's current logical schema
+    val dst = tmpDir("maint_clone")
+    SnapshotLog.cloneTable(spark, path, dst)
+    assert(SnapshotLog.read(spark, dst).columns.toSeq ==
+      Seq("key", "y", "p"))
+    // WAP after rename: staged segments store physical, audit reads logical
+    SnapshotLog.stage(spark, Seq((500L, 1L, "staged")).toDF("key", "y", "p"),
+      path, "key", "aud")
+    assert(SnapshotLog.readStaged(spark, path, "aud")
+      .filter($"key" === 500L).count() == 1)
+    SnapshotLog.publishStage(spark, path, "aud")
+    assert(SnapshotLog.read(spark, path).filter($"key" === 500L)
+      .select("p").head.getString(0) == "staged")
+  }
+
+  test("follower change feed skips rename commits and keeps converging") {
+    import spark.implicits._
+    val path = tmpDir("follow")
+    SnapshotLog.create(spark,
+      (0L until 10L).map(k => (k, s"v0_$k")).toDF("k", "p"), path, "k")
+    // followDiff delivers CHANGES since v0 — the consumer bootstraps
+    // its state from the created version (the SnapshotModelSpec shape)
+    var state: Map[Long, String] =
+      (0L until 10L).map(k => k -> s"v0_$k").toMap
+    // the feed speaks the CURRENT logical schema (diff presents both
+    // sides under vTo's mapping), so the consumer names the payload
+    // field as the schema it tracks names it
+    def poll(payload: String): Unit =
+      SnapshotLog.followDiff(spark, path, "k", "smf") { (feed, _) =>
+        feed.select(col("k"), col("change"),
+          col(s"_new.$payload").as("p"))
+          .collect().foreach { r =>
+            if (r.getString(1) == "delete") state -= r.getLong(0)
+            else state += (r.getLong(0) -> r.getString(2))
+          }
+        ()
+      }
+    poll("p")
+    assert(state.size == 10)
+    SnapshotLog.renameColumn(spark, path, "p", "payload")
+    SnapshotLog.upsert(spark, Seq((3L, "new3"), (10L, "new10"))
+      .toDF("k", "payload"), path, "k")
+    poll("payload")
+    assert(state.size == 11 && state(3L) == "new3" && state(10L) == "new10")
+  }
+}

@@ -431,8 +431,19 @@ class SimilaritySpec extends AnyFunSuite {
     // bench-tau results are EXACTLY the direct-exact composition's
     // (the dispatch cannot have changed the registered query)
     val viaDispatch = Similarity.paraphrasePairs(spark, sf, tau = 0.35)
-      .collect().map(_.toString).toSeq
+      .collect()
     assert(viaDispatch.nonEmpty)
+    // the dispatch decision rides as provenance COLUMNS (r16 verdict
+    // #8): arm + closed-form candidate fraction + design recall
+    viaDispatch.foreach { r =>
+      assert(r.getAs[String]("pair_arm") == "exact_blocked" &&
+        r.getAs[Double]("cand_frac") == 0.0313 &&
+        r.getAs[Double]("design_recall") == 0.1503)
+    }
+    Similarity.paraphrasePairs(spark, sf, tau = 0.9).collect().foreach { r =>
+      assert(r.getAs[String]("pair_arm") == "lsh_banded",
+        "production tau must declare the LSH arm in-band")
+    }
   }
 
   test("mutualKnn dispatches to the IVF candidate generator past maxExact") {

@@ -7,7 +7,7 @@ import graft.sources.SnapshotLog
 /** MODEL-BASED LIFECYCLE FUZZ for the versioned table: a seeded random
   * sequence of every lifecycle verb (append / upsert / merge-with-
   * deletes / sliced compact / Morton-curve compactZOrder / restore /
-  * pin / shallow clone / gc) runs against BOTH the real SnapshotLog
+  * pin / shallow clone / gc / column rename+drop) runs against BOTH the real SnapshotLog
   * table and a trivial in-memory model (a Map plus a version→snapshot
   * history). After every step the suite asserts the invariants the
   * format sells:
@@ -31,7 +31,13 @@ import graft.sources.SnapshotLog
   *      the model through every verb in any order;
   *   5. a SHALLOW CLONE taken at a random surviving version reads
   *      byte-equal to that version's snapshot, diverges under its own
-  *      writes, and never disturbs the source.
+  *      writes, and never disturbs the source;
+  *   6. SCHEMA interleaving (verb twelve): the payload column is
+  *      randomly RENAMED (metadata-only) and a disposable column
+  *      DROPPED mid-history — every later verb speaks the current
+  *      logical schema, every time travel reads under ITS version's
+  *      schema, restores revert the schema with the rows, and clones
+  *      carry the mapping of the version they cut.
   *
   * Individual verbs each have example-based specs (SourcesSpec); this
   * spec checks that they COMPOSE — the class of bug a fixed example
@@ -58,19 +64,32 @@ class SnapshotModelSpec extends AnyFunSuite {
     val path = tmpDir(s"fuzz$seed")
     val keySpace = 400L
 
+    // invariant 6 state: the logical schema the table currently speaks
+    // (pName = payload column's logical name; wLive = the disposable
+    // column `w` not yet dropped), plus its per-version history
+    var pName = "p"
+    var wLive = true
+    def wOf(k: Long): Long = k % 13L
+
     def toDf(rows: Seq[(Long, String)]) =
-      rows.map { case (k, p) => (k, yOf(k), p) }.toDF("k", "y", "p")
+      if (wLive)
+        rows.map { case (k, p) => (k, yOf(k), p, wOf(k)) }
+          .toDF("k", "y", pName, "w")
+      else rows.map { case (k, p) => (k, yOf(k), p) }.toDF("k", "y", pName)
 
     var model = (0L until 40L).map(k => k -> s"v0_$k").toMap
     SnapshotLog.create(spark, toDf(model.toSeq), path, "k")
     // version -> model snapshot at that commit
     var hist = Map(0 -> model)
+    var histSchema = Map(0 -> ("p", true))
     var latest = 0
 
     // invariant 4 state: the follower consumer
     var followerState = model
 
-    def commitSnap(v: Int): Unit = { hist += (v -> model); latest = v }
+    def commitSnap(v: Int): Unit = {
+      hist += (v -> model); histSchema += (v -> (pName, wLive)); latest = v
+    }
 
     def randomRows(n: Int, tag: String): Seq[(Long, String)] =
       (0 until n).map { _ =>
@@ -78,15 +97,23 @@ class SnapshotModelSpec extends AnyFunSuite {
         k -> s"${tag}_${k}_${rnd.nextInt(1000)}"
       }.distinct.groupBy(_._1).map(_._2.head).toSeq
 
-    def readMap(v: Option[Int] = None): Map[Long, String] =
-      SnapshotLog.read(spark, path, v).collect()
-        .map(r => (r.getAs[Long]("k"), r.getAs[String]("p"))).toMap
+    def readMap(v: Option[Int] = None): Map[Long, String] = {
+      val (pn, wl) = histSchema.getOrElse(v.getOrElse(latest),
+        (pName, wLive))
+      val df = SnapshotLog.read(spark, path, v)
+      // invariant 6: the version reads under ITS OWN logical schema
+      assert(df.columns.contains(pn) && df.columns.contains("w") == wl &&
+        !df.columns.exists(c => c != pn && c != "k" && c != "y" && c != "w"),
+        s"v$v schema ${df.columns.toSeq} disagrees with recorded ($pn, w=$wl)")
+      df.collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[String](pn))).toMap
+    }
 
     // depth is env-tunable so a bug hunt can run long sequences
     // (SNAP_FUZZ_STEPS=200) without changing the committed default
     val steps = sys.env.getOrElse("SNAP_FUZZ_STEPS", "40").toInt
     for (step <- 1 to steps) {
-      rnd.nextInt(11) match {
+      rnd.nextInt(12) match {
         case 0 => // append strictly-new keys
           val base = keySpace + step * 100L
           val rows = (0 until 1 + rnd.nextInt(5))
@@ -102,9 +129,14 @@ class SnapshotModelSpec extends AnyFunSuite {
           val delKeys = (0 until 1 + rnd.nextInt(6))
             .map(_ => rnd.nextLong(keySpace)).distinct
             .filterNot(ups.map(_._1).contains)
-          val df = (ups.map { case (k, p) => (k, yOf(k), p, false) } ++
-            delKeys.map(k => (k, yOf(k), "", true)))
-            .toDF("k", "y", "p", "del")
+          val df =
+            if (wLive) (ups.map { case (k, p) =>
+              (k, yOf(k), p, wOf(k), false) } ++
+              delKeys.map(k => (k, yOf(k), "", wOf(k), true)))
+              .toDF("k", "y", pName, "w", "del")
+            else (ups.map { case (k, p) => (k, yOf(k), p, false) } ++
+              delKeys.map(k => (k, yOf(k), "", true)))
+              .toDF("k", "y", pName, "del")
           val v = SnapshotLog.merge(spark, df, path, "k", "del")
           model = model -- delKeys ++ ups; commitSnap(v)
         case 3 => // OPTIMIZE, sometimes sliced; rewrite-only: no model change
@@ -120,7 +152,13 @@ class SnapshotModelSpec extends AnyFunSuite {
             SnapshotLog.manifestExists(path, _)).toSeq.sorted
           val target = survivors(rnd.nextInt(survivors.length))
           val v = SnapshotLog.restore(spark, path, target)
-          if (v != latest) { model = hist(target); commitSnap(v) }
+          if (v != latest) {
+            model = hist(target)
+            // restore restores the SCHEMA with the rows
+            val (pn, wl) = histSchema(target)
+            pName = pn; wLive = wl
+            commitSnap(v)
+          }
         case 6 => // pin a random surviving version
           val survivors = hist.keys.filter(
             SnapshotLog.manifestExists(path, _)).toSeq.sorted
@@ -136,13 +174,19 @@ class SnapshotModelSpec extends AnyFunSuite {
           val target = survivors(rnd.nextInt(survivors.length))
           val dst = tmpDir(s"fuzz${seed}_clone$step")
           SnapshotLog.cloneTable(spark, path, dst, Some(target))
+          // the clone carries the mapping of the version it cut
+          val (cpn, cwl) = histSchema(target)
           val cloneMap = SnapshotLog.read(spark, dst).collect()
-            .map(r => (r.getAs[Long]("k"), r.getAs[String]("p"))).toMap
+            .map(r => (r.getAs[Long]("k"), r.getAs[String](cpn))).toMap
           assert(cloneMap == hist(target),
             s"step $step: clone of v$target diverged from its snapshot")
-          // the clone's own writes never reach the source
-          SnapshotLog.upsert(spark, toDf(Seq(1L -> s"clone$step")), dst,
-            "k")
+          // the clone's own writes never reach the source (and speak
+          // the CLONE's logical schema, not the source's current one)
+          val cdf =
+            if (cwl) Seq((1L, yOf(1L), s"clone$step", wOf(1L)))
+              .toDF("k", "y", cpn, "w")
+            else Seq((1L, yOf(1L), s"clone$step")).toDF("k", "y", cpn)
+          SnapshotLog.upsert(spark, cdf, dst, "k")
           assert(readMap() == model,
             s"step $step: a clone write leaked into the source")
         case 9 => // MERGE-ON-READ merge: deletes+upserts via deletion
@@ -151,9 +195,14 @@ class SnapshotModelSpec extends AnyFunSuite {
           val delKeys = (0 until 1 + rnd.nextInt(6))
             .map(_ => rnd.nextLong(keySpace)).distinct
             .filterNot(ups.map(_._1).contains)
-          val df = (ups.map { case (k, p) => (k, yOf(k), p, false) } ++
-            delKeys.map(k => (k, yOf(k), "", true)))
-            .toDF("k", "y", "p", "del")
+          val df =
+            if (wLive) (ups.map { case (k, p) =>
+              (k, yOf(k), p, wOf(k), false) } ++
+              delKeys.map(k => (k, yOf(k), "", wOf(k), true)))
+              .toDF("k", "y", pName, "w", "del")
+            else (ups.map { case (k, p) => (k, yOf(k), p, false) } ++
+              delKeys.map(k => (k, yOf(k), "", true)))
+              .toDF("k", "y", pName, "del")
           val v = SnapshotLog.mergeDv(spark, df, path, "k", "del")
           model = model -- delKeys ++ ups; commitSnap(v)
         case 10 => // targeted tombstone purge at a random density
@@ -161,6 +210,17 @@ class SnapshotModelSpec extends AnyFunSuite {
           val v = SnapshotLog.purgeDv(spark, path, "k",
             minDvFrac = rnd.nextDouble() * 0.5)
           if (v != latest) commitSnap(v)
+        case 11 => // invariant 6: schema evolution mid-history —
+          // metadata-only rename of the payload column, or (once) the
+          // drop of the disposable column; rows never change
+          if (wLive && rnd.nextBoolean()) {
+            val v = SnapshotLog.dropColumn(spark, path, "w")
+            wLive = false; commitSnap(v)
+          } else {
+            val next = s"p$step"
+            val v = SnapshotLog.renameColumn(spark, path, pName, next)
+            pName = next; commitSnap(v)
+          }
       }
 
       // invariant 1: latest == model
@@ -182,7 +242,7 @@ class SnapshotModelSpec extends AnyFunSuite {
       // every poll — deletes remove, inserts/updates take _new, and a
       // skipped rewrite-only compaction must not desync it
       SnapshotLog.followDiff(spark, path, "k", "fz") { (feed, _) =>
-        feed.select(col("k"), col("change"), col("_new.p").as("p"))
+        feed.select(col("k"), col("change"), col(s"_new.$pName").as("p"))
           .collect().foreach { r =>
             if (r.getString(1) == "delete")
               followerState -= r.getLong(0)

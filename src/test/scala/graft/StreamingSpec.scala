@@ -471,6 +471,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batchPairs, "stream (incl. null rows) != batch")
   }
 
+  test("full-outer interval join: stream emits BOTH null-row classes after " +
+    "watermark expiry, equal to batch") {
+    import spark.implicits._
+    // user 1: purchase t20 matches clicks t15/t20; click t31 matches NO
+    // purchase (none in [31, 41]) -> unmatched-click row. user 2:
+    // purchase t5 with no clicks -> unmatched-purchase row.
+    val purchases = Seq(Ev(10, t(20), 1, "purchase", 9.0),
+      Ev(12, t(5), 2, "purchase", 7.0))
+    val clicks = Seq(Ev(1, t(15), 1, "click", 1.0),
+      Ev(2, t(20), 1, "click", 2.0), Ev(3, t(31), 1, "click", 3.0))
+    def rows(rs: Array[org.apache.spark.sql.Row]) = rs
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+      .toSeq.sorted
+    val batch = rows(graft.streaming.EventStreams
+      .recentClicksFullStream(purchases.toDF(), clicks.toDF()).collect())
+    assert(batch == Seq((-1L, 1L, Some(3.0)), // unmatched click
+      (10L, 1L, Some(1.0)), (10L, 1L, Some(2.0)),
+      (12L, 2L, None)), s"batch full-outer shape wrong: $batch")
+    implicit val sqlCtx = spark.sqlContext
+    val pm = MemoryStream[Ev]; val cm = MemoryStream[Ev]
+    pm.addData(purchases: _*); cm.addData(clicks: _*)
+    val q = graft.streaming.EventStreams
+      .recentClicksFullStream(pm.toDF(), cm.toDF())
+      .writeStream.format("memory").queryName("ijf")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // neither null class can exist yet: no watermark has proven absence
+    assert(spark.table("ijf").collect()
+      .forall(r => !r.isNullAt(0) && !r.isNullAt(5)))
+    // advance both watermarks far past everything: the unmatched
+    // purchase AND the unmatched click must now emit null-padded
+    pm.addData(Ev(99, t(600), 9, "purchase", 0.0))
+    cm.addData(Ev(98, t(600), 9, "click", 0.0))
+    q.processAllAvailable(); q.stop()
+    val streamed = rows(spark.table("ijf")
+      .filter(col("user_id") < 9).collect())
+    assert(streamed == batch,
+      "stream (incl. both null classes) != batch")
+  }
+
   test("idempotent parquet sink: batch replay overwrites, never duplicates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
