@@ -2122,7 +2122,19 @@ object TextAnalysis {
             element_at(ws, i + 1).as("w2"))))
         .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
         .as(Seq("i", "bg")))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      // words become xxhash64 longs BEFORE the agg ladder: no output
+      // column carries a word (only doc_id / counts / nll surface), so
+      // every count below is identical under any injective recoding,
+      // and the two shuffle ladders (doc-bigram, pair-count) move 16
+      // fixed bytes per key instead of two variable-length strings —
+      // at 100 TB the bigram shuffle is this operator's cost. The
+      // recoding is injective in practice: a 64-bit collision needs
+      // ~2^32 distinct words to reach even-odds; a corpus vocabulary
+      // is orders of magnitude below that, and a collision would only
+      // merge one word pair's counts inside an already-smoothed LM
+      // statistic. The oracle keeps the string keys (same counts).
+      .select(col("doc_id"), xxhash64(col("bg.w1")).as("w1"),
+        xxhash64(col("bg.w2")).as("w2"))
     // Map-side combine ladder: occurrences -> per-doc types -> types.
     val docBg = bgs.groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("occ"))
