@@ -238,8 +238,15 @@ object TextAnalysis {
     * maxDF^2 per shingle (the skew guard) and removes boilerplate
     * n-grams that are not contamination evidence. */
   def decontaminate(spark: SparkSession, dir: String, n: Int = 3,
+                    maxDF: Int = 20, minShared: Int = 3): DataFrame =
+    decontaminateOf(Tables.documents(spark, dir), n, maxDF, minShared)
+
+  /** [[decontaminate]] over any (doc_id, text) frame — split out (the
+    * [[graft.operators.Dedup.containmentOf]] convention) so the hot-key
+    * probe can plant a corpus-wide boilerplate shingle. */
+  private[graft] def decontaminateOf(docs: DataFrame, n: Int = 3,
                     maxDF: Int = 20, minShared: Int = 3): DataFrame = {
-    val sh = Tables.documents(spark, dir)
+    val sh = docs
       .select(col("doc_id"),
         explode(array_distinct(TextFunctions.word_shingles(col("text"), n))).as("s"))
     // the inverted index as ONE aggregation with BOUNDED state (the
