@@ -95,14 +95,86 @@ object HotKeyProbe {
     val dPlanted = dPairs.contains((11L, 20L))
     val dLeaked = dPairs.exists(_ != ((11L, 20L)))
 
+    // ---- scenario 2: the DEGENERATE BUCKET — a corpus-scale block of
+    // byte-identical documents/vectors, so every LSH band bucket and
+    // every simhash block key they produce holds the whole block. The
+    // post-filter gather shape these operators used to carry would
+    // materialize a `nHot`-member list per (band, bucket) on one
+    // reducer — and simhashPairs (uncapped before r17) would explode
+    // C(nHot, 2) pairs: ~2e10 at this probe's size. The capped gather
+    // must reduce all of it to dead bits while the planted
+    // NON-pathological pair (two identical docs in their own bucket)
+    // still surfaces.
+    val nHot = math.max(nDocs / 5, 2L) * 2 // 200k at the default 500k
+    val hotText = "every copy of this template document is byte identical boilerplate"
+    val bDocs = spark.range(nDocs).select(col("id").as("doc_id"),
+      when(col("id").isin(1L, 2L),
+        lit("planted near duplicate pair with its own private bucket of text"))
+      .when(col("id") >= 10L && col("id") < nHot / 2 + 10L, lit(hotText))
+      .otherwise(concat_ws(" ",
+        (0 until 12).map(j => concat(lit(s"w${j}q"), col("id"))): _*))
+      .as("text"),
+      lit("en").as("lang"), lit("probe").as("source"))
+      .withColumn("n_chars", length(col("text")))
+    // vectors: sized to the banding's spread capacity — nearDupLsh at
+    // (nBits 64, bands 8) keys 256 buckets per band, so 20k unique
+    // random vectors sit ~80 per bucket (well under the 2000 cap)
+    // while the 30k-identical hot block lands its WHOLE mass in one
+    // bucket per band and must die at the cap
+    val dim = 64
+    val nVec = 50000L
+    val hotVecTo = 30010L
+    val bVecs = spark.range(nVec).select(col("id").as("vec_id"),
+      when(col("id").isin(1L, 2L), array(
+        (0 until dim).map(j => lit(math.sin(j + 1).toFloat)): _*))
+      .when(col("id") >= 10L && col("id") < hotVecTo, array(
+        (0 until dim).map(j => lit(math.cos(j + 1).toFloat)): _*))
+      .otherwise(expr(s"""transform(sequence(0, ${dim - 1}), j ->
+        CAST(CAST(pmod(xxhash64(vec_id, j), 2001) - 1000 AS FLOAT)
+          / CAST(1000 AS FLOAT) AS FLOAT))"""))
+      .as("embedding"), lit(0).as("label"))
+    val hbDir = s"${System.getProperty("java.io.tmpdir")}/graft_hotbucket"
+    bDocs.write.mode("overwrite").parquet(s"$hbDir/documents.parquet")
+    bVecs.write.mode("overwrite").parquet(s"$hbDir/embeddings.parquet")
+
+    def hotDoc(id: Long) = id >= 10L && id < nHot / 2 + 10L
+    val (mPairs, mSec) = timed {
+      operators.Dedup.minhashCandidates(spark, hbDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val mPlanted = mPairs.contains((1L, 2L))
+    val mLeaked = mPairs.exists { case (a, b) => hotDoc(a) && hotDoc(b) }
+
+    val (sPairs, sSec) = timed {
+      operators.Dedup.simhashPairs(spark, hbDir)
+        .select(col("doc_a"), col("doc_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val sPlanted = sPairs.contains((1L, 2L))
+    val sLeaked = sPairs.exists { case (a, b) => hotDoc(a) && hotDoc(b) }
+
+    def hotVec(id: Long) = id >= 10L && id < hotVecTo
+    val (vPairs, vSec) = timed {
+      operators.Similarity.nearDupLsh(spark, hbDir, nBits = 64)
+        .select(col("va"), col("vb"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val vPlanted = vPairs.contains((1L, 2L)) || vPairs.contains((2L, 1L))
+    val vLeaked = vPairs.exists { case (a, b) => hotVec(a) && hotVec(b) }
+
     val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     def r3(v: Double) = BigDecimal(v).setScale(3,
       BigDecimal.RoundingMode.HALF_UP).toString
-    val ok = cPlanted && !cLeaked && dPlanted && !dLeaked
+    val ok = cPlanted && !cLeaked && dPlanted && !dLeaked &&
+      mPlanted && !mLeaked && sPlanted && !sLeaked && vPlanted && !vLeaked
     println(s"""{"metric":"hotkey_probe","n_docs":$nDocs,""" +
-      s""""hot_shingle_df":$nDocs,"heap_max_mb":$heapMb,"keys":{""" +
-      s""""dedup_containment":{"sec":${r3(cSec)},"planted_pair":$cPlanted,"boiler_leak":$cLeaked},""" +
-      s""""text_decontaminate":{"sec":${r3(dSec)},"planted_pair":$dPlanted,"boiler_leak":$dLeaked}},""" +
+      s""""hot_shingle_df":$nDocs,"hot_block_docs":${nHot / 2},""" +
+      s""""hot_block_vecs":${hotVecTo - 10},"heap_max_mb":$heapMb,"keys":{""" +
+      s""""dedup_containment":{"sec":${r3(cSec)},"planted_pair":$cPlanted,"hot_leak":$cLeaked},""" +
+      s""""text_decontaminate":{"sec":${r3(dSec)},"planted_pair":$dPlanted,"hot_leak":$dLeaked},""" +
+      s""""dedup_minhash_lsh":{"sec":${r3(mSec)},"planted_pair":$mPlanted,"hot_leak":$mLeaked,"n_pairs":${mPairs.size}},""" +
+      s""""dedup_simhash":{"sec":${r3(sSec)},"planted_pair":$sPlanted,"hot_leak":$sLeaked,"n_pairs":${sPairs.size}},""" +
+      s""""emb_neardup_lsh":{"sec":${r3(vSec)},"planted_pair":$vPlanted,"hot_leak":$vLeaked,"n_pairs":${vPairs.size}}},""" +
       s""""ok":$ok}""")
     spark.stop()
     if (!ok) sys.exit(1)

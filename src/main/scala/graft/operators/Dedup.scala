@@ -256,10 +256,17 @@ object Dedup {
   private[graft] def corpusLshIndex(corpus: DataFrame, k: Int = 64,
                                     bands: Int = 16,
                                     maxBucket: Long = 100): DataFrame =
+    // bucket gather with BOUNDED agg state ([[graft.functions
+    // .CappedDistinctSet]] — same keep/drop boundary as the old
+    // `collect_list + filter(size <= maxBucket)`, but a pathological
+    // bucket dies at the cap inside the aggregation instead of
+    // materializing corpus-sized on its reducer first; doc_ids are
+    // distinct within a (band, bucket) by construction, so set == list)
     minhashBands(corpus, k, bands)
       .groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("corpus_ids"))
-      .filter(size(col("corpus_ids")) <= maxBucket)
+      .agg(CappedSet.capped_distinct_set(col("doc_id"), maxBucket.toInt)
+        .as("corpus_ids"))
+      .filter(col("corpus_ids").isNotNull)
 
   /** Incremental NEAR-DUP dedup — the missing rung above
     * [[incremental]]'s exact/normalized ladder: classify an arriving
@@ -374,9 +381,13 @@ object Dedup {
     // once (a self-join re-evaluates it per side — AQE does not reuse
     // the exchange across join branches), and pair expansion is bounded
     // by maxBucket^2 per bucket.
+    // state-bounded gather (see [[corpusLshIndex]]): the size gate is
+    // enforced INSIDE the aggregation, so a degenerate bucket never
+    // materializes past maxBucket ids anywhere
     val buckets = banded.groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .agg(CappedSet.capped_distinct_set(col("doc_id"), maxBucket.toInt)
+        .as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) > 1)
     buckets
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
@@ -772,9 +783,19 @@ object Dedup {
     * document votes the same way on common-shingle bits) — measured 43 s
     * at sf0.1 vs ~1 s for this scheme, because a ~32-bit 3-block key
     * keeps buckets near-singleton while preserving exactness
-    * (spec-checked equal to brute force). */
+    * (spec-checked equal to brute force).
+    *
+    * `maxBucket` is the skew guard the exactness claim is conditioned
+    * on: a block-key bucket larger than it (thousands of near-identical
+    * template documents agreeing on 3 simhash blocks — a corpus-scale
+    * hot key, not a near-dup signal any pipeline would enumerate
+    * pair-by-pair) is abandoned INSIDE the aggregation
+    * ([[graft.functions.CappedDistinctPairSet]]), bounding both the
+    * reducer's gather state and the cap²-per-bucket pair explosion.
+    * Below the cap — every test corpus and any sane production tuning —
+    * the output is the exact brute-force pair list. */
   def simhashPairs(spark: SparkSession, dir: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     // block boundaries: 11,11,11,11,10,10 bits (sum 64), m = 6 blocks
     val bounds = Seq(0, 11, 22, 33, 44, 54, 64)
     val m = bounds.length - 1
@@ -792,13 +813,14 @@ object Dedup {
     // one shuffle, no self-join (same pattern as minhashCandidates):
     // bucket by key, expand i<j pairs map-side, hamming-filter inline
     keyed.groupBy(col("key"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("sim")))).as("ds"))
-      .filter(size(col("ds")) > 1)
+      .agg(CappedSet.capped_distinct_pair_set(
+        col("doc_id"), col("sim"), maxBucket).as("ds"))
+      .filter(col("ds").isNotNull && size(col("ds")) > 1)
       .select(explode(flatten(transform(col("ds"), (x, i) =>
         transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
-          struct(x.getField("doc_id").as("doc_a"),
-            y.getField("doc_id").as("doc_b"),
-            bit_count(x.getField("sim").bitwiseXOR(y.getField("sim")))
+          struct(x.getField("id").as("doc_a"),
+            y.getField("id").as("doc_b"),
+            bit_count(x.getField("v").bitwiseXOR(y.getField("v")))
               .as("hamming")))))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
       .filter(col("hamming") <= maxHamming)

@@ -916,10 +916,14 @@ object Similarity {
           .bitwiseAND(lit(mask)))): _*)))
       .select(col("vec_id"), col("col").as("bucket"))
     // same single-shuffle pair pattern as the text LSH: bucket members
-    // are gathered once, pairs expand map-side, bucket size is capped
+    // are gathered once, pairs expand map-side, and the size cap is
+    // enforced INSIDE the aggregation (CappedDistinctSet dead-bit — a
+    // degenerate bucket never materializes past maxBucket ids on its
+    // reducer; identical keep/drop boundary to the old post-filter)
     val cands = banded.groupBy(col("bucket"))
-      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .agg(graft.functions.CappedSet.capped_distinct_set(
+        col("vec_id"), maxBucket.toInt).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) > 1)
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
           struct(x.as("va"), y.as("vb")))))).as("p"))

@@ -73,6 +73,44 @@ class CappedSetSpec extends AnyFunSuite {
     assert(agg.merge(a, b).dead)
   }
 
+  test("capped_distinct_pair_set equals collect_list + size filter below the cap; hot bucket dies") {
+    import spark.implicits._
+    // buckets straddling the cap; payload rides with the id
+    val rows = (1 to 30).flatMap { g =>
+      (1 to g).map(i => (g.toLong, i.toLong, (i * 7).toLong))
+    }
+    val df = rows.toDF("g", "id", "v")
+    val cap = 15
+    val got = df.groupBy($"g")
+      .agg(CappedSet.capped_distinct_pair_set($"id", $"v", cap).as("ps"))
+      .filter($"ps".isNotNull)
+      .select($"g", $"ps")
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(p => (p.getLong(0), p.getLong(1))).toList)).toMap
+    val expect = df.groupBy($"g")
+      .agg(sort_array(collect_list(struct($"id", $"v"))).as("ps"))
+      .filter(size($"ps") <= cap)
+      .select($"g", $"ps")
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(p => (p.getLong(0), p.getLong(1))).toList)).toMap
+    assert(got == expect)
+    assert(got.keySet == (1 to 15).map(_.toLong).toSet)
+    // buffer bound under a hot bucket, dead sticky through merge
+    val agg = graft.functions.CappedDistinctPairSet(
+      BoundReference(0, LongType, nullable = true),
+      BoundReference(1, LongType, nullable = true), cap = 10)
+    val buf = agg.createAggregationBuffer()
+    (1L to 50000L).foreach(v => agg.update(buf, InternalRow(v, v * 3)))
+    assert(buf.dead && buf.ids.isEmpty)
+    assert(agg.eval(buf) == null)
+    assert(agg.serialize(buf).length <= 16)
+    val fresh = agg.createAggregationBuffer()
+    (1L to 3L).foreach(v => agg.update(fresh, InternalRow(v, v)))
+    assert(agg.merge(fresh, agg.deserialize(agg.serialize(buf))).dead)
+  }
+
   test("containment survives a shingle planted in EVERY document (the hot-key reducer hazard)") {
     import spark.implicits._
     // every doc shares one boilerplate 3-shingle; two docs additionally
