@@ -899,7 +899,21 @@ object Similarity {
     * is bounded per bucket, and recall/cost is tuned by (nBits, bands)
     * via the Charikar collision probability (1 - angle/pi per bit).
     * Approximate by construction => rows-only for the oracle; recall vs
-    * brute force is spec-checked. */
+    * brute force is spec-checked.
+    *
+    * SCALE ENVELOPE (measured, SCALE3_r17.json): with FIXED banding the
+    * candidate mass grows ~ n² / buckets-per-band — at factor-100 data
+    * (200k vectors) this tuning's 2^(nBits/bands) = 16 buckets per band
+    * measured 182x wall-clock, the textbook LSH wall. Growing the key
+    * width with n (r ~ log2 n) keeps buckets constant-size but decays
+    * per-band recall as n^(log2 p) — with a single 64-bit signature
+    * there is no headroom to buy it back with more bands. This rung is
+    * therefore the SMALL-TO-MID-scale arm by design; at corpus scale
+    * near-dup pairing dispatches through [[semanticPairs]] (closed-form
+    * banding stats choose LSH only where it is selective, else the
+    * uniform block-partitioned exact join) and top-k similarity rides
+    * the IVF/graph indexes — the same declared-arm discipline as the
+    * bench-tau quadratic. */
   def nearDupLsh(spark: SparkSession, dir: String, tau: Double = 0.35,
                  nBits: Int = 32, bands: Int = 8,
                  maxBucket: Long = 2000): DataFrame = {
