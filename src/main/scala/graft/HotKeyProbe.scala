@@ -99,18 +99,21 @@ object HotKeyProbe {
     // byte-identical documents/vectors, so every LSH band bucket and
     // every simhash block key they produce holds the whole block. The
     // post-filter gather shape these operators used to carry would
-    // materialize a `nHot`-member list per (band, bucket) on one
+    // materialize a hot-block-sized list per (band, bucket) on one
     // reducer — and simhashPairs (uncapped before r17) would explode
-    // C(nHot, 2) pairs: ~2e10 at this probe's size. The capped gather
+    // C(hotBlock, 2) pairs: ~5e9 at this probe's size. The capped gather
     // must reduce all of it to dead bits while the planted
     // NON-pathological pair (two identical docs in their own bucket)
     // still surfaces.
-    val nHot = math.max(nDocs / 5, 2L) * 2 // 200k at the default 500k
+    // the hot block's document count, used directly in the range
+    // predicate and the JSON (r17 ADVICE: the old doubled-then-halved
+    // nHot variable misread as twice the block)
+    val hotBlock = math.max(nDocs / 5, 1L) // 100k docs at the default 500k
     val hotText = "every copy of this template document is byte identical boilerplate"
     val bDocs = spark.range(nDocs).select(col("id").as("doc_id"),
       when(col("id").isin(1L, 2L),
         lit("planted near duplicate pair with its own private bucket of text"))
-      .when(col("id") >= 10L && col("id") < nHot / 2 + 10L, lit(hotText))
+      .when(col("id") >= 10L && col("id") < hotBlock + 10L, lit(hotText))
       .otherwise(concat_ws(" ",
         (0 until 12).map(j => concat(lit(s"w${j}q"), col("id"))): _*))
       .as("text"),
@@ -137,7 +140,7 @@ object HotKeyProbe {
     bDocs.write.mode("overwrite").parquet(s"$hbDir/documents.parquet")
     bVecs.write.mode("overwrite").parquet(s"$hbDir/embeddings.parquet")
 
-    def hotDoc(id: Long) = id >= 10L && id < nHot / 2 + 10L
+    def hotDoc(id: Long) = id >= 10L && id < hotBlock + 10L
     val (mPairs, mSec) = timed {
       operators.Dedup.minhashCandidates(spark, hbDir)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -162,13 +165,87 @@ object HotKeyProbe {
     val vPlanted = vPairs.contains((1L, 2L)) || vPairs.contains((2L, 1L))
     val vLeaked = vPairs.exists { case (a, b) => hotVec(a) && hotVec(b) }
 
+    // ---- scenario 3 (r17 ask #5): the remaining skew-sensitive
+    // shapes — a CELEBRITY graph node (in-degree = corpus), a hot
+    // event type confined to one clock hour against the q37 two-level
+    // prefix sum, a whole-corpus market segment against the q38
+    // two-level rank, and one hot CDC merge key carrying almost every
+    // op. Contracts: complete under the bench heap, surface the
+    // planted signal, per-partition work bounded by construction
+    // (partial aggs net hot keys map-side; windows are block/band-
+    // local, never segment-sized).
+    val nG = math.max(nDocs / 5, 1000L) // 100k nodes at the default 500k
+    val gNodes = spark.range(nG).select(col("id").as("node"))
+    val gEdges = spark.range(nG)
+      .select(col("id").as("src"), ((col("id") + 1L) % nG).as("dst"))
+      .unionByName(spark.range(1, nG)
+        .select(col("id").as("src"), lit(0L).as("dst")))
+      .unionByName(spark.range(nG / 100)
+        .select(lit(0L).as("src"), (col("id") * 100L).as("dst")))
+    val (prTop, prSec) = timed {
+      operators.Graph.pagerankOver(gNodes, gEdges, iters = 3)
+        .orderBy(col("pr").desc).limit(1)
+        .collect().head.getLong(0)
+    }
+    val prPlanted = prTop == 0L // the celebrity dominates the rank mass
+    val (lpRows, lpSec) = timed {
+      val labels = operators.Graph.labelPropOver(gEdges,
+        spark.range(nG).select(col("id")), rounds = 2)
+      val n = labels.count()
+      org.apache.spark.sql.graftbridge.SparkBridge.unpersistCheckpoint(labels)
+      n
+    }
+    val lpOk = lpRows == nG
+    val epoch = lit("2026-01-01 00:00:00").cast("timestamp")
+    val hotEv = spark.range(2000000L).select(lit("hot").as("etype"),
+      (epoch + expr("make_interval(0, 0, 0, 0, 0, 0, id % 3600)")).as("ts"))
+    val (q37Row, q37Sec) = timed {
+      operators.Relational.q37ConcurrencyOf(hotEv, sessionMin = 15)
+        .collect()
+    }
+    val q37Ok = q37Row.length == 1 && q37Row.head.getLong(1) > 0L &&
+      q37Row.head.getLong(1) <= 2000000L
+    val hotCust = spark.range(2000000L).select(col("id").as("c_custkey"),
+      lit("HOT").as("c_mktsegment"),
+      (col("id") % 20000L).cast("double").as("c_acctbal"))
+    val (q38Agg, q38Sec) = timed {
+      operators.Relational.decilesTwoLevelOf(hotCust, bandWidth = 500.0)
+        .agg(count(lit(1)), max(col("decile")), min(col("pct_rank")),
+          max(col("pct_rank"))).collect().head
+    }
+    val q38Ok = q38Agg.getLong(0) == 2000000L && q38Agg.getInt(1) == 10 &&
+      q38Agg.getDouble(2) == 0.0 && q38Agg.getDouble(3) == 1.0
+    // CDC changelog: user 7 carries ~all ops (hot merge key); its last
+    // op by (ts, event_id) is a planted upsert with value 42.5 at a
+    // strictly-later timestamp than every other op; user 9's only op
+    // is a delete and must be absent from the materialized state
+    val nCdc = 2000000L
+    val cdcEv = spark.range(nCdc).select(col("id").as("event_id"),
+      when(col("id") === nCdc - 2L, lit(9L))
+        .when(col("id") % 20 === 0, (col("id") % 100000L) + 100L)
+        .otherwise(lit(7L)).as("user_id"),
+      when(col("id") === nCdc - 1L, lit("purchase"))
+        .when(col("id") === nCdc - 2L, lit("error"))
+        .otherwise(lit("click")).as("event_type"),
+      (epoch + expr("make_interval(0, 0, 0, 0, 0, 0, " +
+        "CASE WHEN id >= 1999998 THEN 7200 ELSE id % 3600 END)")).as("ts"),
+      when(col("id") === nCdc - 1L, lit(42.5))
+        .otherwise(lit(1.0)).as("value"))
+    val (cdcRows, cdcSec) = timed {
+      streaming.EventStreams.cdcMerge(cdcEv)
+        .filter(col("user_id").isin(7L, 9L)).collect()
+    }
+    val cdcOk = cdcRows.length == 1 && cdcRows.head.getLong(0) == 7L &&
+      cdcRows.head.getDouble(1) == 42.5
+
     val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     def r3(v: Double) = BigDecimal(v).setScale(3,
       BigDecimal.RoundingMode.HALF_UP).toString
     val ok = cPlanted && !cLeaked && dPlanted && !dLeaked &&
-      mPlanted && !mLeaked && sPlanted && !sLeaked && vPlanted && !vLeaked
+      mPlanted && !mLeaked && sPlanted && !sLeaked && vPlanted && !vLeaked &&
+      prPlanted && lpOk && q37Ok && q38Ok && cdcOk
     println(s"""{"metric":"hotkey_probe","n_docs":$nDocs,""" +
-      s""""hot_shingle_df":$nDocs,"hot_block_docs":${nHot / 2},""" +
+      s""""hot_shingle_df":$nDocs,"hot_block_docs":$hotBlock,""" +
       s""""hot_block_vecs":${hotVecTo - 10},"heap_max_mb":$heapMb,"keys":{""" +
       s""""dedup_containment":{"sec":${r3(cSec)},"planted_pair":$cPlanted,"hot_leak":$cLeaked},""" +
       s""""text_decontaminate":{"sec":${r3(dSec)},"planted_pair":$dPlanted,"hot_leak":$dLeaked},""" +

@@ -77,7 +77,21 @@ object ScaleProbe {
       }.write.mode("overwrite").parquet(s"$dst/documents.parquet")
     }
 
-    // embeddings: per-copy deterministic perturbation (1e-3 amplitude)
+    // embeddings: per-copy RADEMACHER sign flip — one deterministic
+    // ±1 vector per (copy, dim), applied to every vector of the copy.
+    // Within a copy, both endpoints of any pair flip the SAME signs,
+    // so every within-copy cosine (and norm) is preserved EXACTLY —
+    // strictly better shape preservation than the r17 1e-3 additive
+    // perturbation. Across copies, s_i ⊙ s_j is an iid ±1 vector, so
+    // cross-copy cosines concentrate around 0 (std ~ dim^-1/2): the
+    // copies are DISJOINT in cosine space, as the construction
+    // contract above demands. The r17 perturbation only broke EXACT
+    // cross-copy duplication — at tau-level similarity every vector
+    // still paired with its 99 clones AND each base pair re-paired
+    // copy²-wise, manufacturing an O(copies²) true-pair explosion
+    // (~50M pairs at factor 100) that the r17/r18 emb_neardup_lsh
+    // probe ratios (182x / 294x) were largely measuring. gen=2 in the
+    // completion marker forces the rebuild everywhere.
     locally {
       val e = spark.read.parquet(s"$src/embeddings.parquet")
       val m = maxOf(e, "vec_id")
@@ -85,8 +99,7 @@ object ScaleProbe {
         val emb =
           if (i == 0) col("embedding")
           else expr(s"""transform(embedding, (x, j) ->
-            CAST(x + CAST(pmod(xxhash64(vec_id, j, $i), 1000) AS FLOAT)
-              / CAST(1000000 AS FLOAT) AS FLOAT))""")
+            CAST(x * (1 - 2 * pmod(xxhash64(j, $i), 2)) AS FLOAT))""")
         df.select((col("vec_id") + lit(i * m)).as("vec_id"),
           emb.as("embedding"), col("label"))
       }.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
@@ -109,8 +122,11 @@ object ScaleProbe {
   }
 
   private def scaledMarker(dst: String): String = s"$dst/_GRAFT_SCALED"
+  // gen versions the CONSTRUCTION, not just its inputs: a generator
+  // change (r18: embedding sign-flip copies) must invalidate corpora
+  // built by the old one, or stale data silently poisons every ratio
   private def markerContent(src: String, factor: Int): String =
-    s"base=$src\nfactor=$factor\n"
+    s"base=$src\nfactor=$factor\ngen=2\n"
 
   /** True iff a prior [[buildScaled]] COMPLETED with the same base and
     * factor — the marker is written as the build's last step. */
@@ -171,7 +187,64 @@ object ScaleProbe {
     val worst = rows.filter(_._2._3 >= 0).sortBy(-_._2._3).take(3)
       .map { case (k, (_, _, r)) => s"""\"$k\":${r3(r)}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"scale_probe","factor":$factor,"base":"$base","scaled":"$scaled","reps":$reps,"keys":$qs,"worst_ratios":$worst}""")
+    // SCALE GATE (r17 ask #3): compare each measured factor-`factor`
+    // ratio against the committed pin, the BENCH-vs-BASELINE
+    // discipline applied to scaling shape — a key drifting past 2x its
+    // pinned ratio is a scaling REGRESSION even when its absolute
+    // time still looks harmless at probe scale. Pin with
+    // SPARK_GRAFT_SCALE_PIN=1 (writes/overwrites SCALE_BASELINE.json
+    // from this run); sub-second pinned ratios are excluded from the
+    // worst-ratio like the bench gate's 0.2 s floor.
+    val pinPath = java.nio.file.Paths.get("SCALE_BASELINE.json")
+    val vsPin =
+      if (!java.nio.file.Files.exists(pinPath)) """"no_pin":true"""
+      else {
+        val text = new String(java.nio.file.Files.readAllBytes(pinPath),
+          "UTF-8")
+        val re = ("\"([a-z0-9_]+)\":\\{\"ratio\":([-0-9.]+)," +
+          "\"abs\":([-0-9.]+)\\}").r
+        val pins = re.findAllMatchIn(text)
+          .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble))
+          .toMap
+        val cmp = rows.flatMap { case (k, (_, s, r)) =>
+          pins.get(k).collect { case (pr, pa) if pr > 0 && r >= 0 =>
+            (k, r / pr, s, pa)
+          }
+        }
+        val eligible = cmp.filter(_._4 >= 1.0) // pinned abs >= 1 s
+        val over = eligible.count(_._2 > 2.0)
+        val worstP = eligible.sortBy(-_._2).headOption
+        val details = cmp.map { case (k, rr, _, _) =>
+          s"""\"$k\":${r3(rr)}""" }.mkString("{", ",", "}")
+        s""""vs_scale_baseline":{"ratio_of_ratio":$details,""" +
+          s""""worst_key":${worstP.map(w => "\"" + w._1 + "\"")
+            .getOrElse("null")},""" +
+          s""""worst":${worstP.map(w => r3(w._2)).getOrElse("-1")},""" +
+          s""""n_over_2x":$over,"n_compared":${cmp.size}}"""
+      }
+    println(s"""{"metric":"scale_probe","factor":$factor,"base":"$base","scaled":"$scaled","reps":$reps,"keys":$qs,"worst_ratios":$worst,$vsPin}""")
+    if (sys.env.get("SPARK_GRAFT_SCALE_PIN").contains("1")) {
+      // MERGE into any existing pin (a probe may run key subsets):
+      // this run's measurements override, other pinned keys survive
+      val re = ("\"([a-z0-9_]+)\":\\{\"ratio\":([-0-9.]+)," +
+        "\"abs\":([-0-9.]+)\\}").r
+      val prior =
+        if (!java.nio.file.Files.exists(pinPath)) Map.empty[String, String]
+        else re.findAllMatchIn(new String(
+            java.nio.file.Files.readAllBytes(pinPath), "UTF-8"))
+          .map(m => m.group(1) ->
+            s"""\"${m.group(1)}\":{"ratio":${m.group(2)},"abs":${m.group(3)}}""")
+          .toMap
+      val fresh = rows.filter(_._2._3 >= 0).map { case (k, (_, s, r)) =>
+        k -> s"""\"$k\":{"ratio":${r3(r)},"abs":${r3(s)}}"""
+      }.toMap
+      val pinned = (prior ++ fresh).toSeq.sortBy(_._1).map(_._2)
+        .mkString(",")
+      java.nio.file.Files.write(pinPath,
+        (s"""{"metric":"scale_baseline","factor":$factor,"gen":2,""" +
+          s""""keys":{$pinned}}""").getBytes("UTF-8"))
+      System.err.println(s"[scale] pinned ${fresh.size} keys to $pinPath")
+    }
     spark.stop()
   }
 }

@@ -3561,10 +3561,25 @@ object SparkEntry {
     // LSH contract: n_true is the brute-force all-pairs count (pins the
     // engine's blocked exact generator), the verdicts are closed-form —
     // a recall collapse, a precision slip, or a non-subset candidate
-    // breaks the hash
+    // breaks the hash. The corpus-size-adaptive plan decision
+    // (Similarity.nearDupLshPlan: design-point slicing / widened seeded
+    // bands / blocked-exact dispatch) is restated closed-form from
+    // count(*) — a silent arm or banding change breaks the hash too.
     "emb_neardup_lsh" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ok,
-           TRUE AS subset_ok, TRUE AS precision_ok
+      """WITH nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+           pl AS (SELECT least(62, greatest(4, CAST(ceil(log2(
+                 greatest(1.0, n / 1024.0))) AS INTEGER))) AS r,
+               1.0 - acos(0.35) / pi() AS p FROM nn),
+           pl2 AS (SELECT r, CAST(ceil(8.0 * ln(1.0 - pow(p, 4))
+               / ln(1.0 - pow(p, r))) AS INTEGER) AS needed FROM pl)
+         SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ok,
+           TRUE AS subset_ok, TRUE AS precision_ok,
+           (SELECT CASE WHEN r = 4 OR needed <= 32 THEN 'lsh_banded'
+              ELSE 'exact_blocked' END FROM pl2) AS lsh_arm,
+           (SELECT r FROM pl2) AS lsh_r,
+           (SELECT CASE WHEN r = 4 THEN 8
+              WHEN needed <= 32 THEN greatest(1, needed)
+              ELSE needed END FROM pl2) AS lsh_bands
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding::DOUBLE[],
            b.embedding::DOUBLE[]) >= 0.35""",

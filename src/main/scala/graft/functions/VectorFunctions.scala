@@ -105,15 +105,27 @@ object VectorMath {
     * executor derives identical planes with zero coordination or
     * broadcast state. P(bit agrees) = 1 - angle/pi (Charikar), so
     * banding the signature gives an ANN candidate filter for cosine. */
-  def simhashVec(a: ArrayData, nBits: Int): Long = {
+  def simhashVec(a: ArrayData, nBits: Int): Long =
+    simhashVecSeeded(a, nBits, 0L)
+
+  /** Seed-indexed hyperplane FAMILY: seed 0 is the original family
+    * (signatures bit-identical to the unseeded kernel — every pinned
+    * hash/bench stays put), and each other seed draws an independent
+    * plane set by folding mix64(seed) into the (dim, bit) hash. This
+    * is what frees LSH banding from the single-long 64-hyperplane
+    * budget: band b reads its own full r-bit signature from seed b, so
+    * band-key width can GROW with corpus size (the r17 emb_neardup_lsh
+    * scale-wall fix) instead of slicing one fixed signature. */
+  def simhashVecSeeded(a: ArrayData, nBits: Int, seed: Long): Long = {
     val x = a.toFloatArray()
     val acc = new Array[Double](nBits)
+    val sm = if (seed == 0L) 0L else TextHash.mix64(seed)
     var i = 0
     while (i < x.length) {
       val xi = x(i).toDouble
       var j = 0
       while (j < nBits) {
-        val h = TextHash.mix64((i.toLong << 32) | j.toLong)
+        val h = TextHash.mix64(((i.toLong << 32) | j.toLong) ^ sm)
         if ((h & 1L) == 0L) acc(j) += xi else acc(j) -= xi
         j += 1
       }
@@ -260,9 +272,12 @@ case class VecNorm(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** `vec_simhash(v, nBits)` -> long: random-hyperplane LSH signature of an
-  * array<float> embedding (see [[VectorMath.simhashVec]]). */
-case class VecSimHash(child: Expression, nBits: Int) extends UnaryExpression {
+/** `vec_simhash(v, nBits[, seed])` -> long: random-hyperplane LSH
+  * signature of an array<float> embedding (see
+  * [[VectorMath.simhashVecSeeded]]); seed selects an independent
+  * hyperplane family (0 = the original, bit-compatible family). */
+case class VecSimHash(child: Expression, nBits: Int, seed: Long = 0L)
+  extends UnaryExpression {
   require(nBits > 0 && nBits <= 64)
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def nullIntolerant: Boolean = true
@@ -273,9 +288,10 @@ case class VecSimHash(child: Expression, nBits: Int) extends UnaryExpression {
       s"$prettyName requires array<float>, got ${t.simpleString}")
   }
   protected override def nullSafeEval(input: Any): Any =
-    VectorMath.simhashVec(input.asInstanceOf[ArrayData], nBits)
+    VectorMath.simhashVecSeeded(input.asInstanceOf[ArrayData], nBits, seed)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a => s"graft.functions.VectorMath.simhashVec($a, $nBits)")
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.VectorMath.simhashVecSeeded($a, $nBits, ${seed}L)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -287,6 +303,9 @@ object VectorFunctions {
 
   def vec_simhash(v: Column, nBits: Int): Column =
     SparkBridge.column(VecSimHash(SparkBridge.expression(v), nBits))
+
+  def vec_simhash_seeded(v: Column, nBits: Int, seed: Long): Column =
+    SparkBridge.column(VecSimHash(SparkBridge.expression(v), nBits, seed))
 
   def dot_product(a: Column, b: Column): Column =
     SparkBridge.column(DotProduct(

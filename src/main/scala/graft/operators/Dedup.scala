@@ -815,6 +815,17 @@ object Dedup {
     keyed.groupBy(col("key"))
       .agg(CappedSet.capped_distinct_pair_set(
         col("doc_id"), col("sim"), maxBucket).as("ds"))
+      // r17 ADVICE: degenerate-bucket abandonment must be OBSERVABLE,
+      // not just documented — a null ds IS a bucket the cap killed, and
+      // simhashChecked only verifies reported pairs, so a recall
+      // regression in a skewed corpus would otherwise be silent. The
+      // named observe() metric rides the plan (no extra pass, rows and
+      // schema untouched — every pinned hash unchanged); a pipeline
+      // relying on the exactness claim attaches a QueryExecutionListener
+      // and alarms on dropped_buckets > 0 (spec-pinned both ways).
+      .observe("simhash_buckets",
+        count(when(col("ds").isNull, 1)).as("dropped_buckets"),
+        count(lit(1)).as("buckets"))
       .filter(col("ds").isNotNull && size(col("ds")) > 1)
       .select(explode(flatten(transform(col("ds"), (x, i) =>
         transform(slice(col("ds"), i + 2, size(col("ds"))), y =>

@@ -62,12 +62,24 @@ object Graph {
     * keep the teleport mass via the left join from the node list. */
   def pagerank(spark: SparkSession, dir: String,
                iters: Int = DefaultIters): DataFrame = {
-    require(iters >= 1)
     val nodes = Tables.supplier(spark, dir)
       .select(col("s_suppkey").as("node"))
+    // "pr", not "rank": rank is a window-function keyword in the oracle
+    pagerankOver(nodes, pageEdges(spark, dir), iters)
+      .orderBy(col("node"))
+  }
+
+  /** [[pagerank]]'s kernel over ANY (node) spine + (src, dst) edge
+    * frame — split out so the adversarial skew probe (HotKeyProbe:
+    * one celebrity node with corpus in-degree) can drive the exact
+    * per-round join/agg plan the registered operator runs. Returns
+    * the unordered (node, pr) frame. */
+  private[graft] def pagerankOver(nodes: DataFrame, edges0: DataFrame,
+                                  iters: Int): DataFrame = {
+    require(iters >= 1)
     // partition the edge side by its join key ONCE; localCheckpoint
     // materializes that layout so the per-round join reuses it
-    val edges = pageEdges(spark, dir)
+    val edges = edges0
       .withColumnRenamed("src", "esrc")
       .repartition(col("esrc"))
       .localCheckpoint()
@@ -86,9 +98,7 @@ object Graph {
       // size estimate cannot compound across iterations
       ranks = SparkBridge.dropOriginStats(next)
     }
-    // "pr", not "rank": rank is a window-function keyword in the oracle
     val out = ranks.select(col("node"), col("r").as("pr"))
-      .orderBy(col("node"))
     SparkBridge.unpersistCheckpoint(edges)
     out
   }

@@ -723,10 +723,21 @@ object Relational {
     * Half-open semantics need no tie rule: a close netting against an
     * open at the same instant is exactly the [t, t+s) boundary case. */
   def q37Concurrency(spark: SparkSession, dir: String,
-                     sessionMin: Int = 15): DataFrame = {
+                     sessionMin: Int = 15): DataFrame =
+    q37ConcurrencyOf(Tables.events(spark, dir)
+      .select(col("event_type").as("etype"), col("ts")), sessionMin)
+
+  /** [[q37Concurrency]]'s kernel over ANY (etype, ts) frame — split out
+    * so the adversarial skew probe (HotKeyProbe: one event type holding
+    * the whole corpus inside one clock hour) can drive the exact
+    * two-level prefix-sum plan. The block-local window stays bounded
+    * under that skew BY CONSTRUCTION: deltas net per (type, instant)
+    * before any window, so a block's window size is capped by clock
+    * resolution x block span (<= 3600 netted rows per hour at second
+    * resolution), never by corpus size. */
+  private[graft] def q37ConcurrencyOf(ev: DataFrame,
+                                      sessionMin: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.SparkBridge
-    val ev = Tables.events(spark, dir)
-      .select(col("event_type").as("etype"), col("ts"))
     // one generator, ONE scan: the union form read events twice
     val deltas = ev.select(col("etype"), explode(array(
         struct(col("ts").as("t"), lit(1L).as("d")),
@@ -811,8 +822,19 @@ object Relational {
     * Result-equality to the declarative form is spec-pinned (identical
     * doubles: same divisions, same Spark round). */
   def q38DecilesTwoLevel(spark: SparkSession, dir: String,
-                         bandWidth: Double = 500.0): DataFrame = {
-    val cust = Tables.customer(spark, dir)
+                         bandWidth: Double = 500.0): DataFrame =
+    decilesTwoLevelOf(Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")),
+      bandWidth)
+
+  /** [[q38DecilesTwoLevel]]'s kernel over ANY (c_custkey, c_mktsegment,
+    * c_acctbal) frame — split out so the adversarial skew probe
+    * (HotKeyProbe: one segment holding the whole corpus) can drive the
+    * exact two-level rank plan. Under that skew each window is bounded
+    * by its BAND's row count, never the segment's. */
+  private[graft] def decilesTwoLevelOf(cust0: DataFrame,
+                                       bandWidth: Double): DataFrame = {
+    val cust = cust0
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
         floor(col("c_acctbal") / bandWidth).as("band"))
     val wLoc = Window.partitionBy(col("c_mktsegment"), col("band"))

@@ -2121,14 +2121,15 @@ object TextAnalysis {
     * "Francisco" effect needs a constructed context structure). */
   private[graft] def knPerplexityOf(docs: DataFrame,
                                     discount: Double = 0.75): DataFrame = {
-    val ws = split(col("text"), " ")
+    // ONE tokenization pass per document (the word_shingles kernel —
+    // the r18 profile found the old transform+element_at-over-split
+    // form re-splitting the document per bigram ENDPOINT, O(words²)
+    // map work per doc); a shingle carries exactly one separator
+    // space (tokens of a single-space split cannot contain one), so
+    // substring_index recovers w1/w2 losslessly, empties included
     val bgs = docs
-      .select(col("doc_id"), posexplode(when(size(ws) >= 2,
-        transform(sequence(lit(1), size(ws) - 1),
-          i => struct(element_at(ws, i).as("w1"),
-            element_at(ws, i + 1).as("w2"))))
-        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
-        .as(Seq("i", "bg")))
+      .select(col("doc_id"),
+        explode(TextFunctions.word_shingles(col("text"), 2)).as("sh"))
       // words become xxhash64 longs BEFORE the agg ladder: no output
       // column carries a word (only doc_id / counts / nll surface), so
       // every count below is identical under any injective recoding,
@@ -2140,8 +2141,9 @@ object TextAnalysis {
       // is orders of magnitude below that, and a collision would only
       // merge one word pair's counts inside an already-smoothed LM
       // statistic. The oracle keeps the string keys (same counts).
-      .select(col("doc_id"), xxhash64(col("bg.w1")).as("w1"),
-        xxhash64(col("bg.w2")).as("w2"))
+      .select(col("doc_id"),
+        xxhash64(substring_index(col("sh"), " ", 1)).as("w1"),
+        xxhash64(substring_index(col("sh"), " ", -1)).as("w2"))
     // Map-side combine ladder: occurrences -> per-doc types -> types.
     val docBg = bgs.groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("occ"))
@@ -2174,7 +2176,17 @@ object TextAnalysis {
 
   /** DuckDB restatement of [[knPerplexity]]: identical group-by count
     * ladder, identical interpolation expression, occ-weighted
-    * dyadic-grid NLL. */
+    * dyadic-grid NLL.
+    *
+    * ORACLE-CONTRACT CAVEAT (r17 ADVICE): the engine recodes words to
+    * xxhash64 longs while this restatement keeps string keys — the
+    * hash match therefore additionally asserts the recoding was
+    * injective ON THIS CORPUS. A 64-bit collision (negligible at any
+    * natural vocabulary, but adversarially constructible) would merge
+    * two bigram types' counts engine-side and surface here as a hash
+    * MISMATCH, not a silent pass — the compare direction is safe; the
+    * caveat is only that the engine's hashed nll on adversarial input
+    * may differ from the string-keyed definition. */
   def knPerplexityOracle(discount: Double = 0.75): String =
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
          FROM documents),

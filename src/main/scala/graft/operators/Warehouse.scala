@@ -568,8 +568,10 @@ object Warehouse {
     val fp = ModelStore.corpusFingerprint(spark, s"$dir/part.parquet")
     val path = ModelStore.root(spark) +
       s"/snapevolve_v1_${ModelStore.md5(s"snapevolve|$fp")}"
-    val mk = p.agg(max(col("key"))).collect().head.getLong(0)
-    val h = mk / 2L
+    // max-key scalar rides the plan ([[graft.functions.Scalars]]);
+    // shiftright = the exact long halving the collected mk/2 computed
+    val mk = graft.functions.Scalars.scalarOf(p.agg(max(col("key"))))
+    val h = shiftright(mk, 1)
     // v0/v1: the pre-evolution history, two key-range segments
     if (SnapshotLog.latestVersion(path).isEmpty)
       SnapshotLog.create(spark,
@@ -582,7 +584,7 @@ object Warehouse {
     // v2: the evolving append — `retail` arrives with the new rows
     if (SnapshotLog.latestVersion(path).contains(1))
       SnapshotLog.append(spark,
-        p.select((col("key") + lit(mk + 1L)).as("key"),
+        p.select((col("key") + mk + lit(1L)).as("key"),
           concat(lit("n2_"), col("name")).as("name"), col("retail")),
         path, "key")
     // v3: an upsert under the widened schema confined to the FIRST
@@ -634,8 +636,9 @@ object Warehouse {
     val fp = ModelStore.corpusFingerprint(spark, s"$dir/part.parquet")
     val path = ModelStore.root(spark) +
       s"/snapevolve2_v1_${ModelStore.md5(s"snapevolve2|$fp")}"
-    val mk = p.agg(max(col("key"))).collect().head.getLong(0)
-    val h = mk / 2L
+    // max-key scalar rides the plan ([[graft.functions.Scalars]])
+    val mk = graft.functions.Scalars.scalarOf(p.agg(max(col("key"))))
+    val h = shiftright(mk, 1)
     if (SnapshotLog.latestVersion(path).isEmpty)
       SnapshotLog.create(spark, p.filter(col("key") <= h), path, "key")
     if (SnapshotLog.latestVersion(path).contains(0))
@@ -667,6 +670,9 @@ object Warehouse {
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey").as("key"), col("o_custkey").as("cust"),
         col("o_totalprice").as("price"))
+    // driver-state read: k4 derives readRange's lo/hi — manifest
+    // stats-pruning bounds the DRIVER compares against segment rows
+    // (the documented exception in [[graft.functions.Scalars]])
     val mk = o.agg(max(col("key"))).collect().head.getLong(0)
     val k4 = mk / 4L + 1L
     val fp = ModelStore.corpusFingerprint(spark, s"$dir/orders.parquet")
@@ -716,6 +722,8 @@ object Warehouse {
     import graft.sources.{ModelStore, SnapshotLog}
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey").as("key"), col("o_custkey").as("cust"))
+    // driver-state read: lo/hi below are readRange pruning bounds
+    // (the documented exception in [[graft.functions.Scalars]])
     val mk = o.agg(max(col("key"))).collect().head.getLong(0)
     val fp = ModelStore.corpusFingerprint(spark, s"$dir/orders.parquet")
     val path = ModelStore.root(spark) +
@@ -807,6 +815,8 @@ object Warehouse {
       SnapshotLog.compact(spark, pathL, "cust", Long.MaxValue, slices = 16)
     if (SnapshotLog.latestVersion(pathZ).contains(7))
       SnapshotLog.compactZOrder(spark, pathZ, "cust", "day", slices = 16)
+    // driver-state read: readBox pruning bounds (the documented
+    // exception in [[graft.functions.Scalars]])
     val b = o.agg(min(col("cust")), max(col("cust")),
       min(col("day")), max(col("day"))).collect().head
     val (cmin, cmax, dmin, dmax) =
@@ -879,6 +889,8 @@ object Warehouse {
       SnapshotLog.compact(spark, path, "key")
     SnapshotLog.gc(spark, path, retainLast = 1)
     val hist = SnapshotLog.history(spark, path)
+    // driver-state read: the survivor version list IS driver state
+    // (manifest-count-sized, like every manifest collect)
     val alive = hist.select(col("version")).collect().map(_.getInt(0))
     val reread = alive.map { v =>
       SnapshotLog.read(spark, path, Some(v))
@@ -960,12 +972,13 @@ object Warehouse {
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey").as("key"), col("o_custkey").as("cust"),
         col("o_totalprice").as("price"))
-    val mk = o.agg(max(col("key"))).collect().head.getLong(0)
+    // max-key scalar rides the plan ([[graft.functions.Scalars]])
+    val mk = graft.functions.Scalars.scalarOf(o.agg(max(col("key"))))
     val good = o.filter(col("key") % 9 === 5)
-      .select((col("key") + lit(mk + 1L)).as("key"), col("cust"),
+      .select((col("key") + mk + lit(1L)).as("key"), col("cust"),
         (col("price") / lit(2.0)).as("price"))
     val bad = o.filter(col("key") % 9 === 7)
-      .select((col("key") + lit(2L * (mk + 1L))).as("key"), col("cust"),
+      .select((col("key") + (mk + lit(1L)) * lit(2L)).as("key"), col("cust"),
         when(col("key") % 2 === 0, -col("price")).otherwise(col("price"))
           .as("price"))
     val fp = ModelStore.corpusFingerprint(spark, s"$dir/orders.parquet")
@@ -997,8 +1010,8 @@ object Warehouse {
     // published flags read back from the log: batch-key-range
     // membership in the committed latest
     val nGoodIn = latest.filter(col("key") > mk &&
-      col("key") <= 2L * mk + 1L).count()
-    val nBadIn = latest.filter(col("key") > 2L * mk + 1L).count()
+      col("key") <= mk * lit(2L) + lit(1L)).count()
+    val nBadIn = latest.filter(col("key") > mk * lit(2L) + lit(1L)).count()
     val gN = good.count()
     val bN = bad.count()
     import spark.implicits._
@@ -1036,8 +1049,9 @@ object Warehouse {
     val fp = ModelStore.corpusFingerprint(spark, s"$dir/customer.parquet")
     val path = ModelStore.root(spark) +
       s"/mrebase_v1_${ModelStore.md5(s"mrebase|$fp")}"
-    val mk = c.agg(max(col("key"))).collect().head.getLong(0)
-    val h = mk / 2L
+    // max-key scalar rides the plan ([[graft.functions.Scalars]])
+    val mk = graft.functions.Scalars.scalarOf(c.agg(max(col("key"))))
+    val h = shiftright(mk, 1)
     if (SnapshotLog.latestVersion(path).isEmpty)
       SnapshotLog.create(spark, c.filter(col("key") <= h), path, "key")
     if (SnapshotLog.latestVersion(path).contains(0))
@@ -1105,9 +1119,9 @@ object Warehouse {
     * deletes %23==9, doubling updates %19==7. Integer cents
     * (floor(price*100+0.5)); every commit version-guarded; the table
     * path is `tag`-keyed so each consumer family can own an isolated
-    * copy of the identical history. Returns (srcPath, maxKey). */
+    * copy of the identical history. Returns the table path. */
   private def churnedMvSource(spark: SparkSession, dir: String,
-                              tag: String): (String, Long) = {
+                              tag: String): String = {
     import graft.sources.{ModelStore, SnapshotLog}
     val o = Tables.orders(spark, dir).select(
       col("o_orderkey").as("key"),
@@ -1117,7 +1131,8 @@ object Warehouse {
     val fp = ModelStore.corpusFingerprint(spark, s"$dir/orders.parquet")
     val srcPath = ModelStore.root(spark) +
       s"/${tag}_v1_${ModelStore.md5(s"$tag|$fp")}"
-    val mk = o.agg(max(col("key"))).collect().head.getLong(0)
+    // max-key scalar rides the plan ([[graft.functions.Scalars]])
+    val mk = graft.functions.Scalars.scalarOf(o.agg(max(col("key"))))
     if (SnapshotLog.latestVersion(srcPath).isEmpty)
       SnapshotLog.create(spark, o, srcPath, "key")
     if (SnapshotLog.latestVersion(srcPath).contains(0)) {
@@ -1127,8 +1142,8 @@ object Warehouse {
         .withColumn("cents", col("cents") + lit(50000L))
         .withColumn("_del", lit(false))
       val ins = o.filter(col("key") % 29 === 5)
-        .select((col("key") + lit(mk + 1L)).as("key"),
-          ((col("key") + lit(mk + 1L)) % 16).as("grp"), col("cents"))
+        .select((col("key") + mk + lit(1L)).as("key"),
+          ((col("key") + mk + lit(1L)) % 16).as("grp"), col("cents"))
         .withColumn("_del", lit(false))
       SnapshotLog.merge(spark, dels.unionByName(upds).unionByName(ins),
         srcPath, "key", "_del")
@@ -1144,12 +1159,12 @@ object Warehouse {
       SnapshotLog.merge(spark, dels.unionByName(upds), srcPath, "key",
         "_del")
     }
-    (srcPath, mk)
+    srcPath
   }
 
   def q61FollowMv(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.{ModelStore, SnapshotLog}
-    val (srcPath, _) = churnedMvSource(spark, dir, "fmvsrc")
+    val srcPath = churnedMvSource(spark, dir, "fmvsrc")
     val fp = ModelStore.corpusFingerprint(spark, s"$dir/orders.parquet")
     val viewPath = ModelStore.root(spark) +
       s"/fmvview_v1_${ModelStore.md5(s"fmvview|$fp")}"
@@ -1316,7 +1331,7 @@ object Warehouse {
 
   def q62FollowMvMinmax(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.{ModelStore, SnapshotLog}
-    val (srcPath, _) = churnedMvSource(spark, dir, "fmmsrc")
+    val srcPath = churnedMvSource(spark, dir, "fmmsrc")
     val fp = ModelStore.corpusFingerprint(spark, s"$dir/orders.parquet")
     val viewPath = ModelStore.root(spark) +
       s"/fmmview_v1_${ModelStore.md5(s"fmmview|$fp")}"
@@ -1375,13 +1390,15 @@ object Warehouse {
     import graft.sources.{ModelStore, SnapshotLog}
     val t = Tables.customer(spark, dir)
       .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"))
-    val mk = t.agg(max(col("key"))).collect().head.getLong(0)
-    val q = mk / 4L + 1L
+    // max-key scalar rides the plan ([[graft.functions.Scalars]]);
+    // shiftright(mk, 2) = the exact long mk/4 the collect computed
+    val mk = graft.functions.Scalars.scalarOf(t.agg(max(col("key"))))
+    val q = shiftright(mk, 2) + lit(1L)
     val fp = ModelStore.corpusFingerprint(spark, s"$dir/customer.parquet")
     val path = ModelStore.root(spark) +
       s"/snapdv_v1_${ModelStore.md5(s"snapdv|$fp")}"
     def slice(s: Long): DataFrame =
-      t.filter(col("key") >= s * q && col("key") < (s + 1) * q)
+      t.filter(col("key") >= q * s && col("key") < q * (s + 1))
     if (SnapshotLog.latestVersion(path).isEmpty)
       SnapshotLog.create(spark, slice(0), path, "key")
     var v = SnapshotLog.latestVersion(path).get
@@ -1397,7 +1414,7 @@ object Warehouse {
         .select(col("key"), (col("bal") + lit(100.0)).as("bal"),
           lit(false).as("_del"))
       val ins = t.filter(col("key") % 11 === 5)
-        .select((col("key") + lit(mk + 1L)).as("key"),
+        .select((col("key") + mk + lit(1L)).as("key"),
           (col("bal") / lit(2.0)).as("bal"), lit(false).as("_del"))
       SnapshotLog.mergeDv(spark, dels.unionByName(upds).unionByName(ins),
         path, "key", "_del")
@@ -1448,13 +1465,15 @@ object Warehouse {
     import graft.sources.{ModelStore, SnapshotLog}
     val t = Tables.customer(spark, dir)
       .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"))
-    val mk = t.agg(max(col("key"))).collect().head.getLong(0)
-    val q = mk / 4L + 1L
+    // max-key scalar rides the plan ([[graft.functions.Scalars]]);
+    // shiftright(mk, 2) = the exact long mk/4 the collect computed
+    val mk = graft.functions.Scalars.scalarOf(t.agg(max(col("key"))))
+    val q = shiftright(mk, 2) + lit(1L)
     val fp = ModelStore.corpusFingerprint(spark, s"$dir/customer.parquet")
     val path = ModelStore.root(spark) +
       s"/snapdvp_v1_${ModelStore.md5(s"snapdvp|$fp")}"
     def slice(s: Long): DataFrame =
-      t.filter(col("key") >= s * q && col("key") < (s + 1) * q)
+      t.filter(col("key") >= q * s && col("key") < q * (s + 1))
     if (SnapshotLog.latestVersion(path).isEmpty)
       SnapshotLog.create(spark, slice(0), path, "key")
     var v = SnapshotLog.latestVersion(path).get
@@ -1471,7 +1490,7 @@ object Warehouse {
         .select(col("key"), (col("bal") + lit(100.0)).as("bal"),
           lit(false).as("_del"))
       val ins = t.filter(col("key") % 11 === 5)
-        .select((col("key") + lit(mk + 1L)).as("key"),
+        .select((col("key") + mk + lit(1L)).as("key"),
           (col("bal") / lit(2.0)).as("bal"), lit(false).as("_del"))
       SnapshotLog.mergeDv(spark, dels.unionByName(upds).unionByName(ins),
         path, "key", "_del")
@@ -1479,7 +1498,7 @@ object Warehouse {
     if (SnapshotLog.latestVersion(path).contains(4)) {
       // the sparse wave — an all-delete merge leaving ~3% of segment 1
       // tombstoned (below the purge threshold; no delta segment)
-      val sparse = t.filter(col("key") >= q && col("key") < 2L * q &&
+      val sparse = t.filter(col("key") >= q && col("key") < q * lit(2L) &&
           col("key") % 29 === 7)
         .select(col("key"), col("bal"), lit(true).as("_del"))
       SnapshotLog.mergeDv(spark, sparse, path, "key", "_del")
@@ -1548,6 +1567,7 @@ object Warehouse {
     // probes: live (10: %3=1, %97=10), deleted (13: %97=13), absent (3)
     val out = Seq(3L, 10L, 13L).map { p =>
       val (df, scanned, total) = SnapshotLog.readPoint(spark, path, "key", p)
+      // point-read RESULT (at most one row by the probe contract)
       val hit = df.select(col("bal")).collect()
       org.apache.spark.sql.Row(p, hit.length.toLong,
         hit.headOption.map(_.getDouble(0)).map(java.lang.Double.valueOf)

@@ -222,22 +222,80 @@ object SnapshotLog {
 
   /** Version `v`'s column mapping: (logical -> physical pairs, dropped
     * physical names). Empty for an unmapped (identity) table. */
-  def columnMapping(path: String, v: Int): (Seq[(String, String)], Seq[String]) =
-    colMapText(path, v).map(parseColMap).getOrElse((Nil, Nil))
+  def columnMapping(path: String, v: Int): (Seq[(String, String)], Seq[String]) = {
+    val (pairs, dropped, _) = colMapFull(path, v)
+    (pairs, dropped)
+  }
 
-  private def parseColMap(text: String): (Seq[(String, String)], Seq[String]) = {
+  /** [[columnMapping]] plus the table's FIELD-ID counter (`f:` line):
+    * the high-water mark of physical names this table ever allocated
+    * for re-added columns — monotone per table, never reused, so a
+    * drop/re-add/drop/re-add chain yields distinct physicals. */
+  private[graft] def colMapFull(path: String, v: Int)
+      : (Seq[(String, String)], Seq[String], Int) =
+    colMapText(path, v).map(parseColMap).getOrElse((Nil, Nil, 0))
+
+  private def parseColMap(text: String)
+      : (Seq[(String, String)], Seq[String], Int) = {
     val lines = text.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
     val pairs = lines.filter(_.startsWith("m:")).map { l =>
       val Array(a, b) = l.stripPrefix("m:").split("=", 2)
       (a, b)
     }
-    (pairs, lines.filter(_.startsWith("d:")).map(_.stripPrefix("d:")))
+    (pairs, lines.filter(_.startsWith("d:")).map(_.stripPrefix("d:")),
+      lines.find(_.startsWith("f:")).map(_.stripPrefix("f:").toInt)
+        .getOrElse(0))
   }
 
   private def renderColMap(pairs: Seq[(String, String)],
-                           dropped: Seq[String]): String =
+                           dropped: Seq[String], fid: Int = 0): String =
     (pairs.map { case (l, p) => s"m:$l=$p" } ++
-      dropped.map("d:" + _)).mkString("\n")
+      dropped.map("d:" + _) ++
+      (if (fid > 0) Seq(s"f:$fid") else Nil)).mkString("\n")
+
+  /** FIELD-ID allocation for RE-ADDED columns (the Delta/Iceberg
+    * field-id move; closes r17's declared column-mapping limitation):
+    * an incoming logical column whose name a drop RETIRED — or whose
+    * name is some renamed column's physical storage name — no longer
+    * refuses the write; it maps to a FRESH physical column
+    * `<name>__f<id>` under a per-table monotone field-id counter, so
+    * the physical schema never forks: old segments simply lack the new
+    * physical and null-fill under a mergeSchema read (exactly the
+    * additive-evolution contract), while the retired physical keeps
+    * serving time travel. Pure: returns the (possibly extended) pairs
+    * and the advanced counter; the caller commits the new mapping iff
+    * the counter moved. */
+  private def allocReAdds(cols: Seq[String], pairs: Seq[(String, String)],
+                          dropped: Seq[String], fid: Int)
+      : (Seq[(String, String)], Int) = {
+    val logicals = pairs.map(_._1).toSet
+    var physTaken = pairs.map(_._2).toSet ++ dropped
+    var f = fid
+    var ps = pairs
+    cols.foreach { c =>
+      if (!logicals.contains(c) && physTaken.contains(c)) {
+        var fresh = ""
+        do { f += 1; fresh = s"${c}__f$f" } while (physTaken.contains(fresh))
+        ps = ps :+ (c -> fresh)
+        physTaken += fresh
+      }
+    }
+    (ps, f)
+  }
+
+  /** One-stop write-path mapping resolution: version `vPrev`'s mapping
+    * with any re-adds in `df` freshly allocated, plus the ColMapArg the
+    * commit must carry (inherit when nothing was allocated — the
+    * common case stays metadata-identical). */
+  private def writeMapping(df: DataFrame, path: String, vPrev: Int)
+      : (Seq[(String, String)], Seq[String], ColMapArg) = {
+    val (pairs0, dropped, fid0) = colMapFull(path, vPrev)
+    val (pairs, fid) = allocReAdds(df.columns.toSeq, pairs0, dropped, fid0)
+    val arg =
+      if (fid == fid0) ColMapInherit
+      else ColMapSet(Some(renderColMap(pairs, dropped, fid)))
+    (pairs, dropped, arg)
+  }
 
   /** Logical view of a physically-named frame under a mapping: dropped
     * physicals omitted, renamed physicals aliased, everything else —
@@ -269,12 +327,17 @@ object SnapshotLog {
         byLogical.get(c) match {
           case Some(p) => col(c).as(p)
           case None =>
+            // backstop for write paths WITHOUT field-id allocation
+            // (staged writes): the committed verbs resolve re-adds
+            // through [[writeMapping]] before reaching here
             require(!dropped.contains(c),
-              s"column '$c' was dropped from this table; re-adding a " +
-                "dropped column's name is not supported (rename first)")
+              s"column '$c' was dropped from this table; this write " +
+                "path does not allocate field-id re-adds (use append/" +
+                "upsert/merge, which do)")
             require(!physInUse.contains(c),
               s"column name '$c' is the physical storage name of a " +
-                "renamed column and cannot be (re)introduced")
+                "renamed column; this write path does not allocate " +
+                "field-id re-adds (use append/upsert/merge, which do)")
             col(c)
         }
       }
@@ -307,8 +370,11 @@ object SnapshotLog {
     require(oldName != newName, s"rename of '$oldName' onto itself")
     val v0 = latestVersion(path).getOrElse(
       sys.error(s"rename on non-existent table $path"))
-    val (pairs, dropped) = columnMapping(path, v0)
-    val logical = read(spark, path, Some(v0)).schema.fieldNames.toSeq
+    val (pairs, dropped, fid) = colMapFull(path, v0)
+    // mergeSchema: a re-added (field-id) or evolved column lives only
+    // in newer segments — a single-footer schema would miss it
+    val logical = read(spark, path, Some(v0), mergeSchema = true)
+      .schema.fieldNames.toSeq
     require(logical.contains(oldName),
       s"cannot rename absent column '$oldName' (have ${logical.mkString(", ")})")
     require(!logical.contains(newName),
@@ -318,7 +384,7 @@ object SnapshotLog {
     val phys = pairs.toMap.getOrElse(oldName, oldName)
     val next = pairs.filterNot(_._1 == oldName) :+ (newName -> phys)
     commit(manifest(spark, path, v0), path, v0 + 1, rewriteOnly = true,
-      colMap = ColMapSet(Some(renderColMap(next, dropped))))
+      colMap = ColMapSet(Some(renderColMap(next, dropped, fid))))
   }
 
   /** METADATA-ONLY column DROP — the physical data stays in place (time
@@ -329,15 +395,18 @@ object SnapshotLog {
   def dropColumn(spark: SparkSession, path: String, name: String): Int = {
     val v0 = latestVersion(path).getOrElse(
       sys.error(s"drop on non-existent table $path"))
-    val (pairs, dropped) = columnMapping(path, v0)
-    val logical = read(spark, path, Some(v0)).schema.fieldNames.toSeq
+    val (pairs, dropped, fid) = colMapFull(path, v0)
+    // mergeSchema: a re-added (field-id) or evolved column lives only
+    // in newer segments — a single-footer schema would miss it
+    val logical = read(spark, path, Some(v0), mergeSchema = true)
+      .schema.fieldNames.toSeq
     require(logical.contains(name),
       s"cannot drop absent column '$name' (have ${logical.mkString(", ")})")
     require(logical.size > 1, s"cannot drop the last column '$name'")
     val phys = pairs.toMap.getOrElse(name, name)
     val next = pairs.filterNot(_._1 == name)
     commit(manifest(spark, path, v0), path, v0 + 1, rewriteOnly = true,
-      colMap = ColMapSet(Some(renderColMap(next, dropped :+ phys))))
+      colMap = ColMapSet(Some(renderColMap(next, dropped :+ phys, fid))))
   }
 
   /** Snapshot read at `version` (default: latest). The union of the
@@ -517,7 +586,8 @@ object SnapshotLog {
     // write the segment ONCE, against the first observed version
     var v = latestOr + 1
     // callers speak the LOGICAL schema; segments store the physical one
-    val (cmPairs, cmDropped) = columnMapping(path, v - 1)
+    // (re-added retired names allocate fresh field-id physicals here)
+    val (cmPairs, cmDropped, cmArg) = writeMapping(df, path, v - 1)
     val seg = writeSegment(spark, toPhysical(df, cmPairs, cmDropped), path,
       v, 0, physicalName(cmPairs, cmDropped, keyCol))
       .collect().head
@@ -548,11 +618,16 @@ object SnapshotLog {
         return commit(
           if (emptySeg) prev
           else prev.unionByName(segRow, allowMissingColumns = true),
-          path, v)
+          path, v, colMap = cmArg)
       } catch {
         case e: ConcurrentCommitException =>
           attempts += 1
-          if (attempts > maxRetries) throw e
+          // a RE-ADDING append carries a new mapping (cmArg is Set):
+          // rebasing it blindly could clobber an interleaved schema
+          // commit's mapping, so the conflict surfaces to the caller
+          // instead (schema changes are rare; data appends keep the
+          // blind-rebase fast path)
+          if (attempts > maxRetries || cmArg != ColMapInherit) throw e
           v = latestOr + 1
       }
     }
@@ -566,14 +641,14 @@ object SnapshotLog {
   private[graft] def appendAt(spark: SparkSession, df: DataFrame,
                               path: String, keyCol: String, v: Int): Int = {
     val prev = manifest(spark, path, v - 1)
-    val (cmPairs, cmDropped) = columnMapping(path, v - 1)
+    val (cmPairs, cmDropped, cmArg) = writeMapping(df, path, v - 1)
     // allowMissingColumns: an append after [[compactZOrder]] carries a
     // stats-less row into a manifest with a per-column stats map — the
     // new segment's map is null (readers prune conservatively)
     commit(prev.unionByName(
       writeSegment(spark, toPhysical(df, cmPairs, cmDropped), path, v, 0,
         physicalName(cmPairs, cmDropped, keyCol)),
-      allowMissingColumns = true), path, v)
+      allowMissingColumns = true), path, v, colMap = cmArg)
   }
 
   /** Keyed upsert: rows with matching keys replace their old versions,
@@ -610,7 +685,8 @@ object SnapshotLog {
     val Array(lo, hi) = df.agg(min(col(keyCol)), max(col(keyCol)))
       .collect().head.toSeq.map(x => x.asInstanceOf[Long]).toArray
     // callers speak the LOGICAL schema; segments store the physical one
-    val (cmPairs, cmDropped) = columnMapping(path, v - 1)
+    // (re-added retired names allocate fresh field-id physicals)
+    val (cmPairs, cmDropped, cmArg) = writeMapping(df, path, v - 1)
     val keyP = physicalName(cmPairs, cmDropped, keyCol)
     // the manifest is segment-count-sized: collecting it is the point.
     // Empty segments (a legacy empty append) are dropped here — they
@@ -652,7 +728,7 @@ object SnapshotLog {
       if (untouchedSegs.isEmpty) m.limit(0)
       else m.filter(col("seg").isin(untouchedSegs: _*))
     commit(carried.unionByName(newSeg, allowMissingColumns = true),
-      path, v, txn = txn)
+      path, v, txn = txn, colMap = cmArg)
   }
 
   /** Key ranges version `w`'s commit WROTE or REMOVED: the min/max
@@ -848,8 +924,11 @@ object SnapshotLog {
     if (small.isEmpty) return v0
     val v = v0 + 1
     // readRows applies any deletion vectors: the fold purges them —
-    // the folded segment lists no dvs and the tombstone dirs orphan
-    val merged = readRows(spark, small.toSeq).get
+    // the folded segment lists no dvs and the tombstone dirs orphan.
+    // mergeSchema: the fold may straddle an additive evolution or a
+    // field-id re-add — without it the rewrite would silently DROP
+    // every column living only in newer segments (r18 deep-fuzz find)
+    val merged = readRows(spark, small.toSeq, mergeSchema = true).get
     // point-lookup bloom sizing: the fold's live rows, floored so tiny
     // tables still get a usable filter and capped so a sidecar (and the
     // driver pass that loads it per candidate) stays MBs-bounded
@@ -975,8 +1054,10 @@ object SnapshotLog {
     if (segs.length <= 1 && !segs.exists(dvListOf(_).nonEmpty)) return v0
     if (segs.isEmpty) return v0
     val v = v0 + 1
-    // readRows applies any deletion vectors: the rewrite purges them
-    val all = readRows(spark, segs.toSeq).get
+    // readRows applies any deletion vectors: the rewrite purges them.
+    // mergeSchema: same straddle hazard as [[compact]] — a z-order
+    // rewrite must carry evolved/re-added columns, not drop them
+    val all = readRows(spark, segs.toSeq, mergeSchema = true).get
     val xL = col(xP).cast("long"); val yL = col(yP).cast("long")
     val b = all.agg(min(xL), max(xL), min(yL), max(yL)).collect().head
     if (b.isNullAt(0))
@@ -1377,8 +1458,8 @@ object SnapshotLog {
     val Array(lo, hi) = df.agg(min(col(keyCol)), max(col(keyCol)))
       .collect().head.toSeq.map(x => x.asInstanceOf[Long]).toArray
     // callers speak the LOGICAL schema; segments and tombstone files
-    // store the physical one
-    val (cmPairs, cmDropped) = columnMapping(path, v - 1)
+    // store the physical one (re-adds allocate fresh field-id physicals)
+    val (cmPairs, cmDropped, cmArg) = writeMapping(df, path, v - 1)
     val keyP = physicalName(cmPairs, cmDropped, keyCol)
     val m = manifest(spark, path, v - 1)
     // canonical manifest shape: dvs/dv_rows present (null where absent)
@@ -1460,7 +1541,7 @@ object SnapshotLog {
     val carriedDf = spark.createDataFrame(
       new java.util.ArrayList(carried.asJava), mc.schema)
     commit(carriedDf.unionByName(newSeg, allowMissingColumns = true),
-      path, v, txn = txn)
+      path, v, txn = txn, colMap = cmArg)
   }
 
   /** Two-column stats-pruned BOX read — [[readRange]]'s 2-D twin over
@@ -1504,7 +1585,10 @@ object SnapshotLog {
     val pred = probesP.foldLeft(col(key) >= keyLo && col(key) <= keyHi) {
       case (p, (c, lo, hi)) => p && col(c) >= lo && col(c) <= hi
     }
-    val rows = readRows(spark, hit.toSeq).map(_.filter(pred)).getOrElse(
+    // mergeSchema: hit segments may straddle an evolution/re-add; the
+    // pruned read must still surface columns newer segments added
+    val rows = readRows(spark, hit.toSeq, mergeSchema = true)
+      .map(_.filter(pred)).getOrElse(
       spark.read.parquet(segs.headOption.map(_.getAs[String]("seg"))
         .orElse(anchorSeg(spark, path, v)).getOrElse(sys.error(
           s"readProbe at $path: no surviving version lists a segment " +
@@ -1548,7 +1632,8 @@ object SnapshotLog {
           finally in.close()
         }
     }
-    val rows = readRows(spark, hit.toSeq)
+    // mergeSchema: same straddle contract as [[readProbe]]
+    val rows = readRows(spark, hit.toSeq, mergeSchema = true)
       .map(_.filter(col(keyP) === key)).getOrElse(
         spark.read.parquet(segs.headOption.map(_.getAs[String]("seg"))
           .orElse(anchorSeg(spark, path, v)).getOrElse(sys.error(
@@ -2107,7 +2192,8 @@ object SnapshotLog {
     val segs = manifest(spark, path, v).collect()
     val hit = segs.filter(r =>
       r.getAs[Long]("max_key") >= lo && r.getAs[Long]("min_key") <= hi)
-    val rows = readRows(spark, hit.toSeq)
+    // mergeSchema: same straddle contract as [[readProbe]]
+    val rows = readRows(spark, hit.toSeq, mergeSchema = true)
       .map(_.filter(col(key) >= lo && col(key) <= hi)).getOrElse(
         spark.read.parquet(segs.headOption.map(_.getAs[String]("seg"))
           .orElse(anchorSeg(spark, path, v)).getOrElse(sys.error(

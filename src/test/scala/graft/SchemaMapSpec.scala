@@ -69,14 +69,29 @@ class SchemaMapSpec extends AnyFunSuite {
           !spark.read.parquet(seg).columns.contains("weight"),
           s"segment $seg forked the physical schema")
       }
-    // writing the retired PHYSICAL name is refused
-    val e = intercept[Exception] {
-      SnapshotLog.append(spark, Seq((99L, 1L)).toDF("k", "w"), path, "k")
-    }
-    assert(e.getMessage.contains("physical storage name"))
+    // re-introducing the retired PHYSICAL name is a field-id re-add:
+    // logical `w` becomes a NEW column stored as `w__f1`, while the
+    // physical `w` on disk keeps serving logical `weight` untouched
+    SnapshotLog.append(spark, Seq((99L, 7L)).toDF("k", "w"), path, "k")
+    val r = SnapshotLog.read(spark, path, mergeSchema = true)
+    assert(r.columns.toSet == Set("k", "weight", "w"))
+    val at99 = r.filter($"k" === 99L).head
+    assert(at99.isNullAt(at99.fieldIndex("weight")) &&
+      at99.getAs[Long]("w") == 7L)
+    // history null-fills the re-added column
+    val at0 = r.filter($"k" === 0L).head
+    assert(at0.isNullAt(at0.fieldIndex("w")))
+    // and no segment forked the physical schema: the re-add landed as
+    // the FRESH field-id physical, never a second `w`/`weight`
+    val segCols = SnapshotLog.manifest(spark, path,
+        SnapshotLog.latestVersion(path).get)
+      .select("seg").collect().map(_.getString(0))
+      .map(s => spark.read.parquet(s).columns.toSet)
+    assert(segCols.exists(_.contains("w__f1")))
+    assert(segCols.forall(!_.contains("weight")))
   }
 
-  test("drop hides the column at latest, keeps it under time travel, refuses re-adds") {
+  test("drop hides the column at latest, keeps it under time travel; re-add is field-id evolution") {
     import spark.implicits._
     val path = tmpDir("drop")
     SnapshotLog.create(spark,
@@ -87,19 +102,43 @@ class SchemaMapSpec extends AnyFunSuite {
     assert(SnapshotLog.read(spark, path).columns.toSeq == Seq("k", "p"))
     assert(SnapshotLog.read(spark, path, Some(0)).columns.toSeq ==
       Seq("k", "p", "junk"))
-    // writes may no longer mention the dropped column
-    val e = intercept[Exception] {
-      SnapshotLog.append(spark, Seq((99L, "x", 1L)).toDF("k", "p", "junk"),
-        path, "k")
-    }
-    assert(e.getMessage.contains("dropped"))
-    // but writes without it proceed, and reads stay two-column
+    // writes without the dropped column proceed, reads stay two-column
     SnapshotLog.append(spark, Seq((99L, "x")).toDF("k", "p"), path, "k")
     assert(SnapshotLog.read(spark, path).count() == 21)
     // rename of a dropped column's LOGICAL name is absent -> refused
     intercept[Exception] {
       SnapshotLog.renameColumn(spark, path, "junk", "junk2")
     }
+    // RE-ADDING the dropped name is field-id evolution (the r17
+    // declared limitation, closed): `junk` returns as a FRESH physical
+    // column — history (including the retired physical's values)
+    // null-fills; time travel still reads the ORIGINAL junk at v0
+    SnapshotLog.append(spark,
+      Seq((100L, "y", 55L)).toDF("k", "p", "junk"), path, "k")
+    val r = SnapshotLog.read(spark, path, mergeSchema = true)
+    assert(r.columns.toSet == Set("k", "p", "junk"))
+    val at100 = r.filter($"k" === 100L).head
+    assert(at100.getAs[Long]("junk") == 55L)
+    val at3 = r.filter($"k" === 3L).head
+    assert(at3.isNullAt(at3.fieldIndex("junk")),
+      "pre-drop rows must NOT resurrect the retired physical's values")
+    // v0 time travel is untouched: the original junk values
+    assert(SnapshotLog.read(spark, path, Some(0))
+      .filter($"k" === 3L).head.getAs[Long]("junk") == 3L % 7)
+    // a second drop + re-add allocates a DISTINCT field id
+    SnapshotLog.dropColumn(spark, path, "junk")
+    SnapshotLog.append(spark,
+      Seq((101L, "z", 66L)).toDF("k", "p", "junk"), path, "k")
+    val (pairs, dropped, fid) = SnapshotLog.colMapFull(path,
+      SnapshotLog.latestVersion(path).get)
+    assert(fid == 2 && pairs.toMap.get("junk").contains("junk__f2") &&
+      dropped.toSet == Set("junk", "junk__f1"))
+    val r2 = SnapshotLog.read(spark, path, mergeSchema = true)
+    val at101 = r2.filter($"k" === 101L).head
+    assert(at101.getAs[Long]("junk") == 66L)
+    val at100b = r2.filter($"k" === 100L).head
+    assert(at100b.isNullAt(at100b.fieldIndex("junk")),
+      "the first re-add's values were dropped; they must stay dropped")
   }
 
   test("rename chain + drop + restore: each version reads under its own mapping") {

@@ -1223,6 +1223,76 @@ class SimilaritySpec extends AnyFunSuite {
       .filter(col("cos") >= 0.35).count()
     assert(r.head.getLong(0) == brute, "n_true must equal brute force")
     assert(r.head.getBoolean(1) && r.head.getBoolean(2) && r.head.getBoolean(3))
+    // the adaptive-plan provenance rides the verdict row (and the
+    // registered oracle restates it closed-form): spec scale sits at
+    // the design point of the default (32, 8) config
+    assert(r.head.getAs[String]("lsh_arm") == "lsh_banded" &&
+      r.head.getAs[Int]("lsh_r") == 4 && r.head.getAs[Int]("lsh_bands") == 8)
+  }
+
+  test("nearDupLshPlan: design point, widened bands, exact dispatch") {
+    // design point: small corpora keep the configured slicing untouched
+    assert(Similarity.nearDupLshPlan(200L, 0.35, 32, 8) ==
+      (("lsh_banded", 4, 8)))
+    assert(Similarity.nearDupLshPlan(2000L, 0.35, 32, 8) ==
+      (("lsh_banded", 4, 8)))
+    // the r17 scale wall: 200k vectors at tau=0.35 — holding the base
+    // design recall (0.706) at the widened r=8 key needs ~61 bands;
+    // the plan refuses the unselective banding and dispatches the
+    // uniform blocked-exact generator instead of the 182x LSH curve
+    val (arm, r, needed) = Similarity.nearDupLshPlan(200000L, 0.35, 32, 8)
+    assert(arm == "exact_blocked" && r == 8 && needed > 32,
+      s"got ($arm, $r, $needed)")
+    // production near-dup tau: widened seeded bands stay viable — the
+    // key space grows to 2^11 while 14 bands hold the (64, 8) config's
+    // 0.935 design recall; candidate mass stays ~bands * n * targetOcc
+    val (arm9, r9, b9) = Similarity.nearDupLshPlan(2000000L, 0.9, 64, 8)
+    assert(arm9 == "lsh_banded" && r9 == 11 && b9 > 8 && b9 <= 32,
+      s"got ($arm9, $r9, $b9)")
+    // and the plan's dispatch agrees with what nearDupLsh executes: the
+    // exact arm's plan has no VecSimHash, the banded arm's does
+    def usesSimhash(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan
+        .collect { case p => p.expressions.flatMap(_.collect {
+          case _: graft.functions.VecSimHash => true }) }
+        .flatten.nonEmpty
+    assert(usesSimhash(Similarity.nearDupLsh(spark, sf)))
+    assert(!usesSimhash(
+      Similarity.nearDupLsh(spark, sf, targetOcc = 4, maxBands = 4)))
+  }
+
+  test("widened seeded-band LSH arm: subset of brute, recall holds") {
+    // force the widened arm at spec scale: targetOcc=16 -> r=5 > rBase=4
+    // at n=500, and tau=0.35 needs 14 seeded 5-bit bands to hold the
+    // base design recall (0.72 at this widened config)
+    val n = Tables.embeddings(spark, sf).count()
+    val (arm, r, bands) =
+      Similarity.nearDupLshPlan(n, 0.35, 32, 8, targetOcc = 16)
+    assert(arm == "lsh_banded" && r == 5 && bands == 14,
+      s"got ($arm, $r, $bands)")
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    val brute = a.crossJoin(b).filter(col("va") < col("vb"))
+      .withColumn("cos", cosine_sim(col("ea"), col("eb")))
+      .filter(col("cos") >= 0.35)
+      .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val widened = Similarity.nearDupLsh(spark, sf, targetOcc = 16)
+      .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(widened.subsetOf(brute),
+      "verified candidates can never be false positives")
+    val recall = widened.size.toDouble / brute.size
+    assert(recall >= 0.4, s"widened-arm recall $recall")
+    // independent seeded families genuinely differ from the sliced
+    // signature: seed 0 reproduces the original kernel bit-for-bit,
+    // any other seed draws a different plane set
+    val v = org.apache.spark.sql.catalyst.util.ArrayData
+      .toArrayData(Array.fill(8)(0.37f))
+    assert(graft.functions.VectorMath.simhashVec(v, 16) ==
+      graft.functions.VectorMath.simhashVecSeeded(v, 16, 0L))
+    assert(graft.functions.VectorMath.simhashVecSeeded(v, 16, 1L) !=
+      graft.functions.VectorMath.simhashVecSeeded(v, 16, 2L))
   }
 
   test("salted nearDup equals the unsalted label join; hot label spreads") {

@@ -100,7 +100,9 @@ class SnapshotModelSpec extends AnyFunSuite {
     def readMap(v: Option[Int] = None): Map[Long, String] = {
       val (pn, wl) = histSchema.getOrElse(v.getOrElse(latest),
         (pName, wLive))
-      val df = SnapshotLog.read(spark, path, v)
+      // mergeSchema: after a field-id re-add the fresh physical lives
+      // only in newer segments — reconcile footers everywhere
+      val df = SnapshotLog.read(spark, path, v, mergeSchema = true)
       // invariant 6: the version reads under ITS OWN logical schema
       assert(df.columns.contains(pn) && df.columns.contains("w") == wl &&
         !df.columns.exists(c => c != pn && c != "k" && c != "y" && c != "w"),
@@ -211,11 +213,19 @@ class SnapshotModelSpec extends AnyFunSuite {
             minDvFrac = rnd.nextDouble() * 0.5)
           if (v != latest) commitSnap(v)
         case 11 => // invariant 6: schema evolution mid-history —
-          // metadata-only rename of the payload column, or (once) the
-          // drop of the disposable column; rows never change
+          // metadata-only rename of the payload column, the drop of
+          // the disposable column, or (r18) its FIELD-ID RE-ADD: an
+          // upsert speaking `w` again after a drop allocates a fresh
+          // physical (w__f<n>), so drop/re-add cycles interleave with
+          // every other verb
           if (wLive && rnd.nextBoolean()) {
             val v = SnapshotLog.dropColumn(spark, path, "w")
             wLive = false; commitSnap(v)
+          } else if (!wLive && rnd.nextBoolean()) {
+            val rows = randomRows(1 + rnd.nextInt(4), s"readd$step")
+            wLive = true // toDf speaks w again from here on
+            val v = SnapshotLog.upsert(spark, toDf(rows), path, "k")
+            model ++= rows; commitSnap(v)
           } else {
             val next = s"p$step"
             val v = SnapshotLog.renameColumn(spark, path, pName, next)

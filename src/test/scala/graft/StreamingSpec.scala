@@ -797,4 +797,58 @@ class StreamingSpec extends AnyFunSuite {
         s"$name: unknown user must enrich to null, not drop")
     }
   }
+
+  test("followStream follower crosses a column-RENAME commit mid-stream") {
+    // the q66 column-mapping contract on the STREAMING follower (r17
+    // ask #7): a metadata-only rename lands BETWEEN micro-batches; the
+    // follower must skip it (rewrite-only, no logical change, cursor
+    // still advances past it) and the next data commit's feed speaks
+    // the NEW logical name — the consumer converges with zero
+    // re-deliveries and no desync
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    implicit val sqlCtx = spark.sqlContext
+    val d = new java.io.File("target/tmp-streamcolmap/follow")
+    org.apache.commons.io.FileUtils.deleteQuietly(d)
+    d.getParentFile.mkdirs()
+    val path = d.getAbsolutePath
+    SnapshotLog.create(spark,
+      (0L until 8L).map(k => (k, s"v0_$k")).toDF("k", "p"), path, "k")
+    var state: Map[Long, String] =
+      (0L until 8L).map(k => k -> s"v0_$k").toMap
+    var deliveries = 0
+    def fn(feed: org.apache.spark.sql.DataFrame, v: Int): Unit = {
+      deliveries += 1
+      // the feed presents both sides under vTo's OWN mapping: name the
+      // payload as that version's logical schema names it
+      val payload = SnapshotLog.columnMapping(path, v)._1.toMap
+        .find(_._2 == "p").map(_._1).getOrElse("p")
+      feed.select(col("k"), col("change"),
+        col(s"_new.$payload").as("p")).collect().foreach { r =>
+          if (r.getString(1) == "delete") state -= r.getLong(0)
+          else state += (r.getLong(0) -> r.getString(2))
+        }
+      ()
+    }
+    val ticks = MemoryStream[Int]
+    val q = SnapshotLog.followStream(ticks.toDF(), path, "k", "cmspec")(fn)
+    try {
+      // batch 1: a plain data commit under the ORIGINAL name
+      SnapshotLog.upsert(spark, Seq((0L, "A0")).toDF("k", "p"), path, "k")
+      ticks.addData(1); q.processAllAvailable()
+      assert(deliveries == 1 && state(0L) == "A0")
+      // the rename lands between polls (v2, rewrite-only)
+      SnapshotLog.renameColumn(spark, path, "p", "payload")
+      // and a data commit under the NEW logical name (v3)
+      SnapshotLog.upsert(spark,
+        Seq((3L, "new3"), (8L, "new8")).toDF("k", "payload"), path, "k")
+      ticks.addData(2); q.processAllAvailable()
+      // exactly ONE more delivery: the rename was skipped, not diffed
+      assert(deliveries == 2,
+        s"rename must be skipped by the stream follower ($deliveries)")
+      assert(state.size == 9 && state(3L) == "new3" && state(8L) == "new8")
+      // the cursor advanced PAST the skipped rename commit
+      assert(SnapshotLog.cursorVersion(path, "cmspec").contains(3))
+    } finally q.stop()
+  }
 }

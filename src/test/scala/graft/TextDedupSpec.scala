@@ -241,6 +241,58 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got == brute, s"got ${got.size} brute ${brute.size}")
   }
 
+  test("simhashPairs: degenerate-bucket abandonment is observable") {
+    // r17 ADVICE: the maxBucket cap silently dropped ALL pairs of an
+    // oversized block-key bucket with no runtime signal. The named
+    // observe() metric makes it visible: a planted 50-identical-doc
+    // block at maxBucket = 10 must (a) contribute zero pairs, (b) show
+    // dropped_buckets > 0, while (c) a planted in-cap pair still
+    // surfaces; the untouched test corpus shows dropped_buckets == 0.
+    import spark.implicits._
+    val tmp = "target/tmp-sources/simhashobs"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    val hot = (0L until 50L).map(i =>
+      (i, "identical template body repeated across the whole corpus block"))
+    val planted = Seq(
+      (100L, "unique planted near duplicate alpha beta gamma delta epsilon"),
+      (101L, "unique planted near duplicate alpha beta gamma delta epsilon"))
+    (hot ++ planted).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("probe").as("source"), length(col("text")).as("n_chars"))
+      .write.parquet(s"$tmp/documents.parquet")
+    @volatile var observed: Option[org.apache.spark.sql.Row] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit =
+        qe.observedMetrics.get("simhash_buckets")
+          .foreach(r => observed = Some(r))
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val pairs = Dedup.simhashPairs(spark, tmp, maxBucket = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((100L, 101L)),
+        s"in-cap pair must survive, hot block must induce nothing: $pairs")
+      var tries = 0
+      while (observed.isEmpty && tries < 100) { Thread.sleep(100); tries += 1 }
+      assert(observed.nonEmpty, "observe metric never surfaced")
+      assert(observed.get.getAs[Long]("dropped_buckets") > 0L,
+        s"the 50-doc block's buckets must report as dropped: ${observed.get}")
+      // negative arm: the ordinary corpus abandons nothing at defaults
+      observed = None
+      Dedup.simhashPairs(spark, "/root/testdata/sf0.001").collect()
+      tries = 0
+      while (observed.isEmpty && tries < 100) { Thread.sleep(100); tries += 1 }
+      assert(observed.nonEmpty &&
+        observed.get.getAs[Long]("dropped_buckets") == 0L,
+        s"default corpus must drop nothing: $observed")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("containment flags a doc-inside-doc pair whose Jaccard is tiny") {
     import spark.implicits._
     // doc 1 (12 words, 10 shingles) is quoted whole inside doc 2 (62
