@@ -91,6 +91,7 @@ object SparkEntry {
     "q64_purge_dv" -> (Warehouse.q64PurgeDv _),
     "q65_point_skip" -> (Warehouse.q65PointSkip _),
     "q66_snapshot_evolve2" -> (Warehouse.q66SnapshotEvolve2 _),
+    "q67_snapshot_readd" -> (Warehouse.q67SnapshotReadd _),
     "export_csv_flat" -> (graft.sources.Exports.exportCsvFlat _),
     // B'. graph centrality over the road-network key space (dyadic-exact
     // PageRank — see operators.Graph for why the oracle matches bitwise)
@@ -1233,6 +1234,31 @@ object SparkEntry {
            SELECT p_partkey, p_retailprice * 2.0,
              CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
            FROM part WHERE p_partkey > (SELECT h FROM h))
+         ORDER BY key""",
+    // q67_snapshot_readd: the drop-then-re-add lifecycle restates
+    // closed-form over part — the low half keeps price (= v0 retail)
+    // with BOTH re-added columns NULL (null-fill, no resurrection of
+    // the retired physical's values), the re-adding append carries
+    // r_-prefixed names at 2x price, and the shadow re-add of the
+    // retired physical name `retail` lands alone on shifted keys at
+    // retail/4. x2 and /4 are exact binary scaling.
+    "q67_snapshot_readd" ->
+      """WITH mk AS (SELECT max(p_partkey) AS m FROM part),
+         h AS (SELECT m // 2 AS h FROM mk)
+         SELECT * FROM (
+           SELECT p_partkey AS key, p_retailprice AS price,
+             CAST(NULL AS VARCHAR) AS name, CAST(NULL AS DOUBLE) AS retail2
+           FROM part WHERE p_partkey <= (SELECT h FROM h)
+           UNION ALL
+           SELECT p_partkey, p_retailprice * 2.0, 'r_' || p_name,
+             CAST(NULL AS DOUBLE)
+           FROM part WHERE p_partkey > (SELECT h FROM h)
+           UNION ALL
+           SELECT p_partkey + (SELECT m FROM mk) + 1,
+             CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+             p_retailprice / 4.0
+           FROM part WHERE p_partkey % 5 = 2
+             AND p_partkey <= (SELECT h FROM h))
          ORDER BY key""",
     // q55_snapshot_compact: range aggregate closed-form over orders;
     // the two probe shapes restate the EXPECTED stats pruning — 8/8

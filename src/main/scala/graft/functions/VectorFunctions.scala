@@ -14,13 +14,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * so oracle comparisons are bit-identical (verified empirically).
   */
 object VectorMath {
+  // All binary kernels read ArrayData slots IN PLACE (getFloat/
+  // getDouble on UnsafeArrayData is a direct word read) instead of
+  // toFloatArray copies: an n²/2 pair scan evaluating a copying kernel
+  // allocates ~0.5 KB PER PAIR — ~10 TB of young-gen churn at the
+  // factor-100 probe's 2e10 pairs, which put the scan at the G1
+  // allocation wall rather than the FMA throughput it should run at.
+  // Values are bit-identical (same elements, same in-order double
+  // accumulation); no caller feeds null elements.
   def cosF(a: ArrayData, b: ArrayData): Double = {
-    val x = a.toFloatArray(); val y = b.toFloatArray()
-    val n = math.min(x.length, y.length)
+    val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val xi = x(i).toDouble; val yi = y(i).toDouble
+      val xi = a.getFloat(i).toDouble; val yi = b.getFloat(i).toDouble
       dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
     }
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
@@ -42,60 +49,58 @@ object VectorMath {
   }
 
   def cosD(a: ArrayData, b: ArrayData): Double = {
-    val x = a.toDoubleArray(); val y = b.toDoubleArray()
-    val n = math.min(x.length, y.length)
+    val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
-    while (i < n) { dot += x(i) * y(i); na += x(i) * x(i); nb += y(i) * y(i); i += 1 }
+    while (i < n) {
+      val xi = a.getDouble(i); val yi = b.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
+    }
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   def l2F(a: ArrayData, b: ArrayData): Double = {
-    val x = a.toFloatArray(); val y = b.toFloatArray()
-    val n = math.min(x.length, y.length)
+    val n = math.min(a.numElements(), b.numElements())
     var s = 0.0; var i = 0
     while (i < n) {
-      val d = x(i).toDouble - y(i).toDouble
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
       s += d * d; i += 1
     }
     math.sqrt(s)
   }
 
   def l2D(a: ArrayData, b: ArrayData): Double = {
-    val x = a.toDoubleArray(); val y = b.toDoubleArray()
-    val n = math.min(x.length, y.length)
+    val n = math.min(a.numElements(), b.numElements())
     var s = 0.0; var i = 0
-    while (i < n) { val d = x(i) - y(i); s += d * d; i += 1 }
+    while (i < n) { val d = a.getDouble(i) - b.getDouble(i); s += d * d; i += 1 }
     math.sqrt(s)
   }
 
   def dotF(a: ArrayData, b: ArrayData): Double = {
-    val x = a.toFloatArray(); val y = b.toFloatArray()
-    val n = math.min(x.length, y.length)
+    val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var i = 0
-    while (i < n) { dot += x(i).toDouble * y(i).toDouble; i += 1 }
+    while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
     dot
   }
 
   def dotD(a: ArrayData, b: ArrayData): Double = {
-    val x = a.toDoubleArray(); val y = b.toDoubleArray()
-    val n = math.min(x.length, y.length)
+    val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var i = 0
-    while (i < n) { dot += x(i) * y(i); i += 1 }
+    while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
     dot
   }
 
   def normF(a: ArrayData): Double = {
-    val x = a.toFloatArray()
+    val n = a.numElements()
     var s = 0.0; var i = 0
-    while (i < x.length) { val xi = x(i).toDouble; s += xi * xi; i += 1 }
+    while (i < n) { val xi = a.getFloat(i).toDouble; s += xi * xi; i += 1 }
     math.sqrt(s)
   }
 
   def normD(a: ArrayData): Double = {
-    val x = a.toDoubleArray()
+    val n = a.numElements()
     var s = 0.0; var i = 0
-    while (i < x.length) { s += x(i) * x(i); i += 1 }
+    while (i < n) { s += a.getDouble(i) * a.getDouble(i); i += 1 }
     math.sqrt(s)
   }
 
@@ -136,6 +141,121 @@ object VectorMath {
     while (j < nBits) { if (acc(j) >= 0.0) sig |= (1L << j); j += 1 }
     sig
   }
+}
+
+/** `blocked_tile_pairs(tileA, tileB, diag)` -> array<struct<va, vb,
+  * cos>>: ALL unordered pairs of the block tile clearing `tau`, scored
+  * with exactly [[VectorMath]]'s cosine op sequence (per-row norms
+  * hoisted, dot / (na * nb) — bit-identical to the expression-level
+  * `dot_product / (vec_norm * vec_norm)` form, so the brute-force
+  * oracle hash is unchanged).
+  *
+  * WHY a tile kernel: the declarative block join evaluates its pair
+  * predicate through join-row plumbing — per PAIR it re-wraps both
+  * embedding slots (an UnsafeArrayData allocation each) before the
+  * 64-FMA dot even starts, and at the factor-100 probe's 2e10 pairs
+  * that allocation churn, not arithmetic, was the measured wall (the
+  * r18 SCALE probe: 305 s where the serial-dependency FMA floor is
+  * ~55 s). Here each tile row is decoded to a primitive float array
+  * ONCE (O(tile) allocations), and the O(tile²) inner loop is pure
+  * arithmetic. One eval per TILE — nBlocks² calls per corpus — so
+  * CodegenFallback costs nothing; per-group state is the tile itself,
+  * bounded by the caller's nBlocks choice exactly like the join form
+  * it replaces. Inputs: array<struct<id:long, e:array<float>>> per
+  * side; `diag` = the two sides are the SAME block (emit i < j within
+  * tile A, ignore B) vs a cross tile (emit the full A x B rectangle).
+  * Output pairs are id-canonicalized (va < vb); only survivors of the
+  * UNROUNDED cos >= tau cut materialize, so the output is near-dup-
+  * density-sized, never tile². */
+case class BlockedTilePairs(tileA: Expression, tileB: Expression,
+                            diag: Expression, tau: Double)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+  override def first: Expression = tileA
+  override def second: Expression = tileB
+  override def third: Expression = diag
+  override def prettyName: String = "blocked_tile_pairs"
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("va", LongType, nullable = false),
+    StructField("vb", LongType, nullable = false),
+    StructField("cos", DoubleType, nullable = false))))
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def tileOk(t: DataType): Boolean = t match {
+      case ArrayType(StructType(Array(a, b)), _) =>
+        a.dataType == LongType && b.dataType == ArrayType(FloatType, false) ||
+          a.dataType == LongType && b.dataType == ArrayType(FloatType, true)
+      case _ => false
+    }
+    if (tileOk(tileA.dataType) && tileOk(tileB.dataType) &&
+        diag.dataType == org.apache.spark.sql.types.BooleanType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<struct<long, array<float>>> tiles " +
+        s"and a boolean, got ${tileA.dataType.simpleString}, " +
+        s"${tileB.dataType.simpleString}, ${diag.dataType.simpleString}")
+  }
+  private def decode(t: ArrayData)
+      : (Array[Long], Array[Array[Float]], Array[Double]) = {
+    val n = t.numElements()
+    val ids = new Array[Long](n)
+    val vecs = new Array[Array[Float]](n)
+    val norms = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val s = t.getStruct(i, 2)
+      ids(i) = s.getLong(0)
+      val v = s.getArray(1).toFloatArray()
+      vecs(i) = v
+      var acc = 0.0; var j = 0
+      while (j < v.length) { val x = v(j).toDouble; acc += x * x; j += 1 }
+      norms(i) = math.sqrt(acc)
+      i += 1
+    }
+    (ids, vecs, norms)
+  }
+  protected override def nullSafeEval(ta: Any, tb: Any, dg: Any): Any = {
+    val (idsA, vecsA, normsA) = decode(ta.asInstanceOf[ArrayData])
+    val isDiag = dg.asInstanceOf[Boolean]
+    val (idsB, vecsB, normsB) =
+      if (isDiag) (idsA, vecsA, normsA)
+      else decode(tb.asInstanceOf[ArrayData])
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < idsA.length) {
+      val xi = vecsA(i); val ni = normsA(i)
+      var j = if (isDiag) i + 1 else 0
+      while (j < idsB.length) {
+        val yj = vecsB(j)
+        val nj = normsB(j)
+        val p = ni * nj
+        // same zero-norm convention and op order as cosFromNorms:
+        // dot / (na * nb), in-order double accumulation
+        val cos =
+          if (ni == 0.0 || nj == 0.0) 0.0
+          else {
+            val n = math.min(xi.length, yj.length)
+            var dot = 0.0; var k = 0
+            while (k < n) { dot += xi(k).toDouble * yj(k).toDouble; k += 1 }
+            dot / p
+          }
+        if (cos >= tau) {
+          val a = idsA(i); val b = idsB(j)
+          out += new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array[Any](math.min(a, b),
+              math.max(a, b), cos))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(tileA = newFirst, tileB = newSecond, diag = newThird)
 }
 
 /** `cosine_sim(a, b)` -> double; a/b are array<float> or array<double>.
@@ -306,6 +426,11 @@ object VectorFunctions {
 
   def vec_simhash_seeded(v: Column, nBits: Int, seed: Long): Column =
     SparkBridge.column(VecSimHash(SparkBridge.expression(v), nBits, seed))
+
+  def blocked_tile_pairs(tileA: Column, tileB: Column, diag: Column,
+                         tau: Double): Column =
+    SparkBridge.column(BlockedTilePairs(SparkBridge.expression(tileA),
+      SparkBridge.expression(tileB), SparkBridge.expression(diag), tau))
 
   def dot_product(a: Column, b: Column): Column =
     SparkBridge.column(DotProduct(

@@ -1354,12 +1354,49 @@ object Similarity {
         greatest(col("va"), col("vb")).as("vb"), col("cos"))
   }
 
+  /** Exact tau-filtered pairs via the TILE KERNEL form of the block
+    * partitioning: each hash block gathers ONCE per composite tile key
+    * (collect_list — per-group state is one tile, bounded by the
+    * nBlocks choice exactly like the join form), tiles meet in a
+    * tile-count-sized join, and
+    * [[graft.functions.BlockedTilePairs]] runs the O(tile²) scan as a
+    * primitive-array kernel (rows decoded once per tile, pure FMA per
+    * pair). Pair set and every cosine are bit-identical to the join
+    * form ([[blockedPairScores]] + filter — spec-pinned equal), but
+    * the factor-100 probe measured the join form spending 5x the FMA
+    * floor on per-pair join-row wrapper allocations; the kernel runs
+    * at the floor. [[blockedPairScores]] remains the pair source for
+    * consumers that need EVERY pair's score ([[mutualKnn]]'s top-k),
+    * where a tau cut would be wrong. */
   def nearDupBlocked(spark: SparkSession, dir: String, tau: Double = 0.35,
-                     nBlocks: Int = 16): DataFrame =
-    blockedPairScores(spark, dir, nBlocks)
-      .filter(col("cos") >= tau)
-      .select(col("va"), col("vb"), round(col("cos"), 4).as("cos_sim"))
+                     nBlocks: Int = 16): DataFrame = {
+    require(nBlocks > 1)
+    import graft.functions.VectorFunctions.blocked_tile_pairs
+    val keyed = emb(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        pmod(xxhash64(col("vec_id")), lit(nBlocks)).cast("int").as("blk"))
+      .withColumn("k", explode(sequence(lit(0), lit(nBlocks - 1))))
+      .select(least(col("blk"), col("k")).as("kx"),
+        greatest(col("blk"), col("k")).as("ky"),
+        col("blk"), col("vec_id"), col("embedding"))
+    def tile(side: DataFrame, name: String): DataFrame =
+      side.groupBy(col("kx"), col("ky"))
+        .agg(collect_list(struct(col("vec_id").as("id"),
+          col("embedding").as("e"))).as(name))
+    val ta = tile(keyed.filter(col("kx") === col("blk")), "ta")
+    // the diagonal key's B side IS its A side (the kernel's diag arm);
+    // gathering it twice would double the shuffled tile bytes
+    val tb = tile(keyed.filter(col("ky") === col("blk") &&
+      col("kx") =!= col("ky")), "tb")
+    val emptyTile = array().cast("array<struct<id:bigint,e:array<float>>>")
+    ta.join(tb, Seq("kx", "ky"), "left_outer")
+      .select(explode(blocked_tile_pairs(col("ta"),
+        coalesce(col("tb"), emptyTile),
+        col("kx") === col("ky"), tau)).as("p"))
+      .select(col("p.va").as("va"), col("p.vb").as("vb"),
+        round(col("p.cos"), 4).as("cos_sim"))
       .orderBy(col("va"), col("vb"))
+  }
 
   /** IVF-probed candidate pairs — the SUBQUADRATIC pair source for
     * every-vector-is-a-query compositions ([[mutualKnn]] at scale):

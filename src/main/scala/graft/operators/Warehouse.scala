@@ -665,6 +665,65 @@ object Warehouse {
       .orderBy(col("key"))
   }
 
+  /** FIELD-ID COLUMN RE-ADD through the versioned table — the third
+    * schema-evolution rung (q54 = ADD, q66 = RENAME/DROP, this = the
+    * drop-then-re-add cycle r17 declared as the format's one
+    * limitation, now first-class via monotone field ids):
+    *
+    *   v0 create (key, name, retail) on the low half of part;
+    *   v1 RENAME retail -> price (metadata-only);
+    *   v2 DROP name (metadata-only);
+    *   v3 append the high half speaking `name` AGAIN — a drop-retired
+    *      logical name, allocated a FRESH physical (name__f1), so the
+    *      retired physical keeps serving v0 time travel while history
+    *      null-fills the re-added column;
+    *   v4 append a batch speaking `retail` — the physical STORAGE name
+    *      of the renamed `price`, equally retired; it lands as its own
+    *      fresh physical (retail__f2), shadowing nothing.
+    *
+    * Output: the latest mergeSchema read — one hash pins the rename
+    * (price == retail for the low half), both re-adds (v3 names
+    * surface with an r_ prefix, the v4 column carries retail/4 on
+    * shifted keys), AND the null-fill contract (every pre-re-add row
+    * reads NULL for both re-added columns — a resurrection of the
+    * retired physical's values would break the hash). Arithmetic is
+    * exact binary scaling (x2, /4). Lifecycle fingerprint-keyed and
+    * replay-guarded like its q52-q66 siblings. */
+  def q67SnapshotReadd(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{ModelStore, SnapshotLog}
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey").as("key"), col("p_name").as("name"),
+        col("p_retailprice").as("retail"))
+    val fp = ModelStore.corpusFingerprint(spark, s"$dir/part.parquet")
+    val path = ModelStore.root(spark) +
+      s"/snapreadd_v1_${ModelStore.md5(s"snapreadd|$fp")}"
+    // max-key scalar rides the plan ([[graft.functions.Scalars]])
+    val mk = graft.functions.Scalars.scalarOf(p.agg(max(col("key"))))
+    val h = shiftright(mk, 1)
+    if (SnapshotLog.latestVersion(path).isEmpty)
+      SnapshotLog.create(spark, p.filter(col("key") <= h), path, "key")
+    if (SnapshotLog.latestVersion(path).contains(0))
+      SnapshotLog.renameColumn(spark, path, "retail", "price")
+    if (SnapshotLog.latestVersion(path).contains(1))
+      SnapshotLog.dropColumn(spark, path, "name")
+    if (SnapshotLog.latestVersion(path).contains(2))
+      SnapshotLog.append(spark,
+        p.filter(col("key") > h).select(col("key"),
+          concat(lit("r_"), col("name")).as("name"),
+          (col("retail") * lit(2.0)).as("price")),
+        path, "key")
+    if (SnapshotLog.latestVersion(path).contains(3))
+      SnapshotLog.append(spark,
+        p.filter(col("key") % 5 === 2 && col("key") <= h)
+          .select((col("key") + mk + lit(1L)).as("key"),
+            (col("retail") / lit(4.0)).as("retail")),
+        path, "key")
+    SnapshotLog.read(spark, path, mergeSchema = true)
+      .select(col("key"), col("price"), col("name"),
+        col("retail").as("retail2"))
+      .orderBy(col("key"))
+  }
+
   def q53SnapshotPrune(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.{ModelStore, SnapshotLog}
     val o = Tables.orders(spark, dir)
