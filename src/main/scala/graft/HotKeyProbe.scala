@@ -251,7 +251,12 @@ object HotKeyProbe {
       s""""text_decontaminate":{"sec":${r3(dSec)},"planted_pair":$dPlanted,"hot_leak":$dLeaked},""" +
       s""""dedup_minhash_lsh":{"sec":${r3(mSec)},"planted_pair":$mPlanted,"hot_leak":$mLeaked,"n_pairs":${mPairs.size}},""" +
       s""""dedup_simhash":{"sec":${r3(sSec)},"planted_pair":$sPlanted,"hot_leak":$sLeaked,"n_pairs":${sPairs.size}},""" +
-      s""""emb_neardup_lsh":{"sec":${r3(vSec)},"planted_pair":$vPlanted,"hot_leak":$vLeaked,"n_pairs":${vPairs.size}}},""" +
+      s""""emb_neardup_lsh":{"sec":${r3(vSec)},"planted_pair":$vPlanted,"hot_leak":$vLeaked,"n_pairs":${vPairs.size}},""" +
+      s""""graph_pagerank":{"sec":${r3(prSec)},"celebrity_top":$prPlanted,"n_nodes":$nG},""" +
+      s""""graph_labelprop":{"sec":${r3(lpSec)},"rows_ok":$lpOk,"n_nodes":$nG},""" +
+      s""""q37_concurrency":{"sec":${r3(q37Sec)},"ok":$q37Ok,"hot_type_events":2000000},""" +
+      s""""q38_deciles_2l":{"sec":${r3(q38Sec)},"ok":$q38Ok,"hot_segment_rows":2000000},""" +
+      s""""stream_cdc_merge":{"sec":${r3(cdcSec)},"ok":$cdcOk,"hot_key_ops":${nCdc - nCdc / 20 - 2}}},""" +
       s""""ok":$ok}""")
     spark.stop()
     if (!ok) sys.exit(1)
