@@ -33,13 +33,16 @@ import org.apache.spark.sql.functions._
   * line; the driver-visible artifact is SCALE_r{N}.json. */
 object ScaleProbe {
 
-  /** The probe set: the slowest keys of the r15 bench (BENCH_r15
-    * `slowest`) — where super-linear creep would cost the most. */
+  /** The probe set == the SCALE_BASELINE.json pin set (r18): the
+    * bench's heavy keys plus every operator the r16-r18 scale work
+    * reshaped — a bare run probes exactly what the gate compares. */
   val probeKeys: Seq[String] = Seq(
     "ann_nndescent", "emb_dedup_final", "text_kn_perplexity",
     "dedup_final", "ann_nprobe_sweep", "dedup_lsh_sweep",
     "pipeline_paraphrase", "geo_dbscan", "graph_modularity",
-    "dedup_containment")
+    "dedup_containment", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_ngram_jaccard", "emb_neardup_lsh", "text_decontaminate",
+    "pipeline_curate")
 
   /** Build the 10x shape-preserving replication under `dst`. */
   def buildScaled(spark: SparkSession, src: String, dst: String,
