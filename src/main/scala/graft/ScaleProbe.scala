@@ -225,7 +225,41 @@ object ScaleProbe {
           s""""worst":${worstP.map(w => r3(w._2)).getOrElse("-1")},""" +
           s""""n_over_2x":$over,"n_compared":${cmp.size}}"""
       }
-    println(s"""{"metric":"scale_probe","factor":$factor,"base":"$base","scaled":"$scaled","reps":$reps,"keys":$qs,"worst_ratios":$worst,$vsPin}""")
+    // SPARK_GRAFT_WIDENED=1: one extra datum — the WIDENED seeded-band
+    // arm at production near-dup tau on the scaled corpus (the regime
+    // the r18 adaptive plan exists for; the registered key's bench tau
+    // always dispatches exact, so this path otherwise has no at-scale
+    // measurement). Emits the plan the closed form chose plus measured
+    // wall/pairs.
+    val widenedJson =
+      if (!sys.env.get("SPARK_GRAFT_WIDENED").contains("1")) ""
+      else {
+        val tau = 0.9; val occ = 256L
+        val n = spark.read.parquet(s"$scaled/embeddings.parquet").count()
+        val (arm, r, bands) =
+          operators.Similarity.nearDupLshPlan(n, tau, 64, 8, occ, 32)
+        spark.catalog.clearCache(); System.gc()
+        val t0 = System.nanoTime()
+        // maxBucket 256, not the 2000 default: on a CLUSTERED corpus
+        // signature buckets hold whole clusters regardless of the
+        // occupancy target, and pair generation is cap²-bounded per
+        // bucket — the first run of this datum at cap 2000 spilled the
+        // candidate explode past the disk. The cap is the candidate-
+        // mass governor: near-dup COMPONENTS need far fewer than
+        // all-pairs edges per cluster, so production tunes the cap to
+        // connectivity, not to the recall formula.
+        val nPairs = operators.Similarity
+          .nearDupLsh(spark, scaled, tau, 64, 8, maxBucket = 256,
+            targetOcc = occ)
+          .count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[scale] widened-arm tau=$tau r=$r " +
+          f"bands=$bands pairs=$nPairs sec=${r3(sec)}")
+        s""","widened_arm":{"tau":$tau,"target_occ":$occ,"n":$n,""" +
+          s""""arm":"$arm","r":$r,"bands":$bands,"pairs":$nPairs,""" +
+          s""""sec":${r3(sec)}}"""
+      }
+    println(s"""{"metric":"scale_probe","factor":$factor,"base":"$base","scaled":"$scaled","reps":$reps,"keys":$qs,"worst_ratios":$worst,$vsPin$widenedJson}""")
     if (sys.env.get("SPARK_GRAFT_SCALE_PIN").contains("1")) {
       // MERGE into any existing pin (a probe may run key subsets):
       // this run's measurements override, other pinned keys survive

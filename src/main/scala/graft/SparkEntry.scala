@@ -3593,19 +3593,29 @@ object SparkEntry {
     // count(*) — a silent arm or banding change breaks the hash too.
     "emb_neardup_lsh" ->
       """WITH nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
-           pl AS (SELECT least(62, greatest(4, CAST(ceil(log2(
-                 greatest(1.0, n / 1024.0))) AS INTEGER))) AS r,
-               1.0 - acos(0.35) / pi() AS p FROM nn),
-           pl2 AS (SELECT r, CAST(ceil(8.0 * ln(1.0 - pow(p, 4))
-               / ln(1.0 - pow(p, r))) AS INTEGER) AS needed FROM pl)
+           pl AS (SELECT n, n / 16.0 <= 1024.0 AS design,
+               1.0 - acos(0.35) / pi() AS p,
+               1.0 - pow(1.0 - pow(1.0 - acos(0.35) / pi(), 4), 8) AS r0
+             FROM nn),
+           pl2 AS (SELECT design, p, r0,
+               CASE WHEN design THEN 4 ELSE greatest(1, least(62, least(
+                 CAST(floor(ln(1.0 - pow(1.0 - r0, 1.0 / 32)) / ln(p))
+                   AS INTEGER),
+                 CAST(ceil(log2(n)) AS INTEGER)))) END AS r
+             FROM pl),
+           pl3 AS (SELECT design, r,
+               CASE WHEN design THEN 8 ELSE greatest(1,
+                 CAST(ceil(ln(1.0 - r0) / ln(1.0 - pow(p, r)))
+                   AS INTEGER)) END AS needed
+             FROM pl2)
          SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ok,
            TRUE AS subset_ok, TRUE AS precision_ok,
-           (SELECT CASE WHEN r = 4 OR needed <= 32 THEN 'lsh_banded'
-              ELSE 'exact_blocked' END FROM pl2) AS lsh_arm,
-           (SELECT r FROM pl2) AS lsh_r,
-           (SELECT CASE WHEN r = 4 THEN 8
-              WHEN needed <= 32 THEN greatest(1, needed)
-              ELSE needed END FROM pl2) AS lsh_bands
+           (SELECT CASE WHEN design THEN 'lsh_banded'
+              WHEN needed <= 32 AND needed * pow(0.5, r) <= 0.05
+                THEN 'lsh_banded'
+              ELSE 'exact_blocked' END FROM pl3) AS lsh_arm,
+           (SELECT r FROM pl3) AS lsh_r,
+           (SELECT needed FROM pl3) AS lsh_bands
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding::DOUBLE[],
            b.embedding::DOUBLE[]) >= 0.35""",

@@ -951,7 +951,7 @@ object Similarity {
     // would silently hash every vector into one capped-away bucket
     val mask = if (r == 64) -1L else (1L << r) - 1
     val banded =
-      if (r == nBits / bands)
+      if (r == nBits / bands && bandsUsed == bands)
         // design point: slice ONE nBits signature into bands r-bit keys
         // (bit-identical to the fixed-config path all pins measured)
         emb(spark, dir).select(col("vec_id"),
@@ -1216,38 +1216,55 @@ object Similarity {
     *     within targetOcc, the configured (nBits, bands) slicing runs
     *     unchanged — every pinned hash, recall spec and bench time at
     *     test scale is bit-identical by construction.
-    *   - WIDEN: past it, r grows as ceil(log2(n/targetOcc)) so the
-    *     per-band key space 2^r tracks n (buckets stay ~targetOcc),
-    *     and the band count is re-derived from the Charikar closed
-    *     form to hold the BASE config's design recall at tau:
-    *     bands = ceil(ln(1-R0)/ln(1-p^r)), p = [[bitAgreeP]](tau).
-    *     Candidate mass is then ~ bands·n·targetOcc/2 — linear in n
-    *     with a n^(log2 1/p) band factor, subquadratic wherever the
-    *     band budget holds.
-    *   - DISPATCH: when holding R0 needs more than maxBands bands,
-    *     banding is fundamentally unselective at this tau (the 0.35
-    *     regime: p = 0.614 on a TRUE pair vs 0.5 on a random one — no
-    *     (r, bands) separates them affordably) and the uniform
-    *     block-partitioned exact generator is the honest plan.
+    *   - WIDEN: past it, the key width jumps to the COST-OPTIMAL r —
+    *     NOT the occupancy-matching one. Banded candidate work is
+    *     ~ bands(r) · n²/2^(r+1), and with bands(r) =
+    *     ceil(ln(1-R0)/ln(1-p^r)) ~ (1/p)^r holding the base config's
+    *     design recall R0, the product shrinks as (1/(2p))^r — strictly
+    *     improving in r while p > 1/2 (every tau > 0). So the best key
+    *     is the WIDEST whose band count still fits the budget:
+    *     r* = floor(ln(thr)/ln(p)) with thr = 1-(1-R0)^(1/maxBands)
+    *     (the recall-budget-saturating width), clamped to ceil(log2 n)
+    *     (occupancy >= 1) and 62. The r18 widened-arm probe measured
+    *     the difference directly: the occupancy-matched r=10/12-band
+    *     plan cost 295 s at the 200k corpus where r=16/32 bands cuts
+    *     the random candidate mass 24x for the same design recall.
+    *   - DISPATCH: banded only if the band count fits (needed <=
+    *     maxBands) AND the banding is SELECTIVE (expected random-pair
+    *     candidate fraction needed·2^-r <= maxRandFrac — the
+    *     [[semanticDispatch]] criterion, 5%). At loose tau (0.35:
+    *     p = 0.614 vs 0.5 on a random pair) no affordable (r, bands)
+    *     is selective and the uniform block-partitioned exact
+    *     generator ([[nearDupBlocked]]'s tile kernel) is the honest
+    *     plan.
     *
     * Pure closed-form in (n, tau, config) — the DuckDB oracle restates
     * it, so the decision rides the registered hash. */
   private[graft] def nearDupLshPlan(n: Long, tau: Double, nBits: Int,
                                     bands: Int, targetOcc: Long = 1024,
-                                    maxBands: Int = 32)
+                                    maxBands: Int = 32,
+                                    maxRandFrac: Double = 0.05)
       : (String, Int, Int) = {
     val rBase = nBits / bands
-    val widened = math.ceil(
-      math.log(math.max(1.0, n.toDouble / targetOcc)) / math.log(2.0)).toInt
-    val r = math.min(62, math.max(rBase, widened))
-    if (r == rBase) ("lsh_banded", rBase, bands)
+    if (n.toDouble / (1L << math.min(rBase, 62)) <= targetOcc)
+      ("lsh_banded", rBase, bands) // design point
     else {
+      val p = bitAgreeP(tau)
       val designRecall = lshPlanStats(tau, nBits, bands)._2
-      val pr = math.pow(bitAgreeP(tau), r)
+      val thr = 1.0 - math.pow(1.0 - designRecall, 1.0 / maxBands)
+      val rStar =
+        if (p <= 0.0 || p >= 1.0 || thr <= 0.0 || thr >= 1.0) 0
+        else math.floor(math.log(thr) / math.log(p)).toInt
+      val r = math.max(1, math.min(62, math.min(rStar,
+        math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt)))
+      val pr = math.pow(p, r)
       val needed =
         if (pr <= 0.0 || pr >= 1.0 || designRecall >= 1.0) Int.MaxValue
-        else math.ceil(math.log1p(-designRecall) / math.log1p(-pr)).toInt
-      if (needed <= maxBands) ("lsh_banded", r, math.max(1, needed))
+        else math.max(1,
+          math.ceil(math.log1p(-designRecall) / math.log1p(-pr)).toInt)
+      if (needed <= maxBands &&
+          needed.toDouble * math.pow(0.5, r) <= maxRandFrac)
+        ("lsh_banded", r, needed)
       else ("exact_blocked", r, needed)
     }
   }

@@ -1236,18 +1236,21 @@ class SimilaritySpec extends AnyFunSuite {
       (("lsh_banded", 4, 8)))
     assert(Similarity.nearDupLshPlan(2000L, 0.35, 32, 8) ==
       (("lsh_banded", 4, 8)))
-    // the r17 scale wall: 200k vectors at tau=0.35 — holding the base
-    // design recall (0.706) at the widened r=8 key needs ~61 bands;
-    // the plan refuses the unselective banding and dispatches the
-    // uniform blocked-exact generator instead of the 182x LSH curve
+    // the r17 scale wall: 200k vectors at tau=0.35 — the recall-budget-
+    // saturating width is only r*=6 (p=0.614 decays fast), and its 23
+    // bands admit 36% of RANDOM pairs: unselective, so the plan
+    // dispatches the uniform blocked-exact generator instead of the
+    // 182x LSH curve
     val (arm, r, needed) = Similarity.nearDupLshPlan(200000L, 0.35, 32, 8)
-    assert(arm == "exact_blocked" && r == 8 && needed > 32,
+    assert(arm == "exact_blocked" && r == 6 && needed == 23,
       s"got ($arm, $r, $needed)")
-    // production near-dup tau: widened seeded bands stay viable — the
-    // key space grows to 2^11 while 14 bands hold the (64, 8) config's
-    // 0.935 design recall; candidate mass stays ~bands * n * targetOcc
+    // production near-dup tau: the plan saturates the band budget at
+    // the WIDEST viable key (cost ~ bands * n^2 / 2^r shrinks as
+    // (1/(2p))^r, so widest-that-fits wins): r*=16 with 32 bands holds
+    // the (64, 8) config's 0.935 design recall at 0.05% random
+    // candidate fraction
     val (arm9, r9, b9) = Similarity.nearDupLshPlan(2000000L, 0.9, 64, 8)
-    assert(arm9 == "lsh_banded" && r9 == 11 && b9 > 8 && b9 <= 32,
+    assert(arm9 == "lsh_banded" && r9 == 16 && b9 == 32,
       s"got ($arm9, $r9, $b9)")
     // and the plan's dispatch agrees with what nearDupLsh executes: the
     // exact arm's plan has no VecSimHash, the banded arm's does
@@ -1262,28 +1265,51 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("widened seeded-band LSH arm: subset of brute, recall holds") {
-    // force the widened arm at spec scale: targetOcc=16 -> r=5 > rBase=4
-    // at n=500, and tau=0.35 needs 14 seeded 5-bit bands to hold the
-    // base design recall (0.72 at this widened config)
-    val n = Tables.embeddings(spark, sf).count()
+    import spark.implicits._
+    // the widened arm engages at PRODUCTION tau (loose tau correctly
+    // dispatches exact under the selectivity criterion), so the spec
+    // plants a corpus with true 0.9-pairs: 100 base vectors each with
+    // a near-identical twin (tiny deterministic perturbation) + 300
+    // fillers; targetOcc=1 forces widening at n=500, where the plan
+    // saturates the band budget at r=9 (ceil(log2 n)) with 10 seeded
+    // bands (design recall 0.94 at tau 0.9)
+    def vec(seed: Long): Array[Float] = Array.tabulate(16) { j =>
+      ((graft.functions.TextHash.mix64(seed * 131L + j) % 2001L)
+        / 1000.0f)
+    }
+    val rows =
+      (0L until 100L).flatMap { i =>
+        val base = vec(i)
+        val twin = base.zipWithIndex.map { case (x, j) =>
+          x + (if (j % 5 == 0) 0.02f else 0.0f) }
+        Seq((i, base), (i + 1000L, twin))
+      } ++ (0L until 300L).map(i => (i + 5000L, vec(i + 77777L)))
+    val tmp = "target/tmp-sources/widenedlsh"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    rows.toDF("vec_id", "embedding")
+      .withColumn("label", lit(0))
+      .write.parquet(s"$tmp/embeddings.parquet")
     val (arm, r, bands) =
-      Similarity.nearDupLshPlan(n, 0.35, 32, 8, targetOcc = 16)
-    assert(arm == "lsh_banded" && r == 5 && bands == 14,
+      Similarity.nearDupLshPlan(rows.size, 0.9, 64, 8, targetOcc = 1)
+    assert(arm == "lsh_banded" && r == 9 && bands == 10,
       s"got ($arm, $r, $bands)")
-    val e = Tables.embeddings(spark, sf)
+    val e = Tables.embeddings(spark, tmp)
       .select(col("vec_id"), col("embedding"))
     val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
     val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
     val brute = a.crossJoin(b).filter(col("va") < col("vb"))
       .withColumn("cos", cosine_sim(col("ea"), col("eb")))
-      .filter(col("cos") >= 0.35)
+      .filter(col("cos") >= 0.9)
       .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val widened = Similarity.nearDupLsh(spark, sf, targetOcc = 16)
+    assert(brute.size >= 100, s"corpus must hold planted 0.9-pairs: ${brute.size}")
+    val widened = Similarity
+      .nearDupLsh(spark, tmp, tau = 0.9, nBits = 64, bands = 8,
+        targetOcc = 1)
       .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(widened.subsetOf(brute),
       "verified candidates can never be false positives")
     val recall = widened.size.toDouble / brute.size
-    assert(recall >= 0.4, s"widened-arm recall $recall")
+    assert(recall >= 0.7, s"widened-arm recall $recall (design 0.94)")
     // independent seeded families genuinely differ from the sliced
     // signature: seed 0 reproduces the original kernel bit-for-bit,
     // any other seed draws a different plane set
