@@ -1,6 +1,55 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+  /** Contention-vs-regression adjudication of per-key 2x breaches (the
+    * r18 verdict ask: the judge and builder both did this by hand
+    * every round). A breach in THIS run that a fresh-JVM PEER run of
+    * the same build measures at-or-near pin is machine contention —
+    * the shared box ran something else during that key — while a
+    * breach every run reproduces is a genuine regression. Peer runs
+    * come from `SPARK_GRAFT_BENCH_PEERS` (comma-separated bench JSON
+    * paths) or the `bench_peers/` directory the builder refreshes with
+    * fresh-JVM runs each round; peers of a STALE build would mask a
+    * fresh regression, which is why the peer list rides the output —
+    * the adjudication is auditable, not oracular.
+    *
+    * Returns key -> verdict for every breaching key:
+    * "contention" (some peer within 1.25x of pin), "regression"
+    * (every peer also breaches 2x), "inconclusive" (peers disagree,
+    * between the bands), "no_peer" (no peer measured the key). */
+  private[graft] def adjudicateBreaches(
+      ratios: Map[String, Double],
+      peers: Seq[Map[String, Double]],
+      baseline: Map[String, Double]): Map[String, String] =
+    ratios.collect { case (k, r) if r > 2.0 =>
+      val peerRatios = peers.flatMap(_.get(k))
+        .flatMap(t => baseline.get(k).collect { case b if b > 0 => t / b })
+      val verdict =
+        if (peerRatios.isEmpty) "no_peer"
+        else if (peerRatios.exists(_ <= 1.25)) "contention"
+        else if (peerRatios.forall(_ > 2.0)) "regression"
+        else "inconclusive"
+      k -> verdict
+    }
+
+  /** The `queries` map of a bench JSON artifact (absent file or
+    * unparsable content -> None; the adjudication then degrades to
+    * no_peer instead of crashing the bench). */
+  private[graft] def readQueriesMap(path: String): Option[Map[String, Double]] =
+    try {
+      import org.json4s._
+      val root = org.json4s.jackson.JsonMethods.parse(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        "UTF-8"))
+      root \ "queries" match {
+        case JObject(fields) => Some(fields.collect {
+          case (k, JDouble(v)) => k -> v
+          case (k, JInt(v)) => k -> v.toDouble
+          case (k, JDecimal(v)) => k -> v.toDouble
+        }.toMap)
+        case _ => None
+      }
+    } catch { case _: Throwable => None }
   /** Verification-free twins of the *Checked queries. A checked query's
     * plan runs operator + oracle-restatement verification in one job, so
     * its wall time conflates the two; timing the twin separates them —
@@ -185,6 +234,32 @@ object Bench {
       case (k, (op, _, f, _)) if f >= 0 && baseline.get(k).exists(_ >= 0.2) =>
         (k, op / baseline(k))
     }
+    // fresh-JVM peer runs of the SAME build, for breach adjudication
+    val peerFiles: Seq[String] =
+      sys.env.get("SPARK_GRAFT_BENCH_PEERS")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse {
+          val d = new java.io.File("bench_peers")
+          if (!d.isDirectory) Nil
+          else d.listFiles().filter(_.getName.endsWith(".json"))
+            .map(_.getPath).sorted.toSeq
+        }
+    val peers = peerFiles.flatMap(p => readQueriesMap(p).map(p -> _))
+    val verdicts = adjudicateBreaches(ratios.toMap, peers.map(_._2), baseline)
+    val adjJson =
+      if (ratios.isEmpty) "null"
+      else {
+        val counts = verdicts.values.groupBy(identity).view.mapValues(_.size)
+        val per = verdicts.toSeq.sorted.map { case (k, v) =>
+          s"\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+        val files = peers.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+        s"""{"n_breaches":${verdicts.size},""" +
+          s""""n_regressions":${counts.getOrElse("regression", 0)},""" +
+          s""""n_contention":${counts.getOrElse("contention", 0)},""" +
+          s""""n_inconclusive":${counts.getOrElse("inconclusive", 0)},""" +
+          s""""n_no_peer":${counts.getOrElse("no_peer", 0)},""" +
+          s""""breaches":$per,"peers":$files}"""
+      }
     val vsBaseline =
       if (ratios.isEmpty) "null"
       else {
@@ -200,7 +275,7 @@ object Bench {
     // provenance field: bench_full.json was once overwritten by a judge
     // rerun (round 8) — the producer tag makes the artifact attest who
     // wrote it, so cross-machine comparisons can't silently mix runs
-    val fullLine = s"""{"metric":"total","producer":"graft.Bench","env":$envJson,"queries":$qs,"spread":$spread,"failed":$failedJson,"vs_baseline":$vsBaseline,"sf":"$sfDir","n":${results.size},"reps":$reps,"unit":"sec","value":${r3(total)}}"""
+    val fullLine = s"""{"metric":"total","producer":"graft.Bench","env":$envJson,"queries":$qs,"spread":$spread,"failed":$failedJson,"vs_baseline":$vsBaseline,"adjudication":$adjJson,"sf":"$sfDir","n":${results.size},"reps":$reps,"unit":"sec","value":${r3(total)}}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(benchOut),
         (fullLine + "\n").getBytes("UTF-8"))
@@ -213,7 +288,7 @@ object Bench {
     val slow = results.toSeq.filter(_._2._3 >= 0).sortBy(-_._2._3).take(10)
       .map { case (k, (_, _, f, _)) => s"\"" + k + "\":" + r3(f) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"summary","slowest":$slow,"n_failed":${failed.size},"vs_baseline":$vsBaseline,"sf":"$sfDir","n":${results.size},"file":"$benchOut","unit":"sec","value":${r3(total)}}""")
+    println(s"""{"metric":"summary","slowest":$slow,"n_failed":${failed.size},"vs_baseline":$vsBaseline,"adjudication":$adjJson,"sf":"$sfDir","n":${results.size},"file":"$benchOut","unit":"sec","value":${r3(total)}}""")
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(", ")}")
     spark.stop()

@@ -199,19 +199,44 @@ object ScaleProbe {
     // from this run); sub-second pinned ratios are excluded from the
     // worst-ratio like the bench gate's 0.2 s floor.
     val pinPath = java.nio.file.Paths.get("SCALE_BASELINE.json")
-    val vsPin =
-      if (!java.nio.file.Files.exists(pinPath)) """"no_pin":true"""
+    // pin entries carry a PER-KEY factor (r18 ADVICE: a subset re-pin
+    // at a different factor used to restamp the file's single top-level
+    // factor, silently mixing incomparable ratios under one label);
+    // legacy entries without one inherit the file-level factor. Parsed
+    // with json4s, not a regex — number-format drift must fail loudly,
+    // not drop pins silently.
+    def readPins(): Map[String, (Double, Double, Int)] =
+      if (!java.nio.file.Files.exists(pinPath)) Map.empty
       else {
-        val text = new String(java.nio.file.Files.readAllBytes(pinPath),
-          "UTF-8")
-        val re = ("\"([a-z0-9_]+)\":\\{\"ratio\":([-0-9.]+)," +
-          "\"abs\":([-0-9.]+)\\}").r
-        val pins = re.findAllMatchIn(text)
-          .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble))
-          .toMap
+        import org.json4s._
+        val root = org.json4s.jackson.JsonMethods.parse(new String(
+          java.nio.file.Files.readAllBytes(pinPath), "UTF-8"))
+        def num(v: JValue): Option[Double] = v match {
+          case JDouble(d) => Some(d)
+          case JInt(i) => Some(i.toDouble)
+          case JDecimal(d) => Some(d.toDouble)
+          case _ => None
+        }
+        val fileFactor = num(root \ "factor").map(_.toInt).getOrElse(factor)
+        root \ "keys" match {
+          case JObject(fields) => fields.flatMap { case (k, v) =>
+            for (r <- num(v \ "ratio"); a <- num(v \ "abs"))
+              yield k -> (r, a,
+                num(v \ "factor").map(_.toInt).getOrElse(fileFactor))
+          }.toMap
+          case _ => Map.empty
+        }
+      }
+    val pins = readPins()
+    val vsPin =
+      if (pins.isEmpty) """"no_pin":true"""
+      else {
+        // only same-factor pins are comparable: a ratio measured at
+        // factor 10 says nothing about a run at factor 100
         val cmp = rows.flatMap { case (k, (_, s, r)) =>
-          pins.get(k).collect { case (pr, pa) if pr > 0 && r >= 0 =>
-            (k, r / pr, s, pa)
+          pins.get(k).collect {
+            case (pr, pa, pf) if pr > 0 && r >= 0 && pf == factor =>
+              (k, r / pr, s, pa)
           }
         }
         val eligible = cmp.filter(_._4 >= 1.0) // pinned abs >= 1 s
@@ -263,17 +288,13 @@ object ScaleProbe {
     if (sys.env.get("SPARK_GRAFT_SCALE_PIN").contains("1")) {
       // MERGE into any existing pin (a probe may run key subsets):
       // this run's measurements override, other pinned keys survive
-      val re = ("\"([a-z0-9_]+)\":\\{\"ratio\":([-0-9.]+)," +
-        "\"abs\":([-0-9.]+)\\}").r
-      val prior =
-        if (!java.nio.file.Files.exists(pinPath)) Map.empty[String, String]
-        else re.findAllMatchIn(new String(
-            java.nio.file.Files.readAllBytes(pinPath), "UTF-8"))
-          .map(m => m.group(1) ->
-            s"""\"${m.group(1)}\":{"ratio":${m.group(2)},"abs":${m.group(3)}}""")
-          .toMap
+      // VERBATIM with their own per-key factor — a subset re-pin at a
+      // different factor can no longer relabel them (r18 ADVICE)
+      def render(k: String, r: Double, a: Double, f: Int): String =
+        s"""\"$k\":{"ratio":${r3(r)},"abs":${r3(a)},"factor":$f}"""
+      val prior = pins.map { case (k, (r, a, f)) => k -> render(k, r, a, f) }
       val fresh = rows.filter(_._2._3 >= 0).map { case (k, (_, s, r)) =>
-        k -> s"""\"$k\":{"ratio":${r3(r)},"abs":${r3(s)}}"""
+        k -> render(k, r, s, factor)
       }.toMap
       val pinned = (prior ++ fresh).toSeq.sortBy(_._1).map(_._2)
         .mkString(",")

@@ -266,18 +266,33 @@ object SnapshotLog {
     * and the advanced counter; the caller commits the new mapping iff
     * the counter moved. */
   private def allocReAdds(cols: Seq[String], pairs: Seq[(String, String)],
-                          dropped: Seq[String], fid: Int)
+                          dropped: Seq[String], fid: Int,
+                          livePhysicals: => Set[String])
       : (Seq[(String, String)], Int) = {
     val logicals = pairs.map(_._1).toSet
-    var physTaken = pairs.map(_._2).toSet ++ dropped
+    // TRIGGER set: only a RETIRED name (a renamed column's physical
+    // storage name or a dropped column) forces a fresh field-id —
+    // identity columns pass through untouched
+    val retired = pairs.map(_._2).toSet ++ dropped
+    // COLLISION set for the fresh name itself: additionally the
+    // identity-mapped columns (never renamed or dropped, so absent from
+    // `pairs`) which store under their own names — a fresh
+    // `<name>__f<id>` colliding with one would alias TWO logical
+    // columns onto one physical and mergeSchema reads would serve the
+    // old column's values under the re-added logical (r18 ADVICE).
+    // Forced lazily: the common no-re-add append never pays the
+    // merged-schema read behind `livePhysicals`.
+    lazy val allTaken =
+      scala.collection.mutable.Set.empty[String] ++=
+        retired ++= livePhysicals ++= cols
     var f = fid
     var ps = pairs
     cols.foreach { c =>
-      if (!logicals.contains(c) && physTaken.contains(c)) {
+      if (!logicals.contains(c) && retired.contains(c)) {
         var fresh = ""
-        do { f += 1; fresh = s"${c}__f$f" } while (physTaken.contains(fresh))
+        do { f += 1; fresh = s"${c}__f$f" } while (allTaken.contains(fresh))
         ps = ps :+ (c -> fresh)
-        physTaken += fresh
+        allTaken += fresh
       }
     }
     (ps, f)
@@ -290,7 +305,17 @@ object SnapshotLog {
   private def writeMapping(df: DataFrame, path: String, vPrev: Int)
       : (Seq[(String, String)], Seq[String], ColMapArg) = {
     val (pairs0, dropped, fid0) = colMapFull(path, vPrev)
-    val (pairs, fid) = allocReAdds(df.columns.toSeq, pairs0, dropped, fid0)
+    // the table's CURRENT physical schema (only forced when a re-add
+    // actually fires): logical names map through `pairs0`, identity
+    // columns ARE their own physical name; mergeSchema because an
+    // evolved or re-added column may live only in newer segments
+    lazy val live: Set[String] = {
+      val byLogical = pairs0.toMap
+      read(df.sparkSession, path, Some(vPrev), mergeSchema = true)
+        .schema.fieldNames.map(n => byLogical.getOrElse(n, n)).toSet
+    }
+    val (pairs, fid) =
+      allocReAdds(df.columns.toSeq, pairs0, dropped, fid0, live)
     val arg =
       if (fid == fid0) ColMapInherit
       else ColMapSet(Some(renderColMap(pairs, dropped, fid)))
@@ -629,9 +654,27 @@ object SnapshotLog {
           // blind-rebase fast path)
           if (attempts > maxRetries || cmArg != ColMapInherit) throw e
           v = latestOr + 1
+          rebaseMappingGuard(path, v - 1, cmPairs, cmDropped, e)
       }
     }
     -1 // unreachable
+  }
+
+  /** Inherit-side race guard for [[append]]'s blind rebase (r18
+    * ADVICE): the loser's segment was written under the mapping read
+    * BEFORE the retry loop; a rename/drop committed between attempts
+    * makes that physical schema stale — a blind rebase would land a
+    * segment for a logical column that no longer exists, bypassing the
+    * toPhysical backstop a fresh mapping read would have triggered.
+    * Schema changes racing data appends are rare: re-read the mapping
+    * at the refreshed base and surface the conflict instead of
+    * rebasing onto it. */
+  private[graft] def rebaseMappingGuard(path: String, vBase: Int,
+                                        pairs: Seq[(String, String)],
+                                        dropped: Seq[String],
+                                        e: Throwable): Unit = {
+    val (pNow, dNow, _) = colMapFull(path, vBase)
+    if (pNow != pairs || dNow != dropped) throw e
   }
 
   /** [[append]] with the target version fixed by the caller — the

@@ -141,6 +141,59 @@ class SchemaMapSpec extends AnyFunSuite {
       "the first re-add's values were dropped; they must stay dropped")
   }
 
+  test("re-add skips identity columns already named like a field-id physical") {
+    import spark.implicits._
+    val path = tmpDir("readd_identity")
+    // the table carries an IDENTITY column literally named `x__f1` —
+    // never renamed or dropped, so it is invisible to the mapped+
+    // dropped collision set the old allocator consulted (r18 ADVICE:
+    // the re-add of `x` below used to allocate physical `x__f1`, and
+    // two logical columns silently shared one physical name)
+    SnapshotLog.create(spark,
+      (0L until 10L).map(k => (k, k * 2, k * 3)).toDF("k", "x", "x__f1"),
+      path, "k")
+    SnapshotLog.dropColumn(spark, path, "x")
+    SnapshotLog.append(spark,
+      Seq((100L, 11L, 22L)).toDF("k", "x", "x__f1"), path, "k")
+    val (pairs, dropped, fid) = SnapshotLog.colMapFull(path,
+      SnapshotLog.latestVersion(path).get)
+    assert(pairs.toMap.get("x").contains("x__f2"),
+      s"re-added x must allocate a physical PAST the identity x__f1, got $pairs")
+    assert(fid == 2 && dropped == Seq("x"))
+    val r = SnapshotLog.read(spark, path, mergeSchema = true)
+    val at100 = r.filter($"k" === 100L).head
+    assert(at100.getAs[Long]("x") == 11L &&
+      at100.getAs[Long]("x__f1") == 22L,
+      "the re-added logical and the identity column must keep distinct values")
+    val at3 = r.filter($"k" === 3L).head
+    assert(at3.isNullAt(at3.fieldIndex("x")) &&
+      at3.getAs[Long]("x__f1") == 9L,
+      "history null-fills the re-add; the identity column's values are untouched")
+  }
+
+  test("append rebase guard surfaces a rename/drop committed between retry attempts") {
+    import spark.implicits._
+    val path = tmpDir("rebase_guard")
+    SnapshotLog.create(spark,
+      (0L until 5L).map(k => (k, k * 10)).toDF("k", "w"), path, "k")
+    // the mapping an in-flight append read before its retry loop
+    val (p0, d0, _) = SnapshotLog.colMapFull(path, 0)
+    // no interleaved schema change: the guard passes (blind rebase ok)
+    val boom = new RuntimeException("conflict")
+    SnapshotLog.rebaseMappingGuard(path, 0, p0, d0, boom)
+    // a rename lands between attempts: the stale mapping must surface
+    // the original conflict instead of blind-rebasing a segment whose
+    // physical schema no longer matches the table's
+    val v1 = SnapshotLog.renameColumn(spark, path, "w", "weight")
+    val got = intercept[RuntimeException] {
+      SnapshotLog.rebaseMappingGuard(path, v1, p0, d0, boom)
+    }
+    assert(got eq boom)
+    // an append re-reading the CURRENT mapping passes again
+    val (p1, d1, _) = SnapshotLog.colMapFull(path, v1)
+    SnapshotLog.rebaseMappingGuard(path, v1, p1, d1, boom)
+  }
+
   test("rename chain + drop + restore: each version reads under its own mapping") {
     import spark.implicits._
     val path = tmpDir("chain")

@@ -1828,4 +1828,25 @@ class SimilaritySpec extends AnyFunSuite {
         s"query $q rerank order broken")
     }
   }
+
+  test("corpusSize re-counts when the corpus is rewritten at the same path") {
+    import spark.implicits._
+    val dir = new java.io.File("target/tmp-similarity/corpus_fresh")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    dir.mkdirs()
+    val path = dir.getAbsolutePath
+    def write(n: Int): Unit =
+      (0 until n).map(i => (i.toLong, Array.fill(4)(i.toFloat), "l"))
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$path/embeddings.parquet")
+    write(10)
+    assert(Similarity.corpusSize(spark, path) == 10L)
+    // an in-session rewrite (the probe/spec overwrite pattern) must not
+    // serve the stale count — the r18 ADVICE wrong-arm hazard; mtime
+    // granularity is guarded by the explicit sleep
+    Thread.sleep(20)
+    write(25)
+    assert(Similarity.corpusSize(spark, path) == 25L,
+      "plan-shaping count served stale after an in-place corpus rewrite")
+  }
 }
