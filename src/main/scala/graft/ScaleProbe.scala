@@ -265,17 +265,14 @@ object ScaleProbe {
           operators.Similarity.nearDupLshPlan(n, tau, 64, 8, occ, 32)
         spark.catalog.clearCache(); System.gc()
         val t0 = System.nanoTime()
-        // maxBucket 256, not the 2000 default: on a CLUSTERED corpus
-        // signature buckets hold whole clusters regardless of the
-        // occupancy target, and pair generation is cap²-bounded per
-        // bucket — the first run of this datum at cap 2000 spilled the
-        // candidate explode past the disk. The cap is the candidate-
-        // mass governor: near-dup COMPONENTS need far fewer than
-        // all-pairs edges per cluster, so production tunes the cap to
-        // connectivity, not to the recall formula.
+        // DEFAULT config (r18 verdict ask #2): the cap is now derived
+        // from the plan's expected occupancy (Similarity.
+        // adaptiveMaxBucket — 32x n/2^r, floor 64, ceiling 2000)
+        // instead of the hand-run 256 this datum needed in r18, when
+        // the constant-2000 default let clustered signature buckets
+        // spill the cap²-bounded candidate explode past the disk.
         val nPairs = operators.Similarity
-          .nearDupLsh(spark, scaled, tau, 64, 8, maxBucket = 256,
-            targetOcc = occ)
+          .nearDupLsh(spark, scaled, tau, 64, 8, targetOcc = occ)
           .count()
         val sec = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[scale] widened-arm tau=$tau r=$r " +

@@ -195,6 +195,14 @@ object SparkEntry {
     // force (full-recall LSH at tau 0.35 is measured-degenerate — see
     // Similarity.semanticPairs doc)
     "emb_neardup_lsh" -> ((s, d) => Similarity.lshContractChecked(s, d)),
+    // PRODUCTION-TAU banded pair mining (r18 verdict ask #1): the
+    // subquadratic arm a 100 TB run executes, hash-gated on a derived
+    // planted-pair corpus — design-point slicing and the widened
+    // seeded-band shape (targetOcc = 2 forces the widening at test
+    // scale) each under the full pair-list + plan-provenance oracle
+    "emb_neardup_prod" -> ((s, d) => Similarity.prodPairsChecked(s, d)),
+    "emb_neardup_prod_widened" ->
+      ((s, d) => Similarity.prodPairsChecked(s, d, targetOcc = 2)),
     // E. text analysis
     "text_quality" -> (TextAnalysis.quality _),
     "text_langid" -> (TextAnalysis.langid _),
@@ -3619,6 +3627,16 @@ object SparkEntry {
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding::DOUBLE[],
            b.embedding::DOUBLE[]) >= 0.35""",
+    // production-tau banded arm, pair-list EQUALITY contract: the
+    // derived planted corpus (dim 0 halved — exact arithmetic, so
+    // engine/oracle cosines are bit-identical), brute force at tau 0.9,
+    // dispatch + banding plan restated closed-form from count(*) (see
+    // Similarity.prodPairsChecked scaladoc). A recall miss deletes a
+    // row, a precision slip adds one, an arm/width change flips the
+    // provenance columns — all hash breaks.
+    "emb_neardup_prod" -> operators.Similarity.prodPairsOracle(),
+    "emb_neardup_prod_widened" ->
+      operators.Similarity.prodPairsOracle(targetOcc = 2),
     "emb_neardup" ->
       """SELECT a.vec_id AS va, b.vec_id AS vb,
            round(list_cosine_similarity(a.embedding::DOUBLE[],

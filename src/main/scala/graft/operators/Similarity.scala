@@ -47,14 +47,26 @@ object Similarity {
     * [[mutualKnnBuild]] count-probe precedent (the one driver-side
     * statistic this engine reads, the AQE analogy: the value picks a
     * plan SHAPE, so it cannot ride the plan as a column). Memoized per
-    * corpus path: corpus dirs are immutable in this engine's layout
-    * (read-only testdata; scaled probe corpora are completion-marker
-    * guarded), so repeated operator calls never re-run the
-    * metadata-cheap count job. */
+    * (corpus path, freshness token): the token is the parquet
+    * directory's filesystem mtime, so a corpus REWRITTEN at the same
+    * path in-session (probe harnesses and specs overwrite tmp dirs)
+    * re-counts instead of dispatching on a stale count — the r18
+    * ADVICE staleness hazard, where a wrong arm only surfaced through
+    * [[lshContractChecked]]'s oracle mismatch, never in bare
+    * [[nearDupLsh]] use. Immutable corpora (read-only testdata) still
+    * never re-run the metadata-cheap count job. */
   private val corpusSizes =
-    scala.collection.concurrent.TrieMap.empty[String, Long]
-  private def corpusSize(spark: SparkSession, dir: String): Long =
-    corpusSizes.getOrElseUpdate(dir, emb(spark, dir).count())
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Long]
+  private def corpusToken(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // overwrite-mode rewrites replace the directory (fresh mtime); an
+    // in-place file add/remove also touches the dir's mtime
+    fs.getFileStatus(p).getModificationTime
+  }
+  private[graft] def corpusSize(spark: SparkSession, dir: String): Long =
+    corpusSizes.getOrElseUpdate((dir, corpusToken(spark, dir)),
+      emb(spark, dir).count())
 
   /** Cosine from per-row HOISTED norms — the all-pairs kernel. An n²/2
     * scan that calls cosine_sim evaluates both operand norms inside every
@@ -940,13 +952,28 @@ object Similarity {
     *     provenance columns. */
   def nearDupLsh(spark: SparkSession, dir: String, tau: Double = 0.35,
                  nBits: Int = 32, bands: Int = 8,
-                 maxBucket: Long = 2000, targetOcc: Long = 1024,
-                 maxBands: Int = 32): DataFrame = {
+                 maxBucket: Long = -1L, targetOcc: Long = 1024,
+                 maxBands: Int = 32): DataFrame =
+    nearDupLshOf(emb(spark, dir), corpusSize(spark, dir), tau, nBits,
+      bands, maxBucket, targetOcc, maxBands)
+
+  /** [[nearDupLsh]] over an explicit (vec_id, embedding) frame with a
+    * caller-supplied plan-shaping count — the seam the production-tau
+    * contract keys ([[prodPairsChecked]]) drive with their DERIVED
+    * planted-pair corpus, and the exact body the dir-based entry always
+    * ran (plans bit-identical: only the source scan is parameterized). */
+  private[graft] def nearDupLshOf(e0: DataFrame, n: Long,
+                                  tau: Double = 0.35,
+                                  nBits: Int = 32, bands: Int = 8,
+                                  maxBucket: Long = -1L,
+                                  targetOcc: Long = 1024,
+                                  maxBands: Int = 32): DataFrame = {
     require(bands > 0 && nBits % bands == 0 && nBits <= 64)
     val (arm, r, bandsUsed) = nearDupLshPlan(
-      corpusSize(spark, dir), tau, nBits, bands, targetOcc, maxBands)
+      n, tau, nBits, bands, targetOcc, maxBands)
     if (arm == "exact_blocked")
-      return nearDupBlocked(spark, dir, tau)
+      return nearDupBlockedOf(e0, tau)
+    val cap = if (maxBucket > 0) maxBucket else adaptiveMaxBucket(n, r)
     // r == 64 needs the all-bits mask: (1L << 64) wraps to 1, which
     // would silently hash every vector into one capped-away bucket
     val mask = if (r == 64) -1L else (1L << r) - 1
@@ -954,7 +981,7 @@ object Similarity {
       if (r == nBits / bands && bandsUsed == bands)
         // design point: slice ONE nBits signature into bands r-bit keys
         // (bit-identical to the fixed-config path all pins measured)
-        emb(spark, dir).select(col("vec_id"),
+        e0.select(col("vec_id"),
             graft.functions.VectorFunctions
               .vec_simhash(col("embedding"), nBits).as("sig"))
           .select(col("vec_id"),
@@ -965,7 +992,7 @@ object Similarity {
       else
         // widened: per-band independent r-bit seeded signatures — the
         // key space 2^r grows with n, occupancy stays ~targetOcc
-        emb(spark, dir).select(col("vec_id"),
+        e0.select(col("vec_id"),
             posexplode(array((0 until bandsUsed).map(b =>
               xxhash64(lit(b), graft.functions.VectorFunctions
                 .vec_simhash_seeded(col("embedding"), r, (b + 1).toLong))): _*)))
@@ -977,23 +1004,42 @@ object Similarity {
     // reducer; identical keep/drop boundary to the old post-filter)
     val cands = banded.groupBy(col("bucket"))
       .agg(graft.functions.CappedSet.capped_distinct_set(
-        col("vec_id"), maxBucket.toInt).as("ids"))
+        col("vec_id"), cap.toInt).as("ids"))
       .filter(col("ids").isNotNull && size(col("ids")) > 1)
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
           struct(x.as("va"), y.as("vb")))))).as("p"))
       .select(col("p.va"), col("p.vb")).distinct()
-    val e = emb(spark, dir)
     cands
-      .join(e.select(col("vec_id").as("va"), col("embedding").as("ea"),
+      .join(e0.select(col("vec_id").as("va"), col("embedding").as("ea"),
         vec_norm(col("embedding")).as("_na")), Seq("va"))
-      .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+      .join(e0.select(col("vec_id").as("vb"), col("embedding").as("eb"),
         vec_norm(col("embedding")).as("_nb")), Seq("vb"))
       .withColumn("cos",
         cosFromNorms(col("ea"), col("eb"), col("_na"), col("_nb")))
       .filter(col("cos") >= tau)
       .select(col("va"), col("vb"), round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("va"), col("vb"))
+  }
+
+  /** OCCUPANCY-ADAPTIVE bucket cap (r18 verdict ask #2): the gather cap
+    * is the candidate-mass governor — pair fan-out per bucket is
+    * cap²/2 — so its right size tracks the plan's EXPECTED occupancy
+    * n/2^r, not a constant. A clustered corpus concentrates whole
+    * clusters into single signature buckets regardless of the
+    * occupancy target; at the SCALE3_r18 datum (200k vectors, r=16,
+    * expected occupancy ~3) the old constant 2000 admitted ~2M
+    * candidate pairs from ONE hot bucket and spilled the explode past
+    * disk, while headroom-times-expected keeps every bucket's fan-out
+    * proportional to what a uniform corpus would pay. Floor 64: tiny
+    * corpora must not strangle recall on legitimate small-sample
+    * collisions (64²/2 pairs is always affordable). Ceiling 2000: the
+    * historical cap — test-scale corpora (expected occupancy up to
+    * targetOcc at the design point) keep their pinned behavior because
+    * 32x expected saturates the ceiling long before 2000 binds. */
+  private[graft] def adaptiveMaxBucket(n: Long, r: Int): Long = {
+    val occ = n.toDouble / math.pow(2.0, math.min(r, 62))
+    math.max(64L, math.min(2000L, math.ceil(32.0 * math.max(1.0, occ)).toLong))
   }
 
   /** One k-means assignment step over deterministic seed centroids
@@ -1324,6 +1370,120 @@ object Similarity {
     (arm, frac4(randFrac), frac4(recall))
   }
 
+  /** PRODUCTION-TAU pair mining, ORACLE-GATED (the r18 verdict's top
+    * ask): the subquadratic banded arm a 100 TB semantic-dedup run
+    * actually executes — [[semanticPairs]]' dispatch at a production
+    * near-dup tau (~0.9) — registered as a first-class CORRECTNESS key
+    * instead of a spec pin. The bench/oracle tau (0.35) always
+    * dispatches exact, so before this key no hash gate ever exercised
+    * the banding path end-to-end.
+    *
+    * The corpus is DERIVED from the embeddings table because the raw
+    * testdata has no organic pair above cosine ~0.6: every vector
+    * gains one planted near-duplicate copy with dimension 0 HALVED —
+    * multiplication by 0.5 is EXACT in both float and double, so
+    * engine and oracle construct bit-identical vectors, and the
+    * in-order double kernels ([[graft.functions.VectorMath.cosF]] vs
+    * DuckDB's list_cosine_similarity) then produce bit-identical
+    * cosines: the per-pair verify column hashes with no rounding
+    * hazard. Measured on the committed testdata, the true pair set at
+    * tau 0.9 is EXACTLY the n planted pairs (planted cosines 0.98-1.0;
+    * the closest non-pair sits at 0.60 — an enormous margin on both
+    * sides of the threshold), and the banding finds every one (per-
+    * pair miss probability (1-p^r)^bands <= 1e-3 at the design point,
+    * ~1e-7 widened; equality is what the hash CHECK proves — the
+    * dedup_minhash_lsh contract pattern). The DuckDB oracle restates
+    * the derived corpus, the brute-force pair predicate, AND the
+    * [[semanticDispatch]] + [[nearDupLshPlan]] decisions closed-form
+    * from count(*): a recall miss deletes a row, a precision slip adds
+    * one, and a silent arm/banding change flips the provenance
+    * columns — all hash breaks.
+    *
+    * `targetOcc` selects which banded shape the key gates: the default
+    * (1024) holds the DESIGN-POINT single-signature slicing at test
+    * scale; the registered `emb_neardup_prod_widened` twin passes 2 to
+    * force the WIDENED independent-seeded-band path — the exact shape
+    * a 100x corpus dispatches to — under the same oracle. */
+  def prodPairsChecked(spark: SparkSession, dir: String, tau: Double = 0.9,
+                       nBits: Int = 64, bands: Int = 8,
+                       targetOcc: Long = 1024): DataFrame = {
+    val base = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    // id offset for the planted copies: max+1 rides the plan as a
+    // non-correlated scalar subquery (the scalarOf discipline)
+    val off = graft.functions.Scalars.scalarOf(
+      base.agg((max(col("vec_id")) + lit(1L)).as("off")))
+    val planted = base.select((col("vec_id") + off).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === 0, x * lit(0.5f)).otherwise(x))
+        .as("embedding"))
+    val corpus = base.unionByName(planted)
+    val n = 2L * corpusSize(spark, dir)
+    val (dispArm, candFrac, designRecall) =
+      semanticDispatch(tau, nBits, bands)
+    val (arm, r, bandsUsed) =
+      nearDupLshPlan(n, tau, nBits, bands, targetOcc)
+    val pairs =
+      if (dispArm == "exact_blocked" || arm == "exact_blocked")
+        nearDupBlockedOf(corpus, tau)
+      else nearDupLshOf(corpus, n, tau, nBits, bands,
+        targetOcc = targetOcc)
+    pairs.select(col("va"), col("vb"), col("cos_sim"),
+      lit(dispArm).as("pair_arm"), lit(candFrac).as("cand_frac"),
+      lit(designRecall).as("design_recall"),
+      lit(arm).as("lsh_arm"), lit(r).as("lsh_r"),
+      lit(bandsUsed).as("lsh_bands"))
+  }
+
+  /** DuckDB restatement of [[prodPairsChecked]]: the derived planted
+    * corpus (dimension 0 halved — exact arithmetic, see the operator
+    * scaladoc), the brute-force pair predicate at tau, and the
+    * dispatch + banding-plan decisions closed-form from count(*).
+    * Hard-wired to the production (64, 8) config the operator
+    * defaults (rBase = 8, maxBands = 32, the [[semanticDispatch]]
+    * 5%/0.9 criteria). */
+  def prodPairsOracle(tau: Double = 0.9, targetOcc: Long = 1024): String =
+    s"""WITH mx AS (SELECT CAST(max(vec_id) + 1 AS BIGINT) AS off,
+           CAST(2 * count(*) AS DOUBLE) AS n FROM embeddings),
+       base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       pert AS (SELECT b.vec_id + (SELECT off FROM mx) AS vec_id,
+           list_concat([b.v[1] * CAST(0.5 AS DOUBLE)], b.v[2:]) AS v
+         FROM base b),
+       c AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+       pl AS (SELECT n, n / 256.0 <= $targetOcc AS design,
+           1.0 - acos(CAST($tau AS DOUBLE)) / pi() AS p,
+           1.0 - pow(1.0 - pow(1.0 - acos(CAST($tau AS DOUBLE)) / pi(),
+             8), 8) AS r0
+         FROM mx),
+       pl2 AS (SELECT design, p, r0,
+           CASE WHEN design THEN 8 ELSE greatest(1, least(62, least(
+             CAST(floor(ln(1.0 - pow(1.0 - r0, 1.0 / 32)) / ln(p))
+               AS INTEGER),
+             CAST(ceil(log2(n)) AS INTEGER)))) END AS r
+         FROM pl),
+       pl3 AS (SELECT design, r, r0,
+           CASE WHEN design THEN 8 ELSE greatest(1,
+             CAST(ceil(ln(1.0 - r0) / ln(1.0 - pow(p, r)))
+               AS INTEGER)) END AS needed
+         FROM pl2)
+       SELECT a.vec_id AS va, b.vec_id AS vb,
+         round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim,
+         (SELECT CASE WHEN 8 * pow(0.5, 8) <= 0.05 AND r0 >= 0.9
+            THEN 'lsh_banded' ELSE 'exact_blocked' END FROM pl3)
+           AS pair_arm,
+         (SELECT floor(8 * pow(0.5, 8) * 10000.0 + 0.5) / 10000.0
+            FROM pl3) AS cand_frac,
+         (SELECT floor(r0 * 10000.0 + 0.5) / 10000.0 FROM pl3)
+           AS design_recall,
+         (SELECT CASE WHEN design THEN 'lsh_banded'
+            WHEN needed <= 32 AND needed * pow(0.5, r) <= 0.05
+              THEN 'lsh_banded'
+            ELSE 'exact_blocked' END FROM pl3) AS lsh_arm,
+         (SELECT r FROM pl3) AS lsh_r,
+         (SELECT needed FROM pl3) AS lsh_bands
+       FROM c a JOIN c b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.v, b.v) >= CAST($tau AS DOUBLE)
+       ORDER BY va, vb"""
+
   /** Exact cosine pairs >= tau via uniform BLOCK-partitioned all-pairs —
     * the skew-proof form of an exact similarity self-join. Each vector
     * lands in one of nBlocks hash blocks; each side replicates to the
@@ -1386,10 +1546,16 @@ object Similarity {
     * consumers that need EVERY pair's score ([[mutualKnn]]'s top-k),
     * where a tau cut would be wrong. */
   def nearDupBlocked(spark: SparkSession, dir: String, tau: Double = 0.35,
-                     nBlocks: Int = 16): DataFrame = {
+                     nBlocks: Int = 16): DataFrame =
+    nearDupBlockedOf(emb(spark, dir), tau, nBlocks)
+
+  /** [[nearDupBlocked]] over an explicit frame — the
+    * [[nearDupLshOf]] seam's exact-arm counterpart. */
+  private[graft] def nearDupBlockedOf(e0: DataFrame, tau: Double = 0.35,
+                                      nBlocks: Int = 16): DataFrame = {
     require(nBlocks > 1)
     import graft.functions.VectorFunctions.blocked_tile_pairs
-    val keyed = emb(spark, dir)
+    val keyed = e0
       .select(col("vec_id"), col("embedding"),
         pmod(xxhash64(col("vec_id")), lit(nBlocks)).cast("int").as("blk"))
       .withColumn("k", explode(sequence(lit(0), lit(nBlocks - 1))))

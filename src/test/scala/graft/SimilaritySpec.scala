@@ -1829,6 +1829,61 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("prodPairsChecked: every planted pair found, banded arm pinned, both shapes") {
+    val n = Tables.embeddings(spark, sf).count()
+    val off = Tables.embeddings(spark, sf)
+      .agg(max(col("vec_id"))).head.getLong(0) + 1
+    // DESIGN-POINT shape (default targetOcc): r = 8, bands = 8
+    val d = Similarity.prodPairsChecked(spark, sf).collect()
+    assert(d.length == n,
+      s"banding must find ALL $n planted pairs, got ${d.length}")
+    d.foreach { r =>
+      assert(r.getAs[Long]("vb") - r.getAs[Long]("va") == off,
+        "every true pair is a (base, planted copy) pair")
+      assert(r.getAs[Double]("cos_sim") >= 0.9)
+      assert(r.getAs[String]("pair_arm") == "lsh_banded" &&
+        r.getAs[String]("lsh_arm") == "lsh_banded")
+      assert(r.getAs[Int]("lsh_r") == 8 && r.getAs[Int]("lsh_bands") == 8)
+      // the semanticDispatch design stats at (0.9, 64, 8)
+      assert(r.getAs[Double]("cand_frac") == 0.0313 &&
+        r.getAs[Double]("design_recall") == 0.935)
+    }
+    // WIDENED shape (targetOcc = 2 pushes past the design point): the
+    // plan re-derives (r, bands) from the closed form — independent
+    // seeded bands, same pair set
+    val (arm, r, bands) = Similarity.nearDupLshPlan(2 * n, 0.9, 64, 8,
+      targetOcc = 2)
+    assert(arm == "lsh_banded" && r > 8,
+      s"targetOcc=2 must force the widened shape, got ($arm, $r, $bands)")
+    val w = Similarity.prodPairsChecked(spark, sf, targetOcc = 2).collect()
+    assert(w.length == n,
+      s"widened banding must find ALL $n planted pairs, got ${w.length}")
+    w.foreach { x =>
+      assert(x.getAs[String]("lsh_arm") == "lsh_banded" &&
+        x.getAs[Int]("lsh_r") == r && x.getAs[Int]("lsh_bands") == bands)
+    }
+    assert(d.map(x => (x.getLong(0), x.getLong(1))).toSet ==
+      w.map(x => (x.getLong(0), x.getLong(1))).toSet,
+      "both shapes recover the same (complete) pair set")
+  }
+
+  test("adaptiveMaxBucket: 32x expected occupancy, floored 64, capped 2000") {
+    // the SCALE3_r18 datum shape: 200k vectors, widened r=16 ->
+    // expected occupancy ~3, cap ~98 (the hand-run 256 confirmed the
+    // regime; the derivation replaces the hand tuning)
+    assert(Similarity.adaptiveMaxBucket(200000L, 16) == 98L)
+    // design point at probe scale: n=1000, r=8 -> occ 3.9 -> 125
+    assert(Similarity.adaptiveMaxBucket(1000L, 8) == 125L)
+    // sub-expected-occupancy corpora keep the recall floor
+    assert(Similarity.adaptiveMaxBucket(100L, 10) == 64L)
+    // dense buckets saturate at the historical ceiling (pinned keys'
+    // behavior at test scale is unchanged: sf0.1 emb_neardup_lsh runs
+    // r=4 -> occ=125 -> 32x = 4000 -> ceiling 2000, the old constant)
+    assert(Similarity.adaptiveMaxBucket(2000L, 4) == 2000L)
+    // r >= 62 never overflows the occupancy arithmetic
+    assert(Similarity.adaptiveMaxBucket(Long.MaxValue / 4, 63) == 64L)
+  }
+
   test("corpusSize re-counts when the corpus is rewritten at the same path") {
     import spark.implicits._
     val dir = new java.io.File("target/tmp-similarity/corpus_fresh")
