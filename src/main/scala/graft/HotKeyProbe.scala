@@ -238,12 +238,69 @@ object HotKeyProbe {
     val cdcOk = cdcRows.length == 1 && cdcRows.head.getLong(0) == 7L &&
       cdcRows.head.getDouble(1) == 42.5
 
+    // ---- scenario 4 (r18 ask #7): the WIDENED banded arm's own skew
+    // axis — scenario 2 drives the design-point slicing at the loose
+    // default tau, but the production-tau widened plan (independent
+    // seeded r-bit bands) has a different hot surface: a CLUSTERED
+    // corpus lands each cluster's whole mass in ONE bucket per band
+    // regardless of the occupancy target the width was derived for.
+    // Corpus: 200k vectors (the factor-100 embedding count) with HALF
+    // of them one byte-identical 100k-member cluster, a planted pair
+    // in its own private bucket, and unique random vectors elsewhere.
+    // nearDupLsh at tau 0.9 / targetOcc 256 dispatches the widened
+    // plan (r=16, 32 bands at this count); the occupancy-adaptive cap
+    // (~98 here) must bound every band's gather, so the surviving
+    // hot-cluster pair mass is <= bands x C(cap, 2) — five orders
+    // below the uncapped C(100k, 2) — while the planted pair and the
+    // run itself stay inside the bench heap.
+    val wN = 200000L
+    val wHotTo = 100010L
+    val wVecs = spark.range(wN).select(col("id").as("vec_id"),
+      when(col("id").isin(1L, 2L), array(
+        (0 until dim).map(j => lit(math.sin(2 * j + 1).toFloat)): _*))
+      .when(col("id") >= 10L && col("id") < wHotTo, array(
+        (0 until dim).map(j => lit(math.cos(3 * j + 2).toFloat)): _*))
+      .otherwise(expr(s"""transform(sequence(0, ${dim - 1}), j ->
+        CAST(CAST(pmod(xxhash64(vec_id, j, 7), 2001) - 1000 AS FLOAT)
+          / CAST(1000 AS FLOAT) AS FLOAT))"""))
+      .as("embedding"), lit(0).as("label"))
+    val wDir = s"${System.getProperty("java.io.tmpdir")}/graft_hotwidened"
+    wVecs.write.mode("overwrite").parquet(s"$wDir/embeddings.parquet")
+    val (wArm, wR, wBands) = operators.Similarity.nearDupLshPlan(
+      wN, 0.9, 64, 8, targetOcc = 256)
+    val wCap = operators.Similarity.adaptiveMaxBucket(wN, wR)
+    def hotW(id: Long) = id >= 10L && id < wHotTo
+    val (wStats, wSec) = timed {
+      val pairs = operators.Similarity
+        .nearDupLsh(spark, wDir, tau = 0.9, nBits = 64, bands = 8,
+          targetOcc = 256)
+        .select(col("va"), col("vb"))
+      // bounded-size driver read: per-class pair COUNTS, never the
+      // hot pair list itself
+      pairs.select(
+          (col("va") === 1L && col("vb") === 2L).as("planted"),
+          (col("va") >= 10L && col("va") < wHotTo &&
+            col("vb") >= 10L && col("vb") < wHotTo).as("hot"))
+        .groupBy().agg(
+          sum(when(col("planted"), 1L).otherwise(0L)),
+          sum(when(col("hot"), 1L).otherwise(0L)),
+          count(lit(1))).collect().head
+    }
+    val wPlanted = wStats.getLong(0) == 1L
+    val wHotPairs = wStats.getLong(1)
+    val wTotal = wStats.getLong(2)
+    val wBound = wBands.toLong * wCap * (wCap - 1) / 2
+    val wOk = wArm == "lsh_banded" && wR > 8 && wPlanted &&
+      wHotPairs <= wBound &&
+      // nothing outside planted + capped-hot except stray random hits
+      wTotal - wHotPairs <= 100L
+
     val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     def r3(v: Double) = BigDecimal(v).setScale(3,
       BigDecimal.RoundingMode.HALF_UP).toString
     val ok = cPlanted && !cLeaked && dPlanted && !dLeaked &&
       mPlanted && !mLeaked && sPlanted && !sLeaked && vPlanted && !vLeaked &&
-      prPlanted && lpOk && q37Ok && q38Ok && cdcOk
+      prPlanted && lpOk && q37Ok && q38Ok && cdcOk && wOk
     println(s"""{"metric":"hotkey_probe","n_docs":$nDocs,""" +
       s""""hot_shingle_df":$nDocs,"hot_block_docs":$hotBlock,""" +
       s""""hot_block_vecs":${hotVecTo - 10},"heap_max_mb":$heapMb,"keys":{""" +
@@ -256,7 +313,8 @@ object HotKeyProbe {
       s""""graph_labelprop":{"sec":${r3(lpSec)},"rows_ok":$lpOk,"n_nodes":$nG},""" +
       s""""q37_concurrency":{"sec":${r3(q37Sec)},"ok":$q37Ok,"hot_type_events":2000000},""" +
       s""""q38_deciles_2l":{"sec":${r3(q38Sec)},"ok":$q38Ok,"hot_segment_rows":2000000},""" +
-      s""""stream_cdc_merge":{"sec":${r3(cdcSec)},"ok":$cdcOk,"hot_key_ops":${nCdc - nCdc / 20 - 2}}},""" +
+      s""""stream_cdc_merge":{"sec":${r3(cdcSec)},"ok":$cdcOk,"hot_key_ops":${nCdc - nCdc / 20 - 2}},""" +
+      s""""neardup_lsh_widened":{"sec":${r3(wSec)},"ok":$wOk,"arm":"$wArm","r":$wR,"bands":$wBands,"cap":$wCap,"planted_pair":$wPlanted,"hot_pairs":$wHotPairs,"hot_pair_bound":$wBound,"hot_cluster_vecs":${wHotTo - 10},"n_vecs":$wN}},""" +
       s""""ok":$ok}""")
     spark.stop()
     if (!ok) sys.exit(1)

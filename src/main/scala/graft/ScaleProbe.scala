@@ -33,16 +33,26 @@ import org.apache.spark.sql.functions._
   * line; the driver-visible artifact is SCALE_r{N}.json. */
 object ScaleProbe {
 
-  /** The probe set == the SCALE_BASELINE.json pin set (r18): the
-    * bench's heavy keys plus every operator the r16-r18 scale work
-    * reshaped — a bare run probes exactly what the gate compares. */
+  /** The probe set == the SCALE_BASELINE.json pin set: the bench's
+    * heavy keys plus every operator the r16-r19 scale work reshaped —
+    * a bare run probes exactly what the gate compares. r19 (verdict
+    * ask #3) extends past the known heavy hitters to the next tier:
+    * iterative GD (text_classifier_train), the persisted-graph search
+    * + its cold fit (ann_graph_topk), the component/label-prop loops
+    * whose round counts could grow with scale (dedup_clusters,
+    * graph_labelprop), the incremental-view join (q49_view_maintain,
+    * over the now-scaled events), and the two freshly oracle-gated
+    * production-tau banded keys. */
   val probeKeys: Seq[String] = Seq(
     "ann_nndescent", "emb_dedup_final", "text_kn_perplexity",
     "dedup_final", "ann_nprobe_sweep", "dedup_lsh_sweep",
     "pipeline_paraphrase", "geo_dbscan", "graph_modularity",
     "dedup_containment", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "emb_neardup_lsh", "text_decontaminate",
-    "pipeline_curate")
+    "pipeline_curate",
+    "text_classifier_train", "ann_graph_topk", "dedup_clusters",
+    "graph_labelprop", "q49_view_maintain", "emb_neardup_prod",
+    "emb_neardup_prod_widened")
 
   /** Build the 10x shape-preserving replication under `dst`. */
   def buildScaled(spark: SparkSession, src: String, dst: String,
@@ -108,9 +118,36 @@ object ScaleProbe {
       }.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
     }
 
+    // events (gen 3): per-copy shifts on event_id, user_id AND ts —
+    // the time axis must grow with the data or every copy folds into
+    // the same hourly windows and group cardinality stays flat (a
+    // replication artifact: window-keyed operators like
+    // q49_view_maintain would measure constant group counts at any
+    // factor). Shifting ts by copy x (span + 1 h) keeps within-copy
+    // temporal structure exact and makes window/user/event key spaces
+    // all scale linearly. ts arrives as LongType nanos
+    // (nanosAsLong=true) and is written back as nanos — Tables.events
+    // normalizes either representation.
+    locally {
+      val ev = spark.read.parquet(s"$src/events.parquet")
+      val Array(mnE, mxE, mnU, mxU, mnT, mxT) =
+        ev.agg(min(col("event_id")), max(col("event_id")),
+            min(col("user_id")), max(col("user_id")),
+            min(col("ts")), max(col("ts")))
+          .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+      val mE = mxE - mnE + 1L; val mU = mxU - mnU + 1L
+      val spanNs = mxT - mnT + 3600L * 1000000000L
+      copies(ev) { (d, i) =>
+        d.select((col("event_id") + lit(i * mE)).as("event_id"),
+          (col("ts") + lit(i * spanNs)).as("ts"),
+          (col("user_id") + lit(i * mU)).as("user_id"),
+          col("event_type"), col("value"))
+      }.write.mode("overwrite").parquet(s"$dst/events.parquet")
+    }
+
     // remaining tables ride unscaled (no probe key reads them; present
     // so fingerprints and incidental loads resolve)
-    Seq("region", "nation", "orders", "lineitem", "part", "events")
+    Seq("region", "nation", "orders", "lineitem", "part")
       .foreach { t =>
         spark.read.parquet(s"$src/$t.parquet")
           .write.mode("overwrite").parquet(s"$dst/$t.parquet")
@@ -126,10 +163,13 @@ object ScaleProbe {
 
   private def scaledMarker(dst: String): String = s"$dst/_GRAFT_SCALED"
   // gen versions the CONSTRUCTION, not just its inputs: a generator
-  // change (r18: embedding sign-flip copies) must invalidate corpora
-  // built by the old one, or stale data silently poisons every ratio
+  // change (r18: embedding sign-flip copies; r19: events scaled with
+  // per-copy id/user/ts shifts — documents/embeddings/customer/
+  // supplier construction unchanged, so prior pins stay comparable)
+  // must invalidate corpora built by the old one, or stale data
+  // silently poisons every ratio
   private def markerContent(src: String, factor: Int): String =
-    s"base=$src\nfactor=$factor\ngen=2\n"
+    s"base=$src\nfactor=$factor\ngen=3\n"
 
   /** True iff a prior [[buildScaled]] COMPLETED with the same base and
     * factor — the marker is written as the build's last step. */
@@ -296,7 +336,7 @@ object ScaleProbe {
       val pinned = (prior ++ fresh).toSeq.sortBy(_._1).map(_._2)
         .mkString(",")
       java.nio.file.Files.write(pinPath,
-        (s"""{"metric":"scale_baseline","factor":$factor,"gen":2,""" +
+        (s"""{"metric":"scale_baseline","factor":$factor,"gen":3,""" +
           s""""keys":{$pinned}}""").getBytes("UTF-8"))
       System.err.println(s"[scale] pinned ${fresh.size} keys to $pinPath")
     }

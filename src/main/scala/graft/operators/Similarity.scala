@@ -974,29 +974,7 @@ object Similarity {
     if (arm == "exact_blocked")
       return nearDupBlockedOf(e0, tau)
     val cap = if (maxBucket > 0) maxBucket else adaptiveMaxBucket(n, r)
-    // r == 64 needs the all-bits mask: (1L << 64) wraps to 1, which
-    // would silently hash every vector into one capped-away bucket
-    val mask = if (r == 64) -1L else (1L << r) - 1
-    val banded =
-      if (r == nBits / bands && bandsUsed == bands)
-        // design point: slice ONE nBits signature into bands r-bit keys
-        // (bit-identical to the fixed-config path all pins measured)
-        e0.select(col("vec_id"),
-            graft.functions.VectorFunctions
-              .vec_simhash(col("embedding"), nBits).as("sig"))
-          .select(col("vec_id"),
-            posexplode(array((0 until bandsUsed).map(b =>
-              xxhash64(lit(b), shiftrightunsigned(col("sig"), b * r)
-                .bitwiseAND(lit(mask)))): _*)))
-          .select(col("vec_id"), col("col").as("bucket"))
-      else
-        // widened: per-band independent r-bit seeded signatures — the
-        // key space 2^r grows with n, occupancy stays ~targetOcc
-        e0.select(col("vec_id"),
-            posexplode(array((0 until bandsUsed).map(b =>
-              xxhash64(lit(b), graft.functions.VectorFunctions
-                .vec_simhash_seeded(col("embedding"), r, (b + 1).toLong))): _*)))
-          .select(col("vec_id"), col("col").as("bucket"))
+    val banded = bandedBuckets(e0, r, bandsUsed, nBits, bands)
     // same single-shuffle pair pattern as the text LSH: bucket members
     // are gathered once, pairs expand map-side, and the size cap is
     // enforced INSIDE the aggregation (CappedDistinctSet dead-bit — a
@@ -1020,6 +998,37 @@ object Similarity {
       .filter(col("cos") >= tau)
       .select(col("va"), col("vb"), round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("va"), col("vb"))
+  }
+
+  /** The (vec_id, bucket) banded frame behind [[nearDupLshOf]] (and,
+    * with `only0`, the [[nearDupLshAuto]] occupancy probe, which reads
+    * band 0's keys alone): at the DESIGN POINT, slices of ONE
+    * per-row-hoisted nBits signature (bit-identical to the
+    * fixed-config path all pins measured); widened, per-band
+    * INDEPENDENT r-bit seeded signatures — the key space 2^r grows
+    * with n, occupancy stays ~targetOcc. */
+  private def bandedBuckets(e0: DataFrame, r: Int, bandsUsed: Int,
+                            nBits: Int, bands: Int,
+                            only0: Boolean = false): DataFrame = {
+    // r == 64 needs the all-bits mask: (1L << 64) wraps to 1, which
+    // would silently hash every vector into one capped-away bucket
+    val mask = if (r == 64) -1L else (1L << r) - 1
+    val nb = if (only0) 1 else bandsUsed
+    if (r == nBits / bands && bandsUsed == bands)
+      e0.select(col("vec_id"),
+          graft.functions.VectorFunctions
+            .vec_simhash(col("embedding"), nBits).as("sig"))
+        .select(col("vec_id"),
+          posexplode(array((0 until nb).map(b =>
+            xxhash64(lit(b), shiftrightunsigned(col("sig"), b * r)
+              .bitwiseAND(lit(mask)))): _*)))
+        .select(col("vec_id"), col("col").as("bucket"))
+    else
+      e0.select(col("vec_id"),
+          posexplode(array((0 until nb).map(b =>
+            xxhash64(lit(b), graft.functions.VectorFunctions
+              .vec_simhash_seeded(col("embedding"), r, (b + 1).toLong))): _*)))
+        .select(col("vec_id"), col("col").as("bucket"))
   }
 
   /** OCCUPANCY-ADAPTIVE bucket cap (r18 verdict ask #2): the gather cap
@@ -1313,6 +1322,61 @@ object Similarity {
         ("lsh_banded", r, needed)
       else ("exact_blocked", r, needed)
     }
+  }
+
+  /** MEASURED-OCCUPANCY dispatch decision (r18 verdict ask #8): the
+    * closed-form [[nearDupLshPlan]] reasons from the corpus COUNT
+    * under a uniformity assumption — on a CLUSTERED corpus (whole
+    * clusters sharing signatures) the banding degenerates even at
+    * tight tau: candidate mass concentrates into few buckets, the
+    * occupancy cap then has to discard most of each cluster's gather,
+    * and recall collapses exactly where the quadratic IS the answer.
+    * Given band 0's measured per-bucket candidate-pair mass (sum of
+    * c·(c-1)/2 over its bucket histogram — a count-shaped statistic,
+    * no ids gathered), the banded plan's total candidate cost is
+    * ~bands x that; when it stops being a real saving over the n²/2
+    * exact tile pass (< the 4x margin — verify cost per candidate
+    * exceeds raw tile FMA cost, so near-parity candidate mass already
+    * means the tile kernel wins), the honest plan is
+    * [[nearDupBlocked]]'s skew-proof exact scan at recall 1.0. Pure in
+    * its inputs — spec-pinned on both corpus shapes. */
+  private[graft] def nearDupLshPlanMeasured(n: Long, bands: Int,
+                                            band0Pairs: Long): String =
+    if (bands.toDouble * band0Pairs.toDouble >=
+        0.25 * (n.toDouble * (n.toDouble - 1) / 2)) "exact_blocked"
+    else "lsh_banded"
+
+  /** [[nearDupLsh]] with the measured-occupancy fallback: runs the
+    * closed-form plan, probes band 0's bucket histogram (one
+    * count-shaped aggregation over the corpus — driver-state read, the
+    * plan-sizing dispatch precedent), and dispatches to the exact tile
+    * kernel when [[nearDupLshPlanMeasured]] says the banding
+    * degenerated on THIS corpus. The registered keys keep the pure
+    * closed-form dispatch (their provenance rows must restate in the
+    * oracle from count(*) alone); this entry is the production
+    * operator for corpora whose shape is unknown. */
+  def nearDupLshAuto(spark: SparkSession, dir: String, tau: Double = 0.9,
+                     nBits: Int = 64, bands: Int = 8,
+                     targetOcc: Long = 1024, maxBands: Int = 32)
+      : DataFrame = {
+    val e0 = emb(spark, dir)
+    val n = corpusSize(spark, dir)
+    val (arm, r, bandsUsed) =
+      nearDupLshPlan(n, tau, nBits, bands, targetOcc, maxBands)
+    val armEff =
+      if (arm == "exact_blocked") arm
+      else {
+        // driver-state read: one scalar shapes the plan (AQE analogy)
+        val band0Pairs = bandedBuckets(e0, r, bandsUsed, nBits, bands,
+            only0 = true)
+          .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+          .agg(sum(col("c") * (col("c") - 1) / 2).cast("long"))
+          .collect().head.getLong(0)
+        nearDupLshPlanMeasured(n, bandsUsed, band0Pairs)
+      }
+    if (armEff == "exact_blocked") nearDupBlockedOf(e0, tau)
+    else nearDupLshOf(e0, n, tau, nBits, bands, targetOcc = targetOcc,
+      maxBands = maxBands)
   }
 
   /** Pair source for [[semanticDedup]] — dispatched by the CLOSED-FORM

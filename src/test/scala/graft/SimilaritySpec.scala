@@ -1884,6 +1884,57 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.adaptiveMaxBucket(Long.MaxValue / 4, 63) == 64L)
   }
 
+  test("nearDupLshAuto: uniform corpus keeps the banding, clustered corpus " +
+    "dispatches the exact tile (measured-occupancy cost model)") {
+    import spark.implicits._
+    // the pure decision function on both shapes: banded candidate mass
+    // ~ bands x band0Pairs vs the n²/2 exact tile, 4x margin
+    assert(Similarity.nearDupLshPlanMeasured(10000L, 8, 200000L) ==
+      "lsh_banded")
+    assert(Similarity.nearDupLshPlanMeasured(10000L, 8, 24997500L) ==
+      "exact_blocked")
+    // end-to-end: the same operator call picks opposite arms on the
+    // two corpus SHAPES at identical counts and config
+    def usesSimhash(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan
+        .collect { case p => p.expressions.flatMap(_.collect {
+          case _: graft.functions.VecSimHash => true }) }
+        .flatten.nonEmpty
+    def corpusOf(name: String, clustered: Boolean): String = {
+      val d = new java.io.File(s"target/tmp-similarity/auto_$name")
+      org.apache.commons.io.FileUtils.deleteQuietly(d)
+      d.mkdirs()
+      val n = 5000L
+      val base = spark.range(n).select(col("id").as("vec_id"),
+        (if (clustered)
+          when(col("id") < 4500L, array(
+            (0 until 16).map(j => lit(math.cos(j + 1).toFloat)): _*))
+          .otherwise(expr("""transform(sequence(0, 15), j ->
+            CAST(CAST(pmod(xxhash64(vec_id, j), 2001) - 1000 AS FLOAT)
+              / CAST(1000 AS FLOAT) AS FLOAT))"""))
+        else
+          expr("""transform(sequence(0, 15), j ->
+            CAST(CAST(pmod(xxhash64(vec_id, j), 2001) - 1000 AS FLOAT)
+              / CAST(1000 AS FLOAT) AS FLOAT))"""))
+          .as("embedding"), lit(0).as("label"))
+      base.write.mode("overwrite")
+        .parquet(s"${d.getAbsolutePath}/embeddings.parquet")
+      d.getAbsolutePath
+    }
+    val uni = corpusOf("uniform", clustered = false)
+    val clu = corpusOf("clustered", clustered = true)
+    assert(usesSimhash(Similarity.nearDupLshAuto(spark, uni)),
+      "uniform corpus: the closed-form banded plan must survive the probe")
+    assert(!usesSimhash(Similarity.nearDupLshAuto(spark, clu)),
+      "clustered corpus: the measured occupancy must dispatch the exact tile")
+    // and the exact arm on the clustered corpus returns the cluster's
+    // full quadratic truth — recall 1.0 where banding would have capped
+    val pairs = Similarity.nearDupLshAuto(spark, clu)
+      .filter(col("va") < 4500L && col("vb") < 4500L).count()
+    assert(pairs == 4500L * 4499L / 2,
+      s"exact arm must return the full within-cluster pair set, got $pairs")
+  }
+
   test("corpusSize re-counts when the corpus is rewritten at the same path") {
     import spark.implicits._
     val dir = new java.io.File("target/tmp-similarity/corpus_fresh")
