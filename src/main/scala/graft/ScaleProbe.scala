@@ -129,7 +129,19 @@ object ScaleProbe {
     // (nanosAsLong=true) and is written back as nanos — Tables.events
     // normalizes either representation.
     locally {
-      val ev = spark.read.parquet(s"$src/events.parquet")
+      val raw = spark.read.parquet(s"$src/events.parquet")
+      // normalize ts to nanos-long regardless of the writer's physical
+      // type (TIMESTAMP(NANOS)->LongType under nanosAsLong, or
+      // timestamp[us] NTZ — session TZ is UTC so the cast is identity
+      // on the stored instant); the scaled corpus always stores the
+      // long form, which Tables.events normalizes on read
+      val ev = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => raw
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts",
+            expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000"))
+        case _ => raw.withColumn("ts", expr("unix_micros(ts) * 1000"))
+      }
       val Array(mnE, mxE, mnU, mxU, mnT, mxT) =
         ev.agg(min(col("event_id")), max(col("event_id")),
             min(col("user_id")), max(col("user_id")),
@@ -196,9 +208,18 @@ object ScaleProbe {
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
     def timeOne(fn: (SparkSession, String) => DataFrame,
                 dir: String): Double = {
-      spark.catalog.clearCache()
-      System.gc()
       val ts = (1 to reps).map { _ =>
+        // release finished frames BETWEEN reps/keys, not just the SQL
+        // cache: localCheckpoint()ed frames pin RDD blocks the catalog
+        // never sees, and at factor 100 a cold ModelStore fit's blocks
+        // alone can hold most of the heap into the NEXT key's
+        // quadratic pass (observed: emb_dedup_final OOMing right after
+        // ann_nndescent's cold fit — the same leak Bench fixed in r16,
+        // never ported here)
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        System.gc()
         val t0 = System.nanoTime()
         try { fn(spark, dir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
@@ -301,25 +322,37 @@ object ScaleProbe {
       else {
         val tau = 0.9; val occ = 256L
         val n = spark.read.parquet(s"$scaled/embeddings.parquet").count()
-        val (arm, r, bands) =
-          operators.Similarity.nearDupLshPlan(n, tau, 64, 8, occ, 32)
-        spark.catalog.clearCache(); System.gc()
-        val t0 = System.nanoTime()
         // DEFAULT config (r18 verdict ask #2): the cap is now derived
         // from the plan's expected occupancy (Similarity.
         // adaptiveMaxBucket — 32x n/2^r, floor 64, ceiling 2000)
         // instead of the hand-run 256 this datum needed in r18, when
         // the constant-2000 default let clustered signature buckets
         // spill the cap²-bounded candidate explode past the disk.
-        val nPairs = operators.Similarity
-          .nearDupLsh(spark, scaled, tau, 64, 8, targetOcc = occ)
-          .count()
-        val sec = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[scale] widened-arm tau=$tau r=$r " +
-          f"bands=$bands pairs=$nPairs sec=${r3(sec)}")
+        // TWO band budgets: once r* saturates maxBands, banded
+        // candidate mass grows ~ n² x bands x 2^-r* — quadratic again —
+        // and the recovery knob is the band BUDGET (each extra key bit
+        // costs ~1/p more bands and halves the random mass). The
+        // second datum measures exactly that trade at the same corpus.
+        val arms = Seq(32, 64).map { mb =>
+          val (arm, r, bands) =
+            operators.Similarity.nearDupLshPlan(n, tau, 64, 8, occ, mb)
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+          System.gc()
+          val t0 = System.nanoTime()
+          val nPairs = operators.Similarity
+            .nearDupLsh(spark, scaled, tau, 64, 8, targetOcc = occ,
+              maxBands = mb)
+            .count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[scale] widened-arm tau=$tau maxBands=$mb " +
+            f"r=$r bands=$bands pairs=$nPairs sec=${r3(sec)}")
+          s"""{"max_bands":$mb,"arm":"$arm","r":$r,"bands":$bands,""" +
+            s""""pairs":$nPairs,"sec":${r3(sec)}}"""
+        }
         s""","widened_arm":{"tau":$tau,"target_occ":$occ,"n":$n,""" +
-          s""""arm":"$arm","r":$r,"bands":$bands,"pairs":$nPairs,""" +
-          s""""sec":${r3(sec)}}"""
+          s""""budgets":[${arms.mkString(",")}]}"""
       }
     println(s"""{"metric":"scale_probe","factor":$factor,"base":"$base","scaled":"$scaled","reps":$reps,"keys":$qs,"worst_ratios":$worst,$vsPin$widenedJson}""")
     if (sys.env.get("SPARK_GRAFT_SCALE_PIN").contains("1")) {
