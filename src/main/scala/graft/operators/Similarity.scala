@@ -1467,10 +1467,21 @@ object Similarity {
     * (1024) holds the DESIGN-POINT single-signature slicing at test
     * scale; the registered `emb_neardup_prod_widened` twin passes 2 to
     * force the WIDENED independent-seeded-band path — the exact shape
-    * a 100x corpus dispatches to — under the same oracle. */
+    * a 100x corpus dispatches to — under the same oracle.
+    *
+    * `maxBands` defaults 64, not nearDupLsh's 32: once r* saturates
+    * the band budget, banded candidate mass grows n² x bands x 2^-r*
+    * again, and the budget is the recovery knob (each extra key bit
+    * costs ~1/p more bands and halves the random mass — the
+    * SCALE_r19 widened datum measured 2.5x wall at the same recall
+    * target). At test scale the plans are IDENTICAL under either
+    * budget (the clamp r <= ceil(log2 n) binds first), so every
+    * pinned hash is unchanged; at factor 100 the 64 budget runs
+    * r=19/51 bands instead of r=16/32 — 5x less candidate mass. */
   def prodPairsChecked(spark: SparkSession, dir: String, tau: Double = 0.9,
                        nBits: Int = 64, bands: Int = 8,
-                       targetOcc: Long = 1024): DataFrame = {
+                       targetOcc: Long = 1024,
+                       maxBands: Int = 64): DataFrame = {
     val base = emb(spark, dir).select(col("vec_id"), col("embedding"))
     // id offset for the planted copies: max+1 rides the plan as a
     // non-correlated scalar subquery (the scalarOf discipline)
@@ -1485,12 +1496,12 @@ object Similarity {
     val (dispArm, candFrac, designRecall) =
       semanticDispatch(tau, nBits, bands)
     val (arm, r, bandsUsed) =
-      nearDupLshPlan(n, tau, nBits, bands, targetOcc)
+      nearDupLshPlan(n, tau, nBits, bands, targetOcc, maxBands)
     val pairs =
       if (dispArm == "exact_blocked" || arm == "exact_blocked")
         nearDupBlockedOf(corpus, tau)
       else nearDupLshOf(corpus, n, tau, nBits, bands,
-        targetOcc = targetOcc)
+        targetOcc = targetOcc, maxBands = maxBands)
     pairs.select(col("va"), col("vb"), col("cos_sim"),
       lit(dispArm).as("pair_arm"), lit(candFrac).as("cand_frac"),
       lit(designRecall).as("design_recall"),
@@ -1503,9 +1514,11 @@ object Similarity {
     * scaladoc), the brute-force pair predicate at tau, and the
     * dispatch + banding-plan decisions closed-form from count(*).
     * Hard-wired to the production (64, 8) config the operator
-    * defaults (rBase = 8, maxBands = 32, the [[semanticDispatch]]
-    * 5%/0.9 criteria). */
-  def prodPairsOracle(tau: Double = 0.9, targetOcc: Long = 1024): String =
+    * defaults (rBase = 8, the [[semanticDispatch]] 5%/0.9 criteria);
+    * `maxBands` parameterizes the band budget exactly as the engine
+    * plan takes it. */
+  def prodPairsOracle(tau: Double = 0.9, targetOcc: Long = 1024,
+                      maxBands: Int = 64): String =
     s"""WITH mx AS (SELECT CAST(max(vec_id) + 1 AS BIGINT) AS off,
            CAST(2 * count(*) AS DOUBLE) AS n FROM embeddings),
        base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1520,7 +1533,7 @@ object Similarity {
          FROM mx),
        pl2 AS (SELECT design, p, r0,
            CASE WHEN design THEN 8 ELSE greatest(1, least(62, least(
-             CAST(floor(ln(1.0 - pow(1.0 - r0, 1.0 / 32)) / ln(p))
+             CAST(floor(ln(1.0 - pow(1.0 - r0, 1.0 / $maxBands)) / ln(p))
                AS INTEGER),
              CAST(ceil(log2(n)) AS INTEGER)))) END AS r
          FROM pl),
@@ -1539,7 +1552,7 @@ object Similarity {
          (SELECT floor(r0 * 10000.0 + 0.5) / 10000.0 FROM pl3)
            AS design_recall,
          (SELECT CASE WHEN design THEN 'lsh_banded'
-            WHEN needed <= 32 AND needed * pow(0.5, r) <= 0.05
+            WHEN needed <= $maxBands AND needed * pow(0.5, r) <= 0.05
               THEN 'lsh_banded'
             ELSE 'exact_blocked' END FROM pl3) AS lsh_arm,
          (SELECT r FROM pl3) AS lsh_r,

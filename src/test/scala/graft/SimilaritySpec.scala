@@ -1852,7 +1852,7 @@ class SimilaritySpec extends AnyFunSuite {
     // plan re-derives (r, bands) from the closed form — independent
     // seeded bands, same pair set
     val (arm, r, bands) = Similarity.nearDupLshPlan(2 * n, 0.9, 64, 8,
-      targetOcc = 2)
+      targetOcc = 2, maxBands = 64)
     assert(arm == "lsh_banded" && r > 8,
       s"targetOcc=2 must force the widened shape, got ($arm, $r, $bands)")
     val w = Similarity.prodPairsChecked(spark, sf, targetOcc = 2).collect()
