@@ -203,6 +203,12 @@ object SparkEntry {
     "emb_neardup_prod" -> ((s, d) => Similarity.prodPairsChecked(s, d)),
     "emb_neardup_prod_widened" ->
       ((s, d) => Similarity.prodPairsChecked(s, d, targetOcc = 2)),
+    // MEASURED-occupancy dispatch on the registered (uniform) corpus:
+    // the band-0 probe must keep the banded arm and find zero false
+    // positives (no true 0.9-pair exists here); the clustered-shape
+    // flip is spec-pinned (registered tables are uniform by build)
+    "emb_neardup_auto" ->
+      ((s, d) => Similarity.autoDispatchChecked(s, d)),
     // E. text analysis
     "text_quality" -> (TextAnalysis.quality _),
     "text_langid" -> (TextAnalysis.langid _),
@@ -3637,6 +3643,16 @@ object SparkEntry {
     "emb_neardup_prod" -> operators.Similarity.prodPairsOracle(),
     "emb_neardup_prod_widened" ->
       operators.Similarity.prodPairsOracle(targetOcc = 2),
+    // auto dispatch: arm literal pinned (fixed uniform corpus — a flip
+    // means the occupancy probe or threshold regressed), n_pairs =
+    // brute-force count at tau 0.9 (zero here; any banded false
+    // positive would break it)
+    "emb_neardup_auto" ->
+      """SELECT 'lsh_banded' AS arm_effective,
+           CAST(count(*) AS BIGINT) AS n_pairs
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+           b.embedding::DOUBLE[]) >= CAST(0.9 AS DOUBLE)""",
     "emb_neardup" ->
       """SELECT a.vec_id AS va, b.vec_id AS vb,
            round(list_cosine_similarity(a.embedding::DOUBLE[],

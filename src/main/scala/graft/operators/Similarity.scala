@@ -1358,7 +1358,18 @@ object Similarity {
   def nearDupLshAuto(spark: SparkSession, dir: String, tau: Double = 0.9,
                      nBits: Int = 64, bands: Int = 8,
                      targetOcc: Long = 1024, maxBands: Int = 32)
-      : DataFrame = {
+      : DataFrame =
+    nearDupLshAutoWithArm(spark, dir, tau, nBits, bands, targetOcc,
+      maxBands)._1
+
+  /** [[nearDupLshAuto]] plus the EFFECTIVE arm it dispatched — the
+    * seam [[autoDispatchChecked]] registers under the oracle. */
+  private[graft] def nearDupLshAutoWithArm(spark: SparkSession,
+                                           dir: String, tau: Double = 0.9,
+                                           nBits: Int = 64, bands: Int = 8,
+                                           targetOcc: Long = 1024,
+                                           maxBands: Int = 32)
+      : (DataFrame, String) = {
     val e0 = emb(spark, dir)
     val n = corpusSize(spark, dir)
     val (arm, r, bandsUsed) =
@@ -1374,9 +1385,29 @@ object Similarity {
           .collect().head.getLong(0)
         nearDupLshPlanMeasured(n, bandsUsed, band0Pairs)
       }
-    if (armEff == "exact_blocked") nearDupBlockedOf(e0, tau)
-    else nearDupLshOf(e0, n, tau, nBits, bands, targetOcc = targetOcc,
-      maxBands = maxBands)
+    if (armEff == "exact_blocked") (nearDupBlockedOf(e0, tau), armEff)
+    else (nearDupLshOf(e0, n, tau, nBits, bands, targetOcc = targetOcc,
+      maxBands = maxBands), armEff)
+  }
+
+  /** ORACLE-GATED contract for [[nearDupLshAuto]]'s MEASURED dispatch
+    * on the registered corpus: one row — the effective arm plus the
+    * pair count the dispatched plan produced. The embeddings testdata
+    * is occupancy-uniform (random-ish vectors, no clusters), so the
+    * band-0 probe must keep the closed-form banded choice — the
+    * oracle pins the literal 'lsh_banded' (the corpus is fixed; a
+    * dispatch flip means the probe or threshold regressed) — and at
+    * tau 0.9 the corpus holds NO true pair (max organic cosine ~0.6),
+    * so n_pairs doubles as a zero-false-positive check against the
+    * oracle's brute-force count. The CLUSTERED-shape dispatch (exact
+    * tile at the same count/config) cannot ride a registered-table
+    * oracle — the registered tables are uniform by construction — and
+    * stays spec-pinned (SimilaritySpec's two-shape test). */
+  def autoDispatchChecked(spark: SparkSession, dir: String,
+                          tau: Double = 0.9): DataFrame = {
+    val (pairs, armEff) = nearDupLshAutoWithArm(spark, dir, tau)
+    pairs.agg(count(lit(1)).as("n_pairs"))
+      .select(lit(armEff).as("arm_effective"), col("n_pairs"))
   }
 
   /** Pair source for [[semanticDedup]] — dispatched by the CLOSED-FORM
@@ -1506,7 +1537,13 @@ object Similarity {
       lit(dispArm).as("pair_arm"), lit(candFrac).as("cand_frac"),
       lit(designRecall).as("design_recall"),
       lit(arm).as("lsh_arm"), lit(r).as("lsh_r"),
-      lit(bandsUsed).as("lsh_bands"))
+      lit(bandsUsed).as("lsh_bands"),
+      // the occupancy-adaptive gather cap rides the hash too: the
+      // derivation (32x expected occupancy, floor 64, ceiling 2000) is
+      // restated closed-form by the oracle, so a silent cap change is
+      // a CORRECTNESS break, not just a spec failure (exact double
+      // arithmetic on both sides: n/2^r, x32, ceil)
+      lit(adaptiveMaxBucket(n, r)).as("lsh_cap"))
   }
 
   /** DuckDB restatement of [[prodPairsChecked]]: the derived planted
@@ -1556,7 +1593,11 @@ object Similarity {
               THEN 'lsh_banded'
             ELSE 'exact_blocked' END FROM pl3) AS lsh_arm,
          (SELECT r FROM pl3) AS lsh_r,
-         (SELECT needed FROM pl3) AS lsh_bands
+         (SELECT needed FROM pl3) AS lsh_bands,
+         (SELECT CAST(greatest(64, least(2000,
+            ceil(32.0 * greatest(1.0, n / pow(2.0, least(r, 62))))))
+            AS BIGINT)
+          FROM pl3, mx) AS lsh_cap
        FROM c a JOIN c b ON a.vec_id < b.vec_id
        WHERE list_cosine_similarity(a.v, b.v) >= CAST($tau AS DOUBLE)
        ORDER BY va, vb"""
