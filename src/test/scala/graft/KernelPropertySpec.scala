@@ -309,4 +309,71 @@ class KernelPropertySpec extends AnyFunSuite {
       Mvt.unzigzag(Mvt.zigzag(n)) == n && (n < 0 || Mvt.zigzag(n) == 2 * n)
     })
   }
+
+  test("nearDupLshPlan invariants hold across the whole (n, tau, budget) grid") {
+    import graft.operators.Similarity
+    // every banded plan the closed form can emit must honor the
+    // promises its DuckDB restatements and the dispatch criteria rely
+    // on: band count inside the budget, random-pair selectivity under
+    // the 5% criterion (widened regime), the key width sane, and the
+    // chosen (r, bands) actually delivering the base config's design
+    // recall at tau — the property the cost-optimal derivation trades
+    // width against
+    val ns = Seq(100L, 1000L, 10000L, 100000L, 1000000L, 10000000L,
+      100000000L, 1000000000L, 100000000000L)
+    val taus = Seq(0.5, 0.7, 0.8, 0.9, 0.95, 0.99)
+    for (n <- ns; tau <- taus; maxBands <- Seq(32, 64);
+         targetOcc <- Seq(2L, 256L, 1024L)) {
+      val (arm, r, bands) =
+        Similarity.nearDupLshPlan(n, tau, 64, 8, targetOcc, maxBands)
+      val label = s"(n=$n tau=$tau occ=$targetOcc mb=$maxBands)"
+      assert(r >= 1 && r <= 62, s"$label r=$r out of range")
+      val designPoint = n.toDouble / 256.0 <= targetOcc
+      if (designPoint)
+        assert((arm, r, bands) == (("lsh_banded", 8, 8)),
+          s"$label design point must keep the base slicing, got ($arm,$r,$bands)")
+      else if (arm == "lsh_banded") {
+        assert(bands <= maxBands, s"$label bands=$bands over budget")
+        assert(bands * math.pow(0.5, r) <= 0.05 + 1e-12,
+          s"$label selectivity ${bands * math.pow(0.5, r)}")
+        // recall promise: the widened (r, bands) reaches the BASE
+        // config's design recall at tau
+        val p = Similarity.bitAgreeP(tau)
+        val r0 = Similarity.lshPlanStats(tau, 64, 8)._2
+        val recall = 1.0 - math.pow(1.0 - math.pow(p, r), bands)
+        assert(recall >= r0 - 1e-9,
+          s"$label widened recall $recall < design $r0")
+      } else {
+        // exact dispatch only when NO affordable banding is selective:
+        // the emitted (r, bands) witness must itself violate a bound
+        assert(bands > maxBands || bands * math.pow(0.5, r) > 0.05,
+          s"$label dispatched exact with a viable banding ($r, $bands)")
+      }
+    }
+  }
+
+  test("adaptiveMaxBucket: bounded, monotone in expected occupancy") {
+    import graft.operators.Similarity
+    var prev = 0L
+    for (occPow <- 0 to 30) {
+      val n = 1L << occPow
+      val cap = Similarity.adaptiveMaxBucket(n, 10) // occ = n / 1024
+      assert(cap >= 64L && cap <= 2000L, s"n=$n cap=$cap out of bounds")
+      assert(cap >= prev, s"cap must be monotone in n at fixed r: $prev -> $cap")
+      prev = cap
+    }
+    // the ceiling binds exactly when 32x expected occupancy crosses it
+    assert(Similarity.adaptiveMaxBucket(64000L, 10) == 2000L)
+  }
+
+  test("nearDupLshPlanMeasured: threshold boundary is the 4x tile margin") {
+    import graft.operators.Similarity
+    val n = 10000L
+    val tile = n.toDouble * (n - 1) / 2
+    val boundary = (0.25 * tile / 8).toLong // bands = 8
+    assert(Similarity.nearDupLshPlanMeasured(n, 8, boundary - 1) ==
+      "lsh_banded")
+    assert(Similarity.nearDupLshPlanMeasured(n, 8, boundary + 1) ==
+      "exact_blocked")
+  }
 }
