@@ -14,9 +14,13 @@ object Bench {
     * the adjudication is auditable, not oracular.
     *
     * Returns key -> verdict for every breaching key:
-    * "contention" (some peer within 1.25x of pin), "regression"
-    * (every peer also breaches 2x), "inconclusive" (peers disagree,
-    * between the bands), "no_peer" (no peer measured the key). */
+    * "contention" (a MAJORITY of peers within 1.25x of pin and none
+    * breaching — a lone at-pin peer among breaching ones no longer
+    * decides, because committed peers can lag the build and one stale
+    * at-pin artifact would then relabel a genuine fresh regression;
+    * the r19 ADVICE item), "regression" (every peer also breaches 2x),
+    * "inconclusive" (mixed or mid-band peer signals), "no_peer" (no
+    * peer measured the key). */
   private[graft] def adjudicateBreaches(
       ratios: Map[String, Double],
       peers: Seq[Map[String, Double]],
@@ -24,17 +28,21 @@ object Bench {
     ratios.collect { case (k, r) if r > 2.0 =>
       val peerRatios = peers.flatMap(_.get(k))
         .flatMap(t => baseline.get(k).collect { case b if b > 0 => t / b })
+      val atPin = peerRatios.count(_ <= 1.25)
+      val breaching = peerRatios.count(_ > 2.0)
       val verdict =
         if (peerRatios.isEmpty) "no_peer"
-        else if (peerRatios.exists(_ <= 1.25)) "contention"
-        else if (peerRatios.forall(_ > 2.0)) "regression"
+        else if (breaching == peerRatios.size) "regression"
+        else if (breaching == 0 && atPin * 2 >= peerRatios.size) "contention"
         else "inconclusive"
       k -> verdict
     }
 
   /** The `queries` map of a bench JSON artifact (absent file or
     * unparsable content -> None; the adjudication then degrades to
-    * no_peer instead of crashing the bench). */
+    * no_peer instead of crashing the bench). Only NonFatal errors
+    * degrade — an OOM or linkage error mid-parse is the JVM failing,
+    * not a peer file being junk, and must propagate (r19 ADVICE). */
   private[graft] def readQueriesMap(path: String): Option[Map[String, Double]] =
     try {
       import org.json4s._
@@ -49,7 +57,7 @@ object Bench {
         }.toMap)
         case _ => None
       }
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
   /** Verification-free twins of the *Checked queries. A checked query's
     * plan runs operator + oracle-restatement verification in one job, so
     * its wall time conflates the two; timing the twin separates them —

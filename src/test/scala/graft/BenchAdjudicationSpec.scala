@@ -20,11 +20,29 @@ class BenchAdjudicationSpec extends AnyFunSuite {
       "only the breaching key is adjudicated, and as a regression")
   }
 
-  test("a breach a fresh peer measures at-pin classifies as contention") {
+  test("a breach a MAJORITY of fresh peers measure at-pin is contention") {
+    val ratios = Map("q_fast" -> 2.7)
+    // both peers at/near pin, none breaching -> the box, not the code
+    val peers = Seq(Map("q_fast" -> 0.95), Map("q_fast" -> 1.1))
+    assert(Bench.adjudicateBreaches(ratios, peers, baseline) ==
+      Map("q_fast" -> "contention"))
+  }
+
+  test("a lone at-pin peer among breaching peers is inconclusive, not contention") {
+    // the r19 ADVICE hazard: committed peers can lag the build, so ONE
+    // stale at-pin artifact must not relabel a reproducing regression
     val ratios = Map("q_fast" -> 2.7)
     val peers = Seq(Map("q_fast" -> 0.95), Map("q_fast" -> 2.9))
     assert(Bench.adjudicateBreaches(ratios, peers, baseline) ==
-      Map("q_fast" -> "contention"))
+      Map("q_fast" -> "inconclusive"))
+  }
+
+  test("majority at-pin but a breaching minority is still inconclusive") {
+    val ratios = Map("q_fast" -> 2.7)
+    val peers = Seq(Map("q_fast" -> 0.9), Map("q_fast" -> 1.0),
+      Map("q_fast" -> 2.5))
+    assert(Bench.adjudicateBreaches(ratios, peers, baseline) ==
+      Map("q_fast" -> "inconclusive"))
   }
 
   test("peers between the bands are inconclusive; absent peers are no_peer") {

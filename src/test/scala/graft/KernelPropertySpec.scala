@@ -322,10 +322,15 @@ class KernelPropertySpec extends AnyFunSuite {
     val ns = Seq(100L, 1000L, 10000L, 100000L, 1000000L, 10000000L,
       100000000L, 1000000000L, 100000000000L)
     val taus = Seq(0.5, 0.7, 0.8, 0.9, 0.95, 0.99)
-    for (n <- ns; tau <- taus; maxBands <- Seq(32, 64);
+    // maxBands 0 = the corpus-count-derived AUTO budget (r19 verdict
+    // ask #2) — resolved per (n, tau) below, all invariants identical
+    for (n <- ns; tau <- taus; maxBands <- Seq(0, 32, 64);
          targetOcc <- Seq(2L, 256L, 1024L)) {
       val (arm, r, bands) =
         Similarity.nearDupLshPlan(n, tau, 64, 8, targetOcc, maxBands)
+      val budget =
+        if (maxBands > 0) maxBands
+        else Similarity.autoBandBudget(n, tau, 64, 8)
       val label = s"(n=$n tau=$tau occ=$targetOcc mb=$maxBands)"
       assert(r >= 1 && r <= 62, s"$label r=$r out of range")
       val designPoint = n.toDouble / 256.0 <= targetOcc
@@ -333,7 +338,7 @@ class KernelPropertySpec extends AnyFunSuite {
         assert((arm, r, bands) == (("lsh_banded", 8, 8)),
           s"$label design point must keep the base slicing, got ($arm,$r,$bands)")
       else if (arm == "lsh_banded") {
-        assert(bands <= maxBands, s"$label bands=$bands over budget")
+        assert(bands <= budget, s"$label bands=$bands over budget $budget")
         assert(bands * math.pow(0.5, r) <= 0.05 + 1e-12,
           s"$label selectivity ${bands * math.pow(0.5, r)}")
         // recall promise: the widened (r, bands) reaches the BASE
@@ -343,13 +348,38 @@ class KernelPropertySpec extends AnyFunSuite {
         val recall = 1.0 - math.pow(1.0 - math.pow(p, r), bands)
         assert(recall >= r0 - 1e-9,
           s"$label widened recall $recall < design $r0")
+        // the AUTO budget's defining invariant: r is never budget-
+        // starved below the occupancy clamp — the saturation regrowth
+        // regime (mass ~ n² x bands x 2^-r* once r* pins under
+        // ceil(log2 n)) cannot exist at any n
+        if (maxBands == 0) {
+          val rClamp = math.min(62,
+            math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt)
+          // the one legitimate exception: the 100k Int-overflow ceiling
+          // (loose tau x huge n, where needed(rClamp) explodes) — there
+          // the budget is deliberately capped, not silently saturated
+          assert(r == rClamp || budget == 100000,
+            s"$label auto budget left r=$r below the clamp $rClamp")
+        }
       } else {
         // exact dispatch only when NO affordable banding is selective:
         // the emitted (r, bands) witness must itself violate a bound
-        assert(bands > maxBands || bands * math.pow(0.5, r) > 0.05,
+        assert(bands > budget || bands * math.pow(0.5, r) > 0.05,
           s"$label dispatched exact with a viable banding ($r, $bands)")
       }
     }
+    // floor equivalence: below the 64-budget saturation point (~1.3M at
+    // tau 0.9) the auto derivation floors at 64, so every r19-pinned
+    // budget-64 plan is bit-identical under the auto default
+    for (n <- Seq(1000L, 4000L, 200000L, 400000L, 1000000L)) {
+      assert(Similarity.autoBandBudget(n, 0.9, 64, 8) == 64,
+        s"auto budget at n=$n must floor at 64")
+      assert(Similarity.nearDupLshPlan(n, 0.9, 64, 8, 2L, 0) ==
+        Similarity.nearDupLshPlan(n, 0.9, 64, 8, 2L, 64),
+        s"auto plan at n=$n must equal the budget-64 plan below the floor")
+    }
+    // and past it the budget grows with the clamp width ~(1/p)^log2(n)
+    assert(Similarity.autoBandBudget(4000000L, 0.9, 64, 8) > 64)
   }
 
   test("adaptiveMaxBucket: bounded, monotone in expected occupancy") {

@@ -1867,6 +1867,56 @@ class SimilaritySpec extends AnyFunSuite {
       "both shapes recover the same (complete) pair set")
   }
 
+  test("prodParaphraseChecked: banded pair source, both lexical verdicts " +
+    "closed-form (even = duplicate, odd = paraphrase)") {
+    val n = Tables.embeddings(spark, sf).count()
+    val off = Tables.embeddings(spark, sf)
+      .agg(max(col("vec_id"))).head.getLong(0) + 1
+    val rows = Similarity.prodParaphraseChecked(spark, sf).collect()
+    // every planted pair has a >= 3-word text on the committed corpus,
+    // so the composition keeps the FULL pair list
+    assert(rows.length == n,
+      s"composition must keep all $n planted pairs, got ${rows.length}")
+    rows.foreach { r =>
+      val va = r.getAs[Long]("va")
+      assert(r.getAs[Long]("vb") - va == off)
+      assert(r.getAs[String]("lsh_arm") == "lsh_banded" &&
+        r.getAs[String]("pair_arm") == "lsh_banded")
+      if (va % 2 == 0) {
+        // verbatim planted text: identical shingles, lexical DUPLICATE
+        assert(r.getAs[Double]("jaccard") == 1.0 &&
+          !r.getAs[Boolean]("paraphrase"),
+          s"even base id $va must verdict lexical-duplicate")
+      } else {
+        // token-suffixed planted text: disjoint shingles, PARAPHRASE
+        assert(r.getAs[Double]("jaccard") == 0.0 &&
+          r.getAs[Boolean]("paraphrase"),
+          s"odd base id $va must verdict paraphrase")
+      }
+    }
+  }
+
+  test("prodDedupChecked: banded pairs close into the planted perfect " +
+    "matching; base survivors, planted copies deduped") {
+    val n = Tables.embeddings(spark, sf).count()
+    val off = Tables.embeddings(spark, sf)
+      .agg(max(col("vec_id"))).head.getLong(0) + 1
+    val rows = Similarity.prodDedupChecked(spark, sf).collect()
+    assert(rows.length == 2 * n, "one verdict row per derived vector")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val cluster = r.getAs[Long]("cluster")
+      val survivor = r.getAs[Boolean]("survivor")
+      assert(r.getAs[String]("lsh_arm") == "lsh_banded")
+      if (id < off)
+        assert(cluster == id && survivor,
+          s"base $id must be its own component min and survive")
+      else
+        assert(cluster == id - off && !survivor,
+          s"planted $id must collapse into base ${id - off} and dedup")
+    }
+  }
+
   test("adaptiveMaxBucket: 32x expected occupancy, floored 64, capped 2000") {
     // the SCALE3_r18 datum shape: 200k vectors, widened r=16 ->
     // expected occupancy ~3, cap ~98 (the hand-run 256 confirmed the
@@ -1935,6 +1985,21 @@ class SimilaritySpec extends AnyFunSuite {
       s"exact arm must return the full within-cluster pair set, got $pairs")
   }
 
+  test("nearDupLshAuto on an empty corpus returns empty, not NPE") {
+    import spark.implicits._
+    val dir = new java.io.File("target/tmp-similarity/corpus_empty")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    dir.mkdirs()
+    val path = dir.getAbsolutePath
+    Seq.empty[(Long, Array[Float], String)]
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$path/embeddings.parquet")
+    // the band-0 occupancy probe's sum() is SQL-null over zero groups —
+    // the r19 ADVICE NPE: the guard must read it as 0 candidate pairs
+    // and dispatch to an (empty) banded frame
+    assert(Similarity.nearDupLshAuto(spark, path).count() == 0L)
+  }
+
   test("corpusSize re-counts when the corpus is rewritten at the same path") {
     import spark.implicits._
     val dir = new java.io.File("target/tmp-similarity/corpus_fresh")
@@ -1948,9 +2013,11 @@ class SimilaritySpec extends AnyFunSuite {
     write(10)
     assert(Similarity.corpusSize(spark, path) == 10L)
     // an in-session rewrite (the probe/spec overwrite pattern) must not
-    // serve the stale count — the r18 ADVICE wrong-arm hazard; mtime
-    // granularity is guarded by the explicit sleep
-    Thread.sleep(20)
+    // serve the stale count — the r18 ADVICE wrong-arm hazard. NO sleep:
+    // the freshness token now folds per-file (name, length, mtime)
+    // content signals (r19 ADVICE), so even a rewrite inside one
+    // mtime tick — and rewrites on object stores whose directory mtime
+    // is synthetic — flips the token
     write(25)
     assert(Similarity.corpusSize(spark, path) == 25L,
       "plan-shaping count served stale after an in-place corpus rewrite")
