@@ -42,7 +42,11 @@ object ScaleProbe {
     * whose round counts could grow with scale (dedup_clusters,
     * graph_labelprop), the incremental-view join (q49_view_maintain,
     * over the now-scaled events), and the two freshly oracle-gated
-    * production-tau banded keys. */
+    * production-tau banded keys. r20 (verdict ask #4) adds what a user
+    * actually runs — the three headline end-to-end pipelines
+    * (pipeline_ram_e2e over scaled customer/supplier origins/POIs,
+    * pipeline_llm_e2e and pipeline_dataset_card over scaled
+    * documents) — plus the two production-tau COMPOSITION keys. */
   val probeKeys: Seq[String] = Seq(
     "ann_nndescent", "emb_dedup_final", "text_kn_perplexity",
     "dedup_final", "ann_nprobe_sweep", "dedup_lsh_sweep",
@@ -52,7 +56,9 @@ object ScaleProbe {
     "pipeline_curate",
     "text_classifier_train", "ann_graph_topk", "dedup_clusters",
     "graph_labelprop", "q49_view_maintain", "emb_neardup_prod",
-    "emb_neardup_prod_widened")
+    "emb_neardup_prod_widened",
+    "pipeline_ram_e2e", "pipeline_llm_e2e", "pipeline_dataset_card",
+    "pipeline_paraphrase_prod", "emb_dedup_final_prod")
 
   /** Build the 10x shape-preserving replication under `dst`. */
   def buildScaled(spark: SparkSession, src: String, dst: String,
@@ -266,7 +272,7 @@ object ScaleProbe {
     // legacy entries without one inherit the file-level factor. Parsed
     // with json4s, not a regex — number-format drift must fail loudly,
     // not drop pins silently.
-    def readPins(): Map[String, (Double, Double, Int)] =
+    def readPins(): Map[String, (Double, Double, Int, Int)] =
       if (!java.nio.file.Files.exists(pinPath)) Map.empty
       else {
         import org.json4s._
@@ -283,7 +289,11 @@ object ScaleProbe {
           case JObject(fields) => fields.flatMap { case (k, v) =>
             for (r <- num(v \ "ratio"); a <- num(v \ "abs"))
               yield k -> (r, a,
-                num(v \ "factor").map(_.toInt).getOrElse(fileFactor))
+                num(v \ "factor").map(_.toInt).getOrElse(fileFactor),
+                // rep protocol per pin (r19 verdict ask #6): legacy
+                // entries without one were measured at the historical
+                // default (min-of-2)
+                num(v \ "reps").map(_.toInt).getOrElse(2))
           }.toMap
           case _ => Map.empty
         }
@@ -296,7 +306,7 @@ object ScaleProbe {
         // factor 10 says nothing about a run at factor 100
         val cmp = rows.flatMap { case (k, (_, s, r)) =>
           pins.get(k).collect {
-            case (pr, pa, pf) if pr > 0 && r >= 0 && pf == factor =>
+            case (pr, pa, pf, _) if pr > 0 && r >= 0 && pf == factor =>
               (k, r / pr, s, pa)
           }
         }
@@ -360,11 +370,16 @@ object ScaleProbe {
       // this run's measurements override, other pinned keys survive
       // VERBATIM with their own per-key factor — a subset re-pin at a
       // different factor can no longer relabel them (r18 ADVICE)
-      def render(k: String, r: Double, a: Double, f: Int): String =
-        s"""\"$k\":{"ratio":${r3(r)},"abs":${r3(a)},"factor":$f}"""
-      val prior = pins.map { case (k, (r, a, f)) => k -> render(k, r, a, f) }
+      // each pin records its REP PROTOCOL (min-of-N, r19 verdict ask
+      // #6): a re-pin at higher reps is distinguishable from the
+      // default-protocol pins it sits next to, so variance-vs-
+      // regression calls are reproducible from the artifact alone
+      def render(k: String, r: Double, a: Double, f: Int, rp: Int): String =
+        s"""\"$k\":{"ratio":${r3(r)},"abs":${r3(a)},"factor":$f,"reps":$rp}"""
+      val prior = pins.map { case (k, (r, a, f, rp)) =>
+        k -> render(k, r, a, f, rp) }
       val fresh = rows.filter(_._2._3 >= 0).map { case (k, (_, s, r)) =>
-        k -> render(k, r, s, factor)
+        k -> render(k, r, s, factor, reps)
       }.toMap
       val pinned = (prior ++ fresh).toSeq.sortBy(_._1).map(_._2)
         .mkString(",")
