@@ -44,8 +44,9 @@ def main() -> None:
     b["queries"] = pinned
     b["pinned_round"] = rnd
     b["source"] = (
-        f"per-key max of BENCH_r{rnd}_builder_run1/run2 (fresh-JVM "
-        "min-of-3 runs of the round-20 build on the build machine); the "
+        f"per-key max of {len(runs)} fresh-JVM min-of-3 runs of the "
+        f"round-{rnd} build on the build machine "
+        f"(BENCH_r{rnd}_builder_run*.json); the "
         "four contention-prone sub-second keys (ann_ndcg_eval, "
         "q31_range_lookup, q39_attribution, text_ngram_novelty) "
         "additionally fold the three committed r19 fresh-run samples — "
