@@ -141,6 +141,64 @@ object VectorMath {
     while (j < nBits) { if (acc(j) >= 0.0) sig |= (1L << j); j += 1 }
     sig
   }
+
+  /** POOLED multi-band signature — the WIDENED LSH arm's kernel (one
+    * call computes every band's r-bit signature) with BLOCK hashing:
+    * the per-bit family above burns one mix64 per (dim, bit) and uses
+    * ONE of its 64 output bits, so a widened plan at bands x r total
+    * bits pays bands x r x dim hash calls per row (the dominant
+    * banded-stage cost in the ProdProfile factor-100 breakdown). Here
+    * conceptual bit k = band * r + j draws its ±1 sign from bit
+    * (k mod 64) of mix64((dim << 32) | (k / 64) ^ mix64(seed)) — all
+    * 64 output bits of each hash call are spent, cutting hash calls
+    * 64x (dim x ceil(totalBits/64) per row), and the embedding is
+    * decoded ONCE per row instead of once per band expression.
+    * Distinct conceptual bits are distinct hyperplanes, so disjoint
+    * r-bit slices are exactly as independent as the per-band seeded
+    * signatures they replace — the banding recall closed form is
+    * unchanged; only the concrete hyperplane FAMILY differs (bucket
+    * contents re-roll, pair-set contracts re-verified). Returns one
+    * long per band, the band's r-bit signature in the low bits. */
+  def simhashPool(a: ArrayData, r: Int, bands: Int, seed: Long)
+      : ArrayData = {
+    val x = a.toFloatArray()
+    val total = r * bands
+    val nBlocks = (total + 63) >>> 6
+    val sm = TextHash.mix64(seed)
+    val acc = new Array[Double](total)
+    var i = 0
+    while (i < x.length) {
+      val xi = x(i).toDouble
+      var k = 0
+      var blk = 0
+      while (blk < nBlocks) {
+        val h = TextHash.mix64(((i.toLong << 32) | blk.toLong) ^ sm)
+        var t = 0
+        val end = math.min(64, total - (blk << 6))
+        while (t < end) {
+          if (((h >>> t) & 1L) == 0L) acc(k) += xi else acc(k) -= xi
+          t += 1
+          k += 1
+        }
+        blk += 1
+      }
+      i += 1
+    }
+    val sigs = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var sig = 0L
+      var j = 0
+      while (j < r) {
+        if (acc(b * r + j) >= 0.0) sig |= (1L << j)
+        j += 1
+      }
+      sigs(b) = sig
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(sigs)
+  }
 }
 
 /** `blocked_tile_pairs(tileA, tileB, diag)` -> array<struct<va, vb,
@@ -416,10 +474,40 @@ case class VecSimHash(child: Expression, nBits: Int, seed: Long = 0L)
     copy(child = newChild)
 }
 
+/** `vec_simhash_pool(v, r, bands[, seed])` -> array<long>: every
+  * band's r-bit random-hyperplane signature in one pass (see
+  * [[VectorMath.simhashPool]] — block-hashed sign stream, 64x fewer
+  * hash calls than per-band [[VecSimHash]] evaluation, one embedding
+  * decode per row). */
+case class VecSimHashPool(child: Expression, r: Int, bands: Int,
+                          seed: Long = 1L)
+  extends UnaryExpression {
+  require(r > 0 && r <= 62 && bands > 0)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_simhash_pool"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${t.simpleString}")
+  }
+  protected override def nullSafeEval(input: Any): Any =
+    VectorMath.simhashPool(input.asInstanceOf[ArrayData], r, bands, seed)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.VectorMath.simhashPool($a, $r, $bands, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   def cosine_sim(a: Column, b: Column): Column =
     SparkBridge.column(CosineSimilarity(
       SparkBridge.expression(a), SparkBridge.expression(b)))
+
+  def vec_simhash_pool(v: Column, r: Int, bands: Int): Column =
+    SparkBridge.column(VecSimHashPool(SparkBridge.expression(v), r, bands))
 
   def vec_simhash(v: Column, nBits: Int): Column =
     SparkBridge.column(VecSimHash(SparkBridge.expression(v), nBits))

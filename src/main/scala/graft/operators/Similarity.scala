@@ -1013,11 +1013,30 @@ object Similarity {
         transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
           struct(x.as("va"), y.as("vb")))))).as("p"))
       .select(col("p.va"), col("p.vb")).distinct()
+    // past the broadcast regime, the corpus side of each fetch join
+    // carries a SHUFFLE_HASH hint: Catalyst's default sort-merge would
+    // sort the candidate side — candidate-mass-sized, the largest
+    // frame in the plan — TWICE, while hashing the corpus side costs
+    // one bounded per-partition map each (the ProdProfile factor-100
+    // breakdown measured the two fetch joins at ~60% of the pipeline;
+    // the same asymmetry — bounded build side, huge probe side — holds
+    // at any corpus size, so the hint is the 100 TB plan, not a local
+    // tune). BELOW the threshold the hint is withheld, because an
+    // explicit join hint overrides Catalyst's size-based broadcast
+    // selection and a small corpus side SHOULD broadcast (measured:
+    // the unconditional hint doubled sub-100k base times). The
+    // threshold is the plan-shaping count already in hand — same
+    // closed-form-in-n discipline as the banding dispatch; both plans
+    // produce identical rows, so no oracle is affected.
+    def fetch(side: DataFrame): DataFrame =
+      if (n <= 100000L) side else side.hint("shuffle_hash")
     cands
-      .join(e0.select(col("vec_id").as("va"), col("embedding").as("ea"),
-        vec_norm(col("embedding")).as("_na")), Seq("va"))
-      .join(e0.select(col("vec_id").as("vb"), col("embedding").as("eb"),
-        vec_norm(col("embedding")).as("_nb")), Seq("vb"))
+      .join(fetch(e0.select(col("vec_id").as("va"),
+        col("embedding").as("ea"), vec_norm(col("embedding")).as("_na"))),
+        Seq("va"))
+      .join(fetch(e0.select(col("vec_id").as("vb"),
+        col("embedding").as("eb"), vec_norm(col("embedding")).as("_nb"))),
+        Seq("vb"))
       .withColumn("cos",
         cosFromNorms(col("ea"), col("eb"), col("_na"), col("_nb")))
       .filter(col("cos") >= tau)
@@ -1032,7 +1051,7 @@ object Similarity {
     * fixed-config path all pins measured); widened, per-band
     * INDEPENDENT r-bit seeded signatures — the key space 2^r grows
     * with n, occupancy stays ~targetOcc. */
-  private def bandedBuckets(e0: DataFrame, r: Int, bandsUsed: Int,
+  private[graft] def bandedBuckets(e0: DataFrame, r: Int, bandsUsed: Int,
                             nBits: Int, bands: Int,
                             only0: Boolean = false): DataFrame = {
     // r == 64 needs the all-bits mask: (1L << 64) wraps to 1, which
@@ -1049,11 +1068,18 @@ object Similarity {
               .bitwiseAND(lit(mask)))): _*)))
         .select(col("vec_id"), col("col").as("bucket"))
     else
+      // widened arm: ONE pooled-signature kernel call per row (every
+      // band's r bits from a block-hashed sign stream — 64x fewer hash
+      // calls and one embedding decode vs a per-band seeded expression;
+      // see VectorMath.simhashPool). pos IS the band index, so the
+      // only0 probe's single-band pool is bit-identical to the full
+      // pool's band 0 (same conceptual bit indices) — the
+      // measured-occupancy dispatch reads the same band it would run.
       e0.select(col("vec_id"),
-          posexplode(array((0 until nb).map(b =>
-            xxhash64(lit(b), graft.functions.VectorFunctions
-              .vec_simhash_seeded(col("embedding"), r, (b + 1).toLong))): _*)))
-        .select(col("vec_id"), col("col").as("bucket"))
+          posexplode(graft.functions.VectorFunctions
+            .vec_simhash_pool(col("embedding"), r, nb)))
+        .select(col("vec_id"),
+          xxhash64(col("pos"), col("col")).as("bucket"))
   }
 
   /** OCCUPANCY-ADAPTIVE bucket cap (r18 verdict ask #2): the gather cap

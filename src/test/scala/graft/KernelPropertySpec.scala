@@ -382,6 +382,39 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(Similarity.autoBandBudget(4000000L, 0.9, 64, 8) > 64)
   }
 
+  test("simhashPool: band 0 of a 1-band pool == band 0 of the full pool; " +
+    "bands differ; identical vectors collide") {
+    import graft.functions.VectorMath
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def vec(seed: Int): ArrayData =
+      ArrayData.toArrayData(Array.tabulate(64)(i =>
+        (graft.functions.TextHash.mix64((seed.toLong << 32) | i) % 1000)
+          .toFloat / 1000f))
+    for (r <- Seq(5, 19, 62); bands <- Seq(3, 12); s <- 1 to 8) {
+      val v = vec(s)
+      val full = VectorMath.simhashPool(v, r, bands, 1L)
+      val one = VectorMath.simhashPool(v, r, 1, 1L)
+      // the only0 occupancy probe reads band 0 of a 1-band pool; the
+      // dispatched plan reads band 0 of the full pool — conceptual bit
+      // indices k = j are the same in both, so the probe measures the
+      // exact band the plan would run
+      assert(one.getLong(0) == full.getLong(0),
+        s"(r=$r bands=$bands seed=$s) band-0 mismatch")
+      // distinct bands draw distinct hyperplanes — on a random vector
+      // they must not all collapse to one signature
+      assert((0 until bands).map(full.getLong).distinct.size > 1)
+      // signatures are pure in (vector, config): byte-identical
+      // vectors land in byte-identical buckets (the hot-cluster
+      // scenario every skew probe leans on)
+      val again = VectorMath.simhashPool(vec(s), r, bands, 1L)
+      assert((0 until bands).forall(b =>
+        full.getLong(b) == again.getLong(b)))
+      // every signature fits its r-bit band key
+      assert((0 until bands).forall(b =>
+        r == 62 || (full.getLong(b) >>> r) == 0L))
+    }
+  }
+
   test("adaptiveMaxBucket: bounded, monotone in expected occupancy") {
     import graft.operators.Similarity
     var prev = 0L
