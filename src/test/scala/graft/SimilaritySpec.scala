@@ -1867,6 +1867,35 @@ class SimilaritySpec extends AnyFunSuite {
       "both shapes recover the same (complete) pair set")
   }
 
+  test("nearDupLshOf fetch joins: shuffle-hash hint only past the " +
+    "broadcast regime") {
+    // the hint dispatch is closed-form in the plan-shaping count n:
+    // above 100k the corpus side of each fetch join carries
+    // SHUFFLE_HASH (sort-merge would sort the candidate side twice);
+    // at-or-below, the hint is WITHHELD because an explicit hint
+    // overrides Catalyst's size-based broadcast selection and a small
+    // corpus side should broadcast. Plan-level assertion only — both
+    // plans produce identical rows by construction.
+    val e0 = spark.range(0, 100).select(col("id").as("vec_id"),
+      array((0 until 8).map(i => (col("id") % (i + 2)).cast("float")): _*)
+        .as("embedding"))
+    def shuffleHashHints(n: Long): Int = {
+      val df = Similarity.nearDupLshOf(e0, n, tau = 0.9,
+        nBits = 64, bands = 8)
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+          Seq(j.hint.leftHint, j.hint.rightHint).flatten
+            .flatMap(_.strategy)
+            .count(_ == org.apache.spark.sql.catalyst.plans.logical
+              .SHUFFLE_HASH)
+      }.sum
+    }
+    assert(shuffleHashHints(100000L) == 0,
+      "broadcast-regime corpus must carry no join hint")
+    assert(shuffleHashHints(200001L) >= 2,
+      "large-corpus fetch joins must hint shuffle-hash on both fetches")
+  }
+
   test("prodParaphraseChecked: banded pair source, both lexical verdicts " +
     "closed-form (even = duplicate, odd = paraphrase)") {
     val n = Tables.embeddings(spark, sf).count()
