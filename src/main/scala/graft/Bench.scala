@@ -33,7 +33,9 @@ object Bench {
       val verdict =
         if (peerRatios.isEmpty) "no_peer"
         else if (breaching == peerRatios.size) "regression"
-        else if (breaching == 0 && atPin * 2 >= peerRatios.size) "contention"
+        // STRICT majority (r20 ADVICE): an exact half at pin (1 of 2,
+        // with the other mid-band) is a mixed signal -> inconclusive
+        else if (breaching == 0 && atPin * 2 > peerRatios.size) "contention"
         else "inconclusive"
       k -> verdict
     }

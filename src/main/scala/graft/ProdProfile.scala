@@ -56,15 +56,10 @@ object ProdProfile {
       Similarity.prodDerivedPairs(spark, dir, tau, targetOcc = targetOcc)
     def banded: DataFrame =
       Similarity.bandedBuckets(corpus, plan.r, plan.bands, 64, 8)
-    def gathered: DataFrame = banded
-      .groupBy(col("bucket"))
-      .agg(graft.functions.CappedSet
-        .capped_distinct_set(col("vec_id"), plan.cap.toInt).as("ids"))
-      .filter(col("ids").isNotNull && size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
-          struct(x.as("va"), y.as("vb")))))).as("p"))
-      .select(col("p.va"), col("p.vb")).distinct()
+    // the engine's own gather seam (r20 ADVICE: a hand-copy here would
+    // silently measure a different plan if the engine's gather changes)
+    def gathered: DataFrame =
+      Similarity.cappedBucketPairs(banded, plan.cap.toInt)
 
     val (tDerive, nCorpus) = timeOne(corpus)
     val (tBand, nBanded) = timeOne(banded)

@@ -3614,7 +3614,7 @@ object SparkEntry {
     // bands / blocked-exact dispatch) is restated closed-form from
     // count(*) — a silent arm or banding change breaks the hash too.
     "emb_neardup_lsh" ->
-      """WITH nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+      s"""WITH nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
            pl AS (SELECT n, n / 16.0 <= 1024.0 AS design,
                1.0 - acos(0.35) / pi() AS p,
                1.0 - pow(1.0 - pow(1.0 - acos(0.35) / pi(), 4), 8) AS r0
@@ -3623,7 +3623,7 @@ object SparkEntry {
                CASE WHEN design THEN 4 ELSE greatest(1, least(62, least(
                  CAST(floor(ln(1.0 - pow(1.0 - r0, 1.0 / 32)) / ln(p))
                    AS INTEGER),
-                 CAST(ceil(log2(n)) AS INTEGER)))) END AS r
+                 ${operators.Similarity.ceilLog2Sql("n")}))) END AS r
              FROM pl),
            pl3 AS (SELECT design, r,
                CASE WHEN design THEN 8 ELSE greatest(1,

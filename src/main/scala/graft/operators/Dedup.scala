@@ -233,12 +233,27 @@ object Dedup {
     * ([[minhashCandidates]]) and the standing-index incremental path
     * ([[incrementalMinhash]]). */
   private[graft] def minhashBands(docs: DataFrame, k: Int,
-                                  bands: Int): DataFrame = {
-    require(bands > 0 && k % bands == 0)
-    val r = k / bands
+                                  bands: Int): DataFrame =
+    bandsFromSigs(minhashSigs(docs, k), k, bands)
+
+  /** The k-hash minhash SIGNATURE frame (doc_id, sig) — the expensive
+    * shingle + k-hash pass split out of [[minhashBands]] so multi-arm
+    * callers ([[lshSweep]]) compute it once and band it per arm: the
+    * banding is slice + xxhash64 over the shared signature, so every
+    * arm's (band, bucket) rows are bit-identical to a from-scratch
+    * [[minhashBands]] call. */
+  private[graft] def minhashSigs(docs: DataFrame, k: Int): DataFrame =
     withShingles(docs)
       .select(col("doc_id"),
         TextFunctions.minhash_signature(col("shingles"), k).as("sig"))
+
+  /** Band a (doc_id, sig) signature frame into (doc_id, band, bucket)
+    * rows — [[minhashBands]]'s banding half. */
+  private[graft] def bandsFromSigs(sigs: DataFrame, k: Int,
+                                   bands: Int): DataFrame = {
+    require(bands > 0 && k % bands == 0)
+    val r = k / bands
+    sigs
       .select(col("doc_id"), posexplode(array((0 until bands).map(b =>
         xxhash64(lit(b), slice(col("sig"), b * r + 1, r))): _*)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
@@ -373,17 +388,22 @@ object Dedup {
     * (k/bands)-row buckets; docs sharing any band bucket become a pair.
     * maxBucket caps pathological buckets before the self-join. */
   def minhashCandidates(spark: SparkSession, dir: String, k: Int = 64,
-                        bands: Int = 16, maxBucket: Long = 100): DataFrame = {
-    val banded = minhashBands(Tables.documents(spark, dir), k, bands)
-    // one shuffle, no self-join: gather each bucket's (sorted) doc list,
-    // gate on bucket size, expand the i<j pairs map-side with
-    // higher-order functions. The signature subtree is evaluated exactly
-    // once (a self-join re-evaluates it per side — AQE does not reuse
-    // the exchange across join branches), and pair expansion is bounded
-    // by maxBucket^2 per bucket.
-    // state-bounded gather (see [[corpusLshIndex]]): the size gate is
-    // enforced INSIDE the aggregation, so a degenerate bucket never
-    // materializes past maxBucket ids anywhere
+                        bands: Int = 16, maxBucket: Long = 100): DataFrame =
+    candidatesFromBanded(
+      minhashBands(Tables.documents(spark, dir), k, bands), maxBucket)
+
+  /** [[minhashCandidates]]' gather half over a prebuilt (doc_id, band,
+    * bucket) frame: one shuffle, no self-join — gather each bucket's
+    * (sorted) doc list, gate on bucket size, expand the i<j pairs
+    * map-side with higher-order functions. The banding subtree is
+    * evaluated exactly once (a self-join re-evaluates it per side —
+    * AQE does not reuse the exchange across join branches), and pair
+    * expansion is bounded by maxBucket^2 per bucket.
+    * State-bounded gather (see [[corpusLshIndex]]): the size gate is
+    * enforced INSIDE the aggregation, so a degenerate bucket never
+    * materializes past maxBucket ids anywhere. */
+  private[graft] def candidatesFromBanded(banded: DataFrame,
+                                          maxBucket: Long): DataFrame = {
     val buckets = banded.groupBy(col("band"), col("bucket"))
       .agg(CappedSet.capped_distinct_set(col("doc_id"), maxBucket.toInt)
         .as("ids"))
@@ -406,8 +426,15 @@ object Dedup {
     * corpus for both join sides (measured 5.2 s -> ~2.6 s at sf0.1; at
     * 100 TB the difference is two full-corpus passes). */
   def ngramJaccard(spark: SparkSession, dir: String,
-                   tau: Double = 0.8): DataFrame = {
-    val cands = minhashCandidates(spark, dir)
+                   tau: Double = 0.8): DataFrame =
+    verifiedJaccard(spark, dir, minhashCandidates(spark, dir), tau)
+
+  /** [[ngramJaccard]]'s verify half over an explicit candidate-pair
+    * frame — the seam that lets [[lshSweep]] feed candidates banded
+    * from its shared signature frame. */
+  private[graft] def verifiedJaccard(spark: SparkSession, dir: String,
+                                     cands: DataFrame,
+                                     tau: Double): DataFrame = {
     // LSH output is a tiny fraction of the corpus (that is the point of
     // LSH) — broadcast its member list to prune map-side
     val candDocs = cands
@@ -447,18 +474,36 @@ object Dedup {
     * (left-folded multiplication, floor-rounded 1e-6) inlined
     * identically into the oracle; n_true rides the standing
     * LSH-equals-exact contract; the verdict compares two exact
-    * integers against a constant. Scale shape: the truth pair list is
-    * computed once and checkpointed (near-dup-density-sized); each arm
-    * is one banding pass + a pair-keyed semi join. */
+    * integers against a constant. Scale shape: the k-hash signature
+    * frame is computed once and checkpointed (corpus-sized, k longs
+    * per doc), the truth pair list once more (near-dup-density-sized);
+    * each arm then bands the shared signatures (slice + hash only) +
+    * a pair-keyed semi join — the corpus is shingled and minhashed
+    * exactly once for the whole sweep. */
   def lshSweep(spark: SparkSession, dir: String, k: Int = 64,
                tau: Double = 0.8,
                bandConfigs: Seq[Int] = Seq(4, 8, 16, 32)): DataFrame = {
     import org.apache.spark.sql.graftbridge.SparkBridge
-    val truth = ngramJaccard(spark, dir, tau)
+    // the k-hash signature pass (shingles + k minhashes per doc — the
+    // expensive half of every arm) is computed ONCE and checkpointed;
+    // each arm and the truth's candidate stage band the SHARED
+    // signatures (slice + xxhash64), so the per-arm candidate sets are
+    // bit-identical to a from-scratch minhashCandidates call while the
+    // corpus is shingled+hashed once instead of bandConfigs.size + 1
+    // times. Truth reuses the 16-band arm's exact candidate pipeline
+    // (ngramJaccard's defaults) when this k matches its 64.
+    val sigs = minhashSigs(Tables.documents(spark, dir), k)
+      .localCheckpoint()
+    def candsOf(b: Int): DataFrame =
+      candidatesFromBanded(bandsFromSigs(sigs, k, b), 100)
+    val truthPairs =
+      if (k == 64) verifiedJaccard(spark, dir, candsOf(16), tau)
+      else ngramJaccard(spark, dir, tau)
+    val truth = truthPairs
       .select(col("doc_a"), col("doc_b")).localCheckpoint()
     val arms = bandConfigs.map { b =>
       val r = k / b
-      val cand = minhashCandidates(spark, dir, k, b)
+      val cand = candsOf(b)
       val found = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
         .agg(count(lit(1)).as("n_found"))
       val nT = truth.agg(count(lit(1)).as("n_true"))
@@ -480,6 +525,7 @@ object Dedup {
     val out = arms.reduce(_ unionByName _).orderBy(col("bands"))
       .localCheckpoint()
     SparkBridge.unpersistCheckpoint(truth)
+    SparkBridge.unpersistCheckpoint(sigs)
     out
   }
 
@@ -666,11 +712,15 @@ object Dedup {
     * same aggregation that materializes the next label frame (a lazy
     * `localCheckpoint` whose first action is that count), instead of a
     * separate join + isEmpty convergence probe. Converges in O(component
-    * diameter) rounds — near-dup components are shallow in practice.
-    * `localCheckpoint` truncates the growing lineage each round so the
-    * plan stays O(1) instead of O(iterations); the superseded round's
-    * pinned blocks are explicitly unpersisted (they'd otherwise
-    * accumulate one labels-copy per round until context GC). Driver-side
+    * diameter) rounds — near-dup components are shallow in practice
+    * (diameter 1-2 after a 0.8-Jaccard verify), which is also why this
+    * stays the single-hop loop rather than [[Graph.minLabelComponents]]'
+    * pointer jumping: the r21 optimization round measured the jump
+    * kernel's three joins per round costing more AQE stage-jobs than
+    * its round savings returns on these graphs (3.2 s vs 4.2 s at
+    * sf0.1). `localCheckpoint` truncates the growing lineage each round
+    * so the plan stays O(1) instead of O(iterations); the superseded
+    * round's pinned blocks are explicitly unpersisted. Driver-side
     * loop control with a scalar count per round; no per-row driver work.
     *
     * If maxIter is hit before convergence the labels are UNDER-MERGED
@@ -687,6 +737,13 @@ object Dedup {
     import spark.implicits._
     import org.apache.spark.sql.graftbridge.SparkBridge
     val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    // single-hop min-label loop, deliberately NOT the pointer-jumping
+    // kernel: near-dup components are SHALLOW (diameter 1-2 — a
+    // 0.8-Jaccard verify step does not produce long chains), so the
+    // hop loop converges in 2-3 one-join rounds while the jump
+    // kernel's three joins per round cost more AQE stage-jobs than
+    // its round savings returns (r21 measured: 3.2 s hop vs 4.2 s
+    // jump at sf0.1; job profile 38 vs 59 jobs).
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")

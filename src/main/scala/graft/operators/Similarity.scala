@@ -70,7 +70,10 @@ object Similarity {
     // in-place-touch case. One listStatus — metadata-cheap, the same
     // call a footer read issues anyway.
     val dirStatus = fs.getFileStatus(p)
-    fs.listStatus(p).foldLeft(
+    // sortBy path name: Hadoop guarantees no listing order across
+    // filesystems/calls, and an order flip would spuriously re-count
+    // (over-eager invalidation — perf, not correctness; r20 ADVICE)
+    fs.listStatus(p).sortBy(_.getPath.getName).foldLeft(
       graft.functions.TextHash.mix64(dirStatus.getModificationTime)) {
       (acc, st) =>
         graft.functions.TextHash.mix64(
@@ -379,23 +382,42 @@ object Similarity {
     val e = emb(spark, dir)
     val seeds = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cluster_id"), col("embedding").as("se"))
-    val cellSz = assignToSeeds(e, seeds)
-      .groupBy(col("cluster_id").as("cell"))
+    // the IVF index (cell assignment) is computed ONCE and shared by
+    // every arm — the fit-once shape a production sweep takes (each
+    // arm used to re-run the corpus-sized assignToSeeds agg inside its
+    // own ivfTopK call: 5 redundant corpus passes whose plans are
+    // bit-identical; the checkpointed assignment is the same frame, so
+    // each arm's rows are unchanged)
+    val assigned = assignToSeeds(e, seeds)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("cluster_id").as("cell"))
+      .localCheckpoint()
+    val cellSz = assigned
+      .groupBy(col("cell"))
       .agg(count(lit(1)).as("csz")).localCheckpoint()
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val pw = Window.partitionBy(col("qid"))
       .orderBy(col("_c").desc, col("cell"))
+    // probe ranking computed once WITH the query vector attached: each
+    // arm below is a prn filter + one cell-keyed join + the k-heap
     val probeRanks = q
       .join(broadcast(seeds.withColumnRenamed("cluster_id", "cell")))
-      .select(col("qid"), col("cell"),
+      .select(col("qid"), col("qe"), col("cell"),
         cosine_sim(col("qe"), col("se")).as("_c"))
       .withColumn("prn", row_number().over(pw))
-      .select(col("qid"), col("cell"), col("prn"))
+      .select(col("qid"), col("qe"), col("cell"), col("prn"))
       .localCheckpoint()
     val arms = probes.map { p =>
-      val approx = ivfTopK(spark, dir, k, nQueries, nCells, p)
-        .select(col("qid"), col("cid"))
+      // identical rows to ivfTopK(..., nProbe = p): same probe window
+      // (cos desc, cell), same cell-keyed candidate join, same k-heap
+      val scored = assigned
+        .join(broadcast(probeRanks.filter(col("prn") <= p)
+          .select(col("qid"), col("qe"), col("cell"))), Seq("cell"))
+        .filter(col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"),
+          cosine_sim(col("qe"), col("ce")).as("cos"))
+      val approx = finishTopK(scored, k).select(col("qid"), col("cid"))
       val hit = truth.join(broadcast(approx), Seq("qid", "cid"), "left_semi")
         .agg(count(lit(1)).as("n_hit"))
       val scanned = probeRanks.filter(col("prn") <= p)
@@ -410,6 +432,7 @@ object Similarity {
     val out = arms.reduce(_ unionByName _).orderBy(col("nprobe"))
       .localCheckpoint()
     SparkBridge.unpersistCheckpoint(truth)
+    SparkBridge.unpersistCheckpoint(assigned)
     SparkBridge.unpersistCheckpoint(cellSz)
     SparkBridge.unpersistCheckpoint(probeRanks)
     out
@@ -1000,19 +1023,7 @@ object Similarity {
       return nearDupBlockedOf(e0, tau)
     val cap = if (maxBucket > 0) maxBucket else adaptiveMaxBucket(n, r)
     val banded = bandedBuckets(e0, r, bandsUsed, nBits, bands)
-    // same single-shuffle pair pattern as the text LSH: bucket members
-    // are gathered once, pairs expand map-side, and the size cap is
-    // enforced INSIDE the aggregation (CappedDistinctSet dead-bit — a
-    // degenerate bucket never materializes past maxBucket ids on its
-    // reducer; identical keep/drop boundary to the old post-filter)
-    val cands = banded.groupBy(col("bucket"))
-      .agg(graft.functions.CappedSet.capped_distinct_set(
-        col("vec_id"), cap.toInt).as("ids"))
-      .filter(col("ids").isNotNull && size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
-          struct(x.as("va"), y.as("vb")))))).as("p"))
-      .select(col("p.va"), col("p.vb")).distinct()
+    val cands = cappedBucketPairs(banded, cap.toInt)
     // past the broadcast regime, the corpus side of each fetch join
     // carries a SHUFFLE_HASH hint: Catalyst's default sort-merge would
     // sort the candidate side — candidate-mass-sized, the largest
@@ -1043,6 +1054,26 @@ object Similarity {
       .select(col("va"), col("vb"), round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("va"), col("vb"))
   }
+
+  /** The GATHER stage of [[nearDupLshOf]] — capped bucket member
+    * gather + map-side pair explode over a (vec_id, bucket) banded
+    * frame: bucket members are gathered once, pairs expand map-side,
+    * and the size cap is enforced INSIDE the aggregation
+    * (CappedDistinctSet dead-bit — a degenerate bucket never
+    * materializes past `cap` ids on its reducer; identical keep/drop
+    * boundary to the old post-filter). Exposed as the single seam so
+    * [[graft.ProdProfile]]'s stage timing measures the plan production
+    * actually runs (the r20 ADVICE hand-copy hazard). */
+  private[graft] def cappedBucketPairs(banded: DataFrame,
+                                       cap: Int): DataFrame =
+    banded.groupBy(col("bucket"))
+      .agg(graft.functions.CappedSet.capped_distinct_set(
+        col("vec_id"), cap).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
+          struct(x.as("va"), y.as("vb")))))).as("p"))
+      .select(col("p.va"), col("p.vb")).distinct()
 
   /** The (vec_id, bucket) banded frame behind [[nearDupLshOf]] (and,
     * with `only0`, the [[nearDupLshAuto]] occupancy probe, which reads
@@ -1371,8 +1402,7 @@ object Similarity {
       val rStar =
         if (p <= 0.0 || p >= 1.0 || thr <= 0.0 || thr >= 1.0) 0
         else math.floor(math.log(thr) / math.log(p)).toInt
-      val r = math.max(1, math.min(62, math.min(rStar,
-        math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt)))
+      val r = math.max(1, math.min(62, math.min(rStar, ceilLog2(n))))
       val pr = math.pow(p, r)
       val needed =
         if (pr <= 0.0 || pr >= 1.0 || designRecall >= 1.0) Int.MaxValue
@@ -1405,12 +1435,22 @@ object Similarity {
     * any corpus this engine will meet. Pure in (n, tau, nBits, bands) —
     * the prod oracles restate it closed-form, so a silent derivation
     * change breaks CORRECTNESS. */
+  /** Integer-exact ceil(log2(n)) for n >= 2 (n < 2 reads as 2):
+    * 64 − numberOfLeadingZeros(n−1). The floating form
+    * ceil(ln(n)/ln 2) overshoots by one at exact powers of two
+    * (ln(2^29)/ln 2 = 29.000000000000004), which would diverge from
+    * the oracle's restatement and flip the (r, bands) plan exactly
+    * there — the r20 ADVICE item. The oracle CTEs restate the same
+    * value via a round(log2 n) seed corrected by exact pow(2, k)
+    * comparisons (doubles are exact for k <= 62, n <= 2^53). */
+  private[graft] def ceilLog2(n: Long): Int =
+    64 - java.lang.Long.numberOfLeadingZeros(math.max(2L, n) - 1L)
+
   private[graft] def autoBandBudget(n: Long, tau: Double, nBits: Int,
                                     bands: Int): Int = {
     val p = bitAgreeP(tau)
     val r0 = lshPlanStats(tau, nBits, bands)._2
-    val rClamp = math.max(1, math.min(62,
-      math.ceil(math.log(math.max(2.0, n.toDouble)) / math.log(2.0)).toInt))
+    val rClamp = math.max(1, math.min(62, ceilLog2(n)))
     val prc = math.pow(p, rClamp)
     val needed =
       if (prc <= 0.0 || prc >= 1.0 || r0 >= 1.0) 100000
@@ -1702,12 +1742,29 @@ object Similarity {
     * (pl/plb/pl2/pl3) — the DuckDB restatement of [[prodDerivedPairs]]
     * including the [[autoBandBudget]] derivation when `maxBands` is
     * the 0 auto sentinel. */
+  /** Integer-exact ceil(log2(x)) in SQL — the [[ceilLog2]] restatement:
+    * seed k = round(log2 x) (within 1 of truth for any x <= 2^53), then
+    * correct with exact pow(2, k) comparisons. Matches the Scala
+    * numberOfLeadingZeros form at every n including exact powers of two
+    * (the r20 ADVICE divergence). */
+  private[graft] def ceilLog2Sql(x: String): String = {
+    val g = s"greatest(2.0, $x)"
+    val f = s"CAST(round(log2($g)) AS INTEGER)"
+    s"($f + (CASE WHEN pow(2.0, $f) >= $g THEN 0 ELSE 1 END)" +
+      s" - (CASE WHEN pow(2.0, $f - 1) >= $g THEN 1 ELSE 0 END))"
+  }
+
   private def prodPlanCtes(tau: Double, targetOcc: Long,
                            maxBands: Int): String = {
     val mbExpr =
       if (maxBands > 0) maxBands.toString
-      else "greatest(64, least(100000, CAST(ceil(ln(1.0 - r0) / " +
-        "ln(1.0 - pow(p, rc))) AS INTEGER)))"
+      // degenerate guards mirror the Scala form (r20 ADVICE): r0 >= 1
+      // or an under/overflowed pow(p, rc) falls back to the 100000
+      // ceiling instead of ln(0)'s failing INTEGER cast
+      else "greatest(64, least(100000, CASE WHEN r0 >= 1.0" +
+        " OR pow(p, rc) <= 0.0 OR pow(p, rc) >= 1.0 THEN 100000" +
+        " ELSE CAST(ceil(ln(1.0 - r0) / " +
+        "ln(1.0 - pow(p, rc))) AS INTEGER) END))"
     s"""mx AS (SELECT CAST(max(vec_id) + 1 AS BIGINT) AS off,
            CAST(2 * count(*) AS DOUBLE) AS n FROM embeddings),
        base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1719,14 +1776,14 @@ object Similarity {
            1.0 - acos(CAST($tau AS DOUBLE)) / pi() AS p,
            1.0 - pow(1.0 - pow(1.0 - acos(CAST($tau AS DOUBLE)) / pi(),
              8), 8) AS r0,
-           greatest(1, least(62, CAST(ceil(log2(n)) AS INTEGER))) AS rc
+           greatest(1, least(62, ${ceilLog2Sql("n")})) AS rc
          FROM mx),
        plb AS (SELECT n, design, p, r0, $mbExpr AS mb FROM pl),
        pl2 AS (SELECT design, p, r0, mb,
            CASE WHEN design THEN 8 ELSE greatest(1, least(62, least(
              CAST(floor(ln(1.0 - pow(1.0 - r0, 1.0 / mb)) / ln(p))
                AS INTEGER),
-             CAST(ceil(log2(n)) AS INTEGER)))) END AS r
+             ${ceilLog2Sql("n")}))) END AS r
          FROM plb),
        pl3 AS (SELECT design, r, r0, mb,
            CASE WHEN design THEN 8 ELSE greatest(1,
@@ -4076,11 +4133,11 @@ object Similarity {
     * cells: a vec_id-co-partitioned SHUFFLE_HASH self-join of the
     * centered scalar rows whose dims^2-per-vector output feeds the
     * partial agg directly (never materialized), collapsing to
-    * dims x dims = 4096 cells. Every power-iteration round then
-    * touches only the 4096-row cell frame (checkpointed once) and a
-    * 64-row iterate: matvec = broadcast join + partial agg; norm =
-    * one-row broadcast fold. Nothing after the cell agg scales with
-    * the corpus at all.
+    * dims x dims = 4096 cells. The cell matrix — dims²-bounded,
+    * corpus-independent driver state (the MLlib Gramian precedent) —
+    * is collected once and the whole power iteration runs as local
+    * arithmetic; nothing after the cell agg scales with the corpus
+    * at all, and no per-round distributed job remains.
     *
     * Determinism: the mean, each covariance cell (after /n), each
     * matvec component, the norm, and the Rayleigh quotient are pinned
@@ -4127,40 +4184,42 @@ object Similarity {
       .crossJoin(broadcast(nFrame))
       .select(col("i"), col("j"),
         (col("s") / col("n")).cast("float").cast("double").as("c"))
-      .localCheckpoint()
-    import org.apache.spark.sql.graftbridge.SparkBridge
-    var v = cells.select(col("i")).distinct()
-      .select(col("i"),
-        when(col("i") === 0, lit(1d)).otherwise(lit(0d)).as("v"))
-    var prev: DataFrame = null
+    // The covariance matrix is dims x dims = 4096 doubles — a MODEL,
+    // corpus-independent (the Scalars-discipline bound; Spark MLlib's
+    // computePrincipalComponents pulls exactly this Gramian to the
+    // driver). Collect it ONCE and run the whole power iteration as
+    // local arithmetic: the old per-round broadcast-join loop paid a
+    // per-iteration job/scheduling + checkpoint floor over a 64-row
+    // iterate against a 4096-row frame — none of it data work, and
+    // nothing after the cell agg scales with the corpus. Every pinned
+    // quantity keeps the exact trajectory: per-step matvec/norm/
+    // Rayleigh double sums cast through float exactly as the
+    // distributed aggregates did (the float pin is what made the
+    // engine/oracle accumulation orders interchangeable; the driver's
+    // j-ascending fold is one more such order), divisions/literals
+    // identical, so the (i, v) frame and lam are bit-equal to the old
+    // loop's and every oracle hash holds.
+    val cellRows = cells.collect()
+    val dims = cellRows.map(_.getInt(0)).distinct.sorted
+    val dimIx = dims.zipWithIndex.toMap
+    val m = Array.ofDim[Double](dims.length, dims.length)
+    cellRows.foreach(r => m(dimIx(r.getInt(0)))(dimIx(r.getInt(1))) =
+      r.getDouble(2))
+    var vArr = dims.map(i => if (i == 0) 1.0 else 0.0)
     for (_ <- 1 to iters) {
-      // checkpoint the 64-row matvec: nrm and the next iterate BOTH
-      // read it, so an unbroken lineage doubles the logical plan per
-      // round — 2^iters analysis blowup on the driver (measured 80 s
-      // at iters=8; the same double-reference hazard the oracle's
-      // MATERIALIZED CTEs guard against). Stats reset per the
-      // iterative-loop discipline (SparkBridge.dropOriginStats).
-      val s = SparkBridge.dropOriginStats(cells
-        .join(broadcast(v.select(col("i").as("j"), col("v"))), Seq("j"))
-        .groupBy(col("i"))
-        .agg(sum(col("c") * col("v")).cast("float").cast("double").as("s"))
-        .localCheckpoint())
-      if (prev != null) SparkBridge.unpersistCheckpoint(prev)
-      prev = s
-      val nrm = s.agg(
-        sqrt(sum(col("s") * col("s"))).cast("float").cast("double").as("nrm"))
-      v = s.crossJoin(broadcast(nrm))
-        .select(col("i"), (col("s") / col("nrm")).as("v"))
+      val s = dims.indices.map(ii =>
+        dims.indices.foldLeft(0.0)((acc, jj) =>
+          acc + m(ii)(jj) * vArr(jj)).toFloat.toDouble).toArray
+      val nrm = math.sqrt(
+        s.foldLeft(0.0)((acc, x) => acc + x * x)).toFloat.toDouble
+      vArr = s.map(_ / nrm)
     }
-    val lam = cells
-      .join(broadcast(v.select(col("i").as("va_i"), col("v").as("va"))),
-        col("i") === col("va_i"))
-      .join(broadcast(v.select(col("i").as("vb_i"), col("v").as("vb"))),
-        col("j") === col("vb_i"))
-      .agg(sum(col("c") * col("va") * col("vb"))
-        .cast("float").cast("double").as("lam"))
-    // cells stays checkpointed: the returned plan reads it in every
-    // round's matvec (same keep-the-live-checkpoint rule as kmeans)
+    val lamV = dims.indices.foldLeft(0.0)((acc, ii) =>
+      acc + dims.indices.foldLeft(0.0)((a2, jj) =>
+        a2 + m(ii)(jj) * vArr(ii) * vArr(jj))).toFloat.toDouble
+    import spark.implicits._
+    val v = dims.zip(vArr).toSeq.toDF("i", "v")
+    val lam = Seq(lamV).toDF("lam")
     (exC, v, lam)
   }
 

@@ -2061,24 +2061,63 @@ object TextAnalysis {
     * doc by construction. */
   private[graft] def classifierGd(feats: DataFrame, steps: Int,
                                   lr: Double): DataFrame = {
-    val nd = feats.filter(col("b") === -1L)
-      .agg(count(lit(1)).cast("double").as("nd"))
+    val spark = feats.sparkSession
+    import org.apache.spark.sql.graftbridge.SparkBridge
+    import spark.implicits._
+    // The feature frame, hash-partitioned by doc_id ONCE and
+    // checkpointed: every GD step is then a single whole-stage-codegen
+    // pass — the per-row dyadic term looks its weight up in a FOLDED
+    // 257-entry array literal (the model is driver state under the
+    // Scalars discipline — bucket-count-sized, corpus-independent), z
+    // is an exchange-free window sum over the established doc_id
+    // partitioning, and one bucket-keyed partial agg lands the
+    // gradient, collected bucket-count-sized per step. The old loop
+    // paid, per step, a broadcast build + feats x w join, a doc-keyed
+    // shuffle-hash err join, and a weight checkpoint (r21 profile:
+    // most of the key's wall was those stage-jobs). Bit-parity: every
+    // sum is the same dyadic-grid LONG (order-independent, exact), the
+    // per-element terms keep the exact ((x*w)*Q)+0.5 association, and
+    // the driver-side update w - lr*g is the identical double
+    // expression — so the weight trajectory, and every downstream
+    // logit, is bit-equal to the joined form.
+    val featsP = feats.repartition(col("doc_id")).localCheckpoint()
+    // one job: distinct buckets AND the doc count (= the intercept
+    // pseudo-feature's row count, exactly the old nd frame's value)
+    val bCounts = featsP.groupBy(col("b")).agg(count(lit(1)).as("c"))
+      .collect()
+    val bs: Array[Long] = bCounts.map(_.getLong(0)).sorted
+    val nd = bCounts.find(_.getLong(0) == -1L)
+      .map(_.getLong(1)).getOrElse(0L).toDouble
+    val wm = scala.collection.mutable.LinkedHashMap(bs.map(_ -> 0.0): _*)
     def sig(z: Column): Column = lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
-    var w = feats.select(col("b")).distinct()
-      .withColumn("w", lit(0.0)).localCheckpoint()
+    val wDoc = Window.partitionBy(col("doc_id"))
     for (_ <- 0 until steps) {
-      val err = classifierZ(feats, w)
-        .select(col("doc_id"), (sig(col("z")) - col("y")).as("err"))
-      val grad = feats.join(err.hint("shuffle_hash"), Seq("doc_id"))
-        .crossJoin(broadcast(nd))
+      // weight lookup: array literal indexed by b+2 (b in -1..255);
+      // ConstantFolding collapses the CreateArray of literals, so
+      // element_at is one O(1) codegen'd read per row — absent buckets
+      // hold 0.0 and are never referenced (feats only carries present b)
+      val maxB = if (bs.isEmpty) -1L else bs.max
+      val wArr = Array.fill(math.max((maxB + 2).toInt, 0))(0.0)
+      wm.foreach { case (b, v) => wArr((b + 1).toInt) = v }
+      val waCol = array(wArr.toIndexedSeq.map(lit): _*)
+      val qterm = floor(col("x")
+        * element_at(waCol, (col("b") + lit(2L)).cast("int"))
+        * lit(DyadicQ) + lit(0.5))
+      val zCol = sum(qterm).over(wDoc).cast("double") / lit(DyadicQ)
+      val grad = featsP
+        .select(col("b"), col("x"), (sig(zCol) - col("y")).as("err"))
         .groupBy(col("b"))
-        .agg((sum(floor(col("err") * col("x") * lit(DyadicQ) + lit(0.5)))
-          .cast("double") / lit(DyadicQ) / first(col("nd"))).as("g"))
-      w = w.join(grad, Seq("b"), "left_outer")
-        .select(col("b"),
-          (col("w") - lit(lr) * coalesce(col("g"), lit(0.0))).as("w"))
-        .localCheckpoint()
+        .agg(sum(floor(col("err") * col("x") * lit(DyadicQ) + lit(0.5)))
+          .as("gq"))
+        .collect()
+      grad.foreach { r =>
+        val b = r.getLong(0)
+        val g = r.getLong(1).toDouble / DyadicQ / nd
+        wm(b) = wm(b) - lr * g
+      }
     }
+    val w = wm.toSeq.toDF("b", "w")
+    SparkBridge.unpersistCheckpoint(featsP)
     w
   }
 
