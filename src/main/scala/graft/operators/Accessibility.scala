@@ -733,9 +733,12 @@ object Accessibility {
     * Scale posture: the cell histogram is one map-side partial agg;
     * everything after it operates on CELLS, whose count is bounded by
     * the geographic extent / cellDeg^2 — a constant as the corpus
-    * grows, so the core set and its adjacency BROADCAST at any data
-    * scale and the component loop runs on a geography-sized graph,
-    * never a point-sized one. Points meet cluster labels through two
+    * grows, so the core set and its labels BROADCAST at any data
+    * scale, and the component closure itself is driver union-find over
+    * the collected cell set (geography-sized driver state — the
+    * Scalars-discipline bound; labels identical to the distributed
+    * min-label loop this ran through r20, which spent ~40 stage-jobs
+    * on a <100-cell graph). Points meet cluster labels through two
     * broadcast hash joins (self cell, then neighborhood lookup) — the
     * point frame is never shuffled at all before the oracle ORDER BY. */
   def gridDensity(spark: SparkSession, dir: String,
@@ -749,20 +752,41 @@ object Accessibility {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= minPts)
       .select(col("cx"), col("cy"), cid(col("cx"), col("cy")).as("cid"))
-    // 8-neighborhood adjacency between core cells: each core cell emits
-    // its 3x3 stencil, met by the core set on the neighbor key. Both
-    // sides are geography-sized; the stencil fan-out is a fixed 9.
+    // 8-connected components of the CORE CELLS — a geography-sized
+    // graph (extent/cellDeg² cells, CONSTANT as the corpus grows: the
+    // same bound that lets the core set and its labels broadcast
+    // below), so the closure is driver arithmetic under the Scalars
+    // discipline: collect the core cells once, enumerate each cell's
+    // 3x3 stencil against the cell-id set (identical adjacency to the
+    // old stencil-join: ncid = cid + dx·1000 + dy, self excluded), and
+    // union-find with min-label roots — labels identical to the
+    // distributed min-label loop (cluster = min cell id reachable),
+    // with zero per-round jobs/planning (the r21 profile measured the
+    // loop at ~40 stage-jobs over a <100-cell graph).
+    import spark.implicits._
+    val coreCells = core.select(col("cid")).collect().map(_.getLong(0))
+    val cidSet = coreCells.toSet
+    val parent = scala.collection.mutable.Map(coreCells.map(c => c -> c): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    coreCells.foreach { c =>
+      for (dx <- -1L to 1L; dy <- -1L to 1L if dx != 0L || dy != 0L) {
+        val n = c + dx * 1000L + dy
+        if (cidSet.contains(n)) {
+          val (ra, rb) = (find(c), find(n))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+      }
+    }
+    val labels = coreCells.toSeq.map(c => (c, find(c)))
+      .toDF("cid", "cluster")
     val offsets = array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
       struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy")))): _*)
-    val stencil = core
-      .select(col("cid"), explode(offsets).as("o"))
-      .select(col("cid"), (col("o.dx") * 1000L + col("o.dy")
-        + col("cid")).as("ncid"))
-    val edges = stencil.filter(col("cid") =!= col("ncid"))
-      .join(broadcast(core.select(col("cid").as("ncid"))), Seq("ncid"))
-      .select(col("cid").as("src"), col("ncid").as("dst"))
-    val labels = Graph.minLabelComponents(edges, core.select(col("cid")))
-      .select(col("id").as("cid"), col("label").as("cluster"))
     val coreLabeled = core.join(broadcast(labels), Seq("cid"))
     // neighborhood lookup: min cluster label among core cells adjacent
     // to each (non-core) position — built from the core side, so it is
@@ -784,9 +808,6 @@ object Accessibility {
           .otherwise("noise").as("kind"),
         coalesce(col("own_cluster"), col("nbh_cluster")).as("cluster"))
       .orderBy(col("c_custkey"))
-      .localCheckpoint()
-    org.apache.spark.sql.graftbridge.SparkBridge.unpersistCheckpoint(
-      labels)
     out
   }
 

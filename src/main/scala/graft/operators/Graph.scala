@@ -304,13 +304,19 @@ object Graph {
         .select(col("id"), col("plabel"),
           least(col("mlabel"), coalesce(col("jlabel"), col("mlabel")))
             .as("l1"))
-        .localCheckpoint(eager = false)
       // SECOND pointer jump in the same round: each jump squares the
       // effective reach, so doubling up cuts the round count to
       // ~log4(diameter) — and the round count, not per-round work, is
       // what dominates wall-clock here (each round is a full job with
       // its own scheduling/codegen floor; the extra label-sized
-      // self-join is marginal against that floor)
+      // self-join is marginal against that floor).
+      // j1 is deliberately NOT checkpointed: both jump-2 references
+      // re-derive it from the checkpointed m with label-sized joins
+      // only (the corpus-scale edge join stays compute-once behind m's
+      // checkpoint), and skipping the third lazy checkpoint removes
+      // one full query planning per round — the r21 profile measured
+      // the loop's wall as ~80% driver plan-build (0.3-0.7 s/round)
+      // against <0.1 s of action.
       val jump2 = j1.select(col("id").as("jid2"), col("l1").as("jlabel2"))
       val next = j1.join(jump2, j1("l1") === jump2("jid2"), "left")
         .select(col("id"),
@@ -327,7 +333,6 @@ object Graph {
       converged = nChanged == 0L
       SparkBridge.unpersistCheckpoint(labels)
       SparkBridge.unpersistCheckpoint(m)
-      SparkBridge.unpersistCheckpoint(j1)
       // drop the checkpoint's propagated statistics at the round
       // boundary: LogicalRDD forwards origin stats, and across an
       // iterative loop the size estimate compounds multiplicatively
@@ -444,6 +449,12 @@ object Graph {
   private[graft] def labelPropOver(edges0: DataFrame, nodes: DataFrame,
                                    rounds: Int): DataFrame = {
     require(rounds >= 1)
+    // NOTE (r21): a one-lazy-plan variant (self-vote as self-loop
+    // edges, single materializing action for all rounds) measured
+    // SLOWER on the heavy consumer (graph_modularity 2.2 -> 3.9 s
+    // warm) — the compounded 3-round plan loses the per-round stats
+    // reset and re-derives the trajectory per consumer reference — so
+    // the per-round eager checkpoint form stays.
     val edges = edges0.select(col("src"), col("dst"))
       .union(edges0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -464,6 +475,7 @@ object Graph {
       SparkBridge.unpersistCheckpoint(labels)
       labels = next
     }
+    SparkBridge.unpersistCheckpoint(edges)
     labels
   }
 
@@ -521,21 +533,30 @@ object Graph {
     val nodes = Tables.supplier(spark, dir).select(col("s_suppkey").as("id"))
     val edges = ccEdges(spark, dir)
     val labels = labelPropOver(edges, nodes, rounds)
-    val und = edges
+    // ONE labeled-edge frame feeds every edge-derived quantity: m is
+    // its count, e_in its intra-community count, and d_tot its
+    // per-community ENDPOINT count (each undirected edge contributes
+    // exactly 1 to each endpoint's degree, so counting labeled
+    // endpoints per community is the same integer as the old
+    // deg-agg + labels join + sum — that whole degree pipeline and
+    // the triple re-derivation of `und` drop out of the plan; the r21
+    // profile measured this key's wall as ~40 AQE stage-jobs over a
+    // node-sized graph).
+    val lu = labels.toDF("u", "lu")
+    val lw = labels.toDF("w", "lw")
+    val lab = edges
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("w"))
       .filter(col("u") =!= col("w")).distinct()
-    val mEdges = und.agg(count(lit(1)).as("m"))
-    val deg = und.select(col("u").as("id"))
-      .union(und.select(col("w").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
-    val lu = labels.toDF("u", "lu")
-    val lw = labels.toDF("w", "lw")
-    val ein = und.join(lu, Seq("u")).join(lw, Seq("w"))
-      .filter(col("lu") === col("lw"))
+      .join(lu, Seq("u")).join(lw, Seq("w"))
+      .select(col("lu"), col("lw"))
+      .localCheckpoint()
+    val mEdges = lab.agg(count(lit(1)).as("m"))
+    val ein = lab.filter(col("lu") === col("lw"))
       .groupBy(col("lu").as("community")).agg(count(lit(1)).as("e_in"))
-    val dtot = deg.join(labels, Seq("id"))
-      .groupBy(col("label").as("community")).agg(sum(col("deg")).as("d_tot"))
+    val dtot = lab
+      .select(explode(array(col("lu"), col("lw"))).as("community"))
+      .groupBy(col("community")).agg(count(lit(1)).as("d_tot"))
     val sizes = labels.groupBy(col("label").as("community"))
       .agg(count(lit(1)).as("n_nodes"))
     val out = sizes.join(dtot, Seq("community"), "left")
@@ -554,6 +575,7 @@ object Graph {
       .orderBy(col("community"))
       .localCheckpoint()
     SparkBridge.unpersistCheckpoint(labels)
+    SparkBridge.unpersistCheckpoint(lab)
     out
   }
 
