@@ -3707,26 +3707,40 @@ object Similarity {
         when(col("c0") === col("qid"), (col("c0") + 1L) % (mkC + lit(1L)))
           .otherwise(col("c0")).as("cid"))
       .distinct()
-    var b = b0.localCheckpoint(true)
+    // the BEAM lives on the driver between hops: it is queries x beam
+    // x (k+1) rows at most — serving-request-sized, corpus-independent
+    // (a graph-ANN server holds exactly this frontier in memory), the
+    // Scalars-discipline bound. Each hop is then ONE action whose
+    // result row set is identical to the old checkpointed-frame loop
+    // (same joins, same k-heap, integer ids only); the per-hop eager
+    // checkpoint job + unpersist and their plannings drop out.
+    import spark.implicits._
+    var b: Seq[(Long, Long)] = b0.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // (an all-broadcast variant — beam side broadcast into streamed
+    // corpus scans — measured SLOWER here: each hop's broadcast
+    // exchange is its own build job + round-trip, 2.5 s vs 2.0 s warm;
+    // the shuffle_hash fetch joins stay, matching the id-bucketed
+    // serving-copy posture at scale)
     for (_ <- 1 to hops) {
-      val expand = b
+      val bDf = b.toDF("qid", "cid")
+      val expand = bDf
         .join(graph.hint("shuffle_hash"), col("cid") === col("v"))
         .select(col("qid"), col("cand").as("cid"))
-      val cands = expand.unionByName(b)
+      val cands = expand.unionByName(bDf)
         .filter(col("cid") =!= col("qid")).distinct()
       val scored = cands
         .join(cvec.hint("shuffle_hash"), Seq("cid"))
         .join(broadcast(q), Seq("qid"))
         .select(col("qid"), col("cid"),
           cosine_sim(col("qe"), col("ce")).as("cs"))
-      val next = scored.groupBy(col("qid"))
+      b = scored.groupBy(col("qid"))
         .agg(top_k_by_score(col("cs"), col("cid"), beam).as("top"))
         .select(col("qid"), explode(col("top.id")).as("cid"))
-      val old = b
-      b = next.localCheckpoint(true)
-      old.unpersist()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     }
-    val fin = b.join(cvec.hint("shuffle_hash"), Seq("cid"))
+    val fin = b.toDF("qid", "cid")
+      .join(cvec.hint("shuffle_hash"), Seq("cid"))
       .join(broadcast(q), Seq("qid"))
       .select(col("qid"), col("cid"),
         cosine_sim(col("qe"), col("ce")).as("cos"))
@@ -3924,34 +3938,57 @@ object Similarity {
   def diversitySampleOver(e: DataFrame, nCenters: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.SparkBridge
     require(nCenters >= 2)
-    val c0 = e
+    val spark = e.sparkSession
+    import spark.implicits._
+    // Each round's winner is ONE ROW (the Scalars discipline): fetch
+    // it with the argmin action itself and fold the center back in as
+    // LITERALS — the per-round center checkpoint + broadcast build the
+    // r20 loop paid (one extra job + planning per round, ~2/3 of this
+    // key's 51 stage-jobs) disappears, and the state update becomes a
+    // pure map-side codegen pass (cosine against a 64-float literal).
+    // Parity: the collected floats/doubles ARE the computed values, so
+    // cosine terms, greatest folds and the (maxsim, vec_id) argmin
+    // order are bit-identical; max_cos rounds through the same Spark
+    // round() via constant folding.
+    def pickRow(df: DataFrame): org.apache.spark.sql.Row = df.head()
+    def vecLit(v: Seq[Float]): Column =
+      if (v == null) lit(null).cast("array<float>") else typedLit(v)
+    val r0 = pickRow(e
       .agg(min_by(struct(col("vec_id"), col("embedding")), col("vec_id"))
         .as("c"))
-      .select(col("c.vec_id").as("cid"), col("c.embedding").as("cv"))
-      .localCheckpoint()
+      .select(col("c.vec_id").as("cid"), col("c.embedding").as("cv")))
+    val c0id: java.lang.Long =
+      if (r0.isNullAt(0)) null else java.lang.Long.valueOf(r0.getLong(0))
+    val c0v: Seq[Float] =
+      if (r0.isNullAt(1)) null else r0.getSeq[Float](1)
     var state = e
-      .crossJoin(broadcast(c0)).filter(col("vec_id") =!= col("cid"))
+      .filter(col("vec_id") =!= lit(c0id))
       .select(col("vec_id"), col("embedding"),
-        cosine_sim(col("embedding"), col("cv")).as("maxsim"))
+        cosine_sim(col("embedding"), vecLit(c0v)).as("maxsim"))
       .localCheckpoint()
     state = SparkBridge.dropOriginStats(state)
+    val one = Seq(1).toDF("_one")
     val picks = scala.collection.mutable.ArrayBuffer[DataFrame](
-      c0.select(lit(1).as("rk"), col("cid").as("vec_id"),
+      one.select(lit(1).as("rk"), lit(c0id).cast("bigint").as("vec_id"),
         lit(null).cast("double").as("max_cos")))
     for (r <- 2 to nCenters) {
-      val center = state
+      val cRow = pickRow(state
         .agg(min_by(struct(col("vec_id"), col("embedding"), col("maxsim")),
           struct(col("maxsim"), col("vec_id"))).as("c"))
         .select(col("c.vec_id").as("cid"), col("c.embedding").as("cv"),
-          col("c.maxsim").as("cms"))
-        .localCheckpoint()
-      picks += center.select(lit(r).as("rk"), col("cid").as("vec_id"),
-        round(col("cms"), 4).as("max_cos"))
-      val next = state.crossJoin(broadcast(center))
-        .filter(col("vec_id") =!= col("cid"))
+          col("c.maxsim").as("cms")))
+      val cid: java.lang.Long =
+        if (cRow.isNullAt(0)) null else java.lang.Long.valueOf(cRow.getLong(0))
+      val cv: Seq[Float] = if (cRow.isNullAt(1)) null else cRow.getSeq[Float](1)
+      val cms: java.lang.Double =
+        if (cRow.isNullAt(2)) null else java.lang.Double.valueOf(cRow.getDouble(2))
+      picks += one.select(lit(r).as("rk"), lit(cid).cast("bigint").as("vec_id"),
+        round(lit(cms).cast("double"), 4).as("max_cos"))
+      val next = state
+        .filter(col("vec_id") =!= lit(cid))
         .select(col("vec_id"), col("embedding"),
           greatest(col("maxsim"),
-            cosine_sim(col("embedding"), col("cv"))).as("maxsim"))
+            cosine_sim(col("embedding"), vecLit(cv))).as("maxsim"))
         .localCheckpoint()
       SparkBridge.unpersistCheckpoint(state)
       state = SparkBridge.dropOriginStats(next)

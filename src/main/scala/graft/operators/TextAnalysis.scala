@@ -378,53 +378,78 @@ object TextAnalysis {
     * tokenizer itself, consumed by [[bpeApply]]. */
   private[graft] def bpeTrainState(docs: DataFrame, nMerges: Int = 8)
       : (DataFrame, DataFrame) = {
-    var vocab = docs
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // ONE distributed pass: the word-TYPE count table (map-side
+    // combined agg). The merge loop itself runs on the DRIVER over the
+    // collected table — word-type-sized state, exactly the bound this
+    // tokenizer already commits to by broadcasting the trained
+    // per-word assignment into [[bpeApply]]'s hash join (every
+    // production BPE trainer holds the type table in memory; types are
+    // bounded by vocabulary, not corpus size). The old distributed
+    // loop paid ~3 jobs + three query plannings per merge step on a
+    // vocab-sized frame (r21 profile: 45 stage-jobs, >60% inter-job
+    // driver gap). Parity: pair counts are exact integer sums; the
+    // argmax order (pair_count DESC, lft, rgt — UTF-8 byte order, the
+    // UTF8String comparison Spark used) and the literal all-occurrence
+    // replace are reproduced verbatim, so the merge table and final
+    // symbol assignment are bit-identical and the unrolled oracle
+    // holds.
+    val vocab0: Array[(String, Long)] = docs
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) >= 2)
       .groupBy(col("word")).agg(count(lit(1)).as("wc"))
-      .withColumn("s", concat(lit(" "),
-        array_join(transform(sequence(lit(1), length(col("word"))),
-          i => col("word").substr(i, lit(1))), "  "), lit(" ")))
-      .localCheckpoint()
-    var merges: DataFrame = null
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // initial symbols: " c  h  a  r  s " (boundary sentinels single-
+    // spaced, symbols double-spaced) — same construction as before
+    var words: Array[(String, Long, String)] = vocab0.map { case (w, c) =>
+      (w, c, w.map(_.toString).mkString(" ", "  ", " ")) }
+    def u8Lt(x: String, y: String): Boolean = {
+      val a = x.getBytes("UTF-8"); val b = y.getBytes("UTF-8")
+      var i = 0
+      while (i < a.length && i < b.length) {
+        val c = (a(i) & 0xff) - (b(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      a.length < b.length
+    }
+    val merges =
+      scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
     var saturated = false
     for (step <- 1 to nMerges if !saturated) {
-      val pairs = vocab
-        .select(col("wc"), split(trim(col("s")), "  ").as("l"))
-        // a fully-fused word has one symbol left: guard before the
-        // sequence (Spark's sequence(1, 0) counts DOWN, not empty)
-        .filter(size(col("l")) >= 2)
-        .select(col("wc"),
-          explode(transform(sequence(lit(1), size(col("l")) - 1),
-            i => struct(element_at(col("l"), i).as("lft"),
-              element_at(col("l"), i + 1).as("rgt")))).as("p"))
-        .groupBy(col("p.lft").as("lft"), col("p.rgt").as("rgt"))
-        .agg(sum(col("wc")).as("pair_count"))
-      val best = pairs
-        .orderBy(col("pair_count").desc, col("lft"), col("rgt")).limit(1)
-        .select(lit(step).as("step"), col("lft"), col("rgt"),
-          concat(col("lft"), col("rgt")).as("merged"), col("pair_count"))
-        .localCheckpoint()
-      // saturated vocabulary: no adjacent pair left anywhere. STOP —
-      // cross-joining the empty winner would wipe the entire per-word
-      // symbol state (every partially-fused word lost, bpeApply then
-      // meters everything as 1-token OOV). The emptiness probe is a
-      // one-row localCheckpointed frame, driver-cheap.
-      if (best.isEmpty) {
-        if (merges == null) merges = best // schema-correct empty table
-        saturated = true
-      } else {
-        vocab = vocab
-          .crossJoin(broadcast(best.select(col("lft").as("bl"),
-            col("rgt").as("br"))))
-          .withColumn("s", expr(
-            "replace(s, concat(' ', bl, '  ', br, ' '), concat(' ', bl, br, ' '))"))
-          .select(col("word"), col("wc"), col("s"))
-          .localCheckpoint()
-        merges = if (merges == null) best else merges.unionByName(best)
+      val pc = scala.collection.mutable.HashMap[(String, String), Long]()
+      words.foreach { case (_, wc, s) =>
+        val l = s.trim.split("  ")
+        var i = 0
+        while (i < l.length - 1) {
+          val k = (l(i), l(i + 1))
+          pc(k) = pc.getOrElse(k, 0L) + wc
+          i += 1
+        }
+      }
+      if (pc.isEmpty) saturated = true
+      else {
+        val ((bl, br), cnt) = pc.reduceLeft { (x, y) =>
+          val ((xa, xb), xc) = x; val ((ya, yb), yc) = y
+          if (yc > xc) y
+          else if (yc < xc) x
+          else if (u8Lt(ya, xa)) y
+          else if (u8Lt(xa, ya)) x
+          else if (u8Lt(yb, xb)) y
+          else x
+        }
+        merges += ((step, bl, br, bl + br, cnt))
+        words = words.map { case (w, wc, s) =>
+          (w, wc, s.replace(" " + bl + "  " + br + " ",
+            " " + bl + br + " ")) }
       }
     }
-    (merges.orderBy(col("step")), vocab)
+    val mergesDf = merges.toSeq
+      .toDF("step", "lft", "rgt", "merged", "pair_count")
+      .orderBy(col("step"))
+    val vocabDf = words.toSeq.toDF("word", "wc", "s")
+    (mergesDf, vocabDf)
   }
 
   /** Zipf rank-frequency FIT — the corpus-shape diagnostic (a natural
@@ -1475,10 +1500,18 @@ object TextAnalysis {
     val vocab = docs
       .select(explode(col("ws")).as("t"))
       .agg(countDistinct(col("t")).cast("double").as("vsz"))
+    // docBg feeds the pair-count ladder AND the final NLL join, and
+    // pairCnt feeds uniCnt AND pFrame — without the checkpoints the
+    // corpus bigram explode re-derives THREE times per evaluation
+    // (r21 profile: this key's job time tripled its wall). One
+    // materialization each; both frames are the compact count ladder
+    // (docBg corpus-sized but 4 narrow columns, pairCnt type-sized).
     val docBg = bi.groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("occ"))
+      .localCheckpoint()
     val pairCnt = docBg.groupBy(col("w1"), col("w2"))
       .agg(sum(col("occ")).as("cb"))
+      .localCheckpoint()
     val uniCnt = pairCnt.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
     val pFrame = pairCnt.join(uniCnt, Seq("w1"))
       .crossJoin(broadcast(vocab))
@@ -1533,7 +1566,11 @@ object TextAnalysis {
     * scalars, and bucket assignment is map-side. Ties share a value so
     * they share a bucket — value-determined, partitioning-independent. */
   def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val p = perplexity(spark, dir)
+    // the per-doc nll frame feeds the histogram, the doc count AND the
+    // final bucket projection — checkpoint once or the whole bigram-LM
+    // chain evaluates three times (the kmeans keep-the-live-checkpoint
+    // convention: the returned plan reads it)
+    val p = perplexity(spark, dir).localCheckpoint()
     val cum = p.groupBy(col("nll")).agg(count(lit(1)).as("c"))
       .withColumn("cc", sum(col("c")).over(Window.orderBy(col("nll"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))

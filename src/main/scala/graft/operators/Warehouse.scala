@@ -1065,14 +1065,22 @@ object Warehouse {
       else 0L
     SnapshotLog.gc(spark, path, retainLast = 2)
     val latest = SnapshotLog.read(spark, path)
-    val nTable = latest.count()
     // published flags read back from the log: batch-key-range
-    // membership in the committed latest
-    val nGoodIn = latest.filter(col("key") > mk &&
-      col("key") <= mk * lit(2L) + lit(1L)).count()
-    val nBadIn = latest.filter(col("key") > mk * lit(2L) + lit(1L)).count()
-    val gN = good.count()
-    val bN = bad.count()
+    // membership in the committed latest. ONE aggregation job for the
+    // three table-side counts and ONE for the two batch sizes (was
+    // five separate count() actions, each its own job + planning)
+    val tRow = latest.agg(
+      count(lit(1)).as("n"),
+      count(when(col("key") > mk && col("key") <= mk * lit(2L) + lit(1L),
+        lit(1))).as("g"),
+      count(when(col("key") > mk * lit(2L) + lit(1L), lit(1))).as("b"))
+      .head()
+    val (nTable, nGoodIn, nBadIn) =
+      (tRow.getLong(0), tRow.getLong(1), tRow.getLong(2))
+    val bRow = o.agg(
+      count(when(col("key") % 9 === 5, lit(1))).as("g"),
+      count(when(col("key") % 9 === 7, lit(1))).as("b")).head()
+    val (gN, bN) = (bRow.getLong(0), bRow.getLong(1))
     import spark.implicits._
     Seq(
       ("bad", bN, badViol, nBadIn > 0L, nTable),
