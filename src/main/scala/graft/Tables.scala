@@ -38,8 +38,26 @@ object Tables {
     * only kernel-heavy consumers win (dedup_containment 2.5 -> 1.1 s,
     * dedup_final 3.5 -> 3.1 s vs text_quality 0.14 -> 0.21 s). */
   private[graft] def fanOut(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    val spark = df.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    // Decide from LEAF-RELATION STATISTICS, not df.rdd.getNumPartitions:
+    // the RDD conversion forced FULL physical planning of the subtree on
+    // every call just to read a pre-AQE partition count (the r21 ADVICE
+    // item — a per-invocation driver planning tax on every withShingles
+    // consumer). The scan yields fewer tasks than the session
+    // parallelism exactly when its input bytes pack into fewer than p
+    // maxPartitionBytes-sized splits, and the leaf size is available
+    // from the ANALYZED plan for free. Planted in-memory spec frames
+    // (LocalRelation/LogicalRDD) either carry small known sizes (the
+    // fan-out is then a deterministic no-op-equivalent round-robin) or
+    // default to huge estimates (branch never fires) — both safe: every
+    // downstream quantity is partitioning-independent by the engine's
+    // determinism discipline, so the branch choice can never change a
+    // result, only the exchange.
+    val maxPart = BigInt(spark.sessionState.conf.filesMaxPartitionBytes)
+    val bytes = df.queryExecution.analyzed.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
+    if (bytes < maxPart * p) df.repartition(p) else df
   }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")

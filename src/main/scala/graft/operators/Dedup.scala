@@ -334,20 +334,43 @@ object Dedup {
                                    bands: Int = 16): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val corpus = docs.filter(col("doc_id") % 5 =!= 4)
-    // hash ladder (the [[incremental]] definitions, corpus pre-reduced)
+    // hash ladder (the [[incremental]] definitions, corpus pre-reduced).
+    // Both rungs come out of ONE corpus pass: the old shape evaluated
+    // hashed(corpus) twice (once per groupBy key), i.e. two full corpus
+    // md5+normalize scans whose results differ only in which hash they
+    // aggregate. Exploding each doc to (kind, hash) rows and aggregating
+    // by (kind, hash) yields the identical min-doc_id match tables —
+    // one corpus scan, one shuffle of the same total bytes.
     def hashed(df: DataFrame) = df.select(col("doc_id"),
       md5(col("text").cast("binary")).as("h_exact"),
       md5(TextAnalysis.normalizedText(col("text"))).as("h_norm"))
-    val ex = hashed(corpus).groupBy(col("h_exact"))
-      .agg(min(col("doc_id")).as("exact_match"))
-    val nm = hashed(corpus).groupBy(col("h_norm"))
-      .agg(min(col("doc_id")).as("norm_match"))
-    // LSH probe: batch-side banding only; the index is the standing one
+    def kindHashes(df: DataFrame) = hashed(df)
+      .select(col("doc_id"), explode(array(
+        struct(lit("e").as("kind"), col("h_exact").as("h")),
+        struct(lit("n").as("kind"), col("h_norm").as("h")))).as("kh"))
+      .select(col("doc_id"), col("kh.kind").as("kind"), col("kh.h").as("h"))
+    val matches = kindHashes(corpus)
+      .groupBy(col("kind"), col("h"))
+      .agg(min(col("doc_id")).as("match_id"))
+    // per batch doc: exactly two (kind, h) rows, each meeting at most
+    // one match row, folded back to one row per doc — the same
+    // exact_match/norm_match values the two per-hash joins produced
+    val ladder = kindHashes(batch)
+      .join(matches, Seq("kind", "h"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(min(when(col("kind") === "e", col("match_id"))).as("exact_match"),
+        min(when(col("kind") === "n", col("match_id"))).as("norm_match"))
+    // LSH probe: batch-side banding only; the index is the standing one.
+    // The candidate frame is referenced twice below (member list +
+    // verify join) — pin it once, candidate-pair-sized (the
+    // verifiedJaccard discipline; unpinned, the banding + index join
+    // ran once per reference)
     val cands = minhashBands(batch, k, bands)
       .join(index, Seq("band", "bucket"))
       .select(col("doc_id"), explode(col("corpus_ids")).as("cand_doc"))
       .filter(col("doc_id") =!= col("cand_doc"))
       .distinct()
+      .localCheckpoint()
     // exact-Jaccard verify over candidate members only (the
     // [[ngramJaccard]] semi-join-prune-then-shingle discipline)
     val members = cands.select(col("doc_id")).union(
@@ -355,6 +378,9 @@ object Dedup {
     val sets = withShingles(
       docs.join(broadcast(members), Seq("doc_id"), "left_semi"))
       .select(col("doc_id"), array_distinct(col("shingles")).as("sh"))
+      // member-sized, referenced by both verify-join sides — pinned so
+      // the pruned corpus scan runs once (the verifiedJaccard shape)
+      .localCheckpoint()
     val jac = round(
       size(array_intersect(col("sa"), col("sb"))).cast("double") /
         size(array_union(col("sa"), col("sb"))).cast("double"), 4)
@@ -372,9 +398,7 @@ object Dedup {
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("doc_id"), col("cand_doc").as("near_match"),
         col("jaccard").as("near_j"))
-    hashed(batch)
-      .join(ex, Seq("h_exact"), "left_outer")
-      .join(nm, Seq("h_norm"), "left_outer")
+    ladder
       // the verified-best frame is near-dup-density-sized (tiny vs the
       // batch) — broadcast, the paraphrasePairs discipline
       .join(broadcast(best), Seq("doc_id"), "left_outer")
@@ -415,6 +439,13 @@ object Dedup {
         .as("ids"))
       .filter(col("ids").isNotNull && size(col("ids")) > 1)
     buckets
+      // re-spread before the pair explode (the cappedBucketPairs fix):
+      // AQE coalesces the byte-tiny gathered-bucket read toward one
+      // partition, but each row explodes to up to maxBucket²/2 pairs —
+      // single-task generator stages in every dedup consumer's r22
+      // profile. The exchange moves only capped id arrays; the
+      // distinct right after makes row order immaterial.
+      .repartition(banded.sparkSession.sparkContext.defaultParallelism)
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
           struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
@@ -441,19 +472,37 @@ object Dedup {
   private[graft] def verifiedJaccard(spark: SparkSession, dir: String,
                                      cands: DataFrame,
                                      tau: Double): DataFrame = {
+    import org.apache.spark.sql.graftbridge.SparkBridge
+    // The candidate frame is referenced TWICE below (member list +
+    // verify join) and Catalyst does not reuse the aggregated exchange
+    // across the two branches, so without a pin the ENTIRE banding +
+    // bucket-gather chain runs twice per call (r22 profile: two
+    // identical 32-task kernel stages in every consumer). The frame is
+    // near-dup-density-sized (the point of LSH), so one localCheckpoint
+    // costs one tiny materialization and halves the corpus-scale work —
+    // at 100 TB the saved pass is a full corpus banding.
+    val candsP = cands.localCheckpoint()
     // LSH output is a tiny fraction of the corpus (that is the point of
     // LSH) — broadcast its member list to prune map-side
-    val candDocs = cands
+    val candDocs = candsP
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
     // semi-join FIRST, then shingle: the broadcast-hinted semi-join does
     // not push below a projection, so the reverse order would re-shingle
-    // the whole corpus (verified on the optimized plan)
+    // the whole corpus (verified on the optimized plan). The set frame
+    // is member-sized and referenced by BOTH verify-join sides — pinned,
+    // so the pruned corpus scan runs once, not once per side.
     val sets = withShingles(
       Tables.documents(spark, dir)
         .join(broadcast(candDocs), Seq("doc_id"), "left_semi"))
       .select(col("doc_id"), array_distinct(col("shingles")).as("sh"))
-    cands
+      .localCheckpoint()
+    // output is verified-pair-sized (tinier still); pinning it lets
+    // multi-reference consumers (nearDupClusters' two-orientation
+    // union, splitLeakage's two broadcast builds) read it instead of
+    // re-running the verify join per reference, and frees the
+    // candidate pin immediately
+    val out = candsP
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard", round(
@@ -462,6 +511,10 @@ object Dedup {
       .filter(col("jaccard") >= tau)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    SparkBridge.unpersistCheckpoint(sets)
+    SparkBridge.unpersistCheckpoint(candsP)
+    out
   }
 
   /** The LSH BANDING S-CURVE TABLE — [[graft.operators.Similarity
@@ -500,19 +553,32 @@ object Dedup {
     // (ngramJaccard's defaults) when this k matches its 64.
     val sigs = minhashSigs(Tables.documents(spark, dir), k)
       .localCheckpoint()
+    // the 16-band candidate set feeds BOTH the truth verify and the
+    // 16-band arm — pin it once (candidate-pair-sized) so the banding +
+    // bucket-gather over the shared signatures runs once, not per
+    // consumer (r22 profile: the gather stages were the sweep's
+    // dominant 32-task jobs)
+    val cands16 =
+      if (k == 64) Some(candidatesFromBanded(bandsFromSigs(sigs, k, 16), 100)
+        .localCheckpoint())
+      else None
     def candsOf(b: Int): DataFrame =
-      candidatesFromBanded(bandsFromSigs(sigs, k, b), 100)
+      if (b == 16 && cands16.isDefined) cands16.get
+      else candidatesFromBanded(bandsFromSigs(sigs, k, b), 100)
     val truthPairs =
-      if (k == 64) verifiedJaccard(spark, dir, candsOf(16), tau)
+      if (k == 64) verifiedJaccard(spark, dir, cands16.get, tau)
       else ngramJaccard(spark, dir, tau)
     val truth = truthPairs
       .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    // n_true is arm-independent: ONE one-row agg pinned and broadcast
+    // into every arm (the per-arm nT agg re-ran 4x inside the union
+    // plan — identical values, 4 redundant stage-jobs)
+    val nT = truth.agg(count(lit(1)).as("n_true")).localCheckpoint()
     val arms = bandConfigs.map { b =>
       val r = k / b
       val cand = candsOf(b)
       val found = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
         .agg(count(lit(1)).as("n_found"))
-      val nT = truth.agg(count(lit(1)).as("n_true"))
       found.crossJoin(broadcast(nT)).select(
         lit(b).as("bands"), lit(r).as("r"),
         lit(sCurve(0.7, r, b)).as("design_recall_70"),
@@ -530,7 +596,9 @@ object Dedup {
     }
     val out = arms.reduce(_ unionByName _).orderBy(col("bands"))
       .localCheckpoint()
+    SparkBridge.unpersistCheckpoint(nT)
     SparkBridge.unpersistCheckpoint(truth)
+    cands16.foreach(SparkBridge.unpersistCheckpoint)
     SparkBridge.unpersistCheckpoint(sigs)
     out
   }
@@ -613,18 +681,36 @@ object Dedup {
     * corpus x corpus step. */
   def splitLeakage(spark: SparkSession, dir: String, tau: Double = 0.8)
       : DataFrame = {
+    import org.apache.spark.sql.graftbridge.SparkBridge
     val pairs = ngramJaccard(spark, dir, tau)
-    val splits = TextAnalysis.hashSplitOf(Tables.documents(spark, dir))
+    // split assignment is ROW-LOCAL (md5 of the text), so it only needs
+    // computing for PAIR MEMBERS: semi-join prune the corpus scan first
+    // (the verifiedJaccard discipline) instead of md5-hashing the whole
+    // corpus twice — the old shape joined the full corpus-sized split
+    // frame against the broadcast pairs once per side, two full scans
+    // whose rows were then discarded by the inner join anyway. The
+    // pruned member-split frame is pair-member-sized; pin it once and
+    // broadcast it into both attachment joins.
+    val members = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val memberSplits = TextAnalysis.hashSplitOf(
+      Tables.documents(spark, dir)
+        .join(broadcast(members), Seq("doc_id"), "left_semi"))
       .select(col("doc_id"), col("split"))
-    val withA = splits
-      .select(col("doc_id").as("doc_a"), col("split").as("split_a"))
-      .join(broadcast(pairs), Seq("doc_a"))
-    splits.select(col("doc_id").as("doc_b"), col("split").as("split_b"))
-      .join(broadcast(withA), Seq("doc_b"))
+      .localCheckpoint()
+    val out = pairs
+      .join(broadcast(memberSplits.select(col("doc_id").as("doc_a"),
+        col("split").as("split_a"))), Seq("doc_a"))
+      .join(broadcast(memberSplits.select(col("doc_id").as("doc_b"),
+        col("split").as("split_b"))), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("jaccard"),
         col("split_a"), col("split_b"),
         (col("split_a") =!= col("split_b")).as("leaked"))
       .orderBy(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    SparkBridge.unpersistCheckpoint(memberSplits)
+    out
   }
 
   /** Asymmetric CONTAINMENT dedup — the doc-inside-doc detector that
@@ -674,6 +760,12 @@ object Dedup {
       .agg(CappedSet.capped_distinct_set(col("doc_id"), maxDF).as("docs"))
       .filter(col("docs").isNotNull)
       .select(col("docs"))
+      // re-spread BEFORE the checkpoint (the cappedBucketPairs fix):
+      // AQE coalesces the byte-tiny kept-index read toward one
+      // partition, the checkpoint inherits that layout, and both
+      // consumers' explodes (up to maxDF²/2 pairs per row) then run
+      // single-task. The exchange moves only capped id arrays.
+      .repartition(sh.sparkSession.sparkContext.defaultParallelism)
       .localCheckpoint()
     val sizes = byShingle.select(explode(col("docs")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("size_a"))

@@ -544,6 +544,15 @@ object Graph {
     // node-sized graph).
     val lu = labels.toDF("u", "lu")
     val lw = labels.toDF("w", "lw")
+    // PRECONDITION (r21 ADVICE): edge endpoints ⊆ nodes. m below counts
+    // the LABELED edge frame (inner-joined to labels on BOTH
+    // endpoints), equal to the raw undirected edge count only because
+    // every ccEdges endpoint lies in the contiguous supplier key range
+    // labelPropOver labels. An edge source with endpoints outside the
+    // node frame would silently shrink m (and d_tot) here instead of
+    // failing — GraphSpec's integer recompute derives m from the RAW
+    // undirected edge set and asserts every q_frac against it, so a
+    // lab/und divergence fails the suite, not just the oracle.
     val lab = edges
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("w"))
@@ -722,7 +731,11 @@ object Graph {
   }
 
   def triangles(spark: SparkSession, dir: String): DataFrame = {
-    val und = triEdges(spark, dir)
+    // pin the edge list (edge-sized, the kcore/jaccardLinks bound):
+    // und is referenced three times and triEdges is a multi-branch
+    // union — unpinned, the closed-form edge set re-derives per
+    // reference
+    val und = triEdges(spark, dir).localCheckpoint()
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("w").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -738,10 +751,13 @@ object Graph {
     // wedge endpoints can be canonically re-ordered without a re-join
     val lowIsU = (col("du") < col("dw")) ||
       (col("du") === col("dw") && col("u") < col("w"))
+    // pinned: oriented feeds BOTH wedge sides and the closing join —
+    // three references that would each re-run the degree joins
     val oriented = withDeg.select(
       when(lowIsU, col("u")).otherwise(col("w")).as("osrc"),
       when(lowIsU, col("w")).otherwise(col("u")).as("odst"),
       when(lowIsU, col("dw")).otherwise(col("du")).as("ddst"))
+      .localCheckpoint()
     val o1 = oriented.select(col("osrc"), col("odst").as("d1"), col("ddst").as("g1"))
     val o2 = oriented.select(col("osrc"), col("odst").as("d2"), col("ddst").as("g2"))
     val wedges = o1.join(o2.hint("SHUFFLE_HASH"), Seq("osrc"))
@@ -761,10 +777,14 @@ object Graph {
       .union(tri.select(col("clo").as("node")))
       .union(tri.select(col("chi").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("n"))
-    Tables.supplier(spark, dir).select(col("s_suppkey").as("node"))
+    val out = Tables.supplier(spark, dir).select(col("s_suppkey").as("node"))
       .join(corners.hint("SHUFFLE_HASH"), Seq("node"), "left")
       .select(col("node"), coalesce(col("n"), lit(0L)).as("n_tri"))
       .orderBy(col("node"))
+      .localCheckpoint()
+    SparkBridge.unpersistCheckpoint(oriented)
+    SparkBridge.unpersistCheckpoint(und)
+    out
   }
 
   /** k-core decomposition at fixed k over the triangle graph
@@ -919,7 +939,12 @@ object Graph {
     * tie-break, so the cut is deterministic both engines. */
   def jaccardLinks(spark: SparkSession, dir: String,
                    topN: Int = 20): DataFrame = {
-    val und = triEdges(spark, dir)
+    // pin the edge list once (edge-sized — the minLabelComponents
+    // bound): und is referenced THREE times (both adj orientations +
+    // the non-edge anti-join) and triEdges is itself a multi-branch
+    // union, so unpinned the plan re-derived the closed-form edge set
+    // per reference — 84 parquet scans in the r22 before-plan
+    val und = triEdges(spark, dir).localCheckpoint()
     val adj = und.select(col("u").as("node"), col("w").as("nbr"))
       .unionByName(und.select(col("w").as("node"), col("u").as("nbr")))
     val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -931,7 +956,7 @@ object Graph {
           struct(x.as("a"), y.as("b")))))).as("pr"))
       .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
       .agg(count(lit(1)).as("common"))
-    pairs
+    val out = pairs
       .join(und.select(col("u").as("a"), col("w").as("b")), Seq("a", "b"),
         "left_anti")
       .join(deg.select(col("node").as("a"), col("deg").as("da"))
@@ -943,6 +968,9 @@ object Graph {
           * 10000.0 + 0.5) / 10000.0).as("jaccard"))
       .orderBy(col("jaccard").desc, col("a"), col("b"))
       .limit(topN)
+      .localCheckpoint()
+    SparkBridge.unpersistCheckpoint(und)
+    out
   }
 
   /** DuckDB restatement of [[jaccardLinks]] — the wedge enumeration as

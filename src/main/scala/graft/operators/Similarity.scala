@@ -132,6 +132,11 @@ object Similarity {
     * argmax-cosine seed via max_by — partial-agg friendly, no window
     * sort, ties broken toward the lower seed id. Returns one row per
     * vector: (vec_id, cluster_id, embedding, cos). */
+  // NOT fanned out (r22 measured): the corpus x seeds cosine kernel is
+  // light relative to the fan-out exchange on this family's consumers —
+  // adding Tables.fanOut here cost every light IVF key ~0.2-0.4 s
+  // (ann_ivf_topk 0.39 -> 0.62, emb_cluster_assign 0.22 -> 0.39,
+  // emb_kmeans +0.2/round in the Lloyd loop) on a quiet box.
   private def assignToSeeds(vecs: DataFrame, seeds: DataFrame): DataFrame =
     vecs.join(broadcast(seeds))
       .select(col("vec_id"), col("cluster_id"), col("embedding"),
@@ -1070,6 +1075,16 @@ object Similarity {
       .agg(graft.functions.CappedSet.capped_distinct_set(
         col("vec_id"), cap).as("ids"))
       .filter(col("ids").isNotNull && size(col("ids")) > 1)
+      // re-spread the bounded bucket rows BEFORE the pair explode: AQE
+      // sizes the post-gather read by BYTES (kilobytes of capped id
+      // arrays) and coalesces it toward one partition, but every row
+      // explodes to up to cap²/2 pairs, so the generator stage ran
+      // SINGLE-TASK (r22 profile: a 1.2 s 1-task stage under
+      // emb_neardup_lsh while 31 cores idled — the guide §2.5
+      // generator-skew case). The exchange moves only the tiny array
+      // rows; round-robin balances tile work at any scale, and the
+      // distinct right after makes row order immaterial.
+      .repartition(banded.sparkSession.sparkContext.defaultParallelism)
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
           struct(x.as("va"), y.as("vb")))))).as("p"))
@@ -1089,8 +1104,14 @@ object Similarity {
     // would silently hash every vector into one capped-away bucket
     val mask = if (r == 64) -1L else (1L << r) - 1
     val nb = if (only0) 1 else bandsUsed
+    // NOT fanned out (r22 measured): the pooled-signature kernel looked
+    // like a fan-out candidate (a 516 ms 1-task stage), but the added
+    // exchange regressed emb_neardup_prod 0.78 -> 1.17 s on a quiet box
+    // — the probe path and per-band explode pay the exchange without
+    // enough kernel behind it.
+    val e1 = e0
     if (r == nBits / bands && bandsUsed == bands)
-      e0.select(col("vec_id"),
+      e1.select(col("vec_id"),
           graft.functions.VectorFunctions
             .vec_simhash(col("embedding"), nBits).as("sig"))
         .select(col("vec_id"),
@@ -1106,7 +1127,7 @@ object Similarity {
       // only0 probe's single-band pool is bit-identical to the full
       // pool's band 0 (same conceptual bit indices) — the
       // measured-occupancy dispatch reads the same band it would run.
-      e0.select(col("vec_id"),
+      e1.select(col("vec_id"),
           posexplode(graft.functions.VectorFunctions
             .vec_simhash_pool(col("embedding"), r, nb)))
         .select(col("vec_id"),
@@ -1996,7 +2017,11 @@ object Similarity {
     // the per-row norm is computed BELOW the replicating explode, so each
     // vector's norm evaluates once, rides its nBlocks replicas, and the
     // n²/2 tile scan pays only the dot per pair (see [[cosFromNorms]])
-    val keyed = emb(spark, dir)
+    // fan out + share: keyed is consumed by BOTH tile sides (a/b), and
+    // the fan-out exchange is identical in both branches so Catalyst
+    // reuses it — one corpus scan at full parallelism instead of two
+    // single-task scans (r22 profile)
+    val keyed = graft.Tables.fanOut(emb(spark, dir))
       .select(col("vec_id"), col("embedding"),
         vec_norm(col("embedding")).as("nrm"),
         pmod(xxhash64(col("vec_id")), lit(nBlocks)).cast("int").as("blk"))
@@ -2047,7 +2072,8 @@ object Similarity {
                                       nBlocks: Int = 16): DataFrame = {
     require(nBlocks > 1)
     import graft.functions.VectorFunctions.blocked_tile_pairs
-    val keyed = e0
+    // fan out + share across both tile sides (see blockedPairScores)
+    val keyed = graft.Tables.fanOut(e0)
       .select(col("vec_id"), col("embedding"),
         pmod(xxhash64(col("vec_id")), lit(nBlocks)).cast("int").as("blk"))
       .withColumn("k", explode(sequence(lit(0), lit(nBlocks - 1))))
@@ -2583,7 +2609,8 @@ object Similarity {
                                      trainRounds: Int): DataFrame = {
     import graft.functions.VectorFunctions.l2_dist
     require(trainRounds >= 1)
-    val vsub = subVectors(e, "vec_id", subspaces, subDim)
+    // corpus-sized sub-vector kernel: fan out (see assignToSeeds)
+    val vsub = subVectors(graft.Tables.fanOut(e), "vec_id", subspaces, subDim)
     var codebook = seedCodebook(e, subspaces, subDim, seedMod)
     var prev: DataFrame = null
     for (_ <- 1 to trainRounds) {
@@ -2643,6 +2670,9 @@ object Similarity {
   private def pqAssignWith(e: DataFrame, cb: DataFrame, subspaces: Int,
                            subDim: Int): DataFrame = {
     import graft.functions.VectorFunctions.l2_dist
+    // no fan-out here (r22 measured): light consumers (emb_pq_codes
+    // 0.29 -> 0.46 s) pay the exchange without enough kernel behind it;
+    // the heavy composition fans out at ivfPqTopKWith instead
     val vsub = subVectors(e, "vec_id", subspaces, subDim)
     vsub.join(broadcast(cb), Seq("m"))
       .select(col("vec_id"), col("m"), col("sid"),
@@ -3851,8 +3881,12 @@ object Similarity {
     val codeCols = (0 until subspaces).map(i =>
       min(when(col("m") === i, col("code"))).as(s"code_$i"))
     // codes and cells are both corpus-sized: co-partition on the id and
-    // hash-join (never a sort — codes are narrow fixed-width rows)
-    val codes = pqAssignWith(e, cb, subspaces, subDim)
+    // hash-join (never a sort — codes are narrow fixed-width rows).
+    // Fan the encode kernel out (identity at production scan widths):
+    // the corpus x codebook l2 pass fused onto a single-task test scan
+    // was this key's largest stage (r22: ann_ivfpq_topk 1.33 -> 0.92 s,
+    // ann_ivfpq_trained 2.43 -> 1.71 s with the codebook pass fanned)
+    val codes = pqAssignWith(graft.Tables.fanOut(e), cb, subspaces, subDim)
       .groupBy(col("vec_id").as("cid"))
       .agg(codeCols.head, codeCols.tail: _*)
       .join(cells.hint("shuffle_hash"), Seq("cid"))
@@ -4229,13 +4263,16 @@ object Similarity {
     // per-iteration job/scheduling + checkpoint floor over a 64-row
     // iterate against a 4096-row frame — none of it data work, and
     // nothing after the cell agg scales with the corpus. Every pinned
-    // quantity keeps the exact trajectory: per-step matvec/norm/
-    // Rayleigh double sums cast through float exactly as the
-    // distributed aggregates did (the float pin is what made the
-    // engine/oracle accumulation orders interchangeable; the driver's
-    // j-ascending fold is one more such order), divisions/literals
-    // identical, so the (i, v) frame and lam are bit-equal to the old
-    // loop's and every oracle hash holds.
+    // quantity keeps the trajectory UNDER THE FLOAT-PIN TOLERANCE:
+    // per-step matvec/norm/Rayleigh double sums cast through float
+    // exactly as the distributed aggregates did, and the driver's
+    // j-ascending fold is one more accumulation order the pin is
+    // designed to absorb — the same assumption the distributed loop
+    // already made about partition order. That guarantee is
+    // PROBABILISTIC, not exact (a double sum landing within an ulp of
+    // a float rounding boundary can still round differently across
+    // orders — the r21 ADVICE caveat); the oracle hashes hold because
+    // the pin absorbs the drift in practice, verified at every SF.
     val cellRows = cells.collect()
     val dims = cellRows.map(_.getInt(0)).distinct.sorted
     val dimIx = dims.zipWithIndex.toMap

@@ -260,6 +260,10 @@ object TextAnalysis {
     sh.groupBy(col("s"))
       .agg(CappedSet.capped_distinct_set(col("doc_id"), maxDF).as("docs"))
       .filter(col("docs").isNotNull)
+      // re-spread before the pair explode (the cappedBucketPairs fix:
+      // AQE coalesces the byte-tiny kept-index read, but rows explode
+      // to up to maxDF²/2 pairs)
+      .repartition(sh.sparkSession.sparkContext.defaultParallelism)
       .select(filter(col("docs"), d => d % 10 =!= 0).as("tr"),
         filter(col("docs"), d => d % 10 === 0).as("ev"))
       .select(explode(col("tr")).as("train_doc"), col("ev"))
@@ -385,25 +389,42 @@ object TextAnalysis {
     // collected table — word-type-sized state, exactly the bound this
     // tokenizer already commits to by broadcasting the trained
     // per-word assignment into [[bpeApply]]'s hash join (every
-    // production BPE trainer holds the type table in memory; types are
-    // bounded by vocabulary, not corpus size). The old distributed
-    // loop paid ~3 jobs + three query plannings per merge step on a
-    // vocab-sized frame (r21 profile: 45 stage-jobs, >60% inter-job
-    // driver gap). Parity: pair counts are exact integer sums; the
-    // argmax order (pair_count DESC, lft, rgt — UTF-8 byte order, the
-    // UTF8String comparison Spark used) and the literal all-occurrence
-    // replace are reproduced verbatim, so the merge table and final
-    // symbol assignment are bit-identical and the unrolled oracle
-    // holds.
+    // production BPE trainer holds the type table in memory). MEMORY
+    // BOUND, stated honestly: word TYPES grow with corpus size under
+    // Heap's law (~K·N^0.5 for natural text), so the collected table is
+    // sublinear in the corpus but not constant — at 100 TB (~1e13
+    // tokens) Heap's law predicts ~1e8 types, a few GB of driver state,
+    // the same order as the bpeApply broadcast of the trained
+    // assignment; `spark.driver.maxResultSize` (1 GB default) gates the
+    // collect LOUDLY before it can OOM the driver, at which point the
+    // remedy is a min-count pre-filter (what production BPE trainers
+    // do), a semantic change this registered key cannot make silently.
+    // The old distributed loop paid ~3 jobs + three query plannings per
+    // merge step on a vocab-sized frame (r21 profile: 45 stage-jobs,
+    // >60% inter-job driver gap). Parity: pair counts are exact integer
+    // sums; the argmax order (pair_count DESC, lft, rgt — UTF-8 byte
+    // order, the UTF8String comparison Spark used) and the literal
+    // all-occurrence replace are reproduced verbatim, so the merge
+    // table and final symbol assignment are bit-identical and the
+    // unrolled oracle holds.
     val vocab0: Array[(String, Long)] = docs
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) >= 2)
       .groupBy(col("word")).agg(count(lit(1)).as("wc"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
     // initial symbols: " c  h  a  r  s " (boundary sentinels single-
-    // spaced, symbols double-spaced) — same construction as before
+    // spaced, symbols double-spaced) — same construction as the old
+    // Spark substr ladder, which splits by CODE POINT (UTF8String
+    // semantics): iterating UTF-16 units here (`w.map(_.toString)`)
+    // would halve supplementary-plane characters (emoji, rare CJK)
+    // into unpaired surrogates that u8Lt then mangles via getBytes
+    // (encoded as 0x3F) — the r21 ADVICE item. Code-point iteration
+    // keeps every symbol a valid scalar string, so UTF-8 byte order
+    // below matches Spark's UTF8String comparison exactly.
     var words: Array[(String, Long, String)] = vocab0.map { case (w, c) =>
-      (w, c, w.map(_.toString).mkString(" ", "  ", " ")) }
+      (w, c, w.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp)))
+        .mkString(" ", "  ", " ")) }
     def u8Lt(x: String, y: String): Boolean = {
       val a = x.getBytes("UTF-8"); val b = y.getBytes("UTF-8")
       var i = 0
@@ -906,6 +927,8 @@ object TextAnalysis {
           when(col("split") === "train", 1L).otherwise(0L), maxDF)
         .as("docs"))
       .filter(col("docs").isNotNull)
+      // re-spread before the pair explode (the decontaminate fix)
+      .repartition(sh.sparkSession.sparkContext.defaultParallelism)
       .select(
         transform(filter(col("docs"), d => d % 2 === 1),
           x => shiftright(x, 1)).as("tr"),
@@ -1489,7 +1512,10 @@ object TextAnalysis {
   def perplexity(spark: SparkSession, dir: String,
                  k: Double = 0.5): DataFrame = {
     val Q = 16777216.0 // 2^24
-    val docs = Tables.documents(spark, dir)
+    // fan out (Tables.fanOut — identity at production scan widths): the
+    // bigram explode is this key's heavy map kernel, and docs feeds
+    // both the bigram and vocab branches through one reused exchange
+    val docs = graft.Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
     val bi = docs.select(col("doc_id"),
       explode(zip_with(

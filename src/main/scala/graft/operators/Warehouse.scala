@@ -1414,11 +1414,18 @@ object Warehouse {
     require(SnapshotLog.latestVersion(viewPath).contains(vSrc),
       s"q62 audit: view history (${SnapshotLog.latestVersion(viewPath)}) " +
         s"is not 1:1 with source feeds ($vSrc) - the v-1 pairing is invalid")
-    val rescans = (1 to vSrc).map { v =>
-      minmaxDecide(SnapshotLog.diff(spark, srcPath, v - 1, v, "key"),
-          SnapshotLog.read(spark, viewPath, Some(v - 1)))
-        .filter(col("evict")).count()
-    }.sum
+    // ONE action for the whole audit: the per-version eviction counts
+    // are independent frames, so summing per-version count() actions
+    // paid vSrc jobs + plannings for one integer — the unioned count is
+    // the same sum (bag semantics) in a single job whose version arms
+    // run as parallel stages (r22; guide §1.2-1 fewer actions)
+    val rescans =
+      if (vSrc < 1) 0L
+      else (1 to vSrc).map { v =>
+        minmaxDecide(SnapshotLog.diff(spark, srcPath, v - 1, v, "key"),
+            SnapshotLog.read(spark, viewPath, Some(v - 1)))
+          .filter(col("evict")).select(lit(1L).as("one"))
+      }.reduce(_ unionByName _).count()
     val viewV = SnapshotLog.latestVersion(viewPath).get
     val cursor = SnapshotLog.cursorVersion(srcPath, "mvmm").getOrElse(0)
     SnapshotLog.read(spark, viewPath)
