@@ -621,12 +621,20 @@ object Relational {
   val PopularParts = 200
   def q34MarketBasket(spark: SparkSession, dir: String,
                       topN: Int = 20): DataFrame = {
+    // pinned: cp (the distinct customer-part incidence) feeds BOTH the
+    // popularity cut and the basket gather — unpinned, the
+    // orders x lineitem join + distinct ran once per reference (two
+    // identical ~610 ms stages in the r22 profile). The pin holds the
+    // REDUCED distinct set (far smaller than the fact table), which is
+    // also the right 100 TB plan: materialize the working set once
+    // rather than re-shuffling raw lineitem per consumer.
     val cp = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_partkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .distinct()
+      .localCheckpoint()
     val popular = cp.groupBy(col("p"))
       .agg(count(lit(1)).as("n_cust"))
       .orderBy(col("n_cust").desc, col("p"))

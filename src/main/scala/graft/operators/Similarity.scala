@@ -763,12 +763,18 @@ object Similarity {
                 b: Double = 0.75, rrfK: Int = 60, nLex: Int = 20,
                 nSem: Int = 20): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // pinned: tf is the BM25 index frame (term-posting-sized, the
+    // standing index a serving deployment persists) and it feeds BOTH
+    // the df aggregate and the postings join — unpinned, the
+    // tokenize+count+window chain evaluated once per reference (two
+    // ~150-300 ms single-task stages in the r22 profile)
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
       .withColumn("dl",
         sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+      .localCheckpoint()
     // avgdl as an exact sum/count of integer lengths (order-free)
     val stats = docs
       .select(size(split(col("text"), " ")).cast("long").as("n"))

@@ -260,10 +260,10 @@ object TextAnalysis {
     sh.groupBy(col("s"))
       .agg(CappedSet.capped_distinct_set(col("doc_id"), maxDF).as("docs"))
       .filter(col("docs").isNotNull)
-      // re-spread before the pair explode (the cappedBucketPairs fix:
-      // AQE coalesces the byte-tiny kept-index read, but rows explode
-      // to up to maxDF²/2 pairs)
-      .repartition(sh.sparkSession.sparkContext.defaultParallelism)
+      // no respread here (unlike cappedBucketPairs): this gather is
+      // SHINGLE-keyed, so its row count — and hence its byte size —
+      // grows with the corpus and AQE sizes the read sensibly at any
+      // scale; the respread measured as pure exchange tax at sf0.1
       .select(filter(col("docs"), d => d % 10 =!= 0).as("tr"),
         filter(col("docs"), d => d % 10 === 0).as("ev"))
       .select(explode(col("tr")).as("train_doc"), col("ev"))
@@ -899,6 +899,10 @@ object TextAnalysis {
              minShared: Int = 3, budget: Int = 128,
              shardSize: Long = 256L): DataFrame = {
     val words = toks
+    // NOT fanned out (r22 measured twice): the funnel is a 637 ms
+    // single-task stage, but the fan-out exchange ships full document
+    // text and measured net-negative here as at the other three funnel
+    // consumers (pipeline_llm_e2e 1.3 -> 1.45-1.6 s across probes).
     val kept = withLangPrediction(withQuality(Tables.documents(spark, dir)))
       .withColumn("top_word_frac", frac4(topCount(words), size(words)))
       .filter(col("score") >= minScore &&
@@ -927,8 +931,6 @@ object TextAnalysis {
           when(col("split") === "train", 1L).otherwise(0L), maxDF)
         .as("docs"))
       .filter(col("docs").isNotNull)
-      // re-spread before the pair explode (the decontaminate fix)
-      .repartition(sh.sparkSession.sparkContext.defaultParallelism)
       .select(
         transform(filter(col("docs"), d => d % 2 === 1),
           x => shiftright(x, 1)).as("tr"),
